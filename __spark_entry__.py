@@ -1,38 +1,993 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (the reference's trailing-window
+anomaly detector, its #1 bottleneck — SURVEY.md W11) on sf0.001.
+``queries()`` maps every implemented SURVEY.md §2 operator to a callable;
+``oracle_sql()`` holds the DuckDB-equivalent SQL for each.
+
+Cross-engine determinism rules used throughout:
+- every window orders by (ts, event_id) — unique tiebreak;
+- float aggregates are rounded to 4-6 decimals ON BOTH SIDES;
+- events.ts is read ns→µs truncated, matching DuckDB's parquet read;
+- all computed columns are aliased identically in Spark and SQL.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from timeseries_data_analysis_spark.sources import load_table
+from timeseries_data_analysis_spark.operators import (
+    windows as WIN, timeseries as TS, intervals as IV, pivot as PV,
+    topk as TK, dedup as DD, similarity as SIM,
+)
+from timeseries_data_analysis_spark.functions import math_fns as M, text as TX
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+# Cross-engine rounding: means of decimal-valued data frequently land on an
+# EXACT half at the rounding digit (e.g. 38.81375 at 4 dp); Spark and DuckDB
+# then disagree purely on ulp-level summation-order noise. Nudging by +1e-9
+# on BOTH sides moves those halves off the boundary deterministically.
+ROUND_EPS = 1e-9
+
+
+def _r(col, d: int = 4):
+    return F.round(col + F.lit(ROUND_EPS), d)
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _events_window():
+    return WIN.series_window("user_id", ["ts", "event_id"])
+
+
+# ---------------------------------------------------------------------------
+# Relational queries (SURVEY.md §2.2-§2.4, §2.8 on the TPC-H-ish corpus)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """A1/A4-family group-agg (TPC-H Q1 shape): scan→filter→groupBy→agg.
+
+    Catalyst pushes the shipdate filter into the parquet scan; the groupBy
+    gets map-side partial aggregation (6 groups total — shuffle is bytes).
+    """
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r(F.sum("l_quantity"), 4).alias("sum_qty"),
+            _r(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            _r(F.avg("l_quantity"), 4).alias("avg_qty"),
+            _r(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_top_revenue_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """J2 + O2: 3-way join, group, global top-10 (TakeOrderedAndProject —
+    per-partition heap, no global sort). Small dims broadcast via AQE."""
+    cust = load_table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_nation_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-way star join through region→nation→customer→orders→lineitem
+    with both dims broadcast (no shuffle for the dimension side)."""
+    region = load_table(spark, sf, "region")
+    nation = load_table(spark, sf, "nation")
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def q_customer_order_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Left outer join keeping order-less customers (null-group semantics)."""
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_orders"),
+             _r(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 4).alias("total_spend"))
+    )
+
+
+def q_customers_without_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Anti join (NOT EXISTS) — broadcast-able at any scale if orders'
+    distinct custkeys are small; otherwise shuffled hash anti-join."""
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    return (cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+            .select("c_custkey", "c_name", "c_mktsegment"))
+
+
+def q_late_shipping_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi join (EXISTS, TPC-H Q4 shape): orders with any late lineitem."""
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    joined = orders.join(
+        li, (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("interval 90 days")),
+        "left_semi")
+    return joined.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+def q_part_brand_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Fact⋈dim with broadcast + two-level agg and a safe-division share (P10)."""
+    part = load_table(spark, sf, "part")
+    li = load_table(spark, sf, "lineitem")
+    rev = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+           .groupBy("p_brand")
+           .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"),
+                F.sum("l_quantity").alias("_qty")))
+    return rev.select(
+        "p_brand",
+        _r(F.col("_rev"), 4).alias("revenue"),
+        _r(M.safe_div(F.col("_rev"), F.col("_qty")), 4).alias("rev_per_unit"),
+    )
+
+
+def q_value_counts_topn(spark: SparkSession, sf: str) -> DataFrame:
+    """A6: categorical value_counts().nlargest(10)."""
+    ev = load_table(spark, sf, "events")
+    return TK.value_counts_top_n(ev, "event_type", 10)
+
+
+def q_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """A7: exact distinct count per group (partial-agg distinct)."""
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"))
+
+
+def q_null_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """A8: one-pass data-quality profile (reference diagnose_dataframe,
+    train_models_simple.py:864-933) — single aggregate row, no shuffle
+    beyond the final combine."""
+    ev = load_table(spark, sf, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("value_nulls"),
+        F.sum(F.when(F.isnan(F.col("value")), 1).otherwise(0)).alias("value_nans"),
+        F.countDistinct("user_id").alias("user_distinct"),
+        _r(F.min("value"), 4).alias("value_min"),
+        _r(F.max("value"), 4).alias("value_max"),
+        _r(F.avg("value"), 4).alias("value_mean"),
+    )
+
+
+def q_horizontal_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """A5: row-wise horizontal aggregation (greatest/least across columns)
+    then group — reference mean(axis=1)/max(axis=1) family."""
+    li = load_table(spark, sf, "lineitem")
+    return (li.select(
+        "l_returnflag",
+        F.greatest("l_tax", "l_discount").alias("_mx"),
+        ((F.col("l_tax") + F.col("l_discount")) / 2).alias("_avg2"),
+    ).groupBy("l_returnflag")
+        .agg(_r(F.avg("_mx"), 4).alias("avg_max_rate"),
+             _r(F.avg("_avg2"), 4).alias("avg_mean_rate")))
+
+
+# ---------------------------------------------------------------------------
+# Time-series / window queries (SURVEY.md §2.5/§2.6 on events)
+# ---------------------------------------------------------------------------
+
+def q_dup_collapse(spark: SparkSession, sf: str) -> DataFrame:
+    """A1: duplicate-(key,ts) collapse by mean."""
+    ev = load_table(spark, sf, "events")
+    out = TS.collapse_duplicates(ev.select("user_id", "ts", "value"), ["user_id", "ts"])
+    return out.select("user_id", "ts", _r(F.col("value"), 4).alias("value"))
+
+
+def q_hourly_downsample(spark: SparkSession, sf: str) -> DataFrame:
+    """A3: tumbling 1 h downsample per event_type."""
+    ev = load_table(spark, sf, "events")
+    out = TS.downsample(ev.select("ts", "event_type", "value"), "ts", "hour",
+                        keys=["event_type"], value_cols=["value"])
+    n = TS.downsample(ev.select("ts", "event_type", F.lit(1).alias("one")), "ts", "hour",
+                      keys=["event_type"], agg="count", value_cols=["one"])
+    return (out.join(n, ["ts", "event_type"])
+            .select("ts", "event_type",
+                    _r(F.col("value"), 4).alias("avg_value"),
+                    F.col("one").cast("bigint").alias("n_events")))
+
+
+def q_pivot_event_types(spark: SparkSession, sf: str) -> DataFrame:
+    """A2: long→wide pivot with explicit values list (no distinct() job)."""
+    ev = load_table(spark, sf, "events")
+    out = PV.pivot_wide(ev, ["user_id"], "event_type", "value", values=EVENT_TYPES)
+    cols = [_r(F.col(c), 4).alias(f"avg_{c}") for c in EVENT_TYPES]
+    return out.select("user_id", *cols)
+
+
+def q_lag_features(spark: SparkSession, sf: str) -> DataFrame:
+    """W1: per-series lag features, one Window covers all lags."""
+    ev = load_table(spark, sf, "events")
+    w = _events_window()
+    feats = WIN.lag_features("value", w, [1, 6, 24])
+    return ev.select("event_id", "user_id", "ts", "value",
+                     *[v.alias(k) for k, v in feats.items()])
+
+
+def q_rolling_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """W2/W3/W4: trailing 24-row mean/std-pop/min/max with full-window
+    emission — all four share one physical Window (one sort)."""
+    ev = load_table(spark, sf, "events")
+    w = _events_window()
+    return ev.select(
+        "event_id", "user_id", "ts",
+        _r(WIN.rolling_mean("value", w, 24, full_window=True), 4).alias("roll_mean_24"),
+        _r(WIN.rolling_std("value", w, 24, full_window=True), 4).alias("roll_std_24"),
+        _r(WIN.rolling_min("value", w, 24, full_window=True), 4).alias("roll_min_24"),
+        _r(WIN.rolling_max("value", w, 24, full_window=True), 4).alias("roll_max_24"),
+    )
+
+
+def q_rolling_min_periods(spark: SparkSession, sf: str) -> DataFrame:
+    """W5: rolling mean with min_periods=max(2, w//4) (simple variant)."""
+    ev = load_table(spark, sf, "events")
+    w = _events_window()
+    return ev.select(
+        "event_id", "user_id", "ts",
+        _r(WIN.rolling_mean("value", w, 24, min_periods=6), 4).alias("roll_mean_mp"),
+    )
+
+
+def q_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """W7: rolling z-score, sd>0.001 guard."""
+    ev = load_table(spark, sf, "events")
+    w = _events_window()
+    return ev.select(
+        "event_id", "user_id", "ts",
+        _r(WIN.rolling_zscore("value", w, 24, min_std=0.001, sample=True), 4).alias("zscore_24"),
+    )
+
+
+def q_diff_pct_change(spark: SparkSession, sf: str) -> DataFrame:
+    """W8/W9: diff, per-second gradient, pct_change(3)."""
+    ev = load_table(spark, sf, "events")
+    w = _events_window()
+    return ev.select(
+        "event_id", "user_id", "ts",
+        _r(WIN.diff("value", w, 1), 4).alias("diff_1"),
+        _r(WIN.gradient_per_second("value", "ts", w), 6).alias("grad_s"),
+        _r(WIN.pct_change("value", w, 3), 4).alias("pct_3"),
+    )
+
+
+def q_cooling_runs(spark: SparkSession, sf: str) -> DataFrame:
+    """W10: 3-consecutive-drop run detection."""
+    ev = load_table(spark, sf, "events")
+    w = _events_window()
+    return ev.select(
+        "event_id", "user_id", "ts",
+        WIN.consecutive_run_flag("value", w, run=3, direction="down").alias("cooling_flag"),
+    )
+
+
+def q_anomaly_detect(spark: SparkSession, sf: str) -> DataFrame:
+    """W11 (flagship): trailing-24 anomaly detector, current row EXCLUDED
+    from the baseline window (reference pre_processing.py:1010)."""
+    ev = load_table(spark, sf, "events")
+    w = _events_window()
+    feats = WIN.anomaly_features("value", w, window=24, n_sigma=2.0)
+    return ev.select(
+        "event_id", "user_id", "ts", "value",
+        feats["value_anomaly_flag"].alias("anomaly_flag"),
+        _r(feats["value_drop_magnitude"], 4).alias("drop_magnitude"),
+    )
+
+
+def q_zone_drop_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """SURVEY.md §7.2 minimum slice: melt→hourly mean→anomaly→per-hour
+    count of series flagged as dropping ('zones_with_drops' signal)."""
+    ev = load_table(spark, sf, "events")
+    hourly = (ev.groupBy(F.date_trunc("hour", "ts").alias("ts"), "event_type")
+              .agg(F.avg("value").alias("value")))
+    w = WIN.series_window("event_type", ["ts"])
+    feats = WIN.anomaly_features("value", w, window=24)
+    flagged = hourly.select("ts", "event_type",
+                            feats["value_anomaly_flag"].alias("flag"))
+    return (flagged.groupBy("ts")
+            .agg(F.sum(F.when(F.col("flag") == -1, 1).otherwise(0)).alias("series_with_drops"))
+            )
+
+
+def q_stride_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """P7: every 10th event per user (plotting downsample)."""
+    ev = load_table(spark, sf, "events")
+    return TK.stride_sample(
+        ev.select("event_id", "user_id", "ts", "value"),
+        [F.col("ts"), F.col("event_id")], 10, partition_by=["user_id"])
+
+
+def q_latest_per_user(spark: SparkSession, sf: str) -> DataFrame:
+    """P8: latest-row probe per key."""
+    ev = load_table(spark, sf, "events")
+    return IV.latest_rows(ev, ["user_id"], "ts", tiebreak="event_id") \
+        .select("user_id", "event_id", "ts", "value", "event_type")
+
+
+def q_topk_per_type(spark: SparkSession, sf: str) -> DataFrame:
+    """O2: top-3 by value within each event_type (window rank)."""
+    ev = load_table(spark, sf, "events")
+    return TK.top_k_per_group(
+        ev.select("event_id", "event_type", "value"),
+        ["event_type"], [F.col("value").desc(), F.col("event_id")], 3) \
+        .select("event_type", "event_id", "value", "rk")
+
+
+def q_hourly_spine(spark: SparkSession, sf: str) -> DataFrame:
+    """R1: hourly spine over events' observed range — sequence+explode,
+    generated distributed (never a driver-side date_range)."""
+    ev = load_table(spark, sf, "events")
+    return TS.spine_for(ev, "ts")
+
+
+def q_spine_ffill(spark: SparkSession, sf: str) -> DataFrame:
+    """R1+J1+R2: per-user hourly spine, left join hourly means, forward-fill."""
+    ev = load_table(spark, sf, "events")
+    spine = TS.spine_for(ev, "ts", keys=["user_id"])
+    hourly = (ev.groupBy(F.date_trunc("hour", "ts").alias("ts"), "user_id")
+              .agg(F.avg("value").alias("value")))
+    joined = spine.join(hourly, ["ts", "user_id"], "left")
+    return joined.select(
+        "ts", "user_id",
+        _r(TS.ffill("value", ["user_id"], ["ts"]), 4).alias("value_ffill"),
+    )
+
+
+def q_fill_chain(spark: SparkSession, sf: str) -> DataFrame:
+    """R4: ffill→bfill→0 chain on the per-user hourly grid."""
+    ev = load_table(spark, sf, "events")
+    spine = TS.spine_for(ev, "ts", keys=["user_id"])
+    hourly = (ev.groupBy(F.date_trunc("hour", "ts").alias("ts"), "user_id")
+              .agg(F.avg("value").alias("value")))
+    joined = spine.join(hourly, ["ts", "user_id"], "left")
+    return joined.select(
+        "ts", "user_id",
+        _r(TS.fill_chain("value", ["user_id"], ["ts"]), 4).alias("value_filled"),
+    )
+
+
+def q_interpolate(spark: SparkSession, sf: str) -> DataFrame:
+    """R3: linear interpolation of gaps on the per-user hourly grid."""
+    ev = load_table(spark, sf, "events")
+    spine = TS.spine_for(ev, "ts", keys=["user_id"])
+    hourly = (ev.groupBy(F.date_trunc("hour", "ts").alias("ts"), "user_id")
+              .agg(F.avg("value").alias("value")))
+    joined = spine.join(hourly, ["ts", "user_id"], "left")
+    return joined.select(
+        "ts", "user_id",
+        _r(TS.interpolate_linear("value", "ts", ["user_id"]), 4).alias("value_interp"),
+    )
+
+
+def q_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J3: range join, event-labeling shape — every 'error' event opens a
+    per-user [ts, ts+6h) incident interval; count/sum the user's events
+    inside it. Equi-join on user + range refine, intervals broadcast
+    (the reference's accretion-event labeling, pre_processing.py:1483-1528)."""
+    ev = load_table(spark, sf, "events")
+    iv = (ev.filter((F.col("event_type") == "error") & (F.col("event_id") % 10 == 0))
+          .select(F.col("event_id").alias("interval_id"),
+                  F.col("user_id").alias("iv_user"),
+                  F.col("ts").alias("start"),
+                  (F.col("ts") + F.expr("interval 6 hours")).alias("end")))
+    joined = ev.join(F.broadcast(iv),
+                     (ev.user_id == iv.iv_user)
+                     & (ev.ts >= iv.start) & (ev.ts < iv.end), "inner")
+    return (joined.groupBy("interval_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 _r(F.sum("value"), 4).alias("sum_value")))
+
+
+def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J4: backward as-of join — for each order, the latest event (by its
+    user-bucket) at or before the order date. Union-scan implementation:
+    one shuffle + one per-key sort, no merge_asof pandas path."""
+    ev = load_table(spark, sf, "events")
+    orders = load_table(spark, sf, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    left = orders.select("o_orderkey", "o_orderdate",
+                         (F.col("o_custkey") % 20).alias("ukey"))
+    right = ev.select(F.col("user_id").alias("ukey"), F.col("ts"),
+                      F.col("value").alias("last_value"))
+    out = IV.asof_join(left, right, "o_orderdate", "ts", by=("ukey", "ukey"),
+                       value_cols=["last_value"])
+    return out.select("o_orderkey",
+                      _r(F.col("last_value"), 4).alias("last_value"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus / training-data queries (documents + embeddings)
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup via portable md5-prefix digest of normalized text."""
+    docs = load_table(spark, sf, "documents")
+    return DD.exact_dedup(docs)
+
+
+def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """OpenRefine-style fingerprint: md5 of sorted distinct normalized tokens."""
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", TX.fingerprint("text").alias("fingerprint"))
+
+
+def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish subword pre-tokens."""
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        TX.subword_token_count("text").alias("n_subtokens"),
+        F.length("text").alias("n_chars_m"),
+    )
+
+
+def q_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc quality heuristics: punct ratio, stopword ratio, composite."""
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        _r(TX.punct_ratio("text"), 4).alias("punct_ratio"),
+        _r(TX.stopword_ratio("text"), 4).alias("stopword_ratio"),
+        _r(TX.quality_score("text"), 4).alias("quality"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Stopword-marker language ID + per-language doc counts."""
+    docs = load_table(spark, sf, "documents")
+    return (docs.select(TX.lang_id("text").alias("pred_lang"))
+            .groupBy("pred_lang").agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+def q_similarity_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for the first 10 vectors.
+
+    Embeddings are cast float32→float64 BEFORE the dot product on both
+    engines (DuckDB's list_cosine_similarity on FLOAT[] computes in
+    single precision — a visible, not ulp-level, divergence otherwise).
+    """
+    emb = load_table(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = SIM.brute_force_topk(emb, q, k=5)
+    return out.select("query_id", "vec_id", F.col("rk"),
+                      _r(F.col("sim"), 6).alias("sim"))
+
+
+def q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates verified by exact 3-gram Jaccard."""
+    docs = load_table(spark, sf, "documents")
+    cands = DD.minhash_lsh_candidates(docs, num_hashes=16, bands=8)
+    pairs = cands.select("id_l", "id_r").distinct()
+    return (DD.ngram_jaccard(pairs, docs)
+            .select("id_l", "id_r", _r(F.col("jaccard"), 4).alias("jaccard")))
+
+
+def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash 16-bit fingerprints over word bigrams (portable arithmetic)."""
+    docs = load_table(spark, sf, "documents")
+    return (docs.select("doc_id", DD.hashed_shingles("text", n=2).alias("_hashed"))
+            .select("doc_id", DD.simhash_from_hashes(F.col("_hashed"), bits=16)
+                    .alias("simhash")))
+
+
+# ---------------------------------------------------------------------------
+# Contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's anomaly detector over sf0.001 events."""
+    return q_anomaly_detect(spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # relational
+        "pricing_summary": q_pricing_summary,
+        "top_revenue_orders": q_top_revenue_orders,
+        "nation_revenue": q_nation_revenue,
+        "customer_order_stats": q_customer_order_stats,
+        "customers_without_orders": q_customers_without_orders,
+        "late_shipping_orders": q_late_shipping_orders,
+        "part_brand_revenue": q_part_brand_revenue,
+        "value_counts_topn": q_value_counts_topn,
+        "distinct_users": q_distinct_users,
+        "null_profile": q_null_profile,
+        "horizontal_agg": q_horizontal_agg,
+        # time-series / windows
+        "dup_collapse": q_dup_collapse,
+        "hourly_downsample": q_hourly_downsample,
+        "pivot_event_types": q_pivot_event_types,
+        "lag_features": q_lag_features,
+        "rolling_stats": q_rolling_stats,
+        "rolling_min_periods": q_rolling_min_periods,
+        "zscore": q_zscore,
+        "diff_pct_change": q_diff_pct_change,
+        "cooling_runs": q_cooling_runs,
+        "anomaly_detect": q_anomaly_detect,
+        "zone_drop_counts": q_zone_drop_counts,
+        "stride_sample": q_stride_sample,
+        "latest_per_user": q_latest_per_user,
+        "topk_per_type": q_topk_per_type,
+        "hourly_spine": q_hourly_spine,
+        "spine_ffill": q_spine_ffill,
+        "fill_chain": q_fill_chain,
+        "interpolate": q_interpolate,
+        "interval_join": q_interval_join,
+        "asof_join": q_asof_join,
+        # corpus / training-data
+        "exact_dedup": q_exact_dedup,
+        "doc_fingerprint": q_doc_fingerprint,
+        "token_stats": q_token_stats,
+        "quality_scores": q_quality_scores,
+        "lang_id": q_lang_id,
+        "similarity_topk": q_similarity_topk,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# DuckDB oracles. Tables are pre-registered views over the same parquet.
+# NOTE on events.ts: DuckDB reads the ns timestamps truncated to µs —
+# identical to our load path, so no extra casting is needed.
+
+_WIN = "PARTITION BY user_id ORDER BY ts, event_id"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    sql: dict[str, str] = {}
+
+    sql["pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+               (round(sum(l_quantity) + 1e-9, 4) + 0.0)            AS sum_qty,
+               (round(sum(l_extendedprice) + 1e-9, 4) + 0.0)       AS sum_base_price,
+               (round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4) + 0.0) AS sum_disc_price,
+               (round(avg(l_quantity) + 1e-9, 4) + 0.0)            AS avg_qty,
+               (round(avg(l_discount) + 1e-9, 4) + 0.0)            AS avg_disc,
+               count(*)                             AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
     """
-    return {}
+
+    sql["top_revenue_orders"] = """
+        SELECT o_orderkey, o_orderdate, o_orderpriority,
+               (round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4) + 0.0) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+    """
+
+    sql["nation_revenue"] = """
+        SELECT r_name, n_name,
+               (round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4) + 0.0) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """
+
+    sql["customer_order_stats"] = """
+        SELECT c_custkey, c_mktsegment,
+               count(o_orderkey) AS n_orders,
+               (round(coalesce(sum(o_totalprice), 0.0) + 1e-9, 4) + 0.0) AS total_spend
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_mktsegment
+    """
+
+    sql["customers_without_orders"] = """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """
+
+    sql["late_shipping_orders"] = """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        GROUP BY o_orderpriority
+    """
+
+    sql["part_brand_revenue"] = """
+        WITH rev AS (
+            SELECT p_brand,
+                   sum(l_extendedprice * (1 - l_discount)) AS _rev,
+                   sum(l_quantity) AS _qty
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand)
+        SELECT p_brand, (round(_rev + 1e-9, 4) + 0.0) AS revenue,
+               (round(CASE WHEN _qty <> 0 THEN _rev / _qty ELSE 0.0 END + 1e-9, 4) + 0.0) AS rev_per_unit
+        FROM rev
+    """
+
+    sql["value_counts_topn"] = """
+        SELECT event_type, count(*) AS n
+        FROM events GROUP BY event_type
+        ORDER BY n DESC, event_type LIMIT 10
+    """
+
+    sql["distinct_users"] = """
+        SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        FROM events GROUP BY event_type
+    """
+
+    sql["null_profile"] = """
+        SELECT count(*) AS n_rows,
+               sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS value_nulls,
+               sum(CASE WHEN isnan(value) THEN 1 ELSE 0 END) AS value_nans,
+               count(DISTINCT user_id) AS user_distinct,
+               (round(min(value) + 1e-9, 4) + 0.0) AS value_min,
+               (round(max(value) + 1e-9, 4) + 0.0) AS value_max,
+               (round(avg(value) + 1e-9, 4) + 0.0) AS value_mean
+        FROM events
+    """
+
+    sql["horizontal_agg"] = """
+        SELECT l_returnflag,
+               (round(avg(greatest(l_tax, l_discount)) + 1e-9, 4) + 0.0) AS avg_max_rate,
+               (round(avg((l_tax + l_discount) / 2) + 1e-9, 4) + 0.0)    AS avg_mean_rate
+        FROM lineitem GROUP BY l_returnflag
+    """
+
+    sql["dup_collapse"] = """
+        SELECT user_id, ts, (round(avg(value) + 1e-9, 4) + 0.0) AS value
+        FROM events GROUP BY user_id, ts
+    """
+
+    sql["hourly_downsample"] = """
+        SELECT date_trunc('hour', ts) AS ts, event_type,
+               (round(avg(value) + 1e-9, 4) + 0.0) AS avg_value,
+               count(*) AS n_events
+        FROM events GROUP BY 1, 2
+    """
+
+    pivot_cols = ",\n               ".join(
+        f"(round(avg(CASE WHEN event_type = '{t}' THEN value END) + 1e-9, 4) + 0.0) AS avg_{t}"
+        for t in EVENT_TYPES)
+    sql["pivot_event_types"] = f"""
+        SELECT user_id,
+               {pivot_cols}
+        FROM events GROUP BY user_id
+    """
+
+    sql["lag_features"] = f"""
+        SELECT event_id, user_id, ts, value,
+               lag(value, 1)  OVER ({_WIN}) AS value_lag_1,
+               lag(value, 6)  OVER ({_WIN}) AS value_lag_6,
+               lag(value, 24) OVER ({_WIN}) AS value_lag_24
+        FROM events
+    """
+
+    frame24 = f"{_WIN} ROWS BETWEEN 23 PRECEDING AND CURRENT ROW"
+    sql["rolling_stats"] = f"""
+        SELECT event_id, user_id, ts,
+               (round(CASE WHEN count(value) OVER ({frame24}) >= 24
+                     THEN avg(value) OVER ({frame24}) END + 1e-9, 4) + 0.0) AS roll_mean_24,
+               (round(CASE WHEN count(value) OVER ({frame24}) >= 24
+                     THEN stddev_pop(value) OVER ({frame24}) END + 1e-9, 4) + 0.0) AS roll_std_24,
+               (round(CASE WHEN count(value) OVER ({frame24}) >= 24
+                     THEN min(value) OVER ({frame24}) END + 1e-9, 4) + 0.0) AS roll_min_24,
+               (round(CASE WHEN count(value) OVER ({frame24}) >= 24
+                     THEN max(value) OVER ({frame24}) END + 1e-9, 4) + 0.0) AS roll_max_24
+        FROM events
+    """
+
+    sql["rolling_min_periods"] = f"""
+        SELECT event_id, user_id, ts,
+               (round(CASE WHEN count(value) OVER ({frame24}) >= 6
+                     THEN avg(value) OVER ({frame24}) END + 1e-9, 4) + 0.0) AS roll_mean_mp
+        FROM events
+    """
+
+    sql["zscore"] = f"""
+        SELECT event_id, user_id, ts,
+               (round(CASE WHEN stddev_samp(value) OVER ({frame24}) > 0.001
+                     THEN (value - avg(value) OVER ({frame24}))
+                          / stddev_samp(value) OVER ({frame24}) END + 1e-9, 4) + 0.0) AS zscore_24
+        FROM events
+    """
+
+    sql["diff_pct_change"] = f"""
+        SELECT event_id, user_id, ts,
+               (round(value - lag(value, 1) OVER ({_WIN}) + 1e-9, 4) + 0.0) AS diff_1,
+               (round(CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER ({_WIN}) > 0
+                     THEN (value - lag(value, 1) OVER ({_WIN}))
+                          / ((epoch_us(ts) - lag(epoch_us(ts)) OVER ({_WIN})) / 1000000.0)
+                     END + 1e-9, 6) + 0.0) AS grad_s,
+               (round(CASE WHEN lag(value, 3) OVER ({_WIN}) <> 0
+                     THEN (value / lag(value, 3) OVER ({_WIN}) - 1) * 100 END + 1e-9, 4) + 0.0) AS pct_3
+        FROM events
+    """
+
+    sql["cooling_runs"] = f"""
+        WITH d AS (
+            SELECT event_id, user_id, ts,
+                   value - lag(value, 1) OVER ({_WIN}) AS dv
+            FROM events)
+        SELECT event_id, user_id, ts,
+               CASE WHEN sum(CASE WHEN dv < 0 THEN 1 ELSE 0 END)
+                         OVER ({_WIN} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) >= 3
+                    THEN 1 ELSE 0 END AS cooling_flag
+        FROM d
+    """
+
+    prev24 = f"{_WIN} ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING"
+    sql["anomaly_detect"] = f"""
+        WITH b AS (
+            SELECT event_id, user_id, ts, value,
+                   avg(value)        OVER ({prev24}) AS mu,
+                   stddev_pop(value) OVER ({prev24}) AS sigma,
+                   count(value)      OVER ({prev24}) AS n_valid,
+                   count(*)          OVER ({prev24}) AS n_rows
+            FROM events)
+        SELECT event_id, user_id, ts, value,
+               CASE WHEN NOT (n_rows >= 24 AND n_valid > 12) THEN 0
+                    WHEN value < mu - 2 * sigma THEN -1
+                    WHEN value > mu + 2 * sigma THEN 1
+                    ELSE 0 END AS anomaly_flag,
+               (round(CASE WHEN (n_rows >= 24 AND n_valid > 12)
+                          AND value < mu - 2 * sigma AND mu > 0
+                     THEN (mu - value) / mu * 100 ELSE 0.0 END + 1e-9, 4) + 0.0) AS drop_magnitude
+        FROM b
+    """
+
+    hourly_win = "PARTITION BY event_type ORDER BY ts"
+    hprev24 = f"{hourly_win} ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING"
+    sql["zone_drop_counts"] = f"""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS ts, event_type, avg(value) AS value
+            FROM events GROUP BY 1, 2),
+        b AS (
+            SELECT ts, event_type, value,
+                   avg(value)        OVER ({hprev24}) AS mu,
+                   stddev_pop(value) OVER ({hprev24}) AS sigma,
+                   count(value)      OVER ({hprev24}) AS n_valid,
+                   count(*)          OVER ({hprev24}) AS n_rows
+            FROM hourly)
+        SELECT ts,
+               sum(CASE WHEN (n_rows >= 24 AND n_valid > 12)
+                         AND value < mu - 2 * sigma THEN 1 ELSE 0 END) AS series_with_drops
+        FROM b GROUP BY ts
+    """
+
+    sql["stride_sample"] = f"""
+        SELECT event_id, user_id, ts, value FROM (
+            SELECT event_id, user_id, ts, value,
+                   row_number() OVER ({_WIN}) AS rn
+            FROM events) WHERE (rn - 1) % 10 = 0
+    """
+
+    sql["latest_per_user"] = """
+        SELECT user_id, event_id, ts, value, event_type
+        FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """
+
+    sql["topk_per_type"] = """
+        SELECT event_type, event_id, value, rk FROM (
+            SELECT event_type, event_id, value,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY value DESC, event_id) AS rk
+            FROM events) WHERE rk <= 3
+    """
+
+    sql["hourly_spine"] = """
+        SELECT unnest(generate_series(
+            date_trunc('hour', (SELECT min(ts) FROM events)),
+            date_trunc('hour', (SELECT max(ts) FROM events)),
+            INTERVAL 1 HOUR)) AS ts
+    """
+
+    spine_cte = """
+        WITH spine AS (
+            SELECT unnest(generate_series(
+                date_trunc('hour', (SELECT min(ts) FROM events)),
+                date_trunc('hour', (SELECT max(ts) FROM events)),
+                INTERVAL 1 HOUR)) AS ts),
+        users AS (SELECT DISTINCT user_id FROM events),
+        grid AS (SELECT s.ts, u.user_id FROM spine s CROSS JOIN users u),
+        hourly AS (
+            SELECT date_trunc('hour', ts) AS ts, user_id, avg(value) AS value
+            FROM events GROUP BY 1, 2),
+        joined AS (
+            SELECT g.ts, g.user_id, h.value
+            FROM grid g LEFT JOIN hourly h ON g.ts = h.ts AND g.user_id = h.user_id)
+    """
+    gw = "PARTITION BY user_id ORDER BY ts"
+    sql["spine_ffill"] = spine_cte + f"""
+        SELECT ts, user_id,
+               (round(last_value(value IGNORE NULLS) OVER
+                     ({gw} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1e-9, 4) + 0.0)
+                   AS value_ffill
+        FROM joined
+    """
+
+    sql["fill_chain"] = spine_cte + f"""
+        SELECT ts, user_id,
+               (round(coalesce(
+                   last_value(value IGNORE NULLS) OVER
+                       ({gw} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   first_value(value IGNORE NULLS) OVER
+                       ({gw} ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+                   0.0) + 1e-9, 4) + 0.0) AS value_filled
+        FROM joined
+    """
+
+    sql["interpolate"] = spine_cte + f"""
+        , br AS (
+            SELECT ts, user_id, value,
+                   epoch(ts)::DOUBLE AS t,
+                   last_value(value IGNORE NULLS) OVER
+                       ({gw} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                   last_value(CASE WHEN value IS NOT NULL THEN epoch(ts)::DOUBLE END IGNORE NULLS)
+                       OVER ({gw} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+                   first_value(value IGNORE NULLS) OVER
+                       ({gw} ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                   first_value(CASE WHEN value IS NOT NULL THEN epoch(ts)::DOUBLE END IGNORE NULLS)
+                       OVER ({gw} ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+            FROM joined)
+        SELECT ts, user_id,
+               (round(CASE WHEN value IS NOT NULL THEN value
+                     WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                          pv + (nv - pv) * (CASE WHEN nt <> pt THEN (t - pt) / (nt - pt) ELSE 0.0 END)
+                     END + 1e-9, 4) + 0.0) AS value_interp
+        FROM br
+    """
+
+    sql["interval_join"] = """
+        WITH iv AS (
+            SELECT event_id AS interval_id, user_id AS iv_user,
+                   ts AS s, ts + INTERVAL 6 HOUR AS e
+            FROM events WHERE event_type = 'error' AND event_id % 10 = 0)
+        SELECT interval_id, count(*) AS n_events,
+               (round(sum(value) + 1e-9, 4) + 0.0) AS sum_value
+        FROM events ev JOIN iv
+          ON ev.user_id = iv.iv_user AND ev.ts >= iv.s AND ev.ts < iv.e
+        GROUP BY interval_id
+    """
+
+    sql["asof_join"] = """
+        SELECT o_orderkey, (round(e.value + 1e-9, 4) + 0.0) AS last_value
+        FROM (SELECT o_orderkey, o_orderdate, o_custkey % 20 AS ukey
+              FROM orders WHERE o_orderkey % 20 = 0) o
+        ASOF LEFT JOIN events e
+          ON o.ukey = e.user_id AND e.ts <= o.o_orderdate
+    """
+
+    norm = ("trim(regexp_replace(regexp_replace(lower(text), "
+            "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))")
+    sql["exact_dedup"] = f"""
+        SELECT ('0x' || substr(md5({norm}), 1, 15))::BIGINT AS digest,
+               min(doc_id) AS keep_id, count(*) AS n_dups
+        FROM documents GROUP BY 1
+    """
+
+    sql["doc_fingerprint"] = f"""
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(list_filter(
+                   regexp_split_to_array(trim({norm}), '\\s+'),
+                   t -> len(t) > 0))), ' ')) AS fingerprint
+        FROM documents
+    """
+
+    sql["token_stats"] = r"""
+        SELECT doc_id,
+               CASE WHEN len(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+               len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 \t\n\r]')) AS n_subtokens,
+               len(text) AS n_chars_m
+        FROM documents
+    """
+
+    stop_en = "['the','and','of','to','is']"
+    sql["quality_scores"] = rf"""
+        WITH t AS (
+            SELECT doc_id, text,
+                   CASE WHEN len(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+                   len(regexp_replace(text, '\s', '', 'g')) AS nonspace,
+                   len(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS punct,
+                   len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                   x -> list_contains({stop_en}, x))) AS hits,
+                   len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tok_l
+            FROM documents),
+        r AS (
+            SELECT doc_id, n_tok,
+                   CASE WHEN nonspace <> 0 THEN punct::DOUBLE / nonspace ELSE 0.0 END AS pr,
+                   CASE WHEN n_tok_l <> 0 THEN hits::DOUBLE / n_tok_l ELSE 0.0 END AS sr
+            FROM t)
+        SELECT doc_id,
+               (round(pr + 1e-9, 4) + 0.0) AS punct_ratio,
+               (round(sr + 1e-9, 4) + 0.0) AS stopword_ratio,
+               (round(0.4 * (CASE WHEN n_tok BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END)
+                     + 0.3 * (1.0 - pr)
+                     + 0.3 * least(1.0, sr * 5.0) + 1e-9, 4) + 0.0) AS quality
+        FROM r
+    """
+
+    lang_hits = ",\n                   ".join(
+        "len(list_filter(toks, x -> list_contains([{}], x))) AS h_{}".format(
+            ",".join(f"'{m}'" for m in ms), code)
+        for code, ms in sorted(TX.LANG_MARKERS.items()))
+    sql["lang_id"] = rf"""
+        WITH t AS (
+            SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+            FROM documents),
+        h AS (
+            SELECT {lang_hits}
+            FROM t),
+        p AS (
+            SELECT CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                        WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+                        WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                        WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                        ELSE 'fr' END AS pred_lang
+            FROM h)
+        SELECT pred_lang, count(*) AS n_docs FROM p GROUP BY pred_lang
+    """
+
+    sql["similarity_topk"] = """
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id < 10),
+        scored AS (
+            SELECT q.query_id, e.vec_id,
+                   list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS s
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> q.query_id),
+        ranked AS (
+            SELECT query_id, vec_id, s,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY s DESC, vec_id) AS rk
+            FROM scored)
+        SELECT query_id, vec_id, rk, (round(s + 1e-9, 6) + 0.0) AS sim
+        FROM ranked WHERE rk <= 5
+    """
+
+    # minhash_lsh / simhash: omitted — the LSH banding plan is not naturally
+    # SQL-expressible end-to-end in one portable statement; driver records
+    # rows-only checks. Their arithmetic building blocks ARE verified via
+    # exact_dedup/doc_fingerprint (same md5-bigint hashing path) and unit
+    # tests replicate signatures in DuckDB (tests/test_dedup.py).
+    return sql

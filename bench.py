@@ -1,0 +1,68 @@
+"""Benchmark runner — headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced with a cheap count() action (no driver-side collect of
+result rows — we measure engine time, not toPandas serialization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from timeseries_data_analysis_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family (scan-agg, join-topk, windows,
+# anomaly flagship, gap-fill, interval join, dedup, text, similarity).
+HEADLINE = [
+    "pricing_summary",
+    "top_revenue_orders",
+    "nation_revenue",
+    "pivot_event_types",
+    "rolling_stats",
+    "anomaly_detect",
+    "spine_ffill",
+    "interpolate",
+    "interval_join",
+    "asof_join",
+    "exact_dedup",
+    "quality_scores",
+    "similarity_topk",
+    "minhash_lsh",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    qs = entry_mod.queries()
+
+    # warm the JVM + parquet footers once (excluded from timings)
+    qs["pricing_summary"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,144 @@
+"""Dedup / text / similarity operators — semantics + DuckDB parity for the
+portable-hash building blocks."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from timeseries_data_analysis_spark.operators import dedup as DD, similarity as SIM
+from timeseries_data_analysis_spark.functions import text as TX
+
+
+def docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark):
+    df = docs_df(spark, ["Hello World", "hello,  world!", "other text"])
+    out = DD.exact_dedup(df)
+    rows = sorted(out.collect(), key=lambda r: r["keep_id"])
+    # normalization folds case/punct → first two collapse
+    assert len(rows) == 2
+    assert rows[0]["keep_id"] == 0 and rows[0]["n_dups"] == 2
+
+
+def test_text_digest_matches_duckdb(spark):
+    texts = ["The quick brown fox", "Ünïcode & symbols!!", ""]
+    df = docs_df(spark, texts)
+    got = {r["doc_id"]: r["d"] for r in
+           df.select("doc_id", DD.text_digest("text").alias("d")).collect()}
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        exp = con.execute(
+            "SELECT ('0x' || substr(md5(trim(regexp_replace(regexp_replace("
+            "lower($1), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))), 1, 15))::BIGINT",
+            [t]).fetchone()[0]
+        assert got[i] == exp, t
+
+
+def test_shingles(spark):
+    df = docs_df(spark, ["a b c d"])
+    out = df.select(DD.shingles("text", 3).alias("s")).collect()[0]["s"]
+    assert out == ["a b c", "b c d"]
+
+
+def test_shingles_short_doc(spark):
+    df = docs_df(spark, ["a b"])
+    out = df.select(DD.shingles("text", 3).alias("s")).collect()[0]["s"]
+    assert out == ["a b"]
+
+
+def test_minhash_identical_docs_same_signature(spark):
+    df = docs_df(spark, ["the cat sat on the mat today ok",
+                         "the cat sat on the mat today ok",
+                         "completely different words entirely here now"])
+    sigs = {r["doc_id"]: r["sig"] for r in
+            df.select("doc_id", DD.minhash_signature("text").alias("sig")).collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[2]
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    near = base.replace("lazy", "sleepy")
+    other = "totally unrelated content about spark window aggregation " * 3
+    df = docs_df(spark, [base, near, other])
+    cands = DD.minhash_lsh_candidates(df)
+    pairs = {(r["id_l"], r["id_r"]) for r in cands.collect()}
+    assert (0, 1) in pairs
+    jac = DD.ngram_jaccard(cands.select("id_l", "id_r").distinct(), df)
+    j01 = {(r["id_l"], r["id_r"]): r["jaccard"] for r in jac.collect()}[(0, 1)]
+    assert j01 > 0.5
+
+
+def test_simhash_near_dup_close_hamming(spark):
+    base = "one two three four five six seven eight nine ten " * 4
+    near = base.replace("five", "5ive")
+    other = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    df = docs_df(spark, [base, near, other])
+    fps = {r["doc_id"]: r["fp"] for r in
+           df.select("doc_id", DD.simhash("text", n=2, bits=16).alias("fp")).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(fps[0], fps[1]) < ham(fps[0], fps[2])
+
+
+def test_token_count(spark):
+    df = docs_df(spark, ["one two  three", "", "   ", "single"])
+    got = [r["n"] for r in df.select(TX.token_count("text").alias("n"))
+           .orderBy("doc_id").collect()]
+    assert got == [3, 0, 0, 1]
+
+
+def test_subword_tokens(spark):
+    df = docs_df(spark, ["don't stop, won't stop!"])
+    out = df.select(TX.word_tokens("text").alias("t")).collect()[0]["t"]
+    assert out == ["don", "'", "t", "stop", ",", "won", "'", "t", "stop", "!"]
+
+
+def test_lang_id(spark):
+    df = docs_df(spark, [
+        "the cat and the dog of the house is here",
+        "der hund und die katze ist nicht hier",
+        "le chat et la maison les arbres des fleurs",
+        "xyzzy qwerty asdf",
+    ])
+    got = [r["l"] for r in df.select(TX.lang_id("text").alias("l"))
+           .orderBy("doc_id").collect()]
+    assert got == ["en", "de", "fr", "und"]
+
+
+def test_fingerprint_order_insensitive(spark):
+    df = docs_df(spark, ["World hello", "hello, WORLD!", "hello hello world"])
+    got = [r["f"] for r in df.select(TX.fingerprint("text").alias("f"))
+           .orderBy("doc_id").collect()]
+    assert got[0] == got[1] == got[2]
+
+
+def test_cosine_topk_exact(spark):
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [-1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = SIM.brute_force_topk(df, q, k=3)
+    got = [r["vec_id"] for r in out.orderBy("rk").collect()]
+    assert got == [1, 2, 3]
+
+
+def test_lsh_bucket_deterministic_and_subset(spark):
+    import random
+    random.seed(7)
+    rows = [(i, [random.gauss(0, 1) for _ in range(16)]) for i in range(100)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    b1 = df.select("vec_id", SIM.lsh_bucket(F.col("embedding"), 16, bits=4).alias("b"))
+    b2 = df.select("vec_id", SIM.lsh_bucket(F.col("embedding"), 16, bits=4).alias("b"))
+    assert b1.collect() == b2.collect()
+    # lsh results ⊆ brute-force universe and exact within the shared bucket
+    q = df.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    lsh = SIM.lsh_topk(df, q, dim=16, k=5, bits=4)
+    bf = SIM.brute_force_topk(df, q, k=100)
+    bf_sims = {(r["query_id"], r["vec_id"]): r["sim"] for r in bf.collect()}
+    for r in lsh.collect():
+        assert bf_sims[(r["query_id"], r["vec_id"])] == pytest.approx(r["sim"])

@@ -1,0 +1,107 @@
+"""Interval/as-of join semantics (SURVEY.md J3/J4 boundary traps)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from timeseries_data_analysis_spark.operators import intervals as IV
+
+
+def d(day, h=0):
+    return dt.datetime(2024, 1, day, h)
+
+
+def make_spine(spark, days=10):
+    return spark.createDataFrame([(d(i + 1),) for i in range(days)], "ts timestamp")
+
+
+def test_interval_join_boundaries(spark):
+    # [start, end) inclusivity: start row matches, end row does not
+    spine = make_spine(spark, 5)
+    events = spark.createDataFrame([(d(2), d(4))], "start timestamp, end timestamp")
+    out = IV.interval_join(spine, events, how="inner")
+    got = sorted(r["ts"] for r in out.collect())
+    assert got == [d(2), d(3)]
+
+
+def test_interval_join_binned_matches_naive(spark):
+    spine = make_spine(spark, 20)
+    events = spark.createDataFrame(
+        [(d(2), d(5)), (d(4), d(9)), (d(15), d(16))],
+        "start timestamp, end timestamp")
+    naive = IV.interval_join(spine, events, how="inner")
+    binned = IV.interval_join_binned(spine, events)
+    assert (sorted(map(tuple, naive.collect()))
+            == sorted(map(tuple, binned.select(*naive.columns).collect())))
+
+
+def test_label_events_forming_critical(spark):
+    spine = make_spine(spark, 10)
+    events = spark.createDataFrame(
+        [(1, d(3), d(6), 4)],
+        "EVENT_ID int, START_DATE timestamp, CRITICAL_DATE timestamp, ZONE int")
+    out = IV.label_events(spine, events, pre_windows_h=(24,))
+    rows = {r["ts"]: r for r in out.collect()}
+    # before start: all zero
+    assert rows[d(2)]["accretion_forming"] == 0 and rows[d(2)]["accretion_critical"] == 0
+    # forming in [start, critical)
+    assert rows[d(3)]["accretion_forming"] == 1
+    assert rows[d(5)]["accretion_forming"] == 1
+    assert rows[d(6)]["accretion_forming"] == 0
+    # critical from critical onward
+    assert rows[d(6)]["accretion_critical"] == 1
+    assert rows[d(9)]["accretion_critical"] == 1
+    # days_to_critical while forming
+    assert rows[d(3)]["days_to_critical"] == 3.0
+    assert rows[d(5)]["days_to_critical"] == 1.0
+    assert rows[d(2)]["days_to_critical"] is None
+    # zone carried, 0 elsewhere
+    assert rows[d(4)]["accretion_zone"] == 4
+    assert rows[d(1)]["accretion_zone"] == 0
+    # 24h pre-critical window = [critical-24h, critical)
+    assert rows[d(5)]["pre_critical_24h"] == 1
+    assert rows[d(4)]["pre_critical_24h"] == 0
+    assert rows[d(6)]["pre_critical_24h"] == 0
+
+
+def test_label_events_overlap_any_active(spark):
+    spine = make_spine(spark, 8)
+    events = spark.createDataFrame(
+        [(1, d(1), d(3), 2), (2, d(2), d(7), 5)],
+        "EVENT_ID int, START_DATE timestamp, CRITICAL_DATE timestamp, ZONE int")
+    out = IV.label_events(spine, events, pre_windows_h=())
+    rows = {r["ts"]: r for r in out.collect()}
+    # overlap: forming while ANY event is forming
+    assert rows[d(2)]["accretion_forming"] == 1
+    assert rows[d(4)]["accretion_forming"] == 1  # event2 still forming
+    assert rows[d(4)]["accretion_critical"] == 1  # event1 already critical
+
+
+def test_asof_join_backward(spark):
+    left = spark.createDataFrame(
+        [(1, d(5), "a"), (2, d(2), "a"), (3, d(5), "b"), (4, d(1), "b")],
+        "id int, ts timestamp, k string")
+    right = spark.createDataFrame(
+        [(d(1), "a", 10.0), (d(4), "a", 40.0), (d(6), "a", 60.0), (d(2), "b", 20.0)],
+        "ts timestamp, k string, v double")
+    out = IV.asof_join(left, right, "ts", "ts", by=("k", "k"), value_cols=["v"])
+    got = {r["id"]: r["v"] for r in out.collect()}
+    assert got == {1: 40.0, 2: 10.0, 3: 20.0, 4: None}
+
+
+def test_asof_join_tie_takes_right(spark):
+    left = spark.createDataFrame([(1, d(3), "a")], "id int, ts timestamp, k string")
+    right = spark.createDataFrame([(d(3), "a", 33.0)], "ts timestamp, k string, v double")
+    out = IV.asof_join(left, right, "ts", "ts", by=("k", "k"), value_cols=["v"])
+    assert out.collect()[0]["v"] == 33.0
+
+
+def test_latest_rows(spark):
+    df = spark.createDataFrame(
+        [("a", d(1), 1), ("a", d(3), 2), ("b", d(2), 3)],
+        "k string, ts timestamp, id int")
+    out = IV.latest_rows(df, ["k"], "ts", tiebreak="id")
+    got = {r["k"]: r["id"] for r in out.collect()}
+    assert got == {"a": 2, "b": 3}

@@ -1,0 +1,102 @@
+"""Resample/align/fill operators (SURVEY.md §2.6) semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from timeseries_data_analysis_spark.operators import timeseries as TS
+
+
+def ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+def test_spine_inclusive_bounds(spark):
+    df = spark.createDataFrame([(ts(0, 30),), (ts(5, 10),)], "ts timestamp")
+    spine = TS.spine_for(df, "ts")
+    got = [r["ts"] for r in spine.orderBy("ts").collect()]
+    assert got[0] == ts(0) and got[-1] == ts(5) and len(got) == 6
+
+
+def test_spine_with_keys_cross_join(spark):
+    df = spark.createDataFrame([(ts(0), "a"), (ts(2), "b")], "ts timestamp, k string")
+    spine = TS.spine_for(df, "ts", keys=["k"])
+    assert spine.count() == 3 * 2
+
+
+def test_collapse_duplicates(spark):
+    df = spark.createDataFrame(
+        [(ts(0), 1.0), (ts(0), 3.0), (ts(1), 5.0)], "ts timestamp, value double")
+    out = TS.collapse_duplicates(df, ["ts"])
+    got = {r["ts"]: r["value"] for r in out.collect()}
+    assert got[ts(0)] == 2.0 and got[ts(1)] == 5.0
+
+
+def test_downsample_hourly_mean(spark):
+    df = spark.createDataFrame(
+        [(ts(0, 10), 1.0), (ts(0, 50), 3.0), (ts(1, 0), 10.0)],
+        "ts timestamp, value double")
+    out = TS.downsample(df, "ts", "hour")
+    got = {r["ts"]: r["value"] for r in out.collect()}
+    assert got[ts(0)] == 2.0 and got[ts(1)] == 10.0
+
+
+def test_ffill_bfill_chain(spark):
+    df = spark.createDataFrame(
+        [("a", 0, None), ("a", 1, 5.0), ("a", 2, None), ("a", 3, None), ("a", 4, 9.0)],
+        "k string, ts long, value double")
+    out = df.select(
+        "ts",
+        TS.ffill("value", ["k"], ["ts"]).alias("f"),
+        TS.bfill("value", ["k"], ["ts"]).alias("b"),
+        TS.fill_chain("value", ["k"], ["ts"], default=-1.0).alias("c"),
+    ).orderBy("ts").collect()
+    assert [r["f"] for r in out] == [None, 5.0, 5.0, 5.0, 9.0]
+    assert [r["b"] for r in out] == [5.0, 5.0, 9.0, 9.0, 9.0]
+    assert [r["c"] for r in out] == [5.0, 5.0, 5.0, 5.0, 9.0]
+
+
+def test_fill_chain_all_null_default(spark):
+    df = spark.createDataFrame([("a", 0, None), ("a", 1, None)],
+                               "k string, ts long, value double")
+    out = df.select(TS.fill_chain("value", ["k"], ["ts"], default=0.0).alias("c"))
+    assert [r["c"] for r in out.collect()] == [0.0, 0.0]
+
+
+def test_interpolate_linear_time_weighted(spark):
+    # gap from t=0h (v=0) to t=4h (v=8): interior hours lerp on time axis
+    rows = [("a", ts(0), 0.0), ("a", ts(1), None), ("a", ts(2), None),
+            ("a", ts(3), None), ("a", ts(4), 8.0)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    out = df.select("ts", TS.interpolate_linear("value", "ts", ["k"]).alias("v"))
+    got = [r["v"] for r in out.orderBy("ts").collect()]
+    assert got == [0.0, 2.0, 4.0, 6.0, 8.0]
+
+
+def test_interpolate_edges_stay_null(spark):
+    rows = [("a", ts(0), None), ("a", ts(1), 4.0), ("a", ts(2), None)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    out = df.select("ts", TS.interpolate_linear("value", "ts", ["k"]).alias("v"))
+    got = [r["v"] for r in out.orderBy("ts").collect()]
+    assert got == [None, 4.0, None]
+
+
+def test_align_to_spine_ffill(spark):
+    spine = spark.createDataFrame([(ts(h), "a") for h in range(4)], "ts timestamp, k string")
+    src = spark.createDataFrame([(ts(1), "a", 7.0)], "ts timestamp, k string, value double")
+    out = TS.align_to_spine(spine, src, on=["ts", "k"], fill="ffill")
+    got = [r["value"] for r in out.orderBy("ts").collect()]
+    assert got == [None, 7.0, 7.0, 7.0]
+
+
+def test_ffill_idempotent(spark):
+    # property: applying ffill twice == once (SURVEY.md §5.2 property checks)
+    df = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 1, None), ("a", 2, None)],
+        "k string, ts long, value double")
+    once = df.select("k", "ts", TS.ffill("value", ["k"], ["ts"]).alias("value"))
+    twice = once.select("k", "ts", TS.ffill("value", ["k"], ["ts"]).alias("value"))
+    assert once.collect() == twice.collect()

@@ -1,0 +1,103 @@
+"""Text-analysis functions for corpus pipelines (training-data ops).
+
+Language-ID (stopword n-gram heuristic), quality scoring, token counting,
+and document fingerprinting — each a pure Column expression (JVM regex +
+arithmetic, no UDF) so a 100 TB documents table processes inside
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .math_fns import _c, ColumnOrName, safe_div
+
+# Tiny per-language stopword marker sets — a deterministic public-knowledge
+# heuristic (same idea as fastText's char-ngram prior, radically simplified
+# so the oracle can replicate it in SQL).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "los", "que", "de"],
+}
+
+
+def token_count(col: ColumnOrName) -> Column:
+    """Whitespace token count; 0 for empty/blank text."""
+    t = F.trim(_c(col))
+    return F.when(F.length(t) == 0, 0).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def word_tokens(col: ColumnOrName) -> Column:
+    """BPE-ish subword-friendly tokenization: alnum runs OR single symbols.
+
+    ``regexp_extract_all`` with ``[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]`` — the
+    classic pre-tokenizer split (letters/digits runs, punctuation as its
+    own token).
+    """
+    return F.regexp_extract_all(_c(col), F.lit(r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"), 0)
+
+
+def subword_token_count(col: ColumnOrName) -> Column:
+    return F.size(word_tokens(col))
+
+
+def punct_ratio(col: ColumnOrName) -> Column:
+    """Fraction of non-space characters that are punctuation/symbols."""
+    t = _c(col)
+    nonspace = F.length(F.regexp_replace(t, r"\s", ""))
+    punct = F.length(F.regexp_replace(t, r"[a-zA-Z0-9\s]", ""))
+    return safe_div(punct.cast("double"), nonspace.cast("double"))
+
+
+def stopword_ratio(col: ColumnOrName, lang: str = "en") -> Column:
+    """Fraction of whitespace tokens that are in the language's marker set."""
+    toks = F.split(F.trim(F.lower(_c(col))), r"\s+")
+    markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+    return safe_div(hits.cast("double"), F.size(toks).cast("double"))
+
+
+def quality_score(col: ColumnOrName) -> Column:
+    """Composite [0,1] quality score: length band + low punct + stopword presence.
+
+    Deterministic linear blend (weights public-heuristic, documented):
+      0.4·len_ok (20..2000 words) + 0.3·(1−punct_ratio) + 0.3·min(1, 5·stopword_ratio)
+    """
+    n = token_count(col).cast("double")
+    len_ok = F.when((n >= 20) & (n <= 2000), 1.0).otherwise(0.0)
+    return (0.4 * len_ok
+            + 0.3 * (1.0 - punct_ratio(col))
+            + 0.3 * F.least(F.lit(1.0), stopword_ratio(col) * 5.0))
+
+
+def lang_id(col: ColumnOrName) -> Column:
+    """Predicted language = argmax of marker-set hit counts; 'und' if no hits.
+
+    Ties break by language code order (deterministic; same rule in the
+    SQL oracle).
+    """
+    toks = F.split(F.trim(F.lower(_c(col))), r"\s+")
+    scores = []
+    for code, markers in sorted(LANG_MARKERS.items()):
+        arr = F.array(*[F.lit(m) for m in markers])
+        scores.append((code, F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))))
+    best = F.greatest(*[s for _, s in scores])
+    expr = F.lit("und")
+    for code, s in reversed(scores):
+        expr = F.when((best > 0) & (s == best), code).otherwise(expr)
+    return expr
+
+
+def fingerprint(col: ColumnOrName) -> Column:
+    """Canonical document fingerprint: md5 of sorted distinct normalized tokens.
+
+    The classic "fingerprint clustering" key (OpenRefine-style): case/
+    punctuation/word-order insensitive. Portable to any SQL oracle.
+    """
+    toks = F.split(F.trim(F.regexp_replace(F.lower(_c(col)), r"[^a-z0-9 ]", " ")), r"\s+")
+    canon = F.array_join(F.array_sort(F.array_distinct(F.filter(
+        toks, lambda t: F.length(t) > 0))), " ")
+    return F.md5(canon)

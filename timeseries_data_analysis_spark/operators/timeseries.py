@@ -1,0 +1,203 @@
+"""Resample / align / gap-fill operators (SURVEY.md §2.6 R1-R4, §2.4 A1/A3).
+
+Reference: pandas ``date_range`` + ``resample`` + ``ffill/interpolate``
+(``pre_processing.py:195-284``, ``simple_pre_processing.py:145-274``).
+Here: spine = ``sequence()`` + ``explode`` (distributed, no driver loop);
+fills = single-pass per-series window scans.
+
+Scale design: every fill/interpolation is ONE sort per series
+(``partitionBy(series).orderBy(ts)``) — never a global sort. The spine
+cross-join multiplies a tiny in-memory range by the (broadcastable)
+series dimension, so a 10-year hourly spine × 1M series materializes
+lazily across the cluster, not on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .windows import ColumnOrName
+
+
+# -- A1: duplicate-timestamp collapse ---------------------------------------
+
+def collapse_duplicates(df: DataFrame, keys: list[str],
+                        agg: str = "avg") -> DataFrame:
+    """Collapse duplicate (ts[, series]) rows by mean of every other numeric col.
+
+    Reference: ``df.groupby(level=0).mean()`` on duplicate timestamps
+    (``pre_processing.py:97-99``, ``simple_pre_processing.py:79-81``).
+    Map-side partial aggregation makes this a cheap pre-shuffle combine.
+    """
+    value_cols = [c for c, t in df.dtypes if c not in keys
+                  and t in ("double", "float", "int", "bigint", "smallint")]
+    fn = getattr(F, agg)
+    return df.groupBy(*keys).agg(*[fn(c).alias(c) for c in value_cols])
+
+
+# -- A3: tumbling-window downsample -----------------------------------------
+
+def downsample(df: DataFrame, ts_col: str, every: str = "hour",
+               keys: list[str] | None = None, agg: str = "avg",
+               value_cols: list[str] | None = None) -> DataFrame:
+    """Downsample to a coarser grid by truncation + group-agg.
+
+    Reference: ``resample('1h').mean()`` (``pre_processing.py:240``).
+    ``date_trunc`` keeps the group key a plain timestamp (joinable to the
+    spine) and the groupBy gets map-side combine — the shuffle moves one
+    row per (bucket, series), not the raw 2-minute data.
+    """
+    keys = keys or []
+    if value_cols is None:
+        value_cols = [c for c, t in df.dtypes
+                      if c not in keys and c != ts_col
+                      and t in ("double", "float", "int", "bigint")]
+    fn = getattr(F, agg)
+    bucket = F.date_trunc(every, F.col(ts_col)).alias(ts_col)
+    return df.groupBy(bucket, *keys).agg(*[fn(c).alias(c) for c in value_cols])
+
+
+# -- R1: time spine generation ----------------------------------------------
+
+def time_spine(spark_or_df, start: Column | str, end: Column | str,
+               step: str = "interval 1 hour", ts_col: str = "ts") -> DataFrame:
+    """Regular timestamp spine [start, end] inclusive at ``step``.
+
+    Reference: ``pd.date_range(min, max, freq='1h')``
+    (``pre_processing.py:200-204``). Spark: ``sequence(t0, t1, step)`` +
+    ``explode`` — generated distributed, never collected to the driver.
+
+    ``start``/``end`` may be literal strings or Columns from a 1-row
+    bounds DataFrame (see :func:`spine_for`).
+    """
+    from pyspark.sql import SparkSession
+    if isinstance(spark_or_df, SparkSession):
+        base = spark_or_df.range(1)
+    else:
+        base = spark_or_df
+    s = F.to_timestamp(F.lit(start)) if isinstance(start, str) else start
+    e = F.to_timestamp(F.lit(end)) if isinstance(end, str) else end
+    return base.select(
+        F.explode(F.sequence(s, e, F.expr(step))).alias(ts_col)
+    )
+
+
+def spine_for(df: DataFrame, ts_col: str = "ts",
+              step: str = "interval 1 hour",
+              truncate: str = "hour",
+              keys: list[str] | None = None) -> DataFrame:
+    """Spine spanning a table's observed [min, max] ts, optionally × keys.
+
+    The bounds aggregation is a tiny 1-row result; the spine explodes from
+    it lazily. With ``keys``, cross-joins the (broadcast) distinct key dim
+    so every series gets the full grid (reference aligns all sources to one
+    common ``date_range``, ``pre_processing.py:195-241``).
+    """
+    bounds = df.select(
+        F.date_trunc(truncate, F.min(ts_col)).alias("_t0"),
+        F.date_trunc(truncate, F.max(ts_col)).alias("_t1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("_t0"), F.col("_t1"), F.expr(step))).alias(ts_col)
+    )
+    if keys:
+        dim = df.select(*keys).distinct()
+        spine = spine.crossJoin(F.broadcast(dim))
+    return spine
+
+
+# -- R2/R4: forward fill, backward fill, fill chain -------------------------
+
+def ffill(col: ColumnOrName, partition_by: list[str],
+          order_by: list[str]) -> Column:
+    """Forward-fill: last non-null value at or before the current row.
+
+    Reference: ``resample('1h').ffill()`` (``pre_processing.py:208-222``).
+    Spark: ``last(ignorenulls)`` over an unbounded-preceding frame — one
+    scan per series, no iteration.
+    """
+    w = (Window.partitionBy(*partition_by).orderBy(*order_by)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return F.last(col, ignorenulls=True).over(w)
+
+
+def bfill(col: ColumnOrName, partition_by: list[str],
+          order_by: list[str]) -> Column:
+    """Backward-fill: first non-null value at or after the current row."""
+    w = (Window.partitionBy(*partition_by).orderBy(*order_by)
+         .rowsBetween(0, Window.unboundedFollowing))
+    return F.first(col, ignorenulls=True).over(w)
+
+
+def fill_chain(col: ColumnOrName, partition_by: list[str],
+               order_by: list[str], default: float = 0.0) -> Column:
+    """ffill → bfill → constant (reference ``pre_processing.py:278-284``)."""
+    return F.coalesce(
+        ffill(col, partition_by, order_by),
+        bfill(col, partition_by, order_by),
+        F.lit(default),
+    )
+
+
+# -- R3: linear interpolation -----------------------------------------------
+
+def interpolate_linear(col: ColumnOrName, ts_col: str,
+                       partition_by: list[str]) -> Column:
+    """Linear interpolation of interior nulls against the time axis.
+
+    Reference: ``resample('1h').interpolate('linear')``
+    (``pre_processing.py:229``). No Spark builtin — composed from four
+    window expressions: bracket each null row with the previous/next
+    non-null (value, ts) pair and lerp on the unix-time fraction. Edge
+    nulls (no bracket on one side) stay null, matching pandas
+    ``interpolate`` without ``limit_direction='both'``.
+
+    Cost: two sorts per series (forward + backward frame) fused by
+    Catalyst into the same exchange; still O(n log n) per series, no UDF.
+    """
+    x = F.col(col) if isinstance(col, str) else col
+    t = F.unix_timestamp(F.col(ts_col)).cast("double")
+    fw = (Window.partitionBy(*partition_by).orderBy(ts_col)
+          .rowsBetween(Window.unboundedPreceding, 0))
+    bw = (Window.partitionBy(*partition_by).orderBy(ts_col)
+          .rowsBetween(0, Window.unboundedFollowing))
+
+    prev_v = F.last(x, ignorenulls=True).over(fw)
+    prev_t = F.last(F.when(x.isNotNull(), t), ignorenulls=True).over(fw)
+    next_v = F.first(x, ignorenulls=True).over(bw)
+    next_t = F.first(F.when(x.isNotNull(), t), ignorenulls=True).over(bw)
+
+    frac = F.when(next_t != prev_t, (t - prev_t) / (next_t - prev_t)).otherwise(F.lit(0.0))
+    interp = prev_v + (next_v - prev_v) * frac
+    return F.when(x.isNotNull(), x).otherwise(
+        F.when(prev_v.isNotNull() & next_v.isNotNull(), interp)
+    )
+
+
+# -- convenience: align a source onto a spine (J1 + R2) ----------------------
+
+def align_to_spine(spine: DataFrame, src: DataFrame, on: list[str],
+                   fill: str | None = "ffill",
+                   partition_by: list[str] | None = None,
+                   ts_col: str = "ts") -> DataFrame:
+    """Left-join a (possibly sparser) source onto the spine and gap-fill.
+
+    Reference align stage: ``aligned_df.join(x_resampled)`` then ffill
+    (``pre_processing.py:208-241``). The join key starts with ts (+series
+    keys); value columns then fill per the chosen strategy.
+    """
+    joined = spine.join(src, on=on, how="left")
+    part = partition_by if partition_by is not None else [c for c in on if c != ts_col]
+    if not part:
+        part = [F.lit(1)]
+    value_cols = [c for c in src.columns if c not in on]
+    if fill == "ffill":
+        exprs = [ffill(c, part, [ts_col]).alias(c) for c in value_cols]
+    elif fill == "linear":
+        exprs = [interpolate_linear(c, ts_col, part).alias(c) for c in value_cols]
+    elif fill == "chain":
+        exprs = [fill_chain(c, part, [ts_col]).alias(c) for c in value_cols]
+    else:
+        exprs = [F.col(c) for c in value_cols]
+    return joined.select(*on, *exprs)

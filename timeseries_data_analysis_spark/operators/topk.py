@@ -1,0 +1,50 @@
+"""Sorts / limits / top-k (SURVEY.md §2.8 O1-O3, §2.2 P7).
+
+Reference: argsort + head (``train_models_simple.py:448-465``),
+``nlargest`` (``simple_pre_processing.py:609-611``), stride sampling
+``iloc[::k]`` (``dashboard.py:1468``).
+
+Scale notes: global top-k uses ``orderBy().limit(k)`` — Spark plans a
+TakeOrderedAndProject (per-partition heap + driver merge of k·parts
+rows), NOT a global sort. Per-group top-k is a window rank bounded by a
+per-group filter — single shuffle on the group key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_k(df: DataFrame, order_by: list[Column], k: int) -> DataFrame:
+    """Global top-k (O2/O3). Include a unique tiebreak column for determinism."""
+    return df.orderBy(*order_by).limit(k)
+
+
+def top_k_per_group(df: DataFrame, group_by: list[str],
+                    order_by: list[Column], k: int,
+                    rank_col: str = "rk") -> DataFrame:
+    """Top-k rows within each group via ``row_number`` (deterministic with tiebreak)."""
+    w = Window.partitionBy(*group_by).orderBy(*order_by)
+    return (df.withColumn(rank_col, F.row_number().over(w))
+            .filter(F.col(rank_col) <= k))
+
+
+def value_counts_top_n(df: DataFrame, col: str, n: int = 10) -> DataFrame:
+    """Categorical top-N by frequency (A6, reference ``nlargest(10)``)."""
+    return (df.groupBy(col).agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col(col)).limit(n))
+
+
+def stride_sample(df: DataFrame, order_by: list[Column], k: int,
+                  partition_by: list[str] | None = None) -> DataFrame:
+    """Every k-th row (P7, reference ``iloc[::k]`` for plotting).
+
+    Note: at cluster scale an exact stride forces a per-partition
+    row_number; for approximate plotting downsampling prefer
+    ``df.sample(1/k)`` which is shuffle-free.
+    """
+    part = partition_by or []
+    w = Window.partitionBy(*part).orderBy(*order_by) if part else Window.orderBy(*order_by)
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") - 1) % k == 0).drop("_rn"))

@@ -1,0 +1,54 @@
+"""SparkSession factory.
+
+Defaults are tuned so the same logical plans scale from local[32] test runs
+to a multi-executor cluster: AQE on (runtime coalesce + skew-join), UTC
+session timezone (oracle comparability), Arrow enabled for the few
+pandas-UDF operators, and shuffle partitions sized to cores locally (a
+cluster deployment overrides via ``spark-defaults.conf``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "timeseries_data_analysis_spark",
+              master: str | None = None,
+              shuffle_partitions: int | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession with scale-aware defaults.
+
+    On a real cluster, ``master``/memory come from spark-submit; everything
+    set here is safe to inherit. Locally we default to ``local[N]`` with
+    N = $SPARK_GRAFT_CPUS (default all cores).
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(cpus_env) if cpus_env and cpus_env.isdigit() else 32
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+        # ANSI off: the engine uses explicit null-safe expression builders
+        # (safe_div etc.); ANSI-on would turn reference NaN-tolerant math
+        # into runtime errors.
+        .config("spark.sql.ansi.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,59 @@
+"""Table readers (SURVEY.md §2.1 S1).
+
+Reference: ``pd.read_csv(path, parse_dates=[...])`` per table
+(``pre_processing.py:93-176``). Here: schema-pinned ``spark.read`` so the
+scan gets column pruning + predicate pushdown. Parquet is the engine's
+native format; CSV is supported for the reference's raw feeds.
+
+Scale note: readers never ``inferSchema`` (a full extra pass over 100 TB)
+and never cache by default — lineage stays lazy so Catalyst can push
+filters from downstream operators into the scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import schemas
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one benchmark-corpus parquet table with its pinned schema."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    schema = schemas.CORPUS_SCHEMAS.get(name)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.parquet(path)
+    if name == "events":
+        # ts is stored as timestamp[ns]; scanned as int64 nanos (see
+        # schemas.EVENTS) and truncated to µs exactly like DuckDB reads it.
+        from pyspark.sql import functions as F
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str,
+             names: list[str] | None = None) -> dict[str, DataFrame]:
+    """Load several corpus tables; also registers each as a temp view."""
+    names = names or list(schemas.CORPUS_SCHEMAS)
+    out = {}
+    for n in names:
+        df = load_table(spark, sf_dir, n)
+        df.createOrReplaceTempView(n)
+        out[n] = df
+    return out
+
+
+def load_kiln_csv(spark: SparkSession, data_dir: str, name: str) -> DataFrame:
+    """Load one of the 7 kiln CSV feeds with an explicit schema.
+
+    Mirrors reference ``pre_processing.py:91-177`` (read + parse_dates),
+    minus inference. Timestamp columns are declared TimestampType in the
+    schema so Spark parses them at scan time.
+    """
+    schema = schemas.KILN_SCHEMAS[name]
+    path = os.path.join(data_dir, f"{name}.csv")
+    return spark.read.schema(schema).option("header", "true").csv(path)
