@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from timeseries_data_analysis_spark.sources import load_table
 from timeseries_data_analysis_spark.operators import (
     windows as WIN, timeseries as TS, intervals as IV, pivot as PV,
-    topk as TK, dedup as DD, similarity as SIM,
+    topk as TK, dedup as DD, similarity as SIM, encoding as ENC,
 )
 from timeseries_data_analysis_spark.functions import math_fns as M, text as TX
 
@@ -504,6 +504,229 @@ def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Coverage batch 2: W6/W12/W13, A9/A10, P3/P5/P6, O4, R5, J3-full, encoding,
+# ML-support split, dashboard-shape serving queries (SURVEY.md §2.12)
+# ---------------------------------------------------------------------------
+
+def q_baseline_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """W6: short/long moving-average baseline ratio (ma6/ma24 − 1)·100."""
+    ev = load_table(spark, sf, "events")
+    w = _events_window()
+    return ev.select(
+        "event_id", "user_id", "ts",
+        _r(WIN.baseline_ratio("value", w, short=6, long=24, long_min_periods=6), 4)
+        .alias("baseline_ratio_pct"),
+    )
+
+
+def q_multi_zone_cooling(spark: SparkSession, sf: str) -> DataFrame:
+    """W12: count of 3-adjacent-series simultaneous cooling patterns per hour.
+
+    Series = event_type mapped to a dense zone index; cooling = 3
+    consecutive hourly drops (W10); pattern = AND of 3 adjacent zones —
+    ONE window per ts (lead over zone order), no self-joins.
+    """
+    ev = load_table(spark, sf, "events")
+    zone_idx = F.array_position(
+        F.array(*[F.lit(t) for t in EVENT_TYPES]), F.col("event_type")) - 1
+    hourly = (ev.groupBy(F.date_trunc("hour", "ts").alias("ts"), "event_type")
+              .agg(F.avg("value").alias("value"))
+              .withColumn("zone_idx", zone_idx.cast("int")))
+    w = WIN.series_window("zone_idx", ["ts"])
+    flags = hourly.select(
+        "ts", "zone_idx",
+        WIN.consecutive_run_flag("value", w, run=3, direction="down").alias("flag"))
+    return WIN.adjacent_pattern_counts(flags, "ts", "zone_idx", "flag", span=3)
+
+
+def q_sequence_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """W13: trailing fixed-length (5) zero-padded value sequences per user,
+    emitted as a comma-joined string for cross-engine comparability."""
+    ev = load_table(spark, sf, "events")
+    w = _events_window()
+    seq = WIN.trailing_sequence("value", w, seq_len=5)
+    # %.4f (not CAST) — Spark's double→string cast flips to scientific
+    # notation outside [1e-3, 1e7), which no other engine reproduces
+    seq_str = F.array_join(
+        F.transform(seq, lambda x: F.format_string("%.4f", x + F.lit(ROUND_EPS))), ",")
+    return ev.select("event_id", "user_id", "ts", seq_str.alias("seq_str"))
+
+
+def q_correlation(spark: SparkSession, sf: str) -> DataFrame:
+    """A9: Pearson correlation per group (reference train_models_simple.py:756)."""
+    li = load_table(spark, sf, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(_r(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+                 _r(F.corr("l_discount", "l_tax"), 6).alias("corr_disc_tax")))
+
+
+def q_zero_variance(spark: SparkSession, sf: str) -> DataFrame:
+    """P5: per-column variance profile → keep/drop decision
+    (reference X.var()==0 drop, train_models_simple.py:277-281).
+    One aggregate row computes every column's variance in a single pass."""
+    li = load_table(spark, sf, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    agg = li.agg(*[F.var_samp(c).alias(c) for c in cols])
+    stacked = agg.select(F.expr(
+        "stack({}, {}) as (col_name, variance)".format(
+            len(cols), ", ".join(f"'{c}', `{c}`" for c in cols))))
+    return stacked.select(
+        "col_name", _r(F.col("variance"), 4).alias("variance"),
+        (F.col("variance") > 0).cast("int").alias("keep"))
+
+
+def q_isin_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """P6: keep rows whose key ∈ sampled key set (left-semi join — the
+    scalable form of pandas .isin; reference train_models_simple.py:100-101)."""
+    ev = load_table(spark, sf, "events")
+    sampled = ev.select("user_id").distinct().filter(F.col("user_id") % 7 == 0)
+    return (ev.join(sampled, "user_id", "left_semi")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 _r(F.avg("value"), 4).alias("avg_value")))
+
+
+def q_label_events_full(spark: SparkSession, sf: str) -> DataFrame:
+    """J3 (full labeling operator): forming/critical flags, days-to-critical,
+    zone of the event, pre-critical windows — the reference's target-
+    labeling stage (pre_processing.py:1483-1528) on a per-user hourly grid."""
+    ev = load_table(spark, sf, "events")
+    iv = (ev.filter((F.col("event_type") == "error") & (F.col("event_id") % 50 == 0))
+          .select(F.col("ts").alias("START_DATE"),
+                  (F.col("ts") + F.expr("interval 3 hours")).alias("CRITICAL_DATE"),
+                  F.col("user_id").cast("int").alias("ZONE")))
+    spine = TS.spine_for(ev, "ts", keys=["user_id"])
+    out = IV.label_events(spine, iv, ts_col="ts", pre_windows_h=(1, 2))
+    return out.select(
+        "ts", "user_id", "accretion_forming", "accretion_critical",
+        _r(F.col("days_to_critical"), 6).alias("days_to_critical"),
+        "accretion_zone", "pre_critical_1h", "pre_critical_2h")
+
+
+def q_savgol_smooth(spark: SparkSession, sf: str) -> DataFrame:
+    """R5: Savitzky-Golay(11,3) smoothing as a fixed FIR convolution —
+    native lag/lead window expressions, no scipy/UDF (interior points)."""
+    ev = load_table(spark, sf, "events")
+    hourly = (ev.groupBy(F.date_trunc("hour", "ts").alias("ts"), "event_type")
+              .agg(F.avg("value").alias("value")))
+    sm = TS.savgol_smooth("value", ["event_type"], ["ts"], window=11, polyorder=3)
+    return hourly.select("ts", "event_type", _r(sm, 4).alias("value_smooth"))
+
+
+def q_cat_codes(spark: SparkSession, sf: str) -> DataFrame:
+    """Encoding: categorical → dense integer codes (lexicographic, 0-based;
+    reference astype('category').cat.codes, simple_pre_processing.py:592)."""
+    ev = load_table(spark, sf, "events")
+    coded = ENC.category_codes(ev, "event_type")
+    return (coded.groupBy("event_type", "event_type_code")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def q_dummies_top(spark: SparkSession, sf: str) -> DataFrame:
+    """Encoding: one-hot dummies for an explicit vocab + 'other' bucket
+    (reference get_dummies top-10 + other, simple_pre_processing.py:608-621)."""
+    ev = load_table(spark, sf, "events")
+    vocab = EVENT_TYPES[:3]
+    dum = ENC.dummies(ev, "event_type", vocab)
+    sums = [F.sum(f"event_type_{v}").alias(f"n_{v}") for v in vocab]
+    sums.append(F.sum("event_type_other").alias("n_other"))
+    return dum.groupBy("user_id").agg(*sums)
+
+
+def q_union_sources(spark: SparkSession, sf: str) -> DataFrame:
+    """O4: row-wise union of two source slices (reference pd.concat,
+    data_generator.py:967) then re-aggregation."""
+    orders = load_table(spark, sf, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    big = orders.filter(F.col("o_totalprice") > 200000.0)
+    return (urgent.unionByName(big)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.countDistinct("o_orderkey").alias("n_distinct_orders")))
+
+
+def q_time_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-ordered 80/20 split by exact interpolated percentile of ts
+    (reference train_models_simple.py:324-328 — split never shuffles time)."""
+    ev = load_table(spark, sf, "events")
+    b = ev.agg(F.percentile(F.unix_micros("ts"), 0.8).alias("_q"))
+    return (ev.crossJoin(F.broadcast(b))
+            .select(F.when(F.unix_micros("ts").cast("double") <= F.col("_q"),
+                           "train").otherwise("test").alias("split"), "value")
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 _r(F.avg("value"), 4).alias("avg_value")))
+
+
+def q_time_range_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """P3: time-range predicate → partition/row-group pruning at the scan
+    (reference dashboard 1-year lookback filters)."""
+    ev = load_table(spark, sf, "events")
+    return (ev.filter((F.col("ts") >= F.lit("2024-01-10 00:00:00"))
+                      & (F.col("ts") < F.lit("2024-01-20 00:00:00")))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 _r(F.min("value"), 4).alias("min_value"),
+                 _r(F.max("value"), 4).alias("max_value")))
+
+
+def q_grade_share(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.12 production-quality serving query: per-month grade share with
+    zero-guard (reference dashboard.py:1500-1653 grade % with div guard)."""
+    li = load_table(spark, sf, "lineitem")
+    monthly = (li.groupBy(F.date_trunc("month", "l_shipdate").alias("month"))
+               .agg(F.sum("l_quantity").alias("_total"),
+                    F.sum(F.when(F.col("l_returnflag") == "A", F.col("l_quantity"))
+                          .otherwise(0.0)).alias("_grade_a")))
+    return monthly.select(
+        "month",
+        _r(F.col("_total"), 4).alias("total_qty"),
+        _r(M.safe_div(F.col("_grade_a") * 100.0, F.col("_total")), 4)
+        .alias("grade_a_share_pct"))
+
+
+def q_supplier_balance(spark: SparkSession, sf: str) -> DataFrame:
+    """J2 on the supplier dimension: per-nation supplier account stats."""
+    sup = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation")
+    return (sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("n_suppliers"),
+                 _r(F.avg("s_acctbal"), 4).alias("avg_balance"),
+                 _r(F.max("s_acctbal"), 4).alias("max_balance")))
+
+
+def q_emb_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact): all pairs with
+    cosine > 0.35 (threshold sized to the corpus' similarity tail).
+
+    Exact O(n²) on the id_l<id_r half — the oracle-checkable baseline; the
+    LSH-bucketed variant (q_lsh_topk) is the 100 TB scale path."""
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    a = emb.select(F.col("vec_id").alias("id_l"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_r"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("id_l") < F.col("id_r"))
+    sim = SIM.cosine(F.col("va"), F.col("vb"))
+    return (pairs.select("id_l", "id_r", sim.alias("_s"))
+            .filter(F.col("_s") > 0.35)
+            .select("id_l", "id_r", _r(F.col("_s"), 6).alias("sim")))
+
+
+def q_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN scale path: random-hyperplane LSH bucketing + exact cosine
+    within bucket (rows-only check — the banding plan is not one portable
+    SQL statement; the cosine arithmetic is oracle-verified in
+    similarity_topk/emb_near_dup)."""
+    emb = load_table(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = SIM.lsh_topk(emb, q, dim=64, k=5, bits=4)
+    return out.select("query_id", "vec_id", "rk", _r(F.col("sim"), 6).alias("sim"))
+
+
+# ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
 
@@ -547,6 +770,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interpolate": q_interpolate,
         "interval_join": q_interval_join,
         "asof_join": q_asof_join,
+        # coverage batch 2
+        "baseline_ratio": q_baseline_ratio,
+        "multi_zone_cooling": q_multi_zone_cooling,
+        "sequence_windows": q_sequence_windows,
+        "correlation": q_correlation,
+        "zero_variance": q_zero_variance,
+        "isin_sample": q_isin_sample,
+        "label_events_full": q_label_events_full,
+        "savgol_smooth": q_savgol_smooth,
+        "cat_codes": q_cat_codes,
+        "dummies_top": q_dummies_top,
+        "union_sources": q_union_sources,
+        "time_split": q_time_split,
+        "time_range_filter": q_time_range_filter,
+        "grade_share": q_grade_share,
+        "supplier_balance": q_supplier_balance,
+        "emb_near_dup": q_emb_near_dup,
+        "lsh_topk": q_lsh_topk,
         # corpus / training-data
         "exact_dedup": q_exact_dedup,
         "doc_fingerprint": q_doc_fingerprint,
@@ -984,6 +1225,213 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, vec_id, rk, (round(s + 1e-9, 6) + 0.0) AS sim
         FROM ranked WHERE rk <= 5
     """
+
+    frame6 = f"{_WIN} ROWS BETWEEN 5 PRECEDING AND CURRENT ROW"
+    sql["baseline_ratio"] = f"""
+        SELECT event_id, user_id, ts,
+               (round(CASE WHEN abs(mal) > 1e-9 THEN (mas / mal - 1.0) * 100.0 END
+                      + 1e-9, 4) + 0.0) AS baseline_ratio_pct
+        FROM (
+            SELECT event_id, user_id, ts,
+                   avg(value) OVER ({frame6}) AS mas,
+                   CASE WHEN count(value) OVER ({frame24}) >= 6
+                        THEN avg(value) OVER ({frame24}) END AS mal
+            FROM events)
+    """
+
+    zone_case = "CASE event_type " + " ".join(
+        f"WHEN '{t}' THEN {i}" for i, t in enumerate(EVENT_TYPES)) + " END"
+    sql["multi_zone_cooling"] = f"""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS ts, event_type, avg(value) AS value
+            FROM events GROUP BY 1, 2),
+        z AS (SELECT ts, value, {zone_case} AS zone_idx FROM hourly),
+        d AS (SELECT ts, zone_idx,
+                     value - lag(value, 1) OVER (PARTITION BY zone_idx ORDER BY ts) AS dv
+              FROM z),
+        fl AS (SELECT ts, zone_idx,
+                      CASE WHEN sum(CASE WHEN dv < 0 THEN 1 ELSE 0 END)
+                                OVER (PARTITION BY zone_idx ORDER BY ts
+                                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) >= 3
+                           THEN 1 ELSE 0 END AS flag
+               FROM d),
+        p AS (SELECT ts,
+                     CASE WHEN flag = 1
+                               AND lead(flag, 1) OVER w = 1
+                               AND lead(zone_idx, 1) OVER w = zone_idx + 1
+                               AND lead(flag, 2) OVER w = 1
+                               AND lead(zone_idx, 2) OVER w = zone_idx + 2
+                          THEN 1 ELSE 0 END AS pat
+              FROM fl WINDOW w AS (PARTITION BY ts ORDER BY zone_idx))
+        SELECT ts, sum(pat) AS n_patterns, max(pat) AS any_pattern
+        FROM p GROUP BY ts
+    """
+
+    sql["sequence_windows"] = f"""
+        SELECT event_id, user_id, ts,
+               array_to_string(list_concat(
+                   list_transform(range(5 - len(lf)), x -> '0.0000'),
+                   list_transform(lf, x -> printf('%.4f', x + 1e-9))), ',') AS seq_str
+        FROM (
+            SELECT event_id, user_id, ts,
+                   list_filter(list(value) OVER
+                       ({_WIN} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+                       x -> x IS NOT NULL) AS lf
+            FROM events)
+    """
+
+    sql["correlation"] = """
+        SELECT l_returnflag,
+               (round(corr(l_quantity, l_extendedprice) + 1e-9, 6) + 0.0) AS corr_qty_price,
+               (round(corr(l_discount, l_tax) + 1e-9, 6) + 0.0) AS corr_disc_tax
+        FROM lineitem GROUP BY l_returnflag
+    """
+
+    zv_cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    zv_union = "\n        UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, (round(v_{c} + 1e-9, 4) + 0.0) AS variance, "
+        f"CASE WHEN v_{c} > 0 THEN 1 ELSE 0 END AS keep FROM v"
+        for c in zv_cols)
+    sql["zero_variance"] = f"""
+        WITH v AS (SELECT {", ".join(f"var_samp({c}) AS v_{c}" for c in zv_cols)}
+                   FROM lineitem)
+        {zv_union}
+    """
+
+    sql["isin_sample"] = """
+        SELECT event_type, count(*) AS n_events,
+               (round(avg(value) + 1e-9, 4) + 0.0) AS avg_value
+        FROM events WHERE user_id % 7 = 0 GROUP BY event_type
+    """
+
+    sql["label_events_full"] = """
+        WITH spine AS (
+            SELECT unnest(generate_series(
+                date_trunc('hour', (SELECT min(ts) FROM events)),
+                date_trunc('hour', (SELECT max(ts) FROM events)),
+                INTERVAL 1 HOUR)) AS ts),
+        users AS (SELECT DISTINCT user_id FROM events),
+        grid AS (SELECT s.ts, u.user_id FROM spine s CROSS JOIN users u),
+        iv AS (SELECT ts AS s, ts + INTERVAL 3 HOUR AS c, user_id::INTEGER AS z
+               FROM events WHERE event_type = 'error' AND event_id % 50 = 0),
+        j AS (SELECT g.ts, g.user_id, iv.s, iv.c, iv.z
+              FROM grid g LEFT JOIN iv ON g.ts >= iv.s)
+        SELECT ts, user_id,
+               coalesce(max(CASE WHEN ts >= s AND ts < c THEN 1 ELSE 0 END), 0) AS accretion_forming,
+               coalesce(max(CASE WHEN ts >= c THEN 1 ELSE 0 END), 0) AS accretion_critical,
+               (round(min(CASE WHEN ts >= s AND ts < c
+                          THEN (epoch(c) - epoch(ts)) / 86400.0 END) + 1e-9, 6) + 0.0)
+                   AS days_to_critical,
+               coalesce(max(CASE WHEN ts >= s THEN z END), 0) AS accretion_zone,
+               coalesce(max(CASE WHEN ts >= c - INTERVAL 1 HOUR AND ts < c
+                            THEN 1 ELSE 0 END), 0) AS pre_critical_1h,
+               coalesce(max(CASE WHEN ts >= c - INTERVAL 2 HOUR AND ts < c
+                            THEN 1 ELSE 0 END), 0) AS pre_critical_2h
+        FROM j GROUP BY ts, user_id
+    """
+
+    coeffs = TS.savgol_coefficients(11, 3)
+    sg_terms = []
+    for k, c in zip(range(-5, 6), coeffs):
+        if k < 0:
+            v = f"lag(value, {-k}) OVER w"
+        elif k > 0:
+            v = f"lead(value, {k}) OVER w"
+        else:
+            v = "value"
+        sg_terms.append(f"({v}) * ({c!r})")
+    sql["savgol_smooth"] = f"""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS ts, event_type, avg(value) AS value
+            FROM events GROUP BY 1, 2)
+        SELECT ts, event_type,
+               (round(({" + ".join(sg_terms)}) + 1e-9, 4) + 0.0) AS value_smooth
+        FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+    """
+
+    sql["cat_codes"] = """
+        WITH codes AS (
+            SELECT event_type,
+                   dense_rank() OVER (ORDER BY event_type) - 1 AS event_type_code
+            FROM (SELECT DISTINCT event_type FROM events))
+        SELECT e.event_type, c.event_type_code, count(*) AS n
+        FROM events e JOIN codes c USING (event_type)
+        GROUP BY e.event_type, c.event_type_code
+    """
+
+    dum_vocab = EVENT_TYPES[:3]
+    dum_sums = ",\n               ".join(
+        f"sum(CASE WHEN event_type = '{v}' THEN 1 ELSE 0 END) AS n_{v}"
+        for v in dum_vocab)
+    in_list = ", ".join(f"'{v}'" for v in dum_vocab)
+    sql["dummies_top"] = f"""
+        SELECT user_id,
+               {dum_sums},
+               sum(CASE WHEN event_type IN ({in_list}) OR event_type IS NULL
+                        THEN 0 ELSE 1 END) AS n_other
+        FROM events GROUP BY user_id
+    """
+
+    sql["union_sources"] = """
+        WITH u AS (
+            SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'
+            UNION ALL
+            SELECT * FROM orders WHERE o_totalprice > 200000.0)
+        SELECT o_orderstatus, count(*) AS n_rows,
+               count(DISTINCT o_orderkey) AS n_distinct_orders
+        FROM u GROUP BY o_orderstatus
+    """
+
+    sql["time_split"] = """
+        WITH q AS (SELECT quantile_cont(epoch_us(ts)::DOUBLE, 0.8) AS qv FROM events)
+        SELECT CASE WHEN epoch_us(ts)::DOUBLE <= (SELECT qv FROM q)
+                    THEN 'train' ELSE 'test' END AS split,
+               count(*) AS n_rows,
+               (round(avg(value) + 1e-9, 4) + 0.0) AS avg_value
+        FROM events GROUP BY 1
+    """
+
+    sql["time_range_filter"] = """
+        SELECT event_type, count(*) AS n_events,
+               (round(min(value) + 1e-9, 4) + 0.0) AS min_value,
+               (round(max(value) + 1e-9, 4) + 0.0) AS max_value
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+          AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        GROUP BY event_type
+    """
+
+    sql["grade_share"] = """
+        WITH m AS (
+            SELECT date_trunc('month', l_shipdate) AS month,
+                   sum(l_quantity) AS t,
+                   sum(CASE WHEN l_returnflag = 'A' THEN l_quantity ELSE 0.0 END) AS g
+            FROM lineitem GROUP BY 1)
+        SELECT month, (round(t + 1e-9, 4) + 0.0) AS total_qty,
+               (round(CASE WHEN t <> 0 THEN g * 100.0 / t ELSE 0.0 END
+                      + 1e-9, 4) + 0.0) AS grade_a_share_pct
+        FROM m
+    """
+
+    sql["supplier_balance"] = """
+        SELECT n_name, count(*) AS n_suppliers,
+               (round(avg(s_acctbal) + 1e-9, 4) + 0.0) AS avg_balance,
+               (round(max(s_acctbal) + 1e-9, 4) + 0.0) AS max_balance
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+    """
+
+    sql["emb_near_dup"] = """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT a.vec_id AS id_l, b.vec_id AS id_r,
+               (round(list_cosine_similarity(a.v, b.v) + 1e-9, 6) + 0.0) AS sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) > 0.35
+    """
+
+    # lsh_topk: rows-only — the hyperplane banding plan is not one portable
+    # SQL statement; its cosine arithmetic is oracle-verified via
+    # similarity_topk and emb_near_dup.
 
     # minhash_lsh / simhash: omitted — the LSH banding plan is not naturally
     # SQL-expressible end-to-end in one portable statement; driver records

@@ -1,0 +1,64 @@
+"""Categorical encoding operators (SURVEY.md §2.7 encoding family).
+
+Reference: ``astype('category').cat.codes`` (``simple_pre_processing.py:592``),
+``get_dummies`` limited to the top-10 values + implicit 'other'
+(``simple_pre_processing.py:608-621``), and the zone↔sequential-index bimap
+(``pre_processing.py:1540-1560``).
+
+Scale design: the code table (distinct values) is tiny by definition of
+"categorical" — build it once with a groupBy (map-side combined) and
+broadcast-join it back. Never ``collect()`` the column to the driver to
+enumerate values; the dummies' value list IS driver-side (it parameterizes
+the schema — column names must be known at plan time), so it comes from a
+bounded top-N query, not a full distinct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def category_codes(df: DataFrame, col: str, code_col: str | None = None) -> DataFrame:
+    """Append an integer code per distinct value (0-based, lexicographic).
+
+    Deterministic — pandas ``cat.codes`` also assigns codes by sorted
+    category order. The code table derives from a groupBy (one small
+    shuffle) + ``dense_rank`` over the handful of distinct values, then
+    broadcast-joins back: the fact table is scanned once, no global sort.
+    """
+    code_col = code_col or f"{col}_code"
+    codes = (df.groupBy(col).agg(F.count(F.lit(1)).alias("_n"))
+             .select(col, (F.dense_rank().over(
+                 Window.orderBy(F.col(col).asc_nulls_last())) - 1).alias(code_col)))
+    return df.join(F.broadcast(codes), on=col, how="left")
+
+
+def top_n_values(df: DataFrame, col: str, n: int = 10) -> list[str]:
+    """The top-N most frequent values (ties break lexicographically).
+
+    Driver-side by necessity: the result parameterizes dummy COLUMN NAMES,
+    which Spark needs at plan time. The query underneath is a bounded
+    top-N (TakeOrderedAndProject), safe at any scale.
+    """
+    rows = (df.groupBy(col).agg(F.count(F.lit(1)).alias("_n"))
+            .orderBy(F.col("_n").desc(), F.col(col)).limit(n).collect())
+    return [r[0] for r in rows if r[0] is not None]
+
+
+def dummies(df: DataFrame, col: str, values: list[str],
+            other: bool = True, prefix: str | None = None) -> DataFrame:
+    """One-hot 0/1 flags for an explicit value list (+ 'other' bucket).
+
+    Reference ``get_dummies`` on the top-10 values with everything else in
+    'other' (``simple_pre_processing.py:608-621``). Pure ``when()``
+    projection — no shuffle, stays in whole-stage codegen.
+    """
+    prefix = prefix if prefix is not None else col
+    out = [F.when(F.col(col) == v, 1).otherwise(0).alias(f"{prefix}_{v}")
+           for v in values]
+    if other:
+        out.append(
+            F.when(F.col(col).isin(values) | F.col(col).isNull(), 0)
+            .otherwise(1).alias(f"{prefix}_other"))
+    return df.select("*", *out)

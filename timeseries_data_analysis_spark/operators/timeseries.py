@@ -175,6 +175,57 @@ def interpolate_linear(col: ColumnOrName, ts_col: str,
     )
 
 
+# -- R5: Savitzky-Golay smoothing --------------------------------------------
+
+def savgol_coefficients(window: int, polyorder: int) -> list[float]:
+    """Savitzky-Golay FIR coefficients for smoothing (derivative 0).
+
+    Standard least-squares derivation (public formula): the smoothed value
+    at the window center is ``e_0ᵀ (AᵀA)⁻¹ Aᵀ y`` where A is the
+    Vandermonde matrix of offsets -m..m. Deterministic — both the Spark
+    expression and any SQL oracle embed the SAME literal coefficients.
+    """
+    import numpy as np
+    m = window // 2
+    offsets = np.arange(-m, m + 1, dtype=np.float64)
+    a = np.vander(offsets, polyorder + 1, increasing=True)
+    # row 0 of the pseudo-inverse = smoothing coefficients
+    coeffs = np.linalg.pinv(a)[0]
+    return [float(c) for c in coeffs]
+
+
+def savgol_smooth(col: ColumnOrName, partition_by: list[str],
+                  order_by: list[str], window: int = 11,
+                  polyorder: int = 3) -> Column:
+    """Savitzky-Golay smoothing as a fixed FIR convolution of lag/leads.
+
+    Reference: ``scipy.signal.savgol_filter(x, 11, 3)`` on the 2-min zone
+    series (``data_generator.py:963``). For interior points scipy IS this
+    exact convolution; here it runs as one window pass per series —
+    whole-stage codegen, no scipy, no Python boundary. Edge rows (fewer
+    than ``window//2`` neighbors on either side) emit null, whereas scipy
+    refits a polynomial on the truncated edge window (mode='interp') —
+    use the pandas-UDF variant if bit-exact edges matter.
+    """
+    x = F.col(col) if isinstance(col, str) else col
+    m = window // 2
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    coeffs = savgol_coefficients(window, polyorder)
+    terms = []
+    for k, c in zip(range(-m, m + 1), coeffs):
+        if k < 0:
+            v = F.lag(x, -k).over(w)
+        elif k > 0:
+            v = F.lead(x, k).over(w)
+        else:
+            v = x
+        terms.append(v * F.lit(c))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
 # -- convenience: align a source onto a spine (J1 + R2) ----------------------
 
 def align_to_spine(spine: DataFrame, src: DataFrame, on: list[str],

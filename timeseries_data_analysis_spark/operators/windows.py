@@ -239,6 +239,41 @@ def anomaly_features(col: ColumnOrName, w: WindowSpec, window: int = 24,
     }
 
 
+# -- W12: multi-zone (adjacent-series) pattern detection ---------------------
+
+def adjacent_pattern_counts(flags, ts_col: str = "ts",
+                            zone_col: str = "zone_idx",
+                            flag_col: str = "flag",
+                            span: int = 3):
+    """Count runs of ``span`` ADJACENT series all flagged at the same ts.
+
+    Reference "multi-zone cooling pattern": AND of 3 adjacent zones'
+    cooling flags, then count of patterns + any-pattern flag per timestamp
+    (``pre_processing.py:946-967``).
+
+    Long-layout implementation: two self-joins on (ts, zone±offset) would
+    shuffle twice; instead ONE window per ts ordered by zone index collects
+    the neighboring flags with ``lead`` — zones are dense integers, so
+    lead-by-rows equals lead-by-zone. One shuffle on ts, no join.
+    Returns (ts, n_patterns, any_pattern).
+    """
+    w = Window.partitionBy(ts_col).orderBy(zone_col)
+    f0 = F.col(flag_col)
+    conds = [f0 == 1]
+    for k in range(1, span):
+        # guard: the k-th neighbor must be exactly k zones away (dense ids)
+        conds.append(F.lead(flag_col, k).over(w) == 1)
+        conds.append(F.lead(zone_col, k).over(w) == F.col(zone_col) + k)
+    acc = conds[0]
+    for c in conds[1:]:
+        acc = acc & c
+    pattern = F.when(acc, F.lit(1)).otherwise(F.lit(0))
+    per_row = flags.select(ts_col, pattern.alias("_pat"))
+    return (per_row.groupBy(ts_col)
+            .agg(F.sum("_pat").alias("n_patterns"),
+                 F.max("_pat").alias("any_pattern")))
+
+
 # -- W13: fixed-length trailing sequence (for sequence models) ---------------
 
 def trailing_sequence(col: ColumnOrName, w: WindowSpec, seq_len: int = 10) -> Column:
