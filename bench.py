@@ -39,6 +39,32 @@ HEADLINE = [
 ]
 
 
+def bench_kiln_pipeline(spark) -> float:
+    """The reference's headline workload at ITS scale: 1 simulated year,
+    2-min zone grain (~263k × 11 zones) — BASELINE.md total_time = 34.63 s.
+    Measures fixture→Spark load + full pipeline plan + execution (count)."""
+    import shutil
+    import tempfile
+
+    from tests.fixtures import kiln_fixture as FX
+    from timeseries_data_analysis_spark.plans import kiln_pipeline as KP
+
+    tmp = tempfile.mkdtemp(prefix="kiln_bench_")
+    try:
+        # data generation + parquet write are corpus setup, not pipeline
+        # time (the reference's 34.63 s likewise starts at its CSV load)
+        pdfs = FX.all_tables(n_days=365, zone_freq="2min")
+        for k, v in pdfs.items():
+            spark.createDataFrame(v).write.mode("overwrite").parquet(f"{tmp}/{k}")
+        tables = {k: spark.read.parquet(f"{tmp}/{k}") for k in pdfs}
+        t0 = time.time()
+        out, _ = KP.run_pipeline(spark, tables, max_features=500)
+        out.count()
+        return round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
@@ -52,6 +78,9 @@ def main() -> None:
         t0 = time.time()
         qs[name](spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
+
+    # reference-parity workload (fixture generation excluded from timing)
+    timings["kiln_pipeline_1yr"] = bench_kiln_pipeline(spark)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

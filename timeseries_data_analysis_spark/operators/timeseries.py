@@ -122,12 +122,24 @@ def ffill(col: ColumnOrName, partition_by: list[str],
     return F.last(col, ignorenulls=True).over(w)
 
 
+def _desc_running(partition_by: list[str], order_by: list[str]):
+    """Descending-order running frame — the O(n) backward-scan trick.
+
+    ``first(x) over (0, unboundedFollowing)`` is O(n²) per partition in
+    Spark (UnboundedFollowingWindowFunctionFrame re-aggregates the whole
+    remaining frame for every row); the equivalent ``last(x) over
+    (unboundedPreceding, 0)`` on a DESCENDING sort is a running aggregate —
+    one extra sort, linear scan.
+    """
+    return (Window.partitionBy(*partition_by)
+            .orderBy(*[F.col(c).desc() for c in order_by])
+            .rowsBetween(Window.unboundedPreceding, 0))
+
+
 def bfill(col: ColumnOrName, partition_by: list[str],
           order_by: list[str]) -> Column:
     """Backward-fill: first non-null value at or after the current row."""
-    w = (Window.partitionBy(*partition_by).orderBy(*order_by)
-         .rowsBetween(0, Window.unboundedFollowing))
-    return F.first(col, ignorenulls=True).over(w)
+    return F.last(col, ignorenulls=True).over(_desc_running(partition_by, order_by))
 
 
 def fill_chain(col: ColumnOrName, partition_by: list[str],
@@ -153,20 +165,21 @@ def interpolate_linear(col: ColumnOrName, ts_col: str,
     nulls (no bracket on one side) stay null, matching pandas
     ``interpolate`` without ``limit_direction='both'``.
 
-    Cost: two sorts per series (forward + backward frame) fused by
-    Catalyst into the same exchange; still O(n log n) per series, no UDF.
+    Cost: two sorts per series (ascending for the previous-value leg,
+    descending for the next-value leg — see ``_desc_running``: the naive
+    unbounded-FOLLOWING frame is O(n²) per series in Spark); one exchange,
+    O(n log n) per series, no UDF.
     """
     x = F.col(col) if isinstance(col, str) else col
     t = F.unix_timestamp(F.col(ts_col)).cast("double")
     fw = (Window.partitionBy(*partition_by).orderBy(ts_col)
           .rowsBetween(Window.unboundedPreceding, 0))
-    bw = (Window.partitionBy(*partition_by).orderBy(ts_col)
-          .rowsBetween(0, Window.unboundedFollowing))
+    bw = _desc_running(partition_by, [ts_col])
 
     prev_v = F.last(x, ignorenulls=True).over(fw)
     prev_t = F.last(F.when(x.isNotNull(), t), ignorenulls=True).over(fw)
-    next_v = F.first(x, ignorenulls=True).over(bw)
-    next_t = F.first(F.when(x.isNotNull(), t), ignorenulls=True).over(bw)
+    next_v = F.last(x, ignorenulls=True).over(bw)
+    next_t = F.last(F.when(x.isNotNull(), t), ignorenulls=True).over(bw)
 
     frac = F.when(next_t != prev_t, (t - prev_t) / (next_t - prev_t)).otherwise(F.lit(0.0))
     interp = prev_v + (next_v - prev_v) * frac

@@ -1,0 +1,293 @@
+"""The reference's full preprocessing pipeline as ONE lazy Spark plan.
+
+Reference: ``SimpleKilnDataPreprocessor.process``
+(``simple_pre_processing.py:780-1101``) and the heavy variant
+(``pre_processing.py:1741-2020``) — 11 eager pandas stages, each
+materializing the full frame. Here the whole pipeline is a lazy DataFrame
+lineage: Catalyst fuses the per-stage projections, and the physical plan
+has ~4 shuffles total (pivots, spine join, one window exchange per
+partitioning key, labeling join) regardless of feature count.
+
+Architecture (SURVEY.md §1.4 / §4):
+- **Long layout through the window stages.** The reference pivots
+  everything wide (~500 cols) then runs per-column kernels; here sensor
+  data stays ``(ts, series, value)`` so ONE window spec
+  ``partitionBy(series).orderBy(ts)`` serves every series — the sort
+  parallelizes per-series across the cluster, and adding features adds
+  zero shuffles.
+- Wide pivot happens ONCE at the end (ML/serving boundary).
+- Event labeling is a broadcast range join (J3), not a per-event loop.
+
+Stages (reference stage numbers from SURVEY.md §3.1):
+  1  load + dup-collapse        [A1]
+  2  per-source hourly align    [R1-R3, A2, A3, J1]
+  3  impute (ffill→bfill→0)     [R4; KNN substituted per SURVEY §2.10]
+  4  lag features               [W1]
+  5  rolling stats              [W2, W3, W5]
+  6  differentials + cooling    [W8, W9, W10, W12]
+  7  anomaly detection          [W11]
+  8  material ratios            [P10]
+  9  composite risk indicators  [A5, P9]
+  10 target labeling            [J3]
+  11 wide pivot + prune         [A2, P1/P2]
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import timeseries as TS
+from ..operators import windows as WIN
+from ..operators import intervals as IV
+from ..operators import pivot as PV
+from ..functions.math_fns import safe_div
+
+# mis columns used for material-ratio features (reference
+# simple_pre_processing.py:937-969 computes all-pairs safe divisions
+# over the consumption columns)
+RATIO_COLS = [
+    "PELLETS_CONSUMPTION", "IRON ORE CONSUMPTION",
+    "HG_COAL_CONSUMPTION", "SA_COAL_CONSUMPTION",
+    "GROSS COAL CONSUMPTION", "DOLO_CONSUMPTION",
+]
+MIS_KEEP = RATIO_COLS + [
+    "PRODUCTION ACTUAL", "PRODUCTION PLAN", "PROD_LOSS", "POWER",
+    "KILN_AVAILABILITY", "COAL_PER_TDRI",
+]
+
+
+def _hourly(df: DataFrame, ts_col: str) -> DataFrame:
+    return df.withColumn("ts", F.date_trunc("hour", F.col(ts_col))).drop(ts_col) \
+        if ts_col != "ts" else df
+
+
+def build_long_sensor_table(tables: dict[str, DataFrame]) -> DataFrame:
+    """Stages 1-2 for the sensor feeds → one long (ts, series, value) table.
+
+    Each source melts/aggregates to hourly grain with a source-prefixed
+    series name (reference bolts 'zone_'/'qrt_'/'air_'/'shell_' prefixes at
+    align time, pre_processing.py:210-231). Union of longs — no wide frame.
+    """
+    zone = tables["zone_temperature"]
+    zone_long = PV.melt(zone, ["DATETIME"], key_name="series", value_name="value")
+    zone_hourly = (zone_long
+                   .groupBy(F.date_trunc("hour", "DATETIME").alias("ts"),
+                            F.concat(F.lit("zone_"), F.col("series")).alias("series"))
+                   .agg(F.avg("value").alias("value")))
+
+    qrt = tables["qrt_temperature"]
+    qrt_hourly = (qrt.groupBy(F.date_trunc("hour", "DATETIME").alias("ts"),
+                              F.concat(F.lit("qrt_ZONE_"), F.col("ZONE")).alias("series"))
+                  .agg(F.avg("TEMPERATURE").alias("value")))
+
+    shell = tables["shell_temperature"]
+    shell_hourly = (shell.groupBy(F.date_trunc("hour", "DATE").alias("ts"),
+                                  F.concat(F.lit("shell_"), F.col("POSITION")).alias("series"))
+                    .agg(F.avg("SHELL_TEMP_AVG").alias("value")))
+
+    air = tables["air_calibration"]
+    air_long = PV.melt(air, ["DATE", "FAN"], ["DAMPER", "VELOCITY", "AIR_FLOW"],
+                       key_name="metric", value_name="value")
+    air_hourly = (air_long.groupBy(
+        F.date_trunc("hour", "DATE").alias("ts"),
+        F.concat(F.lit("air_"), F.col("FAN"), F.lit("_"), F.col("metric")).alias("series"))
+        .agg(F.avg("value").alias("value")))
+
+    return (zone_hourly.unionByName(qrt_hourly)
+            .unionByName(shell_hourly).unionByName(air_hourly))
+
+
+def align_and_fill(sensor_long: DataFrame) -> DataFrame:
+    """Stages 2-3: per-series hourly spine + interpolate/ffill/bfill/0 chain.
+
+    Daily sources (shell/air) forward-fill across the day's 24 slots;
+    2-hourly qrt linearly interpolates; zone is already hourly. One spine
+    join + one window pass per direction — identical cost for 40 series or
+    40 million.
+    """
+    spine = TS.spine_for(sensor_long, "ts", keys=["series"])
+    # shuffle-hash, NOT broadcast: both sides are fact-sized (spine ≈
+    # sensor rows); a broadcast would serialize the whole sensor table
+    # through the driver in one task
+    joined = spine.join(sensor_long.hint("shuffle_hash"), ["ts", "series"], "left")
+    # Explicit hash partitioning on series: the spine explodes from a 1-row
+    # bounds aggregate (single partition), and AQE coalesces the ~MB-sized
+    # exchange back to 1-2 partitions — serializing every window below it.
+    # repartition(N, series) pins the fan-out; all downstream per-series
+    # windows (fills + features) reuse this exact distribution, so it costs
+    # no extra exchange.
+    par = joined.sparkSession.sparkContext.defaultParallelism
+    joined = joined.repartition(par, "series")
+    interp = TS.interpolate_linear("value", "ts", ["series"])
+    filled = F.coalesce(
+        interp,
+        TS.ffill("value", ["series"], ["ts"]),
+        TS.bfill("value", ["series"], ["ts"]),
+        F.lit(0.0),
+    )
+    return joined.select("ts", "series", filled.alias("value"))
+
+
+def window_features(aligned: DataFrame) -> DataFrame:
+    """Stages 4-7: every per-series window feature in ONE Window spec.
+
+    All features share partitionBy(series).orderBy(ts) — Catalyst plans a
+    single sort+Window operator; the reference runs 6 separate numba/pandas
+    passes (lag, rolling, diff, cooling, anomaly, zscore) over ~500 columns.
+    """
+    w = WIN.series_window("series", ["ts"])
+    lags = WIN.lag_features("value", w, [1, 6, 24])
+    anom = WIN.anomaly_features("value", w, window=24, n_sigma=2.0)
+    return aligned.select(
+        "ts", "series", "value",
+        *[v.alias(k) for k, v in lags.items()],
+        WIN.rolling_mean("value", w, 24, min_periods=6).alias("roll_mean_24"),
+        WIN.rolling_std("value", w, 24, min_periods=6, sample=True).alias("roll_std_24"),
+        WIN.rolling_mean("value", w, 72, min_periods=18).alias("roll_mean_72"),
+        WIN.diff("value", w, 1).alias("diff_1"),
+        WIN.pct_change("value", w, 3).alias("pct_change_3"),
+        WIN.consecutive_run_flag("value", w, 3, "down").alias("cooling_flag"),
+        anom["value_anomaly_flag"].alias("anomaly_flag"),
+        anom["value_drop_magnitude"].alias("drop_magnitude"),
+        WIN.rolling_zscore("value", w, 24, min_periods=6).alias("zscore_24"),
+    )
+
+
+def zone_differentials(feat: DataFrame) -> DataFrame:
+    """Stage 6 (cross-series): adjacent-zone temperature differentials.
+
+    Reference computes ``ZONE_{i+1} − ZONE_i`` on the wide frame
+    (``pre_processing.py:835-980``); long layout uses one lead() over a
+    per-ts window ordered by zone index — no self-join, one shuffle on ts.
+    Emits (ts, series='zone_diff_{i}_{i+1}', value).
+    """
+    zones = feat.filter(F.col("series").startswith("zone_ZONE_")) \
+        .withColumn("_zi", F.regexp_extract("series", r"ZONE_(\d+)", 1).cast("int"))
+    w = Window.partitionBy("ts").orderBy("_zi")
+    nxt_v = F.lead("value", 1).over(w)
+    nxt_i = F.lead("_zi", 1).over(w)
+    return (zones.select(
+        "ts", "_zi", "value",
+        F.when(nxt_i == F.col("_zi") + 1, nxt_v - F.col("value")).alias("dval"))
+        .filter(F.col("dval").isNotNull())
+        .select("ts",
+                F.concat(F.lit("zone_diff_"), F.col("_zi"), F.lit("_"),
+                         F.col("_zi") + 1).alias("series"),
+                F.col("dval").alias("value")))
+
+
+def risk_indicators(feat: DataFrame) -> DataFrame:
+    """Stage 9: per-hour composite indicators over all zone series (A5/P9).
+
+    Row-wise horizontal aggs in the reference (mean/max/count over 500
+    cols); long layout makes them a groupBy(ts) — map-side combined.
+    """
+    zones = feat.filter(F.col("series").startswith("zone_ZONE_"))
+    return (zones.groupBy("ts").agg(
+        F.sum(F.when(F.col("anomaly_flag") == -1, 1).otherwise(0))
+        .alias("zones_with_drops"),
+        F.sum(F.when(F.col("cooling_flag") == 1, 1).otherwise(0))
+        .alias("zones_cooling"),
+        F.avg("drop_magnitude").alias("mean_drop_magnitude"),
+        F.max("drop_magnitude").alias("max_drop_magnitude"),
+        F.avg("value").alias("mean_zone_temp"),
+        F.min("value").alias("min_zone_temp"),
+        (F.sum(F.when(F.col("cooling_flag") == 1, 1).otherwise(0)) >= 3)
+        .cast("int").alias("multi_zone_cooling_alert"),
+    ))
+
+
+def material_ratios(mis: DataFrame) -> DataFrame:
+    """Stage 8: all-pairs safe-division ratios over consumption columns
+    (reference simple_pre_processing.py:937-969) + derived efficiency."""
+    mis_h = mis.select(F.date_trunc("hour", "DATE").alias("day_ts"),
+                       *[F.col(c) for c in MIS_KEEP])
+    out_cols = [F.col("day_ts")]
+    for i, a in enumerate(RATIO_COLS):
+        for b in RATIO_COLS[i + 1:]:
+            name = f"ratio_{a}_{b}".replace(" ", "_")
+            out_cols.append(safe_div(F.col(a), F.col(b)).alias(name))
+    out_cols.append(safe_div(F.col("PRODUCTION ACTUAL"),
+                             F.col("PRODUCTION PLAN")).alias("plan_attainment"))
+    out_cols.append(safe_div(F.col("GROSS COAL CONSUMPTION"),
+                             F.col("PRODUCTION ACTUAL")).alias("coal_per_t"))
+    return mis_h.select(*out_cols)
+
+
+def run_pipeline(spark: SparkSession, tables: dict[str, DataFrame],
+                 max_features: int = 500) -> tuple[DataFrame, dict]:
+    """Full pipeline → (hourly wide feature matrix, step metrics).
+
+    Step metrics mirror the reference's performance_metrics.json (S5,
+    ``pre_processing.py:2004-2017``) but time PLAN CONSTRUCTION only —
+    execution is lazy; call an action on the result to run it.
+    """
+    metrics: dict[str, float] = {}
+    t0 = time.time()
+
+    sensor_long = build_long_sensor_table(tables)
+    metrics["build_long"] = time.time() - t0
+
+    t = time.time()
+    aligned = align_and_fill(sensor_long)
+    metrics["align_fill"] = time.time() - t
+
+    t = time.time()
+    feat = window_features(aligned)
+    metrics["window_features"] = time.time() - t
+
+    t = time.time()
+    diffs = zone_differentials(feat)
+    risk = risk_indicators(feat)
+    ratios = material_ratios(tables["mis_report"])
+    metrics["derived"] = time.time() - t
+
+    t = time.time()
+    labels = IV.label_events(
+        risk.select("ts"), tables["accretion_events"],
+        ts_col="ts", start_col="START_DATE", critical_col="CRITICAL_DATE",
+        zone_col="ZONE", pre_windows_h=(24, 48, 72))
+    metrics["labeling"] = time.time() - t
+
+    # Stage 11: wide pivot at the ML boundary. `feat` fans out to three
+    # consumers (pivot, differentials, risk) — persist it so the window
+    # pipeline executes ONCE, not once per consumer. The series-name list
+    # for the pivot comes from that same cached pass (tiny distinct).
+    t = time.time()
+    feat = feat.persist()
+    series_names = [r[0] for r in
+                    feat.select("series").distinct().orderBy("series").collect()]
+    base_wide = PV.pivot_wide(
+        feat.select("ts", "series", "value"), ["ts"], "series", "value",
+        values=series_names)
+    # diff series names derive statically from the zone series names —
+    # no extra job (zone ids are dense integers)
+    zone_ids = sorted(int(s.rsplit("_", 1)[1]) for s in series_names
+                      if s.startswith("zone_ZONE_"))
+    diff_names = [f"zone_diff_{i}_{i + 1}" for i in zone_ids
+                  if i + 1 in set(zone_ids)]
+    diffs_wide = PV.pivot_wide(diffs, ["ts"], "series", "value", values=diff_names)
+
+    out = (base_wide
+           .join(diffs_wide, "ts", "left")
+           .join(risk, "ts", "left")
+           .join(F.broadcast(ratios), base_wide.ts == ratios.day_ts, "left")
+           .drop("day_ts")
+           .join(labels, "ts", "left"))
+
+    # P1/P2: prioritized column cap — labels and risk indicators first,
+    # then sensor series alphabetically (reference pre_processing.py:1564-1739)
+    feature_cols = [c for c in out.columns if c != "ts"]
+    priority = [c for c in feature_cols if c.startswith(("accretion", "pre_critical",
+                                                         "days_to", "zones_", "multi_",
+                                                         "mean_", "max_", "min_",
+                                                         "ratio_", "plan_", "coal_"))]
+    rest = [c for c in feature_cols if c not in priority]
+    keep = priority + rest[: max(0, max_features - len(priority))]
+    out = out.select("ts", *keep)
+    metrics["pivot_join"] = time.time() - t
+    metrics["total_plan"] = time.time() - t0
+    return out, metrics
