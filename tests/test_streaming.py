@@ -1,0 +1,127 @@
+"""Batch/stream equivalence tests (SURVEY.md §5.2-5, §2.9).
+
+The same input replayed through the streaming path must match the batch
+aggregates — the T1-T3 invariant. Inputs are parquet files dropped into a
+temp dir (multiple files → multiple micro-batches with
+maxFilesPerTrigger=1), drained with Trigger.AvailableNow.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from timeseries_data_analysis_spark.streaming import jobs as SJ
+
+SCHEMA = T.StructType([
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+])
+
+
+@pytest.fixture(scope="module")
+def input_dir(spark):
+    d = tempfile.mkdtemp(prefix="stream_in_")
+    base = pd.Timestamp("2024-06-01")
+    rows = []
+    for h in range(48):
+        for k in ("a", "b", "c"):
+            # value dips below 10 for hours 20..30 on all three series —
+            # the alert window
+            v = 5.0 if 20 <= h <= 30 else 50.0 + h
+            rows.append((base + pd.Timedelta(hours=h, minutes=7), k, v))
+            rows.append((base + pd.Timedelta(hours=h, minutes=37), k, v + 1.0))
+    pdf = pd.DataFrame(rows, columns=["ts", "event_type", "value"])
+    # three files → three micro-batches (out-of-order rows across files)
+    for i, part in enumerate((pdf.iloc[::3], pdf.iloc[1::3], pdf.iloc[2::3])):
+        spark.createDataFrame(part, schema=SCHEMA).coalesce(1) \
+            .write.mode("overwrite").parquet(f"{d}/f{i}")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _drain(stream_df, name):
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return name
+
+
+def test_hourly_rollup_matches_batch(spark, input_dir):
+    src = SJ.stream_source(spark, f"{input_dir}/*", SCHEMA,
+                           max_files_per_trigger=1)
+    rollup = SJ.hourly_rollup(src)
+    _drain(rollup, "rollup_sink")
+    streamed = spark.sql(
+        "SELECT * FROM rollup_sink").toPandas().sort_values(
+        ["ts", "event_type"]).reset_index(drop=True)
+
+    batch_df = spark.read.schema(SCHEMA).parquet(f"{input_dir}/*")
+    batch = (batch_df.groupBy(F.date_trunc("hour", "ts").alias("ts"), "event_type")
+             .agg(F.avg("value").alias("avg_value"),
+                  F.count(F.lit(1)).alias("n_events"))
+             ).toPandas().sort_values(["ts", "event_type"]).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(streamed, batch, check_dtype=False)
+
+
+def test_threshold_alerts_fire(spark, input_dir):
+    src = SJ.stream_source(spark, f"{input_dir}/*", SCHEMA)
+    alerts = SJ.threshold_alerts(src, threshold=10.0, min_series=3)
+    # chained stateful aggregations require APPEND mode: complete mode
+    # re-emits pre-watermark windows, which the downstream state store
+    # would discard as late (Spark's global-watermark correctness check)
+    q = (alerts.writeStream.format("memory").queryName("alerts_sink")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM alerts_sink").toPandas()
+    fired = out[out["alert"] == 1]["ts"]
+    assert len(fired) == 11  # hours 20..30 inclusive
+    assert fired.min() == pd.Timestamp("2024-06-01 20:00:00")
+    assert fired.max() == pd.Timestamp("2024-06-02 06:00:00")
+    assert (out[out["alert"] == 1]["n_low_series"] == 3).all()
+
+
+def test_foreach_batch_collects(spark, input_dir):
+    """T3/T4 foreachBatch sink: per-batch hook sees every micro-batch."""
+    src = SJ.stream_source(spark, f"{input_dir}/*", SCHEMA,
+                           max_files_per_trigger=1)
+    rollup = SJ.hourly_rollup(src)
+    seen: list[tuple[int, int]] = []
+
+    def collect(batch_df, batch_id):
+        seen.append((batch_id, batch_df.count()))
+
+    q = SJ.run_with_foreach_batch(rollup, collect)
+    q.awaitTermination(120)
+    assert len(seen) >= 2  # maxFilesPerTrigger=1 → one batch per file
+    assert sum(n for _, n in seen) > 0
+
+
+def test_dedup_stream(spark):
+    """T5: exact duplicates within the watermark are dropped."""
+    d = tempfile.mkdtemp(prefix="stream_dedup_")
+    try:
+        base = pd.Timestamp("2024-06-01")
+        pdf = pd.DataFrame({
+            "ts": [base, base, base + pd.Timedelta(hours=1)],
+            "event_type": ["a", "a", "a"],
+            "value": [1.0, 1.0, 2.0],
+        })
+        spark.createDataFrame(pdf, schema=SCHEMA).coalesce(1) \
+            .write.mode("overwrite").parquet(f"{d}/f0")
+        src = SJ.stream_source(spark, f"{d}/*", SCHEMA)
+        dd = SJ.dedup_stream(src, ["event_type"])
+        q = (dd.writeStream.format("memory").queryName("dedup_sink")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        out = spark.sql("SELECT * FROM dedup_sink").toPandas()
+        assert len(out) == 2  # 3 rows, one exact (key, ts) duplicate
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

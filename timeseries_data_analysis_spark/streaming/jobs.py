@@ -1,0 +1,120 @@
+"""Structured Streaming layer (SURVEY.md §2.9 T1-T5).
+
+The reference's "streaming" is a Dash dashboard polling CSVs every 60 s
+through a producer thread + queue (``dashboard.py:113,528-539,782-810``).
+Here the same semantics are real Structured Streaming jobs:
+
+  T1  60 s micro-batch refresh   → file source + Trigger.ProcessingTime
+  T2  windowed re-aggregation    → event-time tumbling window + watermark
+  T3  threshold alerting         → streaming agg + foreachBatch sink
+  T4  incremental model update   → foreachBatch hook (side-effecting, kept
+                                   outside engine semantics per SURVEY §7.4)
+  T5  late/duplicate handling    → watermark + dropDuplicates (richer than
+                                   the reference's duplicate-mean collapse)
+
+Scale design: the streaming plans are the SAME DataFrame expressions as
+the batch layer (one definition, two execution modes) — batch/stream
+equivalence is a test invariant, not an aspiration. State stores stay
+bounded via watermarks; alerting state is per-key and tiny.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def stream_source(spark: SparkSession, path: str, schema: StructType,
+                  fmt: str = "parquet",
+                  max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-based streaming source (T1): new files under ``path`` become
+    micro-batches. The reference's 60 s poll loop is the degenerate form."""
+    reader = spark.readStream.schema(schema).format(fmt)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def windowed_rollup(events: DataFrame, ts_col: str = "ts",
+                    key_col: str = "event_type", value_col: str = "value",
+                    watermark: str = "2 hours") -> DataFrame:
+    """T2 core: tumbling 1 h aggregate KEEPING the window struct column —
+    required for chaining further stateful aggregations (Spark's chained
+    time-window pattern; projecting out ``win.start`` breaks watermark
+    propagation and trips the global-watermark correctness check)."""
+    return (events
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(ts_col, "1 hour").alias("win"), key_col)
+            .agg(F.avg(value_col).alias("avg_value"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+def hourly_rollup(events: DataFrame, ts_col: str = "ts",
+                  key_col: str = "event_type", value_col: str = "value",
+                  watermark: str = "2 hours") -> DataFrame:
+    """T2: event-time tumbling 1 h aggregate with bounded state.
+
+    Identical semantics to the batch ``date_trunc('hour')`` group-agg
+    (operators.timeseries.downsample) — the window's ``start`` IS the
+    truncated hour. Watermark bounds state: hours older than the watermark
+    finalize and evict.
+    """
+    return (windowed_rollup(events, ts_col, key_col, value_col, watermark)
+            .select(F.col("win.start").alias("ts"), key_col,
+                    "avg_value", "n_events"))
+
+
+def dedup_stream(events: DataFrame, keys: list[str],
+                 ts_col: str = "ts", watermark: str = "2 hours") -> DataFrame:
+    """T5: drop duplicate (key, ts) rows within the watermark horizon.
+
+    Richer than the reference's duplicate-mean collapse (A1): exact
+    first-wins dedup with bounded state. For mean-collapse semantics use
+    ``hourly_rollup`` (aggregation subsumes duplicates).
+    """
+    return events.withWatermark(ts_col, watermark) \
+        .dropDuplicatesWithinWatermark(keys + [ts_col])
+
+
+def threshold_alerts(events: DataFrame, threshold: float,
+                     min_series: int = 3, ts_col: str = "ts",
+                     key_col: str = "event_type", value_col: str = "value",
+                     watermark: str = "2 hours") -> DataFrame:
+    """T3: per-hour alert when ≥ ``min_series`` series fall below threshold.
+
+    Reference rule: ≥3 zones below per-zone thresholds ⇒ accretion alert
+    (``dashboard.py:388-427,869-913``). Two chained stateful aggregations:
+    per-(hour, series) rollup, then per-hour count of low series — chained
+    on the window STRUCT column (``window(win, '1 hour')``) so the
+    watermark propagates through both state stores.
+    """
+    rollup = windowed_rollup(events, ts_col, key_col, value_col, watermark)
+    low = rollup.withColumn("_low", (F.col("avg_value") < threshold).cast("int"))
+    return (low.groupBy(F.window("win", "1 hour").alias("win2"))
+            .agg(F.sum("_low").alias("n_low_series"))
+            .select(F.col("win2.start").alias("ts"), "n_low_series",
+                    (F.col("n_low_series") >= min_series).cast("int").alias("alert")))
+
+
+def run_with_foreach_batch(stream_df: DataFrame,
+                           fn: Callable[[DataFrame, int], None],
+                           trigger_available_now: bool = True,
+                           processing_time: str | None = None,
+                           checkpoint: str | None = None):
+    """T3/T4 sink runner: apply ``fn(batch_df, batch_id)`` per micro-batch.
+
+    ``trigger_available_now=True`` drains all pending input then stops
+    (used by tests and backfills); pass ``processing_time='60 seconds'``
+    for the reference's cadence.
+    """
+    writer = stream_df.writeStream.foreachBatch(fn).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
