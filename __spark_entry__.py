@@ -713,6 +713,27 @@ def q_emb_near_dup(spark: SparkSession, sf: str) -> DataFrame:
             .select("id_l", "id_r", _r(F.col("_s"), 6).alias("sim")))
 
 
+def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal plumbing on the corpus: documents' text bytes as binary
+    payloads → mapInPandas decode stub → per-item feature vector.
+
+    The stub features are md5-derived, so the oracle replays the identical
+    arithmetic in SQL — verifying the binary column survives the Arrow
+    boundary byte-exactly and the batch iteration loses/duplicates nothing.
+    """
+    from timeseries_data_analysis_spark.operators import multimodal as MM
+    docs = load_table(spark, sf, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"))
+    out = MM.decode_image_features(media)
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        _r(F.element_at("features", 1).cast("double"), 6).alias("f0"),
+        _r(F.element_at("features", 16).cast("double"), 6).alias("f15"),
+        "n_bytes")
+
+
 def q_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     """ANN scale path: random-hyperplane LSH bucketing + exact cosine
     within bucket (rows-only check — the banding plan is not one portable
@@ -788,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_balance": q_supplier_balance,
         "emb_near_dup": q_emb_near_dup,
         "lsh_topk": q_lsh_topk,
+        "multimodal_features": q_multimodal_features,
         # corpus / training-data
         "exact_dedup": q_exact_dedup,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1427,6 +1449,19 @@ def oracle_sql() -> dict[str, str]:
                (round(list_cosine_similarity(a.v, b.v) + 1e-9, 6) + 0.0) AS sim
         FROM e a JOIN e b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.v, b.v) > 0.35
+    """
+
+    # decode stub: feature i = md5(payload)[i % 16] / 256, payload = utf8
+    # text bytes; f0 = byte 0, f15 = byte 15. float32 storage on the Spark
+    # side rounds to ~7 significant digits — harmless at 6 dp rounding.
+    sql["multimodal_features"] = """
+        SELECT doc_id,
+               (round(('0x' || substr(md5(text), 1, 2))::INTEGER / 256.0
+                      + 1e-9, 6) + 0.0) AS f0,
+               (round(('0x' || substr(md5(text), 31, 2))::INTEGER / 256.0
+                      + 1e-9, 6) + 0.0) AS f15,
+               octet_length(text::BLOB) AS n_bytes
+        FROM documents
     """
 
     # lsh_topk: rows-only — the hyperplane banding plan is not one portable
