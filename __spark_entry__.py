@@ -498,7 +498,9 @@ def q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash 16-bit fingerprints over word bigrams (portable arithmetic)."""
     docs = load_table(spark, sf, "documents")
-    return (docs.select("doc_id", DD.hashed_shingles("text", n=2).alias("_hashed"))
+    return (docs.select("doc_id", DD.tokens("text").alias("_toks"))
+            .select("doc_id", DD.shingles_from_tokens(F.col("_toks"), 2).alias("_sh"))
+            .select("doc_id", DD.hash_shingles(F.col("_sh")).alias("_hashed"))
             .select("doc_id", DD.simhash_from_hashes(F.col("_hashed"), bits=16)
                     .alias("simhash")))
 

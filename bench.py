@@ -3,8 +3,10 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is forced with a cheap count() action (no driver-side collect of
-result rows — we measure engine time, not toPandas serialization).
+Each query materializes EVERY output value through the noop datasource —
+count() would let Catalyst prune the projections (a window-feature query
+"benchmarked" with count() measures a scan, not the windows), while noop
+executes the full plan without driver-side collection.
 """
 
 from __future__ import annotations
@@ -36,6 +38,9 @@ HEADLINE = [
     "quality_scores",
     "similarity_topk",
     "minhash_lsh",
+    "simhash",
+    "lag_features",
+    "label_events_full",
 ]
 
 
@@ -59,7 +64,7 @@ def bench_kiln_pipeline(spark) -> float:
         tables = {k: spark.read.parquet(f"{tmp}/{k}") for k in pdfs}
         t0 = time.time()
         out, _ = KP.run_pipeline(spark, tables, max_features=500)
-        out.count()
+        out.write.format("noop").mode("overwrite").save()
         return round(time.time() - t0, 3)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -70,13 +75,16 @@ def main() -> None:
     spark = get_spark("bench")
     qs = entry_mod.queries()
 
+    def run(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
     # warm the JVM + parquet footers once (excluded from timings)
-    qs["pricing_summary"](spark, sf_dir).count()
+    run(qs["pricing_summary"](spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
-        qs[name](spark, sf_dir).count()
+        run(qs[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
 
     # reference-parity workload (fixture generation excluded from timing)

@@ -68,13 +68,17 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
                  F.count(F.lit(1)).alias("n_dups")))
 
 
-def shingles(col: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles of normalized text as array<string>.
-
-    Built from ``split`` + ``transform`` over index offsets — JVM-side,
-    no UDF, no explode (the array stays inside the row until hashing).
+def tokens(col: Column | str) -> Column:
+    """Normalized word tokens. MATERIALIZE this in its own select before
+    shingling: every ``element_at`` inside a shingle lambda re-evaluates
+    its argument expression, so an inlined normalize+split turns one regex
+    pass into one per (shingle × n) — a >100× blowup on real text.
     """
-    toks = F.split(F.trim(normalize_text(col)), r"\s+")
+    return F.split(F.trim(normalize_text(col)), r"\s+")
+
+
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from a materialized token-array column."""
     k = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     idx = F.sequence(F.lit(0), k - 1)
     return F.when(F.size(toks) >= n,
@@ -84,6 +88,15 @@ def shingles(col: Column | str, n: int = 3) -> Column:
                   ).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles of normalized text as array<string>.
+
+    Convenience single-expression form — fine for one-off use on short
+    text; pipelines must materialize ``tokens`` first (see that docstring).
+    """
+    return shingles_from_tokens(tokens(col), n)
+
+
 def _shingle_hash(s: Column) -> Column:
     """Portable 32-bit base hash of one shingle (md5 8-hex prefix → bigint).
 
@@ -91,6 +104,11 @@ def _shingle_hash(s: Column) -> Column:
     rate within one document's shingle set (~10³ shingles) is negligible.
     """
     return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+
+
+def hash_shingles(sh: Column) -> Column:
+    """array<string> shingles → array<bigint> portable base hashes."""
+    return F.transform(sh, _shingle_hash)
 
 
 def hashed_shingles(col: Column | str, n: int = 3) -> Column:
@@ -150,8 +168,16 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     Returns (id_l, id_r, band) candidate pairs (dedup by pair downstream).
     """
     rows_per_band = num_hashes // bands
-    sig = (df.select(F.col(id_col).alias("_id"),
-                     hashed_shingles(text_col, n).alias("_hashed"))
+    # compute-heavy per-row stage: fan out first — a corpus that arrives as
+    # one small parquet file would otherwise hash every shingle in ONE task
+    par = df.sparkSession.sparkContext.defaultParallelism
+    # each select materializes one stage: tokens → shingles → hashes → sig,
+    # so no expression is re-evaluated inside downstream lambdas
+    sig = (df.select(F.col(id_col).alias("_id"), F.col(text_col))
+           .repartition(par)
+           .select("_id", tokens(text_col).alias("_toks"))
+           .select("_id", shingles_from_tokens(F.col("_toks"), n).alias("_sh"))
+           .select("_id", F.transform("_sh", _shingle_hash).alias("_hashed"))
            .select("_id",
                    minhash_from_hashes(F.col("_hashed"), num_hashes).alias("_sig")))
     band_rows = sig.select(
@@ -184,8 +210,12 @@ def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame,
     |A∩B|/|A∪B| with ``array_intersect``/``array_union`` — set semantics,
     JVM-side.
     """
-    d = docs.select(F.col(id_col).alias("_jid"),
-                    F.array_distinct(shingles(text_col, n)).alias("_sh"))
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    d = (docs.select(F.col(id_col).alias("_jid"), F.col(text_col))
+         .repartition(par)
+         .select("_jid", tokens(text_col).alias("_toks"))
+         .select("_jid", F.array_distinct(
+             shingles_from_tokens(F.col("_toks"), n)).alias("_sh")))
     out = (df_pairs
            .join(d.select(F.col("_jid").alias("id_l"), F.col("_sh").alias("_sh_l")), "id_l")
            .join(d.select(F.col("_jid").alias("id_r"), F.col("_sh").alias("_sh_r")), "id_r"))
