@@ -1,0 +1,116 @@
+"""Property-based checks (SURVEY.md §5.2-4) via hypothesis.
+
+Cheap invariants over randomized inputs: ffill idempotence, pivot/melt
+round-trip, spine row-count arithmetic, dedup-digest stability, interval
+join boundary behavior. One shared SparkSession; hypothesis generates
+SMALL examples (tens of rows) so each property runs in seconds.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from timeseries_data_analysis_spark.operators import (dedup as DD,
+                                                      pivot as PV,
+                                                      timeseries as TS)
+
+SETTINGS = dict(max_examples=10, deadline=None,
+                suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+values_with_nulls = st.lists(
+    st.one_of(st.none(), st.floats(min_value=-1e6, max_value=1e6,
+                                   allow_nan=False)),
+    min_size=1, max_size=30)
+
+
+@given(vals=values_with_nulls)
+@settings(**SETTINGS)
+def test_ffill_idempotent(spark, vals):
+    """ffill(ffill(x)) == ffill(x) — filling twice changes nothing."""
+    pdf = pd.DataFrame({
+        "ts": pd.date_range("2024-01-01", periods=len(vals), freq="h"),
+        "v": vals,
+    })
+    df = spark.createDataFrame(pdf)
+    once = df.select("ts", TS.ffill("v", [], ["ts"]).alias("v"))
+    twice = once.select("ts", TS.ffill("v", [], ["ts"]).alias("v"))
+    a = once.orderBy("ts").toPandas()
+    b = twice.orderBy("ts").toPandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
+@given(vals=values_with_nulls)
+@settings(**SETTINGS)
+def test_fill_chain_total(spark, vals):
+    """fill_chain never leaves a null (ffill→bfill→0 is total)."""
+    pdf = pd.DataFrame({
+        "ts": pd.date_range("2024-01-01", periods=len(vals), freq="h"),
+        "v": vals,
+    })
+    df = spark.createDataFrame(pdf)
+    out = df.select(TS.fill_chain("v", [], ["ts"]).alias("v")).toPandas()
+    assert out["v"].notna().all()
+
+
+@given(vals=st.lists(st.floats(min_value=-100, max_value=100,
+                               allow_nan=False),
+                     min_size=2, max_size=20),
+       keys=st.integers(min_value=2, max_value=4))
+@settings(**SETTINGS)
+def test_pivot_melt_roundtrip(spark, vals, keys):
+    """melt(pivot(long)) == long for unique (ts, key) pairs."""
+    rows = [(pd.Timestamp("2024-01-01") + pd.Timedelta(hours=i // keys),
+             f"k{i % keys}", v) for i, v in enumerate(vals)]
+    pdf = pd.DataFrame(rows, columns=["ts", "key", "value"]).drop_duplicates(
+        subset=["ts", "key"])
+    df = spark.createDataFrame(pdf)
+    vals_list = sorted(pdf["key"].unique())
+    wide = PV.pivot_wide(df, ["ts"], "key", "value", values=vals_list)
+    back = PV.melt(wide, ["ts"], key_name="key", value_name="value") \
+        .filter(F.col("value").isNotNull())
+    a = df.orderBy("ts", "key").toPandas().reset_index(drop=True)
+    b = back.orderBy("ts", "key").toPandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+@given(n_hours=st.integers(min_value=1, max_value=200))
+@settings(**SETTINGS)
+def test_spine_count(spark, n_hours):
+    """An hourly spine over [t0, t0+n) has exactly n rows."""
+    t0 = pd.Timestamp("2024-01-01")
+    t1 = t0 + pd.Timedelta(hours=n_hours - 1)
+    spine = TS.time_spine(spark, str(t0), str(t1))
+    assert spine.count() == n_hours
+
+
+@given(text=st.text(min_size=0, max_size=200))
+@settings(**SETTINGS)
+def test_digest_normalization_invariance(spark, text):
+    """Digest is invariant under case + whitespace-run changes."""
+    noisy = "  " + text.upper().replace(" ", "   ") + " "
+    df = spark.createDataFrame(
+        pd.DataFrame({"t": [text, noisy]}).astype({"t": "string"}))
+    out = df.select(DD.text_digest("t").alias("d")).toPandas()
+    assert out["d"].iloc[0] == out["d"].iloc[1]
+
+
+@given(jitter=st.integers(min_value=0, max_value=59))
+@settings(**SETTINGS)
+def test_interval_join_boundaries(spark, jitter):
+    """[start, end) inclusivity: ts==start matches, ts==end does not."""
+    start = pd.Timestamp("2024-01-01 10:00:00")
+    end = pd.Timestamp("2024-01-01 12:00:00")
+    probe = pd.DataFrame({"ts": [start, end,
+                                 start + pd.Timedelta(minutes=jitter)]})
+    iv = pd.DataFrame({"start": [start], "end": [end]})
+    from timeseries_data_analysis_spark.operators import intervals as IV
+    out = IV.interval_join(spark.createDataFrame(probe),
+                           spark.createDataFrame(iv), how="inner").toPandas()
+    matched = set(out["ts"])
+    assert start in matched
+    assert end not in matched
+    assert (start + pd.Timedelta(minutes=jitter)) in matched

@@ -1,0 +1,76 @@
+"""Source/sink coverage (SURVEY.md §2.1): schema-pinned CSV round-trip,
+parquet sink, and pushdown/pruning assertions on the corpus readers.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.fixtures import kiln_fixture as FX
+from timeseries_data_analysis_spark.sources import readers, schemas
+
+
+def test_kiln_csv_roundtrip(spark, tmp_path):
+    """S1/S2: write the fixture as headered CSV, read with pinned schema —
+    dtypes come from the schema, never inference."""
+    pdf = FX.air_calibration(n_days=5)
+    path = str(tmp_path / "air_calibration.csv")
+    pdf.to_csv(path, index=False)
+    df = readers.load_kiln_csv(spark, str(tmp_path), "air_calibration")
+    assert df.schema == schemas.KILN_SCHEMAS["air_calibration"]
+    out = df.toPandas()
+    assert len(out) == len(pdf)
+    assert out["AIR_FLOW"].dtype == "float64"
+    # timestamps parsed at scan time, not post-hoc
+    assert str(df.schema["DATE"].dataType) == "TimestampType()"
+
+
+def test_parquet_sink_partitioned(spark, tmp_path):
+    """S2: the engine's native sink — date-partitioned parquet, readable
+    back with partition pruning."""
+    pdf = FX.qrt_temperature(n_days=4)
+    df = spark.createDataFrame(pdf).withColumn(
+        "day", F.to_date("DATETIME"))
+    out_dir = str(tmp_path / "qrt")
+    df.write.partitionBy("day").mode("overwrite").parquet(out_dir)
+    assert len(glob.glob(os.path.join(out_dir, "day=*"))) == 4
+
+    back = spark.read.parquet(out_dir)
+    one_day = back.filter(F.col("day") == "2024-06-02")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    # partition pruning: the scan must carry the partition filter
+    assert "PartitionFilters" in plan
+    assert one_day.count() == len(pdf[pdf["DATETIME"].dt.date.astype(str)
+                                      == "2024-06-02"])
+
+
+def test_corpus_scan_pushdown(spark):
+    """P3 at the scan: a ts-range filter must reach the parquet reader as
+    a pushed filter, and the projection must prune to the read columns."""
+    df = readers.load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    q = df.filter(F.col("l_shipdate") <= F.lit("1995-01-01")) \
+        .select("l_quantity", "l_shipdate")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "LessThanOrEqual(l_shipdate" in plan
+    # column pruning: ReadSchema carries only the 2 selected columns
+    rs = [ln for ln in plan.split("\n") if "ReadSchema" in ln][0]
+    assert "l_quantity" in rs and "l_shipdate" in rs
+    assert "l_extendedprice" not in rs
+
+
+def test_events_ns_truncation(spark):
+    """events.ts stores nanos; the reader truncates ns→µs exactly like
+    DuckDB's parquet read (the oracle-comparability invariant)."""
+    df = readers.load_table(spark, "/root/testdata/sf0.001", "events")
+    assert str(df.schema["ts"].dataType) == "TimestampType()"
+    import duckdb
+    want = duckdb.sql(
+        "SELECT max(ts) FROM '/root/testdata/sf0.001/events.parquet'"
+    ).fetchone()[0]
+    got = df.agg(F.max("ts")).first()[0]
+    assert got == want
