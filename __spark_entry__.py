@@ -597,8 +597,15 @@ def q_label_events_full(spark: SparkSession, sf: str) -> DataFrame:
           .select(F.col("ts").alias("START_DATE"),
                   (F.col("ts") + F.expr("interval 3 hours")).alias("CRITICAL_DATE"),
                   F.col("user_id").cast("int").alias("ZONE")))
-    spine = TS.spine_for(ev, "ts", keys=["user_id"])
-    out = IV.label_events(spine, iv, ts_col="ts", pre_windows_h=(1, 2))
+    # The labels depend only on ts, not on the series key — label the
+    # DISTINCT hourly spine (|hours| × |intervals| rows) and fan out to the
+    # per-user grid afterwards with one broadcast join. Labeling the full
+    # grid first would nested-loop |hours × users| × |intervals| (60× the
+    # work at sf0.1, growing with both dimensions).
+    ts_spine = TS.spine_for(ev, "ts")
+    labels = IV.label_events(ts_spine, iv, ts_col="ts", pre_windows_h=(1, 2))
+    users = ev.select("user_id").distinct()
+    out = users.crossJoin(F.broadcast(labels))
     return out.select(
         "ts", "user_id", "accretion_forming", "accretion_critical",
         _r(F.col("days_to_critical"), 6).alias("days_to_critical"),
