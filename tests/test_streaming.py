@@ -125,3 +125,59 @@ def test_dedup_stream(spark):
         assert len(out) == 2  # 3 rows, one exact (key, ts) duplicate
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_anomaly_matches_batch(spark):
+    """W11 as a stateful streaming operator must reproduce the batch
+    anomaly detector flag-for-flag when rows arrive in order."""
+    import numpy as np
+
+    d = tempfile.mkdtemp(prefix="stream_anom_")
+    try:
+        base = pd.Timestamp("2024-06-01")
+        rng = np.random.default_rng(7)
+        rows = []
+        for k in ("a", "b"):
+            vals = 100.0 + rng.normal(0, 2, 120)
+            vals[60] = 40.0   # hard drop → -1
+            vals[90] = 170.0  # hard spike → +1
+            vals[30:34] = np.nan  # null run
+            for h, v in enumerate(vals):
+                rows.append((base + pd.Timedelta(hours=h), k,
+                             None if np.isnan(v) else float(v)))
+        pdf = pd.DataFrame(rows, columns=["ts", "event_type", "value"])
+        # time-ordered files → in-order micro-batches per key
+        for i, (lo, hi) in enumerate(((0, 40), (40, 80), (80, 120))):
+            part = pdf[(pdf["ts"] >= base + pd.Timedelta(hours=lo))
+                       & (pdf["ts"] < base + pd.Timedelta(hours=hi))]
+            spark.createDataFrame(part, schema=SCHEMA).coalesce(1) \
+                .write.mode("overwrite").parquet(f"{d}/f{i}")
+
+        src = SJ.stream_source(spark, f"{d}/*", SCHEMA, max_files_per_trigger=1)
+        anom = SJ.streaming_anomaly(src, window=24)
+        q = (anom.writeStream.format("memory").queryName("anom_sink")
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        streamed = spark.sql("SELECT * FROM anom_sink").toPandas() \
+            .sort_values(["event_type", "ts"]).reset_index(drop=True)
+
+        from timeseries_data_analysis_spark.operators import windows as WIN
+        batch_df = spark.read.schema(SCHEMA).parquet(f"{d}/*")
+        w = WIN.series_window("event_type", ["ts"])
+        feats = WIN.anomaly_features("value", w, window=24)
+        batch = batch_df.select(
+            "ts", "event_type", "value",
+            feats["value_anomaly_flag"].alias("anomaly_flag")) \
+            .toPandas().sort_values(["event_type", "ts"]).reset_index(drop=True)
+
+        assert len(streamed) == len(batch) == 240
+        pd.testing.assert_series_equal(streamed["anomaly_flag"],
+                                       batch["anomaly_flag"],
+                                       check_dtype=False)
+        # the injected anomalies are caught
+        assert streamed.loc[streamed["ts"] == base + pd.Timedelta(hours=60),
+                            "anomaly_flag"].tolist() == [-1, -1]
+        assert streamed.loc[streamed["ts"] == base + pd.Timedelta(hours=90),
+                            "anomaly_flag"].tolist() == [1, 1]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -99,6 +99,66 @@ def threshold_alerts(events: DataFrame, threshold: float,
                     (F.col("n_low_series") >= min_series).cast("int").alias("alert")))
 
 
+def streaming_anomaly(events: DataFrame, key_col: str = "event_type",
+                      ts_col: str = "ts", value_col: str = "value",
+                      window: int = 24, n_sigma: float = 2.0,
+                      min_valid_frac: float = 0.5) -> DataFrame:
+    """The reference's trailing-window anomaly detector (W11) as a CUSTOM
+    STATEFUL streaming operator via ``applyInPandasWithState``.
+
+    Batch twin: ``operators.windows.anomaly_features`` — same semantics
+    (μ, σ_pop over the preceding ``window`` ROWS excluding the current;
+    valid when the buffer holds ``window`` rows with > ``min_valid_frac``
+    non-null; flag −1/+1 outside μ ± nσ). Per-key state is a bounded
+    ring of the last ``window`` values (nulls stored as NaN so the
+    rows-vs-valid distinction survives), so state size is O(keys·window)
+    regardless of stream length. Batch/stream equivalence is a test
+    invariant (tests/test_streaming.py) given in-order arrival per key;
+    out-of-order rows within a micro-batch are sorted, across batches
+    they follow the stream's file order.
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (f"{ts_col} timestamp, {key_col} string, "
+                  f"{value_col} double, anomaly_flag int")
+    state_schema = "vals array<double>"
+
+    def fn(key, pdfs, state):
+        buf: list[float] = list(state.get[0]) if state.exists else []
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for ts, v in zip(pdf[ts_col], pdf[value_col]):
+                wnd = buf[-window:]
+                valid_vals = [x for x in wnd if not math.isnan(x)]
+                valid = (len(wnd) >= window
+                         and len(valid_vals) > window * min_valid_frac)
+                flag = 0
+                is_null = v is None or (isinstance(v, float) and math.isnan(v))
+                if valid and valid_vals and not is_null:
+                    mu = sum(valid_vals) / len(valid_vals)
+                    var = sum((x - mu) ** 2 for x in valid_vals) / len(valid_vals)
+                    sd = math.sqrt(var)
+                    if v < mu - n_sigma * sd:
+                        flag = -1
+                    elif v > mu + n_sigma * sd:
+                        flag = 1
+                rows.append((ts, key[0], None if is_null else float(v), flag))
+                buf.append(float("nan") if is_null else float(v))
+                if len(buf) > window:
+                    buf = buf[-window:]
+        state.update((buf,))
+        yield pd.DataFrame(rows, columns=[ts_col, key_col, value_col,
+                                          "anomaly_flag"])
+
+    return (events.groupBy(key_col)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
 def run_with_foreach_batch(stream_df: DataFrame,
                            fn: Callable[[DataFrame, int], None],
                            trigger_available_now: bool = True,
