@@ -711,12 +711,23 @@ def q_emb_near_dup(spark: SparkSession, sf: str) -> DataFrame:
 
     Exact O(n²) on the id_l<id_r half — the oracle-checkable baseline; the
     LSH-bucketed variant (q_lsh_topk) is the 100 TB scale path."""
-    emb = load_table(spark, sf, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    a = emb.select(F.col("vec_id").alias("id_l"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_r"), F.col("v").alias("vb"))
+    par = spark.sparkContext.defaultParallelism
+    # norms are per-VECTOR: compute them once before the O(n²) pair join
+    # (inlining cosine() would recompute both norms per pair — n× more
+    # HOF work), and repartition the streamed side so the nested-loop
+    # doesn't run in the single input-file partition
+    emb = (load_table(spark, sf, "embeddings")
+           .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+           .repartition(par)
+           .select("vec_id", "v", SIM.l2_norm(F.col("v")).alias("nrm")))
+    a = emb.select(F.col("vec_id").alias("id_l"), F.col("v").alias("va"),
+                   F.col("nrm").alias("na"))
+    b = emb.select(F.col("vec_id").alias("id_r"), F.col("v").alias("vb"),
+                   F.col("nrm").alias("nb"))
     pairs = a.join(b, F.col("id_l") < F.col("id_r"))
-    sim = SIM.cosine(F.col("va"), F.col("vb"))
+    sim = F.when(F.col("na") * F.col("nb") > 0,
+                 SIM.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+                 ).otherwise(F.lit(0.0))
     return (pairs.select("id_l", "id_r", sim.alias("_s"))
             .filter(F.col("_s") > 0.35)
             .select("id_l", "id_r", _r(F.col("_s"), 6).alias("sim")))
