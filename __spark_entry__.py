@@ -733,6 +733,20 @@ def q_emb_near_dup(spark: SparkSession, sf: str) -> DataFrame:
             .select("id_l", "id_r", _r(F.col("_s"), 6).alias("sim")))
 
 
+def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.7 JSON family (S7 wire format): typed from_json parse of the
+    props payload + aggregation over the extracted field — schema-on-read
+    stays in the JVM (no regex, no UDF)."""
+    ev = load_table(spark, sf, "events")
+    k = F.from_json("props", "k INT").getField("k")
+    return (ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count("k").alias("n_with_k"),
+                 _r(F.avg("k"), 4).alias("avg_k"),
+                 F.min("k").alias("min_k"),
+                 F.max("k").alias("max_k")))
+
+
 def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal plumbing on the corpus: documents' text bytes as binary
     payloads → mapInPandas decode stub → per-item feature vector.
@@ -830,6 +844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": q_emb_near_dup,
         "lsh_topk": q_lsh_topk,
         "multimodal_features": q_multimodal_features,
+        "json_extract": q_json_extract,
         # corpus / training-data
         "exact_dedup": q_exact_dedup,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1469,6 +1484,15 @@ def oracle_sql() -> dict[str, str]:
                (round(list_cosine_similarity(a.v, b.v) + 1e-9, 6) + 0.0) AS sim
         FROM e a JOIN e b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.v, b.v) > 0.35
+    """
+
+    sql["json_extract"] = """
+        SELECT event_type,
+               count(json_extract(props, '$.k')) AS n_with_k,
+               (round(avg(json_extract(props, '$.k')::INTEGER) + 1e-9, 4) + 0.0) AS avg_k,
+               min(json_extract(props, '$.k')::INTEGER) AS min_k,
+               max(json_extract(props, '$.k')::INTEGER) AS max_k
+        FROM events GROUP BY event_type
     """
 
     # decode stub: feature i = md5(payload)[i % 16] / 256, payload = utf8
