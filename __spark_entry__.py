@@ -781,6 +781,59 @@ def q_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("query_id", "vec_id", "rk", _r(F.col("sim"), 6).alias("sim"))
 
 
+def q_rollup_totals(spark: SparkSession, sf: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregate (SURVEY.md §2.4 'absent in reference,
+    free in Spark'): per (priority, status) order totals plus the
+    priority-level and grand-total superaggregates in one pass.
+
+    Spark plans this as Expand (one row per grouping set) feeding a single
+    hash aggregate — no repeated scans; map-side combine still applies.
+    """
+    ords = load_table(spark, sf, "orders")
+    return (
+        ords.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.grouping_id().cast("long").alias("gid"),
+             _r(F.sum("o_totalprice"), 4).alias("sum_total"),
+             F.count(F.lit(1)).alias("n_orders"))
+        .select(F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+                F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+                "gid", "sum_total", "n_orders")
+    )
+
+
+def q_ntile_quartiles(spark: SparkSession, sf: str) -> DataFrame:
+    """ntile ranking (§2.5 'absent in reference, free in Spark'): quartile
+    buckets of event value within each event_type, then per-bucket stats.
+    Null values are filtered first — Spark and SQL engines disagree on
+    default null sort placement, so the contract excludes them."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.filter(F.col("value").isNotNull())
+        .withColumn("quartile", F.ntile(4).over(w).cast("long"))
+        .groupBy("event_type", "quartile")
+        .agg(F.count(F.lit(1)).alias("n"),
+             _r(F.min("value"), 4).alias("min_v"),
+             _r(F.max("value"), 4).alias("max_v"))
+    )
+
+
+def q_cubic_interp(spark: SparkSession, sf: str) -> DataFrame:
+    """R6: cubic-spline smoothing of the hour-of-day value profile per
+    event_type (the dashboard's 11-zone smooth-curve query reshaped onto
+    the corpus). 24 knots → 93-point curve per series via a numpy
+    natural-spline ``applyInPandas`` — the engine's grouped-Arrow-batch
+    path (reference ``dashboard.py:1341-1353``)."""
+    ev = load_table(spark, sf, "events")
+    knots = (ev.groupBy("event_type",
+                        F.hour("ts").cast("double").alias("hour"))
+             .agg(F.avg("value").alias("avg_value")))
+    out = TS.cubic_interpolate(knots, ["event_type"], "hour", "avg_value",
+                               num=93, out_col="smooth_value")
+    return out.select("event_type", _r(F.col("hour"), 4).alias("hour"),
+                      _r(F.col("smooth_value"), 4).alias("smooth_value"))
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -854,6 +907,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": q_similarity_topk,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
+        # coverage batch 3: Spark-free extras + serving-side splines
+        "rollup_totals": q_rollup_totals,
+        "ntile_quartiles": q_ntile_quartiles,
+        "cubic_interp": q_cubic_interp,
     }
 
 
@@ -1517,4 +1574,30 @@ def oracle_sql() -> dict[str, str]:
     # rows-only checks. Their arithmetic building blocks ARE verified via
     # exact_dedup/doc_fingerprint (same md5-bigint hashing path) and unit
     # tests replicate signatures in DuckDB (tests/test_dedup.py).
+
+    sql["rollup_totals"] = """
+        SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+               coalesce(o_orderstatus, 'ALL')  AS status,
+               GROUPING(o_orderpriority, o_orderstatus)::BIGINT AS gid,
+               (round(sum(o_totalprice) + 1e-9, 4) + 0.0) AS sum_total,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """
+
+    sql["ntile_quartiles"] = """
+        SELECT event_type, quartile, count(*) AS n,
+               (round(min(value) + 1e-9, 4) + 0.0) AS min_v,
+               (round(max(value) + 1e-9, 4) + 0.0) AS max_v
+        FROM (
+            SELECT event_type, value,
+                   ntile(4) OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id)::BIGINT AS quartile
+            FROM events WHERE value IS NOT NULL
+        ) GROUP BY event_type, quartile
+    """
+
+    # cubic_interp: rows-only — the natural-spline tridiagonal solve is not
+    # SQL-expressible; knot fidelity (spline passes through every knot) and
+    # linear-data exactness are pytest-verified in tests/test_timeseries.py.
     return sql

@@ -100,3 +100,34 @@ def test_ffill_idempotent(spark):
     once = df.select("k", "ts", TS.ffill("value", ["k"], ["ts"]).alias("value"))
     twice = once.select("k", "ts", TS.ffill("value", ["k"], ["ts"]).alias("value"))
     assert once.collect() == twice.collect()
+
+
+# -- R6: cubic spline ---------------------------------------------------------
+
+def test_cubic_interp_passes_through_knots(spark):
+    rows = [("a", float(i), float(v)) for i, v in
+            enumerate([3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0])]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    # num chosen so the query grid lands exactly on every integer knot
+    out = TS.cubic_interpolate(df, ["k"], "x", "y", num=13, out_col="s")
+    got = {round(r["x"], 6): r["s"] for r in out.collect()}
+    for i, v in enumerate([3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0]):
+        assert abs(got[float(i)] - v) < 1e-9
+
+
+def test_cubic_interp_exact_on_linear_data(spark):
+    rows = [("a", float(i), 2.0 * i + 1.0) for i in range(8)]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    out = TS.cubic_interpolate(df, ["k"], "x", "y", num=29, out_col="s")
+    for r in out.collect():
+        assert abs(r["s"] - (2.0 * r["x"] + 1.0)) < 1e-9
+
+
+def test_cubic_interp_small_groups_fall_back(spark):
+    df = spark.createDataFrame(
+        [("a", 0.0, 0.0), ("a", 2.0, 4.0), ("b", 1.0, 7.0)],
+        "k string, x double, y double")
+    out = TS.cubic_interpolate(df, ["k"], "x", "y", num=5, out_col="s")
+    got = {(r["k"], round(r["x"], 6)): r["s"] for r in out.collect()}
+    assert abs(got[("a", 1.0)] - 2.0) < 1e-9   # 2 knots -> linear
+    assert all(abs(v - 7.0) < 1e-9 for (k, _), v in got.items() if k == "b")

@@ -239,6 +239,85 @@ def savgol_smooth(col: ColumnOrName, partition_by: list[str],
     return out
 
 
+# -- R6: cubic interpolation (serving-side) ----------------------------------
+
+def _natural_spline_eval(x, y, xq):
+    """Evaluate a natural cubic spline through (x, y) at points xq (numpy).
+
+    Tridiagonal second-derivative system with natural boundaries
+    (M₀ = Mₙ = 0); <4 knots falls back to linear. Pure numpy — scipy is
+    not available in this environment.
+    """
+    import numpy as np
+
+    n = len(x)
+    if n == 0:
+        return np.full(len(xq), np.nan, dtype=np.float64)
+    if n == 1:
+        return np.full(len(xq), float(y[0]), dtype=np.float64)
+    if n < 4:
+        return np.interp(xq, x, y)
+    h = np.diff(x)
+    a = np.zeros((n, n))
+    rhs = np.zeros(n)
+    a[0, 0] = 1.0
+    a[-1, -1] = 1.0
+    for i in range(1, n - 1):
+        a[i, i - 1] = h[i - 1]
+        a[i, i] = 2.0 * (h[i - 1] + h[i])
+        a[i, i + 1] = h[i]
+        rhs[i] = 6.0 * ((y[i + 1] - y[i]) / h[i] - (y[i] - y[i - 1]) / h[i - 1])
+    m = np.linalg.solve(a, rhs)
+    idx = np.clip(np.searchsorted(x, xq, side="right") - 1, 0, n - 2)
+    hh = x[idx + 1] - x[idx]
+    t = xq - x[idx]
+    b = (y[idx + 1] - y[idx]) / hh - hh * (2.0 * m[idx] + m[idx + 1]) / 6.0
+    return y[idx] + b * t + (m[idx] / 2.0) * t * t \
+        + ((m[idx + 1] - m[idx]) / (6.0 * hh)) * t * t * t
+
+
+def cubic_interpolate(df: DataFrame, by: list[str], x_col: str, y_col: str,
+                      num: int = 97, out_col: str = "y_smooth") -> DataFrame:
+    """Cubic-spline resample of each series to ``num`` evenly spaced points.
+
+    Reference: ``scipy.interpolate.interp1d(kind='cubic')`` over the 11
+    zone points for the dashboard's smooth profile curve
+    (``dashboard.py:1341-1353``). Serving-side only — each group is one
+    small curve, so one Arrow batch per series via ``applyInPandas`` is
+    the right shape; groups are independent and parallelize across
+    executors. The bulk analytics never route through this operator.
+    """
+    import pandas as pd  # noqa: F401 — applyInPandas contract
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [df.schema[k] for k in by]
+        + [T.StructField(x_col, T.DoubleType()),
+           T.StructField(out_col, T.DoubleType())]
+    )
+    cols = by + [x_col, out_col]
+
+    def fit(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(x_col).drop_duplicates(subset=[x_col])
+        x = pdf[x_col].to_numpy(np.float64)
+        y = pdf[y_col].to_numpy(np.float64)
+        ok = ~(np.isnan(x) | np.isnan(y))
+        x, y = x[ok], y[ok]
+        if len(x) == 0:
+            return pd.DataFrame({c: [] for c in cols})
+        xq = np.linspace(x[0], x[-1], num)
+        out = pd.DataFrame({x_col: xq, out_col: _natural_spline_eval(x, y, xq)})
+        for name, val in zip(by, key):
+            out[name] = val
+        return out[cols]
+
+    return df.groupBy(*by).applyInPandas(fit, schema)
+
+
 # -- convenience: align a source onto a spine (J1 + R2) ----------------------
 
 def align_to_spine(spine: DataFrame, src: DataFrame, on: list[str],
