@@ -98,13 +98,23 @@ def spine_for(df: DataFrame, ts_col: str = "ts",
         F.date_trunc(truncate, F.min(ts_col)).alias("_t0"),
         F.date_trunc(truncate, F.max(ts_col)).alias("_t1"),
     )
-    spine = bounds.select(
+    if keys:
+        # Fan out FROM the key dimension, not from the 1-row bounds: the
+        # distinct() exchange spreads keys across partitions, each task
+        # explodes its own keys' grid, and the output arrives already
+        # hash-partitioned by the series keys — the downstream
+        # partitionBy(keys) window reuses it instead of re-exchanging.
+        # (Explode-from-bounds runs the entire keys × hours fan-out in ONE
+        # task: the 1-row aggregate collapses to a single partition and
+        # the broadcast cross-join preserves it.)
+        dim = df.select(*keys).distinct()
+        return dim.join(F.broadcast(bounds)).select(
+            F.explode(F.sequence(F.col("_t0"), F.col("_t1"), F.expr(step))).alias(ts_col),
+            *keys,
+        )
+    return bounds.select(
         F.explode(F.sequence(F.col("_t0"), F.col("_t1"), F.expr(step))).alias(ts_col)
     )
-    if keys:
-        dim = df.select(*keys).distinct()
-        spine = spine.crossJoin(F.broadcast(dim))
-    return spine
 
 
 # -- R2/R4: forward fill, backward fill, fill chain -------------------------
