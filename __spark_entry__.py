@@ -781,6 +781,31 @@ def q_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("query_id", "vec_id", "rk", _r(F.col("sim"), 6).alias("sim"))
 
 
+def q_rolling_hash(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-SENSITIVE document fingerprint: Rabin-Karp polynomial rolling
+    hash folded over per-token md5-prefix hashes (complements the
+    order-insensitive q_doc_fingerprint). Token hashes materialize in
+    their own select so the fold lambda never re-evaluates the md5 chain."""
+    docs = load_table(spark, sf, "documents")
+    return (docs.select("doc_id", TX.token_base_hashes("text").alias("_th"))
+            .select("doc_id",
+                    TX.rolling_hash(F.col("_th")).alias("rhash"),
+                    F.size("_th").alias("n_tokens")))
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """MOSS-style winnowing fingerprints (Schleimer et al. 2003): sorted
+    distinct minima of sliding windows over 4-gram rolling hashes — the
+    plagiarism/near-dup fingerprint set guaranteeing detection of any
+    shared run of ≥ 8 tokens. Three materialized stages (tokens → k-grams
+    → minima); each HOF lambda sees only a resolved column."""
+    docs = load_table(spark, sf, "documents")
+    return (docs.select("doc_id", TX.token_base_hashes("text").alias("_th"))
+            .select("doc_id", TX.kgram_hashes(F.col("_th"), 4).alias("_kg"))
+            .select("doc_id", TX.winnow_minima(F.col("_kg"), 5).alias("fps"))
+            .select("doc_id", "fps", F.size("fps").alias("n_fps")))
+
+
 def q_rollup_totals(spark: SparkSession, sf: str) -> DataFrame:
     """Hierarchical ROLLUP aggregate (SURVEY.md §2.4 'absent in reference,
     free in Spark'): per (priority, status) order totals plus the
@@ -911,6 +936,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_totals": q_rollup_totals,
         "ntile_quartiles": q_ntile_quartiles,
         "cubic_interp": q_cubic_interp,
+        "rolling_hash": q_rolling_hash,
+        "winnow_fingerprints": q_winnow_fingerprints,
     }
 
 
@@ -1600,4 +1627,47 @@ def oracle_sql() -> dict[str, str]:
     # cubic_interp: rows-only — the natural-spline tridiagonal solve is not
     # SQL-expressible; knot fidelity (spline passes through every knot) and
     # linear-data exactness are pytest-verified in tests/test_timeseries.py.
+
+    # Shared fragment: per-token md5-prefix base hashes of normalized text
+    # (same tokenization as doc_fingerprint, same 8-hex-prefix→bigint hash
+    # as exact_dedup). P = 2^31−1, B = 31 on both engines.
+    th = ("list_transform(list_filter(regexp_split_to_array("
+          "trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), '\\s+'),"
+          " t -> len(t) > 0),"
+          " t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)")
+
+    sql["rolling_hash"] = f"""
+        WITH h AS (SELECT doc_id, {th} AS th FROM documents)
+        SELECT doc_id,
+               list_reduce(list_prepend(0::BIGINT, th),
+                           (acc, t) -> (acc * 31 + t) % 2147483647) AS rhash,
+               len(th) AS n_tokens
+        FROM h
+    """
+
+    sql["winnow_fingerprints"] = f"""
+        WITH h AS (SELECT doc_id, {th} AS th FROM documents),
+        kg AS (
+            SELECT doc_id,
+                   CASE WHEN len(th) >= 4 THEN
+                       list_transform(range(len(th) - 3), i ->
+                           ((((((th[i+1] * 31 + th[i+2]) % 2147483647)
+                               * 31 + th[i+3]) % 2147483647)
+                               * 31 + th[i+4]) % 2147483647))
+                   ELSE [] END AS kg
+            FROM h
+        )
+        SELECT doc_id,
+               list_sort(list_distinct(
+                   CASE WHEN len(kg) >= 5 THEN
+                       list_transform(range(len(kg) - 4), i ->
+                           list_aggregate(kg[i+1:i+5], 'min'))
+                   ELSE kg END)) AS fps,
+               len(list_distinct(
+                   CASE WHEN len(kg) >= 5 THEN
+                       list_transform(range(len(kg) - 4), i ->
+                           list_aggregate(kg[i+1:i+5], 'min'))
+                   ELSE kg END)) AS n_fps
+        FROM kg
+    """
     return sql

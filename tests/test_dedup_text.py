@@ -142,3 +142,40 @@ def test_lsh_bucket_deterministic_and_subset(spark):
     bf_sims = {(r["query_id"], r["vec_id"]): r["sim"] for r in bf.collect()}
     for r in lsh.collect():
         assert bf_sims[(r["query_id"], r["vec_id"])] == pytest.approx(r["sim"])
+
+
+# -- rolling hash + winnowing -------------------------------------------------
+
+def test_rolling_hash_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "fox brown quick the"),
+         (3, "THE  quick   brown fox!"), (4, "")],
+        "doc_id long, text string")
+    out = (df.select("doc_id", TX.token_base_hashes("text").alias("_th"))
+           .select("doc_id", TX.rolling_hash(F.col("_th")).alias("h")))
+    got = {r["doc_id"]: r["h"] for r in out.collect()}
+    assert got[1] != got[2]        # order matters
+    assert got[1] == got[3]        # normalization: case/space/punct invariant
+    assert got[4] == 0             # empty text -> seed value
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    # docs share an 8-token run (= w + k - 1 with k=4, w=5) amid distinct text
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [(1, "one two three " + shared + " four five"),
+         (2, "six seven " + shared + " eight nine ten"),
+         (3, "completely different words with no overlap at all")],
+        "doc_id long, text string")
+    out = (df.select("doc_id", TX.token_base_hashes("text").alias("_th"))
+           .select("doc_id", TX.kgram_hashes(F.col("_th"), 4).alias("_kg"))
+           .select("doc_id", TX.winnow_minima(F.col("_kg"), 5).alias("fps")))
+    got = {r["doc_id"]: set(r["fps"]) for r in out.collect()}
+    assert got[1] & got[2]         # winnowing guarantee: ≥1 shared print
+    assert not (got[1] & got[3])
+    # short docs (< k tokens) fingerprint to their raw gram list (empty here)
+    short = spark.createDataFrame([(9, "only three tokens")], "doc_id long, text string")
+    fps = (short.select(TX.token_base_hashes("text").alias("_th"))
+           .select(TX.kgram_hashes(F.col("_th"), 4).alias("_kg"))
+           .select(TX.winnow_minima(F.col("_kg"), 5).alias("fps"))).collect()[0]["fps"]
+    assert fps == []

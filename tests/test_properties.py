@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
-from hypothesis import HealthCheck, given, settings, strategies as st
+from hypothesis import HealthCheck, assume, given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from timeseries_data_analysis_spark.operators import (dedup as DD,
@@ -90,7 +90,13 @@ def test_spine_count(spark, n_hours):
 @given(text=st.text(min_size=0, max_size=200))
 @settings(**SETTINGS)
 def test_digest_normalization_invariance(spark, text):
-    """Digest is invariant under case + whitespace-run changes."""
+    """Digest is invariant under case + whitespace-run changes.
+
+    Only for case-round-trippable text: characters like 'ß' (upper → 'SS',
+    which lowers to 'ss') genuinely change the normalized form under
+    upper(), so the invariance claim does not apply to them.
+    """
+    assume(text.upper().lower() == text.lower())
     noisy = "  " + text.upper().replace(" ", "   ") + " "
     df = spark.createDataFrame(
         pd.DataFrame({"t": [text, noisy]}).astype({"t": "string"}))

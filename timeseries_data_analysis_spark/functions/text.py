@@ -101,3 +101,75 @@ def fingerprint(col: ColumnOrName) -> Column:
     canon = F.array_join(F.array_sort(F.array_distinct(F.filter(
         toks, lambda t: F.length(t) > 0))), " ")
     return F.md5(canon)
+
+
+# Rabin-Karp style polynomial rolling hash, computed over per-token base
+# hashes. B/P chosen so every intermediate stays inside int64:
+# acc < P ≈ 2^31 and tok_hash < 2^32, so acc·B + tok < 2^31·2^5 + 2^32 ≪ 2^63.
+ROLLING_BASE = 31
+ROLLING_PRIME = 2_147_483_647  # 2^31 − 1 (Mersenne)
+
+
+def token_base_hashes(col: ColumnOrName) -> Column:
+    """array<bigint> of portable per-token hashes (md5 8-hex prefix).
+
+    Materialize this in its own select before feeding HOF lambdas —
+    Catalyst does not CSE expressions into lambda bodies.
+    """
+    toks = F.split(F.trim(F.regexp_replace(F.lower(_c(col)), r"[^a-z0-9 ]", " ")), r"\s+")
+    toks = F.filter(toks, lambda t: F.length(t) > 0)
+    return F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"))
+
+
+def rolling_hash(hashed: Column) -> Column:
+    """Order-sensitive document fingerprint: polynomial rolling hash folded
+    over the token-hash sequence, ``h = Σ tᵢ·Bⁿ⁻ⁱ mod P``.
+
+    Complements :func:`fingerprint` (order-insensitive): two documents with
+    the same words in different order share a fingerprint but not a rolling
+    hash. One ``aggregate`` pass per doc, pure JVM arithmetic; the same
+    fold is expressible in any SQL engine with a list-reduce.
+    """
+    return F.aggregate(
+        hashed, F.lit(0).cast("bigint"),
+        lambda acc, t: (acc * ROLLING_BASE + t) % ROLLING_PRIME)
+
+
+def kgram_hashes(hashed: Column, k: int = 4) -> Column:
+    """Rolling hashes of every k-token gram from a MATERIALIZED token-hash
+    array (each gram re-folds k terms — k is a small constant).
+
+    Stage 1 of MOSS-style winnowing; materialize the result in its own
+    select before :func:`winnow_minima` (lambdas defeat CSE — an inlined
+    argument is re-evaluated per window).
+    """
+    def gram_hash(i: Column) -> Column:
+        acc = F.element_at(hashed, (i + 1).cast("int"))
+        for j in range(1, k):
+            acc = (acc * ROLLING_BASE
+                   + F.element_at(hashed, (i + j + 1).cast("int"))) % ROLLING_PRIME
+        return acc
+
+    # sequence(0, n-1) is DESCENDING for n <= 0, so the index range is
+    # guarded by the size predicate that makes it non-empty
+    return F.when(
+        F.size(hashed) >= k,
+        F.transform(F.sequence(F.lit(0), F.size(hashed) - k), gram_hash),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def winnow_minima(grams: Column, w: int = 5) -> Column:
+    """MOSS winnowing stage 2: distinct sorted minima of each sliding
+    window of ``w`` consecutive k-gram hashes (Schleimer et al. 2003,
+    public algorithm). Any shared run of ≥ w + k − 1 tokens between two
+    documents yields at least one shared fingerprint.
+
+    ``grams`` must be a materialized column (see :func:`kgram_hashes`).
+    """
+    mins = F.when(
+        F.size(grams) >= w,
+        F.transform(F.sequence(F.lit(0), F.size(grams) - w),
+                    lambda i: F.array_min(F.slice(grams, i + 1, w))),
+    ).otherwise(grams)
+    return F.array_sort(F.array_distinct(mins))

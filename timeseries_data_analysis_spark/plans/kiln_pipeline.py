@@ -109,18 +109,18 @@ def align_and_fill(sensor_long: DataFrame) -> DataFrame:
     40 million.
     """
     spine = TS.spine_for(sensor_long, "ts", keys=["series"])
-    # shuffle-hash, NOT broadcast: both sides are fact-sized (spine ≈
-    # sensor rows); a broadcast would serialize the whole sensor table
-    # through the driver in one task
-    joined = spine.join(sensor_long.hint("shuffle_hash"), ["ts", "series"], "left")
-    # Explicit hash partitioning on series: the spine explodes from a 1-row
-    # bounds aggregate (single partition), and AQE coalesces the ~MB-sized
-    # exchange back to 1-2 partitions — serializing every window below it.
-    # repartition(N, series) pins the fan-out; all downstream per-series
-    # windows (fills + features) reuse this exact distribution, so it costs
-    # no extra exchange.
-    par = joined.sparkSession.sparkContext.defaultParallelism
-    joined = joined.repartition(par, "series")
+    # Both sides explicitly hash-partitioned by series ALONE before the
+    # (ts, series) equi-join: identical subset-key partitionings satisfy
+    # the join's clustered distribution (co-partitioning on a key subset),
+    # so the join adds NO exchange and every downstream per-series window
+    # reuses the same distribution. Explicit repartition (not the
+    # distinct-exchange partitioning the spine arrives with) keeps the
+    # partition count AQE-stable on both sides so they stay compatible.
+    # shuffle-hash, NOT broadcast: both sides are fact-sized.
+    par = spine.sparkSession.sparkContext.defaultParallelism
+    joined = spine.repartition(par, "series").join(
+        sensor_long.repartition(par, "series").hint("shuffle_hash"),
+        ["ts", "series"], "left")
     interp = TS.interpolate_linear("value", "ts", ["series"])
     filled = F.coalesce(
         interp,

@@ -40,6 +40,13 @@ def get_spark(app_name: str = "timeseries_data_analysis_spark",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Subset-key co-partitioning: two sides already hash-partitioned on
+        # the SAME subset of the join keys (e.g. series for a (ts, series)
+        # join) are accepted as co-partitioned instead of re-exchanging on
+        # the full key set. The align stage partitions by series alone so
+        # the spine join and every downstream per-series window share one
+        # distribution — this flag is what lets the join add no exchange.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         # ANSI off: the engine uses explicit null-safe expression builders
