@@ -781,6 +781,19 @@ def q_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("query_id", "vec_id", "rk", _r(F.col("sim"), 6).alias("sim"))
 
 
+def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN scale path #2 (IVF): k-means coarse quantizer, queries probe
+    their 4 nearest of 16 cells, exact cosine within. Complements the
+    hyperplane-LSH variant (q_lsh_topk); fit-once / search-many shape."""
+    emb = load_table(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = SIM.ivf_topk(emb, q, k=5, n_centroids=16, n_probe=4)
+    return out.select("query_id", "vec_id", "rk",
+                      _r(F.col("sim"), 6).alias("sim"))
+
+
 def q_rolling_hash(spark: SparkSession, sf: str) -> DataFrame:
     """Order-SENSITIVE document fingerprint: Rabin-Karp polynomial rolling
     hash folded over per-token md5-prefix hashes (complements the
@@ -938,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cubic_interp": q_cubic_interp,
         "rolling_hash": q_rolling_hash,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "ivf_topk": q_ivf_topk,
     }
 
 
@@ -1627,6 +1641,11 @@ def oracle_sql() -> dict[str, str]:
     # cubic_interp: rows-only — the natural-spline tridiagonal solve is not
     # SQL-expressible; knot fidelity (spline passes through every knot) and
     # linear-data exactness are pytest-verified in tests/test_timeseries.py.
+
+    # ivf_topk: rows-only — the k-means fit is iterative, not one SQL
+    # statement; its exact-cosine rerank arithmetic is oracle-verified via
+    # similarity_topk, and recall vs brute force is pytest-bounded
+    # (tests/test_dedup_text.py).
 
     # Shared fragment: per-token md5-prefix base hashes of normalized text
     # (same tokenization as doc_fingerprint, same 8-hex-prefix→bigint hash

@@ -179,3 +179,27 @@ def test_winnowing_shared_run_guarantee(spark):
            .select(TX.kgram_hashes(F.col("_th"), 4).alias("_kg"))
            .select(TX.winnow_minima(F.col("_kg"), 5).alias("fps"))).collect()[0]["fps"]
     assert fps == []
+
+
+def test_ivf_topk_recall_on_clustered_data(spark):
+    import random
+    random.seed(11)
+    # 4 well-separated clusters in 16-d: IVF with enough probes must find
+    # the same neighbors as brute force for in-cluster queries
+    centers = [[10.0 if d == c * 4 else 0.0 for d in range(16)] for c in range(4)]
+    rows = [(i, [c + random.gauss(0, 0.1) for c in centers[i % 4]])
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    ivf = SIM.ivf_topk(df, q, k=5, n_centroids=4, n_probe=2)
+    bf = SIM.brute_force_topk(df, q, k=5)
+    ivf_pairs = {(r["query_id"], r["vec_id"]) for r in ivf.collect()}
+    bf_pairs = {(r["query_id"], r["vec_id"]) for r in bf.collect()}
+    recall = len(ivf_pairs & bf_pairs) / len(bf_pairs)
+    assert recall >= 0.9
+    # sims are exact cosines: every overlapping pair matches brute force
+    bf_sims = {(r["query_id"], r["vec_id"]): r["sim"] for r in bf.collect()}
+    for r in ivf.collect():
+        if (r["query_id"], r["vec_id"]) in bf_sims:
+            assert bf_sims[(r["query_id"], r["vec_id"])] == pytest.approx(r["sim"])

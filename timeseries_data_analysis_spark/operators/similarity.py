@@ -110,3 +110,86 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col(id_col))
     return (scored.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= k))
+
+
+# -- IVF (inverted-file) ANN --------------------------------------------------
+
+def ivf_fit_centroids(corpus: DataFrame, n_centroids: int = 16,
+                      seed: int = 42, max_iter: int = 20,
+                      sample_fraction: float | None = None,
+                      vec_col: str = "embedding") -> DataFrame:
+    """Coarse quantizer for IVF: k-means centroids of the corpus vectors.
+
+    Spark ML KMeans (kmeans|| init, seeded) fits on the corpus — or on a
+    ``sample_fraction`` of it, the standard play at 100 TB where a ~1%
+    sample trains centroids just as well. The model's centers are a tiny
+    driver-side list (n_centroids × dim floats) re-emitted as a DataFrame
+    to broadcast into the assignment joins.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    if sample_fraction is not None:
+        train = train.sample(fraction=sample_fraction, seed=seed)
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(train)
+    rows = [(i, [float(v) for v in c]) for i, c in enumerate(model.clusterCenters())]
+    return corpus.sparkSession.createDataFrame(
+        rows, "centroid_id int, centroid array<double>")
+
+
+def _assign_cells(vectors: DataFrame, centroids: DataFrame, n_probe: int,
+                  id_col: str, vec_col: str) -> DataFrame:
+    """Top ``n_probe`` centroids per vector by cosine (broadcast cross join).
+
+    Norms are materialized per vector and per centroid BEFORE the N×C
+    scoring select — inlining cosine() would recompute both norms per
+    pair, C× more sqrt/aggregate passes than needed.
+    """
+    from pyspark.sql import Window
+    v = vectors.select(id_col, F.col(vec_col).cast("array<double>").alias("_v")) \
+        .withColumn("_vn", l2_norm(F.col("_v")))
+    c = F.broadcast(centroids.withColumn("_cn", l2_norm(F.col("centroid"))))
+    den = F.col("_vn") * F.col("_cn")
+    scored = v.crossJoin(c).select(
+        id_col, "_v", "centroid_id",
+        F.when(den > 0, dot(F.col("_v"), F.col("centroid")) / den)
+        .otherwise(F.lit(0.0)).alias("_csim"))
+    w = Window.partitionBy(id_col).orderBy(F.col("_csim").desc(), "centroid_id")
+    return (scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= n_probe)
+            .select(id_col, "_v", "centroid_id"))
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             n_centroids: int = 16, n_probe: int = 4,
+             centroids: DataFrame | None = None,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id") -> DataFrame:
+    """IVF approximate top-k: corpus vectors partition into centroid cells;
+    each query probes only its ``n_probe`` nearest cells, then ranks by
+    exact cosine within them — O(N·C) assignment once + O(N·n_probe/C · Q)
+    search instead of O(N·Q) brute force.
+
+    Pass a precomputed ``centroids`` frame to amortize the fit across
+    query batches (the production shape: fit once, search many).
+    """
+    from pyspark.sql import Window
+    if centroids is None:
+        centroids = ivf_fit_centroids(corpus, n_centroids=n_centroids)
+    base = _assign_cells(corpus, centroids, 1, id_col, vec_col) \
+        .withColumnRenamed("_v", "_bv")
+    probes = F.broadcast(
+        _assign_cells(queries.select(F.col(query_id_col).alias("query_id"),
+                                     F.col(vec_col)),
+                      centroids, n_probe, "query_id", vec_col)
+        .withColumnRenamed("_v", "_qv"))
+    joined = base.join(probes, on="centroid_id")
+    scored = joined.select(
+        "query_id", id_col,
+        cosine(F.col("_bv"), F.col("_qv")).alias("sim"),
+    ).filter(F.col(id_col) != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col(id_col))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k))
