@@ -62,6 +62,7 @@ def bench_kiln_pipeline(spark) -> float:
         for k, v in pdfs.items():
             spark.createDataFrame(v).write.mode("overwrite").parquet(f"{tmp}/{k}")
         tables = {k: spark.read.parquet(f"{tmp}/{k}") for k in pdfs}
+        spark.catalog.clearCache()  # drop any prior run's persisted stages
         t0 = time.time()
         out, _ = KP.run_pipeline(spark, tables, max_features=500)
         out.write.format("noop").mode("overwrite").save()

@@ -217,6 +217,27 @@ def material_ratios(mis: DataFrame) -> DataFrame:
     return mis_h.select(*out_cols)
 
 
+def source_series_names(tables: dict[str, DataFrame]) -> list[str]:
+    """The long table's series universe, from the raw sources directly.
+
+    Mirrors build_long_sensor_table's naming: zone series are the wide
+    table's columns (schema-only), air metrics are a static triple, and
+    the qrt/shell/air key dims are single-column distincts — column-pruned
+    parquet scans over the SMALL key columns, never the feature plan.
+    """
+    names = [f"zone_{c}" for c in tables["zone_temperature"].columns
+             if c != "DATETIME"]
+    names += [f"qrt_ZONE_{r[0]}" for r in
+              tables["qrt_temperature"].select("ZONE").distinct().collect()]
+    names += [f"shell_{r[0]}" for r in
+              tables["shell_temperature"].select("POSITION").distinct().collect()]
+    fans = [r[0] for r in
+            tables["air_calibration"].select("FAN").distinct().collect()]
+    names += [f"air_{f}_{m}" for f in fans
+              for m in ("DAMPER", "VELOCITY", "AIR_FLOW")]
+    return sorted(names)
+
+
 def run_pipeline(spark: SparkSession, tables: dict[str, DataFrame],
                  max_features: int = 500) -> tuple[DataFrame, dict]:
     """Full pipeline → (hourly wide feature matrix, step metrics).
@@ -254,12 +275,20 @@ def run_pipeline(spark: SparkSession, tables: dict[str, DataFrame],
 
     # Stage 11: wide pivot at the ML boundary. `feat` fans out to three
     # consumers (pivot, differentials, risk) — persist it so the window
-    # pipeline executes ONCE, not once per consumer. The series-name list
-    # for the pivot comes from that same cached pass (tiny distinct).
+    # pipeline executes ONCE, not once per consumer, when the final action
+    # fires. Pivot column names come from the RAW sources (three tiny
+    # single-column distincts over column-pruned scans): deriving them
+    # from `feat` would execute the whole window pipeline eagerly just to
+    # learn the schema.
     t = time.time()
     feat = feat.persist()
-    series_names = [r[0] for r in
-                    feat.select("series").distinct().orderBy("series").collect()]
+    series_names = source_series_names(tables)
+    # Fill the cache in its own job BEFORE the consumers plan against it:
+    # inside one big job the three consumer subtrees schedule concurrently
+    # and each recomputes feat's windows before any cache partition lands
+    # (~3x the window compute, measured); a pre-materialized cache also
+    # gives AQE real size stats for the downstream join strategy.
+    feat.write.format("noop").mode("overwrite").save()
     base_wide = PV.pivot_wide(
         feat.select("ts", "series", "value"), ["ts"], "series", "value",
         values=series_names)
