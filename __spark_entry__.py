@@ -872,6 +872,65 @@ def q_cubic_interp(spark: SparkSession, sf: str) -> DataFrame:
                       _r(F.col("smooth_value"), 4).alias("smooth_value"))
 
 
+def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact 3-gram-Jaccard near-dup pairs via the inverted-index set-
+    similarity join (Vernica et al., SIGMOD'10) — the exact anchor for the
+    approximate dedup family (minhash_lsh / simhash). Shuffles 8-byte
+    shingle hashes + ids, never document text."""
+    docs = load_table(spark, sf, "documents")
+    out = DD.ngram_jaccard_all_pairs(docs, n=3, threshold=0.5)
+    return out.select("id_l", "id_r", "inter", "union_sz",
+                      _r(F.col("jaccard"), 6).alias("jaccard"))
+
+
+def q_cube_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE aggregate (§2.4 'absent in reference, free in Spark'): order
+    totals over every subset of {status, order-year} — all four grouping
+    sets from one Expand + single hash aggregate, no repeated scans."""
+    ords = load_table(spark, sf, "orders")
+    return (
+        ords.withColumn("order_year", F.year("o_orderdate").cast("long"))
+        .cube("o_orderstatus", "order_year")
+        .agg(F.grouping_id().cast("long").alias("gid"),
+             _r(F.avg("o_totalprice"), 4).alias("avg_total"),
+             F.count(F.lit(1)).alias("n_orders"))
+        .select(F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+                F.coalesce(F.col("order_year").cast("string"),
+                           F.lit("ALL")).alias("order_year"),
+                "gid", "avg_total", "n_orders")
+    )
+
+
+def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (30 min inactivity) + per-session rollup.
+    Batch twin of Structured Streaming's session_window; both window specs
+    and the groupBy share the user_id partitioning, so the plan is one
+    exchange → one sort → Window → partial agg."""
+    ev = load_table(spark, sf, "events")
+    sess = TS.sessionize(ev, "user_id", "ts",
+                         order_by=["ts", "event_id"], gap_s=1800)
+    ts_l = F.col("ts").cast("long")
+    return (sess.groupBy("user_id", "session_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("ts").alias("session_start"),
+                 (F.max(ts_l) - F.min(ts_l)).alias("duration_s"),
+                 _r(F.sum("value"), 4).alias("sum_value")))
+
+
+def q_percentile_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (A4's median/IQR
+    family generalized): p25/p50/p75 of event value per event_type via
+    ``F.percentile`` — single-pass sort-based agg, no Python boundary."""
+    ev = load_table(spark, sf, "events")
+    return (ev.filter(F.col("value").isNotNull())
+            .groupBy("event_type")
+            .agg(_r(F.percentile("value", 0.25), 4).alias("p25"),
+                 _r(F.percentile("value", 0.50), 4).alias("p50"),
+                 _r(F.percentile("value", 0.75), 4).alias("p75"),
+                 _r(F.avg("value"), 4).alias("avg_value"),
+                 F.count(F.lit(1)).alias("n")))
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -952,6 +1011,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_hash": q_rolling_hash,
         "winnow_fingerprints": q_winnow_fingerprints,
         "ivf_topk": q_ivf_topk,
+        # coverage batch 4: set-similarity join, cube, sessions, percentiles
+        "ngram_jaccard": q_ngram_jaccard,
+        "cube_summary": q_cube_summary,
+        "sessionize": q_sessionize,
+        "percentile_summary": q_percentile_summary,
     }
 
 
@@ -1688,5 +1752,80 @@ def oracle_sql() -> dict[str, str]:
                            list_aggregate(kg[i+1:i+5], 'min'))
                    ELSE kg END)) AS n_fps
         FROM kg
+    """
+
+    # Same tokenization as the Spark side's DD.tokens (NO empty-token
+    # filter — a whitespace-only doc yields [''] in both engines).
+    sql["ngram_jaccard"] = f"""
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(trim({norm}), '\\s+') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= 3 THEN list_distinct(
+                       list_transform(range(len(t) - 2), i ->
+                           t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+                   ELSE [array_to_string(t, ' ')] END AS s
+            FROM t
+        ), post AS (
+            SELECT doc_id, len(s) AS n,
+                   ('0x' || substr(md5(g), 1, 8))::BIGINT AS h
+            FROM (SELECT doc_id, s, unnest(s) AS g FROM sh)
+        )
+        SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+               count(*) AS inter,
+               (min(a.n) + min(b.n) - count(*))::BIGINT AS union_sz,
+               (round(count(*)::DOUBLE /
+                      (min(a.n) + min(b.n) - count(*)) + 1e-9, 6) + 0.0) AS jaccard
+        FROM post a JOIN post b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*)::DOUBLE / (min(a.n) + min(b.n) - count(*)) >= 0.5
+    """
+
+    sql["cube_summary"] = """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(order_year::VARCHAR, 'ALL') AS order_year,
+               GROUPING(o_orderstatus, order_year)::BIGINT AS gid,
+               (round(avg(o_totalprice) + 1e-9, 4) + 0.0) AS avg_total,
+               count(*) AS n_orders
+        FROM (SELECT o_orderstatus,
+                     CAST(year(o_orderdate) AS BIGINT) AS order_year,
+                     o_totalprice
+              FROM orders)
+        GROUP BY CUBE (o_orderstatus, order_year)
+    """
+
+    sql["sessionize"] = """
+        WITH g AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN date_diff('second',
+                            lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id),
+                            ts) > 1800
+                        THEN 1 ELSE 0 END AS ns
+            FROM events
+        ), s AS (
+            SELECT user_id, ts, value,
+                   sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW)::BIGINT AS session_id
+            FROM g
+        )
+        SELECT user_id, session_id, count(*) AS n_events,
+               min(ts) AS session_start,
+               date_diff('second', min(ts), max(ts))::BIGINT AS duration_s,
+               (round(sum(value) + 1e-9, 4) + 0.0) AS sum_value
+        FROM s GROUP BY user_id, session_id
+    """
+
+    sql["percentile_summary"] = """
+        SELECT event_type,
+               (round(quantile_cont(value, 0.25) + 1e-9, 4) + 0.0) AS p25,
+               (round(quantile_cont(value, 0.50) + 1e-9, 4) + 0.0) AS p50,
+               (round(quantile_cont(value, 0.75) + 1e-9, 4) + 0.0) AS p75,
+               (round(avg(value) + 1e-9, 4) + 0.0) AS avg_value,
+               count(*) AS n
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type
     """
     return sql

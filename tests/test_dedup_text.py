@@ -203,3 +203,17 @@ def test_ivf_topk_recall_on_clustered_data(spark):
     for r in ivf.collect():
         if (r["query_id"], r["vec_id"]) in bf_sims:
             assert bf_sims[(r["query_id"], r["vec_id"])] == pytest.approx(r["sim"])
+
+
+def test_ngram_jaccard_all_pairs_exact(spark):
+    # doc0 == doc1 (after normalization) → jaccard 1.0; doc2 shares 2 of
+    # its 3 distinct 3-grams with them; doc3 is disjoint.
+    base = "a b c d e"          # 3-grams {abc, bcd, cde}
+    near = "a b c d x"          # 3-grams {abc, bcd, cdx} → inter 2, union 4
+    df = docs_df(spark, [base, "A  b c, d e!", near, "p q r s t"])
+    out = {(r["id_l"], r["id_r"]): r for r in
+           DD.ngram_jaccard_all_pairs(df, n=3, threshold=0.4).collect()}
+    assert out[(0, 1)]["jaccard"] == 1.0
+    assert out[(0, 2)]["inter"] == 2 and out[(0, 2)]["union_sz"] == 4
+    assert abs(out[(0, 2)]["jaccard"] - 0.5) < 1e-12
+    assert (0, 3) not in out and (1, 3) not in out

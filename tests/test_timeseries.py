@@ -131,3 +131,19 @@ def test_cubic_interp_small_groups_fall_back(spark):
     got = {(r["k"], round(r["x"], 6)): r["s"] for r in out.collect()}
     assert abs(got[("a", 1.0)] - 2.0) < 1e-9   # 2 knots -> linear
     assert all(abs(v - 7.0) < 1e-9 for (k, _), v in got.items() if k == "b")
+
+
+def test_sessionize_gap_numbering(spark):
+    rows = [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:10:00"),
+            (1, "2024-01-01 01:00:00"),  # 50 min gap → new session
+            (1, "2024-01-01 01:20:00"),
+            (2, "2024-01-01 00:00:00")]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string").select(
+        "user_id", F.to_timestamp("ts_s").alias("ts"))
+    out = TS.sessionize(df, "user_id", "ts", gap_s=1800)
+    got = {(r["user_id"], str(r["ts"])): r["session_id"] for r in out.collect()}
+    assert got[(1, "2024-01-01 00:00:00")] == 0
+    assert got[(1, "2024-01-01 00:10:00")] == 0
+    assert got[(1, "2024-01-01 01:00:00")] == 1
+    assert got[(1, "2024-01-01 01:20:00")] == 1
+    assert got[(2, "2024-01-01 00:00:00")] == 0

@@ -162,6 +162,35 @@ def fill_chain(col: ColumnOrName, partition_by: list[str],
     )
 
 
+# -- Sessionization ----------------------------------------------------------
+
+def sessionize(df: DataFrame, key: str, ts_col: str = "ts",
+               order_by: list[str] | None = None,
+               gap_s: int = 1800,
+               out_col: str = "session_id") -> DataFrame:
+    """Gap-based sessionization: a new session starts whenever the gap to
+    the previous row of the same key exceeds ``gap_s`` seconds.
+
+    The classic two-window composition — a boundary flag from ``lag``,
+    then a running sum numbering the sessions (0-based per key). Both
+    windows share the same (key, order) spec, so Spark plans ONE
+    sort+exchange and evaluates both frames in a single Window node.
+    This is the batch twin of ``session_window`` in Structured Streaming
+    (reference's dashboard has no session concept; SURVEY.md §2.9
+    'absent — we get these free').
+    """
+    ob = order_by or [ts_col]
+    w = Window.partitionBy(key).orderBy(*ob)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    gap = (F.col(ts_col).cast("long")
+           - F.lag(F.col(ts_col).cast("long")).over(w))
+    # two selects: a window expression may not nest inside another window's
+    # argument; both specs still collapse into one sort in the plan
+    return (df.withColumn("_boundary", F.when(gap > gap_s, 1).otherwise(0))
+            .withColumn(out_col, F.sum("_boundary").over(run).cast("long"))
+            .drop("_boundary"))
+
+
 # -- R3: linear interpolation -----------------------------------------------
 
 def interpolate_linear(col: ColumnOrName, ts_col: str,
