@@ -74,3 +74,38 @@ def test_events_ns_truncation(spark):
     ).fetchone()[0]
     got = df.agg(F.max("ts")).first()[0]
     assert got == want
+
+
+def test_write_partitioned_layout(spark, tmp_path):
+    """S2 scale path: day-partitioned parquet, bounded file count."""
+    from timeseries_data_analysis_spark.sources import sinks
+    df = spark.range(200).select(
+        F.col("id"),
+        F.to_timestamp(F.lit("2024-03-01 00:00:00")).alias("ts0")
+    ).select("id", (F.col("ts0") + F.make_interval(hours=F.col("id"))).alias("ts"))
+    out = str(tmp_path / "part_out")
+    sinks.write_partitioned(df, out, "ts")
+    import glob, os
+    days = sorted(os.path.basename(p) for p in glob.glob(out + "/dt=*"))
+    assert len(days) == 9 and days[0] == "dt=2024-03-01"
+    # one data file per day directory
+    for d in glob.glob(out + "/dt=*"):
+        assert len(glob.glob(d + "/*.parquet")) == 1
+    back = spark.read.parquet(out)
+    assert back.count() == 200
+    # partition pruning: a dt filter scans one directory
+    plan = back.filter(F.col("dt") == "2024-03-05")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "PartitionFilters" not in plan or "dt" in plan
+
+
+def test_export_csv_single_file(spark, tmp_path):
+    from timeseries_data_analysis_spark.sources import sinks
+    df = spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    out = str(tmp_path / "export.csv")
+    sinks.export_csv(df, out)
+    import glob
+    files = glob.glob(out + "/part-*.csv")
+    assert len(files) == 1
+    back = spark.read.option("header", "true").csv(out)
+    assert back.count() == 10 and set(back.columns) == {"id", "v"}
