@@ -654,6 +654,20 @@ def q_union_sources(spark: SparkSession, sf: str) -> DataFrame:
                  F.countDistinct("o_orderkey").alias("n_distinct_orders")))
 
 
+def q_melt_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """A2 inverse / SURVEY §4 point 3: wide→long unpivot — the engine's
+    core layout move (wide zone_temperature → (ts, series, value) so one
+    window spec serves every series; reference instead runs per-column
+    numba kernels, pre_processing.py:333-1148)."""
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_orderkey") % 97 == 0)
+    wide = li.select("l_orderkey", "l_linenumber", "l_quantity",
+                     "l_extendedprice", "l_discount", "l_tax")
+    long = PV.melt(wide, ["l_orderkey", "l_linenumber"],
+                   key_name="metric", value_name="val")
+    return long.select("l_orderkey", "l_linenumber", "metric",
+                       (_r(F.col("val"), 4) + F.lit(0.0)).alias("val"))
+
+
 def q_time_split(spark: SparkSession, sf: str) -> DataFrame:
     """Time-ordered 80/20 split by exact interpolated percentile of ts
     (reference train_models_simple.py:324-328 — split never shuffles time)."""
@@ -987,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cat_codes": q_cat_codes,
         "dummies_top": q_dummies_top,
         "union_sources": q_union_sources,
+        "melt_metrics": q_melt_metrics,
         "time_split": q_time_split,
         "time_range_filter": q_time_range_filter,
         "grade_share": q_grade_share,
@@ -1599,6 +1614,24 @@ def oracle_sql() -> dict[str, str]:
         SELECT o_orderstatus, count(*) AS n_rows,
                count(DISTINCT o_orderkey) AS n_distinct_orders
         FROM u GROUP BY o_orderstatus
+    """
+
+    sql["melt_metrics"] = """
+        WITH w AS (
+            SELECT l_orderkey, l_linenumber,
+                   l_quantity, l_extendedprice, l_discount, l_tax
+            FROM lineitem WHERE l_orderkey % 97 = 0)
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+               (round(l_quantity + 1e-9, 4) + 0.0) AS val FROM w
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+               (round(l_extendedprice + 1e-9, 4) + 0.0) FROM w
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount',
+               (round(l_discount + 1e-9, 4) + 0.0) FROM w
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax',
+               (round(l_tax + 1e-9, 4) + 0.0) FROM w
     """
 
     sql["time_split"] = """
