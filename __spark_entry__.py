@@ -23,6 +23,7 @@ from timeseries_data_analysis_spark.sources import load_table
 from timeseries_data_analysis_spark.operators import (
     windows as WIN, timeseries as TS, intervals as IV, pivot as PV,
     topk as TK, dedup as DD, similarity as SIM, encoding as ENC,
+    skew as SKEW,
 )
 from timeseries_data_analysis_spark.functions import math_fns as M, text as TX
 
@@ -496,13 +497,11 @@ def q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash 16-bit fingerprints over word bigrams (portable arithmetic)."""
+    """SimHash 16-bit fingerprints over word bigrams (portable arithmetic;
+    exploded codegen fast path — see dedup.simhash_fingerprints)."""
     docs = load_table(spark, sf, "documents")
-    return (docs.select("doc_id", DD.tokens("text").alias("_toks"))
-            .select("doc_id", DD.shingles_from_tokens(F.col("_toks"), 2).alias("_sh"))
-            .select("doc_id", DD.hash_shingles(F.col("_sh")).alias("_hashed"))
-            .select("doc_id", DD.simhash_from_hashes(F.col("_hashed"), bits=16)
-                    .alias("simhash")))
+    return (DD.simhash_fingerprints(docs, n=2, bits=16)
+            .select(F.col("_id").alias("doc_id"), F.col("_fp").alias("simhash")))
 
 
 # ---------------------------------------------------------------------------
@@ -949,6 +948,186 @@ def q_percentile_summary(spark: SparkSession, sf: str) -> DataFrame:
 # Contract
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Coverage batch 5: grouping sets, gap detection, running totals,
+# first/last/nth windows, histograms, weighted stats, TF-IDF, embedding
+# centroids, per-vector array profiling, skew-salted aggregation, and the
+# SimHash Hamming pair join (full integer oracle).
+# ---------------------------------------------------------------------------
+
+def q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Beyond-reference OLAP: explicit GROUPING SETS ((status), (priority),
+    ()) — one scan, three aggregation grains (completes the cube/rollup
+    family; Spark expands the sets into a single Expand + hash-agg, no
+    re-scan per grain)."""
+    orders = load_table(spark, sf, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus", "o_orderpriority")
+        .agg(F.grouping_id().cast("bigint").alias("gid"),
+             F.count(F.lit(1)).alias("n_orders"),
+             _r(F.sum("o_totalprice"), 4).alias("sum_total"))
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "gid", "n_orders", "sum_total")
+    )
+
+
+def q_gap_detect(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series gap detection: lead(ts) per user exposes holes in the
+    feed ≥ 2 h — the monitoring query a sensor pipeline runs continuously
+    (complements R1-R4 gap-FILLING with gap-FINDING). One window pass,
+    partition-parallel by user."""
+    ev = load_table(spark, sf, "events")
+    w = _events_window()
+    nxt = F.lead("ts").over(w)
+    gap_s = (F.unix_timestamp(nxt) - F.unix_timestamp(F.col("ts")))
+    return (ev.select("user_id", "ts", nxt.alias("next_ts"),
+                      gap_s.alias("gap_s"))
+            .filter(F.col("gap_s") >= 7200))
+
+
+def q_running_total(spark: SparkSession, sf: str) -> DataFrame:
+    """Cumulative (unbounded-preceding) running sum/count per user — the
+    classic prefix aggregation; frame grows left-to-right so both engines
+    add in identical order."""
+    ev = load_table(spark, sf, "events")
+    w = _events_window().rowsBetween(Window.unboundedPreceding, 0)
+    return ev.select(
+        "user_id", "event_id", "ts",
+        _r(F.sum("value").over(w), 4).alias("running_sum"),
+        F.count(F.lit(1)).over(w).alias("running_n"))
+
+
+def q_first_last(spark: SparkSession, sf: str) -> DataFrame:
+    """first_value/last_value/nth_value over the full partition frame —
+    the per-key "first reading, latest reading, second reading" probe
+    (generalizes P8's latest-row probe to both ends in ONE window pass)."""
+    ev = load_table(spark, sf, "events")
+    full = _events_window().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    rn = F.row_number().over(_events_window())
+    return (ev.select(
+        "user_id",
+        F.first("value").over(full).alias("first_v"),
+        F.last("value").over(full).alias("last_v"),
+        F.nth_value("value", 2).over(full).alias("second_v"),
+        F.count(F.lit(1)).over(full).alias("n_events"),
+        rn.alias("_rn"))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn"))
+
+
+def q_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-width histogram of event values (floor-bucketing — integer
+    group keys, map-side combinable; the distributed substitute for
+    pandas .hist/value binning)."""
+    ev = load_table(spark, sf, "events")
+    bucket = F.floor(F.col("value") / F.lit(25.0)).cast("bigint")
+    return (ev.filter(F.col("value").isNotNull())
+            .groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 _r(F.min("value"), 4).alias("min_v"),
+                 _r(F.max("value"), 4).alias("max_v"),
+                 _r(F.avg("value"), 4).alias("avg_v")))
+
+
+def q_weighted_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted aggregation: extended-price-weighted mean discount per
+    brand (Σw·x/Σw — the ratio-of-sums form that distributes, vs. the
+    non-distributive mean-of-ratios)."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return (j.groupBy("p_brand")
+            .agg(_r(F.sum(F.col("l_extendedprice") * F.col("l_discount"))
+                    / F.sum("l_extendedprice"), 6).alias("w_avg_discount"),
+                 _r(F.sum("l_extendedprice"), 4).alias("total_weight"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """TF-IDF top-3 terms per document — the standard corpus-analysis
+    ranking (tf = term count / doc length; idf = ln(N/df)). Three partial
+    aggregations over the exploded token stream; N arrives via a 1-row
+    broadcast cross join, never a driver collect."""
+    docs = load_table(spark, sf, "documents")
+    toks = (docs.select("doc_id", DD.tokens("text").alias("_toks"))
+            .select("doc_id", F.explode("_toks").alias("term")))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    doclen = tf.groupBy("doc_id").agg(F.sum("c").alias("_len"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
+    scored = (tf.join(doclen, "doc_id")
+              .join(F.broadcast(dfreq), "term")
+              .crossJoin(F.broadcast(n_docs))
+              .select("doc_id", "term",
+                      _r((F.col("c") / F.col("_len"))
+                         * F.log(F.col("_n") / F.col("_df")), 6).alias("tfidf")))
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("doc_id", "term", "tfidf", F.col("rk").cast("bigint").alias("rk")))
+
+
+def q_centroid_similarity(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label embedding centroids (long-form posexplode + partial agg,
+    shuffle ≤ |labels|·dim rows) and their pairwise cosines — the
+    cluster-compactness / label-confusion diagnostic for embedding QA."""
+    emb = load_table(spark, sf, "embeddings")
+    cents = SIM.label_centroids(emb, "label", "embedding")
+    return (SIM.centroid_cosine_pairs(cents)
+            .select("label_l", "label_r", _r(F.col("cos_sim"), 6).alias("cos_sim")))
+
+
+def q_array_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.7 defensive array-cell profiling (simple_pre_processing.py:710-767):
+    size/mean/std/min/max of each array cell — higher-order fns only, the
+    sums fold left-to-right so both engines accumulate in the same order."""
+    emb = load_table(spark, sf, "embeddings")
+    # cast to double FIRST: x*x on float32 operands squares in float32,
+    # a ~1e-7-relative error the oracle (which squares in double) sees
+    v = F.col("embedding").cast("array<double>")
+    n = F.size(v)
+    s1 = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x)
+    s2 = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    mean = s1 / n
+    var = F.greatest(s2 / n - mean * mean, F.lit(0.0))
+    return emb.select(
+        "vec_id", n.cast("bigint").alias("dim"),
+        _r(mean, 6).alias("mean_v"),
+        _r(F.sqrt(var), 6).alias("std_v"),
+        _r(F.array_min(v), 6).alias("min_v"),
+        _r(F.array_max(v), 6).alias("max_v"))
+
+
+def q_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-safe two-stage aggregation (operators/skew.py): heavy-hitter
+    keys split across (key, salt) reducers, partials recombine on the bare
+    key — result identical to the plain groupBy, which IS the oracle."""
+    ev = load_table(spark, sf, "events")
+    out = SKEW.salted_agg(ev.filter(F.col("value").isNotNull()),
+                          ["event_type"], "value", n_salt=16)
+    return out.select(
+        "event_type", "n",
+        _r(F.col("sum_v"), 4).alias("sum_v"),
+        _r(F.col("min_v"), 4).alias("min_v"),
+        _r(F.col("max_v"), 4).alias("max_v"),
+        _r(F.col("avg_v"), 4).alias("avg_v"))
+
+
+def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup PAIRS: band the 16-bit fingerprint into 4 chunks,
+    equi-join on any shared chunk (pigeonhole-complete for hamming ≤ 3),
+    verify with bit_count(xor). Integer-only md5-portable arithmetic —
+    full value oracle, unlike signature-only `simhash`."""
+    docs = load_table(spark, sf, "documents")
+    out = DD.simhash_hamming_pairs(docs, n=2, bits=16, bands=4, max_hamming=3)
+    return out.select("id_l", "id_r", F.col("hamming").cast("bigint").alias("hamming"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's anomaly detector over sf0.001 events."""
     return q_anomaly_detect(spark, SF_SMOKE)
@@ -1031,6 +1210,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_summary": q_cube_summary,
         "sessionize": q_sessionize,
         "percentile_summary": q_percentile_summary,
+        # coverage batch 5: grouping sets, gaps, prefix/frame windows,
+        # histograms, weighted/TF-IDF/centroid analytics, skew, simhash pairs
+        "grouping_sets": q_grouping_sets,
+        "gap_detect": q_gap_detect,
+        "running_total": q_running_total,
+        "first_last": q_first_last,
+        "histogram": q_histogram,
+        "weighted_stats": q_weighted_stats,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "centroid_similarity": q_centroid_similarity,
+        "array_profile": q_array_profile,
+        "salted_agg": q_salted_agg,
+        "simhash_pairs": q_simhash_pairs,
     }
 
 
@@ -1860,5 +2052,192 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n
         FROM events WHERE value IS NOT NULL
         GROUP BY event_type
+    """
+
+    sql["grouping_sets"] = """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               GROUPING(o_orderstatus, o_orderpriority)::BIGINT AS gid,
+               count(*) AS n_orders,
+               (round(sum(o_totalprice) + 1e-9, 4) + 0.0) AS sum_total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """
+
+    sql["gap_detect"] = f"""
+        WITH g AS (
+            SELECT user_id, ts,
+                   lead(ts) OVER ({_WIN}) AS next_ts
+            FROM events
+        )
+        SELECT user_id, ts, next_ts,
+               date_diff('second', ts, next_ts)::BIGINT AS gap_s
+        FROM g
+        WHERE date_diff('second', ts, next_ts) >= 7200
+    """
+
+    sql["running_total"] = f"""
+        SELECT user_id, event_id, ts,
+               (round(sum(value) OVER ({_WIN}
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    + 1e-9, 4) + 0.0) AS running_sum,
+               count(*) OVER ({_WIN}
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    ::BIGINT AS running_n
+        FROM events
+    """
+
+    sql["first_last"] = f"""
+        WITH w AS (
+            SELECT user_id,
+                   first_value(value) OVER ({_WIN} ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND UNBOUNDED FOLLOWING) AS first_v,
+                   last_value(value) OVER ({_WIN} ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND UNBOUNDED FOLLOWING) AS last_v,
+                   nth_value(value, 2) OVER ({_WIN} ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND UNBOUNDED FOLLOWING) AS second_v,
+                   count(*) OVER (PARTITION BY user_id)::BIGINT AS n_events,
+                   row_number() OVER ({_WIN}) AS rn
+            FROM events
+        )
+        SELECT user_id, first_v, last_v, second_v, n_events
+        FROM w WHERE rn = 1
+    """
+
+    sql["histogram"] = """
+        SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+               count(*) AS n,
+               (round(min(value) + 1e-9, 4) + 0.0) AS min_v,
+               (round(max(value) + 1e-9, 4) + 0.0) AS max_v,
+               (round(avg(value) + 1e-9, 4) + 0.0) AS avg_v
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1
+    """
+
+    sql["weighted_stats"] = """
+        SELECT p_brand,
+               (round(sum(l_extendedprice * l_discount)
+                      / sum(l_extendedprice) + 1e-9, 6) + 0.0) AS w_avg_discount,
+               (round(sum(l_extendedprice) + 1e-9, 4) + 0.0) AS total_weight,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    """
+
+    # Rank over the ROUNDED score in both engines: ln() may differ in the
+    # last ulp across libm implementations, and an unrounded rank key would
+    # let that noise reorder near-ties.
+    sql["tfidf_top_terms"] = f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim({norm}), '\\s+')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS c FROM toks GROUP BY 1, 2
+        ), dl AS (
+            SELECT doc_id, sum(c) AS len FROM tf GROUP BY 1
+        ), df AS (
+            SELECT term, count(*) AS dfreq FROM tf GROUP BY 1
+        ), n AS (
+            SELECT count(*) AS nd FROM documents
+        ), scored AS (
+            SELECT tf.doc_id, tf.term,
+                   (round((tf.c::DOUBLE / dl.len)
+                          * ln(n.nd::DOUBLE / df.dfreq) + 1e-9, 6) + 0.0) AS tfidf
+            FROM tf JOIN dl USING (doc_id) JOIN df USING (term), n
+        ), ranked AS (
+            SELECT doc_id, term, tfidf,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY tfidf DESC, term) AS rk
+            FROM scored
+        )
+        SELECT doc_id, term, tfidf, rk::BIGINT AS rk
+        FROM ranked WHERE rk <= 3
+    """
+
+    sql["centroid_similarity"] = """
+        WITH c AS (
+            SELECT label, i AS pos, avg(embedding[i + 1]::DOUBLE) AS c
+            FROM embeddings, range(0, 64) t(i)
+            GROUP BY 1, 2
+        )
+        SELECT a.label AS label_l, b.label AS label_r,
+               (round(CASE WHEN sqrt(sum(a.c * a.c)) * sqrt(sum(b.c * b.c)) > 0
+                      THEN sum(a.c * b.c)
+                           / (sqrt(sum(a.c * a.c)) * sqrt(sum(b.c * b.c)))
+                      ELSE 0.0 END + 1e-9, 6) + 0.0) AS cos_sim
+        FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label
+        GROUP BY 1, 2
+    """
+
+    sql["array_profile"] = """
+        WITH s AS (
+            SELECT vec_id, len(embedding) AS n,
+                   list_aggregate(list_transform(embedding,
+                       x -> x::DOUBLE), 'sum') AS s1,
+                   list_aggregate(list_transform(embedding,
+                       x -> x::DOUBLE * x), 'sum') AS s2,
+                   list_aggregate(list_transform(embedding,
+                       x -> x::DOUBLE), 'min') AS mn,
+                   list_aggregate(list_transform(embedding,
+                       x -> x::DOUBLE), 'max') AS mx
+            FROM embeddings
+        )
+        SELECT vec_id, n::BIGINT AS dim,
+               (round(s1 / n + 1e-9, 6) + 0.0) AS mean_v,
+               (round(sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0))
+                      + 1e-9, 6) + 0.0) AS std_v,
+               (round(mn + 1e-9, 6) + 0.0) AS min_v,
+               (round(mx + 1e-9, 6) + 0.0) AS max_v
+        FROM s
+    """
+
+    sql["salted_agg"] = """
+        SELECT event_type, count(*) AS n,
+               (round(sum(value) + 1e-9, 4) + 0.0) AS sum_v,
+               (round(min(value) + 1e-9, 4) + 0.0) AS min_v,
+               (round(max(value) + 1e-9, 4) + 0.0) AS max_v,
+               (round(avg(value) + 1e-9, 4) + 0.0) AS avg_v
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type
+    """
+
+    # Full SimHash replay in SQL: same md5 32-bit shingle hashes, same
+    # per-bit ±1 votes, same banding — integer-only, so the pair set and
+    # hamming distances match exactly (no rows-only fallback needed).
+    sql["simhash_pairs"] = f"""
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(trim({norm}), '\\s+') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= 2 THEN
+                       list_transform(range(len(t) - 1), i ->
+                           t[i + 1] || ' ' || t[i + 2])
+                   ELSE [array_to_string(t, ' ')] END AS s
+            FROM t
+        ), post AS (
+            SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT AS h
+            FROM (SELECT doc_id, unnest(s) AS g FROM sh)
+        ), votes AS (
+            SELECT doc_id, b.bit,
+                   sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+            FROM post, range(0, 16) b(bit)
+            GROUP BY 1, 2
+        ), fp AS (
+            SELECT doc_id,
+                   sum(CASE WHEN v > 0 THEN 1 << bit ELSE 0 END)::BIGINT AS f
+            FROM votes GROUP BY 1
+        ), chunks AS (
+            SELECT doc_id, f, c.band, (f >> (c.band * 4)) & 15 AS chunk
+            FROM fp, range(0, 4) c(band)
+        )
+        SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+               min(bit_count(xor(a.f, b.f)))::BIGINT AS hamming
+        FROM chunks a
+        JOIN chunks b ON a.band = b.band AND a.chunk = b.chunk
+                     AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING min(bit_count(xor(a.f, b.f))) <= 3
     """
     return sql

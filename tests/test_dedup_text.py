@@ -217,3 +217,33 @@ def test_ngram_jaccard_all_pairs_exact(spark):
     assert out[(0, 2)]["inter"] == 2 and out[(0, 2)]["union_sz"] == 4
     assert abs(out[(0, 2)]["jaccard"] - 0.5) < 1e-12
     assert (0, 3) not in out and (1, 3) not in out
+
+
+def test_simhash_hamming_pairs_matches_brute_force(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",   # near-dup of 0
+        "a completely different document about spark engines",
+        "the quick brown fox jumps over the lazy dog",   # exact dup of 0
+        "spark engines process completely different documents",
+    ]
+    df = docs_df(spark, texts)
+    got = {(r["id_l"], r["id_r"]): r["hamming"]
+           for r in DD.simhash_hamming_pairs(df, bands=4, max_hamming=3).collect()}
+    # brute-force oracle: all C(n,2) xor distances from the signatures
+    sigs = {r["doc_id"]: r["s"] for r in df.select(
+        "doc_id", DD.simhash("text", n=2, bits=16).alias("s")).collect()}
+    expect = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            h = bin(sigs[i] ^ sigs[j]).count("1")
+            if h <= 3:
+                expect[(i, j)] = h
+    assert got == expect
+    assert got[(0, 3)] == 0  # exact dup → distance 0
+
+
+def test_simhash_hamming_pairs_rejects_uncovered_distance(spark):
+    df = docs_df(spark, ["a b c"])
+    with pytest.raises(ValueError):
+        DD.simhash_hamming_pairs(df, bands=4, max_hamming=4)

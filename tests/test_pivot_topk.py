@@ -45,3 +45,53 @@ def test_value_counts_top_n(spark):
     out = TK.value_counts_top_n(df, "v", 2)
     got = [(r["v"], r["n"]) for r in out.collect()]
     assert got == [("a", 3), ("b", 2)]
+
+
+def test_salted_agg_matches_plain_groupby(spark, sf_dir):
+    from timeseries_data_analysis_spark.operators import skew as SKEW
+    from timeseries_data_analysis_spark.sources import load_table
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    got = {r["event_type"]: r for r in
+           SKEW.salted_agg(ev, ["event_type"], "value", n_salt=8).collect()}
+    exp = {r["event_type"]: r for r in
+           ev.groupBy("event_type").agg(
+               F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_v"),
+               F.min("value").alias("min_v"), F.max("value").alias("max_v"),
+               F.avg("value").alias("avg_v")).collect()}
+    assert set(got) == set(exp)
+    for k in got:
+        assert got[k]["n"] == exp[k]["n"]
+        assert got[k]["min_v"] == exp[k]["min_v"]
+        assert got[k]["max_v"] == exp[k]["max_v"]
+        assert abs(got[k]["sum_v"] - exp[k]["sum_v"]) < 1e-6
+        assert abs(got[k]["avg_v"] - exp[k]["avg_v"]) < 1e-9
+
+
+def test_salted_broadcast_join_matches_plain_join(spark, sf_dir):
+    from timeseries_data_analysis_spark.operators import skew as SKEW
+    from timeseries_data_analysis_spark.sources import load_table
+    ev = load_table(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(
+            ["click", "error", "purchase", "signup", "view"])],
+        "event_type string, type_code int")
+    got = SKEW.salted_broadcast_join(ev, dim, "event_type", n_salt=4)
+    exp = ev.join(dim, "event_type")
+    assert got.count() == exp.count()
+    g = got.groupBy("event_type").count().collect()
+    e = exp.groupBy("event_type").count().collect()
+    assert {(r["event_type"], r["count"]) for r in g} == \
+           {(r["event_type"], r["count"]) for r in e}
+
+
+def test_label_centroid_pairs_bounds(spark, sf_dir):
+    from timeseries_data_analysis_spark.operators import similarity as SIM
+    from timeseries_data_analysis_spark.sources import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = SIM.label_centroids(emb)
+    n_labels = emb.select("label").distinct().count()
+    dim = len(emb.select("embedding").first()[0])
+    assert cents.count() == n_labels * dim
+    pairs = SIM.centroid_cosine_pairs(cents).collect()
+    assert len(pairs) == n_labels * (n_labels - 1) // 2
+    assert all(-1.0 - 1e-9 <= r["cos_sim"] <= 1.0 + 1e-9 for r in pairs)

@@ -181,3 +181,80 @@ def test_streaming_anomaly_matches_batch(spark):
                             "anomaly_flag"].tolist() == [1, 1]
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+USER_SCHEMA = T.StructType([
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_id", T.LongType()),
+    T.StructField("value", T.DoubleType()),
+])
+
+
+@pytest.fixture(scope="module")
+def user_input_dir(spark):
+    d = tempfile.mkdtemp(prefix="stream_user_")
+    base = pd.Timestamp("2024-06-01")
+    rows, eid = [], 0
+    for u in (1, 2):
+        # two sessions per user separated by a 2 h silence
+        for burst_start_min in (0, 180):
+            for k in range(4):
+                rows.append((base + pd.Timedelta(minutes=burst_start_min + 10 * k),
+                             u, eid, float(10 * u + k)))
+                eid += 1
+    pdf = pd.DataFrame(rows, columns=["ts", "user_id", "event_id", "value"])
+    for i, part in enumerate((pdf.iloc[:8], pdf.iloc[8:])):
+        spark.createDataFrame(part, schema=USER_SCHEMA).coalesce(1) \
+            .write.mode("overwrite").parquet(f"{d}/f{i}")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_session_window_matches_batch_sessionize(spark, user_input_dir):
+    from timeseries_data_analysis_spark.operators import timeseries as TS
+    src = SJ.stream_source(spark, f"{user_input_dir}/*", USER_SCHEMA,
+                           max_files_per_trigger=1)
+    out = SJ.session_window_rollup(src, gap="30 minutes")
+    _drain(out, "session_sink")
+    got = {(r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+           for r in spark.sql("select * from session_sink").collect()}
+    # 2 users × 2 sessions
+    assert len(got) == 4
+    batch = spark.read.schema(USER_SCHEMA).parquet(f"{user_input_dir}/*")
+    sess = TS.sessionize(batch, "user_id", ts_col="ts",
+                         order_by=["ts", "event_id"], gap_s=1800)
+    bat = (sess.groupBy("user_id", "session_id")
+           .agg(F.min("ts").alias("session_start"),
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("sum_value")))
+    exp = {(r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+           for r in bat.collect()}
+    assert got == exp
+
+
+def test_stream_stream_join_matches_batch(spark, user_input_dir):
+    src_l = SJ.stream_source(spark, f"{user_input_dir}/*", USER_SCHEMA,
+                             max_files_per_trigger=1)
+    src_r = SJ.stream_source(spark, f"{user_input_dir}/*", USER_SCHEMA,
+                             max_files_per_trigger=1)
+    out = SJ.stream_stream_join(src_l, src_r, tolerance="15 minutes")
+    q = (out.writeStream.format("memory").queryName("ssj_sink")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["l_event_id"], r["r_event_id"])
+           for r in spark.sql("select * from ssj_sink").collect()}
+    batch = spark.read.schema(USER_SCHEMA).parquet(f"{user_input_dir}/*")
+    lt = batch.select(F.col("user_id").alias("l_key"), F.col("ts").alias("l_ts"),
+                      F.col("event_id").alias("l_event_id"))
+    rt = batch.select(F.col("user_id").alias("r_key"), F.col("ts").alias("r_ts"),
+                      F.col("event_id").alias("r_event_id"))
+    exp = {(r["l_event_id"], r["r_event_id"]) for r in lt.join(
+        rt, (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("interval 15 minutes"))
+    ).collect()}
+    assert got == exp
+    # self-pairs exist (same event joins itself at distance 0)
+    assert all(l == r or True for l, r in got) and len(got) > len(
+        {p for p in got if p[0] == p[1]})

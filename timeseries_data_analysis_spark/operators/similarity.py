@@ -112,6 +112,43 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
             .filter(F.col("rk") <= k))
 
 
+def label_centroids(df: DataFrame, label_col: str = "label",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Per-label mean vector in LONG form: (label, pos, c) — one row per
+    (label, dimension).
+
+    ``posexplode`` turns the N×D corpus into N·D scalar rows; the groupBy
+    on (label, pos) partial-aggregates map-side, so the shuffle carries at
+    most |labels|·D rows per partition regardless of corpus size — the
+    scalable way to average 100 TB of vectors (no driver collect, no UDF).
+    """
+    return (df.select(F.col(label_col).alias("label"),
+                      F.posexplode(F.col(vec_col)).alias("pos", "v"))
+            .groupBy("label", "pos")
+            .agg(F.avg("v").alias("c")))
+
+
+def centroid_cosine_pairs(centroids_long: DataFrame) -> DataFrame:
+    """Pairwise cosine similarity between label centroids given in long
+    (label, pos, c) form: self-join on the dimension index, one agg pass
+    computing Σab, Σa², Σb² per pair. |labels|² is tiny by construction,
+    so the join input is the already-aggregated centroid table.
+    """
+    a = centroids_long.select(F.col("label").alias("label_l"),
+                              "pos", F.col("c").alias("_ca"))
+    b = centroids_long.select(F.col("label").alias("label_r"),
+                              "pos", F.col("c").alias("_cb"))
+    pairs = a.join(b, "pos").filter(F.col("label_l") < F.col("label_r"))
+    agg = pairs.groupBy("label_l", "label_r").agg(
+        F.sum(F.col("_ca") * F.col("_cb")).alias("_dot"),
+        F.sum(F.col("_ca") * F.col("_ca")).alias("_na"),
+        F.sum(F.col("_cb") * F.col("_cb")).alias("_nb"))
+    den = F.sqrt(F.col("_na")) * F.sqrt(F.col("_nb"))
+    return agg.select(
+        "label_l", "label_r",
+        F.when(den > 0, F.col("_dot") / den).otherwise(F.lit(0.0)).alias("cos_sim"))
+
+
 # -- IVF (inverted-file) ANN --------------------------------------------------
 
 def ivf_fit_centroids(corpus: DataFrame, n_centroids: int = 16,

@@ -159,6 +159,56 @@ def streaming_anomaly(events: DataFrame, key_col: str = "event_type",
                                     "update", GroupStateTimeout.NoTimeout))
 
 
+def session_window_rollup(events: DataFrame, gap: str = "30 minutes",
+                          ts_col: str = "ts", key_col: str = "user_id",
+                          value_col: str = "value",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Gap-based session windows (beyond the reference — SURVEY §2.9 notes
+    it has none): per-key sessions close after ``gap`` of silence.
+
+    Batch twin: ``operators.timeseries.sessionize`` (lag + cumulative
+    session ids) — same grouping for in-order data. Streaming state is one
+    open session per key, merged/evicted by the watermark.
+    """
+    return (events
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.session_window(ts_col, gap).alias("win"), key_col)
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(value_col).alias("sum_value"))
+            .select(F.col("win.start").alias("session_start"),
+                    F.col("win.end").alias("session_end"),
+                    key_col, "n_events", "sum_value"))
+
+
+def stream_stream_join(left: DataFrame, right: DataFrame,
+                       key_col: str = "user_id",
+                       ts_col: str = "ts",
+                       tolerance: str = "1 hour",
+                       watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream inner join within a time tolerance (beyond the
+    reference): pair each left event with right events for the same key at
+    most ``tolerance`` later — the streaming form of the bounded-range
+    interval join (J3 family).
+
+    Both sides carry watermarks and the join predicate bounds event-time
+    distance, so each side's buffered state evicts once the other side's
+    watermark passes (Spark's state-cleanup condition for stream-stream
+    joins).
+    """
+    lt = left.select(F.col(key_col).alias("l_key"),
+                     F.col(ts_col).alias("l_ts"),
+                     F.col("event_id").alias("l_event_id")) \
+        .withWatermark("l_ts", watermark)
+    rt = right.select(F.col(key_col).alias("r_key"),
+                      F.col(ts_col).alias("r_ts"),
+                      F.col("event_id").alias("r_event_id")) \
+        .withWatermark("r_ts", watermark)
+    cond = ((F.col("l_key") == F.col("r_key"))
+            & (F.col("r_ts") >= F.col("l_ts"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"interval {tolerance}")))
+    return lt.join(rt, cond, "inner")
+
+
 def run_with_foreach_batch(stream_df: DataFrame,
                            fn: Callable[[DataFrame, int], None],
                            trigger_available_now: bool = True,
