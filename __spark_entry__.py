@@ -23,7 +23,7 @@ from timeseries_data_analysis_spark.sources import load_table
 from timeseries_data_analysis_spark.operators import (
     windows as WIN, timeseries as TS, intervals as IV, pivot as PV,
     topk as TK, dedup as DD, similarity as SIM, encoding as ENC,
-    skew as SKEW,
+    skew as SKEW, graph as GR,
 )
 from timeseries_data_analysis_spark.functions import math_fns as M, text as TX
 
@@ -1128,6 +1128,16 @@ def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("id_l", "id_r", F.col("hamming").cast("bigint").alias("hamming"))
 
 
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup CLUSTERING: near-dup pairs (SimHash hamming ≤ 3) collapse
+    into connected components → (cluster_id = min doc id, doc_id, size).
+    Iterative min-label propagation with per-round localCheckpoint
+    (operators/graph.py); the oracle replays it as a recursive CTE."""
+    docs = load_table(spark, sf, "documents")
+    pairs = DD.simhash_hamming_pairs(docs, n=2, bits=16, bands=4, max_hamming=3)
+    return GR.dedup_clusters(pairs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's anomaly detector over sf0.001 events."""
     return q_anomaly_detect(spark, SF_SMOKE)
@@ -1223,6 +1233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_profile": q_array_profile,
         "salted_agg": q_salted_agg,
         "simhash_pairs": q_simhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -2205,8 +2216,8 @@ def oracle_sql() -> dict[str, str]:
     # Full SimHash replay in SQL: same md5 32-bit shingle hashes, same
     # per-bit ±1 votes, same banding — integer-only, so the pair set and
     # hamming distances match exactly (no rows-only fallback needed).
-    sql["simhash_pairs"] = f"""
-        WITH t AS (
+    # (CTE chain shared with dedup_clusters, which builds on the pairs.)
+    simhash_ctes = f"""t AS (
             SELECT doc_id, regexp_split_to_array(trim({norm}), '\\s+') AS t
             FROM documents
         ), sh AS (
@@ -2231,13 +2242,43 @@ def oracle_sql() -> dict[str, str]:
         ), chunks AS (
             SELECT doc_id, f, c.band, (f >> (c.band * 4)) & 15 AS chunk
             FROM fp, range(0, 4) c(band)
+        ), sp AS (
+            SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+                   min(bit_count(xor(a.f, b.f)))::BIGINT AS hamming
+            FROM chunks a
+            JOIN chunks b ON a.band = b.band AND a.chunk = b.chunk
+                         AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING min(bit_count(xor(a.f, b.f))) <= 3
+        )"""
+
+    sql["simhash_pairs"] = f"""
+        WITH {simhash_ctes}
+        SELECT id_l, id_r, hamming FROM sp
+    """
+
+    # Connected components over the pair graph as a recursive CTE:
+    # propagate every reachable label, then min per vertex — the
+    # declarative twin of the Spark side's iterative min-label loop.
+    sql["dedup_clusters"] = f"""
+        WITH RECURSIVE {simhash_ctes},
+        sym AS (
+            SELECT id_l AS a, id_r AS b FROM sp
+            UNION ALL
+            SELECT id_r AS a, id_l AS b FROM sp
+        ), verts AS (
+            SELECT DISTINCT a AS v FROM sym
+        ), r AS (
+            SELECT v, v AS l FROM verts
+            UNION
+            SELECT s.b AS v, r.l
+            FROM r JOIN sym s ON r.v = s.a
+        ), comp AS (
+            SELECT v, min(l) AS component FROM r GROUP BY v
         )
-        SELECT a.doc_id AS id_l, b.doc_id AS id_r,
-               min(bit_count(xor(a.f, b.f)))::BIGINT AS hamming
-        FROM chunks a
-        JOIN chunks b ON a.band = b.band AND a.chunk = b.chunk
-                     AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-        HAVING min(bit_count(xor(a.f, b.f))) <= 3
+        SELECT c.component AS cluster_id, c.v AS doc_id, s.n AS cluster_size
+        FROM comp c
+        JOIN (SELECT component, count(*) AS n
+              FROM comp GROUP BY 1) s USING (component)
     """
     return sql

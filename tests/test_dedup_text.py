@@ -247,3 +247,26 @@ def test_simhash_hamming_pairs_rejects_uncovered_distance(spark):
     df = docs_df(spark, ["a b c"])
     with pytest.raises(ValueError):
         DD.simhash_hamming_pairs(df, bands=4, max_hamming=4)
+
+
+def test_connected_components_known_graph(spark):
+    from timeseries_data_analysis_spark.operators import graph as GR
+    # components: {1,2,3,4} (chain), {10,11}, {20,21,22} (triangle)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_l long, id_r long")
+    got = {r["vertex"]: r["component"]
+           for r in GR.connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+    cl = {(r["doc_id"], r["cluster_id"], r["cluster_size"])
+          for r in GR.dedup_clusters(edges).collect()}
+    assert (4, 1, 4) in cl and (11, 10, 2) in cl and (22, 20, 3) in cl
+
+
+def test_connected_components_convergence_guard(spark):
+    from timeseries_data_analysis_spark.operators import graph as GR
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_l long, id_r long")
+    with pytest.raises(RuntimeError):
+        GR.connected_components(chain, max_iter=1)

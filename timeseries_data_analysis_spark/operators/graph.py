@@ -1,0 +1,83 @@
+"""Graph operators for corpus deduplication: connected components over
+near-duplicate pair edges.
+
+The final stage of large-scale dedup: candidate PAIRS (from MinHash LSH,
+SimHash banding, or exact digests) must collapse into CLUSTERS so one
+canonical document survives per group. That grouping is connected
+components on the pair graph.
+
+Spark-first design: iterative min-label propagation expressed as
+DataFrame joins — each round every vertex adopts the smallest component
+label among itself and its neighbors; fixpoint when no label changes.
+Near-dup graphs have tiny diameters (clusters are cliques or short
+chains), so rounds ≈ 2-4 in practice; ``max_iter`` caps adversarial
+chains. Each round ``localCheckpoint``s the label frame: iterative plans
+otherwise grow lineage exponentially (self-referential join trees) and
+re-execute every prior round at each action — the canonical Spark
+iteration pitfall.
+
+At 100 TB scale the same loop holds: labels are (vertex, label) pairs —
+8+8 bytes/vertex shuffled per round on the vertex hash; the edge table is
+re-joined per round but never mutated, so AQE/broadcast handles skewed
+hub vertices. For billion-edge graphs swap in alternating large-star/
+small-star (Kiveris et al., "Connected Components in MapReduce", SOCC'14)
+— same DataFrame skeleton, fewer rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, src: str = "id_l",
+                         dst: str = "id_r", max_iter: int = 25) -> DataFrame:
+    """(vertex, component) — component = MIN vertex id reachable via edges.
+
+    ``edges`` is undirected input (each pair listed once, either order).
+    Isolated vertices don't appear (join-derived graphs have none).
+    Raises if ``max_iter`` rounds don't reach the fixpoint (a diameter-
+    ``max_iter`` chain — raise the cap or switch to star-contraction).
+    """
+    sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))))
+    # seed: every vertex labels itself
+    labels = (sym.select(F.col("a").alias("v"))
+              .distinct()
+              .withColumn("label", F.col("v"))
+              .localCheckpoint())
+    sym = sym.localCheckpoint()
+    for _ in range(max_iter):
+        # neighbor's current label, min'd per vertex
+        nbr = (sym.join(labels.withColumnRenamed("v", "b"), on="b")
+               .groupBy(F.col("a").alias("v"))
+               .agg(F.min("label").alias("nbr_label")))
+        new_labels = (labels.join(nbr, on="v", how="left")
+                      .select("v", F.least("label", F.coalesce("nbr_label", "label"))
+                              .alias("label"))
+                      .localCheckpoint())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), on="v")
+                   .filter(F.col("n.label") != F.col("o.label"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            return labels.select(F.col("v").alias("vertex"),
+                                 F.col("label").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds; "
+        "graph diameter exceeds the cap — raise max_iter or use "
+        "star-contraction for long-chain graphs")
+
+
+def dedup_clusters(pairs: DataFrame, src: str = "id_l",
+                   dst: str = "id_r", max_iter: int = 25) -> DataFrame:
+    """Near-duplicate clusters from a candidate-pair table:
+    (cluster_id = min doc id, doc_id, cluster_size). The keep-policy
+    "retain cluster_id, drop the rest" is then a single filter."""
+    cc = connected_components(pairs, src, dst, max_iter)
+    w_size = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (cc.join(w_size, on="component")
+            .select(F.col("component").alias("cluster_id"),
+                    F.col("vertex").alias("doc_id"),
+                    "cluster_size"))
