@@ -1138,6 +1138,63 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return GR.dedup_clusters(pairs)
 
 
+def q_time_rolling(spark: SparkSession, sf: str) -> DataFrame:
+    """TIME-based (RANGE-frame) trailing window: 1 h of WALL CLOCK per
+    user at every event — the irregular-spacing complement to the
+    reference's ROW-count rolling stats (W2-W5). Frame bounds on epoch
+    seconds; peers (equal timestamps) enter the frame in both engines."""
+    ev = load_table(spark, sf, "events")
+    w = (Window.partitionBy("user_id").orderBy(F.unix_timestamp("ts"))
+         .rangeBetween(-3599, 0))
+    return ev.select(
+        "user_id", "event_id", "ts",
+        _r(F.avg("value").over(w), 4).alias("avg_1h"),
+        F.count("value").over(w).alias("n_1h"),
+        _r(F.max("value").over(w), 4).alias("max_1h"))
+
+
+def q_group_standardize(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group z-score standardization (the distributed StandardScaler
+    fit+transform in one pass): grouped μ/σ via window aggregates without
+    a frame, then (x−μ)/σ per row."""
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type")
+    mu = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    return ev.select(
+        "event_id", "event_type",
+        _r(F.when(sd > 0, (F.col("value") - mu) / sd).otherwise(0.0), 6)
+        .alias("z"))
+
+
+def q_share_of_total(spark: SparkSession, sf: str) -> DataFrame:
+    """Ratio-to-report: each nation's revenue share of its region (two
+    grouping grains in one pass via a window over the aggregate)."""
+    nation = load_table(spark, sf, "nation")
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    per_nation = (orders.join(cust, orders.o_custkey == cust.c_custkey)
+                  .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+                  .groupBy("n_regionkey", "n_name")
+                  .agg(F.sum("o_totalprice").alias("_rev")))
+    w = Window.partitionBy("n_regionkey")
+    return per_nation.select(
+        F.col("n_regionkey").cast("bigint").alias("region_key"), "n_name",
+        _r(F.col("_rev"), 4).alias("revenue"),
+        _r(F.col("_rev") / F.sum("_rev").over(w) * 100, 6).alias("pct_of_region"))
+
+
+def q_robust_scale_params(spark: SparkSession, sf: str) -> DataFrame:
+    """RobustScaler fit (SURVEY §2.11: Robust = median/IQR): exact
+    median + quartiles + IQR per event type via the `percentile` agg."""
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    return (ev.groupBy("event_type")
+            .agg(_r(F.percentile("value", F.lit(0.5)), 4).alias("median_v"),
+                 _r(F.percentile("value", F.lit(0.75))
+                    - F.percentile("value", F.lit(0.25)), 4).alias("iqr"),
+                 F.count(F.lit(1)).alias("n")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's anomaly detector over sf0.001 events."""
     return q_anomaly_detect(spark, SF_SMOKE)
@@ -1234,6 +1291,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg": q_salted_agg,
         "simhash_pairs": q_simhash_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "time_rolling": q_time_rolling,
+        "group_standardize": q_group_standardize,
+        "share_of_total": q_share_of_total,
+        "robust_scale_params": q_robust_scale_params,
     }
 
 
@@ -2280,5 +2341,51 @@ def oracle_sql() -> dict[str, str]:
         FROM comp c
         JOIN (SELECT component, count(*) AS n
               FROM comp GROUP BY 1) s USING (component)
+    """
+
+    sql["time_rolling"] = """
+        SELECT user_id, event_id, ts,
+               (round(avg(value) OVER w + 1e-9, 4) + 0.0) AS avg_1h,
+               count(value) OVER w AS n_1h,
+               (round(max(value) OVER w + 1e-9, 4) + 0.0) AS max_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                     RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+    """
+
+    sql["group_standardize"] = """
+        SELECT event_id, event_type,
+               (round(CASE WHEN stddev_samp(value) OVER w > 0
+                      THEN (value - avg(value) OVER w)
+                           / stddev_samp(value) OVER w
+                      ELSE 0.0 END + 1e-9, 6) + 0.0) AS z
+        FROM events
+        WHERE value IS NOT NULL
+        WINDOW w AS (PARTITION BY event_type)
+    """
+
+    sql["share_of_total"] = """
+        WITH per_nation AS (
+            SELECT n_regionkey, n_name, sum(o_totalprice) AS rev
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1, 2
+        )
+        SELECT n_regionkey::BIGINT AS region_key, n_name,
+               (round(rev + 1e-9, 4) + 0.0) AS revenue,
+               (round(rev / sum(rev) OVER (PARTITION BY n_regionkey) * 100
+                      + 1e-9, 6) + 0.0) AS pct_of_region
+        FROM per_nation
+    """
+
+    sql["robust_scale_params"] = """
+        SELECT event_type,
+               (round(quantile_cont(value, 0.5) + 1e-9, 4) + 0.0) AS median_v,
+               (round(quantile_cont(value, 0.75)
+                      - quantile_cont(value, 0.25) + 1e-9, 4) + 0.0) AS iqr,
+               count(*) AS n
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type
     """
     return sql

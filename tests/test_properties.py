@@ -120,3 +120,41 @@ def test_interval_join_boundaries(spark, jitter):
     assert start in matched
     assert end not in matched
     assert (start + pd.Timedelta(minutes=jitter)) in matched
+
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+@given(st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda p: p[0] != p[1]),
+    min_size=1, max_size=25))
+@settings(**SETTINGS)
+def test_connected_components_matches_union_find(spark, edges):
+    from timeseries_data_analysis_spark.operators import graph as GR
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "id_l long, id_r long")
+    got = {r["vertex"]: r["component"]
+           for r in GR.connected_components(df, max_iter=40).collect()}
+    exp = _union_find_components(edges)
+    # union-find roots are min ids per component by construction above?
+    # Not guaranteed by path order — normalize both to min-of-component.
+    comp_min = {}
+    for v, root in exp.items():
+        comp_min.setdefault(root, v)
+        comp_min[root] = min(comp_min[root], v)
+    exp_norm = {v: comp_min[root] for v, root in exp.items()}
+    assert got == exp_norm
