@@ -1132,7 +1132,10 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Dedup CLUSTERING: near-dup pairs (SimHash hamming ≤ 3) collapse
     into connected components → (cluster_id = min doc id, doc_id, size).
     Iterative min-label propagation with per-round localCheckpoint
-    (operators/graph.py); the oracle replays it as a recursive CTE."""
+    (operators/graph.py); the oracle replays it as a recursive CTE.
+    (`DD.simhash_dedup_clusters` is the fingerprint-contracted variant
+    for exact-dup-heavy corpora; this corpus has ~no fp sharing, where
+    doc-level CC measures faster.)"""
     docs = load_table(spark, sf, "documents")
     pairs = DD.simhash_hamming_pairs(docs, n=2, bits=16, bands=4, max_hamming=3)
     return GR.dedup_clusters(pairs)

@@ -41,6 +41,10 @@ HEADLINE = [
     "simhash",
     "lag_features",
     "label_events_full",
+    "simhash_pairs",
+    "dedup_clusters",
+    "tfidf_top_terms",
+    "time_rolling",
 ]
 
 

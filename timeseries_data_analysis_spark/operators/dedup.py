@@ -413,6 +413,69 @@ def simhash_hamming_pairs(docs: DataFrame, text_col: str = "text",
             .agg(F.min("hamming").alias("hamming")))
 
 
+def simhash_dedup_clusters(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", n: int = 2,
+                           bits: int = 16, bands: int = 4,
+                           max_hamming: int = 3,
+                           max_iter: int = 25) -> DataFrame:
+    """SimHash near-dup clusters with FINGERPRINT CONTRACTION: the
+    connected-components loop runs on DISTINCT fingerprints, not
+    documents.
+
+    Docs sharing a fingerprint are near-dups by definition (hamming 0),
+    so they contract into one vertex before the iterative part — the
+    vertex set is bounded by 2^bits regardless of corpus size, which
+    turns the O(rounds) join loop into fixed small work at 100 TB on
+    exact-dup-heavy corpora (web crawls). NOTE the measured tradeoff on
+    the driver's synthetic corpus (sf0.1: 4609 distinct fps over 5000
+    docs — near-zero sharing): contraction adds its groupBy/expansion
+    overhead without shrinking the graph, and plain doc-level
+    ``graph.dedup_clusters`` is ~1.7× faster. Pick by dup profile.
+    Expansion back to documents is one broadcast-sized join.
+
+    Returns (cluster_id = min doc id, doc_id, cluster_size) for every
+    document in a cluster of ≥ 2 docs — identical to running
+    ``graph.dedup_clusters`` over ``simhash_hamming_pairs`` output.
+    """
+    from timeseries_data_analysis_spark.operators.graph import connected_components
+
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"banding finds all pairs only up to hamming {bands - 1}; "
+            f"got max_hamming={max_hamming}")
+    chunk_bits = bits // bands
+    mask = (1 << chunk_bits) - 1
+    fp = simhash_fingerprints(docs, text_col, id_col, n, bits)
+    fps = fp.groupBy("_fp").agg(F.count(F.lit(1)).alias("_n_docs"))
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.shiftright(F.col("_fp"), band * chunk_bits)
+            .bitwiseAND(F.lit(mask)).alias("chunk"))
+        for band in range(bands)]
+    chunks = fps.select(
+        "_fp", F.explode(F.array(*band_structs)).alias("bc"),
+    ).select("_fp", "bc.band", "bc.chunk")
+    a = chunks.select(F.col("_fp").alias("fp_l"), "band", "chunk")
+    b = chunks.select(F.col("_fp").alias("fp_r"), "band", "chunk")
+    ham = F.bit_count(F.col("fp_l").bitwiseXOR(F.col("fp_r")))
+    fp_edges = (a.join(b, on=["band", "chunk"])
+                .filter(F.col("fp_l") < F.col("fp_r"))
+                .filter(ham <= max_hamming)
+                .select("fp_l", "fp_r").distinct())
+    cc = connected_components(fp_edges, "fp_l", "fp_r", max_iter)
+    # fps in no fp-edge still form a cluster if ≥2 docs share them
+    comp = (fps.join(cc, fps["_fp"] == cc["vertex"], "left")
+            .filter(F.col("component").isNotNull() | (F.col("_n_docs") >= 2))
+            .select("_fp", F.coalesce("component", "_fp").alias("_comp")))
+    members = fp.join(comp, on="_fp").select("_id", "_comp")
+    stats = (members.groupBy("_comp")
+             .agg(F.min("_id").alias("cluster_id"),
+                  F.count(F.lit(1)).alias("cluster_size")))
+    return (members.join(stats, on="_comp")
+            .select("cluster_id", F.col("_id").alias("doc_id"), "cluster_size"))
+
+
 def simhash(col: Column | str, n: int = 2, bits: int = 16) -> Column:
     """SimHash fingerprint over word n-grams (portable arithmetic).
 

@@ -41,26 +41,26 @@ def connected_components(edges: DataFrame, src: str = "id_l",
     """
     sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
            .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))))
-    # seed: every vertex labels itself
-    labels = (sym.select(F.col("a").alias("v"))
-              .distinct()
-              .withColumn("label", F.col("v"))
-              .localCheckpoint())
     sym = sym.localCheckpoint()
+    # seed fused with round 1: label = min(self, neighbors) straight from
+    # the edge list — one aggregation, no join
+    labels = (sym.groupBy(F.col("a").alias("v"))
+              .agg(F.least(F.min("b"), F.min("a")).alias("label"))
+              .localCheckpoint())
     for _ in range(max_iter):
-        # neighbor's current label, min'd per vertex
         nbr = (sym.join(labels.withColumnRenamed("v", "b"), on="b")
                .groupBy(F.col("a").alias("v"))
                .agg(F.min("label").alias("nbr_label")))
-        new_labels = (labels.join(nbr, on="v", how="left")
-                      .select("v", F.least("label", F.coalesce("nbr_label", "label"))
-                              .alias("label"))
-                      .localCheckpoint())
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), on="v")
-                   .filter(F.col("n.label") != F.col("o.label"))
+        # single join per round: carry old + new together, then the
+        # convergence probe and the next labels both read the checkpoint
+        step = (labels.join(nbr, on="v", how="left")
+                .select("v", F.col("label").alias("_old"),
+                        F.least("label", F.coalesce("nbr_label", "label"))
+                        .alias("label"))
+                .localCheckpoint())
+        changed = (step.filter(F.col("label") != F.col("_old"))
                    .limit(1).count())
-        labels = new_labels
+        labels = step.select("v", "label")
         if changed == 0:
             return labels.select(F.col("v").alias("vertex"),
                                  F.col("label").alias("component"))
