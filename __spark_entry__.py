@@ -1198,6 +1198,55 @@ def q_robust_scale_params(spark: SparkSession, sf: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n")))
 
 
+def q_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence/funnel analytics: purchases converting within 1 h of the
+    user's latest signup — the event-sequence pattern (conditional
+    running max carries the last signup time to every later row; no
+    self-join of the event table with itself)."""
+    ev = load_table(spark, sf, "events")
+    w = _events_window().rowsBetween(Window.unboundedPreceding, 0)
+    prev_signup = F.max(
+        F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    flagged = (ev.withColumn("_prev_signup", prev_signup)
+               .filter(F.col("event_type") == "purchase")
+               .withColumn("_conv", (
+                   F.col("_prev_signup").isNotNull()
+                   & (F.col("_prev_signup")
+                      >= F.col("ts") - F.expr("interval 1 hour"))).cast("bigint")))
+    return (flagged.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_purchases"),
+                 F.sum("_conv").alias("n_converted"),
+                 _r(F.sum("_conv") / F.count(F.lit(1)), 6).alias("conv_rate")))
+
+
+def q_corpus_curation(spark: SparkSession, sf: str) -> DataFrame:
+    """END-TO-END training-corpus curation: token-length quality gate +
+    exact-dedup canonical flag (min doc per md5 digest) + near-dup
+    canonical flag (SimHash cluster representative) → one kept-bit per
+    document. Composes three independently-oracled stages; the oracle
+    replays all three in one SQL statement."""
+    docs = load_table(spark, sf, "documents")
+    n_tok = F.when(F.length(F.trim("text")) == 0, F.lit(0)) \
+        .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+    pairs = DD.simhash_hamming_pairs(docs, n=2, bits=16, bands=4, max_hamming=3)
+    clusters = GR.dedup_clusters(pairs).select(
+        "doc_id", F.col("cluster_id").alias("_cl"))
+    w_dig = Window.partitionBy("_digest")
+    base = (docs.select("doc_id", n_tok.cast("bigint").alias("n_tok"),
+                        DD.text_digest("text").alias("_digest"))
+            .withColumn("exact_keep",
+                        (F.col("doc_id") == F.min("doc_id").over(w_dig))
+                        .cast("bigint"))
+            .join(clusters, on="doc_id", how="left")
+            .withColumn("near_keep",
+                        (F.col("_cl").isNull()
+                         | (F.col("_cl") == F.col("doc_id"))).cast("bigint")))
+    return base.select(
+        "doc_id", "n_tok", "exact_keep", "near_keep",
+        ((F.col("n_tok") >= 20) & (F.col("exact_keep") == 1)
+         & (F.col("near_keep") == 1)).cast("bigint").alias("kept"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's anomaly detector over sf0.001 events."""
     return q_anomaly_detect(spark, SF_SMOKE)
@@ -1298,6 +1347,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_standardize": q_group_standardize,
         "share_of_total": q_share_of_total,
         "robust_scale_params": q_robust_scale_params,
+        "funnel": q_funnel,
+        "corpus_curation": q_corpus_curation,
     }
 
 
@@ -2390,5 +2441,61 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n
         FROM events WHERE value IS NOT NULL
         GROUP BY event_type
+    """
+
+    sql["funnel"] = f"""
+        WITH f AS (
+            SELECT user_id, ts, event_type,
+                   max(CASE WHEN event_type = 'signup' THEN ts END)
+                       OVER ({_WIN} ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS prev_signup
+            FROM events
+        )
+        SELECT user_id, count(*) AS n_purchases,
+               sum(CASE WHEN prev_signup IS NOT NULL
+                        AND prev_signup >= ts - INTERVAL 1 HOUR
+                        THEN 1 ELSE 0 END)::BIGINT AS n_converted,
+               (round(sum(CASE WHEN prev_signup IS NOT NULL
+                          AND prev_signup >= ts - INTERVAL 1 HOUR
+                          THEN 1 ELSE 0 END)::DOUBLE / count(*)
+                      + 1e-9, 6) + 0.0) AS conv_rate
+        FROM f WHERE event_type = 'purchase'
+        GROUP BY user_id
+    """
+
+    sql["corpus_curation"] = f"""
+        WITH RECURSIVE {simhash_ctes},
+        sym AS (
+            SELECT id_l AS a, id_r AS b FROM sp
+            UNION ALL
+            SELECT id_r AS a, id_l AS b FROM sp
+        ), verts AS (
+            SELECT DISTINCT a AS v FROM sym
+        ), r AS (
+            SELECT v, v AS l FROM verts
+            UNION
+            SELECT s.b AS v, r.l
+            FROM r JOIN sym s ON r.v = s.a
+        ), comp AS (
+            SELECT v AS doc_id, min(l) AS cl FROM r GROUP BY v
+        ), dig AS (
+            SELECT doc_id,
+                   CASE WHEN len(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS n_tok,
+                   ('0x' || substr(md5({norm}), 1, 15))::BIGINT AS digest
+            FROM documents
+        ), flags AS (
+            SELECT d.doc_id, d.n_tok::BIGINT AS n_tok,
+                   CASE WHEN d.doc_id = min(d.doc_id) OVER (PARTITION BY d.digest)
+                        THEN 1 ELSE 0 END::BIGINT AS exact_keep,
+                   CASE WHEN c.doc_id IS NULL OR c.cl = d.doc_id
+                        THEN 1 ELSE 0 END::BIGINT AS near_keep
+            FROM dig d LEFT JOIN comp c ON d.doc_id = c.doc_id
+        )
+        SELECT doc_id, n_tok, exact_keep, near_keep,
+               CASE WHEN n_tok >= 20 AND exact_keep = 1 AND near_keep = 1
+                    THEN 1 ELSE 0 END::BIGINT AS kept
+        FROM flags
     """
     return sql
