@@ -1247,6 +1247,29 @@ def q_corpus_curation(spark: SparkSession, sf: str) -> DataFrame:
          & (F.col("near_keep") == 1)).cast("bigint").alias("kept"))
 
 
+def q_asof_tolerance(spark: SparkSession, sf: str) -> DataFrame:
+    """J4 variant: as-of join with BOUNDED STALENESS — a match older than
+    7 days is rejected (nulled), the production rule for feature-store
+    lookups (a stale reading must not silently stand in for a fresh one).
+    Same union-scan as `asof_join`; the matched ts rides along as a value
+    column and the tolerance is one post-join predicate."""
+    ev = load_table(spark, sf, "events")
+    orders = load_table(spark, sf, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    left = orders.select("o_orderkey", "o_orderdate",
+                         (F.col("o_custkey") % 20).alias("ukey"))
+    right = ev.select(F.col("user_id").alias("ukey"), F.col("ts"),
+                      F.col("ts").alias("matched_ts"),
+                      F.col("value").alias("last_value"))
+    out = IV.asof_join(left, right, "o_orderdate", "ts", by=("ukey", "ukey"),
+                       value_cols=["matched_ts", "last_value"])
+    fresh = (F.col("matched_ts").isNotNull()
+             & (F.col("matched_ts")
+                >= F.col("o_orderdate") - F.expr("interval 7 days")))
+    return out.select(
+        "o_orderkey", fresh.cast("bigint").alias("fresh"),
+        _r(F.when(fresh, F.col("last_value")), 4).alias("value_fresh"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's anomaly detector over sf0.001 events."""
     return q_anomaly_detect(spark, SF_SMOKE)
@@ -1349,6 +1372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_scale_params": q_robust_scale_params,
         "funnel": q_funnel,
         "corpus_curation": q_corpus_curation,
+        "asof_tolerance": q_asof_tolerance,
     }
 
 
@@ -2497,5 +2521,19 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN n_tok >= 20 AND exact_keep = 1 AND near_keep = 1
                     THEN 1 ELSE 0 END::BIGINT AS kept
         FROM flags
+    """
+
+    sql["asof_tolerance"] = """
+        SELECT o.o_orderkey,
+               CASE WHEN e.ts IS NOT NULL
+                    AND e.ts >= o.o_orderdate - INTERVAL 7 DAY
+                    THEN 1 ELSE 0 END::BIGINT AS fresh,
+               (round(CASE WHEN e.ts IS NOT NULL
+                      AND e.ts >= o.o_orderdate - INTERVAL 7 DAY
+                      THEN e.value END + 1e-9, 4) + 0.0) AS value_fresh
+        FROM (SELECT o_orderkey, o_orderdate, o_custkey % 20 AS ukey
+              FROM orders WHERE o_orderkey % 20 = 0) o
+        ASOF LEFT JOIN events e
+          ON o.ukey = e.user_id AND e.ts <= o.o_orderdate
     """
     return sql

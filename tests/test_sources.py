@@ -109,3 +109,29 @@ def test_export_csv_single_file(spark, tmp_path):
     assert len(files) == 1
     back = spark.read.option("header", "true").csv(out)
     assert back.count() == 10 and set(back.columns) == {"id", "v"}
+
+
+def test_jsonl_round_trip(spark, tmp_path):
+    import json
+    from pyspark.sql import types as T
+    from timeseries_data_analysis_spark.sources.readers import load_jsonl, write_jsonl
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("_corrupt_record", T.StringType()),
+    ])
+    src = tmp_path / "in"
+    src.mkdir()
+    lines = [json.dumps({"doc_id": i, "text": f"doc {i}"}) for i in range(5)]
+    lines.append("{not valid json")
+    (src / "part0.jsonl").write_text("\n".join(lines))
+    df = load_jsonl(spark, str(src), schema)
+    rows = df.collect()
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(good) == 5 and len(bad) == 1  # malformed quarantined, not fatal
+    out = tmp_path / "out"
+    write_jsonl(df.filter(F.col("_corrupt_record").isNull())
+                .select("doc_id", "text"), str(out))
+    back = load_jsonl(spark, str(out), T.StructType(schema.fields[:2]))
+    assert sorted(r["doc_id"] for r in back.collect()) == [0, 1, 2, 3, 4]

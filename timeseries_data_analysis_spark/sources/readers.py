@@ -57,3 +57,27 @@ def load_kiln_csv(spark: SparkSession, data_dir: str, name: str) -> DataFrame:
     schema = schemas.KILN_SCHEMAS[name]
     path = os.path.join(data_dir, f"{name}.csv")
     return spark.read.schema(schema).option("header", "true").csv(path)
+
+
+def load_jsonl(spark: SparkSession, path: str, schema,
+               timestamp_format: str | None = None) -> DataFrame:
+    """Schema-pinned JSON-Lines reader — the interchange format most raw
+    text corpora arrive in (one JSON doc per line, splittable, appendable).
+
+    Same discipline as the other readers: an explicit schema (never
+    inferSchema — that is a full extra pass over the corpus), malformed
+    lines quarantined into ``_corrupt_record`` instead of failing the job
+    (PERMISSIVE mode), so one bad crawl record cannot kill a 100 TB read.
+    """
+    reader = (spark.read.schema(schema)
+              .option("mode", "PERMISSIVE")
+              .option("columnNameOfCorruptRecord", "_corrupt_record"))
+    if timestamp_format:
+        reader = reader.option("timestampFormat", timestamp_format)
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, compression: str = "gzip") -> None:
+    """JSON-Lines export (compressed, splittable-per-file): the write-side
+    twin of ``load_jsonl`` for corpus interchange."""
+    df.write.mode("overwrite").option("compression", compression).json(path)
