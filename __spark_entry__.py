@@ -1270,6 +1270,49 @@ def q_asof_tolerance(spark: SparkSession, sf: str) -> DataFrame:
         _r(F.when(fresh, F.col("last_value")), 4).alias("value_fresh"))
 
 
+def q_dq_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-quality/constraint audit in ONE pass per table + one anti-join:
+    null counts, range violations (qty ≤ 0, price < 0), duplicate keys,
+    and FK orphans (lineitem→orders) — the checks a 100 TB ingest runs
+    before publishing a partition (extends A8's null profiling to
+    referential + domain constraints)."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    orphans = (li.join(orders, li.l_orderkey == orders.o_orderkey,
+                       "left_anti").count())
+    # driver-side scalar is intentional here: the report is a tiny
+    # fixed-shape summary, not a per-row frame
+    row = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.isnull("l_shipdate").cast("bigint")).alias("null_shipdate"),
+        F.sum((F.col("l_quantity") <= 0).cast("bigint")).alias("nonpos_qty"),
+        F.sum((F.col("l_extendedprice") < 0).cast("bigint")).alias("neg_price"),
+        F.sum((F.col("l_discount") < 0).cast("bigint")
+              + (F.col("l_discount") > 1).cast("bigint")).alias("bad_discount"),
+        (F.count(F.lit(1))
+         - F.count_distinct(F.col("l_orderkey"), F.col("l_linenumber")))
+        .alias("dup_keys"),
+    ).withColumn("fk_orphans", F.lit(orphans).cast("bigint"))
+    return row
+
+
+def q_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket co-occurrence: event-type pairs within a user
+    SESSION (30-min gap), counted across sessions — self-join of the
+    distinct (session, type) postings, the same inverted-index shape as
+    the set-similarity join (shuffles only keys, never payloads)."""
+    ev = load_table(spark, sf, "events")
+    sess = TS.sessionize(ev, "user_id", ts_col="ts",
+                         order_by=["ts", "event_id"], gap_s=1800)
+    post = (sess.select("user_id", "session_id", "event_type").distinct())
+    a = post.select("user_id", "session_id", F.col("event_type").alias("type_a"))
+    b = post.select("user_id", "session_id", F.col("event_type").alias("type_b"))
+    return (a.join(b, on=["user_id", "session_id"])
+            .filter(F.col("type_a") < F.col("type_b"))
+            .groupBy("type_a", "type_b")
+            .agg(F.count(F.lit(1)).alias("n_sessions")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's anomaly detector over sf0.001 events."""
     return q_anomaly_detect(spark, SF_SMOKE)
@@ -1373,6 +1416,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "corpus_curation": q_corpus_curation,
         "asof_tolerance": q_asof_tolerance,
+        "dq_report": q_dq_report,
+        "cooccurrence": q_cooccurrence,
     }
 
 
@@ -2535,5 +2580,49 @@ def oracle_sql() -> dict[str, str]:
               FROM orders WHERE o_orderkey % 20 = 0) o
         ASOF LEFT JOIN events e
           ON o.ukey = e.user_id AND e.ts <= o.o_orderdate
+    """
+
+    sql["dq_report"] = """
+        SELECT count(*) AS n_rows,
+               sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS null_shipdate,
+               sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)::BIGINT
+                   AS nonpos_qty,
+               sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END)::BIGINT
+                   AS neg_price,
+               sum((CASE WHEN l_discount < 0 THEN 1 ELSE 0 END)
+                   + (CASE WHEN l_discount > 1 THEN 1 ELSE 0 END))::BIGINT
+                   AS bad_discount,
+               (count(*) - count(DISTINCT (l_orderkey, l_linenumber)))::BIGINT
+                   AS dup_keys,
+               (SELECT count(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey))::BIGINT
+                   AS fk_orphans
+        FROM lineitem
+    """
+
+    sql["cooccurrence"] = f"""
+        WITH g AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN date_diff('second',
+                            lag(ts) OVER ({_WIN}), ts) > 1800
+                        THEN 1 ELSE 0 END AS ns
+            FROM events
+        ), s AS (
+            SELECT user_id, event_type,
+                   sum(ns) OVER ({_WIN} ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS session_id
+            FROM g
+        ), post AS (
+            SELECT DISTINCT user_id, session_id, event_type FROM s
+        )
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS n_sessions
+        FROM post a
+        JOIN post b ON a.user_id = b.user_id
+                   AND a.session_id = b.session_id
+                   AND a.event_type < b.event_type
+        GROUP BY 1, 2
     """
     return sql
