@@ -158,3 +158,26 @@ def test_connected_components_matches_union_find(spark, edges):
         comp_min[root] = min(comp_min[root], v)
     exp_norm = {v: comp_min[root] for v, root in exp.items()}
     assert got == exp_norm
+
+
+@given(st.lists(st.text(alphabet="abc xyz", min_size=0, max_size=12),
+                min_size=0, max_size=6),
+       st.integers(2, 4))
+@settings(**SETTINGS)
+def test_shingles_match_python_ngrams(spark, texts, n):
+    """Guard for the zip_with shingle builder: must equal plain Python
+    n-grams over the same normalized token stream."""
+    import re
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r["doc_id"]: r["sh"] for r in df.select(
+        "doc_id", DD.shingles_from_tokens(DD.tokens("text"), n).alias("sh")
+    ).collect()}
+    for i, t in enumerate(texts):
+        norm = re.sub(r" +", " ", re.sub(r"[^a-z0-9 ]", " ", t.lower())).strip()
+        toks = norm.split(" ") if norm else [""]
+        if len(toks) >= n:
+            exp = [" ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)]
+        else:
+            exp = [" ".join(toks)]
+        assert got[i] == exp, (t, toks)
