@@ -23,7 +23,7 @@ from timeseries_data_analysis_spark.sources import load_table
 from timeseries_data_analysis_spark.operators import (
     windows as WIN, timeseries as TS, intervals as IV, pivot as PV,
     topk as TK, dedup as DD, similarity as SIM, encoding as ENC,
-    skew as SKEW, graph as GR,
+    skew as SKEW, graph as GR, tsindex as TSI,
 )
 from timeseries_data_analysis_spark.functions import math_fns as M, text as TX
 
@@ -1313,6 +1313,43 @@ def q_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_sessions")))
 
 
+def _hourly_user_series(spark: SparkSession, sf: str,
+                        max_user: int | None = None) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    if max_user is not None:
+        ev = ev.filter(F.col("user_id") < max_user)
+    return (ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("hr"))
+            .agg(F.avg("value").alias("v")))
+
+
+def q_paa_sax(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-series indexing (SAX family — Lin et al. DMKD'07; the iSAX
+    building block per the retrieved corpus): per-user hourly series →
+    z-normalize → 8-segment PAA → alphabet-4 SAX word. The word is the
+    LSH-style bucket key for similarity candidate pruning at scale."""
+    h = _hourly_user_series(spark, sf)
+    p = TSI.paa(h, "user_id", ["hr"], "v", n_segments=8)
+    words = TSI.sax_words(p, "user_id", alphabet=4)
+    return (p.join(words, on="user_id")
+            .select("user_id", "segment",
+                    _r(F.col("paa"), 6).alias("paa"), "sax_word"))
+
+
+def q_series_similarity(spark: SparkSession, sf: str) -> DataFrame:
+    """Whole-series similarity search (EDBT'19/Odyssey-family workload):
+    z-normalized Euclidean distance between user series aligned on the
+    hour, top-3 nearest per user — the exact-path anchor the PAA/SAX
+    buckets would prune for. Restricted to users < 20 (pairwise exact
+    is the oracle-able baseline, not the scale path)."""
+    h = _hourly_user_series(spark, sf, max_user=20)
+    pairs = TSI.znorm_distance_pairs(h, "user_id", "hr", "v")
+    ranked = pairs.select(
+        "key_a", "key_b", "n_common", _r(F.col("dist"), 6).alias("dist"))
+    w = Window.partitionBy("key_a").orderBy("dist", "key_b")
+    return (ranked.withColumn("rk", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rk") <= 3))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's anomaly detector over sf0.001 events."""
     return q_anomaly_detect(spark, SF_SMOKE)
@@ -1418,6 +1455,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_tolerance": q_asof_tolerance,
         "dq_report": q_dq_report,
         "cooccurrence": q_cooccurrence,
+        "paa_sax": q_paa_sax,
+        "series_similarity": q_series_similarity,
     }
 
 
@@ -2624,5 +2663,71 @@ def oracle_sql() -> dict[str, str]:
                    AND a.session_id = b.session_id
                    AND a.event_type < b.event_type
         GROUP BY 1, 2
+    """
+
+    # SAX letters code against the ROUNDED paa in both engines so float
+    # noise at a breakpoint cannot flip a symbol.
+    _hourly_z = """
+        h AS (
+            SELECT user_id, date_trunc('hour', ts) AS hr, avg(value) AS v
+            FROM events {user_filter}
+            GROUP BY 1, 2
+        ), z AS (
+            SELECT user_id, hr,
+                   CASE WHEN stddev_pop(v) OVER w > 0
+                        THEN (v - avg(v) OVER w) / stddev_pop(v) OVER w
+                        ELSE 0.0 END AS z,
+                   row_number() OVER (PARTITION BY user_id ORDER BY hr) - 1
+                       AS rn,
+                   count(*) OVER w AS len
+            FROM h
+            WINDOW w AS (PARTITION BY user_id)
+        )"""
+
+    sql["paa_sax"] = f"""
+        WITH {_hourly_z.format(user_filter="")},
+        p AS (
+            SELECT user_id,
+                   CAST(floor(rn * 8 / len) AS BIGINT) AS segment,
+                   avg(z) AS paa
+            FROM z GROUP BY 1, 2
+        ), c AS (
+            SELECT user_id, segment,
+                   (round(paa + 1e-9, 6) + 0.0) AS paa
+            FROM p
+        ), l AS (
+            SELECT user_id, segment, paa,
+                   CASE WHEN paa > 0.6744898 THEN 'd'
+                        WHEN paa > 0.0 THEN 'c'
+                        WHEN paa > -0.6744898 THEN 'b'
+                        ELSE 'a' END AS letter
+            FROM c
+        ), w2 AS (
+            SELECT user_id, string_agg(letter, '' ORDER BY segment) AS sax_word
+            FROM l GROUP BY 1
+        )
+        SELECT l.user_id, l.segment, l.paa, w2.sax_word
+        FROM l JOIN w2 USING (user_id)
+    """
+
+    sql["series_similarity"] = f"""
+        WITH {_hourly_z.format(user_filter="WHERE user_id < 20")},
+        p AS (
+            SELECT a.user_id AS key_a, b.user_id AS key_b,
+                   count(*) AS n_common,
+                   sqrt(sum((a.z - b.z) * (a.z - b.z))) AS dist
+            FROM z a JOIN z b ON a.hr = b.hr AND a.user_id < b.user_id
+            GROUP BY 1, 2
+        ), r AS (
+            SELECT key_a, key_b, n_common,
+                   (round(dist + 1e-9, 6) + 0.0) AS dist
+            FROM p
+        )
+        SELECT key_a, key_b, n_common, dist,
+               rk::BIGINT AS rk
+        FROM (SELECT *, row_number() OVER (PARTITION BY key_a
+                                           ORDER BY dist, key_b) AS rk
+              FROM r)
+        WHERE rk <= 3
     """
     return sql

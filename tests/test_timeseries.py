@@ -147,3 +147,28 @@ def test_sessionize_gap_numbering(spark):
     assert got[(1, "2024-01-01 01:00:00")] == 1
     assert got[(1, "2024-01-01 01:20:00")] == 1
     assert got[(2, "2024-01-01 00:00:00")] == 0
+
+
+def test_paa_sax_shapes_and_coding(spark):
+    import pandas as pd
+    from timeseries_data_analysis_spark.operators import tsindex as TSI
+    # two series: one rising ramp, one constant
+    base = pd.Timestamp("2024-06-01")
+    rows = []
+    for i in range(32):
+        rows.append((1, base + pd.Timedelta(hours=i), float(i)))
+        rows.append((2, base + pd.Timedelta(hours=i), 5.0))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["k", "hr", "v"]))
+    p = TSI.paa(df, "k", ["hr"], "v", n_segments=8)
+    assert p.count() == 16  # 2 keys x 8 segments
+    words = {r["k"]: r["sax_word"]
+             for r in TSI.sax_words(p, "k", alphabet=4).collect()}
+    # ramp: monotone non-decreasing letters a..d; constant: all same letter
+    assert words[1] == "".join(sorted(words[1])) and words[1][0] == "a" \
+        and words[1][-1] == "d"
+    assert len(set(words[2])) == 1
+    # znorm distance: identical series -> 0
+    d = TSI.znorm_distance_pairs(
+        df, "k", "hr", "v").collect()
+    assert len(d) == 1 and d[0]["n_common"] == 32
