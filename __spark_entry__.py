@@ -1350,6 +1350,33 @@ def q_series_similarity(spark: SparkSession, sf: str) -> DataFrame:
             .filter(F.col("rk") <= 3))
 
 
+def q_sax_bucket_search(spark: SparkSession, sf: str) -> DataFrame:
+    """The SCALE PATH for series similarity: SAX words bucket the corpus
+    (iSAX root-node pruning), exact z-normalized distance runs only
+    WITHIN buckets — candidates drop from O(N²) to the same-word pairs.
+    Composes q_paa_sax's index with q_series_similarity's exact verify."""
+    h = _hourly_user_series(spark, sf)
+    p = TSI.paa(h, "user_id", ["hr"], "v", n_segments=8)
+    words = TSI.sax_words(p, "user_id", alphabet=4)
+    cand = (words.select(F.col("user_id").alias("key_a"), "sax_word")
+            .join(words.select(F.col("user_id").alias("key_b"), "sax_word"),
+                  on="sax_word")
+            .filter(F.col("key_a") < F.col("key_b")))
+    wk = Window.partitionBy("user_id")
+    z = h.select(F.col("user_id"), F.col("hr"),
+                 TSI.znorm(F.col("v"), wk).alias("_z"))
+    za = z.select(F.col("user_id").alias("key_a"), "hr",
+                  F.col("_z").alias("_za"))
+    zb = z.select(F.col("user_id").alias("key_b"), "hr",
+                  F.col("_z").alias("_zb"))
+    d = F.col("_za") - F.col("_zb")
+    return (cand.join(za, on="key_a")
+            .join(zb, on=["key_b", "hr"])
+            .groupBy("key_a", "key_b", "sax_word")
+            .agg(F.count(F.lit(1)).alias("n_common"),
+                 _r(F.sqrt(F.sum(d * d)), 6).alias("dist")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's anomaly detector over sf0.001 events."""
     return q_anomaly_detect(spark, SF_SMOKE)
@@ -1457,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooccurrence": q_cooccurrence,
         "paa_sax": q_paa_sax,
         "series_similarity": q_series_similarity,
+        "sax_bucket_search": q_sax_bucket_search,
     }
 
 
@@ -2729,5 +2757,37 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY dist, key_b) AS rk
               FROM r)
         WHERE rk <= 3
+    """
+
+    sql["sax_bucket_search"] = f"""
+        WITH {_hourly_z.format(user_filter="")},
+        p AS (
+            SELECT user_id,
+                   CAST(floor(rn * 8 / len) AS BIGINT) AS segment,
+                   avg(z) AS paa
+            FROM z GROUP BY 1, 2
+        ), l AS (
+            SELECT user_id, segment,
+                   CASE WHEN (round(paa + 1e-9, 6) + 0.0) > 0.6744898 THEN 'd'
+                        WHEN (round(paa + 1e-9, 6) + 0.0) > 0.0 THEN 'c'
+                        WHEN (round(paa + 1e-9, 6) + 0.0) > -0.6744898 THEN 'b'
+                        ELSE 'a' END AS letter
+            FROM p
+        ), w2 AS (
+            SELECT user_id, string_agg(letter, '' ORDER BY segment) AS sax_word
+            FROM l GROUP BY 1
+        ), cand AS (
+            SELECT a.user_id AS key_a, b.user_id AS key_b, a.sax_word
+            FROM w2 a JOIN w2 b ON a.sax_word = b.sax_word
+                              AND a.user_id < b.user_id
+        )
+        SELECT c.key_a, c.key_b, c.sax_word,
+               count(*) AS n_common,
+               (round(sqrt(sum((x.z - y.z) * (x.z - y.z))) + 1e-9, 6) + 0.0)
+                   AS dist
+        FROM cand c
+        JOIN z x ON x.user_id = c.key_a
+        JOIN z y ON y.user_id = c.key_b AND y.hr = x.hr
+        GROUP BY 1, 2, 3
     """
     return sql
