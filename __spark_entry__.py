@@ -2508,6 +2508,70 @@ def oracle_sql() -> dict[str, str]:
         SELECT id_l, id_r, hamming FROM sp
     """
 
+    # The fingerprint table itself is integer-deterministic — full oracle
+    # (the fp CTE is shared; DuckDB ignores the unused pair CTEs).
+    sql["simhash"] = f"""
+        WITH {simhash_ctes}
+        SELECT doc_id, f AS simhash FROM fp
+    """
+
+    # Full MinHash+LSH replay: same md5 base hashes, same affine family
+    # (coefficients imported from operators/dedup.py so they cannot
+    # drift), same band-md5 buckets, same Jaccard verify.
+    _mh_sig = ", ".join(
+        f"list_aggregate(list_transform(hl, h -> (h * {DD._A[i % len(DD._A)]} "
+        f"+ {DD._B[i % len(DD._B)]}) % {DD.MINHASH_PRIME}), 'min')"
+        for i in range(16))
+    _mh_buckets = ", ".join(
+        f"md5(array_to_string(sig[{b * 2 + 1}:{b * 2 + 2}], ','))"
+        for b in range(8))
+    sql["minhash_lsh"] = f"""
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(trim({norm}), '\\s+') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= 3 THEN
+                       list_transform(range(len(t) - 2), i ->
+                           t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+                   ELSE [array_to_string(t, ' ')] END AS s
+            FROM t
+        ), hs AS (
+            SELECT doc_id, list_transform(s, g ->
+                ('0x' || substr(md5(g), 1, 8))::BIGINT) AS hl
+            FROM sh
+        ), sig AS (
+            SELECT doc_id, [{_mh_sig}] AS sig FROM hs
+        ), bands AS (
+            SELECT doc_id, b.band,
+                   md5(array_to_string(
+                       sig[b.band * 2 + 1 : b.band * 2 + 2], ',')) AS bucket
+            FROM sig, range(0, 8) b(band)
+        ), sized AS (
+            SELECT doc_id, band, bucket,
+                   count(*) OVER (PARTITION BY band, bucket) AS bn
+            FROM bands
+        ), cpairs AS (
+            SELECT DISTINCT a.doc_id AS id_l, b.doc_id AS id_r
+            FROM sized a
+            JOIN sized b ON a.band = b.band AND a.bucket = b.bucket
+                        AND a.doc_id < b.doc_id
+            WHERE a.bn <= 1000 AND b.bn <= 1000
+        ), shd AS (
+            SELECT doc_id, list_distinct(s) AS s FROM sh
+        )
+        SELECT c.id_l, c.id_r,
+               (round(CASE WHEN len(da.s) + len(db.s)
+                               - len(list_intersect(da.s, db.s)) > 0
+                      THEN len(list_intersect(da.s, db.s))::DOUBLE
+                           / (len(da.s) + len(db.s)
+                              - len(list_intersect(da.s, db.s)))
+                      ELSE 0.0 END + 1e-9, 4) + 0.0) AS jaccard
+        FROM cpairs c
+        JOIN shd da ON da.doc_id = c.id_l
+        JOIN shd db ON db.doc_id = c.id_r
+    """
+
     # Connected components over the pair graph as a recursive CTE:
     # propagate every reachable label, then min per vertex — the
     # declarative twin of the Spark side's iterative min-label loop.
