@@ -1377,6 +1377,67 @@ def q_sax_bucket_search(spark: SparkSession, sf: str) -> DataFrame:
                  _r(F.sqrt(F.sum(d * d)), 6).alias("dist")))
 
 
+def q_ewma(spark: SparkSession, sf: str) -> DataFrame:
+    """EWMA smoothing as a bounded FIR window (α=0.3, 12 taps): the
+    recursive form doesn't window-express, but the tail beyond 12 lags is
+    < α·(1−α)¹² ≈ 0.4 % of the weight, so the truncated closed form is
+    the production approximation — same native-lag machinery as the
+    Savitzky-Golay FIR (R5), no UDF."""
+    ev = load_table(spark, sf, "events")
+    w = _events_window()
+    alpha, taps = 0.3, 12
+    weights = [alpha * (1 - alpha) ** j for j in range(taps)]
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for j, wt in enumerate(weights):
+        x = F.lag("value", j).over(w)
+        num = num + F.coalesce(x * F.lit(wt), F.lit(0.0))
+        den = den + F.when(x.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+    return ev.select(
+        "user_id", "event_id", "ts",
+        _r(F.when(den > 0, num / den), 6).alias("ewma"))
+
+
+def q_daily_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-(user, day) linear trend via the regr_slope/regr_r2 aggregate
+    family — the rate-of-change analytics the kiln dashboard derives by
+    hand (W8 gradient), done as one declarative agg."""
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    # center x at the day start: raw epoch (~1.7e9) in Σx² loses ~10 of
+    # 16 double digits to cancellation and the two engines then disagree.
+    # Fractional-second epoch via the double cast — unix_timestamp()
+    # truncates to whole seconds and the oracle's epoch() does not.
+    x = (F.col("ts").cast("double")
+         - F.to_date("ts").cast("timestamp").cast("double"))
+    return (ev.groupBy("user_id", F.to_date("ts").alias("day"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 _r(F.regr_slope(F.col("value"), x) * 3600.0, 6)
+                 .alias("slope_per_hour"),
+                 _r(F.avg("value"), 4).alias("avg_v"))
+            .filter(F.col("n") >= 3))
+
+
+def q_token_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-distribution entropy per document (−Σ p·ln p) + distinct
+    ratio — the repetition/diversity quality signal corpus curation uses
+    to drop degenerate documents. Exploded counts + one agg; ln stays on
+    exact count ratios so both engines feed identical inputs."""
+    docs = load_table(spark, sf, "documents")
+    toks = (docs.select("doc_id", DD.tokens("text").alias("_t"))
+            .select("doc_id", F.explode("_t").alias("term")))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    return (tf.groupBy("doc_id")
+            .agg(F.sum("c").alias("_n"),
+                 F.count(F.lit(1)).alias("n_distinct"),
+                 F.sum(F.col("c") * F.log(F.col("c"))).alias("_sclc"))
+            .select("doc_id",
+                    F.col("_n").alias("n_tokens"), "n_distinct",
+                    _r(F.log(F.col("_n"))
+                       - F.col("_sclc") / F.col("_n"), 6).alias("entropy"),
+                    _r(F.col("n_distinct") / F.col("_n"), 6)
+                    .alias("distinct_ratio")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's anomaly detector over sf0.001 events."""
     return q_anomaly_detect(spark, SF_SMOKE)
@@ -1485,6 +1546,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paa_sax": q_paa_sax,
         "series_similarity": q_series_similarity,
         "sax_bucket_search": q_sax_bucket_search,
+        "ewma": q_ewma,
+        "daily_trend": q_daily_trend,
+        "token_entropy": q_token_entropy,
     }
 
 
@@ -2853,5 +2917,51 @@ def oracle_sql() -> dict[str, str]:
         JOIN z x ON x.user_id = c.key_a
         JOIN z y ON y.user_id = c.key_b AND y.hr = x.hr
         GROUP BY 1, 2, 3
+    """
+
+    alpha, taps = 0.3, 12
+    _ew = [alpha * (1 - alpha) ** j for j in range(taps)]
+    _ew_num = " + ".join(
+        f"coalesce(lag(value, {j}) OVER ({_WIN}) * {w!r}, 0.0)"
+        for j, w in enumerate(_ew))
+    _ew_den = " + ".join(
+        f"(CASE WHEN lag(value, {j}) OVER ({_WIN}) IS NOT NULL "
+        f"THEN {w!r} ELSE 0.0 END)"
+        for j, w in enumerate(_ew))
+    sql["ewma"] = f"""
+        SELECT user_id, event_id, ts,
+               (round(CASE WHEN (0.0 + {_ew_den}) > 0
+                      THEN (0.0 + {_ew_num}) / (0.0 + {_ew_den}) END
+                      + 1e-9, 6) + 0.0) AS ewma
+        FROM events
+    """
+
+    sql["daily_trend"] = """
+        SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n,
+               (round(regr_slope(value,
+                    (epoch(ts) - epoch(CAST(ts AS DATE)))::DOUBLE) * 3600.0
+                      + 1e-9, 6) + 0.0) AS slope_per_hour,
+               (round(avg(value) + 1e-9, 4) + 0.0) AS avg_v
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+        HAVING count(*) >= 3
+    """
+
+    sql["token_entropy"] = f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim({norm}), '\\s+')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS c FROM toks GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               sum(c) AS n_tokens,
+               count(*) AS n_distinct,
+               (round(ln(sum(c)) - sum(c * ln(c)) / sum(c)
+                      + 1e-9, 6) + 0.0) AS entropy,
+               (round(count(*)::DOUBLE / sum(c) + 1e-9, 6) + 0.0)
+                   AS distinct_ratio
+        FROM tf GROUP BY doc_id
     """
     return sql
