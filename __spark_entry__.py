@@ -1438,6 +1438,38 @@ def q_token_entropy(spark: SparkSession, sf: str) -> DataFrame:
                     .alias("distinct_ratio")))
 
 
+def q_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Row-set algebra (SURVEY §2.8 'absent — built-in when needed'):
+    week-1 vs week-2 active users via INTERSECT (retained) / EXCEPT
+    (churned, new) — one summary row. Spark plans these as semi/anti
+    hash joins on the distinct sets."""
+    ev = load_table(spark, sf, "events")
+    w1 = ev.filter((F.col("ts") >= "2024-01-01") & (F.col("ts") < "2024-01-08")) \
+        .select("user_id").distinct()
+    w2 = ev.filter((F.col("ts") >= "2024-01-08") & (F.col("ts") < "2024-01-15")) \
+        .select("user_id").distinct()
+    return spark.range(1).select(
+        F.lit(w1.count()).cast("bigint").alias("w1_users"),
+        F.lit(w2.count()).cast("bigint").alias("w2_users"),
+        F.lit(w1.intersect(w2).count()).cast("bigint").alias("retained"),
+        F.lit(w1.exceptAll(w2).count()).cast("bigint").alias("churned"),
+        F.lit(w2.exceptAll(w1).count()).cast("bigint").alias("new_users"))
+
+
+def q_rank_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution windows: percent_rank + cume_dist of each purchase
+    value within its event type (the 'where does this reading sit in its
+    population' probe; completes the ranking-window family)."""
+    ev = load_table(spark, sf, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id", "event_type",
+        _r(F.percent_rank().over(w), 6).alias("pct_rank"),
+        _r(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(10).over(w).cast("bigint").alias("decile"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's anomaly detector over sf0.001 events."""
     return q_anomaly_detect(spark, SF_SMOKE)
@@ -1549,6 +1581,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma": q_ewma,
         "daily_trend": q_daily_trend,
         "token_entropy": q_token_entropy,
+        "retention": q_retention,
+        "rank_distribution": q_rank_distribution,
     }
 
 
@@ -2963,5 +2997,33 @@ def oracle_sql() -> dict[str, str]:
                (round(count(*)::DOUBLE / sum(c) + 1e-9, 6) + 0.0)
                    AS distinct_ratio
         FROM tf GROUP BY doc_id
+    """
+
+    sql["retention"] = """
+        WITH w1 AS (
+            SELECT DISTINCT user_id FROM events
+            WHERE ts >= '2024-01-01' AND ts < '2024-01-08'
+        ), w2 AS (
+            SELECT DISTINCT user_id FROM events
+            WHERE ts >= '2024-01-08' AND ts < '2024-01-15'
+        )
+        SELECT (SELECT count(*) FROM w1) AS w1_users,
+               (SELECT count(*) FROM w2) AS w2_users,
+               (SELECT count(*) FROM
+                   (SELECT * FROM w1 INTERSECT SELECT * FROM w2)) AS retained,
+               (SELECT count(*) FROM
+                   (SELECT * FROM w1 EXCEPT SELECT * FROM w2)) AS churned,
+               (SELECT count(*) FROM
+                   (SELECT * FROM w2 EXCEPT SELECT * FROM w1)) AS new_users
+    """
+
+    sql["rank_distribution"] = """
+        SELECT event_id, event_type,
+               (round(percent_rank() OVER w + 1e-9, 6) + 0.0) AS pct_rank,
+               (round(cume_dist() OVER w + 1e-9, 6) + 0.0) AS cume,
+               ntile(10) OVER w::BIGINT AS decile
+        FROM events
+        WHERE event_type = 'purchase' AND value IS NOT NULL
+        WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
     """
     return sql
