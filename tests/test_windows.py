@@ -152,3 +152,57 @@ def test_baseline_ratio(spark):
     out = df.select("ts", WIN.baseline_ratio("value", w, short=2, long=4,
                                              long_min_periods=1).alias("r"))
     assert all(v == pytest.approx(0.0) for v in collect_col(out, "r"))
+
+
+def test_funnel_conversion_window(spark):
+    import pandas as pd
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F
+    base = pd.Timestamp("2024-06-01 10:00:00")
+    rows = [
+        # user 1: signup then purchase 30 min later (converts), then a
+        # purchase 2 h after the signup (does not convert)
+        (1, 1, base, "signup", 1.0),
+        (2, 1, base + pd.Timedelta(minutes=30), "purchase", 5.0),
+        (3, 1, base + pd.Timedelta(hours=2, minutes=1), "purchase", 7.0),
+        # user 2: purchase with no signup ever (no conversion)
+        (4, 2, base, "purchase", 3.0),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts",
+                                      "event_type", "value"])
+    import tempfile, shutil, os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    d = tempfile.mkdtemp(prefix="funnel_")
+    try:
+        # pyarrow write mimics the driver corpus layout (ts = INT64 ns),
+        # which load_table's schema expects — Spark writes INT96
+        pq.write_table(pa.Table.from_pandas(pdf),
+                       os.path.join(d, "events.parquet"))
+        out = {r["user_id"]: r for r in E.q_funnel(spark, d).collect()}
+        assert out[1]["n_purchases"] == 2 and out[1]["n_converted"] == 1
+        assert out[2]["n_purchases"] == 1 and out[2]["n_converted"] == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_ewma_constant_series_is_identity(spark):
+    import pandas as pd
+    import __spark_entry__ as E
+    import tempfile, shutil, os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    base = pd.Timestamp("2024-06-01")
+    pdf = pd.DataFrame(
+        [(i, 1, base + pd.Timedelta(hours=i), "view", 42.0)
+         for i in range(20)],
+        columns=["event_id", "user_id", "ts", "event_type", "value"])
+    d = tempfile.mkdtemp(prefix="ewma_")
+    try:
+        pq.write_table(pa.Table.from_pandas(pdf),
+                       os.path.join(d, "events.parquet"))
+        out = E.q_ewma(spark, d).collect()
+        # weighted average of a constant is the constant, at every row
+        assert all(abs(r["ewma"] - 42.0) < 1e-6 for r in out)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
