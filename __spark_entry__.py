@@ -1470,6 +1470,42 @@ def q_rank_distribution(spark: SparkSession, sf: str) -> DataFrame:
         F.ntile(10).over(w).cast("bigint").alias("decile"))
 
 
+def q_calendar_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Calendar feature extraction (§2.7 date/time family in one pass):
+    per (dow, is_weekend, hour-bucket) activity profile — the seasonal
+    decomposition inputs every telemetry dashboard needs."""
+    ev = load_table(spark, sf, "events")
+    dow = F.dayofweek("ts").cast("bigint")
+    return (ev.groupBy(
+        dow.alias("dow"),
+        F.when(dow.isin(1, 7), 1).otherwise(0).cast("bigint").alias("is_weekend"),
+        (F.hour("ts") >= 12).cast("bigint").alias("pm"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.countDistinct("user_id").alias("n_users"),
+             _r(F.avg("value"), 4).alias("avg_value")))
+
+
+def q_moments(spark: SparkSession, sf: str) -> DataFrame:
+    """Higher-moment profiling with PORTABLE math: skewness from raw
+    power sums (m3/m2^1.5) — the built-in skewness aggregates differ
+    between engines (population vs bias-corrected sample), so the oracle
+    replays the same Σx/Σx²/Σx³ formula instead."""
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    n = F.count(F.lit(1)).cast("double")
+    s1 = F.sum("value")
+    s2 = F.sum(F.col("value") * F.col("value"))
+    s3 = F.sum(F.col("value") * F.col("value") * F.col("value"))
+    mean = s1 / n
+    m2 = s2 / n - mean * mean
+    m3 = s3 / n - 3 * mean * s2 / n + 2 * mean * mean * mean
+    return (ev.groupBy("event_type")
+            .agg(n.cast("bigint").alias("n"),
+                 _r(mean, 4).alias("mean_v"),
+                 _r(F.sqrt(F.greatest(m2, F.lit(0.0))), 4).alias("std_pop"),
+                 _r(F.when(m2 > 0, m3 / F.pow(m2, F.lit(1.5)))
+                    .otherwise(0.0), 6).alias("skew_pop")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's anomaly detector over sf0.001 events."""
     return q_anomaly_detect(spark, SF_SMOKE)
@@ -1583,6 +1619,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_entropy": q_token_entropy,
         "retention": q_retention,
         "rank_distribution": q_rank_distribution,
+        "calendar_features": q_calendar_features,
+        "moments": q_moments,
     }
 
 
@@ -3025,5 +3063,40 @@ def oracle_sql() -> dict[str, str]:
         FROM events
         WHERE event_type = 'purchase' AND value IS NOT NULL
         WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """
+
+    # DuckDB dayofweek: Sunday=0..Saturday=6; Spark dayofweek: Sunday=1.
+    sql["calendar_features"] = """
+        SELECT (dayofweek(ts) + 1)::BIGINT AS dow,
+               (CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END)::BIGINT
+                   AS is_weekend,
+               (CASE WHEN hour(ts) >= 12 THEN 1 ELSE 0 END)::BIGINT AS pm,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               (round(avg(value) + 1e-9, 4) + 0.0) AS avg_value
+        FROM events
+        GROUP BY 1, 2, 3
+    """
+
+    sql["moments"] = """
+        WITH s AS (
+            SELECT event_type,
+                   count(*)::DOUBLE AS n,
+                   sum(value) AS s1,
+                   sum(value * value) AS s2,
+                   sum(value * value * value) AS s3
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type
+        )
+        SELECT event_type, n::BIGINT AS n,
+               (round(s1 / n + 1e-9, 4) + 0.0) AS mean_v,
+               (round(sqrt(greatest(s2 / n - (s1/n) * (s1/n), 0))
+                      + 1e-9, 4) + 0.0) AS std_pop,
+               (round(CASE WHEN s2 / n - (s1/n) * (s1/n) > 0
+                      THEN (s3/n - 3 * (s1/n) * s2/n
+                            + 2 * (s1/n) * (s1/n) * (s1/n))
+                           / pow(s2/n - (s1/n) * (s1/n), 1.5)
+                      ELSE 0.0 END + 1e-9, 6) + 0.0) AS skew_pop
+        FROM s
     """
     return sql
