@@ -88,7 +88,7 @@ def test_anomaly_detector_fires_in_event_zone(pipeline_result):
     # which surface as nonzero zones_with_drops during the forming window
     forming = pdf[(pdf["ts"] >= ev["START_DATE"]) & (pdf["ts"] < ev["CRITICAL_DATE"])]
     assert forming["zones_with_drops"].max() >= 1
-    assert forming["max_drop_magnitude"].max() > 0
+    assert forming["accretion_risk_drop_magnitude_max"].max() > 0
     before = pdf[pdf["ts"] < ev["START_DATE"] - pd.Timedelta(days=2)]
     # quiet period: mean drop count strictly below the forming window's
     assert before["zones_with_drops"].mean() < forming["zones_with_drops"].mean()
@@ -130,3 +130,64 @@ def test_single_window_exchange(spark, tables):
     series_exchanges = [ln for ln in exchanges
                         if "hashpartitioning(series" in ln]
     assert len(series_exchanges) <= 2, plan  # explicit repartition (+cache edge)
+
+
+def test_tiered_priority_policy_golden():
+    """P2 golden test: reduce_dimension_priority reproduces the
+    reference's tiered policy (pre_processing.py:1564-1739) on a
+    reference-shaped column list — tier membership, caps, and refill
+    order, without running Spark."""
+    cols = (
+        # critical (ref :1585-1592)
+        ["target_24h", "days_to_critical", "accretion_zone"]
+        # engine label names (critical by definition)
+        + ["accretion_forming", "pre_critical_24h"]
+        # indicators (ref :1595-1604)
+        + ["zones_with_drops", "quality_shift_indicator", "spread_zscore",
+           "accretion_risk_cooling_trends"]
+        # temp drops (>30 to exercise the cap, ref :1607-1610)
+        + [f"ZONE_{i}_drop_pct" for i in range(40)]
+        # raw temps (>20, ref :1613-1615)
+        + [f"zone_ZONE_{i}" for i in range(25)]
+        # derived temps (ref :1618-1619)
+        + [f"diff_ZONE_{i}" for i in range(5)]
+        # operational + ratios
+        + ["mis_GROSS_COAL", "mis_DRI_LUMPS", "ratio_ore_coal"]
+        # lag/rolling/anomaly
+        + [f"mis_GROSS_COAL_lag_{k}" for k in (1, 6, 24)]
+        + [f"zone_ZONE_0_roll_{k}" for k in (24, 72)]
+        + [f"zone_ZONE_{i}_anomaly" for i in range(6)]
+    )
+    # no-op below the cap
+    assert KP.reduce_dimension_priority(cols, max_features=1000) == cols
+
+    keep = KP.reduce_dimension_priority(cols, max_features=60)
+    assert len(keep) <= 60
+    # tier 1: critical always survive
+    for c in ["target_24h", "days_to_critical", "accretion_zone",
+              "accretion_forming", "pre_critical_24h"]:
+        assert c in keep
+    # tier 2: indicators outrank everything but critical
+    for c in ["zones_with_drops", "quality_shift_indicator", "spread_zscore"]:
+        assert c in keep
+    # tier 3 cap: the drop tier slices [:30] (ref :1607-1610); note
+    # accretion_risk_cooling_trends matches the 'cooling_' matcher too,
+    # so it occupies one of the 30 slots — exactly as the reference would
+    n_drops = sum(1 for c in keep if "_drop_pct" in c)
+    assert n_drops == 29
+    # refill order: the capped drop tier fully fits before raw temps
+    assert "ZONE_28_drop_pct" in keep      # last of the 29 admitted
+    assert "ZONE_35_drop_pct" not in keep  # beyond the tier cap
+    # operational coal/quality present (tier 4 of the refill order)
+    assert "mis_GROSS_COAL" in keep
+    assert "mis_DRI_LUMPS" in keep
+
+
+def test_tiered_priority_caps_exact():
+    """The final keep list never exceeds max_features, and is
+    duplicate-free even when a column matches several tiers."""
+    cols = [f"accretion_risk_{i}_drop_pct" for i in range(80)] \
+        + [f"zone_ZONE_{i}" for i in range(30)]
+    keep = KP.reduce_dimension_priority(cols, max_features=50)
+    assert len(keep) == 50
+    assert len(set(keep)) == 50

@@ -14,8 +14,9 @@ from timeseries_data_analysis_spark.ml import pipeline as ML
 from timeseries_data_analysis_spark.plans import kiln_pipeline as KP
 from tests.fixtures import kiln_fixture as FX
 
-FEATURES = ["zones_with_drops", "zones_cooling", "mean_drop_magnitude",
-            "max_drop_magnitude", "mean_zone_temp", "min_zone_temp"]
+FEATURES = ["zones_with_drops", "accretion_risk_cooling_trends",
+            "accretion_risk_drop_magnitude", "accretion_risk_drop_magnitude_max",
+            "accretion_risk_mean_zone_temp", "accretion_risk_min_zone_temp"]
 
 
 @pytest.fixture(scope="module")
@@ -63,12 +64,12 @@ def test_feature_importances(features_df):
 
 
 def test_prescriptor_roundtrip(features_df, spark):
-    params = ["mean_zone_temp"]
+    params = ["accretion_risk_mean_zone_temp"]
     train, _ = ML.time_ordered_split(features_df, frac=0.8)
     models = ML.prescriptor_fit(train, FEATURES, params, max_iter=5)
     current = features_df.orderBy(F.col("ts").desc()).limit(1)
     out = ML.prescribe(models, current,
-                       bounds={"mean_zone_temp": (700.0, 950.0, 5.0)},
+                       bounds={"accretion_risk_mean_zone_temp": (700.0, 950.0, 5.0)},
                        top_n=3).toPandas()
     assert len(out) == 1
     rec = out["recommended"].iloc[0]

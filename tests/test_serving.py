@@ -61,3 +61,33 @@ def test_events_timeline_classes(spark, views):
     out = spark.sql("SELECT * FROM v_events_timeline").toPandas()
     assert len(out) == 1
     assert out["severity_class"].iloc[0] == "mild"  # 20-day fixture event
+
+
+def test_accretion_status_rules(spark, views):
+    """dashboard.py:812-924: latest temp per zone vs the per-zone
+    threshold map; >=3 low zones => 'temperature_anomaly'."""
+    out = spark.sql("SELECT * FROM v_accretion_status").toPandas()
+    assert len(out) == 11  # one row per zone
+    assert set(out["zone"]) == set(range(11))
+    # rule consistency: is_low matches temp < thr; one global status
+    assert ((out["temp"] < out["thr"]).astype(int) == out["is_low"]).all()
+    assert out["n_low_zones"].nunique() == 1
+    expect = ("temperature_anomaly" if out["is_low"].sum() >= 3 else "normal")
+    assert (out["status"] == expect).all()
+    assert out["model_probability"].isna().all()  # ML hook, not engine
+
+
+def test_quality_grades_scatter_pairs(spark, views):
+    """dashboard.py:1738-1839: pairwise (grade x material) long source —
+    every day emits all 6 pairs with values copied from mis_report."""
+    out = spark.sql("SELECT * FROM v_quality_grades_scatter").toPandas()
+    assert len(out) == 20 * 2 * 3
+    assert set(out["grade_name"]) == {"GRADE_A", "GRADE_B"}
+    assert set(out["material_name"]) == {"IRON_ORE", "GROSS_COAL", "PELLETS"}
+    mis = spark.sql("SELECT * FROM mis_report").toPandas()
+    day0 = mis["DATE"].iloc[0]
+    row = out[(out["day"] == day0) & (out["grade_name"] == "GRADE_A")
+              & (out["material_name"] == "IRON_ORE")]
+    assert len(row) == 1
+    assert row["grade_value"].iloc[0] == mis["GRADE_A"].iloc[0]
+    assert row["material_value"].iloc[0] == mis["IRON ORE CONSUMPTION"].iloc[0]

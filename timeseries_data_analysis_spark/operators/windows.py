@@ -182,13 +182,24 @@ def pct_change(col: ColumnOrName, w: WindowSpec, periods: int = 1,
 # -- W10: consecutive-run detection -----------------------------------------
 
 def consecutive_run_flag(col: ColumnOrName, w: WindowSpec, run: int = 3,
-                         direction: str = "down") -> Column:
+                         direction: str = "down",
+                         stable_digits: int | None = None) -> Column:
     """1 when the last ``run`` consecutive deltas all move one way.
 
     Reference "cooling trend": rolling(3).sum of ``diff()<0`` ≥ 3
     (``pre_processing.py:873-881``).
+
+    ``stable_digits``: round the delta (nudged +1e-9 off exact halves)
+    before the sign test. Use when ``col`` is itself a float aggregate
+    (e.g. an hourly ``avg``): a delta that is exactly 0 in real arithmetic
+    carries ±1ulp summation-order noise that differs between engines, and
+    the raw ``d < 0`` test turns that noise into a flag flip. Rounding to
+    a precision far above noise (6 dp) but far below real deltas makes the
+    discretization engine-stable.
     """
     d = diff(col, w, 1)
+    if stable_digits is not None:
+        d = F.round(d + F.lit(1e-9), stable_digits)
     flag = (d < 0) if direction == "down" else (d > 0)
     s = F.sum(flag.cast("int")).over(w.rowsBetween(-(run - 1), 0))
     return F.when(s >= run, F.lit(1)).otherwise(F.lit(0))
@@ -198,7 +209,8 @@ def consecutive_run_flag(col: ColumnOrName, w: WindowSpec, run: int = 3,
 
 def anomaly_features(col: ColumnOrName, w: WindowSpec, window: int = 24,
                      n_sigma: float = 2.0,
-                     min_valid_frac: float = 0.5) -> dict[str, Column]:
+                     min_valid_frac: float = 0.5,
+                     stable_digits: int | None = None) -> dict[str, Column]:
     """Trailing-window anomaly detector (reference ``pre_processing.py:982-1148``).
 
     For each row t: μ, σ_pop over the *preceding* ``[t−window, t−1]`` rows
@@ -212,6 +224,12 @@ def anomaly_features(col: ColumnOrName, w: WindowSpec, window: int = 24,
     BASELINE.md). Here it is 4 shared-frame window aggregates inside one
     whole-stage-codegen'd Window operator — the same sort serves all
     series after a melt to long layout.
+
+    ``stable_digits``: discretize the threshold margins ``x − (μ ∓ nσ)``
+    (nudged +1e-9 off exact halves) before the sign test. Needed when
+    ``col`` is itself a float aggregate: a constant-valued window has
+    σ = 0 and a margin of exactly 0, where ±1ulp cross-engine summation
+    noise flips the flag. 6 dp is far above noise, far below real margins.
     """
     x = F.col(col) if isinstance(col, str) else col
     frame = w.rowsBetween(-window, -1)
@@ -221,14 +239,23 @@ def anomaly_features(col: ColumnOrName, w: WindowSpec, window: int = 24,
     n_rows = F.count(F.lit(1)).over(frame)
     valid = (n_rows >= window) & (n_valid > window * min_valid_frac)
 
+    if stable_digits is not None:
+        drop_cond = F.round(x - (mu - n_sigma * sigma) + F.lit(1e-9),
+                            stable_digits) < 0
+        spike_cond = F.round(x - (mu + n_sigma * sigma) - F.lit(1e-9),
+                             stable_digits) > 0
+    else:
+        drop_cond = x < mu - n_sigma * sigma
+        spike_cond = x > mu + n_sigma * sigma
+
     flag = (
         F.when(~valid, F.lit(0))
-        .when(x < mu - n_sigma * sigma, F.lit(-1))
-        .when(x > mu + n_sigma * sigma, F.lit(1))
+        .when(drop_cond, F.lit(-1))
+        .when(spike_cond, F.lit(1))
         .otherwise(F.lit(0))
     )
     drop_mag = F.when(
-        valid & (x < mu - n_sigma * sigma) & (mu > 0), (mu - x) / mu * 100.0
+        valid & drop_cond & (mu > 0), (mu - x) / mu * 100.0
     ).otherwise(F.lit(0.0))
     name = col if isinstance(col, str) else "value"
     return {

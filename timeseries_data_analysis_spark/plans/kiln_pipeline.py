@@ -184,17 +184,21 @@ def risk_indicators(feat: DataFrame) -> DataFrame:
 
     Row-wise horizontal aggs in the reference (mean/max/count over 500
     cols); long layout makes them a groupBy(ts) — map-side combined.
+    Column names follow the reference's ``accretion_risk_*`` indicator
+    family (``pre_processing.py:1302-1319``) so the P2 tier matchers
+    (reduce_dimension_priority) rank them as indicators, as the
+    reference's own policy does.
     """
     zones = feat.filter(F.col("series").startswith("zone_ZONE_"))
     return (zones.groupBy("ts").agg(
         F.sum(F.when(F.col("anomaly_flag") == -1, 1).otherwise(0))
         .alias("zones_with_drops"),
         F.sum(F.when(F.col("cooling_flag") == 1, 1).otherwise(0))
-        .alias("zones_cooling"),
-        F.avg("drop_magnitude").alias("mean_drop_magnitude"),
-        F.max("drop_magnitude").alias("max_drop_magnitude"),
-        F.avg("value").alias("mean_zone_temp"),
-        F.min("value").alias("min_zone_temp"),
+        .alias("accretion_risk_cooling_trends"),
+        F.avg("drop_magnitude").alias("accretion_risk_drop_magnitude"),
+        F.max("drop_magnitude").alias("accretion_risk_drop_magnitude_max"),
+        F.avg("value").alias("accretion_risk_mean_zone_temp"),
+        F.min("value").alias("accretion_risk_min_zone_temp"),
         (F.sum(F.when(F.col("cooling_flag") == 1, 1).otherwise(0)) >= 3)
         .cast("int").alias("multi_zone_cooling_alert"),
     ))
@@ -236,6 +240,108 @@ def source_series_names(tables: dict[str, DataFrame]) -> list[str]:
     names += [f"air_{f}_{m}" for f in fans
               for m in ("DAMPER", "VELOCITY", "AIR_FLOW")]
     return sorted(names)
+
+
+def reduce_dimension_priority(columns: list[str],
+                              max_features: int = 500) -> list[str]:
+    """P2: the reference's TIERED priority dimension reduction
+    (``pre_processing.py:1564-1739``), faithfully — not a prefix list.
+
+    Pure driver-side schema logic (the 100 TB cost is the ``select`` that
+    consumes the result, which Catalyst turns into scan pruning). Tier
+    definitions and their caps mirror the reference exactly:
+
+    1. critical (always kept): ``target_*``, ``days_to_*``, the five
+       ``accretion_*`` score/level columns           (ref :1585-1592)
+    2. accretion indicators: accretion/quality_shift/coal-baseline/
+       temp_drop/cooling_pattern/divergence/spread_zscore/
+       zones_with_drops matchers                     (ref :1595-1604)
+    3. temperature drops: ``_drop_pct``/``_consec_drops``/``cooling_``,
+       cap 30                                        (ref :1607-1610)
+    4. raw temperature: ``ZONE_``/``shell_`` sans derived suffixes,
+       cap 20                                        (ref :1613-1615)
+    5. derived temperature: ``diff_``/``gradient_``/``roc_`` ∩ ZONE_,
+       cap 30                                        (ref :1618-1619)
+    6. operational: COAL + DRI/LUMPS/PELLETS/FINES + 20 more ``mis_``
+                                                     (ref :1622-1633)
+    7. ratios: ``ratio_``/efficiency, cap 30         (ref :1636-1638)
+    8. lags: 5 per important base + 50 extra         (ref :1641-1652)
+    9. rolling: 5 per important base + 50 extra      (ref :1655-1663)
+    10. anomaly flags: ``*_anomaly``, cap 50         (ref :1666)
+
+    Overflow fills in the reference's refill order: critical →
+    indicators → drops → operational → temp+derived+ratio → anomaly →
+    lag+roll (ref :1674-1717), dropping duplicates, preserving order.
+    """
+    if len(columns) <= max_features:
+        return list(columns)
+
+    # critical = the reference's always-keep matcher (ref :1585-1592) plus
+    # THIS engine's label names (IV.label_events emits accretion_forming/
+    # accretion_critical/pre_critical_*h where the reference used target_*
+    # — labels are critical by definition, whatever they are called).
+    critical = [c for c in columns if
+                c.startswith("target_") or c.startswith("days_to_") or
+                c.startswith("pre_critical_") or
+                c in ("accretion_forming", "accretion_critical",
+                      "accretion_zone", "accretion_warning_level",
+                      "accretion_early_warning_score",
+                      "accretion_indicator_score",
+                      "accretion_early_warning_count")]
+    indicators = [c for c in columns if
+                  "accretion" in c.lower() or "quality_shift" in c or
+                  "coal_consumption_vs_baseline" in c or
+                  "high_coal_consumption" in c or "temp_drop" in c or
+                  "cooling_pattern" in c or "unusual_temp_divergence" in c or
+                  "spread_zscore" in c or "zones_with_drops" in c]
+    temp_drops = [c for c in columns if
+                  "_drop_pct" in c or "_consec_drops" in c or
+                  "cooling_" in c][:30]
+    temps = [c for c in columns if
+             ("ZONE_" in c and not c.endswith("_anomaly")
+              and not c.startswith("diff_") and not c.startswith("gradient_"))
+             or ("shell_" in c and not c.endswith("_roll_")
+                 and not c.endswith("_lag_"))][:20]
+    derived_temps = [c for c in columns if
+                     (c.startswith("diff_") or c.startswith("gradient_")
+                      or c.startswith("roc_")) and "ZONE_" in c][:30]
+    coal = [c for c in columns if "COAL" in c or "coal" in c]
+    quality = [c for c in columns if "DRI" in c or "LUMPS" in c
+               or "PELLETS" in c or "FINES" in c]
+    ops = coal + [c for c in quality if c not in coal]
+    ops += [c for c in columns if c.startswith("mis_") and c not in ops][:20]
+    ratios = [c for c in columns if
+              c.startswith("ratio_") or "efficiency" in c][:30]
+
+    important_bases = coal + quality + temp_drops + temps[:5]
+    lags: list[str] = []
+    for base in important_bases:
+        lags.extend([c for c in columns
+                     if "_lag_" in c and base in c and c not in lags][:5])
+    lags.extend([c for c in columns if "_lag_" in c and c not in lags][:50])
+    rolls: list[str] = []
+    for base in important_bases:
+        rolls.extend([c for c in columns
+                      if ("_roll_" in c or "_ma" in c) and base in c
+                      and c not in rolls][:5])
+    rolls.extend([c for c in columns
+                  if ("_roll_" in c or "_ma" in c) and c not in rolls][:50])
+    anomalies = [c for c in columns if c.endswith("_anomaly")][:50]
+
+    keep = list(dict.fromkeys(
+        critical + indicators + temp_drops + temps + derived_temps
+        + ops + ratios + lags + rolls + anomalies))
+    if len(keep) <= max_features:
+        return keep
+
+    final = list(dict.fromkeys(critical))
+    for tier in (indicators, temp_drops, ops,
+                 temps + derived_temps + ratios, anomalies, lags + rolls):
+        room = max_features - len(final)
+        if room <= 0:
+            break
+        final.extend([c for c in tier if c not in final][:room])
+    return final[:max_features]
 
 
 def run_pipeline(spark: SparkSession, tables: dict[str, DataFrame],
@@ -307,15 +413,10 @@ def run_pipeline(spark: SparkSession, tables: dict[str, DataFrame],
            .drop("day_ts")
            .join(labels, "ts", "left"))
 
-    # P1/P2: prioritized column cap — labels and risk indicators first,
-    # then sensor series alphabetically (reference pre_processing.py:1564-1739)
+    # P1/P2: the reference's tiered priority column cap
+    # (pre_processing.py:1564-1739) — see reduce_dimension_priority
     feature_cols = [c for c in out.columns if c != "ts"]
-    priority = [c for c in feature_cols if c.startswith(("accretion", "pre_critical",
-                                                         "days_to", "zones_", "multi_",
-                                                         "mean_", "max_", "min_",
-                                                         "ratio_", "plan_", "coal_"))]
-    rest = [c for c in feature_cols if c not in priority]
-    keep = priority + rest[: max(0, max_features - len(priority))]
+    keep = reduce_dimension_priority(feature_cols, max_features)
     out = out.select("ts", *keep)
     metrics["pivot_join"] = time.time() - t
     metrics["total_plan"] = time.time() - t0

@@ -65,6 +65,61 @@ VIEWS: dict[str, str] = {
         SELECT * FROM mis_report
         ORDER BY DATE DESC LIMIT 1
     """,
+    # accretion status panel (dashboard.py:812-924): latest zone temps vs
+    # the per-zone threshold map (dashboard.py:869-872), count of low
+    # zones, and the rule-based status — 'temperature_anomaly' at >=3 low
+    # zones (dashboard.py:899-913). The model-probability input is a hook
+    # (NULL here): the serving tier joins a predictions table when the ML
+    # layer runs; the RULES are engine semantics and live in the view.
+    "v_accretion_status": """
+        WITH latest AS (
+            SELECT series, value,
+                   row_number() OVER (PARTITION BY series
+                                      ORDER BY ts DESC) AS rn
+            FROM zone_temperature_long
+        ), thresholds(zone, thr) AS (
+            VALUES (0, 750.0), (1, 775.0), (2, 800.0), (3, 825.0),
+                   (4, 850.0), (5, 875.0), (6, 875.0), (7, 875.0),
+                   (8, 850.0), (9, 825.0), (10, 800.0)
+        ), flagged AS (
+            SELECT CAST(regexp_extract(l.series, 'ZONE_(\\\\d+)', 1) AS INT)
+                       AS zone,
+                   l.value AS temp, t.thr,
+                   CASE WHEN l.value < t.thr THEN 1 ELSE 0 END AS is_low
+            FROM latest l
+            JOIN thresholds t
+              ON CAST(regexp_extract(l.series, 'ZONE_(\\\\d+)', 1) AS INT)
+                 = t.zone
+            WHERE l.rn = 1
+        )
+        SELECT zone, temp, thr, is_low,
+               sum(is_low) OVER () AS n_low_zones,
+               CASE WHEN sum(is_low) OVER () >= 3 THEN 'temperature_anomaly'
+                    ELSE 'normal' END AS status,
+               CAST(NULL AS DOUBLE) AS model_probability
+        FROM flagged
+    """,
+    # material quality vs grades scatter source (dashboard.py:1738-1839):
+    # column-pattern select (GRADE_* x material columns) emitted as the
+    # long pairwise projection the scatter matrix plots.
+    "v_quality_grades_scatter": """
+        SELECT day, grade_name, grade_value, material_name, material_value
+        FROM (
+            SELECT DATE AS day,
+                   g.grade_name,
+                   CASE g.grade_name WHEN 'GRADE_A' THEN GRADE_A
+                                     ELSE GRADE_B END AS grade_value,
+                   m.material_name,
+                   CASE m.material_name
+                        WHEN 'IRON_ORE' THEN `IRON ORE CONSUMPTION`
+                        WHEN 'GROSS_COAL' THEN `GROSS COAL CONSUMPTION`
+                        ELSE PELLETS_CONSUMPTION END AS material_value
+            FROM mis_report
+            CROSS JOIN (VALUES ('GRADE_A'), ('GRADE_B')) g(grade_name)
+            CROSS JOIN (VALUES ('IRON_ORE'), ('GROSS_COAL'),
+                               ('PELLETS')) m(material_name)
+        )
+    """,
     # events timeline (the reference's dead 'historical-events' chart,
     # implemented properly): per-event duration + severity class
     "v_events_timeline": """

@@ -19,20 +19,37 @@ from pyspark.sql import DataFrame, SparkSession
 from . import schemas
 
 
+_TS_UNIT_CACHE: dict[str, str] = {}
+
+
+def _events_ts_unit(path: str) -> str:
+    """Physical unit of events.ts, probed from the parquet footer once
+    (driver-side metadata read — no data scan). The corpus has shipped
+    with both timestamp[ns] and timestamp[us] encodings across rounds."""
+    unit = _TS_UNIT_CACHE.get(path)
+    if unit is None:
+        import pyarrow.parquet as pq
+        t = pq.read_schema(path).field("ts").type
+        unit = getattr(t, "unit", "us")
+        _TS_UNIT_CACHE[path] = unit
+    return unit
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one benchmark-corpus parquet table with its pinned schema."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     schema = schemas.CORPUS_SCHEMAS.get(name)
+    if name == "events" and _events_ts_unit(path) == "ns":
+        # timestamp[ns]: Spark's vectorized reader rejects ns as
+        # TimestampType — scan the raw int64 nanos and truncate to µs
+        # exactly like DuckDB reads it.
+        from pyspark.sql import functions as F
+        df = spark.read.schema(schemas.EVENTS_NS).parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
-    df = reader.parquet(path)
-    if name == "events":
-        # ts is stored as timestamp[ns]; scanned as int64 nanos (see
-        # schemas.EVENTS) and truncated to µs exactly like DuckDB reads it.
-        from pyspark.sql import functions as F
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return reader.parquet(path)
 
 
 def load_all(spark: SparkSession, sf_dir: str,

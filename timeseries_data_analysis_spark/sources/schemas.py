@@ -161,11 +161,21 @@ LINEITEM = T.StructType([
     T.StructField("l_shipdate", T.TimestampType()),
 ])
 
-# NOTE: the corpus stores events.ts as parquet timestamp[ns] (nanos), which
-# Spark's vectorized reader rejects as TimestampType. We scan it as the raw
-# int64 nanos and convert ns→µs at load (integer division — matches
-# DuckDB's truncating ns→µs read). See readers.load_table.
+# NOTE: events.ts has shipped as BOTH parquet timestamp[ns] (round-1
+# corpus) and timestamp[us] (round-2 regeneration). readers.load_table
+# probes the footer (driver-side metadata read, O(1)) and picks the right
+# variant: ns → scan as raw int64 + truncating ns→µs divide (matching
+# DuckDB's read); µs → plain TimestampType scan.
 EVENTS = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+EVENTS_NS = T.StructType([
     T.StructField("event_id", T.LongType()),
     T.StructField("ts", T.LongType()),
     T.StructField("user_id", T.LongType()),

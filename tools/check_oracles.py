@@ -35,7 +35,10 @@ def value_hash(df: pd.DataFrame) -> str:
             if v is None or (isinstance(v, float) and pd.isna(v)):
                 parts.append("NULL")
             elif isinstance(v, float):
-                parts.append(f"{v:.6g}")
+                # FULL precision — round-1 showed the driver hashes exact
+                # values; a 6-sig-fig local hash let ulp-level cross-engine
+                # diffs through (4 driver hash-fails that passed locally).
+                parts.append(f"{v:.17g}")
             elif isinstance(v, (list, tuple)):
                 parts.append(",".join(str(x) for x in v))
             else:
