@@ -113,13 +113,13 @@ def align_and_fill(sensor_long: DataFrame) -> DataFrame:
     # (ts, series) equi-join: identical subset-key partitionings satisfy
     # the join's clustered distribution (co-partitioning on a key subset),
     # so the join adds NO exchange and every downstream per-series window
-    # reuses the same distribution. Explicit repartition (not the
-    # distinct-exchange partitioning the spine arrives with) keeps the
-    # partition count AQE-stable on both sides so they stay compatible.
+    # reuses the same distribution. Partition COUNT comes from
+    # spark.sql.shuffle.partitions (workload-sized by the caller: 8 for
+    # the reference-scale bench, thousands on a 100 TB cluster) — a pinned
+    # defaultParallelism count forced 32-way shuffles of few-MB data.
     # shuffle-hash, NOT broadcast: both sides are fact-sized.
-    par = spine.sparkSession.sparkContext.defaultParallelism
-    joined = spine.repartition(par, "series").join(
-        sensor_long.repartition(par, "series").hint("shuffle_hash"),
+    joined = spine.repartition("series").join(
+        sensor_long.repartition("series").hint("shuffle_hash"),
         ["ts", "series"], "left")
     interp = TS.interpolate_linear("value", "ts", ["series"])
     filled = F.coalesce(
@@ -367,7 +367,6 @@ def run_pipeline(spark: SparkSession, tables: dict[str, DataFrame],
     metrics["window_features"] = time.time() - t
 
     t = time.time()
-    diffs = zone_differentials(feat)
     risk = risk_indicators(feat)
     ratios = material_ratios(tables["mis_report"])
     metrics["derived"] = time.time() - t
@@ -379,35 +378,38 @@ def run_pipeline(spark: SparkSession, tables: dict[str, DataFrame],
         zone_col="ZONE", pre_windows_h=(24, 48, 72))
     metrics["labeling"] = time.time() - t
 
-    # Stage 11: wide pivot at the ML boundary. `feat` fans out to three
-    # consumers (pivot, differentials, risk) — persist it so the window
-    # pipeline executes ONCE, not once per consumer, when the final action
-    # fires. Pivot column names come from the RAW sources (three tiny
-    # single-column distincts over column-pruned scans): deriving them
-    # from `feat` would execute the whole window pipeline eagerly just to
-    # learn the schema.
+    # Stage 11: wide pivot at the ML boundary. `feat` fans out to two
+    # consumers (pivot, risk) — persist it so the window pipeline executes
+    # ONCE, not once per consumer, when the final action fires. Pivot
+    # column names come from the RAW sources (three tiny single-column
+    # distincts over column-pruned scans): deriving them from `feat` would
+    # execute the whole window pipeline eagerly just to learn the schema.
     t = time.time()
     feat = feat.persist()
     series_names = source_series_names(tables)
     # Fill the cache in its own job BEFORE the consumers plan against it:
-    # inside one big job the three consumer subtrees schedule concurrently
-    # and each recomputes feat's windows before any cache partition lands
+    # inside one big job the consumer subtrees schedule concurrently and
+    # each recomputes feat's windows before any cache partition lands
     # (~3x the window compute, measured); a pre-materialized cache also
     # gives AQE real size stats for the downstream join strategy.
     feat.write.format("noop").mode("overwrite").save()
     base_wide = PV.pivot_wide(
         feat.select("ts", "series", "value"), ["ts"], "series", "value",
         values=series_names)
-    # diff series names derive statically from the zone series names —
-    # no extra job (zone ids are dense integers)
+    # Zone differentials (stage 6 cross-series): on the PIVOTED frame the
+    # adjacent-zone diff is plain column arithmetic — a zero-shuffle
+    # projection, replacing the long-layout lead-window + second pivot +
+    # join (3 exchanges) the round-1 plan paid. zone_differentials() keeps
+    # the long-layout variant for pre-pivot consumers; values identical.
     zone_ids = sorted(int(s.rsplit("_", 1)[1]) for s in series_names
                       if s.startswith("zone_ZONE_"))
-    diff_names = [f"zone_diff_{i}_{i + 1}" for i in zone_ids
-                  if i + 1 in set(zone_ids)]
-    diffs_wide = PV.pivot_wide(diffs, ["ts"], "series", "value", values=diff_names)
+    diff_cols = [
+        (F.col(f"zone_ZONE_{i + 1}") - F.col(f"zone_ZONE_{i}"))
+        .alias(f"zone_diff_{i}_{i + 1}")
+        for i in zone_ids if i + 1 in set(zone_ids)]
+    base_wide = base_wide.select("*", *diff_cols)
 
     out = (base_wide
-           .join(diffs_wide, "ts", "left")
            .join(risk, "ts", "left")
            .join(F.broadcast(ratios), base_wide.ts == ratios.day_ts, "left")
            .drop("day_ts")
