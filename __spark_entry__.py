@@ -1586,6 +1586,23 @@ def q_quality_scatter(spark: SparkSession, sf: str) -> DataFrame:
                     "p.grade_value", "p.material_name", "p.material_value"))
 
 
+def q_oversample_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.11 class-imbalance augmentation count invariant (reference
+    noise-jitter oversampling, models.py:771-796): label = event_id%97==0
+    (~1% minority → triggers augmentation); the deterministic-explode
+    replication makes the output class counts EXACT, so the oracle
+    replays the same needed = min(n//4, 1000) − n_pos arithmetic. The
+    jitter VALUES are randn (seeded, partition-dependent) — counts are
+    the cross-engine-stable contract."""
+    from timeseries_data_analysis_spark.ml import pipeline as ML
+    ev = load_table(spark, sf, "events").select(
+        "event_id",
+        (F.col("event_id") % 97 == 0).cast("int").alias("label"),
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("f1"))
+    aug = ML.oversample_minority(ev, "label", ["f1"], order_cols=["event_id"])
+    return aug.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's anomaly detector over sf0.001 events."""
     return q_anomaly_detect(spark, SF_SMOKE)
@@ -1659,9 +1676,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_total": q_running_total,
         "first_last": q_first_last,
         "daily_trend": q_daily_trend,
-        # --- new in round 2 (§2.12 completion; driver-checked on rotation) ---
+        # --- new in round 2 (§2.11/§2.12 completion; driver-checked on
+        #     rotation) ---
         "accretion_status": q_accretion_status,
         "quality_scatter": q_quality_scatter,
+        "oversample_counts": q_oversample_counts,
         # --- round-1 driver-verified greens (45) ---
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
@@ -3197,6 +3216,21 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN (VALUES ('l_quantity'), ('l_extendedprice')) g(grade_name)
         CROSS JOIN (VALUES ('l_discount'), ('l_tax')) m(material_name)
         WHERE l_orderkey % 199 = 0
+    """
+
+    sql["oversample_counts"] = """
+        WITH base AS (
+            SELECT CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END AS label
+            FROM events
+        ), c AS (SELECT count(*) AS n, sum(label) AS pos FROM base)
+        SELECT 0 AS label, n - pos AS n FROM c
+        UNION ALL
+        SELECT 1 AS label,
+               pos + CASE WHEN pos > 0
+                           AND (pos < 20 OR pos::DOUBLE / n < 0.1)
+                           AND least(n // 4, 1000) - pos > 0
+                     THEN least(n // 4, 1000) - pos ELSE 0 END AS n
+        FROM c
     """
 
     sql["retention"] = """

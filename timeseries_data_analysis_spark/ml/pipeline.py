@@ -113,6 +113,119 @@ def evaluate_regression(model: PipelineModel, test: DataFrame,
     return out
 
 
+def evaluate_zone(model: PipelineModel, test: DataFrame,
+                  label: str = "accretion_zone") -> dict:
+    """Multiclass zone evaluator (reference models_backup.py:177-243):
+    accuracy over VALID zones only (label ≥ 0 — −1 means "no accretion
+    zone"), plus the distinct truth/prediction class sets the reference
+    reports. NaN accuracy when the test slice has no valid zones,
+    matching the reference's no-valid-zones branch."""
+    valid = test.filter(F.col(label) >= 0)
+    if valid.isEmpty():
+        return {"accuracy": float("nan"), "unique_classes_truth": [],
+                "unique_classes_pred": [], "note": "no valid zones"}
+    pred = model.transform(valid)
+    acc = MulticlassClassificationEvaluator(
+        labelCol=label, metricName="accuracy").evaluate(pred)
+    truth = sorted(r[0] for r in valid.select(label).distinct().collect())
+    got = sorted(r[0] for r in
+                 pred.select("prediction").distinct().collect())
+    return {"accuracy": acc, "unique_classes_truth": truth,
+            "unique_classes_pred": got}
+
+
+def oversample_minority(df: DataFrame, label_col: str,
+                        feature_cols: list[str],
+                        min_count: int = 20, min_frac: float = 0.1,
+                        cap: int = 1000, noise_std: float = 0.1,
+                        order_cols: list[str] | None = None,
+                        seed: int = 42) -> DataFrame:
+    """Class-imbalance augmentation (reference models.py:771-796): when
+    positives are scarce (< ``min_count`` or < ``min_frac`` of rows), add
+    ``min(n_rows // 4, cap) − n_pos`` synthetic positives — copies of
+    existing positives with N(0, noise_std) jitter on the feature columns.
+
+    Scale design: the trigger decision is one tiny aggregate (the
+    reference likewise counts classes up front); replication is a
+    DETERMINISTIC explode — each positive emits ``needed // n_pos``
+    copies, the first ``needed % n_pos`` (by ``order_cols``) one more —
+    so the output row count is exact and oracle-checkable, unlike a
+    ``sample(withReplacement)`` whose count is only approximate. Noise is
+    ``randn(seed)`` — JVM-side, no Python boundary, no driver loop.
+    """
+    from pyspark.sql import Window
+
+    n_rows, n_pos = df.agg(
+        F.count(F.lit(1)),
+        F.sum(F.when(F.col(label_col) == 1, 1).otherwise(0))).first()
+    n_pos = n_pos or 0
+    if n_pos == 0 or (n_pos >= min_count and n_pos / n_rows >= min_frac):
+        return df
+    needed = min(n_rows // 4, cap) - n_pos
+    if needed <= 0:
+        return df
+
+    k, rem = divmod(needed, n_pos)
+    order_cols = order_cols or feature_cols
+    w = Window.orderBy(*order_cols)
+    pos = (df.filter(F.col(label_col) == 1)
+           .withColumn("_copies",
+                       F.lit(k) + (F.row_number().over(w) <= rem).cast("int"))
+           .filter(F.col("_copies") > 0)
+           .withColumn("_dup", F.explode(F.sequence(F.lit(1), F.col("_copies"))))
+           .drop("_copies", "_dup"))
+    jittered = pos.select(*[
+        (F.col(c) + F.randn(seed + i) * noise_std).alias(c)
+        if c in feature_cols else F.col(c)
+        for i, c in enumerate(df.columns)])
+    return df.unionByName(jittered)
+
+
+class IncrementalTrainer:
+    """T4: incremental model update for ``foreachBatch`` (reference
+    update_incrementally, models_backup.py:311-420; dashboard trigger
+    dashboard.py:2056-2133).
+
+    Spark ML tree ensembles have no ``xgb_model`` warm-start, so the
+    equivalent semantics are replay-buffer refit: each micro-batch appends
+    to a bounded parquet buffer (newest ``buffer_batches`` kept) and the
+    pipeline refits on the union — the model adapts to new patterns
+    without full-history retraining, and the per-update ``history``
+    (timestamp, samples, metrics) mirrors the reference's
+    ``training_history``. First batch = plain fit, like the reference's
+    ``if not self.models`` branch.
+    """
+
+    def __init__(self, pipeline_factory, buffer_path: str,
+                 label_col: str = "accretion_forming",
+                 buffer_batches: int = 5):
+        self.pipeline_factory = pipeline_factory
+        self.buffer_path = buffer_path
+        self.label_col = label_col
+        self.buffer_batches = buffer_batches
+        self.model: PipelineModel | None = None
+        self.history: list[dict] = []
+
+    def update(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        (batch_df.withColumn("_batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(self.buffer_path))
+        buf = spark.read.parquet(self.buffer_path)
+        keep_from = batch_id - self.buffer_batches + 1
+        train = buf.filter(F.col("_batch_id") >= keep_from).drop("_batch_id")
+        self.model = self.pipeline_factory().fit(train)
+        n = train.count()
+        metrics: dict = {"samples": int(n), "batch_id": int(batch_id)}
+        try:
+            metrics.update(evaluate_binary(self.model, train,
+                                           label=self.label_col))
+        except Exception:  # noqa: BLE001 — single-class batches have no AUC
+            pass
+        self.history.append(metrics)
+
+
 def feature_importances(model: PipelineModel,
                         feature_cols: list[str], top_n: int = 20) -> list[tuple[str, float]]:
     """Top-N feature importances from the tree head (reference
