@@ -818,7 +818,17 @@ def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
         "embedding", F.col("embedding").cast("array<double>"))
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding")
-    out = SIM.ivf_topk(emb, q, k=5, n_centroids=16, n_probe=4)
+    # Deterministic seed-selection centroids (the 16 lowest vec_id % 31 == 0
+    # corpus vectors) instead of the iterative k-means fit: same IVF search
+    # path, but exactly replayable in the SQL oracle.  The k-means fit
+    # (SIM.ivf_fit_centroids) stays pytest-covered in test_dedup_text.py.
+    from pyspark.sql import Window as _W
+    cent = (emb.filter(F.col("vec_id") % 31 == 0)
+            .orderBy("vec_id").limit(16)
+            .select((F.row_number().over(_W.orderBy("vec_id")) - 1)
+                    .alias("centroid_id"),
+                    F.col("embedding").alias("centroid")))
+    out = SIM.ivf_topk(emb, q, k=5, n_centroids=16, n_probe=4, centroids=cent)
     return out.select("query_id", "vec_id", "rk",
                       _r(F.col("sim"), 6).alias("sim"))
 
@@ -844,8 +854,12 @@ def q_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     return (docs.select("doc_id", TX.token_base_hashes("text").alias("_th"))
             .select("doc_id", TX.kgram_hashes(F.col("_th"), 4).alias("_kg"))
-            .select("doc_id", TX.winnow_minima(F.col("_kg"), 5).alias("fps"))
-            .select("doc_id", "fps", F.size("fps").alias("n_fps")))
+            .select("doc_id", TX.winnow_minima(F.col("_kg"), 5).alias("_fps"))
+            # fps as a joined string, not array<bigint>: the driver's
+            # canonicalizer can't hash list cells (r2 harness TypeError).
+            .select("doc_id",
+                    F.array_join("_fps", ",").alias("fps_str"),
+                    F.size("_fps").alias("n_fps")))
 
 
 def q_rollup_totals(spark: SparkSession, sf: str) -> DataFrame:
@@ -1610,20 +1624,71 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS DELIBERATE: the driver's correctness gate checks
-    the first 50 entries. Round 1 verified the relational/time-series
-    surface (now in the back half, still covered by the local 97/97 gate);
-    round 2 front-loads (a) the 5 queries fixed this round (4 hash-fails +
-    lsh_topk's new oracle) and (b) the dedup/similarity/text/SAX/analytics
-    pillar that round 1 never put in front of the driver.
+    the first 50 entries. Round 3 front-loads (a) the 5 round-2 hash-fails
+    (root-caused to oracle integer-sum dtype, now ::BIGINT-cast), (b) the
+    winnow/ivf/cubic contract+oracle fixes, (c) the 8 entries never yet
+    driver-checked, and (d) scale-critical round-1 greens as a regression
+    guard over the round-2 refactors. Round-2 driver-greens move to the
+    back half (freshest evidence, least at risk).
     """
     return {
-        # --- round-2 re-checks: fixed hash-fails + new lsh oracle (5) ---
+        # --- round-3 front-50: (a) the 5 oracle-dtype fixes, (b) the
+        #     3 contract/oracle fixes (winnow/ivf/cubic), (c) the 8
+        #     never-driver-checked entries, then (d) scale-critical
+        #     round-1 greens to guard against round-2 refactor drift ---
         "null_profile": q_null_profile,
         "zone_drop_counts": q_zone_drop_counts,
         "multi_zone_cooling": q_multi_zone_cooling,
         "dummies_top": q_dummies_top,
+        "token_entropy": q_token_entropy,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "ivf_topk": q_ivf_topk,
+        "cubic_interp": q_cubic_interp,
+        "rollup_totals": q_rollup_totals,
+        "ntile_quartiles": q_ntile_quartiles,
+        "running_total": q_running_total,
+        "first_last": q_first_last,
+        "daily_trend": q_daily_trend,
+        "accretion_status": q_accretion_status,
+        "quality_scatter": q_quality_scatter,
+        "oversample_counts": q_oversample_counts,
+        # --- regression guard: r1 greens, untouched-path check ---
+        "spine_ffill": q_spine_ffill,
+        "interpolate": q_interpolate,
+        "fill_chain": q_fill_chain,
+        "hourly_spine": q_hourly_spine,
+        "savgol_smooth": q_savgol_smooth,
+        "lag_features": q_lag_features,
+        "rolling_stats": q_rolling_stats,
+        "rolling_min_periods": q_rolling_min_periods,
+        "zscore": q_zscore,
+        "diff_pct_change": q_diff_pct_change,
+        "cooling_runs": q_cooling_runs,
+        "anomaly_detect": q_anomaly_detect,
+        "baseline_ratio": q_baseline_ratio,
+        "sequence_windows": q_sequence_windows,
+        "interval_join": q_interval_join,
+        "asof_join": q_asof_join,
+        "label_events_full": q_label_events_full,
+        "latest_per_user": q_latest_per_user,
+        "pivot_event_types": q_pivot_event_types,
+        "melt_metrics": q_melt_metrics,
+        "dup_collapse": q_dup_collapse,
+        "hourly_downsample": q_hourly_downsample,
+        "horizontal_agg": q_horizontal_agg,
+        "pricing_summary": q_pricing_summary,
+        "top_revenue_orders": q_top_revenue_orders,
+        "nation_revenue": q_nation_revenue,
+        "topk_per_type": q_topk_per_type,
+        "stride_sample": q_stride_sample,
+        "cat_codes": q_cat_codes,
+        "time_split": q_time_split,
+        "zero_variance": q_zero_variance,
+        "isin_sample": q_isin_sample,
+        "union_sources": q_union_sources,
+        "correlation": q_correlation,
+        # --- back half: r2 driver-greens (freshest evidence) + rest ---
         "lsh_topk": q_lsh_topk,
-        # --- previously-unchecked pillar (45) ---
         "json_extract": q_json_extract,
         "exact_dedup": q_exact_dedup,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1633,10 +1698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": q_similarity_topk,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
-        "cubic_interp": q_cubic_interp,
         "rolling_hash": q_rolling_hash,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "ivf_topk": q_ivf_topk,
         "ngram_jaccard": q_ngram_jaccard,
         "cube_summary": q_cube_summary,
         "sessionize": q_sessionize,
@@ -1664,64 +1726,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_similarity": q_series_similarity,
         "sax_bucket_search": q_sax_bucket_search,
         "ewma": q_ewma,
-        "token_entropy": q_token_entropy,
         "retention": q_retention,
         "rank_distribution": q_rank_distribution,
         "calendar_features": q_calendar_features,
         "moments": q_moments,
-        # --- deferred to round 3 (simple window/agg shapes, same family
-        #     as round-1 greens; local-gate covered) ---
-        "rollup_totals": q_rollup_totals,
-        "ntile_quartiles": q_ntile_quartiles,
-        "running_total": q_running_total,
-        "first_last": q_first_last,
-        "daily_trend": q_daily_trend,
-        # --- new in round 2 (§2.11/§2.12 completion; driver-checked on
-        #     rotation) ---
-        "accretion_status": q_accretion_status,
-        "quality_scatter": q_quality_scatter,
-        "oversample_counts": q_oversample_counts,
-        # --- round-1 driver-verified greens (45) ---
-        "pricing_summary": q_pricing_summary,
-        "top_revenue_orders": q_top_revenue_orders,
-        "nation_revenue": q_nation_revenue,
         "customer_order_stats": q_customer_order_stats,
         "customers_without_orders": q_customers_without_orders,
         "late_shipping_orders": q_late_shipping_orders,
         "part_brand_revenue": q_part_brand_revenue,
         "value_counts_topn": q_value_counts_topn,
         "distinct_users": q_distinct_users,
-        "horizontal_agg": q_horizontal_agg,
-        "dup_collapse": q_dup_collapse,
-        "hourly_downsample": q_hourly_downsample,
-        "pivot_event_types": q_pivot_event_types,
-        "lag_features": q_lag_features,
-        "rolling_stats": q_rolling_stats,
-        "rolling_min_periods": q_rolling_min_periods,
-        "zscore": q_zscore,
-        "diff_pct_change": q_diff_pct_change,
-        "cooling_runs": q_cooling_runs,
-        "anomaly_detect": q_anomaly_detect,
-        "stride_sample": q_stride_sample,
-        "latest_per_user": q_latest_per_user,
-        "topk_per_type": q_topk_per_type,
-        "hourly_spine": q_hourly_spine,
-        "spine_ffill": q_spine_ffill,
-        "fill_chain": q_fill_chain,
-        "interpolate": q_interpolate,
-        "interval_join": q_interval_join,
-        "asof_join": q_asof_join,
-        "baseline_ratio": q_baseline_ratio,
-        "sequence_windows": q_sequence_windows,
-        "correlation": q_correlation,
-        "zero_variance": q_zero_variance,
-        "isin_sample": q_isin_sample,
-        "label_events_full": q_label_events_full,
-        "savgol_smooth": q_savgol_smooth,
-        "cat_codes": q_cat_codes,
-        "union_sources": q_union_sources,
-        "melt_metrics": q_melt_metrics,
-        "time_split": q_time_split,
         "time_range_filter": q_time_range_filter,
         "grade_share": q_grade_share,
         "supplier_balance": q_supplier_balance,
@@ -1826,8 +1840,8 @@ def oracle_sql() -> dict[str, str]:
 
     sql["null_profile"] = """
         SELECT count(*) AS n_rows,
-               sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS value_nulls,
-               sum(CASE WHEN isnan(value) THEN 1 ELSE 0 END) AS value_nans,
+               sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT AS value_nulls,
+               sum(CASE WHEN isnan(value) THEN 1 ELSE 0 END)::BIGINT AS value_nans,
                count(DISTINCT user_id) AS user_distinct,
                printf('%.4f', min(value) + 1e-9) AS value_min,
                printf('%.4f', max(value) + 1e-9) AS value_max,
@@ -1960,7 +1974,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT ts,
                sum(CASE WHEN (n_rows >= 24 AND n_valid > 12)
                          AND round(value - (mu - 2 * sigma) + 1e-9, 6) < 0
-                    THEN 1 ELSE 0 END) AS series_with_drops
+                    THEN 1 ELSE 0 END)::BIGINT AS series_with_drops
         FROM b GROUP BY ts
     """
 
@@ -2225,7 +2239,8 @@ def oracle_sql() -> dict[str, str]:
                                AND lead(zone_idx, 2) OVER w = zone_idx + 2
                           THEN 1 ELSE 0 END AS pat
               FROM fl WINDOW w AS (PARTITION BY ts ORDER BY zone_idx))
-        SELECT ts, sum(pat) AS n_patterns, max(pat) AS any_pattern
+        SELECT ts, sum(pat)::BIGINT AS n_patterns,
+               max(pat)::INTEGER AS any_pattern
         FROM p GROUP BY ts
     """
 
@@ -2325,7 +2340,7 @@ def oracle_sql() -> dict[str, str]:
     # derived IN SQL so the oracle replays the same data-dependent vocab.
     dum_sums = ",\n               ".join(
         f"sum(CASE WHEN event_type = (SELECT v FROM vocab WHERE rk = {i})"
-        f" THEN 1 ELSE 0 END) AS n_top{i}"
+        f" THEN 1 ELSE 0 END)::BIGINT AS n_top{i}"
         for i in (1, 2, 3))
     sql["dummies_top"] = f"""
         WITH vocab AS (
@@ -2337,7 +2352,7 @@ def oracle_sql() -> dict[str, str]:
                {dum_sums},
                sum(CASE WHEN event_type IN (SELECT v FROM vocab)
                          OR event_type IS NULL
-                        THEN 0 ELSE 1 END) AS n_other
+                        THEN 0 ELSE 1 END)::BIGINT AS n_other
         FROM events GROUP BY user_id
     """
 
@@ -2470,14 +2485,135 @@ def oracle_sql() -> dict[str, str]:
         ) GROUP BY event_type, quartile
     """
 
-    # cubic_interp: rows-only — the natural-spline tridiagonal solve is not
-    # SQL-expressible; knot fidelity (spline passes through every knot) and
-    # linear-data exactness are pytest-verified in tests/test_timeseries.py.
+    # cubic_interp: full value oracle — the Spark side solves the natural-
+    # spline tridiagonal system with the Thomas algorithm (a fixed
+    # sequential recurrence), which the oracle replays with two recursive
+    # CTEs (forward sweep + back substitution) using the identical
+    # floating-point operation order, then evaluates the same piecewise
+    # cubic on the same 93-point linspace grid.  Assumes every group has
+    # >= 4 knots (24 hourly knots per event_type in this corpus; the
+    # operator's n<4 linear fallback is pytest-covered instead).
+    sql["cubic_interp"] = """
+        WITH RECURSIVE knots AS (
+            SELECT event_type, x, y,
+                   row_number() OVER (PARTITION BY event_type ORDER BY x) - 1
+                       AS i,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM (SELECT event_type, hour(ts)::DOUBLE AS x,
+                         avg(value) AS y
+                  FROM events GROUP BY 1, 2)
+            WHERE y IS NOT NULL AND NOT isnan(y)
+        ), prep AS (
+            SELECT event_type, i, n,
+                   x - lag(x) OVER w AS h_lo,
+                   lead(x) OVER w - x AS h_hi,
+                   6.0 * ((lead(y) OVER w - y) / (lead(x) OVER w - x)
+                          - (y - lag(y) OVER w) / (x - lag(x) OVER w)) AS rhs
+            FROM knots
+            WINDOW w AS (PARTITION BY event_type ORDER BY i)
+        ), fwd AS (
+            SELECT event_type, i, n, h_lo, h_hi, rhs,
+                   h_hi / (2.0 * (h_lo + h_hi)) AS cp,
+                   rhs  / (2.0 * (h_lo + h_hi)) AS dp
+            FROM prep WHERE i = 1
+            UNION ALL
+            SELECT p.event_type, p.i, p.n, p.h_lo, p.h_hi, p.rhs,
+                   p.h_hi / (2.0 * (p.h_lo + p.h_hi) - p.h_lo * f.cp) AS cp,
+                   (p.rhs - p.h_lo * f.dp)
+                       / (2.0 * (p.h_lo + p.h_hi) - p.h_lo * f.cp) AS dp
+            FROM prep p JOIN fwd f
+              ON p.event_type = f.event_type AND p.i = f.i + 1
+            WHERE p.i <= p.n - 2
+        ), bwd AS (
+            SELECT event_type, i, dp AS m FROM fwd WHERE i = n - 2
+            UNION ALL
+            SELECT f.event_type, f.i, f.dp - f.cp * b.m AS m
+            FROM fwd f JOIN bwd b
+              ON f.event_type = b.event_type AND f.i = b.i - 1
+            WHERE f.i >= 1
+        ), mm AS (
+            SELECT k.event_type, k.i, coalesce(b.m, 0.0) AS m
+            FROM knots k LEFT JOIN bwd b USING (event_type, i)
+        ), bounds AS (
+            SELECT event_type, min(x) AS x0, max(x) AS x1
+            FROM knots GROUP BY event_type
+        ), grid AS (
+            SELECT b.event_type,
+                   CASE WHEN j = 92 THEN b.x1
+                        ELSE b.x0 + j * ((b.x1 - b.x0) / 92.0) END AS xq
+            FROM bounds b CROSS JOIN (SELECT unnest(range(93)) AS j)
+        ), seg AS (
+            SELECT g.event_type, g.xq,
+                   least(max(k.i), max(k.n) - 2) AS idx
+            FROM grid g JOIN knots k
+              ON k.event_type = g.event_type AND k.x <= g.xq
+            GROUP BY g.event_type, g.xq
+        ), ev AS (
+            SELECT s.event_type, s.xq,
+                   k0.x AS xa, k0.y AS ya, k1.x AS xb, k1.y AS yb,
+                   m0.m AS ma, m1.m AS mb
+            FROM seg s
+            JOIN knots k0 ON k0.event_type = s.event_type AND k0.i = s.idx
+            JOIN knots k1 ON k1.event_type = s.event_type
+                         AND k1.i = s.idx + 1
+            JOIN mm m0 ON m0.event_type = s.event_type AND m0.i = s.idx
+            JOIN mm m1 ON m1.event_type = s.event_type AND m1.i = s.idx + 1
+        )
+        SELECT event_type,
+               (round(xq + 1e-9, 4) + 0.0) AS hour,
+               (round(
+                   ya
+                   + ((yb - ya) / (xb - xa)
+                      - (xb - xa) * (2.0 * ma + mb) / 6.0) * (xq - xa)
+                   + (ma / 2.0) * (xq - xa) * (xq - xa)
+                   + ((mb - ma) / (6.0 * (xb - xa)))
+                     * (xq - xa) * (xq - xa) * (xq - xa)
+                   + 1e-9, 4) + 0.0) AS smooth_value
+        FROM ev
+    """
 
-    # ivf_topk: rows-only — the k-means fit is iterative, not one SQL
-    # statement; its exact-cosine rerank arithmetic is oracle-verified via
-    # similarity_topk, and recall vs brute force is pytest-bounded
-    # (tests/test_dedup_text.py).
+    # ivf_topk: full value oracle — the Spark query pins centroids to a
+    # deterministic seed selection (16 lowest vec_id % 31 == 0), so DuckDB
+    # replays the identical cell assignment, 4-cell probe, and exact-cosine
+    # rerank.  The iterative k-means fit path stays pytest-covered.
+    sql["ivf_topk"] = """
+        WITH cent AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+                   embedding::DOUBLE[] AS centroid
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 16)
+        ), assign AS (
+            SELECT vec_id, v, centroid_id FROM (
+                SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.centroid_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(
+                               e.embedding::DOUBLE[], c.centroid) DESC,
+                                    c.centroid_id) AS crk
+                FROM embeddings e CROSS JOIN cent c)
+            WHERE crk = 1
+        ), probes AS (
+            SELECT query_id, qv, centroid_id FROM (
+                SELECT e.vec_id AS query_id,
+                       e.embedding::DOUBLE[] AS qv, c.centroid_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(
+                               e.embedding::DOUBLE[], c.centroid) DESC,
+                                    c.centroid_id) AS crk
+                FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 10)
+            WHERE crk <= 4
+        ), scored AS (
+            SELECT p.query_id, a.vec_id,
+                   list_cosine_similarity(a.v, p.qv) AS s
+            FROM assign a JOIN probes p USING (centroid_id)
+            WHERE a.vec_id <> p.query_id
+        ), ranked AS (
+            SELECT query_id, vec_id, s,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY s DESC, vec_id) AS rk
+            FROM scored)
+        SELECT query_id, vec_id, rk, (round(s + 1e-9, 6) + 0.0) AS sim
+        FROM ranked WHERE rk <= 5
+    """
 
     # Shared fragment: per-token md5-prefix base hashes of normalized text
     # (same tokenization as doc_fingerprint, same 8-hex-prefix→bigint hash
@@ -2509,16 +2645,16 @@ def oracle_sql() -> dict[str, str]:
             FROM h
         )
         SELECT doc_id,
-               list_sort(list_distinct(
+               array_to_string(list_sort(list_distinct(
                    CASE WHEN len(kg) >= 5 THEN
                        list_transform(range(len(kg) - 4), i ->
                            list_aggregate(kg[i+1:i+5], 'min'))
-                   ELSE kg END)) AS fps,
+                   ELSE kg END)), ',') AS fps_str,
                len(list_distinct(
                    CASE WHEN len(kg) >= 5 THEN
                        list_transform(range(len(kg) - 4), i ->
                            list_aggregate(kg[i+1:i+5], 'min'))
-                   ELSE kg END)) AS n_fps
+                   ELSE kg END))::INTEGER AS n_fps
         FROM kg
     """
 
@@ -3173,7 +3309,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, term, count(*) AS c FROM toks GROUP BY 1, 2
         )
         SELECT doc_id,
-               sum(c) AS n_tokens,
+               sum(c)::BIGINT AS n_tokens,
                count(*) AS n_distinct,
                (round(ln(sum(c)) - sum(c * ln(c)) / sum(c)
                       + 1e-9, 6) + 0.0) AS entropy,
@@ -3198,7 +3334,7 @@ def oracle_sql() -> dict[str, str]:
             FROM latest l JOIN thr t USING (event_type) WHERE rn = 1
         )
         SELECT event_type, latest_ts, latest_value, thr, is_low,
-               sum(is_low) OVER () AS n_low_total,
+               sum(is_low) OVER ()::BIGINT AS n_low_total,
                CASE WHEN sum(is_low) OVER () >= 3 THEN 'temperature_anomaly'
                     ELSE 'normal' END AS status,
                CAST(NULL AS DOUBLE) AS model_probability
@@ -3222,14 +3358,14 @@ def oracle_sql() -> dict[str, str]:
         WITH base AS (
             SELECT CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END AS label
             FROM events
-        ), c AS (SELECT count(*) AS n, sum(label) AS pos FROM base)
-        SELECT 0 AS label, n - pos AS n FROM c
+        ), c AS (SELECT count(*) AS n, sum(label)::BIGINT AS pos FROM base)
+        SELECT 0 AS label, (n - pos)::BIGINT AS n FROM c
         UNION ALL
         SELECT 1 AS label,
-               pos + CASE WHEN pos > 0
+               (pos + CASE WHEN pos > 0
                            AND (pos < 20 OR pos::DOUBLE / n < 0.1)
                            AND least(n // 4, 1000) - pos > 0
-                     THEN least(n // 4, 1000) - pos ELSE 0 END AS n
+                     THEN least(n // 4, 1000) - pos ELSE 0 END)::BIGINT AS n
         FROM c
     """
 

@@ -210,10 +210,15 @@ class IncrementalTrainer:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        # Buffer is partitioned by _batch_id so expiry is a partition
+        # DELETE, not a read-time filter: disk usage stays bounded at
+        # ``buffer_batches`` partitions over an infinite stream.
         (batch_df.withColumn("_batch_id", F.lit(batch_id))
-         .write.mode("append").parquet(self.buffer_path))
-        buf = spark.read.parquet(self.buffer_path)
+         .write.mode("append").partitionBy("_batch_id")
+         .parquet(self.buffer_path))
         keep_from = batch_id - self.buffer_batches + 1
+        self._expire_partitions(spark, keep_from)
+        buf = spark.read.parquet(self.buffer_path)
         train = buf.filter(F.col("_batch_id") >= keep_from).drop("_batch_id")
         self.model = self.pipeline_factory().fit(train)
         n = train.count()
@@ -224,6 +229,24 @@ class IncrementalTrainer:
         except Exception:  # noqa: BLE001 — single-class batches have no AUC
             pass
         self.history.append(metrics)
+
+    def _expire_partitions(self, spark, keep_from: int) -> None:
+        """Delete ``_batch_id=<k>`` partition dirs with k < keep_from via
+        the Hadoop FileSystem API (works on local, HDFS, and S3A alike)."""
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(self.buffer_path)
+        fs = path.getFileSystem(conf)
+        if not fs.exists(path):
+            return
+        for status in fs.listStatus(path):
+            name = status.getPath().getName()
+            if name.startswith("_batch_id="):
+                try:
+                    if int(name.split("=", 1)[1]) < keep_from:
+                        fs.delete(status.getPath(), True)
+                except ValueError:
+                    continue
 
 
 def feature_importances(model: PipelineModel,

@@ -55,10 +55,12 @@ def stub_forward(hidden: int = 16, seed: int = 42
     h·W_h)`` folded over the sequence axis, sigmoid readout. Vectorized
     over the batch — the per-batch cost profile of a real cell without
     the torch dependency."""
-    rng = np.random.default_rng(seed)
-
     def forward(batch: np.ndarray) -> np.ndarray:
-        # batch: (n, seq_len, n_features)
+        # batch: (n, seq_len, n_features).  The rng is RE-CREATED from the
+        # fixed seed on every call: weights are a pure function of
+        # (seed, n_features), so every Arrow batch on every executor sees
+        # identical parameters regardless of batch/partition boundaries.
+        rng = np.random.default_rng(seed)
         n_feat = batch.shape[2]
         w_x = rng.standard_normal((n_feat, hidden)) / np.sqrt(n_feat)
         w_h = rng.standard_normal((hidden, hidden)) / np.sqrt(hidden)
@@ -69,8 +71,6 @@ def stub_forward(hidden: int = 16, seed: int = 42
         logit = h @ w_o
         return 1.0 / (1.0 + np.exp(-logit))
 
-    # seed the weights once per process, not per batch: realize them
-    # eagerly so every batch sees identical parameters
     probe = forward(np.zeros((1, 1, 1)))
     assert probe.shape == (1,)
     return forward
@@ -92,8 +92,7 @@ def torch_forward(model) -> Callable[[np.ndarray], np.ndarray]:
 
 def predict_sequences(df: DataFrame, seq_cols: list[str],
                       forward: Callable[[np.ndarray], np.ndarray] | None = None,
-                      out_col: str = "seq_probability",
-                      batch_rows: int | None = None) -> DataFrame:
+                      out_col: str = "seq_probability") -> DataFrame:
     """Batch inference over trailing-sequence array columns.
 
     ``seq_cols`` are same-length ``array<double>`` columns (one per
@@ -101,7 +100,8 @@ def predict_sequences(df: DataFrame, seq_cols: list[str],
     ``(n, seq_len, n_features)`` tensor, runs ``forward`` once, and
     appends ``out_col``. The plan is scan → one Python stage → project:
     no shuffle is introduced, so this composes with any upstream
-    partitioning.
+    partitioning.  Batch size is governed by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``.
     """
     fwd = forward or stub_forward()
     schema = T.StructType(df.schema.fields
@@ -116,8 +116,4 @@ def predict_sequences(df: DataFrame, seq_cols: list[str],
                 [np.stack(pdf[c].to_numpy()) for c in seq_cols], axis=2)
             yield pdf.assign(**{out_col: fwd(feats)})
 
-    out = df
-    if batch_rows:
-        out = out.sparkSession.createDataFrame(out.rdd, out.schema) \
-            if False else out  # placeholder: batch size governed by Arrow conf
-    return out.mapInPandas(infer, schema=schema)
+    return df.mapInPandas(infer, schema=schema)

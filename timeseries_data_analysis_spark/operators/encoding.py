@@ -41,9 +41,10 @@ def top_n_values(df: DataFrame, col: str, n: int = 10) -> list[str]:
     which Spark needs at plan time. The query underneath is a bounded
     top-N (TakeOrderedAndProject), safe at any scale.
     """
-    rows = (df.groupBy(col).agg(F.count(F.lit(1)).alias("_n"))
+    rows = (df.filter(F.col(col).isNotNull())
+            .groupBy(col).agg(F.count(F.lit(1)).alias("_n"))
             .orderBy(F.col("_n").desc(), F.col(col)).limit(n).collect())
-    return [r[0] for r in rows if r[0] is not None]
+    return [r[0] for r in rows]
 
 
 def dummies(df: DataFrame, col: str, values: list[str],

@@ -297,16 +297,27 @@ def _natural_spline_eval(x, y, xq):
     if n < 4:
         return np.interp(xq, x, y)
     h = np.diff(x)
-    a = np.zeros((n, n))
-    rhs = np.zeros(n)
-    a[0, 0] = 1.0
-    a[-1, -1] = 1.0
+    # Thomas algorithm on the natural-spline tridiagonal system
+    # (unknowns M[1..n-2]; M[0] = M[n-1] = 0).  O(n) instead of the dense
+    # O(n^3) solve, and — because it is a fixed sequential recurrence —
+    # exactly replayable by the SQL oracle's recursive CTE, so the driver
+    # can value-check this operator bit-for-bit after 4-decimal rounding.
+    m = np.zeros(n)
+    cp = np.zeros(n)
+    dp = np.zeros(n)
     for i in range(1, n - 1):
-        a[i, i - 1] = h[i - 1]
-        a[i, i] = 2.0 * (h[i - 1] + h[i])
-        a[i, i + 1] = h[i]
-        rhs[i] = 6.0 * ((y[i + 1] - y[i]) / h[i] - (y[i] - y[i - 1]) / h[i - 1])
-    m = np.linalg.solve(a, rhs)
+        rhs = 6.0 * ((y[i + 1] - y[i]) / h[i] - (y[i] - y[i - 1]) / h[i - 1])
+        if i == 1:
+            w = 2.0 * (h[0] + h[1])
+            cp[1] = h[1] / w
+            dp[1] = rhs / w
+        else:
+            w = 2.0 * (h[i - 1] + h[i]) - h[i - 1] * cp[i - 1]
+            cp[i] = h[i] / w
+            dp[i] = (rhs - h[i - 1] * dp[i - 1]) / w
+    m[n - 2] = dp[n - 2]
+    for i in range(n - 3, 0, -1):
+        m[i] = dp[i] - cp[i] * m[i + 1]
     idx = np.clip(np.searchsorted(x, xq, side="right") - 1, 0, n - 2)
     hh = x[idx + 1] - x[idx]
     t = xq - x[idx]

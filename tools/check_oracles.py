@@ -35,10 +35,11 @@ def value_hash(df: pd.DataFrame) -> str:
             if v is None or (isinstance(v, float) and pd.isna(v)):
                 parts.append("NULL")
             elif isinstance(v, float):
-                # FULL precision — round-1 showed the driver hashes exact
-                # values; a 6-sig-fig local hash let ulp-level cross-engine
-                # diffs through (4 driver hash-fails that passed locally).
-                parts.append(f"{v:.17g}")
+                # repr() is the shortest round-trip representation: full
+                # precision AND dtype-faithful (123.0 stays "123.0", never
+                # "123"), so an oracle that returns float64 where Spark
+                # returns bigint fails HERE, not only at the driver.
+                parts.append(repr(v))
             elif isinstance(v, (list, tuple)):
                 parts.append(",".join(str(x) for x in v))
             else:
@@ -49,17 +50,18 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
+    """Dtype-FAITHFUL normalization.
+
+    Only timestamps are canonicalized (to microsecond strings).  Numeric
+    dtypes are left alone on purpose: round 2 proved that coercing both
+    sides to float64 masks exactly the class of bug the driver catches
+    (DuckDB HUGEINT -> pandas float64 ``123.0`` vs Spark bigint ``123``).
+    Integer *widths* (int32 vs int64) still hash identically via str().
+    """
     out = df.copy()
     for c in out.columns:
         if str(out[c].dtype).startswith("datetime"):
             out[c] = out[c].astype("datetime64[us]").astype(str)
-        elif out[c].dtype == object:
-            pass
-        else:
-            try:
-                out[c] = out[c].astype("float64")
-            except (ValueError, TypeError):
-                pass
     return out
 
 
