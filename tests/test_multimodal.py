@@ -90,3 +90,84 @@ def test_null_payload_raises(spark):
     df = spark.createDataFrame(rows, schema=MM.MEDIA_SCHEMA)
     with pytest.raises(Exception, match="(?i)no decoder|NotImplemented|PythonException"):
         MM.decode_image_features(df).collect()
+
+
+# -- real decoders (PNM image, WAV audio) ------------------------------------
+
+def _make_ppm(w, h, rgb):
+    header = f"P6\n{w} {h}\n255\n".encode()
+    return header + bytes(rgb) * (w * h)
+
+
+def _make_pgm_gradient(w, h):
+    header = f"P5\n# a comment\n{w} {h}\n255\n".encode()
+    px = bytes((x * 255 // max(w - 1, 1)) for _ in range(h) for x in range(w))
+    return header + px
+
+
+def _make_wav(freq_hz=440.0, amp=0.5, rate=8000, dur_s=0.5):
+    import io as _io
+    import wave as _wave
+
+    import numpy as np
+    t = np.arange(int(rate * dur_s)) / rate
+    x = (amp * np.sin(2 * np.pi * freq_hz * t) * 32767).astype("<i2")
+    buf = _io.BytesIO()
+    with _wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(x.tobytes())
+    return buf.getvalue()
+
+
+def test_real_ppm_decode_constant_image():
+    feats = MM._decode_image_impl(_make_ppm(8, 8, (120, 120, 120)))
+    assert len(feats) == MM.IMAGE_FEATURE_DIM
+    for f in feats:  # every 4x4 block mean == 120/255
+        assert abs(f - 120.0 / 255.0) < 1e-12
+
+
+def test_real_pgm_gradient_blocks_increase():
+    feats = MM._decode_image_impl(_make_pgm_gradient(16, 16))
+    # row-major 4x4 grid: within each row of blocks, means increase left->right
+    for r in range(4):
+        row = feats[r * 4:(r + 1) * 4]
+        assert row == sorted(row) and row[0] < row[3]
+
+
+def test_text_blob_still_uses_md5_fallback():
+    import hashlib
+    payload = b"P6 this is text, not a valid image payload"
+    h = hashlib.md5(payload).digest()
+    assert MM._decode_image_impl(payload) == \
+        [h[i % 16] / 256.0 for i in range(MM.IMAGE_FEATURE_DIM)]
+
+
+def test_real_wav_features_sine():
+    import math
+    out = MM._extract_audio_impl(_make_wav(freq_hz=440.0, amp=0.5,
+                                           rate=8000, dur_s=0.5), 0)
+    assert out["est_duration_ms"] == 500          # true duration, not meta
+    assert abs(out["rms"] - 0.5 / math.sqrt(2)) < 0.01
+    # sine crosses zero ~2*f*dur times
+    assert abs(out["zero_crossings"] - 2 * 440 * 0.5) <= 4
+
+
+def test_real_decoders_through_spark_path(spark):
+    rows = [
+        Row(media_id=1, payload=_make_ppm(8, 8, (200, 100, 0)),
+            meta=Row(format="ppm", width=8, height=8, n_channels=3,
+                     duration_ms=0)),
+        Row(media_id=2, payload=_make_wav(freq_hz=100.0, amp=0.25,
+                                          rate=8000, dur_s=0.25),
+            meta=Row(format="wav", width=0, height=0, n_channels=1,
+                     duration_ms=999)),
+    ]
+    df = spark.createDataFrame(rows, schema=MM.MEDIA_SCHEMA)
+    img = MM.decode_image_features(df.filter("media_id = 1")).toPandas()
+    assert abs(img["features"][0][0] - (300.0 / 3 / 255.0)) < 1e-6
+    aud = MM.audio_features(df.filter("media_id = 2")).toPandas()
+    # real WAV decode overrides the (wrong) metadata duration
+    assert aud["est_duration_ms"][0] == 250
+    assert abs(aud["rms"][0] - 0.25 / 2 ** 0.5) < 0.01

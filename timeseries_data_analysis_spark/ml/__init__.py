@@ -1,1 +1,1 @@
-from . import pipeline  # noqa: F401
+from . import dl, pipeline, tracking  # noqa: F401

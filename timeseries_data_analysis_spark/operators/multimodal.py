@@ -6,11 +6,14 @@ typed metadata struct; all per-item compute runs as Arrow-batched
 ``mapInPandas`` stages so the decode/transform cost distributes across
 the cluster and never round-trips the driver.
 
-Decode stubs: the heavy codecs (PIL/librosa/ffmpeg) are NOT in this
-environment, so the decode step is a clearly-marked deterministic fake
-behind ``_decode_image_impl``/`_extract_audio_impl`` — the Spark-side
-plumbing (schemas, batch iteration, partitioning, output shapes) is real
-and tested. Swap the ``*_impl`` functions for real codecs in production.
+Decoders: REAL for the formats this environment can genuinely decode —
+binary netpbm images (P5/P6, parsed with numpy) and RIFF/WAV audio
+(stdlib ``wave``), plus a PIL path behind an import-guard for other
+image formats when the library is present. Payloads that match no
+decoder fall back to a clearly-marked deterministic md5 fake so the
+plumbing (schemas, batch iteration, partitioning, output shapes) stays
+testable on synthetic blobs. Detection is parse-success, not sniffing:
+a payload is only "an image" if the full strict decode succeeds.
 
 Scale design:
 - ``binary`` payloads stay columnar (Arrow) end-to-end; batches are
@@ -26,13 +29,22 @@ Scale design:
 from __future__ import annotations
 
 import hashlib
+import io
+import wave
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+try:  # optional: real codec for non-netpbm images when available
+    from PIL import Image  # type: ignore
+    HAS_PIL = True
+except ImportError:
+    HAS_PIL = False
 
 # media row schema: payload + typed metadata (format/dims/duration)
 MEDIA_META = T.StructType([
@@ -52,20 +64,127 @@ MEDIA_SCHEMA = T.StructType([
 IMAGE_FEATURE_DIM = 16
 
 
+def _parse_pnm(payload: bytes) -> "np.ndarray | None":
+    """Strict binary-netpbm (P5 grayscale / P6 RGB, maxval<=255) decoder.
+
+    Returns an (H, W, C) uint8 array, or None if the payload is not a
+    complete, well-formed PNM — including the exact pixel-byte-count
+    check, so arbitrary text that merely starts with 'P6' never parses.
+    """
+    if payload is None or len(payload) < 10 or payload[:1] != b"P":
+        return None
+    kind = payload[:2]
+    if kind not in (b"P5", b"P6"):
+        return None
+    # header tokens: magic, width, height, maxval; '#' comments allowed
+    pos, tokens = 2, []
+    n = len(payload)
+    while len(tokens) < 3 and pos < n:
+        ch = payload[pos:pos + 1]
+        if ch in b" \t\r\n":
+            pos += 1
+        elif ch == b"#":
+            while pos < n and payload[pos:pos + 1] != b"\n":
+                pos += 1
+        elif ch.isdigit():
+            start = pos
+            while pos < n and payload[pos:pos + 1].isdigit():
+                pos += 1
+            tokens.append(int(payload[start:pos]))
+        else:
+            return None
+    if len(tokens) < 3 or pos >= n or payload[pos:pos + 1] not in b" \t\r\n":
+        return None
+    pos += 1  # exactly one whitespace byte after maxval
+    w, h, maxval = tokens
+    ch_n = 3 if kind == b"P6" else 1
+    if not (0 < w and 0 < h and 0 < maxval <= 255):
+        return None
+    if n - pos != w * h * ch_n:
+        return None
+    arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch_n,
+                        offset=pos)
+    return arr.reshape(h, w, ch_n)
+
+
+def _image_stat_features(arr: "np.ndarray") -> list[float]:
+    """Real image features: 4x4 grid of grayscale block means in [0, 1] —
+    a classic tiny-thumbnail descriptor; IMAGE_FEATURE_DIM floats."""
+    gray = arr.astype(np.float64).mean(axis=2) / 255.0
+    feats = []
+    for rows in np.array_split(gray, 4, axis=0):
+        for block in np.array_split(rows, 4, axis=1):
+            feats.append(float(block.mean()) if block.size else 0.0)
+    return feats
+
+
 def _decode_image_impl(payload: bytes) -> list[float]:
-    """STUB decode → feature vector. Deterministic fake: md5 of the bytes
-    expanded to IMAGE_FEATURE_DIM floats in [0, 1). A real deployment
-    replaces this body with e.g. PIL decode + model features.
+    """Image payload → IMAGE_FEATURE_DIM feature vector.
+
+    Real path: strict PNM parse (or PIL when installed) → 4x4 grayscale
+    block-mean descriptor. Unrecognized payloads get the deterministic
+    md5 fake (documented stub) so synthetic-blob pipelines stay testable.
     """
     if payload is None:
         raise NotImplementedError("null payload: no decoder registered")
-    h = hashlib.md5(payload).digest()
+    arr = _parse_pnm(payload)
+    if arr is None and HAS_PIL:
+        try:
+            img = Image.open(io.BytesIO(payload))
+            img.load()
+            a = np.asarray(img.convert("RGB"), dtype=np.uint8)
+            arr = a.reshape(a.shape[0], a.shape[1], 3)
+        except Exception:  # noqa: BLE001 — not an image: fall through
+            arr = None
+    if arr is not None:
+        return _image_stat_features(arr)
+    h = hashlib.md5(payload).digest()  # STUB fallback: md5 expansion
     return [h[i % 16] / 256.0 for i in range(IMAGE_FEATURE_DIM)]
 
 
+def _parse_wav(payload: bytes) -> "tuple[np.ndarray, int] | None":
+    """RIFF/WAV decode via the stdlib: (mono float samples in [-1, 1],
+    frame_rate), or None if the payload is not a parseable WAV."""
+    if payload is None or payload[:4] != b"RIFF":
+        return None
+    try:
+        with wave.open(io.BytesIO(payload)) as wf:
+            n_ch = wf.getnchannels()
+            width = wf.getsampwidth()
+            rate = wf.getframerate()
+            raw = wf.readframes(wf.getnframes())
+    except (wave.Error, EOFError):
+        return None
+    if width == 1:  # unsigned 8-bit
+        x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+        x = (x - 128.0) / 128.0
+    elif width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        return None
+    if n_ch > 1:
+        x = x.reshape(-1, n_ch).mean(axis=1)
+    return x, rate
+
+
 def _extract_audio_impl(payload: bytes, duration_ms: int) -> dict:
-    """STUB audio feature extraction: deterministic fake summary stats."""
-    h = hashlib.md5(payload or b"").digest()
+    """Audio payload → summary features.
+
+    Real path for WAV: RMS amplitude, sign-change zero crossings, and the
+    true duration from frame count / sample rate. Non-WAV payloads fall
+    back to the deterministic md5 fake (documented stub)."""
+    parsed = _parse_wav(payload)
+    if parsed is not None:
+        x, rate = parsed
+        if len(x) == 0:
+            return {"rms": 0.0, "zero_crossings": 0, "est_duration_ms": 0}
+        rms = float(np.sqrt(np.mean(x * x)))
+        zc = int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+        return {"rms": rms, "zero_crossings": zc,
+                "est_duration_ms": int(round(len(x) / rate * 1000.0))}
+    h = hashlib.md5(payload or b"").digest()  # STUB fallback
     return {
         "rms": h[0] / 256.0,
         "zero_crossings": int.from_bytes(h[1:3], "big") % 1000,
