@@ -1,1 +1,1 @@
-from . import dl, pipeline, tracking  # noqa: F401
+from . import dl, impute, pipeline, tracking  # noqa: F401

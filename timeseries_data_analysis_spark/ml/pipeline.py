@@ -46,8 +46,11 @@ def feature_prep(feature_cols: list[str], impute: bool = True,
                  scale: bool = True) -> list:
     """Shared head-independent stages: median-impute → assemble → scale.
 
-    KNN imputation (reference pre_processing.py:269-273) has no scalable
-    equivalent — median Imputer substituted per SURVEY.md §2.10.
+    The in-pipeline Imputer is median (fast, estimator-shaped). Full KNN
+    imputation fidelity (reference pre_processing.py:269-273, sklearn
+    KNNImputer semantics) is available as a pre-processing step:
+    ``ml.impute.knn_impute(df, cols, k=5, bits=...)`` — LSH-bucketed
+    nan-euclidean KNN, exact at bits=0, distributed at any scale.
     """
     stages: list = []
     cols = feature_cols
