@@ -1080,17 +1080,18 @@ def q_weighted_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     """TF-IDF top-3 terms per document — the standard corpus-analysis
-    ranking (tf = term count / doc length; idf = ln(N/df)). Three partial
-    aggregations over the exploded token stream; N arrives via a 1-row
-    broadcast cross join, never a driver collect."""
+    ranking (tf = term count / doc length; idf = ln(N/df)). Doc length is
+    a window-sum over the tf frame (not a groupBy+join: one less shuffle,
+    and the final rank window reuses the same doc_id partitioning); N
+    arrives via a 1-row broadcast cross join, never a driver collect."""
     docs = load_table(spark, sf, "documents")
     toks = (docs.select("doc_id", DD.tokens("text").alias("_toks"))
             .select("doc_id", F.explode("_toks").alias("term")))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
-    doclen = tf.groupBy("doc_id").agg(F.sum("c").alias("_len"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
-    scored = (tf.join(doclen, "doc_id")
+    wlen = Window.partitionBy("doc_id")
+    scored = (tf.withColumn("_len", F.sum("c").over(wlen))
               .join(F.broadcast(dfreq), "term")
               .crossJoin(F.broadcast(n_docs))
               .select("doc_id", "term",

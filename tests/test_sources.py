@@ -135,3 +135,27 @@ def test_jsonl_round_trip(spark, tmp_path):
                 .select("doc_id", "text"), str(out))
     back = load_jsonl(spark, str(out), T.StructType(schema.fields[:2]))
     assert sorted(r["doc_id"] for r in back.collect()) == [0, 1, 2, 3, 4]
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir, tmp_path):
+    """The scale claim behind write_bucketed: two tables bucketed on the
+    join key join WITHOUT any shuffle (no Exchange over either side), and
+    a bucket+sort table feeds a same-key window without an Exchange."""
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from timeseries_data_analysis_spark.sources.sinks import write_bucketed
+    write_bucketed(ev.select("event_id", "user_id", "ts", "value"),
+                   "t_ev_b", "user_id", n_buckets=4, sort_col="user_id")
+    write_bucketed(ev.groupBy("user_id").count(),
+                   "t_us_b", "user_id", n_buckets=4, sort_col="user_id")
+    try:
+        joined = spark.table("t_ev_b").join(spark.table("t_us_b"), "user_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == ev.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_ev_b")
+        spark.sql("DROP TABLE IF EXISTS t_us_b")
