@@ -23,7 +23,7 @@ from timeseries_data_analysis_spark.sources import load_table
 from timeseries_data_analysis_spark.operators import (
     windows as WIN, timeseries as TS, intervals as IV, pivot as PV,
     topk as TK, dedup as DD, similarity as SIM, encoding as ENC,
-    skew as SKEW, graph as GR, tsindex as TSI,
+    skew as SKEW, graph as GR, tsindex as TSI, sampling as SMP,
 )
 from timeseries_data_analysis_spark.functions import math_fns as M, text as TX
 
@@ -862,6 +862,50 @@ def q_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
                     F.size("_fps").alias("n_fps")))
 
 
+def q_hash_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic md5-bucket train/val/test split (80/10/10 on
+    event_id) — the leakage-safe i.i.d. split for training pipelines:
+    rows never migrate between splits when the table grows, and the
+    assignment replays identically in any engine (full value oracle).
+    Output is the per-split audit aggregate (counts + id checksum)."""
+    ev = load_table(spark, sf, "events")
+    split = SMP.hash_split(ev, "event_id",
+                           [("train", 0.8), ("val", 0.1), ("test", 0.1)])
+    return (split.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.sum("event_id").alias("id_sum")))
+
+
+def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified downsampling (the corpus-rebalancing
+    primitive: keep 50% of clicks, 20% of views, all purchases, drop the
+    rest) as a pure hash-threshold filter — no sampleBy nondeterminism,
+    no shuffle; exact reproducibility for lineage audits."""
+    ev = load_table(spark, sf, "events")
+    kept = SMP.stratified_hash_sample(
+        ev, "event_type", "event_id",
+        {"click": 0.5, "view": 0.2, "purchase": 1.0}, default=0.0)
+    return (kept.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("event_id").alias("id_sum")))
+
+
+def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: per corpus document, the fraction of
+    its distinct 3-gram shingles that appear anywhere in the held-out
+    benchmark slice (doc_id % 50 == 0) — the standard check that eval
+    data has not leaked into a training corpus. Broadcast benchmark
+    shingle set; md5-portable hashes (full value oracle)."""
+    docs = load_table(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    out = DD.ngram_contamination(corpus, bench, n=3, flag_threshold=0.2)
+    return out.select("doc_id", "n_shingles", "n_contaminated",
+                      _r(F.col("contamination_rate"), 6)
+                      .alias("contamination_rate"), "flagged")
+
+
 def q_rollup_totals(spark: SparkSession, sf: str) -> DataFrame:
     """Hierarchical ROLLUP aggregate (SURVEY.md §2.4 'absent in reference,
     free in Spark'): per (priority, status) order totals plus the
@@ -1653,6 +1697,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "accretion_status": q_accretion_status,
         "quality_scatter": q_quality_scatter,
         "oversample_counts": q_oversample_counts,
+        # --- new in round 3: sampling/split + decontamination ---
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
+        "decontaminate": q_decontaminate,
         # --- regression guard: r1 greens, untouched-path check ---
         "spine_ffill": q_spine_ffill,
         "interpolate": q_interpolate,
@@ -1685,10 +1733,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cat_codes": q_cat_codes,
         "time_split": q_time_split,
         "zero_variance": q_zero_variance,
+        # --- back half: r2 driver-greens (freshest evidence) + rest ---
         "isin_sample": q_isin_sample,
         "union_sources": q_union_sources,
         "correlation": q_correlation,
-        # --- back half: r2 driver-greens (freshest evidence) + rest ---
         "lsh_topk": q_lsh_topk,
         "json_extract": q_json_extract,
         "exact_dedup": q_exact_dedup,
@@ -2659,6 +2707,36 @@ def oracle_sql() -> dict[str, str]:
         FROM kg
     """
 
+    sql["hash_split"] = """
+        WITH b AS (
+            SELECT event_id, user_id,
+                   ('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT
+                       % 10000 AS bk
+            FROM events)
+        SELECT CASE WHEN bk < 8000 THEN 'train'
+                    WHEN bk < 9000 THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_rows,
+               count(DISTINCT user_id) AS n_users,
+               sum(event_id)::BIGINT AS id_sum
+        FROM b GROUP BY 1
+    """
+
+    sql["stratified_sample"] = """
+        WITH b AS (
+            SELECT event_id, event_type,
+                   ('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT
+                       % 10000 AS bk
+            FROM events)
+        SELECT event_type, count(*) AS n_rows, sum(event_id)::BIGINT AS id_sum
+        FROM b
+        WHERE bk < CASE event_type WHEN 'click' THEN 5000
+                                   WHEN 'view' THEN 2000
+                                   WHEN 'purchase' THEN 10000
+                                   ELSE 0 END
+        GROUP BY event_type
+    """
+
     # Same tokenization as the Spark side's DD.tokens (NO empty-token
     # filter — a whitespace-only doc yields [''] in both engines).
     sql["ngram_jaccard"] = f"""
@@ -2685,6 +2763,42 @@ def oracle_sql() -> dict[str, str]:
         FROM post a JOIN post b ON a.h = b.h AND a.doc_id < b.doc_id
         GROUP BY 1, 2
         HAVING count(*)::DOUBLE / (min(a.n) + min(b.n) - count(*)) >= 0.5
+    """
+
+    # decontaminate: distinct is taken over the 32-bit HASHES (matching
+    # the Spark side's array_distinct over hash_shingles), not the
+    # shingle strings — identical even under a within-doc hash collision.
+    sql["decontaminate"] = f"""
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(trim({norm}), '\\s+') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= 3 THEN
+                       list_transform(range(len(t) - 2), i ->
+                           t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+                   ELSE [array_to_string(t, ' ')] END AS s
+            FROM t
+        ), corp AS (
+            SELECT DISTINCT doc_id,
+                   ('0x' || substr(md5(g), 1, 8))::BIGINT AS h
+            FROM (SELECT doc_id, unnest(s) AS g FROM sh
+                  WHERE doc_id % 50 <> 0)
+        ), bench AS (
+            SELECT DISTINCT ('0x' || substr(md5(g), 1, 8))::BIGINT AS h
+            FROM (SELECT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0)
+        ), agg AS (
+            SELECT c.doc_id, count(*) AS n_shingles,
+                   sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                       AS n_contaminated
+            FROM corp c LEFT JOIN bench b ON c.h = b.h
+            GROUP BY c.doc_id)
+        SELECT doc_id, n_shingles, n_contaminated,
+               (round(n_contaminated::DOUBLE / n_shingles + 1e-9, 6) + 0.0)
+                   AS contamination_rate,
+               CASE WHEN n_contaminated::DOUBLE / n_shingles >= 0.2
+                    THEN 1 ELSE 0 END AS flagged
+        FROM agg
     """
 
     sql["cube_summary"] = """

@@ -483,3 +483,42 @@ def simhash(col: Column | str, n: int = 2, bits: int = 16) -> Column:
     own select first so the md5 pass runs once (see module docstring).
     """
     return simhash_from_hashes(hashed_shingles(col, n), bits)
+
+
+def ngram_contamination(corpus: DataFrame, benchmark: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 3, flag_threshold: float = 0.2) -> DataFrame:
+    """Benchmark decontamination: per corpus document, the fraction of its
+    distinct n-gram shingles that also occur anywhere in the benchmark
+    set — the standard pre-training hygiene check that eval data has not
+    leaked into the training corpus.
+
+    Plan shape: the benchmark's DISTINCT shingle-hash set is tiny next to
+    the corpus (eval suites are fixed-size), so it broadcasts; the corpus
+    side explodes to (doc, shingle-hash) postings once and left-semi
+    aggregates. Per-doc output: total distinct shingles, how many are
+    contaminated, the rate, and a 0/1 flag at ``flag_threshold``. The
+    corpus scan dominates; shuffle is one groupBy on doc id.
+
+    All arithmetic is md5-portable (32-bit shingle base hashes), so an
+    external SQL engine reproduces the exact counts — full value oracle.
+    """
+    cs = (corpus.select(F.col(id_col).alias("_id"),
+                        tokens(text_col).alias("_t"))
+          .select("_id", F.explode(F.array_distinct(
+              hash_shingles(shingles_from_tokens(F.col("_t"), n)))).alias("_h")))
+    bs = (benchmark.select(tokens(text_col).alias("_t"))
+          .select(F.explode(hash_shingles(
+              shingles_from_tokens(F.col("_t"), n))).alias("_h"))
+          .distinct()
+          .withColumn("_hit", F.lit(1)))
+    joined = cs.join(F.broadcast(bs), on="_h", how="left")
+    out = (joined.groupBy(F.col("_id").alias(id_col))
+           .agg(F.count(F.lit(1)).alias("n_shingles"),
+                F.sum(F.coalesce("_hit", F.lit(0))).alias("n_contaminated")))
+    rate = F.col("n_contaminated") / F.col("n_shingles")
+    return out.select(
+        id_col, "n_shingles",
+        F.col("n_contaminated").cast("bigint").alias("n_contaminated"),
+        rate.alias("contamination_rate"),
+        (rate >= flag_threshold).cast("int").alias("flagged"))
