@@ -906,6 +906,48 @@ def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
                       .alias("contamination_rate"), "flagged")
 
 
+def q_doc_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Intra-document repetition score (the Gopher-rule quality family:
+    Rae et al. 2021 filter docs whose content repeats itself): per doc,
+    total vs distinct 3-gram shingles, the repeated fraction, and the
+    share of the single most frequent shingle. One explode + two
+    aggregations; md5-portable (full value oracle)."""
+    docs = load_table(spark, sf, "documents")
+    ex = DD.exploded_shingle_hashes(docs, n=3, distinct=False)
+    per = (ex.groupBy("_id", "_h").agg(F.count(F.lit(1)).alias("c"))
+           .groupBy(F.col("_id").alias("doc_id"))
+           .agg(F.sum("c").alias("n_shingles"),
+                F.count(F.lit(1)).alias("n_distinct"),
+                F.max("c").alias("_top")))
+    return per.select(
+        "doc_id", "n_shingles", "n_distinct",
+        _r(F.lit(1.0) - F.col("n_distinct") / F.col("n_shingles"), 6)
+        .alias("repetition_rate"),
+        _r(F.col("_top") / F.col("n_shingles"), 6).alias("top_shingle_share"))
+
+
+def q_source_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Source-mix rebalancing plan (the pretraining data-mixing
+    primitive): per source, document/token inventory, its share of the
+    corpus, and the deterministic sampling fraction that would equalize
+    token shares across sources (capped at 1 — undersized sources are
+    never upsampled here). Two aggregations + a 1-row broadcast."""
+    docs = load_table(spark, sf, "documents")
+    per = (docs.select("source", F.size(DD.tokens("text")).alias("_nt"))
+           .groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("_nt").alias("n_tokens")))
+    tot = per.agg(F.sum("n_tokens").alias("_tot"),
+                  F.count(F.lit(1)).alias("_nsrc"))
+    share = F.col("n_tokens") / F.col("_tot")
+    target = F.lit(1.0) / F.col("_nsrc")
+    return (per.crossJoin(F.broadcast(tot))
+            .select("source", "n_docs", "n_tokens",
+                    _r(share, 6).alias("token_share"),
+                    _r(F.least(F.lit(1.0), target / share), 6)
+                    .alias("sample_fraction")))
+
+
 def q_rollup_totals(spark: SparkSession, sf: str) -> DataFrame:
     """Hierarchical ROLLUP aggregate (SURVEY.md §2.4 'absent in reference,
     free in Spark'): per (priority, status) order totals plus the
@@ -1701,6 +1743,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "decontaminate": q_decontaminate,
+        "doc_repetition": q_doc_repetition,
+        "source_mix": q_source_mix,
         # --- regression guard: r1 greens, untouched-path check ---
         "spine_ffill": q_spine_ffill,
         "interpolate": q_interpolate,
@@ -1731,9 +1775,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_type": q_topk_per_type,
         "stride_sample": q_stride_sample,
         "cat_codes": q_cat_codes,
+        # --- back half: r2 driver-greens (freshest evidence) + rest ---
         "time_split": q_time_split,
         "zero_variance": q_zero_variance,
-        # --- back half: r2 driver-greens (freshest evidence) + rest ---
         "isin_sample": q_isin_sample,
         "union_sources": q_union_sources,
         "correlation": q_correlation,
@@ -2705,6 +2749,49 @@ def oracle_sql() -> dict[str, str]:
                            list_aggregate(kg[i+1:i+5], 'min'))
                    ELSE kg END))::INTEGER AS n_fps
         FROM kg
+    """
+
+    sql["doc_repetition"] = f"""
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(trim({norm}), '\\s+') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= 3 THEN
+                       list_transform(range(len(t) - 2), i ->
+                           t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+                   ELSE [array_to_string(t, ' ')] END AS s
+            FROM t
+        ), per AS (
+            SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT AS h,
+                   count(*) AS c
+            FROM (SELECT doc_id, unnest(s) AS g FROM sh)
+            GROUP BY 1, 2
+        ), agg AS (
+            SELECT doc_id, sum(c)::BIGINT AS n_shingles,
+                   count(*) AS n_distinct, max(c)::BIGINT AS top
+            FROM per GROUP BY doc_id)
+        SELECT doc_id, n_shingles, n_distinct,
+               (round(1.0 - n_distinct::DOUBLE / n_shingles + 1e-9, 6) + 0.0)
+                   AS repetition_rate,
+               (round(top::DOUBLE / n_shingles + 1e-9, 6) + 0.0)
+                   AS top_shingle_share
+        FROM agg
+    """
+
+    sql["source_mix"] = f"""
+        WITH per AS (
+            SELECT source, count(*) AS n_docs,
+                   sum(len(regexp_split_to_array(trim({norm}), '\\s+')))::BIGINT
+                       AS n_tokens
+            FROM documents GROUP BY source
+        ), tot AS (
+            SELECT sum(n_tokens)::BIGINT AS t, count(*) AS nsrc FROM per)
+        SELECT source, n_docs, n_tokens,
+               (round(n_tokens::DOUBLE / t + 1e-9, 6) + 0.0) AS token_share,
+               (round(least(1.0, (1.0 / nsrc) / (n_tokens::DOUBLE / t))
+                      + 1e-9, 6) + 0.0) AS sample_fraction
+        FROM per CROSS JOIN tot
     """
 
     sql["hash_split"] = """
