@@ -181,3 +181,35 @@ def test_shingles_match_python_ngrams(spark, texts, n):
         else:
             exp = [" ".join(toks)]
         assert got[i] == exp, (t, toks)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(w1=st.floats(0.05, 0.9), w2=st.floats(0.05, 0.09))
+def test_hash_split_is_partition_for_any_weights(spark, w1, w2):
+    """hash_split assigns EVERY row to exactly one split for arbitrary
+    weight vectors (no gaps at the cumulative boundaries, no overlap)."""
+    from timeseries_data_analysis_spark.operators import sampling as SMP
+    assume(w1 + w2 < 0.999)
+    splits = [("a", w1), ("b", w2), ("c", 1.0 - w1 - w2)]
+    df = spark.range(0, 400).withColumnRenamed("id", "rid")
+    out = SMP.hash_split(df, "rid", splits)
+    assert out.filter(F.col("split").isNull()).count() == 0
+    assert out.count() == 400
+    got = {r["split"] for r in out.select("split").distinct().collect()}
+    assert got <= {"a", "b", "c"}
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(frac=st.floats(0.0, 1.0))
+def test_stratified_sample_monotone_in_fraction(spark, frac):
+    """A sampled set at fraction f is a SUBSET of the set at any f' >= f
+    (nested samples — the property hash thresholds guarantee and rand()
+    sampling does not)."""
+    from timeseries_data_analysis_spark.operators import sampling as SMP
+    df = (spark.range(0, 300).withColumnRenamed("id", "rid")
+          .withColumn("g", F.lit("x")))
+    small = SMP.stratified_hash_sample(df, "g", "rid", {"x": frac})
+    full = SMP.stratified_hash_sample(df, "g", "rid", {"x": min(1.0, frac + 0.3)})
+    assert small.exceptAll(full).count() == 0
