@@ -948,6 +948,23 @@ def q_source_mix(spark: SparkSession, sf: str) -> DataFrame:
                     .alias("sample_fraction")))
 
 
+def q_pack_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing audit: documents greedily packed into ≤256-token
+    next-fit packs within 8 deterministic id-buckets (SMP.pack_next_fit),
+    reported per pack (doc count, token total, fill rate). The packing
+    recurrence replays exactly in SQL (recursive CTE) — full oracle."""
+    docs = load_table(spark, sf, "documents")
+    sized = docs.select("doc_id", F.size(DD.tokens("text")).alias("n_tokens"))
+    packed = SMP.pack_next_fit(sized, "doc_id", "n_tokens",
+                               budget=256, n_buckets=8)
+    return (packed.groupBy("bucket", "pack_idx")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"))
+            .select("bucket", "pack_idx", "n_docs", "total_tokens",
+                    _r(F.col("total_tokens") / F.lit(256.0), 6)
+                    .alias("fill_rate")))
+
+
 def q_rollup_totals(spark: SparkSession, sf: str) -> DataFrame:
     """Hierarchical ROLLUP aggregate (SURVEY.md §2.4 'absent in reference,
     free in Spark'): per (priority, status) order totals plus the
@@ -1745,6 +1762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "doc_repetition": q_doc_repetition,
         "source_mix": q_source_mix,
+        "pack_documents": q_pack_documents,
         # --- regression guard: r1 greens, untouched-path check ---
         "spine_ffill": q_spine_ffill,
         "interpolate": q_interpolate,
@@ -1774,8 +1792,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_revenue": q_nation_revenue,
         "topk_per_type": q_topk_per_type,
         "stride_sample": q_stride_sample,
-        "cat_codes": q_cat_codes,
         # --- back half: r2 driver-greens (freshest evidence) + rest ---
+        "cat_codes": q_cat_codes,
         "time_split": q_time_split,
         "zero_variance": q_zero_variance,
         "isin_sample": q_isin_sample,
@@ -2749,6 +2767,32 @@ def oracle_sql() -> dict[str, str]:
                            list_aggregate(kg[i+1:i+5], 'min'))
                    ELSE kg END))::INTEGER AS n_fps
         FROM kg
+    """
+
+    sql["pack_documents"] = f"""
+        WITH RECURSIVE d AS (
+            SELECT doc_id % 8 AS bucket, doc_id,
+                   len(regexp_split_to_array(trim({norm}), '\\s+'))::BIGINT
+                       AS tok,
+                   row_number() OVER (PARTITION BY doc_id % 8
+                                      ORDER BY doc_id) AS rn
+            FROM documents
+        ), rec AS (
+            SELECT bucket, rn, doc_id, tok,
+                   0::BIGINT AS pack_idx, tok AS acc
+            FROM d WHERE rn = 1
+            UNION ALL
+            SELECT d.bucket, d.rn, d.doc_id, d.tok,
+                   CASE WHEN r.acc + d.tok <= 256 THEN r.pack_idx
+                        ELSE r.pack_idx + 1 END,
+                   CASE WHEN r.acc + d.tok <= 256 THEN r.acc + d.tok
+                        ELSE d.tok END
+            FROM d JOIN rec r ON d.bucket = r.bucket AND d.rn = r.rn + 1
+        )
+        SELECT bucket, pack_idx, count(*) AS n_docs,
+               sum(tok)::BIGINT AS total_tokens,
+               (round(sum(tok)::DOUBLE / 256.0 + 1e-9, 6) + 0.0) AS fill_rate
+        FROM rec GROUP BY 1, 2
     """
 
     sql["doc_repetition"] = f"""

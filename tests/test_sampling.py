@@ -88,3 +88,31 @@ def test_contamination_benchmark_broadcast_plan(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan            # bench side broadcast
     assert out.count() > 0
+
+
+def test_pack_next_fit_respects_budget(spark):
+    rows = [(i, t) for i, t in enumerate([100, 100, 100, 50, 300, 10, 10])]
+    df = spark.createDataFrame(rows, "doc_id: long, n_tokens: long")
+    out = (SMP.pack_next_fit(df, "doc_id", "n_tokens",
+                             budget=256, n_buckets=1)
+           .toPandas().sort_values("doc_id"))
+    by_pack = out.groupby("pack_idx")["n_tokens"].sum()
+    # every multi-doc pack fits the budget; only a single oversized doc
+    # (300 > 256) may exceed it, alone in its own pack
+    for pack_idx, total in by_pack.items():
+        docs = out[out["pack_idx"] == pack_idx]
+        assert total <= 256 or len(docs) == 1
+    # next-fit over ids 0..6: [100+100]=200, [100+50]=150, [300], [10+10]
+    assert out["pack_idx"].tolist() == [0, 0, 1, 1, 2, 3, 3]
+
+
+def test_pack_next_fit_buckets_are_independent(spark):
+    df = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"), F.lit(90).alias("n_tokens"))
+    out = SMP.pack_next_fit(df, "doc_id", "n_tokens",
+                            budget=200, n_buckets=4).toPandas()
+    assert len(out) == 200
+    assert set(out["bucket"]) == {0, 1, 2, 3}
+    # 50 docs/bucket, 2 per pack -> 25 packs per bucket
+    per = out.groupby(["bucket", "pack_idx"]).size()
+    assert (per == 2).all()

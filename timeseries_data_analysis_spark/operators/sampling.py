@@ -19,8 +19,11 @@ derives its decision from a portable md5 bucket of a stable row id:
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 BUCKETS = 10_000
 
@@ -76,3 +79,51 @@ def stratified_hash_sample(df: DataFrame, strata_col: str, id_col: str,
     thr = thr.otherwise(F.lit(int(round(default * BUCKETS)))) if thr is not None \
         else F.lit(int(round(default * BUCKETS)))
     return df.filter(b < thr)
+
+
+def pack_next_fit(df: DataFrame, id_col: str, token_col: str,
+                  budget: int, n_buckets: int = 32) -> DataFrame:
+    """Sequence packing: group documents into packs of ≤ ``budget`` total
+    tokens — the training-efficiency primitive that turns ragged
+    documents into dense fixed-budget training sequences.
+
+    Packing is inherently order-dependent, so the operator makes the
+    order DETERMINISTIC and parallel: docs are bucketed by
+    ``id % n_buckets`` (portable arithmetic), and within each bucket the
+    next-fit rule runs over ascending ids — a new pack starts whenever
+    adding the next doc would exceed the budget (an oversized doc gets a
+    pack of its own). Buckets pack independently: one ``applyInPandas``
+    stage, parallelism = ``n_buckets`` (set it to O(cluster cores); pack
+    quality is unaffected since packs never span buckets).
+
+    Output: (bucket, pack_idx, ``id_col``, ``token_col``) — one row per
+    doc with its pack assignment. Deterministic in the input set, so an
+    external engine replays it exactly (recursive-CTE oracle).
+    """
+    base = df.select(
+        (F.col(id_col) % n_buckets).cast("bigint").alias("bucket"),
+        F.col(id_col).alias("_id"),
+        F.col(token_col).cast("bigint").alias("_tok"))
+    schema = T.StructType([
+        T.StructField("bucket", T.LongType()),
+        T.StructField("pack_idx", T.LongType()),
+        T.StructField(id_col, T.LongType()),
+        T.StructField(token_col, T.LongType()),
+    ])
+    bud = budget
+
+    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_id")
+        packs, acc, cur = [], 0, 0
+        for tok in pdf["_tok"]:
+            if packs and acc + tok <= bud:
+                acc += tok
+            else:
+                cur += 1 if packs else 0
+                acc = tok
+            packs.append(cur)
+        return pd.DataFrame({
+            "bucket": pdf["bucket"].values, "pack_idx": packs,
+            id_col: pdf["_id"].values, token_col: pdf["_tok"].values})
+
+    return base.groupBy("bucket").applyInPandas(pack, schema)
