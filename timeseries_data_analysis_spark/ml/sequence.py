@@ -15,13 +15,13 @@ consuming per-row trailing windows built in a Python loop
   scores its own partitions; no collect, no driver loop, model weights
   broadcast by closure capture.
 
-Torch is not installed in this environment, so the default forward is a
-DETERMINISTIC numpy recurrence (seeded weights, tanh cell + sigmoid
-head) that exercises the exact same plumbing — batch shapes, Arrow
-transfer, schema contract. ``predict_sequences`` accepts any
-``forward(batch: np.ndarray) -> np.ndarray`` with the same signature, so
-a real torch ``model.__call__`` drops in unchanged (wrap with
-``torch.no_grad``); see ``torch_forward`` for the gated adapter.
+The REAL model lives in ``ml.dl.NumpyLSTM`` — a trainable LSTM (full
+BPTT + Adam, local or treeAggregate-distributed fit) whose
+``forward_fn()`` plugs straight into ``predict_sequences``. The seeded
+stub below remains as the zero-dependency fallback for plumbing tests,
+and ``torch_forward`` adapts a real torch module when the library is
+present. ``predict_sequences`` accepts any ``forward(batch: np.ndarray)
+-> np.ndarray`` with that signature.
 """
 
 from __future__ import annotations

@@ -231,13 +231,24 @@ def source_series_names(tables: dict[str, DataFrame]) -> list[str]:
     """
     names = [f"zone_{c}" for c in tables["zone_temperature"].columns
              if c != "DATETIME"]
-    names += [f"qrt_ZONE_{r[0]}" for r in
-              tables["qrt_temperature"].select("ZONE").distinct().collect()]
-    names += [f"shell_{r[0]}" for r in
-              tables["shell_temperature"].select("POSITION").distinct().collect()]
-    fans = [r[0] for r in
-            tables["air_calibration"].select("FAN").distinct().collect()]
-    names += [f"air_{f}_{m}" for f in fans
+    # ONE fused key-discovery job (union of three column-pruned distinct
+    # scans), not three sequential collects — one driver round-trip.
+    key_rows = (
+        tables["qrt_temperature"]
+        .select(F.lit("qrt").alias("src"),
+                F.col("ZONE").cast("string").alias("k")).distinct()
+        .unionByName(
+            tables["shell_temperature"]
+            .select(F.lit("shell").alias("src"),
+                    F.col("POSITION").cast("string").alias("k")).distinct())
+        .unionByName(
+            tables["air_calibration"]
+            .select(F.lit("air").alias("src"),
+                    F.col("FAN").cast("string").alias("k")).distinct())
+        .collect())
+    names += [f"qrt_ZONE_{r['k']}" for r in key_rows if r["src"] == "qrt"]
+    names += [f"shell_{r['k']}" for r in key_rows if r["src"] == "shell"]
+    names += [f"air_{r['k']}_{m}" for r in key_rows if r["src"] == "air"
               for m in ("DAMPER", "VELOCITY", "AIR_FLOW")]
     return sorted(names)
 
