@@ -191,3 +191,20 @@ def test_tiered_priority_caps_exact():
     keep = KP.reduce_dimension_priority(cols, max_features=50)
     assert len(keep) == 50
     assert len(set(keep)) == 50
+
+
+def test_run_pipeline_logs_to_tracker(spark, tables, tmp_path):
+    """S5/MLflow parity: a tracked pipeline run persists its step metrics
+    and config, reloadable from disk."""
+    from timeseries_data_analysis_spark.ml.tracking import Tracker, load_run
+    from timeseries_data_analysis_spark.plans import kiln_pipeline as KP
+    tr = Tracker(str(tmp_path / "runs"))
+    with tr.start_run("kiln_prep", run_name="r1") as run:
+        out, metrics = KP.run_pipeline(spark, tables,
+                                       max_features=100, tracker=run)
+        assert out.count() > 0
+    loaded = load_run(str(tmp_path / "runs" / "kiln_prep" / "r1"))
+    assert loaded["params"]["max_features"] == 100
+    assert loaded["metrics"]["total_plan"] > 0
+    assert set(metrics) <= set(loaded["metrics"])
+    assert loaded["tags"]["status"] == "FINISHED"

@@ -356,12 +356,16 @@ def reduce_dimension_priority(columns: list[str],
 
 
 def run_pipeline(spark: SparkSession, tables: dict[str, DataFrame],
-                 max_features: int = 500) -> tuple[DataFrame, dict]:
+                 max_features: int = 500,
+                 tracker=None) -> tuple[DataFrame, dict]:
     """Full pipeline → (hourly wide feature matrix, step metrics).
 
     Step metrics mirror the reference's performance_metrics.json (S5,
     ``pre_processing.py:2004-2017``) but time PLAN CONSTRUCTION only —
     execution is lazy; call an action on the result to run it.
+
+    Pass an ``ml.tracking`` Run as ``tracker`` to persist the step
+    metrics + config per run (the reference's MLflow-parity path).
     """
     metrics: dict[str, float] = {}
     t0 = time.time()
@@ -433,4 +437,8 @@ def run_pipeline(spark: SparkSession, tables: dict[str, DataFrame],
     out = out.select("ts", *keep)
     metrics["pivot_join"] = time.time() - t
     metrics["total_plan"] = time.time() - t0
+    if tracker is not None:
+        tracker.log_params({"max_features": max_features,
+                            "n_sources": len(tables)})
+        tracker.log_metrics(metrics)
     return out, metrics
