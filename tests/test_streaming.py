@@ -258,3 +258,27 @@ def test_stream_stream_join_matches_batch(spark, user_input_dir):
     # self-pairs exist (same event joins itself at distance 0)
     assert all(l == r or True for l, r in got) and len(got) > len(
         {p for p in got if p[0] == p[1]})
+
+
+def test_enrich_stream_matches_batch_join(spark, input_dir):
+    """Stream-static enrichment: the broadcast dimension join over
+    micro-batches equals the same join run in batch, row for row."""
+    dim = spark.createDataFrame(
+        [("a", "zone_a", 10.0), ("b", "zone_b", 20.0)],
+        "event_type: string, zone_name: string, thr: double")
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(input_dir))
+    out = SJ.enrich_stream(stream, dim)
+    q = (out.writeStream.format("memory").queryName("enriched")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.table("enriched").toPandas()
+    want = (SJ.enrich_stream(spark.read.schema(SCHEMA).parquet(input_dir),
+                             dim).toPandas())
+    key = ["ts", "event_type", "value"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  want[sorted(want.columns)])
+    # unmatched stream keys survive (left join) with null enrichment
+    assert got[got["event_type"] == "c"]["zone_name"].isna().all()

@@ -209,6 +209,20 @@ def stream_stream_join(left: DataFrame, right: DataFrame,
     return lt.join(rt, cond, "inner")
 
 
+def enrich_stream(events: DataFrame, dim: DataFrame,
+                  key_col: str = "event_type") -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    (batch) dimension table — the serving-time lookup pattern (zone
+    metadata, thresholds, model registries).
+
+    The static side is explicitly broadcast: no shuffle on the stream
+    side, no stream state at all (unlike stream-stream joins), and the
+    dimension re-resolves per micro-batch, so a refreshed dim table is
+    picked up without restarting the query.
+    """
+    return events.join(F.broadcast(dim), on=key_col, how="left")
+
+
 def run_with_foreach_batch(stream_df: DataFrame,
                            fn: Callable[[DataFrame, int], None],
                            trigger_available_now: bool = True,

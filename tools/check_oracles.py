@@ -107,6 +107,10 @@ def main() -> int:
             print(f"FAIL {name}: {'; '.join(problems)} ({time.time()-t0:.1f}s)")
             if "value-hash mismatch" in problems and not sdf.empty:
                 cols = sorted(sdf.columns)
+                kinds = {c: (str(sdf[c].dtype), str(odf[c].dtype))
+                         for c in cols if str(sdf[c].dtype) != str(odf[c].dtype)}
+                if kinds:
+                    print(f"  dtype differences (spark, duckdb): {kinds}")
                 s_sorted = sdf[cols].sort_values(cols).reset_index(drop=True)
                 o_sorted = odf[cols].sort_values(cols).reset_index(drop=True)
                 if len(s_sorted) == len(o_sorted):
