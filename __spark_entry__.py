@@ -965,6 +965,51 @@ def q_pack_documents(spark: SparkSession, sf: str) -> DataFrame:
                     .alias("fill_rate")))
 
 
+def q_confusion_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary-classification evaluation math (§2.11 evaluator family,
+    ml/pipeline.evaluate_binary): confusion counts + precision/recall/F1
+    /accuracy over a deterministic rule pair (label = event_id % 97 == 0,
+    prediction = value > 60) so the driver can value-check the metric
+    arithmetic end-to-end. One aggregate, no shuffle beyond it."""
+    ev = load_table(spark, sf, "events")
+    lab = (F.col("event_id") % 97 == 0).cast("int")
+    pred = (F.col("value") > 60).cast("int")
+    d = ev.select(lab.alias("y"), F.coalesce(pred, F.lit(0)).alias("p"))
+    agg = d.agg(
+        F.sum(((F.col("y") == 1) & (F.col("p") == 1)).cast("long")).alias("tp"),
+        F.sum(((F.col("y") == 0) & (F.col("p") == 1)).cast("long")).alias("fp"),
+        F.sum(((F.col("y") == 1) & (F.col("p") == 0)).cast("long")).alias("fn"),
+        F.sum(((F.col("y") == 0) & (F.col("p") == 0)).cast("long")).alias("tn"))
+    prec = F.col("tp") / F.nullif(F.col("tp") + F.col("fp"), F.lit(0))
+    rec = F.col("tp") / F.nullif(F.col("tp") + F.col("fn"), F.lit(0))
+    return agg.select(
+        "tp", "fp", "fn", "tn",
+        _r(prec, 6).alias("precision"),
+        _r(rec, 6).alias("recall"),
+        _r(2 * prec * rec / F.nullif(prec + rec, F.lit(0)), 6).alias("f1"),
+        _r((F.col("tp") + F.col("tn"))
+           / (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")), 6)
+        .alias("accuracy"))
+
+
+def q_calibration_bins(spark: SparkSession, sf: str) -> DataFrame:
+    """Calibration audit (evaluator family): scores bucketed into 10
+    fixed bins, per-bin observed positive rate vs mean score — the
+    reliability-diagram source table. Score is a deterministic value
+    transform (value/100 clamped to [0,1]) so the oracle replays it."""
+    ev = load_table(spark, sf, "events")
+    score = F.least(F.greatest(F.col("value") / 100.0, F.lit(0.0)), F.lit(1.0))
+    lab = (F.col("event_id") % 97 == 0).cast("int")
+    d = (ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+         .select(score.alias("s"), lab.alias("y"))
+         .withColumn("bin", F.least(F.floor(F.col("s") * 10), F.lit(9))
+                     .cast("bigint")))
+    return (d.groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 _r(F.avg("s"), 6).alias("mean_score"),
+                 _r(F.avg("y"), 6).alias("pos_rate")))
+
+
 def q_rollup_totals(spark: SparkSession, sf: str) -> DataFrame:
     """Hierarchical ROLLUP aggregate (SURVEY.md §2.4 'absent in reference,
     free in Spark'): per (priority, status) order totals plus the
@@ -1763,6 +1808,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "source_mix": q_source_mix,
         "pack_documents": q_pack_documents,
+        "confusion_eval": q_confusion_eval,
+        "calibration_bins": q_calibration_bins,
         # --- regression guard: r1 greens, untouched-path check ---
         "spine_ffill": q_spine_ffill,
         "interpolate": q_interpolate,
@@ -1791,8 +1838,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_revenue_orders": q_top_revenue_orders,
         "nation_revenue": q_nation_revenue,
         "topk_per_type": q_topk_per_type,
-        "stride_sample": q_stride_sample,
         # --- back half: r2 driver-greens (freshest evidence) + rest ---
+        "stride_sample": q_stride_sample,
         "cat_codes": q_cat_codes,
         "time_split": q_time_split,
         "zero_variance": q_zero_variance,
@@ -2767,6 +2814,44 @@ def oracle_sql() -> dict[str, str]:
                            list_aggregate(kg[i+1:i+5], 'min'))
                    ELSE kg END))::INTEGER AS n_fps
         FROM kg
+    """
+
+    sql["confusion_eval"] = """
+        WITH d AS (
+            SELECT CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END AS y,
+                   coalesce(CASE WHEN value > 60 THEN 1 ELSE 0 END, 0) AS p
+            FROM events
+        ), c AS (
+            SELECT sum(CASE WHEN y = 1 AND p = 1 THEN 1 ELSE 0 END)::BIGINT AS tp,
+                   sum(CASE WHEN y = 0 AND p = 1 THEN 1 ELSE 0 END)::BIGINT AS fp,
+                   sum(CASE WHEN y = 1 AND p = 0 THEN 1 ELSE 0 END)::BIGINT AS fn,
+                   sum(CASE WHEN y = 0 AND p = 0 THEN 1 ELSE 0 END)::BIGINT AS tn
+            FROM d)
+        SELECT tp, fp, fn, tn,
+               (round(tp::DOUBLE / nullif(tp + fp, 0) + 1e-9, 6) + 0.0)
+                   AS precision,
+               (round(tp::DOUBLE / nullif(tp + fn, 0) + 1e-9, 6) + 0.0)
+                   AS recall,
+               (round(2 * (tp::DOUBLE / nullif(tp + fp, 0))
+                        * (tp::DOUBLE / nullif(tp + fn, 0))
+                      / nullif((tp::DOUBLE / nullif(tp + fp, 0))
+                               + (tp::DOUBLE / nullif(tp + fn, 0)), 0)
+                      + 1e-9, 6) + 0.0) AS f1,
+               (round((tp + tn)::DOUBLE / (tp + fp + fn + tn) + 1e-9, 6) + 0.0)
+                   AS accuracy
+        FROM c
+    """
+
+    sql["calibration_bins"] = """
+        WITH d AS (
+            SELECT least(greatest(value / 100.0, 0.0), 1.0) AS s,
+                   CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END AS y
+            FROM events WHERE value IS NOT NULL AND NOT isnan(value))
+        SELECT least(floor(s * 10), 9)::BIGINT AS bin,
+               count(*) AS n,
+               (round(avg(s) + 1e-9, 6) + 0.0) AS mean_score,
+               (round(avg(y) + 1e-9, 6) + 0.0) AS pos_rate
+        FROM d GROUP BY 1
     """
 
     sql["pack_documents"] = f"""
