@@ -1010,6 +1010,24 @@ def q_calibration_bins(spark: SparkSession, sf: str) -> DataFrame:
                  _r(F.avg("y"), 6).alias("pos_rate")))
 
 
+def q_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN scale path #3 (PQ): corpus vectors compress to 8 sub-codes
+    against seed-selected codebooks; queries score via per-subspace
+    distance tables, top-100 approximate hits rerank with exact cosine
+    (Jégou et al. IVF-PQ memory side — 64 doubles → 8 bytes per vector).
+    Uniform-random synthetic vectors are PQ's WORST case (no cluster
+    structure), hence the generous rerank pool; recall vs brute force is
+    pytest-bounded. Every float sum is a sequential left-fold, so the
+    oracle replays the arithmetic bit-for-bit (full value oracle)."""
+    emb = load_table(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = SIM.pq_topk(emb, q, k=5, m=8, n_codes=16, rerank_factor=20)
+    return out.select("query_id", "vec_id", "rk",
+                      _r(F.col("sim"), 6).alias("sim"))
+
+
 def q_rollup_totals(spark: SparkSession, sf: str) -> DataFrame:
     """Hierarchical ROLLUP aggregate (SURVEY.md §2.4 'absent in reference,
     free in Spark'): per (priority, status) order totals plus the
@@ -1810,6 +1828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_documents": q_pack_documents,
         "confusion_eval": q_confusion_eval,
         "calibration_bins": q_calibration_bins,
+        "pq_topk": q_pq_topk,
         # --- regression guard: r1 greens, untouched-path check ---
         "spine_ffill": q_spine_ffill,
         "interpolate": q_interpolate,
@@ -2814,6 +2833,73 @@ def oracle_sql() -> dict[str, str]:
                            list_aggregate(kg[i+1:i+5], 'min'))
                    ELSE kg END))::INTEGER AS n_fps
         FROM kg
+    """
+
+    # pq_topk: replay the full PQ pipeline — seed codebooks, sliced
+    # subvectors, nearest-code encoding, query distance tables, ordered
+    # left-fold distance sums (list_reduce ≡ Spark's aggregate fold:
+    # 0.0+x is bitwise x), candidate pool, exact-cosine rerank.
+    sql["pq_topk"] = """
+        WITH cb0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+                   embedding::DOUBLE[] AS v
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 16)
+        ), subs AS (SELECT unnest(range(8)) AS sub
+        ), cb AS (
+            SELECT s.sub, b.code, b.v[s.sub*8+1 : s.sub*8+8] AS cvec
+            FROM cb0 b CROSS JOIN subs s
+        ), ev AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), cvs AS (
+            SELECT e.vec_id, s.sub, e.v[s.sub*8+1 : s.sub*8+8] AS sv
+            FROM ev e CROSS JOIN subs s
+        ), enc AS (
+            SELECT vec_id, sub, code FROM (
+                SELECT c.vec_id, c.sub, b.code,
+                       row_number() OVER (PARTITION BY c.vec_id, c.sub
+                           ORDER BY list_reduce(list_transform(range(8), i ->
+                               (c.sv[i+1] - b.cvec[i+1])
+                               * (c.sv[i+1] - b.cvec[i+1])),
+                               (x, y) -> x + y), b.code) AS rk
+                FROM cvs c JOIN cb b ON c.sub = b.sub)
+            WHERE rk = 1
+        ), qvs AS (
+            SELECT e.vec_id AS query_id, s.sub,
+                   e.v[s.sub*8+1 : s.sub*8+8] AS sv
+            FROM ev e CROSS JOIN subs s WHERE e.vec_id < 10
+        ), qtab AS (
+            SELECT q.query_id, q.sub, b.code,
+                   list_reduce(list_transform(range(8), i ->
+                       (q.sv[i+1] - b.cvec[i+1])
+                       * (q.sv[i+1] - b.cvec[i+1])),
+                       (x, y) -> x + y) AS d2
+            FROM qvs q JOIN cb b ON q.sub = b.sub
+        ), pairs AS (
+            SELECT t.query_id, e.vec_id,
+                   list_reduce(list(t.d2 ORDER BY t.sub),
+                               (x, y) -> x + y) AS approx_d2
+            FROM enc e JOIN qtab t ON e.sub = t.sub AND e.code = t.code
+            WHERE e.vec_id <> t.query_id
+            GROUP BY t.query_id, e.vec_id
+        ), cand AS (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY approx_d2, vec_id) AS crk
+                FROM pairs) WHERE crk <= 100
+        ), scored AS (
+            SELECT c.query_id, c.vec_id,
+                   list_cosine_similarity(e.v,
+                       (SELECT v FROM ev q WHERE q.vec_id = c.query_id)) AS s
+            FROM cand c JOIN ev e ON e.vec_id = c.vec_id
+        ), ranked AS (
+            SELECT query_id, vec_id, s,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY s DESC, vec_id) AS rk
+            FROM scored)
+        SELECT query_id, vec_id, rk, (round(s + 1e-9, 6) + 0.0) AS sim
+        FROM ranked WHERE rk <= 5
     """
 
     sql["confusion_eval"] = """

@@ -270,3 +270,45 @@ def test_connected_components_convergence_guard(spark):
         [(i, i + 1) for i in range(6)], "id_l long, id_r long")
     with pytest.raises(RuntimeError):
         GR.connected_components(chain, max_iter=1)
+
+
+def test_pq_topk_recall_on_clustered_data(spark):
+    import random
+    random.seed(13)
+    # clustered 16-d corpus (PQ's intended regime): codes separate the
+    # clusters, so the rerank pool contains the true neighbors
+    centers = [[10.0 if d == c * 4 else 0.0 for d in range(16)] for c in range(4)]
+    rows = [(i, [c + random.gauss(0, 0.1) for c in centers[i % 4]])
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    # rerank pool >= cluster size: quantization collapses same-cluster
+    # vectors onto identical codes (approx distances tie), so the pool
+    # must cover the whole matching cluster for exact rerank to see all
+    # true neighbors
+    pq = SIM.pq_topk(df, q, k=5, m=4, n_codes=8, rerank_factor=10)
+    bf = SIM.brute_force_topk(df, q, k=5)
+    pq_pairs = {(r["query_id"], r["vec_id"]) for r in pq.collect()}
+    bf_pairs = {(r["query_id"], r["vec_id"]) for r in bf.collect()}
+    assert len(pq_pairs & bf_pairs) / len(bf_pairs) >= 0.9
+    # reranked sims are exact cosines — equal to brute force on overlap
+    bf_sims = {(r["query_id"], r["vec_id"]): r["sim"] for r in bf.collect()}
+    for r in pq.collect():
+        if (r["query_id"], r["vec_id"]) in bf_sims:
+            assert bf_sims[(r["query_id"], r["vec_id"])] == pytest.approx(r["sim"])
+
+
+def test_pq_codebooks_shape_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i + d) for d in range(16)]) for i in range(320)],
+        "vec_id long, embedding array<double>")
+    cb1 = SIM.pq_codebooks(df, m=4, n_codes=8).toPandas()
+    cb2 = SIM.pq_codebooks(df, m=4, n_codes=8).toPandas()
+    assert len(cb1) == 4 * 8
+    assert set(cb1["sub"]) == {0, 1, 2, 3}
+    assert all(len(v) == 4 for v in cb1["cvec"])
+    key = ["sub", "code"]
+    pd_sorted = lambda d: d.sort_values(key).reset_index(drop=True)  # noqa: E731
+    assert pd_sorted(cb1)["cvec"].apply(tuple).tolist() == \
+        pd_sorted(cb2)["cvec"].apply(tuple).tolist()

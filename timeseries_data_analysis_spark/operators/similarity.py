@@ -230,3 +230,115 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col(id_col))
     return (scored.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= k))
+
+
+# -- product quantization (IVF-PQ family scale path) -------------------------
+
+def pq_codebooks(vectors: DataFrame, m: int = 8, n_codes: int = 16,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 stride: int = 31) -> DataFrame:
+    """(sub, code, cvec) PQ codebooks by deterministic seed selection: the
+    ``n_codes`` lowest-id vectors with ``id % stride == 0`` are sliced
+    into ``m`` subvectors; code ids are dense ranks by source id. A
+    k-means refinement drops in without changing the search plan — seed
+    selection keeps the whole operator replayable by the SQL oracle
+    (same trick as the IVF coarse quantizer)."""
+    from pyspark.sql import Window
+    seeds = (vectors.filter(F.col(id_col) % stride == 0)
+             .orderBy(id_col).limit(n_codes)
+             .select((F.row_number().over(Window.orderBy(id_col)) - 1)
+                     .alias("code"), F.col(vec_col).alias("_v")))
+    dim_div = f"size(_v) div {m}"
+    subs = F.array(*[
+        F.struct(F.lit(sub).alias("sub"),
+                 F.expr(f"slice(_v, {sub} * ({dim_div}) + 1, {dim_div})")
+                 .alias("cvec"))
+        for sub in range(m)])
+    return (seeds.select("code", F.explode(subs).alias("s"))
+            .select("s.sub", "code", "s.cvec"))
+
+
+def _l2sq_fold(a: Column, b: Column) -> Column:
+    """Σ (aᵢ-bᵢ)² as a LEFT FOLD (sequential, deterministic order) so an
+    external engine's list_reduce reproduces the exact float sum."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+            m: int = 8, n_codes: int = 16, rerank_factor: int = 4,
+            codebooks: DataFrame | None = None,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            query_id_col: str = "query_id") -> DataFrame:
+    """Product-quantization ANN: corpus vectors compress to ``m`` byte
+    codes (nearest sub-codebook entry per slice); queries score
+    candidates through per-subspace distance TABLES instead of raw
+    vectors, then the top ``k·rerank_factor`` approximate hits rerank
+    with exact cosine.
+
+    This is the memory side of the IVF-PQ standard (Jégou et al., TPAMI
+    2011): at 100 TB the corpus representation drops from d floats to m
+    bytes per vector (64× at d=64/m=8), the scan reads only the code
+    table, and the distance work per pair is m table lookups. Compose
+    with ``ivf_topk``'s cell probing to also bound the number of pairs —
+    here the scan is exhaustive over codes so the oracle can replay it
+    exactly. All sums are sequential left-folds (see ``_l2sq_fold``) so
+    the SQL replay is bit-identical before the 6-decimal rounding.
+    """
+    from pyspark.sql import Window
+    if codebooks is None:
+        codebooks = pq_codebooks(corpus, m, n_codes, id_col, vec_col)
+    cb = F.broadcast(codebooks)
+
+    dim_div = f"size(_v) div {m}"
+    subs = F.array(*[
+        F.struct(F.lit(sub).alias("sub"),
+                 F.expr(f"slice(_v, {sub} * ({dim_div}) + 1, {dim_div})")
+                 .alias("sv"))
+        for sub in range(m)])
+
+    def sliced(df, keep_name):
+        return (df.select(F.col(keep_name), F.col(vec_col).alias("_v"))
+                .select(keep_name, F.explode(subs).alias("s"))
+                .select(keep_name, "s.sub", "s.sv"))
+
+    # encode corpus: nearest codebook entry per (vector, sub)
+    w_enc = Window.partitionBy(id_col, "sub").orderBy("_d2", "code")
+    enc = (sliced(corpus, id_col).join(cb, "sub")
+           .select(id_col, "sub", "code",
+                   _l2sq_fold(F.col("sv"), F.col("cvec")).alias("_d2"))
+           .withColumn("_rk", F.row_number().over(w_enc))
+           .filter(F.col("_rk") == 1)
+           .select(id_col, "sub", "code"))
+
+    # per-query distance tables over ALL codes (m · n_codes rows each)
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(vec_col))
+    qtab = F.broadcast(
+        sliced(q, "query_id").join(cb, "sub")
+        .select("query_id", "sub", "code",
+                _l2sq_fold(F.col("sv"), F.col("cvec")).alias("_d2")))
+
+    # approximate distance: sum the m table lookups per (query, vector),
+    # folded in sub order so the float sum is engine-reproducible
+    pairs = (enc.join(qtab, on=["sub", "code"])
+             .groupBy("query_id", id_col)
+             .agg(F.aggregate(
+                 F.array_sort(F.collect_list(F.struct("sub", "_d2"))),
+                 F.lit(0.0), lambda acc, s: acc + s["_d2"])
+                 .alias("approx_d2"))
+             .filter(F.col(id_col) != F.col("query_id")))
+    w_cand = Window.partitionBy("query_id").orderBy("approx_d2", id_col)
+    cand = (pairs.withColumn("_crk", F.row_number().over(w_cand))
+            .filter(F.col("_crk") <= k * rerank_factor)
+            .select("query_id", id_col, "approx_d2"))
+
+    # exact cosine rerank of the candidate pool
+    cv = corpus.select(F.col(id_col), F.col(vec_col).alias("_bv"))
+    qv = F.broadcast(q.withColumnRenamed(vec_col, "_qv"))
+    w_fin = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), id_col)
+    return (cand.join(cv, id_col).join(qv, "query_id")
+            .select("query_id", id_col,
+                    cosine(F.col("_bv"), F.col("_qv")).alias("sim"))
+            .withColumn("rk", F.row_number().over(w_fin))
+            .filter(F.col("rk") <= k))
