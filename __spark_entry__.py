@@ -1028,6 +1028,29 @@ def q_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
                       _r(F.col("sim"), 6).alias("sim"))
 
 
+def q_seasonal_baseline(spark: SparkSession, sf: str) -> DataFrame:
+    """Seasonal-profile anomaly audit: each event's value compared to its
+    series' hour-of-week baseline (the classic seasonal-naive residual) —
+    per (event_type, dow, hour): n, baseline mean, residual std, and the
+    count of |residual| > 2σ points. One two-level aggregate; the
+    profile join is a window-over-aggregate, not a self-join."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("event_type", "dow", "hr")
+    d = (ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+         .select("event_type", "value",
+                 F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hr"))
+         .withColumn("_mu", F.avg("value").over(w))
+         .withColumn("_sd", F.stddev_pop("value").over(w)))
+    return (d.groupBy("event_type", "dow", "hr")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 _r(F.first("_mu"), 4).alias("baseline"),
+                 _r(F.first("_sd"), 4).alias("resid_sd"),
+                 F.sum(F.when((F.col("_sd") > 0)
+                              & (F.abs(F.col("value") - F.col("_mu"))
+                                 > 2 * F.col("_sd")), 1)
+                       .otherwise(0)).cast("bigint").alias("n_anomalies")))
+
+
 def q_rollup_totals(spark: SparkSession, sf: str) -> DataFrame:
     """Hierarchical ROLLUP aggregate (SURVEY.md §2.4 'absent in reference,
     free in Spark'): per (priority, status) order totals plus the
@@ -1829,6 +1852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "confusion_eval": q_confusion_eval,
         "calibration_bins": q_calibration_bins,
         "pq_topk": q_pq_topk,
+        "seasonal_baseline": q_seasonal_baseline,
         # --- regression guard: r1 greens, untouched-path check ---
         "spine_ffill": q_spine_ffill,
         "interpolate": q_interpolate,
@@ -2900,6 +2924,25 @@ def oracle_sql() -> dict[str, str]:
             FROM scored)
         SELECT query_id, vec_id, rk, (round(s + 1e-9, 6) + 0.0) AS sim
         FROM ranked WHERE rk <= 5
+    """
+
+    sql["seasonal_baseline"] = """
+        WITH d AS (
+            SELECT event_type, value,
+                   dayofweek(ts) + 1 AS dow, hour(ts) AS hr
+            FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        ), p AS (
+            SELECT event_type, value, dow, hr,
+                   avg(value) OVER (PARTITION BY event_type, dow, hr) AS mu,
+                   stddev_pop(value)
+                       OVER (PARTITION BY event_type, dow, hr) AS sd
+            FROM d)
+        SELECT event_type, dow, hr, count(*) AS n,
+               (round(min(mu) + 1e-9, 4) + 0.0) AS baseline,
+               (round(min(sd) + 1e-9, 4) + 0.0) AS resid_sd,
+               sum(CASE WHEN sd > 0 AND abs(value - mu) > 2 * sd
+                        THEN 1 ELSE 0 END)::BIGINT AS n_anomalies
+        FROM p GROUP BY 1, 2, 3
     """
 
     sql["confusion_eval"] = """
