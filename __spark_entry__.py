@@ -2291,11 +2291,14 @@ def oracle_sql() -> dict[str, str]:
         FROM documents GROUP BY 1
     """
 
+    # coalesce(…, ''): DuckDB's list_sort([]) and array_to_string([]) are
+    # NULL where Spark's array_sort([])/array_join([]) give []/'' — an
+    # empty doc must fingerprint as md5('') in both engines.
     sql["doc_fingerprint"] = f"""
         SELECT doc_id,
-               md5(array_to_string(list_sort(list_distinct(list_filter(
-                   regexp_split_to_array(trim({norm}), '\\s+'),
-                   t -> len(t) > 0))), ' ')) AS fingerprint
+               md5(coalesce(array_to_string(list_sort(list_distinct(
+                   list_filter(regexp_split_to_array(trim({norm}), '\\s+'),
+                   t -> len(t) > 0))), ' '), '')) AS fingerprint
         FROM documents
     """
 
@@ -2650,7 +2653,7 @@ def oracle_sql() -> dict[str, str]:
                       + 1e-9, 6) + 0.0) AS f0,
                (round(('0x' || substr(md5(text), 31, 2))::INTEGER / 256.0
                       + 1e-9, 6) + 0.0) AS f15,
-               octet_length(text::BLOB) AS n_bytes
+               octet_length(encode(text)) AS n_bytes
         FROM documents
     """
 
@@ -2846,11 +2849,11 @@ def oracle_sql() -> dict[str, str]:
             FROM h
         )
         SELECT doc_id,
-               array_to_string(list_sort(list_distinct(
+               coalesce(array_to_string(list_sort(list_distinct(
                    CASE WHEN len(kg) >= 5 THEN
                        list_transform(range(len(kg) - 4), i ->
                            list_aggregate(kg[i+1:i+5], 'min'))
-                   ELSE kg END)), ',') AS fps_str,
+                   ELSE kg END)), ','), '') AS fps_str,
                len(list_distinct(
                    CASE WHEN len(kg) >= 5 THEN
                        list_transform(range(len(kg) - 4), i ->

@@ -1,0 +1,77 @@
+"""Adversarial mini-gate: the text/dedup query family on EDGE-CASE
+documents, cross-checked against the same DuckDB oracles the driver
+uses.
+
+The driver's gate only sees the generated sf corpora (well-behaved ASCII
+word streams). This suite swaps in a crafted documents table — empty
+strings, whitespace-only, single tokens, unicode, punctuation-only,
+repeated content, very long tokens — and asserts Spark and DuckDB still
+agree hash-for-hash, so the cross-engine contracts hold beyond the happy
+path. Reuses the production gate's norm/value_hash helpers.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                                "tools"))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from check_oracles import norm, value_hash  # noqa: E402
+
+EDGE_DOCS = [
+    (0, "", "en", "src0"),
+    (1, "   ", "en", "src0"),                      # whitespace only
+    (2, "word", "en", "src1"),                     # single token
+    (3, "a b", "en", "src1"),                      # below shingle width
+    (4, "x " * 500, "en", "src1"),                 # one token repeated
+    (5, "Hello, WORLD!!! ... ???", "en", "src2"),  # punctuation heavy
+    (6, "naïve café über schön émigré", "fr", "src2"),      # accents
+    (7, "日本語 テキスト 漢字 かな", "ja", "src3"),            # CJK
+    (8, "mixed ASCII and 中文 words here", "en", "src3"),
+    (9, "a" * 2000, "en", "src4"),                 # one very long token
+    (10, "the quick brown fox " * 40, "en", "src4"),  # repeated phrase
+    (11, "tab\tseparated\tand\nnewline\nbroken tokens", "en", "src5"),
+    (12, "numbers 123 456 789 000 123 456", "en", "src5"),
+    (13, "CamelCase MiXeD CASE case", "en", "src6"),
+    (14, "unicode emoji \U0001f600 \U0001f680 between words", "en", "src6"),
+]
+
+# text-family queries whose oracles only read `documents`
+TEXT_QUERIES = [
+    "token_stats", "quality_scores", "lang_id", "token_entropy",
+    "exact_dedup", "doc_fingerprint", "rolling_hash", "winnow_fingerprints",
+    "doc_repetition", "source_mix", "pack_documents", "multimodal_features",
+    "ngram_jaccard", "simhash",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_env(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge_corpus")
+    pdf = pd.DataFrame(EDGE_DOCS, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len().astype("int64")
+    path = str(d / "documents.parquet")
+    pdf.to_parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    return str(d), con
+
+
+@pytest.mark.parametrize("name", TEXT_QUERIES)
+def test_edge_corpus_cross_engine(spark, edge_env, name):
+    sf_dir, con = edge_env
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    sdf = norm(qs[name](spark, sf_dir).toPandas())
+    odf = norm(con.execute(oracles[name]).fetchdf())
+    assert len(sdf) == len(odf), f"{name}: rows {len(sdf)} vs {len(odf)}"
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert value_hash(sdf) == value_hash(odf), \
+        f"{name}: cross-engine hash mismatch on edge corpus"
