@@ -220,10 +220,15 @@ def q_hourly_downsample(spark: SparkSession, sf: str) -> DataFrame:
                         keys=["event_type"], value_cols=["value"])
     n = TS.downsample(ev.select("ts", "event_type", F.lit(1).alias("one")), "ts", "hour",
                       keys=["event_type"], agg="count", value_cols=["one"])
-    return (out.join(n, ["ts", "event_type"])
-            .select("ts", "event_type",
-                    _r(F.col("value"), 4).alias("avg_value"),
-                    F.col("one").cast("bigint").alias("n_events")))
+    # null-SAFE key equality: a NULL series key must not drop its hourly
+    # groups on the recombine join (caught by the edge-events mini-gate)
+    cond = (F.col("a.ts") == F.col("b.ts")) \
+        & F.col("a.event_type").eqNullSafe(F.col("b.event_type"))
+    return (out.alias("a").join(n.alias("b"), cond)
+            .select(F.col("a.ts").alias("ts"),
+                    F.col("a.event_type").alias("event_type"),
+                    _r(F.col("a.value"), 4).alias("avg_value"),
+                    F.col("b.one").cast("bigint").alias("n_events")))
 
 
 def q_pivot_event_types(spark: SparkSession, sf: str) -> DataFrame:
@@ -2530,14 +2535,19 @@ def oracle_sql() -> dict[str, str]:
         FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY ts)
     """
 
+    # NULL categories code as -1 (pandas cat.codes semantics): codes rank
+    # non-null values only; the LEFT join + coalesce supplies the -1.
     sql["cat_codes"] = """
         WITH codes AS (
             SELECT event_type,
                    dense_rank() OVER (ORDER BY event_type) - 1 AS event_type_code
-            FROM (SELECT DISTINCT event_type FROM events))
-        SELECT e.event_type, c.event_type_code, count(*) AS n
-        FROM events e JOIN codes c USING (event_type)
-        GROUP BY e.event_type, c.event_type_code
+            FROM (SELECT DISTINCT event_type FROM events
+                  WHERE event_type IS NOT NULL))
+        SELECT e.event_type,
+               coalesce(c.event_type_code, -1) AS event_type_code,
+               count(*) AS n
+        FROM events e LEFT JOIN codes c ON e.event_type = c.event_type
+        GROUP BY 1, 2
     """
 
     # vocab = top-3 by frequency, (count desc, value asc) tiebreak —

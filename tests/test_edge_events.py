@@ -1,0 +1,114 @@
+"""Adversarial mini-gate #2: the events-based query family on crafted
+edge data, hash-compared against the production DuckDB oracles.
+
+Edge shapes the generated sf corpora never produce: NULL and NaN values,
+NULL event_type, duplicate (user, ts) rows, identical timestamps across
+users, a single-event user, zero/negative/huge values. Queries must
+agree cross-engine on all of them (div-by-zero guards, null window
+frames, tie-breaks).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from datetime import datetime, timedelta
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                                "tools"))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from check_oracles import norm, value_hash  # noqa: E402
+
+
+def _edge_events() -> pd.DataFrame:
+    base = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+
+    def add(user, ts, value, etype):
+        nonlocal eid
+        rows.append((eid, user, ts, value, etype))
+        eid += 1
+
+    types = ["click", "view", "purchase", "signup", "error"]
+    # regular-ish activity for three users over 3 weeks (covers the
+    # retention windows 01-01..01-15), hourly grain with value variety
+    for u in (1, 2, 3):
+        for d in range(18):
+            for h in (3, 9, 15, 21):
+                ts = base + timedelta(days=d, hours=h, minutes=u)
+                v = 50.0 + 10 * u + d - h / 2
+                add(u, ts, v, types[(d + h + u) % 5])
+    # duplicate (user, ts) pair — dup_collapse / tie-break territory
+    dup_ts = base + timedelta(days=2, hours=9, minutes=1)
+    add(1, dup_ts, 10.0, "click")
+    add(1, dup_ts, 30.0, "click")
+    # identical ts across users
+    shared = base + timedelta(days=5, hours=15)
+    for u in (1, 2, 3):
+        add(u, shared, 77.0, "view")
+    # NULL values, NaN values, NULL event_type
+    add(2, base + timedelta(days=6, hours=3, minutes=30), None, "click")
+    add(2, base + timedelta(days=6, hours=4, minutes=30), float("nan"), "view")
+    add(3, base + timedelta(days=7, hours=5), 42.0, None)
+    add(3, base + timedelta(days=7, hours=6), None, None)
+    # zero / negative / large magnitudes. Deliberately 1e9, NOT 1e15:
+    # at 1e15 the double ulp is ~0.125, so any sum mixing that row with
+    # ~50-magnitude values becomes summation-ORDER-dependent beyond the
+    # 4-decimal rounding contract — no engine pair (or even one engine
+    # under different partitioning) can hash-agree there. 1e9 keeps the
+    # magnitude stress with ~1e-7 ulp, far inside the contract.
+    add(1, base + timedelta(days=8, hours=1), 0.0, "purchase")
+    add(1, base + timedelta(days=8, hours=2), -5.5, "error")
+    add(2, base + timedelta(days=8, hours=3), 1.0e9, "click")
+    add(2, base + timedelta(days=8, hours=4), 1.0e-12, "view")
+    # single-event user (empty window frames, lag=NULL paths)
+    add(4, base + timedelta(days=9, hours=12), 99.0, "signup")
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "ts", "value", "event_type"])
+    pdf["event_id"] = pdf["event_id"].astype("int64")
+    pdf["user_id"] = pdf["user_id"].astype("int64")
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    return pdf
+
+
+EVENT_QUERIES = [
+    "null_profile", "zone_drop_counts", "multi_zone_cooling", "dummies_top",
+    "hourly_downsample", "dup_collapse", "value_counts_topn",
+    "distinct_users", "latest_per_user", "lag_features", "zscore",
+    "diff_pct_change", "cooling_runs", "anomaly_detect", "sequence_windows",
+    "gap_detect", "sessionize", "time_rolling", "group_standardize", "ewma",
+    "running_total", "first_last", "ntile_quartiles", "daily_trend",
+    "calendar_features", "moments", "histogram", "percentile_summary",
+    "retention", "funnel", "cooccurrence", "hash_split", "stratified_sample",
+    "confusion_eval", "calibration_bins", "seasonal_baseline",
+    "oversample_counts", "cat_codes", "rank_distribution",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_env(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge_events")
+    _edge_events().to_parquet(str(d / "events.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    return str(d), con
+
+
+@pytest.mark.parametrize("name", EVENT_QUERIES)
+def test_edge_events_cross_engine(spark, edge_env, name):
+    sf_dir, con = edge_env
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    sdf = norm(qs[name](spark, sf_dir).toPandas())
+    odf = norm(con.execute(oracles[name]).fetchdf())
+    assert len(sdf) == len(odf), f"{name}: rows {len(sdf)} vs {len(odf)}"
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert value_hash(sdf) == value_hash(odf), \
+        f"{name}: cross-engine hash mismatch on edge events"

@@ -20,18 +20,21 @@ from pyspark.sql import functions as F
 
 
 def category_codes(df: DataFrame, col: str, code_col: str | None = None) -> DataFrame:
-    """Append an integer code per distinct value (0-based, lexicographic).
+    """Append an integer code per distinct value (0-based, lexicographic;
+    NULL → -1, matching pandas ``cat.codes`` where NaN categories code
+    as -1 — reference ``simple_pre_processing.py:592``).
 
-    Deterministic — pandas ``cat.codes`` also assigns codes by sorted
-    category order. The code table derives from a groupBy (one small
-    shuffle) + ``dense_rank`` over the handful of distinct values, then
-    broadcast-joins back: the fact table is scanned once, no global sort.
+    The code table derives from the NON-NULL distinct values (groupBy +
+    ``dense_rank``), then broadcast-joins back: the fact table is scanned
+    once, no global sort; NULL rows miss the join and coalesce to -1.
     """
     code_col = code_col or f"{col}_code"
-    codes = (df.groupBy(col).agg(F.count(F.lit(1)).alias("_n"))
+    codes = (df.filter(F.col(col).isNotNull())
+             .groupBy(col).agg(F.count(F.lit(1)).alias("_n"))
              .select(col, (F.dense_rank().over(
-                 Window.orderBy(F.col(col).asc_nulls_last())) - 1).alias(code_col)))
-    return df.join(F.broadcast(codes), on=col, how="left")
+                 Window.orderBy(col)) - 1).alias(code_col)))
+    return (df.join(F.broadcast(codes), on=col, how="left")
+            .withColumn(code_col, F.coalesce(F.col(code_col), F.lit(-1))))
 
 
 def top_n_values(df: DataFrame, col: str, n: int = 10) -> list[str]:
