@@ -2368,7 +2368,7 @@ def oracle_sql() -> dict[str, str]:
                    FROM embeddings WHERE vec_id < 10),
         scored AS (
             SELECT q.query_id, e.vec_id,
-                   list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS s
+                   CASE WHEN list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) = 0 OR list_dot_product(q.qv, q.qv) = 0 THEN 0.0 ELSE list_cosine_similarity(e.embedding::DOUBLE[], q.qv) END AS s
             FROM embeddings e CROSS JOIN q
             WHERE e.vec_id <> q.query_id),
         ranked AS (
@@ -2398,7 +2398,7 @@ def oracle_sql() -> dict[str, str]:
               FROM bk WHERE vec_id < 10),
         scored AS (
             SELECT q.query_id, bk.vec_id,
-                   list_cosine_similarity(bk.v, q.qv) AS s
+                   CASE WHEN list_dot_product(bk.v, bk.v) = 0 OR list_dot_product(q.qv, q.qv) = 0 THEN 0.0 ELSE list_cosine_similarity(bk.v, q.qv) END AS s
             FROM bk JOIN q ON bk.bucket = q.bucket
             WHERE bk.vec_id <> q.query_id),
         ranked AS (
@@ -2640,9 +2640,9 @@ def oracle_sql() -> dict[str, str]:
     sql["emb_near_dup"] = """
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         SELECT a.vec_id AS id_l, b.vec_id AS id_r,
-               (round(list_cosine_similarity(a.v, b.v) + 1e-9, 6) + 0.0) AS sim
+               (round(CASE WHEN list_dot_product(a.v, a.v) = 0 OR list_dot_product(b.v, b.v) = 0 THEN 0.0 ELSE list_cosine_similarity(a.v, b.v) END + 1e-9, 6) + 0.0) AS sim
         FROM e a JOIN e b ON a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(a.v, b.v) > 0.35
+        WHERE CASE WHEN list_dot_product(a.v, a.v) = 0 OR list_dot_product(b.v, b.v) = 0 THEN 0.0 ELSE list_cosine_similarity(a.v, b.v) END > 0.35
     """
 
     sql["json_extract"] = """
@@ -2800,8 +2800,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, v, centroid_id FROM (
                 SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.centroid_id,
                        row_number() OVER (PARTITION BY e.vec_id
-                           ORDER BY list_cosine_similarity(
-                               e.embedding::DOUBLE[], c.centroid) DESC,
+                           ORDER BY CASE WHEN list_dot_product(
+                                   e.embedding::DOUBLE[],
+                                   e.embedding::DOUBLE[]) = 0
+                                 OR list_dot_product(c.centroid,
+                                                     c.centroid) = 0
+                               THEN 0.0
+                               ELSE list_cosine_similarity(
+                                   e.embedding::DOUBLE[], c.centroid)
+                               END DESC,
                                     c.centroid_id) AS crk
                 FROM embeddings e CROSS JOIN cent c)
             WHERE crk = 1
@@ -2810,14 +2817,21 @@ def oracle_sql() -> dict[str, str]:
                 SELECT e.vec_id AS query_id,
                        e.embedding::DOUBLE[] AS qv, c.centroid_id,
                        row_number() OVER (PARTITION BY e.vec_id
-                           ORDER BY list_cosine_similarity(
-                               e.embedding::DOUBLE[], c.centroid) DESC,
+                           ORDER BY CASE WHEN list_dot_product(
+                                   e.embedding::DOUBLE[],
+                                   e.embedding::DOUBLE[]) = 0
+                                 OR list_dot_product(c.centroid,
+                                                     c.centroid) = 0
+                               THEN 0.0
+                               ELSE list_cosine_similarity(
+                                   e.embedding::DOUBLE[], c.centroid)
+                               END DESC,
                                     c.centroid_id) AS crk
                 FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 10)
             WHERE crk <= 4
         ), scored AS (
             SELECT p.query_id, a.vec_id,
-                   list_cosine_similarity(a.v, p.qv) AS s
+                   CASE WHEN list_dot_product(a.v, a.v) = 0 OR list_dot_product(p.qv, p.qv) = 0 THEN 0.0 ELSE list_cosine_similarity(a.v, p.qv) END AS s
             FROM assign a JOIN probes p USING (centroid_id)
             WHERE a.vec_id <> p.query_id
         ), ranked AS (
@@ -2927,8 +2941,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM pairs) WHERE crk <= 100
         ), scored AS (
             SELECT c.query_id, c.vec_id,
-                   list_cosine_similarity(e.v,
-                       (SELECT v FROM ev q WHERE q.vec_id = c.query_id)) AS s
+                   CASE WHEN list_dot_product(e.v, e.v) = 0 OR list_dot_product((SELECT v FROM ev q WHERE q.vec_id = c.query_id), (SELECT v FROM ev q WHERE q.vec_id = c.query_id)) = 0 THEN 0.0 ELSE list_cosine_similarity(e.v,
+                       (SELECT v FROM ev q WHERE q.vec_id = c.query_id)) END AS s
             FROM cand c JOIN ev e ON e.vec_id = c.vec_id
         ), ranked AS (
             SELECT query_id, vec_id, s,

@@ -1,0 +1,83 @@
+"""Adversarial mini-gate #3: the ANN/similarity family on edge
+embeddings, hash-compared against the production DuckDB oracles.
+
+Stress shapes: a ZERO vector among both queries and seeds (DuckDB's
+bare list_cosine_similarity yields -1.0 there where the engine's guard
+yields 0.0 — the oracles carry the same guard), exact-duplicate
+vectors, tiny (1e-20) and huge (1e18) magnitudes, and a degenerate
+seed set (only 2 of the requested 16 IVF/PQ seeds exist).
+NaN embeddings are out of contract — ANN pipelines validate/normalize
+upstream.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                                "tools"))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from check_oracles import norm, value_hash  # noqa: E402
+
+DIM = 64
+
+
+def _edge_embeddings():
+    rng = random.Random(17)
+
+    def rand_vec(scale=1.0):
+        return [rng.gauss(0, 1) * scale for _ in range(DIM)]
+
+    vecs = {}
+    vecs[0] = [0.0] * DIM                        # zero QUERY + seed (id%31==0)
+    vecs[1] = rand_vec()
+    vecs[2] = list(vecs[1])                      # identical pair in queries
+    vecs[3] = rand_vec(1e-20)                    # tiny magnitude
+    vecs[4] = rand_vec(1e18)                     # huge magnitude
+    for i in range(5, 40):
+        vecs[i] = rand_vec()
+    vecs[20] = [0.0] * DIM                       # zero vector in the corpus
+    vecs[21] = list(vecs[5])                     # duplicate of a query
+    ids = sorted(vecs)
+    table = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([vecs[i] for i in ids],
+                              pa.list_(pa.float32())),
+        "label": pa.array([i % 3 for i in ids], pa.int32()),
+    })
+    return table
+
+
+ANN_QUERIES = ["similarity_topk", "lsh_topk", "ivf_topk", "pq_topk",
+               "emb_near_dup", "centroid_similarity"]
+
+
+@pytest.fixture(scope="module")
+def edge_env(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge_emb")
+    pq.write_table(_edge_embeddings(), str(d / "embeddings.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet'")
+    return str(d), con
+
+
+@pytest.mark.parametrize("name", ANN_QUERIES)
+def test_edge_embeddings_cross_engine(spark, edge_env, name):
+    sf_dir, con = edge_env
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    sdf = norm(qs[name](spark, sf_dir).toPandas())
+    odf = norm(con.execute(oracles[name]).fetchdf())
+    assert len(sdf) == len(odf), f"{name}: rows {len(sdf)} vs {len(odf)}"
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert value_hash(sdf) == value_hash(odf), \
+        f"{name}: cross-engine hash mismatch on edge embeddings"
