@@ -1103,6 +1103,13 @@ def q_cubic_interp(spark: SparkSession, sf: str) -> DataFrame:
     knots = (ev.groupBy("event_type",
                         F.hour("ts").cast("double").alias("hour"))
              .agg(F.avg("value").alias("avg_value")))
+    # query contract: spline groups only (>= 4 knots). The operator's
+    # n<4 linear/point fallbacks stay pytest-covered; the oracle's
+    # recursive solve replays exactly the spline path.
+    w4 = Window.partitionBy("event_type")
+    knots = (knots.filter(~F.isnan("avg_value") & F.col("avg_value").isNotNull())
+             .withColumn("_n", F.count(F.lit(1)).over(w4))
+             .filter(F.col("_n") >= 4).drop("_n"))
     out = TS.cubic_interpolate(knots, ["event_type"], "hour", "avg_value",
                                num=93, out_col="smooth_value")
     return out.select("event_type", _r(F.col("hour"), 4).alias("hour"),
@@ -2645,13 +2652,22 @@ def oracle_sql() -> dict[str, str]:
         WHERE CASE WHEN list_dot_product(a.v, a.v) = 0 OR list_dot_product(b.v, b.v) = 0 THEN 0.0 ELSE list_cosine_similarity(a.v, b.v) END > 0.35
     """
 
+    # json_valid guard + try_cast: Spark's from_json NULLs malformed
+    # payloads and wrong-typed fields where DuckDB's strict json_extract
+    # raises / returns castable junk (edge-events mini-gate finding).
     sql["json_extract"] = """
+        WITH j AS (
+            SELECT event_type,
+                   try_cast(json_extract_string(
+                       CASE WHEN json_valid(props) THEN props END, '$.k')
+                       AS INTEGER) AS k
+            FROM events)
         SELECT event_type,
-               count(json_extract(props, '$.k')) AS n_with_k,
-               (round(avg(json_extract(props, '$.k')::INTEGER) + 1e-9, 4) + 0.0) AS avg_k,
-               min(json_extract(props, '$.k')::INTEGER) AS min_k,
-               max(json_extract(props, '$.k')::INTEGER) AS max_k
-        FROM events GROUP BY event_type
+               count(k) AS n_with_k,
+               (round(avg(k) + 1e-9, 4) + 0.0) AS avg_k,
+               min(k) AS min_k,
+               max(k) AS max_k
+        FROM j GROUP BY event_type
     """
 
     # decode stub: feature i = md5(payload)[i % 16] / 256, payload = utf8
@@ -2717,6 +2733,7 @@ def oracle_sql() -> dict[str, str]:
                          avg(value) AS y
                   FROM events GROUP BY 1, 2)
             WHERE y IS NOT NULL AND NOT isnan(y)
+            QUALIFY count(*) OVER (PARTITION BY event_type) >= 4
         ), prep AS (
             SELECT event_type, i, n,
                    x - lag(x) OVER w AS h_lo,

@@ -75,6 +75,13 @@ def _edge_events() -> pd.DataFrame:
     pdf["event_id"] = pdf["event_id"].astype("int64")
     pdf["user_id"] = pdf["user_id"].astype("int64")
     pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    # props: JSON wire column with edge payloads — valid, malformed,
+    # empty, NULL, null-valued key, nested, wrong-typed
+    props_cycle = ['{"k": 7}', "{k:", "", None, '{"k": null}',
+                   '{"k": 3, "nested": {"x": 1}}', '{"k": "str"}',
+                   "[1,2,3]"]
+    pdf["props"] = [props_cycle[i % len(props_cycle)]
+                    for i in range(len(pdf))]
     return pdf
 
 
@@ -89,6 +96,13 @@ EVENT_QUERIES = [
     "retention", "funnel", "cooccurrence", "hash_split", "stratified_sample",
     "confusion_eval", "calibration_bins", "seasonal_baseline",
     "oversample_counts", "cat_codes", "rank_distribution",
+    # resample / fill / window-frame family (NULL bridging, duplicate
+    # knots, single-point series) + the JSON wire column
+    "spine_ffill", "interpolate", "fill_chain", "savgol_smooth",
+    "hourly_spine", "interval_join", "baseline_ratio", "rolling_stats",
+    "rolling_min_periods", "stride_sample", "topk_per_type", "time_split",
+    "time_range_filter", "isin_sample", "pivot_event_types",
+    "cubic_interp", "json_extract",
 ]
 
 
