@@ -50,6 +50,9 @@ TEXT_QUERIES = [
     "exact_dedup", "doc_fingerprint", "rolling_hash", "winnow_fingerprints",
     "doc_repetition", "source_mix", "pack_documents", "multimodal_features",
     "ngram_jaccard", "simhash",
+    # the heavy dedup/near-dup pipelines (banding, clustering, curation)
+    "minhash_lsh", "simhash_pairs", "dedup_clusters", "corpus_curation",
+    "tfidf_top_terms", "decontaminate",
 ]
 
 

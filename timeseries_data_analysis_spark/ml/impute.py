@@ -106,7 +106,7 @@ def knn_impute(df: DataFrame, cols: list[str], k: int = 5,
     other = [f.name for f in df.schema.fields if f.name not in cols]
     kk = k
 
-    def fix(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def fix(key, pdf):
         mat = pdf[cols].to_numpy(dtype=np.float64)
         pdf = pdf.drop(columns=["_kb"])
         fixed = _knn_impute_block(mat, kk, col_means)

@@ -112,7 +112,7 @@ def pack_next_fit(df: DataFrame, id_col: str, token_col: str,
     ])
     bud = budget
 
-    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def pack(key, pdf):
         pdf = pdf.sort_values("_id")
         packs, acc, cur = [], 0, 0
         for tok in pdf["_tok"]:
