@@ -1769,8 +1769,11 @@ def q_accretion_status(spark: SparkSession, sf: str) -> DataFrame:
         "event_type", F.col("ts").alias("latest_ts"),
         F.col("value").alias("latest_value"),
         thr[F.col("event_type")].alias("thr"))
-    flagged = flagged.withColumn(
-        "is_low", (F.col("latest_value") < F.col("thr")).cast("int"))
+    # panel shows CONFIGURED zones only (the serving view inner-joins its
+    # threshold table; a NULL/unknown series has no panel row)
+    flagged = (flagged.filter(F.col("thr").isNotNull())
+               .withColumn("is_low",
+                           (F.col("latest_value") < F.col("thr")).cast("int")))
     w_all = Window.partitionBy()
     n_low = F.sum("is_low").over(w_all)
     return flagged.select(

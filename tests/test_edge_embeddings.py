@@ -58,7 +58,7 @@ def _edge_embeddings():
 
 
 ANN_QUERIES = ["similarity_topk", "lsh_topk", "ivf_topk", "pq_topk",
-               "emb_near_dup", "centroid_similarity"]
+               "emb_near_dup", "centroid_similarity", "array_profile"]
 
 
 @pytest.fixture(scope="module")

@@ -103,6 +103,9 @@ EVENT_QUERIES = [
     "rolling_min_periods", "stride_sample", "topk_per_type", "time_split",
     "time_range_filter", "isin_sample", "pivot_event_types",
     "cubic_interp", "json_extract",
+    # interval labeling, skew-salting, SAX indexing, serving panels
+    "label_events_full", "salted_agg", "robust_scale_params",
+    "paa_sax", "series_similarity", "sax_bucket_search", "accretion_status",
 ]
 
 
