@@ -282,3 +282,45 @@ def test_enrich_stream_matches_batch_join(spark, input_dir):
                                   want[sorted(want.columns)])
     # unmatched stream keys survive (left join) with null enrichment
     assert got[got["event_type"] == "c"]["zone_name"].isna().all()
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """T1/T4 durability: a query stopped and restarted from its
+    checkpoint neither re-emits processed batches nor loses new files —
+    the exactly-once contract foreachBatch sinks rely on."""
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    base = pd.Timestamp("2024-06-01")
+
+    def write_file(name, hours):
+        rows = [(base + pd.Timedelta(hours=h), "a", float(h)) for h in hours]
+        pdf = pd.DataFrame(rows, columns=["ts", "event_type", "value"])
+        spark.createDataFrame(pdf, schema=SCHEMA).coalesce(1) \
+            .write.mode("overwrite").parquet(str(src / name))
+
+    write_file("f0", range(0, 4))
+    write_file("f1", range(4, 8))
+    seen: list[tuple[int, int]] = []
+
+    def drain():
+        stream = SJ.stream_source(spark, f"{src}/*", SCHEMA,
+                                  max_files_per_trigger=1)
+
+        def collect(batch_df, batch_id):
+            seen.append((batch_id, batch_df.count()))
+
+        q = SJ.run_with_foreach_batch(stream, collect, checkpoint=ckpt)
+        q.awaitTermination(120)
+
+    drain()                                   # run 1: consumes f0 + f1
+    rows_first = sum(n for _, n in seen)
+    assert rows_first == 8
+    drain()                                   # run 2: nothing new
+    assert sum(n for _, n in seen) == rows_first   # no re-emission
+    write_file("f2", range(8, 10))
+    drain()                                   # run 3: only the new file
+    assert sum(n for _, n in seen) == 10
+    # batch ids strictly increase across restarts (offsets persisted)
+    ids = [b for b, _ in seen]
+    assert ids == sorted(ids) and len(set(ids)) == len(ids)
