@@ -312,3 +312,23 @@ def test_pq_codebooks_shape_and_determinism(spark):
     pd_sorted = lambda d: d.sort_values(key).reset_index(drop=True)  # noqa: E731
     assert pd_sorted(cb1)["cvec"].apply(tuple).tolist() == \
         pd_sorted(cb2)["cvec"].apply(tuple).tolist()
+
+
+def test_ivf_pq_topk_recall_on_clustered_data(spark):
+    import random
+    random.seed(19)
+    centers = [[10.0 if d == c * 4 else 0.0 for d in range(16)] for c in range(4)]
+    rows = [(i, [c + random.gauss(0, 0.1) for c in centers[i % 4]])
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = SIM.ivf_pq_topk(df, q, k=5, n_centroids=4, n_probe=2,
+                          m=4, n_codes=8, rerank_factor=10)
+    bf = SIM.brute_force_topk(df, q, k=5)
+    got = {(r["query_id"], r["vec_id"]) for r in out.collect()}
+    want = {(r["query_id"], r["vec_id"]) for r in bf.collect()}
+    assert len(got & want) / len(want) >= 0.9
+    # every returned candidate must come from a probed cell of its query
+    # (the IVF restriction is applied BEFORE ranking, not as a post-filter)
+    assert len(got) == 20

@@ -268,6 +268,7 @@ def _l2sq_fold(a: Column, b: Column) -> Column:
 def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             m: int = 8, n_codes: int = 16, rerank_factor: int = 4,
             codebooks: DataFrame | None = None,
+            candidate_pairs: DataFrame | None = None,
             id_col: str = "vec_id", vec_col: str = "embedding",
             query_id_col: str = "query_id") -> DataFrame:
     """Product-quantization ANN: corpus vectors compress to ``m`` byte
@@ -320,8 +321,14 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 _l2sq_fold(F.col("sv"), F.col("cvec")).alias("_d2")))
 
     # approximate distance: sum the m table lookups per (query, vector),
-    # folded in sub order so the float sum is engine-reproducible
-    pairs = (enc.join(qtab, on=["sub", "code"])
+    # folded in sub order so the float sum is engine-reproducible.
+    # ``candidate_pairs`` (query_id, id) restricts the scan BEFORE
+    # ranking — the IVF composition hook: only in-cell pairs are scored.
+    joined = enc.join(qtab, on=["sub", "code"])
+    if candidate_pairs is not None:
+        joined = joined.join(candidate_pairs, on=["query_id", id_col],
+                             how="left_semi")
+    pairs = (joined
              .groupBy("query_id", id_col)
              .agg(F.aggregate(
                  F.array_sort(F.collect_list(F.struct("sub", "_d2"))),
@@ -342,3 +349,37 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                     cosine(F.col("_bv"), F.col("_qv")).alias("sim"))
             .withColumn("rk", F.row_number().over(w_fin))
             .filter(F.col("rk") <= k))
+
+
+def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                n_centroids: int = 16, n_probe: int = 4,
+                m: int = 8, n_codes: int = 16, rerank_factor: int = 4,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                query_id_col: str = "query_id") -> DataFrame:
+    """Full IVF-PQ composition: the coarse quantizer bounds WHICH pairs
+    are scored (each query sees only its ``n_probe`` cells ≈
+    N·n_probe/n_centroids candidates), and PQ bounds the COST PER PAIR
+    (m table lookups on byte codes instead of d-float arithmetic) — the
+    two halves of Jégou et al.'s system, each already verified separately
+    (``ivf_topk``, ``pq_topk``). Exact-cosine rerank of the approximate
+    pool, as in both parents.
+
+    At 100 TB: corpus state is n_centroids cells × (code table of m
+    bytes/vector); a query touches n_probe cells and reads codes only —
+    the standard billion-scale ANN serving shape.
+    """
+    cent = ivf_fit_centroids(corpus, n_centroids=n_centroids)
+    base = _assign_cells(corpus, cent, 1, id_col, vec_col) \
+        .select(id_col, "centroid_id")
+    probes = F.broadcast(
+        _assign_cells(queries.select(F.col(query_id_col).alias("query_id"),
+                                     F.col(vec_col)),
+                      cent, n_probe, "query_id", vec_col)
+        .select("query_id", "centroid_id"))
+    cell_pairs = base.join(probes, on="centroid_id") \
+        .select("query_id", id_col).distinct()
+    return pq_topk(corpus, queries, k=k, m=m, n_codes=n_codes,
+                   rerank_factor=rerank_factor,
+                   candidate_pairs=cell_pairs,
+                   id_col=id_col, vec_col=vec_col,
+                   query_id_col=query_id_col)
