@@ -1056,6 +1056,29 @@ def q_seasonal_baseline(spark: SparkSession, sf: str) -> DataFrame:
                        .otherwise(0)).cast("bigint").alias("n_anomalies")))
 
 
+def q_ivf_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """The FULL IVF-PQ composition as one driver-checkable query: probed
+    cells bound the candidate pairs, PQ distance tables score them,
+    exact cosine reranks. Same deterministic seed selection (vec_id % 31)
+    for BOTH the coarse centroids and the PQ codebooks, so the oracle
+    replays the entire two-stage plan (cell CTEs from q_ivf_topk + code
+    CTEs from q_pq_topk + the in-cell semi-join)."""
+    emb = load_table(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    from pyspark.sql import Window as _W
+    cent = (emb.filter(F.col("vec_id") % 31 == 0)
+            .orderBy("vec_id").limit(16)
+            .select((F.row_number().over(_W.orderBy("vec_id")) - 1)
+                    .alias("centroid_id"),
+                    F.col("embedding").alias("centroid")))
+    out = SIM.ivf_pq_topk(emb, q, k=5, n_probe=4, m=8, n_codes=16,
+                          rerank_factor=20, centroids=cent)
+    return out.select("query_id", "vec_id", "rk",
+                      _r(F.col("sim"), 6).alias("sim"))
+
+
 def q_rollup_totals(spark: SparkSession, sf: str) -> DataFrame:
     """Hierarchical ROLLUP aggregate (SURVEY.md §2.4 'absent in reference,
     free in Spark'): per (priority, status) order totals plus the
@@ -1867,6 +1890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "confusion_eval": q_confusion_eval,
         "calibration_bins": q_calibration_bins,
         "pq_topk": q_pq_topk,
+        "ivf_pq_topk": q_ivf_pq_topk,
         "seasonal_baseline": q_seasonal_baseline,
         # --- regression guard: r1 greens, untouched-path check ---
         "spine_ffill": q_spine_ffill,
@@ -2990,6 +3014,106 @@ def oracle_sql() -> dict[str, str]:
                sum(CASE WHEN sd > 0 AND abs(value - mu) > 2 * sd
                         THEN 1 ELSE 0 END)::BIGINT AS n_anomalies
         FROM p GROUP BY 1, 2, 3
+    """
+
+    # ivf_pq_topk: the two verified oracles composed — cell CTEs restrict
+    # the PQ scan via an in-cell pair join before ranking.
+    sql["ivf_pq_topk"] = """
+        WITH cb0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+                   embedding::DOUBLE[] AS v
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 16)
+        ), subs AS (SELECT unnest(range(8)) AS sub
+        ), cb AS (
+            SELECT s.sub, b.code, b.v[s.sub*8+1 : s.sub*8+8] AS cvec
+            FROM cb0 b CROSS JOIN subs s
+        ), ev AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), assign AS (
+            SELECT vec_id, centroid_id FROM (
+                SELECT e.vec_id, c.code AS centroid_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY CASE WHEN list_dot_product(e.v, e.v) = 0
+                                      OR list_dot_product(c.v, c.v) = 0
+                               THEN 0.0
+                               ELSE list_cosine_similarity(e.v, c.v) END
+                               DESC, c.code) AS crk
+                FROM ev e CROSS JOIN cb0 c)
+            WHERE crk = 1
+        ), qprobe AS (
+            SELECT query_id, centroid_id FROM (
+                SELECT e.vec_id AS query_id, c.code AS centroid_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY CASE WHEN list_dot_product(e.v, e.v) = 0
+                                      OR list_dot_product(c.v, c.v) = 0
+                               THEN 0.0
+                               ELSE list_cosine_similarity(e.v, c.v) END
+                               DESC, c.code) AS crk
+                FROM ev e CROSS JOIN cb0 c WHERE e.vec_id < 10)
+            WHERE crk <= 4
+        ), cellpair AS (
+            SELECT DISTINCT p.query_id, a.vec_id
+            FROM assign a JOIN qprobe p USING (centroid_id)
+        ), cvs AS (
+            SELECT e.vec_id, s.sub, e.v[s.sub*8+1 : s.sub*8+8] AS sv
+            FROM ev e CROSS JOIN subs s
+        ), enc AS (
+            SELECT vec_id, sub, code FROM (
+                SELECT c.vec_id, c.sub, b.code,
+                       row_number() OVER (PARTITION BY c.vec_id, c.sub
+                           ORDER BY list_reduce(list_transform(range(8), i ->
+                               (c.sv[i+1] - b.cvec[i+1])
+                               * (c.sv[i+1] - b.cvec[i+1])),
+                               (x, y) -> x + y), b.code) AS rk
+                FROM cvs c JOIN cb b ON c.sub = b.sub)
+            WHERE rk = 1
+        ), qvs AS (
+            SELECT e.vec_id AS query_id, s.sub,
+                   e.v[s.sub*8+1 : s.sub*8+8] AS sv
+            FROM ev e CROSS JOIN subs s WHERE e.vec_id < 10
+        ), qtab AS (
+            SELECT q.query_id, q.sub, b.code,
+                   list_reduce(list_transform(range(8), i ->
+                       (q.sv[i+1] - b.cvec[i+1])
+                       * (q.sv[i+1] - b.cvec[i+1])),
+                       (x, y) -> x + y) AS d2
+            FROM qvs q JOIN cb b ON q.sub = b.sub
+        ), pairs AS (
+            SELECT t.query_id, e.vec_id,
+                   list_reduce(list(t.d2 ORDER BY t.sub),
+                               (x, y) -> x + y) AS approx_d2
+            FROM enc e
+            JOIN qtab t ON e.sub = t.sub AND e.code = t.code
+            JOIN cellpair cp ON cp.query_id = t.query_id
+                            AND cp.vec_id = e.vec_id
+            WHERE e.vec_id <> t.query_id
+            GROUP BY t.query_id, e.vec_id
+        ), cand AS (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY approx_d2, vec_id) AS crk
+                FROM pairs) WHERE crk <= 100
+        ), scored AS (
+            SELECT c.query_id, c.vec_id,
+                   CASE WHEN list_dot_product(e.v, e.v) = 0
+                         OR list_dot_product(
+                             (SELECT v FROM ev q
+                              WHERE q.vec_id = c.query_id),
+                             (SELECT v FROM ev q
+                              WHERE q.vec_id = c.query_id)) = 0 THEN 0.0
+                        ELSE list_cosine_similarity(e.v,
+                            (SELECT v FROM ev q
+                             WHERE q.vec_id = c.query_id)) END AS s
+            FROM cand c JOIN ev e ON e.vec_id = c.vec_id
+        ), ranked AS (
+            SELECT query_id, vec_id, s,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY s DESC, vec_id) AS rk
+            FROM scored)
+        SELECT query_id, vec_id, rk, (round(s + 1e-9, 6) + 0.0) AS sim
+        FROM ranked WHERE rk <= 5
     """
 
     sql["confusion_eval"] = """

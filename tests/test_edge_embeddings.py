@@ -58,7 +58,8 @@ def _edge_embeddings():
 
 
 ANN_QUERIES = ["similarity_topk", "lsh_topk", "ivf_topk", "pq_topk",
-               "emb_near_dup", "centroid_similarity", "array_profile"]
+               "emb_near_dup", "centroid_similarity", "array_profile",
+               "ivf_pq_topk"]
 
 
 @pytest.fixture(scope="module")

@@ -354,6 +354,7 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 n_centroids: int = 16, n_probe: int = 4,
                 m: int = 8, n_codes: int = 16, rerank_factor: int = 4,
+                centroids: DataFrame | None = None,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 query_id_col: str = "query_id") -> DataFrame:
     """Full IVF-PQ composition: the coarse quantizer bounds WHICH pairs
@@ -368,7 +369,8 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     bytes/vector); a query touches n_probe cells and reads codes only —
     the standard billion-scale ANN serving shape.
     """
-    cent = ivf_fit_centroids(corpus, n_centroids=n_centroids)
+    cent = centroids if centroids is not None \
+        else ivf_fit_centroids(corpus, n_centroids=n_centroids)
     base = _assign_cells(corpus, cent, 1, id_col, vec_col) \
         .select(id_col, "centroid_id")
     probes = F.broadcast(
