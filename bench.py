@@ -110,12 +110,25 @@ def main() -> None:
     timings["kiln_pipeline_1yr"] = bench_kiln_pipeline(spark)
 
     total = round(sum(timings.values()), 3)
+
+    # round-3 corpus-governance pillar, reported SEPARATELY so the
+    # headline total stays comparable across rounds
+    corpus: dict[str, float] = {}
+    for name in ("hash_split", "stratified_sample", "decontaminate",
+                 "doc_repetition", "source_mix", "pack_documents",
+                 "pq_topk", "ivf_pq_topk", "seasonal_baseline"):
+        t0 = time.time()
+        run(qs[name](spark, sf_dir))
+        corpus[name] = round(time.time() - t0, 3)
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "corpus_queries": corpus,
+        "corpus_total": round(sum(corpus.values()), 3),
         "sf": float(sf) if sf else None,
         # host contention snapshot — driver-vs-local timing deltas are
         # attributable only when the load at measurement time is known
