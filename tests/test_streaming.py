@@ -324,3 +324,48 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     # batch ids strictly increase across restarts (offsets persisted)
     ids = [b for b, _ in seen]
     assert ids == sorted(ids) and len(set(ids)) == len(ids)
+
+
+def test_incremental_dedup_across_batches(spark, tmp_path):
+    """Continuous-ingestion dedup: a doc seen in an earlier micro-batch
+    (or earlier in the same batch) never lands in the output again; the
+    persisted digest index survives restarts."""
+    src = tmp_path / "docs"
+    src.mkdir()
+    idx = str(tmp_path / "digest_index")
+    out = str(tmp_path / "clean")
+    ckpt = str(tmp_path / "ckpt")
+    doc_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+
+    def write_batchfile(name, rows):
+        spark.createDataFrame(rows, doc_schema).coalesce(1) \
+            .write.mode("overwrite").parquet(str(src / name))
+
+    # batch 0: two distinct docs + an intra-batch duplicate
+    write_batchfile("b0", [(1, "alpha beta gamma"), (2, "delta epsilon"),
+                           (3, "Alpha,  BETA gamma!")])   # normalizes == doc 1
+    # batch 1: one repeat (cross-batch dup) + one new
+    write_batchfile("b1", [(4, "delta epsilon"), (5, "zeta eta theta")])
+
+    def drain():
+        stream = SJ.stream_source(spark, f"{src}/*", doc_schema,
+                                  max_files_per_trigger=1)
+        q = (SJ.incremental_dedup_sink(stream, idx, out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain()
+    got = spark.read.parquet(out).toPandas().sort_values("doc_id")
+    assert got["doc_id"].tolist() == [1, 2, 5]     # 3 and 4 are dups
+    n_idx = spark.read.parquet(idx).count()
+    assert n_idx == 3                               # one digest per distinct
+    # restart with a third batch: another cross-batch dup + a new doc
+    write_batchfile("b2", [(6, "zeta eta theta"), (7, "iota kappa")])
+    drain()
+    got = spark.read.parquet(out).toPandas().sort_values("doc_id")
+    assert got["doc_id"].tolist() == [1, 2, 5, 7]
+    assert spark.read.parquet(idx).count() == 4

@@ -242,3 +242,47 @@ def run_with_foreach_batch(stream_df: DataFrame,
     elif processing_time:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def incremental_dedup_sink(docs_stream: DataFrame, index_path: str,
+                           out_path: str, text_col: str = "text",
+                           id_col: str = "doc_id"):
+    """Continuous-ingestion exact dedup: each micro-batch of documents is
+    checked against a PERSISTED digest index; only first-seen documents
+    land in ``out_path``, and their digests append to the index.
+
+    The 100 TB continuous-corpus shape: the index holds one 8-byte digest
+    row per distinct document ever seen (partition-prunable parquet), the
+    per-batch work is one broadcast-able anti-join of batch digests
+    against the index, and within-batch duplicates collapse before the
+    index is consulted. Exactly-once comes from the streaming checkpoint
+    (see ``test_checkpoint_restart_exactly_once``) plus idempotent
+    append: re-emitting a batch re-offers digests the index already
+    holds, which the anti-join drops.
+    """
+    from ..operators.dedup import text_digest
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = (batch_df
+                 .withColumn("_digest", text_digest(text_col)))
+        # collapse within-batch dups first (keep min id, like exact_dedup)
+        w_first = (batch.groupBy("_digest")
+                   .agg(F.min(id_col).alias("_keep")))
+        batch = (batch.join(w_first,
+                            (batch["_digest"] == w_first["_digest"])
+                            & (batch[id_col] == w_first["_keep"]))
+                 .select(batch["*"]))
+        try:
+            index = spark.read.parquet(index_path).select("_digest")
+            fresh = batch.join(index, on="_digest", how="left_anti")
+        except Exception:  # noqa: BLE001 — first batch: no index yet
+            fresh = batch
+        fresh = fresh.localCheckpoint()  # index append must not re-read out
+        if fresh.isEmpty():
+            return
+        fresh.drop("_digest").write.mode("append").parquet(out_path)
+        fresh.select("_digest").write.mode("append").parquet(index_path)
+
+    return (docs_stream.writeStream.foreachBatch(process)
+            .outputMode("update"))
