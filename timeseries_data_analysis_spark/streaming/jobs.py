@@ -11,6 +11,9 @@ Here the same semantics are real Structured Streaming jobs:
                                    outside engine semantics per SURVEY §7.4)
   T5  late/duplicate handling    → watermark + dropDuplicates (richer than
                                    the reference's duplicate-mean collapse)
+  +   continuous-corpus dedup    → foreachBatch digest-index anti-join
+  +   stream-static enrichment   → broadcast dim join, no stream state
+  +   stateful anomaly/sessions  → applyInPandasWithState
 
 Scale design: the streaming plans are the SAME DataFrame expressions as
 the batch layer (one definition, two execution modes) — batch/stream
