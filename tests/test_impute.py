@@ -104,3 +104,26 @@ def test_bucketed_mode_fills_and_beats_mean_imputation(spark):
     knn_err = float(np.mean(np.abs(got - truth[holes])))
     mean_err = float(np.mean(np.abs(np.nanmean(b) - truth[holes])))
     assert knn_err < mean_err / 5, (knn_err, mean_err)
+
+
+def test_nan_holes_equal_null_holes(spark):
+    """Holes may arrive as NaN (pandas round trips) or NULL (SQL) — both
+    must impute identically; the stats pass must not be NaN-poisoned."""
+    rng = np.random.default_rng(5)
+    mat = rng.standard_normal((60, 3))
+    holes = rng.random((60, 3)) < 0.15
+    mat[holes] = np.nan
+    rows_null = [(i, *[None if math.isnan(v) else float(v) for v in mat[i]])
+                 for i in range(60)]
+    rows_nan = [(i, *[float(v) for v in mat[i]]) for i in range(60)]
+    schema = "id: long, a: double, b: double, c: double"
+    out_null = (knn_impute(spark.createDataFrame(rows_null, schema),
+                           ["a", "b", "c"], k=3, bits=0)
+                .toPandas().sort_values("id").reset_index(drop=True))
+    out_nan = (knn_impute(spark.createDataFrame(rows_nan, schema),
+                          ["a", "b", "c"], k=3, bits=0)
+               .toPandas().sort_values("id").reset_index(drop=True))
+    np.testing.assert_allclose(out_null[["a", "b", "c"]].to_numpy(),
+                               out_nan[["a", "b", "c"]].to_numpy(),
+                               rtol=1e-12)
+    assert not out_nan[["a", "b", "c"]].isna().any().any()

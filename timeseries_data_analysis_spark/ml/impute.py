@@ -81,9 +81,15 @@ def knn_impute(df: DataFrame, cols: list[str], k: int = 5,
     (exact, for modest N); at scale pick ``bits ≈ log2(N / 4096)``.
     """
     d = len(cols)
+    # NaN-safe stats: avg/stddev are NaN-poisoned in Spark (NULLs are
+    # skipped but one NaN makes the aggregate NaN) — holes may arrive as
+    # either, so mask NaN to NULL before aggregating.
+    def _clean(c):
+        return F.when(~F.isnan(c), F.col(c))
     stats = df.select(
-        *[F.avg(c).alias(f"_m_{c}") for c in cols],
-        *[F.coalesce(F.stddev(c), F.lit(1.0)).alias(f"_s_{c}") for c in cols],
+        *[F.avg(_clean(c)).alias(f"_m_{c}") for c in cols],
+        *[F.coalesce(F.stddev(_clean(c)), F.lit(1.0)).alias(f"_s_{c}")
+          for c in cols],
     ).collect()[0]
     means = {c: float(stats[f"_m_{c}"] if stats[f"_m_{c}"] is not None else 0.0)
              for c in cols}
