@@ -43,7 +43,10 @@ def hash_split(df: DataFrame, id_col: str,
 
     ``splits``: [("train", 0.9), ("val", 0.05), ("test", 0.05)] — weights
     must sum to 1. Deterministic in ``id_col``; rows never migrate when
-    the table grows.
+    the table grows. NULL ids hash to NULL buckets and fall through the
+    when-chain into the LAST named split (deterministic, but treat a
+    NULL id as a data-quality error upstream); in
+    ``stratified_hash_sample`` a NULL id is dropped by the filter.
     """
     total = sum(w for _, w in splits)
     if abs(total - 1.0) > 1e-9:
@@ -97,7 +100,8 @@ def pack_next_fit(df: DataFrame, id_col: str, token_col: str,
     quality is unaffected since packs never span buckets).
 
     Output: (bucket, pack_idx, ``id_col``, ``token_col``) — one row per
-    doc with its pack assignment. Deterministic in the input set, so an
+    doc with its pack assignment. Precondition: non-null ids and token
+    counts (token counts from ``size()`` are always >= 0). Deterministic in the input set, so an
     external engine replays it exactly (recursive-CTE oracle).
     """
     base = df.select(
