@@ -40,10 +40,17 @@ def test_shape_and_grain(pipeline_result):
 
 def test_no_unfilled_sensor_values(pipeline_result):
     pdf, _ = pipeline_result
-    zone_cols = [c for c in pdf.columns if c.startswith("zone_ZONE_")]
+    # BASE sensor columns only: derived columns (lag_k, roll_k, ...) are
+    # legitimately null during their warm-up rows
+    zone_cols = [c for c in pdf.columns
+                 if c.startswith("zone_ZONE_") and c.count("_") == 2]
     assert zone_cols, "zone series missing from wide output"
     # stage-3 fill chain ends in 0.0 — aligned sensor values are never null
     assert pdf[zone_cols].notna().all().all()
+    # stages 4-5 fidelity: the matrix carries per-series window features
+    assert any("_lag_" in c for c in pdf.columns)
+    assert any("_roll_" in c for c in pdf.columns)
+    assert any(c.endswith("_anomaly") for c in pdf.columns)
 
 
 def test_event_labeling_matches_truth(pipeline_result):

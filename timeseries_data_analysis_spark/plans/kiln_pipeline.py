@@ -308,11 +308,15 @@ def reduce_dimension_priority(columns: list[str],
     temp_drops = [c for c in columns if
                   "_drop_pct" in c or "_consec_drops" in c or
                   "cooling_" in c][:30]
-    temps = [c for c in columns if
-             ("ZONE_" in c and not c.endswith("_anomaly")
-              and not c.startswith("diff_") and not c.startswith("gradient_"))
-             or ("shell_" in c and not c.endswith("_roll_")
-                 and not c.endswith("_lag_"))][:20]
+    # raw temperatures = base sensor columns only: every derived family
+    # (lag/roll/flag/diff/...) has its own tier below (ref :1613-1615)
+    _derived_tags = ("_lag_", "_roll_", "_zscore_", "_cooling_",
+                     "_drop_", "_anomaly")
+    temps_all = [c for c in columns if
+                 ("ZONE_" in c or "shell_" in c)
+                 and not any(t in c for t in _derived_tags)
+                 and not c.startswith(("diff_", "gradient_", "roc_"))]
+    temps = temps_all[:20]
     derived_temps = [c for c in columns if
                      (c.startswith("diff_") or c.startswith("gradient_")
                       or c.startswith("roc_")) and "ZONE_" in c][:30]
@@ -322,7 +326,8 @@ def reduce_dimension_priority(columns: list[str],
     ops = coal + [c for c in quality if c not in coal]
     ops += [c for c in columns if c.startswith("mis_") and c not in ops][:20]
     ratios = [c for c in columns if
-              c.startswith("ratio_") or "efficiency" in c][:30]
+              c.startswith("ratio_") or "efficiency" in c
+              or c in ("plan_attainment", "coal_per_t")][:30]
 
     important_bases = coal + quality + temp_drops + temps[:5]
     lags: list[str] = []
@@ -339,15 +344,25 @@ def reduce_dimension_priority(columns: list[str],
                   if ("_roll_" in c or "_ma" in c) and c not in rolls][:50])
     anomalies = [c for c in columns if c.endswith("_anomaly")][:50]
 
-    keep = list(dict.fromkeys(
-        critical + indicators + temp_drops + temps + derived_temps
-        + ops + ratios + lags + rolls + anomalies))
-    if len(keep) <= max_features:
-        return keep
-
+    # Selection = the reference's refill order (ref :1674-1717): critical
+    # -> indicators -> capped drop tier -> operational -> temps/derived/
+    # ratios -> anomalies -> lag+roll, then a catch-all. The capped tier
+    # slices ([:30] etc.) bound their PRIMARY claim; once a family's turn
+    # comes in refill, its UNCAPPED list fills remaining room so the
+    # matrix keeps whole families before lower-priority ones start.
+    derived_all = [c for c in columns if
+                   c.startswith(("diff_", "gradient_", "roc_"))]
+    ratios_all = [c for c in columns if
+                  c.startswith("ratio_") or "efficiency" in c
+                  or c in ("plan_attainment", "coal_per_t")]
+    anomalies_all = [c for c in columns if c.endswith("_anomaly")]
+    # lag/roll keep their reference caps (5 per important base + 50
+    # extra EACH, ref :1641-1663) even in refill — otherwise the larger
+    # lag family exhausts the budget before any rolling column enters
     final = list(dict.fromkeys(critical))
     for tier in (indicators, temp_drops, ops,
-                 temps + derived_temps + ratios, anomalies, lags + rolls):
+                 temps_all + derived_all + ratios_all, anomalies_all,
+                 lags + rolls, columns):
         room = max_features - len(final)
         if room <= 0:
             break
@@ -408,9 +423,42 @@ def run_pipeline(spark: SparkSession, tables: dict[str, DataFrame],
     # (~3x the window compute, measured); a pre-materialized cache also
     # gives AQE real size stats for the downstream join strategy.
     feat.write.format("noop").mode("overwrite").save()
-    base_wide = PV.pivot_wide(
-        feat.select("ts", "series", "value"), ["ts"], "series", "value",
-        values=series_names)
+    # Stages 4-7 REACH THE MATRIX: melt every per-series window feature
+    # into the series dimension so the wide output carries the
+    # reference's lag/rolling/flag columns (its stages 4-5 exist to ADD
+    # these ~10 columns per sensor to the training matrix,
+    # pre_processing.py:705-1010) — and the P2 tiered 500-column cap
+    # then engages exactly as in the reference. Naming follows the
+    # tier matchers: suffix families (_lag_k, _roll_k, _anomaly,
+    # _cooling_flag) and prefix families (diff_1_*, roc_3_*).
+    feat_cols = [
+        ("suffix", "", "value"),
+        ("suffix", "_lag_1", "value_lag_1"), ("suffix", "_lag_6", "value_lag_6"),
+        ("suffix", "_lag_24", "value_lag_24"),
+        ("suffix", "_roll_24", "roll_mean_24"),
+        ("suffix", "_roll_std_24", "roll_std_24"),
+        ("suffix", "_roll_72", "roll_mean_72"),
+        ("suffix", "_cooling_flag", "cooling_flag"),
+        ("suffix", "_anomaly", "anomaly_flag"),
+        ("suffix", "_drop_magnitude", "drop_magnitude"),
+        ("suffix", "_zscore_24", "zscore_24"),
+        ("prefix", "diff_1_", "diff_1"),
+        ("prefix", "roc_3_", "pct_change_3"),
+    ]
+    # ONE native pivot with 13 aggregate measures: Spark's PivotFirst
+    # matches the series per row in O(1), and multi-agg pivot emits
+    # {series}_{alias} columns directly — no 13x melt blowup (measured
+    # 2x slower) and no 900 conditional aggregates (measured 4x slower).
+    # (ts, series) is unique after alignment, so first() is exact.
+    piv = (feat.groupBy("ts").pivot("series", series_names)
+           .agg(*[F.first(src).alias(f"__{kind}__{tag}")
+                  for kind, tag, src in feat_cols]))
+    renames = [F.col("ts")]
+    for s in series_names:
+        for kind, tag, _ in feat_cols:
+            name = s + tag if kind == "suffix" else tag + s
+            renames.append(F.col(f"`{s}___{kind}__{tag}`").alias(name))
+    base_wide = piv.select(*renames)
     # Zone differentials (stage 6 cross-series): on the PIVOTED frame the
     # adjacent-zone diff is plain column arithmetic — a zero-shuffle
     # projection, replacing the long-layout lead-window + second pivot +
@@ -420,7 +468,7 @@ def run_pipeline(spark: SparkSession, tables: dict[str, DataFrame],
                       if s.startswith("zone_ZONE_"))
     diff_cols = [
         (F.col(f"zone_ZONE_{i + 1}") - F.col(f"zone_ZONE_{i}"))
-        .alias(f"zone_diff_{i}_{i + 1}")
+        .alias(f"diff_zone_ZONE_{i}_{i + 1}")
         for i in zone_ids if i + 1 in set(zone_ids)]
     base_wide = base_wide.select("*", *diff_cols)
 
