@@ -397,32 +397,19 @@ def run_pipeline(spark: SparkSession, tables: dict[str, DataFrame],
     metrics["window_features"] = time.time() - t
 
     t = time.time()
-    risk = risk_indicators(feat)
     ratios = material_ratios(tables["mis_report"])
     metrics["derived"] = time.time() - t
 
+    # Stage 11: wide pivot at the ML boundary. Since the matrix now
+    # carries the flag columns, the risk indicators (stage 9) are
+    # POST-pivot row arithmetic — `feat` has exactly ONE consumer, the
+    # plan is a single linear pass, and the round-2 persist + cache-fill
+    # job (needed when risk and pivot both consumed `feat`) is gone.
+    # Pivot column names come from the RAW sources (one fused key job):
+    # deriving them from `feat` would execute the window pipeline eagerly
+    # just to learn the schema.
     t = time.time()
-    labels = IV.label_events(
-        risk.select("ts"), tables["accretion_events"],
-        ts_col="ts", start_col="START_DATE", critical_col="CRITICAL_DATE",
-        zone_col="ZONE", pre_windows_h=(24, 48, 72))
-    metrics["labeling"] = time.time() - t
-
-    # Stage 11: wide pivot at the ML boundary. `feat` fans out to two
-    # consumers (pivot, risk) — persist it so the window pipeline executes
-    # ONCE, not once per consumer, when the final action fires. Pivot
-    # column names come from the RAW sources (three tiny single-column
-    # distincts over column-pruned scans): deriving them from `feat` would
-    # execute the whole window pipeline eagerly just to learn the schema.
-    t = time.time()
-    feat = feat.persist()
     series_names = source_series_names(tables)
-    # Fill the cache in its own job BEFORE the consumers plan against it:
-    # inside one big job the consumer subtrees schedule concurrently and
-    # each recomputes feat's windows before any cache partition lands
-    # (~3x the window compute, measured); a pre-materialized cache also
-    # gives AQE real size stats for the downstream join strategy.
-    feat.write.format("noop").mode("overwrite").save()
     # Stages 4-7 REACH THE MATRIX: melt every per-series window feature
     # into the series dimension so the wide output carries the
     # reference's lag/rolling/flag columns (its stages 4-5 exist to ADD
@@ -472,8 +459,48 @@ def run_pipeline(spark: SparkSession, tables: dict[str, DataFrame],
         for i in zone_ids if i + 1 in set(zone_ids)]
     base_wide = base_wide.select("*", *diff_cols)
 
+    # Stage 9 post-pivot: composite risk indicators as row-wise HOF
+    # arithmetic over the zone flag/value columns (same names + null
+    # semantics as the long-form risk_indicators, which remains for
+    # pre-pivot consumers). avg-like aggregates skip nulls via filter.
+    zone_bases = [s for s in series_names if s.startswith("zone_ZONE_")]
+
+    def _arr(sfx):
+        return F.array(*[F.col(f"{s}{sfx}") for s in zone_bases])
+
+    def _nn(a):
+        return F.filter(a, lambda x: x.isNotNull())
+
+    def _count_eq(a, v):
+        return F.aggregate(a, F.lit(0), lambda acc, x: acc + F.coalesce(
+            (x == v).cast("int"), F.lit(0)))
+
+    dropm = _nn(_arr("_drop_magnitude"))
+    vals = _nn(_arr(""))
+    _avg = (lambda a: F.when(F.size(a) > 0,
+                             F.aggregate(a, F.lit(0.0),
+                                         lambda acc, x: acc + x)
+                             / F.size(a)))
+    cooling_n = _count_eq(_arr("_cooling_flag"), F.lit(1))
+    base_wide = base_wide.select(
+        "*",
+        _count_eq(_arr("_anomaly"), F.lit(-1)).alias("zones_with_drops"),
+        cooling_n.alias("accretion_risk_cooling_trends"),
+        _avg(dropm).alias("accretion_risk_drop_magnitude"),
+        F.when(F.size(dropm) > 0, F.array_max(dropm))
+        .alias("accretion_risk_drop_magnitude_max"),
+        _avg(vals).alias("accretion_risk_mean_zone_temp"),
+        F.array_min(vals).alias("accretion_risk_min_zone_temp"),
+        (cooling_n >= 3).cast("int").alias("multi_zone_cooling_alert"))
+
+    t2 = time.time()
+    labels = IV.label_events(
+        base_wide.select("ts"), tables["accretion_events"],
+        ts_col="ts", start_col="START_DATE", critical_col="CRITICAL_DATE",
+        zone_col="ZONE", pre_windows_h=(24, 48, 72))
+    metrics["labeling"] = time.time() - t2
+
     out = (base_wide
-           .join(risk, "ts", "left")
            .join(F.broadcast(ratios), base_wide.ts == ratios.day_ts, "left")
            .drop("day_ts")
            .join(labels, "ts", "left"))
