@@ -215,3 +215,19 @@ def test_run_pipeline_logs_to_tracker(spark, tables, tmp_path):
     assert loaded["metrics"]["total_plan"] > 0
     assert set(metrics) <= set(loaded["metrics"])
     assert loaded["tags"]["status"] == "FINISHED"
+
+
+def test_pipeline_is_single_pass(spark, tables):
+    """Round-3 structural claim: the pipeline plan has no cached
+    intermediate (the long frame has exactly one consumer) and the
+    window features still share one series exchange."""
+    spark.catalog.clearCache()
+    out, _ = KP.run_pipeline(spark, tables, max_features=500)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" not in plan        # no persist/cache pass
+    series_exchanges = [ln for ln in plan.split("\n")
+                        if "Exchange hashpartitioning(series" in ln]
+    # exactly the structural exchanges: the two explicit co-partitioning
+    # repartitions (spine side + sensor side) and the shared window
+    # exchange they feed — more would mean a consumer re-shuffled
+    assert len(series_exchanges) <= 3, "window exchange not shared"
