@@ -830,7 +830,8 @@ def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window as _W
     cent = (emb.filter(F.col("vec_id") % 31 == 0)
             .orderBy("vec_id").limit(16)
-            .select((F.row_number().over(_W.orderBy("vec_id")) - 1)
+            .select((F.row_number().over(
+                _W.partitionBy(F.lit(0)).orderBy("vec_id")) - 1)
                     .alias("centroid_id"),
                     F.col("embedding").alias("centroid")))
     out = SIM.ivf_topk(emb, q, k=5, n_centroids=16, n_probe=4, centroids=cent)
@@ -1070,7 +1071,8 @@ def q_ivf_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window as _W
     cent = (emb.filter(F.col("vec_id") % 31 == 0)
             .orderBy("vec_id").limit(16)
-            .select((F.row_number().over(_W.orderBy("vec_id")) - 1)
+            .select((F.row_number().over(
+                _W.partitionBy(F.lit(0)).orderBy("vec_id")) - 1)
                     .alias("centroid_id"),
                     F.col("embedding").alias("centroid")))
     out = SIM.ivf_pq_topk(emb, q, k=5, n_probe=4, m=8, n_codes=16,

@@ -246,7 +246,8 @@ def pq_codebooks(vectors: DataFrame, m: int = 8, n_codes: int = 16,
     from pyspark.sql import Window
     seeds = (vectors.filter(F.col(id_col) % stride == 0)
              .orderBy(id_col).limit(n_codes)
-             .select((F.row_number().over(Window.orderBy(id_col)) - 1)
+             .select((F.row_number().over(
+                Window.partitionBy(F.lit(0)).orderBy(id_col)) - 1)
                      .alias("code"), F.col(vec_col).alias("_v")))
     dim_div = f"size(_v) div {m}"
     subs = F.array(*[
