@@ -1081,6 +1081,19 @@ def q_ivf_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
                       _r(F.col("sim"), 6).alias("sim"))
 
 
+def q_simhash48_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash banding at REALISTIC width: 48-bit fingerprints (12-hex
+    md5 base hashes for entropy above bit 31), 4 bands of 12 bits →
+    4096-value bucket space per band. The 16-bit variant (q_simhash_pairs)
+    demonstrates the algorithm on the tiny corpus; this one demonstrates
+    the production shape, where banding prunes candidates ~256× harder —
+    only true near-dups collide. Full value oracle."""
+    docs = load_table(spark, sf, "documents")
+    out = DD.simhash_hamming_pairs(docs, n=2, bits=48, bands=4,
+                                   max_hamming=3, hex_digits=12)
+    return out.select("id_l", "id_r", "hamming")
+
+
 def q_rollup_totals(spark: SparkSession, sf: str) -> DataFrame:
     """Hierarchical ROLLUP aggregate (SURVEY.md §2.4 'absent in reference,
     free in Spark'): per (priority, status) order totals plus the
@@ -1893,6 +1906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_bins": q_calibration_bins,
         "pq_topk": q_pq_topk,
         "ivf_pq_topk": q_ivf_pq_topk,
+        "simhash48_pairs": q_simhash48_pairs,
         "seasonal_baseline": q_seasonal_baseline,
         # --- regression guard: r1 greens, untouched-path check ---
         "spine_ffill": q_spine_ffill,
@@ -3556,6 +3570,44 @@ def oracle_sql() -> dict[str, str]:
     sql["simhash_pairs"] = f"""
         WITH {simhash_ctes}
         SELECT id_l, id_r, hamming FROM sp
+    """
+
+    # 48-bit variant: 12-hex base hashes, 48 vote bits, 12-bit chunks
+    sql["simhash48_pairs"] = f"""
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(trim({norm}), '\\s+') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= 2 THEN
+                       list_transform(range(len(t) - 1), i ->
+                           t[i + 1] || ' ' || t[i + 2])
+                   ELSE [array_to_string(t, ' ')] END AS s
+            FROM t
+        ), post AS (
+            SELECT doc_id, ('0x' || substr(md5(g), 1, 12))::BIGINT AS h
+            FROM (SELECT doc_id, unnest(s) AS g FROM sh)
+        ), votes AS (
+            SELECT doc_id, b.bit,
+                   sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+            FROM post, range(0, 48) b(bit)
+            GROUP BY 1, 2
+        ), fp AS (
+            SELECT doc_id,
+                   sum(CASE WHEN v > 0 THEN 1::BIGINT << bit
+                            ELSE 0 END)::BIGINT AS f
+            FROM votes GROUP BY 1
+        ), chunks AS (
+            SELECT doc_id, f, c.band, (f >> (c.band * 12)) & 4095 AS chunk
+            FROM fp, range(0, 4) c(band)
+        )
+        SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+               min(bit_count(xor(a.f, b.f)))::BIGINT AS hamming
+        FROM chunks a
+        JOIN chunks b ON a.band = b.band AND a.chunk = b.chunk
+                     AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING min(bit_count(xor(a.f, b.f))) <= 3
     """
 
     # The fingerprint table itself is integer-deterministic — full oracle

@@ -105,13 +105,23 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     return shingles_from_tokens(tokens(col), n)
 
 
-def _shingle_hash(s: Column) -> Column:
-    """Portable 32-bit base hash of one shingle (md5 8-hex prefix → bigint).
+def _shingle_hash_w(s: Column, hex_digits: int) -> Column:
+    """Portable base hash of one shingle (md5 hex prefix → bigint).
 
-    32 bits keeps every downstream affine product inside int64; collision
-    rate within one document's shingle set (~10³ shingles) is negligible.
+    8 hex = 32 bits keeps every downstream affine product inside int64;
+    collision rate within one document's shingle set (~10³ shingles) is
+    negligible. Wider widths (≤ 15 hex) serve fingerprint families that
+    need entropy above bit 31 (e.g. 48-bit SimHash).
     """
-    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+    return F.conv(F.substring(F.md5(s), 1, hex_digits), 16, 10).cast("bigint")
+
+
+def _shingle_hash(s: Column) -> Column:
+    """Single-argument form for higher-order functions: F.transform
+    passes (element, index) to TWO-parameter callables, so the HOF-facing
+    hash must stay unary (a default arg here once silently received the
+    array index)."""
+    return _shingle_hash_w(s, 8)
 
 
 def hash_shingles(sh: Column) -> Column:
@@ -163,7 +173,8 @@ def minhash_signature(col: Column | str, n: int = 3,
 
 def exploded_shingle_hashes(docs: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", n: int = 3,
-                            distinct: bool = False) -> DataFrame:
+                            distinct: bool = False,
+                            hex_digits: int = 8) -> DataFrame:
     """(_id, _h) rows: one portable 32-bit shingle hash per row.
 
     The fast path for signature pipelines: md5 runs as a TOP-LEVEL column
@@ -181,7 +192,8 @@ def exploded_shingle_hashes(docs: DataFrame, text_col: str = "text",
     if distinct:
         sh = sh.select("_id", F.array_distinct("_sh").alias("_sh"))
     return (sh.select("_id", F.explode("_sh").alias("_g"))
-            .select("_id", _shingle_hash(F.col("_g")).alias("_h")))
+            .select("_id",
+                    _shingle_hash_w(F.col("_g"), hex_digits).alias("_h")))
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
@@ -341,13 +353,14 @@ def simhash_from_hashes(hashed: Column, bits: int = 16) -> Column:
 
 def simhash_fingerprints(docs: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id", n: int = 2,
-                         bits: int = 16) -> DataFrame:
+                         bits: int = 16, hex_digits: int = 8) -> DataFrame:
     """(_id, _fp bigint) SimHash fingerprint table via the exploded fast
     path: per-bit ±1 votes are ``bits`` plain conditional-sum aggregates
     (codegen'd, map-side combined — duplicates kept: SimHash weights by
     shingle frequency), then the fingerprint assembles from the vote signs.
     """
-    ex = exploded_shingle_hashes(docs, text_col, id_col, n)
+    ex = exploded_shingle_hashes(docs, text_col, id_col, n,
+                                 hex_digits=hex_digits)
     votes = [F.sum(
         F.when(F.col("_h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
     ).alias(f"_v{b}") for b in range(bits)]
@@ -363,7 +376,8 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text",
 def simhash_hamming_pairs(docs: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id", n: int = 2,
                           bits: int = 16, bands: int = 4,
-                          max_hamming: int = 3) -> DataFrame:
+                          max_hamming: int = 3,
+                          hex_digits: int = 8) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
     The ``bits``-bit fingerprint splits into ``bands`` equal chunks; by
@@ -388,7 +402,8 @@ def simhash_hamming_pairs(docs: DataFrame, text_col: str = "text",
             f"got max_hamming={max_hamming}")
     chunk_bits = bits // bands
     mask = (1 << chunk_bits) - 1
-    fp = simhash_fingerprints(docs, text_col, id_col, n, bits)
+    fp = simhash_fingerprints(docs, text_col, id_col, n, bits,
+                              hex_digits=hex_digits)
     # band structs unroll in Python (bands is a plan-time constant):
     # shiftright needs a literal int shift amount, not a Column
     band_structs = [
@@ -445,7 +460,8 @@ def simhash_dedup_clusters(docs: DataFrame, text_col: str = "text",
             f"got max_hamming={max_hamming}")
     chunk_bits = bits // bands
     mask = (1 << chunk_bits) - 1
-    fp = simhash_fingerprints(docs, text_col, id_col, n, bits)
+    fp = simhash_fingerprints(docs, text_col, id_col, n, bits,
+                              hex_digits=hex_digits)
     fps = fp.groupBy("_fp").agg(F.count(F.lit(1)).alias("_n_docs"))
     band_structs = [
         F.struct(
