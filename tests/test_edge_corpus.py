@@ -52,7 +52,7 @@ TEXT_QUERIES = [
     "ngram_jaccard", "simhash",
     # the heavy dedup/near-dup pipelines (banding, clustering, curation)
     "minhash_lsh", "simhash_pairs", "dedup_clusters", "corpus_curation",
-    "tfidf_top_terms", "decontaminate",
+    "tfidf_top_terms", "decontaminate", "simhash48_pairs",
 ]
 
 
