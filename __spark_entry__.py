@@ -1867,83 +1867,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS DELIBERATE: the driver's correctness gate checks
-    the first 50 entries. Round 3 front-loads (a) the 5 round-2 hash-fails
-    (root-caused to oracle integer-sum dtype, now ::BIGINT-cast), (b) the
-    winnow/ivf/cubic contract+oracle fixes, (c) the 8 entries never yet
-    driver-checked, and (d) scale-critical round-1 greens as a regression
-    guard over the round-2 refactors. Round-2 driver-greens move to the
-    back half (freshest evidence, least at risk).
-    """
+    the first 50 entries per round. Round 4 rotates the 65 entries whose
+    driver evidence is r1/r2 (round 3 refactored shared helpers they flow
+    through: shingle-hash width parametrization, HOF-unary lambdas,
+    edge-gate NULL-key fixes, oracle dtype casts) to the front. The 50
+    highest-risk of those (custom operators in dedup/text/similarity/
+    tsindex/windows paths) take the checked slots; the 15 purest
+    built-in-Catalyst TPC-H queries (positions 51-65, zero custom helper
+    surface) wait for round 5; the 50 round-3 driver-greens close the
+    list (freshest evidence, least at risk)."""
     return {
-        # --- round-3 front-50: (a) the 5 oracle-dtype fixes, (b) the
-        #     3 contract/oracle fixes (winnow/ivf/cubic), (c) the 8
-        #     never-driver-checked entries, then (d) scale-critical
-        #     round-1 greens to guard against round-2 refactor drift ---
-        "null_profile": q_null_profile,
-        "zone_drop_counts": q_zone_drop_counts,
-        "multi_zone_cooling": q_multi_zone_cooling,
-        "dummies_top": q_dummies_top,
-        "token_entropy": q_token_entropy,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "ivf_topk": q_ivf_topk,
-        "cubic_interp": q_cubic_interp,
-        "rollup_totals": q_rollup_totals,
-        "ntile_quartiles": q_ntile_quartiles,
-        "running_total": q_running_total,
-        "first_last": q_first_last,
-        "daily_trend": q_daily_trend,
-        "accretion_status": q_accretion_status,
-        "quality_scatter": q_quality_scatter,
-        "oversample_counts": q_oversample_counts,
-        # --- new in round 3: sampling/split + decontamination ---
-        "hash_split": q_hash_split,
-        "stratified_sample": q_stratified_sample,
-        "decontaminate": q_decontaminate,
-        "doc_repetition": q_doc_repetition,
-        "source_mix": q_source_mix,
-        "pack_documents": q_pack_documents,
-        "confusion_eval": q_confusion_eval,
-        "calibration_bins": q_calibration_bins,
-        "pq_topk": q_pq_topk,
-        "ivf_pq_topk": q_ivf_pq_topk,
-        "simhash48_pairs": q_simhash48_pairs,
-        "seasonal_baseline": q_seasonal_baseline,
-        # --- regression guard: r1 greens, untouched-path check ---
-        "spine_ffill": q_spine_ffill,
-        "interpolate": q_interpolate,
-        "fill_chain": q_fill_chain,
-        "hourly_spine": q_hourly_spine,
-        "savgol_smooth": q_savgol_smooth,
-        "lag_features": q_lag_features,
-        "rolling_stats": q_rolling_stats,
-        "rolling_min_periods": q_rolling_min_periods,
-        "zscore": q_zscore,
-        "diff_pct_change": q_diff_pct_change,
-        "cooling_runs": q_cooling_runs,
-        "anomaly_detect": q_anomaly_detect,
-        "baseline_ratio": q_baseline_ratio,
-        "sequence_windows": q_sequence_windows,
-        "interval_join": q_interval_join,
-        "asof_join": q_asof_join,
-        "label_events_full": q_label_events_full,
-        "latest_per_user": q_latest_per_user,
-        "pivot_event_types": q_pivot_event_types,
-        "melt_metrics": q_melt_metrics,
-        "dup_collapse": q_dup_collapse,
-        "hourly_downsample": q_hourly_downsample,
+        # --- round-4 front-50: r1/r2-evidence queries on refactored paths ---
         "horizontal_agg": q_horizontal_agg,
-        "pricing_summary": q_pricing_summary,
-        "top_revenue_orders": q_top_revenue_orders,
-        "nation_revenue": q_nation_revenue,
-        "topk_per_type": q_topk_per_type,
-        # --- back half: r2 driver-greens (freshest evidence) + rest ---
-        "stride_sample": q_stride_sample,
         "cat_codes": q_cat_codes,
-        "time_split": q_time_split,
-        "zero_variance": q_zero_variance,
-        "isin_sample": q_isin_sample,
-        "union_sources": q_union_sources,
-        "correlation": q_correlation,
         "lsh_topk": q_lsh_topk,
         "json_extract": q_json_extract,
         "exact_dedup": q_exact_dedup,
@@ -1987,16 +1923,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calendar_features": q_calendar_features,
         "moments": q_moments,
         "customer_order_stats": q_customer_order_stats,
-        "customers_without_orders": q_customers_without_orders,
-        "late_shipping_orders": q_late_shipping_orders,
-        "part_brand_revenue": q_part_brand_revenue,
         "value_counts_topn": q_value_counts_topn,
-        "distinct_users": q_distinct_users,
-        "time_range_filter": q_time_range_filter,
         "grade_share": q_grade_share,
         "supplier_balance": q_supplier_balance,
         "emb_near_dup": q_emb_near_dup,
         "multimodal_features": q_multimodal_features,
+        # --- positions 51-65: r1/r2-evidence, pure built-in Catalyst
+        #     (no round-3-refactored helper in their path); round-5 slots ---
+        "pricing_summary": q_pricing_summary,
+        "top_revenue_orders": q_top_revenue_orders,
+        "nation_revenue": q_nation_revenue,
+        "topk_per_type": q_topk_per_type,
+        "stride_sample": q_stride_sample,
+        "time_split": q_time_split,
+        "zero_variance": q_zero_variance,
+        "isin_sample": q_isin_sample,
+        "union_sources": q_union_sources,
+        "correlation": q_correlation,
+        "customers_without_orders": q_customers_without_orders,
+        "late_shipping_orders": q_late_shipping_orders,
+        "part_brand_revenue": q_part_brand_revenue,
+        "distinct_users": q_distinct_users,
+        "time_range_filter": q_time_range_filter,
+        # --- back half: round-3 driver-greens (freshest evidence) ---
+        "null_profile": q_null_profile,
+        "zone_drop_counts": q_zone_drop_counts,
+        "multi_zone_cooling": q_multi_zone_cooling,
+        "dummies_top": q_dummies_top,
+        "token_entropy": q_token_entropy,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "ivf_topk": q_ivf_topk,
+        "cubic_interp": q_cubic_interp,
+        "rollup_totals": q_rollup_totals,
+        "ntile_quartiles": q_ntile_quartiles,
+        "running_total": q_running_total,
+        "first_last": q_first_last,
+        "daily_trend": q_daily_trend,
+        "accretion_status": q_accretion_status,
+        "quality_scatter": q_quality_scatter,
+        "oversample_counts": q_oversample_counts,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
+        "decontaminate": q_decontaminate,
+        "doc_repetition": q_doc_repetition,
+        "source_mix": q_source_mix,
+        "pack_documents": q_pack_documents,
+        "confusion_eval": q_confusion_eval,
+        "calibration_bins": q_calibration_bins,
+        "pq_topk": q_pq_topk,
+        "ivf_pq_topk": q_ivf_pq_topk,
+        "simhash48_pairs": q_simhash48_pairs,
+        "seasonal_baseline": q_seasonal_baseline,
+        "spine_ffill": q_spine_ffill,
+        "interpolate": q_interpolate,
+        "fill_chain": q_fill_chain,
+        "hourly_spine": q_hourly_spine,
+        "savgol_smooth": q_savgol_smooth,
+        "lag_features": q_lag_features,
+        "rolling_stats": q_rolling_stats,
+        "rolling_min_periods": q_rolling_min_periods,
+        "zscore": q_zscore,
+        "diff_pct_change": q_diff_pct_change,
+        "cooling_runs": q_cooling_runs,
+        "anomaly_detect": q_anomaly_detect,
+        "baseline_ratio": q_baseline_ratio,
+        "sequence_windows": q_sequence_windows,
+        "interval_join": q_interval_join,
+        "asof_join": q_asof_join,
+        "label_events_full": q_label_events_full,
+        "latest_per_user": q_latest_per_user,
+        "pivot_event_types": q_pivot_event_types,
+        "melt_metrics": q_melt_metrics,
+        "dup_collapse": q_dup_collapse,
+        "hourly_downsample": q_hourly_downsample,
     }
 
 
