@@ -84,6 +84,46 @@ def test_distributed_fit_matches_local(spark, tmp_path):
     assert m_dist.history[-1]["samples"] == 160
 
 
+def test_save_load_preserves_adam_state(tmp_path):
+    """A restored model's partial_fit must continue Adam bias correction
+    at the saved step counter, not restart at t=0 — save/load carries
+    the moment vectors and t, so a save/load round trip mid-training is
+    a no-op for the optimizer trajectory."""
+    x, y = _toy(n=80, t=5, d=2, seed=3)
+    a = NumpyLSTM(2, hidden=6, seed=9)
+    a.fit_local(x, y, epochs=5, lr=0.03)
+    a.save(str(tmp_path / "m"))
+    b = NumpyLSTM.load(str(tmp_path / "m"))
+    assert b._adam_t == a._adam_t == 5
+    np.testing.assert_array_equal(a._adam_m, b._adam_m)
+    np.testing.assert_array_equal(a._adam_v, b._adam_v)
+    # continuing training from the restored model == never having saved
+    a.fit_local(x, y, epochs=3, lr=0.03)
+    b.fit_local(x, y, epochs=3, lr=0.03)
+    np.testing.assert_allclose(a.get_params(), b.get_params(),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_tracker_reused_run_name_gets_distinct_dir(tmp_path):
+    """Starting a second run with an already-used run_name must not
+    merge into the first run's directory (MLflow creates a distinct
+    run); the tracker uniquifies instead."""
+    tr = Tracker(str(tmp_path / "runs"))
+    with tr.start_run("exp", run_name="dup") as r1:
+        r1.log_params({"v": 1})
+        r1.log_metrics({"loss": 0.5}, step=0)
+    with tr.start_run("exp", run_name="dup") as r2:
+        r2.log_params({"v": 2})
+        r2.log_metrics({"loss": 0.9}, step=0)
+    assert r1.run_id != r2.run_id
+    runs = tr.list_runs("exp")
+    assert len(runs) == 2
+    by_id = {r["run_id"]: r for r in runs}
+    assert by_id[r1.run_id]["params"] == {"v": 1}
+    assert by_id[r1.run_id]["metrics"]["loss"] == 0.5
+    assert by_id[r2.run_id]["params"] == {"v": 2}
+
+
 def test_trained_model_through_arrow_inference(spark, tmp_path):
     x, y = _toy(n=300, t=8, d=2, seed=5)
     m = NumpyLSTM(2, hidden=12, seed=0)

@@ -106,6 +106,23 @@ def test_pack_next_fit_respects_budget(spark):
     assert out["pack_idx"].tolist() == [0, 0, 1, 1, 2, 3, 3]
 
 
+def test_pack_next_fit_rejects_null_ids(spark):
+    """The non-null precondition is enforced, not just documented: a
+    NULL id (or token count) raises at execution instead of silently
+    packing the whole NULL bucket as one group (which diverges from any
+    id-ordered external replay)."""
+    df = spark.createDataFrame(
+        [(1, 100), (None, 100), (3, 100)], "doc_id: long, n_tokens: long")
+    with pytest.raises(Exception, match="NULL id or token count"):
+        SMP.pack_next_fit(df, "doc_id", "n_tokens",
+                          budget=256, n_buckets=2).collect()
+    df2 = spark.createDataFrame(
+        [(1, 100), (2, None)], "doc_id: long, n_tokens: long")
+    with pytest.raises(Exception, match="NULL id or token count"):
+        SMP.pack_next_fit(df2, "doc_id", "n_tokens",
+                          budget=256, n_buckets=2).collect()
+
+
 def test_pack_next_fit_buckets_are_independent(spark):
     df = spark.range(0, 200).select(
         F.col("id").alias("doc_id"), F.lit(90).alias("n_tokens"))

@@ -369,3 +369,43 @@ def test_incremental_dedup_across_batches(spark, tmp_path):
     got = spark.read.parquet(out).toPandas().sort_values("doc_id")
     assert got["doc_id"].tolist() == [1, 2, 5, 7]
     assert spark.read.parquet(idx).count() == 4
+
+
+def test_incremental_dedup_crash_window_replay(spark, tmp_path):
+    """Two-phase commit safety: a crash at either window — after the
+    data write but before the index append, or after both — followed by
+    a checkpoint replay of the same batch produces NO duplicate
+    documents (the naive append/append pair duplicates in the first
+    window)."""
+    import shutil
+
+    idx = str(tmp_path / "digest_index")
+    out = str(tmp_path / "clean")
+    doc_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    b0 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], doc_schema)
+    b1 = spark.createDataFrame(
+        [(3, "gamma delta"), (4, "epsilon zeta")], doc_schema)
+
+    SJ.dedup_commit_batch(b0, 0, idx, out)
+    # --- window A: batch 1 committed fully, then replayed (restart
+    #     before the checkpoint recorded the batch) → marker skip ---
+    SJ.dedup_commit_batch(b1, 1, idx, out)
+    SJ.dedup_commit_batch(b1, 1, idx, out)   # full replay
+    got = spark.read.parquet(out).toPandas()
+    assert sorted(got["doc_id"]) == [1, 2, 4]
+    assert spark.read.parquet(idx).count() == 3
+
+    # --- window B: crash BETWEEN phase 1 and phase 2 — simulate by
+    #     removing batch 1's commit marker (index rows) while its data
+    #     directory remains, then replay ---
+    keep = spark.read.parquet(idx).where("_batch_id <> 1").toPandas()
+    shutil.rmtree(idx)
+    spark.createDataFrame(keep).write.parquet(idx)
+    SJ.dedup_commit_batch(b1, 1, idx, out)   # replay recomputes + overwrites
+    got = spark.read.parquet(out).toPandas()
+    assert sorted(got["doc_id"]) == [1, 2, 4]      # no duplicates
+    assert spark.read.parquet(idx).count() == 3    # marker restored

@@ -262,8 +262,15 @@ class NumpyLSTM:
     def save(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
         np.save(os.path.join(path, "params.npy"), self.get_params())
+        # Adam moments + step counter persist too: a restored model's
+        # partial_fit continues bias correction at the saved t instead
+        # of restarting at t=0 (the warm-start contract).
+        if self._adam_m is not None:
+            np.save(os.path.join(path, "adam_m.npy"), self._adam_m)
+            np.save(os.path.join(path, "adam_v.npy"), self._adam_v)
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump({"n_features": self.d, "hidden": self.h,
+                       "adam_t": self._adam_t,
                        "history": self.history}, f)
 
     def partial_fit(self, df: DataFrame, seq_cols: list[str], label_col: str,
@@ -283,4 +290,9 @@ class NumpyLSTM:
         m = cls(meta["n_features"], meta["hidden"])
         m.set_params(np.load(os.path.join(path, "params.npy")))
         m.history = meta.get("history", [])
+        m._adam_t = meta.get("adam_t", 0)
+        m_path = os.path.join(path, "adam_m.npy")
+        if os.path.exists(m_path):
+            m._adam_m = np.load(m_path)
+            m._adam_v = np.load(os.path.join(path, "adam_v.npy"))
         return m

@@ -91,7 +91,13 @@ class Tracker:
     def start_run(self, experiment: str, run_name: str | None = None) -> "_RunCtx":
         run_id = run_name or uuid.uuid4().hex[:12]
         path = os.path.join(self.root, experiment, run_id)
-        os.makedirs(path, exist_ok=True)
+        if os.path.exists(path):
+            # A reused run_name must not merge into the prior run's
+            # directory (params/tags overwritten, metrics.jsonl
+            # appended) — MLflow creates a distinct run; uniquify.
+            run_id = f"{run_id}-{uuid.uuid4().hex[:6]}"
+            path = os.path.join(self.root, experiment, run_id)
+        os.makedirs(path)
         run = Run(path, run_id)
         run.set_tags({"start_time": time.time(), "status": "RUNNING"})
         return _RunCtx(run)

@@ -101,8 +101,12 @@ def pack_next_fit(df: DataFrame, id_col: str, token_col: str,
 
     Output: (bucket, pack_idx, ``id_col``, ``token_col``) — one row per
     doc with its pack assignment. Precondition: non-null ids and token
-    counts (token counts from ``size()`` are always >= 0). Deterministic in the input set, so an
-    external engine replays it exactly (recursive-CTE oracle).
+    counts (token counts from ``size()`` are always >= 0); ENFORCED —
+    a NULL id or token count raises at execution rather than silently
+    packing the whole NULL bucket as one pandas group (which would
+    diverge from any id-ordered replay). Deterministic in the input
+    set, so an external engine replays it exactly (recursive-CTE
+    oracle).
     """
     base = df.select(
         (F.col(id_col) % n_buckets).cast("bigint").alias("bucket"),
@@ -117,6 +121,11 @@ def pack_next_fit(df: DataFrame, id_col: str, token_col: str,
     bud = budget
 
     def pack(key, pdf):
+        if pdf["_id"].isna().any() or pdf["_tok"].isna().any():
+            raise ValueError(
+                "pack_next_fit: NULL id or token count in input — the "
+                "deterministic id-ordered packing contract requires "
+                "non-null keys; filter them upstream")
         pdf = pdf.sort_values("_id")
         packs, acc, cur = [], 0, 0
         for tok in pdf["_tok"]:

@@ -219,9 +219,14 @@ def enrich_stream(events: DataFrame, dim: DataFrame,
     metadata, thresholds, model registries).
 
     The static side is explicitly broadcast: no shuffle on the stream
-    side, no stream state at all (unlike stream-stream joins), and the
-    dimension re-resolves per micro-batch, so a refreshed dim table is
-    picked up without restarting the query.
+    side, no stream state at all (unlike stream-stream joins). NOTE on
+    refresh: for a file-based ``dim`` Spark caches the file listing
+    (InMemoryFileIndex), so files added to or compacted in the dim path
+    after the query starts are NOT reliably picked up — the plan is
+    re-executed per micro-batch but over the original file list. When
+    live refresh is required, re-read the dimension inside a
+    ``foreachBatch`` wrapper (``spark.read.parquet(dim_path)`` per
+    batch) instead of passing a pre-built DataFrame here.
     """
     return events.join(F.broadcast(dim), on=key_col, how="left")
 
@@ -258,34 +263,79 @@ def incremental_dedup_sink(docs_stream: DataFrame, index_path: str,
     row per distinct document ever seen (partition-prunable parquet), the
     per-batch work is one broadcast-able anti-join of batch digests
     against the index, and within-batch duplicates collapse before the
-    index is consulted. Exactly-once comes from the streaming checkpoint
-    (see ``test_checkpoint_restart_exactly_once``) plus idempotent
-    append: re-emitting a batch re-offers digests the index already
-    holds, which the anti-join drops.
-    """
-    from ..operators.dedup import text_digest
+    index is consulted.
 
+    Exactly-once is a two-phase commit per micro-batch, robust to a
+    crash at ANY point between the two writes (the naive
+    append-data-then-append-index pair duplicates documents if the
+    process dies between them and the checkpoint replays the batch):
+
+    1. data lands under a batch-keyed partition directory
+       ``out_path/ingest_batch=<batch_id>`` with ``overwrite`` mode —
+       a replayed batch rewrites the same directory, so a partial or
+       complete data write left by a crash is replaced, never doubled;
+    2. digests append to the index LAST, stamped with ``_batch_id`` —
+       this is the commit marker. ``process()`` first checks the index
+       for the replayed ``batch_id`` and skips fully committed batches.
+
+    Crash windows: before (1) → replay recomputes from unchanged index;
+    between (1) and (2) → replay recomputes the identical ``fresh`` set
+    (index unchanged) and overwrites the same directory; after (2) →
+    replay hits the marker and no-ops. Readers see one extra
+    ``ingest_batch`` partition column on ``out_path`` (drop it, or use
+    it to incrementally consume the cleaned corpus).
+    """
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        batch = (batch_df
-                 .withColumn("_digest", text_digest(text_col)))
-        # collapse within-batch dups first (keep min id, like exact_dedup)
-        w_first = (batch.groupBy("_digest")
-                   .agg(F.min(id_col).alias("_keep")))
-        batch = (batch.join(w_first,
-                            (batch["_digest"] == w_first["_digest"])
-                            & (batch[id_col] == w_first["_keep"]))
-                 .select(batch["*"]))
-        try:
-            index = spark.read.parquet(index_path).select("_digest")
-            fresh = batch.join(index, on="_digest", how="left_anti")
-        except Exception:  # noqa: BLE001 — first batch: no index yet
-            fresh = batch
-        fresh = fresh.localCheckpoint()  # index append must not re-read out
-        if fresh.isEmpty():
-            return
-        fresh.drop("_digest").write.mode("append").parquet(out_path)
-        fresh.select("_digest").write.mode("append").parquet(index_path)
+        dedup_commit_batch(batch_df, batch_id, index_path, out_path,
+                           text_col=text_col, id_col=id_col)
 
     return (docs_stream.writeStream.foreachBatch(process)
             .outputMode("update"))
+
+
+def dedup_commit_batch(batch_df: DataFrame, batch_id: int,
+                       index_path: str, out_path: str,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> None:
+    """One micro-batch of :func:`incremental_dedup_sink`'s two-phase
+    commit, module-level so tests can replay it against explicit crash
+    windows. See the sink docstring for the protocol.
+    """
+    from ..operators.dedup import text_digest
+
+    spark = batch_df.sparkSession
+    index_d = None
+    try:
+        index = spark.read.parquet(index_path)
+        # replay fast-path: the index append is the commit marker, so a
+        # batch_id already present means this batch fully committed
+        # before a restart.
+        if ("_batch_id" in index.columns
+                and index.where(F.col("_batch_id") == batch_id)
+                .limit(1).count() > 0):
+            return
+        index_d = index.select("_digest")
+    except Exception:  # noqa: BLE001 — first batch: no index yet
+        pass
+    batch = (batch_df
+             .withColumn("_digest", text_digest(text_col)))
+    # collapse within-batch dups first (keep min id, like exact_dedup)
+    w_first = (batch.groupBy("_digest")
+               .agg(F.min(id_col).alias("_keep")))
+    batch = (batch.join(w_first,
+                        (batch["_digest"] == w_first["_digest"])
+                        & (batch[id_col] == w_first["_keep"]))
+             .select(batch["*"]))
+    if index_d is not None:
+        fresh = batch.join(index_d, on="_digest", how="left_anti")
+    else:
+        fresh = batch
+    fresh = fresh.localCheckpoint()  # index append must not re-read out
+    if fresh.isEmpty():
+        return
+    # phase 1: idempotent data write (batch-keyed dir, overwrite)
+    (fresh.drop("_digest").write.mode("overwrite")
+     .parquet(f"{out_path}/ingest_batch={batch_id}"))
+    # phase 2: commit marker — digest rows stamped with the batch id
+    (fresh.select("_digest").withColumn("_batch_id", F.lit(batch_id))
+     .write.mode("append").parquet(index_path))
