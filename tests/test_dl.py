@@ -14,7 +14,7 @@ import pytest
 
 from pyspark.sql import functions as F
 
-from timeseries_data_analysis_spark.ml.dl import NumpyLSTM
+from timeseries_data_analysis_spark.ml.dl import NumpyLSTM, NumpyTransformer
 from timeseries_data_analysis_spark.ml.sequence import predict_sequences
 from timeseries_data_analysis_spark.ml.tracking import Tracker, load_run
 
@@ -214,3 +214,92 @@ def test_shapes(n_feat, hidden):
     p = m.forward(x)
     assert p.shape == (10,)
     assert np.all((p >= 0) & (p <= 1))
+
+
+# --- NumpyTransformer (reference models.py:157-208) ---------------------
+
+
+def test_transformer_gradient_matches_finite_differences():
+    x, y = _toy(n=10, t=5, d=3)
+    m = NumpyTransformer(3, hidden=5, seed=1)
+    _, grad = m.loss_and_grad(x, y)
+    p0 = m.get_params()
+    rng = np.random.default_rng(2)
+    idx = rng.choice(len(p0), size=40, replace=False)
+    eps = 1e-5
+    for i in idx:
+        pp = p0.copy(); pp[i] += eps
+        m.set_params(pp)
+        lp, _ = m.loss_and_grad(x, y)
+        pm = p0.copy(); pm[i] -= eps
+        m.set_params(pm)
+        lm, _ = m.loss_and_grad(x, y)
+        num = (lp - lm) / (2 * eps)
+        assert abs(num - grad[i]) < 1e-6 * max(1.0, abs(num)), \
+            f"param {i}: numeric {num} vs analytic {grad[i]}"
+
+
+def test_transformer_fit_descends_and_generalizes():
+    x, y = _toy(n=300, t=8, d=2, seed=5)
+    xte, yte = _toy(n=200, t=8, d=2, seed=99)
+    m = NumpyTransformer(2, hidden=12, seed=0)
+    hist = m.fit_local(x, y, epochs=120, lr=0.03)
+    assert hist[-1]["loss"] < 0.35 < hist[0]["loss"]
+    acc = float(np.mean((m.forward(xte) > 0.5) == (yte > 0.5)))
+    assert acc > 0.85, f"held-out accuracy {acc}"
+
+
+def test_transformer_learns_positional_comparison():
+    """A rule an order-blind model cannot express: label = 1 iff the
+    LAST step of feature 0 exceeds the FIRST step. Requires the
+    positional encoding + attention to route both endpoints into the
+    readout — the capability the LSTM covers with recurrence."""
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((1500, 8, 2))
+    y = (x[:, -1, 0] > x[:, 0, 0]).astype(np.float64)
+    m = NumpyTransformer(2, hidden=8, seed=3)
+    m.fit_local(x, y, epochs=250, lr=0.02)
+    xte = rng.standard_normal((400, 8, 2))
+    yte = (xte[:, -1, 0] > xte[:, 0, 0]).astype(np.float64)
+    acc = float(np.mean((m.forward(xte) > 0.5) == (yte > 0.5)))
+    assert acc > 0.9, f"held-out accuracy {acc}"
+
+
+def test_transformer_distributed_fit_matches_local(spark):
+    x, y = _toy(n=160, t=6, d=2, seed=11)
+    rows = [([float(v) for v in x[i, :, 0]],
+             [float(v) for v in x[i, :, 1]], float(y[i]))
+            for i in range(len(y))]
+    df = spark.createDataFrame(
+        rows, "f0: array<double>, f1: array<double>, label: double") \
+        .repartition(4)
+    m_dist = NumpyTransformer(2, hidden=6, seed=2)
+    m_dist.fit_distributed(df, ["f0", "f1"], "label", epochs=3, lr=0.05)
+    m_loc = NumpyTransformer(2, hidden=6, seed=2)
+    m_loc.fit_local(x, y, epochs=3, lr=0.05)
+    np.testing.assert_allclose(m_dist.get_params(), m_loc.get_params(),
+                               rtol=1e-9, atol=1e-9)
+    assert m_dist.history[-1]["samples"] == 160
+
+
+def test_transformer_save_load_and_arrow_inference(spark, tmp_path):
+    """Same contract as the LSTM: save/load round trip (weights + Adam
+    state) and scoring through the mapInPandas predict_sequences path."""
+    x, y = _toy(n=300, t=8, d=2, seed=5)
+    m = NumpyTransformer(2, hidden=12, seed=0)
+    m.fit_local(x, y, epochs=100, lr=0.03)
+    m.save(str(tmp_path / "model"))
+    m2 = NumpyTransformer.load(str(tmp_path / "model"))
+    np.testing.assert_array_equal(m.get_params(), m2.get_params())
+    assert m2._adam_t == m._adam_t
+    xte, yte = _toy(n=120, t=8, d=2, seed=42)
+    rows = [(i, [float(v) for v in xte[i, :, 0]],
+             [float(v) for v in xte[i, :, 1]], float(yte[i]))
+            for i in range(len(yte))]
+    df = spark.createDataFrame(
+        rows, "id: long, f0: array<double>, f1: array<double>, label: double")
+    out = predict_sequences(df, ["f0", "f1"], forward=m2.forward_fn(),
+                            out_col="prob").toPandas()
+    assert len(out) == 120
+    acc = float(np.mean((out["prob"] > 0.5) == (out["label"] > 0.5)))
+    assert acc > 0.8
