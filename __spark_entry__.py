@@ -827,13 +827,12 @@ def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     # corpus vectors) instead of the iterative k-means fit: same IVF search
     # path, but exactly replayable in the SQL oracle.  The k-means fit
     # (SIM.ivf_fit_centroids) stays pytest-covered in test_dedup_text.py.
-    from pyspark.sql import Window as _W
-    cent = (emb.filter(F.col("vec_id") % 31 == 0)
-            .orderBy("vec_id").limit(16)
-            .select((F.row_number().over(
-                _W.partitionBy(F.lit(0)).orderBy("vec_id")) - 1)
-                    .alias("centroid_id"),
-                    F.col("embedding").alias("centroid")))
+    # dense_seed_ids collects the 16-row frame to driver literals — no
+    # partition-less window, no WindowExec warning.
+    cent = SIM.dense_seed_ids(
+        emb.filter(F.col("vec_id") % 31 == 0)
+        .select("vec_id", F.col("embedding").alias("centroid")),
+        "vec_id", 16, "centroid_id", "centroid")
     out = SIM.ivf_topk(emb, q, k=5, n_centroids=16, n_probe=4, centroids=cent)
     return out.select("query_id", "vec_id", "rk",
                       _r(F.col("sim"), 6).alias("sim"))
@@ -1068,13 +1067,10 @@ def q_ivf_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
         "embedding", F.col("embedding").cast("array<double>"))
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding")
-    from pyspark.sql import Window as _W
-    cent = (emb.filter(F.col("vec_id") % 31 == 0)
-            .orderBy("vec_id").limit(16)
-            .select((F.row_number().over(
-                _W.partitionBy(F.lit(0)).orderBy("vec_id")) - 1)
-                    .alias("centroid_id"),
-                    F.col("embedding").alias("centroid")))
+    cent = SIM.dense_seed_ids(
+        emb.filter(F.col("vec_id") % 31 == 0)
+        .select("vec_id", F.col("embedding").alias("centroid")),
+        "vec_id", 16, "centroid_id", "centroid")
     out = SIM.ivf_pq_topk(emb, q, k=5, n_probe=4, m=8, n_codes=16,
                           rerank_factor=20, centroids=cent)
     return out.select("query_id", "vec_id", "rk",

@@ -130,6 +130,30 @@ def test_oversample_minority_counts(spark):
                                   order_cols=["id"]).count() == 40
 
 
+def test_oversample_minority_no_global_window(spark):
+    """Scale guard: the remainder distribution must never funnel all
+    positives through one partition — the row_number windows are
+    partitioned by hash bucket, so the executed plan of the augmented
+    frame contains no single-partition shuffle."""
+    import pandas as pd
+    n = 4000
+    pdf = pd.DataFrame({
+        "id": range(n),
+        "label": [1 if i % 10 == 0 else 0 for i in range(n)],  # 400 pos
+        "f1": [float(i % 7) for i in range(n)],
+    })
+    # force the trigger: 400 pos / 4000 = 10%, use min_frac above that
+    df = spark.createDataFrame(pdf)
+    aug = ML.oversample_minority(df, "label", ["f1"], order_cols=["id"],
+                                 min_frac=0.2, cap=2000)
+    plan = aug._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    # exact arithmetic still holds: needed = min(1000, 2000) - 400 = 600
+    counts = {r["label"]: r["n"] for r in
+              aug.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts[1] == 1000 and counts[0] == 3600
+
+
 def test_incremental_trainer_warm_updates(features_df, tmp_path):
     """T4 incremental update (reference models_backup.py:311-420): each
     batch refits on a bounded replay buffer; history mirrors the
@@ -151,3 +175,16 @@ def test_incremental_trainer_warm_updates(features_df, tmp_path):
     pred = trainer.model.transform(
         b3.select("ts", "accretion_forming", *FEATURES))
     assert pred.select("prediction").count() == b3.count()
+
+
+def test_category_codes_max_vocab_guard(spark):
+    """The bounded-vocabulary contract is enforceable: max_vocab raises
+    on a column whose cardinality exceeds the bound, and passes through
+    unchanged when the vocab fits."""
+    from timeseries_data_analysis_spark.operators.encoding import category_codes
+    df = spark.range(0, 100).select(
+        (F.col("id") % 50).cast("string").alias("c"))
+    with pytest.raises(ValueError, match="more than 10 distinct"):
+        category_codes(df, "c", max_vocab=10)
+    ok = category_codes(df, "c", max_vocab=64)
+    assert ok.select("c_code").distinct().count() == 50

@@ -151,9 +151,16 @@ def oversample_minority(df: DataFrame, label_col: str,
     Scale design: the trigger decision is one tiny aggregate (the
     reference likewise counts classes up front); replication is a
     DETERMINISTIC explode — each positive emits ``needed // n_pos``
-    copies, the first ``needed % n_pos`` (by ``order_cols``) one more —
-    so the output row count is exact and oracle-checkable, unlike a
-    ``sample(withReplacement)`` whose count is only approximate. Noise is
+    copies, plus exactly ``needed % n_pos`` positives one more — so the
+    output row count is exact and oracle-checkable, unlike a
+    ``sample(withReplacement)`` whose count is only approximate. The
+    remainder is distributed by HASH BUCKET, not a global row_number
+    (which would serialize every positive through one partition — at
+    100 TB with a 1% positive class, a scale-killer): positives hash
+    into ``n_buckets`` groups, per-bucket sizes (≤ ``n_buckets`` rows)
+    come to the driver once, greedy per-bucket quotas summing to the
+    remainder parameterize a per-bucket ``row_number`` — every window
+    is partitioned, parallelism = ``n_buckets``. Noise is
     ``randn(seed)`` — JVM-side, no Python boundary, no driver loop.
     """
     from pyspark.sql import Window
@@ -170,13 +177,31 @@ def oversample_minority(df: DataFrame, label_col: str,
 
     k, rem = divmod(needed, n_pos)
     order_cols = order_cols or feature_cols
-    w = Window.orderBy(*order_cols)
-    pos = (df.filter(F.col(label_col) == 1)
+    n_buckets = 64
+    bucket = F.pmod(F.xxhash64(*order_cols), F.lit(n_buckets)).alias("_b")
+    pos_base = df.filter(F.col(label_col) == 1).withColumn("_b", bucket)
+    # bounded driver read: ≤ n_buckets (size) rows, the quota table
+    sizes = {r["_b"]: r["_n"] for r in
+             pos_base.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
+             .collect()}
+    quotas: dict[int, int] = {}
+    remaining = rem
+    for b in sorted(sizes):
+        take = min(sizes[b], remaining)
+        if take > 0:
+            quotas[b] = take
+        remaining -= take
+    quota_expr = F.lit(0)
+    for b, q in quotas.items():
+        quota_expr = F.when(F.col("_b") == b, q).otherwise(quota_expr)
+    w = Window.partitionBy("_b").orderBy(*order_cols)
+    pos = (pos_base
            .withColumn("_copies",
-                       F.lit(k) + (F.row_number().over(w) <= rem).cast("int"))
+                       F.lit(k) + (F.row_number().over(w) <= quota_expr)
+                       .cast("int"))
            .filter(F.col("_copies") > 0)
            .withColumn("_dup", F.explode(F.sequence(F.lit(1), F.col("_copies"))))
-           .drop("_copies", "_dup"))
+           .drop("_copies", "_dup", "_b"))
     jittered = pos.select(*[
         (F.col(c) + F.randn(seed + i) * noise_std).alias(c)
         if c in feature_cols else F.col(c)

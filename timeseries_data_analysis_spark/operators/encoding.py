@@ -19,20 +19,41 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def category_codes(df: DataFrame, col: str, code_col: str | None = None) -> DataFrame:
+def category_codes(df: DataFrame, col: str, code_col: str | None = None,
+                   max_vocab: int | None = None) -> DataFrame:
     """Append an integer code per distinct value (0-based, lexicographic;
     NULL → -1, matching pandas ``cat.codes`` where NaN categories code
     as -1 — reference ``simple_pre_processing.py:592``).
 
     The code table derives from the NON-NULL distinct values (groupBy +
     ``dense_rank``), then broadcast-joins back: the fact table is scanned
-    once, no global sort; NULL rows miss the join and coalesce to -1.
+    once, no global sort on the fact side; NULL rows miss the join and
+    coalesce to -1.
+
+    CONTRACT — bounded vocabulary. The design assumes the distinct-value
+    set fits one executor twice over: the ``dense_rank`` window ranks the
+    (already-aggregated) distinct frame on ONE partition, and the code
+    table is BROADCAST back. Both are right for categorical columns (the
+    reference's pandas semantics — its categoricals are zone names,
+    grades, priorities: tens of values); for a high-cardinality key the
+    broadcast, not the rank, breaks first, and the right operator is a
+    join against a precomputed dimension, not per-query encoding. Pass
+    ``max_vocab`` to enforce the bound (one bounded count on the distinct
+    frame, raises when exceeded) when the column's cardinality is not
+    known by construction.
     """
     code_col = code_col or f"{col}_code"
-    codes = (df.filter(F.col(col).isNotNull())
-             .groupBy(col).agg(F.count(F.lit(1)).alias("_n"))
-             .select(col, (F.dense_rank().over(
-                 Window.orderBy(col)) - 1).alias(code_col)))
+    distinct = (df.filter(F.col(col).isNotNull())
+                .groupBy(col).agg(F.count(F.lit(1)).alias("_n")))
+    if max_vocab is not None:
+        n = distinct.limit(max_vocab + 1).count()
+        if n > max_vocab:
+            raise ValueError(
+                f"category_codes: column {col!r} has more than "
+                f"{max_vocab} distinct values — the bounded-vocabulary "
+                "contract does not hold; use a dimension-table join")
+    codes = distinct.select(col, (F.dense_rank().over(
+        Window.orderBy(col)) - 1).alias(code_col))
     return (df.join(F.broadcast(codes), on=col, how="left")
             .withColumn(code_col, F.coalesce(F.col(code_col), F.lit(-1))))
 

@@ -22,6 +22,7 @@ import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -234,6 +235,35 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
 # -- product quantization (IVF-PQ family scale path) -------------------------
 
+def dense_seed_ids(frame: DataFrame, order_col: str, n: int,
+                   id_name: str, payload_col: str) -> DataFrame:
+    """Assign dense ids 0..n-1 (ascending ``order_col``) to a BOUNDED
+    frame, as driver-collected literals.
+
+    The obvious spelling — ``row_number() over (order by ...)`` — is a
+    partition-less window: Spark logs ``WindowExec: No Partition
+    Defined`` and funnels the frame through one partition (a literal
+    partition key does NOT silence it; Catalyst folds the constant
+    away). For a frame already bounded by ``limit(n)`` with small n
+    (codebooks, centroid seeds: ≤16 rows), the honest fix is to stop
+    pretending it's distributed: collect the ≤n rows once and return
+    them as a literal DataFrame — no window, no single-partition sort,
+    no misleading warning, and downstream broadcast joins get a
+    plan-time-known tiny relation. Payload element types are preserved
+    exactly (same schema), so oracle value hashes are unchanged.
+    """
+    spark = frame.sparkSession
+    rows = (frame.orderBy(order_col).limit(n)
+            .select(order_col, payload_col).collect())
+    ptype = frame.schema[payload_col].dataType
+    schema = T.StructType([
+        T.StructField(id_name, T.IntegerType(), False),
+        T.StructField(payload_col, ptype),
+    ])
+    return spark.createDataFrame(
+        [(i, r[payload_col]) for i, r in enumerate(rows)], schema)
+
+
 def pq_codebooks(vectors: DataFrame, m: int = 8, n_codes: int = 16,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  stride: int = 31) -> DataFrame:
@@ -243,12 +273,10 @@ def pq_codebooks(vectors: DataFrame, m: int = 8, n_codes: int = 16,
     k-means refinement drops in without changing the search plan — seed
     selection keeps the whole operator replayable by the SQL oracle
     (same trick as the IVF coarse quantizer)."""
-    from pyspark.sql import Window
-    seeds = (vectors.filter(F.col(id_col) % stride == 0)
-             .orderBy(id_col).limit(n_codes)
-             .select((F.row_number().over(
-                Window.partitionBy(F.lit(0)).orderBy(id_col)) - 1)
-                     .alias("code"), F.col(vec_col).alias("_v")))
+    seeds = dense_seed_ids(
+        vectors.filter(F.col(id_col) % stride == 0)
+        .select(id_col, F.col(vec_col).alias("_v")),
+        id_col, n_codes, "code", "_v")
     dim_div = f"size(_v) div {m}"
     subs = F.array(*[
         F.struct(F.lit(sub).alias("sub"),
