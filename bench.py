@@ -64,9 +64,14 @@ def bench_kiln_pipeline(spark) -> float:
     # shuffles pay ~150 stages of fixed task latency for no parallelism
     # gain. 8 partitions + aggressive AQE coalescing fit THIS workload; a
     # 100 TB deployment overrides via spark-defaults (same plan shape).
+    # parallelismFirst stays at its DEFAULT (true): round 4 traced the
+    # kiln plan's worst stage to AQE's size-based coalescing under
+    # parallelismFirst=false — the few-MB fill+window mega-stage and the
+    # ~900-slot pivot aggregate are CPU-bound, not byte-bound, and were
+    # serialized onto ONE task (9-13 s each). Size-based coalescing is
+    # the wrong policy when bytes/row is tiny but CPU/row is not.
     tuned = {
         "spark.sql.shuffle.partitions": "8",
-        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     }
     saved = {k: spark.conf.get(k) for k in tuned}
     for k, v in tuned.items():

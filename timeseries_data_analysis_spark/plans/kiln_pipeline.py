@@ -71,12 +71,21 @@ def build_long_sensor_table(tables: dict[str, DataFrame]) -> DataFrame:
     series name (reference bolts 'zone_'/'qrt_'/'air_'/'shell_' prefixes at
     align time, pre_processing.py:210-231). Union of longs — no wide frame.
     """
+    # Aggregate the WIDE frame to hourly grain FIRST, melt after: the
+    # 2-min zone feed is ~30 rows/hour/zone, so melt-then-agg pushes 30×
+    # the rows through the Expand + (ts, series) hash agg that agg-then-
+    # melt avoids — at 100 TB the Expand fan-out is the dominant scan
+    # cost. avg-of-column == avg-of-melted-rows per (hour, zone) exactly.
     zone = tables["zone_temperature"]
-    zone_long = PV.melt(zone, ["DATETIME"], key_name="series", value_name="value")
-    zone_hourly = (zone_long
-                   .groupBy(F.date_trunc("hour", "DATETIME").alias("ts"),
-                            F.concat(F.lit("zone_"), F.col("series")).alias("series"))
-                   .agg(F.avg("value").alias("value")))
+    zone_cols = [c for c in zone.columns if c != "DATETIME"]
+    zone_wide_hourly = (zone.groupBy(
+        F.date_trunc("hour", "DATETIME").alias("ts"))
+        .agg(*[F.avg(c).alias(c) for c in zone_cols]))
+    zone_hourly = (PV.melt(zone_wide_hourly, ["ts"],
+                           key_name="series", value_name="value")
+                   .select("ts",
+                           F.concat(F.lit("zone_"), F.col("series"))
+                           .alias("series"), "value"))
 
     qrt = tables["qrt_temperature"]
     qrt_hourly = (qrt.groupBy(F.date_trunc("hour", "DATETIME").alias("ts"),
@@ -118,8 +127,17 @@ def align_and_fill(sensor_long: DataFrame) -> DataFrame:
     # the reference-scale bench, thousands on a 100 TB cluster) — a pinned
     # defaultParallelism count forced 32-way shuffles of few-MB data.
     # shuffle-hash, NOT broadcast: both sides are fact-sized.
-    joined = spine.repartition("series").join(
-        sensor_long.repartition("series").hint("shuffle_hash"),
+    # Explicit partition COUNT (not just key): repartition-by-num is an
+    # AQE-stable origin, so the window stages downstream keep full-core
+    # parallelism even when the byte volume is small — AQE's size-based
+    # coalescing otherwise folds these CPU-heavy sort+window stages onto
+    # a handful of tasks (measured: the whole per-series feature pass on
+    # 8 of 32 cores). Count = defaultParallelism, the cluster's core
+    # budget; per-series rows are modest so skew is bounded by series
+    # cardinality.
+    par = sensor_long.sparkSession.sparkContext.defaultParallelism
+    joined = spine.repartition(par, "series").join(
+        sensor_long.repartition(par, "series").hint("shuffle_hash"),
         ["ts", "series"], "left")
     interp = TS.interpolate_linear("value", "ts", ["series"])
     filled = F.coalesce(
@@ -437,36 +455,47 @@ def run_pipeline(spark: SparkSession, tables: dict[str, DataFrame],
     # {series}_{alias} columns directly — no 13x melt blowup (measured
     # 2x slower) and no 900 conditional aggregates (measured 4x slower).
     # (ts, series) is unique after alignment, so first() is exact.
-    piv = (feat.groupBy("ts").pivot("series", series_names)
+    # The pivot aggregate is the pipeline's CPU peak (~900 PivotFirst
+    # slots per ts group) and its shuffle is only a few MB — AQE's
+    # size-based coalescing serialized it onto ONE task (measured 12.5 s
+    # of the 20 s run). An explicit repartition-by-num on ts pins the
+    # reducer width to the core budget; hashpartitioning(ts) satisfies
+    # both the (ts, series) inner agg and the ts pivot agg, so no
+    # further exchange follows, and the fused wide projection + sink
+    # pipeline in the same 32-way stage.
+    par = spark.sparkContext.defaultParallelism
+    piv = (feat.repartition(par, "ts")
+           .groupBy("ts").pivot("series", series_names)
            .agg(*[F.first(src).alias(f"__{kind}__{tag}")
                   for kind, tag, src in feat_cols]))
-    renames = [F.col("ts")]
+    # EVERYTHING downstream of the pivot is pure per-row arithmetic, so
+    # it all lands in ONE fused projection (built below as an expression
+    # map): the ~960 feature renames, the adjacent-zone differentials
+    # (plain column subtraction on the pivoted frame — replacing the
+    # round-1 lead-window + second pivot + join, 3 exchanges), and the
+    # stage-9 composite risk indicators (row-wise HOF arithmetic, same
+    # names + null semantics as the long-form risk_indicators, which
+    # remains for pre-pivot consumers). Fusing matters twice: Catalyst
+    # ANALYSIS of a ~1000-column frame costs ~1 s per select() on the
+    # driver (four chained selects were ~4 s of pure plan time), and one
+    # projection needs no CollapseProject work at optimize time.
+    colmap: dict[str, "F.Column"] = {}
     for s in series_names:
         for kind, tag, _ in feat_cols:
             name = s + tag if kind == "suffix" else tag + s
-            renames.append(F.col(f"`{s}___{kind}__{tag}`").alias(name))
-    base_wide = piv.select(*renames)
-    # Zone differentials (stage 6 cross-series): on the PIVOTED frame the
-    # adjacent-zone diff is plain column arithmetic — a zero-shuffle
-    # projection, replacing the long-layout lead-window + second pivot +
-    # join (3 exchanges) the round-1 plan paid. zone_differentials() keeps
-    # the long-layout variant for pre-pivot consumers; values identical.
+            colmap[name] = F.col(f"`{s}___{kind}__{tag}`")
+
     zone_ids = sorted(int(s.rsplit("_", 1)[1]) for s in series_names
                       if s.startswith("zone_ZONE_"))
-    diff_cols = [
-        (F.col(f"zone_ZONE_{i + 1}") - F.col(f"zone_ZONE_{i}"))
-        .alias(f"diff_zone_ZONE_{i}_{i + 1}")
-        for i in zone_ids if i + 1 in set(zone_ids)]
-    base_wide = base_wide.select("*", *diff_cols)
+    for i in zone_ids:
+        if i + 1 in set(zone_ids):
+            colmap[f"diff_zone_ZONE_{i}_{i + 1}"] = (
+                colmap[f"zone_ZONE_{i + 1}"] - colmap[f"zone_ZONE_{i}"])
 
-    # Stage 9 post-pivot: composite risk indicators as row-wise HOF
-    # arithmetic over the zone flag/value columns (same names + null
-    # semantics as the long-form risk_indicators, which remains for
-    # pre-pivot consumers). avg-like aggregates skip nulls via filter.
     zone_bases = [s for s in series_names if s.startswith("zone_ZONE_")]
 
     def _arr(sfx):
-        return F.array(*[F.col(f"{s}{sfx}") for s in zone_bases])
+        return F.array(*[colmap[f"{s}{sfx}"] for s in zone_bases])
 
     def _nn(a):
         return F.filter(a, lambda x: x.isNotNull())
@@ -482,34 +511,48 @@ def run_pipeline(spark: SparkSession, tables: dict[str, DataFrame],
                                          lambda acc, x: acc + x)
                              / F.size(a)))
     cooling_n = _count_eq(_arr("_cooling_flag"), F.lit(1))
-    base_wide = base_wide.select(
-        "*",
-        _count_eq(_arr("_anomaly"), F.lit(-1)).alias("zones_with_drops"),
-        cooling_n.alias("accretion_risk_cooling_trends"),
-        _avg(dropm).alias("accretion_risk_drop_magnitude"),
+    colmap["zones_with_drops"] = _count_eq(_arr("_anomaly"), F.lit(-1))
+    colmap["accretion_risk_cooling_trends"] = cooling_n
+    colmap["accretion_risk_drop_magnitude"] = _avg(dropm)
+    colmap["accretion_risk_drop_magnitude_max"] = \
         F.when(F.size(dropm) > 0, F.array_max(dropm))
-        .alias("accretion_risk_drop_magnitude_max"),
-        _avg(vals).alias("accretion_risk_mean_zone_temp"),
-        F.array_min(vals).alias("accretion_risk_min_zone_temp"),
-        (cooling_n >= 3).cast("int").alias("multi_zone_cooling_alert"))
+    colmap["accretion_risk_mean_zone_temp"] = _avg(vals)
+    colmap["accretion_risk_min_zone_temp"] = F.array_min(vals)
+    colmap["multi_zone_cooling_alert"] = (cooling_n >= 3).cast("int")
 
+    # Label spine: the GLOBAL hourly sequence from the sensor bounds —
+    # the same ts set as the pivot output (spine_for uses global min/max
+    # whether or not keys fan it out), but derived WITHOUT the pivot
+    # subplan. Labeling against base_wide.select("ts") cost two ways:
+    # Catalyst re-ran the pruned pivot/window/fill chain a second time
+    # just to produce the ts spine, and the label join came back as a
+    # SortMergeJoin that sorted the ~960-column wide rows by ts. The
+    # independent spine is a 4-scan bounds agg + sequence, and the
+    # ≤ |hours| label frame broadcasts — no sort of the wide side.
     t2 = time.time()
     labels = IV.label_events(
-        base_wide.select("ts"), tables["accretion_events"],
+        TS.spine_for(sensor_long, "ts"), tables["accretion_events"],
         ts_col="ts", start_col="START_DATE", critical_col="CRITICAL_DATE",
         zone_col="ZONE", pre_windows_h=(24, 48, 72))
     metrics["labeling"] = time.time() - t2
 
-    out = (base_wide
-           .join(F.broadcast(ratios), base_wide.ts == ratios.day_ts, "left")
-           .drop("day_ts")
-           .join(labels, "ts", "left"))
+    joined = (piv
+              .join(F.broadcast(ratios), piv.ts == ratios.day_ts, "left")
+              .join(F.broadcast(labels), "ts", "left"))
+    for c in ratios.columns:
+        if c != "day_ts":
+            colmap[c] = F.col(c)
+    for c in labels.columns:
+        if c != "ts":
+            colmap[c] = F.col(c)
 
     # P1/P2: the reference's tiered priority column cap
-    # (pre_processing.py:1564-1739) — see reduce_dimension_priority
-    feature_cols = [c for c in out.columns if c != "ts"]
-    keep = reduce_dimension_priority(feature_cols, max_features)
-    out = out.select("ts", *keep)
+    # (pre_processing.py:1564-1739) — see reduce_dimension_priority.
+    # The candidate universe is the colmap keys (names are known without
+    # building intermediate frames), so the cap composes into the same
+    # single fused projection.
+    keep = reduce_dimension_priority(list(colmap), max_features)
+    out = joined.select("ts", *[colmap[c].alias(c) for c in keep])
     metrics["pivot_join"] = time.time() - t
     metrics["total_plan"] = time.time() - t0
     if tracker is not None:
