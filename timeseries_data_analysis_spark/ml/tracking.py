@@ -36,11 +36,20 @@ except ImportError:
 
 
 class Run:
-    """One tracked run. Use via ``Tracker.start_run`` (context manager)."""
+    """One tracked run. Use via ``Tracker.start_run`` (context manager).
 
-    def __init__(self, path: str, run_id: str):
+    Files are the source of truth (``load_run`` reads them back); when
+    the real ``mlflow`` package is importable every call MIRRORS to the
+    active mlflow run as well — same call sites, no code change for the
+    caller (``test_tracking_optional.py`` exercises the mirroring
+    through an injected stand-in module, so the glue stays tested even
+    where mlflow is not installed).
+    """
+
+    def __init__(self, path: str, run_id: str, mirror: bool = False):
         self.path = path
         self.run_id = run_id
+        self._mirror = mirror and HAS_MLFLOW
         os.makedirs(os.path.join(path, "artifacts"), exist_ok=True)
 
     def log_params(self, params: dict) -> None:
@@ -51,6 +60,8 @@ class Run:
                 merged = json.load(f)
         merged.update({k: _jsonable(v) for k, v in params.items()})
         _atomic_write(p, json.dumps(merged, indent=1, sort_keys=True))
+        if self._mirror:
+            mlflow.log_params({k: _jsonable(v) for k, v in params.items()})
 
     def log_metrics(self, metrics: dict, step: int | None = None) -> None:
         ts = time.time()
@@ -58,6 +69,9 @@ class Run:
             for k, v in metrics.items():
                 f.write(json.dumps({"key": k, "value": float(v),
                                     "step": step, "ts": ts}) + "\n")
+        if self._mirror:
+            mlflow.log_metrics({k: float(v) for k, v in metrics.items()},
+                               step=step)
 
     def set_tags(self, tags: dict) -> None:
         p = os.path.join(self.path, "tags.json")
@@ -67,8 +81,12 @@ class Run:
                 merged = json.load(f)
         merged.update(tags)
         _atomic_write(p, json.dumps(merged, indent=1, sort_keys=True))
+        if self._mirror:
+            mlflow.set_tags(dict(tags))
 
     def log_artifact(self, local_path: str, name: str | None = None) -> str:
+        if self._mirror:
+            mlflow.log_artifact(local_path)
         dst = os.path.join(self.path, "artifacts",
                            name or os.path.basename(local_path))
         if os.path.isdir(local_path):
@@ -98,7 +116,10 @@ class Tracker:
             run_id = f"{run_id}-{uuid.uuid4().hex[:6]}"
             path = os.path.join(self.root, experiment, run_id)
         os.makedirs(path)
-        run = Run(path, run_id)
+        if HAS_MLFLOW:
+            mlflow.set_experiment(experiment)
+            mlflow.start_run(run_name=run_id)
+        run = Run(path, run_id, mirror=True)
         run.set_tags({"start_time": time.time(), "status": "RUNNING"})
         return _RunCtx(run)
 
@@ -125,8 +146,10 @@ class _RunCtx:
         return self.run
 
     def __exit__(self, exc_type, exc, tb) -> None:
-        self.run.set_tags({"end_time": time.time(),
-                           "status": "FAILED" if exc_type else "FINISHED"})
+        status = "FAILED" if exc_type else "FINISHED"
+        self.run.set_tags({"end_time": time.time(), "status": status})
+        if self.run._mirror:
+            mlflow.end_run(status=status)
 
 
 def load_run(path: str) -> dict:

@@ -29,7 +29,16 @@ def _events_ts_unit(path: str) -> str:
     unit = _TS_UNIT_CACHE.get(path)
     if unit is None:
         import pyarrow.parquet as pq
-        t = pq.read_schema(path).field("ts").type
+        probe = path
+        if os.path.isdir(path):
+            # Spark-written dataset: a directory of part files with a
+            # uniform schema — probe the first part's footer.
+            parts = sorted(f for f in os.listdir(path)
+                           if f.endswith(".parquet"))
+            if not parts:
+                return "us"
+            probe = os.path.join(path, parts[0])
+        t = pq.read_schema(probe).field("ts").type
         unit = getattr(t, "unit", "us")
         _TS_UNIT_CACHE[path] = unit
     return unit

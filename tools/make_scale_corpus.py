@@ -1,0 +1,100 @@
+"""Generate a deterministic Nx scale-up of the corpus tables.
+
+Usage: python tools/make_scale_corpus.py <src_sf_dir> <out_dir> [factor]
+
+Replicates documents/embeddings/events ``factor``x with content
+transforms chosen so the statistical structure of the workload is
+preserved rather than degenerate:
+
+- **documents**: replica k > 0 keeps the original token MULTISET
+  (token/char/quality statistics unchanged) but pseudo-shuffles token
+  ORDER with a per-(doc, replica) keyed sort — n-gram sets become
+  essentially disjoint across replicas, so the dedup family sees 10x
+  genuinely-distinct documents instead of an artificial 10-clique of
+  near-dups per original (which would blow pair output up ~45x/doc and
+  measure the DATA artifact, not the operator). Exact replication would
+  be even worse: identical digests collapse in exact dedup and explode
+  in LSH.
+- **embeddings**: replica k > 0 adds deterministic hash-derived noise
+  (±0.1/dim) so vectors spread instead of stacking; the ANN query set
+  (vec_id < 10) and the deterministic centroid/codebook seeds
+  (lowest ids with vec_id % 31 == 0) keep their original members, so
+  sf0.1 -> Nx measures the same search against an Nx corpus.
+- **events**: replica k > 0 offsets user/event ids (new users, same
+  temporal shape) — per-user windows get Nx the partitions, not Nx
+  longer series.
+
+All transforms are hash-deterministic: two runs produce byte-identical
+tables. Everything runs as Spark jobs; nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+OFF = 10_000_000
+
+
+def scale_documents(df, factor: int):
+    k = F.explode(F.array(*[F.lit(i) for i in range(factor)])).alias("k")
+    rep = df.select("*", k)
+    shuffled = F.expr(
+        "array_join(transform(array_sort(transform(split(text, ' '), "
+        "t -> struct(md5(concat(t, '|', cast(doc_id as string), '|', "
+        "cast(k as string))) as h, t as t))), s -> s.t), ' ')")
+    text = F.when(F.col("k") == 0, F.col("text")).otherwise(shuffled)
+    return rep.select(
+        (F.col("doc_id") + F.col("k") * OFF).alias("doc_id"),
+        text.alias("text"), "lang", "source",
+        F.length(text).cast("int").alias("n_chars"))
+
+
+def scale_embeddings(df, factor: int):
+    k = F.explode(F.array(*[F.lit(i) for i in range(factor)])).alias("k")
+    rep = df.select("*", k)
+    noisy = F.expr(
+        "transform(embedding, (x, i) -> cast(x + "
+        "(pmod(hash(vec_id, i, k), 1000) - 500) / 5000.0 as float))")
+    emb = F.when(F.col("k") == 0, F.col("embedding")).otherwise(noisy)
+    return rep.select(
+        (F.col("vec_id") + F.col("k") * OFF).alias("vec_id"),
+        emb.alias("embedding"), "label")
+
+
+def scale_events(df, factor: int):
+    k = F.explode(F.array(*[F.lit(i) for i in range(factor)])).alias("k")
+    return (df.select("*", k)
+            .select((F.col("event_id").cast("bigint")
+                     + F.col("k").cast("bigint") * (OFF * 100)).alias("event_id"),
+                    "ts",
+                    (F.col("user_id").cast("bigint")
+                     + F.col("k").cast("bigint") * OFF).alias("user_id"),
+                    "event_type", "value", "props"))
+
+
+def main() -> None:
+    src, out = sys.argv[1], sys.argv[2]
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.ui.showConsoleProgress", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{src}/documents.parquet")
+    emb = spark.read.parquet(f"{src}/embeddings.parquet")
+    ev = spark.read.parquet(f"{src}/events.parquet")
+    scale_documents(docs, factor).repartition(8) \
+        .write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    scale_embeddings(emb, factor).repartition(8) \
+        .write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    scale_events(ev, factor).repartition(8) \
+        .write.mode("overwrite").parquet(f"{out}/events.parquet")
+    for t in ("documents", "embeddings", "events"):
+        print(t, spark.read.parquet(f"{out}/{t}.parquet").count())
+
+
+if __name__ == "__main__":
+    main()
