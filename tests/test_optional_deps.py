@@ -105,7 +105,7 @@ def test_torch_forward_real_module(spark):
 def _fake_mlflow(calls):
     mod = types.ModuleType("mlflow")
     for fn in ("set_experiment", "start_run", "end_run", "log_params",
-               "log_metrics", "set_tags", "log_artifact"):
+               "log_metrics", "set_tags", "log_artifact", "log_figure"):
         def make(f):
             return lambda *a, **k: calls.append((f, a, k))
         setattr(mod, fn, make(fn))
@@ -161,3 +161,55 @@ def test_tracker_real_mlflow(tmp_path, monkeypatch):
         run.log_metrics({"loss": 0.4}, step=0)
     runs = mlflow.search_runs(experiment_names=["exp"])
     assert len(runs) == 1
+
+
+# --- signatures & figures ---------------------------------------------------
+
+
+def test_log_model_signature_and_figure(tmp_path, spark):
+    """Signature/figure parity (reference train_models_simple.py:360-398):
+    the signature captures the DataFrame schema as a JSON artifact; the
+    figure API is duck-typed on savefig so it works without matplotlib."""
+    import json
+    from timeseries_data_analysis_spark.ml import tracking as TK
+
+    tr = TK.Tracker(str(tmp_path / "runs"))
+    with tr.start_run("exp", run_name="s1") as run:
+        df = spark.createDataFrame([(1, 0.5)], "id: long, score: double")
+        p = run.log_model_signature("scorer", df,
+                                    outputs=[("prob", "double")])
+        with open(p) as f:
+            sig = json.load(f)
+        assert sig["inputs"] == [{"name": "id", "type": "bigint"},
+                                 {"name": "score", "type": "double"}]
+        assert sig["outputs"] == [{"name": "prob", "type": "double"}]
+
+        class Fig:
+            def savefig(self, path):
+                with open(path, "wb") as fh:
+                    fh.write(b"\x89PNG fake")
+
+        fp = run.log_figure(Fig(), "roc.png")
+        assert open(fp, "rb").read().startswith(b"\x89PNG")
+    # both live under the run's artifacts dir
+    import os
+    arts = os.listdir(tmp_path / "runs" / "exp" / "s1" / "artifacts")
+    assert "signature-scorer.json" in arts and "roc.png" in arts
+
+
+def test_signature_and_figure_mirror_to_mlflow(tmp_path, monkeypatch):
+    from timeseries_data_analysis_spark.ml import tracking as TK
+    calls: list = []
+    monkeypatch.setattr(TK, "mlflow", _fake_mlflow(calls), raising=False)
+    monkeypatch.setattr(TK, "HAS_MLFLOW", True)
+    tr = TK.Tracker(str(tmp_path / "runs"))
+    with tr.start_run("exp", run_name="m2") as run:
+        run.log_model_signature("m", [("x", "double")])
+
+        class Fig:
+            def savefig(self, path):
+                open(path, "wb").write(b"x")
+
+        run.log_figure(Fig(), "cm.png")
+    names = [c[0] for c in calls]
+    assert "log_artifact" in names and "log_figure" in names

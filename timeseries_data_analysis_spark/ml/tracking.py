@@ -84,6 +84,43 @@ class Run:
         if self._mirror:
             mlflow.set_tags(dict(tags))
 
+    def log_model_signature(self, name: str, inputs, outputs=None) -> str:
+        """Model signature (reference ``train_models_simple.py:360-398``
+        logs MLflow signatures per trained model): the input/output
+        column schema captured as a JSON artifact. ``inputs``/
+        ``outputs`` accept a Spark DataFrame, a ``StructType``, or a
+        ``[(name, type)]`` list."""
+        def fields(x):
+            if x is None:
+                return None
+            if hasattr(x, "schema"):
+                x = x.schema
+            if hasattr(x, "fields"):
+                return [{"name": f.name, "type": f.dataType.simpleString()}
+                        for f in x.fields]
+            return [{"name": n, "type": t} for n, t in x]
+
+        sig = {"inputs": fields(inputs), "outputs": fields(outputs)}
+        p = os.path.join(self.path, "artifacts", f"signature-{name}.json")
+        _atomic_write(p, json.dumps(sig, indent=1))
+        if self._mirror:
+            mlflow.log_artifact(p)
+        return p
+
+    def log_figure(self, fig, name: str) -> str:
+        """Persist a figure into the run's artifacts (reference logs
+        confusion-matrix/ROC matplotlib figures per run). Duck-typed on
+        ``savefig(path)`` so the tracker works — and stays tested —
+        without matplotlib installed."""
+        p = os.path.join(self.path, "artifacts", name)
+        fig.savefig(p)
+        if self._mirror:
+            try:
+                mlflow.log_figure(fig, name)
+            except Exception:  # noqa: BLE001 — non-mpl figure object
+                mlflow.log_artifact(p)
+        return p
+
     def log_artifact(self, local_path: str, name: str | None = None) -> str:
         if self._mirror:
             mlflow.log_artifact(local_path)

@@ -559,4 +559,7 @@ def run_pipeline(spark: SparkSession, tables: dict[str, DataFrame],
         tracker.log_params({"max_features": max_features,
                             "n_sources": len(tables)})
         tracker.log_metrics(metrics)
+        # model-signature parity (reference logs MLflow signatures per
+        # run): the feature matrix's column schema as a JSON artifact
+        tracker.log_model_signature("feature_matrix", out)
     return out, metrics
