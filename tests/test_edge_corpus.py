@@ -53,6 +53,8 @@ TEXT_QUERIES = [
     # the heavy dedup/near-dup pipelines (banding, clustering, curation)
     "minhash_lsh", "simhash_pairs", "dedup_clusters", "corpus_curation",
     "tfidf_top_terms", "decontaminate", "simhash48_pairs",
+    # round 4: best-doc retention collapse + vocab-coverage diagnostic
+    "collapse_near_dups", "oov_rate",
 ]
 
 

@@ -5,8 +5,10 @@ Reference: ``SimpleKilnDataPreprocessor.process``
 (``pre_processing.py:1741-2020``) — 11 eager pandas stages, each
 materializing the full frame. Here the whole pipeline is a lazy DataFrame
 lineage: Catalyst fuses the per-stage projections, and the physical plan
-has ~4 shuffles total (pivots, spine join, one window exchange per
-partitioning key, labeling join) regardless of feature count.
+has ~3 structural shuffles total (source hourly aggs, the series-keyed
+spine join + window exchange, the ts-keyed pivot exchange) regardless of
+feature count — ratios and labels join by BROADCAST, and everything
+after the pivot is one fused projection (round 4).
 
 Architecture (SURVEY.md §1.4 / §4):
 - **Long layout through the window stages.** The reference pivots
