@@ -303,3 +303,25 @@ def test_transformer_save_load_and_arrow_inference(spark, tmp_path):
     assert len(out) == 120
     acc = float(np.mean((out["prob"] > 0.5) == (out["label"] > 0.5)))
     assert acc > 0.8
+
+
+@pytest.mark.parametrize("n_feat,hidden", [(1, 4), (3, 8)])
+def test_transformer_shapes(n_feat, hidden):
+    x = np.random.default_rng(0).standard_normal((10, 6, n_feat))
+    m = NumpyTransformer(n_feat, hidden=hidden)
+    p = m.forward(x)
+    assert p.shape == (10,)
+    assert np.all((p >= 0) & (p <= 1))
+
+
+def test_transformer_is_order_sensitive():
+    """The positional encoding must make the model distinguish token
+    order: reversing a sequence changes the output (an encoder without
+    PE — like the reference's — is nearly permutation-blind apart from
+    the last-token residual)."""
+    rng = np.random.default_rng(7)
+    m = NumpyTransformer(2, hidden=6, seed=0)
+    x = rng.standard_normal((20, 8, 2))
+    p_fwd = m.forward(x)
+    p_rev = m.forward(x[:, ::-1, :].copy())
+    assert np.max(np.abs(p_fwd - p_rev)) > 1e-4
