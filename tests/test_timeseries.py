@@ -172,3 +172,15 @@ def test_paa_sax_shapes_and_coding(spark):
     d = TSI.znorm_distance_pairs(
         df, "k", "hr", "v").collect()
     assert len(d) == 1 and d[0]["n_common"] == 32
+
+
+def test_even_minute_filter(spark):
+    """R7 (reference data_generator.py:960): keep rows on even minutes
+    after reindex — a pure built-in filter; covered so every SURVEY
+    §2.6 row has a test."""
+    df = spark.createDataFrame([(i,) for i in range(10)], "i: long").select(
+        F.expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,i,0)")
+        .alias("ts"))
+    out = df.filter(F.minute("ts") % 2 == 0).collect()
+    assert len(out) == 5
+    assert all(r["ts"].minute % 2 == 0 for r in out)
