@@ -409,3 +409,50 @@ def test_incremental_dedup_crash_window_replay(spark, tmp_path):
     got = spark.read.parquet(out).toPandas()
     assert sorted(got["doc_id"]) == [1, 2, 4]      # no duplicates
     assert spark.read.parquet(idx).count() == 3    # marker restored
+
+
+def test_incremental_neardup_sink(spark, tmp_path):
+    """Streaming NEAR-dup suppression: within-batch near-dups collapse
+    to the min-id representative, cross-batch near-dups of already-kept
+    docs are dropped via the persisted fingerprint index, distinct docs
+    pass; a crash between the data write and the index append followed
+    by replay produces no duplicates (two-phase commit)."""
+    import shutil
+
+    idx = str(tmp_path / "fp_index")
+    out = str(tmp_path / "clean")
+    doc_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    base = " ".join(f"tok{i}" for i in range(200))
+    near = base.replace("tok50", "tokX")          # 1 of 200 tokens differs
+    other = " ".join(f"zzz{i}" for i in range(180))
+    other_near = other.replace("zzz7 ", "zzzQ ")   # ONE token (bounded)
+
+    b0 = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], doc_schema)
+    SJ.neardup_commit_batch(b0, 0, idx, out)
+    got = sorted(spark.read.parquet(out).toPandas()["doc_id"])
+    assert got == [1, 3]                 # 2 is a near-dup of 1 (min id kept)
+
+    # batch 1: near-dup of an INDEXED doc + a genuinely new doc
+    b1 = spark.createDataFrame(
+        [(4, other_near), (5, "completely different words here now")],
+        doc_schema)
+    SJ.neardup_commit_batch(b1, 1, idx, out)
+    got = sorted(spark.read.parquet(out).toPandas()["doc_id"])
+    assert got == [1, 3, 5]              # 4 collides with indexed 3
+
+    # full replay after commit: marker skip, no change
+    SJ.neardup_commit_batch(b1, 1, idx, out)
+    assert sorted(spark.read.parquet(out).toPandas()["doc_id"]) == [1, 3, 5]
+
+    # crash window: data written, marker lost -> replay must overwrite
+    keep = spark.read.parquet(idx).where("_batch_id <> 1").toPandas()
+    shutil.rmtree(idx)
+    spark.createDataFrame(keep).write.parquet(idx)
+    SJ.neardup_commit_batch(b1, 1, idx, out)
+    got = sorted(spark.read.parquet(out).toPandas()["doc_id"])
+    assert got == [1, 3, 5]              # no duplicates
+    assert spark.read.parquet(idx).where("_batch_id = 1").count() == 1

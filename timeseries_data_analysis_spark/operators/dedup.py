@@ -428,6 +428,49 @@ def simhash_hamming_pairs(docs: DataFrame, text_col: str = "text",
             .agg(F.min("hamming").alias("hamming")))
 
 
+def simhash_cross_matches(probe: DataFrame, index: DataFrame,
+                          bits: int = 48, bands: int = 4,
+                          max_hamming: int = 3) -> DataFrame:
+    """Near matches BETWEEN two fingerprint tables (each ``(_id, _fp)``):
+    ``(probe_id, index_id, hamming)`` for every probe fingerprint within
+    ``max_hamming`` of an index fingerprint — the incremental-dedup
+    primitive (probe = new micro-batch, index = corpus kept so far).
+
+    Same pigeonhole banding as :func:`simhash_hamming_pairs`, but the
+    band-chunk equi-join runs probe × index instead of self — per batch
+    the shuffle is O(probe chunks + matching index chunks), never the
+    full index (chunks are hash-partitioned; a 100 TB index is touched
+    only where a probe chunk collides).
+    """
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"banding finds all pairs only up to hamming {bands - 1}; "
+            f"got max_hamming={max_hamming}")
+    chunk_bits = bits // bands
+    mask = (1 << chunk_bits) - 1
+
+    def chunks(fp: DataFrame, id_out: str, fp_out: str) -> DataFrame:
+        structs = [
+            F.struct(
+                F.lit(band).alias("band"),
+                F.shiftright(F.col("_fp"), band * chunk_bits)
+                .bitwiseAND(F.lit(mask)).alias("chunk"))
+            for band in range(bands)]
+        return (fp.select(F.col("_id").alias(id_out),
+                          F.col("_fp").alias(fp_out),
+                          F.explode(F.array(*structs)).alias("bc"))
+                .select(id_out, fp_out, "bc.band", "bc.chunk"))
+
+    a = chunks(probe, "probe_id", "_fp_p")
+    b = chunks(index, "index_id", "_fp_i")
+    ham = F.bit_count(F.col("_fp_p").bitwiseXOR(F.col("_fp_i")))
+    return (a.join(b, on=["band", "chunk"])
+            .select("probe_id", "index_id", ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .groupBy("probe_id", "index_id")
+            .agg(F.min("hamming").alias("hamming")))
+
+
 def simhash_dedup_clusters(docs: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", n: int = 2,
                            bits: int = 16, bands: int = 4,

@@ -293,6 +293,91 @@ def incremental_dedup_sink(docs_stream: DataFrame, index_path: str,
             .outputMode("update"))
 
 
+def incremental_neardup_sink(docs_stream: DataFrame, index_path: str,
+                             out_path: str, text_col: str = "text",
+                             id_col: str = "doc_id", n: int = 2,
+                             bits: int = 48, bands: int = 4,
+                             max_hamming: int = 3, hex_digits: int = 12):
+    """Continuous-ingestion NEAR-dup suppression: the SimHash complement
+    to :func:`incremental_dedup_sink`. Each micro-batch is fingerprinted
+    (48-bit production width), collapsed within-batch (banding pairs →
+    connected components, min-id representative survives), then checked
+    against a PERSISTED fingerprint index by cross-frame banding — any
+    document within ``max_hamming`` of an already-kept document is
+    dropped; survivors land batch-keyed and their fingerprints append as
+    the commit marker (same crash-safe two-phase commit as the exact
+    sink: see :func:`incremental_dedup_sink`'s protocol notes).
+
+    100 TB shape: the index holds one (id, 8-byte fingerprint) row per
+    kept document; per batch the banding equi-join touches only index
+    chunks a probe chunk collides with, never the full index.
+    """
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        neardup_commit_batch(batch_df, batch_id, index_path, out_path,
+                             text_col=text_col, id_col=id_col, n=n,
+                             bits=bits, bands=bands,
+                             max_hamming=max_hamming,
+                             hex_digits=hex_digits)
+
+    return (docs_stream.writeStream.foreachBatch(process)
+            .outputMode("update"))
+
+
+def neardup_commit_batch(batch_df: DataFrame, batch_id: int,
+                         index_path: str, out_path: str,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         n: int = 2, bits: int = 48, bands: int = 4,
+                         max_hamming: int = 3,
+                         hex_digits: int = 12) -> None:
+    """One micro-batch of :func:`incremental_neardup_sink` (module-level
+    so tests can replay explicit crash windows)."""
+    from ..operators.dedup import (simhash_fingerprints,
+                                   simhash_hamming_pairs,
+                                   simhash_cross_matches)
+    from ..operators.graph import dedup_clusters
+
+    spark = batch_df.sparkSession
+    index_fp = None
+    try:
+        index = spark.read.parquet(index_path)
+        if ("_batch_id" in index.columns
+                and index.where(F.col("_batch_id") == batch_id)
+                .limit(1).count() > 0):
+            return                      # commit marker present: replayed
+        index_fp = index.select("_id", "_fp")
+    except Exception:  # noqa: BLE001 — first batch: no index yet
+        pass
+    # within-batch collapse: near-dup pairs → components → min-id keeps
+    pairs = simhash_hamming_pairs(batch_df, text_col, id_col, n=n,
+                                  bits=bits, bands=bands,
+                                  max_hamming=max_hamming,
+                                  hex_digits=hex_digits)
+    drop = (dedup_clusters(pairs)
+            .filter(F.col("cluster_id") != F.col("doc_id"))
+            .select(F.col("doc_id").alias(id_col)))
+    kept = batch_df.join(drop, on=id_col, how="left_anti")
+    kept_fp = simhash_fingerprints(kept, text_col, id_col, n=n,
+                                   bits=bits, hex_digits=hex_digits)
+    if index_fp is not None:
+        hits = (simhash_cross_matches(kept_fp, index_fp, bits=bits,
+                                      bands=bands, max_hamming=max_hamming)
+                .select(F.col("probe_id").alias(id_col)).distinct())
+        kept = kept.join(hits, on=id_col, how="left_anti")
+        kept_fp = kept_fp.join(
+            hits.select(F.col(id_col).alias("_id")), on="_id",
+            how="left_anti")
+    kept = kept.localCheckpoint()
+    if kept.isEmpty():
+        return
+    kept_fp = kept_fp.localCheckpoint()
+    # phase 1: idempotent data write (batch-keyed dir, overwrite)
+    (kept.write.mode("overwrite")
+     .parquet(f"{out_path}/ingest_batch={batch_id}"))
+    # phase 2: commit marker — fingerprints stamped with the batch id
+    (kept_fp.withColumn("_batch_id", F.lit(batch_id))
+     .write.mode("append").parquet(index_path))
+
+
 def dedup_commit_batch(batch_df: DataFrame, batch_id: int,
                        index_path: str, out_path: str,
                        text_col: str = "text",
