@@ -121,7 +121,9 @@ def main() -> None:
     corpus: dict[str, float] = {}
     for name in ("hash_split", "stratified_sample", "decontaminate",
                  "doc_repetition", "source_mix", "pack_documents",
-                 "pq_topk", "ivf_pq_topk", "seasonal_baseline"):
+                 "pq_topk", "ivf_pq_topk", "seasonal_baseline",
+                 # round 4: best-doc near-dup collapse + vocab coverage
+                 "collapse_near_dups", "oov_rate"):
         t0 = time.time()
         run(qs[name](spark, sf_dir))
         corpus[name] = round(time.time() - t0, 3)
