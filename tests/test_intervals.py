@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 from timeseries_data_analysis_spark.operators import intervals as IV
@@ -105,3 +106,50 @@ def test_latest_rows(spark):
     out = IV.latest_rows(df, ["k"], "ts", tiebreak="id")
     got = {r["k"]: r["id"] for r in out.collect()}
     assert got == {"a": 2, "b": 3}
+
+
+def test_asof_join_forward_and_nearest_match_pandas(spark):
+    """All three directions reproduce pandas merge_asof row for row on
+    keyed data with out-of-range edges (left rows before the first /
+    after the last right row)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    left = pd.DataFrame({
+        "k": np.repeat(["a", "b"], 25),
+        "lts": np.concatenate([np.sort(rng.integers(0, 1000, 25)),
+                               np.sort(rng.integers(0, 1000, 25))]),
+    })
+    right = pd.DataFrame({
+        "k": np.repeat(["a", "b"], 10),
+        "rts": np.concatenate([np.sort(rng.choice(1000, 10, replace=False)),
+                               np.sort(rng.choice(1000, 10, replace=False))]),
+        "val": rng.standard_normal(20).round(3),
+    })
+    ldf = spark.createDataFrame(left.assign(
+        lts=pd.to_datetime(left["lts"], unit="s")))
+    rdf = spark.createDataFrame(right.assign(
+        rts=pd.to_datetime(right["rts"], unit="s")))
+
+    for direction in ("backward", "forward", "nearest"):
+        got = (IV.asof_join(ldf, rdf, "lts", "rts", by=("k", "k"),
+                            value_cols=["val"], direction=direction)
+               .toPandas().sort_values(["k", "lts"]).reset_index(drop=True))
+        want = pd.merge_asof(
+            left.assign(lts=pd.to_datetime(left["lts"], unit="s"))
+            .sort_values("lts"),
+            right.assign(rts=pd.to_datetime(right["rts"], unit="s"))
+            .sort_values("rts"),
+            left_on="lts", right_on="rts", by="k",
+            direction=direction).sort_values(["k", "lts"]) \
+            .reset_index(drop=True)
+        pd.testing.assert_series_equal(
+            got["val"], want["val"], check_dtype=False,
+            obj=f"asof {direction}")
+
+
+def test_asof_join_rejects_bad_direction(spark):
+    df = spark.createDataFrame([(1,)], "x: long")
+    with pytest.raises(ValueError, match="backward/forward/nearest"):
+        IV.asof_join(df, df, "x", "x", direction="sideways")

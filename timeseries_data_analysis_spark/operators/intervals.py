@@ -115,50 +115,82 @@ def asof_join(left: DataFrame, right: DataFrame,
               by: tuple[str, str] | None = None,
               value_cols: list[str] | None = None,
               direction: str = "backward") -> DataFrame:
-    """As-of join: for each left row, the latest right row with ts ≤ left ts.
+    """As-of join, pandas ``merge_asof`` semantics in all three
+    directions: for each left row take the right row with the latest
+    ts ≤ left ts (``backward``), the earliest ts ≥ left ts
+    (``forward``), or whichever of those two is closer in absolute
+    time (``nearest``; exact-distance ties resolve backward, and an
+    equal-timestamp right row is distance 0 so it always wins).
 
     Reference: ``reindex(all_times, method='nearest')`` and latest-row
     probes (``data_generator.py:953``, ``dashboard.py:263-313``).
 
     Implementation is the union-scan pattern — scalable and skew-free:
     tag both sides, union on a common schema, sort per key by
-    ``(ts, side)``, and carry the last seen right-side values forward with
-    ``last(ignorenulls)``. One shuffle + one sort per key; no nested-loop
-    and no per-key pandas (contrast ``merge_asof``).
-
-    ``direction='backward'`` only (the reference's latest-at-or-before
-    probe); ties (equal ts) take the right row (right sorts before left).
+    ``(ts, side)``, and carry the last seen right-side values forward
+    with ``last(ignorenulls)``. The forward leg is the identical
+    running scan over a DESCENDING sort (same partitioning, so one
+    exchange total; ``nearest`` pays both sorts and picks per row).
+    No nested-loop, no per-key pandas (contrast ``merge_asof``). Ties
+    (equal ts) take the right row in every direction (right sorts
+    before left at equal ts).
     """
-    if direction != "backward":
-        raise NotImplementedError("only backward as-of is implemented")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest, "
+                         f"got {direction!r}")
     value_cols = value_cols or [
         c for c in right.columns
         if c != right_ts and (by is None or c != by[1])
     ]
     lkey, rkey = (by if by is not None else (None, None))
+    # carry the matched right TIMESTAMP too: nearest needs the distance
+    carry = list(value_cols) + ["__rts"]
 
     lsel = [F.col(left_ts).alias("_ats"), F.lit(1).alias("_side")]
     if lkey:
         lsel.append(F.col(lkey).alias("_akey"))
-    lsel += [F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in value_cols]
+    lsel += [F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}")
+             for c in value_cols]
+    lsel.append(F.lit(None).cast(dict(right.dtypes)[right_ts])
+                .alias("_r___rts"))
     l_tagged = left.select(*left.columns, *lsel)
 
     rsel = [F.col(right_ts).alias("_ats"), F.lit(0).alias("_side")]
     if rkey:
         rsel.append(F.col(rkey).alias("_akey"))
     rsel += [F.col(c).alias(f"_r_{c}") for c in value_cols]
+    rsel.append(F.col(right_ts).alias("_r___rts"))
     r_tagged = right.select(*rsel)
 
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
     part = ["_akey"] if lkey else [F.lit(1)]
-    w = (Window.partitionBy(*part).orderBy("_ats", "_side")
-         .rowsBetween(Window.unboundedPreceding, 0))
+    w_bwd = (Window.partitionBy(*part).orderBy("_ats", "_side")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    w_fwd = (Window.partitionBy(*part)
+             .orderBy(F.col("_ats").desc(), "_side")
+             .rowsBetween(Window.unboundedPreceding, 0))
+
+    def leg(w):
+        return {c: F.last(f"_r_{c}", ignorenulls=True).over(w)
+                for c in carry}
+
+    if direction == "backward":
+        out_cols = leg(w_bwd)
+    elif direction == "forward":
+        out_cols = leg(w_fwd)
+    else:
+        b, f_ = leg(w_bwd), leg(w_fwd)
+        dist_b = F.col("_ats").cast("double") - b["__rts"].cast("double")
+        dist_f = f_["__rts"].cast("double") - F.col("_ats").cast("double")
+        use_b = b["__rts"].isNotNull() & (
+            f_["__rts"].isNull() | (dist_b <= dist_f))
+        out_cols = {c: F.when(use_b, b[c]).otherwise(f_[c])
+                    for c in carry}
     filled = unioned.select(
-        "*", *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(c) for c in value_cols]
-    )
+        "*", *[out_cols[c].alias(c) for c in value_cols])
     return (filled.filter(F.col("_side") == 1)
             .drop("_ats", "_side", *(["_akey"] if lkey else []),
-                  *[f"_r_{c}" for c in value_cols]))
+                  *[f"_r_{c}" for c in value_cols], "_r___rts"))
 
 
 # -- P8: latest-row probe ----------------------------------------------------
