@@ -1856,6 +1856,27 @@ def q_oversample_counts(spark: SparkSession, sf: str) -> DataFrame:
     return aug.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
+    """J4 in the NEAREST direction (pandas merge_asof full surface):
+    for every click, the value of the temporally closest purchase by
+    the same user — backward and forward scans from ONE union-shuffle,
+    per-row closest pick, exact-distance ties resolving backward. The
+    right side pre-aggregates to one row per (user, ts) so the scan
+    order is deterministic under duplicate timestamps. Oracle replays
+    the identical union-scan with IGNORE NULLS window functions."""
+    ev = load_table(spark, sf, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", "event_id", "ts"))
+    purch = (ev.filter((F.col("event_type") == "purchase")
+                       & F.col("value").isNotNull())
+             .groupBy("user_id", "ts").agg(F.max("value").alias("pval")))
+    out = IV.asof_join(clicks, purch, "ts", "ts",
+                       by=("user_id", "user_id"),
+                       value_cols=["pval"], direction="nearest")
+    return out.select("user_id", "event_id", "ts",
+                      _r(F.col("pval"), 4).alias("nearest_value"))
+
+
 def q_collapse_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup collapse with BEST-DOCUMENT retention — the production
     composition end to end: 48-bit SimHash banding (the width that
@@ -2054,6 +2075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     full local gate checks them now) ---
         "collapse_near_dups": q_collapse_near_dups,
         "oov_rate": q_oov_rate,
+        "asof_nearest": q_asof_nearest,
     }
 
 
@@ -3702,6 +3724,39 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, 1::BIGINT AS cluster_size
         FROM documents d
         WHERE d.doc_id NOT IN (SELECT v FROM comp48)
+    """
+
+    sql["asof_nearest"] = """
+        WITH l AS (
+            SELECT user_id, event_id, ts FROM events
+            WHERE event_type = 'click'
+        ), r AS (
+            SELECT user_id, ts AS rts, max(value) AS pval FROM events
+            WHERE event_type = 'purchase' AND value IS NOT NULL
+            GROUP BY user_id, ts
+        ), u AS (
+            SELECT user_id, ts AS ats, 1 AS side, event_id, ts,
+                   NULL::DOUBLE AS rv, NULL::TIMESTAMP AS rts
+            FROM l
+            UNION ALL
+            SELECT user_id, rts, 0, NULL, NULL, pval, rts FROM r
+        ), scan AS (
+            SELECT *,
+                last_value(rv IGNORE NULLS) OVER wb AS bv,
+                last_value(rts IGNORE NULLS) OVER wb AS bts,
+                last_value(rv IGNORE NULLS) OVER wf AS fv,
+                last_value(rts IGNORE NULLS) OVER wf AS fts
+            FROM u
+            WINDOW wb AS (PARTITION BY user_id ORDER BY ats, side
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wf AS (PARTITION BY user_id ORDER BY ats DESC, side
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT user_id, event_id, ts,
+               (round(CASE WHEN bts IS NOT NULL AND (fts IS NULL OR
+                           epoch(ats) - epoch(bts) <= epoch(fts) - epoch(ats))
+                      THEN bv ELSE fv END + 1e-9, 4) + 0.0) AS nearest_value
+        FROM scan WHERE side = 1
     """
 
     sql["oov_rate"] = """

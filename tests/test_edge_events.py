@@ -106,6 +106,8 @@ EVENT_QUERIES = [
     # interval labeling, skew-salting, SAX indexing, serving panels
     "label_events_full", "salted_agg", "robust_scale_params",
     "paa_sax", "series_similarity", "sax_bucket_search", "accretion_status",
+    # round 4: nearest-direction as-of
+    "asof_nearest",
 ]
 
 
