@@ -59,7 +59,7 @@ def _edge_embeddings():
 
 ANN_QUERIES = ["similarity_topk", "lsh_topk", "ivf_topk", "pq_topk",
                "emb_near_dup", "centroid_similarity", "array_profile",
-               "ivf_pq_topk"]
+               "ivf_pq_topk", "emb_neardup_clusters"]
 
 
 @pytest.fixture(scope="module")

@@ -113,6 +113,53 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
             .filter(F.col("rk") <= k))
 
 
+def lsh_neardup_pairs(vectors: DataFrame, dim: int, threshold: float = 0.35,
+                      bands: int = 6, bits: int = 4, seed: int = 1000,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via banded hyperplane LSH —
+    the 100 TB scale replacement for the exact all-pairs anchor
+    (``q_emb_near_dup``): candidate pairs come from an equi-join on
+    (band, bucket), never a cross join.
+
+    Each vector gets ``bands`` independent bucket ids (``bits`` sign bits
+    per band, seeds ``seed+band``); two vectors are CANDIDATES when any
+    band agrees, and candidates are verified with the exact cosine before
+    emission, so precision is exact — banding only bounds recall. For
+    random hyperplanes P(bit agrees) = 1 - θ/π, so band-match probability
+    is that to the ``bits``-th power and recall follows the standard
+    1-(1-p^bits)^bands S-curve: more bands → recall, more bits →
+    selectivity. At corpus scale raise ``bits`` (16 → 65k buckets/band)
+    so per-bucket pair counts stay bounded; the demo width keeps buckets
+    dense enough to exercise the verify stage on small fixtures.
+
+    Returns ``(id_l, id_r, sim)`` with ``id_l < id_r``, sim rounded to 6.
+    """
+    base = vectors.select(F.col(id_col).alias("_id"),
+                          F.col(vec_col).cast("array<double>").alias("_v"))
+    buckets = F.array(*[lsh_bucket(F.col("_v"), dim, bits, seed + b)
+                        for b in range(bands)])
+    # band only (id, band, bucket) — the self-join shuffles 3 small ints
+    # per banded row, never the vectors (carrying vectors through the
+    # explode would shuffle ``bands`` copies of the whole corpus).
+    long = base.select("_id", F.posexplode(buckets).alias("band", "bucket"))
+    cand = (long.alias("a")
+            .join(long.alias("b"), on=["band", "bucket"])
+            .select(F.col("a._id").alias("id_l"), F.col("b._id").alias("id_r"))
+            .filter(F.col("id_l") < F.col("id_r"))
+            .distinct())
+    # verify stage: fetch vectors for surviving candidates only — two
+    # id-equi-joins shuffling the corpus once per side, then exact cosine.
+    va = base.select(F.col("_id").alias("id_l"), F.col("_v").alias("_va"))
+    vb = base.select(F.col("_id").alias("id_r"), F.col("_v").alias("_vb"))
+    sim = cosine(F.col("_va"), F.col("_vb"))
+    return (cand.join(va, on="id_l").join(vb, on="id_r")
+            .select("id_l", "id_r", sim.alias("_s"))
+            .filter(F.col("_s") > threshold)
+            .select("id_l", "id_r",
+                    (F.round(F.col("_s") + F.lit(1e-9), 6) + 0.0).alias("sim")))
+
+
 def label_centroids(df: DataFrame, label_col: str = "label",
                     vec_col: str = "embedding") -> DataFrame:
     """Per-label mean vector in LONG form: (label, pos, c) — one row per
