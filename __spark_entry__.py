@@ -1952,6 +1952,68 @@ def q_emb_neardup_clusters(spark: SparkSession, sf: str) -> DataFrame:
                     "cluster_size"))
 
 
+def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction (C4/RefinedWeb-style governance pass): per-pattern
+    match counts on the original text + md5 of the scrubbed text (emails,
+    IPv4s, phone-shaped digit runs → typed placeholders). Pure JVM regex
+    inside codegen — the 100 TB shape is a single map stage, no shuffle.
+    The synthetic corpus is PII-free by construction, so counts are zero
+    here and the md5 column pins scrub=identity per row; planted-PII
+    behavior is cross-engine-verified in the edge-corpus gate."""
+    docs = load_table(spark, sf, "documents")
+    counts = [TX.pii_count("text", pat).cast("bigint").alias(f"n_{name}")
+              for name, pat, _ in TX.PII_PATTERNS]
+    return docs.select("doc_id", *counts,
+                       F.md5(TX.pii_scrub("text")).alias("scrub_md5"))
+
+
+def q_unigram_logppl(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram-LM quality filter (the CCNet shape: per-doc perplexity
+    under a corpus LM; here the LM is the corpus' own unigram MLE):
+    token counts → total → per-doc mean −log2 p(token). High scores mark
+    rare-token-heavy (low-quality or off-domain) documents.
+
+    Scale shape: the classic word count (map-side combined), a 1-row
+    total broadcast, probabilities rejoined to the exploded tokens on the
+    token key — at 100 TB the vocab join is a shuffle join on a bounded
+    vocabulary, never a driver collect."""
+    docs = load_table(spark, sf, "documents")
+    tok = docs.select("doc_id",
+                      F.explode(F.split(F.trim(F.col("text")), r"\s+"))
+                      .alias("tok"))
+    cnt = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("_n"))
+    total = cnt.agg(F.sum("_n").alias("_total"))
+    probs = cnt.crossJoin(F.broadcast(total)).select(
+        "tok", (F.col("_n") / F.col("_total")).alias("_p"))
+    return (tok.join(probs, on="tok")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 _r(F.avg(-F.log2("_p")), 4).alias("logppl")))
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer-training primitive: the FIRST BPE merge iteration at
+    corpus scale — adjacent-character-pair frequencies weighted by word
+    frequency, top 20 (ties lexicographic). The scale trick is the two-
+    level aggregation: the corpus collapses to its (word, count) VOCAB
+    first (map-side combined word count), and pairs explode from the
+    small vocab table — never from the raw corpus."""
+    docs = load_table(spark, sf, "documents")
+    vocab = (docs.select(F.explode(F.split(F.trim(F.col("text")), r"\s+"))
+                         .alias("word"))
+             .groupBy("word").agg(F.count(F.lit(1)).alias("_wn"))
+             # <2-char words have no pairs; the guard also matters because
+             # Spark's sequence(1, 0) DESCENDS instead of returning empty
+             .filter(F.length("word") >= 2))
+    pairs = vocab.select(
+        "_wn",
+        F.explode(F.expr(
+            "transform(sequence(1, length(word) - 1),"
+            " i -> substring(word, i, 2))")).alias("pair"))
+    return (pairs.groupBy("pair").agg(F.sum("_wn").alias("n"))
+            .orderBy(F.col("n").desc(), "pair").limit(20))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's anomaly detector over sf0.001 events."""
     return q_anomaly_detect(spark, SF_SMOKE)
@@ -1969,8 +2031,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     surface) wait for round 5; the 50 round-3 driver-greens close the
     list (freshest evidence, least at risk)."""
     return {
-        # --- round-4 front-50: r1/r2-evidence queries on refactored paths ---
-        "horizontal_agg": q_horizontal_agg,
+        # --- round-4 front-50: r1/r2-evidence queries on refactored paths,
+        #     then every never-driver-checked round-4 addition ---
         "cat_codes": q_cat_codes,
         "lsh_topk": q_lsh_topk,
         "json_extract": q_json_extract,
@@ -2020,10 +2082,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_rate": q_oov_rate,
         "asof_nearest": q_asof_nearest,
         "emb_neardup_clusters": q_emb_neardup_clusters,
+        "pii_scrub": q_pii_scrub,
+        "unigram_logppl": q_unigram_logppl,
+        "bpe_pair_counts": q_bpe_pair_counts,
         "emb_near_dup": q_emb_near_dup,
         "multimodal_features": q_multimodal_features,
         # --- positions 51+: r1-evidence, pure built-in Catalyst
         #     (no round-3-refactored helper in their path); round-5 slots ---
+        "horizontal_agg": q_horizontal_agg,
         "supplier_balance": q_supplier_balance,
         "customer_order_stats": q_customer_order_stats,
         "value_counts_topn": q_value_counts_topn,
@@ -3827,6 +3893,58 @@ def oracle_sql() -> dict[str, str]:
         SELECT c.component::BIGINT AS cluster_id, c.vx::BIGINT AS vec_id,
                s.n::BIGINT AS cluster_size
         FROM ecomp c JOIN esz s USING (component)
+    """
+
+    # pii_scrub: patterns imported from functions/text.py so the engines
+    # cannot drift; DuckDB regexp_replace needs the explicit 'g' flag to
+    # match Spark's replace-all semantics.
+    _pii_counts = ",\n               ".join(
+        f"len(regexp_extract_all(text, '{pat}'))::BIGINT AS n_{name}"
+        for name, pat, _ in TX.PII_PATTERNS)
+    _pii_scrubbed = "text"
+    for _name, _pat, _repl in TX.PII_PATTERNS:
+        _pii_scrubbed = (f"regexp_replace({_pii_scrubbed}, "
+                         f"'{_pat}', '{_repl}', 'g')")
+    sql["pii_scrub"] = f"""
+        SELECT doc_id,
+               {_pii_counts},
+               md5({_pii_scrubbed}) AS scrub_md5
+        FROM documents
+    """
+
+    sql["unigram_logppl"] = """
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+            FROM documents
+        ), cnt AS (
+            SELECT tok, count(*) AS n FROM tok GROUP BY 1
+        ), p AS (
+            SELECT tok, n * 1.0 / (SELECT sum(n) FROM cnt) AS p FROM cnt
+        )
+        SELECT doc_id, count(*)::BIGINT AS n_tokens,
+               (round(avg(-log2(p.p)) + 1e-9, 4) + 0.0) AS logppl
+        FROM tok JOIN p USING (tok)
+        GROUP BY doc_id
+    """
+
+    sql["bpe_pair_counts"] = """
+        WITH w AS (
+            SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+            FROM documents
+        ), v AS (
+            SELECT word, count(*) AS wn FROM w
+            WHERE length(word) >= 2 GROUP BY 1
+        ), pr AS (
+            SELECT wn,
+                   unnest(list_transform(range(1, length(word)),
+                                         i -> substr(word, i::INT, 2)))
+                   AS pair
+            FROM v
+        )
+        SELECT pair, sum(wn)::BIGINT AS n
+        FROM pr GROUP BY 1
+        ORDER BY n DESC, pair LIMIT 20
     """
 
     sql["oov_rate"] = """

@@ -122,8 +122,10 @@ def main() -> None:
     for name in ("hash_split", "stratified_sample", "decontaminate",
                  "doc_repetition", "source_mix", "pack_documents",
                  "pq_topk", "ivf_pq_topk", "seasonal_baseline",
-                 # round 4: best-doc near-dup collapse + vocab coverage
-                 "collapse_near_dups", "oov_rate"):
+                 # round 4: best-doc near-dup collapse + vocab coverage,
+                 # embedding near-dup clusters, governance/tokenizer ops
+                 "collapse_near_dups", "oov_rate", "emb_neardup_clusters",
+                 "pii_scrub", "unigram_logppl", "bpe_pair_counts"):
         t0 = time.time()
         run(qs[name](spark, sf_dir))
         corpus[name] = round(time.time() - t0, 3)

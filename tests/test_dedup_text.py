@@ -194,6 +194,25 @@ def test_lsh_neardup_pairs_no_cartesian_in_plan(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_pii_scrub_exact(spark):
+    """Redaction hits email/ip/phone shapes exactly and leaves near-misses
+    (3-octet runs, domains without a TLD dot) untouched."""
+    df = spark.createDataFrame(
+        [(1, "mail a@b.io or 192.168.0.1 call 555-123-4567 end"),
+         (2, "near-miss 1234.5.6 and user@nodot stay"),
+         (3, "")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id", TX.pii_scrub("text").alias("t"),
+        *[TX.pii_count("text", p).alias(f"n_{n}")
+          for n, p, _ in TX.PII_PATTERNS]).collect()}
+    assert out[1]["t"] == "mail <EMAIL> or <IP> call <PHONE> end"
+    assert (out[1]["n_email"], out[1]["n_ipv4"], out[1]["n_phone"]) == (1, 1, 1)
+    assert out[2]["t"] == "near-miss 1234.5.6 and user@nodot stay"
+    assert (out[2]["n_email"], out[2]["n_ipv4"], out[2]["n_phone"]) == (0, 0, 0)
+    assert out[3]["t"] == ""
+
+
 # -- rolling hash + winnowing -------------------------------------------------
 
 def test_rolling_hash_order_sensitive(spark):

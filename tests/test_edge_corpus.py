@@ -42,6 +42,10 @@ EDGE_DOCS = [
     (12, "numbers 123 456 789 000 123 456", "en", "src5"),
     (13, "CamelCase MiXeD CASE case", "en", "src6"),
     (14, "unicode emoji \U0001f600 \U0001f680 between words", "en", "src6"),
+    # planted PII: email + ipv4 + phone + near-miss shapes (redaction must
+    # hit the first three and leave the near-misses)
+    (15, "contact bob.smith+x@ex-ample.co.uk or 10.0.255.1 call "
+         "555-867-5309 not 1234.5.6 nor user@nodot", "en", "src7"),
 ]
 
 # text-family queries whose oracles only read `documents`
@@ -55,6 +59,8 @@ TEXT_QUERIES = [
     "tfidf_top_terms", "decontaminate", "simhash48_pairs",
     # round 4: best-doc retention collapse + vocab-coverage diagnostic
     "collapse_near_dups", "oov_rate",
+    # round 4: governance/tokenizer ops (PII doc 15 exercises redaction)
+    "pii_scrub", "unigram_logppl", "bpe_pair_counts",
 ]
 
 

@@ -103,6 +103,35 @@ def fingerprint(col: ColumnOrName) -> Column:
     return F.md5(canon)
 
 
+# PII patterns shared by the engine and the SQL oracle. Deliberately
+# restricted to syntax with IDENTICAL semantics in Java regex (Spark) and
+# RE2 (DuckDB): character classes, bounded repetition, \b, ASCII \d — no
+# lookaround, no backrefs. Scrub order is fixed (email → ipv4 → phone) so
+# the rewritten text is deterministic; counts are measured on the ORIGINAL
+# text per pattern, so overlapping matches count under every pattern they
+# hit (mirrored exactly in the oracle).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+]
+
+
+def pii_count(col: ColumnOrName, pattern: str) -> Column:
+    """Match count of one PII pattern — ``size(regexp_extract_all(...))``,
+    pure JVM regex inside codegen (no UDF)."""
+    return F.size(F.regexp_extract_all(_c(col), F.lit(pattern), 0))
+
+
+def pii_scrub(col: ColumnOrName) -> Column:
+    """Text with every PII match replaced by its typed placeholder, applied
+    in the fixed PII_PATTERNS order."""
+    out = _c(col)
+    for _, pattern, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, repl)
+    return out
+
+
 # Rabin-Karp style polynomial rolling hash, computed over per-token base
 # hashes. B/P chosen so every intermediate stays inside int64:
 # acc < P ≈ 2^31 and tok_hash < 2^32, so acc·B + tok < 2^31·2^5 + 2^32 ≪ 2^63.
