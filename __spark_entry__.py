@@ -2014,6 +2014,41 @@ def q_bpe_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy(F.col("n").desc(), "pair").limit(20))
 
 
+def q_quality_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-weighted corpus mixing: keep each document with
+    probability = its quality score, decided by the deterministic
+    hash-threshold sampler (no rand(), no shuffle — a pure filter that
+    replays identically in any engine / on any cluster). Output is the
+    per-source audit aggregate with integer-only columns, so the oracle
+    compares the exact accept/reject set, not rounded floats."""
+    docs = load_table(spark, sf, "documents")
+    kept = SMP.weighted_hash_sample(docs, TX.quality_score("text"), "doc_id")
+    return (kept.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.sum("doc_id").alias("kept_id_sum")))
+
+
+def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Context-window chunking (RAG / embedding prep): split each
+    document into overlapping token windows (64 tokens, stride 32) and
+    emit one row per chunk with its token count and content digest.
+    Pure higher-order functions over the token array — one map stage,
+    no shuffle, no UDF; at 100 TB this is embarrassingly parallel."""
+    docs = load_table(spark, sf, "documents")
+    tk = docs.select(
+        "doc_id",
+        F.split(F.trim(F.col("text")), r"\s+").alias("_toks"))
+    long = tk.select(
+        "doc_id", "_toks",
+        F.explode(F.expr("sequence(1, size(_toks), 32)")).alias("start"))
+    chunk = F.slice(F.col("_toks"), F.col("start"), 64)
+    return long.select(
+        "doc_id",
+        ((F.col("start") - 1) / 32).cast("int").alias("chunk_id"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's anomaly detector over sf0.001 events."""
     return q_anomaly_detect(spark, SF_SMOKE)
@@ -2048,10 +2083,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "cube_summary": q_cube_summary,
         "sessionize": q_sessionize,
-        "percentile_summary": q_percentile_summary,
         "grouping_sets": q_grouping_sets,
         "gap_detect": q_gap_detect,
-        "histogram": q_histogram,
         "weighted_stats": q_weighted_stats,
         "tfidf_top_terms": q_tfidf_top_terms,
         "centroid_similarity": q_centroid_similarity,
@@ -2085,11 +2118,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "unigram_logppl": q_unigram_logppl,
         "bpe_pair_counts": q_bpe_pair_counts,
+        "quality_weighted_sample": q_quality_weighted_sample,
+        "chunk_documents": q_chunk_documents,
         "emb_near_dup": q_emb_near_dup,
         "multimodal_features": q_multimodal_features,
         # --- positions 51+: r1-evidence, pure built-in Catalyst
         #     (no round-3-refactored helper in their path); round-5 slots ---
         "horizontal_agg": q_horizontal_agg,
+        "percentile_summary": q_percentile_summary,
+        "histogram": q_histogram,
         "supplier_balance": q_supplier_balance,
         "customer_order_stats": q_customer_order_stats,
         "value_counts_topn": q_value_counts_topn,
@@ -3910,6 +3947,55 @@ def oracle_sql() -> dict[str, str]:
                {_pii_counts},
                md5({_pii_scrubbed}) AS scrub_md5
         FROM documents
+    """
+
+    # quality_weighted_sample: the accept decision replays the exact
+    # quality blend (same left-assoc float arithmetic as functions/
+    # text.py quality_score) against the md5 bucket — integer-only
+    # output, so any cross-engine accept/reject drift breaks the hash.
+    sql["quality_weighted_sample"] = rf"""
+        WITH t AS (
+            SELECT doc_id, source,
+                   CASE WHEN len(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+                   len(regexp_replace(text, '\s', '', 'g')) AS nonspace,
+                   len(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS punct,
+                   len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                   x -> list_contains({stop_en}, x))) AS hits,
+                   len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tok_l
+            FROM documents),
+        q AS (
+            SELECT doc_id, source,
+                   0.4 * (CASE WHEN n_tok BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END)
+                 + 0.3 * (1.0 - CASE WHEN nonspace <> 0
+                                THEN punct::DOUBLE / nonspace ELSE 0.0 END)
+                 + 0.3 * least(1.0, CASE WHEN n_tok_l <> 0
+                                    THEN hits::DOUBLE / n_tok_l ELSE 0.0 END * 5.0)
+                   AS quality
+            FROM t),
+        kept AS (
+            SELECT doc_id, source FROM q
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000
+                  < round(quality * 10000.0, 0)::BIGINT)
+        SELECT source, count(*)::BIGINT AS n_kept,
+               sum(doc_id)::BIGINT AS kept_id_sum
+        FROM kept GROUP BY source
+    """
+
+    sql["chunk_documents"] = """
+        WITH tk AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents
+        ), st AS (
+            SELECT doc_id, toks,
+                   unnest(range(1, len(toks) + 1, 32)) AS start
+            FROM tk
+        )
+        SELECT doc_id, ((start - 1) // 32)::INT AS chunk_id,
+               len(toks[start : start + 63])::INT AS n_chunk_tokens,
+               md5(array_to_string(toks[start : start + 63], ' ')) AS chunk_md5
+        FROM st
     """
 
     sql["unigram_logppl"] = """

@@ -125,7 +125,8 @@ def main() -> None:
                  # round 4: best-doc near-dup collapse + vocab coverage,
                  # embedding near-dup clusters, governance/tokenizer ops
                  "collapse_near_dups", "oov_rate", "emb_neardup_clusters",
-                 "pii_scrub", "unigram_logppl", "bpe_pair_counts"):
+                 "pii_scrub", "unigram_logppl", "bpe_pair_counts",
+                 "quality_weighted_sample", "chunk_documents"):
         t0 = time.time()
         run(qs[name](spark, sf_dir))
         corpus[name] = round(time.time() - t0, 3)

@@ -61,6 +61,8 @@ TEXT_QUERIES = [
     "collapse_near_dups", "oov_rate",
     # round 4: governance/tokenizer ops (PII doc 15 exercises redaction)
     "pii_scrub", "unigram_logppl", "bpe_pair_counts",
+    # round 4: quality-weighted mixing + context-window chunking
+    "quality_weighted_sample", "chunk_documents",
 ]
 
 

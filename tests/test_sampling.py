@@ -133,3 +133,24 @@ def test_pack_next_fit_buckets_are_independent(spark):
     # 50 docs/bucket, 2 per pack -> 25 packs per bucket
     per = out.groupby(["bucket", "pack_idx"]).size()
     assert (per == 2).all()
+
+
+def test_weighted_hash_sample_converges_and_is_deterministic(spark):
+    """Keep-rate tracks the per-row weight (importance-sampling contract)
+    and the accept set is identical across runs — no rand() anywhere."""
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        # weight alternates 0.2 / 0.8 by parity -> E[kept] = 0.5
+        F.when(F.col("id") % 2 == 0, 0.2).otherwise(0.8).alias("w"))
+    kept1 = SMP.weighted_hash_sample(df, F.col("w"), "doc_id").toPandas()
+    kept2 = SMP.weighted_hash_sample(df, F.col("w"), "doc_id").toPandas()
+    assert kept1["doc_id"].tolist() == kept2["doc_id"].tolist()
+    lo = kept1[kept1.doc_id % 2 == 0]
+    hi = kept1[kept1.doc_id % 2 == 1]
+    assert abs(len(lo) / 2000 - 0.2) < 0.03
+    assert abs(len(hi) / 2000 - 0.8) < 0.03
+    # weight 0 keeps nothing, weight 1 keeps everything
+    all_or_none = df.select("doc_id", F.lit(1.0).alias("w"))
+    assert SMP.weighted_hash_sample(all_or_none, F.col("w"), "doc_id").count() == 4000
+    zero = df.select("doc_id", F.lit(0.0).alias("w"))
+    assert SMP.weighted_hash_sample(zero, F.col("w"), "doc_id").count() == 0

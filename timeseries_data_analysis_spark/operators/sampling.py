@@ -84,6 +84,23 @@ def stratified_hash_sample(df: DataFrame, strata_col: str, id_col: str,
     return df.filter(b < thr)
 
 
+def weighted_hash_sample(df: DataFrame, weight: Column,
+                         id_col: str) -> DataFrame:
+    """Deterministic importance sampling: keep each row with probability
+    ``weight`` (a per-row [0,1] Column, e.g. a quality score) — the
+    data-mixing primitive behind quality-weighted corpus construction.
+
+    Same design contract as the other samplers: the accept decision is
+    ``hash_bucket(id) < round(weight·BUCKETS)`` — a pure filter (no
+    shuffle, no rand() nondeterminism), reproducible across engines,
+    retries, and cluster sizes, and stable under table growth. The
+    realized kept-fraction converges to E[weight] by uniformity of the
+    md5 bucket.
+    """
+    thr = F.round(weight * F.lit(float(BUCKETS)), 0).cast("bigint")
+    return df.filter(hash_bucket(id_col) < thr)
+
+
 def pack_next_fit(df: DataFrame, id_col: str, token_col: str,
                   budget: int, n_buckets: int = 32) -> DataFrame:
     """Sequence packing: group documents into packs of ≤ ``budget`` total
