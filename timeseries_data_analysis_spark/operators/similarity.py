@@ -142,7 +142,14 @@ def lsh_neardup_pairs(vectors: DataFrame, dim: int, threshold: float = 0.35,
     # band only (id, band, bucket) — the self-join shuffles 3 small ints
     # per banded row, never the vectors (carrying vectors through the
     # explode would shuffle ``bands`` copies of the whole corpus).
-    long = base.select("_id", F.posexplode(buckets).alias("band", "bucket"))
+    # localCheckpoint: the 24-plane projection is a HUGE expression tree
+    # (bands·bits·dim literals) whose codegen+eval would otherwise run
+    # on BOTH sides of the self-join and again in any downstream
+    # re-execution (e.g. connected components); the checkpointed frame
+    # is 3 ints per banded row — the same size class the CC edge list
+    # already materializes.
+    long = (base.select("_id", F.posexplode(buckets).alias("band", "bucket"))
+            .localCheckpoint())
     cand = (long.alias("a")
             .join(long.alias("b"), on=["band", "bucket"])
             .select(F.col("a._id").alias("id_l"), F.col("b._id").alias("id_r"))
@@ -150,6 +157,13 @@ def lsh_neardup_pairs(vectors: DataFrame, dim: int, threshold: float = 0.35,
             .distinct())
     # verify stage: fetch vectors for surviving candidates only — two
     # id-equi-joins shuffling the corpus once per side, then exact cosine.
+    # The explicit hash repartition matters when the vector side is small
+    # enough to broadcast: AQE then coalesces the distinct's output by
+    # BYTES (candidate rows are 16 B) and the CPU-bound cosine fold lands
+    # on a handful of tasks (measured 4 tasks / 4.2 s → 32 tasks / 2.2 s
+    # at sf0.1). With a large vector side the join's own shuffle fans out
+    # anyway and this exchange is reused by subset-key co-partitioning.
+    cand = cand.repartition(F.col("id_l"))
     va = base.select(F.col("_id").alias("id_l"), F.col("_v").alias("_va"))
     vb = base.select(F.col("_id").alias("id_r"), F.col("_v").alias("_vb"))
     sim = cosine(F.col("_va"), F.col("_vb"))
