@@ -1937,16 +1937,22 @@ def q_oov_rate(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_emb_neardup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dup CLUSTERS at scale: banded hyperplane LSH
-    candidates (6 bands × 4 sign bits, ids-only shuffle) → exact-cosine
+    candidates (6 bands × 8 sign bits, ids-only shuffle) → exact-cosine
     verify > 0.35 → connected components → (cluster_id, vec_id,
     cluster_size). The scale replacement for the exact all-pairs anchor
     `q_emb_near_dup`: no cross join anywhere — candidates come from a
     (band, bucket) equi-join, and precision is exact because every
     emitted edge is cosine-verified (banding only bounds recall).
+
+    8 bits/band = 256 buckets/band: the measured fix for bucket-space
+    saturation — at 4 bits the 10× corpus packed ~1250 vectors per
+    bucket and candidate pairs grew quadratically (15.8× time for 10×
+    data, SCALE.md §1d); bucket count must track corpus size, exactly
+    like the SimHash 16→48-bit widening.
     """
     emb = load_table(spark, sf, "embeddings")
     pairs = SIM.lsh_neardup_pairs(emb, dim=64, threshold=0.35,
-                                  bands=6, bits=4, seed=1000)
+                                  bands=6, bits=8, seed=1000)
     return (GR.dedup_clusters(pairs, src="id_l", dst="id_r")
             .select("cluster_id", F.col("doc_id").alias("vec_id"),
                     "cluster_size"))
@@ -3881,11 +3887,11 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # emb_neardup_clusters: replay the 6 banded hyperplane families
-    # (seeds 1000..1005, LCG — imported from operators/similarity.py so
-    # they cannot drift) as SQL literals, then the same candidate
-    # equi-join + exact-cosine verify + recursive-CTE min-label CC.
+    # (seeds 1000..1005, 8 bits/band, LCG — imported from operators/
+    # similarity.py so they cannot drift) as SQL literals, then the same
+    # candidate equi-join + exact-cosine verify + recursive-CTE CC.
     def _band_terms(seed: int) -> str:
-        planes = SIM._hyperplanes(dim=64, bits=4, seed=seed)
+        planes = SIM._hyperplanes(dim=64, bits=8, seed=seed)
         return "\n                 + ".join(
             f"CASE WHEN list_dot_product(v, "
             f"[{', '.join(repr(c) for c in plane)}])"
