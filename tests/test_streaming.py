@@ -456,3 +456,53 @@ def test_incremental_neardup_sink(spark, tmp_path):
     got = sorted(spark.read.parquet(out).toPandas()["doc_id"])
     assert got == [1, 3, 5]              # no duplicates
     assert spark.read.parquet(idx).where("_batch_id = 1").count() == 1
+
+
+def test_governance_ingest_sink(spark, tmp_path):
+    """Composed intake gate: low-quality docs dropped, PII scrubbed in
+    the stored text, language annotated, and cross-batch dedup runs on
+    the SCRUBBED text — two docs differing only in their (redacted)
+    contact address collapse as exact duplicates."""
+    src = tmp_path / "docs"
+    src.mkdir()
+    idx = str(tmp_path / "digest_index")
+    out = str(tmp_path / "clean")
+    ckpt = str(tmp_path / "ckpt")
+    doc_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+
+    def write_batchfile(name, rows):
+        spark.createDataFrame(rows, doc_schema).coalesce(1) \
+            .write.mode("overwrite").parquet(str(src / name))
+
+    write_batchfile("b0", [
+        (1, "the quick brown fox jumps over the lazy dog and then some"),
+        (2, "!!! ??? ... ---"),                       # punct-only: quality 0
+        (3, "please contact bob@example.com about the offer and timing"),
+    ])
+    write_batchfile("b1", [
+        # differs from doc 3 ONLY in the email -> dup after scrubbing
+        (4, "please contact alice@other.org about the offer and timing"),
+        (5, "this is the fresh unique content of note"),
+    ])
+
+    stream = SJ.stream_source(spark, f"{src}/*", doc_schema,
+                              max_files_per_trigger=1)
+    q = (SJ.governance_ingest_sink(stream, idx, out, min_quality=0.35)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out).toPandas().sort_values("doc_id")
+    assert got["doc_id"].tolist() == [1, 3, 5]
+    by_id = dict(zip(got["doc_id"], got["text"]))
+    assert "<EMAIL>" in by_id[3] and "@" not in by_id[3]
+    assert set(got["_lang"]) == {"en"}
+    # batch equivalence: the same gate as a plain batch transform
+    batch_docs = spark.createDataFrame(
+        [(2, "!!! ??? ... ---"), (5, "this is the fresh unique content of note")],
+        doc_schema)
+    kept = SJ.governance_transform(batch_docs, min_quality=0.35).toPandas()
+    assert kept["doc_id"].tolist() == [5]

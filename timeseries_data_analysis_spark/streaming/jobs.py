@@ -293,6 +293,47 @@ def incremental_dedup_sink(docs_stream: DataFrame, index_path: str,
             .outputMode("update"))
 
 
+def governance_transform(docs: DataFrame, text_col: str = "text",
+                         min_quality: float = 0.3) -> DataFrame:
+    """The batch form of the corpus-governance gate: drop documents below
+    ``min_quality`` (the composite quality score), redact PII in the
+    surviving text, and annotate the detected language. Pure projection +
+    filter (JVM regex, no shuffle) — identical semantics in batch and in
+    every micro-batch, which is what makes the streaming sink's
+    batch/stream equivalence testable."""
+    from ..functions import text as TX
+
+    q = TX.quality_score(text_col)
+    return (docs.filter(q >= F.lit(min_quality))
+            .withColumn(text_col, TX.pii_scrub(text_col))
+            .withColumn("_lang", TX.lang_id(text_col)))
+
+
+def governance_ingest_sink(docs_stream: DataFrame, index_path: str,
+                           out_path: str, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           min_quality: float = 0.3):
+    """Continuous corpus ingestion with the FULL governance gate: each
+    micro-batch is quality-filtered, PII-scrubbed, language-annotated,
+    and exact-deduplicated against the persisted digest index — the
+    composed end-to-end shape of a production training-data intake.
+
+    Ordering matters and is deliberate: the digest is computed on the
+    SCRUBBED text, so two documents that differ only in redacted PII
+    (mirror pages with different contact footers) collapse as exact
+    duplicates. Reuses :func:`dedup_commit_batch`'s two-phase commit, so
+    the crash-window guarantees are identical to the plain dedup sink.
+    """
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        gated = governance_transform(batch_df, text_col=text_col,
+                                     min_quality=min_quality)
+        dedup_commit_batch(gated, batch_id, index_path, out_path,
+                           text_col=text_col, id_col=id_col)
+
+    return (docs_stream.writeStream.foreachBatch(process)
+            .outputMode("update"))
+
+
 def incremental_neardup_sink(docs_stream: DataFrame, index_path: str,
                              out_path: str, text_col: str = "text",
                              id_col: str = "doc_id", n: int = 2,
