@@ -2062,15 +2062,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS DELIBERATE: the driver's correctness gate checks
-    the first 50 entries per round. Round 4 rotates the 65 entries whose
-    driver evidence is r1/r2 (round 3 refactored shared helpers they flow
-    through: shingle-hash width parametrization, HOF-unary lambdas,
-    edge-gate NULL-key fixes, oracle dtype casts) to the front. The 50
-    highest-risk of those (custom operators in dedup/text/similarity/
-    tsindex/windows paths) take the checked slots; the 15 purest
-    built-in-Catalyst TPC-H queries (positions 51-65, zero custom helper
-    surface) wait for round 5; the 50 round-3 driver-greens close the
-    list (freshest evidence, least at risk)."""
+    the first 50 entries per round. Round 4 front-loads (a) the stale
+    r1/r2-evidence queries whose shared helpers round 3 refactored
+    (shingle-hash width parametrization, HOF-unary lambdas, edge-gate
+    NULL-key fixes, oracle dtype casts) and (b) every query ADDED in
+    round 4 — those have never had driver evidence at all, so they
+    outrank stale-but-once-green rows. The purest built-in-Catalyst
+    TPC-H queries (zero custom helper surface) wait beyond position 50
+    for round 5; the round-3 driver-greens close the list (freshest
+    evidence, least at risk)."""
     return {
         # --- round-4 front-50: r1/r2-evidence queries on refactored paths,
         #     then every never-driver-checked round-4 addition ---
