@@ -213,3 +213,60 @@ def test_stratified_sample_monotone_in_fraction(spark, frac):
     small = SMP.stratified_hash_sample(df, "g", "rid", {"x": frac})
     full = SMP.stratified_hash_sample(df, "g", "rid", {"x": min(1.0, frac + 0.3)})
     assert small.exceptAll(full).count() == 0
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.text(alphabet="ab @.-0123456789", min_size=0, max_size=60),
+                min_size=1, max_size=8))
+def test_pii_scrub_is_idempotent(spark, texts):
+    """Scrubbing already-scrubbed text is a no-op for arbitrary input —
+    the placeholders contain no digits or @, so no pattern can re-fire."""
+    from timeseries_data_analysis_spark.functions import text as TX
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    once = df.select("doc_id", TX.pii_scrub("text").alias("t"))
+    twice = once.select("doc_id", TX.pii_scrub("t").alias("t"))
+    assert [r["t"] for r in once.orderBy("doc_id").collect()] == \
+           [r["t"] for r in twice.orderBy("doc_id").collect()]
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(w=st.floats(0.0, 1.0))
+def test_weighted_sample_monotone_in_weight(spark, w):
+    """The kept set at weight w is nested inside the kept set at any
+    higher weight — per-row thresholds share one hash, so raising the
+    weight only ADMITS rows (rand() sampling has no such property)."""
+    from timeseries_data_analysis_spark.operators import sampling as SMP
+    df = spark.range(0, 300).withColumnRenamed("id", "rid")
+    lo = SMP.weighted_hash_sample(df, F.lit(w), "rid")
+    hi = SMP.weighted_hash_sample(df, F.lit(min(1.0, w + 0.25)), "rid")
+    assert lo.exceptAll(hi).count() == 0
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(n_tok=st.integers(1, 300))
+def test_chunking_covers_every_token_with_exact_overlap(spark, n_tok):
+    """For any document length: concatenating the stride-32 chunks minus
+    their 32-token overlaps reconstructs the token stream exactly —
+    chunk starts tile [1, n] with step 32, each chunk caps at 64."""
+    toks = [f"t{i}" for i in range(n_tok)]
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    from pyspark.sql import functions as FF
+    tk = df.select("doc_id", FF.split(FF.trim("text"), r"\s+").alias("_toks"))
+    long = tk.select(
+        "doc_id", FF.explode(FF.expr("sequence(1, size(_toks), 32)")).alias("start"),
+        FF.slice(FF.col("_toks"), FF.col("start"), 64).alias("chunk"))
+    rows = long.orderBy("start").collect()
+    # starts tile by 32 and every token position is inside >=1 chunk
+    starts = [r["start"] for r in rows]
+    assert starts == list(range(1, n_tok + 1, 32))
+    covered = []
+    for r in rows:
+        covered.extend(range(r["start"], r["start"] + len(r["chunk"])))
+    assert set(covered) == set(range(1, n_tok + 1))
+    # first 32 tokens of each chunk concatenated == the full stream
+    prefix = [t for r in rows for t in r["chunk"][:32]]
+    assert prefix == toks
