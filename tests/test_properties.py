@@ -160,6 +160,35 @@ def test_connected_components_matches_union_find(spark, edges):
     assert got == exp_norm
 
 
+@given(st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda p: p[0] != p[1]),
+    min_size=1, max_size=25))
+@settings(**SETTINGS)
+def test_star_contraction_matches_label_propagation(spark, edges):
+    """connected_components_star (alternating large/small star) returns
+    the identical (vertex, component) map as the label-propagation CC on
+    arbitrary graphs — same min-id semantics, same vertex universe."""
+    from timeseries_data_analysis_spark.operators import graph as GR
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "id_l long, id_r long")
+    lp = {(r["vertex"], r["component"])
+          for r in GR.connected_components(df, max_iter=40).collect()}
+    star = {(r["vertex"], r["component"])
+            for r in GR.connected_components_star(df, max_iter=40).collect()}
+    assert star == lp
+
+
+def test_star_contraction_long_chain(spark):
+    """A 60-node path graph (the adversarial high-diameter shape that
+    motivates star contraction at scale): one component, min-id root."""
+    from timeseries_data_analysis_spark.operators import graph as GR
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_l long, id_r long")
+    out = GR.connected_components_star(df).collect()
+    assert {r["component"] for r in out} == {0}
+    assert sorted(r["vertex"] for r in out) == list(range(61))
+
+
 @given(st.lists(st.text(alphabet="abc xyz", min_size=0, max_size=12),
                 min_size=0, max_size=6),
        st.integers(2, 4))
