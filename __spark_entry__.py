@@ -2020,6 +2020,24 @@ def q_bpe_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy(F.col("n").desc(), "pair").limit(20))
 
 
+def q_dedup_clusters_star(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup clustering via STAR CONTRACTION (Kiveris et al. SOCC'14):
+    the same near-dup pair graph as `dedup_clusters`, collapsed by the
+    edge-rewriting large-star/small-star loop instead of label
+    propagation — the variant whose per-round shuffle volume decays as
+    components contract (the billion-edge posture). Output contract and
+    oracle are identical to `dedup_clusters`, which is the point: two
+    independent distributed CC algorithms, one SQL truth."""
+    docs = load_table(spark, sf, "documents")
+    pairs = DD.simhash_hamming_pairs(docs, n=2, bits=16, bands=4, max_hamming=3)
+    cc = GR.connected_components_star(pairs)
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (cc.join(sizes, on="component")
+            .select(F.col("component").alias("cluster_id"),
+                    F.col("vertex").alias("doc_id"),
+                    "cluster_size"))
+
+
 def q_quality_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Quality-weighted corpus mixing: keep each document with
     probability = its quality score, decided by the deterministic
@@ -2087,7 +2105,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "rolling_hash": q_rolling_hash,
         "ngram_jaccard": q_ngram_jaccard,
-        "cube_summary": q_cube_summary,
         "sessionize": q_sessionize,
         "grouping_sets": q_grouping_sets,
         "gap_detect": q_gap_detect,
@@ -2126,12 +2143,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": q_bpe_pair_counts,
         "quality_weighted_sample": q_quality_weighted_sample,
         "chunk_documents": q_chunk_documents,
+        "dedup_clusters_star": q_dedup_clusters_star,
         "emb_near_dup": q_emb_near_dup,
         "multimodal_features": q_multimodal_features,
         # --- positions 51+: r1-evidence, pure built-in Catalyst
         #     (no round-3-refactored helper in their path); round-5 slots ---
         "horizontal_agg": q_horizontal_agg,
         "percentile_summary": q_percentile_summary,
+        "cube_summary": q_cube_summary,
         "histogram": q_histogram,
         "supplier_balance": q_supplier_balance,
         "customer_order_stats": q_customer_order_stats,
@@ -4147,6 +4166,10 @@ def oracle_sql() -> dict[str, str]:
         JOIN (SELECT component, count(*) AS n
               FROM comp GROUP BY 1) s USING (component)
     """
+
+    # dedup_clusters_star: same graph, same truth — star contraction must
+    # reproduce the label-propagation clusters bit for bit.
+    sql["dedup_clusters_star"] = sql["dedup_clusters"]
 
     sql["time_rolling"] = """
         SELECT user_id, event_id, ts,
