@@ -161,13 +161,15 @@ def test_connected_components_matches_union_find(spark, edges):
 
 
 @given(st.lists(
-    st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda p: p[0] != p[1]),
+    st.tuples(st.integers(0, 30), st.integers(0, 30)),
     min_size=1, max_size=25))
 @settings(**SETTINGS)
 def test_star_contraction_matches_label_propagation(spark, edges):
     """connected_components_star (alternating large/small star) returns
     the identical (vertex, component) map as the label-propagation CC on
-    arbitrary graphs — same min-id semantics, same vertex universe."""
+    arbitrary graphs — same min-id semantics, same vertex universe,
+    INCLUDING vertices whose only edges are self-loops (emitted as
+    singleton components by both)."""
     from timeseries_data_analysis_spark.operators import graph as GR
     df = spark.createDataFrame(
         [(int(a), int(b)) for a, b in edges], "id_l long, id_r long")

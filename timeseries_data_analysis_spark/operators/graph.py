@@ -132,16 +132,20 @@ def connected_components_star(edges: DataFrame, src: str = "id_l",
     label-propagation loop faster.
 
     Convergence = the small-star edge set reaches a fixpoint (compared
-    via exceptAll both ways — order-insensitive multiset equality).
+    via exceptAll — order-insensitive multiset equality, second
+    direction only consulted when the first finds nothing).
     """
-    e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-         .filter(F.col("a") != F.col("b"))
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e = (raw.filter(F.col("a") != F.col("b"))
          .distinct()
          .localCheckpoint())
     for _ in range(max_iter):
         e2 = _small_star(_large_star(e)).localCheckpoint()
-        changed = (e2.exceptAll(e).limit(1).count()
-                   + e.exceptAll(e2).limit(1).count())
+        # short-circuit: on non-final rounds the first direction already
+        # proves inequality — don't pay the second full co-group shuffle
+        changed = e2.exceptAll(e).limit(1).count()
+        if changed == 0:
+            changed = e.exceptAll(e2).limit(1).count()
         e = e2
         if changed == 0:
             # fixpoint: every edge is (child, root); roots label themselves
@@ -149,17 +153,31 @@ def connected_components_star(edges: DataFrame, src: str = "id_l",
                              F.col("b").alias("component")).distinct()
             children = e.select(F.col("a").alias("vertex"),
                                 F.col("b").alias("component"))
-            return children.union(roots).distinct()
+            labeled = children.union(roots)
+            # contract parity with connected_components: a vertex whose
+            # only edges are self-loops never enters the a!=b edge set —
+            # emit it as its own singleton component.
+            loop_only = (raw.filter(F.col("a") == F.col("b"))
+                         .select(F.col("a").alias("vertex"))
+                         .join(labeled.select("vertex"), on="vertex",
+                               how="left_anti")
+                         .select("vertex", F.col("vertex").alias("component")))
+            return labeled.union(loop_only).distinct()
     raise RuntimeError(
         f"connected_components_star did not converge in {max_iter} rounds")
 
 
 def dedup_clusters(pairs: DataFrame, src: str = "id_l",
-                   dst: str = "id_r", max_iter: int = 25) -> DataFrame:
+                   dst: str = "id_r", max_iter: int = 25,
+                   cc_fn=None) -> DataFrame:
     """Near-duplicate clusters from a candidate-pair table:
     (cluster_id = min doc id, doc_id, cluster_size). The keep-policy
-    "retain cluster_id, drop the rest" is then a single filter."""
-    cc = connected_components(pairs, src, dst, max_iter)
+    "retain cluster_id, drop the rest" is then a single filter.
+
+    ``cc_fn`` selects the connected-components engine (default label
+    propagation; pass :func:`connected_components_star` for the
+    edge-rewriting variant) — one cluster contract, two CC algorithms."""
+    cc = (cc_fn or connected_components)(pairs, src, dst, max_iter)
     w_size = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (cc.join(w_size, on="component")
             .select(F.col("component").alias("cluster_id"),
