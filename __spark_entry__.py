@@ -2020,6 +2020,53 @@ def q_bpe_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy(F.col("n").desc(), "pair").limit(20))
 
 
+def q_dedup_method_agreement(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup-threshold tuning diagnostic: the pair-level AGREEMENT matrix
+    between the two production near-dup detectors — MinHash-LSH
+    (exact-Jaccard-verified candidates) and 48-bit SimHash banding
+    (Hamming ≤ 3). One row per pair found by EITHER method, carrying
+    both exact measures and per-method flags; disagreement rows are
+    where a threshold review starts (Jaccard-high/SimHash-miss = banding
+    too tight; SimHash-hit/Jaccard-low = fingerprint collision). A
+    full-outer join of two already-bounded candidate sets — no new
+    all-pairs work."""
+    docs = load_table(spark, sf, "documents")
+    cands = DD.minhash_lsh_candidates(docs, num_hashes=16, bands=8)
+    m = (DD.ngram_jaccard(cands.select("id_l", "id_r").distinct(), docs)
+         .select("id_l", "id_r", _r(F.col("jaccard"), 4).alias("jaccard")))
+    s = (DD.simhash_hamming_pairs(docs, n=2, bits=48, bands=4,
+                                  max_hamming=3, hex_digits=12)
+         .select("id_l", "id_r", "hamming"))
+    return (m.join(s, on=["id_l", "id_r"], how="full_outer")
+            .select("id_l", "id_r", "jaccard", "hamming",
+                    F.when(F.col("jaccard").isNotNull(), 1).otherwise(0)
+                    .alias("in_minhash"),
+                    F.when(F.col("hamming").isNotNull(), 1).otherwise(0)
+                    .alias("in_simhash48")))
+
+
+def q_per_source_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source document cap (the "no single source dominates" corpus
+    rule): keep at most 20 documents per source, selected by
+    deterministic hash rank rather than arrival order — re-running on a
+    grown corpus keeps a stable, auditable subset instead of whatever
+    happened to arrive first. One window over (source) + a filter;
+    output is the per-source audit (totals, kept count, kept-id
+    checksum) with integer-only columns so the oracle pins the exact
+    kept set."""
+    docs = load_table(spark, sf, "documents")
+    w = Window.partitionBy("source").orderBy(
+        SMP.hash_bucket("doc_id"), F.col("doc_id"))
+    ranked = docs.select("source", "doc_id",
+                         F.row_number().over(w).alias("_rk"))
+    return (ranked.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.when(F.col("_rk") <= 20, 1).otherwise(0))
+                 .cast("bigint").alias("n_kept"),
+                 F.sum(F.when(F.col("_rk") <= 20, F.col("doc_id")))
+                 .cast("bigint").alias("kept_id_sum")))
+
+
 def q_dedup_clusters_star(spark: SparkSession, sf: str) -> DataFrame:
     """Dedup clustering via STAR CONTRACTION (Kiveris et al. SOCC'14):
     the same near-dup pair graph as `dedup_clusters`, collapsed by the
@@ -2101,7 +2148,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_hash": q_rolling_hash,
         "ngram_jaccard": q_ngram_jaccard,
         "sessionize": q_sessionize,
-        "grouping_sets": q_grouping_sets,
         "tfidf_top_terms": q_tfidf_top_terms,
         "centroid_similarity": q_centroid_similarity,
         "array_profile": q_array_profile,
@@ -2123,7 +2169,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma": q_ewma,
         "retention": q_retention,
         "rank_distribution": q_rank_distribution,
-        "calendar_features": q_calendar_features,
         "moments": q_moments,
         # --- new in round 4, never driver-checked: front-loaded so the
         #     round-4 driver run is their first evidence ---
@@ -2137,12 +2182,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_weighted_sample": q_quality_weighted_sample,
         "chunk_documents": q_chunk_documents,
         "dedup_clusters_star": q_dedup_clusters_star,
+        "per_source_cap": q_per_source_cap,
+        "dedup_method_agreement": q_dedup_method_agreement,
         "emb_near_dup": q_emb_near_dup,
         "multimodal_features": q_multimodal_features,
         # --- beyond the checked 50 (multimodal_features above is the
         #     50th entry): pure built-in Catalyst queries with r1
         #     evidence and zero custom-helper surface; round-5 slots ---
         "horizontal_agg": q_horizontal_agg,
+        "calendar_features": q_calendar_features,
+        "grouping_sets": q_grouping_sets,
         "gap_detect": q_gap_detect,
         "weighted_stats": q_weighted_stats,
         "percentile_summary": q_percentile_summary,
@@ -4091,8 +4140,10 @@ def oracle_sql() -> dict[str, str]:
     _mh_buckets = ", ".join(
         f"md5(array_to_string(sig[{b * 2 + 1}:{b * 2 + 2}], ','))"
         for b in range(8))
-    sql["minhash_lsh"] = f"""
-        WITH t AS (
+    # MinHash chain as a reusable CTE block (shared by minhash_lsh and
+    # the method-agreement diagnostic; names are disjoint from the
+    # simhash48 chain so the two compose in one WITH).
+    minhash_ctes = f"""t AS (
             SELECT doc_id, regexp_split_to_array(trim({norm}), '\\s+') AS t
             FROM documents
         ), sh AS (
@@ -4125,17 +4176,34 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.bn <= 1000 AND b.bn <= 1000
         ), shd AS (
             SELECT doc_id, list_distinct(s) AS s FROM sh
-        )
-        SELECT c.id_l, c.id_r,
+        ), mj AS (
+            SELECT c.id_l, c.id_r,
                (round(CASE WHEN len(da.s) + len(db.s)
                                - len(list_intersect(da.s, db.s)) > 0
                       THEN len(list_intersect(da.s, db.s))::DOUBLE
                            / (len(da.s) + len(db.s)
                               - len(list_intersect(da.s, db.s)))
                       ELSE 0.0 END + 1e-9, 4) + 0.0) AS jaccard
-        FROM cpairs c
-        JOIN shd da ON da.doc_id = c.id_l
-        JOIN shd db ON db.doc_id = c.id_r
+            FROM cpairs c
+            JOIN shd da ON da.doc_id = c.id_l
+            JOIN shd db ON db.doc_id = c.id_r
+        )"""
+
+    sql["minhash_lsh"] = f"""
+        WITH {minhash_ctes}
+        SELECT id_l, id_r, jaccard FROM mj
+    """
+
+    sql["dedup_method_agreement"] = f"""
+        WITH {minhash_ctes}, {simhash48_ctes}
+        SELECT COALESCE(m.id_l, s.id_l) AS id_l,
+               COALESCE(m.id_r, s.id_r) AS id_r,
+               m.jaccard, s.hamming,
+               CASE WHEN m.jaccard IS NOT NULL THEN 1 ELSE 0 END AS in_minhash,
+               CASE WHEN s.hamming IS NOT NULL THEN 1 ELSE 0 END AS in_simhash48
+        FROM mj m
+        FULL OUTER JOIN sp48 s
+          ON m.id_l = s.id_l AND m.id_r = s.id_r
     """
 
     # Connected components over the pair graph as a recursive CTE:
@@ -4166,6 +4234,20 @@ def oracle_sql() -> dict[str, str]:
     # dedup_clusters_star: same graph, same truth — star contraction must
     # reproduce the label-propagation clusters bit for bit.
     sql["dedup_clusters_star"] = sql["dedup_clusters"]
+
+    sql["per_source_cap"] = """
+        WITH r AS (
+            SELECT source, doc_id,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))
+                                ::BIGINT % 10000, doc_id) AS rk
+            FROM documents)
+        SELECT source, count(*)::BIGINT AS n_docs,
+               sum(CASE WHEN rk <= 20 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+               sum(CASE WHEN rk <= 20 THEN doc_id END)::BIGINT AS kept_id_sum
+        FROM r GROUP BY source
+    """
 
     sql["time_rolling"] = """
         SELECT user_id, event_id, ts,

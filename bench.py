@@ -135,7 +135,8 @@ def main() -> None:
                  # embedding near-dup clusters, governance/tokenizer ops
                  "collapse_near_dups", "oov_rate", "emb_neardup_clusters",
                  "pii_scrub", "unigram_logppl", "bpe_pair_counts",
-                 "quality_weighted_sample", "chunk_documents"):
+                 "quality_weighted_sample", "chunk_documents",
+                 "dedup_method_agreement", "per_source_cap"):
         t0 = time.time()
         run(qs[name](spark, sf_dir))
         corpus[name] = round(time.time() - t0, 3)

@@ -63,6 +63,8 @@ TEXT_QUERIES = [
     "pii_scrub", "unigram_logppl", "bpe_pair_counts",
     # round 4: quality-weighted mixing + context-window chunking
     "quality_weighted_sample", "chunk_documents",
+    # round 4: per-source caps, method-agreement matrix, star-CC clusters
+    "per_source_cap", "dedup_method_agreement", "dedup_clusters_star",
 ]
 
 
