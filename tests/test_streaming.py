@@ -506,3 +506,51 @@ def test_governance_ingest_sink(spark, tmp_path):
         doc_schema)
     kept = SJ.governance_transform(batch_docs, min_quality=0.35).toPandas()
     assert kept["doc_id"].tolist() == [5]
+
+
+def test_ivf_ingest_sink_matches_batch_assignment(spark, tmp_path):
+    """Streaming IVF maintenance: vectors arriving over two micro-batches
+    land in the same cell partitions a batch assignment of the union
+    would produce, and the store is physically partitioned by cell so a
+    probed search prunes to its cells' directories."""
+    import random
+    from timeseries_data_analysis_spark.operators import similarity as SIM
+    from timeseries_data_analysis_spark.operators.similarity import _assign_cells
+
+    random.seed(11)
+    rows = [(i, [random.gauss(0, 1) for _ in range(8)]) for i in range(60)]
+    vec_schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    src = tmp_path / "vecs"
+    src.mkdir()
+    spark.createDataFrame(rows[:30], vec_schema).coalesce(1) \
+        .write.mode("overwrite").parquet(str(src / "b0"))
+    spark.createDataFrame(rows[30:], vec_schema).coalesce(1) \
+        .write.mode("overwrite").parquet(str(src / "b1"))
+
+    full = spark.createDataFrame(rows, vec_schema)
+    cent = SIM.ivf_fit_centroids(full, n_centroids=4, seed=7)
+
+    out = str(tmp_path / "ivf_store")
+    stream = SJ.stream_source(spark, f"{src}/*", vec_schema,
+                              max_files_per_trigger=1)
+    q = (SJ.ivf_ingest_sink(stream, cent, out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out).toPandas()
+    assert len(got) == 60
+    exp = _assign_cells(full, cent, n_probe=1,
+                        id_col="vec_id", vec_col="embedding") \
+        .select("vec_id", "centroid_id").toPandas()
+    exp_map = dict(zip(exp["vec_id"], exp["centroid_id"]))
+    got_map = dict(zip(got["vec_id"], got["cell"]))
+    assert got_map == exp_map
+    # physical layout: one directory per cell (partition pruning = the
+    # inverted-index lookup)
+    import os as _os
+    cells = {d for d in _os.listdir(out) if d.startswith("cell=")}
+    assert cells == {f"cell={c}" for c in set(exp_map.values())}

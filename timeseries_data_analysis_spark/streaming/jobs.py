@@ -293,6 +293,41 @@ def incremental_dedup_sink(docs_stream: DataFrame, index_path: str,
             .outputMode("update"))
 
 
+def ivf_ingest_sink(vec_stream: DataFrame, centroids, out_path: str,
+                    id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Streaming ANN index maintenance: each micro-batch of new vectors
+    is assigned to its nearest IVF cell (broadcast centroids, the same
+    `_assign_cells` the batch query uses with ``n_probe=1``) and appended
+    to a CELL-PARTITIONED parquet store — the continuously-ingested
+    inverted file. A search then reads only its probed cells' partitions
+    (partition pruning does the inverted-index lookup), which is how an
+    ANN index absorbs a firehose at 100 TB: no global rebuild, just
+    cell-local appends; re-fitting centroids is an offline concern.
+
+    ``centroids`` is the (centroid_id, centroid) frame from
+    ``ivf_fit_centroids`` — frozen at sink creation (assignment must be
+    stable across batches for the store to stay consistent).
+    """
+    from ..operators.similarity import _assign_cells
+
+    cent = centroids
+    if not isinstance(cent, DataFrame):
+        raise TypeError("centroids must be a DataFrame "
+                        "(use ivf_fit_centroids)")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        assigned = _assign_cells(batch_df, cent, n_probe=1,
+                                 id_col=id_col, vec_col=vec_col)
+        # _assign_cells emits the vector as double-cast `_v`; store that
+        # (the cosine math downstream runs in double anyway)
+        (assigned.select(id_col, F.col("_v").alias(vec_col),
+                         F.col("centroid_id").alias("cell"))
+         .write.mode("append").partitionBy("cell").parquet(out_path))
+
+    return (vec_stream.writeStream.foreachBatch(process)
+            .outputMode("update"))
+
+
 def governance_transform(docs: DataFrame, text_col: str = "text",
                          min_quality: float = 0.3) -> DataFrame:
     """The batch form of the corpus-governance gate: drop documents below
