@@ -554,3 +554,44 @@ def test_ivf_ingest_sink_matches_batch_assignment(spark, tmp_path):
     import os as _os
     cells = {d for d in _os.listdir(out) if d.startswith("cell=")}
     assert cells == {f"cell={c}" for c in set(exp_map.values())}
+
+
+def test_ivf_store_topk_prunes_partitions(spark, tmp_path):
+    """Search over the ingested store: results equal an in-memory IVF
+    search with the same centroids/probes, and the physical scan reads
+    ONLY the probed cells (partition pruning is the index lookup)."""
+    import random
+    from timeseries_data_analysis_spark.operators import similarity as SIM
+
+    random.seed(13)
+    rows = [(i, [random.gauss(0, 1) for _ in range(8)]) for i in range(80)]
+    vec_schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    full = spark.createDataFrame(rows, vec_schema)
+    cent = SIM.ivf_fit_centroids(full, n_centroids=8, seed=3)
+    out = str(tmp_path / "store")
+    # build the store via the batch path (same layout as the sink)
+    from timeseries_data_analysis_spark.operators.similarity import _assign_cells
+    (_assign_cells(full, cent, n_probe=1, id_col="vec_id",
+                   vec_col="embedding")
+     .select("vec_id", F.col("_v").alias("embedding"),
+             F.col("centroid_id").alias("cell"))
+     .write.mode("overwrite").partitionBy("cell").parquet(out))
+
+    queries = full.filter(F.col("vec_id") < 3) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    got = SIM.ivf_store_topk(spark, out, queries, cent, k=3, n_probe=2)
+    ref = SIM.ivf_topk(full, queries, k=3, n_probe=2, centroids=cent)
+    g = {(r["query_id"], r["rk"]): r["vec_id"] for r in got.collect()}
+    r_ = {(r["query_id"], r["rk"]): r["vec_id"] for r in ref.collect()}
+    assert g == r_
+    # physical evidence: the store scan carries a PartitionFilters entry
+    # on `cell` (static partition pruning — unprobed cell directories are
+    # never listed; note inputFiles() reports the UNpruned relation, so
+    # the plan text is the authoritative check)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    scan_at = plan.index("PartitionFilters")
+    frag = plan[scan_at:scan_at + 300]
+    assert "cell" in frag and ("IN" in frag or "in(" in frag.lower()), frag

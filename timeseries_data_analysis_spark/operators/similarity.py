@@ -261,6 +261,45 @@ def _assign_cells(vectors: DataFrame, centroids: DataFrame, n_probe: int,
             .select(id_col, "_v", "centroid_id"))
 
 
+def ivf_store_topk(spark, store_path: str, queries: DataFrame,
+                   centroids: DataFrame, k: int = 5, n_probe: int = 2,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   query_id_col: str = "query_id") -> DataFrame:
+    """Probed top-k over a CELL-partitioned IVF store (as written by
+    ``streaming.jobs.ivf_ingest_sink``): each query's ``n_probe``
+    nearest cells become an IN-filter on the store's ``cell`` partition
+    column, so the parquet scan reads ONLY those cells' directories —
+    Spark's partition pruning IS the inverted-index lookup; no bespoke
+    index structure, no full scan. Exact cosine ranks within the probed
+    cells.
+
+    The probed-cell set is collected to literals deliberately: it is
+    ≤ |queries|·n_probe ints (queries are small by contract), and a
+    literal IN-list is what static partition pruning needs to elide
+    directories at planning time.
+    """
+    from pyspark.sql import Window
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("_qv"))
+    probed = _assign_cells(q, centroids, n_probe=n_probe,
+                           id_col="query_id", vec_col="_qv") \
+        .select("query_id", F.col("centroid_id").alias("cell"))
+    cells = sorted({r["cell"] for r in probed.select("cell")
+                   .distinct().collect()})
+    store = (spark.read.parquet(store_path)
+             .filter(F.col("cell").isin(cells)))
+    pairs = store.join(F.broadcast(probed), on="cell")
+    qv = q.select("query_id", "_qv")
+    scored = (pairs.join(F.broadcast(qv), on="query_id")
+              .filter(F.col(id_col) != F.col("query_id"))
+              .select("query_id", id_col,
+                      cosine(F.col(vec_col), F.col("_qv")).alias("sim")))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
+                                               F.col(id_col))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k))
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              n_centroids: int = 16, n_probe: int = 4,
              centroids: DataFrame | None = None,
