@@ -953,6 +953,31 @@ def q_source_mix(spark: SparkSession, sf: str) -> DataFrame:
                     .alias("sample_fraction")))
 
 
+def q_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-based language rebalancing (the multilingual
+    pretraining mixing rule: sampling probability ∝ n^α with α = 0.7, so
+    low-resource languages are boosted relative to their corpus share
+    without drowning high-resource ones). Per language: document count,
+    natural share, the α-tempered target share q_l = n_l^α / Σ n^α, and
+    the boost factor q_l / p_l a sampler would apply. Same two-agg +
+    1-row-broadcast shape as the source-mix plan — no shuffle grows with
+    the corpus."""
+    docs = load_table(spark, sf, "documents")
+    per = (docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")))
+    powed = per.select("lang", "n_docs",
+                       F.pow(F.col("n_docs").cast("double"), 0.7)
+                       .alias("_pw"))
+    tot = powed.agg(F.sum("n_docs").alias("_tot"),
+                    F.sum("_pw").alias("_ptot"))
+    p = F.col("n_docs") / F.col("_tot")
+    q = F.col("_pw") / F.col("_ptot")
+    return (powed.crossJoin(F.broadcast(tot))
+            .select("lang", "n_docs",
+                    _r(p, 6).alias("natural_share"),
+                    _r(q, 6).alias("tempered_share"),
+                    _r(q / p, 6).alias("boost")))
+
+
 def q_pack_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Sequence packing audit: documents greedily packed into ≤256-token
     next-fit packs within 8 deterministic id-buckets (SMP.pack_next_fit),
@@ -2168,7 +2193,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sax_bucket_search": q_sax_bucket_search,
         "ewma": q_ewma,
         "retention": q_retention,
-        "rank_distribution": q_rank_distribution,
         "moments": q_moments,
         # --- new in round 4, never driver-checked: front-loaded so the
         #     round-4 driver run is their first evidence ---
@@ -2184,12 +2208,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_star": q_dedup_clusters_star,
         "per_source_cap": q_per_source_cap,
         "dedup_method_agreement": q_dedup_method_agreement,
+        "temperature_mix": q_temperature_mix,
         "emb_near_dup": q_emb_near_dup,
         "multimodal_features": q_multimodal_features,
         # --- beyond the checked 50 (multimodal_features above is the
         #     50th entry): pure built-in Catalyst queries with r1
         #     evidence and zero custom-helper surface; round-5 slots ---
         "horizontal_agg": q_horizontal_agg,
+        "rank_distribution": q_rank_distribution,
         "calendar_features": q_calendar_features,
         "grouping_sets": q_grouping_sets,
         "gap_detect": q_gap_detect,
@@ -4234,6 +4260,22 @@ def oracle_sql() -> dict[str, str]:
     # dedup_clusters_star: same graph, same truth — star contraction must
     # reproduce the label-propagation clusters bit for bit.
     sql["dedup_clusters_star"] = sql["dedup_clusters"]
+
+    sql["temperature_mix"] = """
+        WITH per AS (
+            SELECT lang, count(*) AS n FROM documents GROUP BY 1
+        ), p2 AS (
+            SELECT lang, n, power(n::DOUBLE, 0.7) AS pw FROM per
+        ), t AS (
+            SELECT sum(n) AS tot, sum(pw) AS ptot FROM p2
+        )
+        SELECT lang, n::BIGINT AS n_docs,
+               (round(n::DOUBLE / tot + 1e-9, 6) + 0.0) AS natural_share,
+               (round(pw / ptot + 1e-9, 6) + 0.0) AS tempered_share,
+               (round((pw / ptot) / (n::DOUBLE / tot) + 1e-9, 6) + 0.0)
+                   AS boost
+        FROM p2, t
+    """
 
     sql["per_source_cap"] = """
         WITH r AS (

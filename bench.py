@@ -136,7 +136,8 @@ def main() -> None:
                  "collapse_near_dups", "oov_rate", "emb_neardup_clusters",
                  "pii_scrub", "unigram_logppl", "bpe_pair_counts",
                  "quality_weighted_sample", "chunk_documents",
-                 "dedup_method_agreement", "per_source_cap"):
+                 "dedup_method_agreement", "per_source_cap",
+                 "temperature_mix"):
         t0 = time.time()
         run(qs[name](spark, sf_dir))
         corpus[name] = round(time.time() - t0, 3)
