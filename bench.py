@@ -137,7 +137,7 @@ def main() -> None:
                  "pii_scrub", "unigram_logppl", "bpe_pair_counts",
                  "quality_weighted_sample", "chunk_documents",
                  "dedup_method_agreement", "per_source_cap",
-                 "temperature_mix"):
+                 "temperature_mix", "bigram_logppl"):
         t0 = time.time()
         run(qs[name](spark, sf_dir))
         corpus[name] = round(time.time() - t0, 3)

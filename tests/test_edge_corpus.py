@@ -65,7 +65,7 @@ TEXT_QUERIES = [
     "quality_weighted_sample", "chunk_documents",
     # round 4: per-source caps, method-agreement matrix, star-CC clusters
     "per_source_cap", "dedup_method_agreement", "dedup_clusters_star",
-    "temperature_mix",
+    "temperature_mix", "bigram_logppl",
 ]
 
 
