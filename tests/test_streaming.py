@@ -539,7 +539,7 @@ def test_ivf_ingest_sink_matches_batch_assignment(spark, tmp_path):
     q = (SJ.ivf_ingest_sink(stream, cent, out)
          .option("checkpointLocation", str(tmp_path / "ckpt"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in 120s"
 
     got = spark.read.parquet(out).toPandas()
     assert len(got) == 60
@@ -549,10 +549,14 @@ def test_ivf_ingest_sink_matches_batch_assignment(spark, tmp_path):
     exp_map = dict(zip(exp["vec_id"], exp["centroid_id"]))
     got_map = dict(zip(got["vec_id"], got["cell"]))
     assert got_map == exp_map
-    # physical layout: one directory per cell (partition pruning = the
-    # inverted-index lookup)
+    # physical layout: batch-keyed dirs (replay overwrites, never
+    # appends) with one cell directory per batch inside — partition
+    # pruning on `cell` is the inverted-index lookup across batches
     import os as _os
-    cells = {d for d in _os.listdir(out) if d.startswith("cell=")}
+    batch_dirs = {d for d in _os.listdir(out) if d.startswith("ingest_batch=")}
+    assert len(batch_dirs) == 2
+    cells = {c for b in batch_dirs
+             for c in _os.listdir(f"{out}/{b}") if c.startswith("cell=")}
     assert cells == {f"cell={c}" for c in set(exp_map.values())}
 
 
@@ -592,6 +596,33 @@ def test_ivf_store_topk_prunes_partitions(spark, tmp_path):
     # never listed; note inputFiles() reports the UNpruned relation, so
     # the plan text is the authoritative check)
     plan = got._jdf.queryExecution().executedPlan().toString()
-    scan_at = plan.index("PartitionFilters")
-    frag = plan[scan_at:scan_at + 300]
-    assert "cell" in frag and ("IN" in frag or "in(" in frag.lower()), frag
+    scan_at = plan.index("PartitionFilters: [")
+    bracket = plan[scan_at + len("PartitionFilters: ["):]
+    bracket = bracket[:bracket.index("]")]
+    # the filter must be IN the partition-filter slot (an empty slot with
+    # the cell predicate demoted to PushedFilters would scan every cell)
+    assert "cell" in bracket and "IN" in bracket.upper(), bracket
+
+
+def test_ivf_ingest_replay_is_idempotent(spark, tmp_path):
+    """A micro-batch replayed after a crash between the data write and
+    the checkpoint commit rewrites its batch directory instead of
+    appending duplicates."""
+    import random
+    from timeseries_data_analysis_spark.operators import similarity as SIM
+
+    random.seed(29)
+    rows = [(i, [random.gauss(0, 1) for _ in range(8)]) for i in range(20)]
+    vec_schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    batch = spark.createDataFrame(rows, vec_schema)
+    cent = SIM.ivf_fit_centroids(batch, n_centroids=3, seed=5)
+    out = str(tmp_path / "store")
+    SJ.ivf_commit_batch(batch, 0, cent, out)
+    # crash window: data landed, checkpoint didn't — the engine replays
+    SJ.ivf_commit_batch(batch, 0, cent, out)
+    got = spark.read.parquet(out)
+    assert got.count() == 20
+    assert got.select("vec_id").distinct().count() == 20

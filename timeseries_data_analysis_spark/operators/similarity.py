@@ -281,11 +281,18 @@ def ivf_store_topk(spark, store_path: str, queries: DataFrame,
     from pyspark.sql import Window
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(vec_col).cast("array<double>").alias("_qv"))
-    probed = _assign_cells(q, centroids, n_probe=n_probe,
-                           id_col="query_id", vec_col="_qv") \
-        .select("query_id", F.col("centroid_id").alias("cell"))
-    cells = sorted({r["cell"] for r in probed.select("cell")
-                   .distinct().collect()})
+    # ONE evaluation of the probe assignment: the collected rows feed
+    # both the literal IN-list (what static pruning needs) and the
+    # (query, cell) probes frame — re-evaluating the lineage for the
+    # join would double the assignment work and, for a non-deterministic
+    # queries source, let the join-time probes diverge from the pruned
+    # cell set (silently losing candidates).
+    probe_rows = (_assign_cells(q, centroids, n_probe=n_probe,
+                                id_col="query_id", vec_col="_qv")
+                  .select("query_id", F.col("centroid_id").alias("cell"))
+                  .collect())
+    cells = sorted({r["cell"] for r in probe_rows})
+    probed = spark.createDataFrame(probe_rows)  # Rows keep their types
     store = (spark.read.parquet(store_path)
              .filter(F.col("cell").isin(cells)))
     pairs = store.join(F.broadcast(probed), on="cell")

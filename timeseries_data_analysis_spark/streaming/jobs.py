@@ -307,25 +307,44 @@ def ivf_ingest_sink(vec_stream: DataFrame, centroids, out_path: str,
     ``centroids`` is the (centroid_id, centroid) frame from
     ``ivf_fit_centroids`` — frozen at sink creation (assignment must be
     stable across batches for the store to stay consistent).
-    """
-    from ..operators.similarity import _assign_cells
 
+    Replay-safe like the other ingest sinks: each batch OVERWRITES its
+    own ``ingest_batch=<batch_id>`` directory (cell-partitioned inside),
+    so a micro-batch replayed after a crash between the data write and
+    the checkpoint commit rewrites the same files instead of appending
+    duplicates. Readers see (ingest_batch, cell) partition columns; a
+    probed search still prunes on ``cell`` across every batch directory.
+    """
     cent = centroids
     if not isinstance(cent, DataFrame):
         raise TypeError("centroids must be a DataFrame "
                         "(use ivf_fit_centroids)")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        assigned = _assign_cells(batch_df, cent, n_probe=1,
-                                 id_col=id_col, vec_col=vec_col)
-        # _assign_cells emits the vector as double-cast `_v`; store that
-        # (the cosine math downstream runs in double anyway)
-        (assigned.select(id_col, F.col("_v").alias(vec_col),
-                         F.col("centroid_id").alias("cell"))
-         .write.mode("append").partitionBy("cell").parquet(out_path))
+        ivf_commit_batch(batch_df, batch_id, cent, out_path,
+                         id_col=id_col, vec_col=vec_col)
 
     return (vec_stream.writeStream.foreachBatch(process)
             .outputMode("update"))
+
+
+def ivf_commit_batch(batch_df: DataFrame, batch_id: int,
+                     centroids: DataFrame, out_path: str,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> None:
+    """One micro-batch of :func:`ivf_ingest_sink`, module-level so tests
+    can replay it against the crash window: idempotent overwrite of the
+    batch-keyed directory."""
+    from ..operators.similarity import _assign_cells
+
+    assigned = _assign_cells(batch_df, centroids, n_probe=1,
+                             id_col=id_col, vec_col=vec_col)
+    # _assign_cells emits the vector as double-cast `_v`; store that
+    # (the cosine math downstream runs in double anyway)
+    (assigned.select(id_col, F.col("_v").alias(vec_col),
+                     F.col("centroid_id").alias("cell"))
+     .write.mode("overwrite").partitionBy("cell")
+     .parquet(f"{out_path}/ingest_batch={batch_id}"))
 
 
 def governance_transform(docs: DataFrame, text_col: str = "text",
