@@ -198,7 +198,7 @@ def test_pii_scrub_exact(spark):
     """Redaction hits email/ip/phone shapes exactly and leaves near-misses
     (3-octet runs, domains without a TLD dot) untouched."""
     df = spark.createDataFrame(
-        [(1, "mail a@b.io or 192.168.0.1 call 555-123-4567 end"),
+        [(1, "mail a@b.example.io or 192.168.0.1 call 555-123-4567 end"),
          (2, "near-miss 1234.5.6 and user@nodot stay"),
          (3, "")],
         "doc_id long, text string")

@@ -44,7 +44,7 @@ EDGE_DOCS = [
     (14, "unicode emoji \U0001f600 \U0001f680 between words", "en", "src6"),
     # planted PII: email + ipv4 + phone + near-miss shapes (redaction must
     # hit the first three and leave the near-misses)
-    (15, "contact bob.smith+x@ex-ample.co.uk or 10.0.255.1 call "
+    (15, "contact bob.smith+x@ex-ample.example.co.uk or 10.0.255.1 call "
          "555-867-5309 not 1234.5.6 nor user@nodot", "en", "src7"),
 ]
 

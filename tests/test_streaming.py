@@ -484,7 +484,7 @@ def test_governance_ingest_sink(spark, tmp_path):
     ])
     write_batchfile("b1", [
         # differs from doc 3 ONLY in the email -> dup after scrubbing
-        (4, "please contact alice@other.org about the offer and timing"),
+        (4, "please contact alice@example.org about the offer and timing"),
         (5, "this is the fresh unique content of note"),
     ])
 
