@@ -109,11 +109,22 @@ def main() -> None:
     # warm the JVM + parquet footers once (excluded from timings)
     run(qs["pricing_summary"](spark, sf_dir))
 
+    # Every query is min-of-2 trials: the host carries external load that
+    # flaps 2-3x within a single bench run (SCALE.md §6 — e.g. the same
+    # query measured 2.4 s and 16.2 s minutes apart), so a single draw
+    # is a load sample, not a plan property. The min is the defensible
+    # plan number; `trials_per_query` discloses the method.
+    def timed(name: str) -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            run(qs[name](spark, sf_dir))
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        run(qs[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        timings[name] = timed(name)
 
     # reference-parity workload (fixture generation excluded from timing).
     # min of 2 trials: this host shows 2-3x run-to-run variance under
@@ -138,9 +149,7 @@ def main() -> None:
                  "quality_weighted_sample", "chunk_documents",
                  "dedup_method_agreement", "per_source_cap",
                  "temperature_mix", "bigram_logppl"):
-        t0 = time.time()
-        run(qs[name](spark, sf_dir))
-        corpus[name] = round(time.time() - t0, 3)
+        corpus[name] = timed(name)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(json.dumps({
@@ -148,6 +157,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "trials_per_query": 2,
         "kiln_trials": kiln_trials,
         "corpus_queries": corpus,
         "corpus_total": round(sum(corpus.values()), 3),
