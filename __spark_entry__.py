@@ -2141,14 +2141,18 @@ def q_per_source_cap(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_dedup_clusters_star(spark: SparkSession, sf: str) -> DataFrame:
     """Dedup clustering via STAR CONTRACTION (Kiveris et al. SOCC'14):
-    the same near-dup pair graph as `dedup_clusters`, collapsed by the
+    collapsing the PRODUCTION 48-bit SimHash pair graph (the same
+    fingerprint width `collapse_near_dups` ships — SCALE.md §1c shows
+    the 16-bit demo graph saturates 692× at a 10× corpus, so the sparse
+    48-bit graph is the shape star contraction exists for) by the
     edge-rewriting large-star/small-star loop instead of label
     propagation — the variant whose per-round shuffle volume decays as
-    components contract (the billion-edge posture). Output contract and
-    oracle are identical to `dedup_clusters`, which is the point: two
-    independent distributed CC algorithms, one SQL truth."""
+    components contract (the billion-edge posture). Output contract
+    matches `dedup_clusters` deliberately: two independent distributed
+    CC algorithms, one recursive-CTE SQL truth."""
     docs = load_table(spark, sf, "documents")
-    pairs = DD.simhash_hamming_pairs(docs, n=2, bits=16, bands=4, max_hamming=3)
+    pairs = DD.simhash_hamming_pairs(docs, n=2, bits=48, bands=4,
+                                     max_hamming=3, hex_digits=12)
     return GR.dedup_clusters(pairs, cc_fn=GR.connected_components_star)
 
 
@@ -4305,9 +4309,31 @@ def oracle_sql() -> dict[str, str]:
               FROM comp GROUP BY 1) s USING (component)
     """
 
-    # dedup_clusters_star: same graph, same truth — star contraction must
-    # reproduce the label-propagation clusters bit for bit.
-    sql["dedup_clusters_star"] = sql["dedup_clusters"]
+    # dedup_clusters_star: same recursive-CTE CC truth as dedup_clusters,
+    # but over the 48-bit production pair graph (sp48) — the driver now
+    # oracle-checks star contraction on the sparse graph shape it was
+    # built for, not the saturated 16-bit demo.
+    sql["dedup_clusters_star"] = f"""
+        WITH RECURSIVE {simhash48_ctes},
+        sym AS (
+            SELECT id_l AS a, id_r AS b FROM sp48
+            UNION ALL
+            SELECT id_r AS a, id_l AS b FROM sp48
+        ), verts AS (
+            SELECT DISTINCT a AS v FROM sym
+        ), r AS (
+            SELECT v, v AS l FROM verts
+            UNION
+            SELECT s.b AS v, r.l
+            FROM r JOIN sym s ON r.v = s.a
+        ), comp AS (
+            SELECT v, min(l) AS component FROM r GROUP BY v
+        )
+        SELECT c.component AS cluster_id, c.v AS doc_id, s.n AS cluster_size
+        FROM comp c
+        JOIN (SELECT component, count(*) AS n
+              FROM comp GROUP BY 1) s USING (component)
+    """
 
     sql["bigram_logppl"] = """
         WITH tk AS (

@@ -153,3 +153,19 @@ def test_asof_join_rejects_bad_direction(spark):
     df = spark.createDataFrame([(1,)], "x: long")
     with pytest.raises(ValueError, match="backward/forward/nearest"):
         IV.asof_join(df, df, "x", "x", direction="sideways")
+
+
+def test_asof_join_keyless_warns_and_still_correct(spark):
+    """by=None is a bounded-input contract: the single-partition global
+    scan must WARN (so a keyless call inside a big pipeline is visible)
+    while producing correct backward semantics."""
+    import warnings
+
+    ldf = spark.createDataFrame([(10,), (25,)], "lts: long")
+    rdf = spark.createDataFrame([(5, 1.0), (20, 2.0)], "rts: long, val: double")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        out = IV.asof_join(ldf, rdf, "lts", "rts", value_cols=["val"])
+        rows = {r["lts"]: r["val"] for r in out.collect()}
+    assert rows == {10: 1.0, 25: 2.0}
+    assert any("single-partition" in str(w.message) for w in rec)

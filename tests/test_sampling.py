@@ -154,3 +154,15 @@ def test_weighted_hash_sample_converges_and_is_deterministic(spark):
     assert SMP.weighted_hash_sample(all_or_none, F.col("w"), "doc_id").count() == 4000
     zero = df.select("doc_id", F.lit(0.0).alias("w"))
     assert SMP.weighted_hash_sample(zero, F.col("w"), "doc_id").count() == 0
+
+
+def test_weighted_hash_sample_null_drops_and_clamps(spark):
+    """NULL weight -> row dropped (never sampled); out-of-range weights
+    clamp to [0, 1] instead of corrupting the threshold (ADVICE round 4)."""
+    df = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+    nulls = df.select("doc_id", F.lit(None).cast("double").alias("w"))
+    assert SMP.weighted_hash_sample(nulls, F.col("w"), "doc_id").count() == 0
+    over = df.select("doc_id", F.lit(7.5).alias("w"))
+    assert SMP.weighted_hash_sample(over, F.col("w"), "doc_id").count() == 1000
+    neg = df.select("doc_id", F.lit(-3.0).alias("w"))
+    assert SMP.weighted_hash_sample(neg, F.col("w"), "doc_id").count() == 0

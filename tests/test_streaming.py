@@ -626,3 +626,32 @@ def test_ivf_ingest_replay_is_idempotent(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 20
     assert got.select("vec_id").distinct().count() == 20
+
+
+def test_ivf_store_topk_empty_queries(spark, tmp_path):
+    """An empty queries frame returns a typed empty result instead of
+    crashing on schema inference from [] (ADVICE round 4)."""
+    import random
+    from timeseries_data_analysis_spark.operators import similarity as SIM
+    from timeseries_data_analysis_spark.operators.similarity import _assign_cells
+
+    random.seed(7)
+    rows = [(i, [random.gauss(0, 1) for _ in range(4)]) for i in range(20)]
+    vec_schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    full = spark.createDataFrame(rows, vec_schema)
+    cent = SIM.ivf_fit_centroids(full, n_centroids=4, seed=3)
+    out = str(tmp_path / "store")
+    (_assign_cells(full, cent, n_probe=1, id_col="vec_id",
+                   vec_col="embedding")
+     .select("vec_id", F.col("_v").alias("embedding"),
+             F.col("centroid_id").alias("cell"))
+     .write.mode("overwrite").partitionBy("cell").parquet(out))
+
+    empty = full.filter(F.col("vec_id") < 0) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    got = SIM.ivf_store_topk(spark, out, empty, cent, k=3, n_probe=2)
+    assert got.count() == 0
+    assert set(got.columns) == {"query_id", "vec_id", "sim", "rk"}

@@ -125,19 +125,34 @@ def asof_join(left: DataFrame, right: DataFrame,
     Reference: ``reindex(all_times, method='nearest')`` and latest-row
     probes (``data_generator.py:953``, ``dashboard.py:263-313``).
 
-    Implementation is the union-scan pattern — scalable and skew-free:
-    tag both sides, union on a common schema, sort per key by
-    ``(ts, side)``, and carry the last seen right-side values forward
-    with ``last(ignorenulls)``. The forward leg is the identical
-    running scan over a DESCENDING sort (same partitioning, so one
-    exchange total; ``nearest`` pays both sorts and picks per row).
-    No nested-loop, no per-key pandas (contrast ``merge_asof``). Ties
-    (equal ts) take the right row in every direction (right sorts
-    before left at equal ts).
+    Implementation is the union-scan pattern — scalable and skew-free
+    WHEN a ``by`` key is passed: tag both sides, union on a common
+    schema, sort per key by ``(ts, side)``, and carry the last seen
+    right-side values forward with ``last(ignorenulls)``. The forward
+    leg is the identical running scan over a DESCENDING sort (same
+    partitioning, so one exchange total; ``nearest`` pays both sorts
+    and picks per row). No nested-loop, no per-key pandas (contrast
+    ``merge_asof``). Ties (equal ts) take the right row in every
+    direction (right sorts before left at equal ts).
+
+    KEYLESS CONTRACT (``by=None``): a single global as-of scan has no
+    partition key, so BOTH tables funnel through one partition — the
+    correct semantics, but inherently sequential. It is intended for
+    bounded inputs only (a probe batch against a small dimension); a
+    ``UserWarning`` fires so a keyless call inside a big pipeline is
+    visible in logs instead of silently serializing. Mirrors the
+    ``category_codes.max_vocab`` bounded-contract discipline.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward/forward/nearest, "
                          f"got {direction!r}")
+    if by is None:
+        import warnings
+        warnings.warn(
+            "asof_join(by=None) runs a single-partition global scan — "
+            "correct, but sequential. Intended for bounded inputs only; "
+            "pass a `by` key to distribute.",
+            UserWarning, stacklevel=2)
     value_cols = value_cols or [
         c for c in right.columns
         if c != right_ts and (by is None or c != by[1])

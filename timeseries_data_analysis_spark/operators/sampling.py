@@ -96,8 +96,21 @@ def weighted_hash_sample(df: DataFrame, weight: Column,
     retries, and cluster sizes, and stable under table growth. The
     realized kept-fraction converges to E[weight] by uniformity of the
     md5 bucket.
+
+    NULL / out-of-range weights (same style as ``hash_split``'s NULL-id
+    note): a NULL weight makes the predicate NULL, so the row is DROPPED
+    — i.e. NULL means "never sample", which is the safe default for a
+    quality score that failed to compute. Weights are clamped to [0, 1]
+    before thresholding, so a weight > 1 keeps (not over-keeps) and a
+    negative weight drops — the documented probability contract holds
+    for any finite input.
     """
-    thr = F.round(weight * F.lit(float(BUCKETS)), 0).cast("bigint")
+    # NOTE: Spark's least/greatest SKIP nulls, so a bare clamp would
+    # turn a NULL weight into 1.0 (always-keep); the isNotNull guard
+    # keeps NULL → NULL threshold → row dropped.
+    clamped = F.when(weight.isNotNull(),
+                     F.greatest(F.lit(0.0), F.least(weight, F.lit(1.0))))
+    thr = F.round(clamped * F.lit(float(BUCKETS)), 0).cast("bigint")
     return df.filter(hash_bucket(id_col) < thr)
 
 

@@ -291,6 +291,14 @@ def ivf_store_topk(spark, store_path: str, queries: DataFrame,
                                 id_col="query_id", vec_col="_qv")
                   .select("query_id", F.col("centroid_id").alias("cell"))
                   .collect())
+    if not probe_rows:
+        # An empty queries frame yields zero probes; createDataFrame([])
+        # cannot infer a schema, so short-circuit with an explicitly
+        # typed empty result instead of crashing.
+        qid_t = dict(q.dtypes)["query_id"]
+        id_t = dict(spark.read.parquet(store_path).dtypes)[id_col]
+        return spark.createDataFrame(
+            [], f"query_id {qid_t}, {id_col} {id_t}, sim double, rk int")
     cells = sorted({r["cell"] for r in probe_rows})
     probed = spark.createDataFrame(probe_rows)  # Rows keep their types
     store = (spark.read.parquet(store_path)
