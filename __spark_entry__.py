@@ -838,6 +838,39 @@ def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
                       _r(F.col("sim"), 6).alias("sim"))
 
 
+def q_ivf_store_search(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN scale path #2b, the PERSISTED-index shape: build the
+    cell-partitioned IVF store on disk (the layout
+    ``streaming.jobs.ivf_ingest_sink`` maintains incrementally), then
+    search it with ``ivf_store_topk`` — probed cells become a literal
+    IN-filter on the ``cell`` partition column, so static partition
+    pruning IS the inverted-index lookup (the physical PartitionFilters
+    assertion lives in ``test_streaming.py``). Same deterministic
+    seed-selection centroids and probe parameters as ``q_ivf_topk``, so
+    the search result is bit-identical to the in-memory IVF search and
+    shares its full-value SQL oracle — the store is pure physical
+    layout, not a semantic change."""
+    import os
+    emb = load_table(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    cent = SIM.dense_seed_ids(
+        emb.filter(F.col("vec_id") % 31 == 0)
+        .select("vec_id", F.col("embedding").alias("centroid")),
+        "vec_id", 16, "centroid_id", "centroid")
+    store = os.path.join(
+        "spark-warehouse", f"ivf_store_{os.path.basename(sf.rstrip('/'))}")
+    (SIM._assign_cells(emb, cent, n_probe=1, id_col="vec_id",
+                       vec_col="embedding")
+     .select("vec_id", F.col("_v").alias("embedding"),
+             F.col("centroid_id").alias("cell"))
+     .write.mode("overwrite").partitionBy("cell").parquet(store))
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = SIM.ivf_store_topk(spark, store, q, cent, k=5, n_probe=4)
+    return out.select("query_id", "vec_id", "rk",
+                      _r(F.col("sim"), 6).alias("sim"))
+
+
 def q_rolling_hash(spark: SparkSession, sf: str) -> DataFrame:
     """Order-SENSITIVE document fingerprint: Rabin-Karp polynomial rolling
     hash folded over per-token md5-prefix hashes (complements the
@@ -2198,18 +2231,51 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS DELIBERATE: the driver's correctness gate checks
-    the first 50 entries per round. Round 4 front-loads (a) the stale
-    r1/r2-evidence queries whose shared helpers round 3 refactored
-    (shingle-hash width parametrization, HOF-unary lambdas, edge-gate
-    NULL-key fixes, oracle dtype casts) and (b) every query ADDED in
-    round 4 — those have never had driver evidence at all, so they
-    outrank stale-but-once-green rows. The purest built-in-Catalyst
-    TPC-H queries (zero custom helper surface) wait beyond position 50
-    for round 5; the round-3 driver-greens close the list (freshest
-    evidence, least at risk)."""
+    the first 50 entries per round. Round 5 closes the staleness ledger:
+    first every query ADDED or CHANGED in round 5 (never / no-longer
+    driver-checked), then ALL 29 remaining rows whose driver evidence of
+    record is still r1/r2 (pure built-in Catalyst paths, held back two
+    rounds precisely because they have the least custom-helper surface;
+    `stride_sample` and `time_split` lead them since they touch
+    operators/topk.py and ml/pipeline.py helpers). After this round,
+    every registry row has driver evidence from r3+. The r3/r4
+    driver-greens close the list (freshest evidence, least at risk)."""
     return {
-        # --- round-4 front-50: r1/r2-evidence queries on refactored paths,
-        #     then every never-driver-checked round-4 addition ---
+        # --- round-5 new/changed queries: first driver evidence needed ---
+        "ivf_store_search": q_ivf_store_search,
+        "dedup_clusters_star": q_dedup_clusters_star,
+        # --- the 29 stale r1/r2-evidence rows (the full remaining
+        #     ledger; custom-helper-touching rows first) ---
+        "stride_sample": q_stride_sample,
+        "time_split": q_time_split,
+        "horizontal_agg": q_horizontal_agg,
+        "moments": q_moments,
+        "rank_distribution": q_rank_distribution,
+        "calendar_features": q_calendar_features,
+        "grouping_sets": q_grouping_sets,
+        "gap_detect": q_gap_detect,
+        "weighted_stats": q_weighted_stats,
+        "percentile_summary": q_percentile_summary,
+        "cube_summary": q_cube_summary,
+        "histogram": q_histogram,
+        "supplier_balance": q_supplier_balance,
+        "customer_order_stats": q_customer_order_stats,
+        "value_counts_topn": q_value_counts_topn,
+        "grade_share": q_grade_share,
+        "pricing_summary": q_pricing_summary,
+        "top_revenue_orders": q_top_revenue_orders,
+        "nation_revenue": q_nation_revenue,
+        "topk_per_type": q_topk_per_type,
+        "zero_variance": q_zero_variance,
+        "isin_sample": q_isin_sample,
+        "union_sources": q_union_sources,
+        "correlation": q_correlation,
+        "customers_without_orders": q_customers_without_orders,
+        "late_shipping_orders": q_late_shipping_orders,
+        "part_brand_revenue": q_part_brand_revenue,
+        "distinct_users": q_distinct_users,
+        "time_range_filter": q_time_range_filter,
+        # --- beyond the checked 50: r4 driver-greens ---
         "cat_codes": q_cat_codes,
         "lsh_topk": q_lsh_topk,
         "json_extract": q_json_extract,
@@ -2244,8 +2310,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sax_bucket_search": q_sax_bucket_search,
         "ewma": q_ewma,
         "retention": q_retention,
-        # --- new in round 4, never driver-checked: front-loaded so the
-        #     round-4 driver run is their first evidence ---
         "collapse_near_dups": q_collapse_near_dups,
         "oov_rate": q_oov_rate,
         "asof_nearest": q_asof_nearest,
@@ -2255,45 +2319,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": q_bpe_pair_counts,
         "quality_weighted_sample": q_quality_weighted_sample,
         "chunk_documents": q_chunk_documents,
-        "dedup_clusters_star": q_dedup_clusters_star,
         "per_source_cap": q_per_source_cap,
         "dedup_method_agreement": q_dedup_method_agreement,
         "temperature_mix": q_temperature_mix,
         "bigram_logppl": q_bigram_logppl,
         "emb_near_dup": q_emb_near_dup,
         "multimodal_features": q_multimodal_features,
-        # --- beyond the checked 50 (multimodal_features above is the
-        #     50th entry): pure built-in Catalyst queries with r1
-        #     evidence and zero custom-helper surface; round-5 slots ---
-        "horizontal_agg": q_horizontal_agg,
-        "moments": q_moments,
-        "rank_distribution": q_rank_distribution,
-        "calendar_features": q_calendar_features,
-        "grouping_sets": q_grouping_sets,
-        "gap_detect": q_gap_detect,
-        "weighted_stats": q_weighted_stats,
-        "percentile_summary": q_percentile_summary,
-        "cube_summary": q_cube_summary,
-        "histogram": q_histogram,
-        "supplier_balance": q_supplier_balance,
-        "customer_order_stats": q_customer_order_stats,
-        "value_counts_topn": q_value_counts_topn,
-        "grade_share": q_grade_share,
-        "pricing_summary": q_pricing_summary,
-        "top_revenue_orders": q_top_revenue_orders,
-        "nation_revenue": q_nation_revenue,
-        "topk_per_type": q_topk_per_type,
-        "stride_sample": q_stride_sample,
-        "time_split": q_time_split,
-        "zero_variance": q_zero_variance,
-        "isin_sample": q_isin_sample,
-        "union_sources": q_union_sources,
-        "correlation": q_correlation,
-        "customers_without_orders": q_customers_without_orders,
-        "late_shipping_orders": q_late_shipping_orders,
-        "part_brand_revenue": q_part_brand_revenue,
-        "distinct_users": q_distinct_users,
-        "time_range_filter": q_time_range_filter,
         # --- back half: round-3 driver-greens (freshest evidence) ---
         "null_profile": q_null_profile,
         "zone_drop_counts": q_zone_drop_counts,
@@ -3250,6 +3281,12 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, vec_id, rk, (round(s + 1e-9, 6) + 0.0) AS sim
         FROM ranked WHERE rk <= 5
     """
+
+    # ivf_store_search: the persisted cell-partitioned store is pure
+    # physical layout — the probed search is semantically identical to
+    # the in-memory IVF search, so the oracle IS ivf_topk's (same
+    # deterministic centroids, same k/n_probe, same tiebreaks).
+    sql["ivf_store_search"] = sql["ivf_topk"]
 
     # Shared fragment: per-token md5-prefix base hashes of normalized text
     # (same tokenization as doc_fingerprint, same 8-hex-prefix→bigint hash
