@@ -113,14 +113,20 @@ def main() -> None:
     # flaps 2-3x within a single bench run (SCALE.md §6 — e.g. the same
     # query measured 2.4 s and 16.2 s minutes apart), so a single draw
     # is a load sample, not a plan property. The min is the defensible
-    # plan number; `trials_per_query` discloses the method.
+    # plan number; `trials_per_query` discloses the method, and BOTH
+    # trials are recorded per query (`query_trials` / `corpus_trials`)
+    # so a reader can see which minima sat next to a load-inflated
+    # sibling draw without re-running.
+    trial_log: dict[str, list[float]] = {}
+
     def timed(name: str) -> float:
-        best = float("inf")
+        trials = []
         for _ in range(2):
             t0 = time.time()
             run(qs[name](spark, sf_dir))
-            best = min(best, time.time() - t0)
-        return round(best, 3)
+            trials.append(round(time.time() - t0, 3))
+        trial_log[name] = trials
+        return min(trials)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -161,6 +167,10 @@ def main() -> None:
         "kiln_trials": kiln_trials,
         "corpus_queries": corpus,
         "corpus_total": round(sum(corpus.values()), 3),
+        # full per-query trial pairs: the load-contamination audit trail
+        # (a big max-min spread marks a draw taken under external load)
+        "query_trials": {k: trial_log[k] for k in timings if k in trial_log},
+        "corpus_trials": {k: trial_log[k] for k in corpus},
         "sf": float(sf) if sf else None,
         # host contention snapshot — driver-vs-local timing deltas are
         # attributable only when the load at measurement time is known
