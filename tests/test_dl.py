@@ -325,3 +325,123 @@ def test_transformer_is_order_sensitive():
     p_fwd = m.forward(x)
     p_rev = m.forward(x[:, ::-1, :].copy())
     assert np.max(np.abs(p_fwd - p_rev)) > 1e-4
+
+
+# -- round 5: reference-default capacity (stacked / multi-head / bidir) ------
+
+def _fd_assert(m, x, y, n_probe=30, eps=1e-5, seed=1):
+    """Shared finite-difference gate for deep configs (eps=1e-5: deeper
+    nets amplify float cancellation at 1e-6 without any gradient error)."""
+    _, grad = m.loss_and_grad(x, y)
+    p0 = m.get_params()
+    rng = np.random.default_rng(seed)
+    for i in rng.choice(len(p0), size=n_probe, replace=False):
+        pp = p0.copy(); pp[i] += eps
+        m.set_params(pp)
+        lp, _ = m.loss_and_grad(x, y)
+        pm = p0.copy(); pm[i] -= eps
+        m.set_params(pm)
+        lm, _ = m.loss_and_grad(x, y)
+        num = (lp - lm) / (2 * eps)
+        assert abs(num - grad[i]) < 1e-5 * max(1.0, abs(num)), \
+            f"param {i}: numeric {num} vs analytic {grad[i]}"
+    m.set_params(p0)
+
+
+@pytest.mark.parametrize("layers,bidi", [(2, False), (1, True), (2, True)])
+def test_lstm_deep_gradient_matches_finite_differences(layers, bidi):
+    x, y = _toy(n=10, t=5, d=2)
+    _fd_assert(NumpyLSTM(2, hidden=4, seed=0, layers=layers,
+                         bidirectional=bidi), x, y)
+
+
+@pytest.mark.parametrize("n_layers,n_heads", [(2, 1), (1, 4), (2, 4)])
+def test_transformer_deep_gradient_matches_finite_differences(n_layers, n_heads):
+    x, y = _toy(n=10, t=5, d=2)
+    _fd_assert(NumpyTransformer(2, hidden=8, seed=0, n_layers=n_layers,
+                                n_heads=n_heads), x, y)
+
+
+def test_transformer_reference_default_learns_positional_rule():
+    """The reference-default capacity (2 encoder layers, 4 heads —
+    models.py:157-208) through the SAME scaffolding: held-out positional
+    rule an order-blind model cannot express."""
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((1500, 8, 2))
+    y = (x[:, -1, 0] > x[:, 0, 0]).astype(np.float64)
+    m = NumpyTransformer(2, hidden=8, seed=3, n_layers=2, n_heads=4)
+    m.fit_local(x, y, epochs=250, lr=0.02)
+    xte = rng.standard_normal((400, 8, 2))
+    yte = (xte[:, -1, 0] > xte[:, 0, 0]).astype(np.float64)
+    acc = float(np.mean((m.forward(xte) > 0.5) == (yte > 0.5)))
+    assert acc > 0.9, f"held-out accuracy {acc}"
+
+
+def test_bidirectional_lstm_learns_first_step_rule():
+    """Label = 1 iff the FIRST step of feature 0 is positive. The
+    bidirectional readout includes the backward cell's step-0 output
+    (which has seen the whole reversed sequence, i.e. the first element
+    last) — the capacity bidirectionality exists for. A unidirectional
+    last-state readout must carry the first element through T steps of
+    recurrence; the backward direction reads it directly."""
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((600, 8, 2))
+    y = (x[:, 0, 0] > 0).astype(np.float64)
+    m = NumpyLSTM(2, hidden=8, seed=1, bidirectional=True)
+    m.fit_local(x, y, epochs=150, lr=0.03)
+    xte = rng.standard_normal((300, 8, 2))
+    yte = (xte[:, 0, 0] > 0).astype(np.float64)
+    acc = float(np.mean((m.forward(xte) > 0.5) == (yte > 0.5)))
+    assert acc > 0.9, f"held-out accuracy {acc}"
+
+
+def test_deep_models_save_load_roundtrip(tmp_path):
+    """Deep hyperparameters survive save/load: the restored instance is
+    architecture-identical (params, Adam state, hyper) for the
+    reference-default configs."""
+    x, y = _toy(n=80, t=6, d=2)
+    m = NumpyLSTM(2, hidden=6, seed=2, layers=2, bidirectional=True)
+    m.fit_local(x, y, epochs=3)
+    m.save(str(tmp_path / "lstm"))
+    m2 = NumpyLSTM.load(str(tmp_path / "lstm"))
+    assert m2._hyper() == m._hyper()
+    np.testing.assert_array_equal(m.get_params(), m2.get_params())
+    np.testing.assert_array_equal(m.forward(x), m2.forward(x))
+
+    t = NumpyTransformer(2, hidden=8, seed=2, n_layers=2, n_heads=4)
+    t.fit_local(x, y, epochs=3)
+    t.save(str(tmp_path / "tr"))
+    t2 = NumpyTransformer.load(str(tmp_path / "tr"))
+    assert t2._hyper() == t._hyper()
+    np.testing.assert_array_equal(t.get_params(), t2.get_params())
+    np.testing.assert_array_equal(t.forward(x), t2.forward(x))
+
+
+def test_deep_distributed_fit_matches_local(spark):
+    """The treeAggregate epoch reproduces the local full-batch epoch for
+    the deep configs too (same mean gradient, same Adam step)."""
+    x, y = _toy(n=120, t=6, d=2, seed=11)
+    rows = [([float(v) for v in x[i, :, 0]],
+             [float(v) for v in x[i, :, 1]], float(y[i]))
+            for i in range(len(y))]
+    df = spark.createDataFrame(
+        rows, "f0: array<double>, f1: array<double>, label: double") \
+        .repartition(4)
+    for mk in (lambda: NumpyLSTM(2, hidden=4, seed=2, layers=2,
+                                 bidirectional=True),
+               lambda: NumpyTransformer(2, hidden=8, seed=2,
+                                        n_layers=2, n_heads=4)):
+        m_dist, m_loc = mk(), mk()
+        m_dist.fit_distributed(df, ["f0", "f1"], "label", epochs=2, lr=0.05)
+        m_loc.fit_local(x, y, epochs=2, lr=0.05)
+        np.testing.assert_allclose(m_dist.get_params(), m_loc.get_params(),
+                                   rtol=1e-9, atol=1e-9)
+
+
+def test_invalid_deep_configs_raise():
+    with pytest.raises(ValueError, match="layers"):
+        NumpyLSTM(2, layers=0)
+    with pytest.raises(ValueError, match="n_layers"):
+        NumpyTransformer(2, n_layers=0)
+    with pytest.raises(ValueError, match="n_heads"):
+        NumpyTransformer(2, hidden=6, n_heads=4)

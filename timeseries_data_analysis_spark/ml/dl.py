@@ -218,111 +218,215 @@ class TrainableSequenceModel:
         return m
 
 
-class NumpyLSTM(TrainableSequenceModel):
-    """Single-layer LSTM binary classifier with BPTT + Adam (numpy).
+def _lstm_cell_forward(x: np.ndarray, w_x: np.ndarray, w_h: np.ndarray,
+                       b: np.ndarray):
+    """One LSTM direction over a full sequence. x: (n, T, in) ->
+    (h_seq (n, T, H), per-step cache)."""
+    n, t_len, _ = x.shape
+    hh = w_h.shape[0]
+    h = np.zeros((n, hh))
+    c = np.zeros((n, hh))
+    steps = []
+    h_seq = np.empty((n, t_len, hh))
+    for t in range(t_len):
+        z = x[:, t, :] @ w_x + h @ w_h + b
+        i_g = _sigmoid(z[:, :hh])
+        f_g = _sigmoid(z[:, hh:2 * hh])
+        g_g = np.tanh(z[:, 2 * hh:3 * hh])
+        o_g = _sigmoid(z[:, 3 * hh:])
+        c_new = f_g * c + i_g * g_g
+        h_new = o_g * np.tanh(c_new)
+        steps.append((h, c, i_g, f_g, g_g, o_g, c_new))
+        h, c = h_new, c_new
+        h_seq[:, t, :] = h
+    return h_seq, steps
 
-    Reference ``models.py:113-155`` (``LSTMPredictor``). Weight layout:
-    ``w_x (d, 4H)``, ``w_h (H, 4H)``, ``b (4H,)`` with the gate order
-    ``[input, forget, cell, output]``; readout ``w_out (H,)``, ``b_out``.
-    Forget-gate bias initialized to +1 (standard trick so early training
-    does not forget everything).
+
+def _lstm_cell_backward(dh_seq: np.ndarray, x: np.ndarray, steps,
+                        w_x: np.ndarray, w_h: np.ndarray):
+    """Full BPTT for one direction given the loss gradient w.r.t. EVERY
+    timestep's hidden output (stacked layers consume the whole h_seq,
+    not just the last step). Returns (dx_seq, g_w_x, g_w_h, g_b)."""
+    n, t_len, _ = x.shape
+    hh = w_h.shape[0]
+    dh_rec = np.zeros((n, hh))
+    dc = np.zeros((n, hh))
+    g_w_x = np.zeros_like(w_x)
+    g_w_h = np.zeros_like(w_h)
+    g_b = np.zeros(4 * hh)
+    dx = np.zeros_like(x)
+    for t in range(t_len - 1, -1, -1):
+        dh = dh_seq[:, t, :] + dh_rec
+        h_prev, c_prev, i_g, f_g, g_g, o_g, c_new = steps[t]
+        tc = np.tanh(c_new)
+        do = dh * tc
+        dc = dc + dh * o_g * (1.0 - tc * tc)
+        di = dc * g_g
+        dg = dc * i_g
+        df = dc * c_prev
+        dz = np.concatenate([
+            di * i_g * (1.0 - i_g),
+            df * f_g * (1.0 - f_g),
+            dg * (1.0 - g_g * g_g),
+            do * o_g * (1.0 - o_g)], axis=1)
+        g_w_x += x[:, t, :].T @ dz
+        g_w_h += h_prev.T @ dz
+        g_b += dz.sum(axis=0)
+        dx[:, t, :] = dz @ w_x.T
+        dh_rec = dz @ w_h.T
+        dc = dc * f_g
+    return dx, g_w_x, g_w_h, g_b
+
+
+class NumpyLSTM(TrainableSequenceModel):
+    """Stackable, optionally bidirectional LSTM binary classifier with
+    full BPTT + Adam (numpy).
+
+    Reference ``models.py:113-155`` (``LSTMPredictor``; its defaults are
+    2 layers, bidirectional, hidden 64 — reachable here via
+    ``NumpyLSTM(d, hidden=64, layers=2, bidirectional=True)``; this
+    repo's pipelines default to the smaller 1×16 unidirectional config,
+    which trains faster at identical scaffolding). Per direction the
+    weight layout is ``w_x (in, 4H)``, ``w_h (H, 4H)``, ``b (4H,)``
+    with gate order ``[input, forget, cell, output]`` and forget bias
+    +1; layer l>0 consumes the (n, T, H·dirs) output sequence of layer
+    l-1, and the readout ``w_out (H·dirs,)`` reads the LAST timestep of
+    the top layer (torch semantics: that slot concatenates the forward
+    cell's step T-1 with the backward cell's step 0 — the step that has
+    seen the whole reversed sequence). Dropout/batch-norm are omitted:
+    full-batch float64 training doesn't need the regularizers.
+
+    For ``layers=1, bidirectional=False`` the flat parameter vector is
+    byte-identical to the round-3/4 single-layer layout, so existing
+    saved models load unchanged.
     """
 
-    def __init__(self, n_features: int, hidden: int = 16, seed: int = 42):
+    def __init__(self, n_features: int, hidden: int = 16, seed: int = 42,
+                 layers: int = 1, bidirectional: bool = False):
+        if layers < 1:
+            raise ValueError(f"layers must be >= 1, got {layers}")
         self.d = n_features
         self.h = hidden
+        self.layers = layers
+        self.bidirectional = bool(bidirectional)
+        self.dirs = 2 if bidirectional else 1
         rng = np.random.default_rng(seed)
-        s = 1.0 / np.sqrt(max(n_features, 1))
-        sh = 1.0 / np.sqrt(hidden)
-        self.w_x = rng.standard_normal((n_features, 4 * hidden)) * s
-        self.w_h = rng.standard_normal((hidden, 4 * hidden)) * sh
-        self.b = np.zeros(4 * hidden)
-        self.b[hidden:2 * hidden] = 1.0  # forget bias
-        self.w_out = rng.standard_normal(hidden) * sh
+        self.w_x, self.w_h, self.b = [], [], []
+        for layer in range(layers):
+            in_dim = n_features if layer == 0 else hidden * self.dirs
+            s = 1.0 / np.sqrt(max(in_dim, 1))
+            sh = 1.0 / np.sqrt(hidden)
+            wx_l, wh_l, b_l = [], [], []
+            for _ in range(self.dirs):
+                wx_l.append(rng.standard_normal((in_dim, 4 * hidden)) * s)
+                wh_l.append(rng.standard_normal((hidden, 4 * hidden)) * sh)
+                bb = np.zeros(4 * hidden)
+                bb[hidden:2 * hidden] = 1.0  # forget bias
+                b_l.append(bb)
+            self.w_x.append(wx_l)
+            self.w_h.append(wh_l)
+            self.b.append(b_l)
+        self.w_out = rng.standard_normal(hidden * self.dirs) \
+            * (1.0 / np.sqrt(hidden * self.dirs))
         self.b_out = 0.0
         self._init_opt()
 
     def _hyper(self) -> dict:
-        return {"n_features": self.d, "hidden": self.h}
+        return {"n_features": self.d, "hidden": self.h,
+                "layers": self.layers, "bidirectional": self.bidirectional}
 
     # -- parameter (de)serialization as one flat vector ---------------------
 
     def get_params(self) -> np.ndarray:
-        return np.concatenate([self.w_x.ravel(), self.w_h.ravel(), self.b,
-                               self.w_out, [self.b_out]])
+        parts = []
+        for layer in range(self.layers):
+            for d_ in range(self.dirs):
+                parts += [self.w_x[layer][d_].ravel(),
+                          self.w_h[layer][d_].ravel(),
+                          self.b[layer][d_]]
+        parts += [self.w_out, [self.b_out]]
+        return np.concatenate(parts)
 
     def set_params(self, flat: np.ndarray) -> None:
-        d, h = self.d, self.h
         i = 0
-        self.w_x = flat[i:i + d * 4 * h].reshape(d, 4 * h); i += d * 4 * h
-        self.w_h = flat[i:i + h * 4 * h].reshape(h, 4 * h); i += h * 4 * h
-        self.b = flat[i:i + 4 * h].copy(); i += 4 * h
-        self.w_out = flat[i:i + h].copy(); i += h
+        for layer in range(self.layers):
+            for d_ in range(self.dirs):
+                for attr in ("w_x", "w_h", "b"):
+                    cur = getattr(self, attr)[layer][d_]
+                    size = cur.size
+                    getattr(self, attr)[layer][d_] = \
+                        flat[i:i + size].reshape(cur.shape).copy()
+                    i += size
+        size = self.w_out.size
+        self.w_out = flat[i:i + size].copy(); i += size
         self.b_out = float(flat[i])
 
     # -- forward / backward --------------------------------------------------
 
     def forward(self, x: np.ndarray, cache: bool = False):
-        """x: (n, T, d) -> probs (n,). With ``cache`` returns the per-step
-        activations needed by :meth:`backward`."""
-        n, t_len, _ = x.shape
-        h = np.zeros((n, self.h))
-        c = np.zeros((n, self.h))
-        steps = []
-        hh = self.h
-        for t in range(t_len):
-            z = x[:, t, :] @ self.w_x + h @ self.w_h + self.b
-            i_g = _sigmoid(z[:, :hh])
-            f_g = _sigmoid(z[:, hh:2 * hh])
-            g_g = np.tanh(z[:, 2 * hh:3 * hh])
-            o_g = _sigmoid(z[:, 3 * hh:])
-            c_new = f_g * c + i_g * g_g
-            h_new = o_g * np.tanh(c_new)
-            if cache:
-                steps.append((h, c, i_g, f_g, g_g, o_g, c_new))
-            h, c = h_new, c_new
-        logit = h @ self.w_out + self.b_out
+        """x: (n, T, d) -> probs (n,). With ``cache`` returns the per-layer
+        per-step activations needed by :meth:`backward`."""
+        inp = x
+        layer_ctx = []
+        for layer in range(self.layers):
+            h_f, steps_f = _lstm_cell_forward(
+                inp, self.w_x[layer][0], self.w_h[layer][0], self.b[layer][0])
+            if self.bidirectional:
+                rev = inp[:, ::-1, :]
+                h_b_rev, steps_b = _lstm_cell_forward(
+                    rev, self.w_x[layer][1], self.w_h[layer][1],
+                    self.b[layer][1])
+                out = np.concatenate([h_f, h_b_rev[:, ::-1, :]], axis=2)
+                layer_ctx.append((inp, steps_f, rev, steps_b))
+            else:
+                out = h_f
+                layer_ctx.append((inp, steps_f, None, None))
+            inp = out
+        last = inp[:, -1, :]
+        logit = last @ self.w_out + self.b_out
         p = _sigmoid(logit)
         if cache:
-            return p, (x, steps, h)
+            return p, (x, layer_ctx, last)
         return p
 
     def backward(self, p: np.ndarray, y: np.ndarray, ctx) -> tuple[float, np.ndarray]:
-        """Mean BCE loss + flat gradient for one batch (full BPTT)."""
-        x, steps, h_last = ctx
+        """Mean BCE loss + flat gradient for one batch (full BPTT through
+        every layer and direction)."""
+        x, layer_ctx, last = ctx
         n, t_len, _ = x.shape
         hh = self.h
         eps = 1e-12
         loss = float(-np.mean(y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps)))
         dlogit = (p - y) / n                      # (n,)
-        g_w_out = h_last.T @ dlogit
+        g_w_out = last.T @ dlogit
         g_b_out = float(dlogit.sum())
-        dh = dlogit[:, None] * self.w_out[None, :]
-        dc = np.zeros((n, hh))
-        g_w_x = np.zeros_like(self.w_x)
-        g_w_h = np.zeros_like(self.w_h)
-        g_b = np.zeros_like(self.b)
-        for t in range(t_len - 1, -1, -1):
-            h_prev, c_prev, i_g, f_g, g_g, o_g, c_new = steps[t]
-            tc = np.tanh(c_new)
-            do = dh * tc
-            dc = dc + dh * o_g * (1.0 - tc * tc)
-            di = dc * g_g
-            dg = dc * i_g
-            df = dc * c_prev
-            dz = np.concatenate([
-                di * i_g * (1.0 - i_g),
-                df * f_g * (1.0 - f_g),
-                dg * (1.0 - g_g * g_g),
-                do * o_g * (1.0 - o_g)], axis=1)
-            g_w_x += x[:, t, :].T @ dz
-            g_w_h += h_prev.T @ dz
-            g_b += dz.sum(axis=0)
-            dh = dz @ self.w_h.T
-            dc = dc * f_g
-        grad = np.concatenate([g_w_x.ravel(), g_w_h.ravel(), g_b,
-                               g_w_out, [g_b_out]])
-        return loss, grad
+        dout = np.zeros((n, t_len, hh * self.dirs))
+        dout[:, -1, :] = dlogit[:, None] * self.w_out[None, :]
+        layer_grads = [None] * self.layers
+        for layer in range(self.layers - 1, -1, -1):
+            inp, steps_f, rev, steps_b = layer_ctx[layer]
+            dx_f, g_wx_f, g_wh_f, g_b_f = _lstm_cell_backward(
+                dout[:, :, :hh], inp, steps_f,
+                self.w_x[layer][0], self.w_h[layer][0])
+            if self.bidirectional:
+                # the backward cell ran over the time-reversed input; its
+                # per-step output gradient is the reversed tail slice
+                dh_b_rev = dout[:, ::-1, hh:]
+                dx_b_rev, g_wx_b, g_wh_b, g_b_b = _lstm_cell_backward(
+                    dh_b_rev, rev, steps_b,
+                    self.w_x[layer][1], self.w_h[layer][1])
+                dinp = dx_f + dx_b_rev[:, ::-1, :]
+                layer_grads[layer] = [g_wx_f.ravel(), g_wh_f.ravel(), g_b_f,
+                                      g_wx_b.ravel(), g_wh_b.ravel(), g_b_b]
+            else:
+                dinp = dx_f
+                layer_grads[layer] = [g_wx_f.ravel(), g_wh_f.ravel(), g_b_f]
+            dout = dinp
+        parts = []
+        for layer in range(self.layers):
+            parts += layer_grads[layer]
+        parts += [g_w_out, [g_b_out]]
+        return loss, np.concatenate(parts)
 
 
 def _positional_encoding(t_len: int, h: int) -> np.ndarray:
@@ -338,73 +442,101 @@ def _positional_encoding(t_len: int, h: int) -> np.ndarray:
 
 
 class NumpyTransformer(TrainableSequenceModel):
-    """Single-block, single-head Transformer encoder binary classifier
+    """Stackable multi-head Transformer encoder binary classifier
     (numpy, hand-derived backprop + Adam).
 
     Reference ``models.py:157-208`` (``TransformerModel``: input
     projection → ``nn.TransformerEncoder`` → last token → linear →
-    sigmoid). Honest simplifications, documented rather than hidden:
-    one encoder block with one attention head (reference defaults:
-    2 layers, 4 heads), no dropout/batch-norm (full-batch float64
-    training doesn't need the regularizers), internal LayerNorms
-    omitted (identity) — the residual structure is kept. A fixed
-    sinusoidal positional encoding is ADDED (the reference's encoder
-    has none, leaving it nearly permutation-invariant; position
-    information is the point of a sequence model).
+    sigmoid; reference defaults 2 layers / 4 heads — reachable here via
+    ``NumpyTransformer(d, hidden=16, n_layers=2, n_heads=4)``).
+    Remaining honest simplifications, documented rather than hidden:
+    no dropout (full-batch float64 training doesn't need the
+    regularizer), internal LayerNorms omitted (identity) — the
+    residual structure is kept. A fixed sinusoidal positional encoding
+    is ADDED (the reference's encoder has none, leaving it nearly
+    permutation-invariant; position information is the point of a
+    sequence model).
 
-    Key structural economy: with ONE block and a last-token readout,
-    only the last token's attention query and FFN path influence the
-    output — attending FROM the last position TO every position is
-    mathematically identical to running the full encoder and slicing
-    ``out[:, -1, :]``, at 1/T the FFN cost. The keys/values (and their
-    gradients) still span every position, so the model genuinely mixes
-    the whole sequence.
+    Every block runs FULL self-attention at every position (the round-4
+    single-block last-token-query economy was retired when stacking
+    landed: with L>1 blocks, every position of block l feeds block l+1,
+    so all queries are live; for L=1 the full encoder sliced at
+    ``[:, -1, :]`` is mathematically identical to the old economy path
+    — same probabilities, same gradients — just more arithmetic, which
+    is negligible at these model sizes). Multi-head attention splits H
+    into ``n_heads`` slices of H/n_heads with per-head softmax (scale
+    1/√(H/n_heads)), concatenated before the output projection —
+    Vaswani et al. 2017, public.
 
-    Weights: ``w_in (d,H)``, ``b_in (H)``, ``wq/wk/wv/wo (H,H)``,
-    FFN ``w1 (H,F)``, ``b1 (F)``, ``w2 (F,H)``, ``b2 (H)``, readout
-    ``w_out (H)``, ``b_out``; ``F = 2H`` by default.
+    Per-block weights: ``wq/wk/wv/wo (H,H)``, FFN ``w1 (H,F)``,
+    ``b1 (F)``, ``w2 (F,H)``, ``b2 (H)``; shared ``w_in (d,H)``,
+    ``b_in (H)``, readout ``w_out (H)``, ``b_out``; ``F = 2H`` by
+    default. For ``n_layers=1`` the flat parameter layout is identical
+    to the round-4 single-block vector, so saved models load unchanged.
     """
 
+    _BLOCK_FIELDS = ["wq", "wk", "wv", "wo", "w1", "b1", "w2", "b2"]
+
     def __init__(self, n_features: int, hidden: int = 16,
-                 ffn: int | None = None, seed: int = 42):
+                 ffn: int | None = None, seed: int = 42,
+                 n_layers: int = 1, n_heads: int = 1):
+        if n_layers < 1:
+            raise ValueError(f"n_layers must be >= 1, got {n_layers}")
+        if hidden % n_heads != 0:
+            raise ValueError(
+                f"hidden ({hidden}) must divide evenly by n_heads ({n_heads})")
         self.d = n_features
         self.h = hidden
         self.f = ffn if ffn is not None else 2 * hidden
+        self.n_layers = n_layers
+        self.n_heads = n_heads
         rng = np.random.default_rng(seed)
         s_in = 1.0 / np.sqrt(max(n_features, 1))
         s_h = 1.0 / np.sqrt(hidden)
         s_f = 1.0 / np.sqrt(self.f)
         self.w_in = rng.standard_normal((n_features, hidden)) * s_in
         self.b_in = np.zeros(hidden)
-        self.wq = rng.standard_normal((hidden, hidden)) * s_h
-        self.wk = rng.standard_normal((hidden, hidden)) * s_h
-        self.wv = rng.standard_normal((hidden, hidden)) * s_h
-        self.wo = rng.standard_normal((hidden, hidden)) * s_h
-        self.w1 = rng.standard_normal((hidden, self.f)) * s_h
-        self.b1 = np.zeros(self.f)
-        self.w2 = rng.standard_normal((self.f, hidden)) * s_f
-        self.b2 = np.zeros(hidden)
+        self.blocks = []
+        for _ in range(n_layers):
+            self.blocks.append({
+                "wq": rng.standard_normal((hidden, hidden)) * s_h,
+                "wk": rng.standard_normal((hidden, hidden)) * s_h,
+                "wv": rng.standard_normal((hidden, hidden)) * s_h,
+                "wo": rng.standard_normal((hidden, hidden)) * s_h,
+                "w1": rng.standard_normal((hidden, self.f)) * s_h,
+                "b1": np.zeros(self.f),
+                "w2": rng.standard_normal((self.f, hidden)) * s_f,
+                "b2": np.zeros(hidden),
+            })
         self.w_out = rng.standard_normal(hidden) * s_h
         self.b_out = 0.0
         self._init_opt()
 
     def _hyper(self) -> dict:
-        return {"n_features": self.d, "hidden": self.h, "ffn": self.f}
-
-    _FIELDS = ["w_in", "b_in", "wq", "wk", "wv", "wo",
-               "w1", "b1", "w2", "b2", "w_out"]
+        return {"n_features": self.d, "hidden": self.h, "ffn": self.f,
+                "n_layers": self.n_layers, "n_heads": self.n_heads}
 
     def get_params(self) -> np.ndarray:
-        return np.concatenate(
-            [getattr(self, f).ravel() for f in self._FIELDS] + [[self.b_out]])
+        parts = [self.w_in.ravel(), self.b_in]
+        for blk in self.blocks:
+            parts += [blk[f].ravel() for f in self._BLOCK_FIELDS]
+        parts += [self.w_out, [self.b_out]]
+        return np.concatenate(parts)
 
     def set_params(self, flat: np.ndarray) -> None:
         i = 0
-        for f in self._FIELDS:
-            shape = getattr(self, f).shape
-            size = int(np.prod(shape))
-            setattr(self, f, flat[i:i + size].reshape(shape).copy())
-            i += size
+        for arr_name in ("w_in", "b_in"):
+            cur = getattr(self, arr_name)
+            setattr(self, arr_name, flat[i:i + cur.size]
+                    .reshape(cur.shape).copy())
+            i += cur.size
+        for blk in self.blocks:
+            for f in self._BLOCK_FIELDS:
+                cur = blk[f]
+                blk[f] = flat[i:i + cur.size].reshape(cur.shape).copy()
+                i += cur.size
+        self.w_out = flat[i:i + self.w_out.size].copy()
+        i += self.w_out.size
         self.b_out = float(flat[i])
 
     # -- forward / backward --------------------------------------------------
@@ -412,65 +544,83 @@ class NumpyTransformer(TrainableSequenceModel):
     def forward(self, x: np.ndarray, cache: bool = False):
         """x: (n, T, d) -> probs (n,)."""
         n, t_len, _ = x.shape
+        nh, hd = self.n_heads, self.h // self.n_heads
+        scale = 1.0 / np.sqrt(hd)
         pe = _positional_encoding(t_len, self.h)
-        z0 = x @ self.w_in + self.b_in + pe            # (n,T,H)
-        k = z0 @ self.wk                               # (n,T,H)
-        v = z0 @ self.wv                               # (n,T,H)
-        q = z0[:, -1, :] @ self.wq                     # (n,H) last-token query
-        scale = 1.0 / np.sqrt(self.h)
-        scores = np.einsum("nh,nth->nt", q, k) * scale  # (n,T)
-        scores -= scores.max(axis=1, keepdims=True)     # stable softmax
-        e = np.exp(scores)
-        a = e / e.sum(axis=1, keepdims=True)            # (n,T)
-        s = np.einsum("nt,nth->nh", a, v)               # (n,H)
-        z1 = z0[:, -1, :] + s @ self.wo                 # residual (n,H)
-        pre = z1 @ self.w1 + self.b1                    # (n,F)
-        f1 = np.maximum(pre, 0.0)
-        z2 = z1 + f1 @ self.w2 + self.b2                # residual (n,H)
-        logit = z2 @ self.w_out + self.b_out
+        z = x @ self.w_in + self.b_in + pe             # (n,T,H)
+        block_ctx = []
+        for blk in self.blocks:
+            q = (z @ blk["wq"]).reshape(n, t_len, nh, hd)
+            k = (z @ blk["wk"]).reshape(n, t_len, nh, hd)
+            v = (z @ blk["wv"]).reshape(n, t_len, nh, hd)
+            scores = np.einsum("nqhd,nkhd->nhqk", q, k) * scale
+            scores -= scores.max(axis=3, keepdims=True)  # stable softmax
+            e = np.exp(scores)
+            a = e / e.sum(axis=3, keepdims=True)         # (n,nh,T,T)
+            s = np.einsum("nhqk,nkhd->nqhd", a, v).reshape(n, t_len, self.h)
+            z1 = z + s @ blk["wo"]                       # residual (n,T,H)
+            pre = z1 @ blk["w1"] + blk["b1"]             # (n,T,F)
+            f1 = np.maximum(pre, 0.0)
+            z2 = z1 + f1 @ blk["w2"] + blk["b2"]         # residual (n,T,H)
+            block_ctx.append((z, q, k, v, a, s, z1, pre, f1))
+            z = z2
+        last = z[:, -1, :]
+        logit = last @ self.w_out + self.b_out
         p = _sigmoid(logit)
         if cache:
-            return p, (x, z0, q, k, v, a, s, z1, pre, f1, z2)
+            return p, (x, block_ctx, last)
         return p
 
     def backward(self, p: np.ndarray, y: np.ndarray, ctx) -> tuple[float, np.ndarray]:
-        x, z0, q, k, v, a, s, z1, pre, f1, z2 = ctx
-        n = x.shape[0]
+        x, block_ctx, last = ctx
+        n, t_len, _ = x.shape
+        nh, hd = self.n_heads, self.h // self.n_heads
+        scale = 1.0 / np.sqrt(hd)
         eps = 1e-12
         loss = float(-np.mean(y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps)))
         dlogit = (p - y) / n                            # (n,)
-        g_w_out = z2.T @ dlogit
+        g_w_out = last.T @ dlogit
         g_b_out = float(dlogit.sum())
-        dz2 = dlogit[:, None] * self.w_out[None, :]     # (n,H)
-        # FFN (residual)
-        df1 = dz2 @ self.w2.T                           # (n,F)
-        g_w2 = f1.T @ dz2
-        g_b2 = dz2.sum(axis=0)
-        dpre = df1 * (pre > 0)
-        g_w1 = z1.T @ dpre
-        g_b1 = dpre.sum(axis=0)
-        dz1 = dz2 + dpre @ self.w1.T                    # (n,H)
-        # attention output projection (residual)
-        g_wo = s.T @ dz1
-        ds = dz1 @ self.wo.T                            # (n,H)
-        # s = sum_t a[n,t] v[n,t,:]
-        da = np.einsum("nh,nth->nt", ds, v)             # (n,T)
-        dv = a[:, :, None] * ds[:, None, :]             # (n,T,H)
-        # softmax jacobian (rowwise)
-        dscores = a * (da - (da * a).sum(axis=1, keepdims=True))
-        scale = 1.0 / np.sqrt(self.h)
-        dq = np.einsum("nt,nth->nh", dscores, k) * scale
-        dk = dscores[:, :, None] * q[:, None, :] * scale  # (n,T,H)
-        g_wq = z0[:, -1, :].T @ dq
-        g_wk = np.einsum("nth,ntk->hk", z0, dk)
-        g_wv = np.einsum("nth,ntk->hk", z0, dv)
-        dz0 = dk @ self.wk.T + dv @ self.wv.T           # (n,T,H)
-        dz0[:, -1, :] += dz1 + dq @ self.wq.T           # residual + query
-        g_w_in = np.einsum("ntd,nth->dh", x, dz0)
-        g_b_in = dz0.sum(axis=(0, 1))
-        grads = {"w_in": g_w_in, "b_in": g_b_in, "wq": g_wq, "wk": g_wk,
-                 "wv": g_wv, "wo": g_wo, "w1": g_w1, "b1": g_b1,
-                 "w2": g_w2, "b2": g_b2, "w_out": g_w_out}
-        grad = np.concatenate(
-            [grads[f].ravel() for f in self._FIELDS] + [[g_b_out]])
-        return loss, grad
+        dz = np.zeros((n, t_len, self.h))
+        dz[:, -1, :] = dlogit[:, None] * self.w_out[None, :]
+        block_grads = [None] * self.n_layers
+        for li in range(self.n_layers - 1, -1, -1):
+            blk = self.blocks[li]
+            z_in, q, k, v, a, s, z1, pre, f1 = block_ctx[li]
+            dz2 = dz                                     # (n,T,H)
+            # FFN (residual)
+            df1 = dz2 @ blk["w2"].T                      # (n,T,F)
+            g_w2 = np.einsum("ntf,nth->fh", f1, dz2)
+            g_b2 = dz2.sum(axis=(0, 1))
+            dpre = df1 * (pre > 0)
+            g_w1 = np.einsum("nth,ntf->hf", z1, dpre)
+            g_b1 = dpre.sum(axis=(0, 1))
+            dz1 = dz2 + dpre @ blk["w1"].T               # (n,T,H)
+            # attention output projection (residual)
+            g_wo = np.einsum("nth,ntk->hk", s, dz1)
+            ds = (dz1 @ blk["wo"].T).reshape(n, t_len, nh, hd)
+            da = np.einsum("nqhd,nkhd->nhqk", ds, v)     # (n,nh,T,T)
+            dv = np.einsum("nhqk,nqhd->nkhd", a, ds)
+            # softmax jacobian (per query row)
+            dscores = a * (da - (da * a).sum(axis=3, keepdims=True))
+            dq = np.einsum("nhqk,nkhd->nqhd", dscores, k) * scale
+            dk = np.einsum("nhqk,nqhd->nkhd", dscores, q) * scale
+            dq_f = dq.reshape(n, t_len, self.h)
+            dk_f = dk.reshape(n, t_len, self.h)
+            dv_f = dv.reshape(n, t_len, self.h)
+            g_wq = np.einsum("nth,ntk->hk", z_in, dq_f)
+            g_wk = np.einsum("nth,ntk->hk", z_in, dk_f)
+            g_wv = np.einsum("nth,ntk->hk", z_in, dv_f)
+            # residual: z1 = z_in + attn, so dz1 flows straight through
+            dz = (dz1 + dq_f @ blk["wq"].T + dk_f @ blk["wk"].T
+                  + dv_f @ blk["wv"].T)
+            grads = {"wq": g_wq, "wk": g_wk, "wv": g_wv, "wo": g_wo,
+                     "w1": g_w1, "b1": g_b1, "w2": g_w2, "b2": g_b2}
+            block_grads[li] = [grads[f].ravel() for f in self._BLOCK_FIELDS]
+        g_w_in = np.einsum("ntd,nth->dh", x, dz)
+        g_b_in = dz.sum(axis=(0, 1))
+        parts = [g_w_in.ravel(), g_b_in]
+        for bg in block_grads:
+            parts += bg
+        parts += [g_w_out, [g_b_out]]
+        return loss, np.concatenate(parts)
