@@ -2224,6 +2224,97 @@ def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
         F.md5(F.array_join(chunk, " ")).alias("chunk_md5"))
 
 
+def q_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """The Gopher document-quality filter (Rae et al. 2021 §A1.1 — the
+    published heuristics most LLM corpus pipelines start from): per-doc
+    rule flags + measured statistics, all pure JVM regex/arithmetic in
+    codegen. The per-rule flags (not just the final verdict) are the
+    operating artifact — corpus triage needs to know WHICH rule
+    rejected how many documents before tuning thresholds."""
+    docs = load_table(spark, sf, "documents")
+    g = TX.gopher_rules("text")
+    return docs.select(
+        "doc_id",
+        g["n_words"].alias("n_words"),
+        _r(g["mean_word_len"], 4).alias("mean_word_len"),
+        _r(g["alpha_frac"], 4).alias("alpha_frac"),
+        g["n_stopwords"].alias("n_stopwords"),
+        g["ok_word_count"].alias("ok_word_count"),
+        g["ok_mean_len"].alias("ok_mean_len"),
+        g["ok_symbol_ratio"].alias("ok_symbol_ratio"),
+        g["ok_alpha_words"].alias("ok_alpha_words"),
+        g["ok_stopwords"].alias("ok_stopwords"),
+        g["passes"].alias("passes"))
+
+
+def q_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-dup removal by
+    cluster-then-dedup-within-cluster over the embeddings table, with
+    the same deterministic seed centroids as the IVF family so the
+    oracle replays the assignment exactly. The synthetic corpus is
+    near-orthogonal (max pairwise cosine ≈ 0.46), so the demo threshold
+    0.35 exercises the drop path; production thresholds are ~0.9.
+    Output is the per-cell audit (kept count + kept-id checksum) —
+    integer-only, pinning the exact kept set."""
+    emb = load_table(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    cent = SIM.dense_seed_ids(
+        emb.filter(F.col("vec_id") % 31 == 0)
+        .select("vec_id", F.col("embedding").alias("centroid")),
+        "vec_id", 16, "centroid_id", "centroid")
+    kept = SIM.semdedup(emb, cent, threshold=0.35)
+    return (kept.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.sum("vec_id").alias("kept_id_sum")))
+
+
+def q_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Held-out n-gram novelty (the memorization/coverage diagnostic —
+    Lee et al. 2022 'Deduplicating Training Data' family): train half =
+    even doc_ids, test half = odd; per test-half source, the fraction
+    of its DISTINCT 3-gram hashes never seen anywhere in the train
+    half. Grams travel as md5 bigints (ids-only shuffle, never text);
+    the train set is a distinct-gram anti-join side, map-side combined.
+    A LOW novelty rate flags test/train leakage; 1.0 means fully novel
+    held-out text."""
+    docs = load_table(spark, sf, "documents")
+    ex = DD.exploded_shingle_hashes(docs, n=3, distinct=True)
+    train = (ex.filter(F.col("_id") % 2 == 0)
+             .select("_h").distinct())
+    test = (ex.filter(F.col("_id") % 2 == 1)
+            .join(docs.select(F.col("doc_id").alias("_id"), "source"),
+                  on="_id"))
+    novel = test.join(train, on="_h", how="left_anti") \
+        .groupBy("source").agg(F.count(F.lit(1)).alias("n_novel"))
+    per_src = test.groupBy("source").agg(
+        F.countDistinct("_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_grams"))
+    return (per_src.join(novel, on="source", how="left")
+            .select("source", "n_docs", "n_grams",
+                    F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+                    _r(F.coalesce("n_novel", F.lit(0))
+                       / F.col("n_grams"), 4).alias("novelty")))
+
+
+def q_quality_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source quality-score calibration audit: min/mean/max of the
+    composite quality score plus how many of the source's documents
+    clear the GLOBAL corpus mean — the threshold-tuning table a
+    quality-weighted sampler is calibrated against. The global mean is
+    a 1-row broadcast (no second scan of a collected literal)."""
+    docs = load_table(spark, sf, "documents") \
+        .select("doc_id", "source", TX.quality_score("text").alias("_q"))
+    gmean = docs.agg(F.avg("_q").alias("_gmean"))
+    return (docs.crossJoin(F.broadcast(gmean))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 _r(F.min("_q"), 4).alias("q_min"),
+                 _r(F.avg("_q"), 4).alias("q_avg"),
+                 _r(F.max("_q"), 4).alias("q_max"),
+                 F.sum(F.when(F.col("_q") > F.col("_gmean"), 1).otherwise(0))
+                 .cast("bigint").alias("n_above_global_mean")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's anomaly detector over sf0.001 events."""
     return q_anomaly_detect(spark, SF_SMOKE)
@@ -2242,6 +2333,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver-greens close the list (freshest evidence, least at risk)."""
     return {
         # --- round-5 new/changed queries: first driver evidence needed ---
+        "gopher_rules": q_gopher_rules,
+        "semdedup": q_semdedup,
+        "ngram_novelty": q_ngram_novelty,
+        "quality_calibration": q_quality_calibration,
         "ivf_store_search": q_ivf_store_search,
         "dedup_clusters_star": q_dedup_clusters_star,
         # --- the 29 stale r1/r2-evidence rows (the full remaining
@@ -4856,5 +4951,158 @@ def oracle_sql() -> dict[str, str]:
                            / pow(s2/n - (s1/n) * (s1/n), 1.5)
                       ELSE 0.0 END + 1e-9, 6) + 0.0) AS skew_pop
         FROM s
+    """
+
+    # -- round 5: Gopher rules / SemDeDup / n-gram novelty / calibration ----
+
+    _gopher_stops = "[" + ",".join(
+        f"'{s}'" for s in TX.GOPHER_STOPWORDS) + "]"
+    sql["gopher_rules"] = rf"""
+        WITH t AS (
+            SELECT doc_id, trim(text) AS tt,
+                   regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+            FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   CASE WHEN len(tt) = 0 THEN 0 ELSE len(toks) END AS n_words,
+                   list_aggregate(list_transform(toks, x -> len(x)), 'sum')
+                       AS total_len,
+                   len(regexp_replace(tt, '[A-Za-z0-9\s]', '', 'g')) AS n_sym,
+                   len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                       AS n_alpha,
+                   len(list_intersect(list_distinct(toks), {_gopher_stops}))
+                       AS n_stop
+            FROM t
+        ), r AS (
+            SELECT doc_id, n_words, n_stop,
+                   CASE WHEN n_words <> 0
+                        THEN total_len::DOUBLE / n_words ELSE 0.0 END AS ml,
+                   CASE WHEN n_words <> 0
+                        THEN n_sym::DOUBLE / n_words ELSE 0.0 END AS sr,
+                   CASE WHEN n_words <> 0
+                        THEN n_alpha::DOUBLE / n_words ELSE 0.0 END AS af
+            FROM s
+        )
+        SELECT doc_id, n_words::INT AS n_words,
+               (round(ml + 1e-9, 4) + 0.0) AS mean_word_len,
+               (round(af + 1e-9, 4) + 0.0) AS alpha_frac,
+               n_stop::INT AS n_stopwords,
+               (CASE WHEN n_words BETWEEN 50 AND 100000
+                     THEN 1 ELSE 0 END)::INT AS ok_word_count,
+               (CASE WHEN ml BETWEEN 3.0 AND 10.0
+                     THEN 1 ELSE 0 END)::INT AS ok_mean_len,
+               (CASE WHEN sr <= 0.1 THEN 1 ELSE 0 END)::INT AS ok_symbol_ratio,
+               (CASE WHEN af >= 0.8 THEN 1 ELSE 0 END)::INT AS ok_alpha_words,
+               (CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END)::INT AS ok_stopwords,
+               ((CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END)
+                * (CASE WHEN ml BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END)
+                * (CASE WHEN sr <= 0.1 THEN 1 ELSE 0 END)
+                * (CASE WHEN af >= 0.8 THEN 1 ELSE 0 END)
+                * (CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END))::INT AS passes
+        FROM r
+    """
+
+    # semdedup: same deterministic seed-centroid assignment as ivf_topk
+    # (crk = 1), then within-cell lower-id-wins cosine dedup.
+    sql["semdedup"] = """
+        WITH cent AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+                   embedding::DOUBLE[] AS centroid
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 16)
+        ), assign AS (
+            SELECT vec_id, v, centroid_id FROM (
+                SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.centroid_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY CASE WHEN list_dot_product(
+                                   e.embedding::DOUBLE[],
+                                   e.embedding::DOUBLE[]) = 0
+                                 OR list_dot_product(c.centroid,
+                                                     c.centroid) = 0
+                               THEN 0.0
+                               ELSE list_cosine_similarity(
+                                   e.embedding::DOUBLE[], c.centroid)
+                               END DESC,
+                                    c.centroid_id) AS crk
+                FROM embeddings e CROSS JOIN cent c)
+            WHERE crk = 1
+        ), dropped AS (
+            SELECT DISTINCT b.vec_id
+            FROM assign a JOIN assign b
+              ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+            WHERE CASE WHEN list_dot_product(a.v, a.v) = 0
+                         OR list_dot_product(b.v, b.v) = 0 THEN 0.0
+                  ELSE list_cosine_similarity(a.v, b.v) END >= 0.35
+        )
+        SELECT centroid_id AS cell, count(*) AS n_kept,
+               sum(vec_id)::BIGINT AS kept_id_sum
+        FROM assign
+        WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+        GROUP BY 1
+    """
+
+    sql["ngram_novelty"] = f"""
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(trim({norm}), '\\s+') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   list_distinct(CASE WHEN len(t) >= 3 THEN
+                       list_transform(range(len(t) - 2), i ->
+                           t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+                   ELSE [array_to_string(t, ' ')] END) AS s
+            FROM t
+        ), grams AS (
+            SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT AS h
+            FROM (SELECT doc_id, unnest(s) AS g FROM sh)
+        ), train AS (
+            SELECT DISTINCT h FROM grams WHERE doc_id % 2 = 0
+        ), test AS (
+            SELECT g.doc_id, g.h, d.source
+            FROM grams g JOIN documents d USING (doc_id)
+            WHERE g.doc_id % 2 = 1
+        ), agg AS (
+            SELECT source, count(DISTINCT doc_id) AS n_docs,
+                   count(*) AS n_grams,
+                   sum(CASE WHEN h NOT IN (SELECT h FROM train)
+                       THEN 1 ELSE 0 END)::BIGINT AS n_novel
+            FROM test GROUP BY source
+        )
+        SELECT source, n_docs, n_grams, n_novel,
+               (round(n_novel::DOUBLE / n_grams + 1e-9, 4) + 0.0) AS novelty
+        FROM agg
+    """
+
+    sql["quality_calibration"] = rf"""
+        WITH t AS (
+            SELECT doc_id, source,
+                   CASE WHEN len(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                   END AS n_tok,
+                   len(regexp_replace(text, '\s', '', 'g')) AS nonspace,
+                   len(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS punct,
+                   len(list_filter(regexp_split_to_array(trim(lower(text)),
+                       '\s+'), x -> list_contains({stop_en}, x))) AS hits,
+                   len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                       AS n_tok_l
+            FROM documents
+        ), q AS (
+            SELECT doc_id, source,
+                   0.4 * (CASE WHEN n_tok BETWEEN 20 AND 2000
+                          THEN 1.0 ELSE 0.0 END)
+                   + 0.3 * (1.0 - CASE WHEN nonspace <> 0
+                            THEN punct::DOUBLE / nonspace ELSE 0.0 END)
+                   + 0.3 * least(1.0, (CASE WHEN n_tok_l <> 0
+                            THEN hits::DOUBLE / n_tok_l ELSE 0.0 END) * 5.0)
+                       AS qv
+            FROM t
+        )
+        SELECT source, count(*) AS n_docs,
+               (round(min(qv) + 1e-9, 4) + 0.0) AS q_min,
+               (round(avg(qv) + 1e-9, 4) + 0.0) AS q_avg,
+               (round(max(qv) + 1e-9, 4) + 0.0) AS q_max,
+               sum(CASE WHEN qv > (SELECT avg(qv) FROM q)
+                   THEN 1 ELSE 0 END)::BIGINT AS n_above_global_mean
+        FROM q GROUP BY source
     """
     return sql

@@ -401,3 +401,66 @@ def test_ivf_pq_topk_recall_on_clustered_data(spark):
     # every returned candidate must come from a probed cell of its query
     # (the IVF restriction is applied BEFORE ranking, not as a post-filter)
     assert len(got) == 20
+
+
+# -- round 5: SemDeDup + Gopher rules ----------------------------------------
+
+def test_semdedup_drops_lower_priority_near_dups(spark):
+    """Within a cell, a vector with cosine >= threshold to a LOWER-id
+    cell-mate is dropped; near-orthogonal vectors survive; cells never
+    compare across."""
+    rows = [
+        # cell around +x: 1 and 2 near-dup (cos=1), 3 orthogonal-ish
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [2.0, 0.0, 0.0, 0.0]),     # same direction as 1 -> dropped
+        (3, [0.1, 1.0, 0.0, 0.0]),     # same cell, low cosine -> kept
+        # cell around -x: duplicate pair again, independent of cell 1
+        (4, [-1.0, 0.0, 0.0, 0.0]),
+        (5, [-1.0, 0.0, 0.0, 0.001]),  # near-dup of 4 -> dropped
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [-1.0, 0.0, 0.0, 0.0])],
+        "centroid_id: int, centroid: array<double>")
+    kept = SIM.semdedup(corpus, cent, threshold=0.9)
+    got = {(r["vec_id"], r["cell"]) for r in kept.collect()}
+    assert got == {(1, 0), (3, 0), (4, 1)}
+
+
+def test_semdedup_high_threshold_keeps_everything(spark):
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    corpus = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    cent = spark.createDataFrame(
+        [(0, [1.0, 1.0, 1.0, 1.0])], "centroid_id: int, centroid: array<double>")
+    assert SIM.semdedup(corpus, cent, threshold=0.99).count() == 4
+
+
+def test_gopher_rules_flags(spark):
+    """Each rule trips on the document built to violate exactly it."""
+    good = " ".join(["the", "be", "to", "of"] + ["token"] * 60)
+    docs = spark.createDataFrame(
+        [(1, good),                                  # passes all
+         (2, "the be " + "x " * 60),                 # mean word len < 3
+         (3, "short doc the be"),                    # < 50 words
+         (4, " ".join(["the", "be"] + ["#!?"] * 58)),  # symbols + alpha frac
+         (5, " ".join(["token"] * 60))],             # no stopwords
+        "doc_id: long, text: string")
+    g = TX.gopher_rules("text")
+    rows = {r["doc_id"]: r.asDict() for r in docs.select(
+        "doc_id", g["passes"].alias("p"), g["ok_word_count"].alias("wc"),
+        g["ok_mean_len"].alias("ml"), g["ok_symbol_ratio"].alias("sym"),
+        g["ok_alpha_words"].alias("al"), g["ok_stopwords"].alias("st"),
+    ).collect()}
+    assert rows[1]["p"] == 1
+    assert rows[2]["ml"] == 0 and rows[2]["p"] == 0
+    assert rows[3]["wc"] == 0 and rows[3]["p"] == 0
+    assert rows[4]["sym"] == 0 and rows[4]["al"] == 0 and rows[4]["p"] == 0
+    assert rows[5]["st"] == 0 and rows[5]["p"] == 0
+
+
+def test_gopher_rules_empty_text(spark):
+    docs = spark.createDataFrame([(1, ""), (2, "   ")], "doc_id: long, text: string")
+    g = TX.gopher_rules("text")
+    out = docs.select("doc_id", g["n_words"].alias("n"),
+                      g["passes"].alias("p")).collect()
+    assert all(r["n"] == 0 and r["p"] == 0 for r in out)

@@ -103,6 +103,57 @@ def fingerprint(col: ColumnOrName) -> Column:
     return F.md5(canon)
 
 
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(col: ColumnOrName) -> Column:
+    """The Gopher document-quality heuristics (Rae et al. 2021, §A1.1 —
+    public filtering rules used by most LLM corpus pipelines), as ONE
+    struct of per-rule pass flags plus the measured statistics:
+
+    - ``n_words`` in [50, 100000]
+    - mean word length in [3, 10]
+    - symbol-to-word ratio ≤ 0.1 (``#``/``…`` in the paper; any
+      non-alphanumeric non-space char here)
+    - ≥ 80% of words contain at least one alphabetic character
+    - ≥ 2 of the paper's 8 common-English stopwords present
+
+    Every term is JVM regex + integer arithmetic inside codegen (no
+    UDF) and replays exactly in an external SQL engine. Flags are int
+    0/1 (not boolean) so the cross-engine value hash is dtype-stable.
+    """
+    t = F.trim(_c(col))
+    toks = F.split(F.lower(t), r"\s+")
+    n_words = F.when(F.length(t) == 0, 0).otherwise(F.size(toks))
+    total_len = F.aggregate(
+        toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    mean_len = safe_div(total_len.cast("double"), n_words.cast("double"))
+    n_sym = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", ""))
+    sym_ratio = safe_div(n_sym.cast("double"), n_words.cast("double"))
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+    alpha_frac = safe_div(n_alpha.cast("double"), n_words.cast("double"))
+    stops = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stops))
+    flag = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    ok_words = flag((n_words >= 50) & (n_words <= 100_000))
+    ok_mean = flag((mean_len >= 3.0) & (mean_len <= 10.0))
+    ok_sym = flag(sym_ratio <= 0.1)
+    ok_alpha = flag(alpha_frac >= 0.8)
+    ok_stop = flag(n_stop >= 2)
+    return F.struct(
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        n_stop.alias("n_stopwords"),
+        ok_words.alias("ok_word_count"),
+        ok_mean.alias("ok_mean_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_words * ok_mean * ok_sym * ok_alpha * ok_stop).alias("passes"),
+    )
+
+
 # PII patterns shared by the engine and the SQL oracle. Deliberately
 # restricted to syntax with IDENTICAL semantics in Java regex (Spark) and
 # RE2 (DuckDB): character classes, bounded repetition, \b, ASCII \d — no

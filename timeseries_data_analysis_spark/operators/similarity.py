@@ -348,6 +348,42 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .filter(F.col("rk") <= k))
 
 
+def semdedup(corpus: DataFrame, centroids: DataFrame,
+             threshold: float = 0.9, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public): semantic deduplication by
+    cluster-then-dedup-within-cluster — the embedding-space analog of
+    MinHash near-dup removal, used to shrink LAION/C4-scale corpora
+    with minimal quality loss.
+
+    Each vector is assigned to its nearest centroid cell; WITHIN a cell,
+    any vector whose cosine similarity to a LOWER-id cell-mate is
+    ≥ ``threshold`` is dropped (the paper keeps the member farthest
+    from the centroid; the lowest-id rule is the deterministic,
+    engine-portable variant — documented deviation). Returns the kept
+    rows as ``(id_col, cell)``.
+
+    Scale design: the quadratic term is confined to cells — the
+    self-join equi-matches on ``centroid_id``, so candidate pairs are
+    Σ|cell|² instead of N². Centroid count is the knob: grow it with
+    the corpus (cells of ~1k vectors keep the per-cell work trivially
+    parallel at any N, same posture as the IVF search family).
+    """
+    assign = _assign_cells(corpus, centroids, n_probe=1,
+                           id_col=id_col, vec_col=vec_col)
+    a = assign.select(F.col(id_col).alias("_id_a"),
+                      F.col("_v").alias("_va"), "centroid_id")
+    b = assign.select(F.col(id_col).alias("_id_b"),
+                      F.col("_v").alias("_vb"), "centroid_id")
+    dup = (a.join(b, on="centroid_id")
+           .filter(F.col("_id_a") < F.col("_id_b"))
+           .filter(cosine(F.col("_va"), F.col("_vb")) >= threshold)
+           .select(F.col("_id_b").alias(id_col))
+           .distinct())
+    return (assign.select(id_col, F.col("centroid_id").alias("cell"))
+            .join(dup, on=id_col, how="left_anti"))
+
+
 # -- product quantization (IVF-PQ family scale path) -------------------------
 
 def dense_seed_ids(frame: DataFrame, order_col: str, n: int,
