@@ -24,6 +24,7 @@ from timeseries_data_analysis_spark.operators import (
     windows as WIN, timeseries as TS, intervals as IV, pivot as PV,
     topk as TK, dedup as DD, similarity as SIM, encoding as ENC,
     skew as SKEW, graph as GR, tsindex as TSI, sampling as SMP,
+    tokenizer as TOKZ,
 )
 from timeseries_data_analysis_spark.functions import math_fns as M, text as TX
 
@@ -2315,6 +2316,166 @@ def q_quality_calibration(spark: SparkSession, sf: str) -> DataFrame:
                  .cast("bigint").alias("n_above_global_mean")))
 
 
+def q_dup_passages(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicated-PASSAGE spans (the positional exact-substring family of
+    Lee et al. 2021): per document, the maximal token runs whose 3-grams
+    also occur in ≥2 other documents — the span-level scrubber's input,
+    one granularity finer than document near-dup detection. Gaps-and-
+    islands merge over a per-document window; the global duplicated-gram
+    set is a map-side-combined groupBy on 32-bit hashes (ids+positions
+    shuffle, never text). Full value oracle replays the identical chain."""
+    docs = load_table(spark, sf, "documents")
+    out = DD.duplicate_spans(docs, n=3, min_docs=2)
+    return out.select("doc_id", "n_tokens", "n_spans", "dup_tokens",
+                      _r(F.col("dup_fraction"), 6).alias("dup_fraction"))
+
+
+def q_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, 'Data Selection for
+    Language Models via Importance Resampling'): score every document by
+    how much more likely its hashed-unigram features are under a TARGET
+    distribution (here: the English slice) than under the raw corpus —
+    log w(x) = Σ_tokens [log p_tgt(b) − log p_raw(b)] over B=1024 md5
+    feature buckets with add-1 smoothing. Sampling ∝ w concentrates the
+    corpus toward the target domain; this query emits the per-doc audit
+    (n_tokens, logw).
+
+    Scale shape: two bucket-count aggregations (map-side combined, ≤B
+    rows out), a 1-row totals broadcast, and the scoring join carries
+    bucket log-ratios on the B-bounded key — never documents."""
+    B = 1024
+    docs = load_table(spark, sf, "documents")
+    tok = docs.select("doc_id", "lang",
+                      F.explode(F.split(F.trim(F.col("text")), r"\s+"))
+                      .alias("tok"))
+    tb = tok.select("doc_id", "lang", F.pmod(
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint"),
+        F.lit(B)).alias("b"))
+    tgt = (tb.filter(F.col("lang") == "en")
+           .groupBy("b").agg(F.count(F.lit(1)).alias("_ct")))
+    raw = tb.groupBy("b").agg(F.count(F.lit(1)).alias("_cr"))
+    # both totals in ONE pass over the bucketed tokens (Σct ≡ target
+    # token count, Σcr ≡ corpus token count) — a single 1-row exchange
+    # instead of one per distribution
+    tot = tb.agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("_Tt"),
+        F.count(F.lit(1)).alias("_Tr"))
+    ratio = (raw.join(tgt, on="b", how="left")
+             .crossJoin(F.broadcast(tot))
+             .select("b", (
+                 F.log((F.coalesce("_ct", F.lit(0)) + 1)
+                       / (F.col("_Tt") + B))
+                 - F.log((F.col("_cr") + 1) / (F.col("_Tr") + B))
+             ).alias("_lr")))
+    return (tb.join(ratio, on="b")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 _r(F.sum("_lr"), 4).alias("logw")))
+
+
+def q_kmeans_step(spark: SparkSession, sf: str) -> DataFrame:
+    """One Lloyd (k-means) iteration over the embeddings table from the
+    IVF family's deterministic seed centroids — the coarse-quantizer
+    TRAINING step (ivf_fit_centroids delegates to Spark-ML; this is the
+    same math from first principles, so the oracle can replay it). Long
+    (cell, dim) layout: the element-wise mean is a plain map-side-
+    combined groupBy — no order-sensitive array re-assembly. The bounded
+    iteration loop (`SIM.kmeans_fit`) is pytest-covered; the driver
+    checks the distributed step."""
+    emb = load_table(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    cent = SIM.dense_seed_ids(
+        emb.filter(F.col("vec_id") % 31 == 0)
+        .select("vec_id", F.col("embedding").alias("centroid")),
+        "vec_id", 16, "centroid_id", "centroid")
+    out = SIM.lloyd_step(emb, cent)
+    return out.select("centroid_id", "dim_idx",
+                      _r(F.col("new_val"), 6).alias("new_val"),
+                      "n_members")
+
+
+def q_ppl_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet's head/middle/tail corpus split (Wenzek et al. 2020): per
+    LANGUAGE, documents are ranked by unigram-LM log-perplexity and cut
+    into terciles — head = most fluent third, tail = most surprising.
+    Ordering uses the ROUNDED score (4 dp) with doc_id tiebreak so the
+    tercile boundaries are engine-deterministic (ulp-level summation
+    noise cannot flip a bucket). Output is the per-(lang, bucket) audit:
+    counts, score range, id checksum."""
+    docs = load_table(spark, sf, "documents")
+    tok = docs.select("doc_id",
+                      F.explode(F.split(F.trim(F.col("text")), r"\s+"))
+                      .alias("tok"))
+    cnt = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("_n"))
+    total = cnt.agg(F.sum("_n").alias("_total"))
+    probs = cnt.crossJoin(F.broadcast(total)).select(
+        "tok", (F.col("_n") / F.col("_total")).alias("_p"))
+    ppl = (tok.join(probs, on="tok")
+           .groupBy("doc_id")
+           .agg(_r(F.avg(-F.log2("_p")), 4).alias("logppl")))
+    scored = ppl.join(docs.select("doc_id", "lang"), on="doc_id")
+    w = Window.partitionBy("lang").orderBy("logppl", "doc_id")
+    bucketed = scored.withColumn("bucket", F.ntile(3).over(w))
+    return (bucketed.groupBy("lang", "bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("logppl").alias("ppl_min"),
+                 F.max("logppl").alias("ppl_max"),
+                 F.sum("doc_id").alias("id_sum")))
+
+
+def q_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-health diagnostic: least-squares fit of the Zipf law
+    ln(freq) = intercept + slope·ln(rank) over the top-100 token
+    frequencies (natural text ⇒ slope ≈ −1; synthetic/templated corpora
+    — like this one — flatten toward 0, which is exactly what the
+    diagnostic flags). Rank is computed by a theta-join count over the
+    BOUNDED top-100 frame (no partition-less window), and the OLS terms
+    are plain aggregates; single-row output."""
+    docs = load_table(spark, sf, "documents")
+    cnt = (docs.select(F.explode(F.split(F.trim(F.col("text")), r"\s+"))
+                       .alias("tok"))
+           .groupBy("tok").agg(F.count(F.lit(1)).alias("n")))
+    top = cnt.orderBy(F.col("n").desc(), "tok").limit(100)
+    a = top.select(F.col("tok").alias("_ta"), F.col("n").alias("_na"))
+    b = top.select(F.col("tok").alias("_tb"), F.col("n").alias("_nb"))
+    ranked = (a.join(F.broadcast(b),
+                     (F.col("_nb") > F.col("_na"))
+                     | ((F.col("_nb") == F.col("_na"))
+                        & (F.col("_tb") < F.col("_ta"))), "left")
+              .groupBy("_ta", "_na")
+              .agg((F.count("_tb") + 1).alias("rank")))
+    pts = ranked.select(F.log("rank").alias("x"),
+                        F.log("_na").alias("y"))
+    agg = pts.agg(F.count(F.lit(1)).alias("m"),
+                  F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                  F.sum(F.col("x") * F.col("y")).alias("sxy"),
+                  F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                  F.sum(F.col("y") * F.col("y")).alias("syy"))
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num / denx
+    return agg.select(
+        F.col("m").alias("n_terms"),
+        _r(slope, 4).alias("slope"),
+        _r((F.col("sy") - slope * F.col("sx")) / F.col("m"), 4)
+        .alias("intercept"),
+        _r(num * num / (denx * deny), 4).alias("r2"))
+
+
+def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """The full greedy BPE merge LOOP (Sennrich et al. 2016) — extends
+    q_bpe_pair_counts' single iteration to the actual tokenizer-training
+    algorithm: 5 rounds of (weighted adjacent-pair count over the vocab's
+    symbol arrays → global argmax → left-to-right non-overlapping fold
+    rewrite), everything distributed except the 1-row-per-round argmax
+    (the learned merge IS the driver-sized artifact). The oracle unrolls
+    the identical 5 iterations in SQL (list_reduce replays the fold), so
+    the whole training run is value-checked."""
+    docs = load_table(spark, sf, "documents")
+    return TOKZ.bpe_learn_merges(docs, n_merges=5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's anomaly detector over sf0.001 events."""
     return q_anomaly_detect(spark, SF_SMOKE)
@@ -2333,6 +2494,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver-greens close the list (freshest evidence, least at risk)."""
     return {
         # --- round-5 new/changed queries: first driver evidence needed ---
+        "dup_passages": q_dup_passages,
+        "dsir_weights": q_dsir_weights,
+        "kmeans_step": q_kmeans_step,
+        "ppl_buckets": q_ppl_buckets,
+        "zipf_fit": q_zipf_fit,
+        "bpe_merges": q_bpe_merges,
         "gopher_rules": q_gopher_rules,
         "semdedup": q_semdedup,
         "ngram_novelty": q_ngram_novelty,
@@ -5105,4 +5272,207 @@ def oracle_sql() -> dict[str, str]:
                    THEN 1 ELSE 0 END)::BIGINT AS n_above_global_mean
         FROM q GROUP BY source
     """
+
+    sql["dup_passages"] = f"""
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array({norm}, '\\s+') AS t
+            FROM documents
+        ), p AS (
+            SELECT doc_id, len(t) AS n_tokens, i AS pos,
+                   ('0x' || substr(md5(t[i+1] || ' ' || t[i+2] || ' '
+                        || t[i+3]), 1, 8))::BIGINT AS h,
+                   3 AS glen
+            FROM t, unnest(range(len(t) - 2)) AS u(i)
+            WHERE len(t) >= 3
+            UNION ALL
+            SELECT doc_id, len(t), 0,
+                   ('0x' || substr(md5(array_to_string(t, ' ')), 1, 8))
+                       ::BIGINT,
+                   len(t)
+            FROM t WHERE len(t) < 3
+        ), dup AS (
+            SELECT h FROM p GROUP BY h
+            HAVING count(DISTINCT doc_id) >= 2
+        ), hits AS (
+            SELECT p.doc_id, p.pos, p.pos + p.glen - 1 AS e
+            FROM p JOIN dup USING (h)
+        ), brks AS (
+            SELECT *, CASE WHEN max(e) OVER w IS NULL
+                             OR pos > max(e) OVER w
+                      THEN 1 ELSE 0 END AS brk
+            FROM hits
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        ), isl AS (
+            SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+            FROM brks
+        ), spans AS (
+            SELECT doc_id, g, min(pos) AS s, max(e) AS ee
+            FROM isl GROUP BY 1, 2
+        ), per AS (
+            SELECT doc_id, count(*) AS n_spans,
+                   sum(ee - s + 1) AS dup_tokens
+            FROM spans GROUP BY 1
+        )
+        SELECT t.doc_id, len(t.t) AS n_tokens,
+               coalesce(n_spans, 0)::BIGINT AS n_spans,
+               coalesce(dup_tokens, 0)::BIGINT AS dup_tokens,
+               (round(coalesce(dup_tokens, 0)::DOUBLE / len(t.t)
+                      + 1e-9, 6) + 0.0) AS dup_fraction
+        FROM t LEFT JOIN per USING (doc_id)
+    """
+
+    sql["dsir_weights"] = """
+        WITH tk AS (
+            SELECT doc_id, lang,
+                   ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024 AS b
+            FROM (SELECT doc_id, lang,
+                         unnest(regexp_split_to_array(trim(text), '\\s+'))
+                             AS tok
+                  FROM documents)
+        ), tgt AS (
+            SELECT b, count(*) AS ct FROM tk WHERE lang = 'en' GROUP BY 1
+        ), raw AS (
+            SELECT b, count(*) AS cr FROM tk GROUP BY 1
+        ), tt AS (
+            SELECT (SELECT sum(ct) FROM tgt) AS Tt,
+                   (SELECT sum(cr) FROM raw) AS Tr
+        ), lr AS (
+            SELECT raw.b,
+                   ln((coalesce(ct, 0) + 1)::DOUBLE / (Tt + 1024))
+                   - ln((cr + 1)::DOUBLE / (Tr + 1024)) AS lr
+            FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tt
+        )
+        SELECT doc_id, count(*)::BIGINT AS n_tokens,
+               (round(sum(lr) + 1e-9, 4) + 0.0) AS logw
+        FROM tk JOIN lr USING (b) GROUP BY doc_id
+    """
+
+    sql["kmeans_step"] = """
+        WITH cent AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+                   embedding::DOUBLE[] AS centroid
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 16)
+        ), assign AS (
+            SELECT vec_id, v, centroid_id FROM (
+                SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.centroid_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY CASE WHEN list_dot_product(
+                                   e.embedding::DOUBLE[],
+                                   e.embedding::DOUBLE[]) = 0
+                                 OR list_dot_product(c.centroid,
+                                                     c.centroid) = 0
+                               THEN 0.0
+                               ELSE list_cosine_similarity(
+                                   e.embedding::DOUBLE[], c.centroid)
+                               END DESC,
+                                    c.centroid_id) AS crk
+                FROM embeddings e CROSS JOIN cent c)
+            WHERE crk = 1
+        )
+        SELECT centroid_id, i AS dim_idx,
+               (round(avg(v[i+1]) + 1e-9, 6) + 0.0) AS new_val,
+               count(*) AS n_members
+        FROM assign, unnest(range(len(v))) AS u(i)
+        GROUP BY 1, 2
+    """
+
+    sql["ppl_buckets"] = """
+        WITH tk AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+            FROM documents
+        ), cnt AS (
+            SELECT tok, count(*) AS n FROM tk GROUP BY 1
+        ), tt AS (
+            SELECT sum(n) AS total FROM cnt
+        ), ppl AS (
+            SELECT doc_id,
+                   (round(avg(-log2(n::DOUBLE / total)) + 1e-9, 4) + 0.0)
+                       AS logppl
+            FROM tk JOIN cnt USING (tok) CROSS JOIN tt
+            GROUP BY doc_id
+        ), sc AS (
+            SELECT p.doc_id, d.lang, p.logppl,
+                   ntile(3) OVER (PARTITION BY d.lang
+                                  ORDER BY p.logppl, p.doc_id) AS bucket
+            FROM ppl p JOIN documents d USING (doc_id)
+        )
+        SELECT lang, bucket, count(*) AS n_docs,
+               min(logppl) AS ppl_min, max(logppl) AS ppl_max,
+               sum(doc_id)::BIGINT AS id_sum
+        FROM sc GROUP BY 1, 2
+    """
+
+    sql["zipf_fit"] = """
+        WITH cnt AS (
+            SELECT tok, count(*) AS n
+            FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))
+                      AS tok FROM documents)
+            GROUP BY 1
+        ), top AS (
+            SELECT tok, n FROM cnt ORDER BY n DESC, tok LIMIT 100
+        ), rk AS (
+            SELECT a.tok, a.n,
+                   1 + (SELECT count(*) FROM top b
+                        WHERE b.n > a.n OR (b.n = a.n AND b.tok < a.tok))
+                       AS rank
+            FROM top a
+        ), pts AS (
+            SELECT ln(rank::DOUBLE) AS x, ln(n::DOUBLE) AS y FROM rk
+        ), agg AS (
+            SELECT count(*)::BIGINT AS m, sum(x) AS sx, sum(y) AS sy,
+                   sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+            FROM pts
+        )
+        SELECT m AS n_terms,
+               (round((m*sxy - sx*sy) / (m*sxx - sx*sx) + 1e-9, 4) + 0.0)
+                   AS slope,
+               (round((sy - ((m*sxy - sx*sy) / (m*sxx - sx*sx)) * sx) / m
+                      + 1e-9, 4) + 0.0) AS intercept,
+               (round((m*sxy - sx*sy) * (m*sxy - sx*sy)
+                      / ((m*sxx - sx*sx) * (m*syy - sy*sy))
+                      + 1e-9, 4) + 0.0) AS r2
+        FROM agg
+    """
+
+    # Full greedy BPE loop: 5 unrolled iterations; each round k reuses
+    # vocab v{k-1}, mines weighted pairs, takes the deterministic argmax
+    # (count DESC, lhs, rhs) and rewrites with the identical
+    # left-to-right non-overlapping fold (list_reduce over singleton
+    # lists so the accumulator starts as a list).
+    _bpe = ["""v0 AS (
+            SELECT word, count(*)::BIGINT AS wn,
+                   list_transform(range(len(word)), i -> word[i+1]) AS syms
+            FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))
+                      AS word FROM documents)
+            WHERE len(word) >= 1
+            GROUP BY word)"""]
+    for _k in range(1, 6):
+        _bpe.append(f"""p{_k} AS (
+            SELECT l, r, sum(wn)::BIGINT AS n FROM (
+                SELECT wn, syms[i+1] AS l, syms[i+2] AS r
+                FROM v{_k-1}, unnest(range(len(syms) - 1)) AS u(i)
+                WHERE len(syms) >= 2)
+            GROUP BY 1, 2),
+        b{_k} AS (SELECT l, r, n FROM p{_k} ORDER BY n DESC, l, r LIMIT 1)""")
+        if _k < 5:
+            _bpe.append(f"""v{_k} AS (
+            SELECT word, wn,
+                   list_reduce(list_transform(syms, s -> [s]),
+                       (acc, x) -> CASE WHEN len(acc) > 0
+                                     AND acc[len(acc)] = _ml
+                                     AND x[1] = _mr
+                                   THEN acc[1:len(acc)-1] || [_ml || _mr]
+                                   ELSE acc || x END) AS syms
+            FROM (SELECT v.word, v.wn, v.syms, b.l AS _ml, b.r AS _mr
+                  FROM v{_k-1} v, b{_k} b))""")
+    sql["bpe_merges"] = ("WITH " + ",\n        ".join(_bpe) + "\n"
+                         + "\n        UNION ALL ".join(
+                             f"SELECT {k} AS rank, l AS lhs, r AS rhs, "
+                             f"l || r AS merged, n FROM b{k}"
+                             for k in range(1, 6)))
+
     return sql

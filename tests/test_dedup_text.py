@@ -464,3 +464,139 @@ def test_gopher_rules_empty_text(spark):
     out = docs.select("doc_id", g["n_words"].alias("n"),
                       g["passes"].alias("p")).collect()
     assert all(r["n"] == 0 and r["p"] == 0 for r in out)
+
+
+# --- round 5: duplicate-passage spans, BPE loop, k-means -------------------
+
+from timeseries_data_analysis_spark.operators import tokenizer as TOKZ  # noqa: E402
+
+
+def test_duplicate_spans_exact_boundaries(spark):
+    """A shared run of L >= n tokens merges back into ONE span of exactly
+    L tokens; unique docs report zero spans."""
+    shared = "alpha beta gamma delta epsilon zeta"          # 6-token run
+    docs = spark.createDataFrame(
+        [(1, "aaa bbb " + shared + " ccc ddd"),
+         (2, shared + " xxx yyy zzz qqq rrr"),
+         (3, "uuu vvv www kkk lll mmm nnn ooo")],
+        "doc_id: long, text: string")
+    out = {r["doc_id"]: r.asDict()
+           for r in DD.duplicate_spans(docs, n=3, min_docs=2).collect()}
+    assert out[1]["n_spans"] == 1 and out[1]["dup_tokens"] == 6
+    assert out[2]["n_spans"] == 1 and out[2]["dup_tokens"] == 6
+    assert out[3]["n_spans"] == 0 and out[3]["dup_tokens"] == 0
+    assert abs(out[1]["dup_fraction"] - 6 / 10) < 1e-9
+
+
+def test_duplicate_spans_merges_adjacent_runs(spark):
+    """Two overlapping shared runs coalesce into one island; disjoint
+    shared runs stay separate spans."""
+    docs = spark.createDataFrame(
+        [(1, "s1 s2 s3 u1 u2 u3 u4 t1 t2 t3"),   # two disjoint shared runs
+         (2, "s1 s2 s3 v1 v2 v3 v4 w1 w2 w3"),
+         (3, "t1 t2 t3 z1 z2 z3 z4 z5 z6 z7")],
+        "doc_id: long, text: string")
+    out = {r["doc_id"]: r.asDict()
+           for r in DD.duplicate_spans(docs, n=3, min_docs=2).collect()}
+    assert out[1]["n_spans"] == 2 and out[1]["dup_tokens"] == 6
+    assert out[2]["n_spans"] == 1
+    assert out[3]["n_spans"] == 1
+
+
+def _py_bpe(word_counts: dict[str, int], n_merges: int):
+    """Pure-python reference BPE (Sennrich et al. 2016 pseudocode) with
+    the same (count DESC, lhs, rhs) tie-break."""
+    vocab = {w: list(w) for w in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + word_counts[w]
+        if not counts:
+            break
+        (l, r), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((l, r, n))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+def test_bpe_learn_merges_matches_reference(spark):
+    words = (["lower"] * 5 + ["low"] * 7 + ["newest"] * 6 + ["widest"] * 3
+             + ["new"] * 2)
+    docs = spark.createDataFrame([(i, w) for i, w in enumerate(words)],
+                                 "doc_id: long, text: string")
+    got = [(r["lhs"], r["rhs"], r["n"])
+           for r in TOKZ.bpe_learn_merges(docs, n_merges=6)
+           .orderBy("rank").collect()]
+    wc: dict[str, int] = {}
+    for w in words:
+        wc[w] = wc.get(w, 0) + 1
+    want, _ = _py_bpe(wc, 6)
+    assert got == want
+
+
+def test_bpe_fold_nonoverlapping(spark):
+    """(a, a) over 'aaaa' merges positions (0,1) and (2,3), never the
+    overlapping middle pair — the left-to-right reference semantics."""
+    df = spark.createDataFrame([(["a", "a", "a", "a"],),
+                                (["a", "a", "a"],)], "syms: array<string>")
+    rows = df.select(TOKZ.merge_fold(F.col("syms"), "a", "a")
+                     .alias("m")).collect()
+    assert sorted(r["m"] for r in rows) == [["aa", "a"], ["aa", "aa"]]
+
+
+def test_bpe_apply_matches_learned_rewrite(spark):
+    words = ["banana"] * 4 + ["bandana"] * 2
+    docs = spark.createDataFrame([(i, w) for i, w in enumerate(words)],
+                                 "doc_id: long, text: string")
+    merges = [(r["lhs"], r["rhs"]) for r in
+              TOKZ.bpe_learn_merges(docs, n_merges=3).orderBy("rank").collect()]
+    wc = {"banana": 4, "bandana": 2}
+    _, ref_vocab = _py_bpe(wc, 3)
+    v = TOKZ.word_vocab(docs)
+    got = {r["word"]: r["syms"] for r in v.select(
+        "word", TOKZ.bpe_apply(F.col("syms"), merges).alias("syms")).collect()}
+    assert got == ref_vocab
+
+
+def test_kmeans_fit_converges_and_matches_numpy(spark):
+    """Two well-separated 2-D blobs: kmeans_fit lands one centroid on
+    each blob mean; lloyd_step agrees with the numpy mean."""
+    import numpy as np
+    pts = ([(i, [10.0 + (i % 3) * 0.1, 10.0]) for i in range(6)]
+           + [(i + 6, [-5.0, -5.0 - (i % 3) * 0.1]) for i in range(6)])
+    vec = spark.createDataFrame(pts, "vec_id: long, embedding: array<double>")
+    init = spark.createDataFrame([(0, [1.0, 0.9]), (1, [-0.9, -1.0])],
+                                 "centroid_id: int, centroid: array<double>")
+    fit = {r["centroid_id"]: r["centroid"]
+           for r in SIM.kmeans_fit(vec, init, n_iter=3).collect()}
+    a = np.mean([p[1] for p in pts[:6]], axis=0)
+    b = np.mean([p[1] for p in pts[6:]], axis=0)
+    assert np.allclose(fit[0], a) and np.allclose(fit[1], b)
+    # one lloyd_step from the fitted centroids is a fixed point
+    step = SIM.lloyd_step(vec, SIM.kmeans_fit(vec, init, n_iter=3))
+    for r in step.collect():
+        tgt = a if r["centroid_id"] == 0 else b
+        assert abs(r["new_val"] - tgt[r["dim_idx"]]) < 1e-9
+        assert r["n_members"] == 6
+
+
+def test_kmeans_fit_empty_cell_keeps_centroid(spark):
+    vec = spark.createDataFrame([(0, [1.0, 0.0]), (1, [0.9, 0.1])],
+                                "vec_id: long, embedding: array<double>")
+    init = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [-1.0, 0.0])],
+        "centroid_id: int, centroid: array<double>")
+    fit = {r["centroid_id"]: r["centroid"]
+           for r in SIM.kmeans_fit(vec, init, n_iter=2).collect()}
+    assert fit[1] == [-1.0, 0.0]          # attracted nothing; unchanged

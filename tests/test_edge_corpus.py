@@ -66,6 +66,11 @@ TEXT_QUERIES = [
     # round 4: per-source caps, method-agreement matrix, star-CC clusters
     "per_source_cap", "dedup_method_agreement", "dedup_clusters_star",
     "temperature_mix", "bigram_logppl",
+    # round 5: Gopher rules, held-out novelty, calibration audit
+    "gopher_rules", "ngram_novelty", "quality_calibration",
+    # round 5: passage spans, DSIR, ppl terciles, Zipf fit, BPE loop
+    "dup_passages", "dsir_weights", "ppl_buckets", "zipf_fit",
+    "bpe_merges",
 ]
 
 

@@ -581,3 +581,76 @@ def ngram_contamination(corpus: DataFrame, benchmark: DataFrame,
         F.col("n_contaminated").cast("bigint").alias("n_contaminated"),
         rate.alias("contamination_rate"),
         (rate >= flag_threshold).cast("int").alias("flagged"))
+
+
+def duplicate_spans(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", n: int = 5,
+                    min_docs: int = 2, hex_digits: int = 8) -> DataFrame:
+    """Per-document duplicated-PASSAGE detection (the positional exact-
+    substring family of Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better"): instead of asking "is this document
+    a near-dup", find WHICH token runs inside each document also occur
+    in other documents — the memorization-prone boilerplate a span-level
+    scrubber would cut.
+
+    Method: every token position opens an ``n``-gram; a position is
+    *duplicated* when its n-gram hash occurs in ≥ ``min_docs`` distinct
+    documents; overlapping/adjacent duplicated positions merge into
+    maximal spans (gaps-and-islands over a per-document window). A
+    shared run of L ≥ n tokens yields L−n+1 consecutive duplicated
+    positions that merge back into one span of exactly L tokens, so
+    span boundaries are token-exact — the suffix-array result for runs
+    ≥ n, without a distributed suffix array.
+
+    Returns one row per document: ``(id_col, n_tokens, n_spans,
+    dup_tokens, dup_fraction)`` (0/0.0 when nothing is duplicated).
+
+    Scale design: the shuffle carries (id, position, 32-bit hash) rows,
+    never text; the duplicated-hash set is a map-side-combined groupBy
+    on the hash key; the join back is an equi-join on that key (each
+    position row matches at most once — no pair blowup, unlike
+    candidate-pair generation); the islands window partitions per
+    document. Docs shorter than ``n`` tokens fall back to one whole-doc
+    shingle (same convention as ``shingles_from_tokens``).
+    """
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    pos = (docs.select(F.col(id_col).alias("_id"), F.col(text_col))
+           .repartition(par)
+           .select("_id", tokens(text_col).alias("_toks"))
+           .select("_id", F.size("_toks").alias("n_tokens"),
+                   shingles_from_tokens(F.col("_toks"), n).alias("_sh"))
+           .select("_id", "n_tokens",
+                   F.posexplode("_sh").alias("pos", "_g"))
+           .select("_id", "n_tokens", "pos",
+                   _shingle_hash_w(F.col("_g"), hex_digits).alias("_h")))
+    dup = (pos.groupBy("_h")
+           .agg(F.countDistinct("_id").alias("_nd"))
+           .filter(F.col("_nd") >= min_docs)
+           .select("_h"))
+    glen = F.least(F.lit(n), F.col("n_tokens"))
+    hits = (pos.join(dup, on="_h")
+            .select("_id", "n_tokens", "pos",
+                    (F.col("pos") + glen - 1).alias("_end")))
+    w_prev = (Window.partitionBy("_id").orderBy("pos")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_run = (Window.partitionBy("_id").orderBy("pos")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    pmax = F.max("_end").over(w_prev)
+    brk = F.when(pmax.isNull() | (F.col("pos") > pmax), 1).otherwise(0)
+    spans = (hits.withColumn("_brk", brk)
+             .withColumn("_isl", F.sum("_brk").over(w_run))
+             .groupBy("_id", "_isl")
+             .agg(F.min("pos").alias("_s"), F.max("_end").alias("_e")))
+    per = (spans.groupBy("_id")
+           .agg(F.count(F.lit(1)).alias("n_spans"),
+                F.sum(F.col("_e") - F.col("_s") + 1).alias("dup_tokens")))
+    base = (docs.select(F.col(id_col).alias("_id"), F.col(text_col))
+            .select("_id", F.size(tokens(text_col)).alias("n_tokens")))
+    return (base.join(per, on="_id", how="left")
+            .select(F.col("_id").alias(id_col), "n_tokens",
+                    F.coalesce("n_spans", F.lit(0)).cast("bigint")
+                    .alias("n_spans"),
+                    F.coalesce("dup_tokens", F.lit(0)).cast("bigint")
+                    .alias("dup_tokens"),
+                    (F.coalesce("dup_tokens", F.lit(0))
+                     / F.col("n_tokens")).alias("dup_fraction")))

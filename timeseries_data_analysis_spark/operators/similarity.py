@@ -565,3 +565,63 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                    candidate_pairs=cell_pairs,
                    id_col=id_col, vec_col=vec_col,
                    query_id_col=query_id_col)
+
+
+def lloyd_step(vectors: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """One Lloyd (k-means) iteration in long form: assign every vector to
+    its nearest centroid (cosine, same rule as the IVF family), then the
+    new centroid is the element-wise mean of its members.
+
+    Returns ``(centroid_id, dim_idx, new_val, n_members)`` — long layout
+    on purpose: the element-wise mean becomes a plain groupBy average over
+    ``posexplode``d (cell, dim) keys, map-side combined, instead of an
+    array re-assembly that would need an order-sensitive collect_list.
+    Cells that attract no members emit no rows (callers keep the old
+    centroid — see ``kmeans_fit``).
+
+    Scale shape: the assignment is the broadcast N×K scoring join shared
+    with ``ivf_topk``; the mean shuffles (K·dim) running sums after
+    partial aggregation, independent of N.
+    """
+    assign = _assign_cells(vectors, centroids, n_probe=1,
+                           id_col=id_col, vec_col=vec_col)
+    return (assign.select("centroid_id",
+                          F.posexplode("_v").alias("dim_idx", "_x"))
+            .groupBy("centroid_id", "dim_idx")
+            .agg(F.avg("_x").alias("new_val"),
+                 F.count(F.lit(1)).alias("n_members")))
+
+
+def kmeans_fit(vectors: DataFrame, init_centroids: DataFrame,
+               n_iter: int = 5, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Bounded-iteration Lloyd refinement of an initial centroid frame
+    (the from-first-principles trainer behind ``ivf_fit_centroids``'s
+    Spark-ML path — same contract: returns ``(centroid_id, centroid)``).
+
+    Each iteration runs one distributed ``lloyd_step`` and collects the
+    K×dim long rows to the driver to rebuild the (tiny, broadcast-bound)
+    centroid literal — the identical bounded-collect posture as
+    ``dense_seed_ids``/``ivf_fit_centroids``: centroids are driver-sized
+    by definition (K·dim floats), the CORPUS never leaves the executors.
+    Cells with no members keep their previous centroid (the standard
+    empty-cluster rule). Deterministic: no sampling, no RNG.
+    """
+    spark = vectors.sparkSession
+    cur = {r["centroid_id"]: list(r["centroid"])
+           for r in init_centroids.collect()}
+    for _ in range(n_iter):
+        cent_df = spark.createDataFrame(
+            sorted(cur.items()), "centroid_id int, centroid array<double>")
+        rows = lloyd_step(vectors, cent_df, id_col=id_col,
+                          vec_col=vec_col).collect()
+        nxt: dict[int, list[float]] = {}
+        for r in rows:
+            nxt.setdefault(r["centroid_id"],
+                           [0.0] * len(cur[r["centroid_id"]]))
+            nxt[r["centroid_id"]][r["dim_idx"]] = float(r["new_val"])
+        cur = {cid: nxt.get(cid, vec) for cid, vec in cur.items()}
+    return spark.createDataFrame(
+        sorted(cur.items()), "centroid_id int, centroid array<double>")

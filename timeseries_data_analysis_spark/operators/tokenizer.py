@@ -1,0 +1,114 @@
+"""BPE tokenizer training at corpus scale (Sennrich et al. 2016).
+
+Extends the single-iteration pair mining (``q_bpe_pair_counts``) to the
+full greedy merge LOOP — the actual tokenizer-training algorithm — while
+keeping every per-word rewrite distributed and engine-portable:
+
+- The corpus collapses once to its (word, count) VOCAB (map-side
+  combined word count); every later iteration touches only the vocab,
+  never the raw corpus — the standard trick that makes BPE training
+  corpus-size-independent after one scan.
+- Each iteration is two Spark jobs: a weighted adjacent-pair count over
+  the vocab's symbol arrays (groupBy, map-side combined) and a 1-row
+  argmax collect (the learned merge IS a driver-sized artifact, same
+  posture as ``dense_seed_ids``/``kmeans_fit`` centroids).
+- The merge rewrite is a left-to-right non-overlapping fold
+  (``F.aggregate``) over each word's symbol array — pure JVM, no UDF,
+  and replayable verbatim in DuckDB via ``list_reduce`` (the oracle
+  unrolls the same loop), so the whole training run has a full value
+  oracle.
+
+Simplifications vs production BPE, documented: no end-of-word marker
+and character-level initial symbols (byte-level init and special-token
+handling change the alphabet, not the algorithm). Ties break on
+(count DESC, left ASC, right ASC) — deterministic in any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, wn, syms) vocabulary: raw whitespace words, corpus counts,
+    character-level initial symbol arrays. One corpus scan; everything
+    downstream operates on this bounded table."""
+    return (docs.select(F.explode(
+                F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"))
+            .filter(F.length("word") >= 1)
+            .groupBy("word").agg(F.count(F.lit(1)).alias("wn"))
+            .select("word", "wn",
+                    # split on "" (not the "(?!^)" lookahead, which also
+                    # matches end-of-string and emits a trailing empty
+                    # symbol that then wins merges against real chars)
+                    F.split(F.col("word"), "").alias("syms")))
+
+
+def merge_fold(syms: Column, left: str, right: str) -> Column:
+    """Left-to-right non-overlapping merge of adjacent (left, right)
+    symbol pairs — the BPE rewrite step as a pure JVM fold. After a
+    merge the accumulator's last element is the CONCATENATED symbol, so
+    an overlapping second match (e.g. pair (a,a) over "a a a") cannot
+    fire — exactly the sequential semantics of the reference algorithm.
+    """
+    return F.aggregate(
+        syms,
+        F.expr("cast(array() as array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                     F.array(F.lit(left + right)))
+        ).otherwise(F.concat(acc, F.array(x))))
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """Weighted adjacent-pair counts over the vocab's symbol arrays.
+    Guard ``size >= 2`` because Spark's ``sequence(1, 0)`` DESCENDS
+    instead of returning empty (the bpe_pair_counts lesson)."""
+    pairs = (vocab.filter(F.size("syms") >= 2)
+             .select("wn", F.explode(F.expr(
+                 "transform(sequence(1, size(syms) - 1),"
+                 " i -> struct(syms[i-1] as l, syms[i] as r))")).alias("p"))
+             .select("wn", F.col("p.l").alias("l"), F.col("p.r").alias("r")))
+    return pairs.groupBy("l", "r").agg(F.sum("wn").alias("n"))
+
+
+def bpe_learn_merges(docs: DataFrame, n_merges: int = 5,
+                     text_col: str = "text") -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges; returns the merge table
+    ``(rank, lhs, rhs, merged, n)`` as a driver-built bounded frame
+    (the tokenizer artifact — the analog of a saved centroid frame).
+
+    Each iteration localCheckpoints the rewritten vocab so plan lineage
+    stays flat across iterations (the CC-loop pattern in
+    ``operators/graph.py``); the checkpointed relation is vocab-sized,
+    never corpus-sized.
+    """
+    spark = docs.sparkSession
+    vocab = word_vocab(docs, text_col).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, str, int]] = []
+    for k in range(n_merges):
+        top = (_pair_counts(vocab)
+               .orderBy(F.col("n").desc(), "l", "r").limit(1).collect())
+        if not top:
+            break
+        l, r, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
+        merges.append((k + 1, l, r, l + r, n))
+        vocab = (vocab.select("word", "wn",
+                              merge_fold(F.col("syms"), l, r).alias("syms"))
+                 .localCheckpoint(eager=True))
+    return spark.createDataFrame(
+        merges, "rank int, lhs string, rhs string, merged string, n bigint")
+
+
+def bpe_apply(syms: Column, merges: list[tuple[str, str]]) -> Column:
+    """Tokenize: apply learned merges in rank order to a symbol-array
+    column (bounded python loop builds a fixed chain of JVM folds — no
+    driver data movement, no UDF)."""
+    out = syms
+    for left, right in merges:
+        out = merge_fold(out, left, right)
+    return out
