@@ -2485,13 +2485,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS DELIBERATE: the driver's correctness gate checks
     the first 50 entries per round. Round 5 closes the staleness ledger:
     first every query ADDED or CHANGED in round 5 (never / no-longer
-    driver-checked), then ALL 29 remaining rows whose driver evidence of
-    record is still r1/r2 (pure built-in Catalyst paths, held back two
-    rounds precisely because they have the least custom-helper surface;
-    `stride_sample` and `time_split` lead them since they touch
-    operators/topk.py and ml/pipeline.py helpers). After this round,
-    every registry row has driver evidence from r3+. The r3/r4
-    driver-greens close the list (freshest evidence, least at risk)."""
+    driver-checked — the six new curation ops lead, then the six earlier
+    round-5 additions), then ALL 29 remaining rows whose driver evidence
+    of record is still r1/r2 (pure built-in Catalyst paths, held back
+    two rounds precisely because they have the least custom-helper
+    surface; `stride_sample` and `time_split` lead them since they touch
+    operators/topk.py and ml/pipeline.py helpers). 12 + 29 = 41 ≤ 50, so
+    the full ledger still clears this round; after it, every registry
+    row has driver evidence from r3+. The r3/r4 driver-greens close the
+    list (freshest evidence, least at risk)."""
     return {
         # --- round-5 new/changed queries: first driver evidence needed ---
         "dup_passages": q_dup_passages,

@@ -61,6 +61,12 @@ def main() -> None:
         "exact_dedup": lambda: DD.exact_dedup(docs),
         "minhash_lsh": lambda: DD.minhash_lsh_candidates(
             docs, num_hashes=16, bands=8),
+        # r=4 rows/band (bands=4): the width-rule fix for MinHash — band
+        # agreement needs 4 matching minhashes instead of 2, so random
+        # collisions fall as J^4 and candidate volume stays bounded when
+        # the r=2 banding saturates (measured 30M pairs at the 10x corpus)
+        "minhash_r4": lambda: DD.minhash_lsh_candidates(
+            docs, num_hashes=16, bands=4),
         "simhash48": lambda: sim_pairs(48, 12),
         "simhash60": lambda: sim_pairs(60, 15),
         "lsh8": lambda: SIM.lsh_neardup_pairs(emb, dim=64, bands=6, bits=8),
@@ -75,13 +81,24 @@ def main() -> None:
     for name, build in OPS.items():
         if only and name not in only:
             continue
+        if os.environ.get("SCALE_PROBE_ONESHOT"):
+            # big-corpus mode: ONE timed count (construction + full
+            # execution; warm-up is noise at minutes-long runs) instead
+            # of 3 noop writes + a count — 1 execution, not 4
+            t0 = time.time()
+            vol = build().count()
+            print(f"{name:12s} {time.time() - t0:8.2f} s  rows={vol}  "
+                  f"trials=oneshot loadavg={os.getloadavg()[0]:.2f}",
+                  flush=True)
+            continue
         times = []
-        for trial in range(3):  # first run warms; min of the last two
+        n_trials = int(os.environ.get("SCALE_PROBE_TRIALS", "3"))
+        for trial in range(n_trials):  # first run warms; min of the rest
             t0 = time.time()
             build().write.format("noop").mode("overwrite").save()
             times.append(time.time() - t0)
         vol = build().count()
-        print(f"{name:12s} {min(times[1:]):8.2f} s  rows={vol}  "
+        print(f"{name:12s} {min(times[1:] or times):8.2f} s  rows={vol}  "
               f"trials={[round(t, 2) for t in times]} "
               f"loadavg={os.getloadavg()[0]:.2f}", flush=True)
 
