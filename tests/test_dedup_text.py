@@ -600,3 +600,23 @@ def test_kmeans_fit_empty_cell_keeps_centroid(spark):
     fit = {r["centroid_id"]: r["centroid"]
            for r in SIM.kmeans_fit(vec, init, n_iter=2).collect()}
     assert fit[1] == [-1.0, 0.0]          # attracted nothing; unchanged
+
+
+def test_simhash_max_bucket_cap(spark):
+    """The skew cap drops pairs only from over-occupied (band, chunk)
+    buckets; with a cap above every bucket size the pair set is
+    unchanged."""
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " + ("x" if i % 2 else "y"))
+         for i in range(8)], "doc_id: long, text: string")
+    full = set(map(tuple, DD.simhash_hamming_pairs(
+        docs, bits=16, bands=4, max_hamming=3)
+        .select("id_l", "id_r").collect()))
+    same = set(map(tuple, DD.simhash_hamming_pairs(
+        docs, bits=16, bands=4, max_hamming=3, max_bucket=1000)
+        .select("id_l", "id_r").collect()))
+    capped = set(map(tuple, DD.simhash_hamming_pairs(
+        docs, bits=16, bands=4, max_hamming=3, max_bucket=1)
+        .select("id_l", "id_r").collect()))
+    assert same == full
+    assert capped <= full          # cap only ever removes pairs

@@ -377,7 +377,8 @@ def simhash_hamming_pairs(docs: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id", n: int = 2,
                           bits: int = 16, bands: int = 4,
                           max_hamming: int = 3,
-                          hex_digits: int = 8) -> DataFrame:
+                          hex_digits: int = 8,
+                          max_bucket: int | None = None) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
     The ``bits``-bit fingerprint splits into ``bands`` equal chunks; by
@@ -395,6 +396,18 @@ def simhash_hamming_pairs(docs: DataFrame, text_col: str = "text",
     rows-only).
 
     Requires ``max_hamming <= bands - 1`` for exactness (pigeonhole).
+
+    ``max_bucket`` (optional) is the skew cap MinHash banding already
+    carries: (band, chunk) buckets holding more than ``max_bucket``
+    fingerprints are dropped from pair generation. On templated corpora
+    the chunk distribution is heavily non-uniform (SCALE.md §1e measured
+    a 27× skew multiplier over the uniform-occupancy prediction at 500k
+    docs), so a handful of super-buckets carry most of the quadratic
+    candidate volume; the cap trades recall ONLY against those
+    boilerplate-like super-clusters (a pair is still found via any OTHER
+    band whose bucket is under the cap) and restores ~linear emitted
+    volume. ``None`` (default) preserves the exact pigeonhole guarantee
+    — the oracle-checked queries use the uncapped form.
     """
     if max_hamming > bands - 1:
         raise ValueError(
@@ -415,6 +428,11 @@ def simhash_hamming_pairs(docs: DataFrame, text_col: str = "text",
     chunks = fp.select(
         "_id", "_fp", F.explode(F.array(*band_structs)).alias("bc"),
     ).select("_id", "_fp", "bc.band", "bc.chunk")
+    if max_bucket is not None:
+        chunks = chunks.withColumn(
+            "_bn", F.count(F.lit(1)).over(
+                Window.partitionBy("band", "chunk"))
+        ).filter(F.col("_bn") <= max_bucket).drop("_bn")
     a = chunks.select(F.col("_id").alias("id_l"), F.col("_fp").alias("_fp_l"),
                       "band", "chunk")
     b = chunks.select(F.col("_id").alias("id_r"), F.col("_fp").alias("_fp_r"),

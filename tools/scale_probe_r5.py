@@ -53,9 +53,10 @@ def main() -> None:
     emb = spark.read.parquet(f"{corpus}/embeddings.parquet").withColumn(
         "embedding", F.col("embedding").cast("array<double>"))
 
-    def sim_pairs(bits: int, hexd: int):
+    def sim_pairs(bits: int, hexd: int, cap: int | None = None):
         return DD.simhash_hamming_pairs(docs, n=2, bits=bits, bands=4,
-                                        max_hamming=3, hex_digits=hexd)
+                                        max_hamming=3, hex_digits=hexd,
+                                        max_bucket=cap)
 
     OPS = {
         "exact_dedup": lambda: DD.exact_dedup(docs),
@@ -69,6 +70,11 @@ def main() -> None:
             docs, num_hashes=16, bands=4),
         "simhash48": lambda: sim_pairs(48, 12),
         "simhash60": lambda: sim_pairs(60, 15),
+        # skew-capped variants (the minhash max_bucket mechanism applied
+        # to simhash banding): super-buckets are dropped from pair
+        # generation, so emitted volume tracks the capped occupancy
+        "simhash48_cap": lambda: sim_pairs(48, 12, cap=1000),
+        "simhash60_cap": lambda: sim_pairs(60, 15, cap=1000),
         "lsh8": lambda: SIM.lsh_neardup_pairs(emb, dim=64, bands=6, bits=8),
         "lsh12": lambda: SIM.lsh_neardup_pairs(emb, dim=64, bands=6, bits=12),
         "cc48": lambda: GR.dedup_clusters(sim_pairs(48, 12)),
