@@ -2463,6 +2463,66 @@ def q_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
         _r(num * num / (denx * deny), 4).alias("r2"))
 
 
+def q_bpe_compression(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer-training ROI audit: learn 5 BPE merges, apply them back
+    to the corpus vocabulary (`TOKZ.bpe_apply` — the same fold chain the
+    trainer used), and report the corpus-weighted compression: chars per
+    word vs symbols per word after merging. The single-row output is the
+    number a tokenizer team actually tracks (how much sequence length
+    the merge table buys). Contract: the corpus must support 5 merges
+    (any corpus with multi-char words does). Oracle replays the learned
+    merges AND the application in one unrolled SQL chain."""
+    docs = load_table(spark, sf, "documents")
+    merges = [(r["lhs"], r["rhs"]) for r in
+              TOKZ.bpe_learn_merges(docs, n_merges=5)
+              .orderBy("rank").collect()]
+    vocab = TOKZ.word_vocab(docs)
+    applied = vocab.select(
+        "wn", F.length("word").alias("_chars"),
+        F.size(TOKZ.bpe_apply(F.col("syms"), merges)).alias("_syms"))
+    wchars = F.sum(F.col("wn") * F.col("_chars"))
+    wsyms = F.sum(F.col("wn") * F.col("_syms"))
+    return applied.agg(
+        F.count(F.lit(1)).alias("n_vocab_words"),
+        F.sum("wn").alias("n_corpus_words"),
+        _r(wchars / F.sum("wn"), 4).alias("chars_per_word"),
+        _r(wsyms / F.sum("wn"), 4).alias("symbols_per_word"),
+        _r(wchars / wsyms, 4).alias("compression"))
+
+
+def q_ivf_kmeans_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN scale path #2c — the TRAINED-quantizer shape: one distributed
+    Lloyd step refines the deterministic seed centroids (means rounded
+    to 6 dp in BOTH engines so the downstream probe ranking cannot flip
+    on summation-order ulps; empty cells keep their seed), then the
+    standard IVF probe search runs against the trained cells. Closes
+    the fit→search loop under the full value oracle — q_ivf_topk covers
+    search-only, this covers train-then-search."""
+    emb = load_table(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    seeds = SIM.dense_seed_ids(
+        emb.filter(F.col("vec_id") % 31 == 0)
+        .select("vec_id", F.col("embedding").alias("centroid")),
+        "vec_id", 16, "centroid_id", "centroid")
+    step = (SIM.lloyd_step(emb, seeds)
+            .select("centroid_id", "dim_idx",
+                    _r(F.col("new_val"), 6).alias("_v")).collect())
+    trained: dict[int, list[float]] = {}
+    for r in step:                      # K×dim rows — bounded by design
+        trained.setdefault(r["centroid_id"], [0.0] * 64)
+        trained[r["centroid_id"]][r["dim_idx"]] = float(r["_v"])
+    cent_rows = [(r["centroid_id"],
+                  trained.get(r["centroid_id"], list(r["centroid"])))
+                 for r in seeds.collect()]
+    cent = spark.createDataFrame(
+        sorted(cent_rows), "centroid_id int, centroid array<double>")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = SIM.ivf_topk(emb, q, k=5, n_probe=4, centroids=cent)
+    return out.select("query_id", "vec_id", "rk",
+                      _r(F.col("sim"), 6).alias("sim"))
+
+
 def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     """The full greedy BPE merge LOOP (Sennrich et al. 2016) — extends
     q_bpe_pair_counts' single iteration to the actual tokenizer-training
@@ -2497,6 +2557,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-5 new/changed queries: first driver evidence needed ---
         "dup_passages": q_dup_passages,
+        "bpe_compression": q_bpe_compression,
+        "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "dsir_weights": q_dsir_weights,
         "kmeans_step": q_kmeans_step,
         "ppl_buckets": q_ppl_buckets,
@@ -3551,6 +3613,93 @@ def oracle_sql() -> dict[str, str]:
     # the in-memory IVF search, so the oracle IS ivf_topk's (same
     # deterministic centroids, same k/n_probe, same tiebreaks).
     sql["ivf_store_search"] = sql["ivf_topk"]
+
+    # train-then-search: one Lloyd step over the seed centroids (means
+    # rounded 6 dp on both sides so probe ranking cannot flip on
+    # summation-order ulps; empty cells keep the seed), then the same
+    # probe chain as ivf_topk against the TRAINED centroids.
+    _ivf_search_tail = """
+        , assignq AS (
+            SELECT vec_id, v, centroid_id FROM (
+                SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.centroid_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY CASE WHEN list_dot_product(
+                                   e.embedding::DOUBLE[],
+                                   e.embedding::DOUBLE[]) = 0
+                                 OR list_dot_product(c.centroid,
+                                                     c.centroid) = 0
+                               THEN 0.0
+                               ELSE list_cosine_similarity(
+                                   e.embedding::DOUBLE[], c.centroid)
+                               END DESC,
+                                    c.centroid_id) AS crk
+                FROM embeddings e CROSS JOIN cent2 c)
+            WHERE crk = 1
+        ), probes AS (
+            SELECT query_id, qv, centroid_id FROM (
+                SELECT e.vec_id AS query_id,
+                       e.embedding::DOUBLE[] AS qv, c.centroid_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY CASE WHEN list_dot_product(
+                                   e.embedding::DOUBLE[],
+                                   e.embedding::DOUBLE[]) = 0
+                                 OR list_dot_product(c.centroid,
+                                                     c.centroid) = 0
+                               THEN 0.0
+                               ELSE list_cosine_similarity(
+                                   e.embedding::DOUBLE[], c.centroid)
+                               END DESC,
+                                    c.centroid_id) AS crk
+                FROM embeddings e CROSS JOIN cent2 c WHERE e.vec_id < 10)
+            WHERE crk <= 4
+        ), scored AS (
+            SELECT p.query_id, a.vec_id,
+                   CASE WHEN list_dot_product(a.v, a.v) = 0
+                          OR list_dot_product(p.qv, p.qv) = 0 THEN 0.0
+                   ELSE list_cosine_similarity(a.v, p.qv) END AS s
+            FROM assignq a JOIN probes p USING (centroid_id)
+            WHERE a.vec_id <> p.query_id
+        ), ranked AS (
+            SELECT query_id, vec_id, s,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY s DESC, vec_id) AS rk
+            FROM scored)
+        SELECT query_id, vec_id, rk, (round(s + 1e-9, 6) + 0.0) AS sim
+        FROM ranked WHERE rk <= 5
+    """
+    sql["ivf_kmeans_topk"] = """
+        WITH cent AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+                   embedding::DOUBLE[] AS centroid
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 16)
+        ), assign AS (
+            SELECT vec_id, v, centroid_id FROM (
+                SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.centroid_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY CASE WHEN list_dot_product(
+                                   e.embedding::DOUBLE[],
+                                   e.embedding::DOUBLE[]) = 0
+                                 OR list_dot_product(c.centroid,
+                                                     c.centroid) = 0
+                               THEN 0.0
+                               ELSE list_cosine_similarity(
+                                   e.embedding::DOUBLE[], c.centroid)
+                               END DESC,
+                                    c.centroid_id) AS crk
+                FROM embeddings e CROSS JOIN cent c)
+            WHERE crk = 1
+        ), trained AS (
+            SELECT centroid_id,
+                   list((round(m + 1e-9, 6) + 0.0) ORDER BY i) AS centroid
+            FROM (SELECT centroid_id, i, avg(v[i+1]) AS m
+                  FROM assign, unnest(range(len(v))) AS u(i)
+                  GROUP BY 1, 2)
+            GROUP BY centroid_id
+        ), cent2 AS (
+            SELECT s.centroid_id, coalesce(t.centroid, s.centroid) AS centroid
+            FROM cent s LEFT JOIN trained t USING (centroid_id)
+        )""" + _ivf_search_tail
 
     # Shared fragment: per-token md5-prefix base hashes of normalized text
     # (same tokenization as doc_fingerprint, same 8-hex-prefix→bigint hash
@@ -5460,7 +5609,7 @@ def oracle_sql() -> dict[str, str]:
                 WHERE len(syms) >= 2)
             GROUP BY 1, 2),
         b{_k} AS (SELECT l, r, n FROM p{_k} ORDER BY n DESC, l, r LIMIT 1)""")
-        if _k < 5:
+        if True:  # v5 feeds bpe_compression; unused CTEs are pruned
             _bpe.append(f"""v{_k} AS (
             SELECT word, wn,
                    list_reduce(list_transform(syms, s -> [s]),
@@ -5471,10 +5620,25 @@ def oracle_sql() -> dict[str, str]:
                                    ELSE acc || x END) AS syms
             FROM (SELECT v.word, v.wn, v.syms, b.l AS _ml, b.r AS _mr
                   FROM v{_k-1} v, b{_k} b))""")
-    sql["bpe_merges"] = ("WITH " + ",\n        ".join(_bpe) + "\n"
+    _bpe_with = "WITH " + ",\n        ".join(_bpe) + "\n"
+    sql["bpe_merges"] = (_bpe_with
                          + "\n        UNION ALL ".join(
                              f"SELECT {k} AS rank, l AS lhs, r AS rhs, "
                              f"l || r AS merged, n FROM b{k}"
                              for k in range(1, 6)))
+
+    # same unrolled chain, applied: the post-merge vocabulary v5 yields
+    # the corpus-weighted compression audit
+    sql["bpe_compression"] = _bpe_with + """
+        SELECT count(*) AS n_vocab_words,
+               sum(wn)::BIGINT AS n_corpus_words,
+               (round(sum(wn * len(word))::DOUBLE / sum(wn) + 1e-9, 4)
+                + 0.0) AS chars_per_word,
+               (round(sum(wn * len(syms))::DOUBLE / sum(wn) + 1e-9, 4)
+                + 0.0) AS symbols_per_word,
+               (round(sum(wn * len(word))::DOUBLE / sum(wn * len(syms))
+                      + 1e-9, 4) + 0.0) AS compression
+        FROM v5
+    """
 
     return sql

@@ -70,7 +70,7 @@ TEXT_QUERIES = [
     "gopher_rules", "ngram_novelty", "quality_calibration",
     # round 5: passage spans, DSIR, ppl terciles, Zipf fit, BPE loop
     "dup_passages", "dsir_weights", "ppl_buckets", "zipf_fit",
-    "bpe_merges",
+    "bpe_merges", "bpe_compression",
 ]
 
 

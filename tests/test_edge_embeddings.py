@@ -62,9 +62,9 @@ ANN_QUERIES = ["similarity_topk", "lsh_topk", "ivf_topk", "pq_topk",
                "ivf_pq_topk", "emb_neardup_clusters",
                # round 5: SemDeDup (integer audit output — same
                # zero-vector / degenerate-seed assignment CTE the IVF
-               # family stresses). kmeans_step is NOT here: its output
-               # is per-cell MEANS, and a mean containing the 1e18-scale
-               # fixture vector differs across engines at the ulp level
+               # family stresses). kmeans_step / ivf_kmeans_topk are NOT
+               # here: their per-cell MEANS containing the 1e18-scale
+               # fixture vector differ across engines at the ulp level
                # (~1e2 absolute on a 1e17 mean) — summation-order noise
                # the 6-dp rounding contract cannot absorb. Extreme
                # magnitudes are out of contract for Lloyd means, same as
