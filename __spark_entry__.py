@@ -24,7 +24,7 @@ from timeseries_data_analysis_spark.operators import (
     windows as WIN, timeseries as TS, intervals as IV, pivot as PV,
     topk as TK, dedup as DD, similarity as SIM, encoding as ENC,
     skew as SKEW, graph as GR, tsindex as TSI, sampling as SMP,
-    tokenizer as TOKZ,
+    tokenizer as TOKZ, sketch as SK,
 )
 from timeseries_data_analysis_spark.functions import math_fns as M, text as TX
 
@@ -2536,6 +2536,225 @@ def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     return TOKZ.bpe_learn_merges(docs, n_merges=5)
 
 
+def q_repetition_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher line/word repetition rules (Rae et al. 2021 §A1.1) — the
+    family ``doc_repetition`` (shingle-level) does not cover: duplicate
+    LINE fraction + duplicate-line CHARACTER fraction, duplicate word
+    fraction, and the top word-bigram character share. Two map-side-
+    combined explode/groupBys + a key-partitioned top-1 window; the
+    single-line sf corpus exercises the word/bigram signals and the
+    adversarial edge gate exercises the multi-line path."""
+    docs = load_table(spark, sf, "documents")
+    rp = DD.repetition_profile(docs)
+    return rp.select(
+        "doc_id", "n_lines",
+        _r(F.col("dup_line_frac"), 6).alias("dup_line_frac"),
+        _r(F.col("dup_line_char_frac"), 6).alias("dup_line_char_frac"),
+        "n_words",
+        _r(F.col("dup_word_frac"), 6).alias("dup_word_frac"),
+        "top_bigram",
+        _r(F.col("top_bigram_share"), 6).alias("top_bigram_share"))
+
+
+def q_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer-design diagnostic: cumulative corpus-token coverage of
+    the top-k vocabulary at k ∈ {10, 100, 1000} — the curve that decides
+    a vocab size budget. Rank over the BOUNDED top-1000 frame is a
+    theta-join count (the ``zipf_fit`` pattern — no partition-less
+    window); the corpus-wide total is a 1-row broadcast."""
+    docs = load_table(spark, sf, "documents")
+    cnt = (docs.select(F.explode(F.filter(
+               F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+               lambda x: F.length(x) > 0)).alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("n")))
+    total = cnt.agg(F.sum("n").alias("_total"))
+    top = cnt.orderBy(F.col("n").desc(), "w").limit(1000)
+    a = top.select(F.col("w").alias("_wa"), F.col("n").alias("_na"))
+    b = top.select(F.col("w").alias("_wb"), F.col("n").alias("_nb"))
+    ranked = (a.join(F.broadcast(b),
+                     (F.col("_nb") > F.col("_na"))
+                     | ((F.col("_nb") == F.col("_na"))
+                        & (F.col("_wb") < F.col("_wa"))), "left")
+              .groupBy("_wa", "_na")
+              .agg((F.count("_wb") + 1).alias("_rank")))
+    ks = spark.createDataFrame([(10,), (100,), (1000,)], "k int")
+    cov = (ranked.join(F.broadcast(ks), F.col("_rank") <= F.col("k"))
+           .groupBy("k")
+           .agg(F.count(F.lit(1)).alias("n_words_used"),
+                F.sum("_na").alias("covered_tokens")))
+    return (cov.crossJoin(F.broadcast(total))
+            .select("k", "n_words_used", "covered_tokens",
+                    F.col("_total").alias("total_tokens"),
+                    _r(F.col("covered_tokens") / F.col("_total"), 6)
+                    .alias("coverage"))
+            .orderBy("k"))
+
+
+def q_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV (bottom-k) distinct-count sketch per source, audited against
+    the exact distinct count. Unlike HLL (`approx_count_distinct`), the
+    md5-derived KMV estimate is engine-portable, so the APPROXIMATE
+    answer itself carries a full value oracle — see operators/sketch.py
+    for the mergeable-sketch scale contract."""
+    docs = load_table(spark, sf, "documents")
+    words = docs.select("source", F.explode(F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda x: F.length(x) > 0)).alias("w"))
+    est = SK.kmv_distinct(words, "source", "w", k=64)
+    exact = words.groupBy("source").agg(
+        F.countDistinct("w").alias("exact_distinct"))
+    return (est.join(exact, "source")
+            .select("source", "n_kept",
+                    _r(F.col("est"), 2).alias("kmv_estimate"),
+                    "exact_distinct",
+                    _r(F.abs(F.col("est") - F.col("exact_distinct"))
+                       / F.col("exact_distinct"), 4).alias("rel_err"))
+            .orderBy("source"))
+
+
+def q_rp_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Johnson-Lindenstrauss sketch audit: recall@10 of cosine top-k run
+    in a 16-dim Rademacher (±1) projection of the 64-dim embeddings vs
+    the exact 64-dim answer. The projection is a pure map-stage codegen
+    expression (signed sums, no multiplies — similarity.random_project);
+    the ±1 matrix derives from a public md5 parity rule the oracle
+    regenerates independently. The measured recall IS the operating
+    artifact: it tells you whether a 4× cheaper scan is safe."""
+    emb = load_table(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    mat = SIM.rademacher_matrix(64, 16)
+    proj = emb.select("vec_id",
+                      SIM.random_project(F.col("embedding"), mat).alias("pv"))
+    q_exact = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = SIM.brute_force_topk(emb, q_exact, k=10) \
+        .select("query_id", "vec_id")
+    corpus_p = proj.select("vec_id", F.col("pv").alias("embedding"))
+    q_proj = proj.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("pv").alias("embedding"))
+    approx = SIM.brute_force_topk(corpus_p, q_proj, k=10) \
+        .select("query_id", "vec_id")
+    inter = exact.join(approx, ["query_id", "vec_id"])
+    per = inter.groupBy("query_id").agg(F.count(F.lit(1)).alias("_n"))
+    base = q_exact.select("query_id")
+    return (base.join(per, "query_id", "left")
+            .select("query_id",
+                    F.coalesce("_n", F.lit(0)).cast("bigint")
+                    .alias("n_overlap"),
+                    _r(F.coalesce("_n", F.lit(0)) / F.lit(10.0), 4)
+                    .alias("recall_at_10"))
+            .orderBy("query_id"))
+
+
+def q_minhash_accuracy(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-accuracy audit for MinHash: per LSH candidate pair, the
+    signature-agreement Jaccard ESTIMATE (matching components / 16)
+    against the exact 3-gram Jaccard, plus the absolute error — the
+    diagnostic that calibrates how many hash functions a production
+    dedup needs. Signatures are exact integers (the affine family), so
+    the estimate replays bit-identically in SQL."""
+    docs = load_table(spark, sf, "documents")
+    cands = (DD.minhash_lsh_candidates(docs, num_hashes=16, bands=8)
+             .select("id_l", "id_r").distinct())
+    sig = DD.minhash_signatures(docs, num_hashes=16)
+    sl = sig.select(F.col("_id").alias("id_l"), F.col("_sig").alias("_sl"))
+    sr = sig.select(F.col("_id").alias("id_r"), F.col("_sig").alias("_sr"))
+    est = (cands.join(sl, "id_l").join(sr, "id_r")
+           .select("id_l", "id_r",
+                   (F.size(F.filter(
+                       F.zip_with("_sl", "_sr", lambda x, y: x == y),
+                       lambda m: m)) / F.lit(16.0)).alias("_est")))
+    ex = DD.ngram_jaccard(cands, docs)
+    est_r = F.round(F.col("_est") + F.lit(ROUND_EPS), 4)
+    jac_r = F.round(F.col("jaccard") + F.lit(ROUND_EPS), 4)
+    return (est.join(ex, ["id_l", "id_r"])
+            .select("id_l", "id_r",
+                    est_r.alias("minhash_est"),
+                    jac_r.alias("jaccard"),
+                    _r(F.abs(est_r - jac_r), 4).alias("abs_err")))
+
+
+def q_seasonal_forecast_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Forecast backtest: an hour-of-day seasonal-mean model fit on the
+    first 70% of the time range (integer-second cut — exact in any
+    engine), scored on the held-out 30% with per-series MAE/RMSE. The
+    profile is a map-side-combined groupBy broadcast back to the test
+    rows; predictions are rounded to 6 dp on both engines before the
+    error algebra so the metrics can't drift on summation order."""
+    ev = load_table(spark, sf, "events")
+    e = ev.select("event_type", "value",
+                  F.unix_timestamp("ts").alias("_sec"),
+                  F.hour("ts").alias("_h"))
+    bounds = e.agg(F.min("_sec").alias("_mn"), F.max("_sec").alias("_mx"))
+    e2 = (e.crossJoin(F.broadcast(bounds))
+          .withColumn("_cut", F.col("_mn") + F.floor(
+              (F.col("_mx") - F.col("_mn")) * 7 / 10).cast("bigint")))
+    train = e2.filter(F.col("_sec") <= F.col("_cut"))
+    test = e2.filter(F.col("_sec") > F.col("_cut"))
+    prof = train.groupBy("event_type", "_h").agg(
+        _r(F.avg("value"), 6).alias("_pred"))
+    err = (test.join(prof, ["event_type", "_h"])
+           .select("event_type", (F.col("value") - F.col("_pred")).alias("_e")))
+    return (err.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_test"),
+                 _r(F.avg(F.abs(F.col("_e"))), 4).alias("mae"),
+                 _r(F.sqrt(F.avg(F.col("_e") * F.col("_e"))), 4).alias("rmse"))
+            .orderBy("event_type"))
+
+
+def q_cusum_changepoints(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sided CUSUM drift monitor per event series — the classic
+    "inherently sequential" control chart computed natively via the
+    prefix-sum-minus-running-min identity (windows.cusum_features), with
+    the standardized score quantized to integer micro-units so the
+    cumulative algebra is bit-exact cross-engine. Reports alarm counts
+    (h = 4σ), first alarm time, and the peak statistic per series."""
+    ev = load_table(spark, sf, "events")
+    cu = WIN.cusum_features(ev, "event_type", "value",
+                            ["ts", "event_id"], k_sigma=0.5)
+    h = 4_000_000
+    ap = F.when(F.col("cusum_pos_micro") > h, 1).otherwise(0)
+    an = F.when(F.col("cusum_neg_micro") > h, 1).otherwise(0)
+    return (cu.select("event_type", "ts", ap.alias("_ap"), an.alias("_an"),
+                      "cusum_pos_micro", "cusum_neg_micro")
+            .groupBy("event_type")
+            .agg(F.sum("_ap").alias("n_pos_alarms"),
+                 F.sum("_an").alias("n_neg_alarms"),
+                 F.min(F.when((F.col("_ap") + F.col("_an")) > 0,
+                              F.col("ts"))).alias("first_alarm_ts"),
+                 _r(F.max("cusum_pos_micro") / 1e6, 4).alias("max_cusum_pos"),
+                 _r(F.max("cusum_neg_micro") / 1e6, 4).alias("max_cusum_neg"))
+            .orderBy("event_type"))
+
+
+def q_length_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Length-bucketed batching audit (training-loader prep): documents
+    binned to power-of-two token-length buckets; per bucket the padded
+    token count and padding-waste fraction — the number that justifies
+    bucketed batching over pad-to-max. Pure map stage + one tiny
+    groupBy; bucket edges are literals in both engines."""
+    docs = load_table(spark, sf, "documents")
+    edges = [16, 32, 64, 128, 256, 512, 1024, 2048, 4096]
+    n_tok = F.size(F.filter(F.split(F.trim(F.col("text")), r"\s+"),
+                            lambda x: F.length(x) > 0))
+    d = docs.select(n_tok.alias("_n"))
+    arr = F.array(*[F.lit(e) for e in edges])
+    bucket = F.coalesce(
+        F.array_min(F.filter(arr, lambda e: e >= F.col("_n"))),
+        F.lit(edges[-1]))
+    g = d.select("_n", bucket.alias("bucket"))
+    return (g.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("_n").alias("total_tokens"))
+            .select("bucket", "n_docs", "total_tokens",
+                    (F.col("bucket").cast("bigint") * F.col("n_docs"))
+                    .alias("padded_tokens"),
+                    _r(F.lit(1.0) - F.col("total_tokens")
+                       / (F.col("bucket") * F.col("n_docs")), 6)
+                    .alias("pad_waste"))
+            .orderBy("bucket"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's anomaly detector over sf0.001 events."""
     return q_anomaly_detect(spark, SF_SMOKE)
@@ -2550,10 +2769,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     of record is still r1/r2 (pure built-in Catalyst paths, held back
     two rounds precisely because they have the least custom-helper
     surface; `stride_sample` and `time_split` lead them since they touch
-    operators/topk.py and ml/pipeline.py helpers). 12 + 29 = 41 ≤ 50, so
+    operators/topk.py and ml/pipeline.py helpers). 14 + 29 = 43 ≤ 50, so
     the full ledger still clears this round; after it, every registry
-    row has driver evidence from r3+. The r3/r4 driver-greens close the
-    list (freshest evidence, least at risk)."""
+    row has driver evidence from r3+. Slots 44-50 carry the round-5
+    second batch (repetition profile, vocab coverage, KMV sketch, JL
+    recall audit, MinHash accuracy, seasonal backtest, CUSUM) so the new
+    operators get first-round driver evidence too; ``length_buckets``
+    sits at 51, first in line for round 6. The r3/r4 driver-greens close
+    the list (freshest evidence, least at risk)."""
     return {
         # --- round-5 new/changed queries: first driver evidence needed ---
         "dup_passages": q_dup_passages,
@@ -2601,7 +2824,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_brand_revenue": q_part_brand_revenue,
         "distinct_users": q_distinct_users,
         "time_range_filter": q_time_range_filter,
-        # --- beyond the checked 50: r4 driver-greens ---
+        # --- round-5 second-batch additions (slots 44-50: still inside
+        #     the driver-checked front 50) ---
+        "repetition_profile": q_repetition_profile,
+        "vocab_coverage": q_vocab_coverage,
+        "kmv_distinct": q_kmv_distinct,
+        "rp_recall": q_rp_recall,
+        "minhash_accuracy": q_minhash_accuracy,
+        "seasonal_forecast_eval": q_seasonal_forecast_eval,
+        "cusum_changepoints": q_cusum_changepoints,
+        # --- beyond the checked 50 (first in line for round 6) ---
+        "length_buckets": q_length_buckets,
+        # --- r4 driver-greens ---
         "cat_codes": q_cat_codes,
         "lsh_topk": q_lsh_topk,
         "json_extract": q_json_extract,
@@ -5639,6 +5873,294 @@ def oracle_sql() -> dict[str, str]:
                (round(sum(wn * len(word))::DOUBLE / sum(wn * len(syms))
                       + 1e-9, 4) + 0.0) AS compression
         FROM v5
+    """
+
+    # Gopher line/word repetition profile: same explode/groupBy algebra,
+    # per-doc top bigram by (count DESC, bigram ASC) row_number.
+    sql["repetition_profile"] = r"""
+        WITH d AS (SELECT doc_id, text FROM documents),
+        ln AS (
+            SELECT doc_id, unnest(list_filter(
+                list_transform(string_split(text, chr(10)), x -> trim(x)),
+                x -> len(x) > 0)) AS line
+            FROM d
+        ), lg AS (
+            SELECT doc_id, line, count(*) AS c, len(line) AS l
+            FROM ln GROUP BY 1, 2
+        ), la AS (
+            SELECT doc_id, sum(c)::BIGINT AS n_lines,
+                   count(*)::BIGINT AS ndl, sum(c*l) AS lchars,
+                   sum(CASE WHEN c > 1 THEN c*l ELSE 0 END) AS dchars
+            FROM lg GROUP BY 1
+        ), wd AS (
+            SELECT doc_id, unnest(list_filter(
+                regexp_split_to_array(lower(trim(text)), '\s+'),
+                x -> len(x) > 0)) AS w
+            FROM d
+        ), wg AS (
+            SELECT doc_id, w, count(*) AS c, len(w) AS l
+            FROM wd GROUP BY 1, 2
+        ), wa AS (
+            SELECT doc_id, sum(c)::BIGINT AS n_words,
+                   count(*)::BIGINT AS ndw, sum(c*l) AS wchars
+            FROM wg GROUP BY 1
+        ), tk AS (
+            SELECT doc_id, list_filter(
+                regexp_split_to_array(lower(trim(text)), '\s+'),
+                x -> len(x) > 0) AS t
+            FROM d
+        ), bgr AS (
+            SELECT doc_id, unnest(list_transform(range(len(t) - 1),
+                i -> t[i+1] || ' ' || t[i+2])) AS bg
+            FROM tk WHERE len(t) >= 2
+        ), bgg AS (
+            SELECT doc_id, bg, count(*) AS c FROM bgr GROUP BY 1, 2
+        ), top AS (
+            SELECT doc_id, bg, c * len(replace(bg, ' ', '')) AS top_chars
+            FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY c DESC, bg) AS rk FROM bgg)
+            WHERE rk = 1
+        )
+        SELECT d.doc_id,
+               COALESCE(la.n_lines, 0)::BIGINT AS n_lines,
+               (round(COALESCE(1.0 - ndl::DOUBLE / la.n_lines, 0.0)
+                      + 1e-9, 6) + 0.0) AS dup_line_frac,
+               (round(COALESCE(dchars::DOUBLE / lchars, 0.0) + 1e-9, 6)
+                + 0.0) AS dup_line_char_frac,
+               COALESCE(wa.n_words, 0)::BIGINT AS n_words,
+               (round(COALESCE(1.0 - ndw::DOUBLE / wa.n_words, 0.0)
+                      + 1e-9, 6) + 0.0) AS dup_word_frac,
+               COALESCE(top.bg, '') AS top_bigram,
+               (round(COALESCE(top.top_chars::DOUBLE / wa.wchars, 0.0)
+                      + 1e-9, 6) + 0.0) AS top_bigram_share
+        FROM d
+        LEFT JOIN la USING (doc_id)
+        LEFT JOIN wa USING (doc_id)
+        LEFT JOIN top USING (doc_id)
+    """
+
+    # vocab coverage: zipf_fit's theta-join rank over the bounded top-1000
+    sql["vocab_coverage"] = r"""
+        WITH cnt AS (
+            SELECT w, count(*)::BIGINT AS n
+            FROM (SELECT unnest(list_filter(
+                      regexp_split_to_array(lower(trim(text)), '\s+'),
+                      x -> len(x) > 0)) AS w FROM documents)
+            GROUP BY 1
+        ), tot AS (SELECT sum(n)::BIGINT AS total FROM cnt),
+        top AS (SELECT w, n FROM cnt ORDER BY n DESC, w LIMIT 1000),
+        rk AS (
+            SELECT a.w, a.n,
+                   1 + (SELECT count(*) FROM top b
+                        WHERE b.n > a.n OR (b.n = a.n AND b.w < a.w)) AS rank
+            FROM top a
+        ), ks(k) AS (VALUES (10), (100), (1000))
+        SELECT k, count(*)::BIGINT AS n_words_used,
+               sum(rk.n)::BIGINT AS covered_tokens,
+               (SELECT total FROM tot) AS total_tokens,
+               (round(sum(rk.n)::DOUBLE / (SELECT total FROM tot) + 1e-9, 6)
+                + 0.0) AS coverage
+        FROM rk JOIN ks ON rk.rank <= ks.k
+        GROUP BY k
+    """
+
+    # KMV bottom-64 sketch: identical md5 60-bit hash fraction,
+    # (k-1)/h_k estimate, exact count audit
+    sql["kmv_distinct"] = r"""
+        WITH w AS (
+            SELECT DISTINCT source, w
+            FROM (SELECT source, unnest(list_filter(
+                      regexp_split_to_array(lower(trim(text)), '\s+'),
+                      x -> len(x) > 0)) AS w FROM documents)
+        ), h AS (
+            SELECT source,
+                   ('0x' || substr(md5(w), 1, 15))::BIGINT
+                       / 1152921504606846976.0 AS f
+            FROM w
+        ), rk AS (
+            SELECT source, f,
+                   row_number() OVER (PARTITION BY source ORDER BY f) AS r
+            FROM h
+        ), bot AS (
+            SELECT source, count(*)::BIGINT AS n_kept, max(f) AS kf
+            FROM rk WHERE r <= 64 GROUP BY 1
+        ), ex AS (
+            SELECT source, count(*)::BIGINT AS exact_distinct
+            FROM w GROUP BY 1
+        ), est AS (
+            SELECT b.source, b.n_kept,
+                   CASE WHEN b.n_kept < 64 THEN b.n_kept::DOUBLE
+                        ELSE 63.0 / b.kf END AS e,
+                   ex.exact_distinct
+            FROM bot b JOIN ex USING (source)
+        )
+        SELECT source, n_kept,
+               (round(e + 1e-9, 2) + 0.0) AS kmv_estimate,
+               exact_distinct,
+               (round(abs(e - exact_distinct) / exact_distinct + 1e-9, 4)
+                + 0.0) AS rel_err
+        FROM est
+    """
+
+    # JL Rademacher projection recall audit: the ±1 matrix regenerates
+    # from the same public md5-parity rule (first hex digit of "i:j"),
+    # then exact top-10 in 64-dim vs top-10 in the 16-dim projection.
+    sql["rp_recall"] = """
+        WITH mat AS (
+            SELECT j, list(CASE WHEN strpos('02468ace',
+                       substr(md5(i::VARCHAR || ':' || j::VARCHAR), 1, 1)) > 0
+                       THEN 1.0 ELSE -1.0 END ORDER BY i) AS mrow
+            FROM range(0, 64) t(i), range(0, 16) s(j)
+            GROUP BY j
+        ), e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        pe AS (
+            SELECT e.vec_id,
+                   list(list_dot_product(e.v, m.mrow) ORDER BY m.j) AS pv
+            FROM e CROSS JOIN mat m GROUP BY e.vec_id
+        ), q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        exact AS (
+            SELECT query_id, vec_id FROM (
+                SELECT q.query_id, e.vec_id,
+                       row_number() OVER (PARTITION BY q.query_id ORDER BY
+                           CASE WHEN list_dot_product(e.v, e.v) = 0
+                                 OR list_dot_product(q.qv, q.qv) = 0 THEN 0.0
+                                ELSE list_cosine_similarity(e.v, q.qv) END
+                           DESC, e.vec_id) AS rk
+                FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+            WHERE rk <= 10
+        ), qp AS (SELECT vec_id AS query_id, pv AS qpv FROM pe
+                  WHERE vec_id < 5),
+        approx AS (
+            SELECT query_id, vec_id FROM (
+                SELECT qp.query_id, pe.vec_id,
+                       row_number() OVER (PARTITION BY qp.query_id ORDER BY
+                           CASE WHEN list_dot_product(pe.pv, pe.pv) = 0
+                                 OR list_dot_product(qp.qpv, qp.qpv) = 0
+                                THEN 0.0
+                                ELSE list_cosine_similarity(pe.pv, qp.qpv) END
+                           DESC, pe.vec_id) AS rk
+                FROM pe CROSS JOIN qp WHERE pe.vec_id <> qp.query_id)
+            WHERE rk <= 10
+        ), inter AS (
+            SELECT exact.query_id, count(*) AS n
+            FROM exact JOIN approx USING (query_id, vec_id)
+            GROUP BY 1
+        )
+        SELECT q.query_id, COALESCE(inter.n, 0)::BIGINT AS n_overlap,
+               (round(COALESCE(inter.n, 0) / 10.0 + 1e-9, 4) + 0.0)
+                   AS recall_at_10
+        FROM q LEFT JOIN inter USING (query_id)
+    """
+
+    # MinHash accuracy audit: reuse the full signature chain; agreement
+    # fraction vs the exact Jaccard already computed in mj.
+    sql["minhash_accuracy"] = f"""
+        WITH {minhash_ctes},
+        agr AS (
+            SELECT c.id_l, c.id_r,
+                   len(list_filter(range(16),
+                       i -> sa.sig[i+1] = sb.sig[i+1])) / 16.0 AS e
+            FROM cpairs c
+            JOIN sig sa ON sa.doc_id = c.id_l
+            JOIN sig sb ON sb.doc_id = c.id_r
+        )
+        SELECT m.id_l, m.id_r,
+               (round(a.e + 1e-9, 4) + 0.0) AS minhash_est,
+               m.jaccard,
+               (round(abs((round(a.e + 1e-9, 4) + 0.0) - m.jaccard) + 1e-9, 4)
+                + 0.0) AS abs_err
+        FROM mj m JOIN agr a USING (id_l, id_r)
+    """
+
+    # seasonal backtest: integer-second 70% cut, 6-dp-rounded hourly
+    # profile, error metrics over the held-out tail
+    sql["seasonal_forecast_eval"] = """
+        WITH e AS (
+            SELECT event_type, floor(epoch(ts))::BIGINT AS sec,
+                   hour(ts) AS h, value
+            FROM events
+        ), b AS (SELECT min(sec) AS mn, max(sec) AS mx FROM e),
+        c AS (SELECT mn + ((mx - mn) * 7) // 10 AS cut FROM b),
+        tr AS (
+            SELECT event_type, h,
+                   (round(avg(value) + 1e-9, 6) + 0.0) AS pred
+            FROM e, c WHERE sec <= cut GROUP BY 1, 2
+        ), te AS (
+            SELECT e.event_type, e.value - tr.pred AS err
+            FROM e, c
+            JOIN tr ON tr.event_type = e.event_type AND tr.h = e.h
+            WHERE e.sec > c.cut
+        )
+        SELECT event_type, count(*)::BIGINT AS n_test,
+               (round(avg(abs(err)) + 1e-9, 4) + 0.0) AS mae,
+               (round(sqrt(avg(err * err)) + 1e-9, 4) + 0.0) AS rmse
+        FROM te GROUP BY 1
+    """
+
+    # CUSUM: identical integer micro-unit algebra — prefix sum minus
+    # running min, bit-exact window arithmetic
+    sql["cusum_changepoints"] = """
+        WITH s AS (
+            SELECT event_type, count(*) AS n, sum(value) AS sx,
+                   sum(value * value) AS sxx
+            FROM events GROUP BY 1
+        ), st AS (
+            SELECT event_type, sx / n AS mu,
+                   sqrt(greatest(sxx / n - (sx / n) * (sx / n), 0)) AS sigma
+            FROM s
+        ), z AS (
+            SELECT e.event_type, e.ts, e.event_id,
+                   CASE WHEN st.sigma > 0
+                        THEN round((e.value - st.mu) / st.sigma
+                                   * 1000000)::BIGINT
+                        ELSE 0 END AS zm
+            FROM events e JOIN st USING (event_type)
+        ), p AS (
+            SELECT event_type, ts, event_id,
+                   sum(zm - 500000) OVER w AS pp,
+                   sum(-zm - 500000) OVER w AS pn
+            FROM z
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ), sfin AS (
+            SELECT event_type, ts,
+                   pp - least(min(pp) OVER w2, 0) AS sp,
+                   pn - least(min(pn) OVER w2, 0) AS sn
+            FROM p
+            WINDOW w2 AS (PARTITION BY event_type ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type,
+               sum(CASE WHEN sp > 4000000 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_pos_alarms,
+               sum(CASE WHEN sn > 4000000 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_neg_alarms,
+               min(CASE WHEN sp > 4000000 OR sn > 4000000 THEN ts END)
+                   AS first_alarm_ts,
+               (round(max(sp) / 1e6 + 1e-9, 4) + 0.0) AS max_cusum_pos,
+               (round(max(sn) / 1e6 + 1e-9, 4) + 0.0) AS max_cusum_neg
+        FROM sfin GROUP BY 1
+    """
+
+    # length buckets: literal power-of-two edges in both engines
+    sql["length_buckets"] = r"""
+        WITH d AS (
+            SELECT len(list_filter(
+                regexp_split_to_array(trim(text), '\s+'),
+                x -> len(x) > 0)) AS n
+            FROM documents
+        ), b AS (
+            SELECT n, COALESCE(list_min(list_filter(
+                [16, 32, 64, 128, 256, 512, 1024, 2048, 4096],
+                e -> e >= n)), 4096) AS bucket
+            FROM d
+        )
+        SELECT bucket, count(*)::BIGINT AS n_docs,
+               sum(n)::BIGINT AS total_tokens,
+               (bucket * count(*))::BIGINT AS padded_tokens,
+               (round(1.0 - sum(n)::DOUBLE / (bucket * count(*)) + 1e-9, 6)
+                + 0.0) AS pad_waste
+        FROM b GROUP BY bucket
     """
 
     return sql

@@ -620,3 +620,116 @@ def test_simhash_max_bucket_cap(spark):
         .select("id_l", "id_r").collect()))
     assert same == full
     assert capped <= full          # cap only ever removes pairs
+
+
+def test_repetition_profile_hand_built(spark):
+    # doc 0: 4 lines, "dup dup" twice (8 chars of 22 line-chars dup'd),
+    # words "a a b dup dup dup dup" → known fractions
+    txt0 = "dup dup\nunique one\ndup dup\nlast line"
+    df = docs_df(spark, [txt0, "plain single line", ""])
+    out = {r["doc_id"]: r for r in DD.repetition_profile(df).collect()}
+    r0 = out[0]
+    assert r0["n_lines"] == 4
+    # 4 lines, 3 distinct → 1/4 duplicated
+    assert abs(r0["dup_line_frac"] - 0.25) < 1e-12
+    # chars: "dup dup"(7)×2 + "unique one"(10) + "last line"(9) = 33;
+    # duplicated-line chars = 14
+    assert abs(r0["dup_line_char_frac"] - 14 / 33) < 1e-12
+    # words: dup×4 unique one dup? → tokens: dup dup unique one dup dup
+    # last line = 8 words, 5 distinct → dup_word_frac = 3/8
+    assert r0["n_words"] == 8
+    assert abs(r0["dup_word_frac"] - 3 / 8) < 1e-12
+    # top bigram "dup dup" occurs 2× (within lines 1 and 3, plus the
+    # cross-line joins "dup unique", "one dup", "dup dup", "dup last")
+    assert r0["top_bigram"] == "dup dup"
+    r1 = out[1]
+    assert r1["n_lines"] == 1 and r1["dup_line_frac"] == 0.0
+    assert r1["dup_word_frac"] == 0.0
+    r2 = out[2]  # empty doc must survive with zeroed profile
+    assert r2["n_lines"] == 0 and r2["n_words"] == 0
+    assert r2["top_bigram"] == "" and r2["top_bigram_share"] == 0.0
+
+
+def test_kmv_exact_below_k_and_close_above(spark):
+    from timeseries_data_analysis_spark.operators import sketch as SK
+    rows = ([("small", f"w{i}") for i in range(30)]
+            + [("big", f"tok{i}") for i in range(3000)])
+    df = spark.createDataFrame(rows, "grp string, item string")
+    out = {r["grp"]: r for r in
+           SK.kmv_distinct(df, "grp", "item", k=64).collect()}
+    # below k: the sketch IS the distinct set — exact
+    assert out["small"]["est"] == 30.0
+    assert out["small"]["n_kept"] == 30
+    # above k: (k-1)/h_k estimate within the ~1/sqrt(k) ≈ 12.5% band
+    # (deterministic hash → this is a fixed number, not a flaky bound)
+    assert out["big"]["n_kept"] == 64
+    assert abs(out["big"]["est"] - 3000) / 3000 < 0.25
+
+
+def test_kmv_ignores_null_items(spark):
+    from timeseries_data_analysis_spark.operators import sketch as SK
+    df = spark.createDataFrame(
+        [("g", "a"), ("g", None), ("g", "b")], "grp string, item string")
+    out = SK.kmv_distinct(df, "grp", "item", k=8).collect()
+    assert out[0]["est"] == 2.0
+
+
+def test_cusum_matches_sequential_reference(spark):
+    from timeseries_data_analysis_spark.operators import windows as WIN
+    vals = [1.0, 1.1, 0.9, 1.0, 5.0, 5.1, 5.2, 4.9, 1.0, 1.05]
+    rows = [("s", i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "series string, t long, value double")
+    out = (WIN.cusum_features(df, "series", "value", ["t"], k_sigma=0.5)
+           .orderBy("t").collect())
+    # sequential reference: S_t = max(0, S_{t-1} + z_t - k) in micro-units
+    n = len(vals)
+    mu = sum(vals) / n
+    var = sum(v * v for v in vals) / n - mu * mu
+    sd = var ** 0.5
+    z = [round((v - mu) / sd * 1_000_000) for v in vals]
+    sp = sn = 0
+    for i, r in enumerate(out):
+        sp = max(0, sp + z[i] - 500_000)
+        sn = max(0, sn - z[i] - 500_000)
+        assert r["cusum_pos_micro"] == sp, f"row {i}"
+        assert r["cusum_neg_micro"] == sn, f"row {i}"
+
+
+def test_cusum_zero_variance_series_is_flat(spark):
+    from timeseries_data_analysis_spark.operators import windows as WIN
+    df = spark.createDataFrame(
+        [("c", i, 2.0) for i in range(5)], "series string, t long, value double")
+    out = WIN.cusum_features(df, "series", "value", ["t"]).collect()
+    assert all(r["z_micro"] == 0 for r in out)
+    assert all(r["cusum_pos_micro"] == 0 for r in out)
+
+
+def test_random_project_preserves_cosine_on_average(spark):
+    import math
+    import random
+    rng = random.Random(7)
+    vecs = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(20)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    mat = SIM.rademacher_matrix(64, 16)
+    # deterministic public rule: regenerate and compare
+    assert mat == SIM.rademacher_matrix(64, 16)
+    assert all(s in (-1, 1) for row in mat for s in row)
+    proj = {r["vec_id"]: r["pv"] for r in df.select(
+        "vec_id", SIM.random_project(F.col("embedding"), mat).alias("pv"))
+        .collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    errs = []
+    for i in range(0, 20, 2):
+        a, b = vecs[i], vecs[i + 1]
+        errs.append(abs(cos(a, b) - cos(proj[i], proj[i + 1])))
+    # JL at 16 dims: cosine preserved to ~1/sqrt(16) on average —
+    # deterministic fixture, fixed numbers
+    assert sum(errs) / len(errs) < 0.3

@@ -71,6 +71,10 @@ TEXT_QUERIES = [
     # round 5: passage spans, DSIR, ppl terciles, Zipf fit, BPE loop
     "dup_passages", "dsir_weights", "ppl_buckets", "zipf_fit",
     "bpe_merges", "bpe_compression",
+    # round 5 second batch: repetition profile (doc 11 has real newlines),
+    # vocab coverage curve, KMV sketch, MinHash accuracy, length buckets
+    "repetition_profile", "vocab_coverage", "kmv_distinct",
+    "minhash_accuracy", "length_buckets",
 ]
 
 

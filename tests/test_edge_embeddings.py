@@ -70,7 +70,12 @@ ANN_QUERIES = ["similarity_topk", "lsh_topk", "ivf_topk", "pq_topk",
                # magnitudes are out of contract for Lloyd means, same as
                # NaN (see module docstring); the sf-corpus oracle run
                # compares the full mean values exactly.
-               "semdedup"]
+               "semdedup",
+               # round 5 second batch: JL projection recall audit — the
+               # projection is ±1 signed sums and the ranking is cosine
+               # (magnitude-normalized), so the 1e18 fixture is in
+               # contract here unlike the Lloyd means above
+               "rp_recall"]
 
 
 @pytest.fixture(scope="module")

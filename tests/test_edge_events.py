@@ -108,6 +108,9 @@ EVENT_QUERIES = [
     "paa_sax", "series_similarity", "sax_bucket_search", "accretion_status",
     # round 4: nearest-direction as-of
     "asof_nearest",
+    # round 5 second batch: integer-micro CUSUM + seasonal backtest
+    # (degenerate series, duplicate timestamps, NULL-adjacent paths)
+    "cusum_changepoints", "seasonal_forecast_eval",
 ]
 
 

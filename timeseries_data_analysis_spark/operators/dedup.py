@@ -672,3 +672,90 @@ def duplicate_spans(docs: DataFrame, text_col: str = "text",
                     .alias("dup_tokens"),
                     (F.coalesce("dup_tokens", F.lit(0))
                      / F.col("n_tokens")).alias("dup_fraction")))
+
+
+def repetition_profile(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """The line/word repetition rules from Gopher's quality filter
+    (Rae et al. 2021 §A1.1; also C4/RefinedWeb) that ``doc_repetition``
+    (shingle-level) does not cover:
+
+    - ``dup_line_frac``: fraction of non-empty trimmed lines that are
+      repeats of an earlier-seen line (1 − distinct/total);
+    - ``dup_line_char_frac``: fraction of line CHARACTERS contained in
+      lines occurring more than once (every occurrence counts — the
+      paper's "fraction of characters in duplicate lines");
+    - ``dup_word_frac``: same ratio at word granularity;
+    - ``top_bigram_share``: characters of the single most frequent word
+      2-gram (space removed) over all word characters — the paper's
+      "top n-gram character fraction" at n=2. Ties break on the
+      lexicographically smallest bigram, deterministic in any engine.
+
+    Scale shape: two explodes (lines, word bigrams) each collapsed by a
+    map-side-combined groupBy on (doc, unit); the per-doc top-bigram is a
+    key-partitioned row_number window. Nothing global, nothing driver-side.
+    Single-line docs (no ``\\n``) degenerate to dup_line_frac = 0 — the
+    adversarial edge gate exercises the multi-line path.
+    """
+    d = docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+
+    lines = (d.select("_id", F.explode(F.filter(
+                F.transform(F.split("_t", "\n"), lambda x: F.trim(x)),
+                lambda x: F.length(x) > 0)).alias("_line"))
+             .groupBy("_id", "_line")
+             .agg(F.count(F.lit(1)).alias("_c"),
+                  F.length(F.first("_line")).alias("_len"))
+             .groupBy("_id")
+             .agg(F.sum("_c").alias("n_lines"),
+                  F.count(F.lit(1)).alias("_nd_lines"),
+                  F.sum(F.col("_c") * F.col("_len")).alias("_lchars"),
+                  F.sum(F.when(F.col("_c") > 1,
+                               F.col("_c") * F.col("_len"))
+                        .otherwise(F.lit(0))).alias("_dup_lchars")))
+
+    toks = d.select("_id", F.filter(
+        F.split(F.lower(F.trim("_t")), r"\s+"),
+        lambda x: F.length(x) > 0).alias("_toks"))
+    words = (toks.select("_id", F.explode("_toks").alias("_w"))
+             .groupBy("_id", "_w")
+             .agg(F.count(F.lit(1)).alias("_c"),
+                  F.length(F.first("_w")).alias("_len"))
+             .groupBy("_id")
+             .agg(F.sum("_c").alias("n_words"),
+                  F.count(F.lit(1)).alias("_nd_words"),
+                  F.sum(F.col("_c") * F.col("_len")).alias("_wchars")))
+
+    nt = F.size("_toks")
+    bigrams = (toks.filter(nt >= 2)
+               .select("_id", F.explode(F.zip_with(
+                   F.slice("_toks", 1, nt - 1),
+                   F.slice("_toks", 2, nt - 1),
+                   lambda a, b: F.concat_ws(" ", a, b))).alias("_bg"))
+               .groupBy("_id", "_bg")
+               .agg(F.count(F.lit(1)).alias("_c")))
+    w_top = Window.partitionBy("_id").orderBy(F.col("_c").desc(), "_bg")
+    top_bg = (bigrams.withColumn("_rk", F.row_number().over(w_top))
+              .filter(F.col("_rk") == 1)
+              .select("_id", F.col("_bg").alias("top_bigram"),
+                      (F.col("_c") * F.length(
+                          F.replace(F.col("_bg"), F.lit(" "), F.lit(""))))
+                      .alias("_top_chars")))
+
+    zero = F.lit(0.0)
+    base = d.select("_id")
+    return (base.join(lines, on="_id", how="left")
+            .join(words, on="_id", how="left")
+            .join(top_bg, on="_id", how="left")
+            .select(
+                F.col("_id").alias(id_col),
+                F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+                F.coalesce(F.lit(1.0) - F.col("_nd_lines") / F.col("n_lines"),
+                           zero).alias("dup_line_frac"),
+                F.coalesce(F.col("_dup_lchars") / F.col("_lchars"), zero)
+                .alias("dup_line_char_frac"),
+                F.coalesce("n_words", F.lit(0)).alias("n_words"),
+                F.coalesce(F.lit(1.0) - F.col("_nd_words") / F.col("n_words"),
+                           zero).alias("dup_word_frac"),
+                F.coalesce("top_bigram", F.lit("")).alias("top_bigram"),
+                F.coalesce(F.col("_top_chars") / F.col("_wchars"), zero)
+                .alias("top_bigram_share")))

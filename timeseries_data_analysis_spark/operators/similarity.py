@@ -625,3 +625,40 @@ def kmeans_fit(vectors: DataFrame, init_centroids: DataFrame,
         cur = {cid: nxt.get(cid, vec) for cid, vec in cur.items()}
     return spark.createDataFrame(
         sorted(cur.items()), "centroid_id int, centroid array<double>")
+
+
+def rademacher_matrix(dim: int, out_dim: int) -> list[list[int]]:
+    """Deterministic ±1 (Rademacher) projection matrix for the
+    Johnson-Lindenstrauss sketch (Achlioptas 2001: ±1 entries preserve
+    pairwise distances in expectation exactly like Gaussian entries).
+
+    Entry sign is the parity of the first hex digit of ``md5("i:j")`` —
+    a public, engine-free rule, so the SQL oracle regenerates the
+    identical matrix without sharing literals with this code path.
+    Returned as ``matrix[j][i]`` (one row per OUTPUT component).
+    """
+    import hashlib
+    return [[1 if int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[0], 16) % 2 == 0
+             else -1 for i in range(dim)]
+            for j in range(out_dim)]
+
+
+def random_project(vec: Column, matrix: list[list[int]]) -> Column:
+    """Project an array<double> vector through a ±1 matrix as a flat
+    codegen expression: each output component is a signed SUM of input
+    elements (entries are ±1, so no multiplies), built left-to-right in
+    index order — the identical association an SQL left-fold replays.
+
+    Scale shape: a pure map-stage expression (no shuffle, no UDF); the
+    matrix lives in the plan as literals, the Tungsten codegen sees
+    ``±v[i] ± v[i+1] …`` per component.
+    """
+    comps = []
+    for row in matrix:
+        acc = None
+        for i, s in enumerate(row):
+            term = F.element_at(vec, i + 1)
+            term = term if s > 0 else -term
+            acc = term if acc is None else acc + term
+        comps.append(acc)
+    return F.array(*comps)

@@ -314,3 +314,63 @@ def trailing_sequence(col: ColumnOrName, w: WindowSpec, seq_len: int = 10) -> Co
     seq = F.collect_list(x).over(w.rowsBetween(-(seq_len - 1), 0))
     pad = F.array_repeat(F.lit(0.0), seq_len - F.size(seq))
     return F.concat(pad, seq)
+
+
+def cusum_features(df, series_cols, value_col: str, order_cols,
+                   k_sigma: float = 0.5) -> "DataFrame":
+    """Two-sided CUSUM drift statistic per series (Page 1954), computed
+    NATIVELY — no recursion, no UDF — via the prefix-sum identity
+
+        S⁺_t = max(0, S⁺_{t-1} + z_t − k)  ⇔  S⁺_t = P_t − min(0, min_{i≤t} P_i)
+
+    where ``P`` is the plain running sum of ``z − k`` (and symmetrically
+    for the downward side over ``−z − k``). The running sum and running
+    min are ordinary window aggregates, so the classic "inherently
+    sequential" control-chart statistic runs as two codegen'd window
+    passes per side.
+
+    Cross-engine exactness: ``z`` is standardized by per-series power-sum
+    mean/σ, then quantized to integer MICRO-units (round(z·10⁶)) before
+    the cumulative algebra. Integer window sums are bit-exact in every
+    engine — no float-accumulation-order drift can flip an alarm near the
+    threshold, so the statistic carries a full value oracle.
+
+    Returns the input columns plus ``z_micro``, ``cusum_pos_micro``,
+    ``cusum_neg_micro`` (micro-units; divide by 1e6 for the usual scale).
+    Alarm thresholds are the caller's: e.g. ``cusum_pos_micro > h·10⁶``.
+
+    Scale shape: one groupBy for the per-series moments (map-side
+    combined, broadcast back on the series key), then windows partitioned
+    by series — per-series sorts, no global order.
+    """
+    if not isinstance(series_cols, list):
+        series_cols = [series_cols]
+    k_micro = int(round(k_sigma * 1_000_000))
+    stats = (df.groupBy(*series_cols)
+             .agg(F.count(F.lit(1)).alias("_n"),
+                  F.sum(value_col).alias("_sx"),
+                  F.sum(F.col(value_col) * F.col(value_col)).alias("_sxx")))
+    mean = F.col("_sx") / F.col("_n")
+    var = F.col("_sxx") / F.col("_n") - mean * mean
+    stats = stats.select(*series_cols, mean.alias("_mu"),
+                         F.sqrt(F.greatest(var, F.lit(0.0))).alias("_sigma"))
+    z = F.when(F.col("_sigma") > 0,
+               (F.col(value_col) - F.col("_mu")) / F.col("_sigma")) \
+         .otherwise(F.lit(0.0))
+    d = (df.join(stats, on=series_cols)
+         .withColumn("z_micro",
+                     F.round(z * 1_000_000).cast("bigint")))
+    w = series_window(series_cols, order_cols)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    y_pos = F.col("z_micro") - F.lit(k_micro)
+    y_neg = -F.col("z_micro") - F.lit(k_micro)
+    # Materialize the prefix sums first (a window cannot nest inside
+    # another window expression), then the running min over them — both
+    # windows share the one per-series sort/exchange.
+    d = (d.withColumn("_p_pos", F.sum(y_pos).over(run))
+         .withColumn("_p_neg", F.sum(y_neg).over(run)))
+    s_pos = F.col("_p_pos") - F.least(F.min("_p_pos").over(run), F.lit(0))
+    s_neg = F.col("_p_neg") - F.least(F.min("_p_neg").over(run), F.lit(0))
+    return (d.withColumn("cusum_pos_micro", s_pos)
+            .withColumn("cusum_neg_micro", s_neg)
+            .drop("_mu", "_sigma", "_p_pos", "_p_neg"))
