@@ -2755,6 +2755,121 @@ def q_length_buckets(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("bucket"))
 
 
+def q_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Contrastive-training hard-negative mining: for each query vector,
+    the top-5 most-similar vectors carrying a DIFFERENT label — the
+    standard retrieval/embedding-training prep step (the highest-scoring
+    wrong-label neighbors are the informative negatives). Same broadcast
+    scoring shape as brute_force_topk with the label anti-filter pushed
+    before the rank window."""
+    emb = load_table(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    q = F.broadcast(emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qv"),
+        F.col("label").alias("query_label")))
+    scored = (emb.crossJoin(q)
+              .filter(F.col("label") != F.col("query_label"))
+              .select("query_id", "query_label", "vec_id",
+                      F.col("label").alias("neg_label"),
+                      SIM.cosine(F.col("embedding"), F.col("_qv"))
+                      .alias("_sim")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), "vec_id")
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 5)
+            .select("query_id", "query_label", "vec_id", "neg_label",
+                    "rk", _r(F.col("_sim"), 6).alias("sim")))
+
+
+def q_spearman_lag1(spark: SparkSession, sf: str) -> DataFrame:
+    """Spearman rank autocorrelation at lag 1 per series — the robust
+    (outlier-insensitive) twin of the Pearson `correlation` query. Ranks
+    are per-series row_numbers with a full (value, ts, event_id)
+    tiebreak (deterministic tie handling in any engine), then Pearson on
+    the ranks via the `corr` aggregate. Every window is key-partitioned
+    on the series — per-series sorts, no global order."""
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    w = WIN.series_window("event_type", ["ts", "event_id"])
+    d = (ev.select("event_type", "ts", "event_id", "value",
+                   F.lag("value").over(w).alias("_prev"))
+         .filter(F.col("_prev").isNotNull()))
+    wx = Window.partitionBy("event_type").orderBy(
+        "value", "ts", "event_id")
+    wy = Window.partitionBy("event_type").orderBy(
+        "_prev", "ts", "event_id")
+    ranked = d.select("event_type",
+                      F.row_number().over(wx).alias("_rx"),
+                      F.row_number().over(wy).alias("_ry"))
+    return (ranked.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 _r(F.corr("_rx", "_ry"), 4).alias("spearman_lag1"))
+            .orderBy("event_type"))
+
+
+def q_winsorize_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Winsorization audit (robust preprocessing): per series, clip
+    values to the exact [p05, p95] band and report mean/std before vs
+    after plus the clipped-row count — the number that tells you whether
+    outlier handling changes the feature distribution. Exact
+    `percentile` ↔ `quantile_cont` parity (the robust_scale_params
+    contract); the percentile frame is broadcast back on the series key."""
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    pct = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("_lo"),
+        F.percentile("value", F.lit(0.95)).alias("_hi"))
+    j = ev.join(F.broadcast(pct), "event_type")
+    clip = F.least(F.greatest(F.col("value"), F.col("_lo")), F.col("_hi"))
+    return (j.select("event_type", "value", "_lo", "_hi",
+                     clip.alias("_clip"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 _r(F.avg("value"), 4).alias("mean_raw"),
+                 _r(F.stddev_samp("value"), 4).alias("std_raw"),
+                 _r(F.avg("_clip"), 4).alias("mean_winsor"),
+                 _r(F.stddev_samp("_clip"), 4).alias("std_winsor"),
+                 F.sum(F.when((F.col("value") < F.col("_lo"))
+                              | (F.col("value") > F.col("_hi")), 1)
+                       .otherwise(0)).alias("n_clipped"))
+            .orderBy("event_type"))
+
+
+def q_pmi_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
+    """Word-association mining: top-50 PMI pairs over the top-200
+    document-frequency vocabulary (min co-occurrence 5) — the classic
+    corpus-analytics collocation diagnostic. PMI = ln(n_ab·N / (n_a·n_b))
+    over DOCUMENT occurrence. The vocabulary restriction bounds the
+    self-join (≤200 postings per doc); candidates shuffle as (doc, word)
+    keys, never text. Ordering/limit on the ROUNDED score with a
+    (w1, w2) tiebreak so the kept-50 set is engine-deterministic."""
+    docs = load_table(spark, sf, "documents")
+    dw = (docs.select("doc_id", F.explode(F.filter(
+              F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+              lambda x: F.length(x) > 0)).alias("w"))
+          .distinct())
+    vocab = (dw.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+             .orderBy(F.col("df").desc(), "w").limit(200))
+    dwv = dw.join(F.broadcast(vocab.select("w")), "w")
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("_nd"))
+    a = dwv.select("doc_id", F.col("w").alias("w1"))
+    b = dwv.select("doc_id", F.col("w").alias("w2"))
+    pairs = (a.join(b, "doc_id")
+             .filter(F.col("w1") < F.col("w2"))
+             .groupBy("w1", "w2")
+             .agg(F.count(F.lit(1)).alias("n_ab"))
+             .filter(F.col("n_ab") >= 5))
+    va = vocab.select(F.col("w").alias("w1"), F.col("df").alias("_na"))
+    vb = vocab.select(F.col("w").alias("w2"), F.col("df").alias("_nb"))
+    pmi = (pairs.join(F.broadcast(va), "w1").join(F.broadcast(vb), "w2")
+           .crossJoin(F.broadcast(n_docs))
+           .select("w1", "w2", "n_ab",
+                   _r(F.log(F.col("n_ab") * F.col("_nd")
+                            / (F.col("_na") * F.col("_nb"))), 6)
+                   .alias("pmi")))
+    return (pmi.orderBy(F.col("pmi").desc(), "w1", "w2").limit(50)
+            .select("w1", "w2", "n_ab", "pmi"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's anomaly detector over sf0.001 events."""
     return q_anomaly_detect(spark, SF_SMOKE)
@@ -2835,6 +2950,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_changepoints": q_cusum_changepoints,
         # --- beyond the checked 50 (first in line for round 6) ---
         "length_buckets": q_length_buckets,
+        "hard_negatives": q_hard_negatives,
+        "spearman_lag1": q_spearman_lag1,
+        "winsorize_stats": q_winsorize_stats,
+        "pmi_cooccurrence": q_pmi_cooccurrence,
         # --- r4 driver-greens ---
         "cat_codes": q_cat_codes,
         "lsh_topk": q_lsh_topk,
@@ -6161,6 +6280,102 @@ def oracle_sql() -> dict[str, str]:
                (round(1.0 - sum(n)::DOUBLE / (bucket * count(*)) + 1e-9, 6)
                 + 0.0) AS pad_waste
         FROM b GROUP BY bucket
+    """
+
+    # hard negatives: brute-force cosine with the different-label filter
+    sql["hard_negatives"] = """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+                   FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv, label AS query_label
+              FROM e WHERE vec_id < 5),
+        scored AS (
+            SELECT q.query_id, q.query_label, e.vec_id,
+                   e.label AS neg_label,
+                   CASE WHEN list_dot_product(e.v, e.v) = 0
+                         OR list_dot_product(q.qv, q.qv) = 0 THEN 0.0
+                        ELSE list_cosine_similarity(e.v, q.qv) END AS s
+            FROM e CROSS JOIN q
+            WHERE e.label <> q.query_label),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY s DESC, vec_id) AS rk
+            FROM scored)
+        SELECT query_id, query_label, vec_id, neg_label, rk,
+               (round(s + 1e-9, 6) + 0.0) AS sim
+        FROM ranked WHERE rk <= 5
+    """
+
+    # Spearman lag-1: identical deterministic rank tiebreaks, then corr
+    sql["spearman_lag1"] = """
+        WITH d AS (
+            SELECT event_type, ts, event_id, value,
+                   lag(value) OVER (PARTITION BY event_type
+                                    ORDER BY ts, event_id) AS prev
+            FROM events WHERE value IS NOT NULL
+        ), p AS (SELECT * FROM d WHERE prev IS NOT NULL),
+        r AS (
+            SELECT event_type,
+                   row_number() OVER (PARTITION BY event_type
+                       ORDER BY value, ts, event_id) AS rx,
+                   row_number() OVER (PARTITION BY event_type
+                       ORDER BY prev, ts, event_id) AS ry
+            FROM p
+        )
+        SELECT event_type, count(*)::BIGINT AS n_pairs,
+               (round(corr(rx, ry) + 1e-9, 4) + 0.0) AS spearman_lag1
+        FROM r GROUP BY 1
+    """
+
+    # winsorize: quantile_cont == percentile (the robust_scale contract)
+    sql["winsorize_stats"] = """
+        WITH pct AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.05) AS lo,
+                   quantile_cont(value, 0.95) AS hi
+            FROM events WHERE value IS NOT NULL GROUP BY 1
+        )
+        SELECT e.event_type, count(*)::BIGINT AS n,
+               (round(avg(value) + 1e-9, 4) + 0.0) AS mean_raw,
+               (round(stddev_samp(value) + 1e-9, 4) + 0.0) AS std_raw,
+               (round(avg(least(greatest(value, lo), hi)) + 1e-9, 4) + 0.0)
+                   AS mean_winsor,
+               (round(stddev_samp(least(greatest(value, lo), hi)) + 1e-9, 4)
+                + 0.0) AS std_winsor,
+               sum(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0
+                   END)::BIGINT AS n_clipped
+        FROM events e JOIN pct USING (event_type)
+        WHERE value IS NOT NULL
+        GROUP BY 1
+    """
+
+    # PMI collocations: doc-frequency vocab (top 200), pair counts via
+    # the posting-list self-join, ordering on the ROUNDED score
+    sql["pmi_cooccurrence"] = r"""
+        WITH dw AS (
+            SELECT DISTINCT doc_id, w
+            FROM (SELECT doc_id, unnest(list_filter(
+                      regexp_split_to_array(lower(trim(text)), '\s+'),
+                      x -> len(x) > 0)) AS w FROM documents)
+        ), vocab AS (
+            SELECT w, count(*)::BIGINT AS df FROM dw GROUP BY 1
+            ORDER BY df DESC, w LIMIT 200
+        ), dwv AS (SELECT dw.doc_id, dw.w FROM dw JOIN vocab USING (w)),
+        nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        pairs AS (
+            SELECT a.w AS w1, b.w AS w2, count(*)::BIGINT AS n_ab
+            FROM dwv a JOIN dwv b ON a.doc_id = b.doc_id AND a.w < b.w
+            GROUP BY 1, 2 HAVING count(*) >= 5
+        ), pmi AS (
+            SELECT p.w1, p.w2, p.n_ab,
+                   (round(ln(p.n_ab::DOUBLE * nd.n / (va.df * vb.df))
+                          + 1e-9, 6) + 0.0) AS pmi
+            FROM pairs p
+            JOIN vocab va ON va.w = p.w1
+            JOIN vocab vb ON vb.w = p.w2
+            CROSS JOIN nd
+        )
+        SELECT w1, w2, n_ab, pmi FROM pmi
+        ORDER BY pmi DESC, w1, w2 LIMIT 50
     """
 
     return sql

@@ -733,3 +733,38 @@ def test_random_project_preserves_cosine_on_average(spark):
     # JL at 16 dims: cosine preserved to ~1/sqrt(16) on average —
     # deterministic fixture, fixed numbers
     assert sum(errs) / len(errs) < 0.3
+
+
+def test_kmv_sketch_is_mergeable(spark):
+    """The KMV merge law behind incremental maintenance: union the
+    bottom-k states of two partitions, re-take bottom-k → identical
+    estimate to sketching the union directly (plans/incremental.py's
+    algebraic-partial contract extended to distinct counts)."""
+    from timeseries_data_analysis_spark.operators import sketch as SK
+    part1 = [("g", f"w{i}") for i in range(0, 900)]
+    part2 = [("g", f"w{i}") for i in range(600, 1500)]  # overlapping
+    df1 = spark.createDataFrame(part1, "grp string, item string")
+    df2 = spark.createDataFrame(part2, "grp string, item string")
+    whole = SK.kmv_distinct(df1.union(df2), "grp", "item", k=64).collect()[0]
+    # merge = union of the two bottom-k hash sets, re-bottom-k: emulate
+    # by unioning the RAW frames' bottom-k survivors
+    from pyspark.sql import Window as W
+    import pyspark.sql.functions as SF
+
+    def bottom(df):
+        pairs = (df.distinct()
+                 .select("grp", SK.hash_frac(SF.col("item")).alias("_f")))
+        w = W.partitionBy("grp").orderBy("_f")
+        return (pairs.withColumn("_rk", SF.row_number().over(w))
+                .filter(SF.col("_rk") <= 64).select("grp", "_f"))
+
+    merged = bottom(df1).union(bottom(df2))
+    w = W.partitionBy("grp").orderBy("_f")
+    re_k = (merged.dropDuplicates(["grp", "_f"])
+            .withColumn("_rk", SF.row_number().over(w))
+            .filter(SF.col("_rk") <= 64)
+            .groupBy("grp").agg(SF.count(SF.lit(1)).alias("n"),
+                                SF.max("_f").alias("kf"))
+            .collect()[0])
+    est_merged = 63.0 / re_k["kf"] if re_k["n"] == 64 else float(re_k["n"])
+    assert abs(est_merged - whole["est"]) < 1e-9

@@ -75,6 +75,9 @@ TEXT_QUERIES = [
     # vocab coverage curve, KMV sketch, MinHash accuracy, length buckets
     "repetition_profile", "vocab_coverage", "kmv_distinct",
     "minhash_accuracy", "length_buckets",
+    # round 5 second batch: PMI collocations (edge corpus mostly falls
+    # below min-support — the empty/near-empty result must still agree)
+    "pmi_cooccurrence",
 ]
 
 

@@ -75,7 +75,9 @@ ANN_QUERIES = ["similarity_topk", "lsh_topk", "ivf_topk", "pq_topk",
                # projection is ±1 signed sums and the ranking is cosine
                # (magnitude-normalized), so the 1e18 fixture is in
                # contract here unlike the Lloyd means above
-               "rp_recall"]
+               "rp_recall",
+               # round 5 second batch: different-label top-k mining
+               "hard_negatives"]
 
 
 @pytest.fixture(scope="module")

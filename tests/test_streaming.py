@@ -655,3 +655,68 @@ def test_ivf_store_topk_empty_queries(spark, tmp_path):
     got = SIM.ivf_store_topk(spark, out, empty, cent, k=3, n_probe=2)
     assert got.count() == 0
     assert set(got.columns) == {"query_id", "vec_id", "sim", "rk"}
+
+
+def test_cusum_stream_matches_sequential_reference(spark):
+    """The streaming CUSUM must reproduce the sequential recursion
+    bit-for-bit against a frozen baseline, and the statistic must carry
+    across micro-batch boundaries (state = two bigints per key)."""
+    d = tempfile.mkdtemp(prefix="stream_cusum_")
+    try:
+        base = pd.Timestamp("2024-06-01")
+        vals = [1.0, 1.1, 0.9, 1.0, 5.0, 5.1, 5.2, 4.9, 1.0, 1.05,
+                1.0, 0.95, 6.0, 6.1, 5.9, 1.0]
+        rows = [(base + pd.Timedelta(hours=h), "a", float(v))
+                for h, v in enumerate(vals)]
+        pdf = pd.DataFrame(rows, columns=["ts", "event_type", "value"])
+        # three files → three micro-batches; state must bridge them
+        for i, (lo, hi) in enumerate(((0, 6), (6, 12), (12, 16))):
+            spark.createDataFrame(pdf.iloc[lo:hi], schema=SCHEMA) \
+                .coalesce(1).write.mode("overwrite").parquet(f"{d}/f{i}")
+
+        baseline = {"a": (1.0, 0.5)}
+        src = SJ.stream_source(spark, f"{d}/*", SCHEMA,
+                               max_files_per_trigger=1)
+        cs = SJ.cusum_stream(src, baseline, k_sigma=0.5)
+        q = (cs.writeStream.format("memory").queryName("cusum_sink")
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        streamed = spark.sql("SELECT * FROM cusum_sink").toPandas() \
+            .sort_values("ts").reset_index(drop=True)
+
+        mu, sigma = baseline["a"]
+        sp = sn = 0
+        for i, v in enumerate(vals):
+            zm = round((v - mu) / sigma * 1_000_000)
+            sp = max(0, sp + zm - 500_000)
+            sn = max(0, sn - zm - 500_000)
+            assert streamed["z_micro"][i] == zm, f"row {i}"
+            assert streamed["cusum_pos_micro"][i] == sp, f"row {i}"
+            assert streamed["cusum_neg_micro"][i] == sn, f"row {i}"
+        # the drift segments must actually alarm at h = 4σ
+        assert (streamed["cusum_pos_micro"] > 4_000_000).any()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_cusum_stream_unknown_key_is_flat(spark):
+    """Keys absent from the baseline emit z = 0 (flat statistic), the
+    same degenerate-series contract as the batch operator."""
+    d = tempfile.mkdtemp(prefix="stream_cusum_u_")
+    try:
+        base = pd.Timestamp("2024-06-01")
+        rows = [(base + pd.Timedelta(hours=h), "ghost", float(v))
+                for h, v in enumerate([1.0, 99.0, -50.0])]
+        pdf = pd.DataFrame(rows, columns=["ts", "event_type", "value"])
+        spark.createDataFrame(pdf, schema=SCHEMA).coalesce(1) \
+            .write.mode("overwrite").parquet(f"{d}/f0")
+        src = SJ.stream_source(spark, f"{d}/*", SCHEMA)
+        cs = SJ.cusum_stream(src, {"a": (1.0, 0.5)})
+        q = (cs.writeStream.format("memory").queryName("cusum_sink_u")
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        out = spark.sql("SELECT * FROM cusum_sink_u").toPandas()
+        assert (out["z_micro"] == 0).all()
+        assert (out["cusum_pos_micro"] == 0).all()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

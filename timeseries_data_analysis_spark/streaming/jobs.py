@@ -162,6 +162,61 @@ def streaming_anomaly(events: DataFrame, key_col: str = "event_type",
                                     "update", GroupStateTimeout.NoTimeout))
 
 
+def cusum_stream(events: DataFrame, baseline: dict,
+                 key_col: str = "event_type", ts_col: str = "ts",
+                 value_col: str = "value",
+                 k_sigma: float = 0.5) -> DataFrame:
+    """Streaming two-sided CUSUM drift monitor via
+    ``applyInPandasWithState`` — the online twin of
+    ``operators.windows.cusum_features``.
+
+    ``baseline`` maps key → (μ, σ): control charts monitor drift AGAINST
+    A FROZEN BASELINE, which is exactly why the streaming variant takes
+    the parameters instead of re-estimating them from the stream (the
+    batch op's data-derived μ/σ is the fitting step; this is the
+    monitoring step). Identical integer micro-unit algebra — z quantized
+    to round(z·10⁶) before accumulation — so a replayed stream and the
+    batch op produce bit-identical statistics: per-key state is exactly
+    two bigints (S⁺, S⁻), O(keys) total, regardless of stream length.
+
+    Rows within a micro-batch are sorted by ``ts``; cross-batch order
+    follows stream arrival (the file source's order in tests). Keys
+    absent from ``baseline`` or with σ ≤ 0 emit z = 0 (flat statistic) —
+    the same degenerate-series contract as the batch op.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    k_micro = int(round(k_sigma * 1_000_000))
+    out_schema = (f"{ts_col} timestamp, {key_col} string, "
+                  f"z_micro bigint, cusum_pos_micro bigint, "
+                  f"cusum_neg_micro bigint")
+    state_schema = "s_pos bigint, s_neg bigint"
+
+    def fn(key, pdfs, state):
+        s_pos, s_neg = state.get if state.exists else (0, 0)
+        mu, sigma = baseline.get(key[0], (0.0, 0.0))
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for ts, v in zip(pdf[ts_col], pdf[value_col]):
+                if sigma > 0 and v is not None and v == v:
+                    zm = int(round((float(v) - mu) / sigma * 1_000_000))
+                else:
+                    zm = 0
+                s_pos = max(0, s_pos + zm - k_micro)
+                s_neg = max(0, s_neg - zm - k_micro)
+                rows.append((ts, key[0], zm, s_pos, s_neg))
+        state.update((s_pos, s_neg))
+        yield pd.DataFrame(rows, columns=[ts_col, key_col, "z_micro",
+                                          "cusum_pos_micro",
+                                          "cusum_neg_micro"])
+
+    return (events.groupBy(key_col)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
 def session_window_rollup(events: DataFrame, gap: str = "30 minutes",
                           ts_col: str = "ts", key_col: str = "user_id",
                           value_col: str = "value",
