@@ -2870,6 +2870,22 @@ def q_pmi_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
             .select("w1", "w2", "n_ab", "pmi"))
 
 
+def q_rolling_robust(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust rolling statistics (median + IQR over the trailing 24-row
+    frame, min_periods 12) — the outlier-insensitive counterparts of
+    W2/W3's rolling mean/std, evaluated as exact `percentile` window
+    aggregates (no UDF). Same one-sort-per-series window contract as the
+    rest of the W family."""
+    ev = load_table(spark, sf, "events")
+    w = _events_window()
+    return ev.select(
+        "event_id", "user_id", "ts",
+        _r(WIN.rolling_median("value", w, 24, min_periods=12), 4)
+        .alias("roll_median"),
+        _r(WIN.rolling_iqr("value", w, 24, min_periods=12), 4)
+        .alias("roll_iqr"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's anomaly detector over sf0.001 events."""
     return q_anomaly_detect(spark, SF_SMOKE)
@@ -2954,6 +2970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman_lag1": q_spearman_lag1,
         "winsorize_stats": q_winsorize_stats,
         "pmi_cooccurrence": q_pmi_cooccurrence,
+        "rolling_robust": q_rolling_robust,
         # --- r4 driver-greens ---
         "cat_codes": q_cat_codes,
         "lsh_topk": q_lsh_topk,
@@ -6376,6 +6393,21 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT w1, w2, n_ab, pmi FROM pmi
         ORDER BY pmi DESC, w1, w2 LIMIT 50
+    """
+
+    # robust rolling stats: exact quantile aggregates over the same
+    # trailing ROW frame, same min_periods mask as the W2-W5 family
+    sql["rolling_robust"] = f"""
+        SELECT event_id, user_id, ts,
+               CASE WHEN count(value) OVER w >= 12
+                    THEN (round(quantile_cont(value, 0.5) OVER w
+                                + 1e-9, 4) + 0.0) END AS roll_median,
+               CASE WHEN count(value) OVER w >= 12
+                    THEN (round(quantile_cont(value, 0.75) OVER w
+                                - quantile_cont(value, 0.25) OVER w
+                                + 1e-9, 4) + 0.0) END AS roll_iqr
+        FROM events
+        WINDOW w AS ({_WIN} ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
     """
 
     return sql

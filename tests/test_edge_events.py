@@ -111,7 +111,7 @@ EVENT_QUERIES = [
     # round 5 second batch: integer-micro CUSUM + seasonal backtest
     # (degenerate series, duplicate timestamps, NULL-adjacent paths)
     "cusum_changepoints", "seasonal_forecast_eval",
-    "spearman_lag1", "winsorize_stats",
+    "spearman_lag1", "winsorize_stats", "rolling_robust",
 ]
 
 

@@ -374,3 +374,27 @@ def cusum_features(df, series_cols, value_col: str, order_cols,
     return (d.withColumn("cusum_pos_micro", s_pos)
             .withColumn("cusum_neg_micro", s_neg)
             .drop("_mu", "_sigma", "_p_pos", "_p_neg"))
+
+
+def rolling_median(col: ColumnOrName, w: WindowSpec, window: int,
+                   min_periods: int | None = None) -> Column:
+    """Trailing rolling MEDIAN — the robust location statistic the
+    reference's mean-based kernels lack. Exact ``percentile`` evaluated
+    as a window aggregate over the trailing ROW frame (no UDF; Spark
+    runs aggregate functions over window frames natively, as does any
+    SQL engine via ``quantile_cont(...) OVER``). O(w log w) per row —
+    reserve for the dashboards/QA paths that need robustness, not the
+    bulk feature matrix."""
+    frame = _frame(w, window)
+    med = F.percentile(col, F.lit(0.5)).over(frame)
+    return _masked(med, col, frame, window, False, min_periods)
+
+
+def rolling_iqr(col: ColumnOrName, w: WindowSpec, window: int,
+                min_periods: int | None = None) -> Column:
+    """Trailing rolling IQR (p75 − p25) — the robust spread companion to
+    ``rolling_median`` (outlier-insensitive where rolling_std is not)."""
+    frame = _frame(w, window)
+    iqr = (F.percentile(col, F.lit(0.75)).over(frame)
+           - F.percentile(col, F.lit(0.25)).over(frame))
+    return _masked(iqr, col, frame, window, False, min_periods)

@@ -92,3 +92,61 @@ def incremental_refresh(spark, rollup_path: str, new_events: DataFrame,
     # materialize BEFORE the write: the merge reads the same files the
     # dynamic overwrite is about to replace (read-overwrite hazard)
     write_day_partitions(merged.localCheckpoint(), rollup_path)
+
+
+# ---------------------------------------------------------------------------
+# Distinct-count partials: the KMV sketch as a mergeable rollup state
+# ---------------------------------------------------------------------------
+
+def kmv_day_partials(events: DataFrame, key_cols: list[str],
+                     item_col: str, ts_col: str = "ts",
+                     k: int = 64) -> DataFrame:
+    """Daily DISTINCT-COUNT partials: per (day, keys) the bottom-k md5
+    hash fractions of the distinct items, stored as one sorted
+    array<double> — the KMV sketch state (operators/sketch.py) in the
+    same algebraic-partial posture as ``rollup_partials``.
+
+    Exact distinct counts are NOT mergeable (|A ∪ B| ≠ |A| + |B|), which
+    is why the plain partials above carry only sum/count/min/max. The
+    KMV state IS mergeable: union two bottom-k sets, drop duplicate
+    hashes, re-take bottom-k — so a period-level distinct estimate
+    derives from stored day states without rescanning history. State is
+    ≤ k doubles per (day, key): day partitions stay rewrite-cheap under
+    the dynamic-overwrite sink.
+    """
+    from pyspark.sql import Window
+    from timeseries_data_analysis_spark.operators.sketch import hash_frac
+    pairs = (events.withColumn("day", F.to_date(ts_col))
+             .select("day", *key_cols, F.col(item_col).alias("_item"))
+             .filter(F.col("_item").isNotNull())
+             .distinct()
+             .select("day", *key_cols, hash_frac(F.col("_item")).alias("_f")))
+    w = Window.partitionBy("day", *key_cols).orderBy("_f")
+    return (pairs.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .groupBy("day", *key_cols)
+            .agg(F.sort_array(F.collect_list("_f")).alias("kmv")))
+
+
+def kmv_merge_estimate(partials: DataFrame, key_cols: list[str],
+                       k: int = 64) -> DataFrame:
+    """Period-level distinct estimate from stored day states: explode
+    every day's bottom-k array, drop duplicate hash fractions (the same
+    item hashes identically on every day it appears), re-take bottom-k
+    per key, then the usual ``(k-1)/h_k`` estimate with the exact-count
+    fallback below k. Touches ONLY the sketch arrays — never the raw
+    item stream — so the merge cost is (days × keys × k) doubles.
+    """
+    from pyspark.sql import Window
+    ex = (partials.select(*key_cols, F.explode("kmv").alias("_f"))
+          .distinct())
+    w = Window.partitionBy(*key_cols).orderBy("_f")
+    agg = (ex.withColumn("_rk", F.row_number().over(w))
+           .filter(F.col("_rk") <= k)
+           .groupBy(*key_cols)
+           .agg(F.count(F.lit(1)).alias("n_kept"),
+                F.max("_f").alias("kth_frac")))
+    return agg.select(
+        *key_cols, "n_kept", "kth_frac",
+        F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
+        .otherwise(F.lit(float(k - 1)) / F.col("kth_frac")).alias("est"))
