@@ -2886,6 +2886,109 @@ def q_rolling_robust(spark: SparkSession, sf: str) -> DataFrame:
         .alias("roll_iqr"))
 
 
+def q_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next = to | current = from) with transition counts —
+    the journey-analytics summary behind funnel/session work. One lead
+    window per user (key-partitioned), one groupBy, row-sum broadcast
+    back on the from-key."""
+    ev = load_table(spark, sf, "events")
+    w = _events_window()
+    pairs = (ev.select(F.col("event_type").alias("from_type"),
+                       F.lead("event_type").over(w).alias("to_type"))
+             .filter(F.col("to_type").isNotNull())
+             .groupBy("from_type", "to_type")
+             .agg(F.count(F.lit(1)).alias("n")))
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("_tot"))
+    return (pairs.join(F.broadcast(totals), "from_type")
+            .select("from_type", "to_type", "n",
+                    _r(F.col("n") / F.col("_tot"), 6).alias("prob"))
+            .orderBy("from_type", "to_type"))
+
+
+def q_skew_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Partition-key skew diagnostic — the number you check BEFORE
+    choosing a shuffle key at 100 TB: per-key row counts collapsed to
+    key cardinality, max/top-10 concentration, and the normalized
+    entropy of the key distribution (1.0 = uniform, → 0 = one hot key).
+    Complements operators/skew.py's salting fixes with the measurement
+    that says whether you need them. All map-side-combined aggregates +
+    one bounded top-10."""
+    ev = load_table(spark, sf, "events")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    top10 = per_key.orderBy(F.col("n").desc(), "user_id").limit(10) \
+        .agg(F.sum("n").alias("_top10"))
+    agg = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_key_rows"),
+        F.sum(F.col("n") * F.log("n")).alias("_snlogn"))
+    # entropy of the key distribution from the power-sum identity:
+    # H = ln(N) − Σ n·ln(n)/N  (exact algebra, no per-key second pass)
+    ent = F.log(F.col("n_rows")) - F.col("_snlogn") / F.col("n_rows")
+    return (agg.crossJoin(F.broadcast(top10))
+            .select("n_keys", "n_rows", "max_key_rows",
+                    _r(F.col("_top10") / F.col("n_rows"), 6)
+                    .alias("top10_share"),
+                    _r(ent, 6).alias("entropy"),
+                    _r(ent / F.log(F.col("n_keys")), 6)
+                    .alias("norm_entropy")))
+
+
+def q_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
+    """k-anonymity audit over the customer quasi-identifiers
+    (nation, market segment) — the governance check that says whether a
+    released projection re-identifies individuals: group-size profile
+    plus the row count and share living in groups below k = 5. One
+    groupBy + one tiny aggregate."""
+    cust = load_table(spark, sf, "customer")
+    g = (cust.groupBy("c_nationkey", "c_mktsegment")
+         .agg(F.count(F.lit(1)).alias("n")))
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n").alias("n_rows"),
+        F.min("n").alias("k_min"),
+        F.max("n").alias("k_max"),
+        F.sum(F.when(F.col("n") < 5, F.col("n")).otherwise(0))
+        .alias("rows_below_k5"),
+        _r(F.sum(F.when(F.col("n") < 5, F.col("n")).otherwise(0))
+           / F.sum("n"), 6).alias("share_below_k5"))
+
+
+def q_label_noise(spark: SparkSession, sf: str) -> DataFrame:
+    """k-NN label-noise detection (confident-learning family): vectors
+    whose 5 nearest neighbors' majority label disagrees with their own
+    label are mislabeling suspects — the embedding-space data-quality
+    sweep before training. Exact all-pairs anchor at gate scale (the
+    same posture as `emb_near_dup`); the scale path feeds the identical
+    vote from `lsh_neardup_pairs`/IVF neighbor lists. Majority ties
+    break (count DESC, label ASC) — deterministic in any engine."""
+    emb = load_table(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    a = emb.select(F.col("vec_id").alias("_qid"),
+                   F.col("embedding").alias("_qv"),
+                   F.col("label").alias("own_label"))
+    nn = (emb.crossJoin(a)
+          .filter(F.col("vec_id") != F.col("_qid"))
+          .select("_qid", "own_label", "vec_id", "label",
+                  SIM.cosine(F.col("embedding"), F.col("_qv"))
+                  .alias("_sim")))
+    w = Window.partitionBy("_qid").orderBy(F.col("_sim").desc(), "vec_id")
+    top = nn.withColumn("_rk", F.row_number().over(w)) \
+        .filter(F.col("_rk") <= 5)
+    votes = (top.groupBy("_qid", "own_label", "label")
+             .agg(F.count(F.lit(1)).alias("n_votes")))
+    wv = Window.partitionBy("_qid").orderBy(
+        F.col("n_votes").desc(), "label")
+    maj = (votes.withColumn("_vr", F.row_number().over(wv))
+           .filter(F.col("_vr") == 1))
+    return (maj.filter(F.col("label") != F.col("own_label"))
+            .select(F.col("_qid").alias("vec_id"), "own_label",
+                    F.col("label").alias("neighbor_majority"),
+                    "n_votes")
+            .orderBy("vec_id"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's anomaly detector over sf0.001 events."""
     return q_anomaly_detect(spark, SF_SMOKE)
@@ -2971,6 +3074,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_stats": q_winsorize_stats,
         "pmi_cooccurrence": q_pmi_cooccurrence,
         "rolling_robust": q_rolling_robust,
+        "transition_matrix": q_transition_matrix,
+        "skew_report": q_skew_report,
+        "k_anonymity": q_k_anonymity,
+        "label_noise": q_label_noise,
         # --- r4 driver-greens ---
         "cat_codes": q_cat_codes,
         "lsh_topk": q_lsh_topk,
@@ -6408,6 +6515,90 @@ def oracle_sql() -> dict[str, str]:
                                 + 1e-9, 4) + 0.0) END AS roll_iqr
         FROM events
         WINDOW w AS ({_WIN} ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    """
+
+    # Markov transitions: same lead window, row-sum normalization
+    sql["transition_matrix"] = f"""
+        WITH p AS (
+            SELECT event_type AS from_type,
+                   lead(event_type) OVER ({_WIN}) AS to_type
+            FROM events
+        ), c AS (
+            SELECT from_type, to_type, count(*)::BIGINT AS n
+            FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2
+        ), t AS (
+            SELECT from_type, sum(n) AS tot FROM c GROUP BY 1
+        )
+        SELECT c.from_type, c.to_type, c.n,
+               (round(c.n / t.tot + 1e-9, 6) + 0.0) AS prob
+        FROM c JOIN t USING (from_type)
+    """
+
+    # key-skew report: entropy from the power-sum identity
+    sql["skew_report"] = """
+        WITH pk AS (
+            SELECT user_id, count(*)::BIGINT AS n FROM events GROUP BY 1
+        ), t10 AS (
+            SELECT sum(n) AS top10 FROM
+                (SELECT n FROM pk ORDER BY n DESC, user_id LIMIT 10)
+        ), a AS (
+            SELECT count(*)::BIGINT AS n_keys, sum(n)::BIGINT AS n_rows,
+                   max(n)::BIGINT AS max_key_rows,
+                   sum(n * ln(n)) AS snlogn
+            FROM pk
+        )
+        SELECT n_keys, n_rows, max_key_rows,
+               (round(t10.top10 / a.n_rows + 1e-9, 6) + 0.0) AS top10_share,
+               (round(ln(a.n_rows) - a.snlogn / a.n_rows + 1e-9, 6) + 0.0)
+                   AS entropy,
+               (round((ln(a.n_rows) - a.snlogn / a.n_rows) / ln(a.n_keys)
+                      + 1e-9, 6) + 0.0) AS norm_entropy
+        FROM a CROSS JOIN t10
+    """
+
+    # k-anonymity: group-size profile over the quasi-identifier pair
+    sql["k_anonymity"] = """
+        WITH g AS (
+            SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS n
+            FROM customer GROUP BY 1, 2
+        )
+        SELECT count(*)::BIGINT AS n_groups, sum(n)::BIGINT AS n_rows,
+               min(n)::BIGINT AS k_min, max(n)::BIGINT AS k_max,
+               sum(CASE WHEN n < 5 THEN n ELSE 0 END)::BIGINT
+                   AS rows_below_k5,
+               (round(sum(CASE WHEN n < 5 THEN n ELSE 0 END)::DOUBLE
+                      / sum(n) + 1e-9, 6) + 0.0) AS share_below_k5
+        FROM g
+    """
+
+    # label-noise: exact k-NN majority vote, deterministic tiebreaks
+    sql["label_noise"] = """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+                   FROM embeddings),
+        nn AS (
+            SELECT q.vec_id AS qid, q.label AS own_label,
+                   e.vec_id AS nid, e.label AS nlabel,
+                   CASE WHEN list_dot_product(e.v, e.v) = 0
+                         OR list_dot_product(q.v, q.v) = 0 THEN 0.0
+                        ELSE list_cosine_similarity(e.v, q.v) END AS s
+            FROM e q JOIN e ON e.vec_id <> q.vec_id
+        ), top AS (
+            SELECT qid, own_label, nlabel FROM (
+                SELECT *, row_number() OVER (PARTITION BY qid
+                              ORDER BY s DESC, nid) AS rk
+                FROM nn) WHERE rk <= 5
+        ), votes AS (
+            SELECT qid, own_label, nlabel, count(*)::BIGINT AS n_votes
+            FROM top GROUP BY 1, 2, 3
+        ), maj AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY qid
+                              ORDER BY n_votes DESC, nlabel) AS vr
+                FROM votes) WHERE vr = 1
+        )
+        SELECT qid AS vec_id, own_label, nlabel AS neighbor_majority,
+               n_votes
+        FROM maj WHERE nlabel <> own_label
     """
 
     return sql

@@ -76,8 +76,9 @@ ANN_QUERIES = ["similarity_topk", "lsh_topk", "ivf_topk", "pq_topk",
                # (magnitude-normalized), so the 1e18 fixture is in
                # contract here unlike the Lloyd means above
                "rp_recall",
-               # round 5 second batch: different-label top-k mining
-               "hard_negatives"]
+               # round 5 second batch: different-label top-k mining +
+               # k-NN majority label-noise sweep
+               "hard_negatives", "label_noise"]
 
 
 @pytest.fixture(scope="module")
