@@ -2989,6 +2989,61 @@ def q_label_noise(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("vec_id"))
 
 
+def q_active_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day (the DAU/WAU
+    rollout). COUNT DISTINCT is not a window aggregate in any engine, so
+    the exact rolling distinct is computed by the bounded-fan-out
+    identity: each (day, user) activity row contributes to the 7 target
+    days that can see it (a ≤7× explode of the DISTINCT day-user table,
+    not of raw events), then a plain countDistinct per target day.
+    Shuffle carries (day, user) keys — never events."""
+    ev = load_table(spark, sf, "events")
+    du = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    bounds = du.agg(F.min("d").alias("_mn"), F.max("d").alias("_mx"))
+    fan = (du.select("user_id",
+                     F.explode(F.sequence(
+                         F.col("d"),
+                         F.date_add(F.col("d"), 6))).alias("day")))
+    out = (fan.groupBy("day")
+           .agg(F.countDistinct("user_id").alias("wau"))
+           .crossJoin(F.broadcast(bounds))
+           .filter((F.col("day") >= F.col("_mn"))
+                   & (F.col("day") <= F.col("_mx"))))
+    dau = du.groupBy(F.col("d").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau"))
+    return (out.join(dau, "day", "left")
+            .select("day", F.coalesce("dau", F.lit(0)).alias("dau"), "wau",
+                    _r(F.coalesce("dau", F.lit(0)) / F.col("wau"), 6)
+                    .alias("stickiness"))
+            .orderBy("day"))
+
+
+def q_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by first-seen week,
+    share still active k weeks later — the standard growth-analytics
+    triangle. First-seen week is a per-user min (map-side combined);
+    the matrix is a distinct (cohort, user, offset) count joined to
+    cohort sizes — keys only, never raw events."""
+    ev = load_table(spark, sf, "events")
+    uw = ev.select("user_id",
+                   F.date_trunc("week", F.col("ts")).cast("date")
+                   .alias("wk")).distinct()
+    first = uw.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    act = (uw.join(first, "user_id")
+           .select("user_id", "cohort_week",
+                   F.floor(F.datediff("wk", "cohort_week") / 7)
+                   .cast("int").alias("week_offset")))
+    sizes = first.groupBy("cohort_week").agg(
+        F.countDistinct("user_id").alias("cohort_size"))
+    cells = (act.groupBy("cohort_week", "week_offset")
+             .agg(F.countDistinct("user_id").alias("n_active")))
+    return (cells.join(F.broadcast(sizes), "cohort_week")
+            .select("cohort_week", "week_offset", "n_active", "cohort_size",
+                    _r(F.col("n_active") / F.col("cohort_size"), 6)
+                    .alias("retention"))
+            .orderBy("cohort_week", "week_offset"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's anomaly detector over sf0.001 events."""
     return q_anomaly_detect(spark, SF_SMOKE)
@@ -3078,6 +3133,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report": q_skew_report,
         "k_anonymity": q_k_anonymity,
         "label_noise": q_label_noise,
+        "active_users": q_active_users,
+        "cohort_retention": q_cohort_retention,
         # --- r4 driver-greens ---
         "cat_codes": q_cat_codes,
         "lsh_topk": q_lsh_topk,
@@ -6599,6 +6656,54 @@ def oracle_sql() -> dict[str, str]:
         SELECT qid AS vec_id, own_label, nlabel AS neighbor_majority,
                n_votes
         FROM maj WHERE nlabel <> own_label
+    """
+
+    # rolling 7-day distinct actives via the bounded fan-out identity
+    sql["active_users"] = """
+        WITH du AS (
+            SELECT DISTINCT ts::DATE AS d, user_id FROM events
+        ), b AS (SELECT min(d) AS mn, max(d) AS mx FROM du),
+        fan AS (
+            SELECT user_id, unnest(generate_series(
+                d, d + INTERVAL 6 DAY, INTERVAL 1 DAY))::DATE AS day
+            FROM du
+        ), wau AS (
+            SELECT day, count(DISTINCT user_id)::BIGINT AS wau
+            FROM fan, b WHERE day >= b.mn AND day <= b.mx GROUP BY day
+        ), dau AS (
+            SELECT d AS day, count(DISTINCT user_id)::BIGINT AS dau
+            FROM du GROUP BY 1
+        )
+        SELECT w.day, COALESCE(dau.dau, 0)::BIGINT AS dau, w.wau,
+               (round(COALESCE(dau.dau, 0) / w.wau + 1e-9, 6) + 0.0)
+                   AS stickiness
+        FROM wau w LEFT JOIN dau USING (day)
+    """
+
+    # weekly cohort retention triangle
+    sql["cohort_retention"] = """
+        WITH uw AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS wk
+            FROM events
+        ), first AS (
+            SELECT user_id, min(wk) AS cohort_week FROM uw GROUP BY 1
+        ), act AS (
+            SELECT uw.user_id, f.cohort_week,
+                   ((uw.wk - f.cohort_week) // 7)::INT AS week_offset
+            FROM uw JOIN first f USING (user_id)
+        ), sizes AS (
+            SELECT cohort_week, count(DISTINCT user_id)::BIGINT
+                       AS cohort_size
+            FROM first GROUP BY 1
+        ), cells AS (
+            SELECT cohort_week, week_offset,
+                   count(DISTINCT user_id)::BIGINT AS n_active
+            FROM act GROUP BY 1, 2
+        )
+        SELECT c.cohort_week, c.week_offset, c.n_active, s.cohort_size,
+               (round(c.n_active / s.cohort_size + 1e-9, 6) + 0.0)
+                   AS retention
+        FROM cells c JOIN sizes s USING (cohort_week)
     """
 
     return sql

@@ -112,7 +112,7 @@ EVENT_QUERIES = [
     # (degenerate series, duplicate timestamps, NULL-adjacent paths)
     "cusum_changepoints", "seasonal_forecast_eval",
     "spearman_lag1", "winsorize_stats", "rolling_robust",
-    "transition_matrix", "skew_report",
+    "transition_matrix", "skew_report", "active_users", "cohort_retention",
 ]
 
 
