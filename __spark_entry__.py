@@ -3044,6 +3044,47 @@ def q_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("cohort_week", "week_offset"))
 
 
+def q_source_datacard(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source corpus datacard — the one-table summary a corpus user
+    reads first: volume (docs/tokens/chars), mean quality score, the
+    exact-duplicate rate (1 − distinct normalized digests / docs), the
+    language mix (distinct langs, dominant lang + share). Two map-side-
+    combined aggregations and one key-partitioned top-1 window; every
+    ingredient reuses an already-oracle-proven expression (quality_score,
+    text_digest)."""
+    docs = load_table(spark, sf, "documents")
+    t = F.trim(F.col("text"))
+    n_tok = F.when(F.length(t) == 0, 0).otherwise(
+        F.size(F.split(t, r"\s+")))
+    base = (docs.select("source", "lang", "n_chars",
+                        n_tok.alias("_nt"),
+                        TX.quality_score("text").alias("_q"),
+                        DD.text_digest("text").alias("_dg"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("_nt").alias("total_tokens"),
+                 _r(F.avg("n_chars"), 2).alias("avg_chars"),
+                 _r(F.avg("_q"), 4).alias("avg_quality"),
+                 F.countDistinct("_dg").alias("_ndg"),
+                 F.countDistinct("lang").alias("n_langs")))
+    lc = (docs.groupBy("source", "lang")
+          .agg(F.count(F.lit(1)).alias("_n")))
+    wl = Window.partitionBy("source").orderBy(F.col("_n").desc(), "lang")
+    top = (lc.withColumn("_rk", F.row_number().over(wl))
+           .filter(F.col("_rk") == 1)
+           .select("source", F.col("lang").alias("top_lang"),
+                   F.col("_n").alias("_topn")))
+    return (base.join(top, "source")
+            .select("source", "n_docs", "total_tokens", "avg_chars",
+                    "avg_quality",
+                    _r(F.lit(1.0) - F.col("_ndg") / F.col("n_docs"), 6)
+                    .alias("dup_rate"),
+                    "n_langs", "top_lang",
+                    _r(F.col("_topn") / F.col("n_docs"), 6)
+                    .alias("top_lang_share"))
+            .orderBy("source"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's anomaly detector over sf0.001 events."""
     return q_anomaly_detect(spark, SF_SMOKE)
@@ -3135,6 +3176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_noise": q_label_noise,
         "active_users": q_active_users,
         "cohort_retention": q_cohort_retention,
+        "source_datacard": q_source_datacard,
         # --- r4 driver-greens ---
         "cat_codes": q_cat_codes,
         "lsh_topk": q_lsh_topk,
@@ -6704,6 +6746,63 @@ def oracle_sql() -> dict[str, str]:
                (round(c.n_active / s.cohort_size + 1e-9, 6) + 0.0)
                    AS retention
         FROM cells c JOIN sizes s USING (cohort_week)
+    """
+
+    # per-source datacard: every ingredient is an already-proven
+    # expression (quality formula from quality_scores, digest from
+    # exact_dedup, top-lang via the standard row_number tiebreak)
+    sql["source_datacard"] = rf"""
+        WITH t AS (
+            SELECT source, lang, n_chars,
+                   CASE WHEN len(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                   END AS nt,
+                   len(regexp_replace(text, '\s', '', 'g')) AS nonspace,
+                   len(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))
+                       AS punct,
+                   len(list_filter(
+                       regexp_split_to_array(trim(lower(text)), '\s+'),
+                       x -> list_contains({stop_en}, x))) AS hits,
+                   len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                       AS n_tok_l,
+                   ('0x' || substr(md5({norm}), 1, 15))::BIGINT AS dg
+            FROM documents
+        ), q AS (
+            SELECT source, lang, n_chars, nt, dg,
+                   0.4 * (CASE WHEN nt BETWEEN 20 AND 2000
+                               THEN 1.0 ELSE 0.0 END)
+                   + 0.3 * (1.0 - CASE WHEN nonspace <> 0
+                                       THEN punct::DOUBLE / nonspace
+                                       ELSE 0.0 END)
+                   + 0.3 * least(1.0, (CASE WHEN n_tok_l <> 0
+                                            THEN hits::DOUBLE / n_tok_l
+                                            ELSE 0.0 END) * 5.0) AS qual
+            FROM t
+        ), base AS (
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   sum(nt)::BIGINT AS total_tokens,
+                   (round(avg(n_chars) + 1e-9, 2) + 0.0) AS avg_chars,
+                   (round(avg(qual) + 1e-9, 4) + 0.0) AS avg_quality,
+                   count(DISTINCT dg)::BIGINT AS ndg,
+                   count(DISTINCT lang)::BIGINT AS n_langs
+            FROM q GROUP BY 1
+        ), lc AS (
+            SELECT source, lang, count(*)::BIGINT AS n
+            FROM documents GROUP BY 1, 2
+        ), top AS (
+            SELECT source, lang AS top_lang, n AS topn FROM (
+                SELECT *, row_number() OVER (PARTITION BY source
+                              ORDER BY n DESC, lang) AS rk
+                FROM lc) WHERE rk = 1
+        )
+        SELECT b.source, b.n_docs, b.total_tokens, b.avg_chars,
+               b.avg_quality,
+               (round(1.0 - b.ndg::DOUBLE / b.n_docs + 1e-9, 6) + 0.0)
+                   AS dup_rate,
+               b.n_langs, t.top_lang,
+               (round(t.topn::DOUBLE / b.n_docs + 1e-9, 6) + 0.0)
+                   AS top_lang_share
+        FROM base b JOIN top t USING (source)
     """
 
     return sql

@@ -77,7 +77,7 @@ TEXT_QUERIES = [
     "minhash_accuracy", "length_buckets",
     # round 5 second batch: PMI collocations (edge corpus mostly falls
     # below min-support — the empty/near-empty result must still agree)
-    "pmi_cooccurrence",
+    "pmi_cooccurrence", "source_datacard",
 ]
 
 
