@@ -301,3 +301,47 @@ def test_chunking_covers_every_token_with_exact_overlap(spark, n_tok):
     # first 32 tokens of each chunk concatenated == the full stream
     prefix = [t for r in rows for t in r["chunk"][:32]]
     assert prefix == toks
+
+
+@given(zs=st.lists(st.integers(min_value=-5_000_000, max_value=5_000_000),
+                   min_size=1, max_size=200))
+@settings(**SETTINGS)
+def test_cusum_prefix_identity(zs):
+    """The window formulation S_t = P_t − min(0, min_{i≤t} P_i) must
+    equal the sequential recursion S_t = max(0, S_{t-1} + y_t) for any
+    integer sequence — the identity cusum_features is built on (pure
+    math, no Spark)."""
+    k = 500_000
+    ys = [z - k for z in zs]
+    # sequential reference
+    seq, s = [], 0
+    for y in ys:
+        s = max(0, s + y)
+        seq.append(s)
+    # prefix-sum formulation
+    p, pm, out = 0, 0, []
+    for y in ys:
+        p += y
+        pm = min(pm, p)
+        out.append(p - min(pm, 0))
+    assert out == seq
+
+
+@given(n=st.integers(min_value=1, max_value=3000),
+       k=st.sampled_from([16, 64, 256]))
+@settings(max_examples=10, deadline=None)
+def test_kmv_estimator_reference(n, k):
+    """Pure-python KMV reference: below k the estimate is exact; above k
+    the (k−1)/h_k estimate lands within 5/sqrt(k) relative error for
+    md5-hashed item sets (deterministic given (n, k) — no flakiness)."""
+    import hashlib
+    fracs = sorted(
+        int(hashlib.md5(f"item{i}".encode()).hexdigest()[:15], 16)
+        / float(1 << 60)
+        for i in range(n))
+    if n < k:
+        est = float(n)
+        assert est == n
+    else:
+        est = (k - 1) / fracs[k - 1]
+        assert abs(est - n) / n < 5.0 / (k ** 0.5)
