@@ -3085,6 +3085,110 @@ def q_source_datacard(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("source"))
 
 
+def q_pagerank_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Graph centrality over the PRODUCTION 48-bit SimHash near-dup pair
+    graph: 6 fixed power iterations of undirected PageRank
+    (`GR.pagerank`), normalized to mean 1 — the web-graph-style quality
+    signal curation pipelines use to rank documents inside near-dup
+    neighborhoods (a centrality-based retention policy, the graph
+    generalization of `collapse_near_dups`'s per-cluster argmax). Same
+    pair graph as `dedup_clusters_star`, so the edge-building cost is a
+    known quantity; the oracle unrolls all six iterations in SQL."""
+    docs = load_table(spark, sf, "documents")
+    pairs = DD.simhash_hamming_pairs(docs, n=2, bits=48, bands=4,
+                                     max_hamming=3, hex_digits=12)
+    pr = GR.pagerank(pairs, iters=6, damping=0.85)
+    return pr.select(F.col("vertex").alias("doc_id"), "degree",
+                     _r(F.col("pr_rel"), 4).alias("pr_rel"))
+
+
+def q_trend_slopes(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-series OLS trend: slope / intercept / R² of value against
+    elapsed hours via the SQL-standard `regr_*` aggregates — the
+    drift-detection number (is this sensor trending?) computed in one
+    distributed pass, no Python. x is hours since the GLOBAL min ts (a
+    1-row broadcast join), so the intercept reads as "level at window
+    start" and both engines subtract the same origin before any float
+    math."""
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    t0 = ev.agg(F.min(F.col("ts").cast("long")).alias("_t0"))
+    x = (F.col("ts").cast("long") - F.col("_t0")) / F.lit(3600.0)
+    return (ev.join(F.broadcast(t0))
+            .select("event_type", F.col("value").alias("_y"), x.alias("_x"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 _r(F.regr_slope("_y", "_x"), 6).alias("slope_per_hr"),
+                 _r(F.regr_intercept("_y", "_x"), 4).alias("intercept"),
+                 _r(F.regr_r2("_y", "_x"), 6).alias("r2"))
+            .orderBy("event_type"))
+
+
+def q_acf_lags(spark: SparkSession, sf: str) -> DataFrame:
+    """Autocorrelation function per series at lags {1,2,3,6}: one window
+    pass materializes all four lag columns (one sort, shared exchange),
+    one aggregation computes all four Pearson coefficients, then a
+    zero-shuffle `stack` unpivots to (event_type, lag, n_pairs, acf) —
+    the seasonality-structure diagnostic behind `seasonal_baseline`'s
+    period choice. Each corr uses only rows where that lag exists, so
+    n_pairs differs per lag by exactly the lag length."""
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    w = WIN.series_window("event_type", ["ts", "event_id"])
+    lag_cols = [F.lag("value", k).over(w).alias(f"_l{k}")
+                for k in (1, 2, 3, 6)]
+    d = ev.select("event_type", "value", *lag_cols)
+    aggs = []
+    for k in (1, 2, 3, 6):
+        aggs += [F.count(f"_l{k}").alias(f"_n{k}"),
+                 _r(F.corr("value", f"_l{k}"), 6).alias(f"_a{k}")]
+    g = d.groupBy("event_type").agg(*aggs)
+    stack = ", ".join(f"{k}, _n{k}, _a{k}" for k in (1, 2, 3, 6))
+    return (g.select("event_type",
+                     F.expr(f"stack(4, {stack}) AS (lag, n_pairs, acf)"))
+            .orderBy("event_type", "lag"))
+
+
+def q_xcorr_leadlag(spark: SparkSession, sf: str) -> DataFrame:
+    """Lead-lag cross-correlation between the hourly click and purchase
+    count series at lags -3..+3 h: do purchases FOLLOW clicks, and by
+    how many hours? Both series are densified onto the global hourly
+    spine (zero-filled — a gap hour is a real zero observation for
+    counts), the lag shift is an equi-join on `hour + lag` (no window,
+    no cross join; the 7-lag fan-out is an explode on the spine side),
+    and argmax-lag is read off the 7-row output. The spine inner-join
+    keeps exactly the overlap hours, so n_hours = spine_len - |lag|.
+
+    Scale contract: the only event-volume-scaled stage is the hourly
+    count aggregation (map-side combined, shuffled on (hour, type));
+    every spine-derived frame is bounded by the CALENDAR span (#hours ×
+    7 lags — ~9k rows/year regardless of event volume), so its
+    single-partition explode is the same documented keyless-`spine_for`
+    bound `hourly_spine` carries."""
+    ev = load_table(spark, sf, "events")
+    hr = F.date_trunc("hour", F.col("ts")).cast("long").alias("h")
+    counts = (ev.filter(F.col("event_type").isin("click", "purchase"))
+              .groupBy(hr, "event_type").agg(F.count(F.lit(1)).alias("n")))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).cast("long").alias("_lo"),
+        F.date_trunc("hour", F.max("ts")).cast("long").alias("_hi"))
+    spine = (bounds.select(F.explode(
+        F.sequence("_lo", "_hi", F.lit(3600))).alias("h")))
+    c = (spine.join(counts.filter(F.col("event_type") == "click")
+                    .select("h", F.col("n").alias("_c")), "h", "left")
+         .select("h", F.coalesce("_c", F.lit(0)).alias("clicks")))
+    p = (spine.join(counts.filter(F.col("event_type") == "purchase")
+                    .select("h", F.col("n").alias("_p")), "h", "left")
+         .select(F.col("h").alias("_hp"),
+                 F.coalesce("_p", F.lit(0)).alias("purchases")))
+    lags = F.explode(F.array(*[F.lit(k) for k in range(-3, 4)])).alias("lag")
+    shifted = c.select("h", "clicks", lags)
+    j = shifted.join(
+        p, shifted["h"] + shifted["lag"] * F.lit(3600) == p["_hp"])
+    return (j.groupBy("lag")
+            .agg(F.count(F.lit(1)).alias("n_hours"),
+                 _r(F.corr("clicks", "purchases"), 6).alias("xcorr"))
+            .orderBy("lag"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's anomaly detector over sf0.001 events."""
     return q_anomaly_detect(spark, SF_SMOKE)
@@ -3163,7 +3267,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_accuracy": q_minhash_accuracy,
         "seasonal_forecast_eval": q_seasonal_forecast_eval,
         "cusum_changepoints": q_cusum_changepoints,
-        # --- beyond the checked 50 (first in line for round 6) ---
+        # --- beyond the checked 50 (first in line for round 6; the
+        #     round-5 THIRD batch leads — newest code, least evidence) ---
+        "pagerank_neardup": q_pagerank_neardup,
+        "trend_slopes": q_trend_slopes,
+        "acf_lags": q_acf_lags,
+        "xcorr_leadlag": q_xcorr_leadlag,
         "length_buckets": q_length_buckets,
         "hard_negatives": q_hard_negatives,
         "spearman_lag1": q_spearman_lag1,
@@ -6803,6 +6912,108 @@ def oracle_sql() -> dict[str, str]:
                (round(t.topn::DOUBLE / b.n_docs + 1e-9, 6) + 0.0)
                    AS top_lang_share
         FROM base b JOIN top t USING (source)
+    """
+
+    # pagerank: the 48-bit pair chain feeds 6 UNROLLED power iterations
+    # (r0..r6) — same (1.0 - 0.85)/n and 0.85 * sum(pr/deg) expression
+    # shapes as the Spark loop, so both engines walk identical doubles up
+    # to summation order (absorbed by the 4-dp round).
+    pr_iters = ["r0 AS (SELECT a, 1.0 / n.nn AS pr FROM degpr, npr n)"]
+    for k in range(1, 7):
+        pr_iters.append(f"""r{k} AS (
+            SELECT s.b AS a,
+                   (1.0 - 0.85) / n.nn + 0.85 * sum(r.pr / d.deg) AS pr
+            FROM sympr s
+            JOIN r{k - 1} r ON r.a = s.a
+            JOIN degpr d ON d.a = s.a, npr n
+            GROUP BY s.b, n.nn
+        )""")
+    sql["pagerank_neardup"] = f"""
+        WITH {simhash48_ctes},
+        sympr AS (
+            SELECT id_l AS a, id_r AS b FROM sp48
+            UNION ALL
+            SELECT id_r AS a, id_l AS b FROM sp48
+        ),
+        degpr AS (SELECT a, count(*)::BIGINT AS deg FROM sympr GROUP BY 1),
+        npr AS (SELECT count(*)::DOUBLE AS nn FROM degpr),
+        {", ".join(pr_iters)}
+        SELECT d.a AS doc_id, d.deg AS degree,
+               (round(r.pr * n.nn + 1e-9, 4) + 0.0) AS pr_rel
+        FROM r6 r JOIN degpr d ON d.a = r.a, npr n
+    """
+
+    # trend: regr_* aggregates exist in both engines with the same
+    # definition; x subtracts the same global origin before division
+    sql["trend_slopes"] = """
+        WITH t0 AS (SELECT min(epoch(ts))::BIGINT AS t0 FROM events
+                    WHERE value IS NOT NULL)
+        SELECT event_type, count(*)::BIGINT AS n,
+               (round(regr_slope(value,
+                   (epoch(ts)::BIGINT - t0) / 3600.0) + 1e-9, 6) + 0.0)
+                   AS slope_per_hr,
+               (round(regr_intercept(value,
+                   (epoch(ts)::BIGINT - t0) / 3600.0) + 1e-9, 4) + 0.0)
+                   AS intercept,
+               (round(regr_r2(value,
+                   (epoch(ts)::BIGINT - t0) / 3600.0) + 1e-9, 6) + 0.0)
+                   AS r2
+        FROM events, t0 WHERE value IS NOT NULL
+        GROUP BY event_type
+    """
+
+    # acf: one lagged CTE, four corr aggregates, unpivot via UNION ALL
+    sql["acf_lags"] = """
+        WITH d AS (
+            SELECT event_type, value,
+                   lag(value, 1) OVER w AS l1, lag(value, 2) OVER w AS l2,
+                   lag(value, 3) OVER w AS l3, lag(value, 6) OVER w AS l6
+            FROM events WHERE value IS NOT NULL
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+        ), g AS (
+            SELECT event_type,
+                   count(l1)::BIGINT AS n1, corr(value, l1) AS a1,
+                   count(l2)::BIGINT AS n2, corr(value, l2) AS a2,
+                   count(l3)::BIGINT AS n3, corr(value, l3) AS a3,
+                   count(l6)::BIGINT AS n6, corr(value, l6) AS a6
+            FROM d GROUP BY 1
+        )
+        SELECT event_type, 1 AS lag, n1 AS n_pairs,
+               (round(a1 + 1e-9, 6) + 0.0) AS acf FROM g
+        UNION ALL SELECT event_type, 2, n2, (round(a2 + 1e-9, 6) + 0.0) FROM g
+        UNION ALL SELECT event_type, 3, n3, (round(a3 + 1e-9, 6) + 0.0) FROM g
+        UNION ALL SELECT event_type, 6, n6, (round(a6 + 1e-9, 6) + 0.0) FROM g
+    """
+
+    # xcorr: densified hourly spine, shift via equi-join on h + lag*3600
+    sql["xcorr_leadlag"] = """
+        WITH b AS (
+            SELECT epoch(date_trunc('hour', min(ts)))::BIGINT AS lo,
+                   epoch(date_trunc('hour', max(ts)))::BIGINT AS hi
+            FROM events
+        ), spine AS (
+            SELECT unnest(generate_series(lo, hi, 3600)) AS h FROM b
+        ), cnt AS (
+            SELECT epoch(date_trunc('hour', ts))::BIGINT AS h, event_type,
+                   count(*)::BIGINT AS n
+            FROM events WHERE event_type IN ('click', 'purchase')
+            GROUP BY 1, 2
+        ), c AS (
+            SELECT s.h, coalesce(x.n, 0) AS clicks
+            FROM spine s LEFT JOIN cnt x
+              ON x.h = s.h AND x.event_type = 'click'
+        ), p AS (
+            SELECT s.h AS hp, coalesce(x.n, 0) AS purchases
+            FROM spine s LEFT JOIN cnt x
+              ON x.h = s.h AND x.event_type = 'purchase'
+        ), sh AS (
+            SELECT c.h, c.clicks, l.lag
+            FROM c, (SELECT unnest(range(-3, 4)) AS lag) l
+        )
+        SELECT sh.lag::INT AS lag, count(*)::BIGINT AS n_hours,
+               (round(corr(sh.clicks, p.purchases) + 1e-9, 6) + 0.0) AS xcorr
+        FROM sh JOIN p ON sh.h + sh.lag * 3600 = p.hp
+        GROUP BY 1
     """
 
     return sql

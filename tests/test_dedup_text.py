@@ -768,3 +768,33 @@ def test_kmv_sketch_is_mergeable(spark):
             .collect()[0])
     est_merged = 63.0 / re_k["kf"] if re_k["n"] == 64 else float(re_k["n"])
     assert abs(est_merged - whole["est"]) < 1e-9
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+    from timeseries_data_analysis_spark.operators import graph as GR
+    # chain 1-2-3-4 plus a triangle 10-11-12: known asymmetric degrees
+    raw = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)]
+    edges = spark.createDataFrame(raw, "id_l long, id_r long")
+    got = {r["vertex"]: (r["degree"], r["pr_rel"])
+           for r in GR.pagerank(edges, iters=6, damping=0.85).collect()}
+    # numpy reference: identical fixed power iteration on the
+    # symmetrized graph, same (1-d)/n + d*sum(pr/deg) update
+    verts = sorted({v for e in raw for v in e})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    adj = np.zeros((n, n))
+    for a, b in raw:
+        adj[idx[a], idx[b]] = adj[idx[b], idx[a]] = 1
+    deg = adj.sum(axis=1)
+    pr = np.full(n, 1.0 / n)
+    for _ in range(6):
+        pr = (1.0 - 0.85) / n + 0.85 * adj.T @ (pr / deg)
+    for v in verts:
+        d_got, rel_got = got[v]
+        assert d_got == int(deg[idx[v]])
+        assert abs(rel_got - pr[idx[v]] * n) < 1e-9
+    # mass conservation: mean of pr_rel == 1
+    assert abs(sum(r for _, r in got.values()) / n - 1.0) < 1e-9
+    # chain interior (2,3) must outrank chain ends (1,4)
+    assert got[2][1] > got[1][1] and got[3][1] > got[4][1]
