@@ -24,7 +24,7 @@ from timeseries_data_analysis_spark.operators import (
     windows as WIN, timeseries as TS, intervals as IV, pivot as PV,
     topk as TK, dedup as DD, similarity as SIM, encoding as ENC,
     skew as SKEW, graph as GR, tsindex as TSI, sampling as SMP,
-    tokenizer as TOKZ, sketch as SK,
+    tokenizer as TOKZ, sketch as SK, cdc as CDC,
 )
 from timeseries_data_analysis_spark.functions import math_fns as M, text as TX
 
@@ -3189,6 +3189,65 @@ def q_xcorr_leadlag(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("lag"))
 
 
+def q_snapshot_cdc(spark: SparkSession, sf: str) -> DataFrame:
+    """Change-data-capture audit between two snapshots of the "latest
+    order per customer" state: as-of 1998-01-01 (mid-history) vs end-of-history. Each
+    snapshot is a deterministic per-key latest row (row_number over
+    (o_orderdate, o_orderkey) DESC — unique tiebreak), the diff is
+    `CDC.snapshot_diff` (full-outer join, NULL-safe compare), and the
+    output is the per-change-type rollup an incremental-ingest job logs:
+    how many keys appeared / changed / held steady, and the net
+    total-price drift carried by the changes. 'delete' is structurally
+    absent (orders only accrete) — the oracle proves that by NOT
+    special-casing it."""
+    orders = load_table(spark, sf, "orders")
+
+    def snap(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+        return (df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select("o_custkey",
+                        F.col("o_orderkey").alias("last_orderkey"),
+                        F.col("o_orderstatus").alias("last_status"),
+                        F.col("o_totalprice").alias("last_price")))
+
+    old = snap(orders.filter(F.col("o_orderdate") < F.lit("1998-01-01")))
+    new = snap(orders)
+    d = CDC.snapshot_diff(old, new, ["o_custkey"],
+                          ["last_orderkey", "last_status", "last_price"])
+    return (d.groupBy("change_type")
+            .agg(F.count(F.lit(1)).alias("n_keys"),
+                 _r(F.sum(F.coalesce("last_price_new", F.lit(0.0))
+                          - F.coalesce("last_price_old", F.lit(0.0))), 4)
+                 .alias("price_delta"))
+            .orderBy("change_type"))
+
+
+def q_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from the event changelog:
+    per user (deterministic 1-in-17 key subset — the stride-sample
+    contract), collapse consecutive same-event_type rows into validity
+    intervals with `CDC.scd2_from_changelog` and report each user's
+    interval history rollup: run count, current state, and total seconds
+    spent in closed intervals. One exchange on user_id feeds the
+    boundary filter, the `lead`, and this rollup — three window passes,
+    one shuffle."""
+    ev = (load_table(spark, sf, "events")
+          .filter(F.col("user_id") % 17 == 3))
+    hist = CDC.scd2_from_changelog(ev, "user_id", ["event_type"],
+                                   ts_col="ts", order_by=["ts", "event_id"])
+    closed_s = (F.col("valid_to").cast("long")
+                - F.col("valid_from").cast("long"))
+    return (hist.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_runs"),
+                 F.max(F.when(F.col("is_current") == 1,
+                              F.col("event_type"))).alias("current_state"),
+                 F.sum(closed_s).alias("closed_seconds"),
+                 F.min("valid_from").alias("first_seen"))
+            .orderBy("user_id"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's anomaly detector over sf0.001 events."""
     return q_anomaly_detect(spark, SF_SMOKE)
@@ -3273,6 +3332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_slopes": q_trend_slopes,
         "acf_lags": q_acf_lags,
         "xcorr_leadlag": q_xcorr_leadlag,
+        "snapshot_cdc": q_snapshot_cdc,
+        "scd2_history": q_scd2_history,
         "length_buckets": q_length_buckets,
         "hard_negatives": q_hard_negatives,
         "spearman_lag1": q_spearman_lag1,
@@ -7014,6 +7075,69 @@ def oracle_sql() -> dict[str, str]:
                (round(corr(sh.clicks, p.purchases) + 1e-9, 6) + 0.0) AS xcorr
         FROM sh JOIN p ON sh.h + sh.lag * 3600 = p.hp
         GROUP BY 1
+    """
+
+    # snapshot diff: IS NOT DISTINCT FROM == eqNullSafe, full outer join
+    sql["snapshot_cdc"] = """
+        WITH so AS (
+            SELECT o_custkey, o_orderkey AS last_orderkey,
+                   o_orderstatus AS last_status, o_totalprice AS last_price
+            FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                  FROM orders WHERE o_orderdate < DATE '1998-01-01')
+            WHERE rn = 1
+        ), sn AS (
+            SELECT o_custkey, o_orderkey AS last_orderkey,
+                   o_orderstatus AS last_status, o_totalprice AS last_price
+            FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                  FROM orders)
+            WHERE rn = 1
+        ), d AS (
+            SELECT CASE WHEN o.o_custkey IS NULL THEN 'insert'
+                        WHEN n.o_custkey IS NULL THEN 'delete'
+                        WHEN o.last_orderkey IS NOT DISTINCT FROM n.last_orderkey
+                         AND o.last_status IS NOT DISTINCT FROM n.last_status
+                         AND o.last_price IS NOT DISTINCT FROM n.last_price
+                            THEN 'unchanged'
+                        ELSE 'update' END AS change_type,
+                   coalesce(n.last_price, 0.0) - coalesce(o.last_price, 0.0)
+                       AS delta
+            FROM so o FULL OUTER JOIN sn n ON o.o_custkey = n.o_custkey
+        )
+        SELECT change_type, count(*)::BIGINT AS n_keys,
+               (round(sum(delta) + 1e-9, 4) + 0.0) AS price_delta
+        FROM d GROUP BY 1
+    """
+
+    # SCD2: run boundaries via IS DISTINCT FROM lag (rn=1 guard), lead
+    # closes intervals; both engines share the (ts, event_id) tiebreak
+    sql["scd2_history"] = """
+        WITH base AS (
+            SELECT user_id, ts, event_id, event_type FROM events
+            WHERE user_id % 17 = 3
+        ), m AS (
+            SELECT *, row_number() OVER w AS rn,
+                   lag(event_type) OVER w AS prev
+            FROM base
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), runs AS (
+            SELECT user_id, ts, event_id, event_type FROM m
+            WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+        ), iv AS (
+            SELECT user_id, event_type, ts AS valid_from,
+                   lead(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS valid_to
+            FROM runs
+        )
+        SELECT user_id, count(*)::BIGINT AS n_runs,
+               max(CASE WHEN valid_to IS NULL THEN event_type END)
+                   AS current_state,
+               sum(epoch_us(valid_to) // 1000000
+                   - epoch_us(valid_from) // 1000000)
+                   ::BIGINT AS closed_seconds,
+               min(valid_from) AS first_seen
+        FROM iv GROUP BY 1
     """
 
     return sql
