@@ -3248,6 +3248,24 @@ def q_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("user_id"))
 
 
+def q_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact corpus-frequent tokens above 1/500 support via the two-pass
+    Misra-Gries sketch (`SK.heavy_hitters`): per-partition mergeable
+    summaries prune the vocabulary tail BEFORE any shuffle, the
+    candidate union broadcasts back, and only candidates are exactly
+    recounted — deterministic output under any partitioning (the
+    pigeonhole superset guarantee in the operator docstring), proved
+    here by the oracle computing the same answer the exhaustive way.
+    Same whitespace tokenization as `word_vocab` (the BPE family)."""
+    docs = load_table(spark, sf, "documents")
+    words = (docs.select(F.explode(
+                F.split(F.trim(F.col("text")), r"\s+")).alias("token"))
+             .filter(F.length("token") >= 1))
+    return (SK.heavy_hitters(words, "token", threshold_inv=500, k=2000)
+            .select(F.col("item").alias("token"), "cnt", "share")
+            .orderBy(F.col("cnt").desc(), "token"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's anomaly detector over sf0.001 events."""
     return q_anomaly_detect(spark, SF_SMOKE)
@@ -3334,6 +3352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xcorr_leadlag": q_xcorr_leadlag,
         "snapshot_cdc": q_snapshot_cdc,
         "scd2_history": q_scd2_history,
+        "heavy_hitters": q_heavy_hitters,
         "length_buckets": q_length_buckets,
         "hard_negatives": q_hard_negatives,
         "spearman_lag1": q_spearman_lag1,
@@ -7138,6 +7157,20 @@ def oracle_sql() -> dict[str, str]:
                    ::BIGINT AS closed_seconds,
                min(valid_from) AS first_seen
         FROM iv GROUP BY 1
+    """
+
+    # heavy hitters: the oracle is the exhaustive count the sketch path
+    # must equal exactly (superset candidates + exact recount)
+    sql["heavy_hitters"] = r"""
+        WITH w AS (
+            SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+            FROM documents
+        ), wf AS (SELECT token FROM w WHERE len(token) >= 1),
+        n AS (SELECT count(*)::BIGINT AS nn FROM wf),
+        c AS (SELECT token, count(*)::BIGINT AS cnt FROM wf GROUP BY 1)
+        SELECT token, cnt,
+               (round(cnt::DOUBLE / n.nn + 1e-9, 6) + 0.0) AS share
+        FROM c, n WHERE cnt * 500 > n.nn
     """
 
     return sql

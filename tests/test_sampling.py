@@ -166,3 +166,28 @@ def test_weighted_hash_sample_null_drops_and_clamps(spark):
     assert SMP.weighted_hash_sample(over, F.col("w"), "doc_id").count() == 1000
     neg = df.select("doc_id", F.lit(-3.0).alias("w"))
     assert SMP.weighted_hash_sample(neg, F.col("w"), "doc_id").count() == 0
+
+
+def test_heavy_hitters_partition_invariant_and_exact(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from timeseries_data_analysis_spark.operators import sketch as SK
+    # zipf-ish: token t_i appears ~1000//(i+1) times; N ≈ 1000*H(60)
+    rows = [(f"t{i}",) for i in range(60) for _ in range(1000 // (i + 1))]
+    expected = None
+    for n_part in (1, 3, 16):
+        df = (spark.createDataFrame(rows, "item string")
+              .repartition(n_part))
+        got = {(r["item"], r["cnt"])
+               for r in SK.heavy_hitters(df, "item", threshold_inv=50,
+                                         k=64).collect()}
+        if expected is None:
+            n = len(rows)
+            from collections import Counter
+            cnt = Counter(r[0] for r in rows)
+            expected = {(t, c) for t, c in cnt.items() if c * 50 > n}
+        # exact counts AND exact membership, regardless of partitioning
+        assert got == expected
+    # the superset guarantee requires k >= threshold_inv
+    with _pytest.raises(ValueError):
+        SK.heavy_hitters(df, "item", threshold_inv=100, k=50)

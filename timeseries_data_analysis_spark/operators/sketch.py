@@ -71,3 +71,71 @@ def kmv_distinct(df: DataFrame, group_col: str, item_col: str,
         group_col, "n_kept", "kth_frac",
         F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
         .otherwise(F.lit(float(k - 1)) / F.col("kth_frac")).alias("est"))
+
+
+def heavy_hitters(df: DataFrame, item_col: str, threshold_inv: int = 500,
+                  k: int | None = None) -> DataFrame:
+    """Exact frequent items above support 1/``threshold_inv`` via a
+    two-pass Misra-Gries sketch: items with count > N/threshold_inv,
+    with EXACT counts — without ever shuffling the long tail.
+
+    Pass 1 (``mapInPandas``): each partition folds its items through a
+    mergeable Misra-Gries summary of size ``k`` (default
+    4 × threshold_inv) — per Arrow batch, add exact batch counts into
+    the running summary, then compress by subtracting the (k+1)-largest
+    weight and dropping non-positives (the mergeable-summaries MERGE of
+    Agarwal et al., PODS'12, which preserves the N_p/(k+1) error bound).
+    Pass 2: the candidate union is inner-joined back (broadcast — at
+    most k rows per partition survive) and ONLY candidate items are
+    exactly recounted and thresholded.
+
+    Output is DETERMINISTIC despite the partition-dependent sketch:
+    pigeonhole gives every item with global count > N/(k+1) a partition
+    where its local count exceeds N_p/(k+1), so with k+1 > threshold_inv
+    the candidate set is a superset of every qualifying item under ANY
+    partitioning; the exact recount then keeps precisely the qualifiers.
+
+    Why not plain groupBy-count: correctness-equal, but the full
+    aggregation shuffles one row per DISTINCT item (billions for web
+    tokens). Here the shuffle carries ≤ k rows per partition (candidates)
+    plus the map-side-combined counts of candidate items only — the
+    sketch prunes the tail before the exchange, which is the entire
+    point at 100 TB.
+
+    Returns ``(item, cnt, share)`` with share = cnt/N rounded to 6.
+    """
+    import pandas as pd
+
+    if k is None:
+        k = 4 * threshold_inv
+    if k + 1 <= threshold_inv:
+        raise ValueError(
+            f"k ({k}) must be >= threshold_inv ({threshold_inv}) for the "
+            "superset guarantee — candidates would miss true heavy hitters")
+
+    items = df.select(F.col(item_col).alias("item")).filter(
+        F.col("item").isNotNull())
+
+    def mg_partition(batches):
+        summary: dict = {}
+        for pdf in batches:
+            vc = pdf["item"].value_counts()
+            for it, c in vc.items():
+                summary[it] = summary.get(it, 0) + int(c)
+            if len(summary) > k:
+                # mergeable compress: subtract the (k+1)-largest weight
+                cut = sorted(summary.values(), reverse=True)[k]
+                summary = {i: c - cut for i, c in summary.items() if c > cut}
+        if summary:
+            yield pd.DataFrame({"item": list(summary.keys())})
+
+    candidates = (items.mapInPandas(mg_partition, "item string")
+                  .distinct())
+    total = items.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+    exact = (items.join(F.broadcast(candidates), on="item")
+             .groupBy("item").agg(F.count(F.lit(1)).alias("cnt")))
+    return (exact.join(F.broadcast(total))
+            .filter(F.col("cnt") * F.lit(threshold_inv) > F.col("_n"))
+            .select("item", "cnt",
+                    F.round(F.col("cnt") / F.col("_n") + F.lit(1e-9), 6)
+                    .alias("share")))
