@@ -23,6 +23,12 @@ preserved rather than degenerate:
 - **events**: replica k > 0 offsets user/event ids (new users, same
   temporal shape) — per-user windows get Nx the partitions, not Nx
   longer series.
+- **orders**: replica k > 0 offsets custkey/orderkey (new customers,
+  same order-date shape) — the CDC snapshot family sees Nx keys with
+  the original per-key order history, not Nx-longer histories.
+
+An optional trailing ``table[,table...]`` arg rebuilds a subset (the
+transforms are deterministic, so partial rebuilds stay consistent).
 
 All transforms are hash-deterministic: two runs produce byte-identical
 tables. Everything runs as Spark jobs; nothing collects to the driver.
@@ -75,24 +81,34 @@ def scale_events(df, factor: int):
                     "event_type", "value", "props"))
 
 
+def scale_orders(df, factor: int):
+    k = F.explode(F.array(*[F.lit(i) for i in range(factor)])).alias("k")
+    return (df.select("*", k)
+            .select((F.col("o_orderkey").cast("bigint")
+                     + F.col("k").cast("bigint") * (OFF * 100)).alias("o_orderkey"),
+                    (F.col("o_custkey").cast("bigint")
+                     + F.col("k").cast("bigint") * OFF).alias("o_custkey"),
+                    *[c for c in df.columns
+                      if c not in ("o_orderkey", "o_custkey")]))
+
+
 def main() -> None:
     src, out = sys.argv[1], sys.argv[2]
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
     spark = (SparkSession.builder.master("local[32]")
              .config("spark.sql.shuffle.partitions", "32")
              .config("spark.ui.showConsoleProgress", "false")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
-    docs = spark.read.parquet(f"{src}/documents.parquet")
-    emb = spark.read.parquet(f"{src}/embeddings.parquet")
-    ev = spark.read.parquet(f"{src}/events.parquet")
-    scale_documents(docs, factor).repartition(8) \
-        .write.mode("overwrite").parquet(f"{out}/documents.parquet")
-    scale_embeddings(emb, factor).repartition(8) \
-        .write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
-    scale_events(ev, factor).repartition(8) \
-        .write.mode("overwrite").parquet(f"{out}/events.parquet")
-    for t in ("documents", "embeddings", "events"):
+    builders = {"documents": scale_documents, "embeddings": scale_embeddings,
+                "events": scale_events, "orders": scale_orders}
+    tables = [t for t in builders if only is None or t in only]
+    for t in tables:
+        df = spark.read.parquet(f"{src}/{t}.parquet")
+        builders[t](df, factor).repartition(8) \
+            .write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    for t in tables:
         print(t, spark.read.parquet(f"{out}/{t}.parquet").count())
 
 
