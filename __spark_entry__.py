@@ -3266,6 +3266,31 @@ def q_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy(F.col("cnt").desc(), "token"))
 
 
+def q_dtw_profiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Elastic series similarity: all-pairs Dynamic Time Warping over
+    each event type's hour-of-day profile (24-point mean-value vector,
+    rounded to 4 dp BEFORE the DP so both engines align identical
+    doubles). The 100 TB shape is the operator's whole point: the
+    quadratic work runs on the 5-row PROFILE table (one bounded vector
+    per series — built by one distributed agg), never on raw events;
+    `TSI.dtw_pairs` documents the max_keys bound and the SAX-bucket
+    escape hatch. The oracle replays the exact flat row-major DP as a
+    single-list recursive CTE — bit-identical cell order, so even the
+    un-rounded accumulator matches."""
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    prof = (ev.groupBy("event_type", F.hour("ts").alias("_hr"))
+            .agg(_r(F.avg("value"), 4).alias("_m"))
+            .groupBy("event_type")
+            .agg(F.array_sort(F.collect_list(F.struct("_hr", "_m")))
+                 .alias("_s"))
+            .select("event_type",
+                    F.expr("transform(_s, x -> x._m)").alias("profile")))
+    d = TSI.dtw_pairs(prof, "event_type", "profile")
+    return (d.select("key_l", "key_r", _r(F.col("dtw"), 4).alias("dtw"),
+                     "n_steps")
+            .orderBy("key_l", "key_r"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's anomaly detector over sf0.001 events."""
     return q_anomaly_detect(spark, SF_SMOKE)
@@ -3353,6 +3378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_cdc": q_snapshot_cdc,
         "scd2_history": q_scd2_history,
         "heavy_hitters": q_heavy_hitters,
+        "dtw_profiles": q_dtw_profiles,
         "length_buckets": q_length_buckets,
         "hard_negatives": q_hard_negatives,
         "spearman_lag1": q_spearman_lag1,
@@ -7171,6 +7197,44 @@ def oracle_sql() -> dict[str, str]:
         SELECT token, cnt,
                (round(cnt::DOUBLE / n.nn + 1e-9, 6) + 0.0) AS share
         FROM c, n WHERE cnt * 500 > n.nn
+    """
+
+    # DTW: the flat row-major DP replayed as a recursive CTE — one row
+    # per pair per step, the accumulator is a growing DOUBLE[] list;
+    # cell order and min-operand order match operators/tsindex.dtw_pairs
+    # exactly, so the DP is bit-identical before the final round.
+    sql["dtw_profiles"] = """
+        WITH RECURSIVE hp AS (
+            SELECT event_type, hour(ts) AS hr,
+                   (round(avg(value) + 1e-9, 4) + 0.0) AS m
+            FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        ), prof AS (
+            SELECT event_type, list(m ORDER BY hr) AS p FROM hp GROUP BY 1
+        ), pr AS (
+            SELECT a.event_type AS key_l, b.event_type AS key_r,
+                   a.p AS va, b.p AS vb,
+                   len(a.p)::BIGINT AS n, len(b.p)::BIGINT AS mm
+            FROM prof a JOIN prof b ON a.event_type < b.event_type
+        ), dp AS (
+            SELECT key_l, key_r, va, vb, n, mm, 0::BIGINT AS f,
+                   CAST([] AS DOUBLE[]) AS acc
+            FROM pr
+            UNION ALL
+            SELECT key_l, key_r, va, vb, n, mm, f + 1,
+                   list_append(acc,
+                       abs(va[f // mm + 1] - vb[f % mm + 1]) +
+                       CASE WHEN f = 0 THEN 0.0
+                            WHEN f // mm = 0 THEN acc[f]
+                            WHEN f % mm = 0 THEN acc[f - mm + 1]
+                            ELSE least(acc[f], acc[f - mm + 1],
+                                       acc[f - mm])
+                       END)
+            FROM dp WHERE f < n * mm
+        )
+        SELECT key_l, key_r,
+               (round(acc[n * mm] + 1e-9, 4) + 0.0) AS dtw,
+               (n * mm)::BIGINT AS n_steps
+        FROM dp WHERE f = n * mm
     """
 
     return sql

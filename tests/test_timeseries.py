@@ -184,3 +184,42 @@ def test_even_minute_filter(spark):
     out = df.filter(F.minute("ts") % 2 == 0).collect()
     assert len(out) == 5
     assert all(r["ts"].minute % 2 == 0 for r in out)
+
+
+def test_dtw_pairs_matches_2d_reference_and_warps(spark):
+    import numpy as np
+    import pytest as _pytest
+    from timeseries_data_analysis_spark.operators import tsindex as TSI
+
+    def dtw_ref(a, b):
+        # independent textbook implementation: full 2D matrix
+        n, m = len(a), len(b)
+        D = np.full((n + 1, m + 1), np.inf)
+        D[0, 0] = 0.0
+        for i in range(1, n + 1):
+            for j in range(1, m + 1):
+                D[i, j] = abs(a[i - 1] - b[j - 1]) + min(
+                    D[i, j - 1], D[i - 1, j], D[i - 1, j - 1])
+        return D[n, m]
+
+    va = [0.0, 0.0, 1.0, 2.0, 1.0, 0.0]
+    vb = [0.0, 1.0, 2.0, 1.0, 0.0, 0.0]   # same shape, shifted by one
+    vc = [5.0, 5.0, 5.0, 5.0, 5.0, 5.0]
+    prof = spark.createDataFrame(
+        [("a", va), ("b", vb), ("c", vc)], "k string, p array<double>")
+    got = {(r["key_l"], r["key_r"]): (r["dtw"], r["n_steps"])
+           for r in TSI.dtw_pairs(prof, "k", "p").collect()}
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    for (l, r), (d, steps) in got.items():
+        vecs = {"a": va, "b": vb, "c": vc}
+        assert d == dtw_ref(vecs[l], vecs[r])
+        assert steps == 36
+    # elastic alignment: the shifted twin is much closer under DTW than
+    # under lock-step euclidean-style alignment
+    lockstep = sum(abs(x - y) for x, y in zip(va, vb))
+    assert got[("a", "b")][0] < lockstep
+    # identical-shape pair distance is tiny vs the flat-line pair
+    assert got[("a", "b")][0] < got[("a", "c")][0]
+    # quadratic-pairs guard
+    with _pytest.raises(ValueError):
+        TSI.dtw_pairs(prof, "k", "p", max_keys=2)

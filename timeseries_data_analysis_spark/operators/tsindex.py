@@ -105,3 +105,80 @@ def znorm_distance_pairs(df: DataFrame, key: str, bucket_col: str,
             .groupBy("key_a", "key_b")
             .agg(F.count(F.lit(1)).alias("n_common"),
                  F.sqrt(F.sum(d * d)).alias("dist")))
+
+
+def dtw_pairs(profiles: DataFrame, key_col: str, vec_col: str,
+              band: int | None = None, max_keys: int = 1000) -> DataFrame:
+    """All-pairs Dynamic Time Warping distance between per-key profile
+    vectors — the elastic-alignment similarity the z-normalized
+    Euclidean join cannot express (phase-shifted series score as
+    distant under lock-step alignment; DTW warps time to match shapes;
+    Sakoe & Chiba 1978, and the standard baseline of the UCR suite).
+
+    ``profiles`` has one row per key with an ``array<double>`` profile
+    (align/densify upstream — e.g. an hour-of-day or day-of-week
+    aggregate profile, which is how a 100 TB series corpus becomes one
+    bounded vector per series BEFORE any pairwise work). The self-join
+    is ``key_l < key_r`` over that bounded profile table — quadratic in
+    SERIES COUNT, never in observation count; ``max_keys`` enforces the
+    bound (the same stated-bound contract as ``category_codes``). For
+    corpus-scale series sets, bucket first (SAX word equality via
+    :func:`sax_words`) and run DTW only within buckets.
+
+    The DP itself is genuinely sequential (each cell needs three
+    neighbors) — a real Pandas-UDF case, not a convenience one. Cells
+    are computed in FLAT row-major order with a fixed operand order, so
+    the result is bit-identical to any engine replaying the same order
+    (the oracle replays it as a single-list recursive CTE).
+    ``band`` (Sakoe-Chiba half-width) prunes cells with |i-j| > band to
+    +inf, cutting O(n·m) to O(n·band) per pair at scale; ``None`` runs
+    the exact full matrix.
+
+    Returns ``(key_l, key_r, dtw, n_steps)`` where ``n_steps`` is the
+    warping-path length of the DP (matrix size actually computed).
+    """
+    import numpy as np
+    import pandas as pd
+
+    n_keys = profiles.count()
+    if n_keys > max_keys:
+        raise ValueError(
+            f"dtw_pairs got {n_keys} keys > max_keys={max_keys}: the "
+            "all-pairs join is quadratic in keys — bucket upstream "
+            "(sax_words) or raise the bound deliberately")
+
+    a = profiles.select(F.col(key_col).alias("key_l"),
+                        F.col(vec_col).alias("_va"))
+    b = profiles.select(F.col(key_col).alias("key_r"),
+                        F.col(vec_col).alias("_vb"))
+    pairs = a.join(b, F.col("key_l") < F.col("key_r"))
+
+    def _dtw(va, vb):
+        n, m = len(va), len(vb)
+        acc = np.empty(n * m)
+        for f in range(n * m):
+            i, j = divmod(f, m)
+            d = abs(va[i] - vb[j])
+            if i == 0 and j == 0:
+                acc[f] = d
+            elif i == 0:
+                acc[f] = d + acc[f - 1]
+            elif j == 0:
+                acc[f] = d + acc[f - m]
+            elif band is not None and abs(i - j) > band:
+                acc[f] = np.inf
+            else:
+                # operand order fixed: min(left, up, diag)
+                acc[f] = d + min(acc[f - 1], acc[f - m], acc[f - m - 1])
+        return float(acc[-1]), n * m
+
+    def compute(batches):
+        for pdf in batches:
+            out = [(_dtw(va, vb)) for va, vb in zip(pdf["_va"], pdf["_vb"])]
+            yield pd.DataFrame({
+                "key_l": pdf["key_l"], "key_r": pdf["key_r"],
+                "dtw": [o[0] for o in out],
+                "n_steps": [o[1] for o in out]})
+
+    return pairs.mapInPandas(
+        compute, "key_l string, key_r string, dtw double, n_steps long")
