@@ -3291,6 +3291,40 @@ def q_dtw_profiles(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("key_l", "key_r"))
 
 
+def q_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of the two
+    independent ANN retrievers: hyperplane-LSH top-5 and IVF-probe
+    top-5 fused per query as Σ 1/(60 + rank) — the standard
+    ensemble-retrieval step of a RAG pipeline (two cheap candidate
+    generators beat one, and the fusion needs only RANKS, never
+    re-scoring). Deterministic end-to-end: both rankers are the
+    oracle-checked deterministic queries, the fused score is a discrete
+    rational computed in fixed operand order, and ties break on vec_id.
+    Membership flags expose WHERE each fused hit came from. The join is
+    top-5 × top-5 per query — bounded by k, not corpus size."""
+    lsh = (q_lsh_topk(spark, sf)
+           .select("query_id", "vec_id", F.col("rk").alias("rk_l")))
+    ivf = (q_ivf_topk(spark, sf)
+           .select("query_id", "vec_id", F.col("rk").alias("rk_i")))
+    u = lsh.join(ivf, ["query_id", "vec_id"], "full_outer")
+    score = (F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rk_l")), F.lit(0.0))
+             + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rk_i")),
+                          F.lit(0.0)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_score").desc(), "vec_id")
+    return (u.select("query_id", "vec_id", score.alias("_score"),
+                     F.when(F.col("rk_l").isNull(), F.lit(0))
+                     .otherwise(F.lit(1)).alias("in_lsh"),
+                     F.when(F.col("rk_i").isNull(), F.lit(0))
+                     .otherwise(F.lit(1)).alias("in_ivf"))
+            .withColumn("fused_rk", F.row_number().over(w))
+            .filter(F.col("fused_rk") <= 5)
+            .select("query_id", "vec_id", "fused_rk",
+                    _r(F.col("_score"), 6).alias("rrf"),
+                    "in_lsh", "in_ivf")
+            .orderBy("query_id", "fused_rk"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's anomaly detector over sf0.001 events."""
     return q_anomaly_detect(spark, SF_SMOKE)
@@ -3379,6 +3413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": q_scd2_history,
         "heavy_hitters": q_heavy_hitters,
         "dtw_profiles": q_dtw_profiles,
+        "rrf_fusion": q_rrf_fusion,
         "length_buckets": q_length_buckets,
         "hard_negatives": q_hard_negatives,
         "spearman_lag1": q_spearman_lag1,
@@ -7235,6 +7270,35 @@ def oracle_sql() -> dict[str, str]:
                (round(acc[n * mm] + 1e-9, 4) + 0.0) AS dtw,
                (n * mm)::BIGINT AS n_steps
         FROM dp WHERE f = n * mm
+    """
+
+    # RRF: the two retriever oracles nest verbatim as CTE bodies (a CTE
+    # definition is a full SELECT, WITH included), so the fusion oracle
+    # can never drift from the rankers it fuses
+    sql["rrf_fusion"] = f"""
+        WITH lsh AS ({sql["lsh_topk"]}),
+        ivf AS ({sql["ivf_topk"]}),
+        u AS (
+            SELECT coalesce(l.query_id, i.query_id) AS query_id,
+                   coalesce(l.vec_id, i.vec_id) AS vec_id,
+                   l.rk AS rk_l, i.rk AS rk_i
+            FROM lsh l FULL OUTER JOIN ivf i
+              ON l.query_id = i.query_id AND l.vec_id = i.vec_id
+        ), sc AS (
+            SELECT query_id, vec_id,
+                   coalesce(1.0 / (60 + rk_l), 0.0)
+                   + coalesce(1.0 / (60 + rk_i), 0.0) AS score,
+                   CASE WHEN rk_l IS NULL THEN 0 ELSE 1 END AS in_lsh,
+                   CASE WHEN rk_i IS NULL THEN 0 ELSE 1 END AS in_ivf
+            FROM u
+        ), rr AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, vec_id) AS fused_rk
+            FROM sc
+        )
+        SELECT query_id, vec_id, fused_rk,
+               (round(score + 1e-9, 6) + 0.0) AS rrf, in_lsh, in_ivf
+        FROM rr WHERE fused_rk <= 5
     """
 
     return sql
