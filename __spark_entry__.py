@@ -3325,6 +3325,38 @@ def q_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("query_id", "fused_rk"))
 
 
+def q_pit_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time dimension lookup — the query the SCD2 build exists
+    for: for every (user, day-midnight probe) in the 1-in-17 subset,
+    resolve the user's state AS OF that instant via the keyed as-of
+    join against the interval starts (backward ≤, consecutive intervals
+    make valid_to redundant), then roll up the daily state census. The
+    composition CDC.scd2_from_changelog → IV.asof_join is the
+    batch-side answer to "what did the dimension say when the fact
+    happened" — the correctness property bitemporal warehouses are
+    graded on. Probe grid is calendar × subset-users (bounded); the
+    as-of scan shares the user_id partitioning end-to-end. Interval
+    starts are unique per user here ((ts, event_id)-tiebroken changelog
+    with µs timestamps); equal-start ties would be engine-arbitrary, so
+    the operator contract requires unique (key, valid_from)."""
+    ev = load_table(spark, sf, "events").filter(F.col("user_id") % 17 == 3)
+    hist = CDC.scd2_from_changelog(ev, "user_id", ["event_type"],
+                                   ts_col="ts", order_by=["ts", "event_id"])
+    days = TS.spine_for(ev, "ts", step="interval 1 day", truncate="day")
+    users = ev.select("user_id").distinct()
+    probes = (users.join(F.broadcast(days))
+              .select("user_id", F.col("ts").alias("probe_ts")))
+    pit = IV.asof_join(
+        probes, hist.select("user_id", "valid_from", "event_type"),
+        left_ts="probe_ts", right_ts="valid_from",
+        by=("user_id", "user_id"), value_cols=["event_type"])
+    return (pit.filter(F.col("event_type").isNotNull())
+            .groupBy(F.col("probe_ts").alias("day"),
+                     F.col("event_type").alias("state"))
+            .agg(F.count(F.lit(1)).alias("n_users"))
+            .orderBy("day", "state"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's anomaly detector over sf0.001 events."""
     return q_anomaly_detect(spark, SF_SMOKE)
@@ -3414,6 +3446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "dtw_profiles": q_dtw_profiles,
         "rrf_fusion": q_rrf_fusion,
+        "pit_join": q_pit_join,
         "length_buckets": q_length_buckets,
         "hard_negatives": q_hard_negatives,
         "spearman_lag1": q_spearman_lag1,
@@ -7299,6 +7332,39 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, vec_id, fused_rk,
                (round(score + 1e-9, 6) + 0.0) AS rrf, in_lsh, in_ivf
         FROM rr WHERE fused_rk <= 5
+    """
+
+    # point-in-time: the scd2 run chain + DuckDB's native ASOF JOIN
+    sql["pit_join"] = """
+        WITH base AS (
+            SELECT user_id, ts, event_id, event_type FROM events
+            WHERE user_id % 17 = 3
+        ), m AS (
+            SELECT *, row_number() OVER w AS rn,
+                   lag(event_type) OVER w AS prev
+            FROM base
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), iv AS (
+            SELECT user_id, ts AS valid_from, event_type FROM m
+            WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+        ), b AS (
+            SELECT date_trunc('day', min(ts)) AS lo,
+                   date_trunc('day', max(ts)) AS hi
+            FROM base
+        ), days AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d
+            FROM b
+        ), probes AS (
+            SELECT u.user_id, days.d
+            FROM (SELECT DISTINCT user_id FROM base) u, days
+        ), pit AS (
+            SELECT p.d, iv.event_type
+            FROM probes p ASOF LEFT JOIN iv
+              ON p.user_id = iv.user_id AND iv.valid_from <= p.d
+        )
+        SELECT d AS day, event_type AS state, count(*)::BIGINT AS n_users
+        FROM pit WHERE event_type IS NOT NULL
+        GROUP BY 1, 2
     """
 
     return sql
