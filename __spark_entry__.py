@@ -3357,6 +3357,30 @@ def q_pit_join(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("day", "state"))
 
 
+def q_holt_forecast(spark: SparkSession, sf: str) -> DataFrame:
+    """Holt double-exponential-smoothing forecast per series over the
+    daily mean grid (rounded to 4 dp before the recursion so both
+    engines smooth identical doubles): level/trend state, 7-day-ahead
+    forecast, and one-step-ahead MAE — the trend-following complement
+    to `seasonal_forecast_eval`'s seasonal-naive backtest. The
+    per-series recursion is `TS.holt_linear`'s pinned-operand-order
+    `applyInPandas` (sequential by nature); the oracle replays the same
+    state machine as a recursive CTE, one synchronized step per period
+    across all series."""
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    daily = (ev.groupBy("event_type",
+                        F.date_trunc("day", F.col("ts")).alias("_d"))
+             .agg(_r(F.avg("value"), 4).alias("_m")))
+    out = TS.holt_linear(daily, "event_type", "_d", "_m",
+                         alpha=0.3, beta=0.1, horizon=7)
+    return (out.select("event_type", "n_periods",
+                       _r(F.col("level"), 4).alias("level"),
+                       _r(F.col("trend"), 4).alias("trend"),
+                       _r(F.col("forecast_h"), 4).alias("forecast_7d"),
+                       _r(F.col("mae"), 4).alias("mae"))
+            .orderBy("event_type"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's anomaly detector over sf0.001 events."""
     return q_anomaly_detect(spark, SF_SMOKE)
@@ -3447,6 +3471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dtw_profiles": q_dtw_profiles,
         "rrf_fusion": q_rrf_fusion,
         "pit_join": q_pit_join,
+        "holt_forecast": q_holt_forecast,
         "length_buckets": q_length_buckets,
         "hard_negatives": q_hard_negatives,
         "spearman_lag1": q_spearman_lag1,
@@ -7365,6 +7390,45 @@ def oracle_sql() -> dict[str, str]:
         SELECT d AS day, event_type AS state, count(*)::BIGINT AS n_users
         FROM pit WHERE event_type IS NOT NULL
         GROUP BY 1, 2
+    """
+
+    # Holt: the smoothing recursion replayed as a recursive CTE — one
+    # synchronized step per period across all series; operand order
+    # matches TS.holt_linear exactly (lnew is inlined twice — a pure
+    # expression, so recomputation is bit-identical)
+    sql["holt_forecast"] = """
+        WITH RECURSIVE dv AS (
+            SELECT event_type, date_trunc('day', ts) AS d,
+                   (round(avg(value) + 1e-9, 4) + 0.0) AS m
+            FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        ), ser AS (
+            SELECT event_type, list(m ORDER BY d) AS ys,
+                   count(*)::BIGINT AS n
+            FROM dv GROUP BY 1
+        ), hw AS (
+            -- every literal is ::DOUBLE: bare 0.3 is DECIMAL in DuckDB,
+            -- and decimal (1 - 0.3) = exact 0.7 is a DIFFERENT double
+            -- than IEEE 1.0 - 0.3 — the recursion would drift per step
+            SELECT event_type, ys, n, 1::BIGINT AS t,
+                   ys[1] AS l, ys[2] - ys[1] AS b,
+                   CAST(0.0 AS DOUBLE) AS esum
+            FROM ser
+            UNION ALL
+            SELECT event_type, ys, n, t + 1,
+                   0.3::DOUBLE * ys[t + 1]
+                       + (1::DOUBLE - 0.3::DOUBLE) * (l + b),
+                   0.1::DOUBLE * ((0.3::DOUBLE * ys[t + 1]
+                       + (1::DOUBLE - 0.3::DOUBLE) * (l + b)) - l)
+                       + (1::DOUBLE - 0.1::DOUBLE) * b,
+                   esum + abs(ys[t + 1] - (l + b))
+            FROM hw WHERE t < n
+        )
+        SELECT event_type, n AS n_periods,
+               (round(l + 1e-9, 4) + 0.0) AS level,
+               (round(b + 1e-9, 4) + 0.0) AS trend,
+               (round(l + 7 * b + 1e-9, 4) + 0.0) AS forecast_7d,
+               (round(esum / (n - 1) + 1e-9, 4) + 0.0) AS mae
+        FROM hw WHERE t = n
     """
 
     return sql

@@ -223,3 +223,30 @@ def test_dtw_pairs_matches_2d_reference_and_warps(spark):
     # quadratic-pairs guard
     with _pytest.raises(ValueError):
         TSI.dtw_pairs(prof, "k", "p", max_keys=2)
+
+
+def test_holt_linear_tracks_linear_series_exactly(spark):
+    import datetime as dt
+    import pytest as _pytest
+    from timeseries_data_analysis_spark.operators import timeseries as TS
+    days = [dt.datetime(2024, 1, 1) + dt.timedelta(days=i) for i in range(30)]
+    rows = ([("lin", d, 2.0 + 3.0 * i) for i, d in enumerate(days)]
+            + [("flat", d, 5.0) for d in days[:10]])
+    df = spark.createDataFrame(rows, "k string, d timestamp, y double")
+    got = {r["k"]: r for r in
+           TS.holt_linear(df, "k", "d", "y", alpha=0.3, beta=0.1,
+                          horizon=7).collect()}
+    # exact-linear input: one-step predictions are exact, state rides the line
+    lin = got["lin"]
+    assert lin["n_periods"] == 30
+    assert abs(lin["mae"]) < 1e-9
+    assert abs(lin["trend"] - 3.0) < 1e-9
+    assert abs(lin["level"] - (2.0 + 3.0 * 29)) < 1e-9
+    assert abs(lin["forecast_h"] - (2.0 + 3.0 * 36)) < 1e-9
+    flat = got["flat"]
+    assert abs(flat["trend"]) < 1e-9 and abs(flat["forecast_h"] - 5.0) < 1e-9
+    # contract: a 1-period key raises
+    one = spark.createDataFrame([("x", days[0], 1.0)],
+                                "k string, d timestamp, y double")
+    with _pytest.raises(Exception):
+        TS.holt_linear(one, "k", "d", "y").collect()

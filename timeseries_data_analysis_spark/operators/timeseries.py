@@ -394,3 +394,59 @@ def align_to_spine(spine: DataFrame, src: DataFrame, on: list[str],
     else:
         exprs = [F.col(c) for c in value_cols]
     return joined.select(*on, *exprs)
+
+
+def holt_linear(df: DataFrame, key: str, ts_col: str, value_col: str,
+                alpha: float = 0.3, beta: float = 0.1,
+                horizon: int = 7) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing per series
+    (Holt 1957; the level+trend member of the ETS family) — the
+    forecasting step past `seasonal_baseline`'s seasonal-naive: state
+    (level l, trend b) updates once per period as
+
+        pred = l + b
+        l'   = alpha * y + (1 - alpha) * pred
+        b'   = beta * (l' - l) + (1 - beta) * b
+
+    initialized l=y0, b=y1-y0, with the one-step-ahead MAE accumulated
+    along the way (the honest in-sample fit number).
+
+    Input must be one row per (key, period) on a REGULAR grid — run a
+    downsample/fill first; raises if any key has < 2 periods. The
+    recursion is inherently sequential per series, so this is a real
+    ``applyInPandas`` case: each series' period count is bounded (it is
+    a calendar aggregate — same bound as every profile operator here),
+    while the series COUNT distributes freely; the float operand order
+    is pinned so the oracle's recursive CTE replays bit-identical state.
+
+    Returns one row per key: ``(key, n_periods, level, trend,
+    forecast_h, mae)`` with ``forecast_h = level + horizon * trend``.
+    """
+    import pandas as pd
+
+    a, b_ = float(alpha), float(beta)
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col)
+        ys = pdf[value_col].tolist()
+        if len(ys) < 2:
+            raise ValueError(
+                f"holt_linear needs >= 2 periods per key, got {len(ys)} "
+                f"for {pdf[key].iloc[0]!r} — densify the grid upstream")
+        l, b = ys[0], ys[1] - ys[0]
+        esum = 0.0
+        for y in ys[1:]:
+            pred = l + b
+            lnew = a * y + (1 - a) * pred
+            bnew = b_ * (lnew - l) + (1 - b_) * b
+            esum = esum + abs(y - pred)
+            l, b = lnew, bnew
+        return pd.DataFrame({
+            key: [pdf[key].iloc[0]], "n_periods": [len(ys)],
+            "level": [l], "trend": [b],
+            "forecast_h": [l + horizon * b],
+            "mae": [esum / (len(ys) - 1)]})
+
+    out_schema = (f"{key} string, n_periods long, level double, "
+                  "trend double, forecast_h double, mae double")
+    return df.groupBy(key).applyInPandas(fit, out_schema)
