@@ -720,3 +720,50 @@ def test_cusum_stream_unknown_key_is_flat(spark):
         assert (out["cusum_pos_micro"] == 0).all()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_heavy_hitters_sink_bounds_and_crash_replay(spark, tmp_path):
+    from collections import Counter
+    from timeseries_data_analysis_spark.streaming import jobs as SJ
+
+    state = str(tmp_path / "hh_state")
+    k = 16
+    # three batches of zipf-ish tokens; true counts known
+    batches = [
+        [f"t{i}" for i in range(40) for _ in range(120 // (i + 1))],
+        [f"t{i}" for i in range(40) for _ in range(80 // (i + 2))],
+        ["t0"] * 50 + ["t1"] * 30 + [f"rare{i}" for i in range(60)],
+    ]
+    true = Counter(x for b in batches for x in b)
+    n_total = sum(true.values())
+
+    for bid, toks in enumerate(batches):
+        df = spark.createDataFrame([(t,) for t in toks], "item string")
+        SJ.hh_commit_batch(df, bid, state, k=k)
+
+    st = {r["item"]: (r["weight"], r["_total"])
+          for r in SJ.heavy_hitters_state(spark, state).collect()}
+    assert len(st) <= k
+    totals = {t for _, t in st.values()}
+    assert totals == {n_total}
+    err = n_total // (k + 1)
+    for item, (w, _) in st.items():
+        # MG bound: weight lower-bounds the true count by at most N/(k+1)
+        assert w <= true[item] <= w + err
+    # no false negatives above the error bound
+    for item, c in true.items():
+        if c > err:
+            assert item in st, (item, c, err)
+    # thresholded reader keeps only lower-bound-certified items
+    hot = {r["item"] for r in
+           SJ.heavy_hitters_state(spark, state, threshold_inv=20).collect()}
+    for item in hot:
+        assert st[item][0] * 20 > n_total
+
+    # crash-window replay: re-running the LAST batch (state written,
+    # checkpoint lost) must rewrite the identical summary
+    df2 = spark.createDataFrame([(t,) for t in batches[2]], "item string")
+    SJ.hh_commit_batch(df2, 2, state, k=k)
+    st2 = {r["item"]: (r["weight"], r["_total"])
+           for r in SJ.heavy_hitters_state(spark, state).collect()}
+    assert st2 == st

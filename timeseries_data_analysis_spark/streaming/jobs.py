@@ -574,3 +574,94 @@ def dedup_commit_batch(batch_df: DataFrame, batch_id: int,
     # phase 2: commit marker — digest rows stamped with the batch id
     (fresh.select("_digest").withColumn("_batch_id", F.lit(batch_id))
      .write.mode("append").parquet(index_path))
+
+
+def heavy_hitters_sink(item_stream: DataFrame, state_path: str,
+                       item_col: str = "item", k: int = 2000):
+    """Streaming frequent-items maintenance: a persisted Misra-Gries
+    summary of size ``k`` merged with every micro-batch's exact counts
+    — the continuous form of ``operators.sketch.heavy_hitters``. State
+    is ≤ k (item, weight) rows plus the running stream length, so the
+    store stays sketch-sized forever while the stream is unbounded; the
+    mergeable-summaries bound (Agarwal et al., PODS'12) holds across
+    batches: any item's true count is in ``[weight, weight + N/(k+1)]``
+    and every item with true count > N/(k+1) is present.
+
+    Replay safety is SINGLE-phase here because the state is
+    self-contained (unlike the dedup index, nothing else must stay in
+    step with it): each batch writes its complete post-merge summary to
+    ``state_path/state_batch=<batch_id>`` with overwrite, always
+    computed from the latest committed state with id < batch_id. A
+    crash between the state write and the checkpoint commit replays the
+    batch, which recomputes the identical summary from the same
+    predecessor and rewrites the same directory. Read the live summary
+    with :func:`heavy_hitters_state`.
+
+    Old state dirs are retained (each is ≤ k rows; they double as a
+    time-travel audit of the sketch) — a retention job can drop all but
+    the max id.
+    """
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        hh_commit_batch(batch_df, batch_id, state_path,
+                        item_col=item_col, k=k)
+
+    return (item_stream.writeStream.foreachBatch(process)
+            .outputMode("update"))
+
+
+def hh_commit_batch(batch_df: DataFrame, batch_id: int, state_path: str,
+                    item_col: str = "item", k: int = 2000) -> None:
+    """One micro-batch of :func:`heavy_hitters_sink`, module-level so
+    tests can replay it against the crash window."""
+    spark = batch_df.sparkSession
+    prev = None
+    prev_total = 0
+    try:
+        store = spark.read.parquet(state_path)
+        ids = [r["state_batch"] for r in
+               store.select("state_batch").distinct().collect()
+               if r["state_batch"] < batch_id]
+        if ids:
+            prev = (store.where(F.col("state_batch") == max(ids))
+                    .select("item", "weight"))
+            prev_total = (store.where(F.col("state_batch") == max(ids))
+                          .select(F.max("_total")).collect()[0][0]) or 0
+    except Exception:  # noqa: BLE001 — first batch: no store yet
+        pass
+
+    items = (batch_df.select(F.col(item_col).alias("item"))
+             .filter(F.col("item").isNotNull()))
+    batch_n = items.count()
+    counts = items.groupBy("item").agg(F.count(F.lit(1)).alias("weight"))
+    merged = counts if prev is None else (
+        counts.unionByName(prev).groupBy("item")
+        .agg(F.sum("weight").alias("weight")))
+    merged = merged.localCheckpoint()
+    n_items = merged.count()
+    if n_items > k:
+        # mergeable compress: subtract the (k+1)-largest weight
+        cut = (merged.orderBy(F.col("weight").desc()).limit(k + 1)
+               .agg(F.min("weight")).collect()[0][0])
+        merged = (merged.filter(F.col("weight") > cut)
+                  .select("item", (F.col("weight") - F.lit(cut))
+                          .alias("weight")))
+    (merged.withColumn("_total", F.lit(prev_total + batch_n))
+     .write.mode("overwrite")
+     .parquet(f"{state_path}/state_batch={batch_id}"))
+
+
+def heavy_hitters_state(spark: SparkSession, state_path: str,
+                        threshold_inv: int | None = None) -> DataFrame:
+    """Latest committed summary from :func:`heavy_hitters_sink`:
+    ``(item, weight, _total)``, optionally filtered to items whose
+    LOWER-bound count already clears support 1/``threshold_inv`` (no
+    false positives under the MG undercount)."""
+    store = spark.read.parquet(state_path)
+    latest = (store.agg(F.max("state_batch").alias("b"))
+              .collect()[0]["b"])
+    out = store.where(F.col("state_batch") == latest) \
+        .select("item", "weight", "_total")
+    if threshold_inv is not None:
+        out = out.filter(
+            F.col("weight") * F.lit(threshold_inv) > F.col("_total"))
+    return out
