@@ -3381,6 +3381,70 @@ def q_holt_forecast(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+def q_ri_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Referential-integrity + key-uniqueness audit across the star
+    schema — the constraint checks a lake engine must run itself
+    (nothing enforces FKs over parquet): orphan counts for the three FK
+    edges (lineitem→orders, orders→customer, customer→nation) via
+    broadcast-able anti-joins, and duplicate-PK row counts for the two
+    fact keys. One row per check with the violation count and the
+    checked population, so a green run is auditable (n_total proves the
+    check saw the data). Each check is a count-only aggregate; the five
+    1-row frames union into the report."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+
+    def check(name: str, viol: DataFrame, total: DataFrame) -> DataFrame:
+        v = viol.agg(F.count(F.lit(1)).alias("n_violations"))
+        t = total.agg(F.count(F.lit(1)).alias("n_total"))
+        return (v.join(t)
+                .select(F.lit(name).alias("check"), "n_violations",
+                        "n_total"))
+
+    fk1 = check("lineitem_orderkey_fk",
+                li.join(orders.select("o_orderkey"),
+                        li["l_orderkey"] == orders["o_orderkey"],
+                        "left_anti"), li)
+    fk2 = check("orders_custkey_fk",
+                orders.join(cust.select("c_custkey"),
+                            orders["o_custkey"] == cust["c_custkey"],
+                            "left_anti"), orders)
+    fk3 = check("customer_nationkey_fk",
+                cust.join(nation.select("n_nationkey"),
+                          cust["c_nationkey"] == nation["n_nationkey"],
+                          "left_anti"), cust)
+    dup_o = check(
+        "orders_pk_unique",
+        orders.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > 1), orders)
+    dup_c = check(
+        "customer_pk_unique",
+        cust.groupBy("c_custkey").agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > 1), cust)
+    return (fk1.unionByName(fk2).unionByName(fk3)
+            .unionByName(dup_o).unionByName(dup_c)
+            .orderBy("check"))
+
+
+def q_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Diversity-aware retrieval: MMR greedy re-ranking of each query's
+    exact top-10 down to 5 (λ=0.7) via `SIM.mmr_rerank` — relevance
+    minus max-similarity-to-already-selected, the anti-redundancy step
+    between ANN recall and a RAG context window. Integer-only output
+    (query_id, step, vec_id); all float state is 6-dp-rounded on both
+    sides before any comparison. The oracle unrolls the 5 greedy steps
+    as generated SQL (each step = one argmax window over the rounded
+    MMR expression with the selected-set max-redundancy join)."""
+    emb = load_table(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = SIM.mmr_rerank(emb, q, k_candidates=10, k_select=5, lam=0.7)
+    return out.orderBy("query_id", "step")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's anomaly detector over sf0.001 events."""
     return q_anomaly_detect(spark, SF_SMOKE)
@@ -3472,6 +3536,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": q_rrf_fusion,
         "pit_join": q_pit_join,
         "holt_forecast": q_holt_forecast,
+        "ri_audit": q_ri_audit,
+        "mmr_rerank": q_mmr_rerank,
         "length_buckets": q_length_buckets,
         "hard_negatives": q_hard_negatives,
         "spearman_lag1": q_spearman_lag1,
@@ -7429,6 +7495,103 @@ def oracle_sql() -> dict[str, str]:
                (round(l + 7 * b + 1e-9, 4) + 0.0) AS forecast_7d,
                (round(esum / (n - 1) + 1e-9, 4) + 0.0) AS mae
         FROM hw WHERE t = n
+    """
+
+    # referential integrity: NOT IN with a NOT NULL subquery == anti-join
+    sql["ri_audit"] = """
+        SELECT 'lineitem_orderkey_fk' AS check,
+               (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
+                   (SELECT o_orderkey FROM orders))::BIGINT AS n_violations,
+               (SELECT count(*) FROM lineitem)::BIGINT AS n_total
+        UNION ALL
+        SELECT 'orders_custkey_fk',
+               (SELECT count(*) FROM orders WHERE o_custkey NOT IN
+                   (SELECT c_custkey FROM customer))::BIGINT,
+               (SELECT count(*) FROM orders)::BIGINT
+        UNION ALL
+        SELECT 'customer_nationkey_fk',
+               (SELECT count(*) FROM customer WHERE c_nationkey NOT IN
+                   (SELECT n_nationkey FROM nation))::BIGINT,
+               (SELECT count(*) FROM customer)::BIGINT
+        UNION ALL
+        SELECT 'orders_pk_unique',
+               (SELECT count(*) FROM (SELECT o_orderkey FROM orders
+                   GROUP BY 1 HAVING count(*) > 1))::BIGINT,
+               (SELECT count(*) FROM orders)::BIGINT
+        UNION ALL
+        SELECT 'customer_pk_unique',
+               (SELECT count(*) FROM (SELECT c_custkey FROM customer
+                   GROUP BY 1 HAVING count(*) > 1))::BIGINT,
+               (SELECT count(*) FROM customer)::BIGINT
+    """
+
+    # MMR: the 5 greedy steps unrolled as generated SQL; selu{k} is the
+    # cumulative selection, pick{k}'s argmax window replays the kernel's
+    # (mmr DESC, vec_id) tiebreak over identical rounded inputs
+    mmr_parts = ["""sel1 AS (
+            SELECT query_id, vec_id, 1 AS step FROM (
+                SELECT query_id, vec_id, row_number() OVER (
+                    PARTITION BY query_id ORDER BY qs DESC, vec_id) AS rk
+                FROM cand) WHERE rk = 1
+        )"""]
+    for k in range(2, 6):
+        prev = " UNION ALL ".join(
+            f"SELECT query_id, vec_id FROM sel{j}" for j in range(1, k))
+        mmr_parts.append(f"""selu{k - 1} AS ({prev}),
+        sel{k} AS (
+            SELECT query_id, vec_id, {k} AS step FROM (
+                SELECT c.query_id, c.vec_id, row_number() OVER (
+                    PARTITION BY c.query_id ORDER BY
+                        0.7::DOUBLE * c.qs
+                        - (1::DOUBLE - 0.7::DOUBLE) * m.red DESC,
+                        c.vec_id) AS rk
+                FROM cand c
+                JOIN (SELECT p.query_id, p.ca AS vec_id, max(p.s) AS red
+                      FROM pw p JOIN selu{k - 1} s0
+                        ON p.query_id = s0.query_id AND p.cb = s0.vec_id
+                      GROUP BY 1, 2) m
+                  ON m.query_id = c.query_id AND m.vec_id = c.vec_id
+                LEFT JOIN selu{k - 1} ex
+                  ON ex.query_id = c.query_id AND ex.vec_id = c.vec_id
+                WHERE ex.vec_id IS NULL
+            ) WHERE rk = 1
+        )""")
+    sql["mmr_rerank"] = f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id < 10),
+        scored AS (
+            SELECT q.query_id, e.vec_id,
+                   CASE WHEN list_dot_product(e.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[]) = 0
+                         OR list_dot_product(q.qv, q.qv) = 0 THEN 0.0
+                        ELSE list_cosine_similarity(e.embedding::DOUBLE[],
+                                                    q.qv) END AS s
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> q.query_id),
+        ranked AS (
+            SELECT query_id, vec_id, s,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY s DESC, vec_id) AS rk
+            FROM scored),
+        cand AS (
+            SELECT query_id, vec_id, (round(s + 1e-9, 6) + 0.0) AS qs
+            FROM ranked WHERE rk <= 10),
+        cv AS (
+            SELECT c.query_id, c.vec_id, c.qs, e.embedding::DOUBLE[] AS v
+            FROM cand c JOIN embeddings e USING (vec_id)),
+        pw AS (
+            SELECT a.query_id, a.vec_id AS ca, b.vec_id AS cb,
+                   (round(CASE WHEN list_dot_product(a.v, a.v) = 0
+                                OR list_dot_product(b.v, b.v) = 0 THEN 0.0
+                               ELSE list_cosine_similarity(a.v, b.v) END
+                          + 1e-9, 6) + 0.0) AS s
+            FROM cv a JOIN cv b ON a.query_id = b.query_id
+                               AND a.vec_id <> b.vec_id),
+        {", ".join(mmr_parts)}
+        SELECT query_id, step, vec_id FROM (
+            SELECT * FROM sel1 UNION ALL SELECT * FROM sel2
+            UNION ALL SELECT * FROM sel3 UNION ALL SELECT * FROM sel4
+            UNION ALL SELECT * FROM sel5)
     """
 
     return sql

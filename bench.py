@@ -157,6 +157,16 @@ def main() -> None:
                  "temperature_mix", "bigram_logppl"):
         corpus[name] = timed(name)
 
+    # round-5 third batch (graph/CDC/sketch/elastic-similarity/
+    # forecast), reported SEPARATELY so headline and corpus totals stay
+    # comparable across rounds
+    analytics: dict[str, float] = {}
+    for name in ("pagerank_neardup", "trend_slopes", "acf_lags",
+                 "xcorr_leadlag", "snapshot_cdc", "scd2_history",
+                 "heavy_hitters", "dtw_profiles", "rrf_fusion",
+                 "pit_join", "holt_forecast"):
+        analytics[name] = timed(name)
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(json.dumps({
         "metric": "headline_queries_total",
@@ -167,10 +177,13 @@ def main() -> None:
         "kiln_trials": kiln_trials,
         "corpus_queries": corpus,
         "corpus_total": round(sum(corpus.values()), 3),
+        "analytics_queries": analytics,
+        "analytics_total": round(sum(analytics.values()), 3),
         # full per-query trial pairs: the load-contamination audit trail
         # (a big max-min spread marks a draw taken under external load)
         "query_trials": {k: trial_log[k] for k in timings if k in trial_log},
         "corpus_trials": {k: trial_log[k] for k in corpus},
+        "analytics_trials": {k: trial_log[k] for k in analytics},
         "sf": float(sf) if sf else None,
         # host contention snapshot — driver-vs-local timing deltas are
         # attributable only when the load at measurement time is known

@@ -101,3 +101,23 @@ def test_edge_embeddings_cross_engine(spark, edge_env, name):
     assert sorted(sdf.columns) == sorted(odf.columns)
     assert value_hash(sdf) == value_hash(odf), \
         f"{name}: cross-engine hash mismatch on edge embeddings"
+
+
+def test_mmr_rerank_defers_redundant_candidates(spark):
+    from timeseries_data_analysis_spark.operators import similarity as SIM
+    # query 0 at e1; corpus: 1 and 2 are near-identical high-relevance
+    # vectors, 3 is orthogonal-ish moderate relevance. Plain top-k ranks
+    # (1, 2, 3); MMR must pick 1 then DIVERSIFY to 3 before 2.
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.14, 0.0]),
+        (2, [0.99, 0.141, 0.0]),
+        (3, [0.5, 0.0, 0.86]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = (emb.filter("vec_id = 0")
+         .selectExpr("vec_id AS query_id", "embedding"))
+    got = [(r["step"], r["vec_id"]) for r in
+           SIM.mmr_rerank(emb, q, k_candidates=3, k_select=3, lam=0.5)
+           .orderBy("step").collect()]
+    assert got == [(1, 1), (2, 3), (3, 2)]

@@ -662,3 +662,87 @@ def random_project(vec: Column, matrix: list[list[int]]) -> Column:
             acc = term if acc is None else acc + term
         comps.append(acc)
     return F.array(*comps)
+
+
+def mmr_rerank(corpus: DataFrame, queries: DataFrame,
+               k_candidates: int = 10, k_select: int = 5,
+               lam: float = 0.7, id_col: str = "vec_id",
+               vec_col: str = "embedding",
+               query_id_col: str = "query_id") -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98) — the diversity step of a RAG retrieval stack: from each
+    query's exact top-``k_candidates``, greedily select ``k_select``
+    maximizing ``lam * sim(q, c) - (1 - lam) * max_sel sim(c, s)`` so
+    near-duplicate passages don't crowd the context window.
+
+    Scale shape: the candidate stage is the existing broadcast
+    brute-force scan (swap in ``lsh_topk``/``ivf_topk`` upstream at
+    corpus scale — the greedy is source-agnostic); everything after is
+    per-query over k rows, so the ``applyInPandas`` group is k vectors
+    and the k×k pairwise block — constant work per query, distributed
+    across queries. The greedy itself is inherently sequential (each
+    pick changes the next score): a real Python case.
+
+    Determinism: query sims round to 6 dp JVM-side, pairwise sims round
+    to 6 dp in the kernel (sequential left-fold dot products — the same
+    accumulation order as `cosine`'s F.aggregate and DuckDB's
+    list_dot_product), the MMR arithmetic is fixed-operand-order over
+    those rounded inputs, and every argmax tiebreaks on ``vec_id``.
+    Returns ``(query_id, step, vec_id)`` — integer-only output.
+    """
+    import math as _math
+
+    import pandas as pd
+
+    cand = brute_force_topk(corpus, queries, k=k_candidates,
+                            id_col=id_col, vec_col=vec_col,
+                            query_id_col=query_id_col)
+    withv = (cand.join(corpus.select(F.col(id_col), F.col(vec_col)),
+                       on=id_col)
+             .select("query_id", F.col(id_col).alias("cid"),
+                     F.round(F.col("sim") + F.lit(1e-9), 6).alias("qs"),
+                     F.col(vec_col).alias("v")))
+
+    lam_f = float(lam)
+
+    def _cos(a, b) -> float:
+        dot = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            na += x * x
+            nb += y * y
+        den = _math.sqrt(na) * _math.sqrt(nb)
+        return dot / den if den > 0 else 0.0
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = pdf["query_id"].iloc[0]
+        ids = pdf["cid"].tolist()
+        qs = dict(zip(ids, pdf["qs"]))
+        vecs = dict(zip(ids, pdf["v"]))
+        pw = {}
+        for a in ids:
+            for b in ids:
+                if a < b:
+                    s = round(_cos(vecs[a], vecs[b]) + 1e-9, 6)
+                    pw[(a, b)] = pw[(b, a)] = s
+        selected: list = []
+        remaining = sorted(ids)
+        while remaining and len(selected) < k_select:
+            if not selected:
+                best = min(remaining, key=lambda c: (-qs[c], c))
+            else:
+                def mmr(c):
+                    red = max(pw[(c, s)] for s in selected)
+                    return lam_f * qs[c] - (1 - lam_f) * red
+                best = min(remaining, key=lambda c: (-mmr(c), c))
+            selected.append(best)
+            remaining.remove(best)
+        return pd.DataFrame({
+            "query_id": [qid] * len(selected),
+            "step": list(range(1, len(selected) + 1)),
+            "vec_id": selected})
+
+    return withv.groupBy("query_id").applyInPandas(
+        greedy, "query_id long, step int, vec_id long")
