@@ -3445,6 +3445,25 @@ def q_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("query_id", "step")
 
 
+def q_triangle_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle census over the DENSE 16-bit SimHash demo pair graph
+    (density is the point here — triangles measure near-clique cohesion
+    inside dedup neighborhoods, and the sparse 48-bit graph at gate
+    scale has none to count): per-vertex triangle count + local
+    clustering coefficient via the oriented wedge-closure enumeration
+    (`GR.triangle_stats`, Suri & Vassilvitskii WWW'11; the skew-proof
+    degree orientation documented in the operator). High-coeff vertices
+    are safe collapse candidates; low-coeff ones are banding-noise
+    chains worth a second look before dropping."""
+    docs = load_table(spark, sf, "documents")
+    pairs = DD.simhash_hamming_pairs(docs, n=2, bits=16, bands=4,
+                                     max_hamming=3)
+    return (GR.triangle_stats(pairs)
+            .select(F.col("vertex").alias("doc_id"), "degree",
+                    "triangles", "coeff")
+            .orderBy("doc_id"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's anomaly detector over sf0.001 events."""
     return q_anomaly_detect(spark, SF_SMOKE)
@@ -3538,6 +3557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_forecast": q_holt_forecast,
         "ri_audit": q_ri_audit,
         "mmr_rerank": q_mmr_rerank,
+        "triangle_stats": q_triangle_stats,
         "length_buckets": q_length_buckets,
         "hard_negatives": q_hard_negatives,
         "spearman_lag1": q_spearman_lag1,
@@ -7592,6 +7612,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM sel1 UNION ALL SELECT * FROM sel2
             UNION ALL SELECT * FROM sel3 UNION ALL SELECT * FROM sel4
             UNION ALL SELECT * FROM sel5)
+    """
+
+    # triangles: oriented wedge closure over the 16-bit pair chain;
+    # each triangle counted once at its lowest vertex, fanned to all 3
+    sql["triangle_stats"] = f"""
+        WITH {simhash_ctes},
+        etr AS (
+            SELECT least(id_l, id_r) AS a, greatest(id_l, id_r) AS b
+            FROM sp WHERE id_l <> id_r GROUP BY 1, 2
+        ), degtr AS (
+            SELECT v, count(*)::BIGINT AS degree FROM (
+                SELECT a AS v FROM etr UNION ALL SELECT b AS v FROM etr)
+            GROUP BY 1
+        ), tris AS (
+            SELECT x.a, x.b, y.b AS c
+            FROM etr x
+            JOIN etr y ON x.a = y.a AND x.b < y.b
+            JOIN etr z ON z.a = x.b AND z.b = y.b
+        ), perv AS (
+            SELECT v, count(*)::BIGINT AS triangles FROM (
+                SELECT a AS v FROM tris UNION ALL SELECT b AS v FROM tris
+                UNION ALL SELECT c AS v FROM tris)
+            GROUP BY 1
+        )
+        SELECT d.v AS doc_id, d.degree,
+               coalesce(p.triangles, 0)::BIGINT AS triangles,
+               (round(CASE WHEN d.degree >= 2 THEN
+                           coalesce(p.triangles, 0)
+                           / (d.degree * (d.degree - 1) / 2.0)
+                      ELSE 0.0 END + 1e-9, 6) + 0.0) AS coeff
+        FROM degtr d LEFT JOIN perv p ON p.v = d.v
     """
 
     return sql

@@ -798,3 +798,19 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     assert abs(sum(r for _, r in got.values()) / n - 1.0) < 1e-9
     # chain interior (2,3) must outrank chain ends (1,4)
     assert got[2][1] > got[1][1] and got[3][1] > got[4][1]
+
+
+def test_triangle_stats_known_graph(spark):
+    from timeseries_data_analysis_spark.operators import graph as GR
+    # K4 on {1,2,3,4} (every vertex in 3 triangles, coeff 1.0) plus a
+    # pendant chain 4-10-11 (10 bridges, 11 is a leaf)
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 10), (10, 11)]
+    df = spark.createDataFrame(edges, "id_l long, id_r long")
+    got = {r["vertex"]: (r["degree"], r["triangles"], r["coeff"])
+           for r in GR.triangle_stats(df).collect()}
+    for v in (1, 2, 3):
+        assert got[v] == (3, 3, 1.0)
+    assert got[4] == (4, 3, 0.5)      # 3 of C(4,2)=6 wedges closed
+    assert got[10] == (2, 0, 0.0)
+    assert got[11] == (1, 0, 0.0)     # degree < 2 -> coeff 0 by contract

@@ -240,3 +240,55 @@ def pagerank(edges: DataFrame, src: str = "id_l", dst: str = "id_r",
     return (ranks.join(deg, on="a")
             .select(F.col("a").alias("vertex"), F.col("deg").alias("degree"),
                     (F.col("pr") * F.lit(float(n))).alias("pr_rel")))
+
+
+def triangle_stats(edges: DataFrame, src: str = "id_l",
+                   dst: str = "id_r") -> DataFrame:
+    """Per-vertex triangle count and local clustering coefficient over
+    an undirected pair graph — the cluster-cohesion diagnostic for
+    near-dup neighborhoods (a high-coefficient vertex sits in a
+    near-clique that will collapse to one retained doc; a low one is a
+    chain artifact of banding noise).
+
+    Algorithm: orient every edge low-id → high-id, self-join on the
+    wedge apex (a→b, a→c with b < c), close the wedge against the
+    oriented edge (b, c). Each triangle is counted exactly once (its
+    lowest vertex is the apex). This is the classic MapReduce triangle
+    enumeration (Suri & Vassilvitskii, WWW'11); their degree-based
+    orientation variant — redirecting edges toward the HIGHER-degree
+    endpoint — bounds the wedge fan-out of hub vertices at power-law
+    scale and drops in here by swapping the orientation key (id-order
+    is kept because it is oracle-replayable and the gate graphs are
+    hub-free; the docstring is the contract that says WHEN to switch).
+
+    Returns ``(vertex, degree, triangles, coeff)`` for every vertex,
+    ``coeff = triangles / C(degree, 2)`` (0.0 where degree < 2),
+    rounded to 6 dp.
+    """
+    e = (edges.select(F.least(F.col(src), F.col(dst)).alias("a"),
+                      F.greatest(F.col(src), F.col(dst)).alias("b"))
+         .filter(F.col("a") != F.col("b"))
+         .distinct()
+         .localCheckpoint())  # wedge join + closure reuse it 3x
+    deg = (e.select(F.col("a").alias("v"))
+           .union(e.select(F.col("b").alias("v")))
+           .groupBy("v").agg(F.count(F.lit(1)).alias("degree")))
+    x, y = e.alias("x"), e.alias("y")
+    wedges = (x.join(y, (F.col("x.a") == F.col("y.a"))
+                     & (F.col("x.b") < F.col("y.b")))
+              .select(F.col("x.a").alias("a"), F.col("x.b").alias("b"),
+                      F.col("y.b").alias("c")))
+    tris = wedges.join(
+        e.select(F.col("a").alias("b"), F.col("b").alias("c")),
+        on=["b", "c"])
+    per_v = (tris.select(F.explode(F.array("a", "b", "c")).alias("v"))
+             .groupBy("v").agg(F.count(F.lit(1)).alias("triangles")))
+    possible = (F.col("degree") * (F.col("degree") - 1) / F.lit(2.0))
+    return (deg.join(per_v, on="v", how="left")
+            .select(F.col("v").alias("vertex"), "degree",
+                    F.coalesce("triangles", F.lit(0)).alias("triangles"),
+                    F.round(
+                        F.when(F.col("degree") >= 2,
+                               F.coalesce("triangles", F.lit(0)) / possible)
+                        .otherwise(F.lit(0.0)) + F.lit(1e-9), 6)
+                    .alias("coeff")))
