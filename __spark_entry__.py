@@ -3464,6 +3464,39 @@ def q_triangle_stats(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Last-touch conversion attribution: every purchase joins (as-of,
+    backward, per user) to that user's most recent PRECEDING click;
+    purchases whose matched click is within the 7-day lookback count as
+    attributed, the rest as organic. Daily rollup of conversion volume,
+    attribution share, and median-free mean time-to-convert in minutes
+    (integer-second floor both engines). The keyed as-of scan is the
+    same one-exchange union-scan every asof query here rides; the
+    lookback is a plain filter on the matched lag, not a join
+    predicate, so the join shape stays equi-on-user."""
+    ev = load_table(spark, sf, "events")
+    purch = (ev.filter(F.col("event_type") == "purchase")
+             .select("user_id", F.col("ts").alias("p_ts"), "event_id"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", F.col("ts").alias("c_ts")))
+    att = IV.asof_join(purch, clicks, left_ts="p_ts", right_ts="c_ts",
+                       by=("user_id", "user_id"), value_cols=["c_ts"])
+    lag_s = (F.col("p_ts").cast("long") - F.col("c_ts").cast("long"))
+    attributed = (F.col("c_ts").isNotNull()
+                  & (lag_s <= F.lit(7 * 86400))).cast("int")
+    d = att.select(F.date_trunc("day", F.col("p_ts")).alias("day"),
+                   attributed.alias("_att"),
+                   F.when(attributed == 1, lag_s).alias("_lag"))
+    return (d.groupBy("day")
+            .agg(F.count(F.lit(1)).alias("n_purchases"),
+                 F.sum("_att").alias("n_attributed"),
+                 _r(F.sum("_att") / F.count(F.lit(1)), 6)
+                 .alias("attributed_share"),
+                 _r(F.avg(F.col("_lag") / F.lit(60.0)), 4)
+                 .alias("avg_mins_to_convert"))
+            .orderBy("day"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's anomaly detector over sf0.001 events."""
     return q_anomaly_detect(spark, SF_SMOKE)
@@ -3558,6 +3591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ri_audit": q_ri_audit,
         "mmr_rerank": q_mmr_rerank,
         "triangle_stats": q_triangle_stats,
+        "attribution": q_attribution,
         "length_buckets": q_length_buckets,
         "hard_negatives": q_hard_negatives,
         "spearman_lag1": q_spearman_lag1,
@@ -7643,6 +7677,36 @@ def oracle_sql() -> dict[str, str]:
                            / (d.degree * (d.degree - 1) / 2.0)
                       ELSE 0.0 END + 1e-9, 6) + 0.0) AS coeff
         FROM degtr d LEFT JOIN perv p ON p.v = d.v
+    """
+
+    # attribution: native ASOF LEFT JOIN; lag = floor(p) - floor(c)
+    # seconds (the Spark long-cast form), lookback filter post-join
+    sql["attribution"] = """
+        WITH p AS (SELECT user_id, ts AS p_ts, event_id FROM events
+                   WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, ts AS c_ts FROM events
+              WHERE event_type = 'click'),
+        a AS (
+            SELECT p.user_id, p.p_ts, c.c_ts
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND c.c_ts <= p.p_ts
+        ), d AS (
+            SELECT date_trunc('day', p_ts) AS day,
+                   CASE WHEN c_ts IS NOT NULL
+                         AND epoch_us(p_ts) // 1000000
+                             - epoch_us(c_ts) // 1000000 <= 604800
+                        THEN 1 ELSE 0 END AS att,
+                   epoch_us(p_ts) // 1000000
+                       - epoch_us(c_ts) // 1000000 AS lag_s
+            FROM a
+        )
+        SELECT day, count(*)::BIGINT AS n_purchases,
+               sum(att)::BIGINT AS n_attributed,
+               (round(sum(att)::DOUBLE / count(*) + 1e-9, 6) + 0.0)
+                   AS attributed_share,
+               (round(avg(CASE WHEN att = 1 THEN lag_s / 60.0 END)
+                      + 1e-9, 4) + 0.0) AS avg_mins_to_convert
+        FROM d GROUP BY 1
     """
 
     return sql
