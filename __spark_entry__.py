@@ -3497,6 +3497,37 @@ def q_attribution(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("day"))
 
 
+def q_quantile_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental QUANTILE maintenance audit: per-series daily
+    bottom-k-by-hash samples (`INC.sample_day_partials`, k=256 — the
+    mergeable sample state) merge into period p50/p95 estimates
+    (`INC.sample_merge_quantiles`) which are then compared against the
+    exact percentiles over raw history — estimate, truth, and absolute
+    error in one row per series. The whole sampling path is md5-hash
+    deterministic, so even the SAMPLE MEMBERSHIP replays in the oracle;
+    the error columns make the accuracy/state-size tradeoff a measured
+    number (k doubles per day-key) instead of a claim."""
+    from timeseries_data_analysis_spark.plans import incremental as INC
+    ev = load_table(spark, sf, "events")
+    parts = INC.sample_day_partials(ev, ["event_type"], "value", k=256)
+    est = INC.sample_merge_quantiles(parts, ["event_type"], k=256,
+                                     probs=(0.5, 0.95))
+    exact = (ev.filter(F.col("value").isNotNull())
+             .groupBy("event_type")
+             .agg(F.percentile("value", F.lit(0.5)).alias("_x50"),
+                  F.percentile("value", F.lit(0.95)).alias("_x95")))
+    j = est.join(exact, "event_type")
+    return (j.select(
+        "event_type", "n_sample",
+        _r(F.col("q_05"), 4).alias("est_p50"),
+        _r(F.col("_x50"), 4).alias("exact_p50"),
+        _r(F.abs(F.col("q_05") - F.col("_x50")), 4).alias("err_p50"),
+        _r(F.col("q_095"), 4).alias("est_p95"),
+        _r(F.col("_x95"), 4).alias("exact_p95"),
+        _r(F.abs(F.col("q_095") - F.col("_x95")), 4).alias("err_p95"))
+        .orderBy("event_type"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's anomaly detector over sf0.001 events."""
     return q_anomaly_detect(spark, SF_SMOKE)
@@ -3592,6 +3623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank": q_mmr_rerank,
         "triangle_stats": q_triangle_stats,
         "attribution": q_attribution,
+        "quantile_rollup": q_quantile_rollup,
         "length_buckets": q_length_buckets,
         "hard_negatives": q_hard_negatives,
         "spearman_lag1": q_spearman_lag1,
@@ -7707,6 +7739,47 @@ def oracle_sql() -> dict[str, str]:
                (round(avg(CASE WHEN att = 1 THEN lag_s / 60.0 END)
                       + 1e-9, 4) + 0.0) AS avg_mins_to_convert
         FROM d GROUP BY 1
+    """
+
+    # quantile rollup: the bottom-k-by-hash sample membership replays
+    # via the md5 60-bit fraction; day-k then global-k two-stage, then
+    # quantile_cont == percentile on both the sample and the raw truth
+    sql["quantile_rollup"] = """
+        WITH base AS (
+            SELECT event_type, ts::DATE AS day, value AS v,
+                   ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT
+                       / 1152921504606846976.0 AS h
+            FROM events WHERE value IS NOT NULL
+        ), dayk AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY day, event_type
+                              ORDER BY h, v) AS rk
+                FROM base) WHERE rk <= 256
+        ), gsmp AS (
+            SELECT * FROM (
+                SELECT event_type, h, v,
+                       row_number() OVER (PARTITION BY event_type
+                           ORDER BY h, v) AS rk2
+                FROM dayk) WHERE rk2 <= 256
+        ), est AS (
+            SELECT event_type, count(*)::BIGINT AS n_sample,
+                   quantile_cont(v, 0.5) AS e50,
+                   quantile_cont(v, 0.95) AS e95
+            FROM gsmp GROUP BY 1
+        ), ex AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.5) AS x50,
+                   quantile_cont(value, 0.95) AS x95
+            FROM events WHERE value IS NOT NULL GROUP BY 1
+        )
+        SELECT e.event_type, e.n_sample,
+               (round(e50 + 1e-9, 4) + 0.0) AS est_p50,
+               (round(x50 + 1e-9, 4) + 0.0) AS exact_p50,
+               (round(abs(e50 - x50) + 1e-9, 4) + 0.0) AS err_p50,
+               (round(e95 + 1e-9, 4) + 0.0) AS est_p95,
+               (round(x95 + 1e-9, 4) + 0.0) AS exact_p95,
+               (round(abs(e95 - x95) + 1e-9, 4) + 0.0) AS err_p95
+        FROM est e JOIN ex USING (event_type)
     """
 
     return sql

@@ -114,3 +114,36 @@ def test_kmv_partials_merge_equals_direct_sketch(spark):
     # regime; key sanity: estimates within the 1/sqrt(64) band of truth
     assert abs(merged["a"] - 1100) / 1100 < 0.30
     assert abs(merged["b"] - 180) / 180 < 0.30
+
+
+def test_sample_partials_merge_equals_direct_sample(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from timeseries_data_analysis_spark.operators.sketch import hash_frac
+    from timeseries_data_analysis_spark.plans import incremental as INC
+    from timeseries_data_analysis_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    parts = INC.sample_day_partials(ev, ["event_type"], "value", k=64)
+    merged = INC.sample_merge_quantiles(parts, ["event_type"], k=64)
+
+    # direct bottom-k over the whole period, no day stage
+    from pyspark.sql import Window
+    direct_rows = (ev.filter(F.col("value").isNotNull())
+                   .select("event_type",
+                           hash_frac(F.col("event_id").cast("string"))
+                           .alias("_h"),
+                           F.col("value").alias("_v")))
+    w = Window.partitionBy("event_type").orderBy("_h", "_v")
+    direct = (direct_rows.withColumn("_rk", F.row_number().over(w))
+              .filter(F.col("_rk") <= 64)
+              .groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("n_sample"),
+                   F.percentile("_v", F.lit(0.5)).alias("q_05"),
+                   F.percentile("_v", F.lit(0.95)).alias("q_095")))
+    got = {r["event_type"]: (r["n_sample"], r["q_05"], r["q_095"])
+           for r in merged.collect()}
+    want = {r["event_type"]: (r["n_sample"], r["q_05"], r["q_095"])
+            for r in direct.collect()}
+    # bottom-k of the union of day bottom-ks == bottom-k of the union:
+    # identical sample membership, hence identical quantiles
+    assert got == want

@@ -150,3 +150,69 @@ def kmv_merge_estimate(partials: DataFrame, key_cols: list[str],
         *key_cols, "n_kept", "kth_frac",
         F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
         .otherwise(F.lit(float(k - 1)) / F.col("kth_frac")).alias("est"))
+
+
+def sample_day_partials(events: DataFrame, key_cols: list[str],
+                        value_col: str, id_col: str = "event_id",
+                        ts_col: str = "ts", k: int = 256) -> DataFrame:
+    """Daily QUANTILE partials: per (day, keys) a bottom-k-by-hash
+    uniform row sample stored as one sorted array of (hash, value)
+    structs — the mergeable answer to "exact percentiles are not
+    algebraic" (the same gap :func:`kmv_day_partials` fills for
+    distinct counts).
+
+    Bottom-k sampling (Rosén 1997 / Cohen & Kaplan 2007): keying every
+    row by a uniform hash of its unique id and keeping the k smallest
+    hashes yields a uniform without-replacement k-sample, and the
+    sample is MERGEABLE — the bottom-k of a union is a subset of the
+    union of per-part bottom-ks, so period samples derive from stored
+    day states without rescanning raw history. State is ≤ k structs per
+    (day, key), rewrite-cheap under the dynamic-overwrite sink.
+
+    The hash is the md5 60-bit fraction (`sketch.hash_frac`), so the
+    sample membership itself replays in any engine — the estimates are
+    oracle-checkable, not just plausible. Hash ties break on value
+    (md5-prefix collisions are ~2^-60, but the k boundary must be
+    deterministic by contract, not by luck).
+    """
+    from pyspark.sql import Window
+
+    from timeseries_data_analysis_spark.operators.sketch import hash_frac
+
+    pairs = (events.withColumn("day", F.to_date(ts_col))
+             .filter(F.col(value_col).isNotNull())
+             .select("day", *key_cols,
+                     hash_frac(F.col(id_col).cast("string")).alias("_h"),
+                     F.col(value_col).alias("_v")))
+    w = Window.partitionBy("day", *key_cols).orderBy("_h", "_v")
+    return (pairs.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .groupBy("day", *key_cols)
+            .agg(F.sort_array(F.collect_list(F.struct("_h", "_v")))
+                 .alias("smp")))
+
+
+def sample_merge_quantiles(partials: DataFrame, key_cols: list[str],
+                           k: int = 256,
+                           probs: tuple = (0.5, 0.95)) -> DataFrame:
+    """Period-level quantile estimates from stored day samples: explode
+    the day states, re-take the global bottom-k per key (identical to
+    sampling the whole period directly — every global bottom-k row is
+    in its day's bottom-k), then exact percentiles OVER THE SAMPLE.
+    Touches only (days × keys × k) structs, never raw history.
+    Returns ``(keys..., n_sample, q_<p> ...)`` with percentiles at each
+    requested prob.
+    """
+    from pyspark.sql import Window
+
+    ex = (partials.select(*key_cols, F.explode("smp").alias("s"))
+          .select(*key_cols, F.col("s._h").alias("_h"),
+                  F.col("s._v").alias("_v")))
+    w = Window.partitionBy(*key_cols).orderBy("_h", "_v")
+    bot = (ex.withColumn("_rk", F.row_number().over(w))
+           .filter(F.col("_rk") <= k))
+    aggs = [F.count(F.lit(1)).alias("n_sample")]
+    for p in probs:
+        aggs.append(F.percentile("_v", F.lit(float(p)))
+                    .alias(f"q_{str(p).replace('.', '')}"))
+    return bot.groupBy(*key_cols).agg(*aggs)
