@@ -3528,6 +3528,102 @@ def q_quantile_rollup(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("event_type"))
 
 
+def q_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Population Stability Index per series — the production ML-
+    monitoring drift number: the value distribution of the last 30% of
+    the time range scored against decile bins FIT ON THE FIRST 70%
+    (integer-second cut, the backtest idiom). Bin edges are reference
+    deciles (exact `percentile` ↔ `quantile_cont` parity); every
+    (series, bin) cell is densified (explode 0..9) so empty bins drift
+    the index instead of vanishing; shares are Laplace-smoothed
+    (n+0.5)/(N+5) in identical operand order; PSI = Σ (p−q)·ln(p/q).
+    psi ≥ 0.2 is the conventional "investigate" flag, emitted as an
+    int so the threshold is part of the checked contract."""
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    e = ev.select("event_type", "value",
+                  F.unix_timestamp("ts").alias("_sec"))
+    bounds = e.agg(F.min("_sec").alias("_mn"), F.max("_sec").alias("_mx"))
+    e2 = (e.crossJoin(F.broadcast(bounds))
+          .withColumn("_cut", F.col("_mn") + F.floor(
+              (F.col("_mx") - F.col("_mn")) * 7 / 10).cast("bigint")))
+    ref = e2.filter(F.col("_sec") <= F.col("_cut"))
+    cur = e2.filter(F.col("_sec") > F.col("_cut"))
+    edges = ref.groupBy("event_type").agg(
+        F.percentile("value", F.array(*[F.lit(i / 10.0)
+                                        for i in range(1, 10)]))
+        .alias("_edges"))
+
+    def binned(part: DataFrame, tag: str) -> DataFrame:
+        b = (part.join(F.broadcast(edges), "event_type")
+             .select("event_type",
+                     F.size(F.filter("_edges",
+                                     lambda x: F.col("value") > x))
+                     .alias("bin")))
+        return b.groupBy("event_type", "bin").agg(
+            F.count(F.lit(1)).alias(f"n_{tag}"))
+
+    grid = (edges.select("event_type")
+            .crossJoin(spark.range(10).select(
+                F.col("id").cast("int").alias("bin"))))
+    rc = (grid.join(binned(ref, "ref"), ["event_type", "bin"], "left")
+          .join(binned(cur, "cur"), ["event_type", "bin"], "left")
+          .select("event_type", "bin",
+                  F.coalesce("n_ref", F.lit(0)).alias("nr"),
+                  F.coalesce("n_cur", F.lit(0)).alias("nc")))
+    tot = rc.groupBy("event_type").agg(F.sum("nr").alias("tr"),
+                                       F.sum("nc").alias("tc"))
+    p = (F.col("nr") + F.lit(0.5)) / (F.col("tr") + F.lit(5.0))
+    q = (F.col("nc") + F.lit(0.5)) / (F.col("tc") + F.lit(5.0))
+    contrib = (p - q) * F.log(p / q)
+    return (rc.join(F.broadcast(tot), "event_type")
+            .groupBy("event_type")
+            .agg(F.sum("nr").alias("n_ref"), F.sum("nc").alias("n_cur"),
+                 _r(F.sum(contrib), 6).alias("psi"))
+            .withColumn("drift_flag",
+                        (F.col("psi") >= 0.2).cast("int"))
+            .orderBy("event_type"))
+
+
+def q_mutual_info(spark: SparkSession, sf: str) -> DataFrame:
+    """Mutual information between the series id and the GLOBAL value
+    quartile — "how much does knowing the event type tell you about
+    the value level" in nats, the feature-relevance screen that
+    complements `correlation` (linear) and `pmi_cooccurrence`
+    (token-level). Quartile edges are global exact percentiles; absent
+    (type, quartile) cells contribute exactly 0 (p·ln p → 0), so no
+    densification or smoothing is needed; the single-row output also
+    carries both marginal entropies, making the normalized MI
+    derivable downstream."""
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    qs = ev.agg(F.percentile("value", F.array(
+        F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("_q"))
+    b = (ev.crossJoin(F.broadcast(qs))
+         .select("event_type",
+                 F.size(F.filter("_q", lambda x: F.col("value") > x))
+                 .alias("qt")))
+    n_total = b.agg(F.count(F.lit(1)).alias("n"))
+    joint = b.groupBy("event_type", "qt").agg(
+        F.count(F.lit(1)).alias("nxy"))
+    mx = b.groupBy("event_type").agg(F.count(F.lit(1)).alias("nx"))
+    my = b.groupBy("qt").agg(F.count(F.lit(1)).alias("ny"))
+    j = (joint.join(F.broadcast(mx), "event_type")
+         .join(F.broadcast(my), "qt")
+         .crossJoin(F.broadcast(n_total)))
+    pxy = F.col("nxy") / F.col("n")
+    mi_term = pxy * F.log(F.col("nxy") * F.col("n")
+                          / (F.col("nx") * F.col("ny")))
+    hx_term = (F.col("nx") / F.col("n")) * F.log(F.col("nx") / F.col("n"))
+    hy_term = (F.col("ny") / F.col("n")) * F.log(F.col("ny") / F.col("n"))
+    mi = j.agg(_r(F.sum(mi_term), 6).alias("mi_nats"),
+               F.max("n").alias("n_rows"))
+    hx = (mx.crossJoin(F.broadcast(n_total))
+          .agg(_r(-F.sum(hx_term), 6).alias("h_type")))
+    hy = (my.crossJoin(F.broadcast(n_total))
+          .agg(_r(-F.sum(hy_term), 6).alias("h_quartile")))
+    return (mi.join(hx).join(hy)
+            .select("n_rows", "mi_nats", "h_type", "h_quartile"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's anomaly detector over sf0.001 events."""
     return q_anomaly_detect(spark, SF_SMOKE)
@@ -3624,6 +3720,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_stats": q_triangle_stats,
         "attribution": q_attribution,
         "quantile_rollup": q_quantile_rollup,
+        "psi_drift": q_psi_drift,
+        "mutual_info": q_mutual_info,
         "length_buckets": q_length_buckets,
         "hard_negatives": q_hard_negatives,
         "spearman_lag1": q_spearman_lag1,
@@ -7780,6 +7878,96 @@ def oracle_sql() -> dict[str, str]:
                (round(x95 + 1e-9, 4) + 0.0) AS exact_p95,
                (round(abs(e95 - x95) + 1e-9, 4) + 0.0) AS err_p95
         FROM est e JOIN ex USING (event_type)
+    """
+
+    # PSI: reference-decile bins (quantile_cont list == percentile
+    # array), densified 0..9 grid, Laplace (n+0.5)/(N+5) both sides
+    sql["psi_drift"] = """
+        WITH e AS (
+            SELECT event_type, value, floor(epoch(ts))::BIGINT AS sec
+            FROM events WHERE value IS NOT NULL
+        ), b AS (SELECT min(sec) AS mn, max(sec) AS mx FROM e),
+        c AS (SELECT mn + ((mx - mn) * 7) // 10 AS cut FROM b),
+        ed AS (
+            SELECT event_type,
+                   quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                         0.6, 0.7, 0.8, 0.9]) AS edges
+            FROM e, c WHERE sec <= cut GROUP BY 1
+        ), rbin AS (
+            SELECT e.event_type,
+                   len(list_filter(ed.edges, x -> e.value > x)) AS bin,
+                   count(*)::BIGINT AS nr
+            FROM e, c JOIN ed ON ed.event_type = e.event_type
+            WHERE e.sec <= c.cut GROUP BY 1, 2
+        ), cbin AS (
+            SELECT e.event_type,
+                   len(list_filter(ed.edges, x -> e.value > x)) AS bin,
+                   count(*)::BIGINT AS nc
+            FROM e, c JOIN ed ON ed.event_type = e.event_type
+            WHERE e.sec > c.cut GROUP BY 1, 2
+        ), grid AS (
+            SELECT ed.event_type, g.bin::INT AS bin
+            FROM ed, (SELECT unnest(range(0, 10)) AS bin) g
+        ), rc AS (
+            SELECT grid.event_type, grid.bin,
+                   coalesce(rbin.nr, 0) AS nr, coalesce(cbin.nc, 0) AS nc
+            FROM grid
+            LEFT JOIN rbin ON rbin.event_type = grid.event_type
+                          AND rbin.bin = grid.bin
+            LEFT JOIN cbin ON cbin.event_type = grid.event_type
+                          AND cbin.bin = grid.bin
+        ), tot AS (
+            SELECT event_type, sum(nr)::BIGINT AS tr, sum(nc)::BIGINT AS tc
+            FROM rc GROUP BY 1
+        ), psi AS (
+            SELECT rc.event_type,
+                   sum(((rc.nr + 0.5::DOUBLE) / (t.tr + 5.0::DOUBLE)
+                        - (rc.nc + 0.5::DOUBLE) / (t.tc + 5.0::DOUBLE))
+                       * ln(((rc.nr + 0.5::DOUBLE) / (t.tr + 5.0::DOUBLE))
+                            / ((rc.nc + 0.5::DOUBLE)
+                               / (t.tc + 5.0::DOUBLE)))) AS s,
+                   sum(rc.nr)::BIGINT AS n_ref, sum(rc.nc)::BIGINT AS n_cur
+            FROM rc JOIN tot t ON t.event_type = rc.event_type
+            GROUP BY 1
+        )
+        SELECT event_type, n_ref, n_cur,
+               (round(s + 1e-9, 6) + 0.0) AS psi,
+               CASE WHEN (round(s + 1e-9, 6) + 0.0) >= 0.2
+                    THEN 1 ELSE 0 END AS drift_flag
+        FROM psi
+    """
+
+    # MI: absent cells contribute exactly 0, so only present cells sum
+    sql["mutual_info"] = """
+        WITH e AS (
+            SELECT event_type, value FROM events WHERE value IS NOT NULL
+        ), qs AS (
+            SELECT quantile_cont(value, [0.25, 0.5, 0.75]) AS q FROM e
+        ), b AS (
+            SELECT event_type,
+                   len(list_filter(qs.q, x -> e.value > x)) AS qt
+            FROM e, qs
+        ), n AS (SELECT count(*)::BIGINT AS n FROM b),
+        joint AS (SELECT event_type, qt, count(*)::BIGINT AS nxy
+                  FROM b GROUP BY 1, 2),
+        mx AS (SELECT event_type, count(*)::BIGINT AS nx FROM b GROUP BY 1),
+        my AS (SELECT qt, count(*)::BIGINT AS ny FROM b GROUP BY 1),
+        mi AS (
+            SELECT sum((j.nxy / n.n::DOUBLE)
+                       * ln(j.nxy * n.n / (mx.nx * my.ny))) AS mi_s,
+                   max(n.n) AS n_rows
+            FROM joint j
+            JOIN mx ON mx.event_type = j.event_type
+            JOIN my ON my.qt = j.qt, n
+        ),
+        hx AS (SELECT -sum((nx / n.n::DOUBLE) * ln(nx / n.n::DOUBLE)) AS v
+               FROM mx, n),
+        hy AS (SELECT -sum((ny / n.n::DOUBLE) * ln(ny / n.n::DOUBLE)) AS v
+               FROM my, n)
+        SELECT mi.n_rows, (round(mi.mi_s + 1e-9, 6) + 0.0) AS mi_nats,
+               (round(hx.v + 1e-9, 6) + 0.0) AS h_type,
+               (round(hy.v + 1e-9, 6) + 0.0) AS h_quartile
+        FROM mi, hx, hy
     """
 
     return sql
