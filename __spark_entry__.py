@@ -3624,6 +3624,53 @@ def q_mutual_info(spark: SparkSession, sf: str) -> DataFrame:
             .select("n_rows", "mi_nats", "h_type", "h_quartile"))
 
 
+def q_benford_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford first-digit audit over order totals — the forensic
+    data-quality screen for fabricated or truncated monetary columns
+    (Benford 1938; standard in financial anomaly detection): observed
+    first-significant-digit shares vs the log10(1 + 1/d) law, one row
+    per digit with the signed deviation. Pure codegen digit extraction
+    (`floor(p / 10^floor(log10 p))`), one 9-row aggregate."""
+    orders = load_table(spark, sf, "orders").filter(
+        F.col("o_totalprice") > 0)
+    digit = F.floor(F.col("o_totalprice")
+                    / F.pow(F.lit(10.0),
+                            F.floor(F.log10("o_totalprice")))).cast("int")
+    tot = orders.agg(F.count(F.lit(1)).alias("_n"))
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return (orders.select(digit.alias("digit"))
+            .groupBy("digit").agg(F.count(F.lit(1)).alias("n_orders"))
+            .join(F.broadcast(tot))
+            .select("digit", "n_orders",
+                    _r(F.col("n_orders") / F.col("_n"), 6).alias("share"),
+                    _r(expected, 6).alias("benford_expected"),
+                    _r(F.col("n_orders") / F.col("_n") - expected, 6)
+                    .alias("deviation"))
+            .orderBy("digit"))
+
+
+def q_session_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 three-step journeys (event-type trigrams WITHIN 30-min
+    sessions — paths never cross a session boundary, which is what
+    makes them behavioral journeys instead of coincidences): the
+    order-2 extension of `transition_matrix`. One exchange on user_id
+    feeds sessionization AND both leads; the top-20 cut orders on
+    (count DESC, path) so the boundary is engine-deterministic."""
+    ev = load_table(spark, sf, "events")
+    sess = TS.sessionize(ev, "user_id", "ts",
+                         order_by=["ts", "event_id"], gap_s=1800)
+    w = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id")
+    d = sess.select("event_type",
+                    F.lead("event_type", 1).over(w).alias("_t2"),
+                    F.lead("event_type", 2).over(w).alias("_t3"))
+    paths = (d.filter(F.col("_t2").isNotNull() & F.col("_t3").isNotNull())
+             .select(F.concat_ws(">", "event_type", "_t2", "_t3")
+                     .alias("path"))
+             .groupBy("path").agg(F.count(F.lit(1)).alias("n")))
+    return paths.orderBy(F.col("n").desc(), "path").limit(20)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's anomaly detector over sf0.001 events."""
     return q_anomaly_detect(spark, SF_SMOKE)
@@ -3722,6 +3769,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_rollup": q_quantile_rollup,
         "psi_drift": q_psi_drift,
         "mutual_info": q_mutual_info,
+        "benford_audit": q_benford_audit,
+        "session_paths": q_session_paths,
         "length_buckets": q_length_buckets,
         "hard_negatives": q_hard_negatives,
         "spearman_lag1": q_spearman_lag1,
@@ -7968,6 +8017,57 @@ def oracle_sql() -> dict[str, str]:
                (round(hx.v + 1e-9, 6) + 0.0) AS h_type,
                (round(hy.v + 1e-9, 6) + 0.0) AS h_quartile
         FROM mi, hx, hy
+    """
+
+    # Benford: identical double digit extraction both engines
+    sql["benford_audit"] = """
+        WITH o AS (SELECT o_totalprice AS p FROM orders
+                   WHERE o_totalprice > 0),
+        d AS (
+            SELECT floor(p / pow(10.0, floor(log10(p))))::INT AS digit
+            FROM o
+        ), n AS (SELECT count(*)::BIGINT AS n FROM d),
+        c AS (SELECT digit, count(*)::BIGINT AS n_orders FROM d GROUP BY 1)
+        SELECT c.digit, c.n_orders,
+               (round(c.n_orders / n.n::DOUBLE + 1e-9, 6) + 0.0) AS share,
+               (round(log10(1.0::DOUBLE + 1.0::DOUBLE / c.digit)
+                      + 1e-9, 6) + 0.0) AS benford_expected,
+               (round(c.n_orders / n.n::DOUBLE
+                      - log10(1.0::DOUBLE + 1.0::DOUBLE / c.digit)
+                      + 1e-9, 6) + 0.0) AS deviation
+        FROM c, n
+    """
+
+    # session trigrams: the sessionize CTE chain + two leads
+    sql["session_paths"] = """
+        WITH g AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN date_diff('second',
+                            lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id),
+                            ts) > 1800
+                        THEN 1 ELSE 0 END AS ns
+            FROM events
+        ), s AS (
+            SELECT user_id, ts, event_id, event_type,
+                   sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW)::BIGINT AS session_id
+            FROM g
+        ), t AS (
+            SELECT event_type,
+                   lead(event_type, 1) OVER w AS t2,
+                   lead(event_type, 2) OVER w AS t3
+            FROM s
+            WINDOW w AS (PARTITION BY user_id, session_id
+                         ORDER BY ts, event_id)
+        ), p AS (
+            SELECT event_type || '>' || t2 || '>' || t3 AS path,
+                   count(*)::BIGINT AS n
+            FROM t WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+            GROUP BY 1
+        )
+        SELECT path, n FROM p ORDER BY n DESC, path LIMIT 20
     """
 
     return sql
