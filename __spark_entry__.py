@@ -3690,9 +3690,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     row has driver evidence from r3+. Slots 44-50 carry the round-5
     second batch (repetition profile, vocab coverage, KMV sketch, JL
     recall audit, MinHash accuracy, seasonal backtest, CUSUM) so the new
-    operators get first-round driver evidence too; ``length_buckets``
-    sits at 51, first in line for round 6. The r3/r4 driver-greens close
-    the list (freshest evidence, least at risk)."""
+    operators get first-round driver evidence too. Slots 51+ lead with
+    the round-5 THIRD and FOURTH batches (PageRank, trend/ACF/xcorr,
+    CDC + point-in-time, heavy hitters, DTW, RRF, Holt, RI audit, MMR,
+    triangles, attribution, quantile rollup, PSI, MI, Benford, session
+    paths — newest code, first in line for round-6 driver evidence),
+    then ``length_buckets`` and the other round-5 second-batch
+    leftovers. The r3/r4 driver-greens close the list (freshest
+    evidence, least at risk)."""
     return {
         # --- round-5 new/changed queries: first driver evidence needed ---
         "dup_passages": q_dup_passages,
