@@ -3671,6 +3671,49 @@ def q_session_paths(spark: SparkSession, sf: str) -> DataFrame:
     return paths.orderBy(F.col("n").desc(), "path").limit(20)
 
 
+def q_stl_decompose(spark: SparkSession, sf: str) -> DataFrame:
+    """Additive seasonal decomposition per series (classical
+    decomposition, the STL-shaped pipeline every forecasting stack
+    starts from): daily means → centered 7-day rolling TREND (full
+    windows only — partial edges are nulled, not averaged short) →
+    day-of-week SEASONAL means of the detrended series → RESIDUAL, then
+    Hyndman & Athanasopoulos' trend/seasonal strength measures
+    (max(0, 1 − Var(R)/Var(T+R)) and the seasonal twin) — one number
+    per series saying "is this series trend-y, weekly, or noise". All
+    windows are key-partitioned on the series; daily means are rounded
+    to 6 dp before any differencing so both engines decompose identical
+    doubles."""
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    daily = (ev.groupBy("event_type",
+                        F.date_trunc("day", F.col("ts")).alias("_d"))
+             .agg(_r(F.avg("value"), 6).alias("_m")))
+    wt = (Window.partitionBy("event_type").orderBy("_d")
+          .rowsBetween(-3, 3))
+    t = daily.select(
+        "event_type", "_d", "_m",
+        F.when(F.count("_m").over(wt) == 7, F.avg("_m").over(wt))
+        .alias("_trend"),
+        F.dayofweek("_d").alias("_dow"))
+    det = (t.filter(F.col("_trend").isNotNull())
+           .withColumn("_det", F.col("_m") - F.col("_trend")))
+    seas = det.groupBy("event_type", "_dow").agg(
+        F.avg("_det").alias("_seas"))
+    r = (det.join(seas, ["event_type", "_dow"])
+         .withColumn("_resid", F.col("_det") - F.col("_seas")))
+    agg = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.var_samp("_resid").alias("_vr"),
+        F.var_samp("_det").alias("_vsr"),
+        F.var_samp(F.col("_m") - F.col("_seas")).alias("_vtr"))
+    ft = F.greatest(F.lit(0.0), F.lit(1.0) - F.col("_vr") / F.col("_vtr"))
+    fs = F.greatest(F.lit(0.0), F.lit(1.0) - F.col("_vr") / F.col("_vsr"))
+    return (agg.select("event_type", "n_days",
+                       _r(ft, 4).alias("trend_strength"),
+                       _r(fs, 4).alias("seasonal_strength"),
+                       _r(F.sqrt("_vr"), 4).alias("resid_std"))
+            .orderBy("event_type"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's anomaly detector over sf0.001 events."""
     return q_anomaly_detect(spark, SF_SMOKE)
@@ -3776,6 +3819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_info": q_mutual_info,
         "benford_audit": q_benford_audit,
         "session_paths": q_session_paths,
+        "stl_decompose": q_stl_decompose,
         "length_buckets": q_length_buckets,
         "hard_negatives": q_hard_negatives,
         "spearman_lag1": q_spearman_lag1,
@@ -8073,6 +8117,46 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         )
         SELECT path, n FROM p ORDER BY n DESC, path LIMIT 20
+    """
+
+    # STL: centered 7-day trend (full frames only), DOW seasonal means,
+    # Hyndman strength measures; Spark dayofweek == DuckDB dayofweek+1
+    sql["stl_decompose"] = """
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS d,
+                   (round(avg(value) + 1e-9, 6) + 0.0) AS m
+            FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        ), t AS (
+            SELECT event_type, d, m,
+                   CASE WHEN count(m) OVER w = 7
+                        THEN avg(m) OVER w END AS trend,
+                   dayofweek(d) + 1 AS dow
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY d
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        ), det AS (
+            SELECT *, m - trend AS dt FROM t WHERE trend IS NOT NULL
+        ), seas AS (
+            SELECT event_type, dow, avg(dt) AS s
+            FROM det GROUP BY 1, 2
+        ), r AS (
+            SELECT det.event_type, det.m, det.dt, seas.s,
+                   det.dt - seas.s AS resid
+            FROM det JOIN seas ON seas.event_type = det.event_type
+                              AND seas.dow = det.dow
+        ), agg AS (
+            SELECT event_type, count(*)::BIGINT AS n_days,
+                   var_samp(resid) AS vr, var_samp(dt) AS vsr,
+                   var_samp(m - s) AS vtr
+            FROM r GROUP BY 1
+        )
+        SELECT event_type, n_days,
+               (round(greatest(0.0::DOUBLE, 1.0::DOUBLE - vr / vtr)
+                      + 1e-9, 4) + 0.0) AS trend_strength,
+               (round(greatest(0.0::DOUBLE, 1.0::DOUBLE - vr / vsr)
+                      + 1e-9, 4) + 0.0) AS seasonal_strength,
+               (round(sqrt(vr) + 1e-9, 4) + 0.0) AS resid_std
+        FROM agg
     """
 
     return sql
