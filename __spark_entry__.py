@@ -3714,6 +3714,39 @@ def q_stl_decompose(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+def q_ltv_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    """Customer-lifetime-value cohort curves — the revenue twin of
+    `cohort_retention`: customers cohort by first-order QUARTER, every
+    order lands in a quarter offset (integer quarter index arithmetic,
+    exact in any engine), and the running per-customer cumulative
+    revenue per (cohort, offset) is the LTV curve finance teams
+    actually plot. One first-order aggregate broadcast back, one
+    (cohort, offset) rollup, one cumulative window over the tiny
+    cohort×offset grid."""
+    orders = load_table(spark, sf, "orders")
+    qidx = (F.year("o_orderdate") * 4 + F.quarter("o_orderdate") - 1)
+    first = (orders.groupBy("o_custkey")
+             .agg(F.min("o_orderdate").alias("_fd")))
+    cohorts = first.select(
+        "o_custkey",
+        (F.year("_fd") * 4 + F.quarter("_fd") - 1).alias("_cq"))
+    sizes = cohorts.groupBy("_cq").agg(
+        F.countDistinct("o_custkey").alias("n_customers"))
+    j = (orders.join(F.broadcast(cohorts), "o_custkey")
+         .select(F.col("_cq"), (qidx - F.col("_cq")).alias("offset_q"),
+                 "o_totalprice"))
+    cell = j.groupBy("_cq", "offset_q").agg(
+        _r(F.sum("o_totalprice"), 4).alias("revenue"))
+    wc = (Window.partitionBy("_cq").orderBy("offset_q")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    return (cell.join(F.broadcast(sizes), "_cq")
+            .select(F.col("_cq").alias("cohort_q"), "offset_q",
+                    "n_customers", "revenue",
+                    _r(F.sum("revenue").over(wc) / F.col("n_customers"), 4)
+                    .alias("cum_ltv_per_customer"))
+            .orderBy("cohort_q", "offset_q"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's anomaly detector over sf0.001 events."""
     return q_anomaly_detect(spark, SF_SMOKE)
@@ -3820,6 +3853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_audit": q_benford_audit,
         "session_paths": q_session_paths,
         "stl_decompose": q_stl_decompose,
+        "ltv_cohorts": q_ltv_cohorts,
         "length_buckets": q_length_buckets,
         "hard_negatives": q_hard_negatives,
         "spearman_lag1": q_spearman_lag1,
@@ -8157,6 +8191,37 @@ def oracle_sql() -> dict[str, str]:
                       + 1e-9, 4) + 0.0) AS seasonal_strength,
                (round(sqrt(vr) + 1e-9, 4) + 0.0) AS resid_std
         FROM agg
+    """
+
+    # LTV: integer quarter indexes; the cumulative window runs over the
+    # ROUNDED per-cell revenue so the curve replays exactly
+    sql["ltv_cohorts"] = """
+        WITH first AS (
+            SELECT o_custkey, min(o_orderdate) AS fd FROM orders GROUP BY 1
+        ), cohorts AS (
+            SELECT o_custkey,
+                   year(fd) * 4 + quarter(fd) - 1 AS cq
+            FROM first
+        ), sizes AS (
+            SELECT cq, count(DISTINCT o_custkey)::BIGINT AS n_customers
+            FROM cohorts GROUP BY 1
+        ), cell AS (
+            SELECT c.cq,
+                   (year(o.o_orderdate) * 4 + quarter(o.o_orderdate) - 1)
+                       - c.cq AS offset_q,
+                   (round(sum(o.o_totalprice) + 1e-9, 4) + 0.0) AS revenue
+            FROM orders o JOIN cohorts c ON c.o_custkey = o.o_custkey
+            GROUP BY 1, 2
+        )
+        SELECT cell.cq AS cohort_q, cell.offset_q,
+               s.n_customers, cell.revenue,
+               (round(sum(cell.revenue) OVER (PARTITION BY cell.cq
+                          ORDER BY cell.offset_q
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW)
+                      / s.n_customers + 1e-9, 4) + 0.0)
+                   AS cum_ltv_per_customer
+        FROM cell JOIN sizes s ON s.cq = cell.cq
     """
 
     return sql
