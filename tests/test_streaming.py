@@ -767,3 +767,44 @@ def test_heavy_hitters_sink_bounds_and_crash_replay(spark, tmp_path):
     st2 = {r["item"]: (r["weight"], r["_total"])
            for r in SJ.heavy_hitters_state(spark, state).collect()}
     assert st2 == st
+
+
+def test_psi_scores_match_batch_audit_and_replay(spark, sf_dir, tmp_path):
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as F
+    from timeseries_data_analysis_spark.sources import load_table
+    from timeseries_data_analysis_spark.streaming import jobs as SJ
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    e = ev.select("event_type", "value",
+                  F.unix_timestamp("ts").alias("_sec"))
+    b = e.agg(F.min("_sec").alias("mn"), F.max("_sec").alias("mx")) \
+        .collect()[0]
+    cut = b["mn"] + (b["mx"] - b["mn"]) * 7 // 10
+    ref = SJ.psi_reference(e.filter(F.col("_sec") <= cut))
+    cur = e.filter(F.col("_sec") > cut)
+
+    got = {r["event_type"]: r["psi"]
+           for r in SJ.psi_scores(cur, ref).collect()}
+    want = {r["event_type"]: r["psi"]
+            for r in entry_mod.q_psi_drift(spark, sf_dir).collect()}
+    # the streaming scorer and the batch audit are ONE definition
+    assert got == want
+
+    # replay idempotence: rewriting the same batch leaves identical rows
+    out = str(tmp_path / "psi_metrics")
+    SJ.psi_commit_batch(cur, 7, ref, out)
+    first = sorted(map(tuple, spark.read.parquet(
+        f"{out}/metrics_batch=7").collect()))
+    SJ.psi_commit_batch(cur, 7, ref, out)
+    again = sorted(map(tuple, spark.read.parquet(
+        f"{out}/metrics_batch=7").collect()))
+    assert first == again and len(first) == 5
+
+    # drift sensitivity: a shifted copy scores far above the held-out set
+    shifted = cur.withColumn("value", F.col("value") * 3 + 100)
+    drifted = {r["event_type"]: r["psi"]
+               for r in SJ.psi_scores(shifted, ref).collect()}
+    for k in drifted:
+        assert drifted[k] > got[k] and drifted[k] > 1.0

@@ -665,3 +665,96 @@ def heavy_hitters_state(spark: SparkSession, state_path: str,
         out = out.filter(
             F.col("weight") * F.lit(threshold_inv) > F.col("_total"))
     return out
+
+
+def psi_reference(df: DataFrame, key_col: str = "event_type",
+                  value_col: str = "value") -> DataFrame:
+    """Frozen PSI reference: per key the decile edges AND the reference
+    bin counts, one row per key with two arrays — the fit/monitor split
+    (same posture as `cusum_stream`'s frozen baseline). Compute this on
+    the training window ONCE; the sink scores every micro-batch against
+    it without ever rescanning history."""
+    edges = (df.filter(F.col(value_col).isNotNull())
+             .groupBy(key_col)
+             .agg(F.percentile(value_col,
+                               F.array(*[F.lit(i / 10.0)
+                                         for i in range(1, 10)]))
+                  .alias("edges")))
+    binned = (df.filter(F.col(value_col).isNotNull())
+              .join(edges, key_col)
+              .select(key_col,
+                      F.size(F.filter("edges",
+                                      lambda x: F.col(value_col) > x))
+                      .alias("_bin")))
+    counts = (binned.groupBy(key_col)
+              .agg(F.array(*[
+                  F.sum(F.when(F.col("_bin") == b, 1).otherwise(0))
+                  for b in range(10)]).alias("ref_counts")))
+    return edges.join(counts, key_col)
+
+
+def psi_scores(batch_df: DataFrame, reference: DataFrame,
+               key_col: str = "event_type",
+               value_col: str = "value") -> DataFrame:
+    """PSI of ``batch_df``'s value distribution against a frozen
+    :func:`psi_reference` — (key, n_cur, psi). Shared by the batch
+    audit and the streaming sink so batch/stream equivalence is a
+    tested identity, not a hope. Laplace (n+0.5)/(N+5) on both sides,
+    identical operand order to `q_psi_drift`."""
+    b = (batch_df.filter(F.col(value_col).isNotNull())
+         .join(F.broadcast(reference), key_col)
+         .select(key_col,
+                 F.size(F.filter("edges", lambda x: F.col(value_col) > x))
+                 .alias("_bin")))
+    cur = b.groupBy(key_col).agg(
+        F.array(*[F.sum(F.when(F.col("_bin") == i, 1).otherwise(0))
+                  for i in range(10)]).alias("cur_counts"),
+        F.count(F.lit(1)).alias("n_cur"))
+    j = reference.join(cur, key_col)
+    bins = F.explode(F.sequence(F.lit(0), F.lit(9))).alias("_b")
+    ex = j.select(key_col, "n_cur", "ref_counts", "cur_counts", bins)
+    nr = F.element_at("ref_counts", F.col("_b") + 1)
+    nc = F.element_at("cur_counts", F.col("_b") + 1)
+    tr = F.aggregate("ref_counts", F.lit(0).cast("long"),
+                     lambda a, x: a + x)
+    tc = F.aggregate("cur_counts", F.lit(0).cast("long"),
+                     lambda a, x: a + x)
+    p = (nr + F.lit(0.5)) / (tr + F.lit(5.0))
+    q = (nc + F.lit(0.5)) / (tc + F.lit(5.0))
+    contrib = (p - q) * F.log(p / q)
+    return (ex.groupBy(key_col, "n_cur")
+            .agg(F.round(F.sum(contrib) + F.lit(1e-9), 6).alias("psi"))
+            .select(key_col, "n_cur", "psi"))
+
+
+def psi_drift_sink(value_stream: DataFrame, reference: DataFrame,
+                   out_path: str, key_col: str = "event_type",
+                   value_col: str = "value"):
+    """Streaming distribution-drift monitor: every micro-batch is PSI-
+    scored against the frozen reference and the per-key scores land in
+    ``out_path/metrics_batch=<batch_id>`` (overwrite — the single-phase
+    replay-safe layout: a replayed batch recomputes the identical
+    scores from the same frozen reference and rewrites its own
+    directory). The metrics store is what pages the on-call: read it,
+    filter psi ≥ 0.2, alert."""
+    ref = reference
+    if not isinstance(ref, DataFrame):
+        raise TypeError("reference must be a psi_reference() DataFrame")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        psi_commit_batch(batch_df, batch_id, ref, out_path,
+                         key_col=key_col, value_col=value_col)
+
+    return (value_stream.writeStream.foreachBatch(process)
+            .outputMode("update"))
+
+
+def psi_commit_batch(batch_df: DataFrame, batch_id: int,
+                     reference: DataFrame, out_path: str,
+                     key_col: str = "event_type",
+                     value_col: str = "value") -> None:
+    """One micro-batch of :func:`psi_drift_sink`, module-level so tests
+    can replay it against the crash window."""
+    scores = psi_scores(batch_df, reference, key_col, value_col)
+    (scores.write.mode("overwrite")
+     .parquet(f"{out_path}/metrics_batch={batch_id}"))
