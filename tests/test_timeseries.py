@@ -225,6 +225,40 @@ def test_dtw_pairs_matches_2d_reference_and_warps(spark):
         TSI.dtw_pairs(prof, "k", "p", max_keys=2)
 
 
+def test_dtw_band_constrains_matrix_edges(spark):
+    """Sakoe-Chiba band applies to row-0/column-0 cells too (only (0,0)
+    is unconditionally kept): a warp path may NOT route along the matrix
+    edges outside |i−j| ≤ band."""
+    import numpy as np
+    from timeseries_data_analysis_spark.operators import tsindex as TSI
+
+    def dtw_band_ref(a, b, band):
+        n, m = len(a), len(b)
+        D = np.full((n + 1, m + 1), np.inf)
+        D[0, 0] = 0.0
+        for i in range(1, n + 1):
+            for j in range(1, m + 1):
+                if abs((i - 1) - (j - 1)) > band:
+                    continue
+                D[i, j] = abs(a[i - 1] - b[j - 1]) + min(
+                    D[i, j - 1], D[i - 1, j], D[i - 1, j - 1])
+        return D[n, m]
+
+    # pair engineered so the cheapest unconstrained path hugs an edge:
+    # va is a spike early, vb a spike late — full warp wants the borders
+    va = [9.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    vb = [0.0, 0.0, 0.0, 0.0, 0.0, 9.0]
+    prof = spark.createDataFrame(
+        [("a", va), ("b", vb)], "k string, p array<double>")
+    for band in (1, 2, 3):
+        got = TSI.dtw_pairs(prof, "k", "p", band=band).collect()[0]["dtw"]
+        assert got == dtw_band_ref(va, vb, band), band
+        # tighter band must never be cheaper
+    d1 = TSI.dtw_pairs(prof, "k", "p", band=1).collect()[0]["dtw"]
+    d5 = TSI.dtw_pairs(prof, "k", "p", band=5).collect()[0]["dtw"]
+    assert d1 >= d5
+
+
 def test_holt_linear_tracks_linear_series_exactly(spark):
     import datetime as dt
     import pytest as _pytest

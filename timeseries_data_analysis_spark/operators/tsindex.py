@@ -159,14 +159,17 @@ def dtw_pairs(profiles: DataFrame, key_col: str, vec_col: str,
         for f in range(n * m):
             i, j = divmod(f, m)
             d = abs(va[i] - vb[j])
-            if i == 0 and j == 0:
+            # Band check FIRST (only (0,0) is unconditionally kept) so
+            # row-0 / column-0 cells outside |i−j| ≤ band cannot route
+            # the warp path along the matrix edges.
+            if band is not None and abs(i - j) > band and not (i == 0 and j == 0):
+                acc[f] = np.inf
+            elif i == 0 and j == 0:
                 acc[f] = d
             elif i == 0:
                 acc[f] = d + acc[f - 1]
             elif j == 0:
                 acc[f] = d + acc[f - m]
-            elif band is not None and abs(i - j) > band:
-                acc[f] = np.inf
             else:
                 # operand order fixed: min(left, up, diag)
                 acc[f] = d + min(acc[f - 1], acc[f - m], acc[f - m - 1])

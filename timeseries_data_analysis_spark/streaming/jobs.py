@@ -178,16 +178,26 @@ def cusum_stream(events: DataFrame, baseline: dict,
     to round(z·10⁶) before accumulation — so a replayed stream and the
     batch op produce bit-identical statistics: per-key state is exactly
     two bigints (S⁺, S⁻), O(keys) total, regardless of stream length.
+    Quantization is HALF-UP away from zero (``_round_half_up``), matching
+    Spark's ``F.round`` in the batch op and DuckDB's ``round`` in the
+    oracle — NOT Python's banker's ``round()``, which rounds half-to-even
+    and would diverge for z·10⁶ values landing exactly on .5.
 
     Rows within a micro-batch are sorted by ``ts``; cross-batch order
     follows stream arrival (the file source's order in tests). Keys
     absent from ``baseline`` or with σ ≤ 0 emit z = 0 (flat statistic) —
     the same degenerate-series contract as the batch op.
     """
+    import math
+
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    k_micro = int(round(k_sigma * 1_000_000))
+    def _round_half_up(x: float) -> int:
+        # sign-symmetric half-away-from-zero, matching F.round / DuckDB
+        return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+    k_micro = _round_half_up(k_sigma * 1_000_000)
     out_schema = (f"{ts_col} timestamp, {key_col} string, "
                   f"z_micro bigint, cusum_pos_micro bigint, "
                   f"cusum_neg_micro bigint")
@@ -201,7 +211,7 @@ def cusum_stream(events: DataFrame, baseline: dict,
             pdf = pdf.sort_values(ts_col)
             for ts, v in zip(pdf[ts_col], pdf[value_col]):
                 if sigma > 0 and v is not None and v == v:
-                    zm = int(round((float(v) - mu) / sigma * 1_000_000))
+                    zm = _round_half_up((float(v) - mu) / sigma * 1_000_000)
                 else:
                     zm = 0
                 s_pos = max(0, s_pos + zm - k_micro)
@@ -613,6 +623,8 @@ def hh_commit_batch(batch_df: DataFrame, batch_id: int, state_path: str,
                     item_col: str = "item", k: int = 2000) -> None:
     """One micro-batch of :func:`heavy_hitters_sink`, module-level so
     tests can replay it against the crash window."""
+    from pyspark.errors import AnalysisException
+
     spark = batch_df.sparkSession
     prev = None
     prev_total = 0
@@ -626,8 +638,14 @@ def hh_commit_batch(batch_df: DataFrame, batch_id: int, state_path: str,
                     .select("item", "weight"))
             prev_total = (store.where(F.col("state_batch") == max(ids))
                           .select(F.max("_total")).collect()[0][0]) or 0
-    except Exception:  # noqa: BLE001 — first batch: no store yet
-        pass
+    except AnalysisException as exc:
+        # ONLY path-does-not-exist means "first batch, no store yet".
+        # Any other read failure (IO/permission/corrupt state) must
+        # propagate — silently rebuilding from scratch would reset the
+        # sketch and _total without signal, breaking crash-replay safety.
+        msg = str(exc)
+        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+            raise
 
     items = (batch_df.select(F.col(item_col).alias("item"))
              .filter(F.col("item").isNotNull()))
