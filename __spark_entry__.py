@@ -3747,6 +3747,31 @@ def q_ltv_cohorts(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("cohort_q", "offset_q"))
 
 
+def q_ewma_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT recursive EWMA per series over the daily mean grid — the
+    infinite-memory twin of ``q_ewma``'s truncated 12-tap FIR (reference
+    family: ``pre_processing.py`` smoothing kernels). Daily means are
+    rounded to 4 dp BEFORE the recursion so both engines smooth
+    identical doubles; the recursion itself is `TS.ewma_recursive`'s
+    pinned-operand-order ``applyInPandas`` (sequential by nature, one
+    double of state per series), and the oracle replays the same state
+    machine as a recursive CTE — one synchronized step per period
+    across all series. Together with `q_ewma` this closes the last
+    documented approximation in the windows family: the FIR is the
+    unbounded-series scale path, this is the exact form, and
+    ``tests/test_timeseries.py`` bounds their deviation by the 1.4 %
+    FIR tail weight."""
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    daily = (ev.groupBy("event_type",
+                        F.date_trunc("day", F.col("ts")).alias("_d"))
+             .agg(_r(F.avg("value"), 4).alias("_m")))
+    out = TS.ewma_recursive(daily, "event_type", "_d", "_m", alpha=0.3)
+    return (out.select("event_type", F.to_date("_d").alias("day"),
+                       F.col("y").alias("daily_mean"),
+                       _r(F.col("ewma"), 6).alias("ewma"))
+            .orderBy("event_type", "day"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's anomaly detector over sf0.001 events."""
     return q_anomaly_detect(spark, SF_SMOKE)
@@ -3754,84 +3779,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS DELIBERATE: the driver's correctness gate checks
-    the first 50 entries per round. Round 5 closes the staleness ledger:
-    first every query ADDED or CHANGED in round 5 (never / no-longer
-    driver-checked — the six new curation ops lead, then the six earlier
-    round-5 additions), then ALL 29 remaining rows whose driver evidence
-    of record is still r1/r2 (pure built-in Catalyst paths, held back
-    two rounds precisely because they have the least custom-helper
-    surface; `stride_sample` and `time_split` lead them since they touch
-    operators/topk.py and ml/pipeline.py helpers). 14 + 29 = 43 ≤ 50, so
-    the full ledger still clears this round; after it, every registry
-    row has driver evidence from r3+. Slots 44-50 carry the round-5
-    second batch (repetition profile, vocab coverage, KMV sketch, JL
-    recall audit, MinHash accuracy, seasonal backtest, CUSUM) so the new
-    operators get first-round driver evidence too. Slots 51+ lead with
-    the round-5 THIRD and FOURTH batches (PageRank, trend/ACF/xcorr,
-    CDC + point-in-time, heavy hitters, DTW, RRF, Holt, RI audit, MMR,
-    triangles, attribution, quantile rollup, PSI, MI, Benford, session
-    paths — newest code, first in line for round-6 driver evidence),
-    then ``length_buckets`` and the other round-5 second-batch
-    leftovers. The r3/r4 driver-greens close the list (freshest
-    evidence, least at risk)."""
+    the first 50 entries per round. Round 6 closes the only open
+    evidence ledger from round 5's verdict: queries ADDED or CHANGED in
+    round 6 lead (never driver-checked — newest code first), then ALL 35
+    round-5 third/fourth-batch rows (``pagerank_neardup`` …
+    ``source_datacard``) whose only evidence so far is the judge's
+    full-gate run. New + 35 ≤ 50, so after this round every registry row
+    has driver evidence. Behind the checked front: the 50 rows the
+    driver greened in round 5 (freshest driver evidence), then the
+    r4 and r3 driver-greens (stable built-in-heavy paths, least at
+    risk)."""
     return {
-        # --- round-5 new/changed queries: first driver evidence needed ---
-        "dup_passages": q_dup_passages,
-        "bpe_compression": q_bpe_compression,
-        "ivf_kmeans_topk": q_ivf_kmeans_topk,
-        "dsir_weights": q_dsir_weights,
-        "kmeans_step": q_kmeans_step,
-        "ppl_buckets": q_ppl_buckets,
-        "zipf_fit": q_zipf_fit,
-        "bpe_merges": q_bpe_merges,
-        "gopher_rules": q_gopher_rules,
-        "semdedup": q_semdedup,
-        "ngram_novelty": q_ngram_novelty,
-        "quality_calibration": q_quality_calibration,
-        "ivf_store_search": q_ivf_store_search,
-        "dedup_clusters_star": q_dedup_clusters_star,
-        # --- the 29 stale r1/r2-evidence rows (the full remaining
-        #     ledger; custom-helper-touching rows first) ---
-        "stride_sample": q_stride_sample,
-        "time_split": q_time_split,
-        "horizontal_agg": q_horizontal_agg,
-        "moments": q_moments,
-        "rank_distribution": q_rank_distribution,
-        "calendar_features": q_calendar_features,
-        "grouping_sets": q_grouping_sets,
-        "gap_detect": q_gap_detect,
-        "weighted_stats": q_weighted_stats,
-        "percentile_summary": q_percentile_summary,
-        "cube_summary": q_cube_summary,
-        "histogram": q_histogram,
-        "supplier_balance": q_supplier_balance,
-        "customer_order_stats": q_customer_order_stats,
-        "value_counts_topn": q_value_counts_topn,
-        "grade_share": q_grade_share,
-        "pricing_summary": q_pricing_summary,
-        "top_revenue_orders": q_top_revenue_orders,
-        "nation_revenue": q_nation_revenue,
-        "topk_per_type": q_topk_per_type,
-        "zero_variance": q_zero_variance,
-        "isin_sample": q_isin_sample,
-        "union_sources": q_union_sources,
-        "correlation": q_correlation,
-        "customers_without_orders": q_customers_without_orders,
-        "late_shipping_orders": q_late_shipping_orders,
-        "part_brand_revenue": q_part_brand_revenue,
-        "distinct_users": q_distinct_users,
-        "time_range_filter": q_time_range_filter,
-        # --- round-5 second-batch additions (slots 44-50: still inside
-        #     the driver-checked front 50) ---
-        "repetition_profile": q_repetition_profile,
-        "vocab_coverage": q_vocab_coverage,
-        "kmv_distinct": q_kmv_distinct,
-        "rp_recall": q_rp_recall,
-        "minhash_accuracy": q_minhash_accuracy,
-        "seasonal_forecast_eval": q_seasonal_forecast_eval,
-        "cusum_changepoints": q_cusum_changepoints,
-        # --- beyond the checked 50 (first in line for round 6; the
-        #     round-5 THIRD batch leads — newest code, least evidence) ---
+        # --- round-6 new/changed queries: first driver evidence needed ---
+        "ewma_exact": q_ewma_exact,
+        # --- the 35 round-5 third/fourth-batch rows: judge-green in r5,
+        #     never driver-checked — the full remaining evidence ledger ---
         "pagerank_neardup": q_pagerank_neardup,
         "trend_slopes": q_trend_slopes,
         "acf_lags": q_acf_lags,
@@ -3867,6 +3829,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "active_users": q_active_users,
         "cohort_retention": q_cohort_retention,
         "source_datacard": q_source_datacard,
+        # --- r5 driver-greens (evidence of record: CORRECTNESS_r05) ---
+        "dup_passages": q_dup_passages,
+        "bpe_compression": q_bpe_compression,
+        "ivf_kmeans_topk": q_ivf_kmeans_topk,
+        "dsir_weights": q_dsir_weights,
+        "kmeans_step": q_kmeans_step,
+        "ppl_buckets": q_ppl_buckets,
+        "zipf_fit": q_zipf_fit,
+        "bpe_merges": q_bpe_merges,
+        "gopher_rules": q_gopher_rules,
+        "semdedup": q_semdedup,
+        "ngram_novelty": q_ngram_novelty,
+        "quality_calibration": q_quality_calibration,
+        "ivf_store_search": q_ivf_store_search,
+        "dedup_clusters_star": q_dedup_clusters_star,
+        "stride_sample": q_stride_sample,
+        "time_split": q_time_split,
+        "horizontal_agg": q_horizontal_agg,
+        "moments": q_moments,
+        "rank_distribution": q_rank_distribution,
+        "calendar_features": q_calendar_features,
+        "grouping_sets": q_grouping_sets,
+        "gap_detect": q_gap_detect,
+        "weighted_stats": q_weighted_stats,
+        "percentile_summary": q_percentile_summary,
+        "cube_summary": q_cube_summary,
+        "histogram": q_histogram,
+        "supplier_balance": q_supplier_balance,
+        "customer_order_stats": q_customer_order_stats,
+        "value_counts_topn": q_value_counts_topn,
+        "grade_share": q_grade_share,
+        "pricing_summary": q_pricing_summary,
+        "top_revenue_orders": q_top_revenue_orders,
+        "nation_revenue": q_nation_revenue,
+        "topk_per_type": q_topk_per_type,
+        "zero_variance": q_zero_variance,
+        "isin_sample": q_isin_sample,
+        "union_sources": q_union_sources,
+        "correlation": q_correlation,
+        "customers_without_orders": q_customers_without_orders,
+        "late_shipping_orders": q_late_shipping_orders,
+        "part_brand_revenue": q_part_brand_revenue,
+        "distinct_users": q_distinct_users,
+        "time_range_filter": q_time_range_filter,
+        "repetition_profile": q_repetition_profile,
+        "vocab_coverage": q_vocab_coverage,
+        "kmv_distinct": q_kmv_distinct,
+        "rp_recall": q_rp_recall,
+        "minhash_accuracy": q_minhash_accuracy,
+        "seasonal_forecast_eval": q_seasonal_forecast_eval,
+        "cusum_changepoints": q_cusum_changepoints,
         # --- r4 driver-greens ---
         "cat_codes": q_cat_codes,
         "lsh_topk": q_lsh_topk,
@@ -8222,6 +8235,38 @@ def oracle_sql() -> dict[str, str]:
                       / s.n_customers + 1e-9, 4) + 0.0)
                    AS cum_ltv_per_customer
         FROM cell JOIN sizes s ON s.cq = cell.cq
+    """
+
+    # ---- round 6 ----
+
+    # exact EWMA: the smoothing recursion replayed as a recursive CTE,
+    # one synchronized step per period across all series; operand order
+    # matches TS.ewma_recursive exactly (every literal ::DOUBLE — bare
+    # 0.3 is DECIMAL in DuckDB and decimal 1-0.3 is a DIFFERENT double
+    # than IEEE 1.0-0.3)
+    sql["ewma_exact"] = """
+        WITH RECURSIVE dv AS (
+            SELECT event_type, date_trunc('day', ts) AS d,
+                   (round(avg(value) + 1e-9, 4) + 0.0) AS m
+            FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        ), ser AS (
+            SELECT event_type, list(m ORDER BY d) AS ys,
+                   list(d ORDER BY d) AS ds,
+                   count(*)::BIGINT AS n
+            FROM dv GROUP BY 1
+        ), rec AS (
+            SELECT event_type, ys, ds, n, 1::BIGINT AS t, ys[1] AS s
+            FROM ser
+            UNION ALL
+            SELECT event_type, ys, ds, n, t + 1,
+                   0.3::DOUBLE * ys[t + 1]
+                       + (1::DOUBLE - 0.3::DOUBLE) * s
+            FROM rec WHERE t < n
+        )
+        SELECT event_type, CAST(ds[t] AS DATE) AS day,
+               ys[t] AS daily_mean,
+               (round(s + 1e-9, 6) + 0.0) AS ewma
+        FROM rec
     """
 
     return sql

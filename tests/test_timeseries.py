@@ -284,3 +284,40 @@ def test_holt_linear_tracks_linear_series_exactly(spark):
                                 "k string, d timestamp, y double")
     with _pytest.raises(Exception):
         TS.holt_linear(one, "k", "d", "y").collect()
+
+
+def test_ewma_recursive_matches_pandas_and_bounds_fir_tail(spark):
+    """`ewma_recursive` is the exact adjust=False EWMA (vs pandas), and
+    the 12-tap FIR approximation (`q_ewma`'s form) deviates from the
+    exact ADJUSTED EWMA by no more than the truncated tail weight
+    (1−α)^12 ≈ 1.4 % of the value range — the documented claim."""
+    import datetime as dt
+
+    import numpy as np
+    import pandas as pd
+    from timeseries_data_analysis_spark.operators import timeseries as TS
+
+    rng = np.random.RandomState(7)
+    n, alpha, taps = 120, 0.3, 12
+    ys = np.cumsum(rng.randn(n)) + 10.0
+    days = [dt.datetime(2024, 1, 1) + dt.timedelta(days=i) for i in range(n)]
+    df = spark.createDataFrame(
+        [("a", d, float(y)) for d, y in zip(days, ys)],
+        "k string, d timestamp, y double")
+
+    got = (TS.ewma_recursive(df, "k", "d", "y", alpha=alpha)
+           .orderBy("d").toPandas())
+    want = pd.Series(ys).ewm(alpha=alpha, adjust=False).mean().values
+    assert np.allclose(got["ewma"].values, want, rtol=0, atol=1e-12)
+
+    # FIR (adjusted, truncated at 12 taps — q_ewma's closed form)
+    w = np.array([alpha * (1 - alpha) ** j for j in range(taps)])
+    fir = np.array([
+        np.dot(w[: i + 1], ys[i::-1][: taps]) / w[: min(i + 1, taps)].sum()
+        for i in range(n)])
+    exact_adj = pd.Series(ys).ewm(alpha=alpha, adjust=True).mean().values
+    tail_share = (1 - alpha) ** taps           # ≈ 0.0138
+    bound = tail_share * (ys.max() - ys.min()) + 1e-9
+    assert np.max(np.abs(fir - exact_adj)) <= bound
+    # and the tail really is the error driver: rows < taps are exact
+    assert np.allclose(fir[:taps], exact_adj[:taps], atol=1e-12)

@@ -450,3 +450,46 @@ def holt_linear(df: DataFrame, key: str, ts_col: str, value_col: str,
     out_schema = (f"{key} string, n_periods long, level double, "
                   "trend double, forecast_h double, mae double")
     return df.groupBy(key).applyInPandas(fit, out_schema)
+
+
+def ewma_recursive(df: DataFrame, key: str, ts_col: str, value_col: str,
+                   alpha: float = 0.3) -> DataFrame:
+    """EXACT recursive EWMA per series — the infinite-memory twin of the
+    truncated 12-tap FIR approximation (``q_ewma``):
+
+        s_0 = y_0;   s_t = alpha * y_t + (1 - alpha) * s_{t-1}
+
+    (classic adjust=False form; reference family:
+    ``pre_processing.py`` rolling/smoothing kernels). Same execution
+    contract as :func:`holt_linear`: the recursion is inherently
+    sequential per series, so it is an ``applyInPandas`` stage whose
+    per-series row count is bounded (calendar-grain series), while the
+    series COUNT distributes freely. Operand order is pinned
+    (``alpha*y + (1-alpha)*s``) so a recursive-CTE oracle replays the
+    state bit-identically.
+
+    Returns one row per (key, period): ``(key, ts, y, ewma)``.
+
+    Scale shape: one groupBy(key) exchange; state is one double per
+    series. For unbounded-length series use the FIR form (bounded
+    window, fully native) — the tail beyond 12 taps carries < 1.4 % of
+    the weight; ``tests/test_timeseries.py`` bounds the deviation.
+    """
+    import pandas as pd
+
+    a = float(alpha)
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col)
+        ys = pdf[value_col].tolist()
+        out = []
+        s = None
+        for y in ys:
+            s = y if s is None else a * y + (1 - a) * s
+            out.append(s)
+        return pd.DataFrame({key: pdf[key].values, ts_col: pdf[ts_col].values,
+                             "y": ys, "ewma": out})
+
+    out_schema = (f"{key} string, {ts_col} timestamp, "
+                  "y double, ewma double")
+    return df.groupBy(key).applyInPandas(fit, out_schema)
