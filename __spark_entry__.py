@@ -3772,6 +3772,51 @@ def q_ewma_exact(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("event_type", "day"))
 
 
+def q_kll_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic mergeable quantile sketch (Munro-Paterson/MRL
+    family — the deterministic ancestor of KLL) per event_type: the
+    canonical fully-compacted state is a rank-stride selection (keep
+    0-based rank ≡ 2^h−1 mod 2^h, weight 2^h, h the smallest level with
+    k·2^h ≥ n), a pure function of the sorted multiset — partitioning-
+    and order-invariant, which is what lets a sketch ESTIMATE carry a
+    full value oracle (`SK.quantile_sketch_state`). Estimates are pure
+    integer arithmetic over the state (target rank → covering retained
+    index). Rank error ≤ 2^h < 2n/k with k=64 retained items — this is
+    the path that backs `percentile_summary` at scales where exact
+    percentile aggregation cannot hold a group in memory. Completes the
+    mergeable-sketch triad: distinct (KMV), heavy hitters (MG),
+    quantiles (this)."""
+    ev = load_table(spark, sf, "events")
+    state = SK.quantile_sketch_state(ev, ["event_type"], "value", k=64)
+    est = SK.sketch_quantile_estimates(
+        state, ["event_type"], probs=(0.25, 0.5, 0.75, 0.9, 0.99))
+    return (est.select("event_type", "p", "est", "n", "h")
+            .orderBy("event_type", "p"))
+
+
+def q_kll_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental quantile rollup from per-day sketch states: sketch
+    each (day, event_type) slice independently (bounded work per day —
+    the algebraic-partial posture of `plans/incremental.py`), then
+    derive period quantiles from the UNION of day states WITHOUT
+    rescanning raw history: each retained item carries weight 2^h_day,
+    the merged CDF is the weight-cumulative over value order, and
+    quantile(p) picks the first value covering rank ceil(p·W). Rank
+    error ≤ Σ_day 2^h_day. Mirrors `kmv_day_partials`/`kmv_merge_
+    estimate` for distinct counts — the quantile leg of the mergeable
+    rollup story (`INC.kll_day_partials` round-trips the same states
+    through parquet; this query is the same math inline so the whole
+    estimate replays in SQL)."""
+    ev = load_table(spark, sf, "events").withColumn(
+        "_day", F.to_date("ts"))
+    state = SK.quantile_sketch_state(
+        ev, ["_day", "event_type"], "value", k=32)
+    est = SK.merged_quantile_estimates(
+        state, ["event_type"], probs=(0.25, 0.5, 0.75, 0.9, 0.99))
+    return (est.select("event_type", "p", "est", "w_total")
+            .orderBy("event_type", "p"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's anomaly detector over sf0.001 events."""
     return q_anomaly_detect(spark, SF_SMOKE)
@@ -3792,6 +3837,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-6 new/changed queries: first driver evidence needed ---
         "ewma_exact": q_ewma_exact,
+        "kll_quantiles": q_kll_quantiles,
+        "kll_rollup": q_kll_rollup,
         # --- the 35 round-5 third/fourth-batch rows: judge-green in r5,
         #     never driver-checked — the full remaining evidence ledger ---
         "pagerank_neardup": q_pagerank_neardup,
@@ -8267,6 +8314,97 @@ def oracle_sql() -> dict[str, str]:
                ys[t] AS daily_mean,
                (round(s + 1e-9, 6) + 0.0) AS ewma
         FROM rec
+    """
+
+    # deterministic Munro-Paterson quantile sketch: the canonical
+    # fully-compacted state is a rank-stride selection — replayed here
+    # verbatim (integer-only level/stride/target arithmetic; h via
+    # printf('%b') bit-length, never float log2)
+    sql["kll_quantiles"] = """
+        WITH v AS (
+            SELECT event_type, value FROM events WHERE value IS NOT NULL
+        ), cnt AS (
+            SELECT event_type, count(*)::BIGINT AS n FROM v GROUP BY 1
+        ), par AS (
+            SELECT event_type, n,
+                   (CASE WHEN (n + 63) // 64 <= 1 THEN 0
+                         ELSE length(printf('%b', (n + 63) // 64 - 1))
+                    END)::INTEGER AS h
+            FROM cnt
+        ), st AS (
+            SELECT event_type, n, h, power(2.0, h)::BIGINT AS stride
+            FROM par
+        ), ranked AS (
+            SELECT event_type, value,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY value) - 1 AS r
+            FROM v
+        ), state AS (
+            SELECT r.event_type, r.value, r.r // s.stride AS j
+            FROM ranked r JOIN st s USING (event_type)
+            WHERE r.r % s.stride = s.stride - 1
+        ), m AS (
+            SELECT event_type, count(*)::BIGINT AS m FROM state GROUP BY 1
+        ), probs AS (
+            SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99])::DOUBLE AS p
+        ), pick AS (
+            SELECT s.event_type, probs.p, s.n, s.h,
+                   LEAST((GREATEST(1::BIGINT,
+                                   ceil(probs.p * s.n)::BIGINT)
+                          + s.stride - 1) // s.stride - 1,
+                         m.m - 1) AS j
+            FROM st s CROSS JOIN probs
+            JOIN m ON m.event_type = s.event_type
+        )
+        SELECT pick.event_type, pick.p, state.value AS est,
+               pick.n, pick.h
+        FROM pick JOIN state ON state.event_type = pick.event_type
+                            AND state.j = pick.j
+    """
+
+    # merged day-sketch rollup: weighted CDF over the union of per-day
+    # rank-stride states (RANGE cumulative — value ties share one
+    # cumulative weight, keeping the pick order-invariant)
+    sql["kll_rollup"] = """
+        WITH v AS (
+            SELECT CAST(ts AS DATE) AS d, event_type, value
+            FROM events WHERE value IS NOT NULL
+        ), cnt AS (
+            SELECT d, event_type, count(*)::BIGINT AS n
+            FROM v GROUP BY 1, 2
+        ), st AS (
+            SELECT d, event_type, n,
+                   power(2.0,
+                         (CASE WHEN (n + 31) // 32 <= 1 THEN 0
+                               ELSE length(printf('%b', (n + 31) // 32 - 1))
+                          END))::BIGINT AS stride
+            FROM cnt
+        ), ranked AS (
+            SELECT d, event_type, value,
+                   row_number() OVER (PARTITION BY d, event_type
+                                      ORDER BY value) - 1 AS r
+            FROM v
+        ), state AS (
+            SELECT r.d, r.event_type, r.value, s.stride AS w
+            FROM ranked r JOIN st s USING (d, event_type)
+            WHERE r.r % s.stride = s.stride - 1
+        ), tot AS (
+            SELECT event_type, sum(w)::BIGINT AS w_total
+            FROM state GROUP BY 1
+        ), cum AS (
+            SELECT event_type, value,
+                   sum(w) OVER (PARTITION BY event_type
+                                ORDER BY value) AS cw
+            FROM state
+        ), probs AS (
+            SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99])::DOUBLE AS p
+        )
+        SELECT c.event_type, probs.p, min(c.value) AS est,
+               max(t.w_total)::BIGINT AS w_total
+        FROM cum c JOIN tot t USING (event_type) CROSS JOIN probs
+        WHERE c.cw >= GREATEST(1::BIGINT,
+                               ceil(probs.p * t.w_total)::BIGINT)
+        GROUP BY c.event_type, probs.p
     """
 
     return sql

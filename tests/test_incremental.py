@@ -147,3 +147,77 @@ def test_sample_partials_merge_equals_direct_sample(spark, sf_dir):
     # bottom-k of the union of day bottom-ks == bottom-k of the union:
     # identical sample membership, hence identical quantiles
     assert got == want
+
+
+def test_kll_sketch_rank_error_bound_and_invariance(spark):
+    """Deterministic quantile sketch: (1) the canonical state is a pure
+    function of the sorted multiset — identical under any repartition;
+    (2) every estimate's TRUE rank deviates from its target by at most
+    the documented 2^h bound."""
+    import numpy as np
+
+    from timeseries_data_analysis_spark.operators import sketch as SK
+
+    rng = np.random.RandomState(11)
+    vals = np.concatenate([rng.lognormal(0, 1, 700),
+                           rng.normal(50, 5, 300)])
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in vals], "key string, value double")
+    k = 16
+    s1 = SK.quantile_sketch_state(df, ["key"], "value", k=k)
+    s2 = SK.quantile_sketch_state(df.repartition(13), ["key"], "value", k=k)
+    rows1 = sorted((r["j"], r["value"], r["n"], r["h"])
+                   for r in s1.collect())
+    rows2 = sorted((r["j"], r["value"], r["n"], r["h"])
+                   for r in s2.collect())
+    assert rows1 == rows2 and 0 < len(rows1) <= k
+
+    probs = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    est = {r["p"]: (r["est"], r["n"], r["h"])
+           for r in SK.sketch_quantile_estimates(
+               s1, ["key"], probs=probs).collect()}
+    sv = np.sort(vals)
+    for p, (e, n, h) in est.items():
+        target = max(1, int(np.ceil(p * n)))
+        true_rank = np.searchsorted(sv, e, side="right")  # rank of est
+        assert abs(true_rank - target) <= 2 ** h, (p, true_rank, target, h)
+
+
+def test_kll_day_partials_roundtrip_and_merge_bound(spark, tmp_path):
+    """Day sketch states survive a parquet round-trip, and the merged
+    period estimate's true rank is within the additive Σ_day 2^h_day
+    bound of its target — the merge law the rollup rides on."""
+    import numpy as np
+    import pandas as pd
+
+    from timeseries_data_analysis_spark.plans import incremental as INC
+
+    rng = np.random.RandomState(5)
+    base = pd.Timestamp("2024-06-01")
+    rows = []
+    for d in range(6):
+        for v in rng.gamma(2.0, 10.0, 200 + 40 * d):
+            rows.append((base + pd.Timedelta(days=d, hours=int(v) % 24),
+                         "a", float(v)))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["ts", "key", "value"]))
+
+    parts = INC.kll_day_partials(df, ["key"], "value", k=32)
+    path = str(tmp_path / "kll")
+    parts.write.mode("overwrite").parquet(path)
+    stored = spark.read.parquet(path)
+    for r in stored.collect():
+        assert len(r["qsk"]) <= 32 and r["qsk"] == sorted(r["qsk"])
+
+    probs = (0.25, 0.5, 0.9)
+    got = {r["p"]: (r["est"], r["w_total"])
+           for r in INC.kll_merge_quantiles(
+               stored, ["key"], probs=probs).collect()}
+    budget = sum(2 ** r["h"] for r in stored.collect())
+    vals = np.sort(np.array([r[2] for r in rows]))
+    for p, (e, w) in got.items():
+        target = max(1, int(np.ceil(p * w)))
+        true_rank = np.searchsorted(vals, e, side="right")
+        assert abs(true_rank - target) <= budget, (p, true_rank, target)
+    # and the error budget is actually small relative to N
+    assert budget <= 2 * len(rows) / 32 * 2

@@ -139,3 +139,129 @@ def heavy_hitters(df: DataFrame, item_col: str, threshold_inv: int = 500,
             .select("item", "cnt",
                     F.round(F.col("cnt") / F.col("_n") + F.lit(1e-9), 6)
                     .alias("share")))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic quantile sketch (Munro-Paterson / MRL family)
+# ---------------------------------------------------------------------------
+
+def _stride_cols(n: Column, k: int) -> tuple[Column, Column]:
+    """Smallest level h with k·2^h ≥ n, and the stride 2^h, as columns.
+
+    Integer-exact in both engines: with m = ceil(n/k) (integer floor-div
+    algebra), h = bit_length(m−1) = length of the base-2 rendering — no
+    float log2 anywhere near an exactness cliff. DuckDB replays it as
+    ``length(printf('%b', m-1))``.
+    """
+    m = F.floor((n + F.lit(k - 1)) / F.lit(k)).cast("bigint")
+    h = (F.when(m <= 1, F.lit(0))
+         .otherwise(F.length(F.conv((m - 1).cast("string"), 10, 2)))
+         .cast("int"))
+    stride = F.pow(F.lit(2.0), h).cast("bigint")   # exact to 2^52
+    return h, stride
+
+
+def quantile_sketch_state(df: DataFrame, group_cols: list[str],
+                          value_col: str, k: int = 256) -> DataFrame:
+    """Per-group DETERMINISTIC quantile-sketch state: the canonical
+    fully-compacted form of the Munro-Paterson (1980) / MRL'98 merging-
+    buffers sketch (the deterministic ancestor of KLL, Karnin-Lang-
+    Liberty 2016).
+
+    The classic algorithm repeatedly pair-compacts sorted buffers —
+    keep every 2nd item, double its weight. Iterating that compaction
+    h times over the FULL sorted multiset keeps exactly the items of
+    0-based rank r ≡ 2^h−1 (mod 2^h), each representing the 2^h ranks
+    [j·2^h, (j+1)·2^h). So the canonical batch state is a RANK-STRIDE
+    selection — a pure function of the sorted multiset, independent of
+    partitioning and arrival order (what makes it oracle-replayable,
+    unlike randomized KLL compaction), computed natively: one window
+    ``row_number`` per group, one modulo filter. No UDF.
+
+    Guarantee: rank error ≤ 2^h < 2n/k, i.e. ε = 2/k uniform rank
+    accuracy with ≤ k retained items per group.
+
+    Returns long-format state: ``(group_cols…, n, h, j, value)`` with
+    j = 0-based retained index and implicit weight 2^h.
+
+    Scale shape: one count agg (map-side combined, broadcast back) +
+    one per-group window sort — same exchange profile as any per-key
+    ranking; never a global sort. State is ≤ k rows per group. For
+    unbounded groups the per-group sort IS the cost — use
+    ``plans.incremental.kll_day_partials`` to sketch bounded day slices
+    and merge, which is the point of a mergeable summary.
+    """
+    d = df.filter(F.col(value_col).isNotNull())
+    counts = d.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n"))
+    h, stride = _stride_cols(F.col("n"), k)
+    par = counts.select(*group_cols, "n", h.alias("h"),
+                        stride.alias("stride"))
+    w = Window.partitionBy(*group_cols).orderBy(value_col)
+    ranked = d.select(*group_cols, F.col(value_col).alias("value")) \
+        .withColumn("_r", F.row_number().over(w) - 1)
+    return (ranked.join(F.broadcast(par), on=group_cols)
+            .filter(F.col("_r") % F.col("stride") == F.col("stride") - 1)
+            .select(*group_cols, "n", "h",
+                    F.floor(F.col("_r") / F.col("stride")).cast("bigint")
+                    .alias("j"),
+                    "value"))
+
+
+def sketch_quantile_estimates(state: DataFrame, group_cols: list[str],
+                              probs: tuple = (0.25, 0.5, 0.75, 0.9, 0.99),
+                              ) -> DataFrame:
+    """Quantile estimates from :func:`quantile_sketch_state` long-format
+    state. For prob p: target rank t = max(1, ceil(p·n)); the retained
+    item j* = min(ceil(t/2^h)−1, m−1) covers t (m = retained count).
+    Pure integer arithmetic — deterministic, replayable.
+
+    Returns ``(group_cols…, p, est, n, h)``, one row per group × prob.
+    """
+    spark = state.sparkSession
+    stride = F.pow(F.lit(2.0), F.col("h")).cast("bigint")
+    meta = (state.groupBy(*group_cols)
+            .agg(F.max("n").alias("n"), F.max("h").alias("h"),
+                 F.count(F.lit(1)).alias("m")))
+    pdf = spark.createDataFrame([(float(p),) for p in probs], "p double")
+    t = F.greatest(F.lit(1).cast("bigint"),
+                   F.ceil(F.col("p") * F.col("n")).cast("bigint"))
+    jstar = F.least(
+        F.floor((t + stride - F.lit(1)) / stride).cast("bigint") - 1,
+        F.col("m") - 1)
+    picks = (meta.crossJoin(F.broadcast(pdf))
+             .select(*group_cols, "p", "n", "h", jstar.alias("j")))
+    return (picks.join(state.select(*group_cols, "j",
+                                    F.col("value").alias("est")),
+                       on=[*group_cols, "j"])
+            .select(*group_cols, "p", "est", "n", "h"))
+
+
+def merged_quantile_estimates(states: DataFrame, group_cols: list[str],
+                              probs: tuple = (0.25, 0.5, 0.75, 0.9, 0.99),
+                              ) -> DataFrame:
+    """Quantile estimates over the UNION of several sketch states (e.g.
+    one per day) WITHOUT recompaction: each retained item carries its
+    own weight 2^h, the merged CDF is the weight-cumulative over value
+    order (RANGE frame — all value-ties share one cumulative, keeping
+    the pick order-invariant), and quantile(p) = first value whose
+    cumulative weight ≥ max(1, ceil(p·W)). Rank error ≤ Σ_part 2^h_part.
+
+    Input: long-format state rows ``(group_cols…, h, value)`` — the
+    ``n``/``j`` columns are not needed for the merge. Returns
+    ``(group_cols…, p, est, w_total)``.
+    """
+    spark = states.sparkSession
+    wt = F.pow(F.lit(2.0), F.col("h")).cast("bigint")
+    st = states.select(*group_cols, "value", wt.alias("_w"))
+    tot = st.groupBy(*group_cols).agg(F.sum("_w").alias("w_total"))
+    cw = Window.partitionBy(*group_cols).orderBy("value")  # RANGE default
+    cum = st.withColumn("_cw", F.sum("_w").over(cw))
+    pdf = spark.createDataFrame([(float(p),) for p in probs], "p double")
+    t = F.greatest(F.lit(1).cast("bigint"),
+                   F.ceil(F.col("p") * F.col("w_total")).cast("bigint"))
+    return (cum.join(F.broadcast(tot), on=group_cols)
+            .crossJoin(F.broadcast(pdf))
+            .filter(F.col("_cw") >= t)
+            .groupBy(*group_cols, "p")
+            .agg(F.min("value").alias("est"),
+                 F.max("w_total").alias("w_total")))

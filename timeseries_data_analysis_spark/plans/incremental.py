@@ -216,3 +216,46 @@ def sample_merge_quantiles(partials: DataFrame, key_cols: list[str],
         aggs.append(F.percentile("_v", F.lit(float(p)))
                     .alias(f"q_{str(p).replace('.', '')}"))
     return bot.groupBy(*key_cols).agg(*aggs)
+
+
+def kll_day_partials(events: DataFrame, key_cols: list[str],
+                     value_col: str, ts_col: str = "ts",
+                     k: int = 256) -> DataFrame:
+    """Daily QUANTILE-SKETCH partials: per (day, keys) the canonical
+    Munro-Paterson rank-stride state (``operators/sketch.py``
+    ``quantile_sketch_state``) stored as one sorted ``array<double>``
+    plus its level ``h`` — the deterministic-compaction answer to the
+    same gap :func:`sample_day_partials` fills by uniform sampling.
+    The difference in guarantee: the bottom-k sample's quantile error
+    is sampling-VARIANCE (exact in expectation, noisy per draw); the
+    sketch's error is a deterministic worst-case RANK bound (≤ 2^h <
+    2·n_day/k per day), so period estimates carry an additive, provable
+    error budget instead of a confidence interval. State is ≤ k doubles
+    per (day, key), rewrite-cheap under the dynamic-overwrite sink, and
+    replayable by any SQL engine (the construction is a rank-stride —
+    see the ``kll_quantiles`` oracle).
+    """
+    from timeseries_data_analysis_spark.operators.sketch import (
+        quantile_sketch_state)
+    st = quantile_sketch_state(
+        events.withColumn("day", F.to_date(ts_col)),
+        ["day", *key_cols], value_col, k=k)
+    return (st.groupBy("day", *key_cols)
+            .agg(F.max("n").alias("n"), F.max("h").alias("h"),
+                 F.sort_array(F.collect_list("value")).alias("qsk")))
+
+
+def kll_merge_quantiles(partials: DataFrame, key_cols: list[str],
+                        probs: tuple = (0.5, 0.95)) -> DataFrame:
+    """Period-level quantile estimates from stored day sketch states:
+    explode every day's array (items carry weight 2^h_day), take the
+    weight-cumulative CDF over value order per key, and pick the first
+    value covering rank ceil(p·W) (``merged_quantile_estimates``).
+    Touches ONLY the sketch arrays — never the raw value stream — so
+    the merge cost is (days × keys × k) doubles; rank error is bounded
+    by Σ_day 2^h_day, additive and deterministic.
+    """
+    from timeseries_data_analysis_spark.operators.sketch import (
+        merged_quantile_estimates)
+    ex = partials.select(*key_cols, "h", F.explode("qsk").alias("value"))
+    return merged_quantile_estimates(ex, key_cols, probs)
