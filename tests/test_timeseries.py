@@ -321,3 +321,29 @@ def test_ewma_recursive_matches_pandas_and_bounds_fir_tail(spark):
     assert np.max(np.abs(fir - exact_adj)) <= bound
     # and the tail really is the error driver: rows < taps are exact
     assert np.allclose(fir[:taps], exact_adj[:taps], atol=1e-12)
+
+
+def test_dtw_pairs_bucketed_equals_within_bucket_allpairs(spark):
+    """bucket_col= turns the quadratic all-pairs into per-bucket
+    equi-joined quadratics: results must equal the all-pairs run
+    restricted to same-bucket pairs, and the max_keys guard re-scopes
+    to the largest bucket."""
+    import pytest as _pytest
+    from timeseries_data_analysis_spark.operators import tsindex as TSI
+
+    prof = spark.createDataFrame(
+        [("a", "X", [0.0, 1.0, 2.0]), ("b", "X", [0.0, 2.0, 4.0]),
+         ("c", "Y", [5.0, 5.0, 5.0]), ("d", "Y", [5.0, 6.0, 5.0]),
+         ("e", "Y", [4.0, 5.0, 6.0])],
+        "k string, w string, p array<double>")
+    got = {(r["key_l"], r["key_r"]): r["dtw"]
+           for r in TSI.dtw_pairs(prof, "k", "p",
+                                  bucket_col="w").collect()}
+    full = {(r["key_l"], r["key_r"]): r["dtw"]
+            for r in TSI.dtw_pairs(prof, "k", "p").collect()}
+    bucket_of = {"a": "X", "b": "X", "c": "Y", "d": "Y", "e": "Y"}
+    want = {p: d for p, d in full.items()
+            if bucket_of[p[0]] == bucket_of[p[1]]}
+    assert got == want and len(got) == 4  # 1 X-pair + 3 Y-pairs
+    with _pytest.raises(ValueError):
+        TSI.dtw_pairs(prof, "k", "p", bucket_col="w", max_keys=2)

@@ -108,7 +108,8 @@ def znorm_distance_pairs(df: DataFrame, key: str, bucket_col: str,
 
 
 def dtw_pairs(profiles: DataFrame, key_col: str, vec_col: str,
-              band: int | None = None, max_keys: int = 1000) -> DataFrame:
+              band: int | None = None, max_keys: int = 1000,
+              bucket_col: str | None = None) -> DataFrame:
     """All-pairs Dynamic Time Warping distance between per-key profile
     vectors — the elastic-alignment similarity the z-normalized
     Euclidean join cannot express (phase-shifted series score as
@@ -123,7 +124,12 @@ def dtw_pairs(profiles: DataFrame, key_col: str, vec_col: str,
     SERIES COUNT, never in observation count; ``max_keys`` enforces the
     bound (the same stated-bound contract as ``category_codes``). For
     corpus-scale series sets, bucket first (SAX word equality via
-    :func:`sax_words`) and run DTW only within buckets.
+    :func:`sax_words`) and run DTW only within buckets: pass
+    ``bucket_col`` and the self-join becomes an EQUI-join on the bucket
+    (key-partitioned shuffle, no cross product), with ``max_keys``
+    re-scoped to the LARGEST BUCKET — the quadratic is then per-bucket
+    and the bucket width (SAX alphabet × segments) is the sizing knob,
+    exactly the `bits ≈ log₂(N/occupancy)` rule the dedup family uses.
 
     The DP itself is genuinely sequential (each cell needs three
     neighbors) — a real Pandas-UDF case, not a convenience one. Cells
@@ -140,18 +146,37 @@ def dtw_pairs(profiles: DataFrame, key_col: str, vec_col: str,
     import numpy as np
     import pandas as pd
 
-    n_keys = profiles.count()
-    if n_keys > max_keys:
-        raise ValueError(
-            f"dtw_pairs got {n_keys} keys > max_keys={max_keys}: the "
-            "all-pairs join is quadratic in keys — bucket upstream "
-            "(sax_words) or raise the bound deliberately")
-
-    a = profiles.select(F.col(key_col).alias("key_l"),
-                        F.col(vec_col).alias("_va"))
-    b = profiles.select(F.col(key_col).alias("key_r"),
-                        F.col(vec_col).alias("_vb"))
-    pairs = a.join(b, F.col("key_l") < F.col("key_r"))
+    if bucket_col is None:
+        n_keys = profiles.count()
+        if n_keys > max_keys:
+            raise ValueError(
+                f"dtw_pairs got {n_keys} keys > max_keys={max_keys}: the "
+                "all-pairs join is quadratic in keys — bucket upstream "
+                "(sax_words or bucket_col=) or raise the bound deliberately")
+        a = profiles.select(F.col(key_col).alias("key_l"),
+                            F.col(vec_col).alias("_va"))
+        b = profiles.select(F.col(key_col).alias("key_r"),
+                            F.col(vec_col).alias("_vb"))
+        pairs = a.join(b, F.col("key_l") < F.col("key_r"))
+    else:
+        biggest = (profiles.groupBy(bucket_col)
+                   .agg(F.count(F.lit(1)).alias("_bn"))
+                   .agg(F.max("_bn")).collect()[0][0]) or 0
+        if biggest > max_keys:
+            raise ValueError(
+                f"dtw_pairs largest bucket holds {biggest} keys > "
+                f"max_keys={max_keys}: widen the bucketing (more SAX "
+                "segments / larger alphabet) or raise the bound "
+                "deliberately")
+        a = profiles.select(F.col(bucket_col).alias("_bkt"),
+                            F.col(key_col).alias("key_l"),
+                            F.col(vec_col).alias("_va"))
+        b = profiles.select(F.col(bucket_col).alias("_bkt"),
+                            F.col(key_col).alias("key_r"),
+                            F.col(vec_col).alias("_vb"))
+        pairs = (a.join(b, on="_bkt")
+                 .filter(F.col("key_l") < F.col("key_r"))
+                 .drop("_bkt"))
 
     def _dtw(va, vb):
         n, m = len(va), len(vb)
