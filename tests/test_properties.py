@@ -345,3 +345,23 @@ def test_kmv_estimator_reference(n, k):
     else:
         est = (k - 1) / fracs[k - 1]
         assert abs(est - n) / n < 5.0 / (k ** 0.5)
+
+
+@given(st.lists(
+    st.tuples(st.integers(0, 20), st.integers(0, 20)).filter(
+        lambda p: p[0] != p[1]),
+    min_size=1, max_size=30))
+@settings(**SETTINGS)
+def test_triangle_degree_orientation_matches_id_orientation(spark, edges):
+    """Both wedge orientations (id order / Suri-Vassilvitskii degree
+    order) must enumerate the identical per-vertex triangle census —
+    orientation only changes which vertex serves as each triangle's
+    apex, never the set of closed wedges."""
+    from timeseries_data_analysis_spark.operators import graph as GR
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "id_l long, id_r long")
+    by_id = {r["vertex"]: (r["degree"], r["triangles"], r["coeff"])
+             for r in GR.triangle_stats(df, orientation="id").collect()}
+    by_deg = {r["vertex"]: (r["degree"], r["triangles"], r["coeff"])
+              for r in GR.triangle_stats(df, orientation="degree").collect()}
+    assert by_id == by_deg

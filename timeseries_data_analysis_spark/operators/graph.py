@@ -243,7 +243,8 @@ def pagerank(edges: DataFrame, src: str = "id_l", dst: str = "id_r",
 
 
 def triangle_stats(edges: DataFrame, src: str = "id_l",
-                   dst: str = "id_r") -> DataFrame:
+                   dst: str = "id_r",
+                   orientation: str = "id") -> DataFrame:
     """Per-vertex triangle count and local clustering coefficient over
     an undirected pair graph — the cluster-cohesion diagnostic for
     near-dup neighborhoods (a high-coefficient vertex sits in a
@@ -254,17 +255,28 @@ def triangle_stats(edges: DataFrame, src: str = "id_l",
     wedge apex (a→b, a→c with b < c), close the wedge against the
     oriented edge (b, c). Each triangle is counted exactly once (its
     lowest vertex is the apex). This is the classic MapReduce triangle
-    enumeration (Suri & Vassilvitskii, WWW'11); their degree-based
-    orientation variant — redirecting edges toward the HIGHER-degree
-    endpoint — bounds the wedge fan-out of hub vertices at power-law
-    scale and drops in here by swapping the orientation key (id-order
-    is kept because it is oracle-replayable and the gate graphs are
-    hub-free; the docstring is the contract that says WHEN to switch).
+    enumeration (Suri & Vassilvitskii, WWW'11). ``orientation="degree"``
+    selects their degree-based variant: every edge points toward the
+    (degree, id)-LARGER endpoint, so each triangle's apex is its
+    minimum-degree vertex and a vertex's wedge fan-out is bounded by
+    its OUT-degree ≤ O(√m) amortized — the guard against power-law
+    hubs whose C(deg, 2) wedges dominate the id-oriented join. Both
+    orientations enumerate the identical triangle set (property-tested)
+    and the output contract is orientation-independent; id-order stays
+    the default because it is the form the SQL oracles replay and the
+    gate graphs are hub-free. The 10× minhash candidate graph is the
+    measured switch point (SCALE.md §1j): its near-dup clone CLIQUES
+    are irreducible (all degrees equal — orientation cannot shrink a
+    clique's wedge set), but the hub tail is where "degree" wins on
+    real power-law graphs.
 
     Returns ``(vertex, degree, triangles, coeff)`` for every vertex,
     ``coeff = triangles / C(degree, 2)`` (0.0 where degree < 2),
     rounded to 6 dp.
     """
+    if orientation not in ("id", "degree"):
+        raise ValueError(f"orientation must be 'id' or 'degree', "
+                         f"got {orientation!r}")
     e = (edges.select(F.least(F.col(src), F.col(dst)).alias("a"),
                       F.greatest(F.col(src), F.col(dst)).alias("b"))
          .filter(F.col("a") != F.col("b"))
@@ -273,14 +285,40 @@ def triangle_stats(edges: DataFrame, src: str = "id_l",
     deg = (e.select(F.col("a").alias("v"))
            .union(e.select(F.col("b").alias("v")))
            .groupBy("v").agg(F.count(F.lit(1)).alias("degree")))
-    x, y = e.alias("x"), e.alias("y")
-    wedges = (x.join(y, (F.col("x.a") == F.col("y.a"))
-                     & (F.col("x.b") < F.col("y.b")))
-              .select(F.col("x.a").alias("a"), F.col("x.b").alias("b"),
-                      F.col("y.b").alias("c")))
-    tris = wedges.join(
-        e.select(F.col("a").alias("b"), F.col("b").alias("c")),
-        on=["b", "c"])
+    if orientation == "degree":
+        # re-orient a→b by the (degree, id) total order; wedges then
+        # compare endpoint KEYS, not ids, so attach each endpoint's key
+        da = deg.select(F.col("v").alias("a"),
+                        F.struct(F.col("degree"), F.col("a").alias("v"))
+                        .alias("ka"))
+        db = deg.select(F.col("v").alias("b"),
+                        F.struct(F.col("degree"), F.col("b").alias("v"))
+                        .alias("kb"))
+        ek = e.join(da, on="a").join(db, on="b")
+        e = (ek.select(
+                F.when(F.col("ka") < F.col("kb"), F.col("a"))
+                 .otherwise(F.col("b")).alias("a"),
+                F.when(F.col("ka") < F.col("kb"), F.col("b"))
+                 .otherwise(F.col("a")).alias("b"),
+                F.greatest("ka", "kb").alias("kb"))
+             .localCheckpoint())
+        x, y = e.alias("x"), e.alias("y")
+        wedges = (x.join(y, (F.col("x.a") == F.col("y.a"))
+                         & (F.col("x.kb") < F.col("y.kb")))
+                  .select(F.col("x.a").alias("a"), F.col("x.b").alias("b"),
+                          F.col("y.b").alias("c")))
+        tris = wedges.join(
+            e.select(F.col("a").alias("b"), F.col("b").alias("c")),
+            on=["b", "c"])
+    else:
+        x, y = e.alias("x"), e.alias("y")
+        wedges = (x.join(y, (F.col("x.a") == F.col("y.a"))
+                         & (F.col("x.b") < F.col("y.b")))
+                  .select(F.col("x.a").alias("a"), F.col("x.b").alias("b"),
+                          F.col("y.b").alias("c")))
+        tris = wedges.join(
+            e.select(F.col("a").alias("b"), F.col("b").alias("c")),
+            on=["b", "c"])
     per_v = (tris.select(F.explode(F.array("a", "b", "c")).alias("v"))
              .groupBy("v").agg(F.count(F.lit(1)).alias("triangles")))
     possible = (F.col("degree") * (F.col("degree") - 1) / F.lit(2.0))
