@@ -4136,6 +4136,33 @@ def q_chi2_keywords(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("source", "rk"))
 
 
+def q_holt_winters(spark: SparkSession, sf: str) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal forecast per series (Winters
+    1960): level + trend + day-of-week seasonal state over the daily
+    mean grid (rounded to 4 dp before the recursion — identical doubles
+    both engines), 7-day-ahead forecasts h = 1..7 — the seasonal
+    member completing the ETS ladder (seasonal-naive →
+    `holt_forecast`'s level+trend → this). `TS.holt_winters_additive`
+    is the pinned-operand-order `applyInPandas` recursion (state =
+    2 + 7 doubles per series); the oracle replays it as a recursive
+    CTE whose SEASONAL LIST state is rebuilt per step with
+    `list_transform`, init means via explicit left-fold `list_reduce`
+    so even the initialization sums in the same float order."""
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    daily = (ev.groupBy("event_type",
+                        F.date_trunc("day", F.col("ts")).alias("_d"))
+             .agg(_r(F.avg("value"), 4).alias("_m")))
+    out = TS.holt_winters_additive(daily, "event_type", "_d", "_m",
+                                   season=7, alpha=0.3, beta=0.1,
+                                   gamma=0.2, horizon=7)
+    return (out.select("event_type", "n_periods", "h",
+                       _r(F.col("forecast"), 4).alias("forecast"),
+                       _r(F.col("level"), 4).alias("level"),
+                       _r(F.col("trend"), 4).alias("trend"),
+                       _r(F.col("mae"), 4).alias("mae"))
+            .orderBy("event_type", "h"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's anomaly detector over sf0.001 events."""
     return q_anomaly_detect(spark, SF_SMOKE)
@@ -4167,6 +4194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_union_distinct": q_theta_union_distinct,
         "ks_drift": q_ks_drift,
         "chi2_keywords": q_chi2_keywords,
+        "holt_winters": q_holt_winters,
         # --- the 35 round-5 third/fourth-batch rows: judge-green in r5,
         #     never driver-checked — the full remaining evidence ledger ---
         "pagerank_neardup": q_pagerank_neardup,
@@ -8917,6 +8945,62 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT source, tok, n_in_source, chi2, rk::INTEGER AS rk
         FROM ranked WHERE rk <= 5
+    """
+
+    # Holt-Winters additive: the triple-smoothing recursion replayed as
+    # a recursive CTE whose seasonal LIST state is rebuilt per step;
+    # lnew is inlined everywhere it appears (pure expression — bit-
+    # identical recomputation); init means are explicit left folds so
+    # even initialization sums in the python operand order
+    sql["holt_winters"] = """
+        WITH RECURSIVE dv AS (
+            SELECT event_type, date_trunc('day', ts) AS d,
+                   (round(avg(value) + 1e-9, 4) + 0.0) AS m
+            FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        ), ser AS (
+            SELECT event_type, list(m ORDER BY d) AS ys,
+                   count(*)::BIGINT AS n
+            FROM dv GROUP BY 1
+        ), init AS (
+            SELECT event_type, ys, n,
+                   list_reduce(ys[1:7], (x, y) -> x + y) / 7.0 AS mean1,
+                   list_reduce(ys[8:14], (x, y) -> x + y) / 7.0 AS mean2
+            FROM ser
+        ), hw AS (
+            SELECT event_type, ys, n, 7::BIGINT AS t,
+                   mean1 AS l,
+                   (mean2 - mean1) / 7.0 AS b,
+                   list_transform(range(7), i -> ys[i + 1] - mean1) AS s,
+                   CAST(0.0 AS DOUBLE) AS esum
+            FROM init
+            UNION ALL
+            SELECT event_type, ys, n, t + 1,
+                   0.3::DOUBLE * (ys[t + 1] - s[(t % 7) + 1])
+                       + (1::DOUBLE - 0.3::DOUBLE) * (l + b),
+                   0.1::DOUBLE * ((0.3::DOUBLE * (ys[t + 1] - s[(t % 7) + 1])
+                       + (1::DOUBLE - 0.3::DOUBLE) * (l + b)) - l)
+                       + (1::DOUBLE - 0.1::DOUBLE) * b,
+                   list_transform(range(7), i -> CASE WHEN i = t % 7
+                       THEN 0.2::DOUBLE * (ys[t + 1]
+                            - (0.3::DOUBLE * (ys[t + 1] - s[(t % 7) + 1])
+                               + (1::DOUBLE - 0.3::DOUBLE) * (l + b)))
+                            + (1::DOUBLE - 0.2::DOUBLE) * s[i + 1]
+                       ELSE s[i + 1] END),
+                   esum + abs(ys[t + 1] - (l + b + s[(t % 7) + 1]))
+            FROM hw WHERE t < n
+        ), fin AS (
+            SELECT event_type, n, l, b, s, esum FROM hw WHERE t = n
+        ), hs AS (
+            SELECT unnest(range(1, 8)) AS h
+        )
+        SELECT fin.event_type, fin.n AS n_periods, hs.h::INTEGER AS h,
+               (round(fin.l + hs.h * fin.b
+                      + fin.s[((fin.n - 1 + hs.h) % 7) + 1]
+                      + 1e-9, 4) + 0.0) AS forecast,
+               (round(fin.l + 1e-9, 4) + 0.0) AS level,
+               (round(fin.b + 1e-9, 4) + 0.0) AS trend,
+               (round(fin.esum / (fin.n - 7) + 1e-9, 4) + 0.0) AS mae
+        FROM fin CROSS JOIN hs
     """
 
     # deterministic Munro-Paterson quantile sketch: the canonical

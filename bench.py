@@ -167,6 +167,15 @@ def main() -> None:
                  "pit_join", "holt_forecast"):
         analytics[name] = timed(name)
 
+    # round-6 additions (sketches, robust stats, drift, graph census),
+    # their own section so analytics_total stays round-comparable
+    r6: dict[str, float] = {}
+    for name in ("ewma_exact", "kll_quantiles", "kll_rollup",
+                 "triangle_stats_prod", "robust_regression",
+                 "anomaly_ensemble", "theta_union_distinct",
+                 "ks_drift", "chi2_keywords"):
+        r6[name] = timed(name)
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(json.dumps({
         "metric": "headline_queries_total",
@@ -179,11 +188,14 @@ def main() -> None:
         "corpus_total": round(sum(corpus.values()), 3),
         "analytics_queries": analytics,
         "analytics_total": round(sum(analytics.values()), 3),
+        "r6_queries": r6,
+        "r6_total": round(sum(r6.values()), 3),
         # full per-query trial pairs: the load-contamination audit trail
         # (a big max-min spread marks a draw taken under external load)
         "query_trials": {k: trial_log[k] for k in timings if k in trial_log},
         "corpus_trials": {k: trial_log[k] for k in corpus},
         "analytics_trials": {k: trial_log[k] for k in analytics},
+        "r6_trials": {k: trial_log[k] for k in r6},
         "sf": float(sf) if sf else None,
         # host contention snapshot — driver-vs-local timing deltas are
         # attributable only when the load at measurement time is known

@@ -808,3 +808,55 @@ def test_psi_scores_match_batch_audit_and_replay(spark, sf_dir, tmp_path):
                for r in SJ.psi_scores(shifted, ref).collect()}
     for k in drifted:
         assert drifted[k] > got[k] and drifted[k] > 1.0
+
+
+def test_quantile_sketch_sink_bounds_and_crash_replay(spark, tmp_path):
+    """Streaming Munro-Paterson sketch: state stays <= k items per key,
+    quantile estimates stay within the accumulated-compaction rank
+    budget of the true distribution, and replaying the last batch
+    rewrites identical state (single-phase crash contract)."""
+    import numpy as np
+    from timeseries_data_analysis_spark.streaming import jobs as SJ
+
+    state = str(tmp_path / "kll_state")
+    k = 64
+    rng = np.random.RandomState(3)
+    batches = [rng.lognormal(0, 1, 700), rng.normal(40, 3, 500),
+               rng.gamma(2.0, 5.0, 900)]
+    for bid, vals in enumerate(batches):
+        df = spark.createDataFrame(
+            [("a", float(v)) for v in vals],
+            "event_type string, value double")
+        SJ.kll_commit_batch(df, bid, state, k=k)
+
+    latest = spark.read.parquet(state)
+    b = latest.agg({"state_batch": "max"}).collect()[0][0]
+    rows = latest.where(latest.state_batch == b).collect()
+    assert 0 < len(rows) <= k
+    budget = sum(2 ** r["h"] for r in rows)  # >= true accumulated error
+
+    est = {r["p"]: (r["est"], r["w_total"]) for r in
+           SJ.quantile_sketch_state_read(spark, state).collect()}
+    all_vals = np.sort(np.concatenate(batches))
+    n = len(all_vals)
+    for p, (e, w) in est.items():
+        target = max(1, int(np.ceil(p * w)))
+        true_rank = np.searchsorted(all_vals, e, side="right")
+        # rank mass w <= n (boundary truncation); compare on the shared
+        # scale and allow the compaction budget
+        assert abs(true_rank - target) <= budget + (n - w), (p, e)
+    # estimates are actual data values and roughly ordered
+    ps = sorted(est)
+    assert all(est[a][0] <= est[b_][0] for a, b_ in zip(ps, ps[1:]))
+
+    # crash-window replay: identical state rewrite
+    df2 = spark.createDataFrame(
+        [("a", float(v)) for v in batches[2]],
+        "event_type string, value double")
+    SJ.kll_commit_batch(df2, 2, state, k=k)
+    rows2 = spark.read.parquet(state)
+    b2 = rows2.agg({"state_batch": "max"}).collect()[0][0]
+    got2 = sorted((r["key"], r["h"], r["value"]) for r in
+                  rows2.where(rows2.state_batch == b2).collect())
+    got1 = sorted((r["key"], r["h"], r["value"]) for r in rows)
+    assert got1 == got2 and b2 == b

@@ -347,3 +347,33 @@ def test_dtw_pairs_bucketed_equals_within_bucket_allpairs(spark):
     assert got == want and len(got) == 4  # 1 X-pair + 3 Y-pairs
     with _pytest.raises(ValueError):
         TSI.dtw_pairs(prof, "k", "p", bucket_col="w", max_keys=2)
+
+
+def test_holt_winters_exact_on_pure_seasonal_series(spark):
+    """A flat level + zero-sum weekly pattern is a fixed point of the
+    additive recursion under simple init: level stays exact, trend 0,
+    seasonal state reproduces the pattern, MAE 0, and every h-step
+    forecast lands exactly on the pattern's continuation."""
+    import datetime as dt
+    import pytest as _pytest
+    from timeseries_data_analysis_spark.operators import timeseries as TS
+
+    s = [3.0, -1.0, 2.0, -4.0, 1.0, 0.5, -1.5]   # sums to 0
+    days = [dt.datetime(2024, 1, 1) + dt.timedelta(days=i)
+            for i in range(28)]
+    rows = [("w", d, 10.0 + s[i % 7]) for i, d in enumerate(days)]
+    df = spark.createDataFrame(rows, "k string, d timestamp, y double")
+    out = {r["h"]: r for r in
+           TS.holt_winters_additive(df, "k", "d", "y", season=7,
+                                    horizon=7).collect()}
+    assert len(out) == 7
+    for h, r in out.items():
+        assert abs(r["level"] - 10.0) < 1e-9
+        assert abs(r["trend"]) < 1e-9
+        assert abs(r["mae"]) < 1e-9
+        assert abs(r["forecast"] - (10.0 + s[(28 - 1 + h) % 7])) < 1e-9
+    # contract: needs >= 2 seasons
+    short = spark.createDataFrame(rows[:10], "k string, d timestamp, y double")
+    with _pytest.raises(Exception):
+        TS.holt_winters_additive(short, "k", "d", "y",
+                                 season=7).collect()

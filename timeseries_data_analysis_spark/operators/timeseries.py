@@ -493,3 +493,74 @@ def ewma_recursive(df: DataFrame, key: str, ts_col: str, value_col: str,
     out_schema = (f"{key} string, {ts_col} timestamp, "
                   "y double, ewma double")
     return df.groupBy(key).applyInPandas(fit, out_schema)
+
+
+def holt_winters_additive(df: DataFrame, key: str, ts_col: str,
+                          value_col: str, season: int = 7,
+                          alpha: float = 0.3, beta: float = 0.1,
+                          gamma: float = 0.2,
+                          horizon: int = 7) -> DataFrame:
+    """Holt-Winters ADDITIVE triple exponential smoothing per series
+    (Winters 1960) — the seasonal member of the ETS family, extending
+    :func:`holt_linear` with a length-``season`` seasonal state:
+
+        pred  = l + b + s[t % m]
+        l'    = alpha * (y_t − s[t % m]) + (1 − alpha) * (l + b)
+        b'    = beta * (l' − l) + (1 − beta) * b
+        s[t%m]' = gamma * (y_t − l') + (1 − gamma) * s[t % m]
+
+    Standard simple initialization: l₀ = mean of season 1, b₀ = (mean
+    of season 2 − mean of season 1)/m, s_i = y_i − l₀ over season 1;
+    the recursion starts at t = m. Requires ≥ 2·``season`` periods per
+    key (raises otherwise). One-step-ahead MAE accumulates from t = m.
+
+    Same execution contract as ``holt_linear``: per-series sequential
+    recursion in ``applyInPandas`` over the bounded calendar grid,
+    state = 2 + m doubles per series, operand order pinned so the
+    oracle's recursive CTE (list-state rebuild per step) replays
+    bit-identically.
+
+    Returns one row per (key, h) for h = 1..``horizon``:
+    ``(key, n_periods, h, forecast, level, trend, mae)`` with
+    ``forecast = l + h·b + s[(n − 1 + h) % m]``.
+    """
+    import pandas as pd
+
+    a, b_, g = float(alpha), float(beta), float(gamma)
+    m = int(season)
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col)
+        ys = pdf[value_col].tolist()
+        n = len(ys)
+        if n < 2 * m:
+            raise ValueError(
+                f"holt_winters_additive needs >= {2 * m} periods per "
+                f"key, got {n} for {pdf[key].iloc[0]!r} — densify the "
+                "grid upstream or shrink `season`")
+        mean1 = sum(ys[:m]) / m
+        mean2 = sum(ys[m:2 * m]) / m
+        l, b = mean1, (mean2 - mean1) / m
+        s = [ys[i] - mean1 for i in range(m)]
+        esum = 0.0
+        for t in range(m, n):
+            si = s[t % m]
+            pred = l + b + si
+            lnew = a * (ys[t] - si) + (1 - a) * (l + b)
+            bnew = b_ * (lnew - l) + (1 - b_) * b
+            s[t % m] = g * (ys[t] - lnew) + (1 - g) * si
+            esum = esum + abs(ys[t] - pred)
+            l, b = lnew, bnew
+        rows = []
+        for h in range(1, horizon + 1):
+            rows.append((pdf[key].iloc[0], n, h,
+                         l + h * b + s[(n - 1 + h) % m],
+                         l, b, esum / (n - m)))
+        return pd.DataFrame(rows, columns=[key, "n_periods", "h",
+                                           "forecast", "level", "trend",
+                                           "mae"])
+
+    out_schema = (f"{key} string, n_periods long, h int, "
+                  "forecast double, level double, trend double, "
+                  "mae double")
+    return df.groupBy(key).applyInPandas(fit, out_schema)

@@ -776,3 +776,123 @@ def psi_commit_batch(batch_df: DataFrame, batch_id: int,
     scores = psi_scores(batch_df, reference, key_col, value_col)
     (scores.write.mode("overwrite")
      .parquet(f"{out_path}/metrics_batch={batch_id}"))
+
+
+def quantile_sketch_sink(value_stream: DataFrame, state_path: str,
+                         key_col: str = "event_type",
+                         value_col: str = "value", k: int = 256):
+    """Streaming QUANTILE maintenance: a persisted deterministic
+    Munro-Paterson sketch (``operators/sketch.py``) merged with every
+    micro-batch — the continuous form of ``kll_day_partials`` and the
+    quantile leg of the streaming sketch family (dedup index, MG heavy
+    hitters, PSI). State is ≤ ``k`` weighted (value, level) rows per
+    key forever, while the stream is unbounded; the rank-error budget
+    grows only with the number of COMPACTIONS (each adds ≤ 2^h), never
+    with stream length directly.
+
+    Replay safety is the single-phase `heavy_hitters_sink` contract:
+    each batch writes its complete post-merge state to
+    ``state_path/state_batch=<batch_id>`` computed from the latest
+    committed state with id < batch_id — a crash-replayed batch
+    recomputes the identical state from the same predecessor. Read
+    quantile estimates with :func:`quantile_sketch_state_read`.
+    """
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        kll_commit_batch(batch_df, batch_id, state_path,
+                         key_col=key_col, value_col=value_col, k=k)
+
+    return (value_stream.writeStream.foreachBatch(process)
+            .outputMode("update"))
+
+
+def _kll_compact(items: list, k: int) -> list:
+    """Deterministic weighted compaction: while more than ``k`` (value,
+    h) items, pair-compact the LOWEST level holding ≥ 2 items — sort
+    its items by value, keep odd 0-based ranks at level h+1 (odd count:
+    the largest value stays at level h, uncompacted). Pure function of
+    the item multiset — replay-deterministic. Mirrors the batch
+    sketch's canonical construction (which IS iterated pair-compaction
+    of level 0)."""
+    from collections import defaultdict
+
+    levels: dict = defaultdict(list)
+    for v, h in items:
+        levels[h].append(v)
+    while sum(len(vs) for vs in levels.values()) > k:
+        pairable = [lv for lv, vs in levels.items() if len(vs) >= 2]
+        if not pairable:   # k singleton levels: nothing left to compact
+            break
+        h = min(pairable)
+        vs = sorted(levels[h])
+        keep_low = []
+        if len(vs) % 2 == 1:
+            keep_low = [vs[-1]]
+            vs = vs[:-1]
+        promoted = [vs[i] for i in range(1, len(vs), 2)]
+        levels[h] = keep_low
+        if not levels[h]:
+            del levels[h]
+        levels[h + 1].extend(promoted)
+    return sorted((v, h) for h, vs in levels.items() for v in vs)
+
+
+def kll_commit_batch(batch_df: DataFrame, batch_id: int, state_path: str,
+                     key_col: str = "event_type",
+                     value_col: str = "value", k: int = 256) -> None:
+    """One micro-batch of :func:`quantile_sketch_sink`, module-level so
+    tests can replay it against the crash window."""
+    import pandas as pd
+    from pyspark.errors import AnalysisException
+
+    from timeseries_data_analysis_spark.operators.sketch import (
+        quantile_sketch_state)
+
+    spark = batch_df.sparkSession
+    prev = None
+    try:
+        store = spark.read.parquet(state_path)
+        ids = [r["state_batch"] for r in
+               store.select("state_batch").distinct().collect()
+               if r["state_batch"] < batch_id]
+        if ids:
+            prev = (store.where(F.col("state_batch") == max(ids))
+                    .select("key", "h", "value"))
+    except AnalysisException as exc:
+        msg = str(exc)
+        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+            raise
+
+    batch_state = (quantile_sketch_state(
+        batch_df.select(F.col(key_col).alias("key"),
+                        F.col(value_col).alias("value")),
+        ["key"], "value", k=k)
+        .select("key", "h", "value"))
+    merged = batch_state if prev is None else batch_state.unionByName(prev)
+
+    def compact(pdf: pd.DataFrame) -> pd.DataFrame:
+        items = _kll_compact(
+            list(zip(pdf["value"], pdf["h"].astype(int))), k)
+        return pd.DataFrame({"key": pdf["key"].iloc[0],
+                             "value": [v for v, _ in items],
+                             "h": [h for _, h in items]})
+
+    out = (merged.groupBy("key")
+           .applyInPandas(compact, "key string, value double, h int")
+           .localCheckpoint())
+    (out.write.mode("overwrite")
+     .parquet(f"{state_path}/state_batch={batch_id}"))
+
+
+def quantile_sketch_state_read(spark: SparkSession, state_path: str,
+                               probs: tuple = (0.25, 0.5, 0.75, 0.9,
+                                               0.99)) -> DataFrame:
+    """Quantile estimates from the latest committed sketch state:
+    ``merged_quantile_estimates`` over the stored weighted items —
+    ``(key, p, est, w_total)`` where w_total is the sketch's rank mass
+    (≈ rows seen, minus boundary truncation)."""
+    from timeseries_data_analysis_spark.operators.sketch import (
+        merged_quantile_estimates)
+    store = spark.read.parquet(state_path)
+    latest = store.agg(F.max("state_batch").alias("b")).collect()[0]["b"]
+    state = store.where(F.col("state_batch") == latest)
+    return merged_quantile_estimates(state, ["key"], probs)
