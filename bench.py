@@ -173,7 +173,7 @@ def main() -> None:
     for name in ("ewma_exact", "kll_quantiles", "kll_rollup",
                  "triangle_stats_prod", "robust_regression",
                  "anomaly_ensemble", "theta_union_distinct",
-                 "ks_drift", "chi2_keywords"):
+                 "ks_drift", "chi2_keywords", "holt_winters"):
         r6[name] = timed(name)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
