@@ -4163,6 +4163,24 @@ def q_holt_winters(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("event_type", "h"))
 
 
+def q_weighted_reservoir(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis 2006):
+    top-100 documents by the deterministic exponential key ln(u)/w —
+    u the md5 60-bit uniform of doc_id, w the composite quality score —
+    the fixed-SIZE counterpart to `quality_weighted_sample`'s Bernoulli
+    keep/drop (that one fixes the RATE). No rand() anywhere, so the
+    sample MEMBERSHIP itself is oracle-checked, not just its summary
+    stats; keys are ranked ROUNDED with a doc_id tiebreak (the
+    ppl_buckets ordering contract) so libm ulps cannot flip the cut.
+    One projection + one global top-k (TakeOrdered), no sort, no
+    shuffle beyond the k rows."""
+    docs = load_table(spark, sf, "documents")
+    out = SMP.weighted_reservoir(docs, TX.quality_score("text"),
+                                 "doc_id", k=100)
+    return (out.select("doc_id", "source", "es_key")
+            .orderBy(F.col("es_key").desc(), "doc_id"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's anomaly detector over sf0.001 events."""
     return q_anomaly_detect(spark, SF_SMOKE)
@@ -4195,6 +4213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "chi2_keywords": q_chi2_keywords,
         "holt_winters": q_holt_winters,
+        "weighted_reservoir": q_weighted_reservoir,
         # --- the 35 round-5 third/fourth-batch rows: judge-green in r5,
         #     never driver-checked — the full remaining evidence ledger ---
         "pagerank_neardup": q_pagerank_neardup,
@@ -8945,6 +8964,38 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT source, tok, n_in_source, chi2, rk::INTEGER AS rk
         FROM ranked WHERE rk <= 5
+    """
+
+    # Efraimidis-Spirakis weighted reservoir: the exponential key and
+    # the top-k cut replay exactly (rounded key + doc_id tiebreak)
+    sql["weighted_reservoir"] = rf"""
+        WITH t AS (
+            SELECT doc_id, source,
+                   CASE WHEN len(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+                   len(regexp_replace(text, '\s', '', 'g')) AS nonspace,
+                   len(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS punct,
+                   len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                   x -> list_contains({stop_en}, x))) AS hits,
+                   len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tok_l
+            FROM documents),
+        q AS (
+            SELECT doc_id, source,
+                   0.4 * (CASE WHEN n_tok BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END)
+                 + 0.3 * (1.0 - CASE WHEN nonspace <> 0
+                                THEN punct::DOUBLE / nonspace ELSE 0.0 END)
+                 + 0.3 * least(1.0, CASE WHEN n_tok_l <> 0
+                                    THEN hits::DOUBLE / n_tok_l ELSE 0.0 END * 5.0)
+                   AS quality
+            FROM t),
+        es AS (
+            SELECT doc_id, source,
+                   (round(ln(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                          / 1152921504606846976.0) / quality + 1e-9, 6)
+                    + 0.0) AS es_key
+            FROM q WHERE quality > 0)
+        SELECT doc_id, source, es_key FROM es
+        ORDER BY es_key DESC, doc_id LIMIT 100
     """
 
     # Holt-Winters additive: the triple-smoothing recursion replayed as

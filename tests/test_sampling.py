@@ -191,3 +191,33 @@ def test_heavy_hitters_partition_invariant_and_exact(spark):
     # the superset guarantee requires k >= threshold_inv
     with _pytest.raises(ValueError):
         SK.heavy_hitters(df, "item", threshold_inv=100, k=50)
+
+
+def test_weighted_reservoir_determinism_and_weight_monotonicity(spark):
+    """Efraimidis-Spirakis keys: deterministic under repartition, size
+    = min(k, eligible), non-positive/NULL weights drop, and for a FIXED
+    id (fixed uniform u) the key is strictly increasing in weight —
+    the property that makes heavier items likelier to survive the cut."""
+    from pyspark.sql import functions as F
+    from timeseries_data_analysis_spark.operators import sampling as SMP
+
+    rows = [(i, float((i % 7) + 1)) for i in range(60)]
+    rows += [(100, 0.0), (101, -2.0), (102, None)]   # dropped
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    a = SMP.weighted_reservoir(df, F.col("w"), "doc_id", k=20).collect()
+    b = SMP.weighted_reservoir(df.repartition(7), F.col("w"),
+                               "doc_id", k=20).collect()
+    assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in b)
+    assert len(a) == 20
+    assert not {100, 101, 102} & {r["doc_id"] for r in a}
+    small = SMP.weighted_reservoir(df.filter("doc_id < 5"), F.col("w"),
+                                  "doc_id", k=20).collect()
+    assert len(small) == 5
+
+    # same id (same u), growing weight -> strictly larger key
+    one = spark.createDataFrame([(7, 1.0), (7, 2.0), (7, 8.0)],
+                                "doc_id long, w double")
+    keys = [r["es_key"] for r in
+            SMP.weighted_reservoir(one, F.col("w"), "doc_id", k=3)
+            .orderBy("w").collect()]
+    assert keys == sorted(keys) and len(set(keys)) == 3

@@ -170,3 +170,37 @@ def pack_next_fit(df: DataFrame, id_col: str, token_col: str,
             id_col: pdf["_id"].values, token_col: pdf["_tok"].values})
 
     return base.groupBy("bucket").applyInPandas(pack, schema)
+
+
+def weighted_reservoir(df: DataFrame, weight: Column, id_col: str,
+                       k: int = 200, digits: int = 6) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via Efraimidis-Spirakis
+    (2006) exponential keys — the principled fixed-size companion to
+    :func:`weighted_hash_sample`'s Bernoulli keep/drop: every row draws
+    key = ln(u)/w (u the deterministic md5 60-bit uniform of its id,
+    w its weight) and the top-``k`` keys ARE a weighted without-
+    replacement sample. Deterministic end to end — no rand(), so the
+    SAMPLE MEMBERSHIP itself replays in any engine with md5 + ln.
+
+    The ranking key is ROUNDED to ``digits`` dp with an ``id_col``
+    tiebreak before the top-k cut (the `ppl_buckets` ordering contract:
+    cross-engine libm ulps cannot flip a boundary). Weights must be
+    > 0; NULL or non-positive weights drop the row (documented, like
+    `weighted_hash_sample`'s NULL contract).
+
+    Scale shape: one projection + one global top-k (TakeOrdered — never
+    a full sort); the reservoir semantics need no state because the
+    key is a pure function of (id, weight).
+
+    Returns the sampled rows with their ``es_key`` (rounded).
+    """
+    from timeseries_data_analysis_spark.operators.sketch import hash_frac
+
+    u = hash_frac(F.col(id_col).cast("string"))
+    # + 0.0 normalizes the -0.0 a near-1 u would round to (hash-fidelity)
+    key = F.round(F.log(u) / weight + F.lit(1e-9), digits) + F.lit(0.0)
+    scored = (df.withColumn("_w", weight)
+              .filter(F.col("_w").isNotNull() & (F.col("_w") > 0))
+              .withColumn("es_key", key))
+    return (scored.orderBy(F.col("es_key").desc(), F.col(id_col))
+            .limit(k).drop("_w"))
