@@ -4148,11 +4148,22 @@ def q_holt_winters(spark: SparkSession, sf: str) -> DataFrame:
     CTE whose SEASONAL LIST state is rebuilt per step with
     `list_transform`, init means via explicit left-fold `list_reduce`
     so even the initialization sums in the same float order."""
-    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    ev = (load_table(spark, sf, "events")
+          .filter(F.col("value").isNotNull()
+                  & F.col("event_type").isNotNull()))
     daily = (ev.groupBy("event_type",
                         F.date_trunc("day", F.col("ts")).alias("_d"))
              .agg(_r(F.avg("value"), 4).alias("_m")))
-    out = TS.holt_winters_additive(daily, "event_type", "_d", "_m",
+    # production contract: series shorter than 2 seasons are SKIPPED
+    # (not failed) — the operator itself raises, the query pre-filters;
+    # NULL series keys are excluded explicitly (a join pre-filter would
+    # drop them silently — the oracle states the same WHERE)
+    enough = (daily.groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("_nd"))
+              .filter(F.col("_nd") >= 14).select("event_type"))
+    out = TS.holt_winters_additive(daily.join(F.broadcast(enough),
+                                              on="event_type"),
+                                   "event_type", "_d", "_m",
                                    season=7, alpha=0.3, beta=0.1,
                                    gamma=0.2, horizon=7)
     return (out.select("event_type", "n_periods", "h",
@@ -9007,11 +9018,14 @@ def oracle_sql() -> dict[str, str]:
         WITH RECURSIVE dv AS (
             SELECT event_type, date_trunc('day', ts) AS d,
                    (round(avg(value) + 1e-9, 4) + 0.0) AS m
-            FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+            FROM events
+            WHERE value IS NOT NULL AND event_type IS NOT NULL
+            GROUP BY 1, 2
         ), ser AS (
             SELECT event_type, list(m ORDER BY d) AS ys,
                    count(*)::BIGINT AS n
             FROM dv GROUP BY 1
+            HAVING count(*) >= 14
         ), init AS (
             SELECT event_type, ys, n,
                    list_reduce(ys[1:7], (x, y) -> x + y) / 7.0 AS mean1,

@@ -78,6 +78,10 @@ TEXT_QUERIES = [
     # round 5 second batch: PMI collocations (edge corpus mostly falls
     # below min-support — the empty/near-empty result must still agree)
     "pmi_cooccurrence", "source_datacard",
+    # round 6: chi2 keyword association (empty/whitespace/CJK token
+    # paths), ES weighted reservoir (quality-0 drops), triangle census
+    # on the minhash candidate graph (repeated-content docs pair up)
+    "chi2_keywords", "weighted_reservoir", "triangle_stats_prod",
 ]
 
 

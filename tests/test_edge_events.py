@@ -113,6 +113,13 @@ EVENT_QUERIES = [
     "cusum_changepoints", "seasonal_forecast_eval",
     "spearman_lag1", "winsorize_stats", "rolling_robust",
     "transition_matrix", "skew_report", "active_users", "cohort_retention",
+    # round 6: exact EWMA, deterministic quantile sketch + rollup,
+    # robust regression, ensemble outliers, KMV union, KS drift,
+    # Holt-Winters (short-series skip + NULL-key contracts on the
+    # NULL/NaN/duplicate-ts shapes the sf corpora never produce)
+    "ewma_exact", "kll_quantiles", "kll_rollup", "robust_regression",
+    "anomaly_ensemble", "theta_union_distinct", "ks_drift",
+    "holt_winters",
 ]
 
 
