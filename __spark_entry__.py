@@ -4192,6 +4192,102 @@ def q_weighted_reservoir(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy(F.col("es_key").desc(), "doc_id"))
 
 
+def q_cms_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min sketch frequency estimates (Cormode & Muthukrishnan
+    2005) audited against exact counts: 4×256 md5-hashed counters over
+    the user_id stream (`SK.cms_state` — state size fixed forever,
+    merge = cell-wise sum), probed for the top-20 users. The one-sided
+    guarantee is part of the output contract: `overcount = est − exact`
+    is ≥ 0 by construction and small for heavy items. Fourth member of
+    the mergeable sketch family (KMV distinct, MG heavy hitters,
+    MP quantiles, CMS frequencies), and like the others the md5 hash
+    family makes the STATE itself — every cell — oracle-replayable."""
+    ev = load_table(spark, sf, "events").withColumn(
+        "_uid", F.col("user_id").cast("string"))
+    state = SK.cms_state(ev, "_uid", depth=4, width=256)
+    exact = (ev.filter(F.col("_uid").isNotNull())
+             .groupBy("_uid").agg(F.count(F.lit(1)).alias("exact")))
+    top = exact.orderBy(F.col("exact").desc(), "_uid").limit(20)
+    est = SK.cms_estimate(state, top.select("_uid"), "_uid",
+                          depth=4, width=256)
+    return (est.join(top, est.item == top._uid)
+            .select(F.col("item").cast("bigint").alias("user_id"),
+                    "est", "exact",
+                    (F.col("est") - F.col("exact")).alias("overcount"))
+            .orderBy("user_id"))
+
+
+def q_ab_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Welch two-sample t-test per series: users hash-split into arms
+    A/B (pmod(user_id, 2) — the deterministic assignment an experiment
+    platform would persist), per-arm mean/variance of value, Welch t
+    statistic and Welch-Satterthwaite degrees of freedom — the
+    experiment-readout query, one distributed agg pass + scalar math
+    (no Python). Sample variances via the textbook n/(n−1) correction
+    on power sums so both engines compute identical doubles."""
+    ev = (load_table(spark, sf, "events")
+          .filter(F.col("value").isNotNull()
+                  & F.col("user_id").isNotNull())
+          .withColumn("_arm", F.pmod(F.col("user_id"), F.lit(2))))
+    g = (ev.groupBy("event_type", "_arm")
+         .agg(F.count(F.lit(1)).alias("_n"),
+              F.avg("value").alias("_m"),
+              F.var_samp("value").alias("_v")))
+    a = g.filter(F.col("_arm") == 0).select(
+        "event_type", F.col("_n").alias("n_a"),
+        F.col("_m").alias("_ma"), F.col("_v").alias("_va"))
+    b = g.filter(F.col("_arm") == 1).select(
+        "event_type", F.col("_n").alias("n_b"),
+        F.col("_m").alias("_mb"), F.col("_v").alias("_vb"))
+    j = a.join(b, on="event_type")
+    sa = F.col("_va") / F.col("n_a")
+    sb = F.col("_vb") / F.col("n_b")
+    t = (F.col("_ma") - F.col("_mb")) / F.sqrt(sa + sb)
+    dof = ((sa + sb) * (sa + sb)
+           / (sa * sa / (F.col("n_a") - 1) + sb * sb / (F.col("n_b") - 1)))
+    return (j.select("event_type", "n_a", "n_b",
+                     _r(F.col("_ma"), 4).alias("mean_a"),
+                     _r(F.col("_mb"), 4).alias("mean_b"),
+                     _r(t, 4).alias("welch_t"),
+                     _r(dof, 2).alias("welch_df"))
+            .orderBy("event_type"))
+
+
+def q_revenue_concentration(spark: SparkSession, sf: str) -> DataFrame:
+    """Revenue concentration audit: exact Gini coefficient over
+    per-customer revenue (rank-weighted-sum identity
+    G = 2·Σ i·xᵢ / (n·Σx) − (n+1)/n over ascending rank — one window
+    pass, no pairwise join) plus the top-1 % / top-10 % revenue shares
+    — the Lorenz-curve numbers a data-mixing or billing pipeline
+    monitors. Rank ties break on custkey so the statistic is
+    engine-deterministic, and the global rank is `TK.global_rank`'s
+    DISTRIBUTED two-pass (range repartition + broadcast offsets), not
+    a single-partition ORDER BY window — Gini needs a global CDF, but
+    it does not need one task. Single-row output."""
+    orders = load_table(spark, sf, "orders")
+    rev = (orders.groupBy("o_custkey")
+           .agg(_r(F.sum("o_totalprice"), 4).alias("_rev")))
+    ranked = TK.global_rank(rev, ["_rev", "o_custkey"], rank_col="_i")
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("_rev").alias("_tot"),
+        F.sum(F.col("_i") * F.col("_rev")).alias("_iw"))
+    n = F.col("n_customers")
+    gini = (F.lit(2.0) * F.col("_iw") / (n * F.col("_tot"))
+            - (n + F.lit(1)) / n)
+    top = ranked.crossJoin(F.broadcast(agg)).select(
+        F.when(F.col("_i") > n - F.ceil(n * F.lit(0.01)), F.col("_rev"))
+        .otherwise(F.lit(0.0)).alias("_t1"),
+        F.when(F.col("_i") > n - F.ceil(n * F.lit(0.10)), F.col("_rev"))
+        .otherwise(F.lit(0.0)).alias("_t10"),
+        F.col("_tot"))
+    shares = top.agg(
+        _r(F.sum("_t1") / F.max("_tot"), 6).alias("top1pct_share"),
+        _r(F.sum("_t10") / F.max("_tot"), 6).alias("top10pct_share"))
+    return (agg.select("n_customers", _r(gini, 6).alias("gini"))
+            .crossJoin(F.broadcast(shares)))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's anomaly detector over sf0.001 events."""
     return q_anomaly_detect(spark, SF_SMOKE)
@@ -4225,6 +4321,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_keywords": q_chi2_keywords,
         "holt_winters": q_holt_winters,
         "weighted_reservoir": q_weighted_reservoir,
+        "cms_counts": q_cms_counts,
+        "ab_test": q_ab_test,
+        "revenue_concentration": q_revenue_concentration,
         # --- the 35 round-5 third/fourth-batch rows: judge-green in r5,
         #     never driver-checked — the full remaining evidence ledger ---
         "pagerank_neardup": q_pagerank_neardup,
@@ -8975,6 +9074,100 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT source, tok, n_in_source, chi2, rk::INTEGER AS rk
         FROM ranked WHERE rk <= 5
+    """
+
+    # count-min sketch: every cell and every min-probe replayed
+    sql["cms_counts"] = """
+        WITH it AS (
+            SELECT user_id::VARCHAR AS item FROM events
+            WHERE user_id IS NOT NULL
+        ), cells AS (
+            SELECT rr.r,
+                   ('0x' || substr(md5(rr.r::VARCHAR || '|' || item),
+                                   1, 15))::BIGINT % 256 AS c,
+                   count(*)::BIGINT AS cnt
+            FROM it, range(0, 4) rr(r)
+            GROUP BY 1, 2
+        ), exact AS (
+            SELECT item, count(*)::BIGINT AS exact FROM it GROUP BY 1
+        ), top AS (
+            SELECT item, exact FROM exact
+            ORDER BY exact DESC, item LIMIT 20
+        ), probes AS (
+            SELECT t.item, rr.r,
+                   ('0x' || substr(md5(rr.r::VARCHAR || '|' || t.item),
+                                   1, 15))::BIGINT % 256 AS c
+            FROM top t, range(0, 4) rr(r)
+        ), est AS (
+            SELECT p.item, min(coalesce(cells.cnt, 0))::BIGINT AS est
+            FROM probes p
+            LEFT JOIN cells ON cells.r = p.r AND cells.c = p.c
+            GROUP BY 1
+        )
+        SELECT est.item::BIGINT AS user_id, est.est, top.exact,
+               (est.est - top.exact)::BIGINT AS overcount
+        FROM est JOIN top USING (item)
+    """
+
+    # Welch two-sample t-test: per-arm moments + scalar math
+    sql["ab_test"] = """
+        WITH v AS (
+            SELECT event_type, user_id % 2 AS arm, value FROM events
+            WHERE value IS NOT NULL AND user_id IS NOT NULL
+        ), g AS (
+            SELECT event_type, arm, count(*)::BIGINT AS n,
+                   avg(value) AS m, var_samp(value) AS vv
+            FROM v GROUP BY 1, 2
+        ), j AS (
+            SELECT a.event_type, a.n AS n_a, b.n AS n_b,
+                   a.m AS ma, b.m AS mb,
+                   a.vv / a.n AS sa, b.vv / b.n AS sb
+            FROM g a JOIN g b ON a.event_type = b.event_type
+            WHERE a.arm = 0 AND b.arm = 1
+        )
+        SELECT event_type, n_a, n_b,
+               (round(ma + 1e-9, 4) + 0.0) AS mean_a,
+               (round(mb + 1e-9, 4) + 0.0) AS mean_b,
+               (round((ma - mb) / sqrt(sa + sb) + 1e-9, 4) + 0.0)
+                   AS welch_t,
+               (round((sa + sb) * (sa + sb)
+                      / (sa * sa / (n_a - 1) + sb * sb / (n_b - 1))
+                      + 1e-9, 2) + 0.0) AS welch_df
+        FROM j
+    """
+
+    # Gini via the rank-weighted-sum identity + Lorenz top shares
+    sql["revenue_concentration"] = """
+        WITH rev AS (
+            SELECT o_custkey,
+                   (round(sum(o_totalprice) + 1e-9, 4) + 0.0) AS r
+            FROM orders GROUP BY 1
+        ), rk AS (
+            SELECT o_custkey, r,
+                   row_number() OVER (ORDER BY r, o_custkey) AS i
+            FROM rev
+        ), agg AS (
+            SELECT count(*)::BIGINT AS n, sum(r) AS tot,
+                   sum(i * r) AS iw
+            FROM rk
+        ), th AS (
+            SELECT n, tot, iw,
+                   n - CAST(ceil(n * 0.01::DOUBLE) AS BIGINT) AS c1,
+                   n - CAST(ceil(n * 0.10::DOUBLE) AS BIGINT) AS c10
+            FROM agg
+        ), sh AS (
+            SELECT sum(CASE WHEN rk.i > th.c1 THEN rk.r ELSE 0.0 END)
+                       AS t1,
+                   sum(CASE WHEN rk.i > th.c10 THEN rk.r ELSE 0.0 END)
+                       AS t10
+            FROM rk CROSS JOIN th
+        )
+        SELECT th.n AS n_customers,
+               (round(2.0 * th.iw / (th.n * th.tot)
+                      - (th.n + 1.0) / th.n + 1e-9, 6) + 0.0) AS gini,
+               (round(sh.t1 / th.tot + 1e-9, 6) + 0.0) AS top1pct_share,
+               (round(sh.t10 / th.tot + 1e-9, 6) + 0.0) AS top10pct_share
+        FROM th CROSS JOIN sh
     """
 
     # Efraimidis-Spirakis weighted reservoir: the exponential key and

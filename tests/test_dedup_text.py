@@ -841,3 +841,44 @@ def test_bpe_local_matches_distributed_and_reference(spark):
                for r in TOKZ.bpe_learn_merges_local(docs, n_merges=12)
                .orderBy("rank").collect()]
     assert dist == local12
+
+
+def test_cms_never_undercounts_and_merges(spark):
+    """Count-min guarantees: est >= exact for EVERY item (one-sided
+    error), bounded overcount for heavy items, and cell-wise-sum merge
+    of two partitions' states == state of the union."""
+    from pyspark.sql import functions as F
+    from timeseries_data_analysis_spark.operators import sketch as SK
+
+    items = ([f"hot{i}" for i in range(5) for _ in range(60 - 10 * i)]
+             + [f"cold{i}" for i in range(400)])
+    df = spark.createDataFrame([(x,) for x in items], "item string")
+    d, w = 4, 64
+    state = SK.cms_state(df, "item", depth=d, width=w)
+    probe = spark.createDataFrame(
+        [(x,) for x in set(items)], "item string")
+    est = {r["item"]: r["est"] for r in
+           SK.cms_estimate(state, probe, "item", depth=d, width=w)
+           .collect()}
+    from collections import Counter
+    true = Counter(items)
+    n = len(items)
+    for it, c in true.items():
+        assert est[it] >= c, it                    # never undercounts
+    # heavy items stay near-exact: CM error bound e*N/w w.h.p.
+    import math
+    bound = math.e * n / w
+    for i in range(5):
+        it = f"hot{i}"
+        assert est[it] - true[it] <= bound, it
+
+    # merge law: state(A) +cell state(B) == state(A ∪ B)
+    half = len(items) // 2
+    a = spark.createDataFrame([(x,) for x in items[:half]], "item string")
+    b = spark.createDataFrame([(x,) for x in items[half:]], "item string")
+    merged = (SK.cms_state(a, "item", d, w)
+              .unionByName(SK.cms_state(b, "item", d, w))
+              .groupBy("r", "c").agg(F.sum("cnt").alias("cnt")))
+    got = sorted((r["r"], r["c"], r["cnt"]) for r in merged.collect())
+    want = sorted((r["r"], r["c"], r["cnt"]) for r in state.collect())
+    assert got == want

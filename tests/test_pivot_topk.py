@@ -95,3 +95,23 @@ def test_label_centroid_pairs_bounds(spark, sf_dir):
     pairs = SIM.centroid_cosine_pairs(cents).collect()
     assert len(pairs) == n_labels * (n_labels - 1) // 2
     assert all(-1.0 - 1e-9 <= r["cos_sim"] <= 1.0 + 1e-9 for r in pairs)
+
+
+def test_global_rank_matches_single_partition_window(spark):
+    """Distributed two-pass ranking must assign exactly the ranks a
+    single-partition ORDER BY window would, for any range-boundary
+    placement (total-order key)."""
+    import random
+
+    from pyspark.sql import Window, functions as F
+    from timeseries_data_analysis_spark.operators import topk as TK
+
+    rng = random.Random(9)
+    rows = [(i, rng.uniform(0, 100)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v double").repartition(13)
+    got = {r["id"]: r["rank"] for r in
+           TK.global_rank(df, ["v", "id"]).collect()}
+    w = Window.orderBy("v", "id")
+    want = {r["id"]: r["rn"] for r in
+            df.withColumn("rn", F.row_number().over(w)).collect()}
+    assert got == {k: int(v) for k, v in want.items()}

@@ -265,3 +265,54 @@ def merged_quantile_estimates(states: DataFrame, group_cols: list[str],
             .groupBy(*group_cols, "p")
             .agg(F.min("value").alias("est"),
                  F.max("w_total").alias("w_total")))
+
+
+def cms_state(df: DataFrame, item_col: str, depth: int = 4,
+              width: int = 256) -> DataFrame:
+    """Count-min sketch state (Cormode & Muthukrishnan 2005): ``depth``
+    independent hash rows × ``width`` counters; every item increments
+    cell (r, md5(r || item) % width) for each row r. The classic
+    mergeable frequency summary — state is depth×width counters
+    regardless of stream length, merge = cell-wise addition (a plain
+    groupBy-sum over the union of states), and the point estimate
+    min_r cell(r, h_r(x)) NEVER undercounts (one-sided error ≤
+    e·N/width with probability 1−e^−depth).
+
+    Like every sketch here the hash family is md5-derived, so the
+    STATE ITSELF replays in any SQL engine — the oracle rebuilds every
+    cell and every estimate, not just sanity totals. NULL items drop.
+
+    Scale shape: one explode (depth rows per item — map-side combined
+    into ≤ depth·width cells) and nothing else; the shuffle carries at
+    most depth·width rows per partition.
+
+    Returns ``(r, c, cnt)`` cell rows.
+    """
+    rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("r")
+    cells = (df.select(F.col(item_col).alias("_it")).filter(
+                F.col("_it").isNotNull())
+             .select("_it", rows)
+             .select("r", (F.conv(F.substring(
+                 F.md5(F.concat(F.col("r").cast("string"), F.lit("|"),
+                                F.col("_it").cast("string"))), 1, 15),
+                 16, 10).cast("bigint") % width).alias("c")))
+    return cells.groupBy("r", "c").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(state: DataFrame, items: DataFrame, item_col: str,
+                 depth: int = 4, width: int = 256) -> DataFrame:
+    """Point estimates from a CMS state for the given items: min over
+    the depth rows of the item's cells. ``items`` is a bounded frame
+    (the candidates you care about — e.g. heavy-hitter output); the
+    probe is a broadcast join against the ≤ depth·width-cell state."""
+    rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("r")
+    probes = (items.select(F.col(item_col).alias("item")).distinct()
+              .select("item", rows)
+              .select("item", "r", (F.conv(F.substring(
+                  F.md5(F.concat(F.col("r").cast("string"), F.lit("|"),
+                                 F.col("item").cast("string"))), 1, 15),
+                  16, 10).cast("bigint") % width).alias("c")))
+    return (probes.join(state, on=["r", "c"], how="left")
+            .groupBy("item")
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .alias("est")))

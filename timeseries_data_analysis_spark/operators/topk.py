@@ -48,3 +48,34 @@ def stride_sample(df: DataFrame, order_by: list[Column], k: int,
     w = Window.partitionBy(*part).orderBy(*order_by) if part else Window.orderBy(*order_by)
     return (df.withColumn("_rn", F.row_number().over(w))
             .filter((F.col("_rn") - 1) % k == 0).drop("_rn"))
+
+
+def global_rank(df: DataFrame, order_cols: list[str],
+                rank_col: str = "rank") -> DataFrame:
+    """Distributed GLOBAL 1-based ranking — the scalable replacement
+    for ``row_number() OVER (ORDER BY …)``, whose empty partition
+    clause funnels every row through ONE task (the single-partition
+    anti-pattern `tools/explain_audit.py` flags).
+
+    Two passes: range-repartition + sort on the order keys, a
+    per-partition ``row_number``, then a broadcast cumulative offset of
+    per-partition counts (one tiny #partitions-row window). With a
+    TOTAL order key (add a unique tiebreak column) the assigned ranks
+    are identical to the single-partition form regardless of where the
+    range boundaries land, so the result stays engine-deterministic
+    and oracle-checkable while the sort itself distributes.
+    """
+    d = (df.repartitionByRange(*[F.col(c) for c in order_cols])
+         .sortWithinPartitions(*order_cols)
+         .withColumn("_pid", F.spark_partition_id()))
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    d = d.withColumn("_lr", F.row_number().over(w))
+    offs = d.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    wo = (Window.orderBy("_pid")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offs = offs.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(wo), F.lit(0)))
+    return (d.join(F.broadcast(offs.select("_pid", "_off")), on="_pid")
+            .withColumn(rank_col, (F.col("_lr") + F.col("_off"))
+                        .cast("bigint"))
+            .drop("_pid", "_lr", "_off"))
