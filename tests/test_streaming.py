@@ -860,3 +860,60 @@ def test_quantile_sketch_sink_bounds_and_crash_replay(spark, tmp_path):
                   rows2.where(rows2.state_batch == b2).collect())
     got1 = sorted((r["key"], r["h"], r["value"]) for r in rows)
     assert got1 == got2 and b2 == b
+
+
+def test_stream_stream_interval_join_matches_batch(spark):
+    """Stream-stream interval join == the batch inner join with the
+    identical condition, across micro-batch boundaries (state must
+    buffer clicks until their purchase window closes)."""
+    import tempfile
+    from pyspark.sql.types import (LongType, StructField, StructType,
+                                   TimestampType)
+    from timeseries_data_analysis_spark.streaming import jobs as SJ
+
+    c_schema = StructType([StructField("user_id", LongType()),
+                           StructField("c_ts", TimestampType()),
+                           StructField("click_id", LongType())])
+    p_schema = StructType([StructField("user_id", LongType()),
+                           StructField("p_ts", TimestampType()),
+                           StructField("purchase_id", LongType())])
+    from datetime import datetime, timedelta
+    base = datetime(2024, 6, 1)
+    clicks = [(1, base + timedelta(minutes=m), i)
+              for i, m in enumerate([0, 10, 70, 200])]
+    clicks += [(2, base + timedelta(minutes=5), 100)]
+    purchases = [(1, base + timedelta(minutes=m), 1000 + i)
+                 for i, m in enumerate([30, 75, 210, 500])]
+    purchases += [(2, base + timedelta(minutes=64), 1100),
+                  (3, base + timedelta(minutes=8), 1200)]
+
+    d = tempfile.mkdtemp(prefix="ssj_")
+    try:
+        cdf = spark.createDataFrame(clicks, c_schema)
+        pdf_ = spark.createDataFrame(purchases, p_schema)
+        # two files per side -> multiple micro-batches
+        cdf.limit(3).coalesce(1).write.parquet(f"{d}/c/f0")
+        cdf.subtract(cdf.limit(3)).coalesce(1).write.parquet(f"{d}/c/f1")
+        pdf_.limit(3).coalesce(1).write.parquet(f"{d}/p/f0")
+        pdf_.subtract(pdf_.limit(3)).coalesce(1).write.parquet(f"{d}/p/f1")
+
+        cs = SJ.stream_source(spark, f"{d}/c/*", c_schema)
+        ps = SJ.stream_source(spark, f"{d}/p/*", p_schema)
+        out = SJ.stream_stream_interval_join(cs, ps)
+        q = (out.writeStream.format("memory").queryName("ssj_sink")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {(r["click_id"], r["purchase_id"]) for r in
+               spark.sql("SELECT * FROM ssj_sink").collect()}
+
+        cond = ((cdf.user_id == pdf_.user_id)
+                & (pdf_.p_ts > cdf.c_ts)
+                & (pdf_.p_ts <= F.expr("c_ts + INTERVAL 1 hour")))
+        want = {(r["click_id"], r["purchase_id"]) for r in
+                cdf.join(pdf_, cond, "inner").collect()}
+        assert got == want and len(want) > 0
+        # the join window really constrains: user 1 click at minute 200
+        # matches the 210 purchase but not the 500 one
+        assert (3, 1002) in want and (3, 1003) not in want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -13,7 +13,9 @@ Here the same semantics are real Structured Streaming jobs:
                                    the reference's duplicate-mean collapse)
   +   continuous-corpus dedup    → foreachBatch digest-index anti-join
   +   stream-static enrichment   → broadcast dim join, no stream state
+  +   stream-stream interval join → watermarked two-sided join state
   +   stateful anomaly/sessions  → applyInPandasWithState
+  +   sketch maintenance sinks   → MG heavy hitters, MP quantiles, PSI
 
 Scale design: the streaming plans are the SAME DataFrame expressions as
 the batch layer (one definition, two execution modes) — batch/stream
@@ -896,3 +898,34 @@ def quantile_sketch_state_read(spark: SparkSession, state_path: str,
     latest = store.agg(F.max("state_batch").alias("b")).collect()[0]["b"]
     state = store.where(F.col("state_batch") == latest)
     return merged_quantile_estimates(state, ["key"], probs)
+
+
+def stream_stream_interval_join(clicks: DataFrame, purchases: DataFrame,
+                                key_col: str = "user_id",
+                                click_ts: str = "c_ts",
+                                purchase_ts: str = "p_ts",
+                                lookforward: str = "1 hour",
+                                watermark: str = "2 hours") -> DataFrame:
+    """STREAM-STREAM interval join — the §2.9 shape the stream-static
+    enrichment join cannot express: click and purchase streams joined
+    per key with ``purchase_ts`` inside (click_ts, click_ts +
+    ``lookforward``], both sides watermarked so Spark can bound the
+    join STATE (each side buffers only rows young enough to still find
+    a partner — without the time condition + watermarks the state would
+    grow forever and Spark rejects the plan in append mode).
+
+    Semantics are the BATCH inner join with the identical condition —
+    equivalence is a test invariant (`test_streaming.py`), the same
+    one-definition-two-modes contract as every streaming op here.
+
+    Scale shape: co-partitioned by the join key (one exchange per
+    side); state per key = the rows inside the watermark horizon.
+    """
+    l = clicks.withWatermark(click_ts, watermark)
+    r = purchases.withWatermark(purchase_ts, watermark)
+    cond = (
+        (l[key_col] == r[key_col])
+        & (r[purchase_ts] > l[click_ts])
+        & (r[purchase_ts]
+           <= F.expr(f"{click_ts} + INTERVAL {lookforward}")))
+    return l.join(r, cond, "inner").drop(r[key_col])
