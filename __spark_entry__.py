@@ -4296,15 +4296,19 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS DELIBERATE: the driver's correctness gate checks
     the first 50 entries per round. Round 6 closes the only open
-    evidence ledger from round 5's verdict: queries ADDED or CHANGED in
-    round 6 lead (never driver-checked — newest code first), then ALL 35
-    round-5 third/fourth-batch rows (``pagerank_neardup`` …
-    ``source_datacard``) whose only evidence so far is the judge's
-    full-gate run. New + 35 ≤ 50, so after this round every registry row
-    has driver evidence. Behind the checked front: the 50 rows the
-    driver greened in round 5 (freshest driver evidence), then the
-    r4 and r3 driver-greens (stable built-in-heavy paths, least at
-    risk)."""
+    evidence ledger from round 5's verdict: 15 of the 17 queries ADDED
+    in round 6 lead (never driver-checked — newest custom-operator code
+    first), then ALL 35 round-5 third/fourth-batch rows
+    (``pagerank_neardup`` … ``source_datacard``) whose only evidence so
+    far is the judge's full-gate run — 15 + 35 = 50 exactly, so after
+    this round every pre-round-6 row has driver evidence. The two
+    round-6 additions with the LEAST custom-helper surface (``ab_test``
+    — pure moment aggs + scalar math; ``entity_resolution`` — plain
+    blocked join on built-in levenshtein) sit at slots 51-52, first in
+    line for round 7 (the same least-surface-waits-longest rule round 5
+    applied to its stale ledger). Behind them: the 50 rows the driver
+    greened in round 5, then the r4 and r3 driver-greens (stable
+    built-in-heavy paths, least at risk)."""
     return {
         # --- round-6 new/changed queries: first driver evidence needed ---
         "ewma_exact": q_ewma_exact,
@@ -4314,7 +4318,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_regression": q_robust_regression,
         "bipartite_projection": q_bipartite_projection,
         "anomaly_ensemble": q_anomaly_ensemble,
-        "entity_resolution": q_entity_resolution,
         "allocation_audit": q_allocation_audit,
         "theta_union_distinct": q_theta_union_distinct,
         "ks_drift": q_ks_drift,
@@ -4322,7 +4325,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_winters": q_holt_winters,
         "weighted_reservoir": q_weighted_reservoir,
         "cms_counts": q_cms_counts,
-        "ab_test": q_ab_test,
         "revenue_concentration": q_revenue_concentration,
         # --- the 35 round-5 third/fourth-batch rows: judge-green in r5,
         #     never driver-checked — the full remaining evidence ledger ---
@@ -4361,6 +4363,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "active_users": q_active_users,
         "cohort_retention": q_cohort_retention,
         "source_datacard": q_source_datacard,
+        # --- slots 51-52: the two least-custom-surface round-6 rows ---
+        "ab_test": q_ab_test,
+        "entity_resolution": q_entity_resolution,
         # --- r5 driver-greens (evidence of record: CORRECTNESS_r05) ---
         "dup_passages": q_dup_passages,
         "bpe_compression": q_bpe_compression,
