@@ -53,7 +53,8 @@ from timeseries_data_analysis_spark.session import get_spark  # noqa: E402
 DEFAULT_QUERIES = [
     "ewma_exact", "kll_quantiles", "kll_rollup", "triangle_stats_prod",
     "robust_regression", "anomaly_ensemble", "theta_union_distinct",
-    "ks_drift", "chi2_keywords",
+    "ks_drift", "chi2_keywords", "holt_winters", "weighted_reservoir",
+    "cms_counts", "ab_test",
 ]
 
 
