@@ -171,3 +171,39 @@ def test_real_decoders_through_spark_path(spark):
     # real WAV decode overrides the (wrong) metadata duration
     assert aud["est_duration_ms"][0] == 250
     assert abs(aud["rms"][0] - 0.25 / 2 ** 0.5) < 0.01
+
+
+def test_image_dhash_near_dup_pairing(spark):
+    """dHash: a lightly-edited image lands within a few Hamming bits of
+    its original while a structurally different image lands far away;
+    the generic banded hamming_pairs join surfaces exactly the near-dup
+    pair. Non-image payloads take the documented md5-stub path."""
+    from timeseries_data_analysis_spark.operators import (
+        dedup as DD, multimodal as MM)
+
+    def pgm(pix, w=32, h=32):
+        return f"P5 {w} {h} 255\n".encode() + bytes(pix)
+
+    grad = [min(255, x * 8) for y in range(32) for x in range(32)]
+    near = list(grad)
+    for i in range(0, 40):             # light edit: small local change
+        near[i] = min(255, near[i] + 6)
+    vert = [min(255, y * 8) for y in range(32) for x in range(32)]
+    rows = [(1, bytearray(pgm(grad))), (2, bytearray(pgm(near))),
+            (3, bytearray(pgm(vert))), (4, bytearray(b"not an image"))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: (r["dhash"], r["decoded"])
+           for r in MM.image_dhash(df).collect()}
+    assert got[4][1] == 0 and all(got[i][1] == 1 for i in (1, 2, 3))
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(got[1][0], got[2][0]) <= 3      # near-dup stays close
+    assert ham(got[1][0], got[3][0]) > 10      # different image far
+
+    hdf = MM.image_dhash(df).filter("decoded = 1")
+    pairs = {(r["id_l"], r["id_r"]): r["hamming"] for r in
+             DD.hamming_pairs(hdf, "media_id", "dhash",
+                              bits=64, bands=4, max_hamming=3).collect()}
+    assert set(pairs) == {(1, 2)}

@@ -759,3 +759,49 @@ def repetition_profile(docs: DataFrame, text_col: str = "text",
                 F.coalesce("top_bigram", F.lit("")).alias("top_bigram"),
                 F.coalesce(F.col("_top_chars") / F.col("_wchars"), zero)
                 .alias("top_bigram_share")))
+
+
+def hamming_pairs(fps: DataFrame, id_col: str, fp_col: str,
+                  bits: int = 64, bands: int = 4,
+                  max_hamming: int = 3,
+                  max_bucket: int | None = None) -> DataFrame:
+    """Banded Hamming-distance pair join over a PRECOMPUTED fingerprint
+    column — the generic form of :func:`simhash_hamming_pairs`'s band
+    join, for fingerprints that do not come from text shingles (e.g.
+    the image dHash in ``operators/multimodal.py``). Same pigeonhole
+    contract (finds all pairs within ``bands − 1``), same chunk
+    equi-join shape (never all-pairs), same optional ``max_bucket``
+    skew cap.
+    """
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"banding finds all pairs only up to hamming {bands - 1}; "
+            f"got max_hamming={max_hamming}")
+    chunk_bits = bits // bands
+    mask = (1 << chunk_bits) - 1
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.shiftrightunsigned(F.col(fp_col), band * chunk_bits)
+            .bitwiseAND(F.lit(mask)).alias("chunk"))
+        for band in range(bands)]
+    chunks = fps.select(
+        F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp"),
+        F.explode(F.array(*band_structs)).alias("bc"),
+    ).select("_id", "_fp", "bc.band", "bc.chunk")
+    if max_bucket is not None:
+        chunks = chunks.withColumn(
+            "_bn", F.count(F.lit(1)).over(
+                Window.partitionBy("band", "chunk"))
+        ).filter(F.col("_bn") <= max_bucket).drop("_bn")
+    a = chunks.select(F.col("_id").alias("id_l"),
+                      F.col("_fp").alias("_fp_l"), "band", "chunk")
+    b = chunks.select(F.col("_id").alias("id_r"),
+                      F.col("_fp").alias("_fp_r"), "band", "chunk")
+    ham = F.bit_count(F.col("_fp_l").bitwiseXOR(F.col("_fp_r")))
+    return (a.join(b, on=["band", "chunk"])
+            .filter(F.col("id_l") < F.col("id_r"))
+            .select("id_l", "id_r", ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .groupBy("id_l", "id_r")
+            .agg(F.min("hamming").alias("hamming")))
