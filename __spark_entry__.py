@@ -4288,6 +4288,34 @@ def q_revenue_concentration(spark: SparkSession, sf: str) -> DataFrame:
             .crossJoin(F.broadcast(shares)))
 
 
+def q_rolling_corr(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling 7-day Pearson correlation between two series (click vs
+    view daily means) — the co-movement diagnostic the kiln dashboard
+    derives from zone pairs, as ONE native window aggregate: ``corr``
+    evaluated over a trailing ROW frame on the day-aligned pivot (full
+    frames only — partial windows emit NULL so the statistic never
+    rides 2-3 noisy points). Both engines evaluate sample correlation
+    over identical 4-dp day means; key-partition-free but
+    calendar-bounded (days), so the single partition holds ≤ 366 rows/
+    yr — the documented bounded-global-window contract."""
+    ev = (load_table(spark, sf, "events")
+          .filter(F.col("value").isNotNull()
+                  & F.col("event_type").isin("click", "view")))
+    daily = (ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+             .agg(_r(F.avg("value"), 4).alias("_m")))
+    wide = (daily.groupBy("day")
+            .pivot("event_type", ["click", "view"]).agg(F.max("_m")))
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    cnt = F.count(F.lit(1)).over(w)
+    return (wide.select(
+                "day",
+                F.col("click").alias("click_mean"),
+                F.col("view").alias("view_mean"),
+                _r(F.when(cnt == 7, F.corr("click", "view").over(w)), 6)
+                .alias("corr_7d"))
+            .orderBy("day"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's anomaly detector over sf0.001 events."""
     return q_anomaly_detect(spark, SF_SMOKE)
@@ -4363,9 +4391,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "active_users": q_active_users,
         "cohort_retention": q_cohort_retention,
         "source_datacard": q_source_datacard,
-        # --- slots 51-52: the two least-custom-surface round-6 rows ---
+        # --- slots 51-53: the least-custom-surface round-6 rows (pure
+        #     built-in agg/join/window paths — the same rule round 5
+        #     applied; first in line for round 7) ---
         "ab_test": q_ab_test,
         "entity_resolution": q_entity_resolution,
+        "rolling_corr": q_rolling_corr,
         # --- r5 driver-greens (evidence of record: CORRECTNESS_r05) ---
         "dup_passages": q_dup_passages,
         "bpe_compression": q_bpe_compression,
@@ -9079,6 +9110,32 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT source, tok, n_in_source, chi2, rk::INTEGER AS rk
         FROM ranked WHERE rk <= 5
+    """
+
+    # rolling correlation: corr() OVER a trailing ROW frame, full
+    # frames only; day means rounded 4 dp before the window
+    sql["rolling_corr"] = """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, event_type,
+                   (round(avg(value) + 1e-9, 4) + 0.0) AS m
+            FROM events
+            WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+            GROUP BY 1, 2
+        ), wide AS (
+            SELECT day,
+                   max(CASE WHEN event_type = 'click' THEN m END)
+                       AS click_mean,
+                   max(CASE WHEN event_type = 'view' THEN m END)
+                       AS view_mean
+            FROM daily GROUP BY 1
+        )
+        SELECT day, click_mean, view_mean,
+               (round(CASE WHEN count(*) OVER w = 7
+                      THEN corr(click_mean, view_mean) OVER w END
+                      + 1e-9, 6) + 0.0) AS corr_7d
+        FROM wide
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING
+                     AND CURRENT ROW)
     """
 
     # count-min sketch: every cell and every min-probe replayed

@@ -917,3 +917,29 @@ def test_stream_stream_interval_join_matches_batch(spark):
         assert (3, 1002) in want and (3, 1003) not in want
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_prune_state_dirs_keeps_replay_window(spark, tmp_path):
+    """Retention drops only the oldest state dirs, never the newest
+    keep_last (the crash-replay window), and the reader still resolves
+    the latest summary afterwards."""
+    import pytest as _pytest
+    from timeseries_data_analysis_spark.streaming import jobs as SJ
+
+    state = str(tmp_path / "kll_state")
+    for bid in range(5):
+        df = spark.createDataFrame(
+            [("a", float(v + bid)) for v in range(50)],
+            "event_type string, value double")
+        SJ.kll_commit_batch(df, bid, state, k=16)
+    deleted = SJ.prune_state_dirs(spark, state, keep_last=2)
+    assert deleted == [0, 1, 2]
+    left = {r["state_batch"] for r in
+            spark.read.parquet(state).select("state_batch")
+            .distinct().collect()}
+    assert left == {3, 4}
+    est = SJ.quantile_sketch_state_read(spark, state, probs=(0.5,))
+    assert est.count() == 1
+    with _pytest.raises(ValueError):
+        SJ.prune_state_dirs(spark, state, keep_last=1)
+    assert SJ.prune_state_dirs(spark, str(tmp_path / "nope")) == []

@@ -929,3 +929,39 @@ def stream_stream_interval_join(clicks: DataFrame, purchases: DataFrame,
         & (r[purchase_ts]
            <= F.expr(f"{click_ts} + INTERVAL {lookforward}")))
     return l.join(r, cond, "inner").drop(r[key_col])
+
+
+def prune_state_dirs(spark: SparkSession, state_path: str,
+                     keep_last: int = 3) -> list[int]:
+    """Retention for the single-phase sketch sinks (`heavy_hitters_sink`,
+    `quantile_sketch_sink`): drop all but the newest ``keep_last``
+    ``state_batch=<id>`` directories. The newest dir is all a reader
+    ever needs; older dirs exist only as a time-travel audit and as the
+    crash-replay predecessor, so ``keep_last`` must be ≥ 2 (the replay
+    of batch N reads the newest id < N). Uses the Hadoop FileSystem API,
+    so it works on any storage scheme the session can reach.
+
+    Returns the batch ids it deleted (sorted).
+    """
+    if keep_last < 2:
+        raise ValueError("keep_last must be >= 2: crash-replay of the "
+                         "newest batch reads its predecessor state")
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(state_path)
+    fs = path.getFileSystem(conf)
+    if not fs.exists(path):
+        return []
+    ids = []
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if name.startswith("state_batch="):
+            try:
+                ids.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    doomed = sorted(ids)[:-keep_last] if len(ids) > keep_last else []
+    for bid in doomed:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(
+            state_path, f"state_batch={bid}"), True)
+    return doomed
