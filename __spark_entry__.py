@@ -4316,6 +4316,155 @@ def q_rolling_corr(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("day"))
 
 
+def q_roc_auc(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed ROC-AUC of `value` as a score for purchase events —
+    the model-evaluation statistic every ranking/quality-score pipeline
+    reports, computed WITHOUT per-pair comparison via the tie-aware
+    cumulative identity AUC = Σ_s nпos_s·(cumNeg<s + nNeg_s/2)/(P·N)
+    (equivalently the Mann-Whitney U / (n₁n₂) rank-sum form). Rows
+    collapse to per-distinct-score (pos,neg) counts first, and the
+    global CDF-below comes from `TK.global_cumsum`'s DISTRIBUTED
+    two-pass prefix sum (range repartition + broadcast offsets) — an
+    AUC at 100 TB needs a global score order, not a single-task window.
+    Every contribution is an exact multiple of ½ (integer counts), so
+    the final double sum is exact and engine-deterministic below 2⁵³."""
+    ev = (load_table(spark, sf, "events")
+          .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull()))
+    lab = ev.select(
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("_y"))
+    g = (lab.groupBy("score")
+         .agg(F.sum("_y").alias("_np"),
+              F.sum(1 - F.col("_y")).alias("_nn")))
+    c = TK.global_cumsum(g, ["score"], "_nn", "_below", exclusive=True)
+    agg = c.agg(
+        F.sum("_np").alias("n_pos"),
+        F.sum("_nn").alias("n_neg"),
+        F.sum(F.col("_np") * (F.col("_below") + F.col("_nn") / F.lit(2.0)))
+        .alias("_u"))
+    return agg.select(
+        "n_pos", "n_neg",
+        _r(F.col("_u") / (F.col("n_pos") * F.col("n_neg")), 6).alias("auc"))
+
+
+def q_pacf_yw(spark: SparkSession, sf: str) -> DataFrame:
+    """Partial autocorrelation at lags 1-3 per series via the closed-form
+    Durbin-Levinson recursion on the sample ACF (φ₁₁=r₁;
+    φ₂₂=(r₂−r₁²)/(1−r₁²); φ₃₃ from the order-2 coefficients) — the
+    AR-order diagnostic that complements `acf_lags`' MA view. One window
+    pass builds all three lag columns, one agg computes the three
+    Pearson coefficients, and the recursion is scalar column algebra on
+    acf values ROUNDED to 6 dp first, so both engines run identical
+    doubles through identical operations — no iteration, no UDF, no
+    extra shuffle beyond the shared series exchange."""
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    w = WIN.series_window("event_type", ["ts", "event_id"])
+    d = ev.select("event_type", "value",
+                  *[F.lag("value", k).over(w).alias(f"_l{k}")
+                    for k in (1, 2, 3)])
+    g = (d.groupBy("event_type")
+         .agg(*[_r(F.corr("value", f"_l{k}"), 6).alias(f"_r{k}")
+                for k in (1, 2, 3)]))
+    r1, r2, r3 = F.col("_r1"), F.col("_r2"), F.col("_r3")
+    p22 = (r2 - r1 * r1) / (F.lit(1.0) - r1 * r1)
+    p21 = r1 * (F.lit(1.0) - p22)
+    p33 = ((r3 - p21 * r2 - p22 * r1)
+           / (F.lit(1.0) - p21 * r1 - p22 * r2))
+    g = g.select(
+        "event_type",
+        r1.alias("_p1"), _r(p22, 6).alias("_p2"), _r(p33, 6).alias("_p3"))
+    return (g.select("event_type",
+                     F.expr("stack(3, 1, _p1, 2, _p2, 3, _p3)"
+                            " AS (lag, pacf)"))
+            .orderBy("event_type", "lag"))
+
+
+def q_js_divergence(spark: SparkSession, sf: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's token distribution
+    from the corpus-wide distribution — the mixture-weighting diagnostic
+    a training-data pipeline uses to spot outlier sources before
+    temperature mixing. Support split: terms the source contains
+    contribute ½[p·ln(p/m)+q·ln(q/m)] via one broadcast join on the
+    global term counts; the source's MISSING global mass contributes in
+    closed form (q·ln 2 where p=0, since m=q/2 there), so the global
+    vocabulary is never re-scanned per source. Shuffle is (source,term)
+    counts only; per-term math happens before the final one-row-per-
+    source agg."""
+    docs = load_table(spark, sf, "documents")
+    toks = (docs.select("source", DD.tokens("text").alias("_t"))
+            .select("source", F.explode("_t").alias("term")))
+    st = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    gt = st.groupBy("term").agg(F.sum("c").alias("gc"))
+    totals = st.groupBy("source").agg(F.sum("c").alias("ns"))
+    gtot = gt.agg(F.sum("gc").alias("ng"))
+    j = (st.join(F.broadcast(gt), "term")
+         .join(F.broadcast(totals), "source")
+         .crossJoin(F.broadcast(gtot)))
+    p = F.col("c") / F.col("ns")
+    q = F.col("gc") / F.col("ng")
+    m = (p + q) / F.lit(2.0)
+    contrib = (p * F.log(p / m) + q * F.log(q / m)) / F.lit(2.0)
+    per_src = (j.groupBy("source")
+               .agg(F.max("ns").alias("n_tokens"),
+                    F.sum(contrib).alias("_shared"),
+                    F.sum(q).alias("_qcov")))
+    ln2 = F.log(F.lit(2.0))
+    return (per_src.select(
+                "source", "n_tokens",
+                _r(F.col("_shared")
+                   + (F.lit(1.0) - F.col("_qcov")) * ln2 / F.lit(2.0), 6)
+                .alias("js_nats"))
+            .orderBy("source"))
+
+
+def q_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperLogLog distinct-count per event_type (p=9, 512 registers)
+    with a fully DETERMINISTIC, oracle-replayable register layout — the
+    third mergeable distinct sketch next to KMV and theta: bucket =
+    md5-hash mod 512, ρ = leading-zero rank of the remaining 51 bits
+    (string `bin()` length, identical in both engines — no float log2
+    at a power-of-2 boundary), registers merge by MAX so day-partial
+    rollups compose exactly like `kmv_day_partials`. The harmonic-mean
+    denominator Σ2^(−Mⱼ) is scaled to the INTEGER Σ2^(52−Mⱼ) (≤2⁶¹, an
+    exact bigint add in any order) so the raw estimate
+    α₅₁₂·m²·2⁵²/S is bit-identical across engines; empty registers
+    enter via a 512-row broadcast spine, never a driver collect.
+    Output compares the estimate against the exact distinct count."""
+    ev = (load_table(spark, sf, "events")
+          .filter(F.col("event_type").isNotNull()))
+    h = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15),
+               16, 10).cast("bigint")
+    d = ev.select("event_type", "event_id", h.alias("_h"))
+    d = d.select(
+        "event_type",
+        F.pmod(F.col("_h"), F.lit(512)).alias("_b"),
+        F.shiftright(F.col("_h"), 9).alias("_w"))
+    rho = (F.when(F.col("_w") == 0, F.lit(52))
+           .otherwise(F.lit(52) - F.length(F.bin(F.col("_w")))))
+    regs = (d.groupBy("event_type", "_b")
+            .agg(F.max(rho).alias("_m")))
+    spine = (ev.select("event_type").distinct()
+             .crossJoin(F.broadcast(
+                 spark.range(512).select(F.col("id").alias("_b")))))
+    full = (spine.join(regs, ["event_type", "_b"], "left")
+            .withColumn("_m", F.coalesce(F.col("_m"), F.lit(0))))
+    exact = (ev.groupBy("event_type")
+             .agg(F.count_distinct("event_id").alias("exact_distinct")))
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(512.0))
+    s = F.sum(F.expr("shiftleft(cast(1 as bigint), cast(52 - _m as int))"))
+    est = full.groupBy("event_type").agg(s.alias("_s"))
+    est = est.select(
+        "event_type",
+        _r(alpha * F.lit(512.0) * F.lit(512.0)
+           * F.lit(4503599627370496.0) / F.col("_s"), 4)
+        .alias("hll_estimate"))
+    return (exact.join(est, "event_type")
+            .select("event_type", "exact_distinct", "hll_estimate",
+                    _r((F.col("hll_estimate") - F.col("exact_distinct"))
+                       / F.col("exact_distinct"), 4).alias("rel_err"))
+            .orderBy("event_type"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's anomaly detector over sf0.001 events."""
     return q_anomaly_detect(spark, SF_SMOKE)
@@ -4391,9 +4540,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "active_users": q_active_users,
         "cohort_retention": q_cohort_retention,
         "source_datacard": q_source_datacard,
-        # --- slots 51-53: the least-custom-surface round-6 rows (pure
-        #     built-in agg/join/window paths — the same rule round 5
-        #     applied; first in line for round 7) ---
+        # --- round-6 late additions (post-gate-freeze): never checked
+        #     anywhere yet — lead the round-7 rotation ---
+        "roc_auc": q_roc_auc,
+        "pacf_yw": q_pacf_yw,
+        "js_divergence": q_js_divergence,
+        "hll_distinct": q_hll_distinct,
+        # --- least-custom-surface round-6 rows (pure built-in
+        #     agg/join/window paths — the same rule round 5 applied;
+        #     next in line for round 7) ---
         "ab_test": q_ab_test,
         "entity_resolution": q_entity_resolution,
         "rolling_corr": q_rolling_corr,
@@ -9412,6 +9567,137 @@ def oracle_sql() -> dict[str, str]:
         WHERE c.cw >= GREATEST(1::BIGINT,
                                ceil(probs.p * t.w_total)::BIGINT)
         GROUP BY c.event_type, probs.p
+    """
+
+    # AUC via the tie-aware cumulative rank-sum identity (Mann-Whitney)
+    sql["roc_auc"] = """
+        WITH lab AS (
+            SELECT value AS score,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+            FROM events
+            WHERE value IS NOT NULL AND event_type IS NOT NULL
+        ), g AS (
+            SELECT score, sum(y)::BIGINT AS np,
+                   sum(1 - y)::BIGINT AS nn
+            FROM lab GROUP BY 1
+        ), c AS (
+            SELECT score, np, nn,
+                   coalesce(sum(nn) OVER (ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS below
+            FROM g
+        )
+        SELECT sum(np)::BIGINT AS n_pos, sum(nn)::BIGINT AS n_neg,
+               (round(sum(np * (below + nn / 2.0))
+                      / (sum(np) * sum(nn)) + 1e-9, 6) + 0.0) AS auc
+        FROM c
+    """
+
+    # Durbin-Levinson closed forms on 6-dp-rounded sample ACF values
+    sql["pacf_yw"] = """
+        WITH d AS (
+            SELECT event_type, value,
+                   lag(value, 1) OVER w AS l1, lag(value, 2) OVER w AS l2,
+                   lag(value, 3) OVER w AS l3
+            FROM events WHERE value IS NOT NULL
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+        ), g AS (
+            SELECT event_type,
+                   (round(corr(value, l1) + 1e-9, 6) + 0.0) AS r1,
+                   (round(corr(value, l2) + 1e-9, 6) + 0.0) AS r2,
+                   (round(corr(value, l3) + 1e-9, 6) + 0.0) AS r3
+            FROM d GROUP BY 1
+        ), p AS (
+            SELECT event_type, r1, r2, r3,
+                   (r2 - r1 * r1) / (1.0 - r1 * r1) AS p22
+            FROM g
+        ), p2 AS (
+            SELECT event_type, r1, r2, r3, p22,
+                   r1 * (1.0 - p22) AS p21
+            FROM p
+        )
+        SELECT event_type, 1 AS lag, r1 AS pacf FROM p2
+        UNION ALL
+        SELECT event_type, 2, (round(p22 + 1e-9, 6) + 0.0) FROM p2
+        UNION ALL
+        SELECT event_type, 3,
+               (round((r3 - p21 * r2 - p22 * r1)
+                      / (1.0 - p21 * r1 - p22 * r2) + 1e-9, 6) + 0.0)
+        FROM p2
+    """
+
+    # JS divergence: shared-support join + closed-form missing-mass term
+    sql["js_divergence"] = f"""
+        WITH toks AS (
+            SELECT source,
+                   unnest(regexp_split_to_array(trim({norm}), '\\s+')) AS term
+            FROM documents
+        ), st AS (
+            SELECT source, term, count(*) AS c FROM toks GROUP BY 1, 2
+        ), gt AS (
+            SELECT term, sum(c) AS gc FROM st GROUP BY 1
+        ), tot AS (
+            SELECT source, sum(c) AS ns FROM st GROUP BY 1
+        ), gtot AS (
+            SELECT sum(gc) AS ng FROM gt
+        ), j AS (
+            SELECT st.source,
+                   st.c / tot.ns AS p, gt.gc / gtot.ng AS q
+            FROM st JOIN gt USING (term) JOIN tot USING (source), gtot
+        ), per AS (
+            SELECT source,
+                   sum((p * ln(p / ((p + q) / 2.0))
+                        + q * ln(q / ((p + q) / 2.0))) / 2.0) AS shared,
+                   sum(q) AS qcov
+            FROM j GROUP BY 1
+        )
+        SELECT per.source, tot.ns::BIGINT AS n_tokens,
+               (round(shared + (1.0 - qcov) * ln(2.0) / 2.0
+                      + 1e-9, 6) + 0.0) AS js_nats
+        FROM per JOIN tot USING (source)
+    """
+
+    # Deterministic HLL: 9-bit bucket, rho from bin() string length,
+    # integer-scaled harmonic denominator (exact bigint adds)
+    sql["hll_distinct"] = """
+        WITH d AS (
+            SELECT event_type,
+                   ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT
+                       AS h
+            FROM events WHERE event_type IS NOT NULL
+        ), s AS (
+            SELECT event_type, h % 512 AS b, h >> 9 AS w FROM d
+        ), regs AS (
+            SELECT event_type, b,
+                   max(CASE WHEN w = 0 THEN 52
+                            ELSE 52 - length(printf('%b', w)) END) AS m
+            FROM s GROUP BY 1, 2
+        ), spine AS (
+            SELECT t.event_type, r.range AS b
+            FROM (SELECT DISTINCT event_type FROM events
+                  WHERE event_type IS NOT NULL) t, range(512) r
+        ), full_regs AS (
+            SELECT spine.event_type, coalesce(regs.m, 0) AS m
+            FROM spine LEFT JOIN regs USING (event_type, b)
+        ), est AS (
+            SELECT event_type,
+                   sum((1::BIGINT << (52 - m)::INTEGER))::BIGINT AS s
+            FROM full_regs GROUP BY 1
+        ), ex AS (
+            SELECT event_type, count(DISTINCT event_id)::BIGINT
+                       AS exact_distinct
+            FROM events WHERE event_type IS NOT NULL GROUP BY 1
+        ), e2 AS (
+            SELECT est.event_type,
+                   (round((0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0
+                          * 4503599627370496.0 / est.s + 1e-9, 4) + 0.0)
+                       AS hll_estimate
+            FROM est
+        )
+        SELECT ex.event_type, ex.exact_distinct, e2.hll_estimate,
+               (round((e2.hll_estimate - ex.exact_distinct)
+                      / ex.exact_distinct + 1e-9, 4) + 0.0) AS rel_err
+        FROM ex JOIN e2 USING (event_type)
     """
 
     return sql

@@ -115,3 +115,31 @@ def test_global_rank_matches_single_partition_window(spark):
     want = {r["id"]: r["rn"] for r in
             df.withColumn("rn", F.row_number().over(w)).collect()}
     assert got == {k: int(v) for k, v in want.items()}
+
+
+def test_global_cumsum_matches_single_partition_window(spark):
+    """Distributed two-pass prefix sum must equal the single-partition
+    ORDER BY window's cumulative sum — inclusive and exclusive forms —
+    for any range-boundary placement (total-order key, integer adds)."""
+    import random
+
+    from pyspark.sql import Window, functions as F
+    from timeseries_data_analysis_spark.operators import topk as TK
+
+    rng = random.Random(11)
+    rows = [(i, rng.randrange(1000)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v long").repartition(13)
+    got_inc = {r["id"]: r["cumsum"] for r in
+               TK.global_cumsum(df, ["v", "id"], "v").collect()}
+    got_exc = {r["id"]: r["cumsum"] for r in
+               TK.global_cumsum(df, ["v", "id"], "v",
+                                exclusive=True).collect()}
+    w = Window.orderBy("v", "id")
+    inc = w.rowsBetween(Window.unboundedPreceding, 0)
+    exc = w.rowsBetween(Window.unboundedPreceding, -1)
+    want_inc = {r["id"]: r["c"] for r in
+                df.withColumn("c", F.sum("v").over(inc)).collect()}
+    want_exc = {r["id"]: r["c"] or 0 for r in
+                df.withColumn("c", F.sum("v").over(exc)).collect()}
+    assert got_inc == want_inc
+    assert got_exc == want_exc

@@ -79,3 +79,38 @@ def global_rank(df: DataFrame, order_cols: list[str],
             .withColumn(rank_col, (F.col("_lr") + F.col("_off"))
                         .cast("bigint"))
             .drop("_pid", "_lr", "_off"))
+
+
+def global_cumsum(df: DataFrame, order_cols: list[str], value_col: str,
+                  cumsum_col: str = "cumsum",
+                  exclusive: bool = False) -> DataFrame:
+    """Distributed GLOBAL prefix sum of ``value_col`` in ``order_cols``
+    order — the scalable replacement for
+    ``sum(x) OVER (ORDER BY …)``'s single-partition window, built the
+    same way as :func:`global_rank`: range-repartition + local sort, a
+    per-partition prefix sum, then ONE broadcast of per-partition
+    totals whose cumulative offsets shift every local prefix to its
+    global value. ``exclusive=True`` returns the sum of STRICTLY
+    preceding rows (the CDF-below form rank-sum statistics need).
+
+    Integer inputs stay exact (bigint adds); float inputs accumulate
+    left-to-right within a partition and partition totals add in
+    partition order, so the result is run-to-run deterministic for a
+    fixed partitioning and exactly equal to the single-partition form
+    whenever the additions are exact (ints, dyadic rationals).
+    """
+    d = (df.repartitionByRange(*[F.col(c) for c in order_cols])
+         .sortWithinPartitions(*order_cols)
+         .withColumn("_pid", F.spark_partition_id()))
+    hi = -1 if exclusive else 0
+    w = (Window.partitionBy("_pid").orderBy(*order_cols)
+         .rowsBetween(Window.unboundedPreceding, hi))
+    d = d.withColumn("_lc", F.coalesce(F.sum(value_col).over(w), F.lit(0)))
+    offs = d.groupBy("_pid").agg(F.sum(value_col).alias("_t"))
+    wo = (Window.orderBy("_pid")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offs = offs.withColumn(
+        "_off", F.coalesce(F.sum("_t").over(wo), F.lit(0)))
+    return (d.join(F.broadcast(offs.select("_pid", "_off")), on="_pid")
+            .withColumn(cumsum_col, F.col("_lc") + F.col("_off"))
+            .drop("_pid", "_lc", "_off"))
