@@ -4465,6 +4465,43 @@ def q_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+def q_degree_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree histogram of the production MinHash-LSH candidate graph
+    (same edges as `triangle_stats_prod` / `dedup_clusters`): how many
+    documents have k near-dup candidates — the graph-shape audit that
+    decides banding width and `max_bucket` caps BEFORE a clustering run
+    (a heavy tail here means saturated buckets, the SCALE §1e failure
+    mode). Pairs are canonicalized + distinct-ed (banded generators
+    emit one row per colliding band), then two bounded shuffles: vertex
+    degree, degree histogram."""
+    docs = load_table(spark, sf, "documents")
+    pairs = DD.minhash_lsh_candidates(docs)
+    return (GR.degrees(pairs)
+            .groupBy("degree")
+            .agg(F.count(F.lit(1)).alias("n_vertices"))
+            .orderBy("degree"))
+
+
+def q_bfs_hops(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-source BFS over the near-dup candidate graph: hop distance
+    from every document to its NEAREST "audited" document (seed set =
+    graph vertices with doc_id % 10 == 0), bounded at 3 hops — the
+    contamination-radius / provenance-propagation primitive ("how far
+    does a finding about doc X spread through its near-dup
+    neighborhood?"). All seeds expand in ONE frontier loop
+    (`GR.multi_source_bfs`, localCheckpoint per round), never one
+    traversal per seed; the oracle replays the same bounded expansion
+    as a recursive CTE with UNION dedup."""
+    docs = load_table(spark, sf, "documents")
+    pairs = DD.minhash_lsh_candidates(docs)
+    verts = GR.degrees(pairs).select("vertex")
+    seeds = verts.filter(F.col("vertex") % 10 == 0)
+    return (GR.multi_source_bfs(pairs, seeds, max_hops=3)
+            .select(F.col("vertex").alias("doc_id"),
+                    F.col("hop").cast("bigint").alias("hop"))
+            .orderBy("doc_id"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's anomaly detector over sf0.001 events."""
     return q_anomaly_detect(spark, SF_SMOKE)
@@ -4546,6 +4583,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pacf_yw": q_pacf_yw,
         "js_divergence": q_js_divergence,
         "hll_distinct": q_hll_distinct,
+        "degree_distribution": q_degree_distribution,
+        "bfs_hops": q_bfs_hops,
         # --- least-custom-surface round-6 rows (pure built-in
         #     agg/join/window paths — the same rule round 5 applied;
         #     next in line for round 7) ---
@@ -9567,6 +9606,42 @@ def oracle_sql() -> dict[str, str]:
         WHERE c.cw >= GREATEST(1::BIGINT,
                                ceil(probs.p * t.w_total)::BIGINT)
         GROUP BY c.event_type, probs.p
+    """
+
+    # Degree histogram over the deduped MinHash-LSH candidate graph
+    sql["degree_distribution"] = f"""
+        WITH {minhash_ctes},
+        edd AS (
+            SELECT least(id_l, id_r) AS a, greatest(id_l, id_r) AS b
+            FROM cpairs WHERE id_l <> id_r GROUP BY 1, 2
+        ), degd AS (
+            SELECT v, count(*)::BIGINT AS degree FROM (
+                SELECT a AS v FROM edd UNION ALL SELECT b AS v FROM edd)
+            GROUP BY 1
+        )
+        SELECT degree, count(*)::BIGINT AS n_vertices
+        FROM degd GROUP BY 1
+    """
+
+    # Bounded multi-source BFS: recursive CTE, UNION dedup, hop < 3
+    sql["bfs_hops"] = f"""
+        WITH RECURSIVE {minhash_ctes},
+        eb AS (
+            SELECT least(id_l, id_r) AS a, greatest(id_l, id_r) AS b
+            FROM cpairs WHERE id_l <> id_r GROUP BY 1, 2
+        ), symb AS (
+            SELECT a, b FROM eb UNION ALL SELECT b, a FROM eb
+        ), seedsb AS (
+            SELECT DISTINCT a AS v FROM symb WHERE a % 10 = 0
+        ), walk AS (
+            SELECT v, 0 AS hop FROM seedsb
+            UNION
+            SELECT s.b AS v, w.hop + 1 AS hop
+            FROM walk w JOIN symb s ON w.v = s.a
+            WHERE w.hop < 3
+        )
+        SELECT v AS doc_id, min(hop)::BIGINT AS hop
+        FROM walk GROUP BY 1
     """
 
     # AUC via the tie-aware cumulative rank-sum identity (Mann-Whitney)

@@ -882,3 +882,29 @@ def test_cms_never_undercounts_and_merges(spark):
     got = sorted((r["r"], r["c"], r["cnt"]) for r in merged.collect())
     want = sorted((r["r"], r["c"], r["cnt"]) for r in state.collect())
     assert got == want
+
+
+def test_multi_source_bfs_known_graph(spark):
+    """Path 1-2-3-4-5 plus isolated edge 8-9; seeds {1, 8}: hops must be
+    the nearest-seed distances, bounded at max_hops, vertices beyond the
+    bound absent, duplicate banded edges collapsed first."""
+    from timeseries_data_analysis_spark.operators import graph as GR
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9), (2, 1), (1, 2)],
+        "id_l long, id_r long")
+    seeds = spark.createDataFrame([(1,), (8,)], "vertex long")
+    got = {r["vertex"]: r["hop"] for r in
+           GR.multi_source_bfs(edges, seeds, max_hops=2).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 8: 0, 9: 1}
+
+
+def test_degrees_dedupes_banded_pairs(spark):
+    """The same pair emitted from several bands counts as ONE edge."""
+    from timeseries_data_analysis_spark.operators import graph as GR
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (2, 3), (3, 3)],
+        "id_l long, id_r long")
+    got = {r["vertex"]: r["degree"] for r in GR.degrees(edges).collect()}
+    assert got == {1: 1, 2: 2, 3: 1}

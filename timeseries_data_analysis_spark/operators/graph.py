@@ -330,3 +330,58 @@ def triangle_stats(edges: DataFrame, src: str = "id_l",
                                F.coalesce("triangles", F.lit(0)) / possible)
                         .otherwise(F.lit(0.0)) + F.lit(1e-9), 6)
                     .alias("coeff")))
+
+
+def degrees(edges: DataFrame, src: str = "id_l",
+            dst: str = "id_r") -> DataFrame:
+    """(vertex, degree) over the DEDUPED undirected edge set.
+
+    Banded candidate generators (MinHash/SimHash) emit one row per
+    colliding band, so the same pair can appear several times; edges are
+    canonicalized to (min,max) and distinct-ed first, exactly like the
+    triangle census. One shuffle on the canonical pair, one on vertex.
+    """
+    e = (edges.select(F.least(src, dst).alias("a"),
+                      F.greatest(src, dst).alias("b"))
+         .filter(F.col("a") != F.col("b")).distinct())
+    return (e.select(F.col("a").alias("vertex"))
+            .unionAll(e.select(F.col("b").alias("vertex")))
+            .groupBy("vertex")
+            .agg(F.count(F.lit(1)).alias("degree")))
+
+
+def multi_source_bfs(edges: DataFrame, seeds: DataFrame,
+                     src: str = "id_l", dst: str = "id_r",
+                     max_hops: int = 3) -> DataFrame:
+    """(vertex, hop) — hop distance to the NEAREST seed, bounded by
+    ``max_hops``; vertices farther than the bound are absent.
+
+    Multi-source BFS as bounded frontier expansion: each round joins the
+    previous frontier against the symmetric edge list and keeps the
+    MIN hop per vertex — the "distance to nearest audited/canonical
+    document" primitive curation QA runs over near-dup graphs. The loop
+    is ``max_hops`` rounds of (frontier ⋈ edges) with a
+    ``localCheckpoint`` per round (same lineage-cut discipline as
+    :func:`connected_components`); per-round shuffle is (vertex, hop)
+    pairs plus the edge join, so seed count scales freely — ALL sources
+    expand in one pass, never one BFS per seed.
+
+    ``seeds`` must have a ``vertex`` column; seeds not present in the
+    graph still appear at hop 0.
+    """
+    e = (edges.select(F.least(src, dst).alias("a"),
+                      F.greatest(src, dst).alias("b"))
+         .filter(F.col("a") != F.col("b")).distinct())
+    sym = (e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+           .localCheckpoint())
+    dist = (seeds.select(F.col("vertex"), F.lit(0).alias("hop"))
+            .distinct().localCheckpoint())
+    for k in range(1, max_hops + 1):
+        frontier = dist.filter(F.col("hop") == k - 1)
+        nxt = (frontier.join(sym, frontier.vertex == sym.a)
+               .select(F.col("b").alias("vertex"),
+                       F.lit(k).alias("hop")))
+        dist = (dist.unionByName(nxt)
+                .groupBy("vertex").agg(F.min("hop").alias("hop"))
+                .localCheckpoint())
+    return dist
