@@ -4502,6 +4502,77 @@ def q_bfs_hops(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+# Poisson(1) CDF thresholds for the deterministic bootstrap: shared
+# float literals, parsed identically by both engines (repr round-trips)
+POISSON1_CDF = [0.36787944117144233, 0.7357588823428847,
+                0.9196986029286058, 0.9810118431238463,
+                0.9963401531726563, 0.9994058151824183,
+                0.999916758850712, 0.9999897508033253]
+
+
+def q_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
+    """Poisson bootstrap 95 % CI for mean order value — THE scalable
+    bootstrap (Chamandy et al., Google 2012): instead of resampling n
+    rows with replacement (which needs global coordination), each row
+    enters replicate b with weight k ~ Poisson(1), drawn DETERMINISTICALLY
+    from md5(orderkey·64+b) via the inverse CDF on shared float-literal
+    thresholds — so all 64 replicates stream in ONE scan (explode ×64),
+    partial-aggregate map-side to 64 rows/partition, and the oracle
+    replays every draw exactly. Replicate means are rounded to 4 dp
+    before the percentile so both engines interpolate identical
+    doubles; the u = hash/2⁶⁰ division is by a power of two (exact)."""
+    orders = load_table(spark, sf, "orders")
+    r = orders.select(
+        "o_orderkey", "o_totalprice",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("_b"))
+    h = F.conv(F.substring(
+        F.md5((F.col("o_orderkey") * 64 + F.col("_b")).cast("string")),
+        1, 15), 16, 10).cast("bigint")
+    u = h / F.lit(1152921504606846976.0)
+    k = F.lit(8)
+    for i in range(len(POISSON1_CDF) - 1, -1, -1):
+        k = F.when(u < F.lit(POISSON1_CDF[i]), F.lit(i)).otherwise(k)
+    rm = (r.withColumn("_k", k)
+          .groupBy("_b")
+          .agg(_r(F.sum(F.col("_k") * F.col("o_totalprice"))
+                  / F.sum("_k"), 4).alias("_m")))
+    ci = rm.agg(
+        F.percentile("_m", F.lit(0.025)).alias("_lo"),
+        F.percentile("_m", F.lit(0.975)).alias("_hi"),
+        F.count(F.lit(1)).alias("b_reps"))
+    point = orders.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _r(F.avg("o_totalprice"), 4).alias("point_mean"))
+    return (point.crossJoin(F.broadcast(ci))
+            .select("n_orders", "b_reps", "point_mean",
+                    _r(F.col("_lo"), 4).alias("ci_lo"),
+                    _r(F.col("_hi"), 4).alias("ci_hi")))
+
+
+def q_kalman_level(spark: SparkSession, sf: str) -> DataFrame:
+    """Local-level Kalman filter per series over the daily mean grid
+    (rounded to 4 dp before the recursion): adaptive-gain level
+    tracking with innovation MAE — the state-space sibling of
+    `holt_forecast` (and the adaptive generalization of `ewma_exact`:
+    the steady-state gain IS an EWMA alpha). Sequential-by-nature per
+    series ⇒ `TS.kalman_local_level`'s pinned-operand `applyInPandas`;
+    the oracle replays the variance/gain/level recursion as a
+    recursive CTE, inlining the gain expression so both engines
+    evaluate identical doubles step by step."""
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    daily = (ev.groupBy("event_type",
+                        F.date_trunc("day", F.col("ts")).alias("_d"))
+             .agg(_r(F.avg("value"), 4).alias("_m")))
+    out = TS.kalman_local_level(daily, "event_type", "_d", "_m",
+                                q=0.01, r=1.0)
+    return (out.select("event_type", "n_periods",
+                       _r(F.col("level"), 4).alias("level"),
+                       _r(F.col("gain"), 6).alias("gain"),
+                       _r(F.col("p_var"), 6).alias("p_var"),
+                       _r(F.col("mae"), 4).alias("mae"))
+            .orderBy("event_type"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's anomaly detector over sf0.001 events."""
     return q_anomaly_detect(spark, SF_SMOKE)
@@ -4585,6 +4656,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "degree_distribution": q_degree_distribution,
         "bfs_hops": q_bfs_hops,
+        "bootstrap_ci": q_bootstrap_ci,
+        "kalman_level": q_kalman_level,
         # --- least-custom-surface round-6 rows (pure built-in
         #     agg/join/window paths — the same rule round 5 applied;
         #     next in line for round 7) ---
@@ -9606,6 +9679,81 @@ def oracle_sql() -> dict[str, str]:
         WHERE c.cw >= GREATEST(1::BIGINT,
                                ceil(probs.p * t.w_total)::BIGINT)
         GROUP BY c.event_type, probs.p
+    """
+
+    # Poisson bootstrap: deterministic inverse-CDF draws from shared
+    # float-literal thresholds; replicate means rounded pre-percentile
+    pois_case = " ".join(
+        f"WHEN u < {t!r} THEN {i}" for i, t in enumerate(POISSON1_CDF))
+    sql["bootstrap_ci"] = f"""
+        WITH r AS (
+            SELECT o_orderkey, o_totalprice, b.range AS b
+            FROM orders, range(64) b
+        ), d AS (
+            SELECT b, o_totalprice,
+                   ('0x' || substr(md5((o_orderkey * 64 + b)::VARCHAR),
+                                   1, 15))::BIGINT
+                       / 1152921504606846976.0 AS u
+            FROM r
+        ), kk AS (
+            SELECT b, o_totalprice,
+                   CASE {pois_case} ELSE 8 END AS k
+            FROM d
+        ), rm AS (
+            SELECT b, (round(sum(k * o_totalprice) / sum(k)
+                             + 1e-9, 4) + 0.0) AS m
+            FROM kk GROUP BY 1
+        ), ci AS (
+            SELECT quantile_cont(m, 0.025) AS lo,
+                   quantile_cont(m, 0.975) AS hi,
+                   count(*)::BIGINT AS b_reps
+            FROM rm
+        )
+        SELECT (SELECT count(*) FROM orders)::BIGINT AS n_orders,
+               ci.b_reps,
+               (SELECT round(avg(o_totalprice) + 1e-9, 4) + 0.0
+                FROM orders) AS point_mean,
+               (round(lo + 1e-9, 4) + 0.0) AS ci_lo,
+               (round(hi + 1e-9, 4) + 0.0) AS ci_hi
+        FROM ci
+    """
+
+    # Kalman local level: gain expression inlined so the recursive CTE
+    # evaluates the exact doubles the Python recursion does
+    sql["kalman_level"] = """
+        WITH RECURSIVE dv AS (
+            SELECT event_type, date_trunc('day', ts) AS d,
+                   (round(avg(value) + 1e-9, 4) + 0.0) AS m
+            FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        ), ser AS (
+            SELECT event_type, list(m ORDER BY d) AS ys,
+                   count(*)::BIGINT AS n
+            FROM dv GROUP BY 1
+        ), kf AS (
+            SELECT event_type, ys, n, 1::BIGINT AS t,
+                   ys[1] AS x, 1.0::DOUBLE AS p,
+                   CAST(0.0 AS DOUBLE) AS k,
+                   CAST(0.0 AS DOUBLE) AS esum
+            FROM ser
+            UNION ALL
+            SELECT event_type, ys, n, t + 1,
+                   x + ((p + 0.01::DOUBLE)
+                        / ((p + 0.01::DOUBLE) + 1.0::DOUBLE))
+                       * (ys[t + 1] - x),
+                   (1.0::DOUBLE - ((p + 0.01::DOUBLE)
+                        / ((p + 0.01::DOUBLE) + 1.0::DOUBLE)))
+                       * (p + 0.01::DOUBLE),
+                   (p + 0.01::DOUBLE)
+                       / ((p + 0.01::DOUBLE) + 1.0::DOUBLE),
+                   esum + abs(ys[t + 1] - x)
+            FROM kf WHERE t < n
+        )
+        SELECT event_type, n AS n_periods,
+               (round(x + 1e-9, 4) + 0.0) AS level,
+               (round(k + 1e-9, 6) + 0.0) AS gain,
+               (round(p + 1e-9, 6) + 0.0) AS p_var,
+               (round(esum / (n - 1) + 1e-9, 4) + 0.0) AS mae
+        FROM kf WHERE t = n
     """
 
     # Degree histogram over the deduped MinHash-LSH candidate graph

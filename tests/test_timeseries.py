@@ -377,3 +377,50 @@ def test_holt_winters_exact_on_pure_seasonal_series(spark):
     with _pytest.raises(Exception):
         TS.holt_winters_additive(short, "k", "d", "y",
                                  season=7).collect()
+
+
+def test_kalman_local_level_matches_reference_recursion(spark):
+    """Filter state must equal an independent scalar replay, the gain
+    must converge toward the steady-state Riccati fixed point, and a
+    constant series must be tracked with zero steady-state error."""
+    import datetime
+    import math
+
+    import pytest as _pytest
+
+    ys = [5.0, 6.0, 4.5, 7.0, 6.2, 5.8, 6.6, 6.1, 5.9, 6.3]
+    base = datetime.datetime(2024, 1, 1)
+    rows = [("a", base + datetime.timedelta(days=i), y)
+            for i, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "k string, d timestamp, y double")
+    got = TS.kalman_local_level(df, "k", "d", "y", q=0.01, r=1.0).collect()[0]
+
+    x, p = ys[0], 1.0
+    esum = k = 0.0
+    for z in ys[1:]:
+        pp = p + 0.01
+        k = pp / (pp + 1.0)
+        esum += abs(z - x)
+        x = x + k * (z - x)
+        p = (1.0 - k) * pp
+    assert got["n_periods"] == len(ys)
+    assert got["level"] == x and got["gain"] == k and got["p_var"] == p
+    assert got["mae"] == esum / (len(ys) - 1)
+
+    # steady-state gain: k* solves k = (p+q)/(p+q+r) with p = (1-k)(p+q)
+    q_, r_ = 0.01, 1.0
+    pss = (q_ + math.sqrt(q_ * q_ + 4 * q_ * r_)) / 2
+    kss = pss / (pss + r_)
+    const = [("c", base + datetime.timedelta(days=i), 3.25)
+             for i in range(60)]
+    g2 = TS.kalman_local_level(
+        spark.createDataFrame(const, "k string, d timestamp, y double"),
+        "k", "d", "y", q=q_, r=r_).collect()[0]
+    assert abs(g2["gain"] - kss) < 1e-5      # Riccati fixed point
+    assert abs(g2["level"] - 3.25) < 1e-12   # constant series tracked
+
+    with _pytest.raises(Exception):
+        TS.kalman_local_level(
+            spark.createDataFrame(const[:1],
+                                  "k string, d timestamp, y double"),
+            "k", "d", "y").collect()

@@ -564,3 +564,55 @@ def holt_winters_additive(df: DataFrame, key: str, ts_col: str,
                   "forecast double, level double, trend double, "
                   "mae double")
     return df.groupBy(key).applyInPandas(fit, out_schema)
+
+
+def kalman_local_level(df: DataFrame, key: str, ts_col: str,
+                       value_col: str, q: float = 0.01,
+                       r: float = 1.0) -> DataFrame:
+    """Local-level (random-walk + noise) Kalman filter per series — the
+    optimal online smoother for a drifting level, the state-space
+    generalization of :func:`ewma_recursive` (a steady-state Kalman
+    gain IS an EWMA alpha; here the gain adapts per step from the
+    variance recursion):
+
+        P' = P + q                (predict)
+        K  = P' / (P' + r)        (gain)
+        x  = x + K * (z - x)      (update)
+        P  = (1 - K) * P'
+
+    initialized x = y₀, P = r (diffuse-ish start), with the one-step
+    innovation MAE accumulated along the way. Same execution contract
+    as :func:`holt_linear`: inherently sequential per series ⇒ one
+    Arrow-batched ``applyInPandas`` stage; per-series length is a
+    bounded calendar grain while the series COUNT distributes freely;
+    operand order is pinned so a recursive-CTE oracle replays the
+    state bit-identically. Returns one row per key:
+    ``(key, n_periods, level, gain, p_var, mae)``.
+    """
+    import pandas as pd
+
+    qf, rf = float(q), float(r)
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col)
+        ys = pdf[value_col].tolist()
+        if len(ys) < 2:
+            raise ValueError(
+                f"kalman_local_level needs >= 2 periods per key, got "
+                f"{len(ys)} for {pdf[key].iloc[0]!r}")
+        x, p = ys[0], rf
+        esum, k = 0.0, 0.0
+        for z in ys[1:]:
+            pp = p + qf
+            k = pp / (pp + rf)
+            esum = esum + abs(z - x)
+            x = x + k * (z - x)
+            p = (1.0 - k) * pp
+        return pd.DataFrame({
+            key: [pdf[key].iloc[0]], "n_periods": [len(ys)],
+            "level": [x], "gain": [k], "p_var": [p],
+            "mae": [esum / (len(ys) - 1)]})
+
+    out_schema = (f"{key} string, n_periods long, level double, "
+                  "gain double, p_var double, mae double")
+    return df.groupBy(key).applyInPandas(fit, out_schema)
