@@ -4573,6 +4573,83 @@ def q_kalman_level(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+BM25_QUERY_TERMS = ["spark", "merge", "window"]
+
+
+def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 (Okapi, Lucene idf variant) top-10 documents for a fixed
+    3-term query — the lexical-retrieval baseline that pairs with the
+    ANN queries in `rrf_fusion`-style hybrid search. tf is filtered to
+    the query terms BEFORE the shuffle (predicate pushdown on the
+    exploded tokens); doc length and avgdl come from one unfiltered
+    per-doc count plus a 1-row broadcast; per-doc scores are the sum of
+    ≤3 term partials rounded to 6 dp before the TakeOrderedAndProject
+    top-k, so the cut is engine-deterministic (doc_id tiebreak)."""
+    k1, b = 1.2, 0.75
+    docs = load_table(spark, sf, "documents")
+    toks = (docs.select("doc_id", DD.tokens("text").alias("_t"))
+            .select("doc_id", F.explode("_t").alias("term")))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_dl"))
+    avgdl = dl.agg(F.avg("_dl").alias("_avgdl"),
+                   F.count(F.lit(1)).alias("_n"))
+    qt = toks.filter(F.col("term").isin(BM25_QUERY_TERMS))
+    tf = qt.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("_tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    j = (tf.join(F.broadcast(dfreq), "term")
+         .join(dl, "doc_id")
+         .crossJoin(F.broadcast(avgdl)))
+    idf = F.log(F.lit(1.0)
+                + (F.col("_n") - F.col("_df") + F.lit(0.5))
+                / (F.col("_df") + F.lit(0.5)))
+    tfn = (F.col("_tf") * (F.lit(k1) + 1)
+           / (F.col("_tf")
+              + F.lit(k1) * (F.lit(1 - b)
+                             + F.lit(b) * F.col("_dl") / F.col("_avgdl"))))
+    scored = (j.select("doc_id", (idf * tfn).alias("_s"))
+              .groupBy("doc_id")
+              .agg(_r(F.sum("_s"), 6).alias("bm25")))
+    return (scored.orderBy(F.col("bm25").desc(), "doc_id").limit(10)
+            .select("doc_id", "bm25"))
+
+
+def q_basket_lift(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket association mining over order line items: pairwise
+    co-occurrence within a basket → support / confidence / lift, top-15
+    rules by lift — the classic recommender/affinity primitive. The
+    pair join is quadratic in BASKET size (~4 parts/order — a bounded
+    per-key quantity, the same boundedness contract as the profile
+    operators), key-partitioned on orderkey so order count distributes
+    freely; item marginals arrive via broadcast. Rules need ≥2
+    supporting baskets; lift is rounded to 6 dp before the
+    deterministic (lift, part_a, part_b) top-k cut."""
+    li = load_table(spark, sf, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = (load_table(spark, sf, "orders")
+                .agg(F.count(F.lit(1)).alias("_n")))
+    item = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("_ni"))
+    a = baskets.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    bb = baskets.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (a.join(bb, "l_orderkey")
+             .filter(F.col("part_a") < F.col("part_b"))
+             .groupBy("part_a", "part_b")
+             .agg(F.count(F.lit(1)).alias("n_both"))
+             .filter(F.col("n_both") >= 2))
+    out = (pairs
+           .join(F.broadcast(item.withColumnRenamed("l_partkey", "part_a")
+                             .withColumnRenamed("_ni", "_na")), "part_a")
+           .join(F.broadcast(item.withColumnRenamed("l_partkey", "part_b")
+                             .withColumnRenamed("_ni", "_nb")), "part_b")
+           .crossJoin(F.broadcast(n_orders)))
+    lift = (F.col("n_both").cast("double") * F.col("_n")
+            / (F.col("_na") * F.col("_nb")))
+    return (out.select(
+                "part_a", "part_b", "n_both",
+                _r(F.col("n_both") / F.col("_na"), 6).alias("confidence"),
+                _r(lift, 6).alias("lift"))
+            .orderBy(F.col("lift").desc(), "part_a", "part_b")
+            .limit(15))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's anomaly detector over sf0.001 events."""
     return q_anomaly_detect(spark, SF_SMOKE)
@@ -4658,6 +4735,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_hops": q_bfs_hops,
         "bootstrap_ci": q_bootstrap_ci,
         "kalman_level": q_kalman_level,
+        "bm25_topk": q_bm25_topk,
+        "basket_lift": q_basket_lift,
         # --- least-custom-surface round-6 rows (pure built-in
         #     agg/join/window paths — the same rule round 5 applied;
         #     next in line for round 7) ---
@@ -9679,6 +9758,62 @@ def oracle_sql() -> dict[str, str]:
         WHERE c.cw >= GREATEST(1::BIGINT,
                                ceil(probs.p * t.w_total)::BIGINT)
         GROUP BY c.event_type, probs.p
+    """
+
+    # BM25: Lucene idf; per-doc sum of <=3 term partials, 6-dp rounded
+    # before the deterministic top-k cut
+    bm25_terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    sql["bm25_topk"] = f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim({norm}), '\\s+')) AS term
+            FROM documents
+        ), dl AS (
+            SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1
+        ), g AS (
+            SELECT avg(dl) AS avgdl, count(*)::BIGINT AS n FROM dl
+        ), tf AS (
+            SELECT doc_id, term, count(*)::BIGINT AS tf
+            FROM toks WHERE term IN ({bm25_terms}) GROUP BY 1, 2
+        ), dfq AS (
+            SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1
+        ), scored AS (
+            SELECT tf.doc_id,
+                   ln(1.0 + (g.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                   * (tf.tf * (1.2 + 1)
+                      / (tf.tf + 1.2 * (1 - 0.75
+                                        + 0.75 * dl.dl / g.avgdl))) AS s
+            FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), g
+        )
+        SELECT doc_id, (round(sum(s) + 1e-9, 6) + 0.0) AS bm25
+        FROM scored GROUP BY 1
+        ORDER BY bm25 DESC, doc_id LIMIT 10
+    """
+
+    # Market-basket lift: in-basket pair join + broadcast marginals
+    sql["basket_lift"] = """
+        WITH b AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), n AS (
+            SELECT count(*)::BIGINT AS n FROM orders
+        ), item AS (
+            SELECT l_partkey, count(*)::BIGINT AS ni FROM b GROUP BY 1
+        ), pairs AS (
+            SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
+                   count(*)::BIGINT AS n_both
+            FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey
+                             AND a.l_partkey < c.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        )
+        SELECT part_a, part_b, n_both,
+               (round(n_both::DOUBLE / ia.ni + 1e-9, 6) + 0.0)
+                   AS confidence,
+               (round(n_both::DOUBLE * n.n / (ia.ni * ib.ni)
+                      + 1e-9, 6) + 0.0) AS lift
+        FROM pairs
+        JOIN item ia ON ia.l_partkey = part_a
+        JOIN item ib ON ib.l_partkey = part_b, n
+        ORDER BY lift DESC, part_a, part_b LIMIT 15
     """
 
     # Poisson bootstrap: deterministic inverse-CDF draws from shared
