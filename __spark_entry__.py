@@ -4432,32 +4432,12 @@ def q_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
     Output compares the estimate against the exact distinct count."""
     ev = (load_table(spark, sf, "events")
           .filter(F.col("event_type").isNotNull()))
-    h = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15),
-               16, 10).cast("bigint")
-    d = ev.select("event_type", "event_id", h.alias("_h"))
-    d = d.select(
-        "event_type",
-        F.pmod(F.col("_h"), F.lit(512)).alias("_b"),
-        F.shiftright(F.col("_h"), 9).alias("_w"))
-    rho = (F.when(F.col("_w") == 0, F.lit(52))
-           .otherwise(F.lit(52) - F.length(F.bin(F.col("_w")))))
-    regs = (d.groupBy("event_type", "_b")
-            .agg(F.max(rho).alias("_m")))
-    spine = (ev.select("event_type").distinct()
-             .crossJoin(F.broadcast(
-                 spark.range(512).select(F.col("id").alias("_b")))))
-    full = (spine.join(regs, ["event_type", "_b"], "left")
-            .withColumn("_m", F.coalesce(F.col("_m"), F.lit(0))))
+    regs = SK.hll_registers(ev, "event_type", "event_id", p=9)
     exact = (ev.groupBy("event_type")
              .agg(F.count_distinct("event_id").alias("exact_distinct")))
-    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(512.0))
-    s = F.sum(F.expr("shiftleft(cast(1 as bigint), cast(52 - _m as int))"))
-    est = full.groupBy("event_type").agg(s.alias("_s"))
-    est = est.select(
-        "event_type",
-        _r(alpha * F.lit(512.0) * F.lit(512.0)
-           * F.lit(4503599627370496.0) / F.col("_s"), 4)
-        .alias("hll_estimate"))
+    est = (SK.hll_estimates(regs, "event_type", p=9)
+           .select("event_type",
+                   _r(F.col("hll_estimate"), 4).alias("hll_estimate")))
     return (exact.join(est, "event_type")
             .select("event_type", "exact_distinct", "hll_estimate",
                     _r((F.col("hll_estimate") - F.col("exact_distinct"))
@@ -10039,7 +10019,8 @@ def oracle_sql() -> dict[str, str]:
             FROM spine LEFT JOIN regs USING (event_type, b)
         ), est AS (
             SELECT event_type,
-                   sum((1::BIGINT << (52 - m)::INTEGER))::BIGINT AS s
+                   sum((1::BIGINT << (52 - m)::INTEGER))::BIGINT AS s,
+                   sum(CASE WHEN m = 0 THEN 1 ELSE 0 END)::BIGINT AS v
             FROM full_regs GROUP BY 1
         ), ex AS (
             SELECT event_type, count(DISTINCT event_id)::BIGINT
@@ -10047,9 +10028,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events WHERE event_type IS NOT NULL GROUP BY 1
         ), e2 AS (
             SELECT est.event_type,
-                   (round((0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0
-                          * 4503599627370496.0 / est.s + 1e-9, 4) + 0.0)
-                       AS hll_estimate
+                   (round(CASE WHEN (0.7213 / (1.0 + 1.079 / 512.0))
+                                    * 512.0 * 512.0
+                                    * 4503599627370496.0 / est.s
+                                    <= 1280.0
+                               AND est.v > 0
+                          THEN 512.0 * ln(512.0 / est.v)
+                          ELSE (0.7213 / (1.0 + 1.079 / 512.0))
+                               * 512.0 * 512.0
+                               * 4503599627370496.0 / est.s
+                          END + 1e-9, 4) + 0.0) AS hll_estimate
             FROM est
         )
         SELECT ex.event_type, ex.exact_distinct, e2.hll_estimate,

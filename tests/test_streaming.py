@@ -943,3 +943,52 @@ def test_prune_state_dirs_keeps_replay_window(spark, tmp_path):
     with _pytest.raises(ValueError):
         SJ.prune_state_dirs(spark, state, keep_last=1)
     assert SJ.prune_state_dirs(spark, str(tmp_path / "nope")) == []
+
+
+def test_hll_sink_batch_stream_equivalence_and_replay(spark, tmp_path):
+    """Micro-batched HLL registers must equal one batch sketch over the
+    union (MAX merge law), the state estimate must match the batch
+    estimate arithmetic, and crash-replay of the last batch must be
+    idempotent."""
+    from pyspark.sql import functions as F
+    from timeseries_data_analysis_spark.operators import sketch as SK
+    from timeseries_data_analysis_spark.streaming import jobs as SJ
+
+    state = str(tmp_path / "hll_state")
+    batches = [
+        [("a", i) for i in range(400)] + [("b", i) for i in range(50)],
+        [("a", i) for i in range(200, 700)] + [("b", i) for i in range(30)],
+        [("b", i) for i in range(40, 140)] + [("a", 5)],
+    ]
+    for bid, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "grp string, item long")
+        SJ.hll_commit_batch(df, bid, state, group_col="grp",
+                            item_col="item", p=9)
+
+    union = spark.createDataFrame(
+        [r for b in batches for r in b], "grp string, item long")
+    want_regs = sorted(map(tuple, SK.hll_registers(
+        union, "grp", "item", p=9).collect()))
+    store = spark.read.parquet(state)
+    latest = store.agg(F.max("state_batch")).collect()[0][0]
+    got_regs = sorted(map(tuple, store.where(
+        F.col("state_batch") == latest)
+        .select("grp", "_b", "_m").collect()))
+    assert got_regs == want_regs            # batch/stream register parity
+
+    est = {r["grp"]: r["hll_estimate"] for r in
+           SJ.hll_state_estimate(spark, state, group_col="grp").collect()}
+    want_est = {r["grp"]: r["hll_estimate"] for r in SK.hll_estimates(
+        SK.hll_registers(union, "grp", "item", p=9), "grp").collect()}
+    assert est == want_est                  # bit-identical estimates
+    exact = {"a": 701, "b": 140}
+    for g, e in est.items():                # ~4.6% std error at p=9
+        assert abs(e - exact[g]) / exact[g] < 0.2, (g, e)
+
+    # crash-window replay: recommitting the last batch is a no-op
+    df2 = spark.createDataFrame(batches[2], "grp string, item long")
+    SJ.hll_commit_batch(df2, 2, state, group_col="grp",
+                        item_col="item", p=9)
+    again = sorted(map(tuple, spark.read.parquet(state).where(
+        F.col("state_batch") == 2).select("grp", "_b", "_m").collect()))
+    assert again == got_regs

@@ -316,3 +316,66 @@ def cms_estimate(state: DataFrame, items: DataFrame, item_col: str,
             .groupBy("item")
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
                  .alias("est")))
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (deterministic, oracle-replayable)
+# ---------------------------------------------------------------------------
+
+def hll_registers(df: DataFrame, group_col: str, item_col: str,
+                  p: int = 9) -> DataFrame:
+    """(group, _b, _m): HyperLogLog registers (Flajolet et al. 2007)
+    with a fully portable layout — bucket = 60-bit-md5 mod 2^p, ρ =
+    leading-zero rank of the remaining (60−p) bits computed from the
+    ``bin()`` STRING length (identical in Spark and DuckDB; no float
+    ``log2`` at a power-of-two boundary). Registers merge by MAX, so
+    partial sketches from any split of the data — micro-batches, day
+    partials, shards — compose exactly; the map side combines to ≤ 2^p
+    rows per group before the shuffle. Only occupied buckets are
+    emitted; :func:`hll_estimates` rejoins the dense spine."""
+    m = 1 << p
+    wbits = 60 - p
+    h = (F.conv(F.substring(F.md5(F.col(item_col).cast("string")), 1, 15),
+                16, 10).cast("bigint"))
+    d = df.select(F.col(group_col), h.alias("_h"))
+    d = d.select(group_col,
+                 F.pmod(F.col("_h"), F.lit(m)).alias("_b"),
+                 F.shiftright(F.col("_h"), p).alias("_w"))
+    rho = (F.when(F.col("_w") == 0, F.lit(wbits + 1))
+           .otherwise(F.lit(wbits + 1) - F.length(F.bin(F.col("_w")))))
+    return (d.groupBy(group_col, "_b")
+            .agg(F.max(rho).alias("_m")))
+
+
+def hll_estimates(regs: DataFrame, group_col: str,
+                  p: int = 9) -> DataFrame:
+    """(group, hll_estimate): the HLL estimate from a register frame
+    (post-merge) — harmonic mean α_m·m²·2^(wbits+1)/S, switched to
+    LINEAR COUNTING m·ln(m/V) (V = empty registers) in the small-range
+    regime E ≤ 2.5m where the raw estimator's empty-bucket bias blows
+    up (the standard Flajolet correction; at p=9 that's n ≲ 1280). The
+    denominator is the INTEGER S = Σ 2^(wbits+1−M_j) — exact bigint
+    adds in any order (≤ 2^61 for p ≥ 9) — and V is an integer count,
+    so BOTH branches and the branch PREDICATE are bit-identical across
+    engines and partitionings. Empty registers enter via a broadcast
+    2^p-row spine, never a driver collect."""
+    m = 1 << p
+    wbits = 60 - p
+    spark = regs.sparkSession
+    spine = (regs.select(group_col).distinct()
+             .crossJoin(F.broadcast(
+                 spark.range(m).select(F.col("id").alias("_b")))))
+    full = (spine.join(regs, [group_col, "_b"], "left")
+            .withColumn("_m", F.coalesce(F.col("_m"), F.lit(0))))
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+    s = F.sum(F.expr(
+        f"shiftleft(cast(1 as bigint), cast({wbits + 1} - _m as int))"))
+    v = F.sum(F.when(F.col("_m") == 0, 1).otherwise(0))
+    est = full.groupBy(group_col).agg(s.alias("_s"), v.alias("_v"))
+    raw = (alpha * F.lit(float(m)) * F.lit(float(m))
+           * F.lit(float(1 << (wbits + 1))) / F.col("_s"))
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("_v"))
+    return est.select(
+        group_col,
+        F.when((raw <= F.lit(2.5 * m)) & (F.col("_v") > 0), lc)
+        .otherwise(raw).alias("hll_estimate"))

@@ -965,3 +965,82 @@ def prune_state_dirs(spark: SparkSession, state_path: str,
         fs.delete(jvm.org.apache.hadoop.fs.Path(
             state_path, f"state_batch={bid}"), True)
     return doomed
+
+
+def hll_sink(item_stream: DataFrame, state_path: str,
+             group_col: str = "event_type", item_col: str = "item",
+             p: int = 9):
+    """Streaming distinct-count maintenance: a persisted HyperLogLog
+    register table merged with every micro-batch — the continuous form
+    of ``operators.sketch.hll_registers``. State is ≤ 2^p (group,
+    bucket, ρ) rows per group FOREVER while the stream is unbounded,
+    and the merge is the sketch's own MAX law, so batch boundaries are
+    invisible: the post-merge state equals the state of one batch over
+    the union (register-exact, property-tested).
+
+    Replay safety is single-phase like :func:`heavy_hitters_sink` —
+    each batch writes its complete post-merge registers to
+    ``state_path/state_batch=<batch_id>`` computed from the newest
+    committed state with id < batch_id; a crash-replay recomputes the
+    identical registers (MAX is idempotent) and rewrites the same dir.
+    Read the live estimate with :func:`hll_state_estimate`.
+    """
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        hll_commit_batch(batch_df, batch_id, state_path,
+                         group_col=group_col, item_col=item_col, p=p)
+
+    return (item_stream.writeStream.foreachBatch(process)
+            .outputMode("update"))
+
+
+def hll_commit_batch(batch_df: DataFrame, batch_id: int, state_path: str,
+                     group_col: str = "event_type",
+                     item_col: str = "item", p: int = 9) -> None:
+    """One micro-batch of :func:`hll_sink`, module-level so tests can
+    replay it against the crash window."""
+    from pyspark.errors import AnalysisException
+
+    from ..operators import sketch as SK
+
+    spark = batch_df.sparkSession
+    prev = None
+    try:
+        store = spark.read.parquet(state_path)
+        ids = [r["state_batch"] for r in
+               store.select("state_batch").distinct().collect()
+               if r["state_batch"] < batch_id]
+        if ids:
+            prev = (store.where(F.col("state_batch") == max(ids))
+                    .select(group_col, "_b", "_m"))
+    except AnalysisException as exc:
+        # same contract as hh_commit_batch: only path-not-found means
+        # "first batch"; any other read failure must propagate
+        msg = str(exc)
+        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+            raise
+
+    regs = SK.hll_registers(
+        batch_df.filter(F.col(item_col).isNotNull()),
+        group_col, item_col, p=p)
+    merged = regs if prev is None else (
+        regs.unionByName(prev).groupBy(group_col, "_b")
+        .agg(F.max("_m").alias("_m")))
+    (merged.write.mode("overwrite")
+     .parquet(f"{state_path}/state_batch={batch_id}"))
+
+
+def hll_state_estimate(spark: SparkSession, state_path: str,
+                       group_col: str = "event_type",
+                       p: int = 9) -> DataFrame:
+    """Latest committed estimate from :func:`hll_sink`:
+    ``(group, hll_estimate)`` via the same harmonic-mean arithmetic the
+    batch operator uses — a batch job over the union of all data and
+    this read see identical numbers."""
+    from ..operators import sketch as SK
+
+    store = spark.read.parquet(state_path)
+    latest = (store.agg(F.max("state_batch").alias("b"))
+              .collect()[0]["b"])
+    regs = (store.where(F.col("state_batch") == latest)
+            .select(group_col, "_b", "_m"))
+    return SK.hll_estimates(regs, group_col, p=p)
