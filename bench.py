@@ -176,6 +176,14 @@ def main() -> None:
                  "ks_drift", "chi2_keywords", "holt_winters"):
         r6[name] = timed(name)
 
+    # round-6 late batch (eval stats, state-space, IR, graph traversal),
+    # its own section so r6_total stays comparable to the gate-frozen run
+    r6b: dict[str, float] = {}
+    for name in ("roc_auc", "pacf_yw", "js_divergence", "hll_distinct",
+                 "degree_distribution", "bfs_hops", "bootstrap_ci",
+                 "kalman_level", "bm25_topk", "basket_lift"):
+        r6b[name] = timed(name)
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(json.dumps({
         "metric": "headline_queries_total",
@@ -190,12 +198,15 @@ def main() -> None:
         "analytics_total": round(sum(analytics.values()), 3),
         "r6_queries": r6,
         "r6_total": round(sum(r6.values()), 3),
+        "r6b_queries": r6b,
+        "r6b_total": round(sum(r6b.values()), 3),
         # full per-query trial pairs: the load-contamination audit trail
         # (a big max-min spread marks a draw taken under external load)
         "query_trials": {k: trial_log[k] for k in timings if k in trial_log},
         "corpus_trials": {k: trial_log[k] for k in corpus},
         "analytics_trials": {k: trial_log[k] for k in analytics},
         "r6_trials": {k: trial_log[k] for k in r6},
+        "r6b_trials": {k: trial_log[k] for k in r6b},
         "sf": float(sf) if sf else None,
         # host contention snapshot — driver-vs-local timing deltas are
         # attributable only when the load at measurement time is known
