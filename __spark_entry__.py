@@ -4502,9 +4502,18 @@ def q_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
     before the percentile so both engines interpolate identical
     doubles; the u = hash/2⁶⁰ division is by a power of two (exact)."""
     orders = load_table(spark, sf, "orders")
-    r = orders.select(
-        "o_orderkey", "o_totalprice",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("_b"))
+    # spread BEFORE the x64 explode: a small parquet arrives as one scan
+    # partition, which would serialize 64·N md5 draws onto one task.
+    # The partition COUNT is pinned (REPARTITION_BY_NUM): a bare
+    # repartition(col) is AQE-coalescible, and size-based coalescing
+    # collapses this few-MB exchange back to one task even though the
+    # downstream cost is CPU per row, not bytes (the kiln-pipeline
+    # lesson). Measured at sf0.1: 16.3 s coalesced -> 1.6 s pinned.
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    r = (orders.select("o_orderkey", "o_totalprice")
+         .repartition(shuffle_n, F.col("o_orderkey"))
+         .select("o_orderkey", "o_totalprice",
+                 F.explode(F.sequence(F.lit(0), F.lit(63))).alias("_b")))
     h = F.conv(F.substring(
         F.md5((F.col("o_orderkey") * 64 + F.col("_b")).cast("string")),
         1, 15), 16, 10).cast("bigint")
