@@ -24,7 +24,8 @@ from timeseries_data_analysis_spark.operators import (
     windows as WIN, timeseries as TS, intervals as IV, pivot as PV,
     topk as TK, dedup as DD, similarity as SIM, encoding as ENC,
     skew as SKEW, graph as GR, tsindex as TSI, sampling as SMP,
-    tokenizer as TOKZ, sketch as SK, cdc as CDC,
+    tokenizer as TOKZ, sketch as SK, cdc as CDC, bloom as BLM,
+    layout as LAY, survival as SURV,
 )
 from timeseries_data_analysis_spark.functions import math_fns as M, text as TX
 
@@ -4639,6 +4640,194 @@ def q_basket_lift(spark: SparkSession, sf: str) -> DataFrame:
             .limit(15))
 
 
+def q_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
+    """Kaplan-Meier time-to-first-failure curve — survival analytics'
+    standard estimator with right-censoring handled honestly: each
+    user's duration is hours from their first event to their first
+    'error' event (observed=1); users who never error are CENSORED at
+    the corpus horizon (observed=0), not counted as failures. Hour
+    epochs come from floor(unix_seconds/3600), identical in both
+    engines. The per-user and per-duration collapses are map-side
+    combined; the reverse cumulative at-risk count and the ln-sum
+    running product run over the horizon-bounded duration-level table
+    only (`operators/survival.py` documents the bounded-window
+    contract). Survival = exp(S ln(1-d/n)) rounded 6 dp so both
+    engines run identical float ops."""
+    ev = load_table(spark, sf, "events").filter(F.col("user_id").isNotNull())
+    hour = F.floor(F.unix_timestamp(F.col("ts")) / 3600)
+    span = (ev.groupBy("user_id")
+            .agg(F.min(hour).alias("_first"),
+                 F.min(F.when(F.col("event_type") == "error", hour))
+                 .alias("_err")))
+    horizon = ev.agg(F.max(hour).alias("_end"))
+    subj = (span.crossJoin(F.broadcast(horizon))
+            .select((F.coalesce("_err", "_end") - F.col("_first"))
+                    .alias("duration"),
+                    F.col("_err").isNotNull().cast("int").alias("observed")))
+    return SURV.km_curve(subj)
+
+
+def q_bloom_prejoin(spark: SparkSession, sf: str) -> DataFrame:
+    """Runtime-filter join: orders of high-balance customers, with the
+    probe side pre-filtered through a broadcast Bloom bitset
+    (`operators/bloom.py`) BEFORE the exact semi-join closes the
+    result — the pattern that turns a 100 TB shuffle-join into a
+    scan-local drop + small exact join. The oracle is the PLAIN
+    semi-join SQL: the bloom pass admits a superset (false positives ≈
+    (1−e^{−kn/m})^k), the exact broadcast semi-join removes them, so
+    the result is bit-identical to the unaccelerated join — which is
+    precisely the property worth checking. Build-side state is ≤ m/64
+    = 256 words (a bounded collect, the sketch-family contract)."""
+    cust = (load_table(spark, sf, "customer")
+            .filter(F.col("c_acctbal") > 9000))
+    orders = load_table(spark, sf, "orders")
+    hit = BLM.bloom_semi_join(orders, cust, "o_custkey", "c_custkey",
+                              m=16384, k=3)
+    return (hit.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 _r(F.sum("o_totalprice"), 4).alias("revenue"))
+            .orderBy("o_orderpriority"))
+
+
+def q_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order vs single-key layout, judged by the numbers a table
+    format's data-skipping index would deliver (`operators/layout.py`).
+    Orders cluster on two independent dimensions — customer bucket
+    x = o_custkey & 255 and date bucket y = days-since-1992 & 255 —
+    either by x alone (the single-sort-key status quo) or by the
+    8-bit Morton interleave z(x,y). Each layout is split into 64
+    code-range files; per-file min/max footers then answer range
+    predicates on BOTH dims. The expected shape (and what the oracle
+    pins): the x-sorted layout prunes ~90% of files for the x
+    predicate and ~0% for y; Z-order prunes a large majority for
+    EITHER dim — locality on every clustered dimension is the whole
+    point of the curve. Pure closed-form bit math, map-side-combined
+    64-group aggs; no UDF, no extra exchange."""
+    orders = load_table(spark, sf, "orders")
+    x = F.col("o_custkey").bitwiseAND(F.lit(255))
+    y = (F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01"))
+         .cast("bigint").bitwiseAND(F.lit(255)))
+    base = orders.select(x.alias("_x"), y.alias("_y"))
+    dims = {"x": F.col("_x"), "y": F.col("_y")}
+    rows = []
+    for layout, cluster in (("xsort", F.col("_x")),
+                            ("zorder", LAY.morton2(F.col("_x"),
+                                                   F.col("_y"), bits=8))):
+        stats = LAY.bucket_stats(base, cluster, dims, n_buckets=64)
+        for dim, lo, hi in (("x", 100, 119), ("y", 64, 127)):
+            rows.append(
+                LAY.pruning_power(stats, dim, lo, hi)
+                .select(F.lit(layout).alias("layout"),
+                        F.lit(dim).alias("dim"),
+                        "n_files", "files_skipped", "rows_scanned"))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("layout", "dim")
+
+
+def q_diff_in_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Difference-in-differences estimator — the workhorse of launch /
+    experiment analysis when assignment isn't randomized per event:
+    exposure group (deterministic user_id % 7 == 0 — the corpus carries
+    no real flag, so the assignment rule IS the documented treatment
+    column) × period split at 2024-01-16. One map-side-combined
+    4-cell agg yields means and sampling variances; DiD = (T_post −
+    T_pre) − (C_post − C_pre) with the standard independent-cells
+    normal SE = √(Σ s²ᵢ/nᵢ) and its t-statistic. Cell means/variances
+    round to 6 dp before combination so both engines run identical
+    doubles."""
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    cells = (ev.select(
+                (F.col("user_id") % 7 == 0).cast("int").alias("_t"),
+                (F.col("ts") >= F.lit("2024-01-16")).cast("int").alias("_p"),
+                "value")
+             .groupBy("_t", "_p")
+             .agg(_r(F.avg("value"), 6).alias("_m"),
+                  _r(F.var_samp("value"), 6).alias("_v"),
+                  F.count(F.lit(1)).alias("_n")))
+    def cell(t, p, col):
+        return F.max(F.when((F.col("_t") == t) & (F.col("_p") == p),
+                            F.col(col)))
+    one = cells.agg(
+        cell(1, 1, "_m").alias("_m11"), cell(1, 0, "_m").alias("_m10"),
+        cell(0, 1, "_m").alias("_m01"), cell(0, 0, "_m").alias("_m00"),
+        (cell(1, 1, "_v") / cell(1, 1, "_n")
+         + cell(1, 0, "_v") / cell(1, 0, "_n")
+         + cell(0, 1, "_v") / cell(0, 1, "_n")
+         + cell(0, 0, "_v") / cell(0, 0, "_n")).alias("_var"),
+        F.sum("_n").alias("n_events"))
+    did = (F.col("_m11") - F.col("_m10")) - (F.col("_m01") - F.col("_m00"))
+    return one.select(
+        "n_events",
+        _r(did, 6).alias("did"),
+        _r(F.sqrt("_var"), 6).alias("se"),
+        _r(did / F.sqrt("_var"), 6).alias("t_stat"))
+
+
+def q_pareto_front(spark: SparkSession, sf: str) -> DataFrame:
+    """2-D skyline (Pareto front) of daily best order values: the days
+    whose maximum o_totalprice is not beaten by ANY later day — the
+    record-setting frontier a monitoring dashboard draws. Scale shape:
+    rows first collapse to one per distinct day (map-side combined, the
+    calendar bounds the post-agg table), then a single running-max
+    window over the day-level table in reverse-day order keeps a day
+    iff its best price strictly exceeds every later day's — the
+    classic sort-based 2-D skyline, linear after the collapse, no
+    pairwise dominance join."""
+    orders = load_table(spark, sf, "orders")
+    daily = (orders.groupBy(F.to_date("o_orderdate").alias("order_day"))
+             .agg(F.max("o_totalprice").alias("best_price")))
+    w = (Window.orderBy(F.col("order_day").desc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    later = F.max("best_price").over(w)
+    return (daily
+            .withColumn("_lm", later)
+            .filter(F.col("_lm").isNull()
+                    | (F.col("best_price") > F.col("_lm")))
+            .select("order_day", "best_price")
+            .orderBy("order_day"))
+
+
+def q_uplift_deciles(spark: SparkSession, sf: str) -> DataFrame:
+    """Uplift (incrementality) decile table — the report that decides
+    whether a targeting model found heterogeneous treatment effects:
+    users are scored by engagement (mean non-purchase event value,
+    rounded 6 dp), DISTRIBUTED-ranked into score deciles via
+    `TK.global_rank` (no single-task global window), and each decile
+    reports treated vs control purchase-conversion and their
+    difference. Exposure is the same deterministic user_id % 7 rule as
+    `diff_in_diff`. Per-decile aggs are map-side combined; the only
+    data-sized shuffles are the per-user collapse and the range
+    repartition inside the rank."""
+    ev = load_table(spark, sf, "events").filter(F.col("user_id").isNotNull())
+    users = (ev.groupBy("user_id")
+             .agg(_r(F.avg(F.when(F.col("event_type") != "purchase",
+                                  F.col("value"))), 6).alias("_score"),
+                  F.max((F.col("event_type") == "purchase").cast("int"))
+                  .alias("_resp"))
+             .filter(F.col("_score").isNotNull()))
+    ranked = TK.global_rank(users, ["_score", "user_id"], "_rk")
+    n = users.agg(F.count(F.lit(1)).alias("_n"))
+    d = (ranked.crossJoin(F.broadcast(n))
+         .select(F.floor((F.col("_rk") - 1) * 10 / F.col("_n"))
+                 .cast("int").alias("decile"),
+                 (F.col("user_id") % 7 == 0).cast("int").alias("_t"),
+                 "_resp"))
+    g = (d.groupBy("decile")
+         .agg(F.sum("_t").alias("n_treated"),
+              F.sum(F.lit(1) - F.col("_t")).alias("n_control"),
+              _r(F.avg(F.when(F.col("_t") == 1, F.col("_resp"))), 6)
+              .alias("rate_treated"),
+              _r(F.avg(F.when(F.col("_t") == 0, F.col("_resp"))), 6)
+              .alias("rate_control")))
+    return (g.select("decile", "n_treated", "n_control", "rate_treated",
+                     "rate_control",
+                     _r(F.col("rate_treated") - F.col("rate_control"), 6)
+                     .alias("uplift"))
+            .orderBy("decile"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's anomaly detector over sf0.001 events."""
     return q_anomaly_detect(spark, SF_SMOKE)
@@ -4732,6 +4921,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test": q_ab_test,
         "entity_resolution": q_entity_resolution,
         "rolling_corr": q_rolling_corr,
+        # --- round-6 final batch (this session): survival / causal /
+        #     layout / runtime-filter analytics — behind the 63
+        #     never-driver-checked rows above, ahead of everything
+        #     already driver-green ---
+        "kaplan_meier": q_kaplan_meier,
+        "bloom_prejoin": q_bloom_prejoin,
+        "zorder_layout": q_zorder_layout,
+        "diff_in_diff": q_diff_in_diff,
+        "pareto_front": q_pareto_front,
+        "uplift_deciles": q_uplift_deciles,
         # --- r5 driver-greens (evidence of record: CORRECTNESS_r05) ---
         "dup_passages": q_dup_passages,
         "bpe_compression": q_bpe_compression,
@@ -10053,6 +10252,211 @@ def oracle_sql() -> dict[str, str]:
                (round((e2.hll_estimate - ex.exact_distinct)
                       / ex.exact_distinct + 1e-9, 4) + 0.0) AS rel_err
         FROM ex JOIN e2 USING (event_type)
+    """
+
+    # Kaplan-Meier: per-duration collapse, reverse-cumulative at-risk,
+    # ln-sum running product (identical float ops both engines)
+    sql["kaplan_meier"] = """
+        WITH hrs AS (
+            SELECT user_id, event_type,
+                   floor(epoch(ts) / 3600)::BIGINT AS h
+            FROM events WHERE user_id IS NOT NULL
+        ), subj AS (
+            SELECT user_id, min(h) AS f,
+                   min(CASE WHEN event_type = 'error' THEN h END) AS err
+            FROM hrs GROUP BY 1
+        ), horizon AS (
+            SELECT max(h) AS e FROM hrs
+        ), d AS (
+            SELECT coalesce(err, e) - f AS duration,
+                   CASE WHEN err IS NOT NULL THEN 1 ELSE 0 END AS observed
+            FROM subj, horizon
+        ), per_t AS (
+            SELECT duration, sum(observed)::BIGINT AS n_events,
+                   sum(1 - observed)::BIGINT AS n_censored,
+                   count(*)::BIGINT AS n
+            FROM d GROUP BY 1
+        ), ar AS (
+            SELECT *, sum(n) OVER (ORDER BY duration DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                AS n_risk
+            FROM per_t
+        ), surv AS (
+            SELECT *,
+                   CASE WHEN max(CASE WHEN n_events >= n_risk
+                                      THEN 1 ELSE 0 END)
+                             OVER (ORDER BY duration
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) = 1
+                        THEN 0.0
+                        ELSE (round(exp(sum(
+                                 CASE WHEN n_events > 0
+                                           AND n_events < n_risk
+                                      THEN ln(1.0 - n_events * 1.0
+                                              / n_risk)
+                                      ELSE 0.0 END)
+                             OVER (ORDER BY duration
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW))
+                             + 1e-9, 6) + 0.0)
+                   END AS survival
+            FROM ar
+        )
+        SELECT duration, n_risk, n_events, n_censored, survival
+        FROM surv WHERE n_events > 0 ORDER BY duration
+    """
+
+    # Bloom prejoin: the oracle is the PLAIN semi-join — the bloom pass
+    # is a superset prefilter the exact join closes, so result equality
+    # with the unaccelerated form IS the property under test
+    sql["bloom_prejoin"] = """
+        SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+               (round(sum(o_totalprice) + 1e-9, 4) + 0.0) AS revenue
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_acctbal > 9000)
+        GROUP BY 1 ORDER BY 1
+    """
+
+    # Z-order layout: closed-form 8-bit Morton interleave + 64-file
+    # min/max footers + range-predicate pruning, replayed per layout
+    _mz = " + ".join(
+        f"(((x >> {i}) & 1) << {2 * i}) + (((y >> {i}) & 1) << {2 * i + 1})"
+        for i in range(8))
+    sql["zorder_layout"] = f"""
+        WITH base AS (
+            SELECT (o_custkey & 255)::BIGINT AS x,
+                   (date_diff('day', DATE '1992-01-01',
+                              o_orderdate::DATE) & 255)::BIGINT AS y
+            FROM orders
+        ), keyed AS (
+            SELECT x, y, x::BIGINT AS c_xsort, ({_mz})::BIGINT AS c_zorder
+            FROM base
+        ), lay AS (
+            SELECT x, y, layout,
+                   CASE layout WHEN 'xsort' THEN c_xsort
+                               ELSE c_zorder END AS c
+            FROM keyed, (SELECT unnest(['xsort', 'zorder']) AS layout)
+        ), lim AS (
+            SELECT layout, min(c) AS lo, max(c) AS hi
+            FROM lay GROUP BY 1
+        ), bkt AS (
+            SELECT lay.layout,
+                   least(63, floor((c - lo) * 64.0 / (hi - lo + 1)))::BIGINT
+                       AS bucket,
+                   x, y
+            FROM lay JOIN lim USING (layout)
+        ), stats AS (
+            SELECT layout, bucket, count(*)::BIGINT AS n_rows,
+                   min(x) AS min_x, max(x) AS max_x,
+                   min(y) AS min_y, max(y) AS max_y
+            FROM bkt GROUP BY 1, 2
+        ), preds AS (
+            SELECT * FROM (VALUES ('x', 100, 119), ('y', 64, 127))
+                AS t(dim, plo, phi)
+        )
+        SELECT layout, dim, count(*)::BIGINT AS n_files,
+               sum(CASE WHEN (CASE dim WHEN 'x' THEN min_x ELSE min_y END)
+                             > phi
+                          OR (CASE dim WHEN 'x' THEN max_x ELSE max_y END)
+                             < plo
+                        THEN 1 ELSE 0 END)::BIGINT AS files_skipped,
+               sum(CASE WHEN (CASE dim WHEN 'x' THEN min_x ELSE min_y END)
+                             > phi
+                          OR (CASE dim WHEN 'x' THEN max_x ELSE max_y END)
+                             < plo
+                        THEN 0 ELSE n_rows END)::BIGINT AS rows_scanned
+        FROM stats, preds
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+    # Diff-in-diff: 4-cell means/variances rounded 6 dp, then the
+    # closed-form estimator on the rounded cells
+    sql["diff_in_diff"] = """
+        WITH cells AS (
+            SELECT CASE WHEN user_id % 7 = 0 THEN 1 ELSE 0 END AS t,
+                   CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                        THEN 1 ELSE 0 END AS p,
+                   (round(avg(value) + 1e-9, 6) + 0.0) AS m,
+                   (round(var_samp(value) + 1e-9, 6) + 0.0) AS v,
+                   count(*)::BIGINT AS n
+            FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        ), one AS (
+            SELECT max(CASE WHEN t = 1 AND p = 1 THEN m END) AS m11,
+                   max(CASE WHEN t = 1 AND p = 0 THEN m END) AS m10,
+                   max(CASE WHEN t = 0 AND p = 1 THEN m END) AS m01,
+                   max(CASE WHEN t = 0 AND p = 0 THEN m END) AS m00,
+                   max(CASE WHEN t = 1 AND p = 1 THEN v / n END)
+                   + max(CASE WHEN t = 1 AND p = 0 THEN v / n END)
+                   + max(CASE WHEN t = 0 AND p = 1 THEN v / n END)
+                   + max(CASE WHEN t = 0 AND p = 0 THEN v / n END) AS var,
+                   sum(n)::BIGINT AS n_events
+            FROM cells
+        )
+        SELECT n_events,
+               (round((m11 - m10) - (m01 - m00) + 1e-9, 6) + 0.0) AS did,
+               (round(sqrt(var) + 1e-9, 6) + 0.0) AS se,
+               (round(((m11 - m10) - (m01 - m00)) / sqrt(var)
+                      + 1e-9, 6) + 0.0) AS t_stat
+        FROM one
+    """
+
+    # Pareto front: day-level collapse + reverse running max (strict
+    # dominance), the sort-based 2-D skyline
+    sql["pareto_front"] = """
+        WITH daily AS (
+            SELECT o_orderdate::DATE AS order_day,
+                   max(o_totalprice) AS best_price
+            FROM orders GROUP BY 1
+        ), s AS (
+            SELECT order_day, best_price,
+                   max(best_price) OVER (ORDER BY order_day DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS lm
+            FROM daily
+        )
+        SELECT order_day, best_price FROM s
+        WHERE lm IS NULL OR best_price > lm
+        ORDER BY order_day
+    """
+
+    # Uplift deciles: rounded engagement score, total-order rank,
+    # decile split, treated-vs-control conversion difference computed
+    # on the ROUNDED rates (matching the Spark column order of ops)
+    sql["uplift_deciles"] = """
+        WITH users AS (
+            SELECT user_id,
+                   (round(avg(CASE WHEN event_type <> 'purchase'
+                                   THEN value END) + 1e-9, 6) + 0.0)
+                       AS score,
+                   max(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS resp
+            FROM events WHERE user_id IS NOT NULL GROUP BY 1
+        ), f AS (
+            SELECT * FROM users WHERE score IS NOT NULL
+        ), r AS (
+            SELECT user_id, resp,
+                   row_number() OVER (ORDER BY score, user_id) AS rk,
+                   count(*) OVER () AS n
+            FROM f
+        ), d AS (
+            SELECT floor((rk - 1) * 10.0 / n)::INTEGER AS decile,
+                   CASE WHEN user_id % 7 = 0 THEN 1 ELSE 0 END AS t,
+                   resp
+            FROM r
+        ), g AS (
+            SELECT decile, sum(t)::BIGINT AS n_treated,
+                   sum(1 - t)::BIGINT AS n_control,
+                   (round(avg(CASE WHEN t = 1 THEN resp END)
+                          + 1e-9, 6) + 0.0) AS rate_treated,
+                   (round(avg(CASE WHEN t = 0 THEN resp END)
+                          + 1e-9, 6) + 0.0) AS rate_control
+            FROM d GROUP BY 1
+        )
+        SELECT decile, n_treated, n_control, rate_treated, rate_control,
+               (round(rate_treated - rate_control + 1e-9, 6) + 0.0)
+                   AS uplift
+        FROM g ORDER BY 1
     """
 
     return sql

@@ -1,0 +1,117 @@
+"""Bloom prefilter, Z-order layout, and Kaplan-Meier operator tests."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from timeseries_data_analysis_spark.operators import (
+    bloom as BLM, layout as LAY, survival as SURV,
+)
+
+
+# ---------------------------------------------------------------- bloom
+
+def test_bloom_no_false_negatives(spark):
+    members = spark.createDataFrame([(i,) for i in range(0, 100, 3)],
+                                    "k long")
+    probe = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    bits = BLM.bloom_build(members, "k", m=4096, k=3)
+    kept = {r["k"] for r in
+            BLM.bloom_filter(probe, "k", bits, m=4096, k=3).collect()}
+    assert set(range(0, 100, 3)) <= kept  # every member survives
+
+
+def test_bloom_semi_join_exact(spark):
+    small = spark.createDataFrame([(2,), (5,), (7,)], "k long")
+    big = spark.createDataFrame([(i, i * 10) for i in range(20)],
+                                "k long, v long")
+    out = BLM.bloom_semi_join(big, small, "k", "k")
+    assert sorted(r["k"] for r in out.collect()) == [2, 5, 7]
+
+
+def test_bloom_filter_prunes_most_non_members(spark):
+    members = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    probe = spark.createDataFrame([(i,) for i in range(50, 5050)], "k long")
+    bits = BLM.bloom_build(members, "k", m=16384, k=3)
+    n = BLM.bloom_filter(probe, "k", bits, m=16384, k=3).count()
+    # fp rate ~ (1 - e^{-kn/m})^k ~= 7e-6 at n=50; allow generous slack
+    assert n < 50
+
+
+def test_bloom_empty_build_side(spark):
+    empty = spark.createDataFrame([], "k long")
+    probe = spark.createDataFrame([(1,), (2,)], "k long")
+    bits = BLM.bloom_build(empty, "k")
+    assert bits == {}
+    assert BLM.bloom_filter(probe, "k", bits).count() == 0
+
+
+# --------------------------------------------------------------- layout
+
+def test_morton2_interleaves_bits(spark):
+    df = spark.createDataFrame([(3, 0), (0, 3), (5, 2)], "x long, y long")
+    out = {(r["x"], r["y"]): r["z"] for r in
+           df.select("x", "y",
+                     LAY.morton2(F.col("x"), F.col("y")).alias("z"))
+           .collect()}
+    assert out[(3, 0)] == 0b0101        # x bits at even positions
+    assert out[(0, 3)] == 0b1010        # y bits at odd positions
+    assert out[(5, 2)] == 0b011001      # 5=101 interleaved with 2=010
+
+
+def test_zorder_beats_single_sort_on_second_dim(spark):
+    # full 64x64 grid: y is INDEPENDENT of x, so an x-sort gives y no
+    # locality at all, while the Morton curve gives both dims locality
+    rows = [(i % 64, i // 64) for i in range(4096)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    dims = {"x": F.col("x"), "y": F.col("y")}
+    z = LAY.bucket_stats(df, LAY.morton2(F.col("x"), F.col("y"), bits=6),
+                         dims, n_buckets=16)
+    lin = LAY.bucket_stats(df, F.col("x"), dims, n_buckets=16)
+    zy = LAY.pruning_power(z, "y", 0, 7).collect()[0]
+    liny = LAY.pruning_power(lin, "y", 0, 7).collect()[0]
+    assert liny["files_skipped"] == 0       # x-sorted: y unskippable
+    assert zy["files_skipped"] > 0          # z-order: y locality exists
+    assert zy["rows_scanned"] < liny["rows_scanned"]
+
+
+def test_bucket_stats_row_conservation(spark):
+    df = spark.createDataFrame([(i, i) for i in range(1000)],
+                               "x long, y long")
+    stats = LAY.bucket_stats(df, F.col("x"), {"x": F.col("x")},
+                             n_buckets=8)
+    got = stats.agg(F.sum("n_rows")).collect()[0][0]
+    assert got == 1000
+    assert stats.count() <= 8
+
+
+# ------------------------------------------------------------- survival
+
+def test_km_textbook_curve(spark):
+    # classic example: deaths at t=1 (n=5), t=3 (n=3); censored at 2, 4, 5
+    subj = spark.createDataFrame(
+        [(1, 1), (2, 0), (3, 1), (4, 0), (5, 0)],
+        "duration int, observed int")
+    out = {r["duration"]: r for r in SURV.km_curve(subj).collect()}
+    assert set(out) == {1, 3}
+    assert out[1]["n_risk"] == 5 and out[1]["n_events"] == 1
+    assert math.isclose(out[1]["survival"], 0.8, abs_tol=1e-6)
+    assert out[3]["n_risk"] == 3
+    assert math.isclose(out[3]["survival"], 0.8 * (1 - 1 / 3),
+                        abs_tol=1e-6)
+
+
+def test_km_terminal_zero_survival(spark):
+    subj = spark.createDataFrame([(1, 1), (2, 1), (2, 1)],
+                                 "duration int, observed int")
+    out = {r["duration"]: r["survival"]
+           for r in SURV.km_curve(subj).collect()}
+    assert out[2] == 0.0                 # d == n at the last duration
+
+
+def test_km_all_censored_is_empty(spark):
+    subj = spark.createDataFrame([(1, 0), (5, 0)],
+                                 "duration int, observed int")
+    assert SURV.km_curve(subj).count() == 0
