@@ -4828,6 +4828,180 @@ def q_uplift_deciles(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("decile"))
 
 
+def q_containment_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Shingle-containment near-dup pairs (|A∩B|/min(|A|,|B|) ≥ 0.8) —
+    the doc-IN-doc detector Jaccard structurally misses (a small doc
+    wholly quoted inside a big one scores containment 1.0, Jaccard
+    ~|A|/|B|). `DD.containment_pairs` is the same inverted-index
+    set-similarity join as `ngram_jaccard` (8-byte hash + id postings,
+    pairs exist only where a shingle is shared); at corpus scale the
+    contract is band-first-verify-on-candidates, same as the Jaccard
+    family (SCALE §1e)."""
+    docs = load_table(spark, sf, "documents")
+    out = DD.containment_pairs(docs, n=3, threshold=0.8)
+    return (out.select("id_l", "id_r", "inter", "min_sz",
+                       _r(F.col("containment"), 6).alias("containment"))
+            .orderBy("id_l", "id_r"))
+
+
+def q_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    """3-core of the production MinHash-LSH candidate graph via
+    5-round bounded peeling (`GR.kcore`): strip chains/stars/fringe so
+    only cohesive near-dup communities remain — the pre-filter that
+    makes a census or clustering run cheap on clique-dominated
+    curation graphs (SCALE §1j measured exact triangle census cost;
+    peeling first is the designed mitigation). Each round is ids-only
+    degree count + endpoint semi-joins with localCheckpoint lineage
+    cuts; the oracle replays the identical 5 rounds CTE-for-CTE."""
+    docs = load_table(spark, sf, "documents")
+    pairs = DD.minhash_lsh_candidates(docs)
+    return (GR.kcore(pairs, k=3, rounds=5)
+            .select(F.col("vertex").alias("doc_id"), "degree")
+            .orderBy("doc_id"))
+
+
+def q_dq_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """Deequ-style data-quality expectation suite in ONE scan + one
+    referential probe: completeness, key uniqueness, value range,
+    domain membership — computed as a single map-side-combined agg
+    over orders — plus orphaned-foreign-key count via a broadcast
+    anti-join against customer. Emitted long-form (check, value,
+    passed) so a pipeline gate can act per-constraint; thresholds are
+    part of the suite definition (literals), values round 6 dp."""
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer").select("c_custkey")
+    n = F.count(F.lit(1))
+    base = orders.agg(
+        n.alias("_n"),
+        _r(F.sum(F.col("o_custkey").isNotNull().cast("int")) / n, 6)
+        .alias("_completeness"),
+        _r(F.count_distinct("o_orderkey") / n, 6).alias("_uniqueness"),
+        _r(F.sum(((F.col("o_totalprice") >= 0)
+                  & (F.col("o_totalprice") <= 600000)).cast("int")) / n, 6)
+        .alias("_range_ok"),
+        _r(F.sum(F.col("o_orderstatus").isin("O", "F", "P").cast("int"))
+           / n, 6).alias("_domain_ok"))
+    orphans = (orders.join(F.broadcast(cust),
+                           orders.o_custkey == cust.c_custkey, "left_anti")
+               .agg(F.count(F.lit(1)).alias("_orphans")))
+    both = base.crossJoin(F.broadcast(orphans))
+    row = both.select(
+        "_completeness", "_uniqueness", "_range_ok", "_domain_ok",
+        _r(F.lit(1.0) - F.col("_orphans") / F.col("_n"), 6).alias("_ri"))
+    out = row.select(F.expr(
+        "stack(5,"
+        " 'completeness_custkey', _completeness,"
+        " 'unique_orderkey', _uniqueness,"
+        " 'range_totalprice', _range_ok,"
+        " 'domain_orderstatus', _domain_ok,"
+        " 'ref_integrity_custkey', _ri"
+        ") AS (dq_check, value)"))
+    return (out.select("dq_check", "value",
+                       (F.col("value") >= 0.99).cast("int").alias("passed"))
+            .orderBy("dq_check"))
+
+
+def q_forecast_backtest(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling-origin seasonal-naive backtest with MASE/sMAPE — the
+    forecast-accuracy scoreboard (Hyndman & Koehler 2006) every
+    capacity/planning pipeline runs before trusting a model: per
+    series, predict each day's mean value with the value 7 days
+    earlier, score |err| against the one-step-naive MAE (the MASE
+    denominator), plus sMAPE. Rows collapse to (series, day) first
+    (map-side combined, calendar-bounded per series), then lag windows
+    ride the shared per-series exchange; daily means round 6 dp so
+    both engines window identical doubles."""
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(_r(F.avg("value"), 6).alias("y")))
+    w = WIN.series_window("event_type", ["day"])
+    d = daily.select(
+        "event_type", "y",
+        F.lag("y", 7).over(w).alias("_yhat"),
+        F.lag("y", 1).over(w).alias("_y1"))
+    g = (d.groupBy("event_type")
+         .agg(F.sum(F.col("_yhat").isNotNull().cast("int")).alias("n_eval"),
+              F.avg(F.abs(F.col("y") - F.col("_yhat"))).alias("_mae7"),
+              F.avg(F.abs(F.col("y") - F.col("_y1"))).alias("_mae1"),
+              F.avg(F.lit(2.0) * F.abs(F.col("y") - F.col("_yhat"))
+                    / (F.abs("y") + F.abs("_yhat"))).alias("_smape")))
+    return (g.select("event_type", "n_eval",
+                     _r(F.col("_mae7"), 6).alias("mae"),
+                     _r(F.col("_mae7") / F.col("_mae1"), 6).alias("mase"),
+                     _r(F.col("_smape"), 6).alias("smape"))
+            .orderBy("event_type"))
+
+
+def q_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) segmentation — the classic
+    customer-base partition: per-customer R/F/M from one orders
+    collapse, quintile cut points from ONE exact-percentile agg over
+    the customer-level table (broadcast back — no per-row rank
+    shuffle, no single-task ntile), then CASE segment labels and a
+    6-group rollup. Monetary rounds 4 dp BEFORE the percentile so
+    both engines cut on identical doubles."""
+    orders = load_table(spark, sf, "orders")
+    horizon = orders.agg(F.to_date(F.max("o_orderdate")).alias("_end"))
+    rfm = (orders.crossJoin(F.broadcast(horizon))
+           .groupBy("o_custkey")
+           .agg(F.min(F.datediff("_end", F.to_date("o_orderdate")))
+                .alias("_rec"),
+                F.count(F.lit(1)).alias("_freq"),
+                _r(F.sum("o_totalprice"), 4).alias("_mon")))
+    qs = rfm.agg(*[
+        _r(F.percentile(c, F.lit(q)), 6).alias(f"{a}{int(q * 100)}")
+        for c, a in (("_rec", "r"), ("_freq", "f"), ("_mon", "m"))
+        for q in (0.2, 0.4, 0.6, 0.8)])
+    j = rfm.crossJoin(F.broadcast(qs))
+
+    def quint(c, a):
+        return (F.lit(1)
+                + (F.col(c) > F.col(f"{a}20")).cast("int")
+                + (F.col(c) > F.col(f"{a}40")).cast("int")
+                + (F.col(c) > F.col(f"{a}60")).cast("int")
+                + (F.col(c) > F.col(f"{a}80")).cast("int"))
+
+    scored = j.select(
+        "_rec", "_freq", "_mon",
+        quint("_rec", "r").alias("_rq"),
+        quint("_freq", "f").alias("_fq"),
+        quint("_mon", "m").alias("_mq"))
+    seg = (F.when((F.col("_rq") <= 2) & (F.col("_fq") >= 4)
+                  & (F.col("_mq") >= 4), "champions")
+           .when(F.col("_fq") >= 4, "loyal")
+           .when(F.col("_mq") == 5, "big_spender")
+           .when((F.col("_rq") >= 4) & (F.col("_fq") >= 3), "at_risk")
+           .when(F.col("_rq") >= 4, "hibernating")
+           .otherwise("regular"))
+    return (scored.groupBy(seg.alias("segment"))
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 _r(F.avg("_rec"), 4).alias("avg_recency"),
+                 _r(F.avg("_freq"), 4).alias("avg_frequency"),
+                 _r(F.avg("_mon"), 4).alias("avg_monetary"))
+            .orderBy("segment"))
+
+
+def q_neyman_allocation(spark: SparkSession, sf: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation (n_h ∝ N_h·σ_h) —
+    the survey-sampling answer to "how many rows should each stratum
+    contribute to a 1000-row audit sample so the estimator variance is
+    minimal". One map-side-combined agg per stratum (count + stddev),
+    stratum weights share one broadcast total, and the final counts
+    use an explicit HALF-UP rule (floor(x+0.5)) so both engines round
+    identically (the cross-engine lesson from the CUSUM stream fix)."""
+    cust = load_table(spark, sf, "customer")
+    g = (cust.groupBy("c_mktsegment")
+         .agg(F.count(F.lit(1)).alias("n_pop"),
+              _r(F.stddev_samp("c_acctbal"), 6).alias("sd")))
+    g = g.withColumn("_w", F.col("n_pop") * F.col("sd"))
+    tot = g.agg(F.sum("_w").alias("_tw"))
+    return (g.crossJoin(F.broadcast(tot))
+            .select("c_mktsegment", "n_pop", "sd",
+                    F.floor(F.lit(1000.0) * F.col("_w") / F.col("_tw")
+                            + F.lit(0.5)).cast("bigint").alias("n_sample"))
+            .orderBy("c_mktsegment"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's anomaly detector over sf0.001 events."""
     return q_anomaly_detect(spark, SF_SMOKE)
@@ -4931,6 +5105,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_in_diff": q_diff_in_diff,
         "pareto_front": q_pareto_front,
         "uplift_deciles": q_uplift_deciles,
+        "containment_dedup": q_containment_dedup,
+        "kcore": q_kcore,
+        "dq_suite": q_dq_suite,
+        "forecast_backtest": q_forecast_backtest,
+        "rfm_segments": q_rfm_segments,
+        "neyman_allocation": q_neyman_allocation,
         # --- r5 driver-greens (evidence of record: CORRECTNESS_r05) ---
         "dup_passages": q_dup_passages,
         "bpe_compression": q_bpe_compression,
@@ -10457,6 +10637,204 @@ def oracle_sql() -> dict[str, str]:
                (round(rate_treated - rate_control + 1e-9, 6) + 0.0)
                    AS uplift
         FROM g ORDER BY 1
+    """
+
+    # Containment: same inverted-index join as ngram_jaccard, but the
+    # similarity is |A∩B|/min(|A|,|B|) — the doc-in-doc measure
+    sql["containment_dedup"] = f"""
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(trim({norm}), '\\s+') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= 3 THEN list_distinct(
+                       list_transform(range(len(t) - 2), i ->
+                           t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+                   ELSE [array_to_string(t, ' ')] END AS s
+            FROM t
+        ), post AS (
+            SELECT doc_id, len(s) AS n,
+                   ('0x' || substr(md5(g), 1, 8))::BIGINT AS h
+            FROM (SELECT doc_id, s, unnest(s) AS g FROM sh)
+        )
+        SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+               count(*) AS inter,
+               least(min(a.n), min(b.n))::BIGINT AS min_sz,
+               (round(count(*)::DOUBLE / least(min(a.n), min(b.n))
+                      + 1e-9, 6) + 0.0) AS containment
+        FROM post a JOIN post b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*)::DOUBLE / least(min(a.n), min(b.n)) >= 0.8
+        ORDER BY 1, 2
+    """
+
+    # k-core: the SAME 5 peeling rounds as GR.kcore, unrolled CTE-for-CTE
+    # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs per
+    # reference, and each round references the previous one 3x — the
+    # unhinted form re-evaluates the whole minhash chain 3^5 times
+    _kcore_rounds = "".join(f""", kd{r} AS MATERIALIZED (
+            SELECT v, count(*) AS deg FROM (
+                SELECT a AS v FROM ke{r} UNION ALL SELECT b AS v FROM ke{r})
+            GROUP BY 1
+        ), kk{r} AS MATERIALIZED (
+            SELECT v FROM kd{r} WHERE deg >= 3
+        ), ke{r + 1} AS MATERIALIZED (
+            SELECT a, b FROM ke{r}
+            WHERE a IN (SELECT v FROM kk{r})
+              AND b IN (SELECT v FROM kk{r})
+        )""" for r in range(5))
+    sql["kcore"] = f"""
+        WITH {minhash_ctes},
+        ke0 AS MATERIALIZED (
+            SELECT least(id_l, id_r) AS a, greatest(id_l, id_r) AS b
+            FROM cpairs WHERE id_l <> id_r GROUP BY 1, 2
+        ){_kcore_rounds}
+        SELECT v AS doc_id, count(*)::BIGINT AS degree FROM (
+            SELECT a AS v FROM ke5 UNION ALL SELECT b AS v FROM ke5)
+        GROUP BY 1 ORDER BY 1
+    """
+
+    # DQ suite: one-pass constraint metrics + NOT EXISTS orphan probe
+    # (NOT EXISTS matches left_anti's null-key semantics, NOT IN doesn't)
+    sql["dq_suite"] = """
+        WITH base AS (
+            SELECT count(*)::BIGINT AS n,
+                   (round(sum(CASE WHEN o_custkey IS NOT NULL
+                                   THEN 1 ELSE 0 END) * 1.0 / count(*)
+                          + 1e-9, 6) + 0.0) AS completeness,
+                   (round(count(DISTINCT o_orderkey) * 1.0 / count(*)
+                          + 1e-9, 6) + 0.0) AS uniqueness,
+                   (round(sum(CASE WHEN o_totalprice BETWEEN 0 AND 600000
+                                   THEN 1 ELSE 0 END) * 1.0 / count(*)
+                          + 1e-9, 6) + 0.0) AS range_ok,
+                   (round(sum(CASE WHEN o_orderstatus IN ('O', 'F', 'P')
+                                   THEN 1 ELSE 0 END) * 1.0 / count(*)
+                          + 1e-9, 6) + 0.0) AS domain_ok
+            FROM orders
+        ), orph AS (
+            SELECT count(*)::BIGINT AS o FROM orders
+            WHERE NOT EXISTS (SELECT 1 FROM customer
+                              WHERE c_custkey = o_custkey)
+        ), rows_ AS (
+            SELECT 'completeness_custkey' AS dq_check, completeness AS value
+            FROM base
+            UNION ALL
+            SELECT 'unique_orderkey', uniqueness FROM base
+            UNION ALL
+            SELECT 'range_totalprice', range_ok FROM base
+            UNION ALL
+            SELECT 'domain_orderstatus', domain_ok FROM base
+            UNION ALL
+            SELECT 'ref_integrity_custkey',
+                   (round(1.0 - o * 1.0 / n + 1e-9, 6) + 0.0)
+            FROM base, orph
+        )
+        SELECT dq_check, value,
+               CASE WHEN value >= 0.99 THEN 1 ELSE 0 END AS passed
+        FROM rows_ ORDER BY dq_check
+    """
+
+    # Seasonal-naive backtest: 6-dp daily means, lag-7 forecast,
+    # lag-1 naive MAE denominator (Hyndman MASE), sMAPE
+    sql["forecast_backtest"] = """
+        WITH daily AS (
+            SELECT event_type, ts::DATE AS day,
+                   (round(avg(value) + 1e-9, 6) + 0.0) AS y
+            FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        ), d AS (
+            SELECT event_type, y,
+                   lag(y, 7) OVER w AS yhat, lag(y, 1) OVER w AS y1
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        ), g AS (
+            SELECT event_type,
+                   sum(CASE WHEN yhat IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                       AS n_eval,
+                   avg(abs(y - yhat)) AS mae7,
+                   avg(abs(y - y1)) AS mae1,
+                   avg(2.0 * abs(y - yhat) / (abs(y) + abs(yhat))) AS sm
+            FROM d GROUP BY 1
+        )
+        SELECT event_type, n_eval,
+               (round(mae7 + 1e-9, 6) + 0.0) AS mae,
+               (round(mae7 / mae1 + 1e-9, 6) + 0.0) AS mase,
+               (round(sm + 1e-9, 6) + 0.0) AS smape
+        FROM g ORDER BY 1
+    """
+
+    # RFM: one exact-percentile agg for the cut points (quantile_cont
+    # pairs with Spark percentile), CASE segments, 4-dp monetary
+    # rounded BEFORE the percentile
+    sql["rfm_segments"] = """
+        WITH horizon AS (
+            SELECT max(o_orderdate)::DATE AS e FROM orders
+        ), rfm AS (
+            SELECT o_custkey,
+                   date_diff('day', max(o_orderdate)::DATE,
+                             (SELECT e FROM horizon)) AS rec,
+                   count(*)::BIGINT AS freq,
+                   (round(sum(o_totalprice) + 1e-9, 4) + 0.0) AS mon
+            FROM orders GROUP BY 1
+        ), qs AS (
+            SELECT
+                (round(quantile_cont(rec, 0.2) + 1e-9, 6) + 0.0) AS r20,
+                (round(quantile_cont(rec, 0.4) + 1e-9, 6) + 0.0) AS r40,
+                (round(quantile_cont(rec, 0.6) + 1e-9, 6) + 0.0) AS r60,
+                (round(quantile_cont(rec, 0.8) + 1e-9, 6) + 0.0) AS r80,
+                (round(quantile_cont(freq, 0.2) + 1e-9, 6) + 0.0) AS f20,
+                (round(quantile_cont(freq, 0.4) + 1e-9, 6) + 0.0) AS f40,
+                (round(quantile_cont(freq, 0.6) + 1e-9, 6) + 0.0) AS f60,
+                (round(quantile_cont(freq, 0.8) + 1e-9, 6) + 0.0) AS f80,
+                (round(quantile_cont(mon, 0.2) + 1e-9, 6) + 0.0) AS m20,
+                (round(quantile_cont(mon, 0.4) + 1e-9, 6) + 0.0) AS m40,
+                (round(quantile_cont(mon, 0.6) + 1e-9, 6) + 0.0) AS m60,
+                (round(quantile_cont(mon, 0.8) + 1e-9, 6) + 0.0) AS m80
+            FROM rfm
+        ), scored AS (
+            SELECT rec, freq, mon,
+                   1 + CASE WHEN rec > r20 THEN 1 ELSE 0 END
+                     + CASE WHEN rec > r40 THEN 1 ELSE 0 END
+                     + CASE WHEN rec > r60 THEN 1 ELSE 0 END
+                     + CASE WHEN rec > r80 THEN 1 ELSE 0 END AS rq,
+                   1 + CASE WHEN freq > f20 THEN 1 ELSE 0 END
+                     + CASE WHEN freq > f40 THEN 1 ELSE 0 END
+                     + CASE WHEN freq > f60 THEN 1 ELSE 0 END
+                     + CASE WHEN freq > f80 THEN 1 ELSE 0 END AS fq,
+                   1 + CASE WHEN mon > m20 THEN 1 ELSE 0 END
+                     + CASE WHEN mon > m40 THEN 1 ELSE 0 END
+                     + CASE WHEN mon > m60 THEN 1 ELSE 0 END
+                     + CASE WHEN mon > m80 THEN 1 ELSE 0 END AS mq
+            FROM rfm, qs
+        ), seg AS (
+            SELECT rec, freq, mon,
+                   CASE WHEN rq <= 2 AND fq >= 4 AND mq >= 4
+                            THEN 'champions'
+                        WHEN fq >= 4 THEN 'loyal'
+                        WHEN mq = 5 THEN 'big_spender'
+                        WHEN rq >= 4 AND fq >= 3 THEN 'at_risk'
+                        WHEN rq >= 4 THEN 'hibernating'
+                        ELSE 'regular' END AS segment
+            FROM scored
+        )
+        SELECT segment, count(*)::BIGINT AS n_customers,
+               (round(avg(rec) + 1e-9, 4) + 0.0) AS avg_recency,
+               (round(avg(freq) + 1e-9, 4) + 0.0) AS avg_frequency,
+               (round(avg(mon) + 1e-9, 4) + 0.0) AS avg_monetary
+        FROM seg GROUP BY 1 ORDER BY 1
+    """
+
+    # Neyman allocation: n_h = HALF-UP(B * N_h σ_h / Σ N σ)
+    sql["neyman_allocation"] = """
+        WITH g AS (
+            SELECT c_mktsegment, count(*)::BIGINT AS n_pop,
+                   (round(stddev_samp(c_acctbal) + 1e-9, 6) + 0.0) AS sd
+            FROM customer GROUP BY 1
+        ), t AS (
+            SELECT sum(n_pop * sd) AS tw FROM g
+        )
+        SELECT c_mktsegment, n_pop, sd,
+               floor(1000.0 * (n_pop * sd) / tw + 0.5)::BIGINT AS n_sample
+        FROM g, t ORDER BY 1
     """
 
     return sql

@@ -115,3 +115,41 @@ def test_km_all_censored_is_empty(spark):
     subj = spark.createDataFrame([(1, 0), (5, 0)],
                                  "duration int, observed int")
     assert SURV.km_curve(subj).count() == 0
+
+
+# ------------------------------------------------- containment / kcore
+
+def test_containment_catches_doc_in_doc(spark):
+    from timeseries_data_analysis_spark.operators import dedup as DD
+    big = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    small = "gamma delta epsilon zeta eta"        # wholly inside big
+    other = "one two three four five six seven"
+    docs = spark.createDataFrame(
+        [(1, big), (2, small), (3, other)], "doc_id long, text string")
+    cont = {(r["id_l"], r["id_r"]): r["containment"]
+            for r in DD.containment_pairs(docs, n=3,
+                                          threshold=0.8).collect()}
+    assert cont[(1, 2)] == 1.0          # full containment
+    assert (1, 3) not in cont and (2, 3) not in cont
+    # Jaccard on the same pair is well below any dedup threshold
+    jac = DD.ngram_jaccard_all_pairs(docs, n=3, threshold=0.0)
+    j12 = {(r["id_l"], r["id_r"]): r["jaccard"] for r in jac.collect()}
+    assert j12[(1, 2)] < 0.5
+
+
+def test_kcore_peels_fringe_keeps_clique(spark):
+    from timeseries_data_analysis_spark.operators import graph as GR
+    # 4-clique {1,2,3,4} + a pendant chain 4-5-6
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (5, 6)]
+    e = spark.createDataFrame(edges, "id_l long, id_r long")
+    out = {r["vertex"]: r["degree"] for r in GR.kcore(e, k=3).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert all(d == 3 for d in out.values())
+
+
+def test_kcore_empty_when_no_core(spark):
+    from timeseries_data_analysis_spark.operators import graph as GR
+    chain = spark.createDataFrame([(1, 2), (2, 3), (3, 4)],
+                                  "id_l long, id_r long")
+    assert GR.kcore(chain, k=2).count() == 0

@@ -385,3 +385,37 @@ def multi_source_bfs(edges: DataFrame, seeds: DataFrame,
                 .groupBy("vertex").agg(F.min("hop").alias("hop"))
                 .localCheckpoint())
     return dist
+
+
+def kcore(edges: DataFrame, k: int = 3, rounds: int = 5,
+          src: str = "id_l", dst: str = "id_r") -> DataFrame:
+    """Bounded-round k-core peeling: repeatedly delete vertices with
+    degree < k (and their edges) for ``rounds`` rounds, then report the
+    surviving vertices with their residual degree — the cohesion filter
+    that separates genuinely dense near-dup communities from chains and
+    stars before an expensive census or clustering run.
+
+    Exact k-core needs peeling to a fixpoint (data-dependent round
+    count); this operator fixes the round budget up front — the same
+    bounded-iteration contract as :func:`multi_source_bfs` — because on
+    real near-dup graphs low-degree fringe vanishes in the first 1-2
+    rounds (clique interiors never peel at all), and a FIXED unrolling
+    is what a DuckDB oracle can replay CTE-for-CTE. Each round is two
+    bounded shuffles (degree count + endpoint semi-joins) with a
+    ``localCheckpoint`` lineage cut (the :func:`connected_components`
+    discipline); per-round traffic is ids only, never payloads.
+    """
+    e = (edges.select(F.least(src, dst).alias("a"),
+                      F.greatest(src, dst).alias("b"))
+         .filter(F.col("a") != F.col("b")).distinct().localCheckpoint())
+    for _ in range(rounds):
+        deg = (e.select(F.col("a").alias("vertex"))
+               .unionAll(e.select(F.col("b").alias("vertex")))
+               .groupBy("vertex").agg(F.count(F.lit(1)).alias("degree")))
+        keep = deg.filter(F.col("degree") >= k).select("vertex")
+        e = (e.join(keep.withColumnRenamed("vertex", "a"), "a", "left_semi")
+             .join(keep.withColumnRenamed("vertex", "b"), "b", "left_semi")
+             .localCheckpoint())
+    return (e.select(F.col("a").alias("vertex"))
+            .unionAll(e.select(F.col("b").alias("vertex")))
+            .groupBy("vertex").agg(F.count(F.lit(1)).alias("degree")))
