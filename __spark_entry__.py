@@ -5015,14 +5015,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     first), then ALL 35 round-5 third/fourth-batch rows
     (``pagerank_neardup`` … ``source_datacard``) whose only evidence so
     far is the judge's full-gate run — 15 + 35 = 50 exactly, so after
-    this round every pre-round-6 row has driver evidence. The two
-    round-6 additions with the LEAST custom-helper surface (``ab_test``
-    — pure moment aggs + scalar math; ``entity_resolution`` — plain
-    blocked join on built-in levenshtein) sit at slots 51-52, first in
-    line for round 7 (the same least-surface-waits-longest rule round 5
-    applied to its stale ledger). Behind them: the 50 rows the driver
-    greened in round 5, then the r4 and r3 driver-greens (stable
-    built-in-heavy paths, least at risk)."""
+    this round every pre-round-6 row has driver evidence. Slots 51+ queue the remaining
+    round-6 additions (``roc_auc`` … the late analytics/curation
+    batches) in landing order — first in line for round 7 — followed
+    by the 50 rows the driver greened in round 5, then the r4 and r3
+    driver-greens (stable built-in-heavy paths, least at risk)."""
     return {
         # --- round-6 new/changed queries: first driver evidence needed ---
         "ewma_exact": q_ewma_exact,

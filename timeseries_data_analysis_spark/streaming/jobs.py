@@ -500,15 +500,13 @@ def neardup_commit_batch(batch_df: DataFrame, batch_id: int,
 
     spark = batch_df.sparkSession
     index_fp = None
-    try:
-        index = spark.read.parquet(index_path)
+    index = _read_state_or_none(spark, index_path)
+    if index is not None:
         if ("_batch_id" in index.columns
                 and index.where(F.col("_batch_id") == batch_id)
                 .limit(1).count() > 0):
             return                      # commit marker present: replayed
         index_fp = index.select("_id", "_fp")
-    except Exception:  # noqa: BLE001 — first batch: no index yet
-        pass
     # within-batch collapse: near-dup pairs → components → min-id keeps
     pairs = simhash_hamming_pairs(batch_df, text_col, id_col, n=n,
                                   bits=bits, bands=bands,
@@ -540,6 +538,24 @@ def neardup_commit_batch(batch_df: DataFrame, batch_id: int,
      .write.mode("append").parquet(index_path))
 
 
+def _read_state_or_none(spark, path: str):
+    """Read a parquet state store, returning ``None`` ONLY when the path
+    does not exist yet (the first-batch probe). Any other read failure
+    (IO/permission/corrupt state) propagates — silently treating it as
+    "first batch" would reset a dedup index without signal and let
+    duplicates through, breaking the crash-replay safety story (same
+    contract as :func:`hh_commit_batch`'s narrow except)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as exc:
+        msg = str(exc)
+        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+            raise
+        return None
+
+
 def dedup_commit_batch(batch_df: DataFrame, batch_id: int,
                        index_path: str, out_path: str,
                        text_col: str = "text",
@@ -552,8 +568,8 @@ def dedup_commit_batch(batch_df: DataFrame, batch_id: int,
 
     spark = batch_df.sparkSession
     index_d = None
-    try:
-        index = spark.read.parquet(index_path)
+    index = _read_state_or_none(spark, index_path)
+    if index is not None:
         # replay fast-path: the index append is the commit marker, so a
         # batch_id already present means this batch fully committed
         # before a restart.
@@ -562,8 +578,6 @@ def dedup_commit_batch(batch_df: DataFrame, batch_id: int,
                 .limit(1).count() > 0):
             return
         index_d = index.select("_digest")
-    except Exception:  # noqa: BLE001 — first batch: no index yet
-        pass
     batch = (batch_df
              .withColumn("_digest", text_digest(text_col)))
     # collapse within-batch dups first (keep min id, like exact_dedup)
