@@ -4844,6 +4844,25 @@ def q_containment_dedup(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("id_l", "id_r"))
 
 
+def q_containment_capped(spark: SparkSession, sf: str) -> DataFrame:
+    """The 100 TB form of `containment_dedup`: candidate generation from
+    df-capped postings (`max_posting=500` — shingles more frequent than
+    that are corpus boilerplate and the df head IS the quadratic term:
+    2.98e9 raw candidate rows on the 10× clone corpus vs 6.6e6 capped),
+    then EXACT `array_intersect` verification of every surviving
+    candidate, so all emitted scores are exact. At sf0.01 max shingle
+    df is 7, so the cap provably changes nothing — but the oracle
+    replicates the cap semantics (df filter + list-intersect verify)
+    rather than riding the uncapped SQL, so the switch itself is what
+    gets value-checked. Same contract as `simhash_hamming_pairs
+    (max_bucket=)` (SCALE §1e item 3)."""
+    docs = load_table(spark, sf, "documents")
+    out = DD.containment_pairs(docs, n=3, threshold=0.8, max_posting=500)
+    return (out.select("id_l", "id_r", "inter", "min_sz",
+                       _r(F.col("containment"), 6).alias("containment"))
+            .orderBy("id_l", "id_r"))
+
+
 def q_kcore(spark: SparkSession, sf: str) -> DataFrame:
     """3-core of the production MinHash-LSH candidate graph via
     5-round bounded peeling (`GR.kcore`): strip chains/stars/fringe so
@@ -5103,6 +5122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_front": q_pareto_front,
         "uplift_deciles": q_uplift_deciles,
         "containment_dedup": q_containment_dedup,
+        "containment_capped": q_containment_capped,
         "kcore": q_kcore,
         "dq_suite": q_dq_suite,
         "forecast_backtest": q_forecast_backtest,
@@ -10662,6 +10682,51 @@ def oracle_sql() -> dict[str, str]:
         FROM post a JOIN post b ON a.h = b.h AND a.doc_id < b.doc_id
         GROUP BY 1, 2
         HAVING count(*)::DOUBLE / least(min(a.n), min(b.n)) >= 0.8
+        ORDER BY 1, 2
+    """
+
+    # Capped containment: the oracle replicates the max_posting=500
+    # semantics end-to-end — df-capped candidate generation, then EXACT
+    # list-intersect verification on the full distinct-shingle sets —
+    # so the 100 TB switch itself is value-checked, not just the
+    # uncapped twin it coincides with at gate scale.
+    sql["containment_capped"] = f"""
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(trim({norm}), '\\s+') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= 3 THEN list_distinct(
+                       list_transform(range(len(t) - 2), i ->
+                           t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+                   ELSE [array_to_string(t, ' ')] END AS s
+            FROM t
+        ), post AS (
+            SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT AS h
+            FROM (SELECT doc_id, unnest(s) AS g FROM sh)
+        ), stop AS (
+            SELECT h FROM post GROUP BY h HAVING count(*) > 500
+        ), kept AS (
+            SELECT doc_id, h FROM post
+            WHERE h NOT IN (SELECT h FROM stop)
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_l, b.doc_id AS id_r
+            FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+        ), ver AS (
+            SELECT c.id_l, c.id_r,
+                   len(list_filter(sa.s,
+                       x -> list_contains(sb.s, x))) AS inter,
+                   least(len(sa.s), len(sb.s)) AS min_sz
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.id_l
+            JOIN sh sb ON sb.doc_id = c.id_r
+        )
+        SELECT id_l, id_r, inter::BIGINT AS inter,
+               min_sz::BIGINT AS min_sz,
+               (round(inter::DOUBLE / min_sz + 1e-9, 6) + 0.0)
+                   AS containment
+        FROM ver
+        WHERE inter::DOUBLE / min_sz >= 0.8
         ORDER BY 1, 2
     """
 

@@ -137,6 +137,34 @@ def test_containment_catches_doc_in_doc(spark):
     assert j12[(1, 2)] < 0.5
 
 
+def test_containment_max_posting_cap(spark):
+    from timeseries_data_analysis_spark.operators import dedup as DD
+    # 6 docs all carry the same boilerplate sentence (its shingles get
+    # df=6 > cap=3); docs 1/2 additionally share a REAL overlapping
+    # passage, docs 3/4 overlap ONLY via the boilerplate.
+    boiler = "all rights reserved by the example corporation today"
+    real = "the quick brown fox jumps over the lazy dog"
+    rows = [(1, real + " " + boiler),
+            (2, real + " again " + boiler),
+            (3, "completely unrelated words here " + boiler),
+            (4, "other unrelated content entirely " + boiler),
+            (5, "fifth filler document text " + boiler),
+            (6, "sixth filler document text body " + boiler)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {(r["id_l"], r["id_r"]): r["containment"]
+                for r in DD.containment_pairs(
+                    docs, n=3, threshold=0.3).collect()}
+    capped = {(r["id_l"], r["id_r"]): r["containment"]
+              for r in DD.containment_pairs(
+                  docs, n=3, threshold=0.3, max_posting=3).collect()}
+    # the real pair survives the cap with the EXACT uncapped score
+    assert (1, 2) in capped
+    assert capped[(1, 2)] == uncapped[(1, 2)]
+    # boilerplate-only pairs exist uncapped but are pruned by the cap
+    assert (3, 4) in uncapped
+    assert (3, 4) not in capped
+
+
 def test_kcore_peels_fringe_keeps_clique(spark):
     from timeseries_data_analysis_spark.operators import graph as GR
     # 4-clique {1,2,3,4} + a pendant chain 4-5-6

