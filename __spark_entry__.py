@@ -28,6 +28,7 @@ from timeseries_data_analysis_spark.operators import (
     layout as LAY, survival as SURV,
 )
 from timeseries_data_analysis_spark.functions import math_fns as M, text as TX
+from timeseries_data_analysis_spark.ml import logit as LG
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -5026,6 +5027,155 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_anomaly_detect(spark, SF_SMOKE)
 
 
+def q_quality_logit(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed quality-classifier training (`ml/logit.py`): 2
+    full-batch gradient steps of logistic regression on document
+    features (log-chars, tokens/50) against an is-English label — the
+    trained twin of `quality_scores`' fixed heuristics (reference
+    `models.py` fits its heads single-node; here each step is ONE
+    aggregate whose shuffle is 3 doubles per partition, so the fit
+    scales with the scan). Per-step betas are 9-dp quantized on both
+    engines so the oracle can unroll the identical trajectory; the
+    output row carries the final betas and the stable-softplus
+    log-loss at those betas."""
+    docs = load_table(spark, sf, "documents")
+    feat = docs.select(
+        _r(F.log(F.lit(1.0) + F.col("n_chars")), 6).alias("x1"),
+        (TX.token_count("text").cast("double") / F.lit(50.0)).alias("x2"),
+        (F.col("lang") == "en").cast("int").alias("y"))
+    beta = LG.fit(feat, ["x1", "x2"], "y", lr=0.5, steps=2)
+    loss = LG.log_loss(feat, ["x1", "x2"], "y", beta)
+    return feat.agg(
+        F.count(F.lit(1)).alias("n"),
+        _r(F.lit(beta[0]), 6).alias("beta_0"),
+        _r(F.lit(beta[1]), 6).alias("beta_1"),
+        _r(F.lit(beta[2]), 6).alias("beta_2"),
+        _r(loss, 6).alias("log_loss"))
+
+
+def q_conformal_interval(spark: SparkSession, sf: str) -> DataFrame:
+    """Split conformal prediction (Vovk et al.; Lei et al. 2018) per
+    series: fit on days < Jan 20 (the per-type mean), compute absolute
+    residuals on the calibration tail, and take q̂ = the k-th smallest
+    residual with k = ⌈0.9·(n+1)⌉ — the finite-sample-valid 90 %
+    interval half-width. k uses INTEGER arithmetic ((9·(n+1)+9) div 10)
+    so neither engine rides float ceil; the k-th order statistic is an
+    exact selection (row_number over (residual, event_id) — unique
+    tiebreak), so q̂ is a real data value, bit-identical across
+    engines with no float-noise surface at all. One window sort per
+    type + two broadcast joins of per-type scalars."""
+    ev = (load_table(spark, sf, "events")
+          .filter(F.col("value").isNotNull()))
+    split = F.lit("2024-01-20").cast("timestamp")
+    pred = (ev.filter(F.col("ts") < split)
+            .groupBy("event_type")
+            .agg(_r(F.avg("value"), 4).alias("_pred")))
+    calib = (ev.filter(F.col("ts") >= split)
+             .join(F.broadcast(pred), on="event_type")
+             .select("event_type", "event_id", "_pred",
+                     F.abs(F.col("value") - F.col("_pred")).alias("_res")))
+    n = calib.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_calib"))
+    w = Window.partitionBy("event_type").orderBy("_res", "event_id")
+    ranked = calib.withColumn("_rk", F.row_number().over(w))
+    k = ((F.lit(9) * (F.col("n_calib") + 1) + 9) / 10).cast("bigint")
+    qhat = (ranked.join(F.broadcast(n), on="event_type")
+            .filter(F.col("_rk") == k)
+            .select("event_type", "n_calib", "_pred",
+                    F.col("_res").alias("qhat")))
+    return (calib.join(F.broadcast(qhat.select("event_type", "qhat")),
+                       on="event_type")
+            .groupBy("event_type")
+            .agg(_r(F.avg((F.col("_res") <= F.col("qhat")).cast("double")),
+                    6).alias("coverage"))
+            .join(F.broadcast(qhat), on="event_type")
+            .select("event_type", "n_calib",
+                    _r(F.col("_pred"), 4).alias("pred"),
+                    _r(F.col("qhat"), 6).alias("qhat"), "coverage")
+            .orderBy("event_type"))
+
+
+def q_regional_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape — the 6-way join gauntlet: lineitem ⋈ orders ⋈
+    customer ⋈ supplier ⋈ nation ⋈ region with the local-supplier
+    constraint (c_nationkey = s_nationkey) and region + order-year
+    filters. The Catalyst showcase: both date and region predicates
+    push into the scans, nation/region broadcast unconditionally,
+    supplier broadcasts at test SF and shuffle-joins at 100 TB (AQE
+    picks per-size — no hint needed, which IS the design: the same
+    plan text serves both scales). The local-supplier equality is an
+    extra join key, not a post-filter, so the planner prunes
+    non-local pairs inside the join instead of fanning them out."""
+    li = load_table(spark, sf, "lineitem")
+    orders = (load_table(spark, sf, "orders")
+              .filter((F.col("o_orderdate") >= F.lit("1996-01-01")) &
+                      (F.col("o_orderdate") < F.lit("1997-01-01"))))
+    cust = load_table(spark, sf, "customer")
+    supp = load_table(spark, sf, "supplier")
+    nat = load_table(spark, sf, "nation")
+    reg = (load_table(spark, sf, "region")
+           .filter(F.col("r_name") == "ASIA"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(supp, (li.l_suppkey == supp.s_suppkey) &
+                  (cust.c_nationkey == supp.s_nationkey))
+            .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+            .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+            .groupBy("n_name")
+            .agg(_r(F.sum(F.col("l_extendedprice") *
+                          (1 - F.col("l_discount"))), 4).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items"))
+            .orderBy(F.col("revenue").desc(), "n_name"))
+
+
+def q_top_supplier_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 shape — aggregate-then-window: per-supplier revenue
+    over one shipping quarter, then each supplier's share of the
+    quarter total via an empty-frame window sum (one extra exchange of
+    ~|suppliers| rows, never a second scan) — top 5 with full
+    deterministic tiebreak. The window-over-agg composition is the
+    standard replacement for Q15's CREATE VIEW + scalar-subquery-max:
+    one pass computes max and share simultaneously."""
+    li = (load_table(spark, sf, "lineitem")
+          .filter((F.col("l_shipdate") >= F.lit("1996-01-01")) &
+                  (F.col("l_shipdate") < F.lit("1996-04-01"))))
+    supp = load_table(spark, sf, "supplier")
+    rev = (li.groupBy("l_suppkey")
+           .agg(_r(F.sum(F.col("l_extendedprice") *
+                         (1 - F.col("l_discount"))), 4).alias("revenue")))
+    # quarter total as a broadcast 1-row join, NOT an empty-frame window:
+    # the window form funnels every supplier row through one partition
+    # (WindowExec warns); the agg+crossJoin form keeps share scoring
+    # scan-parallel at any supplier count
+    tot = rev.agg(F.sum("revenue").alias("_tot"))
+    shared = (rev.crossJoin(F.broadcast(tot))
+              .withColumn("share", _r(F.col("revenue") / F.col("_tot"), 6)))
+    return (shared.join(F.broadcast(supp),
+                        shared.l_suppkey == supp.s_suppkey)
+            .select(F.col("s_suppkey").alias("suppkey"), "s_name",
+                    "revenue", "share")
+            .orderBy(F.col("revenue").desc(), "suppkey")
+            .limit(5))
+
+
+def q_community_labelprop(spark: SparkSession, sf: str) -> DataFrame:
+    """Community detection over the PRODUCTION 48-bit SimHash pair
+    graph: 2 synchronous rounds of deterministic label propagation
+    (`GR.label_propagation` — mode-of-neighbor-labels, ties to the
+    smallest label). The community question is DIFFERENT from
+    `dedup_clusters_star`'s reachability question: min-label CC merges
+    two template families that share one boilerplate bridge edge;
+    mode-label LPA lets the denser side outvote the bridge — the
+    "one family or two?" diagnostic a curation pipeline runs before
+    deciding cluster-level retention. Same pair-graph build cost as
+    the other graph citizens; per-round traffic is (vertex, label)
+    int64 pairs; the oracle unrolls both rounds CTE-for-CTE."""
+    docs = load_table(spark, sf, "documents")
+    pairs = DD.simhash_hamming_pairs(docs, n=2, bits=48, bands=4,
+                                     max_hamming=3, hex_digits=12)
+    return (GR.label_propagation(pairs, rounds=2)
+            .select(F.col("vertex").alias("doc_id"), "community"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS DELIBERATE: the driver's correctness gate checks
     the first 50 entries per round. Round 6 closes the only open
@@ -5128,6 +5278,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_backtest": q_forecast_backtest,
         "rfm_segments": q_rfm_segments,
         "neyman_allocation": q_neyman_allocation,
+        # --- round-6 continuation batch (this session): trained quality
+        #     classifier / conformal intervals / multi-join classics /
+        #     LPA communities ---
+        "quality_logit": q_quality_logit,
+        "conformal_interval": q_conformal_interval,
+        "regional_supplier_volume": q_regional_supplier_volume,
+        "top_supplier_share": q_top_supplier_share,
+        "community_labelprop": q_community_labelprop,
         # --- r5 driver-greens (evidence of record: CORRECTNESS_r05) ---
         "dup_passages": q_dup_passages,
         "bpe_compression": q_bpe_compression,
@@ -10897,6 +11055,157 @@ def oracle_sql() -> dict[str, str]:
         SELECT c_mktsegment, n_pop, sd,
                floor(1000.0 * (n_pop * sd) / tw + 0.5)::BIGINT AS n_sample
         FROM g, t ORDER BY 1
+    """
+
+    # logistic GD: 2 unrolled steps from beta=0 (step 1's sigmoid is
+    # EXACTLY 0.5), per-step betas quantized round(.+1e-12, 9) matching
+    # ml/logit.QUANT, final outputs on the standard 6-dp nudge round
+    sql["quality_logit"] = r"""
+        WITH feat AS (
+            SELECT (round(ln(1.0 + n_chars) + 1e-9, 6) + 0.0) AS x1,
+                   (CASE WHEN len(trim(text)) = 0 THEN 0
+                         ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                    END) / 50.0 AS x2,
+                   CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+            FROM documents
+        ), g1 AS (
+            SELECT round(0.5 * avg(y - 0.5) + 1e-12, 9) AS b0,
+                   round(0.5 * avg((y - 0.5) * x1) + 1e-12, 9) AS b1,
+                   round(0.5 * avg((y - 0.5) * x2) + 1e-12, 9) AS b2
+            FROM feat
+        ), s2 AS (
+            SELECT f.y, f.x1, f.x2, g.b0, g.b1, g.b2,
+                   1.0 / (1.0 + exp(-(g.b0 + g.b1 * f.x1 + g.b2 * f.x2)))
+                       AS p
+            FROM feat f CROSS JOIN g1 g
+        ), g2 AS (
+            SELECT round(min(b0) + 0.5 * avg(y - p) + 1e-12, 9) AS b0,
+                   round(min(b1) + 0.5 * avg((y - p) * x1) + 1e-12, 9) AS b1,
+                   round(min(b2) + 0.5 * avg((y - p) * x2) + 1e-12, 9) AS b2
+            FROM s2
+        ), z AS (
+            SELECT f.y,
+                   g.b0 + g.b1 * f.x1 + g.b2 * f.x2 AS z
+            FROM feat f CROSS JOIN g2 g
+        )
+        SELECT count(*)::BIGINT AS n,
+               (round((SELECT b0 FROM g2) + 1e-9, 6) + 0.0) AS beta_0,
+               (round((SELECT b1 FROM g2) + 1e-9, 6) + 0.0) AS beta_1,
+               (round((SELECT b2 FROM g2) + 1e-9, 6) + 0.0) AS beta_2,
+               (round(avg(greatest(z, 0.0) + ln(1.0 + exp(-abs(z))) - y * z)
+                      + 1e-9, 6) + 0.0) AS log_loss
+        FROM z
+    """
+
+    # split conformal: integer-arithmetic k = ceil(0.9*(n+1)), exact
+    # order-statistic selection — no float-noise surface
+    sql["conformal_interval"] = """
+        WITH ev AS (
+            SELECT event_type, event_id, ts, value FROM events
+            WHERE value IS NOT NULL
+        ), pred AS (
+            SELECT event_type,
+                   (round(avg(value) + 1e-9, 4) + 0.0) AS _pred
+            FROM ev WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+            GROUP BY 1
+        ), calib AS (
+            SELECT e.event_type, e.event_id, p._pred,
+                   abs(e.value - p._pred) AS _res
+            FROM ev e JOIN pred p USING (event_type)
+            WHERE e.ts >= TIMESTAMP '2024-01-20 00:00:00'
+        ), nn AS (
+            SELECT event_type, count(*)::BIGINT AS n_calib FROM calib
+            GROUP BY 1
+        ), ranked AS (
+            SELECT event_type, _pred, _res,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY _res, event_id) AS _rk
+            FROM calib
+        ), qh AS (
+            SELECT r.event_type, n.n_calib, r._pred, r._res AS qhat
+            FROM ranked r JOIN nn n USING (event_type)
+            WHERE r._rk = (9 * (n.n_calib + 1) + 9) // 10
+        )
+        SELECT c.event_type, q.n_calib,
+               (round(q._pred + 1e-9, 4) + 0.0) AS pred,
+               (round(q.qhat + 1e-9, 6) + 0.0) AS qhat,
+               (round(avg(CASE WHEN c._res <= q.qhat THEN 1.0
+                               ELSE 0.0 END) + 1e-9, 6) + 0.0) AS coverage
+        FROM calib c JOIN qh q USING (event_type)
+        GROUP BY 1, 2, 3, 4
+    """
+
+    # TPC-H Q5 shape: local-supplier 6-way join
+    sql["regional_supplier_volume"] = """
+        SELECT n_name,
+               (round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4)
+                + 0.0) AS revenue,
+               count(*)::BIGINT AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+                     AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+    """
+
+    # TPC-H Q15 shape: agg-then-window share of quarter total
+    sql["top_supplier_share"] = """
+        WITH rev AS (
+            SELECT l_suppkey AS suppkey,
+                   (round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4)
+                    + 0.0) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY 1
+        )
+        SELECT suppkey, s_name, revenue,
+               (round(revenue / sum(revenue) OVER () + 1e-9, 6) + 0.0)
+                   AS share
+        FROM rev JOIN supplier ON suppkey = s_suppkey
+        ORDER BY revenue DESC, suppkey
+        LIMIT 5
+    """
+
+    # LPA communities: 2 unrolled mode-of-neighbors rounds over the
+    # shared 48-bit pair chain; l0 = own id, argmax by (count, label)
+    sql["community_labelprop"] = f"""
+        WITH {simhash48_ctes},
+        symlp AS (
+            SELECT id_l AS a, id_r AS b FROM sp48
+            UNION ALL
+            SELECT id_r AS a, id_l AS b FROM sp48
+        ),
+        l0 AS (SELECT DISTINCT a AS v, a AS label FROM symlp),
+        v1 AS (
+            SELECT s.a AS v, l.label, count(*)::BIGINT AS n
+            FROM symlp s JOIN l0 l ON l.v = s.b
+            GROUP BY 1, 2
+        ),
+        l1 AS (
+            SELECT v, label FROM (
+                SELECT v, label, row_number() OVER (
+                    PARTITION BY v ORDER BY n DESC, label) AS rk
+                FROM v1) WHERE rk = 1
+        ),
+        v2 AS (
+            SELECT s.a AS v, l.label, count(*)::BIGINT AS n
+            FROM symlp s JOIN l1 l ON l.v = s.b
+            GROUP BY 1, 2
+        ),
+        l2 AS (
+            SELECT v, label FROM (
+                SELECT v, label, row_number() OVER (
+                    PARTITION BY v ORDER BY n DESC, label) AS rk
+                FROM v2) WHERE rk = 1
+        )
+        SELECT v AS doc_id, label AS community FROM l2
     """
 
     return sql

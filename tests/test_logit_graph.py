@@ -1,0 +1,104 @@
+"""Distributed logistic regression (ml/logit) and label-propagation
+community detection (operators/graph) tests."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from timeseries_data_analysis_spark.ml import logit as LG
+from timeseries_data_analysis_spark.operators import graph as GR
+
+
+# ---------------------------------------------------------------- logit
+
+def _separable(spark, n=200):
+    # y = 1 iff x1 > 0; margin 0.5 so GD separates it quickly
+    rows = []
+    for i in range(n):
+        x1 = (i % 10) - 4.5          # -4.5 .. 4.5, never 0
+        x2 = ((i * 7) % 5) - 2.0     # noise feature
+        rows.append((x1 / 4.5, x2 / 2.0, 1 if x1 > 0 else 0))
+    return spark.createDataFrame(rows, "x1 double, x2 double, y int")
+
+
+def test_gd_reduces_logloss_monotonically(spark):
+    df = _separable(spark).cache()
+    losses = []
+    beta = [0.0, 0.0, 0.0]
+    for _ in range(5):
+        losses.append(df.agg(
+            LG.log_loss(df, ["x1", "x2"], "y", beta).alias("l"))
+            .first()["l"])
+        beta = LG.gd_step(df, ["x1", "x2"], "y", beta, lr=1.0)
+    assert losses[0] == round(math.log(2.0), 14) or \
+        abs(losses[0] - math.log(2.0)) < 1e-12  # beta=0 -> ln 2
+    assert all(b < a for a, b in zip(losses, losses[1:]))
+
+
+def test_fit_separates_separable_data(spark):
+    df = _separable(spark).cache()
+    beta = LG.fit(df, ["x1", "x2"], "y", lr=1.0, steps=30)
+    pred = df.select(
+        (LG.predict(df, ["x1", "x2"], beta) > 0.5).cast("int").alias("p"),
+        "y")
+    acc = pred.agg(F.avg((F.col("p") == F.col("y")).cast("double"))) \
+        .first()[0]
+    assert acc == 1.0
+    assert beta[1] > 1.0             # signal feature dominates
+    assert abs(beta[2]) < abs(beta[1])
+
+
+def test_fit_is_deterministic_across_partitionings(spark):
+    df = _separable(spark)
+    b1 = LG.fit(df.repartition(1), ["x1", "x2"], "y", steps=3)
+    b32 = LG.fit(df.repartition(32), ["x1", "x2"], "y", steps=3)
+    # QUANT-rounding absorbs summation-order ulps: identical trajectories
+    assert b1 == b32
+
+
+# ------------------------------------------------------ label propagation
+
+def _two_cliques_bridge(spark):
+    # cliques {1,2,3,4} and {10,11,12,13} joined by one bridge 4-10
+    edges = []
+    for grp in ([1, 2, 3, 4], [10, 11, 12, 13]):
+        for i, a in enumerate(grp):
+            for b in grp[i + 1:]:
+                edges.append((a, b))
+    edges.append((4, 10))
+    return spark.createDataFrame(edges, "id_l long, id_r long")
+
+
+def test_lpa_keeps_bridged_cliques_separate(spark):
+    out = {r["vertex"]: r["community"] for r in
+           GR.label_propagation(_two_cliques_bridge(spark),
+                                rounds=2).collect()}
+    left = {out[v] for v in (1, 2, 3)}
+    right = {out[v] for v in (11, 12, 13)}
+    assert left == {1}
+    assert right == {10}
+    assert left != right             # the bridge never outvotes a clique
+    # CC on the same graph merges everything -- the operators differ
+    cc = {r["component"] for r in
+          GR.connected_components(_two_cliques_bridge(spark)).collect()}
+    assert cc == {1}
+
+
+def test_lpa_single_clique_converges_to_min_label(spark):
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(5, 9) for b in range(a + 1, 9)],
+        "id_l long, id_r long")
+    out = {r["vertex"]: r["community"] for r in
+           GR.label_propagation(edges, rounds=2).collect()}
+    assert set(out.values()) == {5}
+
+
+def test_lpa_deterministic_across_partitionings(spark):
+    e = _two_cliques_bridge(spark)
+    a = sorted(map(tuple, GR.label_propagation(
+        e.repartition(1), rounds=2).collect()))
+    b = sorted(map(tuple, GR.label_propagation(
+        e.repartition(16), rounds=2).collect()))
+    assert a == b
