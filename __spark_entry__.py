@@ -5176,6 +5176,149 @@ def q_community_labelprop(spark: SparkSession, sf: str) -> DataFrame:
             .select(F.col("vertex").alias("doc_id"), "community"))
 
 
+def q_pca2_axes(spark: SparkSession, sf: str) -> DataFrame:
+    """Closed-form 2-D PCA over embedding dims 1-2: population
+    covariance in one agg, then eigenvalues from the quadratic formula
+    (λ = tr/2 ± √(tr²/4 − det)) and the principal-axis angle
+    θ = ½·atan2(2c_xy, c_xx − c_yy) — the SQL-expressible special case
+    that oracle-checks the algebra behind `ml/pca.py`'s general-k path
+    (one-pass partial Gramians + driver eigh, pytest-covered in
+    `test_pca.py`). Everything here is a single map-side-combinable
+    aggregate; no second scan, no Python."""
+    emb = load_table(spark, sf, "embeddings")
+    d = emb.select(
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"))
+    s = d.agg(F.count(F.lit(1)).alias("n"),
+              F.avg("x").alias("_mx"), F.avg("y").alias("_my"),
+              F.var_pop("x").alias("_cxx"),
+              F.var_pop("y").alias("_cyy"),
+              F.covar_pop("x", "y").alias("_cxy"))
+    tr = F.col("_cxx") + F.col("_cyy")
+    det = F.col("_cxx") * F.col("_cyy") - F.col("_cxy") * F.col("_cxy")
+    disc = F.sqrt(tr * tr / 4 - det)
+    lam1 = tr / 2 + disc
+    lam2 = tr / 2 - disc
+    theta = F.atan2(F.lit(2.0) * F.col("_cxy"),
+                    F.col("_cxx") - F.col("_cyy")) / 2
+    return s.select(
+        "n", _r(F.col("_mx"), 6).alias("mean_x"),
+        _r(F.col("_my"), 6).alias("mean_y"),
+        _r(F.col("_cxx"), 6).alias("var_x"),
+        _r(F.col("_cyy"), 6).alias("var_y"),
+        _r(F.col("_cxy"), 6).alias("cov_xy"),
+        _r(lam1, 6).alias("lam1"), _r(lam2, 6).alias("lam2"),
+        _r(lam1 / tr, 6).alias("var_share1"),
+        _r(theta, 6).alias("theta"))
+
+
+def q_group_kfold(spark: SparkSession, sf: str) -> DataFrame:
+    """Group-aware K-fold assignment + leakage audit: folds are a
+    deterministic md5 bucket of user_id (`SMP.hash_bucket` — the same
+    portable hash behind `hash_split`), so EVERY row of a user lands
+    in one fold and assignments never migrate as the table grows. The
+    audit column proves it: leaky_users counts users seen in >1 fold
+    (structurally 0 — but CV tooling that trusts instead of checks is
+    how target leakage ships). Per-fold row counts, user counts, and
+    mean target close the report."""
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    d = ev.select("user_id", "value",
+                  (SMP.hash_bucket("user_id", 5)).alias("fold"))
+    leaky = (d.groupBy("user_id")
+             .agg(F.countDistinct("fold").alias("_nf"))
+             .filter(F.col("_nf") > 1)
+             .agg(F.count(F.lit(1)).alias("leaky_users")))
+    return (d.groupBy("fold")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 _r(F.avg("value"), 4).alias("mean_value"))
+            .crossJoin(F.broadcast(leaky))
+            .orderBy("fold"))
+
+
+def q_target_encode_oof(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-free out-of-fold target encoding: each (category, fold)
+    cell's encoding is the target mean over every OTHER fold —
+    computed as (category total − fold total)/(category n − fold n),
+    i.e. two cheap aggregations and a broadcast join instead of the
+    naive 5× re-aggregation of the excluded-fold join. Folds are the
+    `group_kfold` user-hash, so a user's own rows never leak into the
+    encoding their rows train on — THE target-encoding bug. Cells
+    whose complement is empty fall back to the global mean (same rule
+    both engines)."""
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    d = ev.select("event_type", "value",
+                  (SMP.hash_bucket("user_id", 5)).alias("fold"))
+    cf = (d.groupBy("event_type", "fold")
+          .agg(F.sum("value").alias("_s_cf"),
+               F.count(F.lit(1)).alias("n_rows")))
+    c = (d.groupBy("event_type")
+         .agg(F.sum("value").alias("_s_c"),
+              F.count(F.lit(1)).alias("_n_c")))
+    g = d.agg(F.avg("value").alias("_gmean"))
+    oof = (F.col("_s_c") - F.col("_s_cf")) / (F.col("_n_c")
+                                              - F.col("n_rows"))
+    return (cf.join(F.broadcast(c), on="event_type")
+            .crossJoin(F.broadcast(g))
+            .select("event_type", "fold", "n_rows",
+                    _r(F.when(F.col("_n_c") > F.col("n_rows"), oof)
+                       .otherwise(F.col("_gmean")), 4).alias("oof_mean"))
+            .orderBy("event_type", "fold"))
+
+
+def q_woe_iv(spark: SparkSession, sf: str) -> DataFrame:
+    """Weight-of-evidence / information-value scorecard (the credit-
+    scoring feature audit): bucket documents by length (100-char
+    bins), label = is-English, WOE_i = ln(((pos_i+½)/(P+½)) /
+    ((neg_i+½)/(N+½))) with Laplace-½ smoothing so empty cells stay
+    finite, IV contribution = (smoothed share gap)·WOE. One grouped
+    agg + one 1-row broadcast of the totals; the IV sum is the
+    standard 'is this feature predictive at all' gate run before
+    training `quality_logit`-style classifiers."""
+    docs = load_table(spark, sf, "documents")
+    d = docs.select(F.floor(F.col("n_chars") / 100).alias("bucket"),
+                    (F.col("lang") == "en").cast("int").alias("_pos"))
+    b = d.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_pos").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("_pos")).alias("_n_neg"))
+    tot = d.agg(F.sum("_pos").alias("_p"),
+                (F.count(F.lit(1)) - F.sum("_pos")).alias("_q"))
+    ps = (F.col("n_pos") + 0.5) / (F.col("_p") + 0.5)
+    qs = (F.col("_n_neg") + 0.5) / (F.col("_q") + 0.5)
+    woe = F.log(ps / qs)
+    return (b.crossJoin(F.broadcast(tot))
+            .select("bucket", "n", "n_pos",
+                    _r(woe, 6).alias("woe"),
+                    _r((ps - qs) * woe, 6).alias("iv_part"))
+            .orderBy("bucket"))
+
+
+def q_feature_hashing(spark: SparkSession, sf: str) -> DataFrame:
+    """Hashing-trick audit: distinct corpus tokens → 256 md5 buckets
+    (the portable `hash_bucket` hash over the token string), then the
+    collision report a fixed-width feature space must publish —
+    buckets used, max load, collision count/rate. The explode is
+    ids+tokens only; distinct-then-hash keeps the shuffle at vocab
+    size, not corpus size (hashing AFTER distinct — the order
+    matters at 100 TB where token occurrences are ~10⁶× vocab)."""
+    docs = load_table(spark, sf, "documents")
+    toks = (docs.select(F.explode(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct())
+    h = toks.select("tok", SMP.hash_bucket(F.col("tok"), 256)
+                    .alias("bucket"))
+    per = h.groupBy("bucket").agg(F.count(F.lit(1)).alias("_load"))
+    return per.agg(
+        F.sum("_load").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_buckets_used"),
+        F.max("_load").alias("max_load"),
+        (F.sum("_load") - F.count(F.lit(1))).alias("collisions"),
+        _r((F.sum("_load") - F.count(F.lit(1)))
+           / F.sum("_load"), 6).alias("collision_rate"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS DELIBERATE: the driver's correctness gate checks
     the first 50 entries per round. Round 6 closes the only open
@@ -5286,6 +5429,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regional_supplier_volume": q_regional_supplier_volume,
         "top_supplier_share": q_top_supplier_share,
         "community_labelprop": q_community_labelprop,
+        "pca2_axes": q_pca2_axes,
+        "group_kfold": q_group_kfold,
+        "target_encode_oof": q_target_encode_oof,
+        "woe_iv": q_woe_iv,
+        "feature_hashing": q_feature_hashing,
         # --- r5 driver-greens (evidence of record: CORRECTNESS_r05) ---
         "dup_passages": q_dup_passages,
         "bpe_compression": q_bpe_compression,
@@ -11206,6 +11354,133 @@ def oracle_sql() -> dict[str, str]:
                 FROM v2) WHERE rk = 1
         )
         SELECT v AS doc_id, label AS community FROM l2
+    """
+
+    # closed-form 2-D PCA: quadratic-formula eigenvalues, atan2 axis
+    sql["pca2_axes"] = """
+        WITH d AS (
+            SELECT embedding[1]::DOUBLE AS x, embedding[2]::DOUBLE AS y
+            FROM embeddings
+        ), s AS (
+            SELECT count(*)::BIGINT AS n,
+                   avg(x) AS mx, avg(y) AS my,
+                   var_pop(x) AS cxx, var_pop(y) AS cyy,
+                   covar_pop(x, y) AS cxy
+            FROM d
+        )
+        SELECT n,
+               (round(mx + 1e-9, 6) + 0.0) AS mean_x,
+               (round(my + 1e-9, 6) + 0.0) AS mean_y,
+               (round(cxx + 1e-9, 6) + 0.0) AS var_x,
+               (round(cyy + 1e-9, 6) + 0.0) AS var_y,
+               (round(cxy + 1e-9, 6) + 0.0) AS cov_xy,
+               (round((cxx + cyy) / 2
+                      + sqrt((cxx + cyy) * (cxx + cyy) / 4
+                             - (cxx * cyy - cxy * cxy)) + 1e-9, 6) + 0.0)
+                   AS lam1,
+               (round((cxx + cyy) / 2
+                      - sqrt((cxx + cyy) * (cxx + cyy) / 4
+                             - (cxx * cyy - cxy * cxy)) + 1e-9, 6) + 0.0)
+                   AS lam2,
+               (round(((cxx + cyy) / 2
+                      + sqrt((cxx + cyy) * (cxx + cyy) / 4
+                             - (cxx * cyy - cxy * cxy))) / (cxx + cyy)
+                      + 1e-9, 6) + 0.0) AS var_share1,
+               (round(atan2(2.0 * cxy, cxx - cyy) / 2 + 1e-9, 6) + 0.0)
+                   AS theta
+        FROM s
+    """
+
+    # group k-fold: same md5 bucket as Spark's SMP.hash_bucket(.,5)
+    sql["group_kfold"] = """
+        WITH d AS (
+            SELECT user_id, value,
+                   ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT
+                       % 5 AS fold
+            FROM events WHERE value IS NOT NULL
+        ), leaky AS (
+            SELECT count(*)::BIGINT AS leaky_users FROM (
+                SELECT user_id FROM d GROUP BY 1
+                HAVING count(DISTINCT fold) > 1)
+        )
+        SELECT fold, count(*)::BIGINT AS n_rows,
+               count(DISTINCT user_id)::BIGINT AS n_users,
+               (round(avg(value) + 1e-9, 4) + 0.0) AS mean_value,
+               (SELECT leaky_users FROM leaky) AS leaky_users
+        FROM d GROUP BY fold
+    """
+
+    # out-of-fold target encoding: complement mean via total - fold
+    sql["target_encode_oof"] = """
+        WITH d AS (
+            SELECT event_type, value,
+                   ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT
+                       % 5 AS fold
+            FROM events WHERE value IS NOT NULL
+        ), cf AS (
+            SELECT event_type, fold, sum(value) AS s_cf,
+                   count(*)::BIGINT AS n_rows
+            FROM d GROUP BY 1, 2
+        ), c AS (
+            SELECT event_type, sum(value) AS s_c, count(*)::BIGINT AS n_c
+            FROM d GROUP BY 1
+        ), g AS (SELECT avg(value) AS gmean FROM d)
+        SELECT cf.event_type, cf.fold, cf.n_rows,
+               (round(CASE WHEN c.n_c > cf.n_rows
+                           THEN (c.s_c - cf.s_cf) / (c.n_c - cf.n_rows)
+                           ELSE g.gmean END + 1e-9, 4) + 0.0) AS oof_mean
+        FROM cf JOIN c USING (event_type), g
+    """
+
+    # WOE/IV scorecard with Laplace-1/2 smoothing
+    sql["woe_iv"] = """
+        WITH d AS (
+            SELECT (n_chars // 100)::BIGINT AS bucket,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+            FROM documents
+        ), b AS (
+            SELECT bucket, count(*)::BIGINT AS n,
+                   sum(pos)::BIGINT AS n_pos,
+                   (count(*) - sum(pos))::BIGINT AS n_neg
+            FROM d GROUP BY 1
+        ), t AS (
+            SELECT sum(pos)::BIGINT AS p,
+                   (count(*) - sum(pos))::BIGINT AS q
+            FROM d
+        )
+        SELECT bucket, n, n_pos,
+               (round(ln(((n_pos + 0.5) / (p + 0.5))
+                         / ((n_neg + 0.5) / (q + 0.5))) + 1e-9, 6) + 0.0)
+                   AS woe,
+               (round(((n_pos + 0.5) / (p + 0.5)
+                       - (n_neg + 0.5) / (q + 0.5))
+                      * ln(((n_pos + 0.5) / (p + 0.5))
+                           / ((n_neg + 0.5) / (q + 0.5))) + 1e-9, 6)
+                + 0.0) AS iv_part
+        FROM b, t
+    """
+
+    # hashing-trick collision audit over the distinct vocabulary
+    sql["feature_hashing"] = r"""
+        WITH toks AS (
+            SELECT DISTINCT unnest(
+                regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+            FROM documents
+        ), h AS (
+            SELECT tok,
+                   ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256
+                       AS bucket
+            FROM toks WHERE tok <> ''
+        ), per AS (
+            SELECT bucket, count(*)::BIGINT AS load FROM h GROUP BY 1
+        )
+        SELECT sum(load)::BIGINT AS n_tokens,
+               count(*)::BIGINT AS n_buckets_used,
+               max(load)::BIGINT AS max_load,
+               (sum(load) - count(*))::BIGINT AS collisions,
+               (round((sum(load) - count(*))::DOUBLE / sum(load)
+                      + 1e-9, 6) + 0.0) AS collision_rate
+        FROM per
     """
 
     return sql
