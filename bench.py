@@ -184,6 +184,15 @@ def main() -> None:
                  "kalman_level", "bm25_topk", "basket_lift"):
         r6b[name] = timed(name)
 
+    # round-6 continuation batch (trained classifier, conformal,
+    # multi-join classics, LPA communities, feature engineering)
+    r6c: dict[str, float] = {}
+    for name in ("quality_logit", "conformal_interval",
+                 "regional_supplier_volume", "top_supplier_share",
+                 "community_labelprop", "pca2_axes", "group_kfold",
+                 "target_encode_oof", "woe_iv", "feature_hashing"):
+        r6c[name] = timed(name)
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(json.dumps({
         "metric": "headline_queries_total",
@@ -200,6 +209,8 @@ def main() -> None:
         "r6_total": round(sum(r6.values()), 3),
         "r6b_queries": r6b,
         "r6b_total": round(sum(r6b.values()), 3),
+        "r6c_queries": r6c,
+        "r6c_total": round(sum(r6c.values()), 3),
         # full per-query trial pairs: the load-contamination audit trail
         # (a big max-min spread marks a draw taken under external load)
         "query_trials": {k: trial_log[k] for k in timings if k in trial_log},
@@ -207,6 +218,7 @@ def main() -> None:
         "analytics_trials": {k: trial_log[k] for k in analytics},
         "r6_trials": {k: trial_log[k] for k in r6},
         "r6b_trials": {k: trial_log[k] for k in r6b},
+        "r6c_trials": {k: trial_log[k] for k in r6c},
         "sf": float(sf) if sf else None,
         # host contention snapshot — driver-vs-local timing deltas are
         # attributable only when the load at measurement time is known
