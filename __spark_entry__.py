@@ -5042,7 +5042,9 @@ def q_quality_logit(spark: SparkSession, sf: str) -> DataFrame:
     feat = docs.select(
         _r(F.log(F.lit(1.0) + F.col("n_chars")), 6).alias("x1"),
         (TX.token_count("text").cast("double") / F.lit(50.0)).alias("x2"),
-        (F.col("lang") == "en").cast("int").alias("y"))
+        # eqNullSafe: NULL lang is a 0 label (matches the oracle's CASE
+        # ELSE), not a NULL that avg() would silently drop
+        F.col("lang").eqNullSafe("en").cast("int").alias("y"))
     beta = LG.fit(feat, ["x1", "x2"], "y", lr=0.5, steps=2)
     loss = LG.log_loss(feat, ["x1", "x2"], "y", beta)
     return feat.agg(
@@ -5277,7 +5279,7 @@ def q_woe_iv(spark: SparkSession, sf: str) -> DataFrame:
     training `quality_logit`-style classifiers."""
     docs = load_table(spark, sf, "documents")
     d = docs.select(F.floor(F.col("n_chars") / 100).alias("bucket"),
-                    (F.col("lang") == "en").cast("int").alias("_pos"))
+                    F.col("lang").eqNullSafe("en").cast("int").alias("_pos"))
     b = d.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("_pos").alias("n_pos"),

@@ -82,6 +82,11 @@ TEXT_QUERIES = [
     # paths), ES weighted reservoir (quality-0 drops), triangle census
     # on the minhash candidate graph (repeated-content docs pair up)
     "chi2_keywords", "weighted_reservoir", "triangle_stats_prod",
+    # round 6 continuation: trained logit (empty-text x2=0, ln(1+0)=0
+    # paths), WOE/IV (buckets with zero positives ride the ½-smoothing),
+    # hashing-trick audit (CJK/emoji/whitespace tokens), LPA communities
+    # on the 48-bit pair graph (repeated-content docs pair up)
+    "quality_logit", "woe_iv", "feature_hashing", "community_labelprop",
 ]
 
 

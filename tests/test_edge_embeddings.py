@@ -71,6 +71,11 @@ ANN_QUERIES = ["similarity_topk", "lsh_topk", "ivf_topk", "pq_topk",
                # NaN (see module docstring); the sf-corpus oracle run
                # compares the full mean values exactly.
                "semdedup",
+               # pca2_axes is NOT here for the kmeans_step reason: its
+               # var_pop/covar_pop over the 1e18-scale fixture vector
+               # carry summation-order ulps (~1e20 absolute) the 6-dp
+               # contract cannot absorb; the sf-corpus gate compares
+               # its moment algebra exactly.
                # round 5 second batch: JL projection recall audit — the
                # projection is ±1 signed sums and the ranking is cosine
                # (magnitude-normalized), so the 1e18 fixture is in

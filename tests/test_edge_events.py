@@ -120,6 +120,11 @@ EVENT_QUERIES = [
     "ewma_exact", "kll_quantiles", "kll_rollup", "robust_regression",
     "anomaly_ensemble", "theta_union_distinct", "ks_drift",
     "holt_winters",
+    # round 6 continuation: conformal (the fixture ends before the
+    # Jan-20 split, so the CALIBRATION SIDE IS EMPTY — both engines
+    # must agree on the empty-result path), k-fold + OOF encoding
+    # (NULL event_type rows drop out of the equi-join identically)
+    "conformal_interval", "group_kfold", "target_encode_oof",
 ]
 
 
