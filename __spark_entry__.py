@@ -5321,6 +5321,98 @@ def q_feature_hashing(spark: SparkSession, sf: str) -> DataFrame:
            / F.sum("_load"), 6).alias("collision_rate"))
 
 
+def q_community_modularity(spark: SparkSession, sf: str) -> DataFrame:
+    """Newman modularity of the `community_labelprop` partition over
+    the same 48-bit pair graph: Q = Σ_c (e_c/m − (d_c/2m)²), where e_c
+    = intra-community edges and d_c = total degree inside c — the
+    "was that partition real structure?" audit that should follow ANY
+    community run. Composed as: edges ⋈ labels (twice, ids-only) for
+    the intra flag, one degree agg, one per-community collapse, and a
+    1-row reduce — no quadratic term anywhere; modularity at 100 TB
+    costs two E-row joins. Q∈[−½,1); ≳0.3 = real structure. Output
+    also carries the partition shape (n_communities, n_vertices,
+    intra share)."""
+    docs = load_table(spark, sf, "documents")
+    # checkpoint the pair table ONCE: both the LPA rounds and the
+    # intra-flag join consume it — without the cut the SimHash build
+    # runs twice (measured 13.0 -> ~9 s at sf0.1)
+    pairs = DD.simhash_hamming_pairs(docs, n=2, bits=48, bands=4,
+                                     max_hamming=3, hex_digits=12) \
+        .localCheckpoint()
+    labels = GR.label_propagation(pairs, rounds=2)
+    e = pairs.select(F.col("id_l").alias("a"), F.col("id_r").alias("b"))
+    la = labels.select(F.col("vertex").alias("a"),
+                       F.col("community").alias("ca"))
+    lb = labels.select(F.col("vertex").alias("b"),
+                       F.col("community").alias("cb"))
+    # localCheckpoint: flagged feeds FOUR aggregate subtrees (m, deg,
+    # intra, intra_share) — without the lineage cut each one would
+    # re-run the SimHash pair build (measured 31 s -> ~8 s at sf0.01)
+    flagged = (e.join(la, on="a").join(lb, on="b")
+               .select("ca", "cb",
+                       (F.col("ca") == F.col("cb")).cast("int")
+                       .alias("_intra"))
+               .localCheckpoint())
+    m = flagged.agg(F.count(F.lit(1)).alias("_m"))
+    # d_c: every edge endpoint contributes 1 to its community's degree
+    deg = (flagged.select(F.col("ca").alias("c"))
+           .unionAll(flagged.select(F.col("cb").alias("c")))
+           .groupBy("c").agg(F.count(F.lit(1)).alias("_d")))
+    intra = (flagged.filter(F.col("_intra") == 1)
+             .groupBy(F.col("ca").alias("c"))
+             .agg(F.count(F.lit(1)).alias("_e")))
+    per = (deg.join(intra, on="c", how="left")
+           .select("c", F.coalesce("_e", F.lit(0)).alias("_e"), "_d"))
+    q = (per.crossJoin(F.broadcast(m))
+         .select((F.col("_e") / F.col("_m")
+                  - (F.col("_d") / (2.0 * F.col("_m")))
+                  * (F.col("_d") / (2.0 * F.col("_m")))).alias("_q"),
+                 "_e"))
+    return (q.agg(F.count(F.lit(1)).alias("n_communities"),
+                  _r(F.sum("_q"), 6).alias("modularity"))
+            .crossJoin(F.broadcast(
+                labels.agg(F.count(F.lit(1)).alias("n_vertices"))))
+            .crossJoin(F.broadcast(
+                flagged.agg(_r(F.avg("_intra"), 6).alias("intra_share"))))
+            .select("n_communities", "n_vertices", "modularity",
+                    "intra_share"))
+
+
+def q_degree_assortativity(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the near-dup pair graph:
+    the Pearson correlation of endpoint degrees over the SYMMETRIZED
+    edge list — one degree agg + two ids-only joins + one corr()
+    aggregate. Positive r = hubs attach to hubs (boilerplate template
+    families), negative = hub-and-spoke (one canonical doc with many
+    light variants) — it decides whether `collapse_near_dups`-style
+    per-cluster argmax retention or `pagerank_neardup` centrality
+    retention fits the corpus. No quadratic term; the corr is exact,
+    not sampled."""
+    docs = load_table(spark, sf, "documents")
+    pairs = DD.simhash_hamming_pairs(docs, n=2, bits=48, bands=4,
+                                     max_hamming=3, hex_digits=12)
+    sym = (pairs.select(F.col("id_l").alias("a"), F.col("id_r").alias("b"))
+           .unionAll(pairs.select(F.col("id_r").alias("a"),
+                                  F.col("id_l").alias("b"))))
+    deg = sym.groupBy(F.col("a").alias("v")).agg(
+        F.count(F.lit(1)).alias("d"))
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    j = sym.join(da, on="a").join(db, on="b")
+    # manual Pearson via try_divide, NOT F.corr: a uniform degree
+    # distribution (every vertex in same-size cliques — the sf0.01
+    # graph) has zero variance, where F.corr's internal division
+    # THROWS under ANSI mode while DuckDB's corr returns NULL; the
+    # explicit try_divide is NULL on degenerate input in every config
+    pearson = F.try_divide(
+        F.covar_pop("da", "db"),
+        F.stddev_pop("da") * F.stddev_pop("db"))
+    return j.agg(
+        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges"),
+        _r(F.avg("da"), 6).alias("mean_end_degree"),
+        _r(pearson, 6).alias("assortativity"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS DELIBERATE: the driver's correctness gate checks
     the first 50 entries per round. Round 6 closes the only open
@@ -5436,6 +5528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encode_oof": q_target_encode_oof,
         "woe_iv": q_woe_iv,
         "feature_hashing": q_feature_hashing,
+        "community_modularity": q_community_modularity,
+        "degree_assortativity": q_degree_assortativity,
         # --- r5 driver-greens (evidence of record: CORRECTNESS_r05) ---
         "dup_passages": q_dup_passages,
         "bpe_compression": q_bpe_compression,
@@ -11327,10 +11421,11 @@ def oracle_sql() -> dict[str, str]:
     # shared 48-bit pair chain; l0 = own id, argmax by (count, label)
     sql["community_labelprop"] = f"""
         WITH {simhash48_ctes},
-        symlp AS (
-            SELECT id_l AS a, id_r AS b FROM sp48
+        sp48m AS MATERIALIZED (SELECT id_l, id_r FROM sp48),
+        symlp AS MATERIALIZED (
+            SELECT id_l AS a, id_r AS b FROM sp48m
             UNION ALL
-            SELECT id_r AS a, id_l AS b FROM sp48
+            SELECT id_r AS a, id_l AS b FROM sp48m
         ),
         l0 AS (SELECT DISTINCT a AS v, a AS label FROM symlp),
         v1 AS (
@@ -11460,6 +11555,88 @@ def oracle_sql() -> dict[str, str]:
                            / ((n_neg + 0.5) / (q + 0.5))) + 1e-9, 6)
                 + 0.0) AS iv_part
         FROM b, t
+    """
+
+    # modularity of the LPA partition: reuse the pair chain + 2 LPA
+    # rounds, then the e_c/m - (d_c/2m)^2 collapse
+    sql["community_modularity"] = f"""
+        WITH {simhash48_ctes},
+        sp48m AS MATERIALIZED (SELECT id_l, id_r FROM sp48),
+        symlp AS MATERIALIZED (
+            SELECT id_l AS a, id_r AS b FROM sp48m
+            UNION ALL
+            SELECT id_r AS a, id_l AS b FROM sp48m
+        ),
+        l0 AS (SELECT DISTINCT a AS v, a AS label FROM symlp),
+        v1 AS (
+            SELECT s.a AS v, l.label, count(*)::BIGINT AS n
+            FROM symlp s JOIN l0 l ON l.v = s.b GROUP BY 1, 2
+        ),
+        l1 AS (
+            SELECT v, label FROM (
+                SELECT v, label, row_number() OVER (
+                    PARTITION BY v ORDER BY n DESC, label) AS rk
+                FROM v1) WHERE rk = 1
+        ),
+        v2 AS (
+            SELECT s.a AS v, l.label, count(*)::BIGINT AS n
+            FROM symlp s JOIN l1 l ON l.v = s.b GROUP BY 1, 2
+        ),
+        l2 AS MATERIALIZED (
+            SELECT v, label FROM (
+                SELECT v, label, row_number() OVER (
+                    PARTITION BY v ORDER BY n DESC, label) AS rk
+                FROM v2) WHERE rk = 1
+        ),
+        flagged AS MATERIALIZED (
+            SELECT la.label AS ca, lb.label AS cb,
+                   CASE WHEN la.label = lb.label THEN 1 ELSE 0 END
+                       AS intra
+            FROM sp48m e
+            JOIN l2 la ON la.v = e.id_l
+            JOIN l2 lb ON lb.v = e.id_r
+        ),
+        m AS (SELECT count(*)::DOUBLE AS m FROM flagged),
+        deg AS (
+            SELECT c, count(*)::BIGINT AS d FROM (
+                SELECT ca AS c FROM flagged
+                UNION ALL SELECT cb FROM flagged)
+            GROUP BY 1
+        ),
+        intra AS (
+            SELECT ca AS c, count(*)::BIGINT AS e FROM flagged
+            WHERE intra = 1 GROUP BY 1
+        ),
+        per AS (
+            SELECT deg.c, coalesce(intra.e, 0) AS e, deg.d
+            FROM deg LEFT JOIN intra USING (c)
+        )
+        SELECT (SELECT count(*)::BIGINT FROM per) AS n_communities,
+               (SELECT count(*)::BIGINT FROM l2) AS n_vertices,
+               (round((SELECT sum(e / m.m - (d / (2.0 * m.m))
+                                      * (d / (2.0 * m.m)))
+                       FROM per, m) + 1e-9, 6) + 0.0) AS modularity,
+               (round((SELECT avg(intra::DOUBLE) FROM flagged) + 1e-9, 6)
+                + 0.0) AS intra_share
+    """
+
+    # degree assortativity: corr of endpoint degrees over symmetrized
+    # edges; same pair chain
+    sql["degree_assortativity"] = f"""
+        WITH {simhash48_ctes},
+        sp48m AS MATERIALIZED (SELECT id_l, id_r FROM sp48),
+        syma AS MATERIALIZED (
+            SELECT id_l AS a, id_r AS b FROM sp48m
+            UNION ALL
+            SELECT id_r AS a, id_l AS b FROM sp48m
+        ),
+        deg AS (SELECT a AS v, count(*)::BIGINT AS d FROM syma GROUP BY 1)
+        SELECT (count(*) / 2)::BIGINT AS n_edges,
+               (round(avg(da.d) + 1e-9, 6) + 0.0) AS mean_end_degree,
+               (round(corr(da.d, db.d) + 1e-9, 6) + 0.0) AS assortativity
+        FROM syma s
+        JOIN deg da ON da.v = s.a
+        JOIN deg db ON db.v = s.b
     """
 
     # hashing-trick collision audit over the distinct vocabulary

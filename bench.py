@@ -190,7 +190,8 @@ def main() -> None:
     for name in ("quality_logit", "conformal_interval",
                  "regional_supplier_volume", "top_supplier_share",
                  "community_labelprop", "pca2_axes", "group_kfold",
-                 "target_encode_oof", "woe_iv", "feature_hashing"):
+                 "target_encode_oof", "woe_iv", "feature_hashing",
+                 "community_modularity", "degree_assortativity"):
         r6c[name] = timed(name)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

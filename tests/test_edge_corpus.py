@@ -87,6 +87,9 @@ TEXT_QUERIES = [
     # hashing-trick audit (CJK/emoji/whitespace tokens), LPA communities
     # on the 48-bit pair graph (repeated-content docs pair up)
     "quality_logit", "woe_iv", "feature_hashing", "community_labelprop",
+    # graph audits over the same pair graph (repeated-content docs give
+    # a tiny but non-empty community structure)
+    "community_modularity", "degree_assortativity",
 ]
 
 
