@@ -102,3 +102,68 @@ def test_lpa_deterministic_across_partitionings(spark):
     b = sorted(map(tuple, GR.label_propagation(
         e.repartition(16), rounds=2).collect()))
     assert a == b
+
+
+# ------------------------------------------------------ streaming logit
+
+def test_logit_sink_matches_sequential_gd_and_replays(spark, tmp_path):
+    from timeseries_data_analysis_spark.streaming import jobs as SJ
+
+    state = str(tmp_path / "logit_state")
+    batches = [_separable(spark, n=80), _separable(spark, n=120),
+               _separable(spark, n=60)]
+
+    # manual sequential reference: same steps over the same batches
+    ref = [0.0, 0.0, 0.0]
+    for b in batches:
+        ref = LG.gd_step(b, ["x1", "x2"], "y", ref, lr=1.0)
+
+    for bid, b in enumerate(batches):
+        SJ.logit_commit_batch(b, bid, state, xcols=["x1", "x2"],
+                              ycol="y", lr=1.0)
+    beta = SJ.logit_state_beta(spark, state)
+    assert beta == ref
+
+    # crash-window replay: re-running the LAST batch must rewrite the
+    # identical beta (GD from a fixed start over fixed data)
+    SJ.logit_commit_batch(batches[2], 2, state, xcols=["x1", "x2"],
+                          ycol="y", lr=1.0)
+    assert SJ.logit_state_beta(spark, state) == ref
+
+
+def test_logit_sink_empty_batch_keeps_beta(spark, tmp_path):
+    from timeseries_data_analysis_spark.streaming import jobs as SJ
+
+    state = str(tmp_path / "logit_state_e")
+    SJ.logit_commit_batch(_separable(spark, n=50), 0, state,
+                          xcols=["x1", "x2"], ycol="y", lr=1.0)
+    b0 = SJ.logit_state_beta(spark, state)
+    empty = spark.createDataFrame([], "x1 double, x2 double, y int")
+    SJ.logit_commit_batch(empty, 1, state, xcols=["x1", "x2"],
+                          ycol="y", lr=1.0)
+    assert SJ.logit_state_beta(spark, state) == b0
+
+
+def test_logit_sink_via_stream(spark, tmp_path):
+    """End-to-end through a real rate-limited file stream."""
+    from timeseries_data_analysis_spark.streaming import jobs as SJ
+
+    src = tmp_path / "src"
+    src.mkdir()
+    state = str(tmp_path / "logit_state_s")
+    pdf = _separable(spark, n=100).toPandas()
+    pdf.to_parquet(str(src / "part0.parquet"))
+
+    stream = (spark.readStream
+              .schema("x1 double, x2 double, y int")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src)))
+    q = (SJ.logit_sink(stream, state, xcols=["x1", "x2"], ycol="y",
+                       lr=1.0)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    ref = LG.gd_step(_separable(spark, n=100), ["x1", "x2"], "y",
+                     [0.0, 0.0, 0.0], lr=1.0)
+    assert SJ.logit_state_beta(spark, state) == ref

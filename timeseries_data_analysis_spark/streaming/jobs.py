@@ -1058,3 +1058,86 @@ def hll_state_estimate(spark: SparkSession, state_path: str,
     regs = (store.where(F.col("state_batch") == latest)
             .select(group_col, "_b", "_m"))
     return SK.hll_estimates(regs, group_col, p=p)
+
+
+# ---------------------------------------------------------------------------
+# Streaming quality-classifier training (incremental logistic GD)
+# ---------------------------------------------------------------------------
+
+def logit_sink(feature_stream: DataFrame, state_path: str,
+               xcols: list[str], ycol: str,
+               lr: float = 0.5, steps_per_batch: int = 1):
+    """Streaming logistic-regression maintenance: the persisted beta
+    vector advances by ``steps_per_batch`` full-batch GD steps over
+    each micro-batch — the continuous form of ``ml.logit.fit``, i.e.
+    mini-batch gradient descent where the mini-batch IS the
+    micro-batch. State is ``len(xcols)+1`` doubles forever; each step
+    is one combinable aggregation of the batch (`ml/logit.py`'s
+    scaling contract), so the sink's cost per batch is the batch scan.
+
+    Replay safety is single-phase like :func:`hll_sink`: each batch
+    writes its post-step beta to ``state_path/state_batch=<id>``
+    computed from the newest committed beta with id < batch_id; GD
+    from a fixed start over fixed data is deterministic (9-dp
+    quantized steps), so a crash-replay rewrites the identical beta.
+    Read the live model with :func:`logit_state_beta`; score with
+    ``ml.logit.predict``.
+    """
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        logit_commit_batch(batch_df, batch_id, state_path,
+                           xcols=xcols, ycol=ycol, lr=lr,
+                           steps_per_batch=steps_per_batch)
+
+    return (feature_stream.writeStream.foreachBatch(process)
+            .outputMode("update"))
+
+
+def logit_commit_batch(batch_df: DataFrame, batch_id: int,
+                       state_path: str, xcols: list[str], ycol: str,
+                       lr: float = 0.5,
+                       steps_per_batch: int = 1) -> None:
+    """One micro-batch of :func:`logit_sink`, module-level so tests
+    can replay it against the crash window."""
+    from pyspark.errors import AnalysisException
+
+    from ..ml import logit as LG
+
+    spark = batch_df.sparkSession
+    beta = [0.0] * (len(xcols) + 1)
+    n_seen = 0
+    try:
+        store = spark.read.parquet(state_path)
+        ids = [r["state_batch"] for r in
+               store.select("state_batch").distinct().collect()
+               if r["state_batch"] < batch_id]
+        if ids:
+            row = (store.where(F.col("state_batch") == max(ids))
+                   .select("beta", "n_seen").collect()[0])
+            beta, n_seen = list(row["beta"]), int(row["n_seen"])
+    except AnalysisException as exc:
+        # the hh_commit_batch contract: only path-not-found means
+        # "first batch"; any other read failure must propagate
+        msg = str(exc)
+        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+            raise
+
+    clean = batch_df.filter(F.col(ycol).isNotNull())
+    n_batch = clean.count()
+    if n_batch > 0:
+        for _ in range(steps_per_batch):
+            beta = LG.gd_step(clean, xcols, ycol, beta, lr)
+    out = spark.createDataFrame(
+        [(beta, n_seen + n_batch)], "beta array<double>, n_seen long")
+    (out.write.mode("overwrite")
+     .parquet(f"{state_path}/state_batch={batch_id}"))
+
+
+def logit_state_beta(spark: SparkSession, state_path: str) -> list[float]:
+    """Latest committed beta from :func:`logit_sink` (driver-side,
+    ``len(xcols)+1`` floats — the bounded-state contract)."""
+    store = spark.read.parquet(state_path)
+    latest = (store.agg(F.max("state_batch").alias("b"))
+              .collect()[0]["b"])
+    row = (store.where(F.col("state_batch") == latest)
+           .select("beta").collect()[0])
+    return list(row["beta"])
