@@ -5321,6 +5321,54 @@ def q_feature_hashing(spark: SparkSession, sf: str) -> DataFrame:
            / F.sum("_load"), 6).alias("collision_rate"))
 
 
+def q_int8_quant_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar int8 quantization audit (the FAISS-SQ8 / vector-store
+    compression check): per-dimension affine codes q = round((x−lo)/s)
+    with s = (hi−lo)/255, then the distortion report a store must
+    publish before committing to 4× compression — reconstruction MSE,
+    worst absolute error, and mean original↔dequantized cosine. Scale
+    shape: per-dim lo/hi is ONE aggregate (128 min/max columns — no
+    explode, no N×64 row blow-up), broadcast back as two 1-row arrays;
+    quantize/dequantize/error are zip_with HOF chains (each stage
+    materialized as a column, never re-inlined per lambda — the CSE
+    rule from operators/dedup.py); per-vector reductions are fixed-
+    order array folds, so the only shuffle in the whole plan is the
+    64-double stats row. try_divide guards the zero-vector cosine."""
+    emb = load_table(spark, sf, "embeddings")
+    dim = 64
+    v = emb.select(F.col("embedding").cast("array<double>").alias("v"))
+    stats = v.agg(
+        F.array(*[F.min(F.element_at("v", j + 1)) for j in range(dim)])
+        .alias("lo"),
+        F.array(*[F.max(F.element_at("v", j + 1)) for j in range(dim)])
+        .alias("hi"))
+    d = (v.crossJoin(F.broadcast(stats))
+         .withColumn("s", F.zip_with(
+             "hi", "lo", lambda h, lo: (h - lo) / F.lit(255.0)))
+         .withColumn("dx", F.zip_with("v", "lo", lambda x, lo: x - lo)))
+    d = d.withColumn("q", F.zip_with(
+        "dx", "s", lambda dx, sc: F.when(sc == 0.0, F.lit(0.0)).otherwise(
+            F.least(F.greatest(F.round(dx / sc + F.lit(1e-9), 0),
+                               F.lit(0.0)), F.lit(255.0)))))
+    d = d.withColumn("dq", F.zip_with(
+        F.zip_with("q", "s", lambda qq, sc: qq * sc),
+        "lo", lambda t, lo: t + lo))
+    d = d.withColumn("err", F.zip_with("dq", "v", lambda a, b: a - b))
+    acc = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, e: a + e)  # noqa: E731
+    sumsq = acc(F.transform("err", lambda e: e * e))
+    maxabs = F.array_max(F.transform("err", lambda e: F.abs(e)))
+    dot = acc(F.zip_with("v", "dq", lambda a, b: a * b))
+    n1 = F.sqrt(acc(F.transform("v", lambda x: x * x)))
+    n2 = F.sqrt(acc(F.transform("dq", lambda x: x * x)))
+    per = d.select(sumsq.alias("_ss"), maxabs.alias("_ma"),
+                   F.try_divide(dot, n1 * n2).alias("_cos"))
+    return per.agg(
+        F.count(F.lit(1)).alias("n"),
+        _r(F.avg(F.col("_ss") / dim), 6).alias("mse"),
+        _r(F.max("_ma"), 6).alias("max_abs_err"),
+        _r(F.avg("_cos"), 6).alias("mean_cosine"))
+
+
 def q_community_modularity(spark: SparkSession, sf: str) -> DataFrame:
     """Newman modularity of the `community_labelprop` partition over
     the same 48-bit pair graph: Q = Σ_c (e_c/m − (d_c/2m)²), where e_c
@@ -5416,16 +5464,20 @@ def q_degree_assortativity(spark: SparkSession, sf: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS DELIBERATE: the driver's correctness gate checks
     the first 50 entries per round. Round 6 closes the only open
-    evidence ledger from round 5's verdict: 15 of the 17 queries ADDED
+    evidence ledger from round 5's verdict: 15 of the queries ADDED
     in round 6 lead (never driver-checked — newest custom-operator code
     first), then ALL 35 round-5 third/fourth-batch rows
     (``pagerank_neardup`` … ``source_datacard``) whose only evidence so
     far is the judge's full-gate run — 15 + 35 = 50 exactly, so after
-    this round every pre-round-6 row has driver evidence. Slots 51+ queue the remaining
-    round-6 additions (``roc_auc`` … the late analytics/curation
-    batches) in landing order — first in line for round 7 — followed
-    by the 50 rows the driver greened in round 5, then the r4 and r3
-    driver-greens (stable built-in-heavy paths, least at risk)."""
+    this round every pre-round-6 row has driver evidence. Slots 51+
+    queue the remaining round-6 additions in landing order — first in
+    line for round 7: the late batches (``roc_auc`` …
+    ``neyman_allocation``), then the round-6 continuation batch
+    (``quality_logit`` … ``degree_assortativity``, the trained-
+    classifier / conformal / TPC-H-classics / LPA / feature-
+    engineering family) — followed by the 50 rows the driver greened
+    in round 5, then the r4 and r3 driver-greens (stable
+    built-in-heavy paths, least at risk)."""
     return {
         # --- round-6 new/changed queries: first driver evidence needed ---
         "ewma_exact": q_ewma_exact,
@@ -5530,6 +5582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_hashing": q_feature_hashing,
         "community_modularity": q_community_modularity,
         "degree_assortativity": q_degree_assortativity,
+        "int8_quant_audit": q_int8_quant_audit,
         # --- r5 driver-greens (evidence of record: CORRECTNESS_r05) ---
         "dup_passages": q_dup_passages,
         "bpe_compression": q_bpe_compression,
@@ -11555,6 +11608,45 @@ def oracle_sql() -> dict[str, str]:
                            / ((n_neg + 0.5) / (q + 0.5))) + 1e-9, 6)
                 + 0.0) AS iv_part
         FROM b, t
+    """
+
+    # int8 scalar quantization: explode is affordable oracle-side;
+    # per-element math (round + clamp + dequant) mirrors the zip_with
+    # chain exactly, per-vector sums regrouped (order ulps absorbed
+    # by the 6-dp round)
+    sql["int8_quant_audit"] = """
+        WITH v AS (
+            SELECT vec_id AS rid, r.i + 1 AS dim,
+                   embedding[r.i + 1]::DOUBLE AS x
+            FROM embeddings, range(0, 64) r(i)
+        ), st AS (
+            SELECT dim, min(x) AS lo, max(x) AS hi,
+                   (max(x) - min(x)) / 255.0 AS s
+            FROM v GROUP BY 1
+        ), qd AS (
+            SELECT v.rid, v.x, st.lo, st.s,
+                   CASE WHEN st.s = 0 THEN 0.0
+                        ELSE least(greatest(
+                            round((v.x - st.lo) / st.s + 1e-9, 0),
+                            0.0), 255.0) END AS q
+            FROM v JOIN st USING (dim)
+        ), e AS (
+            SELECT rid, x, (lo + q * s) AS dq,
+                   (lo + q * s - x) AS err
+            FROM qd
+        ), per AS (
+            SELECT rid, sum(err * err) AS ss, max(abs(err)) AS ma,
+                   sum(x * dq) AS dot,
+                   sqrt(sum(x * x)) AS n1, sqrt(sum(dq * dq)) AS n2
+            FROM e GROUP BY 1
+        )
+        SELECT count(*)::BIGINT AS n,
+               (round(avg(ss / 64) + 1e-9, 6) + 0.0) AS mse,
+               (round(max(ma) + 1e-9, 6) + 0.0) AS max_abs_err,
+               (round(avg(CASE WHEN n1 * n2 = 0 THEN NULL
+                               ELSE dot / (n1 * n2) END) + 1e-9, 6)
+                + 0.0) AS mean_cosine
+        FROM per
     """
 
     # modularity of the LPA partition: reuse the pair chain + 2 LPA

@@ -191,7 +191,8 @@ def main() -> None:
                  "regional_supplier_volume", "top_supplier_share",
                  "community_labelprop", "pca2_axes", "group_kfold",
                  "target_encode_oof", "woe_iv", "feature_hashing",
-                 "community_modularity", "degree_assortativity"):
+                 "community_modularity", "degree_assortativity",
+                 "int8_quant_audit"):
         r6c[name] = timed(name)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
