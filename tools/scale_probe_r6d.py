@@ -41,7 +41,8 @@ from timeseries_data_analysis_spark.session import get_spark  # noqa: E402
 DEFAULT_QUERIES = [
     "quality_logit", "conformal_interval", "group_kfold",
     "target_encode_oof", "woe_iv", "feature_hashing", "pca2_axes",
-    "community_labelprop",
+    "community_labelprop", "community_modularity",
+    "degree_assortativity", "int8_quant_audit",
 ]
 
 
