@@ -5369,6 +5369,67 @@ def q_int8_quant_audit(spark: SparkSession, sf: str) -> DataFrame:
         _r(F.avg("_cos"), 6).alias("mean_cosine"))
 
 
+def q_pr_auc(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed PR-AUC (average precision, step-interpolated — the
+    sklearn AP definition with ties grouped per distinct score): the
+    imbalanced-data companion to `roc_auc`, via the identity
+    AP = (1/P)·Σ_s n_pos_s · cumPos_≥s/(cumPos_≥s + cumNeg_≥s) — the
+    recall INCREMENT at score s is exactly n_pos_s/P, so no lag column
+    is needed. Rows collapse to per-distinct-score (pos,neg) counts,
+    and both descending cumulatives come from `TK.global_cumsum`'s
+    distributed two-pass prefix sum (ordered by −score) — same
+    no-single-task-window contract as `roc_auc`."""
+    ev = (load_table(spark, sf, "events")
+          .filter(F.col("value").isNotNull()
+                  & F.col("event_type").isNotNull()))
+    lab = ev.select(
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        .alias("_y"))
+    g = (lab.groupBy("score")
+         .agg(F.sum("_y").alias("_np"),
+              F.sum(1 - F.col("_y")).alias("_nn"))
+         .withColumn("_neg", -F.col("score")))
+    c = TK.global_cumsum(g, ["_neg"], "_np", "_cp", exclusive=False)
+    c = TK.global_cumsum(c, ["_neg"], "_nn", "_cn", exclusive=False)
+    agg = c.agg(
+        F.sum("_np").alias("n_pos"),
+        F.sum("_nn").alias("n_neg"),
+        F.sum(F.col("_np") * F.col("_cp")
+              / (F.col("_cp") + F.col("_cn"))).alias("_s"))
+    return agg.select(
+        "n_pos", "n_neg",
+        _r(F.col("_s") / F.col("n_pos"), 6).alias("pr_auc"))
+
+
+def q_join_cardinality(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-driven join planning: estimate the DISTINCT-KEY overlap
+    between orders.o_custkey and positive-balance customers via a
+    theta-sketch intersection (`SK.theta_intersect_est` — two bottom-k
+    sketches, θ = min of k-th fractions, D/θ), next to the exact
+    overlap from the real semi-join — the estimate-vs-truth audit in
+    one row. This is the number a planner wants BEFORE committing to a
+    join strategy at 100 TB: the sketches cost two scans with
+    TakeOrdered heaps (k rows retained each), never a key shuffle;
+    every step is deterministic md5 arithmetic, so even the
+    APPROXIMATE estimate is value-hash-checked against SQL."""
+    orders = load_table(spark, sf, "orders")
+    cust = (load_table(spark, sf, "customer")
+            .filter(F.col("c_acctbal") > 0))
+    est = SK.theta_intersect_est(orders, cust, "o_custkey",
+                                 "c_custkey", k=128)
+    exact = (orders.select(F.col("o_custkey").alias("k")).distinct()
+             .join(cust.select(F.col("c_custkey").alias("k")).distinct(),
+                   on="k")
+             .agg(F.count(F.lit(1)).alias("exact_common")))
+    return (est.crossJoin(F.broadcast(exact))
+            .select("n_a_kept", "n_b_kept",
+                    _r(F.col("theta"), 6).alias("theta"),
+                    "d_common",
+                    _r(F.col("est_common"), 4).alias("est_common"),
+                    "exact_common"))
+
+
 def q_community_modularity(spark: SparkSession, sf: str) -> DataFrame:
     """Newman modularity of the `community_labelprop` partition over
     the same 48-bit pair graph: Q = Σ_c (e_c/m − (d_c/2m)²), where e_c
@@ -5583,6 +5644,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_modularity": q_community_modularity,
         "degree_assortativity": q_degree_assortativity,
         "int8_quant_audit": q_int8_quant_audit,
+        "pr_auc": q_pr_auc,
+        "join_cardinality": q_join_cardinality,
         # --- r5 driver-greens (evidence of record: CORRECTNESS_r05) ---
         "dup_passages": q_dup_passages,
         "bpe_compression": q_bpe_compression,
@@ -11608,6 +11671,74 @@ def oracle_sql() -> dict[str, str]:
                            / ((n_neg + 0.5) / (q + 0.5))) + 1e-9, 6)
                 + 0.0) AS iv_part
         FROM b, t
+    """
+
+    # PR-AUC: descending inclusive cumulatives over distinct scores
+    sql["pr_auc"] = """
+        WITH g AS (
+            SELECT value AS score,
+                   sum(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END)::BIGINT AS np,
+                   sum(CASE WHEN event_type = 'purchase'
+                            THEN 0 ELSE 1 END)::BIGINT AS nn
+            FROM events
+            WHERE value IS NOT NULL AND event_type IS NOT NULL
+            GROUP BY 1
+        ), c AS (
+            SELECT np, nn,
+                   sum(np) OVER (ORDER BY score DESC) AS cp,
+                   sum(nn) OVER (ORDER BY score DESC) AS cn
+            FROM g
+        )
+        SELECT sum(np)::BIGINT AS n_pos,
+               sum(nn)::BIGINT AS n_neg,
+               (round(sum(np * cp / (cp + cn)::DOUBLE) / sum(np)
+                      + 1e-9, 6) + 0.0) AS pr_auc
+        FROM c
+    """
+
+    # theta-sketch intersection vs exact semi-join overlap
+    sql["join_cardinality"] = """
+        WITH ka AS (
+            SELECT f FROM (
+                SELECT DISTINCT ('0x' || substr(md5(o_custkey::VARCHAR),
+                                 1, 15))::BIGINT
+                       / 1152921504606846976.0 AS f
+                FROM orders WHERE o_custkey IS NOT NULL)
+            ORDER BY f LIMIT 128
+        ), kb AS (
+            SELECT f FROM (
+                SELECT DISTINCT ('0x' || substr(md5(c_custkey::VARCHAR),
+                                 1, 15))::BIGINT
+                       / 1152921504606846976.0 AS f
+                FROM customer
+                WHERE c_acctbal > 0 AND c_custkey IS NOT NULL)
+            ORDER BY f LIMIT 128
+        ), st AS (
+            SELECT (SELECT count(*) FROM ka)::BIGINT AS n_a_kept,
+                   (SELECT count(*) FROM kb)::BIGINT AS n_b_kept,
+                   least(CASE WHEN (SELECT count(*) FROM ka) < 128
+                              THEN 1.0 ELSE (SELECT max(f) FROM ka) END,
+                         CASE WHEN (SELECT count(*) FROM kb) < 128
+                              THEN 1.0 ELSE (SELECT max(f) FROM kb) END)
+                       AS theta
+        ), d AS (
+            SELECT count(*)::BIGINT AS d_common
+            FROM ka JOIN kb USING (f), st
+            WHERE ka.f < st.theta
+        ), ex AS (
+            SELECT count(*)::BIGINT AS exact_common FROM (
+                SELECT DISTINCT o_custkey AS k FROM orders) a
+            JOIN (SELECT DISTINCT c_custkey AS k FROM customer
+                  WHERE c_acctbal > 0) b USING (k)
+        )
+        SELECT st.n_a_kept, st.n_b_kept,
+               (round(st.theta + 1e-9, 6) + 0.0) AS theta,
+               d.d_common,
+               (round(d.d_common / st.theta + 1e-9, 4) + 0.0)
+                   AS est_common,
+               ex.exact_common
+        FROM st, d, ex
     """
 
     # int8 scalar quantization: explode is affordable oracle-side;

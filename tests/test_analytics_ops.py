@@ -181,3 +181,35 @@ def test_kcore_empty_when_no_core(spark):
     chain = spark.createDataFrame([(1, 2), (2, 3), (3, 4)],
                                   "id_l long, id_r long")
     assert GR.kcore(chain, k=2).count() == 0
+
+
+# ------------------------------------------------- theta intersection
+
+def test_theta_intersect_underfull_is_exact(spark):
+    from timeseries_data_analysis_spark.operators import sketch as SK
+    a = spark.createDataFrame([(i,) for i in range(60)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(40, 100)], "k long")
+    r = SK.theta_intersect_est(a, b, "k", "k", k=128).collect()[0]
+    # both sketches under-full -> theta = 1.0 -> D IS the exact overlap
+    assert r["theta"] == 1.0
+    assert r["d_common"] == 20
+    assert r["est_common"] == 20.0
+
+
+def test_theta_intersect_estimates_within_tolerance(spark):
+    from timeseries_data_analysis_spark.operators import sketch as SK
+    a = spark.createDataFrame([(i,) for i in range(3000)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(1500, 4500)], "k long")
+    r = SK.theta_intersect_est(a, b, "k", "k", k=256).collect()[0]
+    # true overlap 1500; k=256 theta-sketch relative error ~1/sqrt(k)
+    assert abs(r["est_common"] - 1500) / 1500 < 0.30
+    assert r["n_a_kept"] == 256 and r["n_b_kept"] == 256
+
+
+def test_theta_intersect_disjoint_is_zero(spark):
+    from timeseries_data_analysis_spark.operators import sketch as SK
+    a = spark.createDataFrame([(i,) for i in range(2000)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(5000, 7000)], "k long")
+    r = SK.theta_intersect_est(a, b, "k", "k", k=128).collect()[0]
+    assert r["d_common"] == 0
+    assert r["est_common"] == 0.0

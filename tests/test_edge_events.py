@@ -125,6 +125,9 @@ EVENT_QUERIES = [
     # must agree on the empty-result path), k-fold + OOF encoding
     # (NULL event_type rows drop out of the equi-join identically)
     "conformal_interval", "group_kfold", "target_encode_oof",
+    # PR-AUC on the NaN/NULL/duplicate-score shapes (NaN sorts greatest
+    # in BOTH engines, so the descending cumulatives stay aligned)
+    "pr_auc",
 ]
 
 

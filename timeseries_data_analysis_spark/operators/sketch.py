@@ -379,3 +379,50 @@ def hll_estimates(regs: DataFrame, group_col: str,
         group_col,
         F.when((raw <= F.lit(2.5 * m)) & (F.col("_v") > 0), lc)
         .otherwise(raw).alias("hll_estimate"))
+
+
+def theta_intersect_est(a: DataFrame, b: DataFrame,
+                        a_col: str, b_col: str, k: int = 128) -> DataFrame:
+    """Theta-sketch set-INTERSECTION estimate (Dasgupta et al. 2016)
+    over two key columns: the join-cardinality planning number — "how
+    many distinct keys do these two tables share?" — from two bottom-k
+    sketches, never a join of the raw tables.
+
+    θ = min of the two sketches' k-th fractions (1.0 for an under-full
+    sketch = it holds its set exactly); D = retained hashes BELOW θ
+    present in both sketches; estimate = D/θ. Every step is
+    deterministic md5 arithmetic (:func:`hash_frac`), so the estimate
+    is oracle-replayable, and the bottom-k cut uses ``orderBy.limit``
+    — Spark's TakeOrderedAndProject per-partition heaps — NOT a
+    single-partition row_number window, so the sketch build
+    distributes at any key count.
+
+    Returns one row: (n_a_kept, theta, d_common, est_common).
+    """
+    def bottom(df: DataFrame, col: str) -> DataFrame:
+        return (df.select(F.col(col).cast("string").alias("_i"))
+                .filter(F.col("_i").isNotNull()).distinct()
+                .select(hash_frac(F.col("_i")).alias("_f"))
+                .orderBy("_f").limit(k))
+
+    sa, sb = bottom(a, a_col), bottom(b, b_col)
+    ka = sa.agg(F.count(F.lit(1)).alias("_na"), F.max("_f").alias("_ka"))
+    kb = sb.agg(F.count(F.lit(1)).alias("_nb"), F.max("_f").alias("_kb"))
+    th = (ka.crossJoin(kb)
+          .select("_na", "_nb",
+                  F.least(
+                      F.when(F.col("_na") < k, F.lit(1.0))
+                      .otherwise(F.col("_ka")),
+                      F.when(F.col("_nb") < k, F.lit(1.0))
+                      .otherwise(F.col("_kb"))).alias("_theta")))
+    inter = sa.join(sb, on="_f")
+    d = (inter.crossJoin(F.broadcast(th))
+         .filter(F.col("_f") < F.col("_theta"))
+         .agg(F.count(F.lit(1)).alias("d_common")))
+    return (th.crossJoin(F.broadcast(d))
+            .select(F.col("_na").alias("n_a_kept"),
+                    F.col("_nb").alias("n_b_kept"),
+                    F.col("_theta").alias("theta"),
+                    F.coalesce("d_common", F.lit(0)).alias("d_common"),
+                    (F.col("d_common") / F.col("_theta"))
+                    .alias("est_common")))
