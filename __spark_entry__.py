@@ -5369,6 +5369,97 @@ def q_int8_quant_audit(spark: SparkSession, sf: str) -> DataFrame:
         _r(F.avg("_cos"), 6).alias("mean_cosine"))
 
 
+def q_semantic_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """SEMANTIC decontamination (the embedding-level twin of the
+    n-gram `decontaminate`): flag corpus vectors whose max cosine to
+    any benchmark vector (label 0 = the held-out suite) exceeds 0.95 —
+    paraphrased test-set leakage that n-gram overlap structurally
+    misses. The benchmark side is SMALL BY DEFINITION (a benchmark
+    suite, not a corpus), so the scale shape is a broadcast
+    nested-loop scan: corpus rows stream ONCE through an Arrow-batched
+    BLAS matmul against the in-closure benchmark matrix
+    (`SIM.benchmark_max_cosine` — no shuffle, no N×|bench|
+    intermediate rows; measured 49.5 s → 2 s on the 10× corpus vs the
+    HOF crossJoin form). The bound is ENFORCED,
+    not assumed: benchmark = the 1024 lowest label-0 vec_ids (a
+    deterministic TakeOrdered cut, the `max_bucket`/`max_posting`
+    family contract) — the clone scale corpus grows the label-0 side
+    WITH the corpus, which no real benchmark suite does, and SCALE §1k
+    records the measured quadratic artifact that motivated the cap
+    (6.5 → 107 s at 10× uncapped). At the driver SFs the cap never
+    binds (≤500 label-0 rows), so capped == uncapped there. Per-label
+    summary: n, flagged count, mean/max of the max-cosine."""
+    emb = load_table(spark, sf, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>"))
+    bench = (emb.filter(F.col("label") == 0)
+             .select(F.col("vec_id").alias("bid"),
+                     F.col("v").alias("bv"))
+             .orderBy("bid").limit(1024))
+    corpus = emb.filter(F.col("label") != 0)
+    best = SIM.benchmark_max_cosine(corpus, bench, vec_col="v",
+                                    bench_vec_col="bv")
+    return (best.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum((F.col("_best") > 0.95).cast("int"))
+                 .alias("n_flagged"),
+                 _r(F.avg("_best"), 6).alias("mean_best_cos"),
+                 _r(F.max("_best"), 6).alias("max_best_cos"))
+            .orderBy("label"))
+
+
+def q_msprt_monitor(spark: SparkSession, sf: str) -> DataFrame:
+    """Always-valid sequential A/B monitoring (mixture SPRT, Johari et
+    al. 2017): per experiment-day, the cumulative two-sample mSPRT
+    log-likelihood ratio ln Λ = ½ln(V/(V+τ²)) + δ̂²τ²/(2V(V+τ²)) with
+    V = σ̂²_pooled·(1/n_a+1/n_b), τ² = 1, and the always-valid p-value
+    = min(1, exp(−running-max ln Λ)) — the "peek every day without
+    inflating α" readout a fixed-horizon Welch test (`ab_test`)
+    cannot give. Per-day per-arm power sums collapse map-side; the
+    cumulative window runs over ≤31 day rows (calendar-bounded, the
+    `holt_forecast` contract); all scalar algebra, no Python. Days
+    where either arm is still empty or σ̂²=0 emit NULL (CASE-guarded
+    identically in both engines — and lazily, so ANSI mode cannot
+    throw on the guarded division)."""
+    ev = (load_table(spark, sf, "events")
+          .filter(F.col("value").isNotNull()
+                  & F.col("user_id").isNotNull())
+          .withColumn("_arm", F.pmod(F.col("user_id"), F.lit(2)))
+          .withColumn("_d", F.to_date("ts")))
+    day = (ev.groupBy("_d")
+           .agg(*[agg for arm in (0, 1) for agg in (
+               F.sum(F.when(F.col("_arm") == arm, 1).otherwise(0))
+               .alias(f"_n{arm}"),
+               F.sum(F.when(F.col("_arm") == arm, F.col("value"))
+                     .otherwise(0.0)).alias(f"_s{arm}"),
+               F.sum(F.when(F.col("_arm") == arm,
+                            F.col("value") * F.col("value"))
+                     .otherwise(0.0)).alias(f"_q{arm}"))]))
+    w = Window.orderBy("_d").rowsBetween(Window.unboundedPreceding, 0)
+    c = day.select(
+        "_d", *[F.sum(f"_{x}{a}").over(w).alias(f"_c{x}{a}")
+                for a in (0, 1) for x in ("n", "s", "q")])
+    na, nb = F.col("_cn0"), F.col("_cn1")
+    ma, mb = F.col("_cs0") / na, F.col("_cs1") / nb
+    ssq = (F.col("_cq0") - na * ma * ma) + (F.col("_cq1") - nb * mb * mb)
+    var = ssq / (na + nb - 2)
+    vv = var * (1.0 / na + 1.0 / nb)
+    tau2 = F.lit(1.0)
+    delta = ma - mb
+    lnl = (F.lit(0.5) * F.log(vv / (vv + tau2))
+           + delta * delta * tau2 / (2.0 * vv * (vv + tau2)))
+    guarded = F.when((na > 1) & (nb > 1) & (var > 0), lnl)
+    g = c.select("_d", na.alias("n_a"), nb.alias("n_b"),
+                 _r(delta, 4).alias("delta"),
+                 guarded.alias("_lnl"))
+    runmax = F.max("_lnl").over(
+        Window.orderBy("_d").rowsBetween(Window.unboundedPreceding, 0))
+    return (g.select(F.col("_d").alias("day"), "n_a", "n_b", "delta",
+                     _r(F.col("_lnl"), 4).alias("ln_lambda"),
+                     _r(F.least(F.lit(1.0), F.exp(-runmax)), 6)
+                     .alias("p_always_valid"))
+            .orderBy("day"))
+
+
 def q_pr_auc(spark: SparkSession, sf: str) -> DataFrame:
     """Distributed PR-AUC (average precision, step-interpolated — the
     sklearn AP definition with ties grouped per distinct score): the
@@ -5646,6 +5737,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "int8_quant_audit": q_int8_quant_audit,
         "pr_auc": q_pr_auc,
         "join_cardinality": q_join_cardinality,
+        "semantic_decontaminate": q_semantic_decontaminate,
+        "msprt_monitor": q_msprt_monitor,
         # --- r5 driver-greens (evidence of record: CORRECTNESS_r05) ---
         "dup_passages": q_dup_passages,
         "bpe_compression": q_bpe_compression,
@@ -11671,6 +11764,102 @@ def oracle_sql() -> dict[str, str]:
                            / ((n_neg + 0.5) / (q + 0.5))) + 1e-9, 6)
                 + 0.0) AS iv_part
         FROM b, t
+    """
+
+    # semantic decontamination: label-0 vectors are the benchmark side
+    sql["semantic_decontaminate"] = """
+        WITH e AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings
+        ), bench AS (
+            SELECT vec_id AS bid, v AS bv FROM e WHERE label = 0
+            ORDER BY vec_id LIMIT 1024
+        ), best AS (
+            SELECT c.vec_id, c.label,
+                   max(CASE WHEN list_dot_product(c.v, c.v) = 0
+                                 OR list_dot_product(b.bv, b.bv) = 0
+                            THEN 0.0
+                            ELSE list_dot_product(c.v, b.bv)
+                                 / (sqrt(list_dot_product(c.v, c.v))
+                                    * sqrt(list_dot_product(b.bv, b.bv)))
+                       END) AS best
+            FROM e c, bench b
+            WHERE c.label <> 0
+            GROUP BY 1, 2
+        )
+        SELECT label, count(*)::BIGINT AS n,
+               sum(CASE WHEN best > 0.95 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_flagged,
+               (round(avg(best) + 1e-9, 6) + 0.0) AS mean_best_cos,
+               (round(max(best) + 1e-9, 6) + 0.0) AS max_best_cos
+        FROM best GROUP BY label
+    """
+
+    # mSPRT: identical scalar algebra over day-cumulative power sums
+    sql["msprt_monitor"] = """
+        WITH day AS (
+            SELECT ts::DATE AS d,
+                   sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                       ::BIGINT AS n0,
+                   sum(CASE WHEN user_id % 2 = 0 THEN value
+                            ELSE 0.0 END) AS s0,
+                   sum(CASE WHEN user_id % 2 = 0 THEN value * value
+                            ELSE 0.0 END) AS q0,
+                   sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                       ::BIGINT AS n1,
+                   sum(CASE WHEN user_id % 2 = 1 THEN value
+                            ELSE 0.0 END) AS s1,
+                   sum(CASE WHEN user_id % 2 = 1 THEN value * value
+                            ELSE 0.0 END) AS q1
+            FROM events
+            WHERE value IS NOT NULL AND user_id IS NOT NULL
+            GROUP BY 1
+        ), c AS (
+            SELECT d,
+                   sum(n0) OVER w AS na, sum(s0) OVER w AS sa,
+                   sum(q0) OVER w AS qa,
+                   sum(n1) OVER w AS nb, sum(s1) OVER w AS sb,
+                   sum(q1) OVER w AS qb
+            FROM day
+            WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+        ), g AS (
+            SELECT d, na, nb,
+                   (sa / na - sb / nb) AS delta,
+                   CASE WHEN na > 1 AND nb > 1
+                             AND ((qa - na * (sa / na) * (sa / na))
+                                  + (qb - nb * (sb / nb) * (sb / nb)))
+                                 / (na + nb - 2) > 0
+                        THEN 0.5 * ln(
+                              (((qa - na * (sa / na) * (sa / na))
+                                + (qb - nb * (sb / nb) * (sb / nb)))
+                               / (na + nb - 2) * (1.0 / na + 1.0 / nb))
+                              / (((qa - na * (sa / na) * (sa / na))
+                                  + (qb - nb * (sb / nb) * (sb / nb)))
+                                 / (na + nb - 2) * (1.0 / na + 1.0 / nb)
+                                 + 1.0))
+                             + (sa / na - sb / nb) * (sa / na - sb / nb)
+                               * 1.0
+                               / (2.0 * (((qa - na * (sa / na) * (sa / na))
+                                          + (qb - nb * (sb / nb)
+                                             * (sb / nb)))
+                                         / (na + nb - 2)
+                                         * (1.0 / na + 1.0 / nb))
+                                  * ((((qa - na * (sa / na) * (sa / na))
+                                       + (qb - nb * (sb / nb) * (sb / nb)))
+                                      / (na + nb - 2)
+                                      * (1.0 / na + 1.0 / nb)) + 1.0))
+                   END AS lnl
+            FROM c
+        )
+        SELECT d AS day, na::BIGINT AS n_a, nb::BIGINT AS n_b,
+               (round(delta + 1e-9, 4) + 0.0) AS delta,
+               (round(lnl + 1e-9, 4) + 0.0) AS ln_lambda,
+               (round(least(1.0, exp(-max(lnl) OVER (
+                    ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND
+                    CURRENT ROW))) + 1e-9, 6) + 0.0) AS p_always_valid
+        FROM g
     """
 
     # PR-AUC: descending inclusive cumulatives over distinct scores

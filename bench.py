@@ -192,7 +192,8 @@ def main() -> None:
                  "community_labelprop", "pca2_axes", "group_kfold",
                  "target_encode_oof", "woe_iv", "feature_hashing",
                  "community_modularity", "degree_assortativity",
-                 "int8_quant_audit", "pr_auc", "join_cardinality"):
+                 "int8_quant_audit", "pr_auc", "join_cardinality",
+                 "semantic_decontaminate", "msprt_monitor"):
         r6c[name] = timed(name)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

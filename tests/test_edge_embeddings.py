@@ -83,7 +83,12 @@ ANN_QUERIES = ["similarity_topk", "lsh_topk", "ivf_topk", "pq_topk",
                "rp_recall",
                # round 5 second batch: different-label top-k mining +
                # k-NN majority label-noise sweep
-               "hard_negatives", "label_noise"]
+               "hard_negatives", "label_noise",
+               # semantic decontamination: cosine is magnitude-
+               # normalized (the rp_recall argument), so the 1e18
+               # fixture is in contract; label%3 gives a non-empty
+               # benchmark (label 0) and corpus (labels 1,2)
+               "semantic_decontaminate"]
 
 
 @pytest.fixture(scope="module")

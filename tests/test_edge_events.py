@@ -128,6 +128,10 @@ EVENT_QUERIES = [
     # PR-AUC on the NaN/NULL/duplicate-score shapes (NaN sorts greatest
     # in BOTH engines, so the descending cumulatives stay aligned)
     "pr_auc",
+    # mSPRT: the NaN row poisons every cumulative from its day on —
+    # identically in both engines (NaN>0 is false, the guard emits
+    # NULL, round(NaN) hashes as NULL on both sides)
+    "msprt_monitor",
 ]
 
 
