@@ -167,3 +167,69 @@ def test_logit_sink_via_stream(spark, tmp_path):
     ref = LG.gd_step(_separable(spark, n=100), ["x1", "x2"], "y",
                      [0.0, 0.0, 0.0], lr=1.0)
     assert SJ.logit_state_beta(spark, state) == ref
+
+
+# --------------------------------------------- benchmark guard sink
+
+def _emb_rows(spark, n, dim=8, seed=3, contaminate=()):
+    import numpy as np
+    rng = np.random.RandomState(seed)
+    bench = rng.randn(4, dim)
+    rows = []
+    for i in range(n):
+        if i in contaminate:
+            v = bench[i % 4] * 2.0          # scaled copy: cosine == 1
+        else:
+            v = rng.randn(dim)
+        rows.append((i, [float(x) for x in v]))
+    bdf = spark.createDataFrame(
+        [(j, [float(x) for x in bench[j]]) for j in range(4)],
+        "bid long, bv array<double>")
+    cdf = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+    return cdf, bdf
+
+
+def test_benchmark_guard_routes_contaminated_rows(spark, tmp_path):
+    from timeseries_data_analysis_spark.streaming import jobs as SJ
+
+    src = tmp_path / "src"
+    src.mkdir()
+    cdf, bdf = _emb_rows(spark, 40, contaminate=(3, 17, 28))
+    cdf.toPandas().to_parquet(str(src / "b0.parquet"))
+
+    stream = (spark.readStream
+              .schema("doc_id long, embedding array<double>")
+              .parquet(str(src)))
+    q = (SJ.benchmark_guard_sink(stream, bdf, str(tmp_path / "clean"),
+                                 str(tmp_path / "quar"),
+                                 threshold=0.999)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    quar = spark.read.parquet(str(tmp_path / "quar"))
+    clean = spark.read.parquet(str(tmp_path / "clean"))
+    assert {r["doc_id"] for r in quar.collect()} == {3, 17, 28}
+    assert clean.count() == 37
+    # quarantined rows carry the audit score; scaled copies hit cos~1
+    assert all(r["_bench_cos"] > 0.999 for r in quar.collect())
+    # batch/stream equivalence: the shared scorer flags the same rows
+    from timeseries_data_analysis_spark.operators import similarity as SIM
+    batch_flagged = {
+        r["doc_id"] for r in SIM.benchmark_max_cosine(
+            cdf.withColumnRenamed("embedding", "_v"), bdf,
+            vec_col="_v", bench_vec_col="bv").collect()
+        if r["_best"] > 0.999}
+    assert batch_flagged == {3, 17, 28}
+
+
+def test_benchmark_guard_oversized_bench_raises(spark, tmp_path):
+    import pytest as _pt
+    from timeseries_data_analysis_spark.operators import similarity as SIM
+    cdf, _ = _emb_rows(spark, 5)
+    big = spark.createDataFrame(
+        [(i, [float(i)] * 8) for i in range(50)], "bid long, bv array<double>")
+    with _pt.raises(ValueError, match="max_bench"):
+        SIM.benchmark_max_cosine(cdf.withColumnRenamed("embedding", "_v"),
+                                 big, vec_col="_v", bench_vec_col="bv",
+                                 max_bench=10)

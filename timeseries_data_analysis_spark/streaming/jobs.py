@@ -1141,3 +1141,49 @@ def logit_state_beta(spark: SparkSession, state_path: str) -> list[float]:
     row = (store.where(F.col("state_batch") == latest)
            .select("beta").collect()[0])
     return list(row["beta"])
+
+
+# ---------------------------------------------------------------------------
+# Streaming semantic-decontamination guard (benchmark quarantine router)
+# ---------------------------------------------------------------------------
+
+def benchmark_guard_sink(vec_stream: DataFrame, bench: DataFrame,
+                         clean_path: str, quarantine_path: str,
+                         vec_col: str = "embedding",
+                         threshold: float = 0.95,
+                         max_bench: int = 4096):
+    """Continuous SEMANTIC decontamination at ingest: every micro-batch
+    of embedded documents is scored against the (bounded) benchmark
+    matrix via `similarity.benchmark_max_cosine`'s Arrow-batched BLAS
+    matmul, then ROUTED — rows whose max benchmark cosine exceeds
+    ``threshold`` land in ``quarantine_path`` (with the score, for
+    audit), the rest in ``clean_path``. The batch operator
+    (`q_semantic_decontaminate`) and this sink share one scorer, so
+    batch/stream equivalence is testable row-for-row.
+
+    State story: there is NO incremental state — the benchmark matrix
+    is a fixed closure (collected once, ≤ ``max_bench`` rows by
+    contract), so replaying a crashed batch rewrites the same two
+    batch-keyed partitions; idempotent by construction, no commit
+    marker needed. Scale shape: per batch one scan, per row one BLAS
+    row-matmul, zero shuffle.
+    """
+    from ..operators import similarity as SIM
+
+    bench_rows = bench  # collected inside benchmark_max_cosine (capped)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        scored = SIM.benchmark_max_cosine(
+            batch_df.withColumn("_v", F.col(vec_col).cast("array<double>")),
+            bench_rows, vec_col="_v", bench_vec_col="bv",
+            out_col="_bench_cos", max_bench=max_bench).drop("_v")
+        flagged = scored.filter(F.col("_bench_cos") > threshold)
+        clean = (scored.filter(~(F.col("_bench_cos") > threshold))
+                 .drop("_bench_cos"))
+        (flagged.write.mode("overwrite")
+         .parquet(f"{quarantine_path}/ingest_batch={batch_id}"))
+        (clean.write.mode("overwrite")
+         .parquet(f"{clean_path}/ingest_batch={batch_id}"))
+
+    return (vec_stream.writeStream.foreachBatch(process)
+            .outputMode("update"))
