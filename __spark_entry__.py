@@ -5369,6 +5369,32 @@ def q_int8_quant_audit(spark: SparkSession, sf: str) -> DataFrame:
         _r(F.avg("_cos"), 6).alias("mean_cosine"))
 
 
+def q_quantile_sgd(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed QUANTILE regression (pinball-loss subgradient,
+    τ=0.5 → median regression — the TRAINED twin of Theil-Sen's
+    pairwise estimator): 3 full-batch steps of
+    β += lr·mean(x·(τ − 1{y≤x·β})) from β=0, lr=30, on value vs
+    hour-of-day/24. Each step is ONE combinable aggregate
+    (`ml/logit.pinball_gd_step`, the `quality_logit` contract); the
+    indicator compares exact doubles against z built from 9-dp-
+    quantized betas and exact x, so it is bit-deterministic across
+    engines — the only float surface is summation order, absorbed by
+    the per-step quantization nudge. The oracle unrolls all 3 steps;
+    convergence (many steps → the conditional quantile) is
+    pytest-verified on synthetic data, not here."""
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    feat = ev.select(
+        (F.hour("ts") / F.lit(24.0)).alias("x1"),
+        F.col("value").alias("y"))
+    beta = LG.pinball_fit(feat, ["x1"], "y", tau=0.5, lr=30.0, steps=3)
+    loss = LG.pinball_loss(feat, ["x1"], "y", beta, tau=0.5)
+    return feat.agg(
+        F.count(F.lit(1)).alias("n"),
+        _r(F.lit(beta[0]), 6).alias("beta_0"),
+        _r(F.lit(beta[1]), 6).alias("beta_1"),
+        _r(loss, 6).alias("pinball_loss"))
+
+
 def q_semantic_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     """SEMANTIC decontamination (the embedding-level twin of the
     n-gram `decontaminate`): flag corpus vectors whose max cosine to
@@ -5739,6 +5765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_cardinality": q_join_cardinality,
         "semantic_decontaminate": q_semantic_decontaminate,
         "msprt_monitor": q_msprt_monitor,
+        "quantile_sgd": q_quantile_sgd,
         # --- r5 driver-greens (evidence of record: CORRECTNESS_r05) ---
         "dup_passages": q_dup_passages,
         "bpe_compression": q_bpe_compression,
@@ -11764,6 +11791,53 @@ def oracle_sql() -> dict[str, str]:
                            / ((n_neg + 0.5) / (q + 0.5))) + 1e-9, 6)
                 + 0.0) AS iv_part
         FROM b, t
+    """
+
+    # quantile SGD: 3 unrolled pinball subgradient steps, lr=30, tau=.5
+    sql["quantile_sgd"] = """
+        WITH feat AS (
+            SELECT extract(hour FROM ts) / 24.0 AS x1, value AS y
+            FROM events WHERE value IS NOT NULL
+        ), b1 AS (
+            SELECT round(30.0 * avg(0.5 - CASE WHEN y <= 0.0
+                                               THEN 1.0 ELSE 0.0 END)
+                         + 1e-12, 9) AS b0,
+                   round(30.0 * avg((0.5 - CASE WHEN y <= 0.0
+                                                THEN 1.0 ELSE 0.0 END)
+                                    * x1) + 1e-12, 9) AS b1
+            FROM feat
+        ), s2 AS (
+            SELECT f.y, f.x1, g.b0, g.b1,
+                   CASE WHEN f.y <= g.b0 + g.b1 * f.x1
+                        THEN 1.0 ELSE 0.0 END AS ind
+            FROM feat f CROSS JOIN b1 g
+        ), b2 AS (
+            SELECT round(min(b0) + 30.0 * avg(0.5 - ind) + 1e-12, 9)
+                       AS b0,
+                   round(min(b1) + 30.0 * avg((0.5 - ind) * x1)
+                         + 1e-12, 9) AS b1
+            FROM s2
+        ), s3 AS (
+            SELECT f.y, f.x1, g.b0, g.b1,
+                   CASE WHEN f.y <= g.b0 + g.b1 * f.x1
+                        THEN 1.0 ELSE 0.0 END AS ind
+            FROM feat f CROSS JOIN b2 g
+        ), b3 AS (
+            SELECT round(min(b0) + 30.0 * avg(0.5 - ind) + 1e-12, 9)
+                       AS b0,
+                   round(min(b1) + 30.0 * avg((0.5 - ind) * x1)
+                         + 1e-12, 9) AS b1
+            FROM s3
+        ), r AS (
+            SELECT f.y - (g.b0 + g.b1 * f.x1) AS res
+            FROM feat f CROSS JOIN b3 g
+        )
+        SELECT count(*)::BIGINT AS n,
+               (round((SELECT b0 FROM b3) + 1e-9, 6) + 0.0) AS beta_0,
+               (round((SELECT b1 FROM b3) + 1e-9, 6) + 0.0) AS beta_1,
+               (round(avg(greatest(0.5 * res, -0.5 * res)) + 1e-9, 6)
+                + 0.0) AS pinball_loss
+        FROM r
     """
 
     # semantic decontamination: label-0 vectors are the benchmark side

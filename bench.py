@@ -193,7 +193,8 @@ def main() -> None:
                  "target_encode_oof", "woe_iv", "feature_hashing",
                  "community_modularity", "degree_assortativity",
                  "int8_quant_audit", "pr_auc", "join_cardinality",
-                 "semantic_decontaminate", "msprt_monitor"):
+                 "semantic_decontaminate", "msprt_monitor",
+                 "quantile_sgd"):
         r6c[name] = timed(name)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

@@ -233,3 +233,40 @@ def test_benchmark_guard_oversized_bench_raises(spark, tmp_path):
         SIM.benchmark_max_cosine(cdf.withColumnRenamed("embedding", "_v"),
                                  big, vec_col="_v", bench_vec_col="bv",
                                  max_bench=10)
+
+
+# ----------------------------------------------------- quantile SGD
+
+def test_pinball_fit_converges_to_quantiles(spark):
+    # y depends only on the intercept: constant x1 = 0 -> beta_0 should
+    # approach the tau-quantile of y
+    rows = [(0.0, float(v)) for v in range(1, 101)]   # y = 1..100
+    df = spark.createDataFrame(rows, "x1 double, y double").cache()
+    # warm start near the mean: the subgradient magnitude is <= lr*tau,
+    # so a cold start from 0 needs hundreds of Spark jobs — the warm
+    # start tests the same fixed point in ~60
+    b_med = LG.pinball_fit(df, ["x1"], "y", tau=0.5, lr=5.0, steps=60,
+                           beta0=[40.0, 0.0])
+    b_p90 = LG.pinball_fit(df, ["x1"], "y", tau=0.9, lr=5.0, steps=60,
+                           beta0=[70.0, 0.0])
+    assert abs(b_med[0] - 50.5) < 3.0     # median of 1..100
+    assert abs(b_p90[0] - 90.0) < 4.0     # 90th percentile
+    assert b_p90[0] > b_med[0]
+
+
+def test_pinball_loss_at_true_median_beats_offsets(spark):
+    rows = [(0.0, float(v)) for v in range(1, 101)]
+    df = spark.createDataFrame(rows, "x1 double, y double").cache()
+    def loss(b0):
+        return df.agg(LG.pinball_loss(df, ["x1"], "y", [b0, 0.0])
+                      .alias("l")).first()["l"]
+    assert loss(50.5) < loss(30.0)
+    assert loss(50.5) < loss(70.0)
+
+
+def test_pinball_fit_partition_invariant(spark):
+    rows = [((i % 7) / 7.0, float(i % 23)) for i in range(300)]
+    df = spark.createDataFrame(rows, "x1 double, y double")
+    a = LG.pinball_fit(df.repartition(1), ["x1"], "y", steps=5)
+    b = LG.pinball_fit(df.repartition(32), ["x1"], "y", steps=5)
+    assert a == b

@@ -93,3 +93,42 @@ def predict(df: DataFrame, xcols: list[str],
             beta: list[float]) -> Column:
     """sigmoid(x . beta) as a column — scoring is scan-parallel."""
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-_logits(xcols, beta)))
+
+
+def pinball_gd_step(df: DataFrame, xcols: list[str], ycol: str,
+                    beta: list[float], tau: float = 0.5,
+                    lr: float = 0.5) -> list[float]:
+    """One full-batch subgradient step of QUANTILE regression (pinball
+    loss): beta_j += lr * mean(x_j * (tau - 1{y <= x.beta})).  The
+    same one-combinable-aggregate-per-step contract as :func:`gd_step`
+    and the same 9-dp quantization, so a SQL oracle can unroll the
+    identical trajectory.  tau = 0.5 is distributed median regression
+    — the trained twin of the Theil-Sen estimator."""
+    z = _logits(xcols, beta)
+    ind = (F.col(ycol).cast("double") <= z).cast("double")
+    g = F.lit(float(tau)) - ind
+    aggs = [F.avg(g).alias("g0")]
+    aggs += [F.avg(g * F.col(c)).alias(f"g{j + 1}")
+             for j, c in enumerate(xcols)]
+    row = df.agg(*aggs).first()
+    return [round(beta[j] + lr * float(row[f"g{j}"]) + 1e-12, QUANT)
+            for j in range(len(beta))]
+
+
+def pinball_fit(df: DataFrame, xcols: list[str], ycol: str,
+                tau: float = 0.5, lr: float = 0.5,
+                steps: int = 2,
+                beta0: list[float] | None = None) -> list[float]:
+    """``steps`` pinball subgradient steps (bounded driver state)."""
+    beta = list(beta0) if beta0 is not None else [0.0] * (len(xcols) + 1)
+    for _ in range(steps):
+        beta = pinball_gd_step(df, xcols, ycol, beta, tau, lr)
+    return beta
+
+
+def pinball_loss(df: DataFrame, xcols: list[str], ycol: str,
+                 beta: list[float], tau: float = 0.5) -> Column:
+    """Mean pinball loss at ``beta``: mean(max(tau*r, (tau-1)*r))."""
+    r = F.col(ycol).cast("double") - _logits(xcols, beta)
+    return F.avg(F.greatest(F.lit(float(tau)) * r,
+                            F.lit(float(tau) - 1.0) * r))
