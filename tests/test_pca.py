@@ -86,3 +86,55 @@ def test_empty_df_raises(spark):
     df = spark.createDataFrame([], "id long, embedding array<double>")
     with pytest.raises(ValueError, match="empty"):
         PCA.covariance(df, "embedding", 8)
+
+
+# ---------------------------------------------------- streaming PCA
+
+def test_pca_sink_matches_one_shot_fit_and_replays(spark, tmp_path):
+    from timeseries_data_analysis_spark.streaming import jobs as SJ
+    from timeseries_data_analysis_spark.ml import pca as PCA
+
+    df, x = _emb_df(spark, n=240)
+    state = str(tmp_path / "pca_state")
+    thirds = [df.filter(f"id % 3 = {r}") for r in range(3)]
+    for bid, b in enumerate(thirds):
+        SJ.pca_commit_batch(b, bid, state, vec_col="embedding", dim=8)
+
+    stream_fit = SJ.pca_state_fit(spark, state, k=3)
+    batch_fit = PCA.fit_pca(df, "embedding", 8, k=3)
+    assert stream_fit["n"] == batch_fit["n"] == 240
+    np.testing.assert_allclose(stream_fit["mean"], batch_fit["mean"],
+                               rtol=1e-12)
+    np.testing.assert_allclose(stream_fit["eigvals"],
+                               batch_fit["eigvals"], rtol=1e-9)
+    np.testing.assert_allclose(stream_fit["components"],
+                               batch_fit["components"], atol=1e-8)
+
+    # crash-window replay: rerunning the LAST batch rewrites the same
+    # state (the merge reads only ids < batch_id)
+    SJ.pca_commit_batch(thirds[2], 2, state, vec_col="embedding", dim=8)
+    refit = SJ.pca_state_fit(spark, state, k=3)
+    assert refit["n"] == 240
+    np.testing.assert_allclose(refit["eigvals"], stream_fit["eigvals"],
+                               rtol=1e-12)
+
+
+def test_pca_sink_via_stream(spark, tmp_path):
+    from timeseries_data_analysis_spark.streaming import jobs as SJ
+    from timeseries_data_analysis_spark.ml import pca as PCA
+
+    df, _ = _emb_df(spark, n=90)
+    src = tmp_path / "src"
+    src.mkdir()
+    df.toPandas().to_parquet(str(src / "b0.parquet"))
+    stream = (spark.readStream
+              .schema("id long, embedding array<double>")
+              .parquet(str(src)))
+    q = (SJ.pca_sink(stream, str(tmp_path / "st"), vec_col="embedding",
+                     dim=8)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    fit = SJ.pca_state_fit(spark, str(tmp_path / "st"), k=2)
+    ref = PCA.fit_pca(df, "embedding", 8, k=2)
+    np.testing.assert_allclose(fit["eigvals"], ref["eigvals"], rtol=1e-9)

@@ -102,3 +102,40 @@ def project(df: DataFrame, col: str, mean: np.ndarray,
         return pd.Series(list(x @ w))
 
     return df.withColumn(out, _score(F.col(col)))
+
+
+def gramian_partial(df: DataFrame, col: str, dim: int):
+    """Raw (n, Σx, XᵀX) for a frame — the MERGEABLE form of
+    :func:`covariance` (sums add across any split of the data; the
+    covariance itself does not).  Driver state O(d²)."""
+    schema = "n long, s array<double>, g array<double>"
+    parts = df.select(col).mapInPandas(_partials(col, dim), schema) \
+        .collect()
+    n = sum(r["n"] for r in parts)
+    if n == 0:
+        return 0, np.zeros(dim), np.zeros((dim, dim))
+    s = np.sum([np.asarray(r["s"]) for r in parts], axis=0)
+    g = np.sum([np.asarray(r["g"]).reshape(dim, dim) for r in parts],
+               axis=0)
+    return n, s, g
+
+
+def fit_from_gramian(n: int, s: np.ndarray, g: np.ndarray,
+                     k: int) -> dict:
+    """eigh on a (possibly merged) raw Gramian — the read side of the
+    streaming sink and the day-partial rollup."""
+    dim = len(s)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    ev = vals[order]
+    total = float(vals.sum())
+    return {"n": n, "mean": mean, "components": comps,
+            "eigvals": ev,
+            "explained_ratio": (ev / total) if total > 0 else ev * 0.0}

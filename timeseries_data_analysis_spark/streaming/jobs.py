@@ -1187,3 +1187,85 @@ def benchmark_guard_sink(vec_stream: DataFrame, bench: DataFrame,
 
     return (vec_stream.writeStream.foreachBatch(process)
             .outputMode("update"))
+
+
+# ---------------------------------------------------------------------------
+# Streaming PCA maintenance (mergeable Gramian state)
+# ---------------------------------------------------------------------------
+
+def pca_sink(vec_stream: DataFrame, state_path: str,
+             vec_col: str = "embedding", dim: int = 64):
+    """Streaming PCA maintenance: the raw Gramian (n, Σx, XᵀX) is the
+    MERGEABLE form of the covariance — partial sums add across any
+    split of the data — so each micro-batch folds its partial into a
+    persisted d²+d+1-double state and the top-k components are one
+    driver-side ``eigh`` away at ANY point in the stream
+    (`ml/pca.fit_from_gramian`). Batch boundaries are invisible: the
+    post-merge state equals one batch over the union, bit-for-bit up
+    to float addition order (property-tested).
+
+    Replay safety is single-phase like :func:`hll_sink`: each batch
+    writes post-merge sums to ``state_path/state_batch=<id>`` built
+    from the newest committed state with id < batch_id; addition is
+    deterministic for a replayed batch, so a crash-replay rewrites the
+    identical state. Read the live model with :func:`pca_state_fit`.
+    """
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        pca_commit_batch(batch_df, batch_id, state_path,
+                         vec_col=vec_col, dim=dim)
+
+    return (vec_stream.writeStream.foreachBatch(process)
+            .outputMode("update"))
+
+
+def pca_commit_batch(batch_df: DataFrame, batch_id: int,
+                     state_path: str, vec_col: str = "embedding",
+                     dim: int = 64) -> None:
+    """One micro-batch of :func:`pca_sink`, module-level for tests."""
+    import numpy as np
+
+    from pyspark.errors import AnalysisException
+
+    from ..ml import pca as PCA
+
+    spark = batch_df.sparkSession
+    n0, s0, g0 = 0, np.zeros(dim), np.zeros(dim * dim)
+    try:
+        store = spark.read.parquet(state_path)
+        ids = [r["state_batch"] for r in
+               store.select("state_batch").distinct().collect()
+               if r["state_batch"] < batch_id]
+        if ids:
+            row = (store.where(F.col("state_batch") == max(ids))
+                   .select("n", "s", "g").collect()[0])
+            n0 = int(row["n"])
+            s0 = np.asarray(row["s"])
+            g0 = np.asarray(row["g"])
+    except AnalysisException as exc:
+        msg = str(exc)
+        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+            raise
+
+    d = batch_df.withColumn("_v", F.col(vec_col).cast("array<double>"))
+    nb, sb, gb = PCA.gramian_partial(d, "_v", dim)
+    out = spark.createDataFrame(
+        [(n0 + nb, (s0 + sb).tolist(), (g0 + gb.ravel()).tolist())],
+        "n long, s array<double>, g array<double>")
+    (out.write.mode("overwrite")
+     .parquet(f"{state_path}/state_batch={batch_id}"))
+
+
+def pca_state_fit(spark: SparkSession, state_path: str, k: int) -> dict:
+    """Top-k components from the latest committed Gramian state."""
+    import numpy as np
+
+    from ..ml import pca as PCA
+
+    store = spark.read.parquet(state_path)
+    latest = (store.agg(F.max("state_batch").alias("b"))
+              .collect()[0]["b"])
+    row = (store.where(F.col("state_batch") == latest)
+           .select("n", "s", "g").collect()[0])
+    s = np.asarray(row["s"])
+    g = np.asarray(row["g"]).reshape(len(s), len(s))
+    return PCA.fit_from_gramian(int(row["n"]), s, g, k)
