@@ -5369,6 +5369,76 @@ def q_int8_quant_audit(spark: SparkSession, sf: str) -> DataFrame:
         _r(F.avg("_cos"), 6).alias("mean_cosine"))
 
 
+def q_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape — the classic filter-join-top-k: BUILDING-segment
+    customers, orders before / lineitems after a date split, revenue
+    per (order, orderdate, shippriority), global top-10 by (revenue
+    desc, orderdate). Both date filters and the segment filter push to
+    their scans; the top-10 is TakeOrderedAndProject (per-partition
+    heaps), never a global sort."""
+    cust = (load_table(spark, sf, "customer")
+            .filter(F.col("c_mktsegment") == "BUILDING"))
+    orders = (load_table(spark, sf, "orders")
+              .filter(F.col("o_orderdate") < F.lit("1997-06-15")))
+    li = (load_table(spark, sf, "lineitem")
+          .filter(F.col("l_shipdate") > F.lit("1997-06-15")))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(_r(F.sum(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount"))), 4)
+                 .alias("revenue"))
+            .orderBy(F.col("revenue").desc(), "o_orderdate",
+                     "l_orderkey")
+            .limit(10))
+
+
+def q_order_priority_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape — EXISTS as a LEFT SEMI join: orders in one
+    quarter with at least one lineitem shipped more than 90 days
+    after the order date, counted per priority. The semi join never
+    materializes match multiplicity — exactly what EXISTS means and
+    the shape Catalyst turns a correlated subquery into; at 100 TB
+    the probe side carries ids only."""
+    orders = (load_table(spark, sf, "orders")
+              .filter((F.col("o_orderdate") >= F.lit("1996-07-01")) &
+                      (F.col("o_orderdate") < F.lit("1996-10-01"))))
+    li = load_table(spark, sf, "lineitem").select("l_orderkey",
+                                                   "l_shipdate")
+    late = (orders.o_orderkey == li.l_orderkey) & \
+        (li.l_shipdate > F.date_add(F.col("o_orderdate"), 90))
+    return (orders.join(li, late, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+def q_returned_item_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape — returned-item revenue per customer: one
+    quarter of orders, R-flagged lineitems, revenue grouped by the
+    full customer identity row, top 20. The group-by-many-columns is
+    free after the join (customer attributes ride the c_custkey
+    grouping); nation broadcasts; the top-20 is TakeOrdered with a
+    full deterministic tiebreak."""
+    cust = load_table(spark, sf, "customer")
+    nat = load_table(spark, sf, "nation")
+    orders = (load_table(spark, sf, "orders")
+              .filter((F.col("o_orderdate") >= F.lit("1996-10-01")) &
+                      (F.col("o_orderdate") < F.lit("1997-01-01"))))
+    li = (load_table(spark, sf, "lineitem")
+          .filter(F.col("l_returnflag") == "R"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+            .groupBy("c_custkey", "c_mktsegment", "n_name")
+            .agg(_r(F.sum(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount"))), 4)
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items"))
+            .orderBy(F.col("revenue").desc(), "c_custkey")
+            .limit(20))
+
+
 def q_quantile_sgd(spark: SparkSession, sf: str) -> DataFrame:
     """Distributed QUANTILE regression (pinball-loss subgradient,
     τ=0.5 → median regression — the TRAINED twin of Theil-Sen's
@@ -5766,6 +5836,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decontaminate": q_semantic_decontaminate,
         "msprt_monitor": q_msprt_monitor,
         "quantile_sgd": q_quantile_sgd,
+        "shipping_priority": q_shipping_priority,
+        "order_priority_counts": q_order_priority_counts,
+        "returned_item_revenue": q_returned_item_revenue,
         # --- r5 driver-greens (evidence of record: CORRECTNESS_r05) ---
         "dup_passages": q_dup_passages,
         "bpe_compression": q_bpe_compression,
@@ -11791,6 +11864,53 @@ def oracle_sql() -> dict[str, str]:
                            / ((n_neg + 0.5) / (q + 0.5))) + 1e-9, 6)
                 + 0.0) AS iv_part
         FROM b, t
+    """
+
+    # TPC-H Q3 shape
+    sql["shipping_priority"] = """
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               (round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4)
+                + 0.0) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-06-15 00:00:00'
+          AND l_shipdate  > TIMESTAMP '1997-06-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+    """
+
+    # TPC-H Q4 shape: EXISTS == left semi
+    sql["order_priority_counts"] = """
+        SELECT o_orderpriority, count(*)::BIGINT AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate
+                                         + INTERVAL 90 DAY)
+        GROUP BY o_orderpriority
+    """
+
+    # TPC-H Q10 shape
+    sql["returned_item_revenue"] = """
+        SELECT c_custkey, c_mktsegment, n_name,
+               (round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4)
+                + 0.0) AS revenue,
+               count(*)::BIGINT AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY c_custkey, c_mktsegment, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
     """
 
     # quantile SGD: 3 unrolled pinball subgradient steps, lr=30, tau=.5
