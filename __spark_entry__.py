@@ -5721,9 +5721,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queue the remaining round-6 additions in landing order — first in
     line for round 7: the late batches (``roc_auc`` …
     ``neyman_allocation``), then the round-6 continuation batch
-    (``quality_logit`` … ``degree_assortativity``, the trained-
-    classifier / conformal / TPC-H-classics / LPA / feature-
-    engineering family) — followed by the 50 rows the driver greened
+    (``quality_logit`` … ``returned_item_revenue``, the trained-
+    classifier / conformal / TPC-H-classics / LPA+modularity /
+    feature-engineering / sketch-planning / sequential-testing
+    family) — followed by the 50 rows the driver greened
     in round 5, then the r4 and r3 driver-greens (stable
     built-in-heavy paths, least at risk)."""
     return {

@@ -194,7 +194,8 @@ def main() -> None:
                  "community_modularity", "degree_assortativity",
                  "int8_quant_audit", "pr_auc", "join_cardinality",
                  "semantic_decontaminate", "msprt_monitor",
-                 "quantile_sgd"):
+                 "quantile_sgd", "shipping_priority",
+                 "order_priority_counts", "returned_item_revenue"):
         r6c[name] = timed(name)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
