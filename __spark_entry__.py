@@ -5197,8 +5197,13 @@ def q_pca2_axes(spark: SparkSession, sf: str) -> DataFrame:
               F.var_pop("y").alias("_cyy"),
               F.covar_pop("x", "y").alias("_cxy"))
     tr = F.col("_cxx") + F.col("_cyy")
-    det = F.col("_cxx") * F.col("_cyy") - F.col("_cxy") * F.col("_cxy")
-    disc = F.sqrt(tr * tr / 4 - det)
+    # non-cancelling discriminant: tr^2/4 - det == ((cxx-cyy)/2)^2 +
+    # cxy^2 algebraically, but the left form goes ulp-NEGATIVE under
+    # float cancellation when cxy~0 and cxx~cyy -- where Spark sqrt
+    # returns NaN and DuckDB sqrt THROWS; the right form is >= 0 by
+    # construction on both engines
+    half = (F.col("_cxx") - F.col("_cyy")) / 2
+    disc = F.sqrt(half * half + F.col("_cxy") * F.col("_cxy"))
     lam1 = tr / 2 + disc
     lam2 = tr / 2 - disc
     theta = F.atan2(F.lit(2.0) * F.col("_cxy"),
@@ -5518,6 +5523,7 @@ def q_msprt_monitor(spark: SparkSession, sf: str) -> DataFrame:
     throw on the guarded division)."""
     ev = (load_table(spark, sf, "events")
           .filter(F.col("value").isNotNull()
+                  & ~F.isnan(F.col("value"))
                   & F.col("user_id").isNotNull())
           .withColumn("_arm", F.pmod(F.col("user_id"), F.lit(2)))
           .withColumn("_d", F.to_date("ts")))
@@ -5566,8 +5572,13 @@ def q_pr_auc(spark: SparkSession, sf: str) -> DataFrame:
     and both descending cumulatives come from `TK.global_cumsum`'s
     distributed two-pass prefix sum (ordered by −score) — same
     no-single-task-window contract as `roc_auc`."""
+    # NaN scores are EXCLUDED by contract: a NaN has no rank, and the
+    # engines disagree on where it sorts once the score is negated
+    # (Spark: NaN stays greatest; DuckDB DESC puts it first) --
+    # reviewed divergence, closed by the explicit filter
     ev = (load_table(spark, sf, "events")
           .filter(F.col("value").isNotNull()
+                  & ~F.isnan(F.col("value"))
                   & F.col("event_type").isNotNull()))
     lab = ev.select(
         F.col("value").alias("score"),
@@ -5687,9 +5698,14 @@ def q_degree_assortativity(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     pairs = DD.simhash_hamming_pairs(docs, n=2, bits=48, bands=4,
                                      max_hamming=3, hex_digits=12)
+    # localCheckpoint: sym feeds THREE consumers in one action (the
+    # degree agg and both endpoint joins) -- without the lineage cut
+    # each re-runs the SimHash pair build (the q_community_modularity
+    # lesson, measured 31 -> ~8 s at sf0.01)
     sym = (pairs.select(F.col("id_l").alias("a"), F.col("id_r").alias("b"))
            .unionAll(pairs.select(F.col("id_r").alias("a"),
-                                  F.col("id_l").alias("b"))))
+                                  F.col("id_l").alias("b")))
+           .localCheckpoint())
     deg = sym.groupBy(F.col("a").alias("v")).agg(
         F.count(F.lit(1)).alias("d"))
     da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
@@ -11782,16 +11798,16 @@ def oracle_sql() -> dict[str, str]:
                (round(cyy + 1e-9, 6) + 0.0) AS var_y,
                (round(cxy + 1e-9, 6) + 0.0) AS cov_xy,
                (round((cxx + cyy) / 2
-                      + sqrt((cxx + cyy) * (cxx + cyy) / 4
-                             - (cxx * cyy - cxy * cxy)) + 1e-9, 6) + 0.0)
+                      + sqrt(((cxx - cyy) / 2) * ((cxx - cyy) / 2)
+                             + cxy * cxy) + 1e-9, 6) + 0.0)
                    AS lam1,
                (round((cxx + cyy) / 2
-                      - sqrt((cxx + cyy) * (cxx + cyy) / 4
-                             - (cxx * cyy - cxy * cxy)) + 1e-9, 6) + 0.0)
+                      - sqrt(((cxx - cyy) / 2) * ((cxx - cyy) / 2)
+                             + cxy * cxy) + 1e-9, 6) + 0.0)
                    AS lam2,
                (round(((cxx + cyy) / 2
-                      + sqrt((cxx + cyy) * (cxx + cyy) / 4
-                             - (cxx * cyy - cxy * cxy))) / (cxx + cyy)
+                      + sqrt(((cxx - cyy) / 2) * ((cxx - cyy) / 2)
+                             + cxy * cxy)) / (cxx + cyy)
                       + 1e-9, 6) + 0.0) AS var_share1,
                (round(atan2(2.0 * cxy, cxx - cyy) / 2 + 1e-9, 6) + 0.0)
                    AS theta
@@ -11971,15 +11987,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id AS bid, v AS bv FROM e WHERE label = 0
             ORDER BY vec_id LIMIT 1024
         ), best AS (
+            -- LEFT JOIN: an EMPTY benchmark scores every corpus row
+            -- 0.0 (rows preserved), matching benchmark_max_cosine's
+            -- empty-bench fallback instead of vanishing them
             SELECT c.vec_id, c.label,
-                   max(CASE WHEN list_dot_product(c.v, c.v) = 0
-                                 OR list_dot_product(b.bv, b.bv) = 0
-                            THEN 0.0
-                            ELSE list_dot_product(c.v, b.bv)
-                                 / (sqrt(list_dot_product(c.v, c.v))
-                                    * sqrt(list_dot_product(b.bv, b.bv)))
-                       END) AS best
-            FROM e c, bench b
+                   coalesce(max(CASE
+                       WHEN list_dot_product(c.v, c.v) = 0
+                            OR list_dot_product(b.bv, b.bv) = 0
+                       THEN 0.0
+                       ELSE list_dot_product(c.v, b.bv)
+                            / (sqrt(list_dot_product(c.v, c.v))
+                               * sqrt(list_dot_product(b.bv, b.bv)))
+                   END), 0.0) AS best
+            FROM e c LEFT JOIN bench b ON true
             WHERE c.label <> 0
             GROUP BY 1, 2
         )
@@ -12008,7 +12028,8 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN user_id % 2 = 1 THEN value * value
                             ELSE 0.0 END) AS q1
             FROM events
-            WHERE value IS NOT NULL AND user_id IS NOT NULL
+            WHERE value IS NOT NULL AND NOT isnan(value)
+              AND user_id IS NOT NULL
             GROUP BY 1
         ), c AS (
             SELECT d,
@@ -12066,7 +12087,8 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN event_type = 'purchase'
                             THEN 0 ELSE 1 END)::BIGINT AS nn
             FROM events
-            WHERE value IS NOT NULL AND event_type IS NOT NULL
+            WHERE value IS NOT NULL AND NOT isnan(value)
+              AND event_type IS NOT NULL
             GROUP BY 1
         ), c AS (
             SELECT np, nn,

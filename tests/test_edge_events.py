@@ -125,12 +125,13 @@ EVENT_QUERIES = [
     # must agree on the empty-result path), k-fold + OOF encoding
     # (NULL event_type rows drop out of the equi-join identically)
     "conformal_interval", "group_kfold", "target_encode_oof",
-    # PR-AUC on the NaN/NULL/duplicate-score shapes (NaN sorts greatest
-    # in BOTH engines, so the descending cumulatives stay aligned)
+    # PR-AUC / mSPRT on the NULL/duplicate-score shapes. NOTE on the
+    # fixture's float('nan') row: pandas.to_parquet stores a float NaN
+    # as NULL, so no true NaN ever reaches either engine here — which
+    # is why both queries EXCLUDE NaN scores explicitly (review found
+    # the engines genuinely disagree on a negated-NaN sort order, so
+    # NaN-out is the contract, not an assumption)
     "pr_auc",
-    # mSPRT: the NaN row poisons every cumulative from its day on —
-    # identically in both engines (NaN>0 is false, the guard emits
-    # NULL, round(NaN) hashes as NULL on both sides)
     "msprt_monitor",
 ]
 

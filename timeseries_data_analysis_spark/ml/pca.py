@@ -75,19 +75,10 @@ def fit_pca(df: DataFrame, col: str, dim: int, k: int) -> dict:
     largest-|coordinate| entry is positive — reruns and partitionings
     agree bit-for-bit given the same partials sum).
     """
-    n, mean, cov = covariance(df, col, dim)
-    vals, vecs = np.linalg.eigh(cov)          # ascending
-    order = np.argsort(vals)[::-1][:k]
-    comps = vecs[:, order].T                   # (k, d)
-    for i in range(comps.shape[0]):            # sign convention
-        j = int(np.argmax(np.abs(comps[i])))
-        if comps[i, j] < 0:
-            comps[i] = -comps[i]
-    ev = vals[order]
-    total = float(vals.sum())
-    return {"n": n, "mean": mean, "components": comps,
-            "eigvals": ev,
-            "explained_ratio": (ev / total) if total > 0 else ev * 0.0}
+    n, s, g = gramian_partial(df, col, dim)
+    if n == 0:
+        raise ValueError("fit_pca over an empty DataFrame")
+    return fit_from_gramian(n, s, g, k)
 
 
 def project(df: DataFrame, col: str, mean: np.ndarray,
@@ -123,7 +114,10 @@ def gramian_partial(df: DataFrame, col: str, dim: int):
 def fit_from_gramian(n: int, s: np.ndarray, g: np.ndarray,
                      k: int) -> dict:
     """eigh on a (possibly merged) raw Gramian — the read side of the
-    streaming sink and the day-partial rollup."""
+    streaming sink and the day-partial rollup.  Raises on n = 0 (an
+    empty-first-batch state) instead of dividing into NaN arrays."""
+    if n == 0:
+        raise ValueError("PCA fit over an empty Gramian state")
     dim = len(s)
     mean = s / n
     cov = g / n - np.outer(mean, mean)

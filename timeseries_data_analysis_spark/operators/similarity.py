@@ -770,20 +770,38 @@ def benchmark_max_cosine(corpus: DataFrame, bench: DataFrame,
     Zero-norm rows (either side) score 0.0, matching
     :func:`cosine`'s guard.
     """
-    from pyspark.sql.types import DoubleType
+    b = benchmark_matrix(bench, bench_vec_col, max_bench)
+    return max_cosine_vs_matrix(corpus, vec_col, b, out_col)
 
-    rows = bench.select(bench_vec_col).collect()
+
+def benchmark_matrix(bench: DataFrame, vec_col: str,
+                     max_bench: int = 4096):
+    """Collect the bounded benchmark side to a driver numpy matrix
+    (``None`` for an empty benchmark).  Raises past ``max_bench``
+    rather than silently truncating.  Long-lived callers (the
+    streaming guard sink) build this ONCE and reuse it per batch."""
+    rows = bench.select(vec_col).collect()
     if len(rows) > max_bench:
         raise ValueError(
             f"benchmark side has {len(rows)} rows > max_bench "
             f"{max_bench}; a benchmark suite must be bounded — "
             "pre-cut it (deterministically) before scoring")
     if not rows:
+        return None
+    return np.asarray([r[vec_col] for r in rows], dtype=np.float64)
+
+
+def max_cosine_vs_matrix(corpus: DataFrame, vec_col: str, b,
+                         out_col: str = "_best") -> DataFrame:
+    """Score max cosine against a prebuilt benchmark matrix (``None``
+    = empty benchmark → every row scores 0.0)."""
+    from pyspark.sql.types import DoubleType
+
+    if b is None:
         return corpus.withColumn(out_col, F.lit(0.0))
-    b = np.asarray([r[bench_vec_col] for r in rows], dtype=np.float64)
     bn = np.sqrt((b * b).sum(axis=1))
     bz = bn == 0.0
-    bn[bz] = 1.0
+    bn = np.where(bz, 1.0, bn)
 
     @F.pandas_udf(DoubleType())
     def _best(v: pd.Series) -> pd.Series:

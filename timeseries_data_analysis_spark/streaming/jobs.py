@@ -1170,13 +1170,15 @@ def benchmark_guard_sink(vec_stream: DataFrame, bench: DataFrame,
     """
     from ..operators import similarity as SIM
 
-    bench_rows = bench  # collected inside benchmark_max_cosine (capped)
+    # the benchmark matrix is built ONCE (bounded collect) and closed
+    # over -- per-batch work is the scoring matmul only, and the
+    # replay-idempotence argument rests on this matrix being fixed
+    bmat = SIM.benchmark_matrix(bench, "bv", max_bench=max_bench)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        scored = SIM.benchmark_max_cosine(
+        scored = SIM.max_cosine_vs_matrix(
             batch_df.withColumn("_v", F.col(vec_col).cast("array<double>")),
-            bench_rows, vec_col="_v", bench_vec_col="bv",
-            out_col="_bench_cos", max_bench=max_bench).drop("_v")
+            "_v", bmat, out_col="_bench_cos").drop("_v")
         flagged = scored.filter(F.col("_bench_cos") > threshold)
         clean = (scored.filter(~(F.col("_bench_cos") > threshold))
                  .drop("_bench_cos"))
