@@ -5444,6 +5444,50 @@ def q_returned_item_revenue(spark: SparkSession, sf: str) -> DataFrame:
             .limit(20))
 
 
+def q_supplier_part_variety(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape — supplier variety per part segment: distinct
+    suppliers able to ship each (brand, size) bucket, excluding
+    negative-balance suppliers (the stand-in for Q16's complaints
+    anti-filter). The COUNT(DISTINCT) rides a (brand, size, suppkey)
+    pre-dedup so the final agg shuffles unique triples, not lineitem
+    multiplicity; size filter pushes to the part scan; the exclusion
+    is a broadcast anti-semi on the small dim."""
+    part = (load_table(spark, sf, "part")
+            .filter(F.col("p_size").isin(1, 9, 19, 29, 49)))
+    supp = (load_table(spark, sf, "supplier")
+            .filter(F.col("s_acctbal") >= 0))
+    li = load_table(spark, sf, "lineitem")
+    return (li.join(part, li.l_partkey == part.p_partkey)
+            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .select("p_brand", "p_size", "s_suppkey").distinct()
+            .groupBy("p_brand", "p_size")
+            .agg(F.count(F.lit(1)).alias("supplier_cnt"))
+            .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
+            .limit(20))
+
+
+def q_small_qty_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape — the correlated scalar subquery done right:
+    yearly revenue lost to small orders, where 'small' means quantity
+    below 20% of that PART's average. The correlated
+    `(SELECT 0.2*avg(..) WHERE l_partkey = p_partkey)` becomes one
+    per-part aggregate joined back — the decorrelation Catalyst would
+    have to find is written as the plan: lineitem scans twice (once
+    collapsed to per-part thresholds that BROADCAST, once probed),
+    never a per-row subquery."""
+    li = load_table(spark, sf, "lineitem")
+    part = (load_table(spark, sf, "part")
+            .filter(F.col("p_brand") == "Brand#13"))
+    thr = (li.groupBy(F.col("l_partkey").alias("_pk"))
+           .agg((F.lit(0.2) * F.avg("l_quantity")).alias("_lim")))
+    return (li.join(part, li.l_partkey == part.p_partkey)
+            .join(F.broadcast(thr), li.l_partkey == F.col("_pk"))
+            .filter(F.col("l_quantity") < F.col("_lim"))
+            .agg(F.count(F.lit(1)).alias("n_small"),
+                 _r(F.sum("l_extendedprice") / 7.0, 4)
+                 .alias("avg_yearly")))
+
+
 def q_quantile_sgd(spark: SparkSession, sf: str) -> DataFrame:
     """Distributed QUANTILE regression (pinball-loss subgradient,
     τ=0.5 → median regression — the TRAINED twin of Theil-Sen's
@@ -5856,6 +5900,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": q_shipping_priority,
         "order_priority_counts": q_order_priority_counts,
         "returned_item_revenue": q_returned_item_revenue,
+        "supplier_part_variety": q_supplier_part_variety,
+        "small_qty_revenue": q_small_qty_revenue,
         # --- r5 driver-greens (evidence of record: CORRECTNESS_r05) ---
         "dup_passages": q_dup_passages,
         "bpe_compression": q_bpe_compression,
@@ -11928,6 +11974,36 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY c_custkey, c_mktsegment, n_name
         ORDER BY revenue DESC, c_custkey
         LIMIT 20
+    """
+
+    # TPC-H Q16 shape: distinct-supplier variety per part segment
+    sql["supplier_part_variety"] = """
+        SELECT p_brand, p_size,
+               count(DISTINCT s_suppkey)::BIGINT AS supplier_cnt
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE p_size IN (1, 9, 19, 29, 49)
+          AND s_acctbal >= 0
+        GROUP BY p_brand, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_size
+        LIMIT 20
+    """
+
+    # TPC-H Q17 shape: correlated scalar subquery, decorrelated
+    sql["small_qty_revenue"] = """
+        WITH thr AS (
+            SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS lim
+            FROM lineitem GROUP BY 1
+        )
+        SELECT count(*)::BIGINT AS n_small,
+               (round(sum(l_extendedprice) / 7.0 + 1e-9, 4) + 0.0)
+                   AS avg_yearly
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN thr  ON l_partkey = pk
+        WHERE p_brand = 'Brand#13'
+          AND l_quantity < lim
     """
 
     # quantile SGD: 3 unrolled pinball subgradient steps, lr=30, tau=.5

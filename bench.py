@@ -195,7 +195,8 @@ def main() -> None:
                  "int8_quant_audit", "pr_auc", "join_cardinality",
                  "semantic_decontaminate", "msprt_monitor",
                  "quantile_sgd", "shipping_priority",
-                 "order_priority_counts", "returned_item_revenue"):
+                 "order_priority_counts", "returned_item_revenue",
+                 "supplier_part_variety", "small_qty_revenue"):
         r6c[name] = timed(name)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
