@@ -5488,6 +5488,58 @@ def q_small_qty_revenue(spark: SparkSession, sf: str) -> DataFrame:
                  .alias("avg_yearly")))
 
 
+def q_bracketed_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 shape — disjunctive predicate pushdown: revenue from
+    three (brand × size-range × quantity-range) OR-branches in ONE
+    scan. The point is what Catalyst does with the disjunction: the
+    common `p_partkey = l_partkey` join key factors out, the
+    part-side conjuncts (brand, size) push to the part scan as an OR
+    filter, and the quantity conjuncts evaluate post-join — no
+    UNION-of-three-scans rewrite needed."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    b1 = ((F.col("p_brand") == "Brand#1") &
+          F.col("p_size").between(1, 10) &
+          F.col("l_quantity").between(1, 15))
+    b2 = ((F.col("p_brand") == "Brand#5") &
+          F.col("p_size").between(10, 25) &
+          F.col("l_quantity").between(10, 25))
+    b3 = ((F.col("p_brand") == "Brand#9") &
+          F.col("p_size").between(25, 50) &
+          F.col("l_quantity").between(20, 35))
+    return (j.filter(b1 | b2 | b3)
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 _r(F.sum(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount"))), 4)
+                 .alias("revenue")))
+
+
+def q_idle_rich_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape — scalar subquery + NOT EXISTS: customers whose
+    balance beats the positive-balance average but who placed no
+    order SINCE 2000 (every sf-corpus customer has ordered at some
+    point, so the pure never-ordered form is degenerate — the recency
+    window keeps the anti join non-trivial at every SF), grouped by
+    nation. The global average is a 1-row broadcast (never
+    a per-row subquery); the NOT EXISTS is a LEFT ANTI join (ids-only
+    probe). The 'who are we failing to activate' readout."""
+    cust = load_table(spark, sf, "customer")
+    orders = (load_table(spark, sf, "orders")
+              .filter(F.col("o_orderdate") >= F.lit("2000-01-01"))
+              .select("o_custkey"))
+    avg_bal = (cust.filter(F.col("c_acctbal") > 0)
+               .agg(F.avg("c_acctbal").alias("_avg")))
+    return (cust.crossJoin(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("_avg"))
+            .join(orders, cust.c_custkey == orders.o_custkey,
+                  "left_anti")
+            .groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("n_custs"),
+                 _r(F.sum("c_acctbal"), 4).alias("total_bal"))
+            .orderBy("c_nationkey"))
+
+
 def q_quantile_sgd(spark: SparkSession, sf: str) -> DataFrame:
     """Distributed QUANTILE regression (pinball-loss subgradient,
     τ=0.5 → median regression — the TRAINED twin of Theil-Sen's
@@ -5902,6 +5954,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_item_revenue": q_returned_item_revenue,
         "supplier_part_variety": q_supplier_part_variety,
         "small_qty_revenue": q_small_qty_revenue,
+        "bracketed_revenue": q_bracketed_revenue,
+        "idle_rich_customers": q_idle_rich_customers,
         # --- r5 driver-greens (evidence of record: CORRECTNESS_r05) ---
         "dup_passages": q_dup_passages,
         "bpe_compression": q_bpe_compression,
@@ -12004,6 +12058,34 @@ def oracle_sql() -> dict[str, str]:
         JOIN thr  ON l_partkey = pk
         WHERE p_brand = 'Brand#13'
           AND l_quantity < lim
+    """
+
+    # TPC-H Q19 shape: disjunctive bracket predicates in one scan
+    sql["bracketed_revenue"] = """
+        SELECT count(*)::BIGINT AS n_items,
+               (round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4)
+                + 0.0) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 1 AND 15)
+           OR (p_brand = 'Brand#5' AND p_size BETWEEN 10 AND 25
+               AND l_quantity BETWEEN 10 AND 25)
+           OR (p_brand = 'Brand#9' AND p_size BETWEEN 25 AND 50
+               AND l_quantity BETWEEN 20 AND 35)
+    """
+
+    # TPC-H Q22 shape: scalar-subquery average + NOT EXISTS anti join
+    sql["idle_rich_customers"] = """
+        SELECT c_nationkey, count(*)::BIGINT AS n_custs,
+               (round(sum(c_acctbal) + 1e-9, 4) + 0.0) AS total_bal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >=
+                                TIMESTAMP '2000-01-01 00:00:00')
+        GROUP BY c_nationkey
     """
 
     # quantile SGD: 3 unrolled pinball subgradient steps, lr=30, tau=.5

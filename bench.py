@@ -196,7 +196,8 @@ def main() -> None:
                  "semantic_decontaminate", "msprt_monitor",
                  "quantile_sgd", "shipping_priority",
                  "order_priority_counts", "returned_item_revenue",
-                 "supplier_part_variety", "small_qty_revenue"):
+                 "supplier_part_variety", "small_qty_revenue",
+                 "bracketed_revenue", "idle_rich_customers"):
         r6c[name] = timed(name)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
