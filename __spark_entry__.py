@@ -3104,6 +3104,30 @@ def q_pagerank_neardup(spark: SparkSession, sf: str) -> DataFrame:
                      _r(F.col("pr_rel"), 4).alias("pr_rel"))
 
 
+def q_pagerank_capped(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank over the `max_bucket`-CAPPED 48-bit SimHash pair graph —
+    the form a 100 TB pipeline actually runs. SCALE.md §1i measured the
+    UNCAPPED pair build as a DNF at the 100× corpus (1.28B candidates
+    from a handful of boilerplate super-buckets) with `max_bucket=1000`
+    as the 115-s rescue; until now that rescue's semantics (drop
+    (band, chunk) buckets holding more fingerprints than the cap BEFORE
+    pair generation — a pair survives via any OTHER under-cap band) had
+    no value-level oracle. This query oracle-checks the cap itself,
+    exactly as `containment_capped` does for `max_posting`: the SQL
+    oracle replicates the bucket-size window + filter in its CTE chain,
+    so a hash match proves both engines dropped the SAME buckets and
+    derived the SAME reduced pair set. `max_bucket=2` is sized to BITE
+    at gate scale (sf0.01: 12 buckets over the cap, pair set 18 → 17),
+    not to be a no-op accepted on faith."""
+    docs = load_table(spark, sf, "documents")
+    pairs = DD.simhash_hamming_pairs(docs, n=2, bits=48, bands=4,
+                                     max_hamming=3, hex_digits=12,
+                                     max_bucket=2)
+    pr = GR.pagerank(pairs, iters=6, damping=0.85)
+    return pr.select(F.col("vertex").alias("doc_id"), "degree",
+                     _r(F.col("pr_rel"), 4).alias("pr_rel"))
+
+
 def q_trend_slopes(spark: SparkSession, sf: str) -> DataFrame:
     """Per-series OLS trend: slope / intercept / R² of value against
     elapsed hours via the SQL-standard `regr_*` aggregates — the
@@ -5823,24 +5847,81 @@ def q_degree_assortativity(spark: SparkSession, sf: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS DELIBERATE: the driver's correctness gate checks
-    the first 50 entries per round. Round 6 closes the only open
-    evidence ledger from round 5's verdict: 15 of the queries ADDED
-    in round 6 lead (never driver-checked — newest custom-operator code
-    first), then ALL 35 round-5 third/fourth-batch rows
-    (``pagerank_neardup`` … ``source_datacard``) whose only evidence so
-    far is the judge's full-gate run — 15 + 35 = 50 exactly, so after
-    this round every pre-round-6 row has driver evidence. Slots 51+
-    queue the remaining round-6 additions in landing order — first in
-    line for round 7: the late batches (``roc_auc`` …
-    ``neyman_allocation``), then the round-6 continuation batch
-    (``quality_logit`` … ``returned_item_revenue``, the trained-
-    classifier / conformal / TPC-H-classics / LPA+modularity /
-    feature-engineering / sketch-planning / sequential-testing
-    family) — followed by the 50 rows the driver greened
-    in round 5, then the r4 and r3 driver-greens (stable
+    the first 50 entries per round. Round 7 closes the round-6 evidence
+    ledger (VERDICT r6 "Next round" #1): slot 1 is ``pagerank_capped``
+    (the ONE query added in round 7 — newest custom-operator code
+    first; it oracle-checks the `max_bucket` capped pair build), then
+    49 of the 51 round-6 rows that have never been driver-checked
+    (``roc_auc`` … ``idle_rich_customers``), 1 + 49 = 50 exactly.
+    The two rows that spill to round 8 are ``small_qty_revenue`` and
+    ``bracketed_revenue`` — chosen as the LEAST at-risk of the 51 by
+    the same rule round 5 used: pure built-in agg/join TPC-H shapes
+    (Q17/Q19), zero custom-operator surface, judge-green in both r6
+    and r7 full-gate runs. They sit at slots 51-52 so round 8's window
+    reaches them first. Everything after is already driver-green:
+    the 15 round-6 first-batch + 35 round-5 ledger rows (greened in
+    CORRECTNESS_r06), then the r5, r4, and r3 driver-greens (stable
     built-in-heavy paths, least at risk)."""
     return {
-        # --- round-6 new/changed queries: first driver evidence needed ---
+        # --- round-7 new query: first driver evidence needed; also the
+        #     oracle-checked form of the SCALE §1i max_bucket rescue ---
+        "pagerank_capped": q_pagerank_capped,
+        # --- round-6 late additions: never driver-checked (judge-green
+        #     only) — the full remaining evidence ledger, 49 of 51 ---
+        "roc_auc": q_roc_auc,
+        "pacf_yw": q_pacf_yw,
+        "js_divergence": q_js_divergence,
+        "hll_distinct": q_hll_distinct,
+        "degree_distribution": q_degree_distribution,
+        "bfs_hops": q_bfs_hops,
+        "bootstrap_ci": q_bootstrap_ci,
+        "kalman_level": q_kalman_level,
+        "bm25_topk": q_bm25_topk,
+        "basket_lift": q_basket_lift,
+        "ab_test": q_ab_test,
+        "entity_resolution": q_entity_resolution,
+        "rolling_corr": q_rolling_corr,
+        "kaplan_meier": q_kaplan_meier,
+        "bloom_prejoin": q_bloom_prejoin,
+        "zorder_layout": q_zorder_layout,
+        "diff_in_diff": q_diff_in_diff,
+        "pareto_front": q_pareto_front,
+        "uplift_deciles": q_uplift_deciles,
+        "containment_dedup": q_containment_dedup,
+        "containment_capped": q_containment_capped,
+        "kcore": q_kcore,
+        "dq_suite": q_dq_suite,
+        "forecast_backtest": q_forecast_backtest,
+        "rfm_segments": q_rfm_segments,
+        "neyman_allocation": q_neyman_allocation,
+        "quality_logit": q_quality_logit,
+        "conformal_interval": q_conformal_interval,
+        "regional_supplier_volume": q_regional_supplier_volume,
+        "top_supplier_share": q_top_supplier_share,
+        "community_labelprop": q_community_labelprop,
+        "pca2_axes": q_pca2_axes,
+        "group_kfold": q_group_kfold,
+        "target_encode_oof": q_target_encode_oof,
+        "woe_iv": q_woe_iv,
+        "feature_hashing": q_feature_hashing,
+        "community_modularity": q_community_modularity,
+        "degree_assortativity": q_degree_assortativity,
+        "int8_quant_audit": q_int8_quant_audit,
+        "pr_auc": q_pr_auc,
+        "join_cardinality": q_join_cardinality,
+        "semantic_decontaminate": q_semantic_decontaminate,
+        "msprt_monitor": q_msprt_monitor,
+        "quantile_sgd": q_quantile_sgd,
+        "shipping_priority": q_shipping_priority,
+        "order_priority_counts": q_order_priority_counts,
+        "returned_item_revenue": q_returned_item_revenue,
+        "supplier_part_variety": q_supplier_part_variety,
+        "idle_rich_customers": q_idle_rich_customers,
+        # --- the documented round-8 spill (slots 51-52): pure built-in
+        #     TPC-H Q17/Q19 shapes, least-at-risk of the 51 ---
+        "small_qty_revenue": q_small_qty_revenue,
+        "bracketed_revenue": q_bracketed_revenue,
+        # --- round-6 first batch: driver-green in CORRECTNESS_r06 ---
         "ewma_exact": q_ewma_exact,
         "kll_quantiles": q_kll_quantiles,
         "kll_rollup": q_kll_rollup,
@@ -5856,8 +5937,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_reservoir": q_weighted_reservoir,
         "cms_counts": q_cms_counts,
         "revenue_concentration": q_revenue_concentration,
-        # --- the 35 round-5 third/fourth-batch rows: judge-green in r5,
-        #     never driver-checked — the full remaining evidence ledger ---
+        # --- the 35 round-5 third/fourth-batch rows: driver-green in
+        #     CORRECTNESS_r06 ---
         "pagerank_neardup": q_pagerank_neardup,
         "trend_slopes": q_trend_slopes,
         "acf_lags": q_acf_lags,
@@ -5893,69 +5974,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "active_users": q_active_users,
         "cohort_retention": q_cohort_retention,
         "source_datacard": q_source_datacard,
-        # --- round-6 late additions (post-gate-freeze): never checked
-        #     anywhere yet — lead the round-7 rotation ---
-        "roc_auc": q_roc_auc,
-        "pacf_yw": q_pacf_yw,
-        "js_divergence": q_js_divergence,
-        "hll_distinct": q_hll_distinct,
-        "degree_distribution": q_degree_distribution,
-        "bfs_hops": q_bfs_hops,
-        "bootstrap_ci": q_bootstrap_ci,
-        "kalman_level": q_kalman_level,
-        "bm25_topk": q_bm25_topk,
-        "basket_lift": q_basket_lift,
-        # --- least-custom-surface round-6 rows (pure built-in
-        #     agg/join/window paths — the same rule round 5 applied;
-        #     next in line for round 7) ---
-        "ab_test": q_ab_test,
-        "entity_resolution": q_entity_resolution,
-        "rolling_corr": q_rolling_corr,
-        # --- round-6 final batch (this session): survival / causal /
-        #     layout / runtime-filter analytics — behind the 63
-        #     never-driver-checked rows above, ahead of everything
-        #     already driver-green ---
-        "kaplan_meier": q_kaplan_meier,
-        "bloom_prejoin": q_bloom_prejoin,
-        "zorder_layout": q_zorder_layout,
-        "diff_in_diff": q_diff_in_diff,
-        "pareto_front": q_pareto_front,
-        "uplift_deciles": q_uplift_deciles,
-        "containment_dedup": q_containment_dedup,
-        "containment_capped": q_containment_capped,
-        "kcore": q_kcore,
-        "dq_suite": q_dq_suite,
-        "forecast_backtest": q_forecast_backtest,
-        "rfm_segments": q_rfm_segments,
-        "neyman_allocation": q_neyman_allocation,
-        # --- round-6 continuation batch (this session): trained quality
-        #     classifier / conformal intervals / multi-join classics /
-        #     LPA communities ---
-        "quality_logit": q_quality_logit,
-        "conformal_interval": q_conformal_interval,
-        "regional_supplier_volume": q_regional_supplier_volume,
-        "top_supplier_share": q_top_supplier_share,
-        "community_labelprop": q_community_labelprop,
-        "pca2_axes": q_pca2_axes,
-        "group_kfold": q_group_kfold,
-        "target_encode_oof": q_target_encode_oof,
-        "woe_iv": q_woe_iv,
-        "feature_hashing": q_feature_hashing,
-        "community_modularity": q_community_modularity,
-        "degree_assortativity": q_degree_assortativity,
-        "int8_quant_audit": q_int8_quant_audit,
-        "pr_auc": q_pr_auc,
-        "join_cardinality": q_join_cardinality,
-        "semantic_decontaminate": q_semantic_decontaminate,
-        "msprt_monitor": q_msprt_monitor,
-        "quantile_sgd": q_quantile_sgd,
-        "shipping_priority": q_shipping_priority,
-        "order_priority_counts": q_order_priority_counts,
-        "returned_item_revenue": q_returned_item_revenue,
-        "supplier_part_variety": q_supplier_part_variety,
-        "small_qty_revenue": q_small_qty_revenue,
-        "bracketed_revenue": q_bracketed_revenue,
-        "idle_rich_customers": q_idle_rich_customers,
         # --- r5 driver-greens (evidence of record: CORRECTNESS_r05) ---
         "dup_passages": q_dup_passages,
         "bpe_compression": q_bpe_compression,
@@ -9655,6 +9673,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_l AS a, id_r AS b FROM sp48
             UNION ALL
             SELECT id_r AS a, id_l AS b FROM sp48
+        ),
+        degpr AS (SELECT a, count(*)::BIGINT AS deg FROM sympr GROUP BY 1),
+        npr AS (SELECT count(*)::DOUBLE AS nn FROM degpr),
+        {", ".join(pr_iters)}
+        SELECT d.a AS doc_id, d.deg AS degree,
+               (round(r.pr * n.nn + 1e-9, 4) + 0.0) AS pr_rel
+        FROM r6 r JOIN degpr d ON d.a = r.a, npr n
+    """
+
+    # capped pagerank: IDENTICAL chain except pair generation reads the
+    # bucket-capped chunk table — bsz/cap48c replicate
+    # simhash_hamming_pairs(max_bucket=2)'s count-over-(band,chunk)
+    # window + filter, so the oracle proves the CAP semantics (which
+    # buckets drop, which pairs survive via other bands), not just the
+    # downstream power iterations
+    sql["pagerank_capped"] = f"""
+        WITH {simhash48_ctes},
+        bszc AS (
+            SELECT band, chunk, count(*) AS bn
+            FROM chunks48 GROUP BY 1, 2
+        ), cap48c AS (
+            SELECT c.doc_id, c.f, c.band, c.chunk
+            FROM chunks48 c JOIN bszc USING (band, chunk)
+            WHERE bszc.bn <= 2
+        ), spc AS (
+            SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+                   min(bit_count(xor(a.f, b.f)))::BIGINT AS hamming
+            FROM cap48c a
+            JOIN cap48c b ON a.band = b.band AND a.chunk = b.chunk
+                         AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING min(bit_count(xor(a.f, b.f))) <= 3
+        ),
+        sympr AS (
+            SELECT id_l AS a, id_r AS b FROM spc
+            UNION ALL
+            SELECT id_r AS a, id_l AS b FROM spc
         ),
         degpr AS (SELECT a, count(*)::BIGINT AS deg FROM sympr GROUP BY 1),
         npr AS (SELECT count(*)::DOUBLE AS nn FROM degpr),

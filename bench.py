@@ -201,23 +201,16 @@ def main() -> None:
         r6c[name] = timed(name)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # KEY-ORDER CONTRACT: the driver archives only the TAIL of this one
+    # JSON line (BENCH_r06.json shows the head truncated away at 250
+    # registry queries). Bulky audit-trail dicts (per-query trial pairs,
+    # per-query minima) therefore go FIRST, and the compact round-over-
+    # round numbers — headline total, kiln trials, per-pillar totals,
+    # sf, loadavg — go LAST so they always survive the truncation.
     print(json.dumps({
         "metric": "headline_queries_total",
-        "value": total,
         "unit": "sec",
-        "queries": timings,
         "trials_per_query": 2,
-        "kiln_trials": kiln_trials,
-        "corpus_queries": corpus,
-        "corpus_total": round(sum(corpus.values()), 3),
-        "analytics_queries": analytics,
-        "analytics_total": round(sum(analytics.values()), 3),
-        "r6_queries": r6,
-        "r6_total": round(sum(r6.values()), 3),
-        "r6b_queries": r6b,
-        "r6b_total": round(sum(r6b.values()), 3),
-        "r6c_queries": r6c,
-        "r6c_total": round(sum(r6c.values()), 3),
         # full per-query trial pairs: the load-contamination audit trail
         # (a big max-min spread marks a draw taken under external load)
         "query_trials": {k: trial_log[k] for k in timings if k in trial_log},
@@ -226,6 +219,27 @@ def main() -> None:
         "r6_trials": {k: trial_log[k] for k in r6},
         "r6b_trials": {k: trial_log[k] for k in r6b},
         "r6c_trials": {k: trial_log[k] for k in r6c},
+        "queries": timings,
+        "corpus_queries": corpus,
+        "analytics_queries": analytics,
+        "r6_queries": r6,
+        "r6b_queries": r6b,
+        "r6c_queries": r6c,
+        # --- compact tail: everything a round-over-round comparison
+        # needs, guaranteed inside the driver's preserved suffix ---
+        "summary": {
+            "headline_total": total,
+            "kiln_trials": kiln_trials,
+            "kiln_min": min(kiln_trials),
+            "corpus_total": round(sum(corpus.values()), 3),
+            "analytics_total": round(sum(analytics.values()), 3),
+            "r6_total": round(sum(r6.values()), 3),
+            "r6b_total": round(sum(r6b.values()), 3),
+            "r6c_total": round(sum(r6c.values()), 3),
+            "headline_queries": {k: timings[k] for k in timings},
+        },
+        "metric_echo": "headline_queries_total",
+        "value": total,
         "sf": float(sf) if sf else None,
         # host contention snapshot — driver-vs-local timing deltas are
         # attributable only when the load at measurement time is known

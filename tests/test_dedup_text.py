@@ -908,3 +908,27 @@ def test_degrees_dedupes_banded_pairs(spark):
         "id_l long, id_r long")
     got = {r["vertex"]: r["degree"] for r in GR.degrees(edges).collect()}
     assert got == {1: 1, 2: 2, 3: 1}
+
+
+def test_simhash_dedup_clusters_matches_doc_level(spark):
+    """`simhash_dedup_clusters` (fingerprint-contraction path) must give
+    the same clusters as running `graph.dedup_clusters` over
+    `simhash_hamming_pairs` output — the docstring's equivalence claim.
+    Regression: the function previously referenced an undefined
+    `hex_digits` and raised NameError on ANY call."""
+    from timeseries_data_analysis_spark.operators import graph as GR
+
+    texts = (["alpha beta gamma delta epsilon zeta"] * 3          # exact dups
+             + ["alpha beta gamma delta epsilon eta"]             # near dup
+             + ["totally different words entirely here now",
+                "yet another unrelated document body text"])
+    df = docs_df(spark, texts)
+    got = {(r["cluster_id"], r["doc_id"], r["cluster_size"])
+           for r in DD.simhash_dedup_clusters(
+               df, bands=4, max_hamming=3, hex_digits=8).collect()}
+    pairs = DD.simhash_hamming_pairs(df, bands=4, max_hamming=3)
+    want = {(r["cluster_id"], r["doc_id"], r["cluster_size"])
+            for r in GR.dedup_clusters(pairs).collect()}
+    assert got == want
+    # the three exact dups + the near dup form one cluster rooted at 0
+    assert {(0, i, 4) for i in range(4)} <= got

@@ -270,3 +270,38 @@ def test_pinball_fit_partition_invariant(spark):
     a = LG.pinball_fit(df.repartition(1), ["x1"], "y", steps=5)
     b = LG.pinball_fit(df.repartition(32), ["x1"], "y", steps=5)
     assert a == b
+
+
+def test_benchmark_guard_null_vector_lands_in_quarantine(spark, tmp_path):
+    """Three-valued-logic regression: a NULL/empty embedding must not
+    vanish between the clean and quarantine outputs — it scores NULL
+    and routes to quarantine for audit, so every input row lands
+    exactly once."""
+    from timeseries_data_analysis_spark.streaming import jobs as SJ
+
+    src = tmp_path / "src"
+    src.mkdir()
+    cdf, bdf = _emb_rows(spark, 10, contaminate=(2,))
+    pdf = cdf.toPandas()
+    pdf.loc[pdf["doc_id"] == 5, "embedding"] = None
+    pdf.loc[pdf["doc_id"] == 7, "embedding"] = pdf.loc[
+        pdf["doc_id"] == 7, "embedding"].map(lambda _: [])
+    pdf.to_parquet(str(src / "b0.parquet"))
+
+    stream = (spark.readStream
+              .schema("doc_id long, embedding array<double>")
+              .parquet(str(src)))
+    q = (SJ.benchmark_guard_sink(stream, bdf, str(tmp_path / "clean"),
+                                 str(tmp_path / "quar"),
+                                 threshold=0.999)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    quar = spark.read.parquet(str(tmp_path / "quar"))
+    clean = spark.read.parquet(str(tmp_path / "clean"))
+    assert {r["doc_id"] for r in quar.collect()} == {2, 5, 7}
+    assert {r["doc_id"] for r in clean.collect()} == {0, 1, 3, 4, 6, 8, 9}
+    scores = {r["doc_id"]: r["_bench_cos"] for r in quar.collect()}
+    assert scores[5] is None and scores[7] is None
+    assert scores[2] > 0.999

@@ -424,3 +424,31 @@ def test_kalman_local_level_matches_reference_recursion(spark):
             spark.createDataFrame(const[:1],
                                   "k string, d timestamp, y double"),
             "k", "d", "y").collect()
+
+
+def test_recursions_preserve_nonstring_key_type(spark):
+    """holt_linear / ewma_recursive / holt_winters_additive /
+    kalman_local_level must derive the grouping key's output type from
+    the input schema: a bigint series id must come back bigint (the old
+    hard-coded `{key} string` schema coerced it, breaking downstream
+    joins on the key)."""
+    import datetime as dt
+    from timeseries_data_analysis_spark.operators import timeseries as TS
+
+    days = [dt.datetime(2024, 1, 1) + dt.timedelta(days=i)
+            for i in range(28)]
+    rows = [(k, d, float(k) + 0.5 * i)
+            for k in (10, 20) for i, d in enumerate(days)]
+    df = spark.createDataFrame(rows, "k long, d timestamp, y double")
+
+    for out in (TS.holt_linear(df, "k", "d", "y"),
+                TS.ewma_recursive(df, "k", "d", "y"),
+                TS.holt_winters_additive(df, "k", "d", "y", season=7),
+                TS.kalman_local_level(df, "k", "d", "y")):
+        assert out.schema["k"].dataType.simpleString() == "bigint"
+        # key survives an equi-join back against the source (the
+        # downstream-use contract a string-coerced key would break)
+        keys = {r["k"] for r in
+                out.join(df.select("k").distinct(), "k").select("k")
+                   .distinct().collect()}
+        assert keys == {10, 20}

@@ -574,7 +574,8 @@ def simhash_dedup_clusters(docs: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", n: int = 2,
                            bits: int = 16, bands: int = 4,
                            max_hamming: int = 3,
-                           max_iter: int = 25) -> DataFrame:
+                           max_iter: int = 25,
+                           hex_digits: int = 8) -> DataFrame:
     """SimHash near-dup clusters with FINGERPRINT CONTRACTION: the
     connected-components loop runs on DISTINCT fingerprints, not
     documents.

@@ -288,11 +288,15 @@ def triangle_stats(edges: DataFrame, src: str = "id_l",
     if orientation == "degree":
         # re-orient a→b by the (degree, id) total order; wedges then
         # compare endpoint KEYS, not ids, so attach each endpoint's key
+        # struct references the SOURCE column v, not the sibling alias —
+        # no dependency on implicit lateral column alias resolution
+        # (Spark >=3.4 only, and off under
+        # spark.sql.lateralColumnAlias.enableImplicitResolution=false)
         da = deg.select(F.col("v").alias("a"),
-                        F.struct(F.col("degree"), F.col("a").alias("v"))
+                        F.struct(F.col("degree"), F.col("v"))
                         .alias("ka"))
         db = deg.select(F.col("v").alias("b"),
-                        F.struct(F.col("degree"), F.col("b").alias("v"))
+                        F.struct(F.col("degree"), F.col("v"))
                         .alias("kb"))
         ek = e.join(da, on="a").join(db, on="b")
         e = (ek.select(

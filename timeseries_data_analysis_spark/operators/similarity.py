@@ -805,13 +805,21 @@ def max_cosine_vs_matrix(corpus: DataFrame, vec_col: str, b,
 
     @F.pandas_udf(DoubleType())
     def _best(v: pd.Series) -> pd.Series:
-        x = np.stack(v.to_numpy()).astype(np.float64)
-        xn = np.sqrt((x * x).sum(axis=1))
-        xz = xn == 0.0
-        xn[xz] = 1.0
-        cos = (x @ b.T) / np.outer(xn, bn)
-        cos[:, bz] = 0.0
-        cos[xz, :] = 0.0
-        return pd.Series(cos.max(axis=1))
+        # NULL / empty vectors score NULL (NaN → Arrow null), not a
+        # crash: np.stack would raise on a None element or ragged
+        # lengths, and downstream routers (benchmark_guard_sink) send
+        # NULL-scored rows to quarantine so every input lands somewhere
+        ok = v.map(lambda a: a is not None and len(a) > 0)
+        out = np.full(len(v), np.nan)
+        if ok.any():
+            x = np.stack(v[ok].to_numpy()).astype(np.float64)
+            xn = np.sqrt((x * x).sum(axis=1))
+            xz = xn == 0.0
+            xn[xz] = 1.0
+            cos = (x @ b.T) / np.outer(xn, bn)
+            cos[:, bz] = 0.0
+            cos[xz, :] = 0.0
+            out[ok.to_numpy()] = cos.max(axis=1)
+        return pd.Series(out, index=v.index)
 
     return corpus.withColumn(out_col, _best(F.col(vec_col)))

@@ -20,6 +20,15 @@ from pyspark.sql import functions as F
 from .windows import ColumnOrName
 
 
+def _key_ddl(df: DataFrame, key: str) -> str:
+    """DDL fragment ``"<key> <actual type>"`` for an applyInPandas output
+    schema — derived from the input schema rather than assumed string, so
+    a bigint/int series key survives the stage with its type intact
+    (a hard-coded ``string`` forces an Arrow cast that breaks downstream
+    joins on the key)."""
+    return f"{key} {df.schema[key].dataType.simpleString()}"
+
+
 # -- A1: duplicate-timestamp collapse ---------------------------------------
 
 def collapse_duplicates(df: DataFrame, keys: list[str],
@@ -447,7 +456,7 @@ def holt_linear(df: DataFrame, key: str, ts_col: str, value_col: str,
             "forecast_h": [l + horizon * b],
             "mae": [esum / (len(ys) - 1)]})
 
-    out_schema = (f"{key} string, n_periods long, level double, "
+    out_schema = (f"{_key_ddl(df, key)}, n_periods long, level double, "
                   "trend double, forecast_h double, mae double")
     return df.groupBy(key).applyInPandas(fit, out_schema)
 
@@ -490,7 +499,7 @@ def ewma_recursive(df: DataFrame, key: str, ts_col: str, value_col: str,
         return pd.DataFrame({key: pdf[key].values, ts_col: pdf[ts_col].values,
                              "y": ys, "ewma": out})
 
-    out_schema = (f"{key} string, {ts_col} timestamp, "
+    out_schema = (f"{_key_ddl(df, key)}, {ts_col} timestamp, "
                   "y double, ewma double")
     return df.groupBy(key).applyInPandas(fit, out_schema)
 
@@ -560,7 +569,7 @@ def holt_winters_additive(df: DataFrame, key: str, ts_col: str,
                                            "forecast", "level", "trend",
                                            "mae"])
 
-    out_schema = (f"{key} string, n_periods long, h int, "
+    out_schema = (f"{_key_ddl(df, key)}, n_periods long, h int, "
                   "forecast double, level double, trend double, "
                   "mae double")
     return df.groupBy(key).applyInPandas(fit, out_schema)
@@ -613,6 +622,6 @@ def kalman_local_level(df: DataFrame, key: str, ts_col: str,
             "level": [x], "gain": [k], "p_var": [p],
             "mae": [esum / (len(ys) - 1)]})
 
-    out_schema = (f"{key} string, n_periods long, level double, "
+    out_schema = (f"{_key_ddl(df, key)}, n_periods long, level double, "
                   "gain double, p_var double, mae double")
     return df.groupBy(key).applyInPandas(fit, out_schema)

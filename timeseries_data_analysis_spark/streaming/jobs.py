@@ -1179,8 +1179,12 @@ def benchmark_guard_sink(vec_stream: DataFrame, bench: DataFrame,
         scored = SIM.max_cosine_vs_matrix(
             batch_df.withColumn("_v", F.col(vec_col).cast("array<double>")),
             "_v", bmat, out_col="_bench_cos").drop("_v")
-        flagged = scored.filter(F.col("_bench_cos") > threshold)
-        clean = (scored.filter(~(F.col("_bench_cos") > threshold))
+        # NULL score (e.g. null/empty vector) must not vanish between the
+        # two outputs under three-valued logic: route it to quarantine
+        # for audit so every input row lands exactly once
+        flagged = scored.filter((F.col("_bench_cos") > threshold)
+                                | F.col("_bench_cos").isNull())
+        clean = (scored.filter(F.col("_bench_cos") <= threshold)
                  .drop("_bench_cos"))
         (flagged.write.mode("overwrite")
          .parquet(f"{quarantine_path}/ingest_batch={batch_id}"))

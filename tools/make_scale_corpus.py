@@ -26,6 +26,14 @@ preserved rather than degenerate:
 - **orders**: replica k > 0 offsets custkey/orderkey (new customers,
   same order-date shape) — the CDC snapshot family sees Nx keys with
   the original per-key order history, not Nx-longer histories.
+- **lineitem / customer / supplier / part**: replica offsets MATCH the
+  referencing columns (l_orderkey ↔ o_orderkey at OFF*100; l_custkey-
+  via-orders, l_suppkey, l_partkey ↔ their dims at OFF), so each
+  replica is a self-consistent disjoint sub-database and every TPC-H
+  join shape (Q3/Q5/Q10/Q15/Q16/Q17/Q19/Q22) runs at Nx fact AND Nx
+  dim volume with the original selectivities. nation/region stay
+  fixed (dims grow, nations don't) — c_nationkey/s_nationkey are
+  copied unchanged so the broadcast dims keep their fan-out.
 
 An optional trailing ``table[,table...]`` arg rebuilds a subset (the
 transforms are deterministic, so partial rebuilds stay consistent).
@@ -92,6 +100,47 @@ def scale_orders(df, factor: int):
                       if c not in ("o_orderkey", "o_custkey")]))
 
 
+def _offset_keys(df, factor: int, offsets: dict[str, int]):
+    """Replicate ``factor``x, adding ``k * step`` to each key column —
+    the shared builder for the relational tables: offsets are chosen
+    per-column so foreign keys stay consistent across tables."""
+    k = F.explode(F.array(*[F.lit(i) for i in range(factor)])).alias("k")
+    rep = df.select("*", k)
+    cols = []
+    for c in df.columns:
+        if c in offsets:
+            cols.append((F.col(c).cast("bigint")
+                         + F.col("k").cast("bigint") * offsets[c]).alias(c))
+        else:
+            cols.append(F.col(c))
+    return rep.select(*cols)
+
+
+def scale_lineitem(df, factor: int):
+    return _offset_keys(df, factor, {"l_orderkey": OFF * 100,
+                                     "l_suppkey": OFF,
+                                     "l_partkey": OFF})
+
+
+def scale_customer(df, factor: int):
+    # c_nationkey copied unchanged: nations are a fixed broadcast dim
+    return _offset_keys(df, factor, {"c_custkey": OFF})
+
+
+def scale_supplier(df, factor: int):
+    return _offset_keys(df, factor, {"s_suppkey": OFF})
+
+
+def scale_part(df, factor: int):
+    # brand/type/size attribute distributions replicate untouched, so
+    # Q16/Q17/Q19 predicate selectivities are preserved at Nx
+    return _offset_keys(df, factor, {"p_partkey": OFF})
+
+
+def copy_table(df, factor: int):  # nation / region: fixed dims
+    return df
+
+
 def main() -> None:
     src, out = sys.argv[1], sys.argv[2]
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
@@ -102,11 +151,18 @@ def main() -> None:
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     builders = {"documents": scale_documents, "embeddings": scale_embeddings,
-                "events": scale_events, "orders": scale_orders}
+                "events": scale_events, "orders": scale_orders,
+                "lineitem": scale_lineitem, "customer": scale_customer,
+                "supplier": scale_supplier, "part": scale_part,
+                "nation": copy_table, "region": copy_table}
     tables = [t for t in builders if only is None or t in only]
     for t in tables:
         df = spark.read.parquet(f"{src}/{t}.parquet")
-        builders[t](df, factor).repartition(8) \
+        # small relational tables skip the 8-way repartition shuffle;
+        # fixed dims write 1 file (they ARE the broadcast side)
+        built = builders[t](df, factor)
+        parts = 1 if t in ("nation", "region") else 8
+        built.repartition(parts) \
             .write.mode("overwrite").parquet(f"{out}/{t}.parquet")
     for t in tables:
         print(t, spark.read.parquet(f"{out}/{t}.parquet").count())
