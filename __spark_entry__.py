@@ -5640,46 +5640,15 @@ def q_msprt_monitor(spark: SparkSession, sf: str) -> DataFrame:
     `holt_forecast` contract); all scalar algebra, no Python. Days
     where either arm is still empty or σ̂²=0 emit NULL (CASE-guarded
     identically in both engines — and lazily, so ANSI mode cannot
-    throw on the guarded division)."""
-    ev = (load_table(spark, sf, "events")
-          .filter(F.col("value").isNotNull()
-                  & ~F.isnan(F.col("value"))
-                  & F.col("user_id").isNotNull())
-          .withColumn("_arm", F.pmod(F.col("user_id"), F.lit(2)))
-          .withColumn("_d", F.to_date("ts")))
-    day = (ev.groupBy("_d")
-           .agg(*[agg for arm in (0, 1) for agg in (
-               F.sum(F.when(F.col("_arm") == arm, 1).otherwise(0))
-               .alias(f"_n{arm}"),
-               F.sum(F.when(F.col("_arm") == arm, F.col("value"))
-                     .otherwise(0.0)).alias(f"_s{arm}"),
-               F.sum(F.when(F.col("_arm") == arm,
-                            F.col("value") * F.col("value"))
-                     .otherwise(0.0)).alias(f"_q{arm}"))]))
-    w = Window.orderBy("_d").rowsBetween(Window.unboundedPreceding, 0)
-    c = day.select(
-        "_d", *[F.sum(f"_{x}{a}").over(w).alias(f"_c{x}{a}")
-                for a in (0, 1) for x in ("n", "s", "q")])
-    na, nb = F.col("_cn0"), F.col("_cn1")
-    ma, mb = F.col("_cs0") / na, F.col("_cs1") / nb
-    ssq = (F.col("_cq0") - na * ma * ma) + (F.col("_cq1") - nb * mb * mb)
-    var = ssq / (na + nb - 2)
-    vv = var * (1.0 / na + 1.0 / nb)
-    tau2 = F.lit(1.0)
-    delta = ma - mb
-    lnl = (F.lit(0.5) * F.log(vv / (vv + tau2))
-           + delta * delta * tau2 / (2.0 * vv * (vv + tau2)))
-    guarded = F.when((na > 1) & (nb > 1) & (var > 0), lnl)
-    g = c.select("_d", na.alias("n_a"), nb.alias("n_b"),
-                 _r(delta, 4).alias("delta"),
-                 guarded.alias("_lnl"))
-    runmax = F.max("_lnl").over(
-        Window.orderBy("_d").rowsBetween(Window.unboundedPreceding, 0))
-    return (g.select(F.col("_d").alias("day"), "n_a", "n_b", "delta",
-                     _r(F.col("_lnl"), 4).alias("ln_lambda"),
-                     _r(F.least(F.lit(1.0), F.exp(-runmax)), 6)
-                     .alias("p_always_valid"))
-            .orderBy("day"))
+    throw on the guarded division). Since round 7 the day-collapse and
+    readout are the SHARED `streaming.jobs.msprt_day_stats` /
+    `msprt_readout` — the same expressions `msprt_sink` folds per
+    micro-batch, so this oracle-checked query IS the streaming twin's
+    correctness anchor (batch/stream equivalence is structural)."""
+    from timeseries_data_analysis_spark.streaming import jobs as SJ
+
+    day = SJ.msprt_day_stats(load_table(spark, sf, "events"))
+    return SJ.msprt_readout(day, tau2=1.0)
 
 
 def q_pr_auc(spark: SparkSession, sf: str) -> DataFrame:

@@ -992,3 +992,55 @@ def test_hll_sink_batch_stream_equivalence_and_replay(spark, tmp_path):
     again = sorted(map(tuple, spark.read.parquet(state).where(
         F.col("state_batch") == 2).select("grp", "_b", "_m").collect()))
     assert again == got_regs
+
+
+def test_msprt_sink_matches_batch_monitor_and_replay(spark, sf_dir, tmp_path):
+    """The streaming always-valid A/B monitor folded over 3 time-split
+    micro-batches must reproduce the BATCH `msprt_monitor` readout
+    exactly (sufficient statistics are additive), the mid-stream
+    readout must equal the batch monitor over the prefix (the
+    peek-anytime guarantee), and a crash-window replay of the last
+    batch must rewrite identical state and readout."""
+    from pyspark.sql import functions as F
+    from timeseries_data_analysis_spark.sources import load_table
+    from timeseries_data_analysis_spark.streaming import jobs as SJ
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(F.unix_timestamp(F.min("ts")).alias("mn"),
+               F.unix_timestamp(F.max("ts")).alias("mx")).collect()[0]
+    cut1 = b["mn"] + (b["mx"] - b["mn"]) // 3
+    cut2 = b["mn"] + 2 * (b["mx"] - b["mn"]) // 3
+    sec = F.unix_timestamp("ts")
+    batches = [ev.filter(sec <= cut1),
+               ev.filter((sec > cut1) & (sec <= cut2)),
+               ev.filter(sec > cut2)]
+    state = str(tmp_path / "msprt_state")
+    out = str(tmp_path / "msprt_out")
+
+    def rows(df):
+        return sorted(
+            ((r["day"], r["n_a"], r["n_b"], r["delta"], r["ln_lambda"],
+              r["p_always_valid"]) for r in df.collect()))
+
+    for bid, bdf in enumerate(batches):
+        SJ.msprt_commit_batch(bdf, bid, state, out)
+        if bid == 0:
+            # peek-anytime: mid-stream readout == batch monitor on prefix
+            prefix = SJ.msprt_readout(SJ.msprt_day_stats(batches[0]))
+            got0 = rows(spark.read.parquet(f"{out}/monitor_batch=0"))
+            assert got0 == rows(prefix)
+
+    want = rows(SJ.msprt_readout(SJ.msprt_day_stats(ev)))
+    got = rows(spark.read.parquet(f"{out}/monitor_batch=2"))
+    assert got == want
+    assert len(got) >= 5  # a real multi-day trajectory, not degenerate
+
+    # the p-value trajectory is non-increasing in running-max form
+    traj = [r[5] for r in got if r[5] is not None]
+    assert all(a >= b for a, b in zip(traj, traj[1:]))
+
+    # crash-window replay: state 2 written, checkpoint lost → rerun
+    SJ.msprt_commit_batch(batches[2], 2, state, out)
+    assert rows(spark.read.parquet(f"{out}/monitor_batch=2")) == got
+    st = spark.read.parquet(f"{state}/state_batch=2")
+    assert st.count() == len(got)

@@ -1275,3 +1275,139 @@ def pca_state_fit(spark: SparkSession, state_path: str, k: int) -> dict:
     s = np.asarray(row["s"])
     g = np.asarray(row["g"]).reshape(len(s), len(s))
     return PCA.fit_from_gramian(int(row["n"]), s, g, k)
+
+
+def msprt_day_stats(df: DataFrame, ts_col: str = "ts",
+                    value_col: str = "value",
+                    user_col: str = "user_id") -> DataFrame:
+    """Per-day per-arm SUFFICIENT statistics for the two-sample mixture
+    SPRT: (count, sum, sum-of-squares) per arm — six doubles per day,
+    and every one of them ADDITIVE, so partial stats from any split of
+    the data (micro-batches, partitions, replays) merge by summation.
+    Arm assignment is the deterministic ``pmod(user_id, 2)`` split the
+    batch monitor (`q_msprt_monitor`) uses. Shared by the batch query
+    and :func:`msprt_sink` so batch/stream equivalence is a tested
+    identity, not a hope (the `psi_scores` posture)."""
+    ev = (df.filter(F.col(value_col).isNotNull()
+                    & ~F.isnan(F.col(value_col))
+                    & F.col(user_col).isNotNull())
+          .withColumn("_arm", F.pmod(F.col(user_col), F.lit(2)))
+          .withColumn("_d", F.to_date(ts_col)))
+    return (ev.groupBy("_d")
+            .agg(*[agg for arm in (0, 1) for agg in (
+                F.sum(F.when(F.col("_arm") == arm, 1).otherwise(0))
+                .alias(f"_n{arm}"),
+                F.sum(F.when(F.col("_arm") == arm, F.col(value_col))
+                      .otherwise(0.0)).alias(f"_s{arm}"),
+                F.sum(F.when(F.col("_arm") == arm,
+                             F.col(value_col) * F.col(value_col))
+                      .otherwise(0.0)).alias(f"_q{arm}"))]))
+
+
+def msprt_readout(day: DataFrame, tau2: float = 1.0) -> DataFrame:
+    """Always-valid sequential readout from per-day sufficient stats
+    (mixture SPRT, Johari et al. 2017): cumulative power sums over the
+    day axis, ln Λ = ½ln(V/(V+τ²)) + δ̂²τ²/(2V(V+τ²)) with pooled-
+    variance V, and p_always_valid = min(1, exp(−running-max ln Λ)).
+    Day rows are calendar-bounded (≤ experiment length), so the
+    unpartitioned cumulative window is the same documented bound every
+    calendar-grain monitor here carries. Expression shapes are
+    IDENTICAL to the DuckDB oracle's (operand order pinned); days where
+    either arm is empty or σ̂² = 0 emit NULL lazily (ANSI-safe)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("_d").rowsBetween(Window.unboundedPreceding, 0)
+    c = day.select(
+        "_d", *[F.sum(f"_{x}{a}").over(w).alias(f"_c{x}{a}")
+                for a in (0, 1) for x in ("n", "s", "q")])
+    na, nb = F.col("_cn0"), F.col("_cn1")
+    ma, mb = F.col("_cs0") / na, F.col("_cs1") / nb
+    ssq = (F.col("_cq0") - na * ma * ma) + (F.col("_cq1") - nb * mb * mb)
+    var = ssq / (na + nb - 2)
+    vv = var * (1.0 / na + 1.0 / nb)
+    t2 = F.lit(float(tau2))
+    delta = ma - mb
+    lnl = (F.lit(0.5) * F.log(vv / (vv + t2))
+           + delta * delta * t2 / (2.0 * vv * (vv + t2)))
+    guarded = F.when((na > 1) & (nb > 1) & (var > 0), lnl)
+    rnd = lambda col, d: F.round(col + F.lit(1e-9), d)  # noqa: E731
+    gdf = c.select("_d", na.alias("n_a"), nb.alias("n_b"),
+                   rnd(delta, 4).alias("delta"),
+                   guarded.alias("_lnl"))
+    runmax = F.max("_lnl").over(
+        Window.orderBy("_d").rowsBetween(Window.unboundedPreceding, 0))
+    return (gdf.select(F.col("_d").alias("day"), "n_a", "n_b", "delta",
+                       rnd(F.col("_lnl"), 4).alias("ln_lambda"),
+                       rnd(F.least(F.lit(1.0), F.exp(-runmax)), 6)
+                       .alias("p_always_valid"))
+            .orderBy("day"))
+
+
+def msprt_sink(event_stream: DataFrame, state_path: str, out_path: str,
+               ts_col: str = "ts", value_col: str = "value",
+               user_col: str = "user_id", tau2: float = 1.0):
+    """Streaming always-valid A/B monitor — the `foreachBatch` twin of
+    the batch `msprt_monitor` query, closing the last batch/stream
+    asymmetry (CUSUM, PSI, heavy-hitters, HLL, PCA, quantiles all had
+    streaming twins; sequential testing did not).
+
+    Per micro-batch: collapse the batch to per-day per-arm power sums
+    (:func:`msprt_day_stats` — map-side combined, six doubles per day),
+    FOLD them into the persisted day-state by summation (sufficient
+    statistics are additive, the `pca_sink` Gramian argument), write
+    the post-merge state to ``state_path/state_batch=<id>``, then emit
+    the full always-valid readout (:func:`msprt_readout`) to
+    ``out_path/monitor_batch=<id>``. The readout after batch k over
+    days seen so far equals the batch monitor over the union of those
+    batches — the peek-anytime guarantee is exactly that the p-value
+    trajectory is valid at EVERY prefix.
+
+    Replay safety is single-phase like :func:`pca_sink`: state k is
+    built from the newest committed state with id < k plus a
+    deterministic re-aggregation of batch k, so a crash-replay rewrites
+    the identical directory. State size is O(days) rows of 6 doubles —
+    calendar-bounded, never event-bounded."""
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        msprt_commit_batch(batch_df, batch_id, state_path, out_path,
+                           ts_col=ts_col, value_col=value_col,
+                           user_col=user_col, tau2=tau2)
+
+    return (event_stream.writeStream.foreachBatch(process)
+            .outputMode("update"))
+
+
+def msprt_commit_batch(batch_df: DataFrame, batch_id: int,
+                       state_path: str, out_path: str,
+                       ts_col: str = "ts", value_col: str = "value",
+                       user_col: str = "user_id",
+                       tau2: float = 1.0) -> None:
+    """One micro-batch of :func:`msprt_sink`, module-level so tests can
+    replay crash windows against it."""
+    from pyspark.errors import AnalysisException
+
+    spark = batch_df.sparkSession
+    prev = None
+    try:
+        store = spark.read.parquet(state_path)
+        ids = [r["state_batch"] for r in
+               store.select("state_batch").distinct().collect()
+               if r["state_batch"] < batch_id]
+        if ids:
+            prev = (store.where(F.col("state_batch") == max(ids))
+                    .drop("state_batch"))
+    except AnalysisException as exc:
+        msg = str(exc)
+        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+            raise
+
+    batch_day = msprt_day_stats(batch_df, ts_col, value_col, user_col)
+    merged = (batch_day if prev is None
+              else batch_day.unionByName(prev))
+    state = (merged.groupBy("_d")
+             .agg(*[F.sum(c).alias(c) for c in
+                    ("_n0", "_s0", "_q0", "_n1", "_s1", "_q1")])
+             .localCheckpoint())  # state readers must not re-trigger the agg
+    (state.write.mode("overwrite")
+     .parquet(f"{state_path}/state_batch={batch_id}"))
+    (msprt_readout(state, tau2=tau2).write.mode("overwrite")
+     .parquet(f"{out_path}/monitor_batch={batch_id}"))
