@@ -5564,6 +5564,431 @@ def q_idle_rich_customers(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("c_nationkey"))
 
 
+def _partsupp(spark: SparkSession, sf: str) -> DataFrame:
+    """Derived PARTSUPP for the TPC-H Q2/Q11/Q20 shapes.
+
+    The corpus has no partsupp table, so the part-supplier relation is
+    DERIVED as the distinct ``(l_partkey, l_suppkey)`` pairs observed in
+    lineitem — the real-world reading ("supplier-part relationships
+    present in the fact data"), FK-valid by construction at every scale
+    factor including the Nx clone corpora (a distinct shuffle, linear in
+    fact bytes, no dimension-count coupling). ``ps_availqty`` and
+    ``ps_supplycost`` are pure deterministic functions of the pair via
+    the engine-portable md5-fraction (`operators/sketch.hash_frac`), so
+    the DuckDB oracle replays them bit-identically: availqty is an exact
+    integer in [1, 1000]; supplycost = p_retailprice * (0.4 + 0.5*h) is
+    a pure IEEE expression (NO internal rounding — identical parse tree
+    on both engines gives identical doubles; only final aggregates get
+    the ROUND_EPS treatment). q_product_type_profit applies the SAME
+    supplycost function directly to lineitem pairs, so Q9's profit and
+    Q2/Q11/Q20's stock views are mutually consistent."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    pairs = (li.select(F.col("l_partkey").alias("ps_partkey"),
+                       F.col("l_suppkey").alias("ps_suppkey"))
+             .distinct())
+    key = F.concat_ws("|", F.col("ps_partkey").cast("string"),
+                      F.col("ps_suppkey").cast("string"))
+    return (pairs.join(part, pairs.ps_partkey == part.p_partkey)
+            .select(
+                "ps_partkey", "ps_suppkey",
+                (1 + F.floor(SK.hash_frac(F.concat(F.lit("aq|"), key))
+                             * 1000)).cast("bigint").alias("ps_availqty"),
+                (F.col("p_retailprice")
+                 * (F.lit(0.4) + F.lit(0.5)
+                    * SK.hash_frac(F.concat(F.lit("sc|"), key))))
+                .alias("ps_supplycost")))
+
+
+def q_discounted_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 shape — the pure pushdown probe: one scan, three
+    range predicates (ship-year, discount band, quantity cap), one
+    global sum. Every predicate reaches the parquet scan
+    (PushedFilters), the projection is 3 columns, and the agg is a
+    partial+final pair with no shuffle beyond the 1-row exchange —
+    the cheapest possible plan at any scale, which is the point of
+    Q6: it measures scan bandwidth, not planner skill."""
+    li = (load_table(spark, sf, "lineitem")
+          .filter((F.col("l_shipdate") >= F.lit("1996-01-01")) &
+                  (F.col("l_shipdate") < F.lit("1997-01-01")) &
+                  (F.col("l_discount") >= 0.05) &
+                  (F.col("l_discount") <= 0.07) &
+                  (F.col("l_quantity") < 24)))
+    return li.agg(
+        _r(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4)
+        .alias("revenue_delta"),
+        F.count(F.lit(1)).alias("n_lines"))
+
+
+def q_nation_trade_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape — bidirectional trade between two nations: the
+    nation filters are applied to supplier and customer BEFORE the
+    fact joins (broadcast-dim semi-reduction: 2/25 of each dim
+    survives, so the two fact shuffles carry only qualifying rows —
+    at 100 TB this is the difference between shuffling the corpus and
+    shuffling 8% of it). The asymmetric-pair filter (supp ≠ cust
+    nation) lands after both dims are attached; year comes from the
+    ship date so each directed pair gets a per-year trade series."""
+    natpair = ["NATION_1", "NATION_2"]
+    nat = (load_table(spark, sf, "nation")
+           .filter(F.col("n_name").isin(natpair)))
+    supp = (load_table(spark, sf, "supplier")
+            .join(F.broadcast(nat.select(
+                F.col("n_nationkey").alias("_snk"),
+                F.col("n_name").alias("supp_nation"))),
+                F.col("s_nationkey") == F.col("_snk"))
+            .select("s_suppkey", "supp_nation"))
+    cust = (load_table(spark, sf, "customer")
+            .join(F.broadcast(nat.select(
+                F.col("n_nationkey").alias("_cnk"),
+                F.col("n_name").alias("cust_nation"))),
+                F.col("c_nationkey") == F.col("_cnk"))
+            .select("c_custkey", "cust_nation"))
+    li = (load_table(spark, sf, "lineitem")
+          .filter((F.col("l_shipdate") >= F.lit("1996-01-01")) &
+                  (F.col("l_shipdate") < F.lit("1998-01-01"))))
+    orders = load_table(spark, sf, "orders").select("o_orderkey",
+                                                    "o_custkey")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(supp, li.l_suppkey == supp.s_suppkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .filter(F.col("supp_nation") != F.col("cust_nation"))
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").alias("l_year"))
+            .agg(_r(F.sum(F.col("l_extendedprice") *
+                          (1 - F.col("l_discount"))), 4).alias("volume"),
+                 F.count(F.lit(1)).alias("n_lines")))
+
+
+def q_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 shape — national market share: of all STANDARD-type
+    part revenue sold to EUROPE customers over two order years, what
+    fraction came from NATION_3 suppliers, per year. The two share
+    sums ride ONE aggregation (conditional sum over the same joined
+    rows — never two scans); region/nation/part filters are dim-side
+    reductions that precede the fact shuffles. The share division is
+    a post-agg scalar on a |years|-row frame."""
+    part = (load_table(spark, sf, "part")
+            .filter(F.col("p_type") == "STANDARD")
+            .select("p_partkey"))
+    reg = (load_table(spark, sf, "region")
+           .filter(F.col("r_name") == "EUROPE"))
+    nat = load_table(spark, sf, "nation")
+    eur_nat = (nat.join(F.broadcast(reg),
+                        nat.n_regionkey == reg.r_regionkey)
+               .select(F.col("n_nationkey").alias("_enk")))
+    cust = (load_table(spark, sf, "customer")
+            .join(F.broadcast(eur_nat),
+                  F.col("c_nationkey") == F.col("_enk"))
+            .select("c_custkey"))
+    supp = (load_table(spark, sf, "supplier")
+            .join(F.broadcast(nat.select(
+                F.col("n_nationkey").alias("_snk"),
+                F.col("n_name").alias("supp_nation"))),
+                F.col("s_nationkey") == F.col("_snk"))
+            .select("s_suppkey", "supp_nation"))
+    orders = (load_table(spark, sf, "orders")
+              .filter((F.col("o_orderdate") >= F.lit("1996-01-01")) &
+                      (F.col("o_orderdate") < F.lit("1998-01-01"))))
+    li = load_table(spark, sf, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(part, li.l_partkey == part.p_partkey)
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(supp, li.l_suppkey == supp.s_suppkey)
+            .groupBy(F.year("o_orderdate").alias("o_year"))
+            .agg(_r(F.sum(F.when(F.col("supp_nation") == "NATION_3",
+                                 rev).otherwise(0.0)) / F.sum(rev), 6)
+                 .alias("mkt_share"),
+                 _r(F.sum(rev), 4).alias("total_rev"))
+            .orderBy("o_year"))
+
+
+def q_product_type_profit(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape — product profit by supplier nation and year,
+    adapted to the corpus schema: the spec's ps_supplycost is the
+    derived-partsupp cost function (see `_partsupp`) applied directly
+    to each line's (l_partkey, l_suppkey) — a pure md5-fraction of
+    the pair times p_retailprice, replayed bit-identically by the
+    oracle. Profit = revenue − supplycost·quantity per line, summed
+    per (nation, order-year). The part-name filter ('%widget', 1/8 of
+    parts) prunes the fact rows through the part join before the
+    orders join; nation is a broadcast dim."""
+    part = (load_table(spark, sf, "part")
+            .filter(F.col("p_name").like("%widget"))
+            .select("p_partkey", "p_retailprice"))
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders").select("o_orderkey",
+                                                    "o_orderdate")
+    supp = load_table(spark, sf, "supplier").select("s_suppkey",
+                                                    "s_nationkey")
+    nat = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    key = F.concat_ws("|", F.col("l_partkey").cast("string"),
+                      F.col("l_suppkey").cast("string"))
+    supplycost = (F.col("p_retailprice")
+                  * (F.lit(0.4) + F.lit(0.5)
+                     * SK.hash_frac(F.concat(F.lit("sc|"), key))))
+    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - supplycost * F.col("l_quantity"))
+    return (li.join(part, li.l_partkey == part.p_partkey)
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(supp, li.l_suppkey == supp.s_suppkey)
+            .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").alias("o_year"))
+            .agg(_r(F.sum(profit), 4).alias("sum_profit"),
+                 F.count(F.lit(1)).alias("n_lines")))
+
+
+def q_late_line_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape — priority mix of badly-late lines, adapted:
+    the corpus has no l_shipmode/commitdate/receiptdate, so the mode
+    axis is l_linestatus and 'late' is ship > order date + 365 days
+    (the corpus's ship dates are independently generated, so the
+    365-day cut keeps ~⅓ of lines — selectivity, not realism, is what
+    exercises the shape). One fact-fact join (lineitem ⋈ orders on
+    the order key), the late predicate as a join-output filter (it
+    references both sides), and the two priority counts as
+    conditional sums in ONE aggregation."""
+    li = (load_table(spark, sf, "lineitem")
+          .filter((F.col("l_shipdate") >= F.lit("1996-01-01")) &
+                  (F.col("l_shipdate") < F.lit("1997-01-01"))))
+    orders = load_table(spark, sf, "orders").select("o_orderkey",
+                                                    "o_orderdate",
+                                                    "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .filter(F.col("l_shipdate") >
+                    F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS"))
+            .groupBy("l_linestatus")
+            .agg(F.sum(F.when(high, 1).otherwise(0))
+                 .alias("high_line_count"),
+                 F.sum(F.when(high, 0).otherwise(1))
+                 .alias("low_line_count"))
+            .orderBy("l_linestatus"))
+
+
+def q_custdist(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape — the customer-order-count distribution: LEFT
+    join customer→orders with the order filter INSIDE the join
+    condition (the Q13 signature — a WHERE would silently drop
+    zero-order customers and turn the left join inner), count orders
+    per customer, then the distribution of those counts. Two
+    aggregations: the first shuffles on c_custkey (fact-sized), the
+    second on c_count (tiny — AQE coalesces it to nothing)."""
+    cust = load_table(spark, sf, "customer").select("c_custkey")
+    orders = (load_table(spark, sf, "orders")
+              .select("o_orderkey", "o_custkey", "o_orderpriority"))
+    joined = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey) &
+        (orders.o_orderpriority != "1-URGENT"),
+        "left")
+    per_cust = (joined.groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist"))
+            .orderBy(F.col("custdist").desc(), F.col("c_count").desc()))
+
+
+def q_promo_revenue_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape — promo revenue percentage for one ship month:
+    lineitem ⋈ part with both the month predicate (at the fact scan)
+    and the promo test as a conditional sum over ONE joined pass —
+    the two-sums-one-scan idiom Q8 also uses. Output is a single row,
+    so everything after the join is a partial+final agg."""
+    li = (load_table(spark, sf, "lineitem")
+          .filter((F.col("l_shipdate") >= F.lit("1996-03-01")) &
+                  (F.col("l_shipdate") < F.lit("1996-04-01"))))
+    part = load_table(spark, sf, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(part, li.l_partkey == part.p_partkey)
+            .agg(_r(F.lit(100.0) *
+                    F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                          .otherwise(0.0)) / F.sum(rev), 6)
+                 .alias("promo_pct"),
+                 F.count(F.lit(1)).alias("n_lines")))
+
+
+def q_large_volume_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape — large-volume orders: group lineitem by order
+    key (HAVING sum(qty) > 250, the ~99th percentile), then attach
+    orders and customer. The heavy groupBy runs FIRST on the fact
+    table alone (the filter kills ~99% of orders before any join), so
+    the joins probe with a tiny build side — the plan Q18 exists to
+    test. Top 20 by total price with full deterministic tiebreak."""
+    li = load_table(spark, sf, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(_r(F.sum("l_quantity"), 4).alias("sum_qty"))
+           .filter(F.col("sum_qty") > 250))
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_name")
+    return (big.join(orders, big.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                    "o_totalprice", "sum_qty")
+            .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+            .limit(20))
+
+
+def q_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape — suppliers who kept orders waiting: for
+    finished (status F) multi-supplier orders, count per supplier the
+    order-lines where THIS supplier shipped >365 days late and NO
+    other supplier on the order did (the sole-blame census). 'Late'
+    is adapted to the corpus's available dates (no commit/receipt
+    dates — see q_late_line_priority). The spec's EXISTS / NOT EXISTS
+    pair decorrelates into per-order DISTINCT-SUPPLIER counts: a late
+    row is sole-blame iff its order has >1 distinct suppliers overall
+    and exactly 1 distinct supplier among late lines. The agg
+    formulation shuffles map-side-deduped (orderkey, suppkey) pairs
+    (countDistinct's partial phase) where the literal semi+anti pair
+    would shuffle full fact rows into two correlated joins — more
+    exchange NODES (every one orderkey-keyed and combiner-reduced),
+    strictly less bytes. The ORACLE keeps the literal
+    EXISTS/NOT-EXISTS form, so the gate doubles as an equivalence
+    proof of the rewrite. The region filter reduces the supplier dim
+    before the census join."""
+    od = (load_table(spark, sf, "orders")
+          .filter(F.col("o_orderstatus") == "F")
+          .select("o_orderkey", "o_orderdate"))
+    late = (load_table(spark, sf, "lineitem")
+            .select("l_orderkey", "l_suppkey", "l_shipdate")
+            .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+            .filter(F.col("l_shipdate") >
+                    F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS"))
+            .select("l_orderkey", "l_suppkey"))
+    n_supp = (load_table(spark, sf, "lineitem")
+              .groupBy(F.col("l_orderkey").alias("_ok"))
+              .agg(F.countDistinct("l_suppkey").alias("_n_supp")))
+    n_late = (late.groupBy(F.col("l_orderkey").alias("_lok"))
+              .agg(F.countDistinct("l_suppkey").alias("_n_late")))
+    sole = (late.join(n_late, late.l_orderkey == F.col("_lok"))
+            .join(n_supp, late.l_orderkey == F.col("_ok"))
+            .filter((F.col("_n_late") == 1) & (F.col("_n_supp") > 1)))
+    nat = load_table(spark, sf, "nation")
+    reg = (load_table(spark, sf, "region")
+           .filter(F.col("r_name") == "AMERICA"))
+    supp = (load_table(spark, sf, "supplier")
+            .join(F.broadcast(
+                nat.join(F.broadcast(reg),
+                         nat.n_regionkey == reg.r_regionkey)
+                .select("n_nationkey")),
+                F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "s_name"))
+    return (sole.join(supp, sole.l_suppkey == supp.s_suppkey)
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.col("numwait").desc(), "s_name")
+            .limit(20))
+
+
+def q_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape — minimum-cost supplier per part within a
+    region, over the DERIVED partsupp (see `_partsupp`): size-15
+    parts, AMERICA suppliers, the min-cost correlated subquery as a
+    WINDOW min over ps_partkey (one shuffle, one pass — the
+    groupBy-min + join-back alternative duplicates the whole regional
+    join subtree; this plan carries 4 exchanges vs that one's 8). The
+    min is computed over the REGION-filtered rows (exactly Q2's
+    correlation scope). supplycost is a pure IEEE expression so the
+    within-engine argmin is deterministic; output cost is
+    ROUND_EPS-rounded. Top 20 by account balance with full tiebreak."""
+    ps = _partsupp(spark, sf)
+    part15 = (load_table(spark, sf, "part")
+              .filter(F.col("p_size") == 15)
+              .select("p_partkey", "p_name"))
+    nat = load_table(spark, sf, "nation")
+    reg = (load_table(spark, sf, "region")
+           .filter(F.col("r_name") == "AMERICA"))
+    rnat = (nat.join(F.broadcast(reg),
+                     nat.n_regionkey == reg.r_regionkey)
+            .select("n_nationkey", "n_name"))
+    supp = (load_table(spark, sf, "supplier")
+            .join(F.broadcast(rnat),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    regional = (ps.join(part15, ps.ps_partkey == part15.p_partkey)
+                .join(supp, ps.ps_suppkey == supp.s_suppkey))
+    w = Window.partitionBy("ps_partkey")
+    return (regional
+            .withColumn("_min_cost", F.min("ps_supplycost").over(w))
+            .filter(F.col("ps_supplycost") == F.col("_min_cost"))
+            .select("s_acctbal", "s_name", "n_name",
+                    F.col("ps_partkey").alias("p_partkey"), "p_name",
+                    _r(F.col("ps_supplycost"), 4).alias("supplycost"))
+            .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name",
+                     "p_partkey")
+            .limit(20))
+
+
+def q_important_stock(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape — important stock: per-part stock value
+    (supplycost·availqty over the derived partsupp) for one nation's
+    suppliers, keeping parts whose value exceeds 0.002 of the
+    nation's total. The threshold is Q11's scalar subquery — here a
+    1-row broadcast crossJoin, never re-evaluated per row. Both the
+    per-part sum and the grand total ride the same nation-filtered
+    pass (the total aggregates the per-part frame, not a second
+    scan)."""
+    ps = _partsupp(spark, sf)
+    nat = (load_table(spark, sf, "nation")
+           .filter(F.col("n_name") == "NATION_3"))
+    supp = (load_table(spark, sf, "supplier")
+            .join(F.broadcast(nat),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey"))
+    val = (ps.join(supp, ps.ps_suppkey == supp.s_suppkey)
+           .groupBy("ps_partkey")
+           .agg(F.sum(F.col("ps_supplycost") *
+                      F.col("ps_availqty")).alias("_val")))
+    tot = val.agg(F.sum("_val").alias("_tot"))
+    return (val.crossJoin(F.broadcast(tot))
+            .filter(F.col("_val") > F.lit(0.002) * F.col("_tot"))
+            .select(F.col("ps_partkey").alias("p_partkey"),
+                    _r(F.col("_val"), 4).alias("stock_value")))
+
+
+def q_excess_stock_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 shape — suppliers holding excess stock of red parts:
+    partsupp rows (derived) for 'red %' parts whose availqty exceeds
+    half the 1996 shipped quantity of that (part, supplier) pair,
+    restricted to ASIA suppliers. The correlated shipped-qty subquery
+    is a grouped agg joined back on the pair key (inner: a pair with
+    no 1996 shipments has NULL shipped-qty and is excluded, matching
+    the spec's NULL-comparison semantics); the final supplier list is
+    a distinct ids-only projection."""
+    ps = _partsupp(spark, sf)
+    red = (load_table(spark, sf, "part")
+           .filter(F.col("p_name").like("red %"))
+           .select(F.col("p_partkey").alias("_rpk")))
+    shipped = (load_table(spark, sf, "lineitem")
+               .filter((F.col("l_shipdate") >= F.lit("1996-01-01")) &
+                       (F.col("l_shipdate") < F.lit("1997-01-01")))
+               .groupBy(F.col("l_partkey").alias("_spk"),
+                        F.col("l_suppkey").alias("_ssk"))
+               .agg(_r(F.sum("l_quantity"), 4).alias("_qty")))
+    excess = (ps.join(red, ps.ps_partkey == F.col("_rpk"))
+              .join(shipped, (ps.ps_partkey == F.col("_spk")) &
+                    (ps.ps_suppkey == F.col("_ssk")))
+              .filter(F.col("ps_availqty") >
+                      F.lit(0.5) * F.col("_qty"))
+              .select("ps_suppkey").distinct())
+    nat = load_table(spark, sf, "nation")
+    reg = (load_table(spark, sf, "region")
+           .filter(F.col("r_name") == "ASIA"))
+    supp = (load_table(spark, sf, "supplier")
+            .join(F.broadcast(
+                nat.join(F.broadcast(reg),
+                         nat.n_regionkey == reg.r_regionkey)
+                .select("n_nationkey")),
+                F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "s_name", "s_acctbal"))
+    return (supp.join(excess, supp.s_suppkey == excess.ps_suppkey)
+            .select("s_suppkey", "s_name", "s_acctbal")
+            .orderBy("s_suppkey"))
+
+
 def q_quantile_sgd(spark: SparkSession, sf: str) -> DataFrame:
     """Distributed QUANTILE regression (pinball-loss subgradient,
     τ=0.5 → median regression — the TRAINED twin of Theil-Sen's
@@ -5890,6 +6315,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     TPC-H Q17/Q19 shapes, least-at-risk of the 51 ---
         "small_qty_revenue": q_small_qty_revenue,
         "bracketed_revenue": q_bracketed_revenue,
+        # --- round-7 additions (slots 53-64): the remaining 12 TPC-H
+        #     shapes — the full 22-shape suite. Never driver-checked;
+        #     they queue directly behind the slot-51/52 spill so round
+        #     8's window reaches all 14 in order. ---
+        "discounted_revenue": q_discounted_revenue,
+        "nation_trade_volume": q_nation_trade_volume,
+        "market_share": q_market_share,
+        "product_type_profit": q_product_type_profit,
+        "late_line_priority": q_late_line_priority,
+        "custdist": q_custdist,
+        "promo_revenue_share": q_promo_revenue_share,
+        "large_volume_customers": q_large_volume_customers,
+        "waiting_suppliers": q_waiting_suppliers,
+        "min_cost_supplier": q_min_cost_supplier,
+        "important_stock": q_important_stock,
+        "excess_stock_suppliers": q_excess_stock_suppliers,
         # --- round-6 first batch: driver-green in CORRECTNESS_r06 ---
         "ewma_exact": q_ewma_exact,
         "kll_quantiles": q_kll_quantiles,
@@ -12110,6 +12551,260 @@ def oracle_sql() -> dict[str, str]:
                             AND o_orderdate >=
                                 TIMESTAMP '2000-01-01 00:00:00')
         GROUP BY c_nationkey
+    """
+
+    # ---- round-7: the remaining 12 TPC-H shapes (full 22-shape suite).
+    # Q2/Q11/Q20 ride the derived partsupp: distinct lineitem pairs with
+    # md5-fraction availqty/supplycost — the HF() fraction below is the
+    # DuckDB replay of operators/sketch.hash_frac. The CTE is repeated
+    # verbatim in each oracle (DuckDB has no shared-view hook here).
+    _PARTSUPP_CTE = """
+        partsupp AS (
+            SELECT ps_partkey, ps_suppkey,
+                   (1 + floor((('0x' || substr(md5('aq|' ||
+                        ps_partkey::VARCHAR || '|' ||
+                        ps_suppkey::VARCHAR), 1, 15))::BIGINT
+                        / 1152921504606846976.0) * 1000))::BIGINT
+                       AS ps_availqty,
+                   p_retailprice * (0.4 + 0.5 *
+                       (('0x' || substr(md5('sc|' ||
+                        ps_partkey::VARCHAR || '|' ||
+                        ps_suppkey::VARCHAR), 1, 15))::BIGINT
+                        / 1152921504606846976.0)) AS ps_supplycost
+            FROM (SELECT DISTINCT l_partkey AS ps_partkey,
+                         l_suppkey AS ps_suppkey FROM lineitem)
+            JOIN part ON ps_partkey = p_partkey
+        )
+    """
+
+    # TPC-H Q6 shape: pure-pushdown revenue delta
+    sql["discounted_revenue"] = """
+        SELECT (round(sum(l_extendedprice * l_discount) + 1e-9, 4)
+                + 0.0) AS revenue_delta,
+               count(*)::BIGINT AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """
+
+    # TPC-H Q7 shape: directed two-nation trade per ship year
+    sql["nation_trade_volume"] = """
+        SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+               extract(year FROM l_shipdate)::INT AS l_year,
+               (round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4)
+                + 0.0) AS volume,
+               count(*)::BIGINT AS n_lines
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ns ON s_nationkey = ns.n_nationkey
+        JOIN nation nc ON c_nationkey = nc.n_nationkey
+        WHERE ns.n_name IN ('NATION_1', 'NATION_2')
+          AND nc.n_name IN ('NATION_1', 'NATION_2')
+          AND ns.n_name <> nc.n_name
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY 1, 2, 3
+    """
+
+    # TPC-H Q8 shape: NATION_3 share of STANDARD-part EUROPE revenue
+    sql["market_share"] = """
+        SELECT extract(year FROM o_orderdate)::INT AS o_year,
+               (round(sum(CASE WHEN ns.n_name = 'NATION_3'
+                               THEN l_extendedprice * (1 - l_discount)
+                               ELSE 0.0 END)
+                      / sum(l_extendedprice * (1 - l_discount))
+                      + 1e-9, 6) + 0.0) AS mkt_share,
+               (round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4)
+                + 0.0) AS total_rev
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ns ON s_nationkey = ns.n_nationkey
+        JOIN nation nc ON c_nationkey = nc.n_nationkey
+        JOIN region   ON nc.n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE' AND p_type = 'STANDARD'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY 1
+    """
+
+    # TPC-H Q9 shape: profit by supplier nation and order year, with
+    # the derived supplycost function applied per line-pair
+    sql["product_type_profit"] = """
+        SELECT n_name AS nation,
+               extract(year FROM o_orderdate)::INT AS o_year,
+               (round(sum(l_extendedprice * (1 - l_discount)
+                          - p_retailprice * (0.4 + 0.5 *
+                            (('0x' || substr(md5('sc|' ||
+                             l_partkey::VARCHAR || '|' ||
+                             l_suppkey::VARCHAR), 1, 15))::BIGINT
+                             / 1152921504606846976.0)) * l_quantity)
+                      + 1e-9, 4) + 0.0) AS sum_profit,
+               count(*)::BIGINT AS n_lines
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%widget'
+        GROUP BY 1, 2
+    """
+
+    # TPC-H Q12 shape: priority mix of badly-late lines per linestatus
+    sql["late_line_priority"] = """
+        SELECT l_linestatus,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate > o_orderdate + INTERVAL 365 DAY
+        GROUP BY 1
+    """
+
+    # TPC-H Q13 shape: order-count distribution (filter inside the ON)
+    sql["custdist"] = """
+        WITH c_orders AS (
+            SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+            FROM customer LEFT JOIN orders
+                 ON c_custkey = o_custkey
+                AND o_orderpriority <> '1-URGENT'
+            GROUP BY 1
+        )
+        SELECT c_count, count(*)::BIGINT AS custdist
+        FROM c_orders GROUP BY 1
+    """
+
+    # TPC-H Q14 shape: promo revenue percentage for one ship month
+    sql["promo_revenue_share"] = """
+        SELECT (round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END)
+                      / sum(l_extendedprice * (1 - l_discount))
+                      + 1e-9, 6) + 0.0) AS promo_pct,
+               count(*)::BIGINT AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    """
+
+    # TPC-H Q18 shape: large-volume orders, agg-before-join
+    sql["large_volume_customers"] = """
+        WITH big AS (
+            SELECT l_orderkey,
+                   (round(sum(l_quantity) + 1e-9, 4) + 0.0) AS sum_qty
+            FROM lineitem GROUP BY 1
+            HAVING (round(sum(l_quantity) + 1e-9, 4) + 0.0) > 250
+        )
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+               o_totalprice, sum_qty
+        FROM big
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20
+    """
+
+    # TPC-H Q21 shape: sole-blame late-supplier census (AMERICA)
+    sql["waiting_suppliers"] = """
+        WITH late AS (
+            SELECT l_orderkey, l_suppkey
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+              AND l_shipdate > o_orderdate + INTERVAL 365 DAY
+        )
+        SELECT s_name, count(*)::BIGINT AS numwait
+        FROM late l1
+        JOIN supplier ON l1.l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'AMERICA'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM late l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey)
+        GROUP BY 1
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+    """
+
+    # TPC-H Q2 shape: min-cost supplier per size-15 part in AMERICA
+    sql["min_cost_supplier"] = """
+        WITH """ + _PARTSUPP_CTE + """,
+        regional AS (
+            SELECT ps_partkey, p_name, ps_supplycost,
+                   s_acctbal, s_name, n_name
+            FROM partsupp
+            JOIN part     ON ps_partkey = p_partkey
+            JOIN supplier ON ps_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE p_size = 15 AND r_name = 'AMERICA'
+        )
+        SELECT s_acctbal, s_name, n_name,
+               ps_partkey AS p_partkey, p_name,
+               (round(ps_supplycost + 1e-9, 4) + 0.0) AS supplycost
+        FROM regional r
+        WHERE ps_supplycost = (SELECT min(ps_supplycost) FROM regional m
+                               WHERE m.ps_partkey = r.ps_partkey)
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 20
+    """
+
+    # TPC-H Q11 shape: important stock for NATION_3 suppliers
+    sql["important_stock"] = """
+        WITH """ + _PARTSUPP_CTE + """,
+        val AS (
+            SELECT ps_partkey AS p_partkey,
+                   sum(ps_supplycost * ps_availqty) AS _val
+            FROM partsupp
+            JOIN supplier ON ps_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3'
+            GROUP BY 1
+        )
+        SELECT p_partkey,
+               (round(_val + 1e-9, 4) + 0.0) AS stock_value
+        FROM val
+        WHERE _val > 0.002 * (SELECT sum(_val) FROM val)
+    """
+
+    # TPC-H Q20 shape: ASIA suppliers with excess red-part stock
+    sql["excess_stock_suppliers"] = """
+        WITH """ + _PARTSUPP_CTE + """,
+        shipped AS (
+            SELECT l_partkey, l_suppkey,
+                   (round(sum(l_quantity) + 1e-9, 4) + 0.0) AS _qty
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY 1, 2
+        ),
+        excess AS (
+            SELECT DISTINCT ps_suppkey
+            FROM partsupp
+            JOIN part ON ps_partkey = p_partkey
+            JOIN shipped ON ps_partkey = l_partkey
+                        AND ps_suppkey = l_suppkey
+            WHERE p_name LIKE 'red %'
+              AND ps_availqty > 0.5 * _qty
+        )
+        SELECT s_suppkey, s_name, s_acctbal
+        FROM supplier
+        JOIN excess ON s_suppkey = ps_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
     """
 
     # quantile SGD: 3 unrolled pinball subgradient steps, lr=30, tau=.5

@@ -200,6 +200,18 @@ def main() -> None:
                  "bracketed_revenue", "idle_rich_customers"):
         r6c[name] = timed(name)
 
+    # round-7 additions: the capped pair-graph pagerank (the oracle-
+    # checked max_bucket rescue form) + the 12 shapes completing the
+    # 22-shape TPC-H suite (Q2/Q6/Q7/Q8/Q9/Q11/Q12/Q13/Q14/Q18/Q20/Q21)
+    r7: dict[str, float] = {}
+    for name in ("pagerank_capped", "discounted_revenue",
+                 "nation_trade_volume", "market_share",
+                 "product_type_profit", "late_line_priority", "custdist",
+                 "promo_revenue_share", "large_volume_customers",
+                 "waiting_suppliers", "min_cost_supplier",
+                 "important_stock", "excess_stock_suppliers"):
+        r7[name] = timed(name)
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     # KEY-ORDER CONTRACT: the driver archives only the TAIL of this one
     # JSON line (BENCH_r06.json shows the head truncated away at 250
@@ -219,12 +231,14 @@ def main() -> None:
         "r6_trials": {k: trial_log[k] for k in r6},
         "r6b_trials": {k: trial_log[k] for k in r6b},
         "r6c_trials": {k: trial_log[k] for k in r6c},
+        "r7_trials": {k: trial_log[k] for k in r7},
         "queries": timings,
         "corpus_queries": corpus,
         "analytics_queries": analytics,
         "r6_queries": r6,
         "r6b_queries": r6b,
         "r6c_queries": r6c,
+        "r7_queries": r7,
         # --- compact tail: everything a round-over-round comparison
         # needs, guaranteed inside the driver's preserved suffix ---
         "summary": {
@@ -236,6 +250,7 @@ def main() -> None:
             "r6_total": round(sum(r6.values()), 3),
             "r6b_total": round(sum(r6b.values()), 3),
             "r6c_total": round(sum(r6c.values()), 3),
+            "r7_total": round(sum(r7.values()), 3),
             "headline_queries": {k: timings[k] for k in timings},
         },
         "metric_echo": "headline_queries_total",
