@@ -201,15 +201,17 @@ def main() -> None:
         r6c[name] = timed(name)
 
     # round-7 additions: the capped pair-graph pagerank (the oracle-
-    # checked max_bucket rescue form) + the 12 shapes completing the
-    # 22-shape TPC-H suite (Q2/Q6/Q7/Q8/Q9/Q11/Q12/Q13/Q14/Q18/Q20/Q21)
+    # checked max_bucket rescue form), the 12 shapes completing the
+    # 22-shape TPC-H suite (Q2/Q6/Q7/Q8/Q9/Q11/Q12/Q13/Q14/Q18/Q20/Q21),
+    # and the analytics trio (fixed-harmonic DFT, HITS, trained NB)
     r7: dict[str, float] = {}
     for name in ("pagerank_capped", "discounted_revenue",
                  "nation_trade_volume", "market_share",
                  "product_type_profit", "late_line_priority", "custdist",
                  "promo_revenue_share", "large_volume_customers",
                  "waiting_suppliers", "min_cost_supplier",
-                 "important_stock", "excess_stock_suppliers"):
+                 "important_stock", "excess_stock_suppliers",
+                 "periodogram", "hits_authority", "nb_langid"):
         r7[name] = timed(name)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

@@ -148,6 +148,10 @@ def main() -> None:
     spark = (SparkSession.builder.master("local[32]")
              .config("spark.sql.shuffle.partitions", "32")
              .config("spark.ui.showConsoleProgress", "false")
+             # local mode: the driver IS the executor — parquet writers
+             # buffer whole row groups, so a 100x lineitem (60M rows)
+             # OOMs the 1g default heap
+             .config("spark.driver.memory", "48g")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     builders = {"documents": scale_documents, "embeddings": scale_embeddings,
@@ -161,7 +165,11 @@ def main() -> None:
         # small relational tables skip the 8-way repartition shuffle;
         # fixed dims write 1 file (they ARE the broadcast side)
         built = builders[t](df, factor)
-        parts = 1 if t in ("nation", "region") else 8
+        # output partitions scale with the factor so per-writer row
+        # counts stay bounded (8 was tuned at 10x; 100x lineitem needs
+        # ~8x more writers, capped at the core count)
+        parts = 1 if t in ("nation", "region") \
+            else min(32, max(8, (factor * 8) // 10))
         built.repartition(parts) \
             .write.mode("overwrite").parquet(f"{out}/{t}.parquet")
     for t in tables:

@@ -51,6 +51,15 @@ DEFAULT_QUERIES = [
     "top_supplier_share", "supplier_part_variety", "small_qty_revenue",
     "bracketed_revenue", "idle_rich_customers", "join_cardinality",
     "nation_revenue", "pagerank_capped",
+    # round-7 late additions: the 12 shapes completing the TPC-H suite.
+    # Scale expectations: all scan-linear in fact bytes except the
+    # derived-partsupp trio (Q2/Q11/Q20), whose distinct-pair shuffle is
+    # ALSO linear (pairs ⊆ lineitem rows); Q21's decorrelated census
+    # shuffles map-side-deduped pairs, not fact rows.
+    "discounted_revenue", "nation_trade_volume", "market_share",
+    "product_type_profit", "late_line_priority", "custdist",
+    "promo_revenue_share", "large_volume_customers", "waiting_suppliers",
+    "min_cost_supplier", "important_stock", "excess_stock_suppliers",
 ]
 
 
