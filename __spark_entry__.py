@@ -26,7 +26,7 @@ from timeseries_data_analysis_spark.operators import (
     topk as TK, dedup as DD, similarity as SIM, encoding as ENC,
     skew as SKEW, graph as GR, tsindex as TSI, sampling as SMP,
     tokenizer as TOKZ, sketch as SK, cdc as CDC, bloom as BLM,
-    layout as LAY, survival as SURV,
+    layout as LAY, survival as SURV, spectral as SPEC,
 )
 from timeseries_data_analysis_spark.functions import math_fns as M, text as TX
 from timeseries_data_analysis_spark.ml import logit as LG, nb as NB
@@ -5994,9 +5994,9 @@ def q_excess_stock_suppliers(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # daily-cycle harmonics for q_periodogram: ω_k = 2πk/86400, computed
-# ONCE in Python so the Spark literal and the SQL literal (via repr's
-# round-trip guarantee) are the same double bit-for-bit
-_PERIODOGRAM_OMEGAS = {k: 2.0 * math.pi * k / 86400.0 for k in (1, 2, 3, 4)}
+# ONCE in Python (operators/spectral.py) so the Spark literal and the
+# SQL literal (via repr's round-trip guarantee) are the same double
+_PERIODOGRAM_OMEGAS = SPEC.OMEGAS_DAILY
 
 
 def q_periodogram(spark: SparkSession, sf: str) -> DataFrame:
@@ -6019,24 +6019,8 @@ def q_periodogram(spark: SparkSession, sf: str) -> DataFrame:
             .select("event_type", F.col("value").alias("_v"),
                     (F.col("ts").cast("double") - F.col("_t0"))
                     .alias("_t")))
-    aggs = [F.count(F.lit(1)).alias("n")]
-    for k, w in _PERIODOGRAM_OMEGAS.items():
-        aggs.append(F.sum(F.col("_v") * F.cos(F.col("_t") * F.lit(w)))
-                    .alias(f"_c{k}"))
-        aggs.append(F.sum(F.col("_v") * F.sin(F.col("_t") * F.lit(w)))
-                    .alias(f"_s{k}"))
-    g = base.groupBy("event_type").agg(*aggs)
-    amp = {k: _r(F.lit(2.0)
-                 * F.sqrt(F.col(f"_c{k}") * F.col(f"_c{k}")
-                          + F.col(f"_s{k}") * F.col(f"_s{k}"))
-                 / F.col("n"), 6)
-           for k in _PERIODOGRAM_OMEGAS}
-    stack = F.expr(
-        "stack(4, " + ", ".join(f"{k}, _amp{k}" for k in amp) + ")"
-    ).alias("harmonic", "amplitude")
-    return (g.select("event_type", "n",
-                     *[a.alias(f"_amp{k}") for k, a in amp.items()])
-            .select("event_type", "n", stack))
+    g = SPEC.dft_partials(base, _PERIODOGRAM_OMEGAS)
+    return SPEC.dft_amplitudes(g, _PERIODOGRAM_OMEGAS)
 
 
 def q_hits_authority(spark: SparkSession, sf: str) -> DataFrame:

@@ -1044,3 +1044,64 @@ def test_msprt_sink_matches_batch_monitor_and_replay(spark, sf_dir, tmp_path):
     assert rows(spark.read.parquet(f"{out}/monitor_batch=2")) == got
     st = spark.read.parquet(f"{state}/state_batch=2")
     assert st.count() == len(got)
+
+
+def test_periodogram_sink_matches_batch_and_replay(spark, sf_dir, tmp_path):
+    """The streaming spectral monitor folded over 3 time-split
+    micro-batches must reproduce the one-shot batch periodogram with
+    the same fixed origin (partials are additive), and a crash-window
+    replay of the last batch must rewrite identical state and readout.
+    Also asserts origin-invariance of the amplitudes (a shifted t0
+    changes (C, S) but not C²+S²) within float tolerance."""
+    import math
+
+    from pyspark.sql import functions as F
+    from timeseries_data_analysis_spark.operators import spectral as SPEC
+    from timeseries_data_analysis_spark.sources import load_table
+    from timeseries_data_analysis_spark.streaming import jobs as SJ
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(F.unix_timestamp(F.min("ts")).alias("mn"),
+               F.unix_timestamp(F.max("ts")).alias("mx")).collect()[0]
+    t0 = float(b["mn"])
+    cut1 = b["mn"] + (b["mx"] - b["mn"]) // 3
+    cut2 = b["mn"] + 2 * (b["mx"] - b["mn"]) // 3
+    sec = F.unix_timestamp("ts")
+    batches = [ev.filter(sec <= cut1),
+               ev.filter((sec > cut1) & (sec <= cut2)),
+               ev.filter(sec > cut2)]
+    state = str(tmp_path / "pg_state")
+    out = str(tmp_path / "pg_out")
+
+    def rows(df):
+        return sorted(((r["event_type"], r["harmonic"], r["n"],
+                        r["amplitude"]) for r in df.collect()))
+
+    for bid, bdf in enumerate(batches):
+        SJ.periodogram_commit_batch(bdf, bid, state, out, t0)
+
+    def batch_periodogram(origin):
+        base = (ev.filter(F.col("value").isNotNull())
+                .select("event_type", F.col("value").alias("_v"),
+                        (F.col("ts").cast("double") - F.lit(origin))
+                        .alias("_t")))
+        return SPEC.dft_amplitudes(
+            SPEC.dft_partials(base, SPEC.OMEGAS_DAILY),
+            SPEC.OMEGAS_DAILY)
+
+    got = rows(spark.read.parquet(f"{out}/spectrum_batch=2"))
+    want = rows(batch_periodogram(t0))
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3]
+        assert math.isclose(g[3], w[3], rel_tol=0, abs_tol=2e-6)
+
+    # origin invariance: shift t0 by 1000 s -> same amplitudes
+    shifted = rows(batch_periodogram(t0 - 1000.0))
+    for g, s in zip(want, shifted):
+        assert g[:3] == s[:3]
+        assert math.isclose(g[3], s[3], rel_tol=0, abs_tol=2e-6)
+
+    # crash-window replay rewrites identical state + readout
+    SJ.periodogram_commit_batch(batches[2], 2, state, out, t0)
+    assert rows(spark.read.parquet(f"{out}/spectrum_batch=2")) == got

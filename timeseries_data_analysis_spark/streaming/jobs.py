@@ -1411,3 +1411,85 @@ def msprt_commit_batch(batch_df: DataFrame, batch_id: int,
      .parquet(f"{state_path}/state_batch={batch_id}"))
     (msprt_readout(state, tau2=tau2).write.mode("overwrite")
      .parquet(f"{out_path}/monitor_batch={batch_id}"))
+
+
+def periodogram_sink(event_stream: DataFrame, state_path: str,
+                     out_path: str, t0: float,
+                     omegas: dict[int, float] | None = None,
+                     ts_col: str = "ts", value_col: str = "value",
+                     key_col: str = "event_type"):
+    """Streaming spectral monitor — the `foreachBatch` twin of the
+    batch `periodogram` query (`operators/spectral.py`): per-series
+    daily-harmonic amplitudes maintained incrementally.
+
+    The DFT partial sums (n, C_k, S_k) are ADDITIVE sufficient
+    statistics (the `pca_sink` Gramian argument), so each micro-batch
+    is one `dft_partials` aggregation folded into the persisted
+    per-key state by summation; the readout after batch k equals the
+    batch periodogram over the union of batches 1..k up to
+    summation-order ulps. ``t0`` is the FIXED phase origin (streams
+    can't take a data-dependent global min) — amplitudes are
+    phase-invariant, so any origin near the data keeps the readout
+    equal to the batch query's min-origin one (test-asserted).
+
+    Replay safety is single-phase like :func:`pca_sink` /
+    :func:`msprt_sink`: state k = newest committed state with id < k
+    + a deterministic re-aggregation of batch k, so a crash-replay
+    rewrites the identical directory. State is O(|keys|) rows of
+    2·|harmonics|+1 doubles — key-bounded, never event-bounded."""
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        periodogram_commit_batch(batch_df, batch_id, state_path,
+                                 out_path, t0, omegas=omegas,
+                                 ts_col=ts_col, value_col=value_col,
+                                 key_col=key_col)
+
+    return (event_stream.writeStream.foreachBatch(process)
+            .outputMode("update"))
+
+
+def periodogram_commit_batch(batch_df: DataFrame, batch_id: int,
+                             state_path: str, out_path: str, t0: float,
+                             omegas: dict[int, float] | None = None,
+                             ts_col: str = "ts",
+                             value_col: str = "value",
+                             key_col: str = "event_type") -> None:
+    """One micro-batch of :func:`periodogram_sink`, module-level so
+    tests can replay crash windows against it."""
+    from pyspark.errors import AnalysisException
+
+    from ..operators import spectral as SPEC
+
+    if omegas is None:
+        omegas = SPEC.OMEGAS_DAILY
+    spark = batch_df.sparkSession
+    prev = None
+    try:
+        store = spark.read.parquet(state_path)
+        ids = [r["state_batch"] for r in
+               store.select("state_batch").distinct().collect()
+               if r["state_batch"] < batch_id]
+        if ids:
+            prev = (store.where(F.col("state_batch") == max(ids))
+                    .drop("state_batch"))
+    except AnalysisException as exc:
+        msg = str(exc)
+        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+            raise
+
+    base = (batch_df.filter(F.col(value_col).isNotNull())
+            .select(F.col(key_col),
+                    F.col(value_col).alias("_v"),
+                    (F.col(ts_col).cast("double") - F.lit(float(t0)))
+                    .alias("_t")))
+    batch_part = SPEC.dft_partials(base, omegas, key_col=key_col)
+    merged = (batch_part if prev is None
+              else batch_part.unionByName(prev))
+    sum_cols = ["n"] + [c for k in omegas for c in (f"_c{k}", f"_s{k}")]
+    state = (merged.groupBy(key_col)
+             .agg(*[F.sum(c).alias(c) for c in sum_cols])
+             .localCheckpoint())  # state readers must not re-trigger
+    (state.write.mode("overwrite")
+     .parquet(f"{state_path}/state_batch={batch_id}"))
+    (SPEC.dft_amplitudes(state, omegas, key_col=key_col)
+     .write.mode("overwrite")
+     .parquet(f"{out_path}/spectrum_batch={batch_id}"))
