@@ -932,3 +932,16 @@ def test_simhash_dedup_clusters_matches_doc_level(spark):
     assert got == want
     # the three exact dups + the near dup form one cluster rooted at 0
     assert {(0, i, 4) for i in range(4)} <= got
+
+
+def test_pagerank_empty_graph_returns_empty(spark):
+    """A bucket cap can drop EVERY candidate pair (measured at the
+    100x corpus with the gate-sized max_bucket=2 — avg band occupancy
+    ~122 swamps it); pagerank on the resulting empty edge list must
+    return an empty frame, not divide by the zero vertex count."""
+    from timeseries_data_analysis_spark.operators import graph as GR
+
+    edges = spark.createDataFrame([], "id_l bigint, id_r bigint")
+    out = GR.pagerank(edges, iters=2)
+    assert out.columns == ["vertex", "degree", "pr_rel"]
+    assert out.count() == 0

@@ -229,6 +229,12 @@ def pagerank(edges: DataFrame, src: str = "id_l", dst: str = "id_r",
     # degree fused onto edges once: the loop below never re-aggregates it
     sym_w = sym.join(deg, on="a").localCheckpoint()
     n = deg.count()  # scalar vertex count (one action, bounded output)
+    if n == 0:
+        # empty graph (e.g. a bucket cap dropped every candidate pair):
+        # the fixed point is trivially empty — 1/n below would raise
+        return deg.select(F.col("a").alias("vertex"),
+                          F.col("deg").alias("degree"),
+                          F.lit(0.0).alias("pr_rel"))
     ranks = deg.select("a", F.lit(1.0 / n).alias("pr"))
     base = (1.0 - damping) / n
     for _ in range(iters):

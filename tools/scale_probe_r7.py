@@ -63,9 +63,39 @@ DEFAULT_QUERIES = [
 ]
 
 
-def probe_queries(sf_dir: str, names: list[str], trials: int = 2) -> None:
+def _pagerank_capped_prod(spark, sf_dir):
+    """The PRODUCTION-cap form of `pagerank_capped` (max_bucket=1000,
+    SCALE §1i's measured DNF rescue). The registry query pins
+    max_bucket=2 so the cap BITES at gate scale (sf0.01); at the 100×
+    corpus avg 12-bit band occupancy is ~122, so cap=2 drops EVERY
+    bucket and yields the (now gracefully) empty graph — this variant
+    carries the decade evidence for the form a 100 TB run uses."""
+    import __spark_entry__ as m
+    from pyspark.sql import functions as F
+    from timeseries_data_analysis_spark.operators import dedup as DD
+    from timeseries_data_analysis_spark.operators import graph as GR
+    from timeseries_data_analysis_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.simhash_hamming_pairs(docs, n=2, bits=48, bands=4,
+                                     max_hamming=3, hex_digits=12,
+                                     max_bucket=1000)
+    pr = GR.pagerank(pairs, iters=6, damping=0.85)
+    return pr.select(F.col("vertex").alias("doc_id"), "degree",
+                     F.round(F.col("pr_rel") + 1e-9, 4).alias("pr_rel"))
+
+
+EXTRA = {"pagerank_capped_prod": _pagerank_capped_prod}
+
+
+def probe_queries(sf_dir: str, names: list[str],
+                  trials: int | None = None) -> None:
+    # SCALE_TRIALS=1 for the 100x corpus (runs are minutes long and
+    # saturate the host themselves — the round-5 one-shot convention)
+    if trials is None:
+        trials = int(os.environ.get("SCALE_TRIALS", "2"))
     spark = get_spark("scale-probe-r7")
-    qs = entry_mod.queries()
+    qs = dict(entry_mod.queries(), **EXTRA)
     print(f"{'query':26s} {'t_min_s':>9s} {'rows':>12s}  loadavg", flush=True)
     for name in names:
         times = []
