@@ -6058,6 +6058,48 @@ def q_hits_authority(spark: SparkSession, sf: str) -> DataFrame:
             .limit(20))
 
 
+def q_als_rank1(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed matrix factorization — ONE rank-1 ALS round on the
+    customer×supplier interaction matrix (ratings = lineitem counts
+    per pair, exact integers): u(c) = Σr/‖v‖² with v₀=1 (the row
+    mean — an exact rational, identical in both engines), 9-dp
+    quantized (the `ml/logit.QUANT` contract), then v(s) =
+    Σ r·u / Σ u² over each supplier's observed customers. The trained
+    twin of `hits_authority`'s count propagation — HITS weights by
+    graph structure, ALS by least-squares fit — and the scalar seed of
+    the rank-k factorization a recommender would run. Each half-step
+    is one groupBy over the ratings frame (map-side combinable);
+    convergence to the dominant singular vector pair is the power
+    iteration argument. Output: top-20 suppliers by latent factor
+    with fit diagnostics (per-supplier residual RMSE of r − u·v)."""
+    li = load_table(spark, sf, "lineitem").select("l_orderkey",
+                                                  "l_suppkey")
+    od = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    r = (li.join(od, li.l_orderkey == od.o_orderkey)
+         .groupBy(F.col("o_custkey").alias("c"),
+                  F.col("l_suppkey").alias("s"))
+         .agg(F.count(F.lit(1)).alias("r"))
+         .localCheckpoint())  # consumed by both half-steps + residuals
+    u = (r.groupBy("c")
+         .agg(F.round((F.sum("r") / F.count(F.lit(1)))
+                      + F.lit(1e-12), 9).alias("u")))
+    ru = r.join(u, "c")
+    v = (ru.groupBy("s")
+         .agg(F.round((F.sum(F.col("r") * F.col("u"))
+                       / F.sum(F.col("u") * F.col("u")))
+                      + F.lit(1e-12), 9).alias("v"),
+              F.count(F.lit(1)).alias("n_custs")))
+    res = (ru.join(v.select("s", "v"), "s")
+           .groupBy("s")
+           .agg(_r(F.sqrt(F.avg((F.col("r") - F.col("u") * F.col("v"))
+                                * (F.col("r") - F.col("u") * F.col("v")))),
+                   6).alias("rmse")))
+    return (v.join(res, "s")
+            .select(F.col("s").alias("s_suppkey"), "n_custs", "v", "rmse")
+            .orderBy(F.col("v").desc(), "s_suppkey")
+            .limit(20))
+
+
 def q_nb_langid(spark: SparkSession, sf: str) -> DataFrame:
     """TRAINED multinomial naive Bayes language classifier
     (`ml/nb.py`) — the multiclass trained twin of the binary
@@ -6438,10 +6480,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_cost_supplier": q_min_cost_supplier,
         "important_stock": q_important_stock,
         "excess_stock_suppliers": q_excess_stock_suppliers,
-        # --- round-7 analytics additions (slots 65-67) ---
+        # --- round-7 analytics additions (slots 65-68) ---
         "periodogram": q_periodogram,
         "hits_authority": q_hits_authority,
         "nb_langid": q_nb_langid,
+        "als_rank1": q_als_rank1,
         # --- round-6 first batch: driver-green in CORRECTNESS_r06 ---
         "ewma_exact": q_ewma_exact,
         "kll_quantiles": q_kll_quantiles,
@@ -12968,6 +13011,38 @@ def oracle_sql() -> dict[str, str]:
                       + 1e-9, 6) + 0.0) AS authority_rel
         FROM a2 JOIN a1 USING (s)
         ORDER BY authority DESC, s_suppkey
+        LIMIT 20
+    """
+
+    # rank-1 ALS: two alternating half-steps, 9-dp quantized between
+    sql["als_rank1"] = """
+        WITH r AS (
+            SELECT o_custkey AS c, l_suppkey AS s, count(*)::BIGINT AS r
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1, 2
+        ),
+        u AS (
+            SELECT c, round((sum(r)::DOUBLE / count(*)) + 1e-12, 9) AS u
+            FROM r GROUP BY 1
+        ),
+        ru AS (
+            SELECT r.c, r.s, r.r, u.u FROM r JOIN u USING (c)
+        ),
+        v AS (
+            SELECT s,
+                   round((sum(r * u) / sum(u * u)) + 1e-12, 9) AS v,
+                   count(*)::BIGINT AS n_custs
+            FROM ru GROUP BY 1
+        ),
+        res AS (
+            SELECT ru.s,
+                   (round(sqrt(avg((r - u * v) * (r - u * v)))
+                          + 1e-9, 6) + 0.0) AS rmse
+            FROM ru JOIN v USING (s) GROUP BY 1
+        )
+        SELECT v.s AS s_suppkey, n_custs, v, rmse
+        FROM v JOIN res USING (s)
+        ORDER BY v DESC, s_suppkey
         LIMIT 20
     """
 
