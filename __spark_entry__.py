@@ -6100,6 +6100,52 @@ def q_als_rank1(spark: SparkSession, sf: str) -> DataFrame:
             .limit(20))
 
 
+def q_silhouette_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette over the IVF family's
+    deterministic seed centroids — the CLUSTER-QUALITY evaluator the
+    k-means family lacked: per vector, a = cosine distance to its own
+    centroid, b = distance to the nearest OTHER centroid, s =
+    (b−a)/max(a,b); reported as per-cluster means with cohesion. The
+    simplified form replaces silhouette's O(N²) pairwise distances
+    with the N×K centroid scoring join the IVF family already uses —
+    the only formulation that survives 100 TB (full silhouette is an
+    all-pairs matrix). Top-2 ranking reuses `kmeans_step`'s exact
+    argmin contract (raw cosine, centroid_id tiebreak — the ordering
+    the oracle replays with list_cosine_similarity); the averaged
+    sims absorb cross-libm ulps in the 6-dp round."""
+    emb = (load_table(spark, sf, "embeddings")
+           .withColumn("embedding", F.col("embedding")
+                       .cast("array<double>")))
+    cent = SIM.dense_seed_ids(
+        emb.filter(F.col("vec_id") % 31 == 0)
+        .select("vec_id", F.col("embedding").alias("centroid")),
+        "vec_id", 16, "centroid_id", "centroid")
+    v = (emb.select("vec_id", F.col("embedding").alias("_v"))
+         .withColumn("_vn", SIM.l2_norm(F.col("_v"))))
+    c = F.broadcast(cent.withColumn("_cn", SIM.l2_norm(F.col("centroid"))))
+    den = F.col("_vn") * F.col("_cn")
+    scored = v.crossJoin(c).select(
+        "vec_id", "centroid_id",
+        F.when(den > 0, SIM.dot(F.col("_v"), F.col("centroid")) / den)
+        .otherwise(F.lit(0.0)).alias("_csim"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("_csim").desc(),
+                                             "centroid_id")
+    top2 = (scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= 2))
+    per = top2.groupBy("vec_id").agg(
+        F.max(F.when(F.col("_rk") == 1, F.col("centroid_id"))).alias("_own"),
+        F.max(F.when(F.col("_rk") == 1, F.col("_csim"))).alias("_a"),
+        F.max(F.when(F.col("_rk") == 2, F.col("_csim"))).alias("_b"))
+    da = F.lit(1.0) - F.col("_a")
+    db = F.lit(1.0) - F.col("_b")
+    s = F.when(F.greatest(da, db) > 0, (db - da) / F.greatest(da, db))
+    return (per.groupBy(F.col("_own").alias("centroid_id"))
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 _r(F.avg(s), 6).alias("silhouette"),
+                 _r(F.avg("_a"), 6).alias("cohesion"))
+            .orderBy("centroid_id"))
+
+
 def q_nb_langid(spark: SparkSession, sf: str) -> DataFrame:
     """TRAINED multinomial naive Bayes language classifier
     (`ml/nb.py`) — the multiclass trained twin of the binary
@@ -6480,11 +6526,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_cost_supplier": q_min_cost_supplier,
         "important_stock": q_important_stock,
         "excess_stock_suppliers": q_excess_stock_suppliers,
-        # --- round-7 analytics additions (slots 65-68) ---
+        # --- round-7 analytics additions (slots 65-69) ---
         "periodogram": q_periodogram,
         "hits_authority": q_hits_authority,
         "nb_langid": q_nb_langid,
         "als_rank1": q_als_rank1,
+        "silhouette_audit": q_silhouette_audit,
         # --- round-6 first batch: driver-green in CORRECTNESS_r06 ---
         "ewma_exact": q_ewma_exact,
         "kll_quantiles": q_kll_quantiles,
@@ -13012,6 +13059,46 @@ def oracle_sql() -> dict[str, str]:
         FROM a2 JOIN a1 USING (s)
         ORDER BY authority DESC, s_suppkey
         LIMIT 20
+    """
+
+    # simplified silhouette over the IVF seed centroids
+    sql["silhouette_audit"] = """
+        WITH cent AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+                   embedding::DOUBLE[] AS centroid
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 16)
+        ), scored AS (
+            SELECT e.vec_id, c.centroid_id,
+                   CASE WHEN list_dot_product(e.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[]) = 0
+                          OR list_dot_product(c.centroid, c.centroid) = 0
+                        THEN 0.0
+                        ELSE list_cosine_similarity(
+                            e.embedding::DOUBLE[], c.centroid)
+                   END AS csim
+            FROM embeddings e CROSS JOIN cent c
+        ), top2 AS (
+            SELECT vec_id, centroid_id, csim, rk FROM (
+                SELECT vec_id, centroid_id, csim,
+                       row_number() OVER (PARTITION BY vec_id
+                           ORDER BY csim DESC, centroid_id) AS rk
+                FROM scored)
+            WHERE rk <= 2
+        ), per AS (
+            SELECT vec_id,
+                   max(CASE WHEN rk = 1 THEN centroid_id END) AS own,
+                   max(CASE WHEN rk = 1 THEN csim END) AS a,
+                   max(CASE WHEN rk = 2 THEN csim END) AS b
+            FROM top2 GROUP BY 1
+        )
+        SELECT own AS centroid_id, count(*)::BIGINT AS n_vecs,
+               (round(avg(CASE WHEN greatest(1.0 - a, 1.0 - b) > 0
+                          THEN ((1.0 - b) - (1.0 - a))
+                               / greatest(1.0 - a, 1.0 - b) END)
+                      + 1e-9, 6) + 0.0) AS silhouette,
+               (round(avg(a) + 1e-9, 6) + 0.0) AS cohesion
+        FROM per GROUP BY 1
     """
 
     # rank-1 ALS: two alternating half-steps, 9-dp quantized between

@@ -211,7 +211,8 @@ def main() -> None:
                  "promo_revenue_share", "large_volume_customers",
                  "waiting_suppliers", "min_cost_supplier",
                  "important_stock", "excess_stock_suppliers",
-                 "periodogram", "hits_authority", "nb_langid", "als_rank1"):
+                 "periodogram", "hits_authority", "nb_langid", "als_rank1",
+                 "silhouette_audit"):
         r7[name] = timed(name)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
