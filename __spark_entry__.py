@@ -6512,8 +6512,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bracketed_revenue": q_bracketed_revenue,
         # --- round-7 additions (slots 53-64): the remaining 12 TPC-H
         #     shapes — the full 22-shape suite. Never driver-checked;
-        #     they queue directly behind the slot-51/52 spill so round
-        #     8's window reaches all 14 in order. ---
+        #     together with the slot-51/52 spill and the analytics
+        #     additions at 65-69 they form round 8's evidence queue:
+        #     19 never-checked rows, front-load them into round 8's
+        #     50-row window (move the round-6 rows greened by
+        #     CORRECTNESS_r07 behind them). ---
         "discounted_revenue": q_discounted_revenue,
         "nation_trade_volume": q_nation_trade_volume,
         "market_share": q_market_share,
