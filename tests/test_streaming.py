@@ -1105,3 +1105,38 @@ def test_periodogram_sink_matches_batch_and_replay(spark, sf_dir, tmp_path):
     # crash-window replay rewrites identical state + readout
     SJ.periodogram_commit_batch(batches[2], 2, state, out, t0)
     assert rows(spark.read.parquet(f"{out}/spectrum_batch=2")) == got
+
+
+def test_periodogram_sink_prune_then_replay(spark, sf_dir, tmp_path):
+    """prune_state_dirs is the shared retention for every
+    state_batch= sink: after pruning to keep_last=2, a crash-replay of
+    the NEWEST batch (which reads its predecessor) must still rewrite
+    identical state and readout for the spectral sink."""
+    from pyspark.sql import functions as F
+    from timeseries_data_analysis_spark.sources import load_table
+    from timeseries_data_analysis_spark.streaming import jobs as SJ
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(F.unix_timestamp(F.min("ts")).alias("mn"),
+               F.unix_timestamp(F.max("ts")).alias("mx")).collect()[0]
+    t0 = float(b["mn"])
+    cut1 = b["mn"] + (b["mx"] - b["mn"]) // 3
+    cut2 = b["mn"] + 2 * (b["mx"] - b["mn"]) // 3
+    sec = F.unix_timestamp("ts")
+    batches = [ev.filter(sec <= cut1),
+               ev.filter((sec > cut1) & (sec <= cut2)),
+               ev.filter(sec > cut2)]
+    state = str(tmp_path / "pgp_state")
+    out = str(tmp_path / "pgp_out")
+    for bid, bdf in enumerate(batches):
+        SJ.periodogram_commit_batch(bdf, bid, state, out, t0)
+    got = sorted(map(tuple, spark.read.parquet(
+        f"{out}/spectrum_batch=2").collect()))
+
+    deleted = SJ.prune_state_dirs(spark, state, keep_last=2)
+    assert deleted == [0]
+    # replay of the newest batch reads state_batch=1, still present
+    SJ.periodogram_commit_batch(batches[2], 2, state, out, t0)
+    again = sorted(map(tuple, spark.read.parquet(
+        f"{out}/spectrum_batch=2").collect()))
+    assert again == got

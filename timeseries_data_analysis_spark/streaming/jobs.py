@@ -947,13 +947,16 @@ def stream_stream_interval_join(clicks: DataFrame, purchases: DataFrame,
 
 def prune_state_dirs(spark: SparkSession, state_path: str,
                      keep_last: int = 3) -> list[int]:
-    """Retention for the single-phase sketch sinks (`heavy_hitters_sink`,
-    `quantile_sketch_sink`): drop all but the newest ``keep_last``
-    ``state_batch=<id>`` directories. The newest dir is all a reader
-    ever needs; older dirs exist only as a time-travel audit and as the
-    crash-replay predecessor, so ``keep_last`` must be ≥ 2 (the replay
-    of batch N reads the newest id < N). Uses the Hadoop FileSystem API,
-    so it works on any storage scheme the session can reach.
+    """Retention for EVERY single-phase ``state_batch=<id>`` sink —
+    `heavy_hitters_sink`, `quantile_sketch_sink`, `hll_sink`,
+    `pca_sink`, `msprt_sink`, `periodogram_sink` all share the layout
+    and the contract: drop all but the newest ``keep_last``
+    directories. The newest dir is all a reader ever needs; older dirs
+    exist only as a time-travel audit and as the crash-replay
+    predecessor, so ``keep_last`` must be ≥ 2 (the replay of batch N
+    reads the newest id < N — prune-then-replay is test-pinned for the
+    sketch and spectral sinks). Uses the Hadoop FileSystem API, so it
+    works on any storage scheme the session can reach.
 
     Returns the batch ids it deleted (sorted).
     """
