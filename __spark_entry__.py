@@ -5565,6 +5565,21 @@ def q_idle_rich_customers(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("c_nationkey"))
 
 
+def _supplycost(partkey_col: str, suppkey_col: str):
+    """The derived supplycost as a PURE function of a (part, supplier)
+    pair: p_retailprice · (0.4 + 0.5·hash_frac('sc|pk|sk')). ONE
+    definition shared by `_partsupp` (Q2/Q11/Q20's stock views) and
+    `q_product_type_profit` (Q9's per-line profit), so the documented
+    mutual-consistency invariant cannot drift between copies. Requires
+    `p_retailprice` in scope; no internal rounding (pure IEEE — the
+    identical parse tree gives identical doubles in both engines)."""
+    key = F.concat_ws("|", F.col(partkey_col).cast("string"),
+                      F.col(suppkey_col).cast("string"))
+    return (F.col("p_retailprice")
+            * (F.lit(0.4) + F.lit(0.5)
+               * SK.hash_frac(F.concat(F.lit("sc|"), key))))
+
+
 def _partsupp(spark: SparkSession, sf: str) -> DataFrame:
     """Derived PARTSUPP for the TPC-H Q2/Q11/Q20 shapes.
 
@@ -5595,9 +5610,7 @@ def _partsupp(spark: SparkSession, sf: str) -> DataFrame:
                 "ps_partkey", "ps_suppkey",
                 (1 + F.floor(SK.hash_frac(F.concat(F.lit("aq|"), key))
                              * 1000)).cast("bigint").alias("ps_availqty"),
-                (F.col("p_retailprice")
-                 * (F.lit(0.4) + F.lit(0.5)
-                    * SK.hash_frac(F.concat(F.lit("sc|"), key))))
+                _supplycost("ps_partkey", "ps_suppkey")
                 .alias("ps_supplycost")))
 
 
@@ -5724,13 +5737,9 @@ def q_product_type_profit(spark: SparkSession, sf: str) -> DataFrame:
     supp = load_table(spark, sf, "supplier").select("s_suppkey",
                                                     "s_nationkey")
     nat = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
-    key = F.concat_ws("|", F.col("l_partkey").cast("string"),
-                      F.col("l_suppkey").cast("string"))
-    supplycost = (F.col("p_retailprice")
-                  * (F.lit(0.4) + F.lit(0.5)
-                     * SK.hash_frac(F.concat(F.lit("sc|"), key))))
     profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
-              - supplycost * F.col("l_quantity"))
+              - _supplycost("l_partkey", "l_suppkey")
+              * F.col("l_quantity"))
     return (li.join(part, li.l_partkey == part.p_partkey)
             .join(orders, li.l_orderkey == orders.o_orderkey)
             .join(supp, li.l_suppkey == supp.s_suppkey)

@@ -48,7 +48,23 @@ def test_gate_window_matches_documented_rotation():
 def test_registry_and_oracles_are_bijective():
     qs = entry_mod.queries()
     osql = entry_mod.oracle_sql()
-    assert len(qs) == len(set(qs)) >= 251
+    assert len(qs) >= 251
     # every query has a value-level oracle and vice versa — no weaker
     # rows-only checks hiding in the registry
     assert set(qs) == set(osql)
+
+
+def test_no_duplicate_keys_in_registry_source():
+    """A dict literal silently keeps the LAST binding of a duplicated
+    key, shrinking the registry by one and shifting every later gate
+    slot — the silent reorder this file exists to catch. A dict-level
+    uniqueness check is a tautology, so count the quoted keys in the
+    SOURCE of queries() instead."""
+    import inspect
+    import re
+
+    src = inspect.getsource(entry_mod.queries)
+    keys = re.findall(r'^\s+"([a-z0-9_]+)":\s*q_', src, re.MULTILINE)
+    assert len(keys) == len(set(keys)), sorted(
+        k for k in set(keys) if keys.count(k) > 1)
+    assert len(keys) == len(entry_mod.queries())

@@ -70,7 +70,6 @@ def _pagerank_capped_prod(spark, sf_dir):
     corpus avg 12-bit band occupancy is ~122, so cap=2 drops EVERY
     bucket and yields the (now gracefully) empty graph — this variant
     carries the decade evidence for the form a 100 TB run uses."""
-    import __spark_entry__ as m
     from pyspark.sql import functions as F
     from timeseries_data_analysis_spark.operators import dedup as DD
     from timeseries_data_analysis_spark.operators import graph as GR
