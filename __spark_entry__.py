@@ -6109,6 +6109,29 @@ def q_als_rank1(spark: SparkSession, sf: str) -> DataFrame:
             .limit(20))
 
 
+def q_ppr_trust(spark: SparkSession, sf: str) -> DataFrame:
+    """PERSONALIZED PageRank over the `max_bucket`-capped 48-bit
+    near-dup pair graph (`graph.personalized_pagerank`): restart mass
+    only on the seed subset (doc_id % 3 == 0 — a deterministic 'vetted
+    third'), 3 power rounds — the trust-propagation / contamination-
+    spread readout (how close does every document sit to the vetted
+    set in near-dup space?). The scale property is SPARSITY: mass
+    lives within 3 hops of the seeds, so the per-round frontier is
+    seed-neighborhood-bounded, not |V|-bounded — the global pagerank's
+    |V|-row iteration state never materializes. The oracle unrolls
+    all 3 rounds over the same capped pair chain (cap semantics
+    included), full-join restart vector and all."""
+    docs = load_table(spark, sf, "documents")
+    pairs = DD.simhash_hamming_pairs(docs, n=2, bits=48, bands=4,
+                                     max_hamming=3, hex_digits=12,
+                                     max_bucket=2)
+    seeds = (docs.select("doc_id")
+             .filter(F.col("doc_id") % 3 == 0))
+    out = GR.personalized_pagerank(pairs, seeds, iters=3)
+    return out.select(F.col("vertex").alias("doc_id"), "degree",
+                      "is_seed", _r(F.col("ppr"), 6).alias("ppr"))
+
+
 def q_silhouette_audit(spark: SparkSession, sf: str) -> DataFrame:
     """Simplified (centroid-based) silhouette over the IVF family's
     deterministic seed centroids — the CLUSTER-QUALITY evaluator the
@@ -6538,12 +6561,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_cost_supplier": q_min_cost_supplier,
         "important_stock": q_important_stock,
         "excess_stock_suppliers": q_excess_stock_suppliers,
-        # --- round-7 analytics additions (slots 65-69) ---
+        # --- round-7 analytics additions (slots 65-70) ---
         "periodogram": q_periodogram,
         "hits_authority": q_hits_authority,
         "nb_langid": q_nb_langid,
         "als_rank1": q_als_rank1,
         "silhouette_audit": q_silhouette_audit,
+        "ppr_trust": q_ppr_trust,
         # --- round-6 first batch: driver-green in CORRECTNESS_r06 ---
         "ewma_exact": q_ewma_exact,
         "kll_quantiles": q_kll_quantiles,
@@ -10340,6 +10364,65 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.a AS doc_id, d.deg AS degree,
                (round(r.pr * n.nn + 1e-9, 4) + 0.0) AS pr_rel
         FROM r6 r JOIN degpr d ON d.a = r.a, npr n
+    """
+
+    # personalized pagerank: the SAME capped pair chain, restart mass
+    # on the doc_id%3==0 seed subset, 3 unrolled rounds with the
+    # full-join restart vector (MATERIALIZED: sympr/degpr are re-read
+    # every round — the modularity CTE-inlining lesson)
+    ppr_iters = []
+    for k in range(1, 4):
+        ppr_iters.append(f"""mp{k} AS MATERIALIZED (
+            SELECT s.b AS a, sum(p.pr / d.deg) AS m
+            FROM symp s
+            JOIN pp{k - 1} p ON p.a = s.a
+            JOIN degp d ON d.a = s.a
+            GROUP BY 1
+        ), pp{k} AS MATERIALIZED (
+            SELECT coalesce(e2.a, m.a) AS a,
+                   (1.0 - 0.85) * coalesce(e2.ev, 0.0)
+                   + 0.85 * coalesce(m.m, 0.0) AS pr
+            FROM evp e2 FULL JOIN mp{k} m ON e2.a = m.a
+        )""")
+    sql["ppr_trust"] = f"""
+        WITH {simhash48_ctes},
+        bszp AS (
+            SELECT band, chunk, count(*) AS bn
+            FROM chunks48 GROUP BY 1, 2
+        ), capp AS MATERIALIZED (
+            SELECT c.doc_id, c.f, c.band, c.chunk
+            FROM chunks48 c JOIN bszp USING (band, chunk)
+            WHERE bszp.bn <= 2
+        ), spp AS MATERIALIZED (
+            SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+                   min(bit_count(xor(a.f, b.f)))::BIGINT AS hamming
+            FROM capp a
+            JOIN capp b ON a.band = b.band AND a.chunk = b.chunk
+                       AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING min(bit_count(xor(a.f, b.f))) <= 3
+        ),
+        symp AS MATERIALIZED (
+            SELECT id_l AS a, id_r AS b FROM spp
+            UNION ALL
+            SELECT id_r AS a, id_l AS b FROM spp
+        ),
+        degp AS MATERIALIZED (
+            SELECT a, count(*)::BIGINT AS deg FROM symp GROUP BY 1
+        ),
+        ep AS (SELECT a FROM degp WHERE a % 3 = 0),
+        nsp AS (SELECT count(*)::DOUBLE AS ns FROM ep),
+        evp AS MATERIALIZED (
+            SELECT a, 1.0 / n.ns AS ev FROM ep, nsp n
+        ),
+        pp0 AS (SELECT a, ev AS pr FROM evp),
+        {", ".join(ppr_iters)}
+        SELECT p.a AS doc_id, d.deg AS degree,
+               (e3.a IS NOT NULL) AS is_seed,
+               (round(p.pr + 1e-9, 6) + 0.0) AS ppr
+        FROM pp3 p
+        JOIN degp d ON d.a = p.a
+        LEFT JOIN ep e3 ON e3.a = p.a
     """
 
     # trend: regr_* aggregates exist in both engines with the same

