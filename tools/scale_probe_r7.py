@@ -60,6 +60,11 @@ DEFAULT_QUERIES = [
     "product_type_profit", "late_line_priority", "custdist",
     "promo_revenue_share", "large_volume_customers", "waiting_suppliers",
     "min_cost_supplier", "important_stock", "excess_stock_suppliers",
+    # analytics additions: one combinable-agg DFT (scan-linear), N×K
+    # broadcast silhouette, explode-scan NB, edge-agg ALS/HITS, and
+    # seeded PPR riding the same capped pair build as pagerank_capped
+    "periodogram", "hits_authority", "nb_langid", "als_rank1",
+    "silhouette_audit", "ppr_trust",
 ]
 
 
