@@ -6132,6 +6132,31 @@ def q_ppr_trust(spark: SparkSession, sf: str) -> DataFrame:
                       "is_seed", _r(F.col("ppr"), 6).alias("ppr"))
 
 
+def q_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
+    """Adamic-Adar link prediction (`graph.adamic_adar`) over the
+    16-bit SimHash pair graph (the `triangle_stats` demo graph —
+    dense enough at gate scale to leave OPEN wedges; the capped
+    48-bit graph is clique-shaped there, every wedge closes): score
+    every non-adjacent pair sharing a neighbor by Σ 1/ln(deg z) —
+    "which near-dup links did the banding miss?", the
+    graph-completion counterpart of `ppr_trust`'s propagation
+    readout. Wedge self-join + LEFT ANTI vs existing edges, both
+    ids-only; wedge volume is Σ deg², the census family's documented
+    skew surface — at production scale this runs on the CAPPED graph
+    where deg is bounded. Top 20 by score with exact-integer
+    n_common and full tiebreak; score rounded at 6 dp (sums of
+    1/ln(int) — identical doubles both engines, only summation order
+    varies)."""
+    docs = load_table(spark, sf, "documents")
+    pairs = DD.simhash_hamming_pairs(docs, n=2, bits=16, bands=4,
+                                     max_hamming=3)
+    aa = GR.adamic_adar(pairs)
+    return (aa.select("id_l", "id_r", "n_common",
+                      _r(F.col("aa_score"), 6).alias("aa_score"))
+            .orderBy(F.col("aa_score").desc(), "id_l", "id_r")
+            .limit(20))
+
+
 def q_silhouette_audit(spark: SparkSession, sf: str) -> DataFrame:
     """Simplified (centroid-based) silhouette over the IVF family's
     deterministic seed centroids — the CLUSTER-QUALITY evaluator the
@@ -6561,13 +6586,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_cost_supplier": q_min_cost_supplier,
         "important_stock": q_important_stock,
         "excess_stock_suppliers": q_excess_stock_suppliers,
-        # --- round-7 analytics additions (slots 65-70) ---
+        # --- round-7 analytics additions (slots 65-71) ---
         "periodogram": q_periodogram,
         "hits_authority": q_hits_authority,
         "nb_langid": q_nb_langid,
         "als_rank1": q_als_rank1,
         "silhouette_audit": q_silhouette_audit,
         "ppr_trust": q_ppr_trust,
+        "link_prediction": q_link_prediction,
         # --- round-6 first batch: driver-green in CORRECTNESS_r06 ---
         "ewma_exact": q_ewma_exact,
         "kll_quantiles": q_kll_quantiles,
@@ -10423,6 +10449,47 @@ def oracle_sql() -> dict[str, str]:
         FROM pp3 p
         JOIN degp d ON d.a = p.a
         LEFT JOIN ep e3 ON e3.a = p.a
+    """
+
+    # Adamic-Adar link prediction over the 16-bit demo pair chain
+    # (sp — the triangle_stats graph): wedge self-join through the
+    # shared neighbor, anti existing edges
+    sql["link_prediction"] = f"""
+        WITH {simhash_ctes},
+        syml AS MATERIALIZED (
+            SELECT least(id_l, id_r) AS a, greatest(id_l, id_r) AS b
+            FROM sp WHERE id_l <> id_r GROUP BY 1, 2
+        ),
+        symb AS MATERIALIZED (
+            SELECT a, b FROM syml
+            UNION ALL
+            SELECT b AS a, a AS b FROM syml
+        ),
+        degl AS MATERIALIZED (
+            SELECT a, count(*)::BIGINT AS deg FROM symb GROUP BY 1
+        ),
+        wed AS (
+            SELECT w1.b AS u, w2.b AS v, d.deg AS zdeg
+            FROM symb w1
+            JOIN symb w2 ON w1.a = w2.a AND w1.b < w2.b
+            JOIN degl d ON d.a = w1.a
+            WHERE d.deg > 1
+        ),
+        cand AS (
+            SELECT u, v, count(*)::BIGINT AS n_common,
+                   sum(1.0 / ln(zdeg)) AS aa
+            FROM wed GROUP BY 1, 2
+        ),
+        ex AS (
+            SELECT a AS u, b AS v FROM syml
+        )
+        SELECT u AS id_l, v AS id_r, n_common,
+               (round(aa + 1e-9, 6) + 0.0) AS aa_score
+        FROM cand
+        WHERE NOT EXISTS (SELECT 1 FROM ex
+                          WHERE ex.u = cand.u AND ex.v = cand.v)
+        ORDER BY aa_score DESC, id_l, id_r
+        LIMIT 20
     """
 
     # trend: regr_* aggregates exist in both engines with the same

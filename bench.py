@@ -212,7 +212,8 @@ def main() -> None:
                  "waiting_suppliers", "min_cost_supplier",
                  "important_stock", "excess_stock_suppliers",
                  "periodogram", "hits_authority", "nb_langid", "als_rank1",
-                 "silhouette_audit", "ppr_trust"):
+                 "silhouette_audit", "ppr_trust",
+                 "link_prediction"):
         r7[name] = timed(name)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

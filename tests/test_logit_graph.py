@@ -305,3 +305,31 @@ def test_benchmark_guard_null_vector_lands_in_quarantine(spark, tmp_path):
     scores = {r["doc_id"]: r["_bench_cos"] for r in quar.collect()}
     assert scores[5] is None and scores[7] is None
     assert scores[2] > 0.999
+
+
+def test_adamic_adar_semantics(spark):
+    """Path 1-2-3: the single open wedge (1,3) scores 1/ln(deg 2)=1/ln 2;
+    adding edge 1-3 closes it and the prediction set empties; degree-1
+    witnesses contribute nothing (ln 1 = 0 guard)."""
+    import math
+
+    from timeseries_data_analysis_spark.operators import graph as GR
+
+    path = spark.createDataFrame([(1, 2), (2, 3)], "id_l bigint, id_r bigint")
+    out = GR.adamic_adar(path).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.id_l, r.id_r, r.n_common) == (1, 3, 1)
+    assert abs(r.aa_score - 1.0 / math.log(2)) < 1e-12
+
+    tri = spark.createDataFrame([(1, 2), (2, 3), (1, 3)],
+                                "id_l bigint, id_r bigint")
+    assert GR.adamic_adar(tri).count() == 0
+
+    # star 1-2, 1-3 with a pendant 4-5: wedge (2,3) via hub 1 only;
+    # the degree-1 witnesses on the pendant edge yield no predictions
+    star = spark.createDataFrame([(1, 2), (1, 3), (4, 5)],
+                                 "id_l bigint, id_r bigint")
+    got = {(r.id_l, r.id_r): r.aa_score for r in GR.adamic_adar(star).collect()}
+    assert set(got) == {(2, 3)}
+    assert abs(got[(2, 3)] - 1.0 / math.log(2)) < 1e-12

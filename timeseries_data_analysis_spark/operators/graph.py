@@ -309,6 +309,47 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
                     F.col("pr").alias("ppr")))
 
 
+def adamic_adar(edges: DataFrame, src: str = "id_l",
+                dst: str = "id_r") -> DataFrame:
+    """Adamic-Adar link prediction on the UNDIRECTED pair graph:
+    for every NON-adjacent pair (u, v) sharing ≥1 neighbor, score
+    AA(u,v) = Σ_{z ∈ N(u)∩N(v)} 1/ln(deg z) — the classic
+    graph-completion signal (which near-dup links did banding miss?
+    which co-purchase edge comes next?). Computed as a wedge self-join
+    through the shared neighbor (u < v kept once), minus existing
+    edges via a LEFT ANTI join — both ids-only shuffles, so the cost
+    driver is the wedge count Σ_z deg(z)², the same skew surface the
+    triangle census documents: on capped/banded graphs deg is
+    cap-bounded, which is what makes this runnable at corpus scale.
+    ln(deg) term: degree-1 shared neighbors (ln 1 = 0) are excluded
+    from the sum on BOTH engines (a 1/0 would poison the score);
+    a pair whose every witness has degree 1 simply never appears.
+    Returns ``(id_l, id_r, n_common, aa_score)``."""
+    sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .union(edges.select(F.col(dst).alias("a"),
+                               F.col(src).alias("b"))))
+    sym = sym.localCheckpoint()
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    # wedges u - z - v with u < v; z carries its degree
+    zw = (sym.select(F.col("a").alias("z"), F.col("b").alias("u"))
+          .join(deg.select(F.col("a").alias("z"),
+                           F.col("deg").alias("zdeg")), on="z"))
+    wedges = (zw.join(sym.select(F.col("a").alias("z"),
+                                 F.col("b").alias("v")), on="z")
+              .filter(F.col("u") < F.col("v"))
+              .filter(F.col("zdeg") > 1))
+    cand = (wedges.groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("n_common"),
+                 F.sum(F.lit(1.0) / F.log(F.col("zdeg")))
+                 .alias("aa_score")))
+    existing = (sym.filter(F.col("a") < F.col("b"))
+                .select(F.col("a").alias("u"), F.col("b").alias("v"))
+                .distinct())
+    return (cand.join(existing, on=["u", "v"], how="left_anti")
+            .select(F.col("u").alias("id_l"), F.col("v").alias("id_r"),
+                    "n_common", "aa_score"))
+
+
 def triangle_stats(edges: DataFrame, src: str = "id_l",
                    dst: str = "id_r",
                    orientation: str = "id") -> DataFrame:
