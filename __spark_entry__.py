@@ -6142,15 +6142,21 @@ def q_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
     graph-completion counterpart of `ppr_trust`'s propagation
     readout. Wedge self-join + LEFT ANTI vs existing edges, both
     ids-only; wedge volume is Σ deg², the census family's documented
-    skew surface — at production scale this runs on the CAPPED graph
-    where deg is bounded. Top 20 by score with exact-integer
-    n_common and full tiebreak; score rounded at 6 dp (sums of
-    1/ln(int) — identical doubles both engines, only summation order
-    varies)."""
+    skew surface — `max_degree=16` is the skew cap (the
+    `max_bucket`/`max_posting` rule), ORACLE-VERIFIED here exactly as
+    `pagerank_capped` verifies its bucket cap: sized to BITE at gate
+    scale (sf0.01: candidates 8597 → 7895, max observed deg 22), and
+    it is the measured rescue for the 10× clone graph's wedge
+    explosion, which DNF'd the uncapped join on shuffle-spill disk
+    (SCALE §1l). Hub witnesses carry near-zero AA signal anyway —
+    1/ln(deg) shrinks exactly as the wedge count explodes. Top 20 by
+    score with exact-integer n_common and full tiebreak; score
+    rounded at 6 dp (sums of 1/ln(int) — identical doubles both
+    engines, only summation order varies)."""
     docs = load_table(spark, sf, "documents")
     pairs = DD.simhash_hamming_pairs(docs, n=2, bits=16, bands=4,
                                      max_hamming=3)
-    aa = GR.adamic_adar(pairs)
+    aa = GR.adamic_adar(pairs, max_degree=16)
     return (aa.select("id_l", "id_r", "n_common",
                       _r(F.col("aa_score"), 6).alias("aa_score"))
             .orderBy(F.col("aa_score").desc(), "id_l", "id_r")
@@ -10473,7 +10479,7 @@ def oracle_sql() -> dict[str, str]:
             FROM symb w1
             JOIN symb w2 ON w1.a = w2.a AND w1.b < w2.b
             JOIN degl d ON d.a = w1.a
-            WHERE d.deg > 1
+            WHERE d.deg > 1 AND d.deg <= 16
         ),
         cand AS (
             SELECT u, v, count(*)::BIGINT AS n_common,
