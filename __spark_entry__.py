@@ -4693,6 +4693,28 @@ def q_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
     return SURV.km_curve(subj)
 
 
+def q_nelson_aalen(spark: SparkSession, sf: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard (`survival.na_cumhazard`) — the
+    hazard-scale twin of `kaplan_meier` on the SAME subject table
+    (time to first 'error', horizon-censored): H(t) = Σ dᵢ/nᵢ with
+    the Klein variance Σ dᵢ/nᵢ². Pure rational increments — no ln —
+    so the only cross-engine surface is cumulative summation order
+    (6-dp round). Same bounded-window contract: the windows run over
+    the calendar-bounded duration-level table, never the fact rows."""
+    ev = load_table(spark, sf, "events").filter(F.col("user_id").isNotNull())
+    hour = F.floor(F.unix_timestamp(F.col("ts")) / 3600)
+    span = (ev.groupBy("user_id")
+            .agg(F.min(hour).alias("_first"),
+                 F.min(F.when(F.col("event_type") == "error", hour))
+                 .alias("_err")))
+    horizon = ev.agg(F.max(hour).alias("_end"))
+    subj = (span.crossJoin(F.broadcast(horizon))
+            .select((F.coalesce("_err", "_end") - F.col("_first"))
+                    .alias("duration"),
+                    F.col("_err").isNotNull().cast("int").alias("observed")))
+    return SURV.na_cumhazard(subj)
+
+
 def q_bloom_prejoin(spark: SparkSession, sf: str) -> DataFrame:
     """Runtime-filter join: orders of high-balance customers, with the
     probe side pre-filtered through a broadcast Bloom bitset
@@ -6592,7 +6614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_cost_supplier": q_min_cost_supplier,
         "important_stock": q_important_stock,
         "excess_stock_suppliers": q_excess_stock_suppliers,
-        # --- round-7 analytics additions (slots 65-71) ---
+        # --- round-7 analytics additions (slots 65-72) ---
         "periodogram": q_periodogram,
         "hits_authority": q_hits_authority,
         "nb_langid": q_nb_langid,
@@ -6600,6 +6622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "silhouette_audit": q_silhouette_audit,
         "ppr_trust": q_ppr_trust,
         "link_prediction": q_link_prediction,
+        "nelson_aalen": q_nelson_aalen,
         # --- round-6 first batch: driver-green in CORRECTNESS_r06 ---
         "ewma_exact": q_ewma_exact,
         "kll_quantiles": q_kll_quantiles,
@@ -12163,6 +12186,52 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT duration, n_risk, n_events, n_censored, survival
         FROM surv WHERE n_events > 0 ORDER BY duration
+    """
+
+    # Nelson-Aalen: same subject table as kaplan_meier, cumulative
+    # rational sums instead of the ln product
+    sql["nelson_aalen"] = """
+        WITH hrs AS (
+            SELECT user_id, event_type,
+                   floor(epoch(ts) / 3600)::BIGINT AS h
+            FROM events WHERE user_id IS NOT NULL
+        ), subj AS (
+            SELECT user_id, min(h) AS f,
+                   min(CASE WHEN event_type = 'error' THEN h END) AS err
+            FROM hrs GROUP BY 1
+        ), horizon AS (
+            SELECT max(h) AS e FROM hrs
+        ), d AS (
+            SELECT coalesce(err, e) - f AS duration,
+                   CASE WHEN err IS NOT NULL THEN 1 ELSE 0 END AS observed
+            FROM subj, horizon
+        ), per_t AS (
+            SELECT duration, sum(observed)::BIGINT AS n_events,
+                   sum(1 - observed)::BIGINT AS n_censored,
+                   count(*)::BIGINT AS n
+            FROM d GROUP BY 1
+        ), ar AS (
+            SELECT *, sum(n) OVER (ORDER BY duration DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                AS n_risk
+            FROM per_t
+        ), haz AS (
+            SELECT *,
+                   (round(sum(n_events * 1.0 / n_risk)
+                        OVER (ORDER BY duration
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) + 1e-9, 6) + 0.0)
+                       AS cum_hazard,
+                   (round(sum(n_events * 1.0 / (n_risk * n_risk))
+                        OVER (ORDER BY duration
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) + 1e-9, 6) + 0.0)
+                       AS var_hazard
+            FROM ar
+        )
+        SELECT duration, n_risk, n_events, n_censored,
+               cum_hazard, var_hazard
+        FROM haz WHERE n_events > 0 ORDER BY duration
     """
 
     # Bloom prejoin: the oracle is the PLAIN semi-join — the bloom pass

@@ -213,7 +213,7 @@ def main() -> None:
                  "important_stock", "excess_stock_suppliers",
                  "periodogram", "hits_authority", "nb_langid", "als_rank1",
                  "silhouette_audit", "ppr_trust",
-                 "link_prediction"):
+                 "link_prediction", "nelson_aalen"):
         r7[name] = timed(name)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

@@ -25,6 +25,23 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def at_risk_table(durations: DataFrame, duration_col: str = "duration",
+                  event_col: str = "observed") -> DataFrame:
+    """The shared duration-level table both estimators run on: one row
+    per distinct duration with ``(n_events, n_censored, n_risk)`` —
+    the per-duration collapse is the only fact-sized work; the
+    reverse-cumulative at-risk count runs over the calendar-bounded
+    result."""
+    per_t = (durations.groupBy(F.col(duration_col).alias("duration"))
+             .agg(F.sum(F.col(event_col).cast("int")).alias("n_events"),
+                  F.sum(F.lit(1) - F.col(event_col).cast("int"))
+                  .alias("n_censored"),
+                  F.count(F.lit(1)).alias("_n")))
+    w_rev = (Window.orderBy(F.col("duration").desc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return per_t.withColumn("n_risk", F.sum("_n").over(w_rev))
+
+
 def km_curve(durations: DataFrame, duration_col: str = "duration",
              event_col: str = "observed", round_dp: int = 6) -> DataFrame:
     """Kaplan-Meier curve from per-subject ``(duration, observed)`` rows.
@@ -34,15 +51,7 @@ def km_curve(durations: DataFrame, duration_col: str = "duration",
     lifting happens in the per-duration collapse; the windows run over
     the calendar-bounded duration-level table only.
     """
-    per_t = (durations.groupBy(F.col(duration_col).alias("duration"))
-             .agg(F.sum(F.col(event_col).cast("int")).alias("n_events"),
-                  F.sum(F.lit(1) - F.col(event_col).cast("int"))
-                  .alias("n_censored"),
-                  F.count(F.lit(1)).alias("_n")))
-    # at-risk = subjects with duration >= t  (reverse cumulative count)
-    w_rev = (Window.orderBy(F.col("duration").desc())
-             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    at_risk = per_t.withColumn("n_risk", F.sum("_n").over(w_rev))
+    at_risk = at_risk_table(durations, duration_col, event_col)
     # survival = exp( sum of ln(1 - d/n) over durations <= t ); the
     # terminal d == n row (everyone at risk dies) sends S to EXACTLY 0,
     # handled as a propagated flag so neither engine evaluates ln(0)
@@ -62,4 +71,37 @@ def km_curve(durations: DataFrame, duration_col: str = "duration",
     return (curve.filter(F.col("n_events") > 0)
             .select("duration", "n_risk", "n_events", "n_censored",
                     "survival")
+            .orderBy("duration"))
+
+
+def na_cumhazard(durations: DataFrame, duration_col: str = "duration",
+                 event_col: str = "observed",
+                 round_dp: int = 6) -> DataFrame:
+    """Nelson-Aalen cumulative hazard from per-subject
+    ``(duration, observed)`` rows: H(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ with the
+    Klein variance Σ dᵢ/nᵢ² — the hazard-scale twin of
+    :func:`km_curve` (H = −ln S asymptotically; preferred when hazards
+    are compared or smoothed). Same scale shape: one per-duration
+    collapse, then cumulative windows over the calendar-bounded
+    duration-level table. Pure rational increments (no ln), so the
+    only cross-engine float surface is summation order, absorbed by
+    the ``round_dp`` rounding. Returns one row per duration with ≥1
+    death: ``(duration, n_risk, n_events, n_censored, cum_hazard,
+    var_hazard)``.
+    """
+    at_risk = at_risk_table(durations, duration_col, event_col)
+    w_fwd = (Window.orderBy("duration")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    inc = F.col("n_events") / F.col("n_risk")
+    inc_var = F.col("n_events") / (F.col("n_risk") * F.col("n_risk"))
+    curve = (at_risk
+             .withColumn("cum_hazard",
+                         F.round(F.sum(inc).over(w_fwd) + F.lit(1e-9),
+                                 round_dp))
+             .withColumn("var_hazard",
+                         F.round(F.sum(inc_var).over(w_fwd)
+                                 + F.lit(1e-9), round_dp)))
+    return (curve.filter(F.col("n_events") > 0)
+            .select("duration", "n_risk", "n_events", "n_censored",
+                    "cum_hazard", "var_hazard")
             .orderBy("duration"))
