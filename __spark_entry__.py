@@ -14,7 +14,6 @@ Cross-engine determinism rules used throughout:
 
 from __future__ import annotations
 
-import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -5965,7 +5964,10 @@ def q_important_stock(spark: SparkSession, sf: str) -> DataFrame:
     Q11's scalar subquery — here a 1-row broadcast crossJoin, never
     re-evaluated per row; both the per-part sum and the grand
     mean ride the same nation-filtered pass (the mean aggregates the
-    per-part frame, not a second scan)."""
+    per-part frame, not a second scan). Both the per-part value and
+    the mean are ROUND_EPS-rounded to 4dp BEFORE the threshold
+    compare (the Q18/Q20 discipline) so summation-order float noise
+    cannot flip membership between engines."""
     ps = _partsupp(spark, sf)
     nat = (load_table(spark, sf, "nation")
            .filter(F.col("n_name") == "NATION_3"))
@@ -5975,13 +5977,13 @@ def q_important_stock(spark: SparkSession, sf: str) -> DataFrame:
             .select("s_suppkey"))
     val = (ps.join(supp, ps.ps_suppkey == supp.s_suppkey)
            .groupBy("ps_partkey")
-           .agg(F.sum(F.col("ps_supplycost") *
-                      F.col("ps_availqty")).alias("_val")))
-    tot = val.agg((F.sum("_val") / F.count(F.lit(1))).alias("_mean"))
+           .agg(_r(F.sum(F.col("ps_supplycost") *
+                         F.col("ps_availqty")), 4).alias("_val")))
+    tot = val.agg(_r(F.sum("_val") / F.count(F.lit(1)), 4).alias("_mean"))
     return (val.crossJoin(F.broadcast(tot))
             .filter(F.col("_val") > F.lit(2.0) * F.col("_mean"))
             .select(F.col("ps_partkey").alias("p_partkey"),
-                    _r(F.col("_val"), 4).alias("stock_value")))
+                    F.col("_val").alias("stock_value")))
 
 
 def q_excess_stock_suppliers(spark: SparkSession, sf: str) -> DataFrame:
@@ -6521,27 +6523,48 @@ def q_degree_assortativity(spark: SparkSession, sf: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS DELIBERATE: the driver's correctness gate checks
-    the first 50 entries per round. Round 7 closes the round-6 evidence
-    ledger (VERDICT r6 "Next round" #1): slot 1 is ``pagerank_capped``
-    (the ONE query added in round 7 — newest custom-operator code
-    first; it oracle-checks the `max_bucket` capped pair build), then
-    49 of the 51 round-6 rows that have never been driver-checked
-    (``roc_auc`` … ``idle_rich_customers``), 1 + 49 = 50 exactly.
-    The two rows that spill to round 8 are ``small_qty_revenue`` and
-    ``bracketed_revenue`` — chosen as the LEAST at-risk of the 51 by
-    the same rule round 5 used: pure built-in agg/join TPC-H shapes
-    (Q17/Q19), zero custom-operator surface, judge-green in both r6
-    and r7 full-gate runs. They sit at slots 51-52 so round 8's window
-    reaches them first. Everything after is already driver-green:
-    the 15 round-6 first-batch + 35 round-5 ledger rows (greened in
-    CORRECTNESS_r06), then the r5, r4, and r3 driver-greens (stable
-    built-in-heavy paths, least at risk)."""
+    the first 50 entries per round. Round 8 closes the ENTIRE evidence
+    ledger (VERDICT r7 "Next round" #1): slots 1-22 are every row that
+    has never been driver-checked — the documented round-7 spill
+    (``small_qty_revenue``, ``bracketed_revenue``), the 12 TPC-H shapes
+    added in round 7 (``discounted_revenue`` … ``excess_stock_suppliers``),
+    and the 8 round-7 analytics ops (``periodogram`` … ``nelson_aalen``).
+    Slots 23+ hold round-8 NEW additions (newest-code-first rule), then
+    the round-7 window greened by CORRECTNESS_r07, then the older
+    driver-greens (stable built-in-heavy paths, least at risk)."""
     return {
-        # --- round-7 new query: first driver evidence needed; also the
-        #     oracle-checked form of the SCALE §1i max_bucket rescue ---
+        # --- round-8 gate window head, slots 1-22: the COMPLETE
+        #     never-driver-checked ledger. Slots 1-2: the documented
+        #     round-7 spill (pure built-in TPC-H Q17/Q19 shapes). ---
+        "small_qty_revenue": q_small_qty_revenue,
+        "bracketed_revenue": q_bracketed_revenue,
+        # --- slots 3-14: the 12 TPC-H shapes added in round 7
+        #     (completing the 22-shape suite) ---
+        "discounted_revenue": q_discounted_revenue,
+        "nation_trade_volume": q_nation_trade_volume,
+        "market_share": q_market_share,
+        "product_type_profit": q_product_type_profit,
+        "late_line_priority": q_late_line_priority,
+        "custdist": q_custdist,
+        "promo_revenue_share": q_promo_revenue_share,
+        "large_volume_customers": q_large_volume_customers,
+        "waiting_suppliers": q_waiting_suppliers,
+        "min_cost_supplier": q_min_cost_supplier,
+        "important_stock": q_important_stock,
+        "excess_stock_suppliers": q_excess_stock_suppliers,
+        # --- slots 15-22: the 8 round-7 analytics additions ---
+        "periodogram": q_periodogram,
+        "hits_authority": q_hits_authority,
+        "nb_langid": q_nb_langid,
+        "als_rank1": q_als_rank1,
+        "silhouette_audit": q_silhouette_audit,
+        "ppr_trust": q_ppr_trust,
+        "link_prediction": q_link_prediction,
+        "nelson_aalen": q_nelson_aalen,
+        # --- round-8 new additions (slots 23+), newest-first ---
+        # (inserted here as round 8 lands them)
+        # --- round-7 gate window: driver-green in CORRECTNESS_r07 ---
         "pagerank_capped": q_pagerank_capped,
-        # --- round-6 late additions: never driver-checked (judge-green
-        #     only) — the full remaining evidence ledger, 49 of 51 ---
         "roc_auc": q_roc_auc,
         "pacf_yw": q_pacf_yw,
         "js_divergence": q_js_divergence,
@@ -6591,38 +6614,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_item_revenue": q_returned_item_revenue,
         "supplier_part_variety": q_supplier_part_variety,
         "idle_rich_customers": q_idle_rich_customers,
-        # --- the documented round-8 spill (slots 51-52): pure built-in
-        #     TPC-H Q17/Q19 shapes, least-at-risk of the 51 ---
-        "small_qty_revenue": q_small_qty_revenue,
-        "bracketed_revenue": q_bracketed_revenue,
-        # --- round-7 additions (slots 53-64): the remaining 12 TPC-H
-        #     shapes — the full 22-shape suite. Never driver-checked;
-        #     together with the slot-51/52 spill and the analytics
-        #     additions at 65-69 they form round 8's evidence queue:
-        #     19 never-checked rows, front-load them into round 8's
-        #     50-row window (move the round-6 rows greened by
-        #     CORRECTNESS_r07 behind them). ---
-        "discounted_revenue": q_discounted_revenue,
-        "nation_trade_volume": q_nation_trade_volume,
-        "market_share": q_market_share,
-        "product_type_profit": q_product_type_profit,
-        "late_line_priority": q_late_line_priority,
-        "custdist": q_custdist,
-        "promo_revenue_share": q_promo_revenue_share,
-        "large_volume_customers": q_large_volume_customers,
-        "waiting_suppliers": q_waiting_suppliers,
-        "min_cost_supplier": q_min_cost_supplier,
-        "important_stock": q_important_stock,
-        "excess_stock_suppliers": q_excess_stock_suppliers,
-        # --- round-7 analytics additions (slots 65-72) ---
-        "periodogram": q_periodogram,
-        "hits_authority": q_hits_authority,
-        "nb_langid": q_nb_langid,
-        "als_rank1": q_als_rank1,
-        "silhouette_audit": q_silhouette_audit,
-        "ppr_trust": q_ppr_trust,
-        "link_prediction": q_link_prediction,
-        "nelson_aalen": q_nelson_aalen,
         # --- round-6 first batch: driver-green in CORRECTNESS_r06 ---
         "ewma_exact": q_ewma_exact,
         "kll_quantiles": q_kll_quantiles,
@@ -13204,17 +13195,18 @@ def oracle_sql() -> dict[str, str]:
         WITH """ + _PARTSUPP_CTE + """,
         val AS (
             SELECT ps_partkey AS p_partkey,
-                   sum(ps_supplycost * ps_availqty) AS _val
+                   (round(sum(ps_supplycost * ps_availqty) + 1e-9, 4)
+                    + 0.0) AS _val
             FROM partsupp
             JOIN supplier ON ps_suppkey = s_suppkey
             JOIN nation   ON s_nationkey = n_nationkey
             WHERE n_name = 'NATION_3'
             GROUP BY 1
         )
-        SELECT p_partkey,
-               (round(_val + 1e-9, 4) + 0.0) AS stock_value
+        SELECT p_partkey, _val AS stock_value
         FROM val
-        WHERE _val > 2.0 * (SELECT sum(_val) / count(*) FROM val)
+        WHERE _val > 2.0 * (round((SELECT sum(_val) / count(*) FROM val)
+                                  + 1e-9, 4) + 0.0)
     """
 
     # TPC-H Q20 shape: ASIA suppliers with excess red-part stock

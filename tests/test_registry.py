@@ -1,8 +1,8 @@
 """Pins the `queries()` registry rotation: the driver's correctness gate
 checks the FIRST 50 entries per round, so registry order is the de-facto
 evidence scheduler. A silent reorder could starve a never-driver-checked
-row of its gate slot; this test makes the round-7 window (and the
-documented round-8 spill) an explicit, reviewed contract.
+row of its gate slot; this test makes the round-8 window an explicit,
+reviewed contract.
 """
 
 from __future__ import annotations
@@ -14,35 +14,35 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entry_mod
 
-# Round-7 gate window: slot 1 is the round-7 addition (pagerank_capped —
-# the oracle-checked max_bucket pair-build cap), slots 2-50 are 49 of the
-# 51 round-6 rows that had never been driver-checked. Slots 51-52 are the
-# documented spill to round 8 (pure built-in TPC-H Q17/Q19 shapes, the
-# least-at-risk of the 51).
-ROUND7_WINDOW = [
-    "pagerank_capped",
-    "roc_auc", "pacf_yw", "js_divergence", "hll_distinct",
-    "degree_distribution", "bfs_hops", "bootstrap_ci", "kalman_level",
-    "bm25_topk", "basket_lift", "ab_test", "entity_resolution",
-    "rolling_corr", "kaplan_meier", "bloom_prejoin", "zorder_layout",
-    "diff_in_diff", "pareto_front", "uplift_deciles", "containment_dedup",
-    "containment_capped", "kcore", "dq_suite", "forecast_backtest",
-    "rfm_segments", "neyman_allocation", "quality_logit",
-    "conformal_interval", "regional_supplier_volume", "top_supplier_share",
-    "community_labelprop", "pca2_axes", "group_kfold", "target_encode_oof",
-    "woe_iv", "feature_hashing", "community_modularity",
-    "degree_assortativity", "int8_quant_audit", "pr_auc",
-    "join_cardinality", "semantic_decontaminate", "msprt_monitor",
-    "quantile_sgd", "shipping_priority", "order_priority_counts",
-    "returned_item_revenue", "supplier_part_variety", "idle_rich_customers",
+# Round-8 gate window head: slots 1-22 are the COMPLETE never-driver-
+# checked ledger as of round 7 (VERDICT r7 "Next round" #1) — the
+# documented round-7 spill (TPC-H Q17/Q19 shapes), the 12 round-7 TPC-H
+# shapes, and the 8 round-7 analytics ops. Round-8 NEW additions slot in
+# directly after (newest-code-first); anything past slot 50 is already
+# driver-green from r07 or earlier, so no row can be starved.
+LEDGER_22 = [
+    "small_qty_revenue", "bracketed_revenue",
+    "discounted_revenue", "nation_trade_volume", "market_share",
+    "product_type_profit", "late_line_priority", "custdist",
+    "promo_revenue_share", "large_volume_customers", "waiting_suppliers",
+    "min_cost_supplier", "important_stock", "excess_stock_suppliers",
+    "periodogram", "hits_authority", "nb_langid", "als_rank1",
+    "silhouette_audit", "ppr_trust", "link_prediction", "nelson_aalen",
 ]
-ROUND8_SPILL = ["small_qty_revenue", "bracketed_revenue"]
+# Round-8 additions occupying slots 23+ (newest-first), kept in sync as
+# round 8 lands queries. Appending here is part of adding a query.
+ROUND8_NEW: list[str] = []
+# Rows already driver-green (CORRECTNESS_r07 and earlier) that fill the
+# rest of the 50-row window — safe filler, any order.
+DRIVER_GREEN_FILLER_HEAD = ["pagerank_capped", "roc_auc"]
 
 
 def test_gate_window_matches_documented_rotation():
     keys = list(entry_mod.queries())
-    assert keys[:50] == ROUND7_WINDOW
-    assert keys[50:52] == ROUND8_SPILL
+    assert keys[:22] == LEDGER_22
+    n8 = len(ROUND8_NEW)
+    assert keys[22:22 + n8] == ROUND8_NEW
+    assert keys[22 + n8:24 + n8] == DRIVER_GREEN_FILLER_HEAD
 
 
 def test_registry_and_oracles_are_bijective():

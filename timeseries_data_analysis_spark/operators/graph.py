@@ -337,10 +337,19 @@ def adamic_adar(edges: DataFrame, src: str = "id_l",
     by §1d's standing verdict; the PRODUCTION form — the 48-bit
     `max_bucket`-capped pair build + max_degree=64 — runs the 10×
     corpus in 38 s (24.3k predictions), build-dominated like every
-    pair-graph op. Returns ``(id_l, id_r, n_common, aa_score)``."""
+    pair-graph op. Returns ``(id_l, id_r, n_common, aa_score)``.
+
+    Input hygiene: the symmetrized edge list is self-loop-filtered
+    and DEDUPLICATED here (one ids-only distinct, cheap next to the
+    wedge join) so duplicate or both-orientation input edges cannot
+    inflate ``deg`` / wedge counts — the operator matches the
+    least/greatest+GROUP BY canonicalization a SQL oracle performs
+    regardless of how raw the caller's edge list is."""
     sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
            .union(edges.select(F.col(dst).alias("a"),
-                               F.col(src).alias("b"))))
+                               F.col(src).alias("b")))
+           .filter(F.col("a") != F.col("b"))
+           .distinct())
     sym = sym.localCheckpoint()
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
     # wedges u - z - v with u < v; z carries its degree
