@@ -28,7 +28,9 @@ from timeseries_data_analysis_spark.operators import (
     layout as LAY, survival as SURV, spectral as SPEC,
 )
 from timeseries_data_analysis_spark.functions import math_fns as M, text as TX
-from timeseries_data_analysis_spark.ml import logit as LG, nb as NB
+from timeseries_data_analysis_spark.ml import (
+    logit as LG, nb as NB, als as ALS,
+)
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -6133,6 +6135,220 @@ def q_als_rank1(spark: SparkSession, sf: str) -> DataFrame:
             .limit(20))
 
 
+def q_als_rank2(spark: SparkSession, sf: str) -> DataFrame:
+    """Rank-2 ALS (`ml/als.py`) — ONE full alternation on the same
+    customer×supplier count matrix as `als_rank1`, generalizing the
+    scalar seed to the factorization a recommender runs: per-key 2×2
+    normal equations solved in CLOSED FORM inside a groupBy (Σvvᵀ+λI,
+    Σrv — 5 doubles of shuffle payload per key, no applyInPandas, no
+    driver state). Item factors init deterministically (v1=1.0 — the
+    rank-1 mean direction; v2 = 9-dp md5-fraction−0.5 symmetry
+    breaker); each half-step's solve is 9-dp quantized (the
+    `ml/logit.QUANT` contract) so the SQL oracle replays the whole
+    alternation CTE-for-CTE. λ=0.1 keeps det ≥ λ² — every system
+    invertible, the closed form total. Output: top-20 suppliers by
+    first latent component with both components and the per-supplier
+    residual RMSE of r − u·v (test_als pins that the rank-2 global
+    reconstruction error beats rank-1's on this matrix)."""
+    li = load_table(spark, sf, "lineitem").select("l_orderkey",
+                                                  "l_suppkey")
+    od = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    r = (li.join(od, li.l_orderkey == od.o_orderkey)
+         .groupBy(F.col("o_custkey").alias("c"),
+                  F.col("l_suppkey").alias("s"))
+         .agg(F.count(F.lit(1)).alias("r"))
+         .localCheckpoint())  # consumed by both half-steps + residuals
+    u, v = ALS.als_rank2_round(r, reg=0.1)
+    ruv = (r.join(u.select("c", "u1", "u2"), "c")
+           .join(v.select("s", "v1", "v2"), "s"))
+    pred = F.col("u1") * F.col("v1") + F.col("u2") * F.col("v2")
+    res = (ruv.groupBy("s")
+           .agg(_r(F.sqrt(F.avg((F.col("r") - pred)
+                                * (F.col("r") - pred))), 6).alias("rmse")))
+    return (v.join(res, "s")
+            .select(F.col("s").alias("s_suppkey"),
+                    F.col("n_obs").alias("n_custs"), "v1", "v2", "rmse")
+            .orderBy(F.col("v1").desc(), "s_suppkey")
+            .limit(20))
+
+
+def q_isotonic_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Isotonic regression (PAV) as pure DataFrame algebra — the
+    calibration step `calibration_bins` diagnoses but can't fix:
+    fit the best NONDECREASING return-rate curve over discount buckets
+    (business hypothesis: deeper discounts move distressed stock →
+    more returns; the raw empirical rates are noisy and non-monotone,
+    so the pool-adjacent-violators fit genuinely pools here).
+
+    Pool-Adjacent-Violators is sequential, which looks Spark-hostile —
+    but weighted isotonic regression has the CLOSED minimax form
+    iso(k) = max_{i≤k} min_{j≥k} wmean(y[i..j]) (Barlow et al. 1972,
+    the standard PAV correctness argument), and after the one full
+    scan that reduces N fact rows to B=11 bucket stats, every interval
+    mean and the minimax are O(B³)=1331 rows of broadcast-joined
+    column math. The scale shape is therefore: ONE map-side-combined
+    groupBy over the corpus + driver-invisible bounded joins — the
+    same reduce-then-bounded-solve posture as the sketch family.
+    Cross-engine: interval means are ratios of exact integer sums
+    (identical doubles both engines), so min/max pick identical
+    values; 6-dp round is display-only."""
+    li = (load_table(spark, sf, "lineitem")
+          .select(F.round(F.col("l_discount") * 100).cast("int")
+                  .alias("bucket"),
+                  (F.col("l_returnflag") == "R").cast("int").alias("_y")))
+    stats = (li.groupBy("bucket")
+             .agg(F.count(F.lit(1)).alias("n_lines"),
+                  F.sum("_y").alias("_pos"))
+             .localCheckpoint())  # B=11 rows, reused by 3 subtrees
+    i = stats.select(F.col("bucket").alias("_i"))
+    j = stats.select(F.col("bucket").alias("_j"))
+    iv = (i.join(j, F.col("_i") <= F.col("_j"))
+          .join(stats, (F.col("bucket") >= F.col("_i"))
+                & (F.col("bucket") <= F.col("_j")))
+          .groupBy("_i", "_j")
+          .agg((F.sum("_pos") / F.sum("n_lines")).alias("_mean")))
+    k = stats.select(F.col("bucket").alias("_k"))
+    inner = (iv.join(k, (F.col("_i") <= F.col("_k"))
+                     & (F.col("_j") >= F.col("_k")))
+             .groupBy("_k", "_i")
+             .agg(F.min("_mean").alias("_m")))
+    iso = inner.groupBy("_k").agg(F.max("_m").alias("_iso"))
+    return (stats.join(iso, stats.bucket == F.col("_k"))
+            .select(F.col("bucket").alias("discount_pct"), "n_lines",
+                    _r(F.col("_pos") / F.col("n_lines"), 6)
+                    .alias("raw_rate"),
+                    _r(F.col("_iso"), 6).alias("iso_rate"))
+            .orderBy("discount_pct"))
+
+
+def q_logrank_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sample log-rank test (`survival.logrank_test`) — the
+    INFERENCE step completing the KM/Nelson-Aalen family: arms are the
+    `ab_test` hash split (pmod(user_id, 2)), subjects are the same
+    time-to-first-'error' durations with horizon censoring as
+    `kaplan_meier`, and the readout is the Mantel-Cox Z / chi² on the
+    hypergeometric O−E at every event time. All counts are exact
+    integers; the per-time E and V divide identical integer operands;
+    the two Σs round at 6 dp BEFORE Z so groupBy summation order
+    cannot leak into the statistic. Scale shape: one per-(arm,
+    duration) fact collapse + windows over the calendar-bounded
+    pooled duration grid."""
+    ev = load_table(spark, sf, "events").filter(F.col("user_id").isNotNull())
+    hour = F.floor(F.unix_timestamp(F.col("ts")) / 3600)
+    span = (ev.groupBy("user_id")
+            .agg(F.min(hour).alias("_first"),
+                 F.min(F.when(F.col("event_type") == "error", hour))
+                 .alias("_err")))
+    horizon = ev.agg(F.max(hour).alias("_end"))
+    subj = (span.crossJoin(F.broadcast(horizon))
+            .select(F.pmod(F.col("user_id"), F.lit(2)).alias("arm"),
+                    (F.coalesce("_err", "_end") - F.col("_first"))
+                    .alias("duration"),
+                    F.col("_err").isNotNull().cast("int").alias("observed")))
+    return SURV.logrank_test(subj)
+
+
+def q_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) per event series — the
+    NONPARAMETRIC twin of `ab_test`'s Welch t: arms from the same
+    pmod(user_id, 2) split, values rank-transformed jointly with
+    average ranks for ties, U₁ = R₁ − n₁(n₁+1)/2, and the tie-
+    corrected normal approximation z = (U₁ − μ)/σ with σ² =
+    (n₁n₂/12)·((n+1) − Σ(t³−t)/(n(n−1))). Rank sums are exact
+    (average ranks are integers or half-integers — exact doubles, so
+    summation order is irrelevant BEFORE any rounding); everything
+    downstream divides identical exact operands. Scale shape: one
+    per-series window sort (rank) + two map-side-combined groupBys —
+    the same per-series-window posture as the rolling family; no
+    driver state."""
+    d = (load_table(spark, sf, "events")
+         .filter(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+         .select("event_type",
+                 F.pmod(F.col("user_id"), F.lit(2)).alias("_arm"),
+                 "value"))
+    w = Window.partitionBy("event_type").orderBy("value")
+    wv = Window.partitionBy("event_type", "value")
+    ranked = (d.withColumn("_rmin", F.rank().over(w))
+              .withColumn("_t", F.count(F.lit(1)).over(wv))
+              .withColumn("_ar", F.col("_rmin")
+                          + (F.col("_t") - F.lit(1)) / F.lit(2.0)))
+    g = ranked.groupBy("event_type").agg(
+        F.sum(F.when(F.col("_arm") == 0, F.col("_ar"))).alias("_r0"),
+        F.sum(F.when(F.col("_arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("_arm") == 1, 1).otherwise(0)).alias("n_b"))
+    ties = (d.groupBy("event_type", "value")
+            .agg(F.count(F.lit(1)).alias("_tn"))
+            .groupBy("event_type")
+            .agg(F.sum(F.col("_tn") * F.col("_tn") * F.col("_tn")
+                       - F.col("_tn")).alias("_tie")))
+    j = g.join(ties, "event_type")
+    n = F.col("n_a") + F.col("n_b")
+    u1 = F.col("_r0") - F.col("n_a") * (F.col("n_a") + F.lit(1)) / F.lit(2.0)
+    mu = F.col("n_a") * F.col("n_b") / F.lit(2.0)
+    sig2 = (F.col("n_a") * F.col("n_b") / F.lit(12.0)) \
+        * ((n + F.lit(1)) - F.col("_tie") / (n * (n - F.lit(1))))
+    z = F.when(sig2 > 0, (u1 - mu) / F.sqrt(sig2)).otherwise(F.lit(0.0))
+    return (j.select("event_type", "n_a", "n_b",
+                     _r(u1, 1).alias("u_stat"),
+                     _r(z, 6).alias("z"))
+            .orderBy("event_type"))
+
+
+def q_mann_kendall(spark: SparkSession, sf: str) -> DataFrame:
+    """Mann-Kendall trend test + Theil-Sen slope per event series —
+    the NONPARAMETRIC inference twin of `trend_slopes`' OLS fit:
+    S = Σ_{i<j} sign(v̄ⱼ − v̄ᵢ) over the series' DAILY means, the
+    tie-corrected variance n(n−1)(2n+5)/18 − Σt(t−1)(2t+5)/18, the
+    continuity-corrected z, and the median of pairwise slopes
+    (Theil-Sen — the robust trend magnitude OLS can't give). The
+    pairwise self-join runs on the DAILY table, never the fact rows:
+    the one full scan collapses N events to (series × days) rows
+    (map-side combined), and days are calendar-bounded, so the
+    pair count is days²-bounded per series regardless of corpus size
+    — the reduce-then-bounded-solve posture, same as
+    `isotonic_calibration`. Daily means round at 6 dp BEFORE any
+    sign/median so both engines compare identical decimals; slopes
+    quantize at 9 dp before the interpolated median; z rounds at
+    6 dp."""
+    daily = (load_table(spark, sf, "events")
+             .filter(F.col("value").isNotNull())
+             .groupBy("event_type", F.to_date("ts").alias("_d"))
+             .agg(_r(F.avg("value"), 6).alias("_v"))
+             .localCheckpoint())  # series×days rows; feeds 3 subtrees
+    a = daily.select("event_type", F.col("_d").alias("_d1"),
+                     F.col("_v").alias("_v1"))
+    b = daily.select("event_type", F.col("_d").alias("_d2"),
+                     F.col("_v").alias("_v2"))
+    pr = a.join(b, "event_type").filter(F.col("_d1") < F.col("_d2"))
+    slope = F.round((F.col("_v2") - F.col("_v1"))
+                    / F.datediff(F.col("_d2"), F.col("_d1"))
+                    + F.lit(1e-12), 9)
+    ps = pr.groupBy("event_type").agg(
+        F.sum(F.signum(F.col("_v2") - F.col("_v1"))).cast("long")
+        .alias("s_stat"),
+        F.percentile(slope, F.lit(0.5)).alias("_sen"))
+    nd = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days"))
+    ties = (daily.groupBy("event_type", "_v")
+            .agg(F.count(F.lit(1)).alias("_tn"))
+            .groupBy("event_type")
+            .agg(F.sum(F.col("_tn") * (F.col("_tn") - F.lit(1))
+                       * (F.lit(2) * F.col("_tn") + F.lit(5)))
+                 .alias("_tie")))
+    j = ps.join(nd, "event_type").join(ties, "event_type")
+    nn = F.col("n_days")
+    var = (nn * (nn - F.lit(1)) * (F.lit(2) * nn + F.lit(5))
+           - F.col("_tie")) / F.lit(18.0)
+    z = F.when((F.col("s_stat") > 0) & (var > 0),
+               (F.col("s_stat") - F.lit(1)) / F.sqrt(var)) \
+         .when((F.col("s_stat") < 0) & (var > 0),
+               (F.col("s_stat") + F.lit(1)) / F.sqrt(var)) \
+         .otherwise(F.lit(0.0))
+    return (j.select("event_type", "n_days", "s_stat",
+                     _r(z, 6).alias("z"),
+                     _r(F.col("_sen"), 6).alias("sen_slope"))
+            .orderBy("event_type"))
+
+
 def q_ppr_trust(spark: SparkSession, sf: str) -> DataFrame:
     """PERSONALIZED PageRank over the `max_bucket`-capped 48-bit
     near-dup pair graph (`graph.personalized_pagerank`): restart mass
@@ -6207,6 +6423,53 @@ def q_silhouette_audit(spark: SparkSession, sf: str) -> DataFrame:
         emb.filter(F.col("vec_id") % 31 == 0)
         .select("vec_id", F.col("embedding").alias("centroid")),
         "vec_id", 16, "centroid_id", "centroid")
+    v = (emb.select("vec_id", F.col("embedding").alias("_v"))
+         .withColumn("_vn", SIM.l2_norm(F.col("_v"))))
+    c = F.broadcast(cent.withColumn("_cn", SIM.l2_norm(F.col("centroid"))))
+    den = F.col("_vn") * F.col("_cn")
+    scored = v.crossJoin(c).select(
+        "vec_id", "centroid_id",
+        F.when(den > 0, SIM.dot(F.col("_v"), F.col("centroid")) / den)
+        .otherwise(F.lit(0.0)).alias("_csim"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("_csim").desc(),
+                                             "centroid_id")
+    top2 = (scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= 2))
+    per = top2.groupBy("vec_id").agg(
+        F.max(F.when(F.col("_rk") == 1, F.col("centroid_id"))).alias("_own"),
+        F.max(F.when(F.col("_rk") == 1, F.col("_csim"))).alias("_a"),
+        F.max(F.when(F.col("_rk") == 2, F.col("_csim"))).alias("_b"))
+    da = F.lit(1.0) - F.col("_a")
+    db = F.lit(1.0) - F.col("_b")
+    s = F.when(F.greatest(da, db) > 0, (db - da) / F.greatest(da, db))
+    return (per.groupBy(F.col("_own").alias("centroid_id"))
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 _r(F.avg(s), 6).alias("silhouette"),
+                 _r(F.avg("_a"), 6).alias("cohesion"))
+            .orderBy("centroid_id"))
+
+
+def q_silhouette_trained(spark: SparkSession, sf: str) -> DataFrame:
+    """`silhouette_audit` over TRAINED centroids — the evaluator wired
+    to the clusters the engine actually ships (VERDICT r7 "Next round"
+    #5): the same 16 deterministic seeds refined by TWO Lloyd rounds
+    (`SIM.kmeans_fit`, quant=9 — per-(cell, dim) means 9-dp quantized
+    each round so the SQL oracle unrolls the whole fit CTE-for-CTE,
+    empty-cell keep-old rule included), then the same N×K broadcast
+    scoring join and (b−a)/max(a,b) readout. Centroids are driver-side
+    K·dim literals either way (the `dense_seed_ids` bounded-collect
+    posture); the corpus never leaves the executors — assignment scans
+    are the only N-sized work, so the decade budget is 2× lloyd_step +
+    silhouette, all the same N×16 shape as `silhouette_audit`'s
+    measured 8.7 s at 100×."""
+    emb = (load_table(spark, sf, "embeddings")
+           .withColumn("embedding", F.col("embedding")
+                       .cast("array<double>")))
+    seed = SIM.dense_seed_ids(
+        emb.filter(F.col("vec_id") % 31 == 0)
+        .select("vec_id", F.col("embedding").alias("centroid")),
+        "vec_id", 16, "centroid_id", "centroid")
+    cent = SIM.kmeans_fit(emb, seed, n_iter=2, quant=9)
     v = (emb.select("vec_id", F.col("embedding").alias("_v"))
          .withColumn("_vn", SIM.l2_norm(F.col("_v"))))
     c = F.broadcast(cent.withColumn("_cn", SIM.l2_norm(F.col("centroid"))))
@@ -6562,7 +6825,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": q_link_prediction,
         "nelson_aalen": q_nelson_aalen,
         # --- round-8 new additions (slots 23+), newest-first ---
-        # (inserted here as round 8 lands them)
+        "mann_kendall": q_mann_kendall,
+        "mann_whitney": q_mann_whitney,
+        "logrank_test": q_logrank_test,
+        "isotonic_calibration": q_isotonic_calibration,
+        "silhouette_trained": q_silhouette_trained,
+        "als_rank2": q_als_rank2,
         # --- round-7 gate window: driver-green in CORRECTNESS_r07 ---
         "pagerank_capped": q_pagerank_capped,
         "roc_auc": q_roc_auc,
@@ -13330,6 +13598,104 @@ def oracle_sql() -> dict[str, str]:
         FROM per GROUP BY 1
     """
 
+    # silhouette over TRAINED centroids: unrolls kmeans_fit's two Lloyd
+    # rounds CTE-for-CTE (argmax assignment -> per-(cell,dim) 9-dp mean
+    # -> rebuild, empty cells keep the old centroid), then the same
+    # silhouette readout. Embeddings are dim-64; generate_series(1,64)
+    # is the posexplode twin.
+    sql["silhouette_trained"] = """
+        WITH cent0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+                   embedding::DOUBLE[] AS centroid
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 16)
+        ), asg1 AS (
+            SELECT vec_id, centroid_id FROM (
+                SELECT e.vec_id, c.centroid_id,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                           (CASE WHEN list_dot_product(
+                                     e.embedding::DOUBLE[],
+                                     e.embedding::DOUBLE[]) = 0
+                                  OR list_dot_product(c.centroid,
+                                                      c.centroid) = 0
+                                 THEN 0.0
+                                 ELSE list_cosine_similarity(
+                                     e.embedding::DOUBLE[], c.centroid)
+                            END) DESC, c.centroid_id) AS rk
+                FROM embeddings e CROSS JOIN cent0 c)
+            WHERE rk = 1
+        ), m1 AS (
+            SELECT a.centroid_id, d.i AS dim_idx,
+                   round(avg(e.embedding[d.i]::DOUBLE) + 1e-12, 9) AS val
+            FROM asg1 a JOIN embeddings e USING (vec_id)
+            CROSS JOIN generate_series(1, 64) AS d(i)
+            GROUP BY 1, 2
+        ), cent1 AS (
+            SELECT c0.centroid_id,
+                   COALESCE(n.centroid, c0.centroid) AS centroid
+            FROM cent0 c0 LEFT JOIN (
+                SELECT centroid_id, list(val ORDER BY dim_idx) AS centroid
+                FROM m1 GROUP BY 1) n USING (centroid_id)
+        ), asg2 AS (
+            SELECT vec_id, centroid_id FROM (
+                SELECT e.vec_id, c.centroid_id,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                           (CASE WHEN list_dot_product(
+                                     e.embedding::DOUBLE[],
+                                     e.embedding::DOUBLE[]) = 0
+                                  OR list_dot_product(c.centroid,
+                                                      c.centroid) = 0
+                                 THEN 0.0
+                                 ELSE list_cosine_similarity(
+                                     e.embedding::DOUBLE[], c.centroid)
+                            END) DESC, c.centroid_id) AS rk
+                FROM embeddings e CROSS JOIN cent1 c)
+            WHERE rk = 1
+        ), m2 AS (
+            SELECT a.centroid_id, d.i AS dim_idx,
+                   round(avg(e.embedding[d.i]::DOUBLE) + 1e-12, 9) AS val
+            FROM asg2 a JOIN embeddings e USING (vec_id)
+            CROSS JOIN generate_series(1, 64) AS d(i)
+            GROUP BY 1, 2
+        ), cent2 AS (
+            SELECT c1.centroid_id,
+                   COALESCE(n.centroid, c1.centroid) AS centroid
+            FROM cent1 c1 LEFT JOIN (
+                SELECT centroid_id, list(val ORDER BY dim_idx) AS centroid
+                FROM m2 GROUP BY 1) n USING (centroid_id)
+        ), scored AS (
+            SELECT e.vec_id, c.centroid_id,
+                   CASE WHEN list_dot_product(e.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[]) = 0
+                          OR list_dot_product(c.centroid, c.centroid) = 0
+                        THEN 0.0
+                        ELSE list_cosine_similarity(
+                            e.embedding::DOUBLE[], c.centroid)
+                   END AS csim
+            FROM embeddings e CROSS JOIN cent2 c
+        ), top2 AS (
+            SELECT vec_id, centroid_id, csim, rk FROM (
+                SELECT vec_id, centroid_id, csim,
+                       row_number() OVER (PARTITION BY vec_id
+                           ORDER BY csim DESC, centroid_id) AS rk
+                FROM scored)
+            WHERE rk <= 2
+        ), per AS (
+            SELECT vec_id,
+                   max(CASE WHEN rk = 1 THEN centroid_id END) AS own,
+                   max(CASE WHEN rk = 1 THEN csim END) AS a,
+                   max(CASE WHEN rk = 2 THEN csim END) AS b
+            FROM top2 GROUP BY 1
+        )
+        SELECT own AS centroid_id, count(*)::BIGINT AS n_vecs,
+               (round(avg(CASE WHEN greatest(1.0 - a, 1.0 - b) > 0
+                          THEN ((1.0 - b) - (1.0 - a))
+                               / greatest(1.0 - a, 1.0 - b) END)
+                      + 1e-9, 6) + 0.0) AS silhouette,
+               (round(avg(a) + 1e-9, 6) + 0.0) AS cohesion
+        FROM per GROUP BY 1
+    """
+
     # rank-1 ALS: two alternating half-steps, 9-dp quantized between
     sql["als_rank1"] = """
         WITH r AS (
@@ -13360,6 +13726,278 @@ def oracle_sql() -> dict[str, str]:
         FROM v JOIN res USING (s)
         ORDER BY v DESC, s_suppkey
         LIMIT 20
+    """
+
+    # rank-2 ALS: one full alternation, closed-form 2x2 solves, 9-dp
+    # quantized factors at every half-step. All float literals cast to
+    # DOUBLE so DuckDB's decimal arithmetic never diverges from Spark's
+    # double-only path.
+    sql["als_rank2"] = """
+        WITH r AS (
+            SELECT o_custkey AS c, l_suppkey AS s, count(*)::BIGINT AS r
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1, 2
+        ),
+        v0 AS (
+            SELECT s, 1.0::DOUBLE AS v1,
+                   round((('0x' || substr(md5('als2|' || s::VARCHAR),
+                           1, 15))::BIGINT / 1152921504606846976.0)
+                         - 0.5::DOUBLE + 1e-12, 9) AS v2
+            FROM (SELECT DISTINCT s FROM r)
+        ),
+        ug AS (
+            SELECT c,
+                   sum(v1 * v1) AS a11, sum(v1 * v2) AS a12,
+                   sum(v2 * v2) AS a22,
+                   sum(r.r * v1) AS b1, sum(r.r * v2) AS b2
+            FROM r JOIN v0 USING (s) GROUP BY 1
+        ),
+        u AS (
+            SELECT c,
+                   round(((a22 + 0.1::DOUBLE) * b1 - a12 * b2)
+                         / ((a11 + 0.1::DOUBLE) * (a22 + 0.1::DOUBLE)
+                            - a12 * a12) + 1e-12, 9) AS u1,
+                   round(((a11 + 0.1::DOUBLE) * b2 - a12 * b1)
+                         / ((a11 + 0.1::DOUBLE) * (a22 + 0.1::DOUBLE)
+                            - a12 * a12) + 1e-12, 9) AS u2
+            FROM ug
+        ),
+        vg AS (
+            SELECT s,
+                   sum(u1 * u1) AS a11, sum(u1 * u2) AS a12,
+                   sum(u2 * u2) AS a22,
+                   sum(r.r * u1) AS b1, sum(r.r * u2) AS b2,
+                   count(*)::BIGINT AS n_custs
+            FROM r JOIN u USING (c) GROUP BY 1
+        ),
+        v AS (
+            SELECT s, n_custs,
+                   round(((a22 + 0.1::DOUBLE) * b1 - a12 * b2)
+                         / ((a11 + 0.1::DOUBLE) * (a22 + 0.1::DOUBLE)
+                            - a12 * a12) + 1e-12, 9) AS v1,
+                   round(((a11 + 0.1::DOUBLE) * b2 - a12 * b1)
+                         / ((a11 + 0.1::DOUBLE) * (a22 + 0.1::DOUBLE)
+                            - a12 * a12) + 1e-12, 9) AS v2
+            FROM vg
+        ),
+        res AS (
+            SELECT r.s,
+                   (round(sqrt(avg((r.r - (u1 * v1 + u2 * v2))
+                                   * (r.r - (u1 * v1 + u2 * v2))))
+                          + 1e-9, 6) + 0.0) AS rmse
+            FROM r JOIN u USING (c) JOIN v USING (s)
+            GROUP BY 1
+        )
+        SELECT v.s AS s_suppkey, n_custs, v1, v2, rmse
+        FROM v JOIN res ON v.s = res.s
+        ORDER BY v1 DESC, s_suppkey
+        LIMIT 20
+    """
+
+    # isotonic (PAV) calibration via the closed minimax form:
+    # iso(k) = max_{i<=k} min_{j>=k} wmean(y[i..j]) over B=11 buckets.
+    # Interval means are ratios of exact integer sums — identical
+    # doubles on both engines, so min/max agree bit-for-bit.
+    sql["isotonic_calibration"] = """
+        WITH li AS (
+            SELECT round(l_discount * 100)::INT AS bucket,
+                   (l_returnflag = 'R')::INT AS y
+            FROM lineitem
+        ),
+        stats AS (
+            SELECT bucket, count(*)::BIGINT AS n_lines,
+                   sum(y)::BIGINT AS pos
+            FROM li GROUP BY 1
+        ),
+        iv AS (
+            SELECT i.bucket AS i, j.bucket AS j,
+                   sum(s.pos)::DOUBLE / sum(s.n_lines) AS mean
+            FROM stats i JOIN stats j ON i.bucket <= j.bucket
+            JOIN stats s ON s.bucket BETWEEN i.bucket AND j.bucket
+            GROUP BY 1, 2
+        ),
+        inner_min AS (
+            SELECT k.bucket AS k, iv.i, min(iv.mean) AS m
+            FROM iv JOIN stats k ON iv.i <= k.bucket AND iv.j >= k.bucket
+            GROUP BY 1, 2
+        ),
+        iso AS (SELECT k, max(m) AS iso FROM inner_min GROUP BY 1)
+        SELECT s.bucket AS discount_pct, s.n_lines,
+               (round(s.pos::DOUBLE / s.n_lines + 1e-9, 6) + 0.0)
+                   AS raw_rate,
+               (round(iso.iso + 1e-9, 6) + 0.0) AS iso_rate
+        FROM stats s JOIN iso ON s.bucket = iso.k
+        ORDER BY 1
+    """
+
+    # two-sample log-rank: same subject table as kaplan_meier, arms
+    # from the ab_test hash split; per-arm at-risk densified onto the
+    # pooled duration grid, exact-integer O/E/V operands, sums rounded
+    # at 6 dp before Z.
+    sql["logrank_test"] = """
+        WITH hrs AS (
+            SELECT user_id, event_type,
+                   floor(epoch(ts) / 3600)::BIGINT AS h
+            FROM events WHERE user_id IS NOT NULL
+        ), subj AS (
+            SELECT user_id, min(h) AS f,
+                   min(CASE WHEN event_type = 'error' THEN h END) AS err
+            FROM hrs GROUP BY 1
+        ), horizon AS (
+            SELECT max(h) AS e FROM hrs
+        ), d AS (
+            SELECT user_id % 2 AS arm,
+                   coalesce(err, e) - f AS duration,
+                   CASE WHEN err IS NOT NULL THEN 1 ELSE 0 END AS observed
+            FROM subj, horizon
+        ), per AS (
+            SELECT arm, duration, sum(observed)::BIGINT AS dd,
+                   count(*)::BIGINT AS n
+            FROM d GROUP BY 1, 2
+        ), grid AS (
+            SELECT duration, arm
+            FROM (SELECT DISTINCT duration FROM per)
+            CROSS JOIN (SELECT DISTINCT arm FROM per)
+        ), filled AS (
+            SELECT g.duration, g.arm,
+                   coalesce(p.dd, 0)::BIGINT AS dd,
+                   coalesce(p.n, 0)::BIGINT AS n
+            FROM grid g LEFT JOIN per p USING (duration, arm)
+        ), risk AS (
+            SELECT *, sum(n) OVER (PARTITION BY arm
+                ORDER BY duration DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                AS rsk
+            FROM filled
+        ), pooled AS (
+            SELECT duration, sum(dd)::BIGINT AS dt, sum(rsk)::BIGINT AS nt,
+                   sum(CASE WHEN arm = 0 THEN dd END)::BIGINT AS d0,
+                   sum(CASE WHEN arm = 0 THEN rsk END)::BIGINT AS r0
+            FROM risk GROUP BY 1
+        ), evt AS (
+            SELECT * FROM pooled WHERE dt > 0 AND nt > 1
+        ), sums AS (
+            SELECT (round(sum(d0 - dt * (r0::DOUBLE / nt)) + 1e-9, 6)
+                    + 0.0) AS o_minus_e,
+                   (round(sum(dt * (r0::DOUBLE / nt)
+                              * (1.0::DOUBLE - r0::DOUBLE / nt)
+                              * (nt - dt) / (nt - 1)) + 1e-9, 6)
+                    + 0.0) AS var_sum,
+                   sum(dt)::BIGINT AS d_total
+            FROM evt
+        ), counts AS (
+            SELECT sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_arm0,
+                   sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_arm1
+            FROM d
+        ), zrow AS (
+            SELECT n_arm0, n_arm1, d_total, o_minus_e, var_sum,
+                   CASE WHEN var_sum > 0
+                        THEN (round(o_minus_e / sqrt(var_sum) + 1e-9, 6)
+                              + 0.0)
+                        ELSE 0.0 END AS z
+            FROM counts, sums
+        )
+        SELECT n_arm0, n_arm1, d_total, o_minus_e, var_sum, z,
+               (round(z * z + 1e-9, 6) + 0.0) AS chi2
+        FROM zrow
+    """
+
+    # Mann-Whitney U per series: joint average ranks (exact half-
+    # integers), tie-corrected normal approximation; arithmetic mirrors
+    # the Spark expression shape operand-for-operand.
+    sql["mann_whitney"] = """
+        WITH d AS (
+            SELECT event_type, user_id % 2 AS arm, value
+            FROM events
+            WHERE value IS NOT NULL AND user_id IS NOT NULL
+        ), ranked AS (
+            SELECT event_type, arm,
+                   rank() OVER (PARTITION BY event_type ORDER BY value)
+                       + (count(*) OVER (PARTITION BY event_type, value)
+                          - 1) / 2.0::DOUBLE AS ar
+            FROM d
+        ), g AS (
+            SELECT event_type,
+                   sum(CASE WHEN arm = 0 THEN ar END) AS r0,
+                   sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+                   sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b
+            FROM ranked GROUP BY 1
+        ), ties AS (
+            SELECT event_type,
+                   sum(tn * tn * tn - tn)::BIGINT AS tie
+            FROM (SELECT event_type, value, count(*)::BIGINT AS tn
+                  FROM d GROUP BY 1, 2)
+            GROUP BY 1
+        )
+        SELECT g.event_type, n_a, n_b,
+               (round((r0 - n_a * (n_a + 1) / 2.0::DOUBLE) + 1e-9, 1)
+                + 0.0) AS u_stat,
+               CASE WHEN (n_a * n_b / 12.0::DOUBLE)
+                         * ((n_a + n_b + 1)
+                            - tie / ((n_a + n_b)
+                                     * (n_a + n_b - 1))::DOUBLE) > 0
+                    THEN (round(((r0 - n_a * (n_a + 1) / 2.0::DOUBLE)
+                                 - n_a * n_b / 2.0::DOUBLE)
+                                / sqrt((n_a * n_b / 12.0::DOUBLE)
+                                       * ((n_a + n_b + 1)
+                                          - tie / ((n_a + n_b)
+                                             * (n_a + n_b - 1))::DOUBLE))
+                                + 1e-9, 6) + 0.0)
+                    ELSE 0.0 END AS z
+        FROM g JOIN ties USING (event_type)
+        ORDER BY 1
+    """
+
+    # Mann-Kendall + Theil-Sen over 6-dp daily means: signs and 9-dp
+    # slopes compare identical decimals; interpolated median via
+    # quantile_cont (same p*(n-1) convention as Spark percentile).
+    sql["mann_kendall"] = """
+        WITH daily AS (
+            SELECT event_type, ts::DATE AS d,
+                   (round(avg(value) + 1e-9, 6) + 0.0) AS v
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ), pr AS (
+            SELECT a.event_type,
+                   sign(b.v - a.v) AS sgn,
+                   round((b.v - a.v)
+                         / date_diff('day', a.d, b.d) + 1e-12, 9)
+                       AS slope
+            FROM daily a JOIN daily b
+              ON a.event_type = b.event_type AND a.d < b.d
+        ), ps AS (
+            SELECT event_type, sum(sgn)::BIGINT AS s_stat,
+                   quantile_cont(slope, 0.5) AS sen
+            FROM pr GROUP BY 1
+        ), nd AS (
+            SELECT event_type, count(*)::BIGINT AS n_days
+            FROM daily GROUP BY 1
+        ), ties AS (
+            SELECT event_type,
+                   sum(tn * (tn - 1) * (2 * tn + 5))::BIGINT AS tie
+            FROM (SELECT event_type, v, count(*)::BIGINT AS tn
+                  FROM daily GROUP BY 1, 2)
+            GROUP BY 1
+        )
+        SELECT ps.event_type, n_days, s_stat,
+               CASE WHEN s_stat > 0 AND (n_days * (n_days - 1)
+                        * (2 * n_days + 5) - tie) / 18.0::DOUBLE > 0
+                    THEN (round((s_stat - 1)
+                            / sqrt((n_days * (n_days - 1)
+                                    * (2 * n_days + 5) - tie)
+                                   / 18.0::DOUBLE) + 1e-9, 6) + 0.0)
+                    WHEN s_stat < 0 AND (n_days * (n_days - 1)
+                        * (2 * n_days + 5) - tie) / 18.0::DOUBLE > 0
+                    THEN (round((s_stat + 1)
+                            / sqrt((n_days * (n_days - 1)
+                                    * (2 * n_days + 5) - tie)
+                                   / 18.0::DOUBLE) + 1e-9, 6) + 0.0)
+                    ELSE 0.0 END AS z,
+               (round(sen + 1e-9, 6) + 0.0) AS sen_slope
+        FROM ps JOIN nd USING (event_type) JOIN ties USING (event_type)
+        ORDER BY 1
     """
 
     # trained multinomial NB: full-chain replay (split, vocab, Laplace

@@ -1,0 +1,86 @@
+"""Rank-2 ALS (`ml/als.py`): closed-form half-step correctness against
+a NumPy solve, determinism of the md5 init, and the capacity claim —
+rank-2's one-alternation reconstruction error beats rank-1's on the
+same matrix (VERDICT r7 "Next round" #4's done-condition)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from timeseries_data_analysis_spark.ml import als as ALS
+
+REG = 0.1
+
+
+def _ratings(spark):
+    # small dense-ish matrix with a genuine rank-2 structure:
+    # block A users love items 0-2, block B users love items 3-5,
+    # plus a shared popularity floor — rank-1 captures the floor,
+    # rank-2 captures the blocks.
+    rows = []
+    for c in range(8):
+        for s in range(6):
+            base = 1
+            block = 4 if (c < 4) == (s < 3) else 0
+            rows.append((c, s, base + block))
+    return spark.createDataFrame(rows, "c int, s int, r int")
+
+
+def test_half_step_matches_numpy_solve(spark):
+    r = _ratings(spark)
+    u, v = ALS.als_rank2_round(r, reg=REG)
+    v0 = {row["s"]: (row["v1"], row["v2"])
+          for row in ALS.init_item_factors(r).collect()}
+    ratings = {(row["c"], row["s"]): row["r"] for row in r.collect()}
+    got = {row["c"]: (row["u1"], row["u2"]) for row in u.collect()}
+    for c in range(8):
+        A = np.eye(2) * REG
+        b = np.zeros(2)
+        for (cc, s), val in ratings.items():
+            if cc != c:
+                continue
+            vv = np.array(v0[s])
+            A += np.outer(vv, vv)
+            b += val * vv
+        exp = np.linalg.solve(A, b)
+        assert abs(got[c][0] - exp[0]) < 1e-8
+        assert abs(got[c][1] - exp[1]) < 1e-8
+
+
+def test_init_is_deterministic_and_symmetry_breaking(spark):
+    r = _ratings(spark)
+    a = {row["s"]: row["v2"] for row in ALS.init_item_factors(r).collect()}
+    b = {row["s"]: row["v2"] for row in ALS.init_item_factors(r).collect()}
+    assert a == b
+    # the second component must actually vary, else A is singular up to reg
+    assert len(set(a.values())) > 1
+    assert all(-0.5 <= x < 0.5 for x in a.values())
+
+
+def _global_rmse(r, pred_col):
+    row = r.agg(F.sqrt(F.avg(pred_col)).alias("rmse")).collect()[0]
+    return float(row["rmse"])
+
+
+def test_rank2_beats_rank1_reconstruction(spark):
+    r = _ratings(spark).localCheckpoint()
+    # rank-1, exactly q_als_rank1's arithmetic
+    u1f = (r.groupBy("c")
+           .agg(F.round((F.sum("r") / F.count(F.lit(1)))
+                        + F.lit(1e-12), 9).alias("u")))
+    ru1 = r.join(u1f, "c")
+    v1f = (ru1.groupBy("s")
+           .agg(F.round((F.sum(F.col("r") * F.col("u"))
+                         / F.sum(F.col("u") * F.col("u")))
+                        + F.lit(1e-12), 9).alias("v")))
+    j1 = ru1.join(v1f, "s")
+    e1 = _global_rmse(j1, (F.col("r") - F.col("u") * F.col("v"))
+                      * (F.col("r") - F.col("u") * F.col("v")))
+    # rank-2, one alternation
+    u2, v2 = ALS.als_rank2_round(r, reg=REG)
+    j2 = (r.join(u2.select("c", "u1", "u2"), "c")
+          .join(v2.select("s", "v1", "v2"), "s"))
+    pred = F.col("u1") * F.col("v1") + F.col("u2") * F.col("v2")
+    e2 = _global_rmse(j2, (F.col("r") - pred) * (F.col("r") - pred))
+    assert e2 < e1, (e2, e1)

@@ -31,7 +31,10 @@ LEDGER_22 = [
 ]
 # Round-8 additions occupying slots 23+ (newest-first), kept in sync as
 # round 8 lands queries. Appending here is part of adding a query.
-ROUND8_NEW: list[str] = []
+ROUND8_NEW: list[str] = [
+    "mann_kendall", "mann_whitney", "logrank_test",
+    "isotonic_calibration", "silhouette_trained", "als_rank2",
+]
 # Rows already driver-green (CORRECTNESS_r07 and earlier) that fill the
 # rest of the 50-row window — safe filler, any order.
 DRIVER_GREEN_FILLER_HEAD = ["pagerank_capped", "roc_auc"]

@@ -1,0 +1,113 @@
+"""Rank-k alternating least squares as pure DataFrame aggregation.
+
+The recommender seed SURVEY.md §2.11 maps from the reference's
+single-node model loop (reference: ``models.py`` fits per-target heads
+in-memory): ``q_als_rank1`` in the registry is the scalar power-
+iteration seed; this module is the rank-2 generalization a recommender
+actually runs. The key design point is that for small k the per-key
+normal equations are CLOSED-FORM column arithmetic, so a half-step is
+ONE groupBy over the ratings frame:
+
+    per user u:  A = Σ_s v_s v_sᵀ + λI   (k×k, 3 distinct entries at k=2)
+                 b = Σ_s r_us v_s
+                 u  = A⁻¹ b              (2×2 inverse, codegen-side)
+
+— map-side combinable, shuffle payload 5 doubles per user, never an
+|ratings|-row driver structure. The item half-step is symmetric. No
+``applyInPandas``: at k=2 the Thomas-style bounded solve the cubic
+spline needs is unnecessary — the inverse is a literal expression.
+
+Cross-engine determinism (the ``ml/logit.QUANT`` contract): the
+symmetry-breaking second factor component is initialized from an
+md5 fraction quantized to 9 dp, and every half-step's solved factors
+are rounded to 9 dp (+1e-12 nudge) before the next step consumes
+them, so a SQL oracle replays one full alternation CTE-for-CTE with
+only summation-order ulps in flight (absorbed by each rounding).
+
+Scale shape: cost is dominated by building the ratings frame (a
+distinct-agg ≤ fact rows — the §1l-measured als_rank1 budget, 29 s at
+the 100× corpus); each half-step shuffles |users| or |items| rows of
+k(k+3)/2 doubles. Regularization λ keeps every 2×2 system invertible
+(det ≥ λ² > 0), which is what makes the closed form total.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+QUANT = 9
+EPS = 1e-12
+
+
+def _q(col):
+    return F.round(col + F.lit(EPS), QUANT)
+
+
+def md5_unit_fraction(col, salt: str):
+    """Deterministic pseudo-uniform in [0, 1) from md5(salt || value) —
+    the same public rule the NB split and hash_split use (first 15 hex
+    digits over 16^15), reproducible verbatim in DuckDB SQL."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt),
+                                          col.cast("string"))), 1, 15),
+               16, 10).cast("bigint")
+    return h / F.lit(float(16 ** 15))
+
+
+def init_item_factors(ratings: DataFrame, item_col: str = "s",
+                      salt: str = "als2|") -> DataFrame:
+    """Deterministic rank-2 item-factor init: v1 = 1.0 (the mean
+    direction — rank-1's init, so the first component starts on the
+    dominant-singular-vector path), v2 = md5-fraction − 0.5 quantized
+    to 9 dp (the symmetry breaker; a constant second component would
+    make A singular up to λ and learn nothing)."""
+    return (ratings.select(item_col).distinct()
+            .select(item_col,
+                    F.lit(1.0).alias("v1"),
+                    _q(md5_unit_fraction(F.col(item_col), salt)
+                       - F.lit(0.5)).alias("v2")))
+
+
+def _solve_half_step(joined: DataFrame, key: str, r_col: str,
+                     f1: str, f2: str, reg: float,
+                     out1: str, out2: str) -> DataFrame:
+    """One ALS half-step: per `key`, accumulate the 2×2 normal
+    equations over the opposite side's factors (f1, f2) and solve in
+    closed form. Returns (key, out1, out2, n_obs) with 9-dp factors."""
+    g = (joined.groupBy(key)
+         .agg(F.sum(F.col(f1) * F.col(f1)).alias("_a11"),
+              F.sum(F.col(f1) * F.col(f2)).alias("_a12"),
+              F.sum(F.col(f2) * F.col(f2)).alias("_a22"),
+              F.sum(F.col(r_col) * F.col(f1)).alias("_b1"),
+              F.sum(F.col(r_col) * F.col(f2)).alias("_b2"),
+              F.count(F.lit(1)).alias("n_obs")))
+    a11 = F.col("_a11") + F.lit(reg)
+    a22 = F.col("_a22") + F.lit(reg)
+    a12 = F.col("_a12")
+    det = a11 * a22 - a12 * a12
+    return g.select(
+        key,
+        _q((a22 * F.col("_b1") - a12 * F.col("_b2")) / det).alias(out1),
+        _q((a11 * F.col("_b2") - a12 * F.col("_b1")) / det).alias(out2),
+        "n_obs")
+
+
+def als_rank2_round(ratings: DataFrame, user_col: str = "c",
+                    item_col: str = "s", rating_col: str = "r",
+                    reg: float = 0.1) -> tuple[DataFrame, DataFrame]:
+    """ONE full rank-2 ALS alternation (user half-step from the
+    deterministic item init, then item half-step from the solved user
+    factors). Returns ``(user_factors, item_factors)`` —
+    ``(c, u1, u2, n_obs)`` and ``(s, v1, v2, n_obs)``, all factors
+    9-dp quantized. Callers wanting more rounds re-enter with the
+    returned item factors as the init (each round is two groupBys; the
+    round count is a fixed unrollable budget like every iterative op
+    here)."""
+    v0 = init_item_factors(ratings, item_col)
+    rv = ratings.join(v0, item_col)
+    u = _solve_half_step(rv, user_col, rating_col, "v1", "v2", reg,
+                         "u1", "u2")
+    ru = ratings.join(u.select(user_col, "u1", "u2"), user_col)
+    v = _solve_half_step(ru, item_col, rating_col, "u1", "u2", reg,
+                         "v1", "v2")
+    return u, v

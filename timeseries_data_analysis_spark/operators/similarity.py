@@ -599,7 +599,8 @@ def lloyd_step(vectors: DataFrame, centroids: DataFrame,
 
 def kmeans_fit(vectors: DataFrame, init_centroids: DataFrame,
                n_iter: int = 5, id_col: str = "vec_id",
-               vec_col: str = "embedding") -> DataFrame:
+               vec_col: str = "embedding",
+               quant: int | None = None) -> DataFrame:
     """Bounded-iteration Lloyd refinement of an initial centroid frame
     (the from-first-principles trainer behind ``ivf_fit_centroids``'s
     Spark-ML path — same contract: returns ``(centroid_id, centroid)``).
@@ -611,6 +612,13 @@ def kmeans_fit(vectors: DataFrame, init_centroids: DataFrame,
     by definition (K·dim floats), the CORPUS never leaves the executors.
     Cells with no members keep their previous centroid (the standard
     empty-cluster rule). Deterministic: no sampling, no RNG.
+
+    ``quant``: round every collected mean to this many decimals (with
+    the +1e-12 nudge) before it re-enters the next iteration — the
+    ``ml/logit.QUANT`` contract. With quantized per-iteration state a
+    SQL oracle can unroll the whole fit CTE-for-CTE: summation-order
+    noise in the per-(cell, dim) averages is absorbed at each round
+    instead of compounding through assignments.
     """
     spark = vectors.sparkSession
     cur = {r["centroid_id"]: list(r["centroid"])
@@ -622,9 +630,12 @@ def kmeans_fit(vectors: DataFrame, init_centroids: DataFrame,
                           vec_col=vec_col).collect()
         nxt: dict[int, list[float]] = {}
         for r in rows:
+            val = float(r["new_val"])
+            if quant is not None:
+                val = round(val + 1e-12, quant)
             nxt.setdefault(r["centroid_id"],
                            [0.0] * len(cur[r["centroid_id"]]))
-            nxt[r["centroid_id"]][r["dim_idx"]] = float(r["new_val"])
+            nxt[r["centroid_id"]][r["dim_idx"]] = val
         cur = {cid: nxt.get(cid, vec) for cid, vec in cur.items()}
     return spark.createDataFrame(
         sorted(cur.items()), "centroid_id int, centroid array<double>")

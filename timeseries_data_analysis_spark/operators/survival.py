@@ -105,3 +105,75 @@ def na_cumhazard(durations: DataFrame, duration_col: str = "duration",
             .select("duration", "n_risk", "n_events", "n_censored",
                     "cum_hazard", "var_hazard")
             .orderBy("duration"))
+
+
+def logrank_test(durations: DataFrame, arm_col: str = "arm",
+                 duration_col: str = "duration",
+                 event_col: str = "observed",
+                 round_dp: int = 6) -> DataFrame:
+    """Two-sample log-rank test (Mantel-Cox) — the inference step the
+    KM/NA estimators feed: does arm 0's survival curve differ from
+    arm 1's beyond chance? At every distinct event time the observed
+    arm-0 deaths are compared with the hypergeometric expectation
+    ``E = d·n₀/n`` and variance ``V = d(n₀/n)(n₁/n)(n−d)/(n−1)``;
+    ``Z = Σ(O−E)/√ΣV`` and ``chi2 = Z²`` (1 df).
+
+    Scale shape: the per-(arm, duration) collapse is the only
+    fact-sized work (map-side combined); the at-risk counts are
+    reverse-cumulative windows over the calendar-bounded duration
+    grid — the :func:`at_risk_table` contract — densified to the
+    POOLED duration grid per arm (a bounded grid × 2 cross join) so
+    each arm's at-risk is defined at every pooled event time without
+    an as-of join.
+
+    Cross-engine: all counts are exact integers; the per-time E and V
+    are ratios of identical integer operands (identical doubles both
+    engines); the two Σs are rounded to ``round_dp`` BEFORE forming
+    Z so groupBy summation order cannot leak into the statistic.
+    Returns ONE row: ``(n_arm0, n_arm1, d_total, o_minus_e, var_sum,
+    z, chi2)``.
+    """
+    per = (durations.groupBy(F.col(arm_col).alias("_arm"),
+                             F.col(duration_col).alias("duration"))
+           .agg(F.sum(F.col(event_col).cast("int")).alias("_d"),
+                F.count(F.lit(1)).alias("_n")))
+    durs = per.select("duration").distinct()
+    arms = per.select("_arm").distinct()
+    grid = durs.crossJoin(F.broadcast(arms))
+    filled = (grid.join(per, ["duration", "_arm"], "left")
+              .fillna(0, ["_d", "_n"]))
+    w_rev = (Window.partitionBy("_arm")
+             .orderBy(F.col("duration").desc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    filled = filled.withColumn("_risk", F.sum("_n").over(w_rev))
+    a0 = F.when(F.col("_arm") == 0, F.col("_d"))
+    r0 = F.when(F.col("_arm") == 0, F.col("_risk"))
+    pooled = (filled.groupBy("duration")
+              .agg(F.sum("_d").alias("_dt"),
+                   F.sum("_risk").alias("_nt"),
+                   F.sum(a0).alias("_d0"),
+                   F.sum(r0).alias("_r0")))
+    ev = pooled.filter((F.col("_dt") > 0) & (F.col("_nt") > 1))
+    p0 = F.col("_r0") / F.col("_nt")
+    e0 = F.col("_dt") * p0
+    v = (F.col("_dt") * p0 * (F.lit(1.0) - p0)
+         * (F.col("_nt") - F.col("_dt")) / (F.col("_nt") - F.lit(1)))
+    sums = ev.agg(
+        F.round(F.sum(F.col("_d0") - e0) + F.lit(1e-9), round_dp)
+        .alias("o_minus_e"),
+        F.round(F.sum(v) + F.lit(1e-9), round_dp).alias("var_sum"),
+        F.sum("_dt").alias("d_total"))
+    counts = (durations.groupBy()
+              .agg(F.sum((F.col(arm_col) == 0).cast("int"))
+                   .alias("n_arm0"),
+                   F.sum((F.col(arm_col) == 1).cast("int"))
+                   .alias("n_arm1")))
+    z = F.when(F.col("var_sum") > 0,
+               F.col("o_minus_e") / F.sqrt(F.col("var_sum"))) \
+         .otherwise(F.lit(0.0))
+    return (counts.crossJoin(sums)
+            .withColumn("z", F.round(z + F.lit(1e-9), round_dp))
+            .withColumn("chi2", F.round(F.col("z") * F.col("z")
+                                        + F.lit(1e-9), round_dp))
+            .select("n_arm0", "n_arm1", "d_total", "o_minus_e",
+                    "var_sum", "z", "chi2"))
