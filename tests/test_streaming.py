@@ -1140,3 +1140,66 @@ def test_periodogram_sink_prune_then_replay(spark, sf_dir, tmp_path):
     again = sorted(map(tuple, spark.read.parquet(
         f"{out}/spectrum_batch=2").collect()))
     assert again == got
+
+
+def test_nb_sink_batch_stream_equivalence_and_replay(spark, sf_dir, tmp_path):
+    """The streaming NB maintenance sink folded over 3 doc-id-split
+    micro-batches must yield the IDENTICAL model (quantized logliks +
+    priors) as one batch nb_fit over the union — counts are additive
+    integers, so this is exact equality, not tolerance. A crash-window
+    replay of the last batch must rewrite identical state."""
+    from pyspark.sql import functions as F
+    from timeseries_data_analysis_spark.ml import nb as NB
+    from timeseries_data_analysis_spark.sources import load_table
+    from timeseries_data_analysis_spark.streaming import jobs as SJ
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang",
+                                                         "text")
+    batches = [docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i)
+               for i in range(3)]
+    state = str(tmp_path / "nb_state")
+    for bid, bdf in enumerate(batches):
+        SJ.nb_commit_batch(bdf, bid, state)
+
+    ll_s, pr_s = SJ.nb_state_model(spark, state, min_count=3)
+    toks = NB.tokenize(docs.select("lang", "text"))
+    ll_b, pr_b = NB.nb_fit(toks, docs.select("lang"), "lang", min_count=3)
+
+    def ll_rows(df):
+        return sorted((r["token"], r["lang"], r["loglik"])
+                      for r in df.collect())
+
+    def pr_rows(df):
+        return sorted((r["lang"], r["logprior"]) for r in df.collect())
+
+    assert ll_rows(ll_s) == ll_rows(ll_b)
+    assert pr_rows(pr_s) == pr_rows(pr_b)
+
+    # crash-window replay: re-commit the last batch; state identical
+    before = sorted(
+        (r["kind"], r["token"], r["label"], r["n"])
+        for r in spark.read.parquet(f"{state}/state_batch=2").collect())
+    SJ.nb_commit_batch(batches[2], 2, state)
+    after = sorted(
+        (r["kind"], r["token"], r["label"], r["n"])
+        for r in spark.read.parquet(f"{state}/state_batch=2").collect())
+    assert before == after
+
+
+def test_nb_sink_min_count_is_global_not_per_batch(spark, tmp_path):
+    """A token seen twice per batch across three batches (6 total) must
+    clear min_count=5 at readout even though no single batch clears it
+    — the property that forces vocab derivation to the readout."""
+    from timeseries_data_analysis_spark.streaming import jobs as SJ
+
+    state = str(tmp_path / "nb_mc_state")
+    for bid in range(3):
+        bdf = spark.createDataFrame(
+            [(bid * 2, "aa", "rare rare common common common"),
+             (bid * 2 + 1, "bb", "common common common")],
+            "doc_id long, lang string, text string")
+        SJ.nb_commit_batch(bdf, bid, state)
+    ll, _ = SJ.nb_state_model(spark, state, min_count=5)
+    vocab = {r["token"] for r in ll.select("token").distinct().collect()}
+    assert "rare" in vocab      # 6 global occurrences >= 5
+    assert "common" in vocab

@@ -46,26 +46,30 @@ def tokenize(df: DataFrame, text_col: str = "text") -> DataFrame:
             .drop(text_col))
 
 
-def nb_fit(train_tokens: DataFrame, train_docs: DataFrame,
-           label_col: str, min_count: int = 5
-           ) -> tuple[DataFrame, DataFrame]:
-    """Fit multinomial NB from token occurrences.
+def nb_fit_from_counts(pair_counts: DataFrame, label_counts: DataFrame,
+                       label_col: str, min_count: int = 5
+                       ) -> tuple[DataFrame, DataFrame]:
+    """Fit multinomial NB from the ADDITIVE sufficient statistics —
+    per-(token, label) occurrence counts and per-label document
+    counts. This is the fold target of ``streaming.jobs.nb_sink``:
+    the counts merge across any split of the data by summation, so a
+    model derived from stream-folded counts is IDENTICAL to one fit
+    on the union in batch (integer counts → identical smoothed
+    logliks, the `periodogram_sink`/Gramian additive-state pattern).
 
-    ``train_tokens``: one row per token occurrence with ``token`` and
-    ``label_col``.  ``train_docs``: one row per training document with
-    ``label_col`` (priors count documents, not tokens).  Returns
-    ``(loglik, prior)``: ``loglik`` has one row per (token, label) for
-    every in-vocab token x every observed label (Laplace-smoothed,
-    missing pairs get count 0); ``prior`` one row per label.
+    ``pair_counts``: one row per observed (token, label) with
+    ``_n_lt`` (occurrences).  ``label_counts``: one row per label with
+    ``_nd_l`` (documents). Vocab (global count ≥ min_count), class
+    totals, Laplace smoothing and priors are all DERIVED here at
+    readout — min_count is a global property, so it must never be
+    applied per-batch.
     """
-    vocab = (train_tokens.groupBy("token")
-             .agg(F.count(F.lit(1)).alias("_tok_n"))
+    vocab = (pair_counts.groupBy("token")
+             .agg(F.sum("_n_lt").alias("_tok_n"))
              .filter(F.col("_tok_n") >= min_count)
              .select("token"))
     v_size = vocab.agg(F.count(F.lit(1)).alias("_v"))
-    counts = (train_tokens.join(vocab, "token")
-              .groupBy(label_col, "token")
-              .agg(F.count(F.lit(1)).alias("_n_lt")))
+    counts = pair_counts.join(vocab, "token")
     class_tot = (counts.groupBy(label_col)
                  .agg(F.sum("_n_lt").alias("_n_l")))
     labels = class_tot.select(label_col, "_n_l")
@@ -80,9 +84,8 @@ def nb_fit(train_tokens: DataFrame, train_docs: DataFrame,
                           / (F.col("_n_l") + F.col("_v")))
                           + F.lit(_EPS_Q), QUANT)
                       .alias("loglik")))
-    n_train = train_docs.agg(F.count(F.lit(1)).alias("_nd"))
-    prior = (train_docs.groupBy(label_col)
-             .agg(F.count(F.lit(1)).alias("_nd_l"))
+    n_train = label_counts.agg(F.sum("_nd_l").alias("_nd"))
+    prior = (label_counts
              .crossJoin(F.broadcast(n_train))
              .select(label_col,
                      F.round(F.log(F.col("_nd_l").cast("double")
@@ -90,6 +93,31 @@ def nb_fit(train_tokens: DataFrame, train_docs: DataFrame,
                              + F.lit(_EPS_Q), QUANT)
                      .alias("logprior")))
     return loglik, prior
+
+
+def nb_fit(train_tokens: DataFrame, train_docs: DataFrame,
+           label_col: str, min_count: int = 5
+           ) -> tuple[DataFrame, DataFrame]:
+    """Fit multinomial NB from token occurrences.
+
+    ``train_tokens``: one row per token occurrence with ``token`` and
+    ``label_col``.  ``train_docs``: one row per training document with
+    ``label_col`` (priors count documents, not tokens).  Returns
+    ``(loglik, prior)``: ``loglik`` has one row per (token, label) for
+    every in-vocab token x every observed label (Laplace-smoothed,
+    missing pairs get count 0); ``prior`` one row per label.
+
+    Delegates to :func:`nb_fit_from_counts` over the aggregated
+    sufficient statistics, so the batch fit and the streaming fold
+    (`streaming.jobs.nb_sink`) share one arithmetic path by
+    construction.
+    """
+    pair_counts = (train_tokens.groupBy(label_col, "token")
+                   .agg(F.count(F.lit(1)).alias("_n_lt")))
+    label_counts = (train_docs.groupBy(label_col)
+                    .agg(F.count(F.lit(1)).alias("_nd_l")))
+    return nb_fit_from_counts(pair_counts, label_counts, label_col,
+                              min_count=min_count)
 
 
 def nb_predict(test_tokens: DataFrame, loglik: DataFrame,

@@ -1496,3 +1496,114 @@ def periodogram_commit_batch(batch_df: DataFrame, batch_id: int,
     (SPEC.dft_amplitudes(state, omegas, key_col=key_col)
      .write.mode("overwrite")
      .parquet(f"{out_path}/spectrum_batch={batch_id}"))
+
+
+# ---------------------------------------------------------------------------
+# Streaming naive-Bayes maintenance (additive token/doc counts)
+# ---------------------------------------------------------------------------
+
+def nb_sink(doc_stream: DataFrame, state_path: str,
+            label_col: str = "lang", text_col: str = "text"):
+    """Streaming trained-classifier maintenance for multinomial NB:
+    the model's ONLY inputs are per-(token, label) occurrence counts
+    and per-label document counts — both ADDITIVE sufficient
+    statistics, so each micro-batch folds its partial counts into a
+    persisted count table exactly like `periodogram_sink`'s DFT
+    partials and `pca_sink`'s Gramian. Vocabulary (global min_count),
+    Laplace smoothing and priors are DERIVED AT READOUT
+    (`nb_state_model` → `ml/nb.nb_fit_from_counts`), never folded —
+    min_count is a global property and must not be applied per batch.
+    Batch/stream equivalence is therefore an identity: the model from
+    stream-folded counts equals `nb_fit` on the union bit-for-bit
+    (integer counts in, identical quantized logliks out) —
+    test-pinned in test_streaming.
+
+    Replay safety is single-phase like :func:`hll_sink`: each batch
+    writes its complete post-merge counts to
+    ``state_path/state_batch=<id>`` built from the newest committed
+    state with id < batch_id; counting a replayed batch is
+    deterministic, so a crash-replay rewrites the identical state.
+    State rows: ``(kind, token, label, n)`` with kind='tok' for pair
+    counts and kind='doc' (token='') for doc counts — one schema, one
+    merge law (groupBy sum).
+    """
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        nb_commit_batch(batch_df, batch_id, state_path,
+                        label_col=label_col, text_col=text_col)
+
+    return (doc_stream.writeStream.foreachBatch(process)
+            .outputMode("update"))
+
+
+def nb_counts_partial(batch_df: DataFrame, label_col: str = "lang",
+                      text_col: str = "text") -> DataFrame:
+    """One batch's additive NB statistics in the shared state schema
+    — used by both the sink fold and the batch-equivalence test."""
+    from ..ml import nb as NB
+
+    docs = batch_df.filter(F.col(label_col).isNotNull()
+                           & F.col(text_col).isNotNull())
+    toks = NB.tokenize(docs.select(label_col, text_col), text_col)
+    pair = (toks.groupBy(label_col, "token")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit("tok").alias("kind"), "token",
+                    F.col(label_col).alias("label"), "n"))
+    doc = (docs.groupBy(label_col)
+           .agg(F.count(F.lit(1)).alias("n"))
+           .select(F.lit("doc").alias("kind"),
+                   F.lit("").alias("token"),
+                   F.col(label_col).alias("label"), "n"))
+    return pair.unionByName(doc)
+
+
+def nb_commit_batch(batch_df: DataFrame, batch_id: int, state_path: str,
+                    label_col: str = "lang",
+                    text_col: str = "text") -> None:
+    """One micro-batch of :func:`nb_sink`, module-level so tests can
+    replay crash windows against it."""
+    from pyspark.errors import AnalysisException
+
+    spark = batch_df.sparkSession
+    prev = None
+    try:
+        store = spark.read.parquet(state_path)
+        ids = [r["state_batch"] for r in
+               store.select("state_batch").distinct().collect()
+               if r["state_batch"] < batch_id]
+        if ids:
+            prev = (store.where(F.col("state_batch") == max(ids))
+                    .select("kind", "token", "label", "n"))
+    except AnalysisException as exc:
+        msg = str(exc)
+        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+            raise
+
+    part = nb_counts_partial(batch_df, label_col=label_col,
+                             text_col=text_col)
+    merged = part if prev is None else (
+        part.unionByName(prev).groupBy("kind", "token", "label")
+        .agg(F.sum("n").alias("n")))
+    (merged.write.mode("overwrite")
+     .parquet(f"{state_path}/state_batch={batch_id}"))
+
+
+def nb_state_model(spark: SparkSession, state_path: str,
+                   label_col: str = "lang", min_count: int = 5):
+    """Latest committed NB model from :func:`nb_sink` state:
+    ``(loglik, prior)`` via the same `nb_fit_from_counts` arithmetic
+    the batch fit delegates to — a batch `nb_fit` over the union of
+    all streamed documents and this read see identical models."""
+    from ..ml import nb as NB
+
+    store = spark.read.parquet(state_path)
+    latest = (store.agg(F.max("state_batch").alias("b"))
+              .collect()[0]["b"])
+    state = store.where(F.col("state_batch") == latest)
+    pair = (state.where(F.col("kind") == "tok")
+            .select("token", F.col("label").alias(label_col),
+                    F.col("n").alias("_n_lt")))
+    docs = (state.where(F.col("kind") == "doc")
+            .select(F.col("label").alias(label_col),
+                    F.col("n").alias("_nd_l")))
+    return NB.nb_fit_from_counts(pair, docs, label_col,
+                                 min_count=min_count)
