@@ -27,7 +27,9 @@ from timeseries_data_analysis_spark.operators import (
     tokenizer as TOKZ, sketch as SK, cdc as CDC, bloom as BLM,
     layout as LAY, survival as SURV, spectral as SPEC,
 )
-from timeseries_data_analysis_spark.functions import math_fns as M, text as TX
+from timeseries_data_analysis_spark.functions import (
+    math_fns as M, text as TX, stats as ST,
+)
 from timeseries_data_analysis_spark.ml import (
     logit as LG, nb as NB, als as ALS,
 )
@@ -6248,19 +6250,10 @@ def q_logrank_test(spark: SparkSession, sf: str) -> DataFrame:
     return SURV.logrank_test(subj)
 
 
-def q_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
-    """Mann-Whitney U (Wilcoxon rank-sum) per event series — the
-    NONPARAMETRIC twin of `ab_test`'s Welch t: arms from the same
-    pmod(user_id, 2) split, values rank-transformed jointly with
-    average ranks for ties, U₁ = R₁ − n₁(n₁+1)/2, and the tie-
-    corrected normal approximation z = (U₁ − μ)/σ with σ² =
-    (n₁n₂/12)·((n+1) − Σ(t³−t)/(n(n−1))). Rank sums are exact
-    (average ranks are integers or half-integers — exact doubles, so
-    summation order is irrelevant BEFORE any rounding); everything
-    downstream divides identical exact operands. Scale shape: one
-    per-series window sort (rank) + two map-side-combined groupBys —
-    the same per-series-window posture as the rolling family; no
-    driver state."""
+def _mw_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared Mann-Whitney statistic frame: ``(event_type, n_a, n_b,
+    u_stat, z)`` — consumed by `q_mann_whitney` directly and by
+    `q_bh_fdr` as the per-test z source."""
     d = (load_table(spark, sf, "events")
          .filter(F.col("value").isNotNull() & F.col("user_id").isNotNull())
          .select("event_type",
@@ -6288,10 +6281,55 @@ def q_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
     sig2 = (F.col("n_a") * F.col("n_b") / F.lit(12.0)) \
         * ((n + F.lit(1)) - F.col("_tie") / (n * (n - F.lit(1))))
     z = F.when(sig2 > 0, (u1 - mu) / F.sqrt(sig2)).otherwise(F.lit(0.0))
-    return (j.select("event_type", "n_a", "n_b",
-                     _r(u1, 1).alias("u_stat"),
-                     _r(z, 6).alias("z"))
-            .orderBy("event_type"))
+    return j.select("event_type", "n_a", "n_b",
+                    _r(u1, 1).alias("u_stat"),
+                    _r(z, 6).alias("z"))
+
+
+def q_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) per event series — the
+    NONPARAMETRIC twin of `ab_test`'s Welch t: arms from the same
+    pmod(user_id, 2) split, values rank-transformed jointly with
+    average ranks for ties, U₁ = R₁ − n₁(n₁+1)/2, and the tie-
+    corrected normal approximation z = (U₁ − μ)/σ with σ² =
+    (n₁n₂/12)·((n+1) − Σ(t³−t)/(n(n−1))). Rank sums are exact
+    (average ranks are integers or half-integers — exact doubles, so
+    summation order is irrelevant BEFORE any rounding); everything
+    downstream divides identical exact operands. Scale shape: one
+    per-series window sort (rank) + two map-side-combined groupBys —
+    the same per-series-window posture as the rolling family; no
+    driver state."""
+    return _mw_frame(spark, sf).orderBy("event_type")
+
+
+def q_bh_fdr(spark: SparkSession, sf: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over the per-series Mann-Whitney
+    tests — the MULTIPLE-TESTING step an experiment platform runs when
+    every series is a hypothesis: two-sided p from the A&S-7.1.26
+    normal tail (`functions/stats.py` — literal Horner column math,
+    no erf built-in and no UDF; coefficients shared with the SQL
+    oracle via repr), then the step-up rule: rank p ascending, find
+    the largest k with p₍ₖ₎ ≤ k·α/m, reject 1..k (α = 0.05). The BH
+    compare runs on 6-dp-ROUNDED p so an ulp of exp() noise cannot
+    flip a rejection. The unpartitioned rank window is m-bounded
+    (m = |series| — the documented bounded-window contract)."""
+    mw = _mw_frame(spark, sf)
+    p = mw.select("event_type", "z",
+                  _r(ST.two_sided_p(F.col("z")), 6).alias("p_value"))
+    w_rank = Window.orderBy("p_value", "event_type")
+    w_all = Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
+    ranked = (p.withColumn("_rk", F.row_number().over(w_rank))
+              .withColumn("_m", F.count(F.lit(1)).over(w_all)))
+    thr = F.col("_rk") * F.lit(0.05) / F.col("_m")
+    flag_rk = F.when(F.col("p_value") <= thr, F.col("_rk")).otherwise(F.lit(0))
+    ranked = ranked.withColumn("_kmax", F.max(flag_rk).over(w_all))
+    return (ranked.select("event_type", "z", "p_value",
+                          F.col("_rk").alias("p_rank"),
+                          (F.col("_rk") <= F.col("_kmax")).cast("int")
+                          .alias("significant"),
+                          _r(thr, 6).alias("bh_threshold"))
+            .orderBy("p_rank"))
 
 
 def q_mann_kendall(spark: SparkSession, sf: str) -> DataFrame:
@@ -6347,6 +6385,98 @@ def q_mann_kendall(spark: SparkSession, sf: str) -> DataFrame:
                      _r(z, 6).alias("z"),
                      _r(F.col("_sen"), 6).alias("sen_slope"))
             .orderBy("event_type"))
+
+
+def q_binseg_changepoint(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary-segmentation changepoint per event series — the OFFLINE
+    estimator complementing `cusum_changepoints`' online monitor:
+    find the single split of the daily-mean sequence that maximizes
+    the between-segment sum of squares n_l·m_l² + n_r·m_r² − n·m²
+    (equivalently the variance reduction — the first step of the
+    classic binary-segmentation recursion; one level is the
+    where-did-the-level-shift-happen readout). Prefix sums over the
+    calendar-bounded daily table give every candidate split's left/
+    right means in ONE window pass — no per-split rescan; the fact
+    scan collapses N events to (series × days) rows first, the same
+    reduce-then-bounded-solve posture as `mann_kendall`. Cross-engine:
+    daily means round at 6 dp, prefix sums run in deterministic
+    (day) order over identical decimals, so the argmax ranks identical
+    doubles (9-dp round guard + earliest-day tiebreak)."""
+    daily = (load_table(spark, sf, "events")
+             .filter(F.col("value").isNotNull())
+             .groupBy("event_type", F.to_date("ts").alias("_d"))
+             .agg(_r(F.avg("value"), 6).alias("_v")))
+    w_ord = (Window.partitionBy("event_type").orderBy("_d")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = (Window.partitionBy("event_type")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    d2 = daily.select(
+        "event_type", "_d",
+        F.sum("_v").over(w_ord).alias("_cs"),
+        F.count(F.lit(1)).over(w_ord).alias("_k"),
+        F.sum("_v").over(w_all).alias("_s"),
+        F.count(F.lit(1)).over(w_all).alias("_n"))
+    cand = d2.filter(F.col("_k") < F.col("_n"))
+    ml = F.col("_cs") / F.col("_k")
+    mr = (F.col("_s") - F.col("_cs")) / (F.col("_n") - F.col("_k"))
+    m = F.col("_s") / F.col("_n")
+    red = (F.col("_k") * ml * ml
+           + (F.col("_n") - F.col("_k")) * mr * mr
+           - F.col("_n") * m * m)
+    scored = cand.select("event_type", "_d",
+                         F.col("_k").alias("n_left"),
+                         (F.col("_n") - F.col("_k")).alias("n_right"),
+                         ml.alias("_ml"), mr.alias("_mr"),
+                         F.round(red + F.lit(1e-12), 9).alias("_red"))
+    w_rk = Window.partitionBy("event_type").orderBy(
+        F.col("_red").desc(), "_d")
+    return (scored.withColumn("_rk", F.row_number().over(w_rk))
+            .filter(F.col("_rk") == 1)
+            .select("event_type", F.col("_d").alias("split_day"),
+                    "n_left", "n_right",
+                    _r(F.col("_ml"), 6).alias("mean_left"),
+                    _r(F.col("_mr"), 6).alias("mean_right"),
+                    _r(F.col("_red"), 6).alias("ss_reduction"))
+            .orderBy("event_type"))
+
+
+def q_matryoshka_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Matryoshka-truncation retrieval audit — can the ANN index serve
+    from the first 16 of 64 dimensions (4× memory/compute at query
+    time, the MRL deployment question) without losing the neighbor
+    set? Exact cosine top-10 per probe query with FULL vectors vs
+    TRUNCATED (prefix-slice) vectors; per query the overlap count and
+    the Jaccard of the two neighbor sets. Both passes are the
+    N×Q broadcast scoring join every ANN evaluator here uses
+    (`brute_force_topk`), so the audit scans the corpus twice and
+    shuffles only Q·k rows — the slice is a zero-shuffle map stage.
+    Cross-engine: float32→float64 cast BEFORE the dot products (the
+    `similarity_topk` contract); rank ties broken by vec_id."""
+    emb = (load_table(spark, sf, "embeddings")
+           .withColumn("embedding", F.col("embedding")
+                       .cast("array<double>")))
+    q_full = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    top_full = (SIM.brute_force_topk(emb, q_full, k=10)
+                .select("query_id", "vec_id"))
+    emb16 = emb.select("vec_id",
+                       F.slice("embedding", 1, 16).alias("embedding"))
+    q16 = emb16.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    top16 = (SIM.brute_force_topk(emb16, q16, k=10)
+             .select("query_id", "vec_id"))
+    ov = (top_full.join(top16, ["query_id", "vec_id"])
+          .groupBy("query_id")
+          .agg(F.count(F.lit(1)).alias("n_overlap")))
+    base = q_full.select("query_id")
+    return (base.join(ov, "query_id", "left")
+            .fillna(0, ["n_overlap"])
+            .select("query_id", "n_overlap",
+                    _r(F.col("n_overlap")
+                       / (F.lit(20) - F.col("n_overlap")), 6)
+                    .alias("set_jaccard"))
+            .orderBy("query_id"))
 
 
 def q_ppr_trust(spark: SparkSession, sf: str) -> DataFrame:
@@ -6825,6 +6955,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": q_link_prediction,
         "nelson_aalen": q_nelson_aalen,
         # --- round-8 new additions (slots 23+), newest-first ---
+        "bh_fdr": q_bh_fdr,
+        "matryoshka_audit": q_matryoshka_audit,
+        "binseg_changepoint": q_binseg_changepoint,
         "mann_kendall": q_mann_kendall,
         "mann_whitney": q_mann_whitney,
         "logrank_test": q_logrank_test,
@@ -13948,6 +14081,159 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 0.0 END AS z
         FROM g JOIN ties USING (event_type)
         ORDER BY 1
+    """
+
+    # binary-segmentation changepoint: prefix sums over 6-dp daily
+    # means in deterministic day order; argmax with 9-dp guard +
+    # earliest-day tiebreak.
+    sql["binseg_changepoint"] = """
+        WITH daily AS (
+            SELECT event_type, ts::DATE AS d,
+                   (round(avg(value) + 1e-9, 6) + 0.0) AS v
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        ), pre AS (
+            SELECT event_type, d,
+                   sum(v) OVER (PARTITION BY event_type ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cs,
+                   count(*) OVER (PARTITION BY event_type ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       ::BIGINT AS k,
+                   sum(v) OVER (PARTITION BY event_type) AS s,
+                   count(*) OVER (PARTITION BY event_type)::BIGINT AS n
+            FROM daily
+        ), scored AS (
+            SELECT event_type, d, k AS n_left, (n - k) AS n_right,
+                   cs / k AS ml, (s - cs) / (n - k) AS mr,
+                   round(k * (cs / k) * (cs / k)
+                         + (n - k) * ((s - cs) / (n - k))
+                                   * ((s - cs) / (n - k))
+                         - n * (s / n) * (s / n) + 1e-12, 9) AS red
+            FROM pre WHERE k < n
+        ), ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY event_type
+                          ORDER BY red DESC, d) AS rk
+            FROM scored
+        )
+        SELECT event_type, d AS split_day, n_left, n_right,
+               (round(ml + 1e-9, 6) + 0.0) AS mean_left,
+               (round(mr + 1e-9, 6) + 0.0) AS mean_right,
+               (round(red + 1e-9, 6) + 0.0) AS ss_reduction
+        FROM ranked WHERE rk = 1
+        ORDER BY event_type
+    """
+
+    # Matryoshka truncation audit: two exact top-10 rankings (full vs
+    # prefix-sliced vectors, both cast DOUBLE before the dot products),
+    # inner-join overlap per query.
+    sql["matryoshka_audit"] = """
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   (embedding::DOUBLE[])[1:16] AS v16
+            FROM embeddings
+        ), q AS (
+            SELECT vec_id AS query_id, v AS qv, v16 AS qv16
+            FROM e WHERE vec_id < 10
+        ), full_rk AS (
+            SELECT query_id, vec_id FROM (
+                SELECT q.query_id, e.vec_id,
+                       row_number() OVER (PARTITION BY q.query_id ORDER BY
+                           (CASE WHEN list_dot_product(e.v, e.v) = 0
+                                  OR list_dot_product(q.qv, q.qv) = 0
+                                 THEN 0.0
+                                 ELSE list_cosine_similarity(e.v, q.qv)
+                            END) DESC, e.vec_id) AS rk
+                FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+            WHERE rk <= 10
+        ), tr_rk AS (
+            SELECT query_id, vec_id FROM (
+                SELECT q.query_id, e.vec_id,
+                       row_number() OVER (PARTITION BY q.query_id ORDER BY
+                           (CASE WHEN list_dot_product(e.v16, e.v16) = 0
+                                  OR list_dot_product(q.qv16, q.qv16) = 0
+                                 THEN 0.0
+                                 ELSE list_cosine_similarity(e.v16, q.qv16)
+                            END) DESC, e.vec_id) AS rk
+                FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+            WHERE rk <= 10
+        ), ov AS (
+            SELECT f.query_id, count(*)::BIGINT AS n_overlap
+            FROM full_rk f JOIN tr_rk t USING (query_id, vec_id)
+            GROUP BY 1
+        )
+        SELECT q.query_id, coalesce(ov.n_overlap, 0)::BIGINT AS n_overlap,
+               (round(coalesce(ov.n_overlap, 0)::DOUBLE
+                      / (20 - coalesce(ov.n_overlap, 0)) + 1e-9, 6)
+                + 0.0) AS set_jaccard
+        FROM q LEFT JOIN ov USING (query_id)
+        ORDER BY 1
+    """
+
+    # Benjamini-Hochberg over the Mann-Whitney z's: same MW CTEs, then
+    # the A&S-7.1.26 normal tail with repr-shared coefficients
+    # (functions/stats.two_sided_p_sql) and the step-up rule on
+    # 6-dp-rounded p.
+    _p_expr = ST.two_sided_p_sql("z")
+    sql["bh_fdr"] = f"""
+        WITH d AS (
+            SELECT event_type, user_id % 2 AS arm, value
+            FROM events
+            WHERE value IS NOT NULL AND user_id IS NOT NULL
+        ), ranked AS (
+            SELECT event_type, arm,
+                   rank() OVER (PARTITION BY event_type ORDER BY value)
+                       + (count(*) OVER (PARTITION BY event_type, value)
+                          - 1) / 2.0::DOUBLE AS ar
+            FROM d
+        ), g AS (
+            SELECT event_type,
+                   sum(CASE WHEN arm = 0 THEN ar END) AS r0,
+                   sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+                   sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b
+            FROM ranked GROUP BY 1
+        ), ties AS (
+            SELECT event_type,
+                   sum(tn * tn * tn - tn)::BIGINT AS tie
+            FROM (SELECT event_type, value, count(*)::BIGINT AS tn
+                  FROM d GROUP BY 1, 2)
+            GROUP BY 1
+        ), mw AS (
+            SELECT g.event_type,
+                   CASE WHEN (n_a * n_b / 12.0::DOUBLE)
+                             * ((n_a + n_b + 1)
+                                - tie / ((n_a + n_b)
+                                         * (n_a + n_b - 1))::DOUBLE) > 0
+                        THEN (round(((r0 - n_a * (n_a + 1) / 2.0::DOUBLE)
+                                     - n_a * n_b / 2.0::DOUBLE)
+                                    / sqrt((n_a * n_b / 12.0::DOUBLE)
+                                           * ((n_a + n_b + 1)
+                                              - tie / ((n_a + n_b)
+                                                 * (n_a + n_b - 1))
+                                                ::DOUBLE))
+                                    + 1e-9, 6) + 0.0)
+                        ELSE 0.0 END AS z
+            FROM g JOIN ties USING (event_type)
+        ), p AS (
+            SELECT event_type, z,
+                   (round({_p_expr} + 1e-9, 6) + 0.0) AS p_value
+            FROM mw
+        ), rk AS (
+            SELECT *, row_number() OVER (ORDER BY p_value, event_type)
+                          AS p_rank,
+                   count(*) OVER ()::BIGINT AS m
+            FROM p
+        ), km AS (
+            SELECT *, max(CASE WHEN p_value <= p_rank * 0.05::DOUBLE / m
+                               THEN p_rank ELSE 0 END) OVER () AS kmax
+            FROM rk
+        )
+        SELECT event_type, z, p_value, p_rank,
+               CASE WHEN p_rank <= kmax THEN 1 ELSE 0 END AS significant,
+               (round(p_rank * 0.05::DOUBLE / m + 1e-9, 6) + 0.0)
+                   AS bh_threshold
+        FROM km
+        ORDER BY p_rank
     """
 
     # Mann-Kendall + Theil-Sen over 6-dp daily means: signs and 9-dp

@@ -216,6 +216,17 @@ def main() -> None:
                  "link_prediction", "nelson_aalen"):
         r7[name] = timed(name)
 
+    # round-8 additions: rank-2 ALS (closed-form 2x2 half-steps),
+    # trained-centroid silhouette (2 unrolled Lloyd rounds), PAV
+    # isotonic calibration, and the nonparametric inference trio
+    # (log-rank, Mann-Whitney, Mann-Kendall + Theil-Sen)
+    r8: dict[str, float] = {}
+    for name in ("als_rank2", "silhouette_trained",
+                 "isotonic_calibration", "logrank_test",
+                 "mann_whitney", "mann_kendall",
+                 "binseg_changepoint", "matryoshka_audit", "bh_fdr"):
+        r8[name] = timed(name)
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     # KEY-ORDER CONTRACT: the driver archives only the TAIL of this one
     # JSON line (BENCH_r06.json shows the head truncated away at 250
@@ -236,6 +247,7 @@ def main() -> None:
         "r6b_trials": {k: trial_log[k] for k in r6b},
         "r6c_trials": {k: trial_log[k] for k in r6c},
         "r7_trials": {k: trial_log[k] for k in r7},
+        "r8_trials": {k: trial_log[k] for k in r8},
         "queries": timings,
         "corpus_queries": corpus,
         "analytics_queries": analytics,
@@ -243,6 +255,7 @@ def main() -> None:
         "r6b_queries": r6b,
         "r6c_queries": r6c,
         "r7_queries": r7,
+        "r8_queries": r8,
         # --- compact tail: everything a round-over-round comparison
         # needs, guaranteed inside the driver's preserved suffix ---
         "summary": {
@@ -255,6 +268,7 @@ def main() -> None:
             "r6b_total": round(sum(r6b.values()), 3),
             "r6c_total": round(sum(r6c.values()), 3),
             "r7_total": round(sum(r7.values()), 3),
+            "r8_total": round(sum(r8.values()), 3),
             "headline_queries": {k: timings[k] for k in timings},
         },
         "metric_echo": "headline_queries_total",
