@@ -6387,6 +6387,90 @@ def q_mann_kendall(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+def q_ljung_box(spark: SparkSession, sf: str) -> DataFrame:
+    """Ljung-Box white-noise test per event series — the INFERENCE
+    step on top of `acf_lags`' point estimates: with the textbook
+    autocorrelations ρ_k (global-mean deviations, full-series
+    denominator — not pairwise Pearson), Q = n(n+2)·Σ_{k=1..6}
+    ρ_k²/(n−k), compared against χ²(6). The χ² tail is CLOSED-FORM
+    for even df (the Poisson sum exp(−q/2)·Σ_{j<3}(q/2)ʲ/j!), so the
+    p-value is literal column arithmetic — no special function, no
+    UDF. One window pass materializes all 6 lag columns (shared
+    per-series sort), one agg computes all numerators + the
+    denominator; ρ rounds at 6 dp before Q so summation-order noise
+    never reaches the statistic. The per-series mean is a broadcast
+    1-row-per-series join (two-pass, the `cusum_features` posture)."""
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    mu = (ev.groupBy("event_type")
+          .agg(_r(F.avg("value"), 6).alias("_mu")))
+    w = WIN.series_window("event_type", ["ts", "event_id"])
+    lags = range(1, 7)
+    lag_cols = [F.lag("value", k).over(w).alias(f"_l{k}") for k in lags]
+    d = (ev.select("event_type", "value", *lag_cols)
+         .join(F.broadcast(mu), "event_type"))
+    dev = F.col("value") - F.col("_mu")
+    aggs = [F.count(F.lit(1)).alias("_n"),
+            F.sum(dev * dev).alias("_den")]
+    for k in lags:
+        aggs.append(F.sum(dev * (F.col(f"_l{k}") - F.col("_mu")))
+                    .alias(f"_num{k}"))
+    g = d.groupBy("event_type").agg(*aggs)
+    n = F.col("_n")
+    q = F.lit(0.0)
+    for k in lags:
+        rho = F.round(F.col(f"_num{k}") / F.col("_den") + F.lit(1e-9), 6)
+        q = q + rho * rho / (n - F.lit(k))
+    q = F.round(n * (n + F.lit(2)) * q + F.lit(1e-9), 6)
+    h = q / F.lit(2.0)
+    # χ²(6) survival: exp(-q/2) * (1 + h + h²/2), exact for df=6
+    p = F.exp(-h) * (F.lit(1.0) + h + h * h / F.lit(2.0))
+    return (g.select("event_type", F.col("_n").alias("n_obs"),
+                     q.alias("q_stat"),
+                     _r(p, 6).alias("p_value"))
+            .orderBy("event_type"))
+
+
+def q_runs_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Wald-Wolfowitz runs test per event series — the randomness
+    diagnostic completing the trend/drift family: is the
+    above/below-median sign sequence random, or does it clump (level
+    shifts, regimes) / alternate (negative feedback)? Signs come from
+    the interpolated per-series median (identical doubles both
+    engines); values EQUAL to the median are excluded (the classic
+    rule, same comparison both sides). Runs count is 1 + Σ(sign
+    changes) via one lag over the per-series (ts, event_id) sort;
+    μ = 2n₁n₂/n + 1 and σ² = 2n₁n₂(2n₁n₂−n)/(n²(n−1)) are exact
+    integer ratios. Scale shape: one agg for the median, one
+    window pass, one agg — no driver state, no unbounded window."""
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    med = (ev.groupBy("event_type")
+           .agg(F.percentile("value", F.lit(0.5)).alias("_med")))
+    d = (ev.join(F.broadcast(med), "event_type")
+         .filter(F.col("value") != F.col("_med"))
+         .select("event_type", "ts", "event_id",
+                 (F.col("value") > F.col("_med")).cast("int").alias("_s")))
+    w = WIN.series_window("event_type", ["ts", "event_id"])
+    d = d.withColumn("_chg",
+                     F.when(F.lag("_s").over(w).isNull(), 0)
+                     .when(F.lag("_s").over(w) != F.col("_s"), 1)
+                     .otherwise(0))
+    g = d.groupBy("event_type").agg(
+        F.sum("_s").alias("n_above"),
+        F.sum(F.lit(1) - F.col("_s")).alias("n_below"),
+        (F.sum("_chg") + F.lit(1)).alias("n_runs"))
+    n1, n2 = F.col("n_above"), F.col("n_below")
+    n = n1 + n2
+    nd = n.cast("double")  # n³ overflows int64 at ~2M rows/series
+    mu = F.lit(2.0) * n1 * n2 / n + F.lit(1.0)
+    var = (F.lit(2.0) * n1 * n2 * (F.lit(2.0) * n1 * n2 - n)
+           / (nd * nd * (nd - F.lit(1.0))))
+    z = F.when(var > 0, (F.col("n_runs") - mu) / F.sqrt(var)) \
+         .otherwise(F.lit(0.0))
+    return (g.select("event_type", "n_above", "n_below", "n_runs",
+                     _r(z, 6).alias("z"))
+            .orderBy("event_type"))
+
+
 def q_binseg_changepoint(spark: SparkSession, sf: str) -> DataFrame:
     """Binary-segmentation changepoint per event series — the OFFLINE
     estimator complementing `cusum_changepoints`' online monitor:
@@ -6955,6 +7039,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": q_link_prediction,
         "nelson_aalen": q_nelson_aalen,
         # --- round-8 new additions (slots 23+), newest-first ---
+        "ljung_box": q_ljung_box,
+        "runs_test": q_runs_test,
         "bh_fdr": q_bh_fdr,
         "matryoshka_audit": q_matryoshka_audit,
         "binseg_changepoint": q_binseg_changepoint,
@@ -14081,6 +14167,99 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 0.0 END AS z
         FROM g JOIN ties USING (event_type)
         ORDER BY 1
+    """
+
+    # Ljung-Box: textbook autocorrelations (6-dp global mean, 6-dp
+    # rho), Q over rounded rhos, closed-form chi2(6) tail (Poisson
+    # sum — exact for even df, no special function).
+    _lb_nums = ",\n                   ".join(
+        f"sum((value - mu) * (l{k} - mu)) AS num{k}" for k in range(1, 7))
+    _lb_lags = ",\n                   ".join(
+        f"lag(value, {k}) OVER (PARTITION BY event_type "
+        f"ORDER BY ts, event_id) AS l{k}" for k in range(1, 7))
+    _lb_q = " + ".join(
+        f"(round(num{k} / den + 1e-9, 6) + 0.0)"
+        f" * (round(num{k} / den + 1e-9, 6) + 0.0) / (n - {k})"
+        for k in range(1, 7))
+    sql["ljung_box"] = f"""
+        WITH mu AS (
+            SELECT event_type, (round(avg(value) + 1e-9, 6) + 0.0) AS mu
+            FROM events WHERE value IS NOT NULL GROUP BY 1
+        ), lagd AS (
+            SELECT event_type, value,
+                   {_lb_lags}
+            FROM events WHERE value IS NOT NULL
+        ), g AS (
+            SELECT l.event_type, count(*)::BIGINT AS n,
+                   sum((value - mu) * (value - mu)) AS den,
+                   {_lb_nums}
+            FROM lagd l JOIN mu USING (event_type)
+            GROUP BY 1
+        ), q AS (
+            SELECT event_type, n AS n_obs,
+                   (round(n * (n + 2) * (0.0::DOUBLE + {_lb_q})
+                          + 1e-9, 6) + 0.0) AS q_stat
+            FROM g
+        )
+        SELECT event_type, n_obs, q_stat,
+               (round(exp(-(q_stat / 2.0::DOUBLE))
+                      * (1.0::DOUBLE + q_stat / 2.0::DOUBLE
+                         + (q_stat / 2.0::DOUBLE)
+                           * (q_stat / 2.0::DOUBLE) / 2.0::DOUBLE)
+                      + 1e-9, 6) + 0.0) AS p_value
+        FROM q
+        ORDER BY event_type
+    """
+
+    # Wald-Wolfowitz runs test: interpolated median, equal-to-median
+    # rows excluded, runs = 1 + sign changes over the per-series sort;
+    # exact integer counts, double-cast cubic denominator.
+    sql["runs_test"] = """
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events WHERE value IS NOT NULL GROUP BY 1
+        ), d AS (
+            SELECT e.event_type, e.ts, e.event_id,
+                   (e.value > m.med)::INT AS s
+            FROM events e JOIN med m USING (event_type)
+            WHERE e.value IS NOT NULL AND e.value <> m.med
+        ), chg AS (
+            SELECT event_type, s,
+                   CASE WHEN lag(s) OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) IS NULL THEN 0
+                        WHEN lag(s) OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) <> s THEN 1
+                        ELSE 0 END AS c
+            FROM d
+        ), g AS (
+            SELECT event_type, sum(s)::BIGINT AS n_above,
+                   sum(1 - s)::BIGINT AS n_below,
+                   (sum(c) + 1)::BIGINT AS n_runs
+            FROM chg GROUP BY 1
+        )
+        SELECT event_type, n_above, n_below, n_runs,
+               CASE WHEN 2.0::DOUBLE * n_above * n_below
+                         * (2.0::DOUBLE * n_above * n_below
+                            - (n_above + n_below))
+                         / ((n_above + n_below)::DOUBLE
+                            * (n_above + n_below)::DOUBLE
+                            * ((n_above + n_below)::DOUBLE
+                               - 1.0::DOUBLE)) > 0
+                    THEN (round((n_runs
+                                 - (2.0::DOUBLE * n_above * n_below
+                                    / (n_above + n_below)
+                                    + 1.0::DOUBLE))
+                                / sqrt(2.0::DOUBLE * n_above * n_below
+                                       * (2.0::DOUBLE * n_above * n_below
+                                          - (n_above + n_below))
+                                       / ((n_above + n_below)::DOUBLE
+                                          * (n_above + n_below)::DOUBLE
+                                          * ((n_above + n_below)::DOUBLE
+                                             - 1.0::DOUBLE)))
+                                + 1e-9, 6) + 0.0)
+                    ELSE 0.0 END AS z
+        FROM g
+        ORDER BY event_type
     """
 
     # binary-segmentation changepoint: prefix sums over 6-dp daily

@@ -224,7 +224,8 @@ def main() -> None:
     for name in ("als_rank2", "silhouette_trained",
                  "isotonic_calibration", "logrank_test",
                  "mann_whitney", "mann_kendall",
-                 "binseg_changepoint", "matryoshka_audit", "bh_fdr"):
+                 "binseg_changepoint", "matryoshka_audit", "bh_fdr",
+                 "ljung_box", "runs_test"):
         r8[name] = timed(name)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
