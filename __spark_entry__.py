@@ -6387,6 +6387,63 @@ def q_mann_kendall(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+# Rank-biased overlap suffix weights for q_rbo_rankings: with
+# persistence p and depth K, item contribution is W(m) = sum_{d=m..K}
+# (1-p)·p^(d-1)/d where m = max of its two ranks — computed ONCE in
+# Python so Spark literals and SQL literals (repr round-trip) are the
+# same doubles.
+_RBO_P, _RBO_K = 0.9, 5
+_RBO_W = [
+    sum((1.0 - _RBO_P) * _RBO_P ** (d - 1) / d
+        for d in range(m, _RBO_K + 1))
+    for m in range(1, _RBO_K + 1)
+]
+
+
+def q_rbo_rankings(spark: SparkSession, sf: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010) between the EXACT
+    brute-force top-5 and the IVF top-5 — the ranking-quality readout
+    `rp_recall`'s set-recall can't give (RBO weights agreement at the
+    TOP of the list, which is what a serving cutoff actually sees).
+    Truncated RBO@5, p=0.9, via the suffix-weight identity: each item
+    in BOTH lists contributes W(max(rank_exact, rank_ivf)) with W a
+    5-entry literal table (shared Python doubles, `OMEGAS` pattern) —
+    so after the two top-k passes the statistic is ONE join + ONE
+    groupBy over Q·k rows. The rankers are the registry's own
+    `similarity_topk` / `ivf_topk` contracts (same centroids, k,
+    probes, tiebreaks); the SQL oracle NESTS those two oracles
+    verbatim as CTEs (the `rrf_fusion` zero-drift pattern)."""
+    emb = (load_table(spark, sf, "embeddings")
+           .withColumn("embedding", F.col("embedding")
+                       .cast("array<double>")))
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = (SIM.brute_force_topk(emb, q, k=5)
+             .select("query_id", "vec_id", F.col("rk").alias("_re")))
+    cent = SIM.dense_seed_ids(
+        emb.filter(F.col("vec_id") % 31 == 0)
+        .select("vec_id", F.col("embedding").alias("centroid")),
+        "vec_id", 16, "centroid_id", "centroid")
+    ivf = (SIM.ivf_topk(emb, q, k=5, n_centroids=16, n_probe=4,
+                        centroids=cent)
+           .select("query_id", "vec_id", F.col("rk").alias("_ri")))
+    m = F.greatest(F.col("_re"), F.col("_ri"))
+    w = F.when(m == 1, F.lit(_RBO_W[0]))
+    for i in range(2, _RBO_K + 1):
+        w = w.when(m == i, F.lit(_RBO_W[i - 1]))
+    matched = (exact.join(ivf, ["query_id", "vec_id"])
+               .select("query_id", w.alias("_w")))
+    per = (q.select("query_id")
+           .join(matched.groupBy("query_id")
+                 .agg(F.count(F.lit(1)).alias("n_common"),
+                      F.sum("_w").alias("_rbo")),
+                 "query_id", "left")
+           .fillna({"n_common": 0, "_rbo": 0.0}))
+    return (per.select("query_id", "n_common",
+                       _r(F.col("_rbo"), 6).alias("rbo"))
+            .orderBy("query_id"))
+
+
 def q_ljung_box(spark: SparkSession, sf: str) -> DataFrame:
     """Ljung-Box white-noise test per event series — the INFERENCE
     step on top of `acf_lags`' point estimates: with the textbook
@@ -7039,6 +7096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": q_link_prediction,
         "nelson_aalen": q_nelson_aalen,
         # --- round-8 new additions (slots 23+), newest-first ---
+        "rbo_rankings": q_rbo_rankings,
         "ljung_box": q_ljung_box,
         "runs_test": q_runs_test,
         "bh_fdr": q_bh_fdr,
@@ -11214,6 +11272,34 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, vec_id, fused_rk,
                (round(score + 1e-9, 6) + 0.0) AS rrf, in_lsh, in_ivf
         FROM rr WHERE fused_rk <= 5
+    """
+
+    # RBO: nests the exact and IVF ranker oracles verbatim (the
+    # rrf_fusion zero-drift pattern); item weights are the precomputed
+    # suffix sums W(max rank) — shared Python doubles via repr.
+    _rbo_case = "\n                        ".join(
+        f"WHEN {m + 1} THEN {repr(_RBO_W[m])}"
+        for m in range(_RBO_K))
+    sql["rbo_rankings"] = f"""
+        WITH exact_rk AS ({sql["similarity_topk"]}),
+        ivf_rk AS ({sql["ivf_topk"]}),
+        matched AS (
+            SELECT e.query_id,
+                   CASE greatest(e.rk, i.rk)
+                        {_rbo_case}
+                   END AS w
+            FROM exact_rk e JOIN ivf_rk i USING (query_id, vec_id)
+        ), per AS (
+            SELECT query_id, count(*)::BIGINT AS n_common,
+                   sum(w) AS rbo
+            FROM matched GROUP BY 1
+        )
+        SELECT q.query_id, coalesce(per.n_common, 0)::BIGINT AS n_common,
+               (round(coalesce(per.rbo, 0.0) + 1e-9, 6) + 0.0) AS rbo
+        FROM (SELECT vec_id AS query_id FROM embeddings
+              WHERE vec_id < 10) q
+        LEFT JOIN per USING (query_id)
+        ORDER BY 1
     """
 
     # point-in-time: the scd2 run chain + DuckDB's native ASOF JOIN

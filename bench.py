@@ -225,7 +225,7 @@ def main() -> None:
                  "isotonic_calibration", "logrank_test",
                  "mann_whitney", "mann_kendall",
                  "binseg_changepoint", "matryoshka_audit", "bh_fdr",
-                 "ljung_box", "runs_test"):
+                 "ljung_box", "runs_test", "rbo_rankings"):
         r8[name] = timed(name)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

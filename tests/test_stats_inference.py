@@ -121,3 +121,110 @@ def test_minimax_isotonic_equals_pav_pooling(spark):
     # the fit is nondecreasing by construction
     fitted = [iso[b] for b in range(len(ys))]
     assert fitted == sorted(fitted)
+
+
+def test_mann_kendall_monotone_series(spark):
+    """Strictly increasing series: S = n(n-1)/2, z > 0, Theil-Sen
+    slope = the common step."""
+    import datetime as dt
+
+    rows = [("a", dt.date(2024, 1, 1) + dt.timedelta(days=i),
+             1.0 + 0.5 * i) for i in range(12)]
+    daily = spark.createDataFrame(rows, "event_type string, d date, v double")
+    a = daily.select("event_type", F.col("d").alias("d1"),
+                     F.col("v").alias("v1"))
+    b = daily.select("event_type", F.col("d").alias("d2"),
+                     F.col("v").alias("v2"))
+    pr = a.join(b, "event_type").filter(F.col("d1") < F.col("d2"))
+    s = pr.agg(F.sum(F.signum(F.col("v2") - F.col("v1"))).cast("long")
+               .alias("s")).collect()[0]["s"]
+    assert s == 12 * 11 // 2
+    med = pr.select(
+        F.percentile((F.col("v2") - F.col("v1"))
+                     / F.datediff("d2", "d1"), F.lit(0.5)).alias("m")
+    ).collect()[0]["m"]
+    assert abs(med - 0.5) < 1e-12
+
+
+def test_runs_test_alternating_vs_blocked(spark):
+    """A perfectly alternating sign sequence has the maximum run count
+    (z >> 0); a fully blocked one has 2 runs (z << 0). Build both
+    through the registry query's own arithmetic on synthetic events."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+
+    def mk(name, values):
+        return [(name, base + dt.timedelta(hours=i), i, float(v))
+                for i, v in enumerate(values)]
+
+    alt = mk("alt", [0, 10] * 20)
+    blk = mk("blk", [0] * 20 + [10] * 20)
+    df = spark.createDataFrame(
+        alt + blk, "event_type string, ts timestamp, event_id long, "
+        "value double")
+    med = df.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med"))
+    d = (df.join(med, "event_type")
+         .filter(F.col("value") != F.col("med"))
+         .select("event_type", "ts", "event_id",
+                 (F.col("value") > F.col("med")).cast("int").alias("s")))
+    from pyspark.sql import Window
+    w = (Window.partitionBy("event_type").orderBy("ts", "event_id"))
+    d = d.withColumn("chg",
+                     F.when(F.lag("s").over(w).isNull(), 0)
+                     .when(F.lag("s").over(w) != F.col("s"), 1)
+                     .otherwise(0))
+    runs = {r["event_type"]: r["r"] for r in
+            d.groupBy("event_type")
+            .agg((F.sum("chg") + F.lit(1)).alias("r")).collect()}
+    assert runs["alt"] == 40   # every step changes sign
+    assert runs["blk"] == 2    # one block each side
+
+
+def test_ljung_box_white_noise_vs_trend(spark):
+    """A strongly autocorrelated (trending) series must produce a far
+    larger Q than deterministic hash noise (whose autocorrelations are
+    near zero); the chi2(6) closed-form tail must be in [0, 1] and
+    ordered accordingly. (An ALTERNATING series would NOT work as the
+    null here — rho_1 ~ -1 rejects just as hard as a trend.)"""
+    import datetime as dt
+    import hashlib
+    import math as m
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(200):
+        rows.append(("trend", base + dt.timedelta(hours=i), i, float(i)))
+        noise = int(hashlib.md5(f"lb|{i}".encode()).hexdigest()[:8], 16)
+        rows.append(("alt", base + dt.timedelta(hours=i), i,
+                     noise / 16 ** 8))
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long, "
+        "value double")
+    mu = df.groupBy("event_type").agg(F.avg("value").alias("mu"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    lag_cols = [F.lag("value", k).over(w).alias(f"l{k}")
+                for k in range(1, 7)]
+    d = df.select("event_type", "value", *lag_cols).join(mu, "event_type")
+    dev = F.col("value") - F.col("mu")
+    aggs = [F.count(F.lit(1)).alias("n"),
+            F.sum(dev * dev).alias("den")]
+    for k in range(1, 7):
+        aggs.append(F.sum(dev * (F.col(f"l{k}") - F.col("mu")))
+                    .alias(f"num{k}"))
+    g = d.groupBy("event_type").agg(*aggs)
+    out = {}
+    for r in g.collect():
+        q = 0.0
+        for k in range(1, 7):
+            rho = r[f"num{k}"] / r["den"]
+            q += rho * rho / (r["n"] - k)
+        q *= r["n"] * (r["n"] + 2)
+        h = q / 2.0
+        p = m.exp(-h) * (1 + h + h * h / 2)
+        out[r["event_type"]] = (q, p)
+    assert out["trend"][0] > 10 * out["alt"][0]
+    assert 0.0 <= out["trend"][1] < 1e-6   # trending: overwhelming rejection
+    assert 0.01 <= out["alt"][1] <= 1.0    # hash noise: no rejection

@@ -1203,3 +1203,48 @@ def test_nb_sink_min_count_is_global_not_per_batch(spark, tmp_path):
     vocab = {r["token"] for r in ll.select("token").distinct().collect()}
     assert "rare" in vocab      # 6 global occurrences >= 5
     assert "common" in vocab
+
+
+def test_als_sink_batch_stream_equivalence_and_replay(spark, sf_dir, tmp_path):
+    """Rank-2 ALS from stream-folded interaction counts must equal the
+    batch fit on the union EXACTLY (integer counts -> identical 9-dp
+    factors); crash-replay of the last batch rewrites identical state."""
+    from pyspark.sql import functions as F
+    from timeseries_data_analysis_spark.ml import als as ALS
+    from timeseries_data_analysis_spark.sources import load_table
+    from timeseries_data_analysis_spark.streaming import jobs as SJ
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                      "l_suppkey")
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey",
+                                                    "o_custkey")
+    inter = (li.join(od, li.l_orderkey == od.o_orderkey)
+             .select(F.col("o_custkey").alias("c"),
+                     F.col("l_suppkey").alias("s"),
+                     "l_orderkey"))
+    batches = [inter.filter(F.pmod(F.col("l_orderkey"), F.lit(3)) == i)
+               .select("c", "s") for i in range(3)]
+    state = str(tmp_path / "als_state")
+    for bid, bdf in enumerate(batches):
+        SJ.als_commit_batch(bdf, bid, state)
+
+    u_s, v_s = SJ.als_state_model(spark, state)
+    ratings = (inter.groupBy("c", "s")
+               .agg(F.count(F.lit(1)).alias("r")))
+    u_b, v_b = ALS.als_rank2_round(ratings, reg=0.1)
+
+    def rows(df, key):
+        return sorted((r[key], r["v1"] if "v1" in df.columns else r["u1"],
+                       r["v2"] if "v2" in df.columns else r["u2"])
+                      for r in df.collect())
+
+    assert rows(v_s, "s") == rows(v_b, "s")
+    assert rows(u_s, "c") == rows(u_b, "c")
+
+    # crash-window replay
+    before = sorted((r["c"], r["s"], r["n"]) for r in
+                    spark.read.parquet(f"{state}/state_batch=2").collect())
+    SJ.als_commit_batch(batches[2], 2, state)
+    after = sorted((r["c"], r["s"], r["n"]) for r in
+                   spark.read.parquet(f"{state}/state_batch=2").collect())
+    assert before == after

@@ -94,16 +94,20 @@ def _solve_half_step(joined: DataFrame, key: str, r_col: str,
 
 def als_rank2_round(ratings: DataFrame, user_col: str = "c",
                     item_col: str = "s", rating_col: str = "r",
-                    reg: float = 0.1) -> tuple[DataFrame, DataFrame]:
-    """ONE full rank-2 ALS alternation (user half-step from the
-    deterministic item init, then item half-step from the solved user
-    factors). Returns ``(user_factors, item_factors)`` —
-    ``(c, u1, u2, n_obs)`` and ``(s, v1, v2, n_obs)``, all factors
-    9-dp quantized. Callers wanting more rounds re-enter with the
-    returned item factors as the init (each round is two groupBys; the
+                    reg: float = 0.1,
+                    init_v: DataFrame | None = None
+                    ) -> tuple[DataFrame, DataFrame]:
+    """ONE full rank-2 ALS alternation (user half-step from the item
+    init, then item half-step from the solved user factors). Returns
+    ``(user_factors, item_factors)`` — ``(c, u1, u2, n_obs)`` and
+    ``(s, v1, v2, n_obs)``, all factors 9-dp quantized. ``init_v``
+    defaults to the deterministic :func:`init_item_factors`; pass a
+    previous round's item factors (columns ``item_col, v1, v2``) to
+    continue the alternation — each round is two groupBys, and the
     round count is a fixed unrollable budget like every iterative op
-    here)."""
-    v0 = init_item_factors(ratings, item_col)
+    here."""
+    v0 = (init_item_factors(ratings, item_col) if init_v is None
+          else init_v.select(item_col, "v1", "v2"))
     rv = ratings.join(v0, item_col)
     u = _solve_half_step(rv, user_col, rating_col, "v1", "v2", reg,
                          "u1", "u2")

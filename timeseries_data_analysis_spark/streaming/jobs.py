@@ -1607,3 +1607,85 @@ def nb_state_model(spark: SparkSession, state_path: str,
                     F.col("n").alias("_nd_l")))
     return NB.nb_fit_from_counts(pair, docs, label_col,
                                  min_count=min_count)
+
+
+# ---------------------------------------------------------------------------
+# Streaming recommender maintenance (additive interaction counts -> ALS)
+# ---------------------------------------------------------------------------
+
+def als_sink(interaction_stream: DataFrame, state_path: str,
+             user_col: str = "c", item_col: str = "s"):
+    """Streaming recommender maintenance: the rank-2 ALS model's only
+    input is the (user, item) interaction-count matrix — an ADDITIVE
+    sufficient statistic, so each micro-batch folds its pair counts
+    into a persisted ratings table (the `nb_sink`/`pca_sink` pattern)
+    and the factorization derives AT READOUT (`als_state_model` →
+    `ml/als.als_rank2_round`). Batch/stream equivalence is an
+    identity: integer counts in, identical 9-dp-quantized factors out
+    — test-pinned. State is |observed pairs| rows regardless of how
+    many interactions streamed.
+
+    Replay safety is single-phase like :func:`hll_sink`: each batch
+    writes complete post-merge counts to
+    ``state_path/state_batch=<id>`` built from the newest committed
+    state with id < batch_id; counting a replayed batch is
+    deterministic, so a crash-replay rewrites the identical state.
+    """
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        als_commit_batch(batch_df, batch_id, state_path,
+                         user_col=user_col, item_col=item_col)
+
+    return (interaction_stream.writeStream.foreachBatch(process)
+            .outputMode("update"))
+
+
+def als_commit_batch(batch_df: DataFrame, batch_id: int, state_path: str,
+                     user_col: str = "c", item_col: str = "s") -> None:
+    """One micro-batch of :func:`als_sink`, module-level so tests can
+    replay crash windows against it."""
+    from pyspark.errors import AnalysisException
+
+    spark = batch_df.sparkSession
+    prev = None
+    try:
+        store = spark.read.parquet(state_path)
+        ids = [r["state_batch"] for r in
+               store.select("state_batch").distinct().collect()
+               if r["state_batch"] < batch_id]
+        if ids:
+            prev = (store.where(F.col("state_batch") == max(ids))
+                    .select(user_col, item_col, "n"))
+    except AnalysisException as exc:
+        msg = str(exc)
+        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+            raise
+
+    part = (batch_df
+            .filter(F.col(user_col).isNotNull()
+                    & F.col(item_col).isNotNull())
+            .groupBy(user_col, item_col)
+            .agg(F.count(F.lit(1)).alias("n")))
+    merged = part if prev is None else (
+        part.unionByName(prev).groupBy(user_col, item_col)
+        .agg(F.sum("n").alias("n")))
+    (merged.write.mode("overwrite")
+     .parquet(f"{state_path}/state_batch={batch_id}"))
+
+
+def als_state_model(spark: SparkSession, state_path: str,
+                    user_col: str = "c", item_col: str = "s",
+                    reg: float = 0.1):
+    """Latest committed rank-2 factors from :func:`als_sink` state:
+    ``(user_factors, item_factors)`` via the same `als_rank2_round`
+    arithmetic the batch query runs — a batch fit over the union of
+    all streamed interactions and this read see identical factors."""
+    from ..ml import als as ALS
+
+    store = spark.read.parquet(state_path)
+    latest = (store.agg(F.max("state_batch").alias("b"))
+              .collect()[0]["b"])
+    ratings = (store.where(F.col("state_batch") == latest)
+               .select(user_col, item_col, F.col("n").alias("r")))
+    return ALS.als_rank2_round(ratings, user_col=user_col,
+                               item_col=item_col, rating_col="r",
+                               reg=reg)
