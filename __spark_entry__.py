@@ -2961,6 +2961,42 @@ def q_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
            / F.sum("n"), 6).alias("share_below_k5"))
 
 
+def q_l_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """l-diversity audit — the governance check k-anonymity misses:
+    a group can be large (k-safe) yet expose everyone in it if the
+    SENSITIVE attribute is homogeneous. Over the same customer
+    quasi-identifiers (nation, segment) with the account-balance
+    bracket as the sensitive value: per-group distinct-value count l
+    and Shannon entropy of the sensitive distribution, summarized as
+    the release-decision row (groups, l range, rows in l<3 groups,
+    min/mean entropy). Two map-side-combined groupBys + one
+    QI-partitioned window for the group totals; per-group entropies
+    round at 6 dp BEFORE the min/avg so libm-vs-JVM ln ulps cannot
+    reorder the min."""
+    cust = load_table(spark, sf, "customer")
+    sens = F.floor(F.col("c_acctbal") / F.lit(2000.0)).cast("long")
+    per = (cust.groupBy("c_nationkey", "c_mktsegment",
+                        sens.alias("_sv"))
+           .agg(F.count(F.lit(1)).alias("_c")))
+    w_qi = Window.partitionBy("c_nationkey", "c_mktsegment")
+    per = per.withColumn("_n", F.sum("_c").over(w_qi))
+    p = F.col("_c") / F.col("_n")
+    grp = (per.groupBy("c_nationkey", "c_mktsegment")
+           .agg(F.count(F.lit(1)).alias("_l"),
+                F.max("_n").alias("_gn"),
+                _r(F.sum(-p * F.log(p)), 6).alias("_ent")))
+    return grp.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("_l").alias("l_min"),
+        F.max("_l").alias("l_max"),
+        F.sum(F.when(F.col("_l") < 3, F.col("_gn")).otherwise(0))
+        .alias("rows_below_l3"),
+        _r(F.sum(F.when(F.col("_l") < 3, F.col("_gn")).otherwise(0))
+           / F.sum("_gn"), 6).alias("share_below_l3"),
+        F.min("_ent").alias("min_entropy"),
+        _r(F.avg("_ent"), 6).alias("avg_entropy"))
+
+
 def q_label_noise(spark: SparkSession, sf: str) -> DataFrame:
     """k-NN label-noise detection (confident-learning family): vectors
     whose 5 nearest neighbors' majority label disagrees with their own
@@ -6471,7 +6507,12 @@ def q_ljung_box(spark: SparkSession, sf: str) -> DataFrame:
     for k in lags:
         aggs.append(F.sum(dev * (F.col(f"_l{k}") - F.col("_mu")))
                     .alias(f"_num{k}"))
-    g = d.groupBy("event_type").agg(*aggs)
+    # series shorter than the lag depth would divide by (n-k) <= 0,
+    # and constant series by den = 0 — engines disagree on float
+    # div-by-zero (Inf/NaN vs NULL), so the degenerate series are
+    # excluded identically on both sides
+    g = (d.groupBy("event_type").agg(*aggs)
+         .filter((F.col("_n") > 6) & (F.col("_den") > 0)))
     n = F.col("_n")
     q = F.lit(0.0)
     for k in lags:
@@ -6511,10 +6552,15 @@ def q_runs_test(spark: SparkSession, sf: str) -> DataFrame:
                      F.when(F.lag("_s").over(w).isNull(), 0)
                      .when(F.lag("_s").over(w) != F.col("_s"), 1)
                      .otherwise(0))
-    g = d.groupBy("event_type").agg(
+    # one-sided groups (n1=0 or n2=0) make the variance ratio 0/0 —
+    # engines disagree on NaN vs NULL there, so they are excluded
+    # identically on both sides (a one-sided sign sequence has no
+    # randomness question to ask anyway)
+    g = (d.groupBy("event_type").agg(
         F.sum("_s").alias("n_above"),
         F.sum(F.lit(1) - F.col("_s")).alias("n_below"),
         (F.sum("_chg") + F.lit(1)).alias("n_runs"))
+        .filter((F.col("n_above") > 0) & (F.col("n_below") > 0)))
     n1, n2 = F.col("n_above"), F.col("n_below")
     n = n1 + n2
     nd = n.cast("double")  # n³ overflows int64 at ~2M rows/series
@@ -7096,6 +7142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": q_link_prediction,
         "nelson_aalen": q_nelson_aalen,
         # --- round-8 new additions (slots 23+), newest-first ---
+        "l_diversity": q_l_diversity,
         "rbo_rankings": q_rbo_rankings,
         "ljung_box": q_ljung_box,
         "runs_test": q_runs_test,
@@ -14255,6 +14302,37 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY 1
     """
 
+    # l-diversity: per-QI-group distinct sensitive brackets + Shannon
+    # entropy (6-dp rounded per group BEFORE min/avg), one release-
+    # decision summary row.
+    sql["l_diversity"] = """
+        WITH per AS (
+            SELECT c_nationkey, c_mktsegment,
+                   floor(c_acctbal / 2000.0::DOUBLE)::BIGINT AS sv,
+                   count(*)::BIGINT AS c
+            FROM customer GROUP BY 1, 2, 3
+        ), per2 AS (
+            SELECT *, sum(c) OVER (PARTITION BY c_nationkey,
+                                   c_mktsegment)::BIGINT AS n
+            FROM per
+        ), grp AS (
+            SELECT c_nationkey, c_mktsegment,
+                   count(*)::BIGINT AS l, max(n)::BIGINT AS gn,
+                   (round(sum(-(c::DOUBLE / n) * ln(c::DOUBLE / n))
+                          + 1e-9, 6) + 0.0) AS ent
+            FROM per2 GROUP BY 1, 2
+        )
+        SELECT count(*)::BIGINT AS n_groups,
+               min(l)::BIGINT AS l_min, max(l)::BIGINT AS l_max,
+               sum(CASE WHEN l < 3 THEN gn ELSE 0 END)::BIGINT
+                   AS rows_below_l3,
+               (round(sum(CASE WHEN l < 3 THEN gn ELSE 0 END)::DOUBLE
+                      / sum(gn) + 1e-9, 6) + 0.0) AS share_below_l3,
+               min(ent) AS min_entropy,
+               (round(avg(ent) + 1e-9, 6) + 0.0) AS avg_entropy
+        FROM grp
+    """
+
     # Ljung-Box: textbook autocorrelations (6-dp global mean, 6-dp
     # rho), Q over rounded rhos, closed-form chi2(6) tail (Poisson
     # sum — exact for even df, no special function).
@@ -14281,6 +14359,8 @@ def oracle_sql() -> dict[str, str]:
                    {_lb_nums}
             FROM lagd l JOIN mu USING (event_type)
             GROUP BY 1
+            HAVING count(*) > 6
+               AND sum((value - mu) * (value - mu)) > 0
         ), q AS (
             SELECT event_type, n AS n_obs,
                    (round(n * (n + 2) * (0.0::DOUBLE + {_lb_q})
@@ -14322,6 +14402,7 @@ def oracle_sql() -> dict[str, str]:
                    sum(1 - s)::BIGINT AS n_below,
                    (sum(c) + 1)::BIGINT AS n_runs
             FROM chg GROUP BY 1
+            HAVING sum(s) > 0 AND sum(1 - s) > 0
         )
         SELECT event_type, n_above, n_below, n_runs,
                CASE WHEN 2.0::DOUBLE * n_above * n_below

@@ -225,7 +225,8 @@ def main() -> None:
                  "isotonic_calibration", "logrank_test",
                  "mann_whitney", "mann_kendall",
                  "binseg_changepoint", "matryoshka_audit", "bh_fdr",
-                 "ljung_box", "runs_test", "rbo_rankings"):
+                 "ljung_box", "runs_test", "rbo_rankings",
+                 "l_diversity"):
         r8[name] = timed(name)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

@@ -133,6 +133,13 @@ EVENT_QUERIES = [
     # NaN-out is the contract, not an assumption)
     "pr_auc",
     "msprt_monitor",
+    # round 8: nonparametric inference + changepoint + FDR on the
+    # NULL-key / duplicate-value / tie-heavy shapes. Degenerate-series
+    # exclusions (ljung_box n<=6 or constant, runs_test one-sided) are
+    # part of the cross-engine contract these rows exercise; NULL
+    # event_type series drop out of every stats join identically.
+    "mann_kendall", "mann_whitney", "runs_test", "ljung_box",
+    "binseg_changepoint", "logrank_test", "bh_fdr",
 ]
 
 
