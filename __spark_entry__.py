@@ -6436,6 +6436,80 @@ _RBO_W = [
 ]
 
 
+def q_ar2_forecast(spark: SparkSession, sf: str) -> DataFrame:
+    """AR(2) fit + 3-step forecast per event series — the FORECASTING
+    readout of `pacf_yw`'s Yule-Walker machinery (pacf diagnoses the
+    order; this fits the order-2 model and actually predicts):
+    φ₁ = ρ₁(1−ρ₂)/(1−ρ₁²), φ₂ = (ρ₂−ρ₁²)/(1−ρ₁²) from the lag-1/2
+    autocorrelations of the DAILY means, then the deviation-form
+    recursion x̂_{n+h} = μ + φ₁(x_{n+h−1}−μ) + φ₂(x_{n+h−2}−μ)
+    unrolled for h = 1..3 (a fixed chain — no iteration state).
+    Complements `holt_forecast` (trend smoothing) and `kalman_level`
+    (state space) with the autoregressive family. Scale shape: the
+    fact scan collapses to (series × days) first; everything after is
+    one 2-lag window pass + bounded pivots — the `mann_kendall`
+    reduce-then-bounded-solve posture. Cross-engine: daily means, μ,
+    ρ, φ and forecasts all round at 6 dp in dependency order, so both
+    engines walk identical decimals; degenerate series (n ≤ 4,
+    constant, or |ρ₁| = 1 after rounding) are excluded identically —
+    div-by-zero surfaces where engines disagree."""
+    daily = (load_table(spark, sf, "events")
+             .filter(F.col("value").isNotNull())
+             .groupBy("event_type", F.to_date("ts").alias("_d"))
+             .agg(_r(F.avg("value"), 6).alias("_v"))
+             .localCheckpoint())  # feeds the mean, the lags, the tail
+    mu = (daily.groupBy("event_type")
+          .agg(_r(F.avg("_v"), 6).alias("_mu"),
+               F.count(F.lit(1)).alias("n_days")))
+    w = Window.partitionBy("event_type").orderBy("_d")
+    lagged = (daily
+              .withColumn("_l1", F.lag("_v", 1).over(w))
+              .withColumn("_l2", F.lag("_v", 2).over(w))
+              .join(F.broadcast(mu), "event_type"))
+    dev = F.col("_v") - F.col("_mu")
+    g = (lagged.groupBy("event_type")
+         .agg(F.sum(dev * dev).alias("_den"),
+              F.sum(dev * (F.col("_l1") - F.col("_mu"))).alias("_n1"),
+              F.sum(dev * (F.col("_l2") - F.col("_mu"))).alias("_n2")))
+    rho1 = F.round(F.col("_n1") / F.col("_den") + F.lit(1e-9), 6)
+    rho2 = F.round(F.col("_n2") / F.col("_den") + F.lit(1e-9), 6)
+    fit = (g.join(mu, "event_type")
+           .filter((F.col("n_days") > 4) & (F.col("_den") > 0))
+           .select("event_type", "n_days", "_mu",
+                   rho1.alias("_r1"), rho2.alias("_r2"))
+           .filter(F.lit(1.0) - F.col("_r1") * F.col("_r1") != 0))
+    phi1 = F.round(F.col("_r1") * (F.lit(1.0) - F.col("_r2"))
+                   / (F.lit(1.0) - F.col("_r1") * F.col("_r1"))
+                   + F.lit(1e-9), 6)
+    phi2 = F.round((F.col("_r2") - F.col("_r1") * F.col("_r1"))
+                   / (F.lit(1.0) - F.col("_r1") * F.col("_r1"))
+                   + F.lit(1e-9), 6)
+    fit = fit.select("event_type", "n_days", "_mu",
+                     phi1.alias("phi1"), phi2.alias("phi2"))
+    w_rev = Window.partitionBy("event_type").orderBy(F.col("_d").desc())
+    tail = (daily.withColumn("_rk", F.row_number().over(w_rev))
+            .filter(F.col("_rk") <= 2)
+            .groupBy("event_type")
+            .agg(F.max(F.when(F.col("_rk") == 1, F.col("_v")))
+                 .alias("_xn"),
+                 F.max(F.when(F.col("_rk") == 2, F.col("_v")))
+                 .alias("_xn1")))
+    j = fit.join(tail, "event_type")
+    p1, p2, m = F.col("phi1"), F.col("phi2"), F.col("_mu")
+    f1 = F.round(m + p1 * (F.col("_xn") - m) + p2 * (F.col("_xn1") - m)
+                 + F.lit(1e-9), 6)
+    j = j.withColumn("fc1", f1)
+    f2 = F.round(m + p1 * (F.col("fc1") - m) + p2 * (F.col("_xn") - m)
+                 + F.lit(1e-9), 6)
+    j = j.withColumn("fc2", f2)
+    f3 = F.round(m + p1 * (F.col("fc2") - m) + p2 * (F.col("fc1") - m)
+                 + F.lit(1e-9), 6)
+    return (j.withColumn("fc3", f3)
+            .select("event_type", "n_days", "phi1", "phi2",
+                    "fc1", "fc2", "fc3")
+            .orderBy("event_type"))
+
+
 def q_rbo_rankings(spark: SparkSession, sf: str) -> DataFrame:
     """Rank-biased overlap (Webber et al. 2010) between the EXACT
     brute-force top-5 and the IVF top-5 — the ranking-quality readout
@@ -7142,6 +7216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": q_link_prediction,
         "nelson_aalen": q_nelson_aalen,
         # --- round-8 new additions (slots 23+), newest-first ---
+        "ar2_forecast": q_ar2_forecast,
         "l_diversity": q_l_diversity,
         "rbo_rankings": q_rbo_rankings,
         "ljung_box": q_ljung_box,
@@ -14300,6 +14375,72 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 0.0 END AS z
         FROM g JOIN ties USING (event_type)
         ORDER BY 1
+    """
+
+    # AR(2) via Yule-Walker over 6-dp daily means: rho/phi/forecasts
+    # round in dependency order; degenerate series excluded identically.
+    sql["ar2_forecast"] = """
+        WITH daily AS (
+            SELECT event_type, ts::DATE AS d,
+                   (round(avg(value) + 1e-9, 6) + 0.0) AS v
+            FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        ), mu AS (
+            SELECT event_type, (round(avg(v) + 1e-9, 6) + 0.0) AS mu,
+                   count(*)::BIGINT AS n_days
+            FROM daily GROUP BY 1
+        ), lagged AS (
+            SELECT d.event_type, v,
+                   lag(v, 1) OVER (PARTITION BY d.event_type
+                                   ORDER BY d.d) AS l1,
+                   lag(v, 2) OVER (PARTITION BY d.event_type
+                                   ORDER BY d.d) AS l2,
+                   mu.mu
+            FROM daily d JOIN mu USING (event_type)
+        ), g AS (
+            SELECT event_type,
+                   sum((v - mu) * (v - mu)) AS den,
+                   sum((v - mu) * (l1 - mu)) AS n1,
+                   sum((v - mu) * (l2 - mu)) AS n2
+            FROM lagged GROUP BY 1
+        ), fit0 AS (
+            SELECT g.event_type, n_days, mu,
+                   (round(n1 / den + 1e-9, 6) + 0.0) AS r1,
+                   (round(n2 / den + 1e-9, 6) + 0.0) AS r2
+            FROM g JOIN mu USING (event_type)
+            WHERE n_days > 4 AND den > 0
+        ), fit AS (
+            SELECT event_type, n_days, mu,
+                   (round(r1 * (1.0::DOUBLE - r2)
+                          / (1.0::DOUBLE - r1 * r1) + 1e-9, 6) + 0.0)
+                       AS phi1,
+                   (round((r2 - r1 * r1)
+                          / (1.0::DOUBLE - r1 * r1) + 1e-9, 6) + 0.0)
+                       AS phi2
+            FROM fit0
+            WHERE 1.0::DOUBLE - r1 * r1 <> 0
+        ), tl AS (
+            SELECT event_type,
+                   max(CASE WHEN rk = 1 THEN v END) AS xn,
+                   max(CASE WHEN rk = 2 THEN v END) AS xn1
+            FROM (SELECT event_type, v, row_number() OVER (
+                      PARTITION BY event_type ORDER BY d DESC) AS rk
+                  FROM daily)
+            WHERE rk <= 2 GROUP BY 1
+        ), f1t AS (
+            SELECT f.*, t.xn, t.xn1,
+                   (round(mu + phi1 * (xn - mu) + phi2 * (xn1 - mu)
+                          + 1e-9, 6) + 0.0) AS fc1
+            FROM fit f JOIN tl t USING (event_type)
+        ), f2t AS (
+            SELECT *, (round(mu + phi1 * (fc1 - mu) + phi2 * (xn - mu)
+                             + 1e-9, 6) + 0.0) AS fc2
+            FROM f1t
+        )
+        SELECT event_type, n_days, phi1, phi2, fc1, fc2,
+               (round(mu + phi1 * (fc2 - mu) + phi2 * (fc1 - mu)
+                      + 1e-9, 6) + 0.0) AS fc3
+        FROM f2t
+        ORDER BY event_type
     """
 
     # l-diversity: per-QI-group distinct sensitive brackets + Shannon

@@ -139,7 +139,7 @@ EVENT_QUERIES = [
     # part of the cross-engine contract these rows exercise; NULL
     # event_type series drop out of every stats join identically.
     "mann_kendall", "mann_whitney", "runs_test", "ljung_box",
-    "binseg_changepoint", "logrank_test", "bh_fdr",
+    "binseg_changepoint", "logrank_test", "bh_fdr", "ar2_forecast",
 ]
 
 
