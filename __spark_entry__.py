@@ -6436,6 +6436,56 @@ _RBO_W = [
 ]
 
 
+def q_hurst_exponent(spark: SparkSession, sf: str) -> DataFrame:
+    """Hurst exponent per event series via the aggregated-variance
+    method (Beran 1994): block means X^(m) at scales m ∈ {1,2,4,8,16}
+    satisfy Var(X^(m)) ∝ m^(2H−2), so H = 1 + slope/2 of the OLS fit
+    of ln Var against ln m — the LONG-MEMORY diagnostic completing the
+    correlation family (acf/pacf see short lags; H sees persistence:
+    H≈0.5 random walk increments, H>0.5 trending, H<0.5 reverting).
+    ONE exchange: rows fan out to the 5 scales with a zero-shuffle
+    stack (5× map-side rows, disclosed), then a single
+    (series, scale, block) groupBy + a (series, scale) variance
+    collapse + a 5-point OLS on literals. Incomplete tail blocks are
+    dropped (count = m) and zero-variance scales excluded (ln 0:
+    −Inf vs NULL across engines); a series reports only if ALL 5
+    scales survive — identical filters both sides. Block means and
+    variances round at 6 dp in dependency order."""
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    w = WIN.series_window("event_type", ["ts", "event_id"])
+    d = ev.select("event_type", "value",
+                  (F.row_number().over(w) - F.lit(1)).alias("_rn"))
+    scales = [1, 2, 4, 8, 16]
+    stack = ", ".join(f"{m}, CAST(floor(_rn / {m}) AS BIGINT)"
+                      for m in scales)
+    d = d.select("event_type", "value",
+                 F.expr(f"stack({len(scales)}, {stack}) AS (_m, _blk)"))
+    blocks = (d.groupBy("event_type", "_m", "_blk")
+              .agg(_r(F.avg("value"), 6).alias("_bm"),
+                   F.count(F.lit(1)).alias("_bc"))
+              .filter(F.col("_bc") == F.col("_m")))
+    v = (blocks.groupBy("event_type", "_m")
+         .agg(F.count(F.lit(1)).alias("_nb"),
+              _r(F.var_pop("_bm"), 6).alias("_var"))
+         .filter((F.col("_nb") >= 2) & (F.col("_var") > 0)))
+    pts = v.select("event_type",
+                   F.log(F.col("_m").cast("double")).alias("_x"),
+                   F.log("_var").alias("_y"))
+    ols = (pts.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("_k"),
+                F.avg("_x").alias("_xb"), F.avg("_y").alias("_yb"),
+                F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+                F.sum(F.col("_x") * F.col("_x")).alias("_sxx"))
+           .filter(F.col("_k") == len(scales)))
+    slope = ((F.col("_sxy") - F.col("_k") * F.col("_xb") * F.col("_yb"))
+             / (F.col("_sxx") - F.col("_k") * F.col("_xb") * F.col("_xb")))
+    return (ols.select("event_type",
+                       _r(slope, 6).alias("var_slope"),
+                       _r(F.lit(1.0) + slope / F.lit(2.0), 6)
+                       .alias("hurst"))
+            .orderBy("event_type"))
+
+
 def q_ar2_forecast(spark: SparkSession, sf: str) -> DataFrame:
     """AR(2) fit + 3-step forecast per event series — the FORECASTING
     readout of `pacf_yw`'s Yule-Walker machinery (pacf diagnoses the
@@ -7216,6 +7266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": q_link_prediction,
         "nelson_aalen": q_nelson_aalen,
         # --- round-8 new additions (slots 23+), newest-first ---
+        "hurst_exponent": q_hurst_exponent,
         "ar2_forecast": q_ar2_forecast,
         "l_diversity": q_l_diversity,
         "rbo_rankings": q_rbo_rankings,
@@ -14375,6 +14426,51 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 0.0 END AS z
         FROM g JOIN ties USING (event_type)
         ORDER BY 1
+    """
+
+    # Hurst via aggregated variance: 6-dp block means / variances,
+    # zero-variance scales excluded (ln 0 disagrees across engines),
+    # series report only with all 5 scales.
+    sql["hurst_exponent"] = """
+        WITH d AS (
+            SELECT event_type, value,
+                   row_number() OVER (PARTITION BY event_type
+                       ORDER BY ts, event_id) - 1 AS rn
+            FROM events WHERE value IS NOT NULL
+        ), fan AS (
+            SELECT event_type, value, m,
+                   CAST(floor(rn / m) AS BIGINT) AS blk
+            FROM d, (VALUES (1), (2), (4), (8), (16)) AS s(m)
+        ), blocks AS (
+            SELECT event_type, m, blk,
+                   (round(avg(value) + 1e-9, 6) + 0.0) AS bm,
+                   count(*)::BIGINT AS bc
+            FROM fan GROUP BY 1, 2, 3
+            HAVING count(*) = m
+        ), v AS (
+            SELECT event_type, m,
+                   count(*)::BIGINT AS nb,
+                   (round(var_pop(bm) + 1e-9, 6) + 0.0) AS var
+            FROM blocks GROUP BY 1, 2
+            HAVING count(*) >= 2
+               AND (round(var_pop(bm) + 1e-9, 6) + 0.0) > 0
+        ), pts AS (
+            SELECT event_type, ln(m::DOUBLE) AS x, ln(var) AS y FROM v
+        ), ols AS (
+            SELECT event_type, count(*)::BIGINT AS k,
+                   avg(x) AS xb, avg(y) AS yb,
+                   sum(x * y) AS sxy, sum(x * x) AS sxx
+            FROM pts GROUP BY 1
+            HAVING count(*) = 5
+        )
+        SELECT event_type,
+               (round((sxy - k * xb * yb) / (sxx - k * xb * xb)
+                      + 1e-9, 6) + 0.0) AS var_slope,
+               (round(1.0::DOUBLE + ((sxy - k * xb * yb)
+                      / (sxx - k * xb * xb)) / 2.0::DOUBLE
+                      + 1e-9, 6) + 0.0) AS hurst
+        FROM ols
+        ORDER BY event_type
     """
 
     # AR(2) via Yule-Walker over 6-dp daily means: rho/phi/forecasts

@@ -140,6 +140,7 @@ EVENT_QUERIES = [
     # event_type series drop out of every stats join identically.
     "mann_kendall", "mann_whitney", "runs_test", "ljung_box",
     "binseg_changepoint", "logrank_test", "bh_fdr", "ar2_forecast",
+    "hurst_exponent",
 ]
 
 
