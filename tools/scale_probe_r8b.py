@@ -47,6 +47,14 @@ DEFAULT_QUERIES = [
     "ljung_box", "runs_test", "mann_whitney", "logrank_test",
     "bh_fdr", "silhouette_trained", "als_rank2",
     "matryoshka_audit", "rbo_rankings",
+    # late round-8 additions. Expectations: l_diversity is
+    # scan-linear in the customer dim (two combinable groupBys + a
+    # QI-partitioned window over the bracket collapse); ar2_forecast
+    # is the mann_kendall class (daily collapse bounds everything);
+    # hurst_exponent is scan-linear with a 5x zero-shuffle fan-out
+    # and rides the same 5-series per-series-window sort constant as
+    # the ljung_box trio (the row_number pass).
+    "l_diversity", "ar2_forecast", "hurst_exponent",
 ]
 
 
