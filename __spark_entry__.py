@@ -6844,26 +6844,14 @@ def q_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
             .limit(20))
 
 
-def q_silhouette_audit(spark: SparkSession, sf: str) -> DataFrame:
-    """Simplified (centroid-based) silhouette over the IVF family's
-    deterministic seed centroids — the CLUSTER-QUALITY evaluator the
-    k-means family lacked: per vector, a = cosine distance to its own
-    centroid, b = distance to the nearest OTHER centroid, s =
-    (b−a)/max(a,b); reported as per-cluster means with cohesion. The
-    simplified form replaces silhouette's O(N²) pairwise distances
-    with the N×K centroid scoring join the IVF family already uses —
-    the only formulation that survives 100 TB (full silhouette is an
-    all-pairs matrix). Top-2 ranking reuses `kmeans_step`'s exact
-    argmin contract (raw cosine, centroid_id tiebreak — the ordering
-    the oracle replays with list_cosine_similarity); the averaged
-    sims absorb cross-libm ulps in the 6-dp round."""
-    emb = (load_table(spark, sf, "embeddings")
-           .withColumn("embedding", F.col("embedding")
-                       .cast("array<double>")))
-    cent = SIM.dense_seed_ids(
-        emb.filter(F.col("vec_id") % 31 == 0)
-        .select("vec_id", F.col("embedding").alias("centroid")),
-        "vec_id", 16, "centroid_id", "centroid")
+def _silhouette_readout(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """Shared simplified-silhouette readout over any (centroid_id,
+    centroid) frame: per vector a = cosine distance to its own
+    centroid, b = to the nearest OTHER, s = (b−a)/max(a,b); per-cluster
+    means with cohesion. One N×K broadcast scoring join — the only
+    silhouette formulation that survives 100 TB (the full version is
+    an all-pairs matrix); top-2 ranking is `kmeans_step`'s exact
+    argmin contract (raw cosine, centroid_id tiebreak)."""
     v = (emb.select("vec_id", F.col("embedding").alias("_v"))
          .withColumn("_vn", SIM.l2_norm(F.col("_v"))))
     c = F.broadcast(cent.withColumn("_cn", SIM.l2_norm(F.col("centroid"))))
@@ -6888,6 +6876,22 @@ def q_silhouette_audit(spark: SparkSession, sf: str) -> DataFrame:
                  _r(F.avg(s), 6).alias("silhouette"),
                  _r(F.avg("_a"), 6).alias("cohesion"))
             .orderBy("centroid_id"))
+
+
+def q_silhouette_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette over the IVF family's
+    deterministic seed centroids — the CLUSTER-QUALITY evaluator the
+    k-means family lacked (see `_silhouette_readout` for the shared
+    scoring contract; the averaged sims absorb cross-libm ulps in the
+    6-dp round)."""
+    emb = (load_table(spark, sf, "embeddings")
+           .withColumn("embedding", F.col("embedding")
+                       .cast("array<double>")))
+    cent = SIM.dense_seed_ids(
+        emb.filter(F.col("vec_id") % 31 == 0)
+        .select("vec_id", F.col("embedding").alias("centroid")),
+        "vec_id", 16, "centroid_id", "centroid")
+    return _silhouette_readout(emb, cent)
 
 
 def q_silhouette_trained(spark: SparkSession, sf: str) -> DataFrame:
@@ -6896,13 +6900,13 @@ def q_silhouette_trained(spark: SparkSession, sf: str) -> DataFrame:
     #5): the same 16 deterministic seeds refined by TWO Lloyd rounds
     (`SIM.kmeans_fit`, quant=9 — per-(cell, dim) means 9-dp quantized
     each round so the SQL oracle unrolls the whole fit CTE-for-CTE,
-    empty-cell keep-old rule included), then the same N×K broadcast
-    scoring join and (b−a)/max(a,b) readout. Centroids are driver-side
-    K·dim literals either way (the `dense_seed_ids` bounded-collect
-    posture); the corpus never leaves the executors — assignment scans
-    are the only N-sized work, so the decade budget is 2× lloyd_step +
-    silhouette, all the same N×16 shape as `silhouette_audit`'s
-    measured 8.7 s at 100×."""
+    empty-cell keep-old rule included), then the SHARED
+    `_silhouette_readout`. Centroids are driver-side K·dim literals
+    either way (the `dense_seed_ids` bounded-collect posture); the
+    corpus never leaves the executors — assignment scans are the only
+    N-sized work, so the decade budget is 2× lloyd_step + silhouette,
+    all the same N×16 shape as `silhouette_audit`'s measured 8.7 s at
+    100× (measured: 17.8 s, SCALE §1n)."""
     emb = (load_table(spark, sf, "embeddings")
            .withColumn("embedding", F.col("embedding")
                        .cast("array<double>")))
@@ -6911,30 +6915,7 @@ def q_silhouette_trained(spark: SparkSession, sf: str) -> DataFrame:
         .select("vec_id", F.col("embedding").alias("centroid")),
         "vec_id", 16, "centroid_id", "centroid")
     cent = SIM.kmeans_fit(emb, seed, n_iter=2, quant=9)
-    v = (emb.select("vec_id", F.col("embedding").alias("_v"))
-         .withColumn("_vn", SIM.l2_norm(F.col("_v"))))
-    c = F.broadcast(cent.withColumn("_cn", SIM.l2_norm(F.col("centroid"))))
-    den = F.col("_vn") * F.col("_cn")
-    scored = v.crossJoin(c).select(
-        "vec_id", "centroid_id",
-        F.when(den > 0, SIM.dot(F.col("_v"), F.col("centroid")) / den)
-        .otherwise(F.lit(0.0)).alias("_csim"))
-    w = Window.partitionBy("vec_id").orderBy(F.col("_csim").desc(),
-                                             "centroid_id")
-    top2 = (scored.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= 2))
-    per = top2.groupBy("vec_id").agg(
-        F.max(F.when(F.col("_rk") == 1, F.col("centroid_id"))).alias("_own"),
-        F.max(F.when(F.col("_rk") == 1, F.col("_csim"))).alias("_a"),
-        F.max(F.when(F.col("_rk") == 2, F.col("_csim"))).alias("_b"))
-    da = F.lit(1.0) - F.col("_a")
-    db = F.lit(1.0) - F.col("_b")
-    s = F.when(F.greatest(da, db) > 0, (db - da) / F.greatest(da, db))
-    return (per.groupBy(F.col("_own").alias("centroid_id"))
-            .agg(F.count(F.lit(1)).alias("n_vecs"),
-                 _r(F.avg(s), 6).alias("silhouette"),
-                 _r(F.avg("_a"), 6).alias("cohesion"))
-            .orderBy("centroid_id"))
+    return _silhouette_readout(emb, cent)
 
 
 def q_nb_langid(spark: SparkSession, sf: str) -> DataFrame:
@@ -14753,51 +14734,15 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY 1
     """
 
-    # Benjamini-Hochberg over the Mann-Whitney z's: same MW CTEs, then
-    # the A&S-7.1.26 normal tail with repr-shared coefficients
-    # (functions/stats.two_sided_p_sql) and the step-up rule on
-    # 6-dp-rounded p.
+    # Benjamini-Hochberg over the Mann-Whitney z's: NESTS the
+    # mann_whitney oracle verbatim (the rrf_fusion zero-drift pattern
+    # — the Spark side shares _mw_frame, so the oracle side must share
+    # too), then the A&S-7.1.26 normal tail with repr-shared
+    # coefficients (functions/stats.two_sided_p_sql) and the step-up
+    # rule on 6-dp-rounded p.
     _p_expr = ST.two_sided_p_sql("z")
     sql["bh_fdr"] = f"""
-        WITH d AS (
-            SELECT event_type, user_id % 2 AS arm, value
-            FROM events
-            WHERE value IS NOT NULL AND user_id IS NOT NULL
-        ), ranked AS (
-            SELECT event_type, arm,
-                   rank() OVER (PARTITION BY event_type ORDER BY value)
-                       + (count(*) OVER (PARTITION BY event_type, value)
-                          - 1) / 2.0::DOUBLE AS ar
-            FROM d
-        ), g AS (
-            SELECT event_type,
-                   sum(CASE WHEN arm = 0 THEN ar END) AS r0,
-                   sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
-                   sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b
-            FROM ranked GROUP BY 1
-        ), ties AS (
-            SELECT event_type,
-                   sum(tn * tn * tn - tn)::BIGINT AS tie
-            FROM (SELECT event_type, value, count(*)::BIGINT AS tn
-                  FROM d GROUP BY 1, 2)
-            GROUP BY 1
-        ), mw AS (
-            SELECT g.event_type,
-                   CASE WHEN (n_a * n_b / 12.0::DOUBLE)
-                             * ((n_a + n_b + 1)
-                                - tie / ((n_a + n_b)
-                                         * (n_a + n_b - 1))::DOUBLE) > 0
-                        THEN (round(((r0 - n_a * (n_a + 1) / 2.0::DOUBLE)
-                                     - n_a * n_b / 2.0::DOUBLE)
-                                    / sqrt((n_a * n_b / 12.0::DOUBLE)
-                                           * ((n_a + n_b + 1)
-                                              - tie / ((n_a + n_b)
-                                                 * (n_a + n_b - 1))
-                                                ::DOUBLE))
-                                    + 1e-9, 6) + 0.0)
-                        ELSE 0.0 END AS z
-            FROM g JOIN ties USING (event_type)
-        ), p AS (
+        WITH mw AS ({sql["mann_whitney"]}), p AS (
             SELECT event_type, z,
                    (round({_p_expr} + 1e-9, 6) + 0.0) AS p_value
             FROM mw

@@ -88,7 +88,13 @@ ANN_QUERIES = ["similarity_topk", "lsh_topk", "ivf_topk", "pq_topk",
                # normalized (the rp_recall argument), so the 1e18
                # fixture is in contract; label%3 gives a non-empty
                # benchmark (label 0) and corpus (labels 1,2)
-               "semantic_decontaminate"]
+               "semantic_decontaminate",
+               # round 8: prefix-slice retrieval audit (a truncated
+               # vector can be all-zero even when the full one isn't —
+               # both engines carry the zero-norm guard in BOTH passes)
+               # and RBO over the exact+IVF rankers (nested-oracle
+               # join); both magnitude-normalized, so 1e18 in contract
+               "matryoshka_audit", "rbo_rankings"]
 
 
 @pytest.fixture(scope="module")

@@ -1145,9 +1145,12 @@ def test_periodogram_sink_prune_then_replay(spark, sf_dir, tmp_path):
 def test_nb_sink_batch_stream_equivalence_and_replay(spark, sf_dir, tmp_path):
     """The streaming NB maintenance sink folded over 3 doc-id-split
     micro-batches must yield the IDENTICAL model (quantized logliks +
-    priors) as one batch nb_fit over the union — counts are additive
-    integers, so this is exact equality, not tolerance. A crash-window
-    replay of the last batch must rewrite identical state."""
+    priors) as one batch nb_fit over the identically-filtered union —
+    counts are additive integers, so this is exact equality, not
+    tolerance. NULL-label and NULL-text rows are injected into a batch
+    to pin the sink's documented domain contract (dropped at ingest,
+    matched by the batch-side filter). A crash-window replay of the
+    last batch must rewrite identical state."""
     from pyspark.sql import functions as F
     from timeseries_data_analysis_spark.ml import nb as NB
     from timeseries_data_analysis_spark.sources import load_table
@@ -1155,15 +1158,23 @@ def test_nb_sink_batch_stream_equivalence_and_replay(spark, sf_dir, tmp_path):
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang",
                                                          "text")
+    nulls = spark.createDataFrame(
+        [(900001, None, "null label text"), (900002, "aa", None),
+         (900003, None, None)],
+        "doc_id long, lang string, text string")
     batches = [docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i)
                for i in range(3)]
+    batches[1] = batches[1].unionByName(nulls)
     state = str(tmp_path / "nb_state")
     for bid, bdf in enumerate(batches):
         SJ.nb_commit_batch(bdf, bid, state)
 
     ll_s, pr_s = SJ.nb_state_model(spark, state, min_count=3)
-    toks = NB.tokenize(docs.select("lang", "text"))
-    ll_b, pr_b = NB.nb_fit(toks, docs.select("lang"), "lang", min_count=3)
+    # the sink's domain: labeled, non-null-text rows only
+    clean = (docs.unionByName(nulls)
+             .filter(F.col("lang").isNotNull() & F.col("text").isNotNull()))
+    toks = NB.tokenize(clean.select("lang", "text"))
+    ll_b, pr_b = NB.nb_fit(toks, clean.select("lang"), "lang", min_count=3)
 
     def ll_rows(df):
         return sorted((r["token"], r["lang"], r["loglik"])
@@ -1222,13 +1233,17 @@ def test_als_sink_batch_stream_equivalence_and_replay(spark, sf_dir, tmp_path):
              .select(F.col("o_custkey").alias("c"),
                      F.col("l_suppkey").alias("s"),
                      "l_orderkey"))
+    nulls = spark.createDataFrame(
+        [(None, 7), (3, None), (None, None)], "c long, s long")
     batches = [inter.filter(F.pmod(F.col("l_orderkey"), F.lit(3)) == i)
                .select("c", "s") for i in range(3)]
+    batches[0] = batches[0].unionByName(nulls)
     state = str(tmp_path / "als_state")
     for bid, bdf in enumerate(batches):
         SJ.als_commit_batch(bdf, bid, state)
 
     u_s, v_s = SJ.als_state_model(spark, state)
+    # the sink's domain: fully-keyed interactions only
     ratings = (inter.groupBy("c", "s")
                .agg(F.count(F.lit(1)).alias("r")))
     u_b, v_b = ALS.als_rank2_round(ratings, reg=0.1)

@@ -556,6 +556,25 @@ def _read_state_or_none(spark, path: str):
         return None
 
 
+def _latest_state_before(spark, state_path: str, batch_id: int):
+    """Newest committed ``state_batch=<id>`` partition with
+    id < batch_id, or ``None`` on the first batch — the shared read
+    side of EVERY single-phase state sink (a crash-replay of batch N
+    reads N's predecessor and recommits deterministically). The
+    only-path-not-found-means-first-batch contract lives in ONE place
+    (:func:`_read_state_or_none`), so a Spark-version change to the
+    missing-path message is a one-line fix, not a per-sink hunt."""
+    store = _read_state_or_none(spark, state_path)
+    if store is None:
+        return None
+    ids = [r["state_batch"] for r in
+           store.select("state_batch").distinct().collect()
+           if r["state_batch"] < batch_id]
+    if not ids:
+        return None
+    return store.where(F.col("state_batch") == max(ids))
+
+
 def dedup_commit_batch(batch_df: DataFrame, batch_id: int,
                        index_path: str, out_path: str,
                        text_col: str = "text",
@@ -639,29 +658,14 @@ def hh_commit_batch(batch_df: DataFrame, batch_id: int, state_path: str,
                     item_col: str = "item", k: int = 2000) -> None:
     """One micro-batch of :func:`heavy_hitters_sink`, module-level so
     tests can replay it against the crash window."""
-    from pyspark.errors import AnalysisException
 
     spark = batch_df.sparkSession
     prev = None
     prev_total = 0
-    try:
-        store = spark.read.parquet(state_path)
-        ids = [r["state_batch"] for r in
-               store.select("state_batch").distinct().collect()
-               if r["state_batch"] < batch_id]
-        if ids:
-            prev = (store.where(F.col("state_batch") == max(ids))
-                    .select("item", "weight"))
-            prev_total = (store.where(F.col("state_batch") == max(ids))
-                          .select(F.max("_total")).collect()[0][0]) or 0
-    except AnalysisException as exc:
-        # ONLY path-does-not-exist means "first batch, no store yet".
-        # Any other read failure (IO/permission/corrupt state) must
-        # propagate — silently rebuilding from scratch would reset the
-        # sketch and _total without signal, breaking crash-replay safety.
-        msg = str(exc)
-        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
-            raise
+    st = _latest_state_before(spark, state_path, batch_id)
+    if st is not None:
+        prev = st.select("item", "weight")
+        prev_total = (st.select(F.max("_total")).collect()[0][0]) or 0
 
     items = (batch_df.select(F.col(item_col).alias("item"))
              .filter(F.col("item").isNotNull()))
@@ -858,25 +862,13 @@ def kll_commit_batch(batch_df: DataFrame, batch_id: int, state_path: str,
     """One micro-batch of :func:`quantile_sketch_sink`, module-level so
     tests can replay it against the crash window."""
     import pandas as pd
-    from pyspark.errors import AnalysisException
 
     from timeseries_data_analysis_spark.operators.sketch import (
         quantile_sketch_state)
 
     spark = batch_df.sparkSession
-    prev = None
-    try:
-        store = spark.read.parquet(state_path)
-        ids = [r["state_batch"] for r in
-               store.select("state_batch").distinct().collect()
-               if r["state_batch"] < batch_id]
-        if ids:
-            prev = (store.where(F.col("state_batch") == max(ids))
-                    .select("key", "h", "value"))
-    except AnalysisException as exc:
-        msg = str(exc)
-        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
-            raise
+    st = _latest_state_before(spark, state_path, batch_id)
+    prev = None if st is None else st.select("key", "h", "value")
 
     batch_state = (quantile_sketch_state(
         batch_df.select(F.col(key_col).alias("key"),
@@ -1015,26 +1007,12 @@ def hll_commit_batch(batch_df: DataFrame, batch_id: int, state_path: str,
                      item_col: str = "item", p: int = 9) -> None:
     """One micro-batch of :func:`hll_sink`, module-level so tests can
     replay it against the crash window."""
-    from pyspark.errors import AnalysisException
 
     from ..operators import sketch as SK
 
     spark = batch_df.sparkSession
-    prev = None
-    try:
-        store = spark.read.parquet(state_path)
-        ids = [r["state_batch"] for r in
-               store.select("state_batch").distinct().collect()
-               if r["state_batch"] < batch_id]
-        if ids:
-            prev = (store.where(F.col("state_batch") == max(ids))
-                    .select(group_col, "_b", "_m"))
-    except AnalysisException as exc:
-        # same contract as hh_commit_batch: only path-not-found means
-        # "first batch"; any other read failure must propagate
-        msg = str(exc)
-        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
-            raise
+    st = _latest_state_before(spark, state_path, batch_id)
+    prev = None if st is None else st.select(group_col, "_b", "_m")
 
     regs = SK.hll_registers(
         batch_df.filter(F.col(item_col).isNotNull()),
@@ -1101,28 +1079,16 @@ def logit_commit_batch(batch_df: DataFrame, batch_id: int,
                        steps_per_batch: int = 1) -> None:
     """One micro-batch of :func:`logit_sink`, module-level so tests
     can replay it against the crash window."""
-    from pyspark.errors import AnalysisException
 
     from ..ml import logit as LG
 
     spark = batch_df.sparkSession
     beta = [0.0] * (len(xcols) + 1)
     n_seen = 0
-    try:
-        store = spark.read.parquet(state_path)
-        ids = [r["state_batch"] for r in
-               store.select("state_batch").distinct().collect()
-               if r["state_batch"] < batch_id]
-        if ids:
-            row = (store.where(F.col("state_batch") == max(ids))
-                   .select("beta", "n_seen").collect()[0])
-            beta, n_seen = list(row["beta"]), int(row["n_seen"])
-    except AnalysisException as exc:
-        # the hh_commit_batch contract: only path-not-found means
-        # "first batch"; any other read failure must propagate
-        msg = str(exc)
-        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
-            raise
+    st = _latest_state_before(spark, state_path, batch_id)
+    if st is not None:
+        row = st.select("beta", "n_seen").collect()[0]
+        beta, n_seen = list(row["beta"]), int(row["n_seen"])
 
     clean = batch_df.filter(F.col(ycol).isNotNull())
     n_batch = clean.count()
@@ -1233,27 +1199,17 @@ def pca_commit_batch(batch_df: DataFrame, batch_id: int,
     """One micro-batch of :func:`pca_sink`, module-level for tests."""
     import numpy as np
 
-    from pyspark.errors import AnalysisException
 
     from ..ml import pca as PCA
 
     spark = batch_df.sparkSession
     n0, s0, g0 = 0, np.zeros(dim), np.zeros(dim * dim)
-    try:
-        store = spark.read.parquet(state_path)
-        ids = [r["state_batch"] for r in
-               store.select("state_batch").distinct().collect()
-               if r["state_batch"] < batch_id]
-        if ids:
-            row = (store.where(F.col("state_batch") == max(ids))
-                   .select("n", "s", "g").collect()[0])
-            n0 = int(row["n"])
-            s0 = np.asarray(row["s"])
-            g0 = np.asarray(row["g"])
-    except AnalysisException as exc:
-        msg = str(exc)
-        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
-            raise
+    st = _latest_state_before(spark, state_path, batch_id)
+    if st is not None:
+        row = st.select("n", "s", "g").collect()[0]
+        n0 = int(row["n"])
+        s0 = np.asarray(row["s"])
+        g0 = np.asarray(row["g"])
 
     d = batch_df.withColumn("_v", F.col(vec_col).cast("array<double>"))
     nb, sb, gb = PCA.gramian_partial(d, "_v", dim)
@@ -1386,22 +1342,10 @@ def msprt_commit_batch(batch_df: DataFrame, batch_id: int,
                        tau2: float = 1.0) -> None:
     """One micro-batch of :func:`msprt_sink`, module-level so tests can
     replay crash windows against it."""
-    from pyspark.errors import AnalysisException
 
     spark = batch_df.sparkSession
-    prev = None
-    try:
-        store = spark.read.parquet(state_path)
-        ids = [r["state_batch"] for r in
-               store.select("state_batch").distinct().collect()
-               if r["state_batch"] < batch_id]
-        if ids:
-            prev = (store.where(F.col("state_batch") == max(ids))
-                    .drop("state_batch"))
-    except AnalysisException as exc:
-        msg = str(exc)
-        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
-            raise
+    st = _latest_state_before(spark, state_path, batch_id)
+    prev = None if st is None else st.drop("state_batch")
 
     batch_day = msprt_day_stats(batch_df, ts_col, value_col, user_col)
     merged = (batch_day if prev is None
@@ -1458,26 +1402,14 @@ def periodogram_commit_batch(batch_df: DataFrame, batch_id: int,
                              key_col: str = "event_type") -> None:
     """One micro-batch of :func:`periodogram_sink`, module-level so
     tests can replay crash windows against it."""
-    from pyspark.errors import AnalysisException
 
     from ..operators import spectral as SPEC
 
     if omegas is None:
         omegas = SPEC.OMEGAS_DAILY
     spark = batch_df.sparkSession
-    prev = None
-    try:
-        store = spark.read.parquet(state_path)
-        ids = [r["state_batch"] for r in
-               store.select("state_batch").distinct().collect()
-               if r["state_batch"] < batch_id]
-        if ids:
-            prev = (store.where(F.col("state_batch") == max(ids))
-                    .drop("state_batch"))
-    except AnalysisException as exc:
-        msg = str(exc)
-        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
-            raise
+    st = _latest_state_before(spark, state_path, batch_id)
+    prev = None if st is None else st.drop("state_batch")
 
     base = (batch_df.filter(F.col(value_col).isNotNull())
             .select(F.col(key_col),
@@ -1513,10 +1445,13 @@ def nb_sink(doc_stream: DataFrame, state_path: str,
     Laplace smoothing and priors are DERIVED AT READOUT
     (`nb_state_model` → `ml/nb.nb_fit_from_counts`), never folded —
     min_count is a global property and must not be applied per batch.
-    Batch/stream equivalence is therefore an identity: the model from
-    stream-folded counts equals `nb_fit` on the union bit-for-bit
-    (integer counts in, identical quantized logliks out) —
-    test-pinned in test_streaming.
+    DOMAIN CONTRACT: rows with NULL label or NULL text are dropped at
+    ingest (an unlabeled document cannot feed a supervised fit) — so
+    batch/stream equivalence is an identity over the LABELED rows:
+    the model from stream-folded counts equals `nb_fit` on the
+    identically-filtered union bit-for-bit (integer counts in,
+    identical quantized logliks out) — test-pinned in test_streaming
+    including NULL-bearing batches.
 
     Replay safety is single-phase like :func:`hll_sink`: each batch
     writes its complete post-merge counts to
@@ -1561,22 +1496,10 @@ def nb_commit_batch(batch_df: DataFrame, batch_id: int, state_path: str,
                     text_col: str = "text") -> None:
     """One micro-batch of :func:`nb_sink`, module-level so tests can
     replay crash windows against it."""
-    from pyspark.errors import AnalysisException
 
     spark = batch_df.sparkSession
-    prev = None
-    try:
-        store = spark.read.parquet(state_path)
-        ids = [r["state_batch"] for r in
-               store.select("state_batch").distinct().collect()
-               if r["state_batch"] < batch_id]
-        if ids:
-            prev = (store.where(F.col("state_batch") == max(ids))
-                    .select("kind", "token", "label", "n"))
-    except AnalysisException as exc:
-        msg = str(exc)
-        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
-            raise
+    st = _latest_state_before(spark, state_path, batch_id)
+    prev = None if st is None else st.select("kind", "token", "label", "n")
 
     part = nb_counts_partial(batch_df, label_col=label_col,
                              text_col=text_col)
@@ -1620,10 +1543,12 @@ def als_sink(interaction_stream: DataFrame, state_path: str,
     sufficient statistic, so each micro-batch folds its pair counts
     into a persisted ratings table (the `nb_sink`/`pca_sink` pattern)
     and the factorization derives AT READOUT (`als_state_model` →
-    `ml/als.als_rank2_round`). Batch/stream equivalence is an
-    identity: integer counts in, identical 9-dp-quantized factors out
-    — test-pinned. State is |observed pairs| rows regardless of how
-    many interactions streamed.
+    `ml/als.als_rank2_round`). DOMAIN CONTRACT: rows with a NULL user
+    or item key are dropped at ingest (they identify no matrix cell);
+    batch/stream equivalence is an identity over the keyed rows:
+    integer counts in, identical 9-dp-quantized factors out —
+    test-pinned including NULL-bearing batches. State is |observed
+    pairs| rows regardless of how many interactions streamed.
 
     Replay safety is single-phase like :func:`hll_sink`: each batch
     writes complete post-merge counts to
@@ -1643,22 +1568,10 @@ def als_commit_batch(batch_df: DataFrame, batch_id: int, state_path: str,
                      user_col: str = "c", item_col: str = "s") -> None:
     """One micro-batch of :func:`als_sink`, module-level so tests can
     replay crash windows against it."""
-    from pyspark.errors import AnalysisException
 
     spark = batch_df.sparkSession
-    prev = None
-    try:
-        store = spark.read.parquet(state_path)
-        ids = [r["state_batch"] for r in
-               store.select("state_batch").distinct().collect()
-               if r["state_batch"] < batch_id]
-        if ids:
-            prev = (store.where(F.col("state_batch") == max(ids))
-                    .select(user_col, item_col, "n"))
-    except AnalysisException as exc:
-        msg = str(exc)
-        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
-            raise
+    st = _latest_state_before(spark, state_path, batch_id)
+    prev = None if st is None else st.select(user_col, item_col, "n")
 
     part = (batch_df
             .filter(F.col(user_col).isNotNull()
