@@ -6436,6 +6436,115 @@ _RBO_W = [
 ]
 
 
+def q_mcnemar(spark: SparkSession, sf: str) -> DataFrame:
+    """McNemar's paired test over the two production near-dup
+    detectors — the INFERENCE step on `dedup_method_agreement`'s
+    pair-level matrix: do MinHash-LSH and 48-bit SimHash banding miss
+    pairs in systematically OPPOSITE directions, or is the
+    disagreement symmetric noise? Discordant counts b (MinHash-only)
+    and c (SimHash-only) give the continuity-corrected
+    χ² = max(|b−c|−1, 0)²/(b+c), and the χ²(1) tail is EXACTLY the
+    two-sided normal tail at √χ² — so the p-value reuses
+    `functions/stats.two_sided_p` (erfc, no new special function).
+    Consumes the agreement query's own frame (Spark) / nests its
+    oracle (SQL) — the statistic can never drift from the matrix it
+    tests. All counts exact integers; χ² rounds at 6 dp before the
+    tail."""
+    agree = q_dedup_method_agreement(spark, sf)
+    g = agree.agg(
+        F.sum(((F.col("in_minhash") == 1)
+               & (F.col("in_simhash48") == 1)).cast("long"))
+        .alias("n_both"),
+        F.sum(((F.col("in_minhash") == 1)
+               & (F.col("in_simhash48") == 0)).cast("long"))
+        .alias("n_minhash_only"),
+        F.sum(((F.col("in_minhash") == 0)
+               & (F.col("in_simhash48") == 1)).cast("long"))
+        .alias("n_simhash_only"))
+    b, c = F.col("n_minhash_only"), F.col("n_simhash_only")
+    diff = F.greatest(F.abs(b - c) - F.lit(1), F.lit(0))
+    chi2 = F.when(b + c > 0, F.round(diff * diff / (b + c)
+                                     + F.lit(1e-9), 6)) \
+            .otherwise(F.lit(0.0))
+    g = g.withColumn("chi2", chi2)
+    return g.select("n_both", "n_minhash_only", "n_simhash_only",
+                    "chi2",
+                    _r(ST.two_sided_p(F.sqrt(F.col("chi2"))), 6)
+                    .alias("p_value"))
+
+
+def q_cramers_v(spark: SparkSession, sf: str) -> DataFrame:
+    """Cramér's V association between order priority and customer
+    market segment — the CATEGORICAL-association readout completing
+    `correlation` (numeric) and `mutual_info` (information-theoretic):
+    χ² = Σ(O−E)²/E over the r×c contingency table, V =
+    √(χ²/(n·(min(r,c)−1))). One fact join + one (r·c)-cell groupBy;
+    margins are broadcast 1-row/tiny aggregates; E = row·col/n divides
+    exact integers, and χ² (a sum of ≤25 identical-operand doubles)
+    rounds at 6 dp before V."""
+    od = load_table(spark, sf, "orders").select("o_custkey",
+                                                "o_orderpriority")
+    cu = load_table(spark, sf, "customer").select("c_custkey",
+                                                  "c_mktsegment")
+    d = od.join(cu, od.o_custkey == cu.c_custkey).select(
+        F.col("o_orderpriority").alias("_p"),
+        F.col("c_mktsegment").alias("_s"))
+    cells = d.groupBy("_p", "_s").agg(F.count(F.lit(1)).alias("_o"))
+    rows = d.groupBy("_p").agg(F.count(F.lit(1)).alias("_nr"))
+    cols = d.groupBy("_s").agg(F.count(F.lit(1)).alias("_nc"))
+    tot = d.agg(F.count(F.lit(1)).alias("_n"),
+                F.countDistinct("_p").alias("_r"),
+                F.countDistinct("_s").alias("_c"))
+    e = F.col("_nr") * F.col("_nc") / F.col("_n")
+    j = (cells.join(F.broadcast(rows), "_p")
+         .join(F.broadcast(cols), "_s")
+         .crossJoin(F.broadcast(tot)))
+    chi = (j.select(((F.col("_o") - e) * (F.col("_o") - e) / e)
+                    .alias("_t"), "_n", "_r", "_c")
+           .groupBy("_n", "_r", "_c")
+           .agg(F.round(F.sum("_t") + F.lit(1e-9), 6).alias("chi2")))
+    v = F.sqrt(F.col("chi2")
+               / (F.col("_n") * (F.least("_r", "_c") - F.lit(1))))
+    return chi.select(F.col("_n").alias("n"),
+                      ((F.col("_r") - F.lit(1))
+                       * (F.col("_c") - F.lit(1))).alias("dof"),
+                      "chi2", _r(v, 6).alias("cramers_v"))
+
+
+def q_spectral_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Normalized spectral entropy per series over the probed daily
+    harmonics — the one-number rhythm-concentration readout of
+    `periodogram`'s amplitude table: p_k = A_k²/ΣA_k², H = −Σ p ln p
+    normalized by ln(K) (0 = all power on one harmonic, 1 = flat),
+    plus the dominant harmonic. Consumes the periodogram query's own
+    frame (Spark) / nests its oracle (SQL) — zero drift from the
+    spectrum it summarizes; amplitudes are already 6-dp-identical
+    decimals, so p and the entropy divide/multiply identical operands
+    (zero-power series excluded identically — ln 0 disagrees across
+    engines)."""
+    pg = q_periodogram(spark, sf)
+    e = pg.withColumn("_p2", F.col("amplitude") * F.col("amplitude"))
+    tot = (e.groupBy("event_type")
+           .agg(F.sum("_p2").alias("_tot"),
+                F.count(F.lit(1)).alias("_k"))
+           .filter(F.col("_tot") > 0))
+    j = e.join(tot, "event_type")
+    p = F.col("_p2") / F.col("_tot")
+    term = F.when(p > 0, -p * F.log(p)).otherwise(F.lit(0.0))
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("amplitude").desc(), "harmonic")
+    dom = (e.withColumn("_rk", F.row_number().over(w))
+           .filter(F.col("_rk") == 1)
+           .select("event_type", F.col("harmonic").alias("dom_harmonic")))
+    ent = (j.groupBy("event_type", "_k")
+           .agg(_r(F.sum(term) / F.log(F.col("_k").cast("double")), 6)
+                .alias("spec_entropy")))
+    return (ent.join(dom, "event_type")
+            .select("event_type", F.col("_k").alias("n_harmonics"),
+                    "spec_entropy", "dom_harmonic")
+            .orderBy("event_type"))
+
+
 def q_hurst_exponent(spark: SparkSession, sf: str) -> DataFrame:
     """Hurst exponent per event series via the aggregated-variance
     method (Beran 1994): block means X^(m) at scales m ∈ {1,2,4,8,16}
@@ -7247,6 +7356,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": q_link_prediction,
         "nelson_aalen": q_nelson_aalen,
         # --- round-8 new additions (slots 23+), newest-first ---
+        "spectral_entropy": q_spectral_entropy,
+        "cramers_v": q_cramers_v,
+        "mcnemar": q_mcnemar,
         "hurst_exponent": q_hurst_exponent,
         "ar2_forecast": q_ar2_forecast,
         "l_diversity": q_l_diversity,
@@ -14406,6 +14518,102 @@ def oracle_sql() -> dict[str, str]:
                                 + 1e-9, 6) + 0.0)
                     ELSE 0.0 END AS z
         FROM g JOIN ties USING (event_type)
+        ORDER BY 1
+    """
+
+    # McNemar over the dedup agreement matrix: nests its oracle
+    # verbatim; chi2(1) tail = two-sided normal tail at sqrt(chi2)
+    # (the shared erfc polynomial).
+    sql["mcnemar"] = f"""
+        WITH agree AS ({sql["dedup_method_agreement"]}),
+        g AS (
+            SELECT sum(CASE WHEN in_minhash = 1 AND in_simhash48 = 1
+                            THEN 1 ELSE 0 END)::BIGINT AS n_both,
+                   sum(CASE WHEN in_minhash = 1 AND in_simhash48 = 0
+                            THEN 1 ELSE 0 END)::BIGINT
+                       AS n_minhash_only,
+                   sum(CASE WHEN in_minhash = 0 AND in_simhash48 = 1
+                            THEN 1 ELSE 0 END)::BIGINT
+                       AS n_simhash_only
+            FROM agree
+        ), x AS (
+            SELECT *, CASE WHEN n_minhash_only + n_simhash_only > 0
+                      THEN (round(
+                          greatest(abs(n_minhash_only - n_simhash_only)
+                                   - 1, 0)
+                          * greatest(abs(n_minhash_only - n_simhash_only)
+                                     - 1, 0)
+                          / (n_minhash_only + n_simhash_only)
+                          + 1e-9, 6) + 0.0)
+                      ELSE 0.0 END AS chi2
+            FROM g
+        )
+        SELECT n_both, n_minhash_only, n_simhash_only, chi2,
+               (round({ST.two_sided_p_sql("sqrt(chi2)")} + 1e-9, 6)
+                + 0.0) AS p_value
+        FROM x
+    """
+
+    # Cramer's V: r x c contingency chi2 with exact-integer margins.
+    sql["cramers_v"] = """
+        WITH d AS (
+            SELECT o_orderpriority AS p, c_mktsegment AS s
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        ), cells AS (
+            SELECT p, s, count(*)::BIGINT AS o FROM d GROUP BY 1, 2
+        ), rws AS (
+            SELECT p, count(*)::BIGINT AS nr FROM d GROUP BY 1
+        ), cls AS (
+            SELECT s, count(*)::BIGINT AS nc FROM d GROUP BY 1
+        ), tot AS (
+            SELECT count(*)::BIGINT AS n,
+                   count(DISTINCT p)::BIGINT AS r,
+                   count(DISTINCT s)::BIGINT AS c
+            FROM d
+        ), chi AS (
+            SELECT n, r, c,
+                   (round(sum((o - nr * nc / n) * (o - nr * nc / n)
+                              / (nr * nc / n)) + 1e-9, 6) + 0.0) AS chi2
+            FROM cells JOIN rws USING (p) JOIN cls USING (s)
+            CROSS JOIN tot
+            GROUP BY 1, 2, 3
+        )
+        SELECT n, ((r - 1) * (c - 1))::BIGINT AS dof, chi2,
+               (round(sqrt(chi2 / (n * (least(r, c) - 1))) + 1e-9, 6)
+                + 0.0) AS cramers_v
+        FROM chi
+    """
+
+    # normalized spectral entropy: nests the periodogram oracle;
+    # zero-power series excluded identically (ln 0 disagrees across
+    # engines).
+    sql["spectral_entropy"] = f"""
+        WITH pg AS ({sql["periodogram"]}),
+        e AS (
+            SELECT event_type, harmonic, amplitude,
+                   amplitude * amplitude AS p2
+            FROM pg
+        ), tot AS (
+            SELECT event_type, sum(p2) AS tot, count(*)::BIGINT AS k
+            FROM e GROUP BY 1 HAVING sum(p2) > 0
+        ), dom AS (
+            SELECT event_type, harmonic AS dom_harmonic FROM (
+                SELECT event_type, harmonic,
+                       row_number() OVER (PARTITION BY event_type
+                           ORDER BY amplitude DESC, harmonic) AS rk
+                FROM e) WHERE rk = 1
+        ), ent AS (
+            SELECT e.event_type, k,
+                   (round(sum(CASE WHEN p2 / tot > 0
+                                   THEN -(p2 / tot) * ln(p2 / tot)
+                                   ELSE 0.0 END) / ln(k::DOUBLE)
+                          + 1e-9, 6) + 0.0) AS spec_entropy
+            FROM e JOIN tot USING (event_type)
+            GROUP BY 1, 2
+        )
+        SELECT ent.event_type, k AS n_harmonics, spec_entropy,
+               dom_harmonic
+        FROM ent JOIN dom USING (event_type)
         ORDER BY 1
     """
 

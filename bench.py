@@ -226,7 +226,8 @@ def main() -> None:
                  "mann_whitney", "mann_kendall",
                  "binseg_changepoint", "matryoshka_audit", "bh_fdr",
                  "ljung_box", "runs_test", "rbo_rankings",
-                 "l_diversity", "ar2_forecast", "hurst_exponent"):
+                 "l_diversity", "ar2_forecast", "hurst_exponent",
+                 "mcnemar", "cramers_v", "spectral_entropy"):
         r8[name] = timed(name)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
