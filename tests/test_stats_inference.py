@@ -228,3 +228,64 @@ def test_ljung_box_white_noise_vs_trend(spark):
     assert out["trend"][0] > 10 * out["alt"][0]
     assert 0.0 <= out["trend"][1] < 1e-6   # trending: overwhelming rejection
     assert 0.01 <= out["alt"][1] <= 1.0    # hash noise: no rejection
+
+
+# --- property-based invariants (pure Python: no Spark round-trip per
+# --- hypothesis example)
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+def _minimax_iso(ys, ws):
+    """The closed minimax form iso(k) = max_{i<=k} min_{j>=k}
+    wmean(i..j) — the arithmetic q_isotonic_calibration distributes."""
+    n = len(ys)
+    means = {}
+    for i in range(n):
+        sw = sy = 0.0
+        for j in range(i, n):
+            sw += ws[j]
+            sy += ys[j] * ws[j]
+            means[(i, j)] = sy / sw
+    return [max(min(means[(i, j)] for j in range(k, n))
+                for i in range(k + 1))
+            for k in range(n)]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(st.floats(0, 1, allow_nan=False,
+                                    allow_infinity=False),
+                          st.integers(1, 50)),
+                min_size=1, max_size=8))
+def test_minimax_isotonic_equals_pav_for_arbitrary_inputs(pairs):
+    ys = [y for y, _ in pairs]
+    ws = [w for _, w in pairs]
+    got = _minimax_iso(ys, ws)
+    exp = _pav_reference(ys, ws)
+    for g, e in zip(got, exp):
+        assert abs(g - e) < 1e-9, (got, exp)
+    assert all(got[i] <= got[i + 1] + 1e-12 for i in range(len(got) - 1))
+
+
+def _erfc_as(x):
+    """Pure-Python twin of functions/stats.erfc_pos (same literals,
+    same Horner shape)."""
+    from timeseries_data_analysis_spark.functions.stats import AS_A, AS_P
+    t = 1.0 / (1.0 + AS_P * x)
+    a1, a2, a3, a4, a5 = AS_A
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return poly * math.exp(-x * x)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.floats(0, 8, allow_nan=False, allow_infinity=False))
+def test_erfc_polynomial_accuracy_everywhere(x):
+    assert abs(_erfc_as(x) - math.erfc(x)) < 1.5e-7
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.floats(0, 8), st.floats(0, 8))
+def test_erfc_polynomial_monotone_decreasing(a, b):
+    lo, hi = sorted((a, b))
+    # monotonicity up to the approximation error band
+    assert _erfc_as(hi) <= _erfc_as(lo) + 3e-7
