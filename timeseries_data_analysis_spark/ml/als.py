@@ -109,9 +109,15 @@ def als_rank2_round(ratings: DataFrame, user_col: str = "c",
     v0 = (init_item_factors(ratings, item_col) if init_v is None
           else init_v.select(item_col, "v1", "v2"))
     rv = ratings.join(v0, item_col)
+    # localCheckpoint after each half-step (the HITS/pagerank lineage
+    # discipline): the factor frames are dim-sized (|users|/|items| ×
+    # 4 columns), and WITHOUT the cut every consumer of v — the next
+    # alternation, the residual diagnostics — re-executes the whole
+    # alternation's fact-sized joins (measured at the 100× corpus:
+    # the residual subtree re-ran the full chain)
     u = _solve_half_step(rv, user_col, rating_col, "v1", "v2", reg,
-                         "u1", "u2")
+                         "u1", "u2").localCheckpoint()
     ru = ratings.join(u.select(user_col, "u1", "u2"), user_col)
     v = _solve_half_step(ru, item_col, rating_col, "u1", "u2", reg,
-                         "v1", "v2")
+                         "v1", "v2").localCheckpoint()
     return u, v
