@@ -6436,6 +6436,83 @@ _RBO_W = [
 ]
 
 
+def q_seasonal_strength(spark: SparkSession, sf: str) -> DataFrame:
+    """Seasonal-strength readout per series (the FPP variance-ratio
+    form, Hyndman & Athanasopoulos): F_s = max(0, 1 − Var(remainder)/
+    Var(series)) over the hour-of-day profile decomposition — the
+    one-number answer to `seasonal_baseline`'s assumed daily cycle
+    and the variance-scale twin of `periodogram`'s amplitude view
+    (F_s ≈ 0: the profile explains nothing; → 1: the series IS its
+    profile). remainder = value − profile(hour); both the 24-slot
+    profile means and the two variances round at 6 dp before the
+    ratio, so the engines divide identical decimals. Scale shape: one
+    (series × 24)-row profile agg broadcast back + ONE combinable
+    variance pass — scan-linear, no window, no per-series sort (the
+    cheapest shape in the §1n table)."""
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    hr = F.hour("ts")
+    prof = (ev.groupBy("event_type", hr.alias("_h"))
+            .agg(_r(F.avg("value"), 6).alias("_m")))
+    d = (ev.select("event_type", hr.alias("_h"), "value")
+         .join(F.broadcast(prof), ["event_type", "_h"]))
+    r = F.col("value") - F.col("_m")
+    g = (d.groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("n_obs"),
+              _r(F.var_pop("value"), 6).alias("var_total"),
+              _r(F.var_pop(r), 6).alias("var_resid"))
+         .filter(F.col("var_total") > 0))
+    fs = F.greatest(F.lit(0.0),
+                    F.lit(1.0) - F.col("var_resid") / F.col("var_total"))
+    return (g.select("event_type", "n_obs", "var_total", "var_resid",
+                     _r(fs, 6).alias("seasonal_strength"))
+            .orderBy("event_type"))
+
+
+def q_cvm_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sample Cramér-von Mises per series — the ALL-quantile
+    drift test completing `ks_drift`'s max-gap view (KS sees the worst
+    single quantile; CvM integrates the squared gap everywhere): arms
+    from the `ab_test` split, T = U/(nm(n+m)) − (4nm−1)/(6(n+m)) with
+    U = n·Σ(rᵢ−i)² + m·Σ(sⱼ−j)² over pooled vs within-arm mid-ranks
+    (Anderson 1962; mid-ranks handle ties identically in both
+    engines). Ranks are exact half-integers; the Σ of squared
+    differences can exceed 2⁵³ at corpus scale so raw U carries
+    summation-order ulps — but T normalizes by nm(n+m) (the same
+    magnitude), so the relative noise is ~1e-16 and the 6-dp round
+    absorbs it. Scale shape: two rank windows per series + one
+    agg — the per-series-window family (§1n's documented constant)."""
+    d = (load_table(spark, sf, "events")
+         .filter(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+         .select("event_type",
+                 F.pmod(F.col("user_id"), F.lit(2)).alias("_arm"),
+                 "value"))
+    w_pool = Window.partitionBy("event_type").orderBy("value")
+    wv_pool = Window.partitionBy("event_type", "value")
+    w_arm = Window.partitionBy("event_type", "_arm").orderBy("value")
+    wv_arm = Window.partitionBy("event_type", "_arm", "value")
+    ranked = (d
+              .withColumn("_rp", F.rank().over(w_pool)
+                          + (F.count(F.lit(1)).over(wv_pool) - F.lit(1))
+                          / F.lit(2.0))
+              .withColumn("_rw", F.rank().over(w_arm)
+                          + (F.count(F.lit(1)).over(wv_arm) - F.lit(1))
+                          / F.lit(2.0)))
+    diff2 = (F.col("_rp") - F.col("_rw")) * (F.col("_rp") - F.col("_rw"))
+    g = ranked.groupBy("event_type").agg(
+        F.sum(F.when(F.col("_arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("_arm") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("_arm") == 0, diff2)).alias("_u0"),
+        F.sum(F.when(F.col("_arm") == 1, diff2)).alias("_u1"))
+    n, m = F.col("n_a"), F.col("n_b")
+    u = n * F.col("_u0") + m * F.col("_u1")
+    t = (u / (n.cast("double") * m * (n + m))
+         - (F.lit(4.0) * n * m - F.lit(1.0)) / (F.lit(6.0) * (n + m)))
+    return (g.filter((n > 0) & (m > 0))
+            .select("event_type", "n_a", "n_b",
+                    _r(t, 6).alias("cvm_t"))
+            .orderBy("event_type"))
+
+
 def q_mcnemar(spark: SparkSession, sf: str) -> DataFrame:
     """McNemar's paired test over the two production near-dup
     detectors — the INFERENCE step on `dedup_method_agreement`'s
@@ -7356,6 +7433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": q_link_prediction,
         "nelson_aalen": q_nelson_aalen,
         # --- round-8 new additions (slots 23+), newest-first ---
+        "cvm_drift": q_cvm_drift,
+        "seasonal_strength": q_seasonal_strength,
         "spectral_entropy": q_spectral_entropy,
         "cramers_v": q_cramers_v,
         "mcnemar": q_mcnemar,
@@ -14518,6 +14597,73 @@ def oracle_sql() -> dict[str, str]:
                                 + 1e-9, 6) + 0.0)
                     ELSE 0.0 END AS z
         FROM g JOIN ties USING (event_type)
+        ORDER BY 1
+    """
+
+    # seasonal strength: 6-dp hour-of-day profile + 6-dp variances,
+    # ratio over identical decimals.
+    sql["seasonal_strength"] = """
+        WITH prof AS (
+            SELECT event_type, hour(ts) AS h,
+                   (round(avg(value) + 1e-9, 6) + 0.0) AS m
+            FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        ), d AS (
+            SELECT e.event_type, e.value, p.m
+            FROM events e JOIN prof p
+              ON e.event_type = p.event_type AND hour(e.ts) = p.h
+            WHERE e.value IS NOT NULL
+        ), g AS (
+            SELECT event_type, count(*)::BIGINT AS n_obs,
+                   (round(var_pop(value) + 1e-9, 6) + 0.0) AS var_total,
+                   (round(var_pop(value - m) + 1e-9, 6) + 0.0)
+                       AS var_resid
+            FROM d GROUP BY 1
+            HAVING (round(var_pop(value) + 1e-9, 6) + 0.0) > 0
+        )
+        SELECT event_type, n_obs, var_total, var_resid,
+               (round(greatest(0.0::DOUBLE,
+                               1.0::DOUBLE - var_resid / var_total)
+                      + 1e-9, 6) + 0.0) AS seasonal_strength
+        FROM g ORDER BY 1
+    """
+
+    # two-sample Cramer-von Mises: pooled vs within-arm mid-ranks;
+    # the normalized T absorbs the large-magnitude U's summation ulps.
+    sql["cvm_drift"] = """
+        WITH d AS (
+            SELECT event_type, user_id % 2 AS arm, value
+            FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        ), ranked AS (
+            SELECT event_type, arm,
+                   rank() OVER (PARTITION BY event_type ORDER BY value)
+                       + (count(*) OVER (PARTITION BY event_type, value)
+                          - 1) / 2.0::DOUBLE AS rp,
+                   rank() OVER (PARTITION BY event_type, arm
+                                ORDER BY value)
+                       + (count(*) OVER (PARTITION BY event_type, arm,
+                                         value)
+                          - 1) / 2.0::DOUBLE AS rw
+            FROM d
+        ), g AS (
+            SELECT event_type,
+                   sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_a,
+                   sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_b,
+                   sum(CASE WHEN arm = 0
+                            THEN (rp - rw) * (rp - rw) END) AS u0,
+                   sum(CASE WHEN arm = 1
+                            THEN (rp - rw) * (rp - rw) END) AS u1
+            FROM ranked GROUP BY 1
+        )
+        SELECT event_type, n_a, n_b,
+               (round((n_a * u0 + n_b * u1)
+                      / (n_a::DOUBLE * n_b * (n_a + n_b))
+                      - (4.0::DOUBLE * n_a * n_b - 1.0::DOUBLE)
+                        / (6.0::DOUBLE * (n_a + n_b))
+                      + 1e-9, 6) + 0.0) AS cvm_t
+        FROM g
+        WHERE n_a > 0 AND n_b > 0
         ORDER BY 1
     """
 

@@ -227,7 +227,8 @@ def main() -> None:
                  "binseg_changepoint", "matryoshka_audit", "bh_fdr",
                  "ljung_box", "runs_test", "rbo_rankings",
                  "l_diversity", "ar2_forecast", "hurst_exponent",
-                 "mcnemar", "cramers_v", "spectral_entropy"):
+                 "mcnemar", "cramers_v", "spectral_entropy",
+                 "seasonal_strength", "cvm_drift"):
         r8[name] = timed(name)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

@@ -141,6 +141,13 @@ EVENT_QUERIES = [
     "mann_kendall", "mann_whitney", "runs_test", "ljung_box",
     "binseg_changepoint", "logrank_test", "bh_fdr", "ar2_forecast",
     "hurst_exponent",
+    # cvm_drift is rank-based (magnitude-normalized), so the 1e9
+    # fixture row is in contract. seasonal_strength is NOT here for
+    # the kmeans_step/pca2_axes reason: var_pop over the 1e9-magnitude
+    # row carries summation-order ulps (~1e2 absolute on a ~1e17
+    # variance) the 6-dp contract cannot absorb; the sf-corpus gate
+    # compares its variance algebra exactly.
+    "cvm_drift",
 ]
 
 

@@ -32,6 +32,7 @@ LEDGER_22 = [
 # Round-8 additions occupying slots 23+ (newest-first), kept in sync as
 # round 8 lands queries. Appending here is part of adding a query.
 ROUND8_NEW: list[str] = [
+    "cvm_drift", "seasonal_strength",
     "spectral_entropy", "cramers_v", "mcnemar",
     "hurst_exponent", "ar2_forecast", "l_diversity", "rbo_rankings",
     "ljung_box", "runs_test",
