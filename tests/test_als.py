@@ -116,3 +116,76 @@ def test_second_alternation_decreases_regularized_objective(spark):
     # 9-dp factor quantization perturbs each solve off the exact
     # minimizer by ~1e-9 per coordinate; allow that slack
     assert j2 <= j1 + 1e-6, (j2, j1)
+
+
+def test_rankk_path_agrees_with_closed_form_at_k2(spark):
+    """The general applyInPandas solve and the closed-form column math
+    must land on the same 9-dp grid at k=2 — cross-validating both
+    implementations of the same normal equations."""
+    r = _ratings(spark).localCheckpoint()
+    u2, v2 = ALS.als_rank2_round(r, reg=REG)
+    # same init: rankk's init uses per-k salts, so feed rank2's init
+    init = ALS.init_item_factors(r)
+    uk, vk = ALS.als_rankk_round(r, k=2, reg=REG, init_v=init)
+    a = {row["c"]: (row["u1"], row["u2"]) for row in u2.collect()}
+    b = {row["c"]: (row["u1"], row["u2"]) for row in uk.collect()}
+    assert a.keys() == b.keys()
+    for c in a:
+        assert abs(a[c][0] - b[c][0]) <= 2e-9, (c, a[c], b[c])
+        assert abs(a[c][1] - b[c][1]) <= 2e-9, (c, a[c], b[c])
+    av = {row["s"]: (row["v1"], row["v2"]) for row in v2.collect()}
+    bv = {row["s"]: (row["v1"], row["v2"]) for row in vk.collect()}
+    for s in av:
+        assert abs(av[s][0] - bv[s][0]) <= 4e-9, (s, av[s], bv[s])
+        assert abs(av[s][1] - bv[s][1]) <= 4e-9, (s, av[s], bv[s])
+
+
+def test_rank4_half_step_matches_numpy(spark):
+    """k=4 user factors equal a direct numpy solve of the same
+    regularized normal equations from the same deterministic init."""
+    r = _ratings(spark)
+    v0 = {row["s"]: [row[f"v{j}"] for j in range(1, 5)]
+          for row in ALS.init_item_factors_k(r, 4).collect()}
+    uk, _ = ALS.als_rankk_round(r, k=4, reg=REG)
+    got = {row["c"]: [row[f"u{j}"] for j in range(1, 5)]
+           for row in uk.collect()}
+    ratings = {(row["c"], row["s"]): row["r"] for row in r.collect()}
+    for c in range(8):
+        A = np.eye(4) * REG
+        b = np.zeros(4)
+        for (cc, s), val in ratings.items():
+            if cc != c:
+                continue
+            vv = np.array(v0[s])
+            A += np.outer(vv, vv)
+            b += val * vv
+        exp = np.linalg.solve(A, b)
+        for j in range(4):
+            assert abs(got[c][j] - exp[j]) < 1e-8, (c, j)
+
+
+def test_rank4_objective_monotone_across_rounds(spark):
+    """Block coordinate descent at k=4: the regularized objective is
+    non-increasing across alternations (same invariant as rank-2)."""
+    r = _ratings(spark).localCheckpoint()
+
+    def objective(u, v, k):
+        ucols = [f"u{j}" for j in range(1, k + 1)]
+        vcols = [f"v{j}" for j in range(1, k + 1)]
+        j = (r.join(u.select("c", *ucols), "c")
+             .join(v.select("s", *vcols), "s"))
+        pred = sum((F.col(uc) * F.col(vc)
+                    for uc, vc in zip(ucols, vcols)), F.lit(0.0))
+        sse = j.agg(F.sum((F.col("r") - pred) * (F.col("r") - pred))
+                    .alias("x")).collect()[0]["x"]
+        un = u.agg(F.sum(sum((F.col(c) * F.col(c) for c in ucols),
+                             F.lit(0.0))).alias("x")).collect()[0]["x"]
+        vn = v.agg(F.sum(sum((F.col(c) * F.col(c) for c in vcols),
+                             F.lit(0.0))).alias("x")).collect()[0]["x"]
+        return sse + REG * (un + vn)
+
+    u1, v1 = ALS.als_rankk_round(r, k=4, reg=REG)
+    j1 = objective(u1, v1, 4)
+    u2, v2 = ALS.als_rankk_round(r, k=4, reg=REG, init_v=v1)
+    j2 = objective(u2, v2, 4)
+    assert j2 <= j1 + 1e-6, (j2, j1)

@@ -121,3 +121,76 @@ def als_rank2_round(ratings: DataFrame, user_col: str = "c",
     v = _solve_half_step(ru, item_col, rating_col, "u1", "u2", reg,
                          "v1", "v2").localCheckpoint()
     return u, v
+
+
+def init_item_factors_k(ratings: DataFrame, k: int,
+                        item_col: str = "s") -> DataFrame:
+    """Deterministic rank-k item init generalizing
+    :func:`init_item_factors`: component 1 = 1.0 (the mean
+    direction), components j ≥ 2 = md5-fraction − 0.5 with a
+    per-component salt (independent symmetry breakers)."""
+    cols = [F.lit(1.0).alias("v1")]
+    for j in range(2, k + 1):
+        cols.append(_q(md5_unit_fraction(F.col(item_col), f"als{k}|{j}|")
+                       - F.lit(0.5)).alias(f"v{j}"))
+    return ratings.select(item_col).distinct().select(item_col, *cols)
+
+
+def _solve_half_step_k(joined: DataFrame, key_col: str, rating_col: str,
+                       fcols: list[str], reg: float,
+                       out_prefix: str) -> DataFrame:
+    """Rank-k ALS half-step via a k-BOUNDED ``applyInPandas`` solve —
+    the general path behind the closed-form k=2 fast lane
+    (:func:`_solve_half_step`): each key group ships its (n_obs × k)
+    opposite-factor matrix through Arrow and solves one k×k normal
+    system with numpy (the `cubic_interpolate` bounded-solve posture;
+    state per group is k²+k doubles, never the ratings). Factors are
+    9-dp quantized exactly like the closed form, so at k=2 the two
+    paths agree to the quantization grid (test-pinned)."""
+    import numpy as np
+    import pandas as pd
+
+    k = len(fcols)
+    key_type = dict(joined.dtypes)[key_col]
+    out_cols = [f"{out_prefix}{i + 1}" for i in range(k)]
+    schema = (f"{key_col} {key_type}, "
+              + ", ".join(f"{c} double" for c in out_cols)
+              + ", n_obs long")
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = pdf[fcols].to_numpy(dtype=float)
+        r = pdf[rating_col].to_numpy(dtype=float)
+        a = mat.T @ mat + reg * np.eye(k)
+        x = np.linalg.solve(a, mat.T @ r)
+        vals = [round(float(v) + EPS, QUANT) for v in x]
+        return pd.DataFrame(
+            [[pdf[key_col].iloc[0], *vals, len(pdf)]],
+            columns=[key_col, *out_cols, "n_obs"])
+
+    return joined.groupBy(key_col).applyInPandas(solve, schema)
+
+
+def als_rankk_round(ratings: DataFrame, k: int = 4,
+                    user_col: str = "c", item_col: str = "s",
+                    rating_col: str = "r", reg: float = 0.1,
+                    init_v: DataFrame | None = None
+                    ) -> tuple[DataFrame, DataFrame]:
+    """ONE full rank-k ALS alternation — the general form of
+    :func:`als_rank2_round` (VERDICT's k=2-4 ask): same deterministic
+    init, same 9-dp quantization contract, but the per-key solve runs
+    as a k-bounded Arrow-batched ``applyInPandas`` (numpy k×k solve
+    per group) instead of closed-form column math. Use the rank-2
+    fast lane when k=2 and the model fits it; this path is for the
+    recommender that needs more capacity. Returns
+    ``(user_factors, item_factors)`` with columns u1..uk / v1..vk."""
+    vcols = [f"v{j}" for j in range(1, k + 1)]
+    ucols = [f"u{j}" for j in range(1, k + 1)]
+    v0 = (init_item_factors_k(ratings, k, item_col) if init_v is None
+          else init_v.select(item_col, *vcols))
+    rv = ratings.join(v0, item_col)
+    u = _solve_half_step_k(rv, user_col, rating_col, vcols, reg,
+                           "u").localCheckpoint()
+    ru = ratings.join(u.select(user_col, *ucols), user_col)
+    v = _solve_half_step_k(ru, item_col, rating_col, ucols, reg,
+                           "v").localCheckpoint()
+    return u, v
