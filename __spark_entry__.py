@@ -6540,8 +6540,7 @@ def q_mcnemar(spark: SparkSession, sf: str) -> DataFrame:
         .alias("n_simhash_only"))
     b, c = F.col("n_minhash_only"), F.col("n_simhash_only")
     diff = F.greatest(F.abs(b - c) - F.lit(1), F.lit(0))
-    chi2 = F.when(b + c > 0, F.round(diff * diff / (b + c)
-                                     + F.lit(1e-9), 6)) \
+    chi2 = F.when(b + c > 0, _r(diff * diff / (b + c), 6)) \
             .otherwise(F.lit(0.0))
     g = g.withColumn("chi2", chi2)
     return g.select("n_both", "n_minhash_only", "n_simhash_only",
@@ -6579,7 +6578,7 @@ def q_cramers_v(spark: SparkSession, sf: str) -> DataFrame:
     chi = (j.select(((F.col("_o") - e) * (F.col("_o") - e) / e)
                     .alias("_t"), "_n", "_r", "_c")
            .groupBy("_n", "_r", "_c")
-           .agg(F.round(F.sum("_t") + F.lit(1e-9), 6).alias("chi2")))
+           .agg(_r(F.sum("_t"), 6).alias("chi2")))
     v = F.sqrt(F.col("chi2")
                / (F.col("_n") * (F.least("_r", "_c") - F.lit(1))))
     return chi.select(F.col("_n").alias("n"),
@@ -6598,8 +6597,11 @@ def q_spectral_entropy(spark: SparkSession, sf: str) -> DataFrame:
     spectrum it summarizes; amplitudes are already 6-dp-identical
     decimals, so p and the entropy divide/multiply identical operands
     (zero-power series excluded identically — ln 0 disagrees across
-    engines)."""
-    pg = q_periodogram(spark, sf)
+    engines). The |series|×4-row spectrum is localCheckpoint-ed: it
+    feeds THREE subtrees (totals, entropy join, dominant-harmonic
+    window), and without the cut each re-executes the periodogram's
+    full fact scan — the als_rank2 lineage lesson."""
+    pg = q_periodogram(spark, sf).localCheckpoint()
     e = pg.withColumn("_p2", F.col("amplitude") * F.col("amplitude"))
     tot = (e.groupBy("event_type")
            .agg(F.sum("_p2").alias("_tot"),

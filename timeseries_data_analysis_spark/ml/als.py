@@ -139,35 +139,58 @@ def init_item_factors_k(ratings: DataFrame, k: int,
 def _solve_half_step_k(joined: DataFrame, key_col: str, rating_col: str,
                        fcols: list[str], reg: float,
                        out_prefix: str) -> DataFrame:
-    """Rank-k ALS half-step via a k-BOUNDED ``applyInPandas`` solve —
-    the general path behind the closed-form k=2 fast lane
-    (:func:`_solve_half_step`): each key group ships its (n_obs × k)
-    opposite-factor matrix through Arrow and solves one k×k normal
-    system with numpy (the `cubic_interpolate` bounded-solve posture;
-    state per group is k²+k doubles, never the ratings). Factors are
-    9-dp quantized exactly like the closed form, so at k=2 the two
-    paths agree to the quantization grid (test-pinned)."""
+    """Rank-k ALS half-step, generalizing the closed-form k=2 fast
+    lane (:func:`_solve_half_step`) the same way it scales: the
+    k(k+3)/2 normal-equation sums accumulate in ONE map-side-
+    combinable ``groupBy().agg`` — the shuffle carries k²+k doubles
+    per KEY, never the ratings — and the k×k solves then run as a
+    BATCHED ``np.linalg.solve`` over the dim-sized aggregate frame
+    via ``mapInPandas`` (one stacked (rows, k, k) solve per Arrow
+    batch; no per-key Python group, no fact rows through Python, and
+    a hub key costs the same k²+k doubles as any other — skew-proof
+    by construction). Factors are 9-dp quantized exactly like the
+    closed form, so at k=2 the two paths agree to the quantization
+    grid (test-pinned)."""
     import numpy as np
     import pandas as pd
 
     k = len(fcols)
+    aggs = [F.sum(F.col(fcols[i]) * F.col(fcols[j]))
+            .alias(f"_a{i}_{j}")
+            for i in range(k) for j in range(i, k)]
+    aggs += [F.sum(F.col(rating_col) * F.col(fcols[i])).alias(f"_b{i}")
+             for i in range(k)]
+    aggs.append(F.count(F.lit(1)).alias("n_obs"))
+    g = joined.groupBy(key_col).agg(*aggs)
+
     key_type = dict(joined.dtypes)[key_col]
     out_cols = [f"{out_prefix}{i + 1}" for i in range(k)]
     schema = (f"{key_col} {key_type}, "
               + ", ".join(f"{c} double" for c in out_cols)
               + ", n_obs long")
 
-    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
-        mat = pdf[fcols].to_numpy(dtype=float)
-        r = pdf[rating_col].to_numpy(dtype=float)
-        a = mat.T @ mat + reg * np.eye(k)
-        x = np.linalg.solve(a, mat.T @ r)
-        vals = [round(float(v) + EPS, QUANT) for v in x]
-        return pd.DataFrame(
-            [[pdf[key_col].iloc[0], *vals, len(pdf)]],
-            columns=[key_col, *out_cols, "n_obs"])
+    def solve_batches(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            a = np.zeros((n, k, k))
+            for i in range(k):
+                for j in range(i, k):
+                    col = pdf[f"_a{i}_{j}"].to_numpy(dtype=float)
+                    a[:, i, j] = col
+                    a[:, j, i] = col
+            a += reg * np.eye(k)
+            b = np.stack([pdf[f"_b{i}"].to_numpy(dtype=float)
+                          for i in range(k)], axis=1)
+            x = np.round(np.linalg.solve(a, b) + EPS, QUANT)
+            out = pd.DataFrame({key_col: pdf[key_col]})
+            for i, c in enumerate(out_cols):
+                out[c] = x[:, i]
+            out["n_obs"] = pdf["n_obs"]
+            yield out
 
-    return joined.groupBy(key_col).applyInPandas(solve, schema)
+    return g.mapInPandas(solve_batches, schema)
 
 
 def als_rankk_round(ratings: DataFrame, k: int = 4,
@@ -176,10 +199,11 @@ def als_rankk_round(ratings: DataFrame, k: int = 4,
                     init_v: DataFrame | None = None
                     ) -> tuple[DataFrame, DataFrame]:
     """ONE full rank-k ALS alternation — the general form of
-    :func:`als_rank2_round` (VERDICT's k=2-4 ask): same deterministic
-    init, same 9-dp quantization contract, but the per-key solve runs
-    as a k-bounded Arrow-batched ``applyInPandas`` (numpy k×k solve
-    per group) instead of closed-form column math. Use the rank-2
+    :func:`als_rank2_round`: same deterministic init family, same
+    9-dp quantization contract, same map-side-combinable
+    normal-equation aggregation; only the SOLVE differs (batched
+    numpy over the dim-sized aggregate frame instead of closed-form
+    column math — see :func:`_solve_half_step_k`). Use the rank-2
     fast lane when k=2 and the model fits it; this path is for the
     recommender that needs more capacity. Returns
     ``(user_factors, item_factors)`` with columns u1..uk / v1..vk."""
