@@ -6596,8 +6596,9 @@ def q_spectral_entropy(spark: SparkSession, sf: str) -> DataFrame:
     frame (Spark) / nests its oracle (SQL) — zero drift from the
     spectrum it summarizes; amplitudes are already 6-dp-identical
     decimals, so p and the entropy divide/multiply identical operands
-    (zero-power series excluded identically — ln 0 disagrees across
-    engines). The |series|×4-row spectrum is localCheckpoint-ed: it
+    (zero-power series AND single-harmonic spectra excluded
+    identically — ln 0 disagrees across engines, and ln(1)=0 would
+    make the ln(K) normalizer a div-by-zero). The |series|×4-row spectrum is localCheckpoint-ed: it
     feeds THREE subtrees (totals, entropy join, dominant-harmonic
     window), and without the cut each re-executes the periodogram's
     full fact scan — the als_rank2 lineage lesson."""
@@ -6606,7 +6607,7 @@ def q_spectral_entropy(spark: SparkSession, sf: str) -> DataFrame:
     tot = (e.groupBy("event_type")
            .agg(F.sum("_p2").alias("_tot"),
                 F.count(F.lit(1)).alias("_k"))
-           .filter(F.col("_tot") > 0))
+           .filter((F.col("_tot") > 0) & (F.col("_k") > 1)))
     j = e.join(tot, "event_type")
     p = F.col("_p2") / F.col("_tot")
     term = F.when(p > 0, -p * F.log(p)).otherwise(F.lit(0.0))
@@ -6968,13 +6969,23 @@ def q_matryoshka_audit(spark: SparkSession, sf: str) -> DataFrame:
     ov = (top_full.join(top16, ["query_id", "vec_id"])
           .groupBy("query_id")
           .agg(F.count(F.lit(1)).alias("n_overlap")))
+    # Union size from the ACTUAL per-query list lengths (|A|+|B|−∩),
+    # not a hardcoded |A|=|B|=10 — on a corpus with <11 vectors the
+    # top lists are shorter and n/(20−n) would be the wrong Jaccard.
+    nf = top_full.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("_nf"))
+    nt = top16.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("_nt"))
     base = q_full.select("query_id")
+    un = F.col("_nf") + F.col("_nt") - F.col("n_overlap")
     return (base.join(ov, "query_id", "left")
-            .fillna(0, ["n_overlap"])
+            .join(nf, "query_id", "left")
+            .join(nt, "query_id", "left")
+            .fillna(0, ["n_overlap", "_nf", "_nt"])
             .select("query_id", "n_overlap",
-                    _r(F.col("n_overlap")
-                       / (F.lit(20) - F.col("n_overlap")), 6)
-                    .alias("set_jaccard"))
+                    F.when(un > 0,
+                           _r(F.col("n_overlap") / un, 6))
+                    .otherwise(F.lit(0.0)).alias("set_jaccard"))
             .orderBy("query_id"))
 
 
@@ -14743,7 +14754,7 @@ def oracle_sql() -> dict[str, str]:
             FROM pg
         ), tot AS (
             SELECT event_type, sum(p2) AS tot, count(*)::BIGINT AS k
-            FROM e GROUP BY 1 HAVING sum(p2) > 0
+            FROM e GROUP BY 1 HAVING sum(p2) > 0 AND count(*) > 1
         ), dom AS (
             SELECT event_type, harmonic AS dom_harmonic FROM (
                 SELECT event_type, harmonic,
@@ -15081,12 +15092,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT f.query_id, count(*)::BIGINT AS n_overlap
             FROM full_rk f JOIN tr_rk t USING (query_id, vec_id)
             GROUP BY 1
+        ), nf AS (
+            SELECT query_id, count(*)::BIGINT AS n_full
+            FROM full_rk GROUP BY 1
+        ), nt AS (
+            SELECT query_id, count(*)::BIGINT AS n_tr
+            FROM tr_rk GROUP BY 1
         )
         SELECT q.query_id, coalesce(ov.n_overlap, 0)::BIGINT AS n_overlap,
-               (round(coalesce(ov.n_overlap, 0)::DOUBLE
-                      / (20 - coalesce(ov.n_overlap, 0)) + 1e-9, 6)
-                + 0.0) AS set_jaccard
+               CASE WHEN coalesce(nf.n_full, 0) + coalesce(nt.n_tr, 0)
+                         - coalesce(ov.n_overlap, 0) > 0
+                    THEN (round(coalesce(ov.n_overlap, 0)::DOUBLE
+                                / (coalesce(nf.n_full, 0)
+                                   + coalesce(nt.n_tr, 0)
+                                   - coalesce(ov.n_overlap, 0))
+                                + 1e-9, 6) + 0.0)
+                    ELSE 0.0 END AS set_jaccard
         FROM q LEFT JOIN ov USING (query_id)
+               LEFT JOIN nf USING (query_id)
+               LEFT JOIN nt USING (query_id)
         ORDER BY 1
     """
 

@@ -183,7 +183,13 @@ def _solve_half_step_k(joined: DataFrame, key_col: str, rating_col: str,
             a += reg * np.eye(k)
             b = np.stack([pdf[f"_b{i}"].to_numpy(dtype=float)
                           for i in range(k)], axis=1)
-            x = np.round(np.linalg.solve(a, b) + EPS, QUANT)
+            # HALF_UP (away-from-zero) decimal rounding — the numpy
+            # twin of `_q` (F.round's BigDecimal ROUND_HALF_UP), so the
+            # rank-k lane shares the rank-2 lane's exact rounding law
+            # instead of np.round's round-half-to-even.
+            x = np.linalg.solve(a, b) + EPS
+            scale = 10.0 ** QUANT
+            x = np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
             out = pd.DataFrame({key_col: pdf[key_col]})
             for i, c in enumerate(out_cols):
                 out[c] = x[:, i]

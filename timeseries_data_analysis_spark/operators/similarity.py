@@ -632,7 +632,14 @@ def kmeans_fit(vectors: DataFrame, init_centroids: DataFrame,
         for r in rows:
             val = float(r["new_val"])
             if quant is not None:
-                val = round(val + 1e-12, quant)
+                # HALF_UP (away-from-zero) decimal rounding — the same
+                # law as `_q`/F.round (BigDecimal ROUND_HALF_UP), not
+                # Python round()'s banker's rounding, so the QUANT
+                # contract has ONE rounding convention repo-wide.
+                nudged = val + 1e-12
+                s = 10.0 ** quant
+                val = math.copysign(
+                    math.floor(abs(nudged) * s + 0.5) / s, nudged)
             nxt.setdefault(r["centroid_id"],
                            [0.0] * len(cur[r["centroid_id"]]))
             nxt[r["centroid_id"]][r["dim_idx"]] = val

@@ -133,6 +133,11 @@ def logrank_test(durations: DataFrame, arm_col: str = "arm",
     Returns ONE row: ``(n_arm0, n_arm1, d_total, o_minus_e, var_sum,
     z, chi2)``.
     """
+    # Two-sample test: rows whose arm is not exactly 0 or 1 (or NULL)
+    # are DROPPED up front — without this they would pool into the
+    # at-risk/death totals while being excluded from the arm-0 O−E
+    # side, silently skewing the statistic.
+    durations = durations.filter(F.col(arm_col).isin(0, 1))
     per = (durations.groupBy(F.col(arm_col).alias("_arm"),
                              F.col(duration_col).alias("duration"))
            .agg(F.sum(F.col(event_col).cast("int")).alias("_d"),
