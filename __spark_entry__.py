@@ -6887,6 +6887,240 @@ def q_runs_test(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+# --- bounded-grain twins of the per-series raw-rank family ------------
+#
+# The raw forms above (`ljung_box`, `runs_test`, `mann_whitney`,
+# `cvm_drift`, `hurst_exponent`) rank/lag over RAW fact rows inside
+# `PARTITION BY event_type` — correct for high-series-cardinality data
+# (1000 series → 1000 sort tasks), but on a low-cardinality corpus the
+# sort parallelism is capped at |series| (5 tasks of ~12M rows each at
+# the 100× corpus; SCALE §1n). These twins pre-collapse the fact scan
+# to the DAILY grain first (the `mann_kendall` pattern — 2.66 s vs
+# 25.3 s at 100× for exactly this reason): the one fact-sized stage is
+# a map-side-combinable groupBy, and every window/rank downstream runs
+# over a CALENDAR-BOUNDED frame (≤ |days| rows per series, ≤ 2·|days|
+# for the two-arm tests) regardless of corpus size. Statistically they
+# test the daily-mean sequence, not the raw draws — the form a
+# monitoring pipeline actually wants for level-shift/trend questions.
+# Cross-engine: daily means round at 6 dp BEFORE any rank/lag/median,
+# so both engines order identical decimals.
+
+
+def _daily_means(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared bounded-grain collapse: one fact scan →
+    ``(event_type, _d, _v)`` with 6-dp-rounded daily means — the
+    frame every ``*_daily`` twin (and `mann_kendall` / `ar2_forecast`
+    / `binseg_changepoint` inline) ranks over."""
+    return (load_table(spark, sf, "events")
+            .filter(F.col("value").isNotNull())
+            .groupBy("event_type", F.to_date("ts").alias("_d"))
+            .agg(_r(F.avg("value"), 6).alias("_v")))
+
+
+def _daily_arm_means(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sample variant of :func:`_daily_means`: the `ab_test`
+    pmod(user_id, 2) split survives the collapse as a grouping key,
+    so each (series, arm) contributes ≤ |days| daily-mean samples."""
+    return (load_table(spark, sf, "events")
+            .filter(F.col("value").isNotNull()
+                    & F.col("user_id").isNotNull())
+            .groupBy("event_type",
+                     F.pmod(F.col("user_id"), F.lit(2)).alias("_arm"),
+                     F.to_date("ts").alias("_d"))
+            .agg(_r(F.avg("value"), 6).alias("_v")))
+
+
+def q_ljung_box_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """Ljung-Box white-noise test over the DAILY-mean sequence — the
+    bounded-grain twin of `ljung_box` (same Q = n(n+2)·Σρ_k²/(n−k)
+    against χ²(6), same closed-form even-df tail), with the 6-lag
+    window running over ≤ |days| rows per series instead of raw fact
+    rows. Lag-k here means "k days", the grain an ops dashboard
+    monitors. Same degenerate exclusions (n > 6 days, non-constant),
+    identical on both engines."""
+    daily = _daily_means(spark, sf)
+    mu = (daily.groupBy("event_type")
+          .agg(_r(F.avg("_v"), 6).alias("_mu")))
+    w = Window.partitionBy("event_type").orderBy("_d")
+    lags = range(1, 7)
+    lag_cols = [F.lag("_v", k).over(w).alias(f"_l{k}") for k in lags]
+    d = (daily.select("event_type", "_v", *lag_cols)
+         .join(F.broadcast(mu), "event_type"))
+    dev = F.col("_v") - F.col("_mu")
+    aggs = [F.count(F.lit(1)).alias("_n"),
+            F.sum(dev * dev).alias("_den")]
+    for k in lags:
+        aggs.append(F.sum(dev * (F.col(f"_l{k}") - F.col("_mu")))
+                    .alias(f"_num{k}"))
+    g = (d.groupBy("event_type").agg(*aggs)
+         .filter((F.col("_n") > 6) & (F.col("_den") > 0)))
+    n = F.col("_n")
+    q = F.lit(0.0)
+    for k in lags:
+        rho = F.round(F.col(f"_num{k}") / F.col("_den") + F.lit(1e-9), 6)
+        q = q + rho * rho / (n - F.lit(k))
+    q = F.round(n * (n + F.lit(2)) * q + F.lit(1e-9), 6)
+    h = q / F.lit(2.0)
+    p = F.exp(-h) * (F.lit(1.0) + h + h * h / F.lit(2.0))
+    return (g.select("event_type", F.col("_n").alias("n_days"),
+                     q.alias("q_stat"),
+                     _r(p, 6).alias("p_value"))
+            .orderBy("event_type"))
+
+
+def q_runs_test_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """Wald-Wolfowitz runs test over the DAILY-mean sequence — the
+    bounded-grain twin of `runs_test`: signs from the interpolated
+    median of the series' daily means, runs counted over day order.
+    Clumping here reads as multi-day regimes (the level-shift signal
+    `binseg_changepoint` locates), not intra-day noise."""
+    daily = _daily_means(spark, sf)
+    med = (daily.groupBy("event_type")
+           .agg(F.percentile("_v", F.lit(0.5)).alias("_med")))
+    d = (daily.join(F.broadcast(med), "event_type")
+         .filter(F.col("_v") != F.col("_med"))
+         .select("event_type", "_d",
+                 (F.col("_v") > F.col("_med")).cast("int").alias("_s")))
+    w = Window.partitionBy("event_type").orderBy("_d")
+    d = d.withColumn("_chg",
+                     F.when(F.lag("_s").over(w).isNull(), 0)
+                     .when(F.lag("_s").over(w) != F.col("_s"), 1)
+                     .otherwise(0))
+    g = (d.groupBy("event_type").agg(
+        F.sum("_s").alias("n_above"),
+        F.sum(F.lit(1) - F.col("_s")).alias("n_below"),
+        (F.sum("_chg") + F.lit(1)).alias("n_runs"))
+        .filter((F.col("n_above") > 0) & (F.col("n_below") > 0)))
+    n1, n2 = F.col("n_above"), F.col("n_below")
+    n = n1 + n2
+    nd = n.cast("double")
+    mu = F.lit(2.0) * n1 * n2 / n + F.lit(1.0)
+    var = (F.lit(2.0) * n1 * n2 * (F.lit(2.0) * n1 * n2 - n)
+           / (nd * nd * (nd - F.lit(1.0))))
+    z = F.when(var > 0, (F.col("n_runs") - mu) / F.sqrt(var)) \
+         .otherwise(F.lit(0.0))
+    return (g.select("event_type", "n_above", "n_below", "n_runs",
+                     _r(z, 6).alias("z"))
+            .orderBy("event_type"))
+
+
+def q_mann_whitney_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """Mann-Whitney U over per-(arm, day) mean samples — the
+    bounded-grain twin of `mann_whitney`: each arm contributes one
+    6-dp daily mean per day, so the joint rank window sorts ≤
+    2·|days| rows per series. Same tie-corrected normal
+    approximation; ranks compare identical rounded decimals on both
+    engines. This is also the statistically conservative form when
+    raw draws within a day are autocorrelated (cluster-robust by
+    construction — each day is one sample)."""
+    d = _daily_arm_means(spark, sf)
+    w = Window.partitionBy("event_type").orderBy("_v")
+    wv = Window.partitionBy("event_type", "_v")
+    ranked = (d.withColumn("_ar", F.rank().over(w)
+                           + (F.count(F.lit(1)).over(wv) - F.lit(1))
+                           / F.lit(2.0)))
+    g = ranked.groupBy("event_type").agg(
+        F.sum(F.when(F.col("_arm") == 0, F.col("_ar"))).alias("_r0"),
+        F.sum(F.when(F.col("_arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("_arm") == 1, 1).otherwise(0)).alias("n_b"))
+    ties = (d.groupBy("event_type", "_v")
+            .agg(F.count(F.lit(1)).alias("_tn"))
+            .groupBy("event_type")
+            .agg(F.sum(F.col("_tn") * F.col("_tn") * F.col("_tn")
+                       - F.col("_tn")).alias("_tie")))
+    j = g.join(ties, "event_type")
+    n = F.col("n_a") + F.col("n_b")
+    u1 = F.col("_r0") - F.col("n_a") * (F.col("n_a") + F.lit(1)) / F.lit(2.0)
+    mu = F.col("n_a") * F.col("n_b") / F.lit(2.0)
+    sig2 = (F.col("n_a") * F.col("n_b") / F.lit(12.0)) \
+        * ((n + F.lit(1)) - F.col("_tie") / (n * (n - F.lit(1))))
+    z = F.when(sig2 > 0, (u1 - mu) / F.sqrt(sig2)).otherwise(F.lit(0.0))
+    return (j.filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+            .select("event_type", "n_a", "n_b",
+                    _r(u1, 1).alias("u_stat"),
+                    _r(z, 6).alias("z"))
+            .orderBy("event_type"))
+
+
+def q_cvm_drift_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sample Cramér-von Mises over per-(arm, day) mean samples —
+    the bounded-grain twin of `cvm_drift`: both rank windows (pooled
+    and within-arm mid-ranks) sort ≤ 2·|days| rows per series. Same
+    Anderson 1962 T; at this grain U is small enough that even the
+    raw sum is exact, and the 6-dp round stands anyway."""
+    d = _daily_arm_means(spark, sf)
+    w_pool = Window.partitionBy("event_type").orderBy("_v")
+    wv_pool = Window.partitionBy("event_type", "_v")
+    w_arm = Window.partitionBy("event_type", "_arm").orderBy("_v")
+    wv_arm = Window.partitionBy("event_type", "_arm", "_v")
+    ranked = (d
+              .withColumn("_rp", F.rank().over(w_pool)
+                          + (F.count(F.lit(1)).over(wv_pool) - F.lit(1))
+                          / F.lit(2.0))
+              .withColumn("_rw", F.rank().over(w_arm)
+                          + (F.count(F.lit(1)).over(wv_arm) - F.lit(1))
+                          / F.lit(2.0)))
+    diff2 = (F.col("_rp") - F.col("_rw")) * (F.col("_rp") - F.col("_rw"))
+    g = ranked.groupBy("event_type").agg(
+        F.sum(F.when(F.col("_arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("_arm") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("_arm") == 0, diff2)).alias("_u0"),
+        F.sum(F.when(F.col("_arm") == 1, diff2)).alias("_u1"))
+    n, m = F.col("n_a"), F.col("n_b")
+    u = n * F.col("_u0") + m * F.col("_u1")
+    t = (u / (n.cast("double") * m * (n + m))
+         - (F.lit(4.0) * n * m - F.lit(1.0)) / (F.lit(6.0) * (n + m)))
+    return (g.filter((n > 0) & (m > 0))
+            .select("event_type", "n_a", "n_b",
+                    _r(t, 6).alias("cvm_t"))
+            .orderBy("event_type"))
+
+
+def q_hurst_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """Hurst exponent of the DAILY-mean sequence via aggregated
+    variance — the bounded-grain twin of `hurst_exponent`: block
+    means at scales m ∈ {1,2,4,8} DAYS (the raw form's 16 would
+    leave <2 blocks on a one-month window, so the daily ladder stops
+    at 8; a series reports only if ALL 4 scales survive — identical
+    filter both sides), H = 1 + slope/2 of ln Var vs ln m. Long
+    memory at this grain is week-scale persistence — the question a
+    capacity planner asks. The stack fan-out is 4× of an already
+    calendar-bounded frame: zero-shuffle, negligible."""
+    daily = _daily_means(spark, sf)
+    w = Window.partitionBy("event_type").orderBy("_d")
+    d = daily.select("event_type", "_v",
+                     (F.row_number().over(w) - F.lit(1)).alias("_rn"))
+    scales = [1, 2, 4, 8]
+    stack = ", ".join(f"{m}, CAST(floor(_rn / {m}) AS BIGINT)"
+                      for m in scales)
+    d = d.select("event_type", "_v",
+                 F.expr(f"stack({len(scales)}, {stack}) AS (_m, _blk)"))
+    blocks = (d.groupBy("event_type", "_m", "_blk")
+              .agg(_r(F.avg("_v"), 6).alias("_bm"),
+                   F.count(F.lit(1)).alias("_bc"))
+              .filter(F.col("_bc") == F.col("_m")))
+    v = (blocks.groupBy("event_type", "_m")
+         .agg(F.count(F.lit(1)).alias("_nb"),
+              _r(F.var_pop("_bm"), 6).alias("_var"))
+         .filter((F.col("_nb") >= 2) & (F.col("_var") > 0)))
+    pts = v.select("event_type",
+                   F.log(F.col("_m").cast("double")).alias("_x"),
+                   F.log("_var").alias("_y"))
+    ols = (pts.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("_k"),
+                F.avg("_x").alias("_xb"), F.avg("_y").alias("_yb"),
+                F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+                F.sum(F.col("_x") * F.col("_x")).alias("_sxx"))
+           .filter(F.col("_k") == len(scales)))
+    slope = ((F.col("_sxy") - F.col("_k") * F.col("_xb") * F.col("_yb"))
+             / (F.col("_sxx") - F.col("_k") * F.col("_xb") * F.col("_xb")))
+    return (ols.select("event_type",
+                       _r(slope, 6).alias("var_slope"),
+                       _r(F.lit(1.0) + slope / F.lit(2.0), 6)
+                       .alias("hurst"))
+            .orderBy("event_type"))
+
+
 def q_binseg_changepoint(spark: SparkSession, sf: str) -> DataFrame:
     """Binary-segmentation changepoint per event series — the OFFLINE
     estimator complementing `cusum_changepoints`' online monitor:
@@ -7407,271 +7641,28 @@ def q_degree_assortativity(spark: SparkSession, sf: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS DELIBERATE: the driver's correctness gate checks
-    the first 50 entries per round. Round 8 closes the ENTIRE evidence
-    ledger (VERDICT r7 "Next round" #1): slots 1-22 are every row that
-    has never been driver-checked — the documented round-7 spill
-    (``small_qty_revenue``, ``bracketed_revenue``), the 12 TPC-H shapes
-    added in round 7 (``discounted_revenue`` … ``excess_stock_suppliers``),
-    and the 8 round-7 analytics ops (``periodogram`` … ``nelson_aalen``).
-    Slots 23+ hold round-8 NEW additions (newest-code-first rule), then
-    the round-7 window greened by CORRECTNESS_r07, then the older
-    driver-greens (stable built-in-heavy paths, least at risk)."""
+    the first 50 entries per round. The never-driver-checked ledger has
+    been EMPTY since round 8, so round 9 rotates on evidence FRESHNESS
+    (VERDICT r8 "Next round" #2): slots 1-5 are the round-9 new
+    additions (never checked — oldest debt by definition), then the
+    50-row stale ledger — every row whose latest driver-green is
+    round 3, in CORRECTNESS_r03 order — fills the window; the few
+    stale rows pushed past slot 50 by the new queries lead the
+    round-10 rotation. Everything later is driver-green from round 4+
+    (freshest last)."""
     return {
-        # --- round-8 gate window head, slots 1-22: the COMPLETE
-        #     never-driver-checked ledger. Slots 1-2: the documented
-        #     round-7 spill (pure built-in TPC-H Q17/Q19 shapes). ---
-        "small_qty_revenue": q_small_qty_revenue,
-        "bracketed_revenue": q_bracketed_revenue,
-        # --- slots 3-14: the 12 TPC-H shapes added in round 7
-        #     (completing the 22-shape suite) ---
-        "discounted_revenue": q_discounted_revenue,
-        "nation_trade_volume": q_nation_trade_volume,
-        "market_share": q_market_share,
-        "product_type_profit": q_product_type_profit,
-        "late_line_priority": q_late_line_priority,
-        "custdist": q_custdist,
-        "promo_revenue_share": q_promo_revenue_share,
-        "large_volume_customers": q_large_volume_customers,
-        "waiting_suppliers": q_waiting_suppliers,
-        "min_cost_supplier": q_min_cost_supplier,
-        "important_stock": q_important_stock,
-        "excess_stock_suppliers": q_excess_stock_suppliers,
-        # --- slots 15-22: the 8 round-7 analytics additions ---
-        "periodogram": q_periodogram,
-        "hits_authority": q_hits_authority,
-        "nb_langid": q_nb_langid,
-        "als_rank1": q_als_rank1,
-        "silhouette_audit": q_silhouette_audit,
-        "ppr_trust": q_ppr_trust,
-        "link_prediction": q_link_prediction,
-        "nelson_aalen": q_nelson_aalen,
-        # --- round-8 new additions (slots 23+), newest-first ---
-        "cvm_drift": q_cvm_drift,
-        "seasonal_strength": q_seasonal_strength,
-        "spectral_entropy": q_spectral_entropy,
-        "cramers_v": q_cramers_v,
-        "mcnemar": q_mcnemar,
-        "hurst_exponent": q_hurst_exponent,
-        "ar2_forecast": q_ar2_forecast,
-        "l_diversity": q_l_diversity,
-        "rbo_rankings": q_rbo_rankings,
-        "ljung_box": q_ljung_box,
-        "runs_test": q_runs_test,
-        "bh_fdr": q_bh_fdr,
-        "matryoshka_audit": q_matryoshka_audit,
-        "binseg_changepoint": q_binseg_changepoint,
-        "mann_kendall": q_mann_kendall,
-        "mann_whitney": q_mann_whitney,
-        "logrank_test": q_logrank_test,
-        "isotonic_calibration": q_isotonic_calibration,
-        "silhouette_trained": q_silhouette_trained,
-        "als_rank2": q_als_rank2,
-        # --- round-7 gate window: driver-green in CORRECTNESS_r07 ---
-        "pagerank_capped": q_pagerank_capped,
-        "roc_auc": q_roc_auc,
-        "pacf_yw": q_pacf_yw,
-        "js_divergence": q_js_divergence,
-        "hll_distinct": q_hll_distinct,
-        "degree_distribution": q_degree_distribution,
-        "bfs_hops": q_bfs_hops,
-        "bootstrap_ci": q_bootstrap_ci,
-        "kalman_level": q_kalman_level,
-        "bm25_topk": q_bm25_topk,
-        "basket_lift": q_basket_lift,
-        "ab_test": q_ab_test,
-        "entity_resolution": q_entity_resolution,
-        "rolling_corr": q_rolling_corr,
-        "kaplan_meier": q_kaplan_meier,
-        "bloom_prejoin": q_bloom_prejoin,
-        "zorder_layout": q_zorder_layout,
-        "diff_in_diff": q_diff_in_diff,
-        "pareto_front": q_pareto_front,
-        "uplift_deciles": q_uplift_deciles,
-        "containment_dedup": q_containment_dedup,
-        "containment_capped": q_containment_capped,
-        "kcore": q_kcore,
-        "dq_suite": q_dq_suite,
-        "forecast_backtest": q_forecast_backtest,
-        "rfm_segments": q_rfm_segments,
-        "neyman_allocation": q_neyman_allocation,
-        "quality_logit": q_quality_logit,
-        "conformal_interval": q_conformal_interval,
-        "regional_supplier_volume": q_regional_supplier_volume,
-        "top_supplier_share": q_top_supplier_share,
-        "community_labelprop": q_community_labelprop,
-        "pca2_axes": q_pca2_axes,
-        "group_kfold": q_group_kfold,
-        "target_encode_oof": q_target_encode_oof,
-        "woe_iv": q_woe_iv,
-        "feature_hashing": q_feature_hashing,
-        "community_modularity": q_community_modularity,
-        "degree_assortativity": q_degree_assortativity,
-        "int8_quant_audit": q_int8_quant_audit,
-        "pr_auc": q_pr_auc,
-        "join_cardinality": q_join_cardinality,
-        "semantic_decontaminate": q_semantic_decontaminate,
-        "msprt_monitor": q_msprt_monitor,
-        "quantile_sgd": q_quantile_sgd,
-        "shipping_priority": q_shipping_priority,
-        "order_priority_counts": q_order_priority_counts,
-        "returned_item_revenue": q_returned_item_revenue,
-        "supplier_part_variety": q_supplier_part_variety,
-        "idle_rich_customers": q_idle_rich_customers,
-        # --- round-6 first batch: driver-green in CORRECTNESS_r06 ---
-        "ewma_exact": q_ewma_exact,
-        "kll_quantiles": q_kll_quantiles,
-        "kll_rollup": q_kll_rollup,
-        "triangle_stats_prod": q_triangle_stats_prod,
-        "robust_regression": q_robust_regression,
-        "bipartite_projection": q_bipartite_projection,
-        "anomaly_ensemble": q_anomaly_ensemble,
-        "allocation_audit": q_allocation_audit,
-        "theta_union_distinct": q_theta_union_distinct,
-        "ks_drift": q_ks_drift,
-        "chi2_keywords": q_chi2_keywords,
-        "holt_winters": q_holt_winters,
-        "weighted_reservoir": q_weighted_reservoir,
-        "cms_counts": q_cms_counts,
-        "revenue_concentration": q_revenue_concentration,
-        # --- the 35 round-5 third/fourth-batch rows: driver-green in
-        #     CORRECTNESS_r06 ---
-        "pagerank_neardup": q_pagerank_neardup,
-        "trend_slopes": q_trend_slopes,
-        "acf_lags": q_acf_lags,
-        "xcorr_leadlag": q_xcorr_leadlag,
-        "snapshot_cdc": q_snapshot_cdc,
-        "scd2_history": q_scd2_history,
-        "heavy_hitters": q_heavy_hitters,
-        "dtw_profiles": q_dtw_profiles,
-        "rrf_fusion": q_rrf_fusion,
-        "pit_join": q_pit_join,
-        "holt_forecast": q_holt_forecast,
-        "ri_audit": q_ri_audit,
-        "mmr_rerank": q_mmr_rerank,
-        "triangle_stats": q_triangle_stats,
-        "attribution": q_attribution,
-        "quantile_rollup": q_quantile_rollup,
-        "psi_drift": q_psi_drift,
-        "mutual_info": q_mutual_info,
-        "benford_audit": q_benford_audit,
-        "session_paths": q_session_paths,
-        "stl_decompose": q_stl_decompose,
-        "ltv_cohorts": q_ltv_cohorts,
-        "length_buckets": q_length_buckets,
-        "hard_negatives": q_hard_negatives,
-        "spearman_lag1": q_spearman_lag1,
-        "winsorize_stats": q_winsorize_stats,
-        "pmi_cooccurrence": q_pmi_cooccurrence,
-        "rolling_robust": q_rolling_robust,
-        "transition_matrix": q_transition_matrix,
-        "skew_report": q_skew_report,
-        "k_anonymity": q_k_anonymity,
-        "label_noise": q_label_noise,
-        "active_users": q_active_users,
-        "cohort_retention": q_cohort_retention,
-        "source_datacard": q_source_datacard,
-        # --- r5 driver-greens (evidence of record: CORRECTNESS_r05) ---
-        "dup_passages": q_dup_passages,
-        "bpe_compression": q_bpe_compression,
-        "ivf_kmeans_topk": q_ivf_kmeans_topk,
-        "dsir_weights": q_dsir_weights,
-        "kmeans_step": q_kmeans_step,
-        "ppl_buckets": q_ppl_buckets,
-        "zipf_fit": q_zipf_fit,
-        "bpe_merges": q_bpe_merges,
-        "gopher_rules": q_gopher_rules,
-        "semdedup": q_semdedup,
-        "ngram_novelty": q_ngram_novelty,
-        "quality_calibration": q_quality_calibration,
-        "ivf_store_search": q_ivf_store_search,
-        "dedup_clusters_star": q_dedup_clusters_star,
-        "stride_sample": q_stride_sample,
-        "time_split": q_time_split,
-        "horizontal_agg": q_horizontal_agg,
-        "moments": q_moments,
-        "rank_distribution": q_rank_distribution,
-        "calendar_features": q_calendar_features,
-        "grouping_sets": q_grouping_sets,
-        "gap_detect": q_gap_detect,
-        "weighted_stats": q_weighted_stats,
-        "percentile_summary": q_percentile_summary,
-        "cube_summary": q_cube_summary,
-        "histogram": q_histogram,
-        "supplier_balance": q_supplier_balance,
-        "customer_order_stats": q_customer_order_stats,
-        "value_counts_topn": q_value_counts_topn,
-        "grade_share": q_grade_share,
-        "pricing_summary": q_pricing_summary,
-        "top_revenue_orders": q_top_revenue_orders,
-        "nation_revenue": q_nation_revenue,
-        "topk_per_type": q_topk_per_type,
-        "zero_variance": q_zero_variance,
-        "isin_sample": q_isin_sample,
-        "union_sources": q_union_sources,
-        "correlation": q_correlation,
-        "customers_without_orders": q_customers_without_orders,
-        "late_shipping_orders": q_late_shipping_orders,
-        "part_brand_revenue": q_part_brand_revenue,
-        "distinct_users": q_distinct_users,
-        "time_range_filter": q_time_range_filter,
-        "repetition_profile": q_repetition_profile,
-        "vocab_coverage": q_vocab_coverage,
-        "kmv_distinct": q_kmv_distinct,
-        "rp_recall": q_rp_recall,
-        "minhash_accuracy": q_minhash_accuracy,
-        "seasonal_forecast_eval": q_seasonal_forecast_eval,
-        "cusum_changepoints": q_cusum_changepoints,
-        # --- r4 driver-greens ---
-        "cat_codes": q_cat_codes,
-        "lsh_topk": q_lsh_topk,
-        "json_extract": q_json_extract,
-        "exact_dedup": q_exact_dedup,
-        "doc_fingerprint": q_doc_fingerprint,
-        "token_stats": q_token_stats,
-        "quality_scores": q_quality_scores,
-        "lang_id": q_lang_id,
-        "similarity_topk": q_similarity_topk,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
-        "rolling_hash": q_rolling_hash,
-        "ngram_jaccard": q_ngram_jaccard,
-        "sessionize": q_sessionize,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "centroid_similarity": q_centroid_similarity,
-        "array_profile": q_array_profile,
-        "salted_agg": q_salted_agg,
-        "simhash_pairs": q_simhash_pairs,
-        "dedup_clusters": q_dedup_clusters,
-        "time_rolling": q_time_rolling,
-        "group_standardize": q_group_standardize,
-        "share_of_total": q_share_of_total,
-        "robust_scale_params": q_robust_scale_params,
-        "funnel": q_funnel,
-        "corpus_curation": q_corpus_curation,
-        "asof_tolerance": q_asof_tolerance,
-        "dq_report": q_dq_report,
-        "cooccurrence": q_cooccurrence,
-        "paa_sax": q_paa_sax,
-        "series_similarity": q_series_similarity,
-        "sax_bucket_search": q_sax_bucket_search,
-        "ewma": q_ewma,
-        "retention": q_retention,
-        "collapse_near_dups": q_collapse_near_dups,
-        "oov_rate": q_oov_rate,
-        "asof_nearest": q_asof_nearest,
-        "emb_neardup_clusters": q_emb_neardup_clusters,
-        "pii_scrub": q_pii_scrub,
-        "unigram_logppl": q_unigram_logppl,
-        "bpe_pair_counts": q_bpe_pair_counts,
-        "quality_weighted_sample": q_quality_weighted_sample,
-        "chunk_documents": q_chunk_documents,
-        "per_source_cap": q_per_source_cap,
-        "dedup_method_agreement": q_dedup_method_agreement,
-        "temperature_mix": q_temperature_mix,
-        "bigram_logppl": q_bigram_logppl,
-        "emb_near_dup": q_emb_near_dup,
-        "multimodal_features": q_multimodal_features,
-        # --- back half: round-3 driver-greens (freshest evidence) ---
+        # --- round-9 new additions (newest-first rule): the
+        #     bounded-grain daily twins (SCALE §1n-b) ---
+        "hurst_daily": q_hurst_daily,
+        "cvm_drift_daily": q_cvm_drift_daily,
+        "mann_whitney_daily": q_mann_whitney_daily,
+        "runs_test_daily": q_runs_test_daily,
+        "ljung_box_daily": q_ljung_box_daily,
+        # --- the 50-row STALE-EVIDENCE ledger (VERDICT r8 'Next
+        #     round' #2): every row whose latest driver-green is
+        #     round 3, in CORRECTNESS_r03 order — slots 6-50 get
+        #     re-greened this round; the tail past slot 50 leads
+        #     the round-10 rotation ---
         "null_profile": q_null_profile,
         "zone_drop_counts": q_zone_drop_counts,
         "multi_zone_cooling": q_multi_zone_cooling,
@@ -7722,6 +7713,248 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "melt_metrics": q_melt_metrics,
         "dup_collapse": q_dup_collapse,
         "hourly_downsample": q_hourly_downsample,
+        # --- driver-green filler (evidence r4+), prior order ---
+        "small_qty_revenue": q_small_qty_revenue,
+        "bracketed_revenue": q_bracketed_revenue,
+        "discounted_revenue": q_discounted_revenue,
+        "nation_trade_volume": q_nation_trade_volume,
+        "market_share": q_market_share,
+        "product_type_profit": q_product_type_profit,
+        "late_line_priority": q_late_line_priority,
+        "custdist": q_custdist,
+        "promo_revenue_share": q_promo_revenue_share,
+        "large_volume_customers": q_large_volume_customers,
+        "waiting_suppliers": q_waiting_suppliers,
+        "min_cost_supplier": q_min_cost_supplier,
+        "important_stock": q_important_stock,
+        "excess_stock_suppliers": q_excess_stock_suppliers,
+        "periodogram": q_periodogram,
+        "hits_authority": q_hits_authority,
+        "nb_langid": q_nb_langid,
+        "als_rank1": q_als_rank1,
+        "silhouette_audit": q_silhouette_audit,
+        "ppr_trust": q_ppr_trust,
+        "link_prediction": q_link_prediction,
+        "nelson_aalen": q_nelson_aalen,
+        "cvm_drift": q_cvm_drift,
+        "seasonal_strength": q_seasonal_strength,
+        "spectral_entropy": q_spectral_entropy,
+        "cramers_v": q_cramers_v,
+        "mcnemar": q_mcnemar,
+        "hurst_exponent": q_hurst_exponent,
+        "ar2_forecast": q_ar2_forecast,
+        "l_diversity": q_l_diversity,
+        "rbo_rankings": q_rbo_rankings,
+        "ljung_box": q_ljung_box,
+        "runs_test": q_runs_test,
+        "bh_fdr": q_bh_fdr,
+        "matryoshka_audit": q_matryoshka_audit,
+        "binseg_changepoint": q_binseg_changepoint,
+        "mann_kendall": q_mann_kendall,
+        "mann_whitney": q_mann_whitney,
+        "logrank_test": q_logrank_test,
+        "isotonic_calibration": q_isotonic_calibration,
+        "silhouette_trained": q_silhouette_trained,
+        "als_rank2": q_als_rank2,
+        "pagerank_capped": q_pagerank_capped,
+        "roc_auc": q_roc_auc,
+        "pacf_yw": q_pacf_yw,
+        "js_divergence": q_js_divergence,
+        "hll_distinct": q_hll_distinct,
+        "degree_distribution": q_degree_distribution,
+        "bfs_hops": q_bfs_hops,
+        "bootstrap_ci": q_bootstrap_ci,
+        "kalman_level": q_kalman_level,
+        "bm25_topk": q_bm25_topk,
+        "basket_lift": q_basket_lift,
+        "ab_test": q_ab_test,
+        "entity_resolution": q_entity_resolution,
+        "rolling_corr": q_rolling_corr,
+        "kaplan_meier": q_kaplan_meier,
+        "bloom_prejoin": q_bloom_prejoin,
+        "zorder_layout": q_zorder_layout,
+        "diff_in_diff": q_diff_in_diff,
+        "pareto_front": q_pareto_front,
+        "uplift_deciles": q_uplift_deciles,
+        "containment_dedup": q_containment_dedup,
+        "containment_capped": q_containment_capped,
+        "kcore": q_kcore,
+        "dq_suite": q_dq_suite,
+        "forecast_backtest": q_forecast_backtest,
+        "rfm_segments": q_rfm_segments,
+        "neyman_allocation": q_neyman_allocation,
+        "quality_logit": q_quality_logit,
+        "conformal_interval": q_conformal_interval,
+        "regional_supplier_volume": q_regional_supplier_volume,
+        "top_supplier_share": q_top_supplier_share,
+        "community_labelprop": q_community_labelprop,
+        "pca2_axes": q_pca2_axes,
+        "group_kfold": q_group_kfold,
+        "target_encode_oof": q_target_encode_oof,
+        "woe_iv": q_woe_iv,
+        "feature_hashing": q_feature_hashing,
+        "community_modularity": q_community_modularity,
+        "degree_assortativity": q_degree_assortativity,
+        "int8_quant_audit": q_int8_quant_audit,
+        "pr_auc": q_pr_auc,
+        "join_cardinality": q_join_cardinality,
+        "semantic_decontaminate": q_semantic_decontaminate,
+        "msprt_monitor": q_msprt_monitor,
+        "quantile_sgd": q_quantile_sgd,
+        "shipping_priority": q_shipping_priority,
+        "order_priority_counts": q_order_priority_counts,
+        "returned_item_revenue": q_returned_item_revenue,
+        "supplier_part_variety": q_supplier_part_variety,
+        "idle_rich_customers": q_idle_rich_customers,
+        "ewma_exact": q_ewma_exact,
+        "kll_quantiles": q_kll_quantiles,
+        "kll_rollup": q_kll_rollup,
+        "triangle_stats_prod": q_triangle_stats_prod,
+        "robust_regression": q_robust_regression,
+        "bipartite_projection": q_bipartite_projection,
+        "anomaly_ensemble": q_anomaly_ensemble,
+        "allocation_audit": q_allocation_audit,
+        "theta_union_distinct": q_theta_union_distinct,
+        "ks_drift": q_ks_drift,
+        "chi2_keywords": q_chi2_keywords,
+        "holt_winters": q_holt_winters,
+        "weighted_reservoir": q_weighted_reservoir,
+        "cms_counts": q_cms_counts,
+        "revenue_concentration": q_revenue_concentration,
+        "pagerank_neardup": q_pagerank_neardup,
+        "trend_slopes": q_trend_slopes,
+        "acf_lags": q_acf_lags,
+        "xcorr_leadlag": q_xcorr_leadlag,
+        "snapshot_cdc": q_snapshot_cdc,
+        "scd2_history": q_scd2_history,
+        "heavy_hitters": q_heavy_hitters,
+        "dtw_profiles": q_dtw_profiles,
+        "rrf_fusion": q_rrf_fusion,
+        "pit_join": q_pit_join,
+        "holt_forecast": q_holt_forecast,
+        "ri_audit": q_ri_audit,
+        "mmr_rerank": q_mmr_rerank,
+        "triangle_stats": q_triangle_stats,
+        "attribution": q_attribution,
+        "quantile_rollup": q_quantile_rollup,
+        "psi_drift": q_psi_drift,
+        "mutual_info": q_mutual_info,
+        "benford_audit": q_benford_audit,
+        "session_paths": q_session_paths,
+        "stl_decompose": q_stl_decompose,
+        "ltv_cohorts": q_ltv_cohorts,
+        "length_buckets": q_length_buckets,
+        "hard_negatives": q_hard_negatives,
+        "spearman_lag1": q_spearman_lag1,
+        "winsorize_stats": q_winsorize_stats,
+        "pmi_cooccurrence": q_pmi_cooccurrence,
+        "rolling_robust": q_rolling_robust,
+        "transition_matrix": q_transition_matrix,
+        "skew_report": q_skew_report,
+        "k_anonymity": q_k_anonymity,
+        "label_noise": q_label_noise,
+        "active_users": q_active_users,
+        "cohort_retention": q_cohort_retention,
+        "source_datacard": q_source_datacard,
+        "dup_passages": q_dup_passages,
+        "bpe_compression": q_bpe_compression,
+        "ivf_kmeans_topk": q_ivf_kmeans_topk,
+        "dsir_weights": q_dsir_weights,
+        "kmeans_step": q_kmeans_step,
+        "ppl_buckets": q_ppl_buckets,
+        "zipf_fit": q_zipf_fit,
+        "bpe_merges": q_bpe_merges,
+        "gopher_rules": q_gopher_rules,
+        "semdedup": q_semdedup,
+        "ngram_novelty": q_ngram_novelty,
+        "quality_calibration": q_quality_calibration,
+        "ivf_store_search": q_ivf_store_search,
+        "dedup_clusters_star": q_dedup_clusters_star,
+        "stride_sample": q_stride_sample,
+        "time_split": q_time_split,
+        "horizontal_agg": q_horizontal_agg,
+        "moments": q_moments,
+        "rank_distribution": q_rank_distribution,
+        "calendar_features": q_calendar_features,
+        "grouping_sets": q_grouping_sets,
+        "gap_detect": q_gap_detect,
+        "weighted_stats": q_weighted_stats,
+        "percentile_summary": q_percentile_summary,
+        "cube_summary": q_cube_summary,
+        "histogram": q_histogram,
+        "supplier_balance": q_supplier_balance,
+        "customer_order_stats": q_customer_order_stats,
+        "value_counts_topn": q_value_counts_topn,
+        "grade_share": q_grade_share,
+        "pricing_summary": q_pricing_summary,
+        "top_revenue_orders": q_top_revenue_orders,
+        "nation_revenue": q_nation_revenue,
+        "topk_per_type": q_topk_per_type,
+        "zero_variance": q_zero_variance,
+        "isin_sample": q_isin_sample,
+        "union_sources": q_union_sources,
+        "correlation": q_correlation,
+        "customers_without_orders": q_customers_without_orders,
+        "late_shipping_orders": q_late_shipping_orders,
+        "part_brand_revenue": q_part_brand_revenue,
+        "distinct_users": q_distinct_users,
+        "time_range_filter": q_time_range_filter,
+        "repetition_profile": q_repetition_profile,
+        "vocab_coverage": q_vocab_coverage,
+        "kmv_distinct": q_kmv_distinct,
+        "rp_recall": q_rp_recall,
+        "minhash_accuracy": q_minhash_accuracy,
+        "seasonal_forecast_eval": q_seasonal_forecast_eval,
+        "cusum_changepoints": q_cusum_changepoints,
+        "cat_codes": q_cat_codes,
+        "lsh_topk": q_lsh_topk,
+        "json_extract": q_json_extract,
+        "exact_dedup": q_exact_dedup,
+        "doc_fingerprint": q_doc_fingerprint,
+        "token_stats": q_token_stats,
+        "quality_scores": q_quality_scores,
+        "lang_id": q_lang_id,
+        "similarity_topk": q_similarity_topk,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "rolling_hash": q_rolling_hash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "sessionize": q_sessionize,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "centroid_similarity": q_centroid_similarity,
+        "array_profile": q_array_profile,
+        "salted_agg": q_salted_agg,
+        "simhash_pairs": q_simhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "time_rolling": q_time_rolling,
+        "group_standardize": q_group_standardize,
+        "share_of_total": q_share_of_total,
+        "robust_scale_params": q_robust_scale_params,
+        "funnel": q_funnel,
+        "corpus_curation": q_corpus_curation,
+        "asof_tolerance": q_asof_tolerance,
+        "dq_report": q_dq_report,
+        "cooccurrence": q_cooccurrence,
+        "paa_sax": q_paa_sax,
+        "series_similarity": q_series_similarity,
+        "sax_bucket_search": q_sax_bucket_search,
+        "ewma": q_ewma,
+        "retention": q_retention,
+        "collapse_near_dups": q_collapse_near_dups,
+        "oov_rate": q_oov_rate,
+        "asof_nearest": q_asof_nearest,
+        "emb_neardup_clusters": q_emb_neardup_clusters,
+        "pii_scrub": q_pii_scrub,
+        "unigram_logppl": q_unigram_logppl,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "quality_weighted_sample": q_quality_weighted_sample,
+        "chunk_documents": q_chunk_documents,
+        "per_source_cap": q_per_source_cap,
+        "dedup_method_agreement": q_dedup_method_agreement,
+        "temperature_mix": q_temperature_mix,
+        "bigram_logppl": q_bigram_logppl,
+        "emb_near_dup": q_emb_near_dup,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -15011,6 +15244,225 @@ def oracle_sql() -> dict[str, str]:
                                 + 1e-9, 6) + 0.0)
                     ELSE 0.0 END AS z
         FROM g
+        ORDER BY event_type
+    """
+
+    # Bounded-grain twins of the per-series raw-rank family: identical
+    # statistics over the 6-dp DAILY-mean collapse (the shared `daily`
+    # / `dailya` CTE text below — one definition, five oracles, zero
+    # drift between them).
+    _daily_cte = """daily AS (
+            SELECT event_type, ts::DATE AS d,
+                   (round(avg(value) + 1e-9, 6) + 0.0) AS v
+            FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        )"""
+    _dailya_cte = """dailya AS (
+            SELECT event_type, user_id % 2 AS arm, ts::DATE AS d,
+                   (round(avg(value) + 1e-9, 6) + 0.0) AS v
+            FROM events
+            WHERE value IS NOT NULL AND user_id IS NOT NULL
+            GROUP BY 1, 2, 3
+        )"""
+    _lbd_nums = ",\n                   ".join(
+        f"sum((v - mu) * (l{k} - mu)) AS num{k}" for k in range(1, 7))
+    _lbd_lags = ",\n                   ".join(
+        f"lag(v, {k}) OVER (PARTITION BY event_type "
+        f"ORDER BY d) AS l{k}" for k in range(1, 7))
+    sql["ljung_box_daily"] = f"""
+        WITH {_daily_cte}, mu AS (
+            SELECT event_type, (round(avg(v) + 1e-9, 6) + 0.0) AS mu
+            FROM daily GROUP BY 1
+        ), lagd AS (
+            SELECT event_type, v,
+                   {_lbd_lags}
+            FROM daily
+        ), g AS (
+            SELECT l.event_type, count(*)::BIGINT AS n,
+                   sum((v - mu) * (v - mu)) AS den,
+                   {_lbd_nums}
+            FROM lagd l JOIN mu USING (event_type)
+            GROUP BY 1
+            HAVING count(*) > 6
+               AND sum((v - mu) * (v - mu)) > 0
+        ), q AS (
+            SELECT event_type, n AS n_days,
+                   (round(n * (n + 2) * (0.0::DOUBLE + {_lb_q})
+                          + 1e-9, 6) + 0.0) AS q_stat
+            FROM g
+        )
+        SELECT event_type, n_days, q_stat,
+               (round(exp(-(q_stat / 2.0::DOUBLE))
+                      * (1.0::DOUBLE + q_stat / 2.0::DOUBLE
+                         + (q_stat / 2.0::DOUBLE)
+                           * (q_stat / 2.0::DOUBLE) / 2.0::DOUBLE)
+                      + 1e-9, 6) + 0.0) AS p_value
+        FROM q
+        ORDER BY event_type
+    """
+
+    sql["runs_test_daily"] = f"""
+        WITH {_daily_cte}, med AS (
+            SELECT event_type, quantile_cont(v, 0.5) AS med
+            FROM daily GROUP BY 1
+        ), d AS (
+            SELECT daily.event_type, daily.d,
+                   (daily.v > m.med)::INT AS s
+            FROM daily JOIN med m USING (event_type)
+            WHERE daily.v <> m.med
+        ), chg AS (
+            SELECT event_type, s,
+                   CASE WHEN lag(s) OVER (PARTITION BY event_type
+                            ORDER BY d) IS NULL THEN 0
+                        WHEN lag(s) OVER (PARTITION BY event_type
+                            ORDER BY d) <> s THEN 1
+                        ELSE 0 END AS c
+            FROM d
+        ), g AS (
+            SELECT event_type, sum(s)::BIGINT AS n_above,
+                   sum(1 - s)::BIGINT AS n_below,
+                   (sum(c) + 1)::BIGINT AS n_runs
+            FROM chg GROUP BY 1
+            HAVING sum(s) > 0 AND sum(1 - s) > 0
+        )
+        SELECT event_type, n_above, n_below, n_runs,
+               CASE WHEN 2.0::DOUBLE * n_above * n_below
+                         * (2.0::DOUBLE * n_above * n_below
+                            - (n_above + n_below))
+                         / ((n_above + n_below)::DOUBLE
+                            * (n_above + n_below)::DOUBLE
+                            * ((n_above + n_below)::DOUBLE
+                               - 1.0::DOUBLE)) > 0
+                    THEN (round((n_runs
+                                 - (2.0::DOUBLE * n_above * n_below
+                                    / (n_above + n_below)
+                                    + 1.0::DOUBLE))
+                                / sqrt(2.0::DOUBLE * n_above * n_below
+                                       * (2.0::DOUBLE * n_above * n_below
+                                          - (n_above + n_below))
+                                       / ((n_above + n_below)::DOUBLE
+                                          * (n_above + n_below)::DOUBLE
+                                          * ((n_above + n_below)::DOUBLE
+                                             - 1.0::DOUBLE)))
+                                + 1e-9, 6) + 0.0)
+                    ELSE 0.0 END AS z
+        FROM g
+        ORDER BY event_type
+    """
+
+    sql["mann_whitney_daily"] = f"""
+        WITH {_dailya_cte}, ranked AS (
+            SELECT event_type, arm,
+                   rank() OVER (PARTITION BY event_type ORDER BY v)
+                       + (count(*) OVER (PARTITION BY event_type, v)
+                          - 1) / 2.0::DOUBLE AS ar
+            FROM dailya
+        ), g AS (
+            SELECT event_type,
+                   sum(CASE WHEN arm = 0 THEN ar END) AS r0,
+                   sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+                   sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b
+            FROM ranked GROUP BY 1
+        ), ties AS (
+            SELECT event_type,
+                   sum(tn * tn * tn - tn)::BIGINT AS tie
+            FROM (SELECT event_type, v, count(*)::BIGINT AS tn
+                  FROM dailya GROUP BY 1, 2)
+            GROUP BY 1
+        )
+        SELECT g.event_type, n_a, n_b,
+               (round((r0 - n_a * (n_a + 1) / 2.0::DOUBLE) + 1e-9, 1)
+                + 0.0) AS u_stat,
+               CASE WHEN (n_a * n_b / 12.0::DOUBLE)
+                         * ((n_a + n_b + 1)
+                            - tie / ((n_a + n_b)
+                                     * (n_a + n_b - 1))::DOUBLE) > 0
+                    THEN (round(((r0 - n_a * (n_a + 1) / 2.0::DOUBLE)
+                                 - n_a * n_b / 2.0::DOUBLE)
+                                / sqrt((n_a * n_b / 12.0::DOUBLE)
+                                       * ((n_a + n_b + 1)
+                                          - tie / ((n_a + n_b)
+                                             * (n_a + n_b - 1))::DOUBLE))
+                                + 1e-9, 6) + 0.0)
+                    ELSE 0.0 END AS z
+        FROM g JOIN ties USING (event_type)
+        WHERE n_a > 0 AND n_b > 0
+        ORDER BY 1
+    """
+
+    sql["cvm_drift_daily"] = f"""
+        WITH {_dailya_cte}, ranked AS (
+            SELECT event_type, arm,
+                   rank() OVER (PARTITION BY event_type ORDER BY v)
+                       + (count(*) OVER (PARTITION BY event_type, v)
+                          - 1) / 2.0::DOUBLE AS rp,
+                   rank() OVER (PARTITION BY event_type, arm
+                                ORDER BY v)
+                       + (count(*) OVER (PARTITION BY event_type, arm,
+                                         v)
+                          - 1) / 2.0::DOUBLE AS rw
+            FROM dailya
+        ), g AS (
+            SELECT event_type,
+                   sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_a,
+                   sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_b,
+                   sum(CASE WHEN arm = 0
+                            THEN (rp - rw) * (rp - rw) END) AS u0,
+                   sum(CASE WHEN arm = 1
+                            THEN (rp - rw) * (rp - rw) END) AS u1
+            FROM ranked GROUP BY 1
+        )
+        SELECT event_type, n_a, n_b,
+               (round((n_a * u0 + n_b * u1)
+                      / (n_a::DOUBLE * n_b * (n_a + n_b))
+                      - (4.0::DOUBLE * n_a * n_b - 1.0::DOUBLE)
+                        / (6.0::DOUBLE * (n_a + n_b))
+                      + 1e-9, 6) + 0.0) AS cvm_t
+        FROM g
+        WHERE n_a > 0 AND n_b > 0
+        ORDER BY 1
+    """
+
+    sql["hurst_daily"] = f"""
+        WITH {_daily_cte}, seq AS (
+            SELECT event_type, v,
+                   row_number() OVER (PARTITION BY event_type
+                       ORDER BY d) - 1 AS rn
+            FROM daily
+        ), fan AS (
+            SELECT event_type, v, m,
+                   CAST(floor(rn / m) AS BIGINT) AS blk
+            FROM seq, (VALUES (1), (2), (4), (8)) AS s(m)
+        ), blocks AS (
+            SELECT event_type, m, blk,
+                   (round(avg(v) + 1e-9, 6) + 0.0) AS bm,
+                   count(*)::BIGINT AS bc
+            FROM fan GROUP BY 1, 2, 3
+            HAVING count(*) = m
+        ), vr AS (
+            SELECT event_type, m,
+                   count(*)::BIGINT AS nb,
+                   (round(var_pop(bm) + 1e-9, 6) + 0.0) AS var
+            FROM blocks GROUP BY 1, 2
+            HAVING count(*) >= 2
+               AND (round(var_pop(bm) + 1e-9, 6) + 0.0) > 0
+        ), pts AS (
+            SELECT event_type, ln(m::DOUBLE) AS x, ln(var) AS y FROM vr
+        ), ols AS (
+            SELECT event_type, count(*)::BIGINT AS k,
+                   avg(x) AS xb, avg(y) AS yb,
+                   sum(x * y) AS sxy, sum(x * x) AS sxx
+            FROM pts GROUP BY 1
+            HAVING count(*) = 4
+        )
+        SELECT event_type,
+               (round((sxy - k * xb * yb) / (sxx - k * xb * xb)
+                      + 1e-9, 6) + 0.0) AS var_slope,
+               (round(1.0::DOUBLE + ((sxy - k * xb * yb)
+                      / (sxx - k * xb * xb)) / 2.0::DOUBLE
+                      + 1e-9, 6) + 0.0) AS hurst
+        FROM ols
         ORDER BY event_type
     """
 
