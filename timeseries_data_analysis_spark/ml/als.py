@@ -224,3 +224,115 @@ def als_rankk_round(ratings: DataFrame, k: int = 4,
     v = _solve_half_step_k(ru, item_col, rating_col, ucols, reg,
                            "v").localCheckpoint()
     return u, v
+
+
+def _perm_sign(sigma: tuple[int, ...]) -> int:
+    """Sign of a permutation by inversion count — the Leibniz-formula
+    sign for the Cramer expansion below."""
+    inv = sum(1 for i in range(len(sigma)) for j in range(i + 1, len(sigma))
+              if sigma[i] > sigma[j])
+    return -1 if inv % 2 else 1
+
+
+def cramer_solve_exprs(k: int, reg: float) -> list[str]:
+    """SQL expression strings solving ``(A + reg·I)x = b`` by Cramer's
+    rule over aggregate columns ``a{i}{j}`` (upper-triangle normal-
+    equation sums) and ``b{i}`` — ONE formula text consumed verbatim by
+    BOTH the Spark side (``F.expr``) and the DuckDB oracle, so the two
+    engines evaluate the identical expression tree and the 9-dp
+    quantization has to absorb only the groupBy summation-order ulps
+    (the same budget the closed-form rank-2 lane carries). Terms are
+    emitted in deterministic ``itertools.permutations`` order.
+
+    The k! determinant growth caps this lane at small k (24 products
+    per determinant at k=4); :func:`als_rankk_round`'s batched-numpy
+    solve is the general-k path — this exact lane exists so a
+    multi-alternation fit can be replayed CTE-for-CTE by a SQL oracle
+    (the ``als_rankk_backtest`` registry row). λ = reg > 0 keeps A+λI
+    positive definite, so the shared determinant is never zero and
+    no pivoting question arises."""
+    from itertools import permutations
+
+    def m(i: int, j: int) -> str:
+        lo, hi = min(i, j), max(i, j)
+        if i == j:
+            return f"(a{lo}{hi} + CAST({reg!r} AS DOUBLE))"
+        return f"a{lo}{hi}"
+
+    def det(entry) -> str:
+        terms = []
+        for sigma in permutations(range(k)):
+            prod = " * ".join(entry(i, sigma[i]) for i in range(k))
+            terms.append(("+ (" if _perm_sign(sigma) > 0 else "- (")
+                         + prod + ")")
+        return "0.0 " + " ".join(terms)
+
+    d = det(m)
+    exprs = []
+    for col in range(k):
+        num = det(lambda i, j, c=col: (f"b{i}" if j == c else m(i, j)))
+        exprs.append(f"round((({num})) / (({d}))"
+                     f" + CAST({EPS!r} AS DOUBLE), {QUANT})")
+    return exprs
+
+
+def als_exact_half_step(joined: DataFrame, key_col: str,
+                        rating_col: str, fcols: list[str], reg: float,
+                        out_prefix: str) -> DataFrame:
+    """Rank-k half-step with the :func:`cramer_solve_exprs` exact
+    solve: the k(k+3)/2 normal-equation sums accumulate in one
+    map-side-combinable groupBy (k²+k doubles of shuffle payload per
+    key — identical to :func:`_solve_half_step_k`), then the solve is
+    literal column arithmetic inside whole-stage codegen. No Python
+    anywhere; oracle-replayable by construction."""
+    k = len(fcols)
+    aggs = [F.sum(F.col(fcols[i]) * F.col(fcols[j])).alias(f"a{i}{j}")
+            for i in range(k) for j in range(i, k)]
+    aggs += [F.sum(F.col(rating_col) * F.col(fcols[i])).alias(f"b{i}")
+             for i in range(k)]
+    aggs.append(F.count(F.lit(1)).alias("n_obs"))
+    g = joined.groupBy(key_col).agg(*aggs)
+    sel = [F.col(key_col)]
+    sel += [F.expr(e).alias(f"{out_prefix}{i + 1}")
+            for i, e in enumerate(cramer_solve_exprs(k, reg))]
+    sel.append(F.col("n_obs"))
+    return g.select(*sel)
+
+
+def als_rankk_exact_fit(ratings: DataFrame, k: int = 4,
+                        rounds: int = 2, user_col: str = "c",
+                        item_col: str = "s", rating_col: str = "r",
+                        reg: float = 0.1
+                        ) -> tuple[DataFrame, DataFrame]:
+    """``rounds`` full rank-k alternations with the exact Cramer
+    half-step — the multi-round fit behind ``als_rankk_backtest``.
+    Same deterministic init family and 9-dp between-step quantization
+    as every other lane; each half-step localCheckpoints (the
+    measured als_rank2 lineage fix — without the cut every consumer
+    re-executes the fact-sized joins of all previous half-steps, and
+    a 2-round fit would re-run them 4×)."""
+    vcols = [f"v{j}" for j in range(1, k + 1)]
+    ucols = [f"u{j}" for j in range(1, k + 1)]
+    v = init_item_factors_k(ratings, k, item_col)
+    u = None
+    stale: list[DataFrame] = []
+    for _ in range(rounds):
+        rv = ratings.join(v.select(item_col, *vcols), item_col)
+        u_next = als_exact_half_step(rv, user_col, rating_col, vcols,
+                                     reg, "u").localCheckpoint()
+        if u is not None:
+            stale.append(u)
+        u = u_next
+        ru = ratings.join(u.select(user_col, *ucols), user_col)
+        v_next = als_exact_half_step(ru, item_col, rating_col, ucols,
+                                     reg, "v").localCheckpoint()
+        stale.append(v)
+        v = v_next
+    # drop superseded checkpoint blocks (dim-sized, but a long fit
+    # would accumulate 2·rounds of them against the executor heap)
+    for df in stale:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    return u, v

@@ -23,6 +23,13 @@ Scale-shape expectations, stated BEFORE measuring:
 - The twins' 100x cells should be within ~2x of EACH OTHER (same
   collapse, different bounded tails); hurst_daily's 4x stack fan-out
   happens on the bounded frame so it should cost nothing.
+- als_rankk_backtest: the ratings build (the als_rank1-measured 29 s
+  at 100x) + FOUR exact half-steps, each one fact-sized join + one
+  map-side-combinable groupBy shuffling 14 doubles/key, solve in
+  codegen (no Python rows ever) + two bounded readout joins. als_rank2
+  (ONE alternation, 2 half-steps) measured 64.4 s at 100x; expect
+  roughly 1.5-2.5x that — order 100-160 s — linear, never quadratic,
+  with the k! Cramer expression cost purely compile-time.
 """
 
 from __future__ import annotations
