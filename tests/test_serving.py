@@ -91,3 +91,118 @@ def test_quality_grades_scatter_pairs(spark, views):
     assert len(row) == 1
     assert row["grade_value"].iloc[0] == mis["GRADE_A"].iloc[0]
     assert row["material_value"].iloc[0] == mis["IRON ORE CONSUMPTION"].iloc[0]
+
+
+def test_streaming_dashboard_loop(spark, tmp_path):
+    """End-to-end §3.3 serving loop (VERDICT r8 'Next round' #4): the
+    kiln zone feed and the daily MIS report replay through
+    Trigger.AvailableNow file micro-batches (maxFilesPerTrigger=1 —
+    genuinely multiple batches) into parquet sink tables; the §2.12
+    serving views then run over the STREAMED tables and must equal the
+    same views over the batch-loaded fixture, and the threshold-alert
+    stream must equal the identical batch rule on every finalized
+    window. This is the reference's 60-s dashboard poll loop
+    (dashboard.py:782+) recomposed as Structured Streaming → SQL
+    serving views."""
+    import pandas as pd
+
+    from timeseries_data_analysis_spark.streaming import jobs as SJ
+
+    pdfs = FX.all_tables(n_days=30)
+    zone_long = (PV.melt(spark.createDataFrame(pdfs["zone_temperature"]),
+                         ["DATETIME"], key_name="series",
+                         value_name="value")
+                 .withColumnRenamed("DATETIME", "ts"))
+    mis = spark.createDataFrame(pdfs["mis_report"])
+
+    def replay(df, name, n_files, ts_col):
+        src = str(tmp_path / f"src_{name}")
+        sink = str(tmp_path / f"sink_{name}")
+        ckpt = str(tmp_path / f"ckpt_{name}")
+        # chronological slices written sequentially (increasing mtime)
+        # — a real feed delivers time-ordered files, and the watermark
+        # semantics REQUIRE it: a time-shuffled replay advances the
+        # watermark past rows still sitting in later files and the
+        # stateful alert rollup correctly drops them as late (measured
+        # — the first version of this test did exactly that)
+        from pyspark.sql.window import Window
+        slices = df.select(
+            F.ntile(n_files).over(Window.orderBy(ts_col)).alias("_sl"),
+            "*")
+        for i in range(1, n_files + 1):
+            (slices.filter(F.col("_sl") == i).drop("_sl")
+             .coalesce(1).write.mode("append").parquet(src))
+        stream = SJ.stream_source(spark, f"{src}/*", df.schema,
+                                  max_files_per_trigger=1)
+        q = (stream.writeStream.format("parquet")
+             .option("path", sink).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return spark.read.schema(df.schema).parquet(sink)
+
+    streamed_zone = replay(zone_long, "zone", 6, "ts")
+    streamed_mis = replay(mis, "mis", 3, "DATE")
+    assert streamed_zone.count() == zone_long.count()
+    assert streamed_mis.count() == mis.count()
+
+    # static side tables (not part of the feed)
+    for name in ("shell_temperature", "accretion_events"):
+        spark.createDataFrame(pdfs[name]).createOrReplaceTempView(name)
+
+    deterministic = ["v_production_quality", "v_material_consumption",
+                     "v_quality_vs_accretion", "v_latest_mis",
+                     "v_accretion_status"]
+
+    def view_outputs(zone_df, mis_df):
+        zone_df.createOrReplaceTempView("zone_temperature_long")
+        mis_df.createOrReplaceTempView("mis_report")
+        serving.register_views(spark, start="2024-06-05", stride=10)
+        out = {v: sorted(map(tuple, spark.sql(
+            f"SELECT * FROM {v}").collect())) for v in deterministic}
+        # v_zone_trends: the fixture injects duplicate timestamps, so
+        # the stride's row_number tie order is nondeterministic in
+        # `value` — compare the (series, ts) multiset, which IS
+        # deterministic (tied rows share series and ts)
+        out["v_zone_trends_keys"] = sorted(
+            (r["series"], r["ts"])
+            for r in spark.sql("SELECT series, ts FROM v_zone_trends")
+            .collect())
+        return out
+
+    got_stream = view_outputs(streamed_zone, streamed_mis)
+    got_batch = view_outputs(zone_long, mis)
+    for v in deterministic + ["v_zone_trends_keys"]:
+        assert got_stream[v] == got_batch[v], v
+    assert len(got_stream["v_accretion_status"]) == 11  # one row/zone
+
+    # the alert loop: stream rule == batch rule on finalized windows
+    # (append mode only emits a window once the 2 h watermark passes
+    # it, so the feed's last ~3 h of windows never finalize — restrict
+    # BOTH sides to the finalized range)
+    src = SJ.stream_source(spark, str(tmp_path / "src_zone") + "/*",
+                           zone_long.schema, max_files_per_trigger=1)
+    alerts = SJ.threshold_alerts(
+        src, threshold=800.0, ts_col="ts", key_col="series")
+    q = (alerts.writeStream.format("memory").queryName("loop_alerts")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    stream_alerts = spark.sql("SELECT * FROM loop_alerts").toPandas()
+    max_ts = zone_long.agg(F.max("ts")).collect()[0][0]
+    cutoff = pd.Timestamp(max_ts).floor("h") - pd.Timedelta(hours=4)
+    batch_alerts = (
+        zone_long.groupBy(F.window("ts", "1 hour").alias("win"), "series")
+        .agg(F.avg("value").alias("avg_value"))
+        .withColumn("_low", (F.col("avg_value") < 800.0).cast("int"))
+        .groupBy(F.col("win.start").alias("ts"))
+        .agg(F.sum("_low").alias("n_low_series"))
+        .withColumn("alert",
+                    (F.col("n_low_series") >= 3).cast("int"))
+        .toPandas())
+    s = (stream_alerts[stream_alerts["ts"] <= cutoff]
+         .sort_values("ts").reset_index(drop=True))
+    b = (batch_alerts[batch_alerts["ts"] <= cutoff]
+         .sort_values("ts").reset_index(drop=True))
+    assert len(s) == len(b) and len(s) > 0
+    assert (s["n_low_series"].to_numpy()
+            == b["n_low_series"].to_numpy()).all()
+    assert (s["alert"].to_numpy() == b["alert"].to_numpy()).all()
