@@ -6659,6 +6659,132 @@ def q_cramers_v(spark: SparkSession, sf: str) -> DataFrame:
                       "chi2", _r(v, 6).alias("cramers_v"))
 
 
+def q_kendall_tau(spark: SparkSession, sf: str) -> DataFrame:
+    """Kendall's τ-b between every pair of event series over their
+    6-dp DAILY means — the RANK-correlation completing the association
+    family (`correlation` = Pearson/linear, `mann_kendall` = τ vs
+    time, this = τ between series, robust to monotone transforms and
+    outliers where Pearson is not). For each unordered series pair
+    (a < b), days with both series present pair up; over the
+    days²-bounded day-pair set, C − D = Σ sign((va_j−va_i)(vb_j−vb_i))
+    and τ_b = (C−D)/√((n₀−t_a)(n₀−t_b)) with n₀ = n(n−1)/2 and the
+    per-variable tie corrections Σt(t−1)/2. Scale shape: the ONE
+    fact-sized stage is the daily collapse (map-side combined); the
+    pair self-joins are days²-per-series-pair — calendar-bounded, the
+    `mann_kendall` posture exactly. Cross-engine: daily means round
+    at 6 dp BEFORE pairing, so sign() compares identical decimals;
+    C−D and tie counts are exact integers; τ rounds at 6 dp.
+    Degenerate pairs (all ties on either side) are excluded
+    identically — √0 division disagrees across engines."""
+    daily = (load_table(spark, sf, "events")
+             .filter(F.col("value").isNotNull())
+             .groupBy("event_type", F.to_date("ts").alias("_d"))
+             .agg(_r(F.avg("value"), 6).alias("_v"))
+             .localCheckpoint())  # feeds the pair join + 2 tie aggs
+    a = daily.select(F.col("event_type").alias("series_a"),
+                     "_d", F.col("_v").alias("_va"))
+    b = daily.select(F.col("event_type").alias("series_b"),
+                     "_d", F.col("_v").alias("_vb"))
+    both = a.join(b, "_d").filter(F.col("series_a") < F.col("series_b"))
+    p1 = both.select("series_a", "series_b",
+                     F.col("_d").alias("_d1"),
+                     F.col("_va").alias("_va1"),
+                     F.col("_vb").alias("_vb1"))
+    p2 = both.select("series_a", "series_b",
+                     F.col("_d").alias("_d2"),
+                     F.col("_va").alias("_va2"),
+                     F.col("_vb").alias("_vb2"))
+    pr = (p1.join(p2, ["series_a", "series_b"])
+          .filter(F.col("_d1") < F.col("_d2")))
+    s = (F.signum((F.col("_va2") - F.col("_va1"))
+                  * (F.col("_vb2") - F.col("_vb1"))))
+    cd = (pr.groupBy("series_a", "series_b")
+          .agg(F.sum(s).cast("long").alias("c_minus_d"),
+               F.count(F.lit(1)).alias("_n0")))
+    # per-variable tie corrections over the SAME paired-day frame
+    ta = (both.groupBy("series_a", "series_b", "_va")
+          .agg(F.count(F.lit(1)).alias("_t"))
+          .groupBy("series_a", "series_b")
+          .agg((F.sum(F.col("_t") * (F.col("_t") - F.lit(1))) / F.lit(2))
+               .cast("long").alias("_ta"),
+               F.count(F.lit(1)).alias("_ga")))
+    tb = (both.groupBy("series_a", "series_b", "_vb")
+          .agg(F.count(F.lit(1)).alias("_t"))
+          .groupBy("series_a", "series_b")
+          .agg((F.sum(F.col("_t") * (F.col("_t") - F.lit(1))) / F.lit(2))
+               .cast("long").alias("_tb")))
+    nd = both.groupBy("series_a", "series_b").agg(
+        F.count(F.lit(1)).alias("n_days"))
+    j = (cd.join(ta.select("series_a", "series_b", "_ta"),
+                 ["series_a", "series_b"])
+         .join(tb, ["series_a", "series_b"])
+         .join(nd, ["series_a", "series_b"]))
+    den = ((F.col("_n0") - F.col("_ta"))
+           * (F.col("_n0") - F.col("_tb"))).cast("double")
+    tau = F.col("c_minus_d") / F.sqrt(den)
+    return (j.filter((F.col("_n0") > F.col("_ta"))
+                     & (F.col("_n0") > F.col("_tb")))
+            .select("series_a", "series_b", "n_days", "c_minus_d",
+                    _r(tau, 6).alias("tau_b"))
+            .orderBy("series_a", "series_b"))
+
+
+def q_levene_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) variance-homogeneity
+    test per event series — the SCALE question the mean-shift family
+    (`ab_test`, `mann_whitney`) never asks: do the two arms differ in
+    SPREAD? Z = |value − arm median| (median-centering is the
+    robust Brown-Forsythe choice), then the one-way ANOVA F on Z with
+    k=2: W = (N−2)·n_a n_b(Z̄_a−Z̄_b)²/(N·SS_within)... computed in the
+    standard between/within form. Scale shape: one per-(series, arm)
+    interpolated-median agg broadcast back + ONE combinable pass for
+    the Z means + ONE for the squared deviations — scan-linear, no
+    window, no per-series sort (the `seasonal_strength` class).
+    Cross-engine: medians are interpolated identically (the
+    `runs_test` contract); Z̄ rounds at 6 dp BEFORE the deviation
+    pass; degenerate series (zero within-group variation) are
+    excluded identically."""
+    d = (load_table(spark, sf, "events")
+         .filter(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+         .select("event_type",
+                 F.pmod(F.col("user_id"), F.lit(2)).alias("_arm"),
+                 "value"))
+    med = (d.groupBy("event_type", "_arm")
+           .agg(F.percentile("value", F.lit(0.5)).alias("_med")))
+    z = (d.join(F.broadcast(med), ["event_type", "_arm"])
+         .select("event_type", "_arm",
+                 F.abs(F.col("value") - F.col("_med")).alias("_z")))
+    zbar = (z.groupBy("event_type", "_arm")
+            .agg(_r(F.avg("_z"), 6).alias("_zb"),
+                 F.count(F.lit(1)).alias("_n")))
+    grand = (zbar.groupBy("event_type")
+             .agg(_r(F.sum(F.col("_zb") * F.col("_n"))
+                     / F.sum("_n"), 6).alias("_zg"),
+                  F.sum("_n").alias("_nn"),
+                  F.count(F.lit(1)).alias("_k")))
+    within = (z.join(F.broadcast(zbar), ["event_type", "_arm"])
+              .groupBy("event_type")
+              .agg(_r(F.sum((F.col("_z") - F.col("_zb"))
+                            * (F.col("_z") - F.col("_zb"))), 6)
+                   .alias("_ssw")))
+    between = (zbar.join(F.broadcast(grand), "event_type")
+               .groupBy("event_type", "_nn", "_k")
+               .agg(_r(F.sum(F.col("_n")
+                             * (F.col("_zb") - F.col("_zg"))
+                             * (F.col("_zb") - F.col("_zg"))), 6)
+                    .alias("_ssb")))
+    j = between.join(within, "event_type")
+    w = ((F.col("_nn") - F.col("_k")) * F.col("_ssb")) \
+        / ((F.col("_k") - F.lit(1)) * F.col("_ssw"))
+    return (j.filter((F.col("_ssw") > 0) & (F.col("_k") == 2))
+            .select("event_type", F.col("_nn").alias("n_obs"),
+                    "_ssb", "_ssw",
+                    _r(w, 6).alias("w_stat"))
+            .withColumnRenamed("_ssb", "ss_between")
+            .withColumnRenamed("_ssw", "ss_within")
+            .orderBy("event_type"))
+
+
 def q_spectral_entropy(spark: SparkSession, sf: str) -> DataFrame:
     """Normalized spectral entropy per series over the probed daily
     harmonics — the one-number rhythm-concentration readout of
@@ -7727,6 +7853,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     ALS backtest, then the bounded-grain daily twins
         #     (SCALE §1n-b) ---
         "als_rankk_backtest": q_als_rankk_backtest,
+        "kendall_tau": q_kendall_tau,
+        "levene_test": q_levene_test,
         "hurst_daily": q_hurst_daily,
         "cvm_drift_daily": q_cvm_drift_daily,
         "mann_whitney_daily": q_mann_whitney_daily,
@@ -15618,6 +15746,100 @@ def oracle_sql() -> dict[str, str]:
                       + 1e-9, 6) + 0.0) AS hurst
         FROM ols
         ORDER BY event_type
+    """
+
+    # Kendall tau-b between series pairs over 6-dp daily means: exact
+    # integer C-D and tie counts; days^2-bounded pair joins.
+    sql["kendall_tau"] = f"""
+        WITH {_daily_cte}, pairs AS (
+            SELECT a.event_type AS series_a, b.event_type AS series_b,
+                   a.d, a.v AS va, b.v AS vb
+            FROM daily a JOIN daily b USING (d)
+            WHERE a.event_type < b.event_type
+        ), cd AS (
+            SELECT p1.series_a, p1.series_b,
+                   sum(sign((p2.va - p1.va)
+                            * (p2.vb - p1.vb)))::BIGINT AS c_minus_d,
+                   count(*)::BIGINT AS n0
+            FROM pairs p1 JOIN pairs p2
+              ON p1.series_a = p2.series_a
+             AND p1.series_b = p2.series_b
+             AND p1.d < p2.d
+            GROUP BY 1, 2
+        ), ta AS (
+            SELECT series_a, series_b,
+                   (sum(t * (t - 1)) / 2)::BIGINT AS ta
+            FROM (SELECT series_a, series_b, va,
+                         count(*)::BIGINT AS t
+                  FROM pairs GROUP BY 1, 2, 3)
+            GROUP BY 1, 2
+        ), tbb AS (
+            SELECT series_a, series_b,
+                   (sum(t * (t - 1)) / 2)::BIGINT AS tb
+            FROM (SELECT series_a, series_b, vb,
+                         count(*)::BIGINT AS t
+                  FROM pairs GROUP BY 1, 2, 3)
+            GROUP BY 1, 2
+        ), nd AS (
+            SELECT series_a, series_b, count(*)::BIGINT AS n_days
+            FROM pairs GROUP BY 1, 2
+        )
+        SELECT cd.series_a, cd.series_b, n_days, c_minus_d,
+               (round(c_minus_d
+                      / sqrt(((n0 - ta) * (n0 - tb))::DOUBLE)
+                      + 1e-9, 6) + 0.0) AS tau_b
+        FROM cd JOIN ta USING (series_a, series_b)
+                JOIN tbb USING (series_a, series_b)
+                JOIN nd USING (series_a, series_b)
+        WHERE n0 > ta AND n0 > tb
+        ORDER BY 1, 2
+    """
+
+    # Brown-Forsythe Levene: interpolated arm medians, 6-dp Z-means in
+    # dependency order, both SS rounded BEFORE the W ratio.
+    sql["levene_test"] = """
+        WITH d AS (
+            SELECT event_type, user_id % 2 AS arm, value
+            FROM events
+            WHERE value IS NOT NULL AND user_id IS NOT NULL
+        ), med AS (
+            SELECT event_type, arm, quantile_cont(value, 0.5) AS med
+            FROM d GROUP BY 1, 2
+        ), z AS (
+            SELECT d.event_type, d.arm, abs(d.value - m.med) AS z
+            FROM d JOIN med m
+              ON d.event_type = m.event_type AND d.arm = m.arm
+        ), zbar AS (
+            SELECT event_type, arm,
+                   (round(avg(z) + 1e-9, 6) + 0.0) AS zb,
+                   count(*)::BIGINT AS n
+            FROM z GROUP BY 1, 2
+        ), grand AS (
+            SELECT event_type,
+                   (round(sum(zb * n) / sum(n) + 1e-9, 6) + 0.0) AS zg,
+                   sum(n)::BIGINT AS nn, count(*)::BIGINT AS k
+            FROM zbar GROUP BY 1
+        ), within AS (
+            SELECT z.event_type,
+                   (round(sum((z.z - zb) * (z.z - zb)) + 1e-9, 6)
+                    + 0.0) AS ssw
+            FROM z JOIN zbar
+              ON z.event_type = zbar.event_type AND z.arm = zbar.arm
+            GROUP BY 1
+        ), betw AS (
+            SELECT zbar.event_type, nn, k,
+                   (round(sum(n * (zb - zg) * (zb - zg)) + 1e-9, 6)
+                    + 0.0) AS ssb
+            FROM zbar JOIN grand USING (event_type)
+            GROUP BY 1, 2, 3
+        )
+        SELECT b.event_type, nn AS n_obs, ssb AS ss_between,
+               ssw AS ss_within,
+               (round(((nn - k) * ssb) / ((k - 1) * ssw) + 1e-9, 6)
+                + 0.0) AS w_stat
+        FROM betw b JOIN within w ON b.event_type = w.event_type
+        WHERE ssw > 0 AND k = 2
+        ORDER BY 1
     """
 
     # binary-segmentation changepoint: prefix sums over 6-dp daily

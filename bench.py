@@ -231,6 +231,15 @@ def main() -> None:
                  "seasonal_strength", "cvm_drift"):
         r8[name] = timed(name)
 
+    # round-9 additions: the rank-4 ALS backtest (exact Cramer lane,
+    # 4 half-steps + holdout readout) and the bounded-grain daily twins
+    # of the per-series rank family (SCALE §1n-b)
+    r9: dict[str, float] = {}
+    for name in ("als_rankk_backtest", "kendall_tau", "levene_test",
+                 "ljung_box_daily", "runs_test_daily",
+                 "mann_whitney_daily", "cvm_drift_daily", "hurst_daily"):
+        r9[name] = timed(name)
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     # KEY-ORDER CONTRACT: the driver archives only the TAIL of this one
     # JSON line (BENCH_r06.json shows the head truncated away at 250
@@ -252,6 +261,7 @@ def main() -> None:
         "r6c_trials": {k: trial_log[k] for k in r6c},
         "r7_trials": {k: trial_log[k] for k in r7},
         "r8_trials": {k: trial_log[k] for k in r8},
+        "r9_trials": {k: trial_log[k] for k in r9},
         "queries": timings,
         "corpus_queries": corpus,
         "analytics_queries": analytics,
@@ -260,6 +270,7 @@ def main() -> None:
         "r6c_queries": r6c,
         "r7_queries": r7,
         "r8_queries": r8,
+        "r9_queries": r9,
         # --- compact tail: everything a round-over-round comparison
         # needs, guaranteed inside the driver's preserved suffix ---
         "summary": {
@@ -273,6 +284,7 @@ def main() -> None:
             "r6c_total": round(sum(r6c.values()), 3),
             "r7_total": round(sum(r7.values()), 3),
             "r8_total": round(sum(r8.values()), 3),
+            "r9_total": round(sum(r9.values()), 3),
             "headline_queries": {k: timings[k] for k in timings},
         },
         "metric_echo": "headline_queries_total",

@@ -148,6 +148,18 @@ EVENT_QUERIES = [
     # variance) the 6-dp contract cannot absorb; the sf-corpus gate
     # compares its variance algebra exactly.
     "cvm_drift",
+    # round 9: the bounded-grain daily twins exercise the SAME
+    # degenerate shapes at the daily grain (short series n<=6 days,
+    # constant daily means, one-sided signs); kendall_tau adds the
+    # cross-series paired-day path (NULL event_type drops out of the
+    # self-join identically; all-tied pairs excluded on both engines).
+    # levene_test is NOT here for the seasonal_strength reason: its
+    # within-group SS over the 1e9-magnitude row carries summation-
+    # order ulps (~1e2 absolute on a ~1e18 SS) the 6-dp contract
+    # cannot absorb; the sf-corpus gate compares its SS algebra
+    # exactly.
+    "ljung_box_daily", "runs_test_daily", "mann_whitney_daily",
+    "cvm_drift_daily", "hurst_daily", "kendall_tau",
 ]
 
 

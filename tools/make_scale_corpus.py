@@ -61,7 +61,10 @@ def scale_documents(df, factor: int):
         "cast(k as string))) as h, t as t))), s -> s.t), ' ')")
     text = F.when(F.col("k") == 0, F.col("text")).otherwise(shuffled)
     return rep.select(
-        (F.col("doc_id") + F.col("k") * OFF).alias("doc_id"),
+        # bigint like scale_events: k * OFF overflows int32 at
+        # factor >= 215 (measured at the 1000x build)
+        (F.col("doc_id").cast("bigint")
+         + F.col("k").cast("bigint") * OFF).alias("doc_id"),
         text.alias("text"), "lang", "source",
         F.length(text).cast("int").alias("n_chars"))
 
@@ -74,7 +77,8 @@ def scale_embeddings(df, factor: int):
         "(pmod(hash(vec_id, i, k), 1000) - 500) / 5000.0 as float))")
     emb = F.when(F.col("k") == 0, F.col("embedding")).otherwise(noisy)
     return rep.select(
-        (F.col("vec_id") + F.col("k") * OFF).alias("vec_id"),
+        (F.col("vec_id").cast("bigint")
+         + F.col("k").cast("bigint") * OFF).alias("vec_id"),
         emb.alias("embedding"), "label")
 
 
