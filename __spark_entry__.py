@@ -7837,6 +7837,243 @@ def q_degree_assortativity(spark: SparkSession, sf: str) -> DataFrame:
         _r(pearson, 6).alias("assortativity"))
 
 
+def q_jarque_bera(spark: SparkSession, sf: str) -> DataFrame:
+    """Jarque-Bera normality test per event series over the 6-dp daily
+    means — the DISTRIBUTIONAL-SHAPE diagnostic the location
+    (`mann_kendall`) and spread (`levene_test`) families never ask:
+    skewness g₁ = m₃/m₂^1.5, kurtosis g₂ = m₄/m₂², JB = n/6·(g₁² +
+    (g₂−3)²/4) against χ²(2) — and df=2 is EVEN, so the p-value is the
+    closed Poisson form exp(−JB/2) (the `ljung_box` tail identity at
+    m=1): literal column arithmetic, no special function. Scale shape:
+    the fact scan collapses to (series × days) first (the
+    `mann_kendall` reduce-then-bounded-solve posture); one broadcast
+    mean pass + one central-moment pass. Cross-engine: μ and each
+    central moment round at 6 dp in dependency order; g₁/g₂ round
+    BEFORE JB, JB before p; degenerate series (n ≤ 7 or zero
+    variance) are excluded identically."""
+    daily = _daily_means(spark, sf)
+    mu = (daily.groupBy("event_type")
+          .agg(_r(F.avg("_v"), 6).alias("_mu"),
+               F.count(F.lit(1)).alias("n_days")))
+    d = daily.join(F.broadcast(mu), "event_type")
+    dev = F.col("_v") - F.col("_mu")
+    g = (d.groupBy("event_type", "n_days")
+         .agg(_r(F.avg(dev * dev), 6).alias("_m2"),
+              _r(F.avg(dev * dev * dev), 6).alias("_m3"),
+              _r(F.avg(dev * dev * dev * dev), 6).alias("_m4"))
+         .filter((F.col("n_days") > 7) & (F.col("_m2") > 0)))
+    g = g.select(
+        "event_type", "n_days",
+        _r(F.col("_m3") / F.pow(F.col("_m2"), 1.5), 6).alias("skewness"),
+        _r(F.col("_m4") / (F.col("_m2") * F.col("_m2")), 6)
+        .alias("kurtosis"))
+    jb = _r(F.col("n_days") / F.lit(6.0)
+            * (F.col("skewness") * F.col("skewness")
+               + (F.col("kurtosis") - F.lit(3.0))
+               * (F.col("kurtosis") - F.lit(3.0)) / F.lit(4.0)), 6)
+    g = g.withColumn("jb_stat", jb)
+    return (g.withColumn(
+        "p_value", _r(F.exp(-F.col("jb_stat") / F.lit(2.0)), 6))
+        .orderBy("event_type"))
+
+
+def q_welch_ttest(spark: SparkSession, sf: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t per event series over the
+    per-(arm, day) daily means — the PARAMETRIC twin of
+    `mann_whitney_daily` (same arms, same conservative daily grain),
+    completing the two-sample family with the test that does NOT
+    assume equal spread (which `levene_test` shows can fail):
+    t = (m̄₀−m̄₁)/√(s₀²/n₀+s₁²/n₁) with the Welch-Satterthwaite df.
+    Scale shape: ONE combinable per-(series, arm) moment agg after the
+    daily collapse — no window, no per-series sort. Cross-engine:
+    arm means/variances round at 6 dp, the per-arm s²/n terms at 9 dp
+    (finer — they are the small denominators), t and df at 6 dp from
+    the rounded pieces; series missing an arm or with n ≤ 1 per arm
+    or zero pooled variance are excluded identically."""
+    d = _daily_arm_means(spark, sf)
+    g = (d.groupBy("event_type", "_arm")
+         .agg(F.count(F.lit(1)).alias("_n"),
+              _r(F.avg("_v"), 6).alias("_m"),
+              _r(F.var_samp("_v"), 6).alias("_s2"))
+         .filter(F.col("_n") > 1))
+    p = (g.groupBy("event_type")
+         .agg(F.max(F.when(F.col("_arm") == 0, F.col("_n"))).alias("n_a"),
+              F.max(F.when(F.col("_arm") == 0, F.col("_m"))).alias("_ma"),
+              F.max(F.when(F.col("_arm") == 0, F.col("_s2"))).alias("_sa"),
+              F.max(F.when(F.col("_arm") == 1, F.col("_n"))).alias("n_b"),
+              F.max(F.when(F.col("_arm") == 1, F.col("_m"))).alias("_mb"),
+              F.max(F.when(F.col("_arm") == 1, F.col("_s2"))).alias("_sb"),
+              F.count(F.lit(1)).alias("_k"))
+         .filter(F.col("_k") == 2))
+    a = F.round(F.col("_sa") / F.col("n_a") + F.lit(1e-12), 9)
+    b = F.round(F.col("_sb") / F.col("n_b") + F.lit(1e-12), 9)
+    p = (p.withColumn("_a", a).withColumn("_b", b)
+         .filter((F.col("_a") + F.col("_b")) > 0))
+    se2 = F.col("_a") + F.col("_b")
+    dfw = (se2 * se2
+           / (F.col("_a") * F.col("_a") / (F.col("n_a") - F.lit(1))
+              + F.col("_b") * F.col("_b") / (F.col("n_b") - F.lit(1))))
+    return (p.select("event_type", "n_a", "n_b",
+                     _r((F.col("_ma") - F.col("_mb")) / F.sqrt(se2), 6)
+                     .alias("t_stat"),
+                     _r(dfw, 6).alias("welch_df"))
+            .orderBy("event_type"))
+
+
+def q_kruskal_wallis(spark: SparkSession, sf: str) -> DataFrame:
+    """Kruskal-Wallis k-sample rank test across ALL event series'
+    daily-mean distributions — the k>2 generalization completing the
+    rank family (`mann_whitney_daily` compares 2 arms WITHIN a
+    series; this asks whether the 5 SERIES share one location):
+    joint average ranks over the pooled (series × days) rows, H =
+    12/(N(N+1))·ΣR_i²/n_i − 3(N+1), tie correction C = 1−Σ(t³−t)/
+    (N³−N), H_c = H/C. The df = k−1 p-value is emitted only when k=5
+    (even df=4 → the closed Poisson tail exp(−x/2)(1+x/2), the
+    `ljung_box` identity); other k yield NULL on BOTH engines. Scale
+    shape: the joint rank window is partitioned by a constant — a
+    deliberate single-task sort over the ≤ |series|·|days| BOUNDED
+    daily collapse (~150 rows at any corpus size), the
+    `mann_kendall` posture; the fact-sized stage is only the
+    combinable collapse. Cross-engine: ranks compare identical 6-dp
+    decimals; H rounds at 6 dp, C at 9 dp, H_c and p from the
+    rounded pieces; degenerate inputs (N ≤ 1, all values tied, or
+    k < 2) are excluded identically, and the NULL series is no
+    sample group (dropped explicitly, the `friedman_test`
+    contract)."""
+    daily = _daily_means(spark, sf).filter(
+        F.col("event_type").isNotNull())
+    w = Window.partitionBy(F.lit(1)).orderBy("_v")
+    wv = Window.partitionBy("_v")
+    ranked = daily.withColumn(
+        "_ar", F.rank().over(w)
+        + (F.count(F.lit(1)).over(wv) - F.lit(1)) / F.lit(2.0))
+    per = (ranked.groupBy("event_type")
+           .agg(F.sum("_ar").alias("_rsum"),
+                F.count(F.lit(1)).alias("_n")))
+    g = per.agg(F.sum("_n").alias("n_obs"),
+                F.count(F.lit(1)).alias("k_groups"),
+                F.sum(F.col("_rsum") * F.col("_rsum") / F.col("_n"))
+                .alias("_sr"))
+    ties = (daily.groupBy("_v")
+            .agg(F.count(F.lit(1)).alias("_tn"))
+            .agg(F.sum(F.col("_tn") * F.col("_tn") * F.col("_tn")
+                       - F.col("_tn")).alias("_tie")))
+    j = g.crossJoin(ties).filter(
+        (F.col("n_obs") > 1) & (F.col("k_groups") >= 2))
+    n = F.col("n_obs")
+    h = _r(F.lit(12.0) / (n * (n + F.lit(1))) * F.col("_sr")
+           - F.lit(3.0) * (n + F.lit(1)), 6)
+    j = j.withColumn("h_stat", h).withColumn(
+        "_c", F.round(F.lit(1.0) - F.col("_tie") / (n * n * n - n)
+                      + F.lit(1e-12), 9)).filter(F.col("_c") > 0)
+    j = j.withColumn("h_tied", _r(F.col("h_stat") / F.col("_c"), 6))
+    p = F.when(F.col("k_groups") == 5,
+               _r(F.exp(-F.col("h_tied") / F.lit(2.0))
+                  * (F.lit(1.0) + F.col("h_tied") / F.lit(2.0)), 6)
+               ).otherwise(F.lit(None).cast("double"))
+    return j.select("n_obs", "k_groups", "h_stat", "h_tied",
+                    p.alias("p_df4"))
+
+
+def q_friedman_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Friedman test — the BLOCKED k-sample rank test `kruskal_wallis`
+    is not: days are blocks, series are treatments, so day-level
+    shocks shared by every series (the exact confounder a pooled rank
+    test absorbs into H) cancel by construction. Only COMPLETE blocks
+    (days where all k series report) rank; within each day the k
+    daily means get average ranks; χ²_F = 12/(nk(k+1))·ΣR_j² −
+    3n(k+1) with df = k−1, p emitted only when k=5 (even df=4, the
+    closed Poisson tail — `kruskal_wallis` contract). Scale shape:
+    ranks partition BY DAY (parallel in blocks, each sorting k=5
+    rows) over the bounded daily collapse; the fact-sized stage is
+    only the combinable collapse. Cross-engine: ranks compare 6-dp
+    decimals; χ²_F rounds at 6 dp before p; zero complete blocks or
+    k < 2 excluded identically; the NULL series is no treatment
+    (dropped explicitly — DuckDB's count(DISTINCT) would skip it
+    while Spark's distinct() keeps it, so the filter IS the
+    contract)."""
+    daily = _daily_means(spark, sf).filter(
+        F.col("event_type").isNotNull())
+    kf = (daily.select("event_type").distinct()
+          .agg(F.count(F.lit(1)).alias("_k")))
+    days = (daily.groupBy("_d").agg(F.count(F.lit(1)).alias("_cnt"))
+            .crossJoin(F.broadcast(kf))
+            .filter((F.col("_cnt") == F.col("_k")) & (F.col("_k") >= 2))
+            .select("_d", "_k"))
+    d = daily.join(F.broadcast(days), "_d")
+    w = Window.partitionBy("_d").orderBy("_v")
+    wv = Window.partitionBy("_d", "_v")
+    ranked = d.withColumn(
+        "_ar", F.rank().over(w)
+        + (F.count(F.lit(1)).over(wv) - F.lit(1)) / F.lit(2.0))
+    per = (ranked.groupBy("event_type", "_k")
+           .agg(F.sum("_ar").alias("_rsum"),
+                F.count(F.lit(1)).alias("_n")))
+    g = (per.groupBy("_k")
+         .agg(F.max("_n").alias("n_blocks"),
+              F.sum(F.col("_rsum") * F.col("_rsum")).alias("_sr2"),
+              F.count(F.lit(1)).alias("_kk"))
+         .filter((F.col("n_blocks") > 0) & (F.col("_kk") == F.col("_k"))))
+    n, k = F.col("n_blocks"), F.col("_k")
+    chi2 = _r(F.lit(12.0) / (n * k * (k + F.lit(1))) * F.col("_sr2")
+              - F.lit(3.0) * n * (k + F.lit(1)), 6)
+    g = g.withColumn("chi2_f", chi2)
+    p = F.when(k == 5,
+               _r(F.exp(-F.col("chi2_f") / F.lit(2.0))
+                  * (F.lit(1.0) + F.col("chi2_f") / F.lit(2.0)), 6)
+               ).otherwise(F.lit(None).cast("double"))
+    return g.select(F.col("n_blocks"), F.col("_k").alias("k_groups"),
+                    "chi2_f", p.alias("p_df4"))
+
+
+def q_page_hinkley(spark: SparkSession, sf: str) -> DataFrame:
+    """Page-Hinkley mean-drift detector per event series over the
+    daily-mean sequence — the SEQUENTIAL changepoint monitor
+    completing the drift family (`binseg_changepoint` finds the best
+    split retrospectively; PH raises an ONLINE alarm a streaming
+    monitor could act on): with running mean x̄_t, cumulative
+    m_t = Σ_{i≤t}(x_i − x̄_i − δ) and PH_t = m_t − min_{i≤t} m_i,
+    alarm when PH_t > λ. δ and λ are data-scaled from the series'
+    own spread (δ = 0.05σ, λ = 3σ) so the detector is unit-free —
+    both engines derive them from the same 6-dp σ. Scale shape: one
+    broadcast σ pass + one ordered cumulative window over the
+    bounded daily collapse (the `binseg_changepoint` class).
+    Cross-engine: x̄_t, each increment, the cumulative sum, and PH_t
+    round at 6 dp in dependency order over the identical day order
+    (daily grain → unique sort key); zero-spread series are excluded
+    identically."""
+    daily = _daily_means(spark, sf)
+    sd = (daily.groupBy("event_type")
+          .agg(_r(F.stddev_pop("_v"), 6).alias("_sd"),
+               F.count(F.lit(1)).alias("n_days"))
+          .filter(F.col("_sd") > 0))
+    d = (daily.join(F.broadcast(sd), "event_type")
+         .withColumn("_delta", _r(F.col("_sd") * F.lit(0.05), 6))
+         .withColumn("_lam", _r(F.col("_sd") * F.lit(3.0), 6)))
+    w_cum = (Window.partitionBy("event_type").orderBy("_d")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    d = d.withColumn("_mbar", _r(F.avg("_v").over(w_cum), 6))
+    d = d.withColumn(
+        "_term", _r(F.col("_v") - F.col("_mbar") - F.col("_delta"), 6))
+    d = d.withColumn("_m", F.round(F.sum("_term").over(w_cum)
+                                   + F.lit(ROUND_EPS), 6))
+    d = d.withColumn("_ph", _r(F.col("_m") - F.min("_m").over(w_cum), 6))
+    return (d.groupBy("event_type", "n_days", "_lam")
+            .agg(_r(F.max("_ph"), 6).alias("max_ph"),
+                 F.sum(F.when(F.col("_ph") > F.col("_lam"), 1)
+                       .otherwise(0)).alias("n_alarms"),
+                 # string + 'none' sentinel: a NULL DATE hashes as NaT
+                 # on the DuckDB/pandas side but NULL on Spark's
+                 F.coalesce(
+                     F.min(F.when(F.col("_ph") > F.col("_lam"),
+                                  F.col("_d"))).cast("string"),
+                     F.lit("none")).alias("first_alarm"))
+            .select("event_type", "n_days",
+                    F.col("_lam").alias("threshold"),
+                    "max_ph", "n_alarms", "first_alarm")
+            .orderBy("event_type"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS DELIBERATE: the driver's correctness gate checks
     the first 50 entries per round. The never-driver-checked ledger has
@@ -7849,9 +8086,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round-10 rotation. Everything later is driver-green from round 4+
     (freshest last)."""
     return {
-        # --- round-9 new additions (newest-first rule): the rank-4
-        #     ALS backtest, then the bounded-grain daily twins
-        #     (SCALE §1n-b) ---
+        # --- round-9 new additions (newest-first rule): the
+        #     econometric-diagnostics batch, then the rank-4 ALS
+        #     backtest and the bounded-grain daily twins (SCALE §1n-b)
+        "page_hinkley": q_page_hinkley,
+        "friedman_test": q_friedman_test,
+        "kruskal_wallis": q_kruskal_wallis,
+        "welch_ttest": q_welch_ttest,
+        "jarque_bera": q_jarque_bera,
         "als_rankk_backtest": q_als_rankk_backtest,
         "kendall_tau": q_kendall_tau,
         "levene_test": q_levene_test,
@@ -15840,6 +16082,210 @@ def oracle_sql() -> dict[str, str]:
         FROM betw b JOIN within w ON b.event_type = w.event_type
         WHERE ssw > 0 AND k = 2
         ORDER BY 1
+    """
+
+    # Jarque-Bera: central moments over 6-dp daily means in dependency
+    # order; even-df χ²(2) tail is the closed Poisson form.
+    sql["jarque_bera"] = f"""
+        WITH {_daily_cte}, mu AS (
+            SELECT event_type, (round(avg(v) + 1e-9, 6) + 0.0) AS mu,
+                   count(*)::BIGINT AS n_days
+            FROM daily GROUP BY 1
+        ), m AS (
+            SELECT d.event_type, n_days,
+                   (round(avg((v - mu) * (v - mu)) + 1e-9, 6) + 0.0)
+                       AS m2,
+                   (round(avg((v - mu) * (v - mu) * (v - mu))
+                          + 1e-9, 6) + 0.0) AS m3,
+                   (round(avg((v - mu) * (v - mu) * (v - mu) * (v - mu))
+                          + 1e-9, 6) + 0.0) AS m4
+            FROM daily d JOIN mu USING (event_type)
+            GROUP BY 1, 2
+            HAVING n_days > 7
+               AND (round(avg((v - mu) * (v - mu)) + 1e-9, 6) + 0.0) > 0
+        ), g AS (
+            SELECT event_type, n_days,
+                   (round(m3 / power(m2, 1.5) + 1e-9, 6) + 0.0)
+                       AS skewness,
+                   (round(m4 / (m2 * m2) + 1e-9, 6) + 0.0) AS kurtosis
+            FROM m
+        ), jb AS (
+            SELECT event_type, n_days, skewness, kurtosis,
+                   (round(n_days / 6.0::DOUBLE
+                          * (skewness * skewness
+                             + (kurtosis - 3.0) * (kurtosis - 3.0)
+                               / 4.0) + 1e-9, 6) + 0.0) AS jb_stat
+            FROM g
+        )
+        SELECT event_type, n_days, skewness, kurtosis, jb_stat,
+               (round(exp(-jb_stat / 2.0) + 1e-9, 6) + 0.0) AS p_value
+        FROM jb ORDER BY 1
+    """
+
+    # Welch's t: per-arm daily-mean moments; s²/n terms at 9 dp (the
+    # small denominators), t and Welch-Satterthwaite df from the
+    # rounded pieces.
+    sql["welch_ttest"] = f"""
+        WITH {_dailya_cte}, g AS (
+            SELECT event_type, arm, count(*)::BIGINT AS n,
+                   (round(avg(v) + 1e-9, 6) + 0.0) AS m,
+                   (round(var_samp(v) + 1e-9, 6) + 0.0) AS s2
+            FROM dailya GROUP BY 1, 2
+            HAVING count(*) > 1
+        ), p AS (
+            SELECT event_type,
+                   max(CASE WHEN arm = 0 THEN n END) AS n_a,
+                   max(CASE WHEN arm = 0 THEN m END) AS ma,
+                   max(CASE WHEN arm = 0 THEN s2 END) AS sa,
+                   max(CASE WHEN arm = 1 THEN n END) AS n_b,
+                   max(CASE WHEN arm = 1 THEN m END) AS mb,
+                   max(CASE WHEN arm = 1 THEN s2 END) AS sb
+            FROM g GROUP BY 1 HAVING count(*) = 2
+        ), ab AS (
+            SELECT event_type, n_a, n_b, ma, mb,
+                   (round(sa / n_a + 1e-12, 9) + 0.0) AS a,
+                   (round(sb / n_b + 1e-12, 9) + 0.0) AS b
+            FROM p
+        )
+        SELECT event_type, n_a, n_b,
+               (round((ma - mb) / sqrt(a + b) + 1e-9, 6) + 0.0)
+                   AS t_stat,
+               (round((a + b) * (a + b)
+                      / (a * a / (n_a - 1) + b * b / (n_b - 1))
+                      + 1e-9, 6) + 0.0) AS welch_df
+        FROM ab WHERE (a + b) > 0 ORDER BY 1
+    """
+
+    # Kruskal-Wallis: joint average ranks over the pooled daily
+    # collapse; H at 6 dp, tie correction at 9 dp, H_c and the
+    # even-df=4 Poisson tail from the rounded pieces.
+    sql["kruskal_wallis"] = f"""
+        WITH {_daily_cte}, dnn AS (
+            SELECT event_type, v FROM daily
+            WHERE event_type IS NOT NULL
+        ), ranked AS (
+            SELECT event_type,
+                   rank() OVER (ORDER BY v)
+                       + (count(*) OVER (PARTITION BY v) - 1)
+                         / 2.0::DOUBLE AS ar
+            FROM dnn
+        ), per AS (
+            SELECT event_type, sum(ar) AS rsum, count(*)::BIGINT AS n
+            FROM ranked GROUP BY 1
+        ), g AS (
+            SELECT sum(n)::BIGINT AS n_obs,
+                   count(*)::BIGINT AS k_groups,
+                   sum(rsum * rsum / n) AS sr
+            FROM per
+        ), ties AS (
+            SELECT sum(tn * tn * tn - tn)::BIGINT AS tie
+            FROM (SELECT v, count(*)::BIGINT AS tn FROM dnn
+                  GROUP BY 1)
+        ), h AS (
+            SELECT n_obs, k_groups,
+                   (round(12.0 / (n_obs * (n_obs + 1)) * sr
+                          - 3.0 * (n_obs + 1) + 1e-9, 6) + 0.0)
+                       AS h_stat,
+                   (round(1.0 - tie / (n_obs * n_obs * n_obs - n_obs)
+                          + 1e-12, 9) + 0.0) AS c
+            FROM g, ties
+            WHERE n_obs > 1 AND k_groups >= 2
+        ), hc AS (
+            SELECT n_obs, k_groups, h_stat,
+                   (round(h_stat / c + 1e-9, 6) + 0.0) AS h_tied
+            FROM h WHERE c > 0
+        )
+        SELECT n_obs, k_groups, h_stat, h_tied,
+               CASE WHEN k_groups = 5
+                    THEN (round(exp(-h_tied / 2.0)
+                                * (1.0 + h_tied / 2.0) + 1e-9, 6) + 0.0)
+                    ELSE NULL END AS p_df4
+        FROM hc
+    """
+
+    # Friedman: within-day average ranks across series over COMPLETE
+    # blocks only; χ²_F at 6 dp before the even-df=4 tail.
+    sql["friedman_test"] = f"""
+        WITH {_daily_cte}, dnn AS (
+            SELECT event_type, d, v FROM daily
+            WHERE event_type IS NOT NULL
+        ), kf AS (
+            SELECT count(DISTINCT event_type)::BIGINT AS k FROM dnn
+        ), days AS (
+            SELECT d, count(*)::BIGINT AS cnt FROM dnn GROUP BY 1
+        ), cb AS (
+            SELECT dnn.event_type, dnn.d, dnn.v
+            FROM dnn JOIN days ON dnn.d = days.d CROSS JOIN kf
+            WHERE days.cnt = kf.k AND kf.k >= 2
+        ), ranked AS (
+            SELECT event_type,
+                   rank() OVER (PARTITION BY d ORDER BY v)
+                       + (count(*) OVER (PARTITION BY d, v) - 1)
+                         / 2.0::DOUBLE AS ar
+            FROM cb
+        ), per AS (
+            SELECT event_type, sum(ar) AS rsum, count(*)::BIGINT AS n
+            FROM ranked GROUP BY 1
+        ), g AS (
+            SELECT max(n)::BIGINT AS n_blocks, sum(rsum * rsum) AS sr2,
+                   count(*)::BIGINT AS kk, (SELECT k FROM kf) AS k
+            FROM per
+        ), c2 AS (
+            SELECT n_blocks, k,
+                   (round(12.0 / (n_blocks * k * (k + 1)) * sr2
+                          - 3.0 * n_blocks * (k + 1) + 1e-9, 6) + 0.0)
+                       AS chi2_f
+            FROM g WHERE n_blocks > 0 AND kk = k
+        )
+        SELECT n_blocks, k AS k_groups, chi2_f,
+               CASE WHEN k = 5
+                    THEN (round(exp(-chi2_f / 2.0)
+                                * (1.0 + chi2_f / 2.0) + 1e-9, 6) + 0.0)
+                    ELSE NULL END AS p_df4
+        FROM c2
+    """
+
+    # Page-Hinkley: running mean / cumulative sum / running min over
+    # the identical day order; every step rounds at 6 dp on both
+    # engines; δ = 0.05σ, λ = 3σ from the same 6-dp σ.
+    sql["page_hinkley"] = f"""
+        WITH {_daily_cte}, sd AS (
+            SELECT event_type,
+                   (round(stddev_pop(v) + 1e-9, 6) + 0.0) AS sd,
+                   count(*)::BIGINT AS n_days
+            FROM daily GROUP BY 1
+            HAVING (round(stddev_pop(v) + 1e-9, 6) + 0.0) > 0
+        ), st AS (
+            SELECT daily.event_type, daily.d, v, n_days,
+                   (round(sd * 0.05 + 1e-9, 6) + 0.0) AS delta,
+                   (round(sd * 3.0 + 1e-9, 6) + 0.0) AS lam
+            FROM daily JOIN sd USING (event_type)
+        ), mb AS (
+            SELECT *, (round(avg(v) OVER (PARTITION BY event_type
+                           ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) + 1e-9, 6) + 0.0) AS mbar
+            FROM st
+        ), tm AS (
+            SELECT *, (round(v - mbar - delta + 1e-9, 6) + 0.0) AS term
+            FROM mb
+        ), cm AS (
+            SELECT *, (round(sum(term) OVER (PARTITION BY event_type
+                           ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) + 1e-9, 6) + 0.0) AS m
+            FROM tm
+        ), ph AS (
+            SELECT *, (round(m - min(m) OVER (PARTITION BY event_type
+                           ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) + 1e-9, 6) + 0.0) AS phv
+            FROM cm
+        )
+        SELECT event_type, n_days, lam AS threshold,
+               (round(max(phv) + 1e-9, 6) + 0.0) AS max_ph,
+               sum(CASE WHEN phv > lam THEN 1 ELSE 0 END)::BIGINT
+                   AS n_alarms,
+               coalesce(min(CASE WHEN phv > lam THEN d END)::VARCHAR,
+                        'none') AS first_alarm
+        FROM ph GROUP BY 1, 2, 3 ORDER BY 1
     """
 
     # binary-segmentation changepoint: prefix sums over 6-dp daily

@@ -232,12 +232,16 @@ def main() -> None:
         r8[name] = timed(name)
 
     # round-9 additions: the rank-4 ALS backtest (exact Cramer lane,
-    # 4 half-steps + holdout readout) and the bounded-grain daily twins
-    # of the per-series rank family (SCALE §1n-b)
+    # 4 half-steps + holdout readout), the bounded-grain daily twins
+    # of the per-series rank family (SCALE §1n-b), and the
+    # econometric-diagnostics batch (all mann_kendall-class
+    # reduce-then-bounded-solve plans)
     r9: dict[str, float] = {}
     for name in ("als_rankk_backtest", "kendall_tau", "levene_test",
                  "ljung_box_daily", "runs_test_daily",
-                 "mann_whitney_daily", "cvm_drift_daily", "hurst_daily"):
+                 "mann_whitney_daily", "cvm_drift_daily", "hurst_daily",
+                 "jarque_bera", "welch_ttest", "kruskal_wallis",
+                 "friedman_test", "page_hinkley"):
         r9[name] = timed(name)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

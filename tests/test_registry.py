@@ -27,6 +27,8 @@ import __spark_entry__ as entry_mod
 # Round-9 new queries (newest-first), occupying the head of the gate
 # window. Appending here is part of adding a query.
 ROUND9_NEW: list[str] = [
+    "page_hinkley", "friedman_test", "kruskal_wallis", "welch_ttest",
+    "jarque_bera",
     "als_rankk_backtest", "kendall_tau", "levene_test",
     "hurst_daily", "cvm_drift_daily", "mann_whitney_daily",
     "runs_test_daily", "ljung_box_daily",
