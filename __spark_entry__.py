@@ -8074,6 +8074,346 @@ def q_page_hinkley(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+def _det3(a11, a12, a13, a21, a22, a23, a31, a32, a33):
+    """3×3 determinant as a column expression — the exact-Cramer lane
+    shared by the OLS-family tests (`adf_test`, `granger_causality`)
+    and, before them, `als_rankk_backtest`: inputs are 6-dp-identical
+    decimals on both engines and the SQL oracles expand the SAME
+    cofactor order literally, so the doubles walk identical IEEE
+    operations — zero cross-engine drift without rounding every
+    intermediate."""
+    return (a11 * (a22 * a33 - a23 * a32)
+            - a12 * (a21 * a33 - a23 * a31)
+            + a13 * (a21 * a32 - a22 * a31))
+
+
+def q_adf_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Augmented Dickey-Fuller unit-root test (1 augmentation lag) per
+    event series over the daily means — the STATIONARITY gate the
+    trend family presupposes (`mann_kendall` asks "is there drift?";
+    ADF asks "does the level mean-revert at all?"): Δv_t = α +
+    β·v_{t−1} + γ·Δv_{t−1} + ε, t-stat on β (β→0 ⇒ unit root).
+    CLOSED FORM: the 3-regressor normal equations solve by Cramer
+    (the `als_rankk_backtest` lane — dets expanded in the same
+    cofactor order on both engines), SSE from the solved
+    coefficients, SE(β) from the (β,β) cofactor: t = β/√(σ̂²·C₂₂/det).
+    Scale shape: one 2-lag window pass over the bounded daily
+    collapse + ONE combinable moment agg; the solve is per-series
+    column arithmetic (the `mann_kendall` posture). Cross-engine:
+    the moment sums round at 6 dp, then both engines walk identical
+    IEEE expressions; β and t round at 6 dp; degenerate series
+    (n ≤ 6, |det| ≤ 1e-9, SSE ≤ 0, or a non-positive variance
+    cofactor) are excluded identically."""
+    daily = _daily_means(spark, sf)
+    w = Window.partitionBy("event_type").orderBy("_d")
+    d = (daily
+         .withColumn("_l1", F.lag("_v", 1).over(w))
+         .withColumn("_l2", F.lag("_v", 2).over(w))
+         .filter(F.col("_l2").isNotNull())
+         .select("event_type",
+                 (F.col("_v") - F.col("_l1")).alias("_z"),
+                 F.col("_l1").alias("_y"),
+                 (F.col("_l1") - F.col("_l2")).alias("_dl")))
+    g = (d.groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("n_obs"),
+              _r(F.sum("_y"), 6).alias("_sy"),
+              _r(F.sum("_dl"), 6).alias("_sd"),
+              _r(F.sum("_z"), 6).alias("_sz"),
+              _r(F.sum(F.col("_y") * F.col("_y")), 6).alias("_syy"),
+              _r(F.sum(F.col("_y") * F.col("_dl")), 6).alias("_syd"),
+              _r(F.sum(F.col("_dl") * F.col("_dl")), 6).alias("_sdd"),
+              _r(F.sum(F.col("_y") * F.col("_z")), 6).alias("_syz"),
+              _r(F.sum(F.col("_dl") * F.col("_z")), 6).alias("_sdz"),
+              _r(F.sum(F.col("_z") * F.col("_z")), 6).alias("_szz"))
+         .filter(F.col("n_obs") > 6))
+    n = F.col("n_obs").cast("double")
+    sy, sd, sz = F.col("_sy"), F.col("_sd"), F.col("_sz")
+    syy, syd, sdd = F.col("_syy"), F.col("_syd"), F.col("_sdd")
+    syz, sdz, szz = F.col("_syz"), F.col("_sdz"), F.col("_szz")
+    det = _det3(n, sy, sd, sy, syy, syd, sd, syd, sdd)
+    det_a = _det3(sz, sy, sd, syz, syy, syd, sdz, syd, sdd)
+    det_b = _det3(n, sz, sd, sy, syz, syd, sd, sdz, sdd)
+    det_g = _det3(n, sy, sz, sy, syy, syz, sd, syd, sdz)
+    g = (g.withColumn("_det", det)
+         .filter(F.abs(F.col("_det")) > 1e-9)
+         .withColumn("_alpha", det_a / F.col("_det"))
+         .withColumn("_beta", det_b / F.col("_det"))
+         .withColumn("_gamma", det_g / F.col("_det")))
+    sse = szz - (F.col("_alpha") * sz + F.col("_beta") * syz
+                 + F.col("_gamma") * sdz)
+    cof = (n * sdd - sd * sd) / F.col("_det")
+    g = (g.withColumn("_sse", sse).withColumn("_cof", cof)
+         .filter((F.col("_sse") > 0) & (F.col("_cof") > 0)))
+    t = F.col("_beta") / F.sqrt(F.col("_sse")
+                                / (F.col("n_obs") - F.lit(3))
+                                * F.col("_cof"))
+    return (g.select("event_type", "n_obs",
+                     _r(F.col("_beta"), 6).alias("beta"),
+                     _r(t, 6).alias("adf_t"))
+            .orderBy("event_type"))
+
+
+def q_aic_order_select(spark: SparkSession, sf: str) -> DataFrame:
+    """AIC model-order selection between AR(1) and AR(2) per event
+    series — the MODEL-CHOICE readout on top of `pacf_yw` (which
+    estimates partial correlations) and `ar2_forecast` (which assumes
+    order 2): Yule-Walker innovation variances σ₁² = m₂(1−ρ₁²),
+    σ₂² = m₂(1−φ₁ρ₁−φ₂ρ₂), AIC_k = n·ln σ_k² + 2(k+1), pick the
+    minimum (tie → the smaller model). Scale shape: exactly
+    `ar2_forecast`'s collapse + 2-lag window + one agg; the AIC
+    layer is bounded column math. Cross-engine: ρ at 6 dp (the ar2
+    contract), σ² at 9 dp before ln (small magnitudes), AIC at 6 dp;
+    degenerate series (n ≤ 4, zero variance, |ρ₁| = 1, non-positive
+    innovation variance) are excluded identically."""
+    daily = _daily_means(spark, sf)
+    mu = (daily.groupBy("event_type")
+          .agg(_r(F.avg("_v"), 6).alias("_mu"),
+               F.count(F.lit(1)).alias("n_days")))
+    w = Window.partitionBy("event_type").orderBy("_d")
+    lagged = (daily
+              .withColumn("_l1", F.lag("_v", 1).over(w))
+              .withColumn("_l2", F.lag("_v", 2).over(w))
+              .join(F.broadcast(mu), "event_type"))
+    dev = F.col("_v") - F.col("_mu")
+    g = (lagged.groupBy("event_type", "n_days")
+         .agg(F.sum(dev * dev).alias("_den"),
+              F.sum(dev * (F.col("_l1") - F.col("_mu"))).alias("_n1"),
+              F.sum(dev * (F.col("_l2") - F.col("_mu"))).alias("_n2"))
+         .filter((F.col("n_days") > 4) & (F.col("_den") > 0)))
+    g = (g.withColumn("_m2", F.round(F.col("_den") / F.col("n_days")
+                                     + F.lit(ROUND_EPS), 6))
+         .withColumn("_r1", F.round(F.col("_n1") / F.col("_den")
+                                    + F.lit(ROUND_EPS), 6))
+         .withColumn("_r2", F.round(F.col("_n2") / F.col("_den")
+                                    + F.lit(ROUND_EPS), 6))
+         .filter((F.col("_m2") > 0)
+                 & (F.lit(1.0) - F.col("_r1") * F.col("_r1") != 0)))
+    r1, r2 = F.col("_r1"), F.col("_r2")
+    phi1 = F.round(r1 * (F.lit(1.0) - r2)
+                   / (F.lit(1.0) - r1 * r1) + F.lit(ROUND_EPS), 6)
+    phi2 = F.round((r2 - r1 * r1)
+                   / (F.lit(1.0) - r1 * r1) + F.lit(ROUND_EPS), 6)
+    g = g.withColumn("_p1", phi1).withColumn("_p2", phi2)
+    s1 = F.round(F.col("_m2") * (F.lit(1.0) - r1 * r1)
+                 + F.lit(1e-12), 9)
+    s2 = F.round(F.col("_m2") * (F.lit(1.0) - F.col("_p1") * r1
+                                 - F.col("_p2") * r2)
+                 + F.lit(1e-12), 9)
+    g = (g.withColumn("_s1", s1).withColumn("_s2", s2)
+         .filter((F.col("_s1") > 0) & (F.col("_s2") > 0)))
+    aic1 = _r(F.col("n_days") * F.log("_s1") + F.lit(4.0), 6)
+    aic2 = _r(F.col("n_days") * F.log("_s2") + F.lit(6.0), 6)
+    g = g.withColumn("aic_ar1", aic1).withColumn("aic_ar2", aic2)
+    return (g.select("event_type", "n_days", "aic_ar1", "aic_ar2",
+                     F.when(F.col("aic_ar2") < F.col("aic_ar1"),
+                            F.lit(2)).otherwise(F.lit(1))
+                     .alias("best_order"))
+            .orderBy("event_type"))
+
+
+def q_chow_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Chow structural-break test per event series at the series'
+    calendar midpoint — the PARAMETRIC complement of
+    `binseg_changepoint` (binseg FINDS the best split; Chow TESTS a
+    hypothesized one): fit v ~ α + β·t by OLS pooled and per regime
+    (t = days since the series' first day; split at ⌊span/2⌋), then
+    F = ((SSE_p − SSE₁ − SSE₂)/2) / ((SSE₁+SSE₂)/(n−4)). Each SSE is
+    the closed simple-regression identity Syy − Sxy²/Sxx on centered
+    sums. Scale shape: one broadcast min/max pass + one combinable
+    conditional-moment agg over the bounded daily collapse — no
+    window at all. Cross-engine: regime moment sums round at 6 dp,
+    the SSEs at 6 dp, F at 6 dp; degenerate series (a regime with
+    < 3 days or zero time-variance, n ≤ 6, or zero residual SS) are
+    excluded identically."""
+    daily = _daily_means(spark, sf)
+    span = (daily.groupBy("event_type")
+            .agg(F.min("_d").alias("_d0"), F.max("_d").alias("_d1")))
+    d = (daily.join(F.broadcast(span), "event_type")
+         .select("event_type", "_v",
+                 F.datediff(F.col("_d"), F.col("_d0"))
+                 .cast("double").alias("_t"),
+                 (F.datediff(F.col("_d"), F.col("_d0"))
+                  <= F.floor(F.datediff(F.col("_d1"), F.col("_d0"))
+                             / F.lit(2)).cast("int")).alias("_pre")))
+
+    def _sums(cond, tag):
+        return [F.sum(F.when(cond, 1).otherwise(0)).alias(f"_n{tag}"),
+                _r(F.sum(F.when(cond, F.col("_t"))), 6).alias(f"_st{tag}"),
+                _r(F.sum(F.when(cond, F.col("_v"))), 6).alias(f"_sv{tag}"),
+                _r(F.sum(F.when(cond, F.col("_t") * F.col("_t"))), 6)
+                .alias(f"_stt{tag}"),
+                _r(F.sum(F.when(cond, F.col("_t") * F.col("_v"))), 6)
+                .alias(f"_stv{tag}"),
+                _r(F.sum(F.when(cond, F.col("_v") * F.col("_v"))), 6)
+                .alias(f"_svv{tag}")]
+
+    g = d.groupBy("event_type").agg(
+        *_sums(F.lit(True), "p"), *_sums(F.col("_pre"), "1"),
+        *_sums(~F.col("_pre"), "2"))
+
+    def _sse(tag):
+        nn = F.col(f"_n{tag}").cast("double")
+        sxx = F.col(f"_stt{tag}") - F.col(f"_st{tag}") \
+            * F.col(f"_st{tag}") / nn
+        sxy = F.col(f"_stv{tag}") - F.col(f"_st{tag}") \
+            * F.col(f"_sv{tag}") / nn
+        syy = F.col(f"_svv{tag}") - F.col(f"_sv{tag}") \
+            * F.col(f"_sv{tag}") / nn
+        return sxx, _r(syy - sxy * sxy / sxx, 6)
+
+    sxx_p, sse_p = _sse("p")
+    sxx_1, sse_1 = _sse("1")
+    sxx_2, sse_2 = _sse("2")
+    g = (g.filter((F.col("_n1") >= 3) & (F.col("_n2") >= 3)
+                  & (F.col("_np") > 6))
+         .withColumn("_xp", sxx_p).withColumn("_x1", sxx_1)
+         .withColumn("_x2", sxx_2)
+         .filter((F.col("_x1") > 0) & (F.col("_x2") > 0)
+                 & (F.col("_xp") > 0))
+         .withColumn("_ssep", sse_p).withColumn("_sse1", sse_1)
+         .withColumn("_sse2", sse_2)
+         .filter((F.col("_sse1") + F.col("_sse2")) > 0))
+    f = ((F.col("_ssep") - F.col("_sse1") - F.col("_sse2")) / F.lit(2.0)) \
+        / ((F.col("_sse1") + F.col("_sse2"))
+           / (F.col("_np") - F.lit(4)))
+    return (g.select("event_type", F.col("_np").alias("n_obs"),
+                     F.col("_n1").alias("n_pre"),
+                     F.col("_n2").alias("n_post"),
+                     _r(f, 6).alias("f_stat"))
+            .orderBy("event_type"))
+
+
+def q_granger_causality(spark: SparkSession, sf: str) -> DataFrame:
+    """Lag-1 Granger causality F-test for every ORDERED series pair
+    (cause → effect) over jointly-observed days — the DIRECTIONAL
+    question `kendall_tau`'s symmetric association can't ask: does
+    yesterday's x improve today's ŷ beyond yesterday's y? Restricted
+    OLS y~[1, y₋₁] (closed simple-regression SSE) vs unrestricted
+    y~[1, y₋₁, x₋₁] (the `adf_test` exact-Cramer lane, same _det3
+    cofactor order), F = (SSE_r−SSE_u)/(SSE_u/(n−3)). Lags are over
+    the pair's JOINT day sequence (a day missing in either series
+    drops the row on both engines — the alignment IS the contract).
+    Scale shape: one self-join of the bounded daily collapse on day
+    (|series|²-bounded pair frame) + one lag window + one combinable
+    moment agg per pair. Cross-engine: moment sums at 6 dp, then
+    identical IEEE expressions; degenerate pairs (n ≤ 6, zero
+    restricted-regressor variance, |det| ≤ 1e-9, SSE_u ≤ 0) are
+    excluded identically; the NULL series is no pair member."""
+    daily = _daily_means(spark, sf).filter(
+        F.col("event_type").isNotNull())
+    a = daily.select(F.col("event_type").alias("cause"), "_d",
+                     F.col("_v").alias("_x"))
+    b = daily.select(F.col("event_type").alias("effect"), "_d",
+                     F.col("_v").alias("_y"))
+    j = a.join(b, "_d").filter(F.col("cause") != F.col("effect"))
+    w = Window.partitionBy("cause", "effect").orderBy("_d")
+    d = (j.withColumn("_yl", F.lag("_y", 1).over(w))
+         .withColumn("_xl", F.lag("_x", 1).over(w))
+         .filter(F.col("_yl").isNotNull() & F.col("_xl").isNotNull()))
+    g = (d.groupBy("cause", "effect")
+         .agg(F.count(F.lit(1)).alias("n_obs"),
+              _r(F.sum("_y"), 6).alias("_sy"),
+              _r(F.sum("_yl"), 6).alias("_s1"),
+              _r(F.sum("_xl"), 6).alias("_s2"),
+              _r(F.sum(F.col("_y") * F.col("_y")), 6).alias("_syy"),
+              _r(F.sum(F.col("_yl") * F.col("_yl")), 6).alias("_s11"),
+              _r(F.sum(F.col("_yl") * F.col("_xl")), 6).alias("_s12"),
+              _r(F.sum(F.col("_xl") * F.col("_xl")), 6).alias("_s22"),
+              _r(F.sum(F.col("_yl") * F.col("_y")), 6).alias("_b1"),
+              _r(F.sum(F.col("_xl") * F.col("_y")), 6).alias("_b2"))
+         .filter(F.col("n_obs") > 6))
+    n = F.col("n_obs").cast("double")
+    sy, s1, s2 = F.col("_sy"), F.col("_s1"), F.col("_s2")
+    syy, s11, s12, s22 = (F.col("_syy"), F.col("_s11"),
+                          F.col("_s12"), F.col("_s22"))
+    b1, b2 = F.col("_b1"), F.col("_b2")
+    den_r = s11 - s1 * s1 / n
+    g = g.withColumn("_denr", den_r).filter(F.col("_denr") > 0)
+    sse_r = (syy - sy * sy / n) \
+        - (b1 - s1 * sy / n) * (b1 - s1 * sy / n) / F.col("_denr")
+    det = _det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+    det_a = _det3(sy, s1, s2, b1, s11, s12, b2, s12, s22)
+    det_b = _det3(n, sy, s2, s1, b1, s12, s2, b2, s22)
+    det_g = _det3(n, s1, sy, s1, s11, b1, s2, s12, b2)
+    g = (g.withColumn("_sser", sse_r).withColumn("_det", det)
+         .filter(F.abs(F.col("_det")) > 1e-9)
+         .withColumn("_al", det_a / F.col("_det"))
+         .withColumn("_be", det_b / F.col("_det"))
+         .withColumn("_ga", det_g / F.col("_det")))
+    sse_u = syy - (F.col("_al") * sy + F.col("_be") * b1
+                   + F.col("_ga") * b2)
+    g = g.withColumn("_sseu", sse_u).filter(F.col("_sseu") > 0)
+    f = (F.col("_sser") - F.col("_sseu")) \
+        / (F.col("_sseu") / (F.col("n_obs") - F.lit(3)))
+    return (g.select("cause", "effect", "n_obs",
+                     _r(f, 6).alias("f_stat"))
+            .orderBy("cause", "effect"))
+
+
+def q_engle_granger(spark: SparkSession, sf: str) -> DataFrame:
+    """Engle-Granger two-step cointegration test per UNORDERED series
+    pair — the LEVELS question `granger_causality`'s difference-form
+    F-test can't ask: do the two series share a common stochastic
+    trend? Step 1: OLS y ~ α + βx over jointly-observed days (the
+    alphabetically-smaller series is x — a fixed normalization both
+    engines share). Step 2: Dickey-Fuller on the 6-dp residuals, no
+    constant, no augmentation: Δe_t = φ·e_{t−1}, t = φ/√(σ̂²/Σe²₋₁)
+    with σ̂² = SSE/(m−1), SSE = ΣΔe² − (Σe₋₁Δe)²/Σe²₋₁. Scale shape:
+    the `granger_causality` pair frame + a 10-row broadcast of the
+    fitted (α, β) back onto pair rows + one lag window over the
+    residual series. Cross-engine: step-1 moment sums at 6 dp, α/β
+    at 6 dp, each residual at 6 dp (the shared decimals step 2
+    consumes), step-2 sums at 6 dp; degenerate pairs (n ≤ 6, zero
+    x-variance, m ≤ 6, Σe²₋₁ ≤ 0, SSE ≤ 0) are excluded
+    identically; the NULL series is no pair member."""
+    daily = _daily_means(spark, sf).filter(
+        F.col("event_type").isNotNull())
+    a = daily.select(F.col("event_type").alias("series_a"), "_d",
+                     F.col("_v").alias("_x"))
+    b = daily.select(F.col("event_type").alias("series_b"), "_d",
+                     F.col("_v").alias("_y"))
+    j = a.join(b, "_d").filter(F.col("series_a") < F.col("series_b"))
+    g = (j.groupBy("series_a", "series_b")
+         .agg(F.count(F.lit(1)).alias("n_obs"),
+              _r(F.sum("_x"), 6).alias("_sx"),
+              _r(F.sum("_y"), 6).alias("_sy"),
+              _r(F.sum(F.col("_x") * F.col("_x")), 6).alias("_sxx"),
+              _r(F.sum(F.col("_x") * F.col("_y")), 6).alias("_sxy"))
+         .filter(F.col("n_obs") > 6))
+    n = F.col("n_obs").cast("double")
+    sxx_c = F.col("_sxx") - F.col("_sx") * F.col("_sx") / n
+    g = g.withColumn("_sxxc", sxx_c).filter(F.col("_sxxc") > 0)
+    beta = F.round((F.col("_sxy") - F.col("_sx") * F.col("_sy") / n)
+                   / F.col("_sxxc") + F.lit(ROUND_EPS), 6)
+    g = g.withColumn("beta", beta)
+    alpha = F.round(F.col("_sy") / n - F.col("beta") * F.col("_sx") / n
+                    + F.lit(ROUND_EPS), 6)
+    fit = g.withColumn("_alpha", alpha).select(
+        "series_a", "series_b", "n_obs", "beta", "_alpha")
+    e = (j.join(F.broadcast(fit), ["series_a", "series_b"])
+         .withColumn("_e", F.round(F.col("_y") - F.col("_alpha")
+                                   - F.col("beta") * F.col("_x")
+                                   + F.lit(ROUND_EPS), 6)))
+    w = Window.partitionBy("series_a", "series_b").orderBy("_d")
+    d = (e.withColumn("_el", F.lag("_e", 1).over(w))
+         .filter(F.col("_el").isNotNull())
+         .withColumn("_de", F.col("_e") - F.col("_el")))
+    s = (d.groupBy("series_a", "series_b", "n_obs", "beta")
+         .agg(F.count(F.lit(1)).alias("_m"),
+              _r(F.sum(F.col("_el") * F.col("_el")), 6).alias("_se2"),
+              _r(F.sum(F.col("_el") * F.col("_de")), 6).alias("_sed"),
+              _r(F.sum(F.col("_de") * F.col("_de")), 6).alias("_sd2"))
+         .filter((F.col("_m") > 6) & (F.col("_se2") > 0)))
+    sse = F.col("_sd2") - F.col("_sed") * F.col("_sed") / F.col("_se2")
+    s = s.withColumn("_sse", sse).filter(F.col("_sse") > 0)
+    phi = F.col("_sed") / F.col("_se2")
+    t = phi / F.sqrt(F.col("_sse") / (F.col("_m") - F.lit(1))
+                     / F.col("_se2"))
+    return (s.select("series_a", "series_b", "n_obs", "beta",
+                     _r(t, 6).alias("eg_t"))
+            .orderBy("series_a", "series_b"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS DELIBERATE: the driver's correctness gate checks
     the first 50 entries per round. The never-driver-checked ledger has
@@ -8089,6 +8429,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-9 new additions (newest-first rule): the
         #     econometric-diagnostics batch, then the rank-4 ALS
         #     backtest and the bounded-grain daily twins (SCALE §1n-b)
+        "engle_granger": q_engle_granger,
+        "granger_causality": q_granger_causality,
+        "chow_test": q_chow_test,
+        "aic_order_select": q_aic_order_select,
+        "adf_test": q_adf_test,
         "page_hinkley": q_page_hinkley,
         "friedman_test": q_friedman_test,
         "kruskal_wallis": q_kruskal_wallis,
@@ -16286,6 +16631,328 @@ def oracle_sql() -> dict[str, str]:
                coalesce(min(CASE WHEN phv > lam THEN d END)::VARCHAR,
                         'none') AS first_alarm
         FROM ph GROUP BY 1, 2, 3 ORDER BY 1
+    """
+
+    # ADF: the exact-Cramer lane — moment sums at 6 dp, then the SAME
+    # cofactor expansion order as the Spark _det3 helper, literally.
+    sql["adf_test"] = f"""
+        WITH {_daily_cte}, lagd AS (
+            SELECT event_type, v,
+                   lag(v, 1) OVER (PARTITION BY event_type ORDER BY d)
+                       AS l1,
+                   lag(v, 2) OVER (PARTITION BY event_type ORDER BY d)
+                       AS l2
+            FROM daily
+        ), r AS (
+            SELECT event_type, v - l1 AS z, l1 AS y, l1 - l2 AS dl
+            FROM lagd WHERE l2 IS NOT NULL
+        ), g AS (
+            SELECT event_type, count(*)::BIGINT AS n_obs,
+                   (round(sum(y) + 1e-9, 6) + 0.0) AS sy,
+                   (round(sum(dl) + 1e-9, 6) + 0.0) AS sd,
+                   (round(sum(z) + 1e-9, 6) + 0.0) AS sz,
+                   (round(sum(y * y) + 1e-9, 6) + 0.0) AS syy,
+                   (round(sum(y * dl) + 1e-9, 6) + 0.0) AS syd,
+                   (round(sum(dl * dl) + 1e-9, 6) + 0.0) AS sdd,
+                   (round(sum(y * z) + 1e-9, 6) + 0.0) AS syz,
+                   (round(sum(dl * z) + 1e-9, 6) + 0.0) AS sdz,
+                   (round(sum(z * z) + 1e-9, 6) + 0.0) AS szz
+            FROM r GROUP BY 1 HAVING count(*) > 6
+        ), dets AS (
+            SELECT *,
+                   n_obs * (syy * sdd - syd * syd)
+                     - sy * (sy * sdd - syd * sd)
+                     + sd * (sy * syd - syy * sd) AS det,
+                   sz * (syy * sdd - syd * syd)
+                     - sy * (syz * sdd - syd * sdz)
+                     + sd * (syz * syd - syy * sdz) AS det_a,
+                   n_obs * (syz * sdd - syd * sdz)
+                     - sz * (sy * sdd - syd * sd)
+                     + sd * (sy * sdz - syz * sd) AS det_b,
+                   n_obs * (syy * sdz - syz * syd)
+                     - sy * (sy * sdz - syz * sd)
+                     + sz * (sy * syd - syy * sd) AS det_g
+            FROM g
+        ), sel AS (
+            SELECT event_type, n_obs, det, sz, syz, sdz, szz, sdd, sd,
+                   det_a / det AS alpha, det_b / det AS beta,
+                   det_g / det AS gamma
+            FROM dets WHERE abs(det) > 1e-9
+        ), fin AS (
+            SELECT event_type, n_obs, beta,
+                   szz - (alpha * sz + beta * syz + gamma * sdz) AS sse,
+                   (n_obs * sdd - sd * sd) / det AS cof
+            FROM sel
+        )
+        SELECT event_type, n_obs,
+               (round(beta + 1e-9, 6) + 0.0) AS beta,
+               (round(beta / sqrt(sse / (n_obs - 3) * cof)
+                      + 1e-9, 6) + 0.0) AS adf_t
+        FROM fin WHERE sse > 0 AND cof > 0
+        ORDER BY 1
+    """
+
+    # AIC order selection: the ar2_forecast ρ/φ replay + 9-dp
+    # innovation variances before ln.
+    sql["aic_order_select"] = f"""
+        WITH {_daily_cte}, mu AS (
+            SELECT event_type, (round(avg(v) + 1e-9, 6) + 0.0) AS mu,
+                   count(*)::BIGINT AS n_days
+            FROM daily GROUP BY 1
+        ), lagd AS (
+            SELECT event_type, v,
+                   lag(v, 1) OVER (PARTITION BY event_type ORDER BY d)
+                       AS l1,
+                   lag(v, 2) OVER (PARTITION BY event_type ORDER BY d)
+                       AS l2
+            FROM daily
+        ), g AS (
+            SELECT l.event_type, n_days,
+                   sum((v - mu) * (v - mu)) AS den,
+                   sum((v - mu) * (l1 - mu)) AS n1,
+                   sum((v - mu) * (l2 - mu)) AS n2
+            FROM lagd l JOIN mu USING (event_type)
+            GROUP BY 1, 2
+            HAVING n_days > 4 AND sum((v - mu) * (v - mu)) > 0
+        ), rho AS (
+            SELECT event_type, n_days,
+                   (round(den / n_days + 1e-9, 6) + 0.0) AS m2,
+                   (round(n1 / den + 1e-9, 6) + 0.0) AS r1,
+                   (round(n2 / den + 1e-9, 6) + 0.0) AS r2
+            FROM g
+        ), ok AS (
+            SELECT * FROM rho WHERE m2 > 0 AND 1.0 - r1 * r1 <> 0
+        ), phi AS (
+            SELECT *,
+                   (round(r1 * (1.0 - r2) / (1.0 - r1 * r1)
+                          + 1e-9, 6) + 0.0) AS p1,
+                   (round((r2 - r1 * r1) / (1.0 - r1 * r1)
+                          + 1e-9, 6) + 0.0) AS p2
+            FROM ok
+        ), sig AS (
+            SELECT *,
+                   (round(m2 * (1.0 - r1 * r1) + 1e-12, 9) + 0.0) AS s1,
+                   (round(m2 * (1.0 - p1 * r1 - p2 * r2)
+                          + 1e-12, 9) + 0.0) AS s2
+            FROM phi
+        ), aic AS (
+            SELECT event_type, n_days,
+                   (round(n_days * ln(s1) + 4.0 + 1e-9, 6) + 0.0)
+                       AS aic_ar1,
+                   (round(n_days * ln(s2) + 6.0 + 1e-9, 6) + 0.0)
+                       AS aic_ar2
+            FROM sig WHERE s1 > 0 AND s2 > 0
+        )
+        SELECT event_type, n_days, aic_ar1, aic_ar2,
+               CASE WHEN aic_ar2 < aic_ar1 THEN 2 ELSE 1 END
+                   AS best_order
+        FROM aic ORDER BY 1
+    """
+
+    # Chow: per-regime centered moment sums at 6 dp; SSE via the
+    # simple-regression identity; split at the calendar midpoint.
+    sql["chow_test"] = f"""
+        WITH {_daily_cte}, span AS (
+            SELECT event_type, min(d) AS d0, max(d) AS d1
+            FROM daily GROUP BY 1
+        ), tt AS (
+            SELECT daily.event_type, v,
+                   date_diff('day', d0, daily.d)::DOUBLE AS t,
+                   date_diff('day', d0, daily.d)
+                     <= CAST(floor(date_diff('day', d0, d1) / 2)
+                             AS INT) AS pre
+            FROM daily JOIN span USING (event_type)
+        ), g AS (
+            SELECT event_type,
+                   count(*)::BIGINT AS np,
+                   (round(sum(t) + 1e-9, 6) + 0.0) AS stp,
+                   (round(sum(v) + 1e-9, 6) + 0.0) AS svp,
+                   (round(sum(t * t) + 1e-9, 6) + 0.0) AS sttp,
+                   (round(sum(t * v) + 1e-9, 6) + 0.0) AS stvp,
+                   (round(sum(v * v) + 1e-9, 6) + 0.0) AS svvp,
+                   sum(CASE WHEN pre THEN 1 ELSE 0 END)::BIGINT AS n1,
+                   (round(sum(CASE WHEN pre THEN t END) + 1e-9, 6)
+                    + 0.0) AS st1,
+                   (round(sum(CASE WHEN pre THEN v END) + 1e-9, 6)
+                    + 0.0) AS sv1,
+                   (round(sum(CASE WHEN pre THEN t * t END) + 1e-9, 6)
+                    + 0.0) AS stt1,
+                   (round(sum(CASE WHEN pre THEN t * v END) + 1e-9, 6)
+                    + 0.0) AS stv1,
+                   (round(sum(CASE WHEN pre THEN v * v END) + 1e-9, 6)
+                    + 0.0) AS svv1,
+                   sum(CASE WHEN NOT pre THEN 1 ELSE 0 END)::BIGINT
+                       AS n2,
+                   (round(sum(CASE WHEN NOT pre THEN t END) + 1e-9, 6)
+                    + 0.0) AS st2,
+                   (round(sum(CASE WHEN NOT pre THEN v END) + 1e-9, 6)
+                    + 0.0) AS sv2,
+                   (round(sum(CASE WHEN NOT pre THEN t * t END)
+                          + 1e-9, 6) + 0.0) AS stt2,
+                   (round(sum(CASE WHEN NOT pre THEN t * v END)
+                          + 1e-9, 6) + 0.0) AS stv2,
+                   (round(sum(CASE WHEN NOT pre THEN v * v END)
+                          + 1e-9, 6) + 0.0) AS svv2
+            FROM tt GROUP BY 1
+        ), x AS (
+            SELECT *,
+                   sttp - stp * stp / np AS xp,
+                   stt1 - st1 * st1 / n1 AS x1,
+                   stt2 - st2 * st2 / n2 AS x2
+            FROM g WHERE n1 >= 3 AND n2 >= 3 AND np > 6
+        ), sse AS (
+            SELECT *,
+                   (round((svvp - svp * svp / np)
+                          - (stvp - stp * svp / np)
+                            * (stvp - stp * svp / np) / xp
+                          + 1e-9, 6) + 0.0) AS ssep,
+                   (round((svv1 - sv1 * sv1 / n1)
+                          - (stv1 - st1 * sv1 / n1)
+                            * (stv1 - st1 * sv1 / n1) / x1
+                          + 1e-9, 6) + 0.0) AS sse1,
+                   (round((svv2 - sv2 * sv2 / n2)
+                          - (stv2 - st2 * sv2 / n2)
+                            * (stv2 - st2 * sv2 / n2) / x2
+                          + 1e-9, 6) + 0.0) AS sse2
+            FROM x WHERE x1 > 0 AND x2 > 0 AND xp > 0
+        )
+        SELECT event_type, np AS n_obs, n1 AS n_pre, n2 AS n_post,
+               (round(((ssep - sse1 - sse2) / 2.0)
+                      / ((sse1 + sse2) / (np - 4)) + 1e-9, 6) + 0.0)
+                   AS f_stat
+        FROM sse WHERE (sse1 + sse2) > 0
+        ORDER BY 1
+    """
+
+    # Granger: restricted SSE via the simple-regression identity,
+    # unrestricted via the same _det3 cofactor order as adf_test.
+    sql["granger_causality"] = f"""
+        WITH {_daily_cte}, dnn AS (
+            SELECT event_type, d, v FROM daily
+            WHERE event_type IS NOT NULL
+        ), j AS (
+            SELECT a.event_type AS cause, b.event_type AS effect,
+                   a.d, a.v AS x, b.v AS y
+            FROM dnn a JOIN dnn b USING (d)
+            WHERE a.event_type <> b.event_type
+        ), lagd AS (
+            SELECT cause, effect, y,
+                   lag(y, 1) OVER (PARTITION BY cause, effect
+                                   ORDER BY d) AS yl,
+                   lag(x, 1) OVER (PARTITION BY cause, effect
+                                   ORDER BY d) AS xl
+            FROM j
+        ), r AS (
+            SELECT * FROM lagd WHERE yl IS NOT NULL AND xl IS NOT NULL
+        ), g AS (
+            SELECT cause, effect, count(*)::BIGINT AS n_obs,
+                   (round(sum(y) + 1e-9, 6) + 0.0) AS sy,
+                   (round(sum(yl) + 1e-9, 6) + 0.0) AS s1,
+                   (round(sum(xl) + 1e-9, 6) + 0.0) AS s2,
+                   (round(sum(y * y) + 1e-9, 6) + 0.0) AS syy,
+                   (round(sum(yl * yl) + 1e-9, 6) + 0.0) AS s11,
+                   (round(sum(yl * xl) + 1e-9, 6) + 0.0) AS s12,
+                   (round(sum(xl * xl) + 1e-9, 6) + 0.0) AS s22,
+                   (round(sum(yl * y) + 1e-9, 6) + 0.0) AS b1,
+                   (round(sum(xl * y) + 1e-9, 6) + 0.0) AS b2
+            FROM r GROUP BY 1, 2 HAVING count(*) > 6
+        ), dr AS (
+            SELECT *, s11 - s1 * s1 / n_obs AS denr FROM g
+        ), dets AS (
+            SELECT *,
+                   (syy - sy * sy / n_obs)
+                     - (b1 - s1 * sy / n_obs)
+                       * (b1 - s1 * sy / n_obs) / denr AS sser,
+                   n_obs * (s11 * s22 - s12 * s12)
+                     - s1 * (s1 * s22 - s12 * s2)
+                     + s2 * (s1 * s12 - s11 * s2) AS det,
+                   sy * (s11 * s22 - s12 * s12)
+                     - s1 * (b1 * s22 - s12 * b2)
+                     + s2 * (b1 * s12 - s11 * b2) AS det_a,
+                   n_obs * (b1 * s22 - s12 * b2)
+                     - sy * (s1 * s22 - s12 * s2)
+                     + s2 * (s1 * b2 - b1 * s2) AS det_b,
+                   n_obs * (s11 * b2 - b1 * s12)
+                     - s1 * (s1 * b2 - b1 * s2)
+                     + sy * (s1 * s12 - s11 * s2) AS det_g
+            FROM dr WHERE denr > 0
+        ), sol AS (
+            SELECT cause, effect, n_obs, sser, sy, b1, b2, syy,
+                   det_a / det AS al, det_b / det AS be,
+                   det_g / det AS ga
+            FROM dets WHERE abs(det) > 1e-9
+        ), fin AS (
+            SELECT cause, effect, n_obs, sser,
+                   syy - (al * sy + be * b1 + ga * b2) AS sseu
+            FROM sol
+        )
+        SELECT cause, effect, n_obs,
+               (round((sser - sseu) / (sseu / (n_obs - 3))
+                      + 1e-9, 6) + 0.0) AS f_stat
+        FROM fin WHERE sseu > 0
+        ORDER BY 1, 2
+    """
+
+    # Engle-Granger: step-1 OLS at 6 dp, residuals at 6 dp (the
+    # shared decimals), step-2 no-constant DF on the residuals.
+    sql["engle_granger"] = f"""
+        WITH {_daily_cte}, dnn AS (
+            SELECT event_type, d, v FROM daily
+            WHERE event_type IS NOT NULL
+        ), j AS (
+            SELECT a.event_type AS series_a, b.event_type AS series_b,
+                   a.d, a.v AS x, b.v AS y
+            FROM dnn a JOIN dnn b USING (d)
+            WHERE a.event_type < b.event_type
+        ), g AS (
+            SELECT series_a, series_b, count(*)::BIGINT AS n_obs,
+                   (round(sum(x) + 1e-9, 6) + 0.0) AS sx,
+                   (round(sum(y) + 1e-9, 6) + 0.0) AS sy,
+                   (round(sum(x * x) + 1e-9, 6) + 0.0) AS sxx,
+                   (round(sum(x * y) + 1e-9, 6) + 0.0) AS sxy
+            FROM j GROUP BY 1, 2 HAVING count(*) > 6
+        ), fit0 AS (
+            SELECT *, sxx - sx * sx / n_obs AS sxxc FROM g
+        ), fit1 AS (
+            SELECT series_a, series_b, n_obs, sx,
+                   (round((sxy - sx * sy / n_obs) / sxxc + 1e-9, 6)
+                    + 0.0) AS beta, sy
+            FROM fit0 WHERE sxxc > 0
+        ), fit AS (
+            SELECT series_a, series_b, n_obs, beta,
+                   (round(sy / n_obs - beta * sx / n_obs + 1e-9, 6)
+                    + 0.0) AS alpha
+            FROM fit1
+        ), e AS (
+            SELECT j.series_a, j.series_b, j.d, n_obs, beta,
+                   (round(y - alpha - beta * x + 1e-9, 6) + 0.0) AS ev
+            FROM j JOIN fit USING (series_a, series_b)
+        ), lagd AS (
+            SELECT series_a, series_b, n_obs, beta, ev,
+                   lag(ev, 1) OVER (PARTITION BY series_a, series_b
+                                    ORDER BY d) AS el
+            FROM e
+        ), s AS (
+            SELECT series_a, series_b, n_obs, beta,
+                   count(*)::BIGINT AS m,
+                   (round(sum(el * el) + 1e-9, 6) + 0.0) AS se2,
+                   (round(sum(el * (ev - el)) + 1e-9, 6) + 0.0)
+                       AS sed,
+                   (round(sum((ev - el) * (ev - el)) + 1e-9, 6) + 0.0)
+                       AS sd2
+            FROM lagd WHERE el IS NOT NULL
+            GROUP BY 1, 2, 3, 4
+            HAVING count(*) > 6
+               AND (round(sum(el * el) + 1e-9, 6) + 0.0) > 0
+        ), fin AS (
+            SELECT *, sd2 - sed * sed / se2 AS sse FROM s
+        )
+        SELECT series_a, series_b, n_obs, beta,
+               (round((sed / se2)
+                      / sqrt(sse / (m - 1) / se2) + 1e-9, 6) + 0.0)
+                   AS eg_t
+        FROM fin WHERE sse > 0
+        ORDER BY 1, 2
     """
 
     # binary-segmentation changepoint: prefix sums over 6-dp daily

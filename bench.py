@@ -241,7 +241,9 @@ def main() -> None:
                  "ljung_box_daily", "runs_test_daily",
                  "mann_whitney_daily", "cvm_drift_daily", "hurst_daily",
                  "jarque_bera", "welch_ttest", "kruskal_wallis",
-                 "friedman_test", "page_hinkley"):
+                 "friedman_test", "page_hinkley", "adf_test",
+                 "aic_order_select", "chow_test", "granger_causality",
+                 "engle_granger"):
         r9[name] = timed(name)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
