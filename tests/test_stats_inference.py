@@ -289,3 +289,277 @@ def test_erfc_polynomial_monotone_decreasing(a, b):
     lo, hi = sorted((a, b))
     # monotonicity up to the approximation error band
     assert _erfc_as(hi) <= _erfc_as(lo) + 3e-7
+
+
+# ---------------------------------------------------------------------------
+# Round-9 econometrics batch: registry queries driven end-to-end over
+# synthetic events (one event per (series, day) so the daily-mean
+# collapse is the identity and closed-form expectations hold exactly),
+# plus numpy cross-checks of the Cramer/SSE algebra.
+# ---------------------------------------------------------------------------
+
+def _events_dir(tmp_path, series_values):
+    """Write an events.parquet where series_values maps
+    series -> [v_0, v_1, ...] (one event per consecutive day)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    tmp_path.mkdir(parents=True, exist_ok=True)
+    rows = []
+    eid = 0
+    for name, vals in series_values.items():
+        for i, v in enumerate(vals):
+            rows.append((eid, eid % 7,
+                         dt.datetime(2024, 1, 1) + dt.timedelta(days=i),
+                         name, float(v)))
+            eid += 1
+    pd.DataFrame(rows, columns=[
+        "event_id", "user_id", "ts", "event_type", "value"]).to_parquet(
+        str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def _noise(i, scale=1.0):
+    """Deterministic hash-noise in (-scale, scale)."""
+    import math
+
+    return scale * (math.sin(i * 12.9898 + 0.5) * 43758.5453 % 2.0 - 1.0)
+
+
+def test_kruskal_wallis_rank_invariance_and_separation(spark, tmp_path):
+    """Perfectly separated groups push H toward its maximum, and a
+    strictly monotone transform of the values leaves H exactly
+    unchanged (ranks see only order)."""
+    import __spark_entry__ as em
+
+    base = {g: [10.0 * k + i * 0.1 for i in range(12)]
+            for k, g in enumerate(["a", "b", "c"])}
+    d1 = _events_dir(tmp_path / "raw", base)
+    cubed = {g: [v ** 3 for v in vs] for g, vs in base.items()}
+    d2 = _events_dir(tmp_path / "cubed", cubed)
+    q = em.queries()["kruskal_wallis"]
+    r1 = q(spark, d1).collect()[0]
+    r2 = q(spark, d2).collect()[0]
+    assert r1["h_stat"] == r2["h_stat"]
+    # df = 2 critical value at 0.01 is 9.21; separation blows past it
+    assert r1["h_stat"] > 9.21
+    assert r1["n_obs"] == 36 and r1["k_groups"] == 3
+
+
+def test_friedman_exact_chi2_and_blocked_confounder(spark, tmp_path):
+    """Series ordered identically within EVERY day: within-day ranks
+    are (1,2,3) always, so χ²_F = 2n exactly — even when shared
+    day-level shocks dwarf the offsets (the confounder Friedman
+    blocks away; the same shocks drive pooled-rank KW toward 0)."""
+    import __spark_entry__ as em
+
+    n = 15
+    shocks = [100.0 * _noise(i) for i in range(n)]
+    data = {g: [shocks[i] + k for i in range(n)]
+            for k, g in enumerate(["a", "b", "c"])}
+    d = _events_dir(tmp_path, data)
+    fr = em.queries()["friedman_test"](spark, d).collect()[0]
+    assert fr["n_blocks"] == n and fr["k_groups"] == 3
+    assert abs(fr["chi2_f"] - 2.0 * n) < 1e-6
+    kw = em.queries()["kruskal_wallis"](spark, d).collect()[0]
+    # pooled ranks are shock-dominated: far below the df=2 critical
+    assert kw["h_stat"] < 4.0
+
+
+def test_adf_mean_reverting_vs_random_walk(spark, tmp_path):
+    """Pure noise rejects the unit root hard (t << 0); its cumulative
+    sum (a 'random' walk on the same increments) does not."""
+    import __spark_entry__ as em
+
+    incs = [_noise(i) for i in range(40)]
+    walk = []
+    acc = 0.0
+    for x in incs:
+        acc += x
+        walk.append(acc)
+    d = _events_dir(tmp_path, {"noise": incs, "walk": walk})
+    rows = {r["event_type"]: r
+            for r in em.queries()["adf_test"](spark, d).collect()}
+    assert rows["noise"]["adf_t"] < -3.0
+    assert rows["walk"]["adf_t"] > -2.5
+    assert rows["noise"]["adf_t"] < rows["walk"]["adf_t"]
+
+
+def test_adf_matches_numpy_lstsq(spark, tmp_path):
+    """The Cramer solve + cofactor SE against numpy OLS on the same
+    daily sequence (tolerance covers the query's 6-dp sum rounding)."""
+    import numpy as np
+
+    import __spark_entry__ as em
+
+    vals = [round(5.0 + _noise(i, 2.0) + 0.3 * _noise(i + 99), 6)
+            for i in range(30)]
+    d = _events_dir(tmp_path, {"s": vals})
+    got = em.queries()["adf_test"](spark, d).collect()[0]
+    v = np.array(vals)
+    z = np.diff(v)[1:]                    # Δv_t, t = 2..n
+    y = v[1:-1]                           # v_{t-1}
+    dl = np.diff(v)[:-1]                  # Δv_{t-1}
+    X = np.column_stack([np.ones_like(y), y, dl])
+    coef, *_ = np.linalg.lstsq(X, z, rcond=None)
+    resid = z - X @ coef
+    sse = float(resid @ resid)
+    sigma2 = sse / (len(z) - 3)
+    cov = sigma2 * np.linalg.inv(X.T @ X)
+    t_ref = coef[1] / np.sqrt(cov[1, 1])
+    assert abs(got["beta"] - coef[1]) < 1e-3
+    assert abs(got["adf_t"] - t_ref) < 1e-3
+
+
+def test_granger_detects_lagged_driver_direction(spark, tmp_path):
+    """y_t = x_{t-1} + tiny noise: x Granger-causes y massively; the
+    reverse direction explains (almost) nothing."""
+    import __spark_entry__ as em
+
+    x = [_noise(i, 5.0) for i in range(40)]
+    y = [x[i - 1] + 0.01 * _noise(i + 7) if i else 0.0
+         for i in range(40)]
+    d = _events_dir(tmp_path, {"x": x, "y": y})
+    rows = {(r["cause"], r["effect"]): r["f_stat"]
+            for r in em.queries()["granger_causality"](spark, d).collect()}
+    assert rows[("x", "y")] > 50.0
+    assert rows[("x", "y")] > 10.0 * max(rows[("y", "x")], 1.0)
+
+
+def test_chow_detects_slope_break(spark, tmp_path):
+    """Slope doubles at the midpoint -> F explodes; a stable noisy
+    line stays below any conventional critical value."""
+    import __spark_entry__ as em
+
+    n, half = 30, 14
+    broken = [1.0 * i + 0.05 * _noise(i) if i <= half
+              else 1.0 * half + 3.0 * (i - half) + 0.05 * _noise(i)
+              for i in range(n)]
+    stable = [1.0 * i + 0.05 * _noise(i + 333) for i in range(n)]
+    d = _events_dir(tmp_path, {"brk": broken, "ok": stable})
+    rows = {r["event_type"]: r
+            for r in em.queries()["chow_test"](spark, d).collect()}
+    assert rows["brk"]["f_stat"] > 50.0
+    assert rows["ok"]["f_stat"] < 5.0
+    assert rows["brk"]["n_pre"] == half + 1
+
+
+def test_welch_matches_numpy(spark, tmp_path):
+    """Welch t and Satterthwaite df against the numpy formulas on the
+    per-arm daily means the query itself builds (events carry
+    user_id = eid % 7, so arms interleave deterministically)."""
+    import datetime as dt
+
+    import numpy as np
+    import pandas as pd
+
+    import __spark_entry__ as em
+
+    rows = []
+    for i in range(60):
+        rows.append((i, i % 7,
+                     dt.datetime(2024, 1, 1) + dt.timedelta(days=i % 20,
+                                                            hours=i // 20),
+                     "s", 10.0 + _noise(i, 3.0) + (i % 2)))
+    pd.DataFrame(rows, columns=[
+        "event_id", "user_id", "ts", "event_type", "value"]).to_parquet(
+        str(tmp_path / "events.parquet"))
+    got = em.queries()["welch_ttest"](spark, str(tmp_path)).collect()[0]
+    df = pd.DataFrame(rows, columns=[
+        "event_id", "user_id", "ts", "event_type", "value"])
+    df["arm"] = df["user_id"] % 2
+    df["d"] = df["ts"].dt.date
+    daily = (df.groupby(["arm", "d"])["value"].mean()
+             .round(6).reset_index())
+    a = daily[daily.arm == 0]["value"].to_numpy()
+    b = daily[daily.arm == 1]["value"].to_numpy()
+    va, vb = a.var(ddof=1) / len(a), b.var(ddof=1) / len(b)
+    t_ref = (a.mean() - b.mean()) / np.sqrt(va + vb)
+    df_ref = (va + vb) ** 2 / (va ** 2 / (len(a) - 1)
+                               + vb ** 2 / (len(b) - 1))
+    assert got["n_a"] == len(a) and got["n_b"] == len(b)
+    assert abs(got["t_stat"] - t_ref) < 1e-3
+    assert abs(got["welch_df"] - df_ref) < 1e-2
+
+
+def test_jarque_bera_matches_numpy_moments(spark, tmp_path):
+    """Skew/kurtosis/JB against numpy population moments; a skewed
+    series scores far above a symmetric one."""
+    import numpy as np
+
+    import __spark_entry__ as em
+
+    sym = [round(_noise(i, 2.0), 6) for i in range(30)]
+    skw = [round(abs(_noise(i, 2.0)) ** 2, 6) for i in range(30)]
+    d = _events_dir(tmp_path, {"sym": sym, "skw": skw})
+    rows = {r["event_type"]: r
+            for r in em.queries()["jarque_bera"](spark, d).collect()}
+    v = np.array(skw)
+    c = v - round(v.mean(), 6)
+    m2, m3, m4 = (c ** 2).mean(), (c ** 3).mean(), (c ** 4).mean()
+    skew_ref = m3 / m2 ** 1.5
+    kurt_ref = m4 / m2 ** 2
+    jb_ref = 30 / 6 * (skew_ref ** 2 + (kurt_ref - 3) ** 2 / 4)
+    assert abs(rows["skw"]["skewness"] - skew_ref) < 1e-3
+    assert abs(rows["skw"]["kurtosis"] - kurt_ref) < 1e-3
+    assert abs(rows["skw"]["jb_stat"] - jb_ref) < 1e-2
+    assert rows["skw"]["jb_stat"] > rows["sym"]["jb_stat"]
+
+
+def test_page_hinkley_flags_level_shift_only(spark, tmp_path):
+    """A +8σ-ish level shift raises an alarm at (or just after) the
+    shift day; the same series without the shift never crosses 3σ."""
+    import __spark_entry__ as em
+
+    # strictly alternating +-0.5: zero drift by construction, so the
+    # cumulative PH excursion is bounded by one step and never nears
+    # the 3-sigma threshold (hash-noise carries slow drift that DOES
+    # alarm a running-mean detector -- measured, hence this shape)
+    flat = [10.0 + (0.5 if i % 2 == 0 else -0.5) for i in range(40)]
+    shifted = flat[:20] + [v + 15.0 for v in flat[20:]]
+    d = _events_dir(tmp_path, {"flat": flat, "shift": shifted})
+    rows = {r["event_type"]: r
+            for r in em.queries()["page_hinkley"](spark, d).collect()}
+    assert rows["flat"]["n_alarms"] == 0
+    assert rows["flat"]["first_alarm"] == "none"
+    assert rows["shift"]["n_alarms"] >= 1
+    assert rows["shift"]["first_alarm"] >= "2024-01-21"
+
+
+def test_engle_granger_cointegrated_vs_independent(spark, tmp_path):
+    """y = 2x + stationary noise is cointegrated with x (residual DF
+    t << 0); two independent walks are not (t near 0)."""
+    import __spark_entry__ as em
+
+    acc1 = acc2 = 0.0
+    w1, w2 = [], []
+    for i in range(40):
+        acc1 += _noise(i, 2.0)
+        acc2 += _noise(i + 1000, 2.0)
+        w1.append(acc1)
+        w2.append(acc2)
+    coint = [2.0 * w1[i] + _noise(i + 55, 0.5) for i in range(40)]
+    d = _events_dir(tmp_path, {"a_x": w1, "b_y": coint, "c_w": w2})
+    rows = {(r["series_a"], r["series_b"]): r
+            for r in em.queries()["engle_granger"](spark, d).collect()}
+    assert rows[("a_x", "b_y")]["eg_t"] < -4.0
+    assert abs(rows[("a_x", "b_y")]["beta"] - 2.0) < 0.1
+    assert rows[("a_x", "c_w")]["eg_t"] > -3.0
+
+
+def test_aic_prefers_ar2_when_pacf2_is_real(spark, tmp_path):
+    """An AR(2) generator with a strong φ₂ beats AR(1) on AIC; a pure
+    AR(1) generator keeps order 1 (the extra parameter costs 2)."""
+    import __spark_entry__ as em
+
+    ar2, ar1 = [1.0, 1.0], [1.0]
+    for i in range(60):
+        ar2.append(1.2 * ar2[-1] - 0.6 * ar2[-2] + _noise(i, 1.0))
+        ar1.append(0.5 * ar1[-1] + _noise(i + 500, 1.0))
+    d = _events_dir(tmp_path, {"two": ar2, "one": ar1})
+    rows = {r["event_type"]: r
+            for r in em.queries()["aic_order_select"](spark, d).collect()}
+    assert rows["two"]["best_order"] == 2
+    assert rows["two"]["aic_ar2"] < rows["two"]["aic_ar1"]
+    assert rows["one"]["best_order"] == 1
