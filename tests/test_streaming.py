@@ -1263,3 +1263,100 @@ def test_als_sink_batch_stream_equivalence_and_replay(spark, sf_dir, tmp_path):
     after = sorted((r["c"], r["s"], r["n"]) for r in
                    spark.read.parquet(f"{state}/state_batch=2").collect())
     assert before == after
+
+
+def test_page_hinkley_stream_matches_batch_query(spark):
+    """The streaming PH monitor must reproduce the `page_hinkley`
+    registry query's readout EXACTLY on a replayed daily sequence —
+    same rounding law in the same dependency order — with state
+    bridging micro-batch boundaries, and must stay flat for keys
+    absent from the frozen params (the cusum_stream contract)."""
+    import math
+
+    import __spark_entry__ as em
+
+    def r6(x):
+        y = (x + 1e-9) * 1e6
+        return (math.floor(y + 0.5) if y >= 0 else math.ceil(y - 0.5)) / 1e6
+
+    d = tempfile.mkdtemp(prefix="stream_ph_")
+    try:
+        vals = [round(10.0 + (0.4 if i % 2 == 0 else -0.4), 6)
+                for i in range(18)]
+        vals += [round(v + 12.0, 6) for v in vals[:12]]   # level shift
+        base = pd.Timestamp("2024-03-01")
+        pdf = pd.DataFrame({
+            "ts": [base + pd.Timedelta(days=i) for i in range(len(vals))],
+            "event_type": "kiln", "value": vals})
+        # batch side: the registry query over the same sequence
+        bdir = tempfile.mkdtemp(prefix="stream_ph_batch_")
+        pdf.assign(event_id=range(len(vals)),
+                   user_id=[i % 5 for i in range(len(vals))]) \
+            .to_parquet(f"{bdir}/events.parquet")
+        batch = em.queries()["page_hinkley"](spark, bdir).collect()[0]
+
+        # frozen params exactly as the batch query derives them
+        import numpy as np
+        sd = r6(float(np.sqrt(np.mean((np.array(vals)
+                                       - np.mean(vals)) ** 2))))
+        delta, lam = r6(sd * 0.05), r6(sd * 3.0)
+        assert lam == batch["threshold"]
+
+        for i, (lo, hi) in enumerate(((0, 10), (10, 20), (20, 30))):
+            spark.createDataFrame(pdf.iloc[lo:hi], schema=SCHEMA) \
+                .coalesce(1).write.mode("overwrite").parquet(f"{d}/f{i}")
+        src = SJ.stream_source(spark, f"{d}/*", SCHEMA,
+                               max_files_per_trigger=1)
+        ph = SJ.page_hinkley_stream(src, {"kiln": (delta, lam)})
+        q = (ph.writeStream.format("memory").queryName("ph_sink")
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM ph_sink").toPandas() \
+            .sort_values("ts").reset_index(drop=True)
+
+        # sequential reference = the batch recursion, literally
+        n = s = m = 0.0
+        minm = 0.0
+        ref = []
+        for i, v in enumerate(vals):
+            n += 1
+            s += v
+            mbar = r6(s / n)
+            term = r6(v - mbar - delta)
+            m += term
+            m_t = r6(m)
+            minm = m_t if i == 0 else min(minm, m_t)
+            ref.append((mbar, r6(m_t - minm)))
+        for i, (mbar, phv) in enumerate(ref):
+            assert got["mbar"][i] == mbar, f"row {i}"
+            assert got["ph"][i] == phv, f"row {i}"
+
+        # readout aggregates == the batch registry row, exactly
+        assert got["ph"].max() == batch["max_ph"]
+        assert int(got["alarm"].sum()) == batch["n_alarms"]
+        first = got.loc[got["alarm"] == 1, "ts"].min()
+        assert str(first.date()) == batch["first_alarm"]
+        assert batch["n_alarms"] >= 1   # the shift actually alarms
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_page_hinkley_stream_unknown_key_is_flat(spark):
+    """Keys absent from the frozen params emit ph = 0 / no alarm."""
+    d = tempfile.mkdtemp(prefix="stream_ph_u_")
+    try:
+        base = pd.Timestamp("2024-03-01")
+        pdf = pd.DataFrame({
+            "ts": [base + pd.Timedelta(days=i) for i in range(4)],
+            "event_type": "ghost", "value": [1.0, 99.0, -50.0, 7.0]})
+        spark.createDataFrame(pdf, schema=SCHEMA).coalesce(1) \
+            .write.mode("overwrite").parquet(f"{d}/f0")
+        src = SJ.stream_source(spark, f"{d}/*", SCHEMA)
+        ph = SJ.page_hinkley_stream(src, {"kiln": (0.01, 1.0)})
+        q = (ph.writeStream.format("memory").queryName("ph_sink_u")
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM ph_sink_u").toPandas()
+        assert (got["ph"] == 0.0).all() and (got["alarm"] == 0).all()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

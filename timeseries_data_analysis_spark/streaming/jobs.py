@@ -229,6 +229,77 @@ def cusum_stream(events: DataFrame, baseline: dict,
                                     "update", GroupStateTimeout.NoTimeout))
 
 
+def page_hinkley_stream(events: DataFrame, params: dict,
+                        key_col: str = "event_type", ts_col: str = "ts",
+                        value_col: str = "value") -> DataFrame:
+    """Streaming Page-Hinkley mean-drift monitor via
+    ``applyInPandasWithState`` — the online twin of the
+    ``page_hinkley`` registry query (which is the point of PH: it is
+    a SEQUENTIAL detector; the batch form replays it, this runs it
+    live).
+
+    ``params`` maps key → (δ, λ): the batch query derives δ = 0.05σ,
+    λ = 3σ at fit time from the series' own spread; the monitor takes
+    them FROZEN (the ``cusum_stream`` posture — estimating σ from the
+    monitored stream would let drift recalibrate its own alarm away).
+    Per-key state is (n, Σv, exact cumulative m, running min of the
+    ROUNDED m) — four scalars, O(keys) total regardless of stream
+    length. Every emitted statistic applies the batch op's exact
+    rounding law (HALF_UP at 6 dp after the +1e-9 nudge, the repo's
+    single rounding law) in the same dependency order — prefix mean,
+    increment, cumulative sum, PH — so a replayed stream reproduces
+    the batch query's per-row columns bit-for-bit and the readout
+    aggregates (max_ph, n_alarms, first alarm) match exactly
+    (test-pinned). Keys absent from ``params`` or with λ ≤ 0 emit a
+    flat statistic (ph = 0, no alarm) without touching state — the
+    ``cusum_stream`` unknown-key contract. Rows within a micro-batch
+    are sorted by ``ts``; cross-batch order follows stream arrival.
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def _r6(x: float) -> float:
+        # F.round(x + 1e-9, 6) twin: HALF_UP away from zero; the nudge
+        # keeps exact-half decimals off the boundary on both engines
+        y = (x + 1e-9) * 1e6
+        return (math.floor(y + 0.5) if y >= 0
+                else math.ceil(y - 0.5)) / 1e6
+
+    out_schema = (f"{ts_col} timestamp, {key_col} string, "
+                  f"mbar double, ph double, alarm int")
+    state_schema = "n bigint, s double, m double, minm double"
+
+    def fn(key, pdfs, state):
+        n, s, m, minm = state.get if state.exists else (0, 0.0, 0.0, 0.0)
+        delta, lam = params.get(key[0], (0.0, 0.0))
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for ts, v in zip(pdf[ts_col], pdf[value_col]):
+                if lam <= 0 or v is None or v != v:
+                    rows.append((ts, key[0], 0.0, 0.0, 0))
+                    continue
+                n += 1
+                s += float(v)
+                mbar = _r6(s / n)
+                term = _r6(float(v) - mbar - delta)
+                m += term
+                m_t = _r6(m)
+                minm = m_t if n == 1 else min(minm, m_t)
+                ph = _r6(m_t - minm)
+                rows.append((ts, key[0], mbar, ph,
+                             1 if ph > lam else 0))
+        state.update((n, s, m, minm))
+        yield pd.DataFrame(rows, columns=[ts_col, key_col, "mbar",
+                                          "ph", "alarm"])
+
+    return (events.groupBy(key_col)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
 def session_window_rollup(events: DataFrame, gap: str = "30 minutes",
                           ts_col: str = "ts", key_col: str = "user_id",
                           value_col: str = "value",
