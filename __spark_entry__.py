@@ -8414,6 +8414,242 @@ def q_engle_granger(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("series_a", "series_b"))
 
 
+def q_dunn_posthoc(spark: SparkSession, sf: str) -> DataFrame:
+    """Dunn's post-hoc pairwise test — the step AFTER `kruskal_wallis`
+    rejects (KW says "some series differ"; Dunn says WHICH pairs):
+    on the same pooled joint average ranks, z_ij = (r̄_i − r̄_j) /
+    √[(N(N+1)/12 − Σ(t³−t)/(12(N−1)))·(1/n_i + 1/n_j)], two-sided p
+    from the repo's shared literal-Horner erfc (`ST.two_sided_p`, the
+    `bh_fdr` lane — coefficients injected as identical literals in
+    the SQL oracle). Scale shape: the `kruskal_wallis` collapse +
+    rank window, then a |series|²-bounded self-join — nothing
+    fact-sized past the collapse. Cross-engine: mean ranks round at
+    6 dp, z at 6 dp BEFORE the p polynomial, p at 6 dp; the NULL
+    series is no group; N ≤ 1 and zero-variance pools are excluded
+    identically."""
+    daily = _daily_means(spark, sf).filter(
+        F.col("event_type").isNotNull())
+    w = Window.partitionBy(F.lit(1)).orderBy("_v")
+    wv = Window.partitionBy("_v")
+    ranked = daily.withColumn(
+        "_ar", F.rank().over(w)
+        + (F.count(F.lit(1)).over(wv) - F.lit(1)) / F.lit(2.0))
+    per = (ranked.groupBy("event_type")
+           .agg(_r(F.sum("_ar") / F.count(F.lit(1)), 6).alias("_rbar"),
+                F.count(F.lit(1)).alias("_n")))
+    tot = (per.agg(F.sum("_n").alias("_nn"))
+           .crossJoin(daily.groupBy("_v")
+                      .agg(F.count(F.lit(1)).alias("_tn"))
+                      .agg(F.sum(F.col("_tn") * F.col("_tn")
+                                 * F.col("_tn") - F.col("_tn"))
+                           .alias("_tie")))
+           .filter(F.col("_nn") > 1))
+    a = per.select(F.col("event_type").alias("series_a"),
+                   F.col("_rbar").alias("_ra"), F.col("_n").alias("_na"))
+    b = per.select(F.col("event_type").alias("series_b"),
+                   F.col("_rbar").alias("_rb"), F.col("_n").alias("_nb"))
+    p = (a.crossJoin(b).filter(F.col("series_a") < F.col("series_b"))
+         .crossJoin(F.broadcast(tot)))
+    nn = F.col("_nn")
+    s2 = ((nn * (nn + F.lit(1)) / F.lit(12.0)
+           - F.col("_tie") / (F.lit(12.0) * (nn - F.lit(1))))
+          * (F.lit(1.0) / F.col("_na") + F.lit(1.0) / F.col("_nb")))
+    p = p.withColumn("_s2", s2).filter(F.col("_s2") > 0)
+    z = _r((F.col("_ra") - F.col("_rb")) / F.sqrt(F.col("_s2")), 6)
+    p = p.withColumn("z", z)
+    return (p.select("series_a", "series_b", "z",
+                     _r(ST.two_sided_p(F.col("z")), 6).alias("p_value"))
+            .orderBy("series_a", "series_b"))
+
+
+def q_variance_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """Lo-MacKinlay variance-ratio test (q = 5) per event series — the
+    RANDOM-WALK diagnostic between `adf_test` (unit root vs mean
+    reversion) and `hurst_daily` (long memory): under a random walk,
+    the variance of q-day changes is q × the variance of 1-day
+    changes, so VR = σ̂_q²/(q·σ̂₁²) → 1; VR < 1 ⇒ mean reversion,
+    VR > 1 ⇒ trending. Overlapping q-differences, drift
+    μ̂ = (v_last − v_first)/m, homoskedastic
+    z = (VR−1)/√(2(2q−1)(q−1)/(3q·m)) (the finite-sample-uncorrected
+    textbook form — both engines share it literally). Scale shape:
+    two lag columns over the bounded daily collapse + one agg.
+    Cross-engine: μ̂ at 6 dp, each variance at 9 dp, VR and z at
+    6 dp; series with m ≤ q+2 or zero 1-day variance are excluded
+    identically."""
+    Q = 5
+    daily = _daily_means(spark, sf)
+    w = Window.partitionBy("event_type").orderBy("_d")
+    d = (daily
+         .withColumn("_d1", F.col("_v") - F.lag("_v", 1).over(w))
+         .withColumn("_dq", F.col("_v") - F.lag("_v", Q).over(w)))
+    ends = (daily.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("_nd"),
+                 F.min_by("_v", "_d").alias("_v0"),
+                 F.max_by("_v", "_d").alias("_vn")))
+    mu = (ends.filter(F.col("_nd") > Q + 3)
+          .withColumn("_m", F.col("_nd") - F.lit(1))
+          .withColumn("_mu", F.round((F.col("_vn") - F.col("_v0"))
+                                     / F.col("_m") + F.lit(ROUND_EPS), 6)))
+    j = d.join(F.broadcast(mu), "event_type")
+    g = (j.groupBy("event_type", "_m", "_mu")
+         .agg(F.count(F.when(F.col("_d1").isNotNull(), 1)).alias("_m1"),
+              F.round(F.sum((F.col("_d1") - F.col("_mu"))
+                            * (F.col("_d1") - F.col("_mu")))
+                      / F.count(F.when(F.col("_d1").isNotNull(), 1))
+                      + F.lit(1e-12), 9).alias("_s1"),
+              F.count(F.when(F.col("_dq").isNotNull(), 1)).alias("_mq"),
+              F.round(F.sum((F.col("_dq") - F.lit(float(Q)) * F.col("_mu"))
+                            * (F.col("_dq") - F.lit(float(Q)) * F.col("_mu")))
+                      / (F.lit(float(Q))
+                         * F.count(F.when(F.col("_dq").isNotNull(), 1)))
+                      + F.lit(1e-12), 9).alias("_sq"))
+         .filter((F.col("_s1") > 0) & (F.col("_mq") > 0)))
+    vr = _r(F.col("_sq") / F.col("_s1"), 6)
+    g = g.withColumn("vr", vr)
+    zden = F.sqrt(F.lit(2.0 * (2 * Q - 1) * (Q - 1) / (3.0 * Q))
+                  / F.col("_m1"))
+    return (g.select("event_type", F.col("_m1").alias("n_diffs"), "vr",
+                     _r((F.col("vr") - F.lit(1.0)) / zden, 6).alias("z"))
+            .orderBy("event_type"))
+
+
+def q_seasonal_mann_kendall(spark: SparkSession, sf: str) -> DataFrame:
+    """Seasonal Mann-Kendall (Hirsch-Slack) per event series, season =
+    weekday — the trend test that is IMMUNE to weekly cycles (plain
+    `mann_kendall` reads a strong Mon/Sun pattern as noise or trend;
+    this compares Mondays only with Mondays): S = Σ_s S_s over the 7
+    weekday sub-series, Var = Σ_s Var_s with per-season tie
+    corrections, continuity-corrected z (the `mann_kendall`
+    contract). Scale shape: the pair self-join runs within
+    (series, weekday) on the bounded daily collapse — strictly
+    SMALLER than mann_kendall's per-series pair frame. Cross-engine:
+    weekday via Monday=0 on both engines (Spark `weekday` ≡ DuckDB
+    isodow−1); daily means are the shared 6-dp decimals; S and ties
+    are exact integers; z rounds at 6 dp."""
+    daily = (_daily_means(spark, sf)
+             .withColumn("_wd", F.weekday("_d")))
+    a = daily.select("event_type", "_wd", F.col("_d").alias("_da"),
+                     F.col("_v").alias("_va"))
+    b = daily.select("event_type", "_wd", F.col("_d").alias("_db"),
+                     F.col("_v").alias("_vb"))
+    s = (a.join(b, ["event_type", "_wd"])
+         .filter(F.col("_da") < F.col("_db"))
+         .groupBy("event_type")
+         .agg(F.sum(F.signum(F.col("_vb") - F.col("_va")))
+              .cast("long").alias("s_stat")))
+    per = (daily.groupBy("event_type", "_wd")
+           .agg(F.count(F.lit(1)).alias("_ns")))
+    ties = (daily.groupBy("event_type", "_wd", "_v")
+            .agg(F.count(F.lit(1)).alias("_tn"))
+            .groupBy("event_type", "_wd")
+            .agg(F.sum(F.col("_tn") * (F.col("_tn") - F.lit(1))
+                       * (F.lit(2) * F.col("_tn") + F.lit(5)))
+                 .alias("_ts")))
+    v = (per.join(ties, ["event_type", "_wd"])
+         .groupBy("event_type")
+         .agg(F.sum((F.col("_ns") * (F.col("_ns") - F.lit(1))
+                     * (F.lit(2) * F.col("_ns") + F.lit(5))
+                     - F.col("_ts")) / F.lit(18.0)).alias("_var"),
+              F.sum("_ns").alias("n_days")))
+    j = s.join(v, "event_type").filter(F.col("_var") > 0)
+    z = (F.when(F.col("s_stat") > 0,
+                (F.col("s_stat") - F.lit(1)) / F.sqrt(F.col("_var")))
+         .when(F.col("s_stat") < 0,
+               (F.col("s_stat") + F.lit(1)) / F.sqrt(F.col("_var")))
+         .otherwise(F.lit(0.0)))
+    return (j.select("event_type", "n_days", "s_stat",
+                     _r(z, 6).alias("z"))
+            .orderBy("event_type"))
+
+
+def q_cochran_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Cochran's Q over the day×series binary matrix (above/below the
+    series' own median) — the BINARY twin of `friedman_test`: do the
+    k series exceed their own typical level on the SAME days?
+    x_{dj} = 1 iff the day's mean > the series median; complete
+    blocks only; Q = (k−1)·[k·ΣC_j² − (ΣC_j)²] / (k·ΣR_d − ΣR_d²)
+    against χ²(k−1), p emitted when k = 5 (even df=4, the closed
+    Poisson tail). Scale shape: the `friedman_test` plan with the
+    rank window replaced by a broadcast median compare — one
+    conditional agg over the bounded collapse. Cross-engine: medians
+    interpolate identically and round at 6 dp; the binary compare is
+    on exact decimals; Q rounds at 6 dp before p; degenerate inputs
+    (no complete blocks, k < 2, all-identical rows → zero
+    denominator) are excluded identically."""
+    daily = _daily_means(spark, sf).filter(
+        F.col("event_type").isNotNull())
+    med = (daily.groupBy("event_type")
+           .agg(_r(F.percentile("_v", F.lit(0.5)), 6).alias("_med")))
+    kf = (daily.select("event_type").distinct()
+          .agg(F.count(F.lit(1)).alias("_k")))
+    days = (daily.groupBy("_d").agg(F.count(F.lit(1)).alias("_cnt"))
+            .crossJoin(F.broadcast(kf))
+            .filter((F.col("_cnt") == F.col("_k")) & (F.col("_k") >= 2))
+            .select("_d", "_k"))
+    d = (daily.join(F.broadcast(days), "_d")
+         .join(F.broadcast(med), "event_type")
+         .withColumn("_x", (F.col("_v") > F.col("_med")).cast("int")))
+    cj = (d.groupBy("event_type", "_k")
+          .agg(F.sum("_x").alias("_c")))
+    rd = (d.groupBy("_d", "_k")
+          .agg(F.sum("_x").alias("_r")))
+    gc = (cj.groupBy("_k")
+          .agg(F.sum(F.col("_c") * F.col("_c")).alias("_sc2"),
+               F.sum("_c").alias("_sc"),
+               F.count(F.lit(1)).alias("_kk")))
+    gr = (rd.groupBy("_k")
+          .agg(F.sum("_r").alias("_sr"),
+               F.sum(F.col("_r") * F.col("_r")).alias("_sr2"),
+               F.count(F.lit(1)).alias("n_blocks")))
+    j = (gc.join(gr, "_k")
+         .filter((F.col("_kk") == F.col("_k"))
+                 & (F.col("n_blocks") > 0)))
+    k = F.col("_k")
+    den = k * F.col("_sr") - F.col("_sr2")
+    j = j.withColumn("_den", den).filter(F.col("_den") > 0)
+    q = _r((k - F.lit(1))
+           * (k * F.col("_sc2") - F.col("_sc") * F.col("_sc"))
+           / F.col("_den"), 6)
+    j = j.withColumn("q_stat", q)
+    p = F.when(k == 5,
+               _r(F.exp(-F.col("q_stat") / F.lit(2.0))
+                  * (F.lit(1.0) + F.col("q_stat") / F.lit(2.0)), 6)
+               ).otherwise(F.lit(None).cast("double"))
+    return j.select("n_blocks", F.col("_k").alias("k_groups"),
+                    "q_stat", p.alias("p_df4"))
+
+
+def q_grubbs_outlier(spark: SparkSession, sf: str) -> DataFrame:
+    """Grubbs' extreme-outlier statistic per event series over the
+    daily means — the SINGLE-POINT complement of `anomaly_detect`'s
+    rolling window (which flags local drops; this names the one
+    globally most aberrant day): G = max_t |v_t − v̄| / s (sample s,
+    ddof = 1), plus the arg-max day (earliest-day tiebreak on the
+    6-dp deviation). The critical value needs a t-quantile, so the
+    readout is the STATISTIC (the `mann_whitney` z-not-p contract).
+    Scale shape: one broadcast moment pass + one max_by over the
+    bounded collapse. Cross-engine: v̄ and s round at 6 dp, each
+    |deviation| at 6 dp before the max (so argmax compares identical
+    decimals), G at 6 dp; n ≤ 2 or zero-variance series are excluded
+    identically."""
+    daily = _daily_means(spark, sf)
+    mom = (daily.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n_days"),
+                _r(F.avg("_v"), 6).alias("_mu"),
+                _r(F.stddev_samp("_v"), 6).alias("_sd"))
+           .filter((F.col("n_days") > 2) & (F.col("_sd") > 0)))
+    d = (daily.join(F.broadcast(mom), "event_type")
+         .withColumn("_dev", _r(F.abs(F.col("_v") - F.col("_mu")), 6)))
+    wd = Window.partitionBy("event_type").orderBy(
+        F.col("_dev").desc(), "_d")
+    g = (d.withColumn("_rk", F.row_number().over(wd))
+         .filter(F.col("_rk") == 1))
+    return (g.select("event_type", "n_days",
+                     _r(F.col("_dev") / F.col("_sd"), 6).alias("g_stat"),
+                     F.col("_d").alias("outlier_day"))
+            .orderBy("event_type"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS DELIBERATE: the driver's correctness gate checks
     the first 50 entries per round. The never-driver-checked ledger has
@@ -8429,6 +8665,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-9 new additions (newest-first rule): the
         #     econometric-diagnostics batch, then the rank-4 ALS
         #     backtest and the bounded-grain daily twins (SCALE §1n-b)
+        "grubbs_outlier": q_grubbs_outlier,
+        "cochran_q": q_cochran_q,
+        "seasonal_mann_kendall": q_seasonal_mann_kendall,
+        "variance_ratio": q_variance_ratio,
+        "dunn_posthoc": q_dunn_posthoc,
         "engle_granger": q_engle_granger,
         "granger_causality": q_granger_causality,
         "chow_test": q_chow_test,
@@ -16953,6 +17194,203 @@ def oracle_sql() -> dict[str, str]:
                    AS eg_t
         FROM fin WHERE sse > 0
         ORDER BY 1, 2
+    """
+
+    # Dunn post-hoc: the kruskal_wallis rank pool + pairwise z with
+    # the shared literal-Horner erfc p.
+    sql["dunn_posthoc"] = f"""
+        WITH {_daily_cte}, dnn AS (
+            SELECT event_type, v FROM daily
+            WHERE event_type IS NOT NULL
+        ), ranked AS (
+            SELECT event_type,
+                   rank() OVER (ORDER BY v)
+                       + (count(*) OVER (PARTITION BY v) - 1)
+                         / 2.0::DOUBLE AS ar
+            FROM dnn
+        ), per AS (
+            SELECT event_type,
+                   (round(sum(ar) / count(*) + 1e-9, 6) + 0.0) AS rbar,
+                   count(*)::BIGINT AS n
+            FROM ranked GROUP BY 1
+        ), tot AS (
+            SELECT (SELECT sum(n)::BIGINT FROM per) AS nn,
+                   (SELECT sum(tn * tn * tn - tn)::BIGINT
+                    FROM (SELECT v, count(*)::BIGINT AS tn FROM dnn
+                          GROUP BY 1)) AS tie
+        ), pz AS (
+            SELECT a.event_type AS series_a, b.event_type AS series_b,
+                   a.rbar AS ra, b.rbar AS rb, a.n AS na, b.n AS nb,
+                   (nn * (nn + 1) / 12.0
+                    - tie / (12.0 * (nn - 1)))
+                     * (1.0 / a.n + 1.0 / b.n) AS s2
+            FROM per a CROSS JOIN per b CROSS JOIN tot
+            WHERE a.event_type < b.event_type AND nn > 1
+        ), zt AS (
+            SELECT series_a, series_b,
+                   (round((ra - rb) / sqrt(s2) + 1e-9, 6) + 0.0) AS z
+            FROM pz WHERE s2 > 0
+        )
+        SELECT series_a, series_b, z,
+               (round({ST.two_sided_p_sql("z")} + 1e-9, 6) + 0.0)
+                   AS p_value
+        FROM zt ORDER BY 1, 2
+    """
+
+    # Lo-MacKinlay variance ratio, q = 5: overlapping differences,
+    # the same uncorrected homoskedastic z literal on both engines.
+    sql["variance_ratio"] = f"""
+        WITH {_daily_cte}, lagd AS (
+            SELECT event_type, v,
+                   v - lag(v, 1) OVER (PARTITION BY event_type
+                                       ORDER BY d) AS d1,
+                   v - lag(v, 5) OVER (PARTITION BY event_type
+                                       ORDER BY d) AS dq
+            FROM daily
+        ), ends AS (
+            SELECT event_type, count(*)::BIGINT AS nd,
+                   arg_min(v, d) AS v0, arg_max(v, d) AS vn
+            FROM daily GROUP BY 1
+            HAVING count(*) > 8
+        ), mu AS (
+            SELECT event_type, nd - 1 AS m,
+                   (round((vn - v0) / (nd - 1) + 1e-9, 6) + 0.0) AS mu
+            FROM ends
+        ), g AS (
+            SELECT l.event_type, m,
+                   count(d1)::BIGINT AS m1,
+                   (round(sum((d1 - mu) * (d1 - mu)) / count(d1)
+                          + 1e-12, 9) + 0.0) AS s1,
+                   count(dq)::BIGINT AS mq,
+                   (round(sum((dq - 5.0 * mu) * (dq - 5.0 * mu))
+                          / (5.0 * count(dq)) + 1e-12, 9) + 0.0) AS sq
+            FROM lagd l JOIN mu USING (event_type)
+            GROUP BY 1, 2
+        ), vrt AS (
+            SELECT event_type, m1,
+                   (round(sq / s1 + 1e-9, 6) + 0.0) AS vr
+            FROM g WHERE s1 > 0 AND mq > 0
+        )
+        SELECT event_type, m1 AS n_diffs, vr,
+               (round((vr - 1.0) / sqrt(4.8 / m1) + 1e-9, 6) + 0.0)
+                   AS z
+        FROM vrt ORDER BY 1
+    """
+
+    # Seasonal Mann-Kendall: per-weekday S and tie-corrected variances
+    # summed; weekday = Monday-0 on both engines (weekday ≡ isodow−1).
+    sql["seasonal_mann_kendall"] = f"""
+        WITH {_daily_cte}, dw AS (
+            SELECT event_type, d, v, isodow(d) - 1 AS wd FROM daily
+        ), s AS (
+            SELECT a.event_type, sum(sign(b.v - a.v))::BIGINT AS s_stat
+            FROM dw a JOIN dw b
+              ON a.event_type = b.event_type AND a.wd = b.wd
+             AND a.d < b.d
+            GROUP BY 1
+        ), per AS (
+            SELECT event_type, wd, count(*)::BIGINT AS ns
+            FROM dw GROUP BY 1, 2
+        ), ties AS (
+            SELECT event_type, wd,
+                   sum(tn * (tn - 1) * (2 * tn + 5))::BIGINT AS ts
+            FROM (SELECT event_type, wd, v, count(*)::BIGINT AS tn
+                  FROM dw GROUP BY 1, 2, 3)
+            GROUP BY 1, 2
+        ), v AS (
+            SELECT per.event_type,
+                   sum((ns * (ns - 1) * (2 * ns + 5) - ts) / 18.0)
+                       AS var,
+                   sum(ns)::BIGINT AS n_days
+            FROM per JOIN ties USING (event_type, wd)
+            GROUP BY 1
+        )
+        SELECT s.event_type, n_days, s_stat,
+               CASE WHEN s_stat > 0
+                    THEN (round((s_stat - 1) / sqrt(var) + 1e-9, 6)
+                          + 0.0)
+                    WHEN s_stat < 0
+                    THEN (round((s_stat + 1) / sqrt(var) + 1e-9, 6)
+                          + 0.0)
+                    ELSE 0.0 END AS z
+        FROM s JOIN v ON s.event_type = v.event_type
+        WHERE var > 0
+        ORDER BY 1
+    """
+
+    # Cochran's Q: series-median binarization over complete blocks.
+    sql["cochran_q"] = f"""
+        WITH {_daily_cte}, dnn AS (
+            SELECT event_type, d, v FROM daily
+            WHERE event_type IS NOT NULL
+        ), med AS (
+            SELECT event_type,
+                   (round(quantile_cont(v, 0.5) + 1e-9, 6) + 0.0)
+                       AS med
+            FROM dnn GROUP BY 1
+        ), kf AS (
+            SELECT count(DISTINCT event_type)::BIGINT AS k FROM dnn
+        ), days AS (
+            SELECT d, count(*)::BIGINT AS cnt FROM dnn GROUP BY 1
+        ), x AS (
+            SELECT dnn.event_type, dnn.d,
+                   CASE WHEN dnn.v > med THEN 1 ELSE 0 END AS x
+            FROM dnn JOIN med USING (event_type)
+            JOIN days ON dnn.d = days.d CROSS JOIN kf
+            WHERE days.cnt = kf.k AND kf.k >= 2
+        ), cj AS (
+            SELECT event_type, sum(x)::BIGINT AS c FROM x GROUP BY 1
+        ), rd AS (
+            SELECT d, sum(x)::BIGINT AS r FROM x GROUP BY 1
+        ), g AS (
+            SELECT (SELECT sum(c * c)::BIGINT FROM cj) AS sc2,
+                   (SELECT sum(c)::BIGINT FROM cj) AS sc,
+                   (SELECT count(*)::BIGINT FROM cj) AS kk,
+                   (SELECT sum(r)::BIGINT FROM rd) AS sr,
+                   (SELECT sum(r * r)::BIGINT FROM rd) AS sr2,
+                   (SELECT count(*)::BIGINT FROM rd) AS n_blocks,
+                   (SELECT k FROM kf) AS k
+        )
+        , qq AS (
+            SELECT n_blocks, k,
+                   (round((k - 1) * (k * sc2 - sc * sc)
+                          / (k * sr - sr2) + 1e-9, 6) + 0.0) AS q_stat
+            FROM g
+            WHERE kk = k AND n_blocks > 0 AND (k * sr - sr2) > 0
+        )
+        SELECT n_blocks, k AS k_groups, q_stat,
+               CASE WHEN k = 5
+                    THEN (round(exp(-q_stat / 2.0)
+                                * (1.0 + q_stat / 2.0) + 1e-9, 6)
+                          + 0.0)
+                    ELSE NULL END AS p_df4
+        FROM qq
+    """
+
+    # Grubbs: broadcast moments + deviation argmax with earliest-day
+    # tiebreak on the 6-dp deviation grid.
+    sql["grubbs_outlier"] = f"""
+        WITH {_daily_cte}, mom AS (
+            SELECT event_type, count(*)::BIGINT AS n_days,
+                   (round(avg(v) + 1e-9, 6) + 0.0) AS mu,
+                   (round(stddev_samp(v) + 1e-9, 6) + 0.0) AS sd
+            FROM daily GROUP BY 1
+            HAVING count(*) > 2
+               AND (round(stddev_samp(v) + 1e-9, 6) + 0.0) > 0
+        ), dev AS (
+            SELECT daily.event_type, n_days, sd, daily.d,
+                   (round(abs(v - mu) + 1e-9, 6) + 0.0) AS dv,
+                   row_number() OVER (
+                       PARTITION BY daily.event_type
+                       ORDER BY (round(abs(v - mu) + 1e-9, 6) + 0.0)
+                                DESC, daily.d) AS rk
+            FROM daily JOIN mom USING (event_type)
+        )
+        SELECT event_type, n_days,
+               (round(dv / sd + 1e-9, 6) + 0.0) AS g_stat,
+               d AS outlier_day
+        FROM dev WHERE rk = 1
+        ORDER BY 1
     """
 
     # binary-segmentation changepoint: prefix sums over 6-dp daily

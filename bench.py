@@ -243,7 +243,9 @@ def main() -> None:
                  "jarque_bera", "welch_ttest", "kruskal_wallis",
                  "friedman_test", "page_hinkley", "adf_test",
                  "aic_order_select", "chow_test", "granger_causality",
-                 "engle_granger"):
+                 "engle_granger", "dunn_posthoc", "variance_ratio",
+                 "seasonal_mann_kendall", "cochran_q",
+                 "grubbs_outlier"):
         r9[name] = timed(name)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

@@ -175,6 +175,12 @@ EVENT_QUERIES = [
     # contract; the sf-corpus gate compares their Cramer/SSE algebra
     # exactly.
     "kruskal_wallis", "friedman_test",
+    # batch C: dunn_posthoc shares KW's rank pool (magnitude-
+    # normalized); seasonal_mann_kendall is sign-based; cochran_q
+    # binarizes on exact 6-dp median compares. variance_ratio and
+    # grubbs_outlier are NOT here (squared raw diffs / stddev over
+    # the 1e9 row — the levene_test summation-ulp reason).
+    "dunn_posthoc", "seasonal_mann_kendall", "cochran_q",
 ]
 
 

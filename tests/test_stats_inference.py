@@ -563,3 +563,101 @@ def test_aic_prefers_ar2_when_pacf2_is_real(spark, tmp_path):
     assert rows["two"]["best_order"] == 2
     assert rows["two"]["aic_ar2"] < rows["two"]["aic_ar1"]
     assert rows["one"]["best_order"] == 1
+
+
+def test_dunn_separated_groups_rank_pairwise(spark, tmp_path):
+    """Three separated groups: the widest pair carries the largest
+    |z| and a significant p; Dunn's z pool matches KW's ranks."""
+    import __spark_entry__ as em
+
+    base = {g: [10.0 * k + i * 0.1 for i in range(12)]
+            for k, g in enumerate(["a", "b", "c"])}
+    d = _events_dir(tmp_path, base)
+    rows = {(r["series_a"], r["series_b"]): r
+            for r in em.queries()["dunn_posthoc"](spark, d).collect()}
+    assert abs(rows[("a", "c")]["z"]) > abs(rows[("a", "b")]["z"])
+    assert rows[("a", "c")]["p_value"] < 0.05
+    assert rows[("a", "c")]["z"] < 0  # a ranks below c
+
+
+def test_variance_ratio_reverting_vs_walk(spark, tmp_path):
+    """A strictly alternating series mean-reverts (5-day changes no
+    bigger than 1-day ones -> VR << 1, z << 0); a cumulative walk on
+    the same increments does not."""
+    import __spark_entry__ as em
+
+    alt = [(1.0 if i % 2 == 0 else -1.0) + 0.001 * _noise(i)
+           for i in range(40)]
+    acc, walk = 0.0, []
+    for i in range(40):
+        acc += _noise(i, 1.0)
+        walk.append(acc)
+    d = _events_dir(tmp_path, {"alt": alt, "walk": walk})
+    rows = {r["event_type"]: r
+            for r in em.queries()["variance_ratio"](spark, d).collect()}
+    assert rows["alt"]["vr"] < 0.5
+    assert rows["alt"]["z"] < -1.96
+    assert rows["alt"]["vr"] < rows["walk"]["vr"]
+
+
+def test_seasonal_mann_kendall_sees_through_weekly_cycle(spark, tmp_path):
+    """Trend + strong weekly cycle: the seasonal test compares Mondays
+    with Mondays, so the trend is detected cleanly (z > 1.96); a PURE
+    cycle (constant within each weekday) has zero within-season
+    variance and is excluded on both engines."""
+    import __spark_entry__ as em
+
+    cyc = [10.0 * (i % 7) for i in range(35)]
+    trendy = [10.0 * (i % 7) + 0.5 * i for i in range(35)]
+    d = _events_dir(tmp_path, {"pure": cyc, "trend": trendy})
+    rows = {r["event_type"]: r
+            for r in em.queries()["seasonal_mann_kendall"](spark, d)
+            .collect()}
+    assert "pure" not in rows          # all-tied seasons -> Var = 0
+    assert rows["trend"]["z"] > 1.96
+    assert rows["trend"]["s_stat"] > 0
+
+
+def test_cochran_q_matches_hand_formula(spark, tmp_path):
+    """Q against the textbook formula computed in pandas with the same
+    median binarization over the same complete blocks."""
+    import numpy as np
+
+    import __spark_entry__ as em
+
+    data = {g: [round(_noise(i + 100 * k, 5.0), 6) for i in range(16)]
+            for k, g in enumerate(["a", "b", "c"])}
+    d = _events_dir(tmp_path, data)
+    got = em.queries()["cochran_q"](spark, d).collect()[0]
+
+    def r6(x):
+        import math
+        y = (x + 1e-9) * 1e6
+        return (math.floor(y + 0.5) if y >= 0 else math.ceil(y - 0.5)) / 1e6
+
+    X = []
+    for g in ["a", "b", "c"]:
+        vals = np.array(data[g])
+        med = r6(float(np.quantile(vals, 0.5)))
+        X.append((vals > med).astype(int))
+    X = np.array(X)          # k x n
+    C, R = X.sum(axis=1), X.sum(axis=0)
+    k = 3
+    q_ref = (k - 1) * (k * (C ** 2).sum() - C.sum() ** 2) \
+        / (k * R.sum() - (R ** 2).sum())
+    assert got["k_groups"] == 3 and got["n_blocks"] == 16
+    assert abs(got["q_stat"] - q_ref) < 1e-6
+
+
+def test_grubbs_names_the_planted_spike(spark, tmp_path):
+    """A single planted spike is the arg-max day with G >> 3."""
+    import datetime as dt
+
+    import __spark_entry__ as em
+
+    vals = [10.0 + 0.1 * _noise(i) for i in range(30)]
+    vals[17] = 50.0
+    d = _events_dir(tmp_path, {"s": vals})
+    got = em.queries()["grubbs_outlier"](spark, d).collect()[0]
+    assert got["outlier_day"] == dt.date(2024, 1, 1) + dt.timedelta(days=17)
+    assert got["g_stat"] > 3.0
