@@ -8650,6 +8650,36 @@ def q_grubbs_outlier(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+def q_garch_vol(spark: SparkSession, sf: str) -> DataFrame:
+    """GARCH(1,1) volatility filter per event series (α = 0.1,
+    β = 0.85, variance-targeted ω) over 4-dp daily-mean differences —
+    the CONDITIONAL-heteroskedasticity model the constant-variance
+    family assumes away (`levene_test` asks IF spread differs; this
+    tracks spread THROUGH TIME and forecasts tomorrow's): h_{t+1} =
+    ω + α·r_t² + β·h_t via `TS.garch_filter`'s pinned-operand
+    applyInPandas recursion; readout = one-step-ahead variance/vol
+    forecast, max standardized shock, Gaussian log-likelihood. The
+    oracle replays the recursion as a recursive CTE over the same
+    4-dp difference list with the same repr-injected (α, β) literals
+    — the `kalman_level` zero-drift lane; σ̂₀² is the only rounded
+    intermediate (6 dp, HALF_UP on both engines). Series with ≤ 6
+    differences or zero difference-variance are excluded
+    identically."""
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    daily = (ev.groupBy("event_type",
+                        F.date_trunc("day", F.col("ts")).alias("_d"))
+             .agg(_r(F.avg("value"), 4).alias("_m")))
+    out = TS.garch_filter(daily, "event_type", "_d", "_m",
+                          alpha=0.1, beta=0.85)
+    return (out.select("event_type", "n_diffs",
+                       F.col("v0"),
+                       _r(F.col("h_next"), 6).alias("h_next"),
+                       _r(F.col("vol_next"), 6).alias("vol_next"),
+                       _r(F.col("max_shock"), 6).alias("max_shock"),
+                       _r(F.col("log_lik"), 6).alias("log_lik"))
+            .orderBy("event_type"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS DELIBERATE: the driver's correctness gate checks
     the first 50 entries per round. The never-driver-checked ledger has
@@ -8665,6 +8695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-9 new additions (newest-first rule): the
         #     econometric-diagnostics batch, then the rank-4 ALS
         #     backtest and the bounded-grain daily twins (SCALE §1n-b)
+        "garch_vol": q_garch_vol,
         "grubbs_outlier": q_grubbs_outlier,
         "cochran_q": q_cochran_q,
         "seasonal_mann_kendall": q_seasonal_mann_kendall,
@@ -14144,6 +14175,51 @@ def oracle_sql() -> dict[str, str]:
                (round(p + 1e-9, 6) + 0.0) AS p_var,
                (round(esum / (n - 1) + 1e-9, 4) + 0.0) AS mae
         FROM kf WHERE t = n
+    """
+
+    # GARCH(1,1) filter: recursive CTE replaying the pinned-operand
+    # variance recursion over the 4-dp difference list; α/β literals
+    # repr-injected; σ̂₀² is the only rounded intermediate.
+    _ga, _gb = repr(0.1), repr(0.85)
+    sql["garch_vol"] = f"""
+        WITH RECURSIVE dvg AS (
+            SELECT event_type, date_trunc('day', ts) AS d,
+                   (round(avg(value) + 1e-9, 4) + 0.0) AS m
+            FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        ), dif AS (
+            SELECT event_type, d,
+                   m - lag(m) OVER (PARTITION BY event_type ORDER BY d)
+                       AS r
+            FROM dvg
+        ), serg AS (
+            SELECT event_type, list(r ORDER BY d) AS rs,
+                   count(r)::BIGINT AS m,
+                   (round(var_pop(r) + 1e-9, 6) + 0.0) AS v0
+            FROM dif WHERE r IS NOT NULL
+            GROUP BY 1
+            HAVING count(r) > 6
+               AND (round(var_pop(r) + 1e-9, 6) + 0.0) > 0
+        ), gf AS (
+            SELECT event_type, rs, m, v0, 0::BIGINT AS t,
+                   v0 AS h, CAST(0.0 AS DOUBLE) AS ll,
+                   CAST(0.0 AS DOUBLE) AS mx
+            FROM serg
+            UNION ALL
+            SELECT event_type, rs, m, v0, t + 1,
+                   (1.0::DOUBLE - {_ga} - {_gb}) * v0
+                     + {_ga} * (rs[t + 1] * rs[t + 1]) + {_gb} * h,
+                   ll + (-0.5::DOUBLE)
+                     * (ln(h) + (rs[t + 1] * rs[t + 1]) / h),
+                   greatest(mx, (rs[t + 1] * rs[t + 1]) / h)
+            FROM gf WHERE t < m
+        )
+        SELECT event_type, m AS n_diffs, v0,
+               (round(h + 1e-9, 6) + 0.0) AS h_next,
+               (round(sqrt(h) + 1e-9, 6) + 0.0) AS vol_next,
+               (round(mx + 1e-9, 6) + 0.0) AS max_shock,
+               (round(ll + 1e-9, 6) + 0.0) AS log_lik
+        FROM gf WHERE t = m
+        ORDER BY 1
     """
 
     # Degree histogram over the deduped MinHash-LSH candidate graph

@@ -245,7 +245,7 @@ def main() -> None:
                  "aic_order_select", "chow_test", "granger_causality",
                  "engle_granger", "dunn_posthoc", "variance_ratio",
                  "seasonal_mann_kendall", "cochran_q",
-                 "grubbs_outlier"):
+                 "grubbs_outlier", "garch_vol"):
         r9[name] = timed(name)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

@@ -452,3 +452,47 @@ def test_recursions_preserve_nonstring_key_type(spark):
                 out.join(df.select("k").distinct(), "k").select("k")
                    .distinct().collect()}
         assert keys == {10, 20}
+
+
+def test_garch_filter_tracks_volatility_clusters(spark):
+    """On a volatility-clustered series the persistent GARCH(1,1)
+    filter must (a) forecast higher variance right after the noisy
+    regime than the calm one, and (b) beat the constant-variance
+    model (alpha=beta=0) on in-sample likelihood; on iid-ish noise
+    the constant model wins (persistence costs fit)."""
+    import datetime as dt
+    import math
+
+    from timeseries_data_analysis_spark.operators import timeseries as TS
+
+    def mk(name, vals):
+        return [(name, dt.datetime(2024, 1, 1) + dt.timedelta(days=i),
+                 float(v)) for i, v in enumerate(vals)]
+
+    def noise(i, s):
+        return s * (math.sin(i * 12.9898 + 0.5) * 43758.5453 % 2.0 - 1.0)
+
+    calm_then_wild = [10.0]
+    for i in range(40):
+        s = 0.2 if i < 30 else 8.0
+        calm_then_wild.append(calm_then_wild[-1] + noise(i, s))
+    iid = [10.0]
+    for i in range(40):
+        iid.append(iid[-1] + noise(i + 77, 1.0))
+    df = spark.createDataFrame(
+        mk("clustered", calm_then_wild) + mk("iid", iid),
+        "event_type string, d timestamp, v double")
+
+    g = {r["event_type"]: r for r in TS.garch_filter(
+        df, "event_type", "d", "v", alpha=0.1, beta=0.85).collect()}
+    flat = {r["event_type"]: r for r in TS.garch_filter(
+        df, "event_type", "d", "v", alpha=0.0, beta=0.0).collect()}
+    # (a) after the wild tail, forecast vol far above the calm sample
+    assert g["clustered"]["h_next"] > 2.0 * g["clustered"]["v0"]
+    # (b) likelihood ordering flips with the data shape
+    assert g["clustered"]["log_lik"] > flat["clustered"]["log_lik"]
+    assert g["iid"]["log_lik"] < flat["iid"]["log_lik"]
+    # short series are excluded, not crashed
+    short = spark.createDataFrame(mk("s", [1, 2, 3]),
+                                  "event_type string, d timestamp, v double")
+    assert TS.garch_filter(short, "event_type", "d", "v").count() == 0

@@ -625,3 +625,75 @@ def kalman_local_level(df: DataFrame, key: str, ts_col: str,
     out_schema = (f"{_key_ddl(df, key)}, n_periods long, level double, "
                   "gain double, p_var double, mae double")
     return df.groupBy(key).applyInPandas(fit, out_schema)
+
+
+def garch_filter(df: DataFrame, key: str, ts_col: str, value_col: str,
+                 alpha: float = 0.1, beta: float = 0.85) -> DataFrame:
+    """GARCH(1,1) volatility filter per series with FROZEN (α, β) and
+    variance targeting — the conditional-heteroskedasticity sibling of
+    :func:`kalman_local_level` (Kalman tracks the LEVEL's variance;
+    GARCH tracks the NOISE's): over first differences r_t,
+
+        h_{t+1} = ω + α·r_t² + β·h_t,   ω = (1−α−β)·σ̂₀²
+
+    initialized h₁ = σ̂₀² (the population variance of the differences —
+    variance targeting pins the model's unconditional variance to the
+    sample, so ω needs no tuning), accumulating the Gaussian
+    log-likelihood −½Σ(ln h_t + r_t²/h_t) and the maximum standardized
+    shock r_t²/h_t. Fitting (α, β) needs MLE iteration; the FILTER with
+    frozen parameters is the monitoring artifact (the
+    ``kalman_local_level`` q/r posture), and the likelihood readout is
+    what a sweep over candidate (α, β) would compare. Same execution
+    contract as the other recursions: inherently sequential per series
+    ⇒ one Arrow-batched ``applyInPandas`` stage; per-series length is a
+    bounded calendar grain while the series COUNT distributes freely;
+    σ̂₀² is HALF-UP-rounded at 6 dp (the repo's one rounding law) and
+    operand order is pinned so a recursive-CTE oracle replays h
+    bit-identically. Returns one row per key:
+    ``(key, n_diffs, v0, h_next, vol_next, max_shock, log_lik)`` where
+    h_next is the one-step-ahead variance forecast.
+    """
+    import math
+
+    import pandas as pd
+
+    a, b = float(alpha), float(beta)
+    if not (a >= 0 and b >= 0 and a + b < 1):
+        raise ValueError("garch_filter needs alpha, beta >= 0 and "
+                         "alpha + beta < 1 (variance targeting)")
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col)
+        ys = pdf[value_col].tolist()
+        rs = [ys[i + 1] - ys[i] for i in range(len(ys) - 1)]
+        m = len(rs)
+        if m <= 6:
+            return pd.DataFrame(columns=[
+                key, "n_diffs", "v0", "h_next", "vol_next",
+                "max_shock", "log_lik"])
+        mean = sum(rs) / m
+        var = sum((r - mean) * (r - mean) for r in rs) / m
+        y = (var + 1e-9) * 1e6
+        v0 = (math.floor(y + 0.5) if y >= 0 else math.ceil(y - 0.5)) / 1e6
+        if v0 <= 0:
+            return pd.DataFrame(columns=[
+                key, "n_diffs", "v0", "h_next", "vol_next",
+                "max_shock", "log_lik"])
+        w = (1.0 - a - b) * v0
+        h, ll, mx = v0, 0.0, 0.0
+        for r in rs:
+            e2 = r * r
+            ll = ll + (-0.5) * (math.log(h) + e2 / h)
+            shock = e2 / h
+            if shock > mx:
+                mx = shock
+            h = w + a * e2 + b * h
+        return pd.DataFrame({
+            key: [pdf[key].iloc[0]], "n_diffs": [m], "v0": [v0],
+            "h_next": [h], "vol_next": [math.sqrt(h)],
+            "max_shock": [mx], "log_lik": [ll]})
+
+    out_schema = (f"{_key_ddl(df, key)}, n_diffs long, v0 double, "
+                  "h_next double, vol_next double, max_shock double, "
+                  "log_lik double")
+    return df.groupBy(key).applyInPandas(fit, out_schema)
