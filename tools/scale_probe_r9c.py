@@ -42,6 +42,11 @@ DEFAULT_QUERIES = [
     "jarque_bera", "welch_ttest", "kruskal_wallis", "friedman_test",
     "page_hinkley", "adf_test", "aic_order_select", "chow_test",
     "granger_causality", "engle_granger",
+    # batch C + GARCH (same class; dunn adds the |series|²-bounded
+    # self-join, garch the sequential-per-series Arrow recursion over
+    # the bounded grain — expect the same flat-after-collapse decade)
+    "dunn_posthoc", "variance_ratio", "seasonal_mann_kendall",
+    "cochran_q", "grubbs_outlier", "garch_vol",
 ]
 
 if __name__ == "__main__":
