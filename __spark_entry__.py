@@ -7837,6 +7837,39 @@ def q_degree_assortativity(spark: SparkSession, sf: str) -> DataFrame:
         _r(pearson, 6).alias("assortativity"))
 
 
+def _pooled_ranks(spark: SparkSession, sf: str):
+    """Shared `kruskal_wallis`/`dunn_posthoc` rank pool: NULL-series-
+    free daily means plus joint average ranks over a DELIBERATELY
+    constant-partitioned sort (bounded: ≤ |series|·|days| rows at any
+    corpus size — the one fact-sized stage is `_daily_means`'
+    combinable collapse). One definition so the two tests can never
+    rank different pools. Returns ``(daily, ranked)``."""
+    daily = _daily_means(spark, sf).filter(
+        F.col("event_type").isNotNull())
+    w = Window.partitionBy(F.lit(1)).orderBy("_v")
+    wv = Window.partitionBy("_v")
+    ranked = daily.withColumn(
+        "_ar", F.rank().over(w)
+        + (F.count(F.lit(1)).over(wv) - F.lit(1)) / F.lit(2.0))
+    return daily, ranked
+
+
+def _complete_block_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared `friedman_test`/`cochran_q` complete-block frame:
+    NULL-series-free daily means restricted to days where ALL k
+    series report, carrying ``_k`` — one definition so the two
+    blocked tests can never disagree on what a block is."""
+    daily = _daily_means(spark, sf).filter(
+        F.col("event_type").isNotNull())
+    kf = (daily.select("event_type").distinct()
+          .agg(F.count(F.lit(1)).alias("_k")))
+    days = (daily.groupBy("_d").agg(F.count(F.lit(1)).alias("_cnt"))
+            .crossJoin(F.broadcast(kf))
+            .filter((F.col("_cnt") == F.col("_k")) & (F.col("_k") >= 2))
+            .select("_d", "_k"))
+    return daily.join(F.broadcast(days), "_d")
+
+
 def q_jarque_bera(spark: SparkSession, sf: str) -> DataFrame:
     """Jarque-Bera normality test per event series over the 6-dp daily
     means — the DISTRIBUTIONAL-SHAPE diagnostic the location
@@ -7940,13 +7973,7 @@ def q_kruskal_wallis(spark: SparkSession, sf: str) -> DataFrame:
     k < 2) are excluded identically, and the NULL series is no
     sample group (dropped explicitly, the `friedman_test`
     contract)."""
-    daily = _daily_means(spark, sf).filter(
-        F.col("event_type").isNotNull())
-    w = Window.partitionBy(F.lit(1)).orderBy("_v")
-    wv = Window.partitionBy("_v")
-    ranked = daily.withColumn(
-        "_ar", F.rank().over(w)
-        + (F.count(F.lit(1)).over(wv) - F.lit(1)) / F.lit(2.0))
+    daily, ranked = _pooled_ranks(spark, sf)
     per = (ranked.groupBy("event_type")
            .agg(F.sum("_ar").alias("_rsum"),
                 F.count(F.lit(1)).alias("_n")))
@@ -7992,15 +8019,7 @@ def q_friedman_test(spark: SparkSession, sf: str) -> DataFrame:
     (dropped explicitly — DuckDB's count(DISTINCT) would skip it
     while Spark's distinct() keeps it, so the filter IS the
     contract)."""
-    daily = _daily_means(spark, sf).filter(
-        F.col("event_type").isNotNull())
-    kf = (daily.select("event_type").distinct()
-          .agg(F.count(F.lit(1)).alias("_k")))
-    days = (daily.groupBy("_d").agg(F.count(F.lit(1)).alias("_cnt"))
-            .crossJoin(F.broadcast(kf))
-            .filter((F.col("_cnt") == F.col("_k")) & (F.col("_k") >= 2))
-            .select("_d", "_k"))
-    d = daily.join(F.broadcast(days), "_d")
+    d = _complete_block_daily(spark, sf)
     w = Window.partitionBy("_d").orderBy("_v")
     wv = Window.partitionBy("_d", "_v")
     ranked = d.withColumn(
@@ -8427,13 +8446,7 @@ def q_dunn_posthoc(spark: SparkSession, sf: str) -> DataFrame:
     6 dp, z at 6 dp BEFORE the p polynomial, p at 6 dp; the NULL
     series is no group; N ≤ 1 and zero-variance pools are excluded
     identically."""
-    daily = _daily_means(spark, sf).filter(
-        F.col("event_type").isNotNull())
-    w = Window.partitionBy(F.lit(1)).orderBy("_v")
-    wv = Window.partitionBy("_v")
-    ranked = daily.withColumn(
-        "_ar", F.rank().over(w)
-        + (F.count(F.lit(1)).over(wv) - F.lit(1)) / F.lit(2.0))
+    daily, ranked = _pooled_ranks(spark, sf)
     per = (ranked.groupBy("event_type")
            .agg(_r(F.sum("_ar") / F.count(F.lit(1)), 6).alias("_rbar"),
                 F.count(F.lit(1)).alias("_n")))
@@ -8575,18 +8588,14 @@ def q_cochran_q(spark: SparkSession, sf: str) -> DataFrame:
     interpolate identically and round at 6 dp; the binary compare is
     on exact decimals; Q rounds at 6 dp before p; degenerate inputs
     (no complete blocks, k < 2, all-identical rows → zero
-    denominator) are excluded identically."""
+    denominator) are excluded identically. NOTE the median is over
+    ALL the series' days (the detector's own baseline), not only
+    complete-block days — mirrored in SQL."""
     daily = _daily_means(spark, sf).filter(
         F.col("event_type").isNotNull())
     med = (daily.groupBy("event_type")
            .agg(_r(F.percentile("_v", F.lit(0.5)), 6).alias("_med")))
-    kf = (daily.select("event_type").distinct()
-          .agg(F.count(F.lit(1)).alias("_k")))
-    days = (daily.groupBy("_d").agg(F.count(F.lit(1)).alias("_cnt"))
-            .crossJoin(F.broadcast(kf))
-            .filter((F.col("_cnt") == F.col("_k")) & (F.col("_k") >= 2))
-            .select("_d", "_k"))
-    d = (daily.join(F.broadcast(days), "_d")
+    d = (_complete_block_daily(spark, sf)
          .join(F.broadcast(med), "event_type")
          .withColumn("_x", (F.col("_v") > F.col("_med")).cast("int")))
     cj = (d.groupBy("event_type", "_k")
@@ -16449,6 +16458,32 @@ def oracle_sql() -> dict[str, str]:
             WHERE value IS NOT NULL AND user_id IS NOT NULL
             GROUP BY 1, 2, 3
         )"""
+    # shared lanes for the k-sample family — ONE definition of the
+    # NULL-free daily frame, the pooled rank window (kruskal_wallis +
+    # dunn_posthoc) and the complete-block frame (friedman_test +
+    # cochran_q), mirroring the Spark-side _pooled_ranks /
+    # _complete_block_daily helpers so twin queries cannot drift.
+    _dnn_cte = f"""{_daily_cte}, dnn AS (
+            SELECT event_type, d, v FROM daily
+            WHERE event_type IS NOT NULL
+        )"""
+    _rankpool_ctes = f"""{_dnn_cte}, ranked AS (
+            SELECT event_type,
+                   rank() OVER (ORDER BY v)
+                       + (count(*) OVER (PARTITION BY v) - 1)
+                         / 2.0::DOUBLE AS ar
+            FROM dnn
+        )"""
+    _blocks_ctes = f"""{_dnn_cte}, kf AS (
+            SELECT count(DISTINCT event_type)::BIGINT AS k FROM dnn
+        ), days AS (
+            SELECT d, count(*)::BIGINT AS cnt FROM dnn GROUP BY 1
+        ), cb AS (
+            SELECT dnn.event_type, dnn.d, dnn.v
+            FROM dnn JOIN days ON dnn.d = days.d CROSS JOIN kf
+            WHERE days.cnt = kf.k AND kf.k >= 2
+        )"""
+
     _lbd_nums = ",\n                   ".join(
         f"sum((v - mu) * (l{k} - mu)) AS num{k}" for k in range(1, 7))
     _lbd_lags = ",\n                   ".join(
@@ -16822,16 +16857,7 @@ def oracle_sql() -> dict[str, str]:
     # collapse; H at 6 dp, tie correction at 9 dp, H_c and the
     # even-df=4 Poisson tail from the rounded pieces.
     sql["kruskal_wallis"] = f"""
-        WITH {_daily_cte}, dnn AS (
-            SELECT event_type, v FROM daily
-            WHERE event_type IS NOT NULL
-        ), ranked AS (
-            SELECT event_type,
-                   rank() OVER (ORDER BY v)
-                       + (count(*) OVER (PARTITION BY v) - 1)
-                         / 2.0::DOUBLE AS ar
-            FROM dnn
-        ), per AS (
+        WITH {_rankpool_ctes}, per AS (
             SELECT event_type, sum(ar) AS rsum, count(*)::BIGINT AS n
             FROM ranked GROUP BY 1
         ), g AS (
@@ -16868,18 +16894,7 @@ def oracle_sql() -> dict[str, str]:
     # Friedman: within-day average ranks across series over COMPLETE
     # blocks only; χ²_F at 6 dp before the even-df=4 tail.
     sql["friedman_test"] = f"""
-        WITH {_daily_cte}, dnn AS (
-            SELECT event_type, d, v FROM daily
-            WHERE event_type IS NOT NULL
-        ), kf AS (
-            SELECT count(DISTINCT event_type)::BIGINT AS k FROM dnn
-        ), days AS (
-            SELECT d, count(*)::BIGINT AS cnt FROM dnn GROUP BY 1
-        ), cb AS (
-            SELECT dnn.event_type, dnn.d, dnn.v
-            FROM dnn JOIN days ON dnn.d = days.d CROSS JOIN kf
-            WHERE days.cnt = kf.k AND kf.k >= 2
-        ), ranked AS (
+        WITH {_blocks_ctes}, ranked AS (
             SELECT event_type,
                    rank() OVER (PARTITION BY d ORDER BY v)
                        + (count(*) OVER (PARTITION BY d, v) - 1)
@@ -17275,16 +17290,7 @@ def oracle_sql() -> dict[str, str]:
     # Dunn post-hoc: the kruskal_wallis rank pool + pairwise z with
     # the shared literal-Horner erfc p.
     sql["dunn_posthoc"] = f"""
-        WITH {_daily_cte}, dnn AS (
-            SELECT event_type, v FROM daily
-            WHERE event_type IS NOT NULL
-        ), ranked AS (
-            SELECT event_type,
-                   rank() OVER (ORDER BY v)
-                       + (count(*) OVER (PARTITION BY v) - 1)
-                         / 2.0::DOUBLE AS ar
-            FROM dnn
-        ), per AS (
+        WITH {_rankpool_ctes}, per AS (
             SELECT event_type,
                    (round(sum(ar) / count(*) + 1e-9, 6) + 0.0) AS rbar,
                    count(*)::BIGINT AS n
@@ -17396,24 +17402,15 @@ def oracle_sql() -> dict[str, str]:
 
     # Cochran's Q: series-median binarization over complete blocks.
     sql["cochran_q"] = f"""
-        WITH {_daily_cte}, dnn AS (
-            SELECT event_type, d, v FROM daily
-            WHERE event_type IS NOT NULL
-        ), med AS (
+        WITH {_blocks_ctes}, med AS (
             SELECT event_type,
                    (round(quantile_cont(v, 0.5) + 1e-9, 6) + 0.0)
                        AS med
             FROM dnn GROUP BY 1
-        ), kf AS (
-            SELECT count(DISTINCT event_type)::BIGINT AS k FROM dnn
-        ), days AS (
-            SELECT d, count(*)::BIGINT AS cnt FROM dnn GROUP BY 1
         ), x AS (
-            SELECT dnn.event_type, dnn.d,
-                   CASE WHEN dnn.v > med THEN 1 ELSE 0 END AS x
-            FROM dnn JOIN med USING (event_type)
-            JOIN days ON dnn.d = days.d CROSS JOIN kf
-            WHERE days.cnt = kf.k AND kf.k >= 2
+            SELECT cb.event_type, cb.d,
+                   CASE WHEN cb.v > med THEN 1 ELSE 0 END AS x
+            FROM cb JOIN med USING (event_type)
         ), cj AS (
             SELECT event_type, sum(x)::BIGINT AS c FROM x GROUP BY 1
         ), rd AS (

@@ -173,7 +173,8 @@ EVENT_QUERIES = [
     # here: their moment sums square/cross the 1e9 row (~1e18
     # magnitudes) where summation-order ulps exceed the 6-dp
     # contract; the sf-corpus gate compares their Cramer/SSE algebra
-    # exactly.
+    # exactly. garch_vol is excluded for the same reason (its
+    # difference-variance and r² terms square the 1e9 row).
     "kruskal_wallis", "friedman_test",
     # batch C: dunn_posthoc shares KW's rank pool (magnitude-
     # normalized); seasonal_mann_kendall is sign-based; cochran_q

@@ -630,10 +630,8 @@ def test_cochran_q_matches_hand_formula(spark, tmp_path):
     d = _events_dir(tmp_path, data)
     got = em.queries()["cochran_q"](spark, d).collect()[0]
 
-    def r6(x):
-        import math
-        y = (x + 1e-9) * 1e6
-        return (math.floor(y + 0.5) if y >= 0 else math.ceil(y - 0.5)) / 1e6
+    from timeseries_data_analysis_spark.functions.stats import \
+        half_up as r6
 
     X = []
     for g in ["a", "b", "c"]:

@@ -1271,13 +1271,10 @@ def test_page_hinkley_stream_matches_batch_query(spark):
     same rounding law in the same dependency order — with state
     bridging micro-batch boundaries, and must stay flat for keys
     absent from the frozen params (the cusum_stream contract)."""
-    import math
-
     import __spark_entry__ as em
 
-    def r6(x):
-        y = (x + 1e-9) * 1e6
-        return (math.floor(y + 0.5) if y >= 0 else math.ceil(y - 0.5)) / 1e6
+    from timeseries_data_analysis_spark.functions.stats import \
+        half_up as r6
 
     d = tempfile.mkdtemp(prefix="stream_ph_")
     try:

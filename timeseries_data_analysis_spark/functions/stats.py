@@ -56,3 +56,17 @@ def erfc_pos_sql(x_expr: str) -> str:
 def two_sided_p_sql(z_expr: str) -> str:
     """DuckDB spelling of :func:`two_sided_p`."""
     return erfc_pos_sql(f"abs({z_expr}) / {repr(SQRT2)}")
+
+
+def half_up(x: float, digits: int = 6) -> float:
+    """Python twin of ``F.round(x + 1e-9, digits)`` — HALF_UP away from
+    zero after the repo's standard +1e-9 nudge. THE single rounding
+    law: every Python-side lane that must land on the same decimal
+    grid as a Spark/DuckDB ``round`` (streaming monitors, recursive
+    operators, test references) imports this instead of re-deriving
+    it — a drifted copy silently diverges an engine twin."""
+    import math
+
+    y = (x + 1e-9) * 10 ** digits
+    return (math.floor(y + 0.5) if y >= 0
+            else math.ceil(y - 0.5)) / 10 ** digits

@@ -671,10 +671,11 @@ def garch_filter(df: DataFrame, key: str, ts_col: str, value_col: str,
             return pd.DataFrame(columns=[
                 key, "n_diffs", "v0", "h_next", "vol_next",
                 "max_shock", "log_lik"])
+        from ..functions.stats import half_up
+
         mean = sum(rs) / m
         var = sum((r - mean) * (r - mean) for r in rs) / m
-        y = (var + 1e-9) * 1e6
-        v0 = (math.floor(y + 0.5) if y >= 0 else math.ceil(y - 0.5)) / 1e6
+        v0 = half_up(var)
         if v0 <= 0:
             return pd.DataFrame(columns=[
                 key, "n_diffs", "v0", "h_next", "vol_next",

@@ -209,8 +209,16 @@ def cusum_stream(events: DataFrame, baseline: dict,
         s_pos, s_neg = state.get if state.exists else (0, 0)
         mu, sigma = baseline.get(key[0], (0.0, 0.0))
         rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
+        # concat BEFORE sorting: applyInPandasWithState hands the
+        # micro-batch as multiple Arrow chunks (maxRecordsPerBatch),
+        # and per-chunk sorts would break ts order across chunk
+        # boundaries; mergesort = stable (duplicate-ts rows keep
+        # arrival order deterministically)
+        chunks = list(pdfs)
+        pdf = (pd.concat(chunks, ignore_index=True) if len(chunks) > 1
+               else chunks[0]) if chunks else None
+        if pdf is not None:
+            pdf = pdf.sort_values(ts_col, kind="mergesort")
             for ts, v in zip(pdf[ts_col], pdf[value_col]):
                 if sigma > 0 and v is not None and v == v:
                     zm = _round_half_up((float(v) - mu) / sigma * 1_000_000)
@@ -255,17 +263,10 @@ def page_hinkley_stream(events: DataFrame, params: dict,
     ``cusum_stream`` unknown-key contract. Rows within a micro-batch
     are sorted by ``ts``; cross-batch order follows stream arrival.
     """
-    import math
-
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    def _r6(x: float) -> float:
-        # F.round(x + 1e-9, 6) twin: HALF_UP away from zero; the nudge
-        # keeps exact-half decimals off the boundary on both engines
-        y = (x + 1e-9) * 1e6
-        return (math.floor(y + 0.5) if y >= 0
-                else math.ceil(y - 0.5)) / 1e6
+    from ..functions.stats import half_up as _r6  # THE rounding law
 
     out_schema = (f"{ts_col} timestamp, {key_col} string, "
                   f"mbar double, ph double, alarm int")
@@ -275,8 +276,14 @@ def page_hinkley_stream(events: DataFrame, params: dict,
         n, s, m, minm = state.get if state.exists else (0, 0.0, 0.0, 0.0)
         delta, lam = params.get(key[0], (0.0, 0.0))
         rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
+        # concat-then-stable-sort across Arrow chunks: the exactness
+        # contract is per-micro-batch ts order, not per-chunk (the
+        # cusum_stream fix, same reason)
+        chunks = list(pdfs)
+        pdf = (pd.concat(chunks, ignore_index=True) if len(chunks) > 1
+               else chunks[0]) if chunks else None
+        if pdf is not None:
+            pdf = pdf.sort_values(ts_col, kind="mergesort")
             for ts, v in zip(pdf[ts_col], pdf[value_col]):
                 if lam <= 0 or v is None or v != v:
                     rows.append((ts, key[0], 0.0, 0.0, 0))
