@@ -8689,6 +8689,118 @@ def q_garch_vol(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+def q_heaps_law(spark: SparkSession, sf: str) -> DataFrame:
+    """Heaps'-law fit across sources — the VOCABULARY-GROWTH corpus
+    diagnostic pairing with `zipf_fit`'s frequency law: each source
+    contributes one (ln N_tokens, ln V_distinct) point, OLS slope β
+    (natural text ⇒ β ≈ 0.4-0.6; templated/synthetic corpora flatten
+    toward 0 — a dataset-curation red flag this surfaces per corpus
+    snapshot) and the K coefficient from the intercept. Same
+    tokenization as `zipf_fit`. Scale shape: one token explode + one
+    combinable per-source (count, distinct) agg; the OLS runs over
+    |sources| points. Cross-engine: counts are exact integers, so
+    the log points are identical doubles; β and K round at 6 dp;
+    degenerate corpora (< 3 sources or zero x-variance) are excluded
+    identically."""
+    docs = load_table(spark, sf, "documents").filter(
+        F.col("source").isNotNull())
+    tok = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"))
+    per = (tok.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("_n"),
+                F.countDistinct("tok").alias("_v"))
+           .filter((F.col("_n") > 0) & (F.col("_v") > 0)))
+    pts = per.select(F.log(F.col("_n").cast("double")).alias("_x"),
+                     F.log(F.col("_v").cast("double")).alias("_y"))
+    g = (pts.agg(F.count(F.lit(1)).alias("n_sources"),
+                 F.avg("_x").alias("_xb"), F.avg("_y").alias("_yb"),
+                 F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+                 F.sum(F.col("_x") * F.col("_x")).alias("_sxx"))
+         .filter(F.col("n_sources") >= 3))
+    m = F.col("n_sources")
+    den = F.col("_sxx") - m * F.col("_xb") * F.col("_xb")
+    g = g.withColumn("_den", den).filter(F.abs(F.col("_den")) > 1e-12)
+    beta = (F.col("_sxy") - m * F.col("_xb") * F.col("_yb")) \
+        / F.col("_den")
+    g = g.withColumn("beta", _r(beta, 6))
+    kc = F.exp(F.col("_yb") - F.col("beta") * F.col("_xb"))
+    return g.select("n_sources", "beta", _r(kc, 6).alias("k_coef"))
+
+
+def q_term_burstiness(spark: SparkSession, sf: str) -> DataFrame:
+    """Term burstiness (Fano factor) for the 20 highest-document-
+    frequency terms — the dispersion diagnostic `tfidf_top_terms`'
+    averages hide: VMR = Var(count per doc)/Mean(count per doc) over
+    ALL documents (zeros included). VMR ≈ 1 ⇒ Poisson scatter
+    (function words); VMR ≫ 1 ⇒ bursty content terms that concentrate
+    in few documents — the signal term-weighting and dedup heuristics
+    key on. Scale shape: one token explode + per-(term, doc) count +
+    per-term moment agg; the top-20 cut is deterministic
+    (df desc, term asc). Cross-engine: counts and the doc total are
+    exact integers; mean/E[x²] divide identical operands; VMR rounds
+    at 6 dp."""
+    docs = load_table(spark, sf, "documents")
+    nd = docs.agg(F.count(F.lit(1)).alias("_d"))
+    cell = (docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"))
+        .groupBy("tok", "doc_id").agg(F.count(F.lit(1)).alias("_c")))
+    stats = (cell.groupBy("tok")
+             .agg(F.count(F.lit(1)).alias("df"),
+                  F.sum("_c").alias("_s"),
+                  F.sum(F.col("_c") * F.col("_c")).alias("_s2")))
+    top = (stats.orderBy(F.col("df").desc(), "tok").limit(20)
+           .crossJoin(F.broadcast(nd)))
+    mean = F.col("_s") / F.col("_d")
+    vmr = (F.col("_s2") / F.col("_d") - mean * mean) / mean
+    return (top.select(F.col("tok").alias("term"), "df",
+                       F.col("_s").alias("total_n"),
+                       _r(vmr, 6).alias("vmr"))
+            .orderBy(F.col("df").desc(), "term"))
+
+
+def q_embedding_isotropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-space isotropy audit — the GEOMETRY check the ANN
+    family presupposes (anisotropic spaces break cosine pruning and
+    LSH balance; Ethayarajh 2019 measured this on contextual
+    embeddings): anisotropy = ‖μ‖²/E[‖v‖²] (0 = centered/isotropic;
+    → 1 = all vectors share a common direction) plus the top
+    per-dimension variance share (rogue-dimension detection — one
+    dominant dim also skews hyperplane LSH). Scale shape: one
+    posexplode + per-dim moment agg (64 bounded rows) and one
+    norm-fold pass — all combinable, no window, no shuffle beyond
+    the 64-row agg. Cross-engine: per-dim moments at 9 dp, the mean
+    squared norm at 6 dp (the array fold walks elements in identical
+    order), readouts at 6 dp; empty/zero-norm corpora are excluded
+    identically."""
+    emb = (load_table(spark, sf, "embeddings")
+           .withColumn("embedding", F.col("embedding")
+                       .cast("array<double>")))
+    dims = (emb.select(F.posexplode("embedding").alias("_i", "_x"))
+            .groupBy("_i")
+            .agg(F.round(F.avg("_x") + F.lit(1e-12), 9).alias("_mu"),
+                 F.round(F.var_pop("_x") + F.lit(1e-12), 9)
+                 .alias("_var")))
+    nrm = (emb.select(F.aggregate(
+        "embedding", F.lit(0.0), lambda a, x: a + x * x).alias("_n2"))
+        .agg(_r(F.avg("_n2"), 6).alias("_nrm"),
+             F.count(F.lit(1)).alias("n_vecs"))
+        .filter(F.col("_nrm") > 0))
+    agg = dims.agg(F.sum(F.col("_mu") * F.col("_mu")).alias("_smu2"),
+                   F.sum("_var").alias("_tvar"))
+    top = (dims.orderBy(F.col("_var").desc(), "_i").limit(1)
+           .select(F.col("_i").alias("top_dim"),
+                   F.col("_var").alias("_topv")))
+    j = (nrm.crossJoin(agg).crossJoin(top)
+         .filter(F.col("_tvar") > 0))
+    return j.select(
+        "n_vecs",
+        _r(F.col("_smu2") / F.col("_nrm"), 6).alias("anisotropy"),
+        "top_dim",
+        _r(F.col("_topv") / F.col("_tvar"), 6).alias("top_var_share"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS DELIBERATE: the driver's correctness gate checks
     the first 50 entries per round. The never-driver-checked ledger has
@@ -8704,6 +8816,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-9 new additions (newest-first rule): the
         #     econometric-diagnostics batch, then the rank-4 ALS
         #     backtest and the bounded-grain daily twins (SCALE §1n-b)
+        "embedding_isotropy": q_embedding_isotropy,
+        "term_burstiness": q_term_burstiness,
+        "heaps_law": q_heaps_law,
         "garch_vol": q_garch_vol,
         "grubbs_outlier": q_grubbs_outlier,
         "cochran_q": q_cochran_q,
@@ -11878,6 +11993,100 @@ def oracle_sql() -> dict[str, str]:
                min(logppl) AS ppl_min, max(logppl) AS ppl_max,
                sum(doc_id)::BIGINT AS id_sum
         FROM sc GROUP BY 1, 2
+    """
+
+    # Heaps' law: per-source (ln N, ln V) OLS; counts are exact
+    # integers so the log points are identical doubles; K uses the
+    # ROUNDED beta.
+    sql["heaps_law"] = """
+        WITH tokh AS (
+            SELECT source,
+                   unnest(regexp_split_to_array(trim(text), '\\s+'))
+                       AS tok
+            FROM documents WHERE source IS NOT NULL
+        ), per AS (
+            SELECT source, count(*)::BIGINT AS n,
+                   count(DISTINCT tok)::BIGINT AS v
+            FROM tokh GROUP BY 1
+            HAVING count(*) > 0 AND count(DISTINCT tok) > 0
+        ), pts AS (
+            SELECT ln(n::DOUBLE) AS x, ln(v::DOUBLE) AS y FROM per
+        ), g AS (
+            SELECT count(*)::BIGINT AS n_sources,
+                   avg(x) AS xb, avg(y) AS yb,
+                   sum(x * y) AS sxy, sum(x * x) AS sxx
+            FROM pts HAVING count(*) >= 3
+        ), fit AS (
+            SELECT n_sources, xb, yb,
+                   (sxy - n_sources * xb * yb)
+                     / (sxx - n_sources * xb * xb) AS beta_raw,
+                   sxx - n_sources * xb * xb AS den
+            FROM g
+        )
+        SELECT n_sources,
+               (round(beta_raw + 1e-9, 6) + 0.0) AS beta,
+               (round(exp(yb - (round(beta_raw + 1e-9, 6) + 0.0) * xb)
+                      + 1e-9, 6) + 0.0) AS k_coef
+        FROM fit WHERE abs(den) > 1e-12
+    """
+
+    # Term burstiness: per-(term, doc) counts, Fano factor over ALL
+    # docs (zeros included via the D denominator), deterministic
+    # top-20 cut.
+    sql["term_burstiness"] = """
+        WITH ndq AS (SELECT count(*)::BIGINT AS d FROM documents),
+        cell AS (
+            SELECT tok, doc_id, count(*)::BIGINT AS c
+            FROM (SELECT doc_id,
+                         unnest(regexp_split_to_array(trim(text),
+                                                      '\\s+')) AS tok
+                  FROM documents)
+            GROUP BY 1, 2
+        ), stats AS (
+            SELECT tok, count(*)::BIGINT AS df, sum(c)::BIGINT AS s,
+                   sum(c * c)::BIGINT AS s2
+            FROM cell GROUP BY 1
+        ), top AS (
+            SELECT tok, df, s, s2 FROM stats
+            ORDER BY df DESC, tok LIMIT 20
+        )
+        SELECT tok AS term, df, s AS total_n,
+               (round((s2 / d - (s / d) * (s / d)) / (s / d)
+                      + 1e-9, 6) + 0.0) AS vmr
+        FROM top, ndq
+        ORDER BY df DESC, term
+    """
+
+    # Embedding isotropy: per-dim moments at 9 dp over the
+    # double-cast list (the Spark cast mirrored), norm fold in
+    # element order.
+    sql["embedding_isotropy"] = """
+        WITH ei AS (
+            SELECT vec_id, list_transform(embedding, x -> x::DOUBLE)
+                       AS v
+            FROM embeddings
+        ), dims AS (
+            SELECT i, (round(avg(v[i+1]) + 1e-12, 9) + 0.0) AS mu,
+                   (round(var_pop(v[i+1]) + 1e-12, 9) + 0.0) AS var
+            FROM ei, unnest(range(len(v))) AS u(i)
+            GROUP BY 1
+        ), nrmq AS (
+            SELECT (round(avg(n2) + 1e-9, 6) + 0.0) AS nrm,
+                   count(*)::BIGINT AS n_vecs
+            FROM (SELECT list_sum(list_transform(v, x -> x * x)) AS n2
+                  FROM ei)
+        ), aggq AS (
+            SELECT sum(mu * mu) AS smu2, sum(var) AS tvar FROM dims
+        ), topq AS (
+            SELECT i AS top_dim, var AS topv FROM dims
+            ORDER BY var DESC, i LIMIT 1
+        )
+        SELECT n_vecs,
+               (round(smu2 / nrm + 1e-9, 6) + 0.0) AS anisotropy,
+               top_dim,
+               (round(topv / tvar + 1e-9, 6) + 0.0) AS top_var_share
+        FROM nrmq, aggq, topq
+        WHERE nrm > 0 AND tvar > 0
     """
 
     sql["zipf_fit"] = """

@@ -245,7 +245,8 @@ def main() -> None:
                  "aic_order_select", "chow_test", "granger_causality",
                  "engle_granger", "dunn_posthoc", "variance_ratio",
                  "seasonal_mann_kendall", "cochran_q",
-                 "grubbs_outlier", "garch_vol"):
+                 "grubbs_outlier", "garch_vol", "heaps_law",
+                 "term_burstiness", "embedding_isotropy"):
         r9[name] = timed(name)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

@@ -90,6 +90,11 @@ TEXT_QUERIES = [
     # graph audits over the same pair graph (repeated-content docs give
     # a tiny but non-empty community structure)
     "community_modularity", "degree_assortativity",
+    # round 9: vocabulary-growth fit and term dispersion — both are
+    # exact-integer count algebra, so the unicode/empty/CJK docs are
+    # in contract (empty-after-trim docs contribute the same ''
+    # token on both engines, the zipf_fit precedent)
+    "heaps_law", "term_burstiness",
 ]
 
 

@@ -71,6 +71,11 @@ ANN_QUERIES = ["similarity_topk", "lsh_topk", "ivf_topk", "pq_topk",
                # NaN (see module docstring); the sf-corpus oracle run
                # compares the full mean values exactly.
                "semdedup",
+               # embedding_isotropy is NOT here for the kmeans_step
+               # reason: its per-dim var_pop over the 1e18-scale
+               # fixture vector carries summation-order ulps beyond
+               # the rounding contract; the sf-corpus gate compares
+               # its moment algebra exactly.
                # pca2_axes is NOT here for the kmeans_step reason: its
                # var_pop/covar_pop over the 1e18-scale fixture vector
                # carry summation-order ulps (~1e20 absolute) the 6-dp

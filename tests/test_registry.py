@@ -27,6 +27,7 @@ import __spark_entry__ as entry_mod
 # Round-9 new queries (newest-first), occupying the head of the gate
 # window. Appending here is part of adding a query.
 ROUND9_NEW: list[str] = [
+    "embedding_isotropy", "term_burstiness", "heaps_law",
     "garch_vol",
     "grubbs_outlier", "cochran_q", "seasonal_mann_kendall",
     "variance_ratio", "dunn_posthoc",
