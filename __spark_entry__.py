@@ -8765,9 +8765,14 @@ def q_embedding_isotropy(spark: SparkSession, sf: str) -> DataFrame:
     family presupposes (anisotropic spaces break cosine pruning and
     LSH balance; Ethayarajh 2019 measured this on contextual
     embeddings): anisotropy = ‖μ‖²/E[‖v‖²] (0 = centered/isotropic;
-    → 1 = all vectors share a common direction) plus the top
+    → 1 = all vectors share a common direction), the top
     per-dimension variance share (rogue-dimension detection — one
-    dominant dim also skews hyperplane LSH). Scale shape: one
+    dominant dim also skews hyperplane LSH), and the participation-
+    ratio effective dimensionality PR = (Σλ)²/Σλ² over the per-dim
+    variances (the DIAGONAL approximation to the covariance
+    spectrum — cheap, one pass, and exactly what IVF/PQ cell balance
+    depends on; PR = d for isotropic, → 1 for rank-collapsed).
+    Scale shape: one
     posexplode + per-dim moment agg (64 bounded rows) and one
     norm-fold pass — all combinable, no window, no shuffle beyond
     the 64-row agg. Cross-engine: per-dim moments at 9 dp, the mean
@@ -8788,17 +8793,20 @@ def q_embedding_isotropy(spark: SparkSession, sf: str) -> DataFrame:
              F.count(F.lit(1)).alias("n_vecs"))
         .filter(F.col("_nrm") > 0))
     agg = dims.agg(F.sum(F.col("_mu") * F.col("_mu")).alias("_smu2"),
-                   F.sum("_var").alias("_tvar"))
+                   F.sum("_var").alias("_tvar"),
+                   F.sum(F.col("_var") * F.col("_var")).alias("_tvar2"))
     top = (dims.orderBy(F.col("_var").desc(), "_i").limit(1)
            .select(F.col("_i").alias("top_dim"),
                    F.col("_var").alias("_topv")))
     j = (nrm.crossJoin(agg).crossJoin(top)
-         .filter(F.col("_tvar") > 0))
+         .filter((F.col("_tvar") > 0) & (F.col("_tvar2") > 0)))
     return j.select(
         "n_vecs",
         _r(F.col("_smu2") / F.col("_nrm"), 6).alias("anisotropy"),
         "top_dim",
-        _r(F.col("_topv") / F.col("_tvar"), 6).alias("top_var_share"))
+        _r(F.col("_topv") / F.col("_tvar"), 6).alias("top_var_share"),
+        _r(F.col("_tvar") * F.col("_tvar") / F.col("_tvar2"), 6)
+        .alias("eff_dim"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -12076,7 +12084,9 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT list_sum(list_transform(v, x -> x * x)) AS n2
                   FROM ei)
         ), aggq AS (
-            SELECT sum(mu * mu) AS smu2, sum(var) AS tvar FROM dims
+            SELECT sum(mu * mu) AS smu2, sum(var) AS tvar,
+                   sum(var * var) AS tvar2
+            FROM dims
         ), topq AS (
             SELECT i AS top_dim, var AS topv FROM dims
             ORDER BY var DESC, i LIMIT 1
@@ -12084,9 +12094,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT n_vecs,
                (round(smu2 / nrm + 1e-9, 6) + 0.0) AS anisotropy,
                top_dim,
-               (round(topv / tvar + 1e-9, 6) + 0.0) AS top_var_share
+               (round(topv / tvar + 1e-9, 6) + 0.0) AS top_var_share,
+               (round(tvar * tvar / tvar2 + 1e-9, 6) + 0.0) AS eff_dim
         FROM nrmq, aggq, topq
-        WHERE nrm > 0 AND tvar > 0
+        WHERE nrm > 0 AND tvar > 0 AND tvar2 > 0
     """
 
     sql["zipf_fit"] = """
