@@ -7915,7 +7915,10 @@ def q_welch_ttest(spark: SparkSession, sf: str) -> DataFrame:
     per-(arm, day) daily means — the PARAMETRIC twin of
     `mann_whitney_daily` (same arms, same conservative daily grain),
     completing the two-sample family with the test that does NOT
-    assume equal spread (which `levene_test` shows can fail):
+    assume equal spread (which `levene_test` shows can fail).
+    `ab_test` runs the same Welch machinery over RAW draws — this is
+    its cluster-robust bounded-grain twin (each day is one sample,
+    so within-day autocorrelation cannot shrink the standard error):
     t = (m̄₀−m̄₁)/√(s₀²/n₀+s₁²/n₁) with the Welch-Satterthwaite df.
     Scale shape: ONE combinable per-(series, arm) moment agg after the
     daily collapse — no window, no per-series sort. Cross-engine:
