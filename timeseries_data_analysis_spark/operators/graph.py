@@ -31,25 +31,35 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Rounds the most recent connected-components call took to converge —
+# a probe observable (SCALE §1q measures round counts at the 1000×
+# corpus), not an API: read immediately after the call that set it.
+LAST_CC_ROUNDS: int = 0
+
 
 def connected_components(edges: DataFrame, src: str = "id_l",
-                         dst: str = "id_r", max_iter: int = 25) -> DataFrame:
+                         dst: str = "id_r", max_iter: int = 25,
+                         storage_level=None) -> DataFrame:
     """(vertex, component) — component = MIN vertex id reachable via edges.
 
     ``edges`` is undirected input (each pair listed once, either order).
     Isolated vertices don't appear (join-derived graphs have none).
+    ``storage_level`` overrides the per-round checkpoint storage (pass
+    ``StorageLevel.MEMORY_AND_DISK`` — serialized + spillable — when the
+    edge table is fact-sized; the §1n-b house rule).
     Raises if ``max_iter`` rounds don't reach the fixpoint (a diameter-
     ``max_iter`` chain — raise the cap or switch to star-contraction).
     """
+    global LAST_CC_ROUNDS
     sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
            .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))))
-    sym = sym.localCheckpoint()
+    sym = sym.localCheckpoint(storageLevel=storage_level)
     # seed fused with round 1: label = min(self, neighbors) straight from
     # the edge list — one aggregation, no join
     labels = (sym.groupBy(F.col("a").alias("v"))
               .agg(F.least(F.min("b"), F.min("a")).alias("label"))
-              .localCheckpoint())
-    for _ in range(max_iter):
+              .localCheckpoint(storageLevel=storage_level))
+    for it in range(max_iter):
         nbr = (sym.join(labels.withColumnRenamed("v", "b"), on="b")
                .groupBy(F.col("a").alias("v"))
                .agg(F.min("label").alias("nbr_label")))
@@ -70,11 +80,12 @@ def connected_components(edges: DataFrame, src: str = "id_l",
                 .select("v", "_old",
                         F.least("_mid", F.coalesce("_hop", "_mid"))
                         .alias("label"))
-                .localCheckpoint())
+                .localCheckpoint(storageLevel=storage_level))
         changed = (step.filter(F.col("label") != F.col("_old"))
                    .limit(1).count())
         labels = step.select("v", "label")
         if changed == 0:
+            LAST_CC_ROUNDS = it + 1
             return labels.select(F.col("v").alias("vertex"),
                                  F.col("label").alias("component"))
     raise RuntimeError(
@@ -114,7 +125,8 @@ def _small_star(e: DataFrame) -> DataFrame:
 
 def connected_components_star(edges: DataFrame, src: str = "id_l",
                               dst: str = "id_r",
-                              max_iter: int = 50) -> DataFrame:
+                              max_iter: int = 50,
+                              storage_level=None) -> DataFrame:
     """Alternating large-star / small-star connected components
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
     SOCC'14) — the billion-edge-scale alternative to
@@ -135,12 +147,14 @@ def connected_components_star(edges: DataFrame, src: str = "id_l",
     via exceptAll — order-insensitive multiset equality, second
     direction only consulted when the first finds nothing).
     """
+    global LAST_CC_ROUNDS
     raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e = (raw.filter(F.col("a") != F.col("b"))
          .distinct()
-         .localCheckpoint())
-    for _ in range(max_iter):
-        e2 = _small_star(_large_star(e)).localCheckpoint()
+         .localCheckpoint(storageLevel=storage_level))
+    for it in range(max_iter):
+        e2 = _small_star(_large_star(e)).localCheckpoint(
+            storageLevel=storage_level)
         # short-circuit: on non-final rounds the first direction already
         # proves inequality — don't pay the second full co-group shuffle
         changed = e2.exceptAll(e).limit(1).count()
@@ -148,6 +162,7 @@ def connected_components_star(edges: DataFrame, src: str = "id_l",
             changed = e.exceptAll(e2).limit(1).count()
         e = e2
         if changed == 0:
+            LAST_CC_ROUNDS = it + 1
             # fixpoint: every edge is (child, root); roots label themselves
             roots = e.select(F.col("b").alias("vertex"),
                              F.col("b").alias("component")).distinct()
