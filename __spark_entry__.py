@@ -8692,6 +8692,46 @@ def q_garch_vol(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+# The garch_select candidate grid — module-level so the Spark query and
+# the oracle SQL are generated from the SAME literals (repr-injected).
+# Spans the volatility-persistence spectrum at fixed unconditional
+# variance: near-homoskedastic (0.05, 0.9) through shock-dominated
+# (0.3, 0.65); garch_vol's frozen (0.1, 0.85) is candidate #2, so the
+# sweep strictly generalizes it.
+GARCH_CANDS: tuple[tuple[float, float], ...] = (
+    (0.05, 0.9), (0.1, 0.85), (0.2, 0.75), (0.3, 0.65))
+
+
+def q_garch_select(spark: SparkSession, sf: str) -> DataFrame:
+    """GARCH(1,1) parameter selection by log-likelihood — the model-
+    selection step `garch_vol`'s docstring promises ("the likelihood
+    readout is what a sweep would compare"), made real (VERDICT r9
+    'Next round' #4): `TS.garch_sweep` runs the frozen-parameter
+    filter for all four GARCH_CANDS (α, β) pairs over the SAME 4-dp
+    daily-mean differences in ONE Arrow stage, then candidates rank
+    per series by 6-dp log-likelihood (ties → smaller α — the less
+    reactive model, the `aic_order_select` parsimony convention).
+    Emits ALL candidate rows with their rank, so the oracle checks
+    the full sweep surface, not just the argmax. The oracle replays
+    every recursion via one recursive CTE whose (a, b) ride as
+    columns from a VALUES grid — same literals, same operand order,
+    bit-identical h (the `garch_vol` lane, candidate-vectorized).
+    Exclusions (≤ 6 diffs, zero σ̂₀²) are `garch_vol`'s."""
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    daily = (ev.groupBy("event_type",
+                        F.date_trunc("day", F.col("ts")).alias("_d"))
+             .agg(_r(F.avg("value"), 4).alias("_m")))
+    sw = TS.garch_sweep(daily, "event_type", "_d", "_m",
+                        list(GARCH_CANDS))
+    sw = sw.select("event_type", "alpha", "beta", "n_diffs",
+                   _r(F.col("log_lik"), 6).alias("log_lik"),
+                   _r(F.col("vol_next"), 6).alias("vol_next"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("log_lik").desc(), F.col("alpha").asc())
+    return (sw.withColumn("rk", F.row_number().over(w))
+            .orderBy("event_type", "rk"))
+
+
 def q_heaps_law(spark: SparkSession, sf: str) -> DataFrame:
     """Heaps'-law fit across sources — the VOCABULARY-GROWTH corpus
     diagnostic pairing with `zipf_fit`'s frequency law: each source
@@ -8814,74 +8854,19 @@ def q_embedding_isotropy(spark: SparkSession, sf: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS DELIBERATE: the driver's correctness gate checks
-    the first 50 entries per round. The never-driver-checked ledger has
-    been EMPTY since round 8, so round 9 rotates on evidence FRESHNESS
-    (VERDICT r8 "Next round" #2): slots 1-5 are the round-9 new
-    additions (never checked — oldest debt by definition), then the
-    50-row stale ledger — every row whose latest driver-green is
-    round 3, in CORRECTNESS_r03 order — fills the window; the few
-    stale rows pushed past slot 50 by the new queries lead the
-    round-10 rotation. Everything later is driver-green from round 4+
-    (freshest last)."""
+    the first 50 entries per round; rotation is evidence-FRESHNESS-based
+    (the never-driver-checked ledger emptied in round 8). Round-10
+    window: the round-10 new additions (never checked = oldest debt),
+    then the 27-row stale front the round-9 additions pushed past slot
+    50 (latest evidence r3 — the successor tranche VERDICT r9 'Next
+    round' #2 names), then the round-4-evidence ladder in
+    CORRECTNESS_r04 order filling the remaining slots. Everything later
+    is driver-green from round 5+ (freshest last). The pinned contract
+    lives in tests/test_registry.py."""
     return {
-        # --- round-9 new additions (newest-first rule): the
-        #     econometric-diagnostics batch, then the rank-4 ALS
-        #     backtest and the bounded-grain daily twins (SCALE §1n-b)
-        "embedding_isotropy": q_embedding_isotropy,
-        "term_burstiness": q_term_burstiness,
-        "heaps_law": q_heaps_law,
-        "garch_vol": q_garch_vol,
-        "grubbs_outlier": q_grubbs_outlier,
-        "cochran_q": q_cochran_q,
-        "seasonal_mann_kendall": q_seasonal_mann_kendall,
-        "variance_ratio": q_variance_ratio,
-        "dunn_posthoc": q_dunn_posthoc,
-        "engle_granger": q_engle_granger,
-        "granger_causality": q_granger_causality,
-        "chow_test": q_chow_test,
-        "aic_order_select": q_aic_order_select,
-        "adf_test": q_adf_test,
-        "page_hinkley": q_page_hinkley,
-        "friedman_test": q_friedman_test,
-        "kruskal_wallis": q_kruskal_wallis,
-        "welch_ttest": q_welch_ttest,
-        "jarque_bera": q_jarque_bera,
-        "als_rankk_backtest": q_als_rankk_backtest,
-        "kendall_tau": q_kendall_tau,
-        "levene_test": q_levene_test,
-        "hurst_daily": q_hurst_daily,
-        "cvm_drift_daily": q_cvm_drift_daily,
-        "mann_whitney_daily": q_mann_whitney_daily,
-        "runs_test_daily": q_runs_test_daily,
-        "ljung_box_daily": q_ljung_box_daily,
-        # --- the 50-row STALE-EVIDENCE ledger (VERDICT r8 'Next
-        #     round' #2): every row whose latest driver-green is
-        #     round 3, in CORRECTNESS_r03 order — slots 6-50 get
-        #     re-greened this round; the tail past slot 50 leads
-        #     the round-10 rotation ---
-        "null_profile": q_null_profile,
-        "zone_drop_counts": q_zone_drop_counts,
-        "multi_zone_cooling": q_multi_zone_cooling,
-        "dummies_top": q_dummies_top,
-        "token_entropy": q_token_entropy,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "ivf_topk": q_ivf_topk,
-        "cubic_interp": q_cubic_interp,
-        "rollup_totals": q_rollup_totals,
-        "ntile_quartiles": q_ntile_quartiles,
-        "running_total": q_running_total,
-        "first_last": q_first_last,
-        "daily_trend": q_daily_trend,
-        "accretion_status": q_accretion_status,
-        "quality_scatter": q_quality_scatter,
-        "oversample_counts": q_oversample_counts,
-        "hash_split": q_hash_split,
-        "stratified_sample": q_stratified_sample,
-        "decontaminate": q_decontaminate,
-        "doc_repetition": q_doc_repetition,
-        "source_mix": q_source_mix,
-        "pack_documents": q_pack_documents,
-        "confusion_eval": q_confusion_eval,
+        # --- round-10 new additions (newest-first rule) ---
+        "garch_select": q_garch_select,
+        # --- round-10 STALE FRONT: the 27 rows the round-9 additions pushed past slot 50 (evidence r3; the documented successor tranche) ---
         "calibration_bins": q_calibration_bins,
         "pq_topk": q_pq_topk,
         "ivf_pq_topk": q_ivf_pq_topk,
@@ -8909,7 +8894,107 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "melt_metrics": q_melt_metrics,
         "dup_collapse": q_dup_collapse,
         "hourly_downsample": q_hourly_downsample,
-        # --- driver-green filler (evidence r4+), prior order ---
+        # --- round-4-evidence ladder (next-stalest, CORRECTNESS_r04 order): fills the 50-slot window when the round-10 additions number fewer than 23 ---
+        "cat_codes": q_cat_codes,
+        "lsh_topk": q_lsh_topk,
+        "json_extract": q_json_extract,
+        "exact_dedup": q_exact_dedup,
+        "doc_fingerprint": q_doc_fingerprint,
+        "token_stats": q_token_stats,
+        "quality_scores": q_quality_scores,
+        "lang_id": q_lang_id,
+        "similarity_topk": q_similarity_topk,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "rolling_hash": q_rolling_hash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "sessionize": q_sessionize,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "centroid_similarity": q_centroid_similarity,
+        "array_profile": q_array_profile,
+        "salted_agg": q_salted_agg,
+        "simhash_pairs": q_simhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "time_rolling": q_time_rolling,
+        "group_standardize": q_group_standardize,
+        "share_of_total": q_share_of_total,
+        "robust_scale_params": q_robust_scale_params,
+        "funnel": q_funnel,
+        "corpus_curation": q_corpus_curation,
+        "asof_tolerance": q_asof_tolerance,
+        "dq_report": q_dq_report,
+        "cooccurrence": q_cooccurrence,
+        "paa_sax": q_paa_sax,
+        "series_similarity": q_series_similarity,
+        "sax_bucket_search": q_sax_bucket_search,
+        "ewma": q_ewma,
+        "retention": q_retention,
+        "collapse_near_dups": q_collapse_near_dups,
+        "oov_rate": q_oov_rate,
+        "asof_nearest": q_asof_nearest,
+        "emb_neardup_clusters": q_emb_neardup_clusters,
+        "pii_scrub": q_pii_scrub,
+        "unigram_logppl": q_unigram_logppl,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "quality_weighted_sample": q_quality_weighted_sample,
+        "chunk_documents": q_chunk_documents,
+        "per_source_cap": q_per_source_cap,
+        "dedup_method_agreement": q_dedup_method_agreement,
+        "temperature_mix": q_temperature_mix,
+        "bigram_logppl": q_bigram_logppl,
+        "emb_near_dup": q_emb_near_dup,
+        "multimodal_features": q_multimodal_features,
+        # --- driver-green round 5+ (freshest last; relative order preserved) ---
+        "embedding_isotropy": q_embedding_isotropy,
+        "term_burstiness": q_term_burstiness,
+        "heaps_law": q_heaps_law,
+        "garch_vol": q_garch_vol,
+        "grubbs_outlier": q_grubbs_outlier,
+        "cochran_q": q_cochran_q,
+        "seasonal_mann_kendall": q_seasonal_mann_kendall,
+        "variance_ratio": q_variance_ratio,
+        "dunn_posthoc": q_dunn_posthoc,
+        "engle_granger": q_engle_granger,
+        "granger_causality": q_granger_causality,
+        "chow_test": q_chow_test,
+        "aic_order_select": q_aic_order_select,
+        "adf_test": q_adf_test,
+        "page_hinkley": q_page_hinkley,
+        "friedman_test": q_friedman_test,
+        "kruskal_wallis": q_kruskal_wallis,
+        "welch_ttest": q_welch_ttest,
+        "jarque_bera": q_jarque_bera,
+        "als_rankk_backtest": q_als_rankk_backtest,
+        "kendall_tau": q_kendall_tau,
+        "levene_test": q_levene_test,
+        "hurst_daily": q_hurst_daily,
+        "cvm_drift_daily": q_cvm_drift_daily,
+        "mann_whitney_daily": q_mann_whitney_daily,
+        "runs_test_daily": q_runs_test_daily,
+        "ljung_box_daily": q_ljung_box_daily,
+        "null_profile": q_null_profile,
+        "zone_drop_counts": q_zone_drop_counts,
+        "multi_zone_cooling": q_multi_zone_cooling,
+        "dummies_top": q_dummies_top,
+        "token_entropy": q_token_entropy,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "ivf_topk": q_ivf_topk,
+        "cubic_interp": q_cubic_interp,
+        "rollup_totals": q_rollup_totals,
+        "ntile_quartiles": q_ntile_quartiles,
+        "running_total": q_running_total,
+        "first_last": q_first_last,
+        "daily_trend": q_daily_trend,
+        "accretion_status": q_accretion_status,
+        "quality_scatter": q_quality_scatter,
+        "oversample_counts": q_oversample_counts,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
+        "decontaminate": q_decontaminate,
+        "doc_repetition": q_doc_repetition,
+        "source_mix": q_source_mix,
+        "pack_documents": q_pack_documents,
+        "confusion_eval": q_confusion_eval,
         "small_qty_revenue": q_small_qty_revenue,
         "bracketed_revenue": q_bracketed_revenue,
         "discounted_revenue": q_discounted_revenue,
@@ -9102,55 +9187,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_accuracy": q_minhash_accuracy,
         "seasonal_forecast_eval": q_seasonal_forecast_eval,
         "cusum_changepoints": q_cusum_changepoints,
-        "cat_codes": q_cat_codes,
-        "lsh_topk": q_lsh_topk,
-        "json_extract": q_json_extract,
-        "exact_dedup": q_exact_dedup,
-        "doc_fingerprint": q_doc_fingerprint,
-        "token_stats": q_token_stats,
-        "quality_scores": q_quality_scores,
-        "lang_id": q_lang_id,
-        "similarity_topk": q_similarity_topk,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
-        "rolling_hash": q_rolling_hash,
-        "ngram_jaccard": q_ngram_jaccard,
-        "sessionize": q_sessionize,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "centroid_similarity": q_centroid_similarity,
-        "array_profile": q_array_profile,
-        "salted_agg": q_salted_agg,
-        "simhash_pairs": q_simhash_pairs,
-        "dedup_clusters": q_dedup_clusters,
-        "time_rolling": q_time_rolling,
-        "group_standardize": q_group_standardize,
-        "share_of_total": q_share_of_total,
-        "robust_scale_params": q_robust_scale_params,
-        "funnel": q_funnel,
-        "corpus_curation": q_corpus_curation,
-        "asof_tolerance": q_asof_tolerance,
-        "dq_report": q_dq_report,
-        "cooccurrence": q_cooccurrence,
-        "paa_sax": q_paa_sax,
-        "series_similarity": q_series_similarity,
-        "sax_bucket_search": q_sax_bucket_search,
-        "ewma": q_ewma,
-        "retention": q_retention,
-        "collapse_near_dups": q_collapse_near_dups,
-        "oov_rate": q_oov_rate,
-        "asof_nearest": q_asof_nearest,
-        "emb_neardup_clusters": q_emb_neardup_clusters,
-        "pii_scrub": q_pii_scrub,
-        "unigram_logppl": q_unigram_logppl,
-        "bpe_pair_counts": q_bpe_pair_counts,
-        "quality_weighted_sample": q_quality_weighted_sample,
-        "chunk_documents": q_chunk_documents,
-        "per_source_cap": q_per_source_cap,
-        "dedup_method_agreement": q_dedup_method_agreement,
-        "temperature_mix": q_temperature_mix,
-        "bigram_logppl": q_bigram_logppl,
-        "emb_near_dup": q_emb_near_dup,
-        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -14452,6 +14488,55 @@ def oracle_sql() -> dict[str, str]:
                (round(ll + 1e-9, 6) + 0.0) AS log_lik
         FROM gf WHERE t = m
         ORDER BY 1
+    """
+
+    # garch_select: the garch_vol recursive CTE, candidate-vectorized —
+    # (a, b) ride as columns from the VALUES grid built from the SAME
+    # GARCH_CANDS literals the Spark query sweeps; ranking replays the
+    # 6-dp log-lik desc / alpha asc tiebreak.
+    _gcands = ", ".join(
+        f"({repr(a)}::DOUBLE, {repr(b)}::DOUBLE)" for a, b in GARCH_CANDS)
+    sql["garch_select"] = f"""
+        WITH RECURSIVE dvg AS (
+            SELECT event_type, date_trunc('day', ts) AS d,
+                   (round(avg(value) + 1e-9, 4) + 0.0) AS m
+            FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        ), dif AS (
+            SELECT event_type, d,
+                   m - lag(m) OVER (PARTITION BY event_type ORDER BY d)
+                       AS r
+            FROM dvg
+        ), serg AS (
+            SELECT event_type, list(r ORDER BY d) AS rs,
+                   count(r)::BIGINT AS m,
+                   (round(var_pop(r) + 1e-9, 6) + 0.0) AS v0
+            FROM dif WHERE r IS NOT NULL
+            GROUP BY 1
+            HAVING count(r) > 6
+               AND (round(var_pop(r) + 1e-9, 6) + 0.0) > 0
+        ), cands(a, b) AS (VALUES {_gcands}),
+        gsel AS (
+            SELECT event_type, a, b, rs, m, v0, 0::BIGINT AS t,
+                   v0 AS h, CAST(0.0 AS DOUBLE) AS ll
+            FROM serg CROSS JOIN cands
+            UNION ALL
+            SELECT event_type, a, b, rs, m, v0, t + 1,
+                   (1.0::DOUBLE - a - b) * v0
+                     + a * (rs[t + 1] * rs[t + 1]) + b * h,
+                   ll + (-0.5::DOUBLE)
+                     * (ln(h) + (rs[t + 1] * rs[t + 1]) / h)
+            FROM gsel WHERE t < m
+        ), fing AS (
+            SELECT event_type, a AS alpha, b AS beta, m AS n_diffs,
+                   (round(ll + 1e-9, 6) + 0.0) AS log_lik,
+                   (round(sqrt(h) + 1e-9, 6) + 0.0) AS vol_next
+            FROM gsel WHERE t = m
+        )
+        SELECT event_type, alpha, beta, n_diffs, log_lik, vol_next,
+               row_number() OVER (PARTITION BY event_type
+                   ORDER BY log_lik DESC, alpha) AS rk
+        FROM fing
+        ORDER BY event_type, rk
     """
 
     # Degree histogram over the deduped MinHash-LSH candidate graph

@@ -1,15 +1,15 @@
 """Pins the `queries()` registry rotation: the driver's correctness gate
 checks the FIRST 50 entries per round, so registry order is the de-facto
 evidence scheduler. A silent reorder could starve a row of its gate
-slot; this test makes the round-9 window an explicit, reviewed contract.
+slot; this test makes the round-10 window an explicit, reviewed contract.
 
-Round-9 rotation policy (VERDICT r8 "Next round" #2): the
-never-driver-checked ledger has been empty since round 8, so the window
-now rotates on evidence FRESHNESS — new round-9 queries first (never
-checked = oldest debt), then the 50 rows whose latest driver-green is
-round 3 (the stalest evidence in the registry), in CORRECTNESS_r03
-order. The stale rows the new queries push past slot 50 lead the
-round-10 rotation.
+Round-10 rotation policy (VERDICT r9 "Next round" #2, continuing the
+freshness ladder): new round-10 queries first (never checked = oldest
+debt), then the 27-row STALE FRONT — the rows the round-9 additions
+pushed past slot 50, whose latest driver-green is round 3 — then the
+round-4-evidence ladder (CORRECTNESS_r04 order) filling any remaining
+slots. Rows the round-10 additions push past slot 50 lead the round-11
+rotation.
 """
 
 from __future__ import annotations
@@ -24,54 +24,57 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entry_mod
 
-# Round-9 new queries (newest-first), occupying the head of the gate
-# window. Appending here is part of adding a query.
-ROUND9_NEW: list[str] = [
-    "embedding_isotropy", "term_burstiness", "heaps_law",
-    "garch_vol",
-    "grubbs_outlier", "cochran_q", "seasonal_mann_kendall",
-    "variance_ratio", "dunn_posthoc",
-    "engle_granger", "granger_causality",
-    "chow_test", "aic_order_select", "adf_test",
-    "page_hinkley", "friedman_test", "kruskal_wallis", "welch_ttest",
-    "jarque_bera",
-    "als_rankk_backtest", "kendall_tau", "levene_test",
-    "hurst_daily", "cvm_drift_daily", "mann_whitney_daily",
-    "runs_test_daily", "ljung_box_daily",
+# Round-10 new queries (newest-first), occupying the head of the gate
+# window. PREPENDING here is part of adding a query (same commit).
+ROUND10_NEW: list[str] = [
+    "garch_select",
 ]
-# The complete stale-evidence ledger: every registry row whose latest
-# driver-green is round 3 (verified against the r1-r8 CORRECTNESS
-# union), in CORRECTNESS_r03 order. len(ROUND9_NEW) of these fall past
-# slot 50 and are the documented round-10 front.
-STALE_LEDGER_50 = [
-    "null_profile", "zone_drop_counts", "multi_zone_cooling",
-    "dummies_top", "token_entropy", "winnow_fingerprints", "ivf_topk",
-    "cubic_interp", "rollup_totals", "ntile_quartiles", "running_total",
-    "first_last", "daily_trend", "accretion_status", "quality_scatter",
-    "oversample_counts", "hash_split", "stratified_sample",
-    "decontaminate", "doc_repetition", "source_mix", "pack_documents",
-    "confusion_eval", "calibration_bins", "pq_topk", "ivf_pq_topk",
-    "simhash48_pairs", "seasonal_baseline", "spine_ffill", "interpolate",
-    "fill_chain", "hourly_spine", "savgol_smooth", "lag_features",
-    "rolling_stats", "rolling_min_periods", "zscore", "diff_pct_change",
-    "cooling_runs", "anomaly_detect", "baseline_ratio",
-    "sequence_windows", "interval_join", "asof_join",
-    "label_events_full", "latest_per_user", "pivot_event_types",
-    "melt_metrics", "dup_collapse", "hourly_downsample",
+# The 27-row stale front: every row whose latest driver-green is round 3
+# after the round-9 gate ran — i.e. rows 24-50 of round 9's stale
+# ledger, the documented successor tranche (verified against the r1-r9
+# CORRECTNESS union).
+STALE_FRONT_27 = [
+    "calibration_bins", "pq_topk", "ivf_pq_topk", "simhash48_pairs",
+    "seasonal_baseline", "spine_ffill", "interpolate", "fill_chain",
+    "hourly_spine", "savgol_smooth", "lag_features", "rolling_stats",
+    "rolling_min_periods", "zscore", "diff_pct_change", "cooling_runs",
+    "anomaly_detect", "baseline_ratio", "sequence_windows",
+    "interval_join", "asof_join", "label_events_full", "latest_per_user",
+    "pivot_event_types", "melt_metrics", "dup_collapse",
+    "hourly_downsample",
+]
+# The next-stalest tier: every row whose latest driver-green is round 4,
+# in CORRECTNESS_r04 order. Fills the window when the round-10 additions
+# number fewer than 23; the unfilled remainder leads round 11.
+R4_LADDER = [
+    "cat_codes", "lsh_topk", "json_extract", "exact_dedup",
+    "doc_fingerprint", "token_stats", "quality_scores", "lang_id",
+    "similarity_topk", "minhash_lsh", "simhash", "rolling_hash",
+    "ngram_jaccard", "sessionize", "tfidf_top_terms",
+    "centroid_similarity", "array_profile", "salted_agg",
+    "simhash_pairs", "dedup_clusters", "time_rolling",
+    "group_standardize", "share_of_total", "robust_scale_params",
+    "funnel", "corpus_curation", "asof_tolerance", "dq_report",
+    "cooccurrence", "paa_sax", "series_similarity", "sax_bucket_search",
+    "ewma", "retention", "collapse_near_dups", "oov_rate",
+    "asof_nearest", "emb_neardup_clusters", "pii_scrub",
+    "unigram_logppl", "bpe_pair_counts", "quality_weighted_sample",
+    "chunk_documents", "per_source_cap", "dedup_method_agreement",
+    "temperature_mix", "bigram_logppl", "emb_near_dup",
+    "multimodal_features",
 ]
 
 
 def test_gate_window_matches_documented_rotation():
     keys = list(entry_mod.queries())
-    n9 = len(ROUND9_NEW)
-    assert keys[:n9] == ROUND9_NEW
-    assert keys[n9:n9 + 50] == STALE_LEDGER_50
+    expected_head = (ROUND10_NEW + STALE_FRONT_27 + R4_LADDER)[:50]
+    assert keys[:len(expected_head)] == expected_head
 
 
 def test_registry_and_oracles_are_bijective():
     qs = entry_mod.queries()
     osql = entry_mod.oracle_sql()
-    assert len(qs) >= 291
+    assert len(qs) >= 319
     # every query has a value-level oracle and vice versa — no weaker
     # rows-only checks hiding in the registry
     assert set(qs) == set(osql)
@@ -99,9 +102,9 @@ def test_driver_gate_report_has_no_red_rows():
     fail the SUITE, not just sit in a JSON file nobody reruns. Skips
     gracefully before the driver's first gate run of the round."""
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "CORRECTNESS_r09.json")
+        os.path.abspath(__file__))), "CORRECTNESS_r10.json")
     if not os.path.exists(path):
-        pytest.skip("driver has not written CORRECTNESS_r09.json yet")
+        pytest.skip("driver has not written CORRECTNESS_r10.json yet")
     with open(path) as f:
         report = json.load(f)
     red = {k: v for k, v in report.items()

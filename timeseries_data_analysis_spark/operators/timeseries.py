@@ -627,6 +627,29 @@ def kalman_local_level(df: DataFrame, key: str, ts_col: str,
     return df.groupBy(key).applyInPandas(fit, out_schema)
 
 
+def _garch_core(rs: list, a: float, b: float,
+                v0: float) -> tuple:
+    """The GARCH(1,1) recursion shared by :func:`garch_filter` and
+    :func:`garch_sweep`: h_{t+1} = ω + α·r_t² + β·h_t with
+    variance-targeted ω = (1−α−β)·v0 and h₁ = v0, accumulating the
+    Gaussian log-likelihood and max standardized shock. Operand order is
+    pinned (ω precomputed ONCE, then ``w + a*e2 + b*h``) so a recursive-
+    CTE oracle that inlines ``(1−α−β)·v0`` per step replays h
+    bit-identically — ω is a single multiply either way."""
+    import math
+
+    w = (1.0 - a - b) * v0
+    h, ll, mx = v0, 0.0, 0.0
+    for r in rs:
+        e2 = r * r
+        ll = ll + (-0.5) * (math.log(h) + e2 / h)
+        shock = e2 / h
+        if shock > mx:
+            mx = shock
+        h = w + a * e2 + b * h
+    return h, ll, mx
+
+
 def garch_filter(df: DataFrame, key: str, ts_col: str, value_col: str,
                  alpha: float = 0.1, beta: float = 0.85) -> DataFrame:
     """GARCH(1,1) volatility filter per series with FROZEN (α, β) and
@@ -680,15 +703,7 @@ def garch_filter(df: DataFrame, key: str, ts_col: str, value_col: str,
             return pd.DataFrame(columns=[
                 key, "n_diffs", "v0", "h_next", "vol_next",
                 "max_shock", "log_lik"])
-        w = (1.0 - a - b) * v0
-        h, ll, mx = v0, 0.0, 0.0
-        for r in rs:
-            e2 = r * r
-            ll = ll + (-0.5) * (math.log(h) + e2 / h)
-            shock = e2 / h
-            if shock > mx:
-                mx = shock
-            h = w + a * e2 + b * h
+        h, ll, mx = _garch_core(rs, a, b, v0)
         return pd.DataFrame({
             key: [pdf[key].iloc[0]], "n_diffs": [m], "v0": [v0],
             "h_next": [h], "vol_next": [math.sqrt(h)],
@@ -697,4 +712,70 @@ def garch_filter(df: DataFrame, key: str, ts_col: str, value_col: str,
     out_schema = (f"{_key_ddl(df, key)}, n_diffs long, v0 double, "
                   "h_next double, vol_next double, max_shock double, "
                   "log_lik double")
+    return df.groupBy(key).applyInPandas(fit, out_schema)
+
+
+def garch_sweep(df: DataFrame, key: str, ts_col: str, value_col: str,
+                candidates: list[tuple[float, float]]) -> DataFrame:
+    """GARCH(1,1) candidate-parameter sweep — the model SELECTION step
+    :func:`garch_filter`'s docstring promises ("the likelihood readout
+    is what a sweep over candidate (α, β) would compare"): run the
+    frozen-parameter filter for every candidate pair over the SAME
+    per-series differences and emit one row per (series, candidate) so
+    the caller ranks by log-likelihood (the `aic_order_select`
+    model-selection pattern applied to volatility regimes).
+
+    Scale shape: ONE Arrow stage — the differences materialize once per
+    series and the bounded candidate loop runs inside the same
+    ``applyInPandas`` batch, so the fact collapse upstream is scanned
+    once, not |candidates| times. Per-series work is
+    O(|candidates| × calendar days); series count distributes.
+    Exclusion rules, σ̂₀² HALF_UP rounding, and operand order are
+    exactly :func:`garch_filter`'s (shared ``_garch_core``), so each
+    candidate row is bit-identical to a standalone filter run and a
+    recursive-CTE oracle replays the whole sweep.
+
+    Returns ``(key, alpha, beta, n_diffs, v0, h_next, vol_next,
+    max_shock, log_lik)``.
+    """
+    import math
+
+    import pandas as pd
+
+    cands = [(float(a), float(b)) for a, b in candidates]
+    if not cands:
+        raise ValueError("garch_sweep needs at least one (alpha, beta)")
+    for a, b in cands:
+        if not (a >= 0 and b >= 0 and a + b < 1):
+            raise ValueError(
+                f"candidate ({a}, {b}) violates alpha, beta >= 0 and "
+                "alpha + beta < 1 (variance targeting)")
+
+    cols = [key, "alpha", "beta", "n_diffs", "v0", "h_next",
+            "vol_next", "max_shock", "log_lik"]
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col)
+        ys = pdf[value_col].tolist()
+        rs = [ys[i + 1] - ys[i] for i in range(len(ys) - 1)]
+        m = len(rs)
+        if m <= 6:
+            return pd.DataFrame(columns=cols)
+        from ..functions.stats import half_up
+
+        mean = sum(rs) / m
+        var = sum((r - mean) * (r - mean) for r in rs) / m
+        v0 = half_up(var)
+        if v0 <= 0:
+            return pd.DataFrame(columns=cols)
+        rows = []
+        for a, b in cands:
+            h, ll, mx = _garch_core(rs, a, b, v0)
+            rows.append((pdf[key].iloc[0], a, b, m, v0, h,
+                         math.sqrt(h), mx, ll))
+        return pd.DataFrame(rows, columns=cols)
+
+    out_schema = (f"{_key_ddl(df, key)}, alpha double, beta double, "
+                  "n_diffs long, v0 double, h_next double, "
+                  "vol_next double, max_shock double, log_lik double")
     return df.groupBy(key).applyInPandas(fit, out_schema)
