@@ -878,6 +878,43 @@ def q_ivf_store_search(spark: SparkSession, sf: str) -> DataFrame:
                       _r(F.col("sim"), 6).alias("sim"))
 
 
+def q_ivf_store_scaled(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN scale path #2c — the SCALED-C oracle row (VERDICT r9 'Next
+    round' #3): identical store layout and search to
+    ``q_ivf_store_search`` but C = 64 coarse cells (seed rule
+    ``vec_id % 7 == 0``, lowest 64) with the same probe 4, so the
+    oracle-checked contract exercises the pruned-fraction law SCALE
+    §1o measured (search cost tracks n_probe/C — 4/64 = 6.25% of the
+    corpus scanned vs 25% at the registry's C=16): at 100 TB you grow
+    C with N so the pruned fraction stays constant, and THIS row is
+    that deployment shape, value-oracle-checked. Partition pruning on
+    the scaled store is plan-asserted in
+    ``test_streaming.py::test_ivf_store_scaled_prunes_to_probed_cells``.
+    On corpora smaller than 64×7 ids the seed rule yields fewer
+    centroids on BOTH engines identically (LIMIT 64 vs lowest-64
+    collect), so the row stays well-defined at every SF."""
+    import os
+    emb = load_table(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    cent = SIM.dense_seed_ids(
+        emb.filter(F.col("vec_id") % 7 == 0)
+        .select("vec_id", F.col("embedding").alias("centroid")),
+        "vec_id", 64, "centroid_id", "centroid")
+    store = os.path.join(
+        "spark-warehouse",
+        f"ivf_store_c64_{os.path.basename(sf.rstrip('/'))}")
+    (SIM._assign_cells(emb, cent, n_probe=1, id_col="vec_id",
+                       vec_col="embedding")
+     .select("vec_id", F.col("_v").alias("embedding"),
+             F.col("centroid_id").alias("cell"))
+     .write.mode("overwrite").partitionBy("cell").parquet(store))
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = SIM.ivf_store_topk(spark, store, q, cent, k=5, n_probe=4)
+    return out.select("query_id", "vec_id", "rk",
+                      _r(F.col("sim"), 6).alias("sim"))
+
+
 def q_rolling_hash(spark: SparkSession, sf: str) -> DataFrame:
     """Order-SENSITIVE document fingerprint: Rabin-Karp polynomial rolling
     hash folded over per-token md5-prefix hashes (complements the
@@ -8865,6 +8902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     lives in tests/test_registry.py."""
     return {
         # --- round-10 new additions (newest-first rule) ---
+        "ivf_store_scaled": q_ivf_store_scaled,
         "garch_select": q_garch_select,
         # --- round-10 STALE FRONT: the 27 rows the round-9 additions pushed past slot 50 (evidence r3; the documented successor tranche) ---
         "calibration_bins": q_calibration_bins,
@@ -10098,6 +10136,17 @@ def oracle_sql() -> dict[str, str]:
     # the in-memory IVF search, so the oracle IS ivf_topk's (same
     # deterministic centroids, same k/n_probe, same tiebreaks).
     sql["ivf_store_search"] = sql["ivf_topk"]
+
+    # ivf_store_scaled: same physical-layout argument at the SCALED
+    # coarse quantizer (C=64, seed rule vec_id % 7 == 0) — the oracle is
+    # ivf_topk's with only the centroid-selection constants changed (the
+    # two substrings are unique in the template; asserted so a template
+    # edit can't silently decouple the scaled row from the base oracle).
+    assert sql["ivf_topk"].count("% 31 = 0") == 1
+    assert sql["ivf_topk"].count("LIMIT 16") == 1
+    sql["ivf_store_scaled"] = (sql["ivf_topk"]
+                               .replace("% 31 = 0", "% 7 = 0")
+                               .replace("LIMIT 16", "LIMIT 64"))
 
     # train-then-search: one Lloyd step over the seed centroids (means
     # rounded 6 dp on both sides so probe ranking cannot flip on

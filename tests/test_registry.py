@@ -27,6 +27,7 @@ import __spark_entry__ as entry_mod
 # Round-10 new queries (newest-first), occupying the head of the gate
 # window. PREPENDING here is part of adding a query (same commit).
 ROUND10_NEW: list[str] = [
+    "ivf_store_scaled",
     "garch_select",
 ]
 # The 27-row stale front: every row whose latest driver-green is round 3

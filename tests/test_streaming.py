@@ -604,6 +604,55 @@ def test_ivf_store_topk_prunes_partitions(spark, tmp_path):
     assert "cell" in bracket and "IN" in bracket.upper(), bracket
 
 
+def test_ivf_store_scaled_prunes_to_probed_cells(spark, tmp_path):
+    """The SCALED-C deployment shape behind the `ivf_store_scaled`
+    registry row (VERDICT r9 'Next round' #3): with C=64 cells and
+    probe 4, the store search must (a) static-prune to EXACTLY the 4
+    probed cell directories — n_probe/C = 6.25% of the corpus, the
+    pruned-fraction law SCALE §1o measured — and (b) return the same
+    ranking as the in-memory IVF search with identical centroids."""
+    import random
+    from timeseries_data_analysis_spark.operators import similarity as SIM
+
+    random.seed(41)
+    rows = [(i, [random.gauss(0, 1) for _ in range(8)]) for i in range(640)]
+    vec_schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    full = spark.createDataFrame(rows, vec_schema)
+    cent = SIM.dense_seed_ids(
+        full.filter(F.col("vec_id") % 7 == 0)
+        .select("vec_id", F.col("embedding").alias("centroid")),
+        "vec_id", 64, "centroid_id", "centroid")
+    assert cent.count() == 64
+    out = str(tmp_path / "store64")
+    from timeseries_data_analysis_spark.operators.similarity import _assign_cells
+    (_assign_cells(full, cent, n_probe=1, id_col="vec_id",
+                   vec_col="embedding")
+     .select("vec_id", F.col("_v").alias("embedding"),
+             F.col("centroid_id").alias("cell"))
+     .write.mode("overwrite").partitionBy("cell").parquet(out))
+
+    queries = full.filter(F.col("vec_id") < 2) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    got = SIM.ivf_store_topk(spark, out, queries, cent, k=5, n_probe=4)
+    ref = SIM.ivf_topk(full, queries, k=5, n_probe=4, centroids=cent)
+    g = {(r["query_id"], r["rk"]): r["vec_id"] for r in got.collect()}
+    r_ = {(r["query_id"], r["rk"]): r["vec_id"] for r in ref.collect()}
+    assert g == r_ and g
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    scan_at = plan.index("PartitionFilters: [")
+    bracket = plan[scan_at + len("PartitionFilters: ["):]
+    bracket = bracket[:bracket.index("]")]
+    assert "cell" in bracket and "IN" in bracket.upper(), bracket
+    # the IN-list is the union of the 2 queries' probed cells: >0 and
+    # at most 8 of the 64 — the scan reads ≤12.5% of the directories
+    import re as _re
+    in_list = _re.search(r"IN \(([\d,]+)\)", bracket).group(1)
+    assert 0 < len(set(in_list.split(","))) <= 8, bracket
+
+
 def test_ivf_ingest_replay_is_idempotent(spark, tmp_path):
     """A micro-batch replayed after a crash between the data write and
     the checkpoint commit rewrites its batch directory instead of
