@@ -1192,6 +1192,23 @@ def q_simhash48_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("id_l", "id_r", "hamming")
 
 
+def q_simhash_wide_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash banding PAST the int64 width ceiling (VERDICT r9 'Next
+    round' #5): 96-bit fingerprints as two 48-bit halves from disjoint
+    md5 segments, 4 bands of 24-bit chunks — ≥18 bits/chunk is what
+    SCALE §1o's width rule derives for 5M-doc corpora, where the
+    60-bit form's 15-bit chunks are exhausted (39B collision-noise
+    candidates at 1000×). Same pigeonhole guarantee (hamming ≤ 3 over
+    all 96 bits), hamming verified across both halves. Full value
+    oracle replaying both segment hashes, both vote sets, and the
+    half-aware chunk split."""
+    docs = load_table(spark, sf, "documents")
+    out = DD.simhash_wide_pairs(docs, n=2, half_bits=48, bands=4,
+                                max_hamming=3)
+    return out.select("id_l", "id_r",
+                      F.col("hamming").cast("long").alias("hamming"))
+
+
 def q_rollup_totals(spark: SparkSession, sf: str) -> DataFrame:
     """Hierarchical ROLLUP aggregate (SURVEY.md §2.4 'absent in reference,
     free in Spark'): per (priority, status) order totals plus the
@@ -8902,6 +8919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     lives in tests/test_registry.py."""
     return {
         # --- round-10 new additions (newest-first rule) ---
+        "simhash_wide_pairs": q_simhash_wide_pairs,
         "ivf_store_scaled": q_ivf_store_scaled,
         "garch_select": q_garch_select,
         # --- round-10 STALE FRONT: the 27 rows the round-9 additions pushed past slot 50 (evidence r3; the documented successor tranche) ---
@@ -10947,6 +10965,61 @@ def oracle_sql() -> dict[str, str]:
     sql["simhash48_pairs"] = f"""
         WITH {simhash48_ctes}
         SELECT id_l, id_r, hamming FROM sp48
+    """
+
+    # Wide (2×48-bit) variant: two disjoint md5 segments (hex 1-12 and
+    # 17-28) vote independently; 24-bit chunks split half-aware; hamming
+    # sums both halves' XOR popcounts.
+    sql["simhash_wide_pairs"] = f"""
+        WITH tw AS (
+            SELECT doc_id, regexp_split_to_array(trim({norm}), '\\s+') AS t
+            FROM documents
+        ), shw AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= 2 THEN
+                       list_transform(range(len(t) - 1), i ->
+                           t[i + 1] || ' ' || t[i + 2])
+                   ELSE [array_to_string(t, ' ')] END AS s
+            FROM tw
+        ), postw AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(g), 1, 12))::BIGINT AS hlo,
+                   ('0x' || substr(md5(g), 17, 12))::BIGINT AS hhi
+            FROM (SELECT doc_id, unnest(s) AS g FROM shw)
+        ), votesw AS (
+            SELECT doc_id, b.bit,
+                   sum(CASE WHEN (hlo >> b.bit) & 1 = 1
+                            THEN 1 ELSE -1 END) AS vlo,
+                   sum(CASE WHEN (hhi >> b.bit) & 1 = 1
+                            THEN 1 ELSE -1 END) AS vhi
+            FROM postw, range(0, 48) b(bit)
+            GROUP BY 1, 2
+        ), fpw AS (
+            SELECT doc_id,
+                   sum(CASE WHEN vlo > 0 THEN 1::BIGINT << bit
+                            ELSE 0 END)::BIGINT AS flo,
+                   sum(CASE WHEN vhi > 0 THEN 1::BIGINT << bit
+                            ELSE 0 END)::BIGINT AS fhi
+            FROM votesw GROUP BY 1
+        ), chunksw AS (
+            SELECT doc_id, flo, fhi, c.band,
+                   CASE WHEN c.band < 2
+                        THEN (flo >> (c.band * 24)) & 16777215
+                        ELSE (fhi >> ((c.band - 2) * 24)) & 16777215
+                   END AS chunk
+            FROM fpw, range(0, 4) c(band)
+        ), spw AS (
+            SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+                   min(bit_count(xor(a.flo, b.flo))
+                       + bit_count(xor(a.fhi, b.fhi)))::BIGINT AS hamming
+            FROM chunksw a
+            JOIN chunksw b ON a.band = b.band AND a.chunk = b.chunk
+                          AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING min(bit_count(xor(a.flo, b.flo))
+                       + bit_count(xor(a.fhi, b.fhi))) <= 3
+        )
+        SELECT id_l, id_r, hamming FROM spw
     """
 
     sql["collapse_near_dups"] = f"""

@@ -318,6 +318,57 @@ def test_simhash_hamming_pairs_rejects_uncovered_distance(spark):
         DD.simhash_hamming_pairs(df, bands=4, max_hamming=4)
 
 
+def test_simhash_wide_lo_half_equals_narrow_fingerprint(spark):
+    """The wide form strictly extends the narrow one: _fp_lo must be
+    bit-identical to simhash_fingerprints(bits=48, hex_digits=12) —
+    same md5-prefix base hash, same votes."""
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "spark engines process large corpora quickly",
+             "a b"]
+    df = docs_df(spark, texts)
+    wide = {r["_id"]: (r["_fp_lo"], r["_fp_hi"])
+            for r in DD.simhash_wide_fingerprints(df).collect()}
+    narrow = {r["_id"]: r["_fp"]
+              for r in DD.simhash_fingerprints(
+                  df, n=2, bits=48, hex_digits=12).collect()}
+    assert {k: v[0] for k, v in wide.items()} == narrow
+    # the hi half comes from a DISJOINT md5 segment — on real text it
+    # must not simply replicate the lo half
+    assert any(v[0] != v[1] for v in wide.values())
+
+
+def test_simhash_wide_pairs_matches_brute_force(spark):
+    """Pigeonhole exactness over the full 96 bits: the banded join must
+    find exactly the pairs whose two-half Hamming distance is ≤ 3."""
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "a completely different document about spark engines",
+        "the quick brown fox jumps over the lazy dog",
+        "spark engines process completely different documents",
+    ]
+    df = docs_df(spark, texts)
+    got = {(r["id_l"], r["id_r"]): r["hamming"]
+           for r in DD.simhash_wide_pairs(df).collect()}
+    fps = {r["_id"]: (r["_fp_lo"], r["_fp_hi"])
+           for r in DD.simhash_wide_fingerprints(df).collect()}
+    expect = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            h = (bin(fps[i][0] ^ fps[j][0]).count("1")
+                 + bin(fps[i][1] ^ fps[j][1]).count("1"))
+            if h <= 3:
+                expect[(i, j)] = h
+    assert got == expect
+    assert got[(0, 3)] == 0  # exact dup → distance 0 across all 96 bits
+    with pytest.raises(ValueError):
+        DD.simhash_wide_pairs(df, bands=4, max_hamming=4)
+    with pytest.raises(ValueError):
+        DD.simhash_wide_pairs(df, half_bits=48, bands=3)  # uneven split
+    with pytest.raises(ValueError):
+        DD.simhash_wide_fingerprints(df, half_bits=61)  # int64 headroom
+
+
 def test_connected_components_known_graph(spark):
     from timeseries_data_analysis_spark.operators import graph as GR
     # components: {1,2,3,4} (chain), {10,11}, {20,21,22} (triangle)

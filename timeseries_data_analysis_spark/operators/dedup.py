@@ -527,6 +527,121 @@ def simhash_hamming_pairs(docs: DataFrame, text_col: str = "text",
             .agg(F.min("hamming").alias("hamming")))
 
 
+def simhash_wide_fingerprints(docs: DataFrame, text_col: str = "text",
+                              id_col: str = "doc_id", n: int = 2,
+                              half_bits: int = 48) -> DataFrame:
+    """(_id, _fp_lo, _fp_hi): a 2×``half_bits``-bit SimHash fingerprint
+    built from two DISJOINT md5 segments of each shingle (hex digits
+    1..12 and 17..28 at the default) — the wider-hash engineering step
+    SCALE §1o's width rule calls for once fixed 60-bit fingerprints are
+    exhausted (5M docs need ≥18 bits per band chunk; a single signed
+    int64 caps at 15 hex = 60 bits). Two int64 halves lift the ceiling
+    to 120 bits with every hash/vote still native 64-bit arithmetic.
+
+    ``_fp_lo`` is bit-identical to ``simhash_fingerprints(bits=half_bits,
+    hex_digits=half_bits//4)`` (same md5-prefix base hash), so the wide
+    form strictly extends the narrow one. The md5 materializes ONCE per
+    exploded shingle row; both segment hashes are top-level projections
+    of it (whole-stage codegen — the HOF-lambda trap documented on
+    ``exploded_shingle_hashes`` does not apply).
+    """
+    if not 1 <= half_bits <= 60:
+        raise ValueError("half_bits must be in [1, 60] (int64 headroom)")
+    hexd = (half_bits + 3) // 4
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sh = (docs.select(F.col(id_col).alias("_id"), F.col(text_col))
+          .repartition(par)
+          .select("_id", tokens(text_col).alias("_toks"))
+          .select("_id", shingles_from_tokens(F.col("_toks"), n).alias("_sh"))
+          .select("_id", F.explode("_sh").alias("_g"))
+          .select("_id", F.md5("_g").alias("_m")))
+    ex = sh.select(
+        "_id",
+        F.conv(F.substring("_m", 1, hexd), 16, 10).cast("bigint")
+        .alias("_hlo"),
+        F.conv(F.substring("_m", 17, hexd), 16, 10).cast("bigint")
+        .alias("_hhi"))
+
+    def fp(col: str, out: str):
+        votes = [F.sum(
+            F.when(F.col(col).bitwiseAND(F.lit(1 << b)) != 0, 1)
+            .otherwise(-1)).alias(f"_v_{out}{b}")
+            for b in range(half_bits)]
+        expr = None
+        for b in range(half_bits):
+            term = F.when(F.col(f"_v_{out}{b}") > 0,
+                          F.lit(1 << b).cast("bigint")) \
+                .otherwise(F.lit(0).cast("bigint"))
+            expr = term if expr is None else expr + term
+        return votes, expr
+
+    v_lo, e_lo = fp("_hlo", "lo")
+    v_hi, e_hi = fp("_hhi", "hi")
+    return (ex.groupBy("_id").agg(*(v_lo + v_hi))
+            .select("_id", e_lo.alias("_fp_lo"), e_hi.alias("_fp_hi")))
+
+
+def simhash_wide_pairs(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 2,
+                       half_bits: int = 48, bands: int = 4,
+                       max_hamming: int = 3,
+                       max_bucket: int | None = None) -> DataFrame:
+    """Near-duplicate pairs over the 2×``half_bits``-bit wide SimHash:
+    the fingerprint splits into ``bands`` chunks of ``2*half_bits/bands``
+    bits (24-bit chunks at the default — past the ≥18 bits/chunk the
+    §1o width rule derives for 5M-doc corpora, where the 60-bit form's
+    15-bit chunks are exhausted), so random chunk collisions stay ~0 as
+    N grows and the UNCAPPED banding has a documented path instead of a
+    documented cliff. Pigeonhole guarantee: all pairs within Hamming
+    distance ``bands - 1`` across the full 2×``half_bits`` bits are
+    found (chunks never straddle halves — ``bands`` must split evenly
+    into per-half chunk counts). Hamming verifies as
+    ``bit_count(lo⊕lo') + bit_count(hi⊕hi')``. Same skew-cap contract
+    as :func:`simhash_hamming_pairs`.
+    """
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"banding finds all pairs only up to hamming {bands - 1}; "
+            f"got max_hamming={max_hamming}")
+    if bands % 2 != 0 or (2 * half_bits) % bands != 0 \
+            or half_bits % (bands // 2) != 0:
+        raise ValueError("bands must split evenly across the two halves")
+    chunk_bits = 2 * half_bits // bands
+    mask = (1 << chunk_bits) - 1
+    per_half = bands // 2
+    fp = simhash_wide_fingerprints(docs, text_col, id_col, n, half_bits)
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.shiftright(
+                F.col("_fp_lo" if band < per_half else "_fp_hi"),
+                (band % per_half) * chunk_bits)
+            .bitwiseAND(F.lit(mask)).alias("chunk"))
+        for band in range(bands)]
+    chunks = fp.select(
+        "_id", "_fp_lo", "_fp_hi",
+        F.explode(F.array(*band_structs)).alias("bc"),
+    ).select("_id", "_fp_lo", "_fp_hi", "bc.band", "bc.chunk")
+    if max_bucket is not None:
+        chunks = chunks.withColumn(
+            "_bn", F.count(F.lit(1)).over(
+                Window.partitionBy("band", "chunk"))
+        ).filter(F.col("_bn") <= max_bucket).drop("_bn")
+    a = chunks.select(F.col("_id").alias("id_l"),
+                      F.col("_fp_lo").alias("_lo_l"),
+                      F.col("_fp_hi").alias("_hi_l"), "band", "chunk")
+    b = chunks.select(F.col("_id").alias("id_r"),
+                      F.col("_fp_lo").alias("_lo_r"),
+                      F.col("_fp_hi").alias("_hi_r"), "band", "chunk")
+    ham = (F.bit_count(F.col("_lo_l").bitwiseXOR(F.col("_lo_r")))
+           + F.bit_count(F.col("_hi_l").bitwiseXOR(F.col("_hi_r"))))
+    return (a.join(b, on=["band", "chunk"])
+            .filter(F.col("id_l") < F.col("id_r"))
+            .select("id_l", "id_r", ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct())
+
+
 def simhash_cross_matches(probe: DataFrame, index: DataFrame,
                           bits: int = 48, bands: int = 4,
                           max_hamming: int = 3) -> DataFrame:
