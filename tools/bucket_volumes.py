@@ -54,6 +54,25 @@ def simhash_band_buckets(docs, bits: int, bands: int, hex_digits: int):
             .select("bc.band", "bc.bucket"))
 
 
+def simhash_wide_band_buckets(docs, half_bits: int = 48, bands: int = 4):
+    """(band, bucket) rows — same half-aware chunk extraction as
+    ``simhash_wide_pairs`` (2×half_bits-bit fingerprint, 24-bit chunks
+    at the default: the width-rule-compliant banding for multi-million-
+    doc corpora)."""
+    chunk_bits = 2 * half_bits // bands
+    mask = (1 << chunk_bits) - 1
+    per_half = bands // 2
+    fp = DD.simhash_wide_fingerprints(docs, half_bits=half_bits)
+    structs = [F.struct(
+        F.lit(b).alias("band"),
+        F.shiftright(F.col("_fp_lo" if b < per_half else "_fp_hi"),
+                     (b % per_half) * chunk_bits)
+        .bitwiseAND(F.lit(mask)).cast("string").alias("bucket"))
+        for b in range(bands)]
+    return (fp.select(F.explode(F.array(*structs)).alias("bc"))
+            .select("bc.band", "bc.bucket"))
+
+
 def minhash_band_buckets(docs, num_hashes: int, bands: int):
     """(band, bucket) rows — same md5-of-signature-slice keying as
     ``minhash_lsh_candidates``."""
@@ -107,6 +126,7 @@ def main() -> None:
     FAMS = {
         "simhash48": (lambda: simhash_band_buckets(docs, 48, 4, 12), None),
         "simhash60": (lambda: simhash_band_buckets(docs, 60, 4, 15), None),
+        "simhash_wide96": (lambda: simhash_wide_band_buckets(docs), None),
         "minhash_r2": (lambda: minhash_band_buckets(docs, 16, 8), 1000),
         "minhash_r4": (lambda: minhash_band_buckets(docs, 16, 4), 1000),
         "lsh8": (lambda: lsh_band_buckets(emb, 64, 6, 8), None),

@@ -68,6 +68,21 @@ the §1e discipline):
    n_clusters, checksum) — a cross-engine equality assert, not a
    prediction.
 
+Additional stage (VERDICT r9 "Next round" #6 — the remaining raw-form
+stats):
+
+  stats      time `acf_lags`, `pacf_yw`, `spearman_lag1` at <corpus>.
+             Pre-registered expectations: acf_lags and pacf_yw are
+             SINGLE-window-pass + combinable agg (all lag columns share
+             one per-series sort), so their per-decade constant is one
+             5-sort-task pass — predict ≤25 s warm at 100× (10M rows),
+             series-cardinality-bound but tolerable at 1000×.
+             spearman_lag1 is THREE windows (lag + two rank windows
+             over the full fact frame) — the §1n raw-rank shape whose
+             twins exist for the other rank stats; predict >30 s at
+             100×, in which case the measurement DEMANDS a daily twin
+             (ship `spearman_daily`), per the §1n-b playbook.
+
 Protocol: 1000× cells are one-shot or min-of-2 (cost), loadavg quoted
 per draw; host co-tenant load makes any draw at loadavg >8 suspect
 (§6 rule).
@@ -160,6 +175,19 @@ def main() -> None:
                 spark, "labelprop",
                 lambda e, a, b, m: G.connected_components(
                     e, a, b, max_iter=25, storage_level=SER))
+        elif s == "stats":
+            import __spark_entry__ as entry_mod
+            qs = entry_mod.queries()
+            trials = int(os.environ.get("SCALE_TRIALS", "2"))
+            for name in ("acf_lags", "pacf_yw", "spearman_lag1"):
+                times, n = [], None
+                for _ in range(trials):
+                    t0 = time.monotonic()
+                    n = qs[name](spark, corpus).count()
+                    times.append(time.monotonic() - t0)
+                print(f"{name:14s} {min(times):9.2f} s  rows={n}  "
+                      f"trials={[round(t, 2) for t in times]}  "
+                      f"loadavg={os.getloadavg()[0]:.2f}", flush=True)
         else:
             raise SystemExit(f"unknown stage {s}")
 
