@@ -7182,6 +7182,193 @@ def _daily_arm_means(spark: SparkSession, sf: str) -> DataFrame:
             .agg(_r(F.avg("value"), 6).alias("_v")))
 
 
+def q_kpss_test(spark: SparkSession, sf: str) -> DataFrame:
+    """KPSS level-stationarity test per series over daily means — the
+    COMPLEMENT of `adf_test` (ADF's null is a unit root; KPSS's null is
+    stationarity — running both is the standard identification
+    protocol, and they disagree on exactly the interesting series).
+    η = Σ_t S_t² / (n²·σ̂²) with S_t the running sum of deviations from
+    the series mean and σ̂² the lag-0 variance (the classic statistic
+    without HAC correction — deterministic, oracle-replayable); reject
+    level stationarity at 5% when η > 0.463. Scale shape: the
+    `_daily_means` collapse then one bounded running-sum window + one
+    agg. Cross-engine: deviations subtract 6-dp-rounded means, the
+    running sum is order-pinned by day, Σ-aggregates round at 6 dp
+    before the ratio; zero-variance series are excluded identically."""
+    daily = _daily_means(spark, sf)
+    mu = (daily.groupBy("event_type")
+          .agg(_r(F.avg("_v"), 6).alias("_mu")))
+    w = (Window.partitionBy("event_type").orderBy("_d")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    e = F.col("_v") - F.col("_mu")
+    d = (daily.join(F.broadcast(mu), "event_type")
+         .select("event_type", "_d", e.alias("_e")))
+    d = d.select("event_type", "_e", F.sum("_e").over(w).alias("_s"))
+    g = (d.groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("n_days"),
+              _r(F.sum(F.col("_s") * F.col("_s")), 6).alias("_ss"),
+              _r(F.sum(F.col("_e") * F.col("_e")), 6).alias("_se2"))
+         .filter(F.col("_se2") > 0))
+    n = F.col("n_days")
+    eta = _r(F.col("_ss") / (n * F.col("_se2")), 6)
+    return (g.select("event_type", "n_days", eta.alias("eta"),
+                     (eta > 0.463).cast("int").alias("reject_5pct"))
+            .orderBy("event_type"))
+
+
+def q_theil_sen_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """Theil-Sen robust trend per series: the MEDIAN of all pairwise
+    slopes (v_j − v_i)/(d_j − d_i in days) over the daily means — the
+    outlier-insensitive twin of `daily_trend`'s OLS slope (one wild day
+    moves OLS by leverage; it moves a median of ~n²/2 slopes not at
+    all) and the magnitude estimate `mann_kendall`'s S-test pairs with
+    in the standard trend protocol. Scale shape: the |days|²-bounded
+    per-series pair self-join (the `kendall_tau` house rule — the
+    quadratic is confined to the calendar grain) + one exact-percentile
+    agg. Cross-engine: slopes divide 6-dp operands by exact integer day
+    gaps; the median is linear-interpolation percentile on both
+    engines; 6-dp readout."""
+    daily = _daily_means(spark, sf)
+    a = daily.select("event_type", F.col("_d").alias("_da"),
+                     F.col("_v").alias("_va"))
+    b = daily.select("event_type", F.col("_d").alias("_db"),
+                     F.col("_v").alias("_vb"))
+    pairs = (a.join(b, "event_type")
+             .filter(F.col("_da") < F.col("_db"))
+             .select("event_type",
+                     ((F.col("_vb") - F.col("_va"))
+                      / F.datediff("_db", "_da")).alias("_slope")))
+    return (pairs.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 _r(F.percentile("_slope", 0.5), 6).alias("sen_slope"),
+                 _r(F.percentile("_slope", 0.25), 6).alias("slope_p25"),
+                 _r(F.percentile("_slope", 0.75), 6).alias("slope_p75"))
+            .orderBy("event_type"))
+
+
+def q_sample_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Sample entropy (SampEn, m=2, r=0.2·σ) per series over daily
+    means — the regularity/complexity diagnostic (Richman & Moorman
+    2000): −ln(A/B) where B counts template pairs of length 2 within
+    Chebyshev distance r and A the same at length 3. Low SampEn ⇒
+    self-similar/regular dynamics (templated or mean-reverting); high
+    ⇒ irregular. Complements `spectral_entropy` (frequency view) with
+    a state-space view. Scale shape: lead columns over the bounded
+    daily grain, then the |days|²-bounded pair self-join (house rule)
+    and one agg. Cross-engine: templates compare 6-dp daily means
+    against a 6-dp tolerance (exact double equality of operands on
+    both engines), A and B are exact integers, −ln(A/B) rounds at
+    6 dp; series with A=0 or B=0 are excluded identically."""
+    daily = _daily_means(spark, sf)
+    w = Window.partitionBy("event_type").orderBy("_d")
+    seq = daily.select(
+        "event_type", F.col("_v").alias("_v0"),
+        F.lead("_v", 1).over(w).alias("_v1"),
+        F.lead("_v", 2).over(w).alias("_v2"),
+        F.row_number().over(w).alias("_rn"))
+    tol = (daily.groupBy("event_type")
+           .agg(_r(F.lit(0.2) * F.stddev_pop("_v"), 6).alias("_r"))
+           .filter(F.col("_r") > 0))
+    s = seq.join(F.broadcast(tol), "event_type")
+    a = s.select("event_type", "_r",
+                 *[F.col(c).alias(c + "a") for c in ("_v0", "_v1", "_v2", "_rn")])
+    b = s.select("event_type",
+                 *[F.col(c).alias(c + "b") for c in ("_v0", "_v1", "_v2", "_rn")])
+    pr = (a.join(b, "event_type")
+          .filter(F.col("_rna") < F.col("_rnb"))
+          .filter(F.col("_v1a").isNotNull() & F.col("_v1b").isNotNull()))
+    cheb2 = F.greatest(F.abs(F.col("_v0a") - F.col("_v0b")),
+                       F.abs(F.col("_v1a") - F.col("_v1b")))
+    cheb3 = F.greatest(cheb2, F.abs(F.col("_v2a") - F.col("_v2b")))
+    has3 = F.col("_v2a").isNotNull() & F.col("_v2b").isNotNull()
+    g = (pr.groupBy("event_type")
+         .agg(F.sum((cheb2 <= F.col("_r")).cast("long")).alias("b_count"),
+              F.sum((has3 & (cheb3 <= F.col("_r"))).cast("long"))
+              .alias("a_count"))
+         .filter((F.col("a_count") > 0) & (F.col("b_count") > 0)))
+    return (g.select("event_type", "b_count", "a_count",
+                     _r(F.log(F.col("b_count").cast("double")
+                              / F.col("a_count")), 6).alias("sampen"))
+            .orderBy("event_type"))
+
+
+def q_max_drawdown(spark: SparkSession, sf: str) -> DataFrame:
+    """Maximum drawdown per series over the daily-mean level: the
+    largest peak-to-trough drop max_t(runmax_t − v_t) plus the peak
+    level — the path-dependent risk readout no pointwise variance
+    statistic captures (two series with equal σ can have wildly
+    different drawdowns; `garch_vol` models the noise, this measures
+    the worst realized excursion). Scale shape: one running-max window
+    over the bounded daily grain + one agg. Cross-engine: running max
+    of 6-dp values is exact, differences of identical doubles, 6-dp
+    readout."""
+    daily = _daily_means(spark, sf)
+    w = (Window.partitionBy("event_type").orderBy("_d")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    d = daily.select("event_type", "_v",
+                     F.max("_v").over(w).alias("_peak"))
+    return (d.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_days"),
+                 _r(F.max("_peak"), 6).alias("peak_level"),
+                 _r(F.max(F.col("_peak") - F.col("_v")), 6)
+                 .alias("max_drawdown"))
+            .orderBy("event_type"))
+
+
+def q_ar1_halflife(spark: SparkSession, sf: str) -> DataFrame:
+    """Mean-reversion half-life per series from the lag-1 daily
+    autocorrelation: under AR(1), a shock decays to half in
+    ln(0.5)/ln(ρ) days — the "how long does a regime persist" readout
+    that turns `acf_lags`' coefficient into an operational number
+    (alerting cool-downs, forecast horizons). Every series is emitted
+    with its ρ and a ``reverting`` flag; the half-life is only defined
+    for ρ ∈ (0, 1), so elsewhere it carries the documented 0.0
+    sentinel (a true half-life is strictly positive) — all series stay
+    visible to the gate instead of filtering to a possibly-empty
+    frame. Cross-engine: ρ is the 6-dp-rounded corr aggregate (the
+    `acf_lags` convention); the log ratio runs on identical rounded
+    doubles; 6-dp readout."""
+    daily = _daily_means(spark, sf)
+    w = Window.partitionBy("event_type").orderBy("_d")
+    d = (daily.select("event_type", "_v",
+                      F.lag("_v").over(w).alias("_prev"))
+         .filter(F.col("_prev").isNotNull()))
+    g = (d.groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("n_pairs"),
+              _r(F.corr("_v", "_prev"), 6).alias("rho")))
+    ok = (F.col("rho") > 0) & (F.col("rho") < 1)
+    hl = F.when(ok, _r(F.log(F.lit(0.5)) / F.log("rho"), 6)) \
+        .otherwise(F.lit(0.0))
+    return (g.select("event_type", "n_pairs", "rho",
+                     ok.cast("int").alias("reverting"),
+                     hl.alias("halflife_days"))
+            .orderBy("event_type"))
+
+
+def q_spearman_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """Spearman rank autocorrelation at lag 1 over DAILY means — the
+    bounded-grain twin of `spearman_lag1` (the §1n-b playbook: the raw
+    form rank-windows the full fact frame in |series| sort tasks; this
+    runs the same statistic over ≤ |days| rows per series, which SCALE
+    §1q measures as decade-flat). Ranks tie-break on (value, day) —
+    deterministic in any engine; Pearson on ranks rounds at 4 dp (the
+    raw twin's convention)."""
+    daily = _daily_means(spark, sf)
+    w = Window.partitionBy("event_type").orderBy("_d")
+    d = (daily.select("event_type", "_d", "_v",
+                      F.lag("_v").over(w).alias("_prev"))
+         .filter(F.col("_prev").isNotNull()))
+    wx = Window.partitionBy("event_type").orderBy("_v", "_d")
+    wy = Window.partitionBy("event_type").orderBy("_prev", "_d")
+    ranked = d.select("event_type",
+                      F.row_number().over(wx).alias("_rx"),
+                      F.row_number().over(wy).alias("_ry"))
+    return (ranked.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 _r(F.corr("_rx", "_ry"), 4).alias("spearman"))
+            .orderBy("event_type"))
+
+
 def q_ljung_box_daily(spark: SparkSession, sf: str) -> DataFrame:
     """Ljung-Box white-noise test over the DAILY-mean sequence — the
     bounded-grain twin of `ljung_box` (same Q = n(n+2)·Σρ_k²/(n−k)
@@ -8919,6 +9106,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     lives in tests/test_registry.py."""
     return {
         # --- round-10 new additions (newest-first rule) ---
+        "spearman_daily": q_spearman_daily,
+        "ar1_halflife": q_ar1_halflife,
+        "max_drawdown": q_max_drawdown,
+        "sample_entropy": q_sample_entropy,
+        "theil_sen_daily": q_theil_sen_daily,
+        "kpss_test": q_kpss_test,
         "simhash_wide_pairs": q_simhash_wide_pairs,
         "ivf_store_scaled": q_ivf_store_scaled,
         "garch_select": q_garch_select,
@@ -17115,6 +17308,154 @@ def oracle_sql() -> dict[str, str]:
                       + 1e-9, 6) + 0.0) AS hurst
         FROM ols
         ORDER BY event_type
+    """
+
+    # KPSS: running sum of deviations from the 6-dp series mean, both
+    # Σ-aggregates rounded at 6 dp before the ratio (the pacf_yw
+    # round-intermediates-first convention).
+    sql["kpss_test"] = f"""
+        WITH {_daily_cte}, muk AS (
+            SELECT event_type, (round(avg(v) + 1e-9, 6) + 0.0) AS mu
+            FROM daily GROUP BY 1
+        ), ek AS (
+            SELECT d.event_type, d.d, d.v - m.mu AS e
+            FROM daily d JOIN muk m USING (event_type)
+        ), sk AS (
+            SELECT event_type, e,
+                   sum(e) OVER (PARTITION BY event_type ORDER BY d
+                                ROWS UNBOUNDED PRECEDING) AS s
+            FROM ek
+        ), gk AS (
+            SELECT event_type, count(*)::BIGINT AS n_days,
+                   (round(sum(s * s) + 1e-9, 6) + 0.0) AS ss,
+                   (round(sum(e * e) + 1e-9, 6) + 0.0) AS se2
+            FROM sk GROUP BY 1
+            HAVING (round(sum(e * e) + 1e-9, 6) + 0.0) > 0
+        )
+        SELECT event_type, n_days,
+               (round(ss / (n_days * se2) + 1e-9, 6) + 0.0) AS eta,
+               CASE WHEN (round(ss / (n_days * se2) + 1e-9, 6) + 0.0)
+                         > 0.463 THEN 1 ELSE 0 END AS reject_5pct
+        FROM gk ORDER BY event_type
+    """
+
+    # Theil-Sen: median of the days^2-bounded pairwise slope set;
+    # linear-interpolation percentiles on both engines.
+    sql["theil_sen_daily"] = f"""
+        WITH {_daily_cte}, prs AS (
+            SELECT a.event_type,
+                   (b.v - a.v) / date_diff('day', a.d, b.d) AS slope
+            FROM daily a JOIN daily b USING (event_type)
+            WHERE a.d < b.d
+        )
+        SELECT event_type, count(*)::BIGINT AS n_pairs,
+               (round(quantile_cont(slope, 0.5) + 1e-9, 6) + 0.0)
+                   AS sen_slope,
+               (round(quantile_cont(slope, 0.25) + 1e-9, 6) + 0.0)
+                   AS slope_p25,
+               (round(quantile_cont(slope, 0.75) + 1e-9, 6) + 0.0)
+                   AS slope_p75
+        FROM prs GROUP BY 1 ORDER BY event_type
+    """
+
+    # SampEn: Chebyshev template matches at m=2 and m=3 over 6-dp daily
+    # means vs a 6-dp tolerance; exact integer A/B counts.
+    sql["sample_entropy"] = f"""
+        WITH {_daily_cte}, seqe AS (
+            SELECT event_type, v AS v0,
+                   lead(v, 1) OVER (PARTITION BY event_type ORDER BY d)
+                       AS v1,
+                   lead(v, 2) OVER (PARTITION BY event_type ORDER BY d)
+                       AS v2,
+                   row_number() OVER (PARTITION BY event_type ORDER BY d)
+                       AS rn
+            FROM daily
+        ), tole AS (
+            SELECT event_type,
+                   (round(0.2 * stddev_pop(v) + 1e-9, 6) + 0.0) AS r
+            FROM daily GROUP BY 1
+            HAVING (round(0.2 * stddev_pop(v) + 1e-9, 6) + 0.0) > 0
+        ), pe AS (
+            SELECT a.event_type, t.r,
+                   greatest(abs(a.v0 - b.v0), abs(a.v1 - b.v1)) AS c2,
+                   CASE WHEN a.v2 IS NOT NULL AND b.v2 IS NOT NULL
+                        THEN greatest(abs(a.v0 - b.v0), abs(a.v1 - b.v1),
+                                      abs(a.v2 - b.v2)) END AS c3
+            FROM seqe a
+            JOIN seqe b ON a.event_type = b.event_type AND a.rn < b.rn
+            JOIN tole t ON t.event_type = a.event_type
+            WHERE a.v1 IS NOT NULL AND b.v1 IS NOT NULL
+        ), ge AS (
+            SELECT event_type,
+                   sum(CASE WHEN c2 <= r THEN 1 ELSE 0 END)::BIGINT
+                       AS b_count,
+                   sum(CASE WHEN c3 IS NOT NULL AND c3 <= r
+                            THEN 1 ELSE 0 END)::BIGINT AS a_count
+            FROM pe GROUP BY 1
+            HAVING sum(CASE WHEN c2 <= r THEN 1 ELSE 0 END) > 0
+               AND sum(CASE WHEN c3 IS NOT NULL AND c3 <= r
+                            THEN 1 ELSE 0 END) > 0
+        )
+        SELECT event_type, b_count, a_count,
+               (round(ln(b_count::DOUBLE / a_count) + 1e-9, 6) + 0.0)
+                   AS sampen
+        FROM ge ORDER BY event_type
+    """
+
+    # Max drawdown: exact running max over day order.
+    sql["max_drawdown"] = f"""
+        WITH {_daily_cte}, rm AS (
+            SELECT event_type, v,
+                   max(v) OVER (PARTITION BY event_type ORDER BY d
+                                ROWS UNBOUNDED PRECEDING) AS peak
+            FROM daily
+        )
+        SELECT event_type, count(*)::BIGINT AS n_days,
+               (round(max(peak) + 1e-9, 6) + 0.0) AS peak_level,
+               (round(max(peak - v) + 1e-9, 6) + 0.0) AS max_drawdown
+        FROM rm GROUP BY 1 ORDER BY event_type
+    """
+
+    # AR(1) half-life: 6-dp corr, log ratio on identical doubles.
+    sql["ar1_halflife"] = f"""
+        WITH {_daily_cte}, lg AS (
+            SELECT event_type, v,
+                   lag(v) OVER (PARTITION BY event_type ORDER BY d)
+                       AS prev
+            FROM daily
+        ), gr AS (
+            SELECT event_type, count(*)::BIGINT AS n_pairs,
+                   (round(corr(v, prev) + 1e-9, 6) + 0.0) AS rho
+            FROM lg WHERE prev IS NOT NULL GROUP BY 1
+        )
+        SELECT event_type, n_pairs, rho,
+               CASE WHEN rho > 0 AND rho < 1 THEN 1 ELSE 0 END
+                   AS reverting,
+               CASE WHEN rho > 0 AND rho < 1
+                    THEN (round(ln(0.5) / ln(rho) + 1e-9, 6) + 0.0)
+                    ELSE 0.0 END AS halflife_days
+        FROM gr ORDER BY event_type
+    """
+
+    # Spearman over daily means: deterministic (value, day) rank
+    # tiebreak, 4-dp corr (the raw twin's convention).
+    sql["spearman_daily"] = f"""
+        WITH {_daily_cte}, lgs AS (
+            SELECT event_type, d, v,
+                   lag(v) OVER (PARTITION BY event_type ORDER BY d)
+                       AS prev
+            FROM daily
+        ), rks AS (
+            SELECT event_type,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY v, d) AS rx,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY prev, d) AS ry
+            FROM lgs WHERE prev IS NOT NULL
+        )
+        SELECT event_type, count(*)::BIGINT AS n_pairs,
+               (round(corr(rx, ry) + 1e-9, 4) + 0.0) AS spearman
+        FROM rks GROUP BY 1 ORDER BY event_type
     """
 
     # Kendall tau-b between series pairs over 6-dp daily means: exact

@@ -27,6 +27,12 @@ import __spark_entry__ as entry_mod
 # Round-10 new queries (newest-first), occupying the head of the gate
 # window. PREPENDING here is part of adding a query (same commit).
 ROUND10_NEW: list[str] = [
+    "spearman_daily",
+    "ar1_halflife",
+    "max_drawdown",
+    "sample_entropy",
+    "theil_sen_daily",
+    "kpss_test",
     "simhash_wide_pairs",
     "ivf_store_scaled",
     "garch_select",
