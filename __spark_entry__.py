@@ -7369,6 +7369,128 @@ def q_spearman_daily(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+def q_markov_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current), from lead() within each
+    user's (ts, event_id)-ordered stream — the behavioral-structure
+    readout `session_paths` samples and `funnel` hard-codes one path
+    of. Scale shape: the window partitions by USER (millions of short
+    sequences distribute freely — not the |series|-sort-task shape);
+    the transition matrix is |types|²-bounded. Cross-engine: counts
+    are exact integers; row-normalized probabilities divide them,
+    6 dp."""
+    ev = load_table(spark, sf, "events").filter(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (ev.select(F.col("event_type").alias("from_type"),
+                    F.lead("event_type").over(w).alias("to_type"))
+          .filter(F.col("to_type").isNotNull()))
+    g = tr.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_trans"))
+    wrow = Window.partitionBy("from_type")
+    return (g.select("from_type", "to_type", "n_trans",
+                     _r(F.col("n_trans")
+                        / F.sum("n_trans").over(wrow), 6).alias("p"))
+            .orderBy("from_type", "to_type"))
+
+
+def q_interarrival_burstiness(spark: SparkSession, sf: str) -> DataFrame:
+    """Interarrival burstiness per event type (Goh & Barabási 2008):
+    B = (σ−μ)/(σ+μ) over the per-USER interarrival gaps in seconds —
+    B → −1 for clockwork streams, 0 for Poisson, → +1 for bursty
+    (session-clumped) behavior; the temporal-texture diagnostic
+    `sessionize`'s fixed 30-min gap threshold assumes an answer to.
+    Scale shape: the lag window partitions by (user, type) — short
+    sequences, free distribution — then one combinable moment agg per
+    type. Cross-engine: gaps are exact integer MICROseconds scaled by
+    the same 1e6 literal (timestamps carry sub-second parts, so a
+    seconds cast would truncate differently than a timestamp diff);
+    μ and σ round at 6 dp before the ratio; types with σ+μ = 0 are
+    excluded identically."""
+    ev = load_table(spark, sf, "events").filter(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gaps = (ev.select("event_type",
+                      ((us - F.lag(us).over(w))
+                       / F.lit(1000000.0)).alias("_gap"))
+            .filter(F.col("_gap").isNotNull()))
+    g = (gaps.groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("n_gaps"),
+              _r(F.avg("_gap"), 6).alias("_mu"),
+              _r(F.stddev_pop("_gap"), 6).alias("_sig"))
+         .filter(F.col("_sig") + F.col("_mu") > 0))
+    b = _r((F.col("_sig") - F.col("_mu"))
+           / (F.col("_sig") + F.col("_mu")), 6)
+    return (g.select("event_type", "n_gaps",
+                     F.col("_mu").alias("mean_gap_s"),
+                     F.col("_sig").alias("sd_gap_s"),
+                     b.alias("burstiness"))
+            .orderBy("event_type"))
+
+
+def q_gini_concentration(spark: SparkSession, sf: str) -> DataFrame:
+    """Gini coefficient of per-user event counts per event type — the
+    concentration audit (is 'view' traffic spread across users or do a
+    few heavy hitters dominate?) that complements `value_counts_topn`
+    (which shows the top only) with the full-distribution inequality
+    number: G = 2·Σᵢ i·xᵢ/(n·Σx) − (n+1)/n over ascending counts.
+    Scale shape: the rank runs over the USER-grain count frame (one
+    row per (type, user) — corpus-size-invariant per user), not fact
+    rows. Cross-engine: every term is an exact integer until the final
+    division; (count, user_id) rank tiebreak is total; 6-dp readout."""
+    ev = load_table(spark, sf, "events").filter(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull())
+    cnt = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("_x"))
+    w = Window.partitionBy("event_type").orderBy("_x", "user_id")
+    r = cnt.select("event_type", "_x",
+                   F.row_number().over(w).alias("_i"))
+    g = (r.groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("n_users"),
+              F.sum("_x").alias("total_events"),
+              F.sum(F.col("_i") * F.col("_x")).alias("_ix")))
+    n = F.col("n_users").cast("double")
+    gini = (F.lit(2.0) * F.col("_ix")
+            / (n * F.col("total_events"))
+            - (n + F.lit(1.0)) / n)
+    return (g.select("event_type", "n_users", "total_events",
+                     _r(gini, 6).alias("gini"))
+            .orderBy("event_type"))
+
+
+def q_benford_values(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford first-digit audit over event values — the fabricated-
+    data / unit-mixing screen (organically generated magnitudes follow
+    P(d) = log₁₀(1+1/d); synthetic or clipped feeds don't): observed
+    digit shares vs Benford expectation with per-digit χ² terms. The
+    first digit is taken from the INTEGER cent representation
+    (round(|v|·100) rendered as a string) — exact on both engines,
+    immune to the floor(log10(·)) ulp trap where log10(1000) evaluates
+    just under 3 and shifts the digit (the reason no float log touches
+    the digit path). Scale shape: one combinable digit-count agg.
+    Cross-engine: counts exact; shares and χ² terms round at 6 dp."""
+    ev = load_table(spark, sf, "events")
+    cents = F.round(F.abs(F.col("value")) * 100).cast("bigint")
+    d = (ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+         .select(cents.alias("_c"))
+         .filter(F.col("_c") > 0)
+         .select(F.substring(F.col("_c").cast("string"), 1, 1)
+                 .cast("int").alias("digit")))
+    g = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    tot = d.agg(F.count(F.lit(1)).alias("_n"))
+    j = g.crossJoin(F.broadcast(tot))
+    p_obs = F.col("n_obs") / F.col("_n")
+    p_exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    chi = ((p_obs - p_exp) * (p_obs - p_exp) / p_exp * F.col("_n"))
+    return (j.select("digit", "n_obs",
+                     _r(p_obs, 6).alias("p_obs"),
+                     _r(p_exp, 6).alias("p_benford"),
+                     _r(chi, 6).alias("chi2_term"))
+            .orderBy("digit"))
+
+
 def q_ljung_box_daily(spark: SparkSession, sf: str) -> DataFrame:
     """Ljung-Box white-noise test over the DAILY-mean sequence — the
     bounded-grain twin of `ljung_box` (same Q = n(n+2)·Σρ_k²/(n−k)
@@ -9106,6 +9228,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     lives in tests/test_registry.py."""
     return {
         # --- round-10 new additions (newest-first rule) ---
+        "benford_values": q_benford_values,
+        "gini_concentration": q_gini_concentration,
+        "interarrival_burstiness": q_interarrival_burstiness,
+        "markov_transitions": q_markov_transitions,
         "spearman_daily": q_spearman_daily,
         "ar1_halflife": q_ar1_halflife,
         "max_drawdown": q_max_drawdown,
@@ -17456,6 +17582,96 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, count(*)::BIGINT AS n_pairs,
                (round(corr(rx, ry) + 1e-9, 4) + 0.0) AS spearman
         FROM rks GROUP BY 1 ORDER BY event_type
+    """
+
+    # Markov transitions: lead() within each user's ordered stream;
+    # exact counts, row-normalized at 6 dp.
+    sql["markov_transitions"] = """
+        WITH trm AS (
+            SELECT event_type AS from_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS to_type
+            FROM events
+            WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        ), gm AS (
+            SELECT from_type, to_type, count(*)::BIGINT AS n_trans
+            FROM trm WHERE to_type IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT from_type, to_type, n_trans,
+               (round(n_trans::DOUBLE
+                      / sum(n_trans) OVER (PARTITION BY from_type)
+                      + 1e-9, 6) + 0.0) AS p
+        FROM gm ORDER BY 1, 2
+    """
+
+    # Burstiness: exact integer microsecond gaps scaled by the same
+    # 1e6 literal; 6-dp moments before the ratio.
+    sql["interarrival_burstiness"] = """
+        WITH gib AS (
+            SELECT event_type,
+                   (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id)) / 1000000.0 AS gap
+            FROM events
+            WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        ), ggb AS (
+            SELECT event_type, count(*)::BIGINT AS n_gaps,
+                   (round(avg(gap) + 1e-9, 6) + 0.0) AS mu,
+                   (round(stddev_pop(gap) + 1e-9, 6) + 0.0) AS sig
+            FROM gib WHERE gap IS NOT NULL GROUP BY 1
+        )
+        SELECT event_type, n_gaps, mu AS mean_gap_s, sig AS sd_gap_s,
+               (round((sig - mu) / (sig + mu) + 1e-9, 6) + 0.0)
+                   AS burstiness
+        FROM ggb WHERE sig + mu > 0 ORDER BY 1
+    """
+
+    # Gini: every term exact integer until the final division.
+    sql["gini_concentration"] = """
+        WITH cg AS (
+            SELECT event_type, user_id, count(*)::BIGINT AS x
+            FROM events
+            WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+            GROUP BY 1, 2
+        ), rg AS (
+            SELECT event_type, x,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY x, user_id) AS i
+            FROM cg
+        ), gg AS (
+            SELECT event_type, count(*)::BIGINT AS n_users,
+                   sum(x)::BIGINT AS total_events,
+                   sum(i * x)::BIGINT AS ix
+            FROM rg GROUP BY 1
+        )
+        SELECT event_type, n_users, total_events,
+               (round(2.0 * ix / (n_users::DOUBLE * total_events)
+                      - (n_users + 1.0) / n_users + 1e-9, 6) + 0.0)
+                   AS gini
+        FROM gg ORDER BY 1
+    """
+
+    # Benford: first digit from the exact integer cent string — no
+    # float log in the digit path (the floor(log10) ulp trap).
+    sql["benford_values"] = """
+        WITH db AS (
+            SELECT substr((round(abs(value) * 100)::BIGINT)::VARCHAR,
+                          1, 1)::INT AS digit
+            FROM events
+            WHERE value IS NOT NULL AND NOT isnan(value)
+              AND round(abs(value) * 100)::BIGINT > 0
+        ), gb AS (
+            SELECT digit, count(*)::BIGINT AS n_obs FROM db GROUP BY 1
+        ), tb AS (SELECT count(*)::BIGINT AS n FROM db)
+        SELECT digit, n_obs,
+               (round(n_obs::DOUBLE / n + 1e-9, 6) + 0.0) AS p_obs,
+               (round(log10(1.0 + 1.0 / digit) + 1e-9, 6) + 0.0)
+                   AS p_benford,
+               (round((n_obs::DOUBLE / n - log10(1.0 + 1.0 / digit))
+                      * (n_obs::DOUBLE / n - log10(1.0 + 1.0 / digit))
+                      / log10(1.0 + 1.0 / digit) * n + 1e-9, 6) + 0.0)
+                   AS chi2_term
+        FROM gb, tb ORDER BY digit
     """
 
     # Kendall tau-b between series pairs over 6-dp daily means: exact
