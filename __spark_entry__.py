@@ -7491,6 +7491,160 @@ def q_benford_values(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("digit"))
 
 
+def q_msttr(spark: SparkSession, sf: str) -> DataFrame:
+    """Mean segmental type-token ratio (MSTTR-50) per source — the
+    length-robust lexical-diversity metric (raw TTR falls with corpus
+    size by Heaps' law, so `heaps_law`'s V/N points are incomparable
+    across sources; segmenting at a fixed 50 tokens removes the length
+    confound): tokens in (doc, position) order split into full
+    50-token segments, TTR per segment, mean over segments. Low MSTTR
+    ⇒ templated/repetitive sources (the dedup-pressure signal). Scale
+    shape: one token explode + row_number per source + a combinable
+    two-level agg; the per-source window distributes across sources.
+    Cross-engine: same whitespace tokens as `heaps_law`, exact integer
+    distinct counts, 6-dp readout; sources without a full segment are
+    excluded identically."""
+    docs = load_table(spark, sf, "documents").filter(
+        F.col("source").isNotNull())
+    tok = docs.select(
+        "source", "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+"))
+        .alias("pos", "tok"))
+    w = Window.partitionBy("source").orderBy("doc_id", "pos")
+    seg = tok.select(
+        "source", "tok",
+        ((F.row_number().over(w) - 1) / F.lit(50))
+        .cast("bigint").alias("_seg"))
+    per = (seg.groupBy("source", "_seg")
+           .agg(F.count(F.lit(1)).alias("_n"),
+                F.countDistinct("tok").alias("_v"))
+           .filter(F.col("_n") == 50))
+    return (per.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_segments"),
+                 _r(F.avg(F.col("_v") / F.lit(50.0)), 6).alias("msttr"))
+            .orderBy("source"))
+
+
+def q_kl_source_unigram(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source KL divergence from the corpus unigram distribution
+    over the top-200 corpus vocabulary (add-one smoothed) — the
+    distribution-shift audit behind `source_mix` curation decisions:
+    KL ≈ 0 ⇒ the source reads like the corpus; large KL flags dialect/
+    template/domain outliers (and ranks sources for `temperature_mix`
+    reweighting). DSIR importance weights are log-ratios of exactly
+    these distributions. Scale shape: one token explode, counts
+    restricted to a broadcast 200-term vocab, a |sources|×200 bounded
+    grid via crossJoin — no fact-sized shuffle beyond the count agg.
+    Cross-engine: counts exact; smoothed probabilities divide exact
+    integers; the (count desc, token asc) vocab cut is total; 6-dp
+    readout."""
+    docs = load_table(spark, sf, "documents").filter(
+        F.col("source").isNotNull())
+    tok = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"))
+    top = (tok.groupBy("tok").agg(F.count(F.lit(1)).alias("_ct"))
+           .orderBy(F.col("_ct").desc(), "tok").limit(200))
+    corpus_n = top.agg(F.sum("_ct").alias("_cn"))
+    st = (tok.join(F.broadcast(top.select("tok")), "tok")
+          .groupBy("source", "tok").agg(F.count(F.lit(1)).alias("_cs")))
+    src_n = st.groupBy("source").agg(F.sum("_cs").alias("_sn"))
+    grid = (src_n.crossJoin(F.broadcast(top))
+            .join(st, ["source", "tok"], "left")
+            .withColumn("_cs", F.coalesce("_cs", F.lit(0)))
+            .crossJoin(F.broadcast(corpus_n)))
+    ps = (F.col("_cs") + 1) / (F.col("_sn") + 200)
+    pc = (F.col("_ct") + 1) / (F.col("_cn") + 200)
+    kl_term = ps * F.log(ps / pc)
+    return (grid.groupBy("source")
+            .agg(F.min("_sn").alias("n_top_tokens"),
+                 _r(F.sum(kl_term), 6).alias("kl_vs_corpus"))
+            .orderBy("source"))
+
+
+def q_pmi_bigrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 PMI bigrams (min count 5) — pointwise mutual information
+    ln(p(xy)/(p(x)p(y))) over within-document consecutive token pairs:
+    the collocation detector (multi-word entities, boilerplate
+    phrases) that raw bigram counts miss because frequency ranks
+    function-word pairs first. Complements `cooccurrence` (document
+    grain) at the ADJACENCY grain. Scale shape: one token explode with
+    positions, a map-side-combinable bigram count, two broadcast scalar
+    totals; the top-20 cut is deterministic (6-dp PMI desc, words
+    asc). Cross-engine: all counts exact integers; PMI divides
+    identical doubles; 6-dp."""
+    docs = load_table(spark, sf, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+"))
+        .alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (tok.select("tok", F.lead("tok").over(w).alias("_next"))
+          .filter(F.col("_next").isNotNull()))
+    uni = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("_nx"))
+    tot_t = tok.agg(F.count(F.lit(1)).alias("_tt"))
+    tot_b = bg.agg(F.count(F.lit(1)).alias("_tb"))
+    big = (bg.groupBy("tok", "_next")
+           .agg(F.count(F.lit(1)).alias("n_xy"))
+           .filter(F.col("n_xy") >= 5))
+    j = (big.join(F.broadcast(uni.withColumnRenamed("_nx", "_n1")), "tok")
+         .join(F.broadcast(uni.select(F.col("tok").alias("_next"),
+                                      F.col("_nx").alias("_n2"))), "_next")
+         .crossJoin(F.broadcast(tot_t)).crossJoin(F.broadcast(tot_b)))
+    p_xy = F.col("n_xy") / F.col("_tb")
+    p_x = F.col("_n1") / F.col("_tt")
+    p_y = F.col("_n2") / F.col("_tt")
+    pmi = _r(F.log(p_xy / (p_x * p_y)), 6)
+    return (j.select(F.col("tok").alias("w1"),
+                     F.col("_next").alias("w2"), "n_xy",
+                     pmi.alias("pmi"))
+            .orderBy(F.col("pmi").desc(), "w1", "w2")
+            .limit(20))
+
+
+def q_brier_decomposition(spark: SparkSession, sf: str) -> DataFrame:
+    """Murphy decomposition of the Brier score — the single-row summary
+    `calibration_bins` (the reliability diagram source table) rolls up
+    to: Brier = reliability − resolution + uncertainty, where
+    reliability (↓ better) penalizes bin-mean forecast vs observed
+    gaps, resolution (↑ better) rewards bins that separate outcomes,
+    and uncertainty ȳ(1−ȳ) is the data's irreducible floor. Same
+    deterministic score (value/100 clamped) and label (event_id % 97)
+    conventions as `calibration_bins`, same 10 fixed bins. Cross-
+    engine: bin means round at 9 dp before recombination (the
+    `embedding_isotropy` convention), readouts at 6 dp."""
+    ev = load_table(spark, sf, "events")
+    score = F.least(F.greatest(F.col("value") / 100.0, F.lit(0.0)),
+                    F.lit(1.0))
+    lab = (F.col("event_id") % 97 == 0).cast("int")
+    d = (ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+         .select(score.alias("_s"), lab.alias("_y"))
+         .withColumn("_bin", F.least(F.floor(F.col("_s") * 10),
+                                     F.lit(9)).cast("bigint")))
+    bins = (d.groupBy("_bin")
+            .agg(F.count(F.lit(1)).alias("_nk"),
+                 F.round(F.avg("_s") + F.lit(1e-12), 9).alias("_fk"),
+                 F.round(F.avg("_y") + F.lit(1e-12), 9).alias("_ok")))
+    glob = d.agg(F.count(F.lit(1)).alias("n"),
+                 _r(F.avg((F.col("_s") - F.col("_y"))
+                          * (F.col("_s") - F.col("_y"))), 6)
+                 .alias("brier"),
+                 F.round(F.avg("_y") + F.lit(1e-12), 9).alias("_yb"))
+    agg = (bins.crossJoin(F.broadcast(glob))
+           .groupBy("n", "brier", "_yb")
+           .agg(F.sum(F.col("_nk") * (F.col("_fk") - F.col("_ok"))
+                      * (F.col("_fk") - F.col("_ok"))).alias("_rel"),
+                F.sum(F.col("_nk") * (F.col("_ok") - F.col("_yb"))
+                      * (F.col("_ok") - F.col("_yb"))).alias("_res")))
+    nn = F.col("n").cast("double")
+    return agg.select(
+        "n", "brier",
+        _r(F.col("_rel") / nn, 6).alias("reliability"),
+        _r(F.col("_res") / nn, 6).alias("resolution"),
+        _r(F.col("_yb") * (F.lit(1.0) - F.col("_yb")), 6)
+        .alias("uncertainty"))
+
+
 def q_ljung_box_daily(spark: SparkSession, sf: str) -> DataFrame:
     """Ljung-Box white-noise test over the DAILY-mean sequence — the
     bounded-grain twin of `ljung_box` (same Q = n(n+2)·Σρ_k²/(n−k)
@@ -9228,6 +9382,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     lives in tests/test_registry.py."""
     return {
         # --- round-10 new additions (newest-first rule) ---
+        "brier_decomposition": q_brier_decomposition,
+        "pmi_bigrams": q_pmi_bigrams,
+        "kl_source_unigram": q_kl_source_unigram,
+        "msttr": q_msttr,
         "benford_values": q_benford_values,
         "gini_concentration": q_gini_concentration,
         "interarrival_burstiness": q_interarrival_burstiness,
@@ -17672,6 +17830,125 @@ def oracle_sql() -> dict[str, str]:
                       / log10(1.0 + 1.0 / digit) * n + 1e-9, 6) + 0.0)
                    AS chi2_term
         FROM gb, tb ORDER BY digit
+    """
+
+    # MSTTR-50: same whitespace tokens as heaps_law, (doc, pos) global
+    # order per source, integer-division segment ids, full segments only.
+    sql["msttr"] = """
+        WITH tm AS (
+            SELECT source, doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents WHERE source IS NOT NULL
+        ), tokm AS (
+            SELECT source, doc_id, u.i AS pos, t[u.i + 1] AS tok
+            FROM tm, unnest(range(len(t))) AS u(i)
+        ), segm AS (
+            SELECT source, tok,
+                   (row_number() OVER (PARTITION BY source
+                        ORDER BY doc_id, pos) - 1) // 50 AS seg
+            FROM tokm
+        ), perm AS (
+            SELECT source, seg, count(*)::BIGINT AS n,
+                   count(DISTINCT tok)::BIGINT AS v
+            FROM segm GROUP BY 1, 2 HAVING count(*) = 50
+        )
+        SELECT source, count(*)::BIGINT AS n_segments,
+               (round(avg(v / 50.0) + 1e-9, 6) + 0.0) AS msttr
+        FROM perm GROUP BY 1 ORDER BY 1
+    """
+
+    # KL vs corpus over the top-200 vocab, add-one smoothed; the
+    # (count desc, token asc) cut is total on exact integers.
+    sql["kl_source_unigram"] = """
+        WITH tk AS (
+            SELECT source,
+                   unnest(regexp_split_to_array(trim(text), '\\s+'))
+                       AS tok
+            FROM documents WHERE source IS NOT NULL
+        ), topk AS (
+            SELECT tok, count(*)::BIGINT AS ct FROM tk GROUP BY 1
+            ORDER BY ct DESC, tok LIMIT 200
+        ), cnk AS (SELECT sum(ct)::BIGINT AS cn FROM topk),
+        stk AS (
+            SELECT t.source, t.tok, count(*)::BIGINT AS cs
+            FROM tk t JOIN topk USING (tok) GROUP BY 1, 2
+        ), snk AS (
+            SELECT source, sum(cs)::BIGINT AS sn FROM stk GROUP BY 1
+        ), gridk AS (
+            SELECT s.source, s.sn, p.tok, p.ct, k.cn,
+                   coalesce(c.cs, 0)::BIGINT AS cs
+            FROM snk s CROSS JOIN topk p CROSS JOIN cnk k
+            LEFT JOIN stk c ON c.source = s.source AND c.tok = p.tok
+        )
+        SELECT source, min(sn)::BIGINT AS n_top_tokens,
+               (round(sum(((cs + 1) / (sn + 200))
+                          * ln(((cs + 1) / (sn + 200))
+                               / ((ct + 1) / (cn + 200))))
+                      + 1e-9, 6) + 0.0) AS kl_vs_corpus
+        FROM gridk GROUP BY 1 ORDER BY 1
+    """
+
+    # PMI bigrams: adjacency pairs within documents, exact counts,
+    # 6-dp PMI with a total (pmi desc, words asc) cut.
+    sql["pmi_bigrams"] = """
+        WITH tp AS (
+            SELECT doc_id, u.i AS pos, t[u.i + 1] AS tok
+            FROM (SELECT doc_id,
+                         regexp_split_to_array(trim(text), '\\s+') AS t
+                  FROM documents),
+                 unnest(range(len(t))) AS u(i)
+        ), bgp AS (
+            SELECT tok,
+                   lead(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS nxt
+            FROM tp
+        ), unip AS (
+            SELECT tok, count(*)::BIGINT AS nx FROM tp GROUP BY 1
+        ), ttp AS (SELECT count(*)::BIGINT AS tt FROM tp),
+        tbp AS (
+            SELECT count(*)::BIGINT AS tb FROM bgp WHERE nxt IS NOT NULL
+        ), bigp AS (
+            SELECT tok AS w1, nxt AS w2, count(*)::BIGINT AS n_xy
+            FROM bgp WHERE nxt IS NOT NULL
+            GROUP BY 1, 2 HAVING count(*) >= 5
+        )
+        SELECT w1, w2, n_xy,
+               (round(ln((n_xy / tb)
+                         / ((u1.nx / tt) * (u2.nx / tt)))
+                      + 1e-9, 6) + 0.0) AS pmi
+        FROM bigp
+        JOIN unip u1 ON u1.tok = w1
+        JOIN unip u2 ON u2.tok = w2, ttp, tbp
+        ORDER BY pmi DESC, w1, w2 LIMIT 20
+    """
+
+    # Murphy decomposition: calibration_bins' score/label/bin
+    # conventions; 9-dp bin means before recombination, 6-dp readout.
+    sql["brier_decomposition"] = """
+        WITH db2 AS (
+            SELECT least(greatest(value / 100.0, 0.0), 1.0) AS s,
+                   CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END AS y
+            FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        ), bb2 AS (
+            SELECT least(floor(s * 10), 9)::BIGINT AS bin,
+                   count(*)::BIGINT AS nk,
+                   (round(avg(s) + 1e-12, 9) + 0.0) AS fk,
+                   (round(avg(y) + 1e-12, 9) + 0.0) AS ok
+            FROM db2 GROUP BY 1
+        ), gb2 AS (
+            SELECT count(*)::BIGINT AS n,
+                   (round(avg((s - y) * (s - y)) + 1e-9, 6) + 0.0)
+                       AS brier,
+                   (round(avg(y) + 1e-12, 9) + 0.0) AS yb
+            FROM db2
+        )
+        SELECT n, brier,
+               (round(sum(nk * (fk - ok) * (fk - ok)) / (n + 0.0)
+                      + 1e-9, 6) + 0.0) AS reliability,
+               (round(sum(nk * (ok - yb) * (ok - yb)) / (n + 0.0)
+                      + 1e-9, 6) + 0.0) AS resolution,
+               (round(yb * (1.0 - yb) + 1e-9, 6) + 0.0) AS uncertainty
+        FROM bb2, gb2 GROUP BY n, brier, yb
     """
 
     # Kendall tau-b between series pairs over 6-dp daily means: exact

@@ -27,6 +27,10 @@ import __spark_entry__ as entry_mod
 # Round-10 new queries (newest-first), occupying the head of the gate
 # window. PREPENDING here is part of adding a query (same commit).
 ROUND10_NEW: list[str] = [
+    "brier_decomposition",
+    "pmi_bigrams",
+    "kl_source_unigram",
+    "msttr",
     "benford_values",
     "gini_concentration",
     "interarrival_burstiness",
