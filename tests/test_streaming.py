@@ -1387,6 +1387,55 @@ def test_page_hinkley_stream_matches_batch_query(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_markov_stream_matches_batch_transitions(spark):
+    """The streaming transition extractor must reproduce the
+    `markov_transitions` registry query's counts EXACTLY on a replayed
+    stream, with per-user last-event state bridging micro-batch
+    boundaries (user sequences are deliberately split mid-stream)."""
+    import __spark_entry__ as em
+
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+    ])
+    d = tempfile.mkdtemp(prefix="stream_mk_")
+    try:
+        base = pd.Timestamp("2024-03-01")
+        types = ["view", "click", "view", "purchase", "click"]
+        rows = []
+        for i in range(30):
+            rows.append((base + pd.Timedelta(minutes=i),
+                         types[(i * 7) % 5], float(i), i % 4, i))
+        pdf = pd.DataFrame(rows, columns=["ts", "event_type", "value",
+                                          "user_id", "event_id"])
+        bdir = tempfile.mkdtemp(prefix="stream_mk_batch_")
+        pdf.to_parquet(f"{bdir}/events.parquet")
+        batch = {(r["from_type"], r["to_type"]): r["n_trans"]
+                 for r in em.queries()["markov_transitions"](
+                     spark, bdir).collect()}
+
+        # 3 micro-batches; every user's sequence spans all three
+        for i, (lo, hi) in enumerate(((0, 10), (10, 20), (20, 30))):
+            spark.createDataFrame(pdf.iloc[lo:hi], schema=schema) \
+                .coalesce(1).write.mode("overwrite").parquet(f"{d}/f{i}")
+        src = SJ.stream_source(spark, f"{d}/*", schema,
+                               max_files_per_trigger=1)
+        mk = SJ.markov_stream(src)
+        q = (mk.writeStream.format("memory").queryName("mk_sink")
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got_rows = spark.sql(
+            "SELECT from_type, to_type, count(*) AS n FROM mk_sink "
+            "GROUP BY 1, 2").collect()
+        got = {(r["from_type"], r["to_type"]): r["n"] for r in got_rows}
+        assert got == batch and sum(batch.values()) == 26  # 30 - 4 firsts
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_page_hinkley_stream_unknown_key_is_flat(spark):
     """Keys absent from the frozen params emit ph = 0 / no alarm."""
     d = tempfile.mkdtemp(prefix="stream_ph_u_")

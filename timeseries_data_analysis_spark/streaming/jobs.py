@@ -307,6 +307,53 @@ def page_hinkley_stream(events: DataFrame, params: dict,
                                     "update", GroupStateTimeout.NoTimeout))
 
 
+def markov_stream(events: DataFrame, key_col: str = "user_id",
+                  ts_col: str = "ts", type_col: str = "event_type",
+                  id_col: str = "event_id") -> DataFrame:
+    """Streaming first-order transition extractor via
+    ``applyInPandasWithState`` — the online twin of the
+    ``markov_transitions`` registry query: per-user state is the LAST
+    seen event type (ONE string per user — O(users) state regardless of
+    stream length), and each arriving event emits its (from, to)
+    transition row. Aggregating the emitted transitions over any
+    micro-batch replay equals the batch query's ``lead()``-derived
+    counts EXACTLY: rows are (ts, event_id)-stable-sorted per
+    micro-batch (the ``cusum_stream`` concat-then-mergesort contract)
+    and the carried state stitches batch boundaries, which together
+    reproduce the batch window order. Null event types pass through
+    without touching state (the batch query filters them before the
+    window)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    key_t = events.schema[key_col].dataType.simpleString()
+    out_schema = (f"{key_col} {key_t}, from_type string, "
+                  f"to_type string, {ts_col} timestamp")
+    state_schema = "last string"
+
+    def fn(key, pdfs, state):
+        last = state.get[0] if state.exists else None
+        chunks = list(pdfs)
+        pdf = (pd.concat(chunks, ignore_index=True) if len(chunks) > 1
+               else chunks[0]) if chunks else None
+        rows = []
+        if pdf is not None:
+            pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+            for ts, et in zip(pdf[ts_col], pdf[type_col]):
+                if et is None:
+                    continue
+                if last is not None:
+                    rows.append((key[0], last, et, ts))
+                last = et
+        state.update((last,))
+        yield pd.DataFrame(rows, columns=[key_col, "from_type",
+                                          "to_type", ts_col])
+
+    return (events.groupBy(key_col)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
 def session_window_rollup(events: DataFrame, gap: str = "30 minutes",
                           ts_col: str = "ts", key_col: str = "user_id",
                           value_col: str = "value",
