@@ -7491,6 +7491,43 @@ def q_benford_values(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("digit"))
 
 
+def q_peak_detect(spark: SparkSession, sf: str) -> DataFrame:
+    """Local-maximum peak detection over daily means — strict
+    both-side maxima (v > both neighbors; plateau days are not peaks),
+    with count, height, and mean inter-peak spacing per series: the
+    periodicity-shape readout that complements `spectral_entropy`
+    (which says HOW concentrated the spectrum is, not WHERE the crests
+    land) and feeds alerting "expected next peak" heuristics. Scale
+    shape: one lag/lead window + one rank window over the bounded
+    daily grain. Cross-engine: strict comparisons on 6-dp values;
+    spacing averages exact integer day gaps; 0.0 spacing sentinel for
+    single-peak series (a true mean gap is ≥ 1)."""
+    daily = _daily_means(spark, sf)
+    w = Window.partitionBy("event_type").orderBy("_d")
+    d = daily.select(
+        "event_type", "_d", "_v",
+        F.lag("_v").over(w).alias("_p"), F.lead("_v").over(w).alias("_n"))
+    pk = d.filter(F.col("_p").isNotNull() & F.col("_n").isNotNull()
+                  & (F.col("_v") > F.col("_p"))
+                  & (F.col("_v") > F.col("_n")))
+    wp = Window.partitionBy("event_type").orderBy("_d")
+    gaps = pk.select("event_type", "_v",
+                     F.datediff(F.col("_d"),
+                                F.lag("_d").over(wp)).alias("_gap"))
+    g = (gaps.groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("n_peaks"),
+              _r(F.max("_v"), 6).alias("max_peak"),
+              F.sum(F.when(F.col("_gap").isNotNull(), F.col("_gap"))
+                    .otherwise(F.lit(0))).alias("_gapsum")))
+    spacing = F.when(F.col("n_peaks") > 1,
+                     _r(F.col("_gapsum")
+                        / (F.col("n_peaks") - 1), 6)) \
+        .otherwise(F.lit(0.0))
+    return (g.select("event_type", "n_peaks", "max_peak",
+                     spacing.alias("avg_peak_gap_days"))
+            .orderBy("event_type"))
+
+
 def q_msttr(spark: SparkSession, sf: str) -> DataFrame:
     """Mean segmental type-token ratio (MSTTR-50) per source — the
     length-robust lexical-diversity metric (raw TTR falls with corpus
@@ -9382,6 +9419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     lives in tests/test_registry.py."""
     return {
         # --- round-10 new additions (newest-first rule) ---
+        "peak_detect": q_peak_detect,
         "brier_decomposition": q_brier_decomposition,
         "pmi_bigrams": q_pmi_bigrams,
         "kl_source_unigram": q_kl_source_unigram,
@@ -17830,6 +17868,38 @@ def oracle_sql() -> dict[str, str]:
                       / log10(1.0 + 1.0 / digit) * n + 1e-9, 6) + 0.0)
                    AS chi2_term
         FROM gb, tb ORDER BY digit
+    """
+
+    # Peak detection: strict both-side maxima on 6-dp daily means;
+    # exact integer day gaps; 0.0 single-peak sentinel.
+    sql["peak_detect"] = f"""
+        WITH {_daily_cte}, nb AS (
+            SELECT event_type, d, v,
+                   lag(v) OVER (PARTITION BY event_type ORDER BY d)
+                       AS p,
+                   lead(v) OVER (PARTITION BY event_type ORDER BY d)
+                       AS n
+            FROM daily
+        ), pk AS (
+            SELECT event_type, d, v,
+                   date_diff('day',
+                       lag(d) OVER (PARTITION BY event_type ORDER BY d),
+                       d) AS gap
+            FROM nb
+            WHERE p IS NOT NULL AND n IS NOT NULL AND v > p AND v > n
+        ), gpk AS (
+            SELECT event_type, count(*)::BIGINT AS n_peaks,
+                   (round(max(v) + 1e-9, 6) + 0.0) AS max_peak,
+                   sum(CASE WHEN gap IS NOT NULL THEN gap
+                            ELSE 0 END)::BIGINT AS gapsum
+            FROM pk GROUP BY 1
+        )
+        SELECT event_type, n_peaks, max_peak,
+               CASE WHEN n_peaks > 1
+                    THEN (round(gapsum::DOUBLE / (n_peaks - 1)
+                                + 1e-9, 6) + 0.0)
+                    ELSE 0.0 END AS avg_peak_gap_days
+        FROM gpk ORDER BY event_type
     """
 
     # MSTTR-50: same whitespace tokens as heaps_law, (doc, pos) global
