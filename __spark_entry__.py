@@ -7491,6 +7491,27 @@ def q_benford_values(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("digit"))
 
 
+def q_hp_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Hodrick-Prescott trend/cycle decomposition (λ = 1600) per series
+    over daily means — the model-free detrending filter that gives
+    `binseg_changepoint` / `cusum_changepoints` their "deviation from
+    trend" input in classic macro pipelines: one (event_type, day) row
+    with the smooth trend τ and the cycle y−τ. `TS.hp_filter` solves
+    the pentadiagonal normal equations (I+λDᵀD)τ = y by banded LU in
+    one Arrow stage; the oracle replays BOTH sequential sweeps
+    (forward multipliers with two-step lookback, back substitution
+    with two-step lookahead) via recursive CTEs carrying the identical
+    zero-extended state — no rounding inside either recursion, 6-dp
+    readout only (the `cubic_interp` lane, one diagonal wider).
+    Series with < 5 days are excluded identically."""
+    daily = _daily_means(spark, sf)
+    out = TS.hp_filter(daily, "event_type", "_d", "_v", lam=1600.0)
+    return (out.select("event_type", F.col("_d").alias("d"),
+                       _r(F.col("trend"), 6).alias("trend"),
+                       _r(F.col("y") - F.col("trend"), 6).alias("cycle"))
+            .orderBy("event_type", "d"))
+
+
 def q_peak_detect(spark: SparkSession, sf: str) -> DataFrame:
     """Local-maximum peak detection over daily means — strict
     both-side maxima (v > both neighbors; plateau days are not peaks),
@@ -9419,6 +9440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     lives in tests/test_registry.py."""
     return {
         # --- round-10 new additions (newest-first rule) ---
+        "hp_filter": q_hp_filter,
         "peak_detect": q_peak_detect,
         "brier_decomposition": q_brier_decomposition,
         "pmi_bigrams": q_pmi_bigrams,
@@ -17868,6 +17890,66 @@ def oracle_sql() -> dict[str, str]:
                       / log10(1.0 + 1.0 / digit) * n + 1e-9, 6) + 0.0)
                    AS chi2_term
         FROM gb, tb ORDER BY digit
+    """
+
+    # HP filter: both banded-LU sweeps as recursive CTEs with the
+    # operator's exact zero-extended state and operand order; the
+    # pentadiagonal coefficient rows are CASE expressions of the SAME
+    # repr-injected lambda, so every multiplier replays bit-identically.
+    _hl = f"CAST({repr(1600.0)} AS DOUBLE)"
+    _he = f"(CASE WHEN p.i >= 2 THEN {_hl} ELSE 0.0 END)"
+    _hc = (f"(CASE WHEN p.i = 0 THEN 0.0 "
+           f"WHEN p.i = 1 OR p.i = p.n - 1 THEN -2.0 * {_hl} "
+           f"WHEN p.i <= p.n - 2 THEN -4.0 * {_hl} ELSE 0.0 END)")
+    _ha = (f"(CASE WHEN p.i = 0 OR p.i = p.n - 2 THEN -2.0 * {_hl} "
+           f"WHEN p.i <= p.n - 3 THEN -4.0 * {_hl} ELSE 0.0 END)")
+    _hb = f"(CASE WHEN p.i <= p.n - 3 THEN {_hl} ELSE 0.0 END)"
+    _hd = (f"(CASE WHEN p.i = 0 OR p.i = p.n - 1 THEN 1.0 + {_hl} "
+           f"WHEN p.i = 1 OR p.i = p.n - 2 THEN 1.0 + 5.0 * {_hl} "
+           f"ELSE 1.0 + 6.0 * {_hl} END)")
+    _hga = f"({_hc} - f.al_p * {_he})"
+    _hmu = f"({_hd} - f.be_p * {_he} - f.al * {_hga})"
+    sql["hp_filter"] = f"""
+        WITH RECURSIVE {_daily_cte}, seqh AS (
+            SELECT event_type, d, v,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY d) - 1 AS i,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM daily
+            QUALIFY count(*) OVER (PARTITION BY event_type) >= 5
+        ), fwdh AS (
+            SELECT event_type, n, i,
+                   (-2.0 * {_hl}) / (1.0 + {_hl}) AS al,
+                   {_hl} / (1.0 + {_hl}) AS be,
+                   v / (1.0 + {_hl}) AS z,
+                   CAST(0.0 AS DOUBLE) AS al_p,
+                   CAST(0.0 AS DOUBLE) AS be_p,
+                   CAST(0.0 AS DOUBLE) AS z_p
+            FROM seqh WHERE i = 0
+            UNION ALL
+            SELECT p.event_type, p.n, p.i,
+                   ({_ha} - f.be * {_hga}) / {_hmu} AS al,
+                   {_hb} / {_hmu} AS be,
+                   (p.v - f.z_p * {_he} - f.z * {_hga}) / {_hmu} AS z,
+                   f.al AS al_p, f.be AS be_p, f.z AS z_p
+            FROM seqh p JOIN fwdh f
+              ON p.event_type = f.event_type AND p.i = f.i + 1
+        ), bwdh AS (
+            SELECT event_type, i, z AS x, CAST(0.0 AS DOUBLE) AS xn
+            FROM fwdh WHERE i = n - 1
+            UNION ALL
+            SELECT f.event_type, f.i,
+                   f.z - f.al * b.x - f.be * b.xn AS x, b.x AS xn
+            FROM fwdh f JOIN bwdh b
+              ON f.event_type = b.event_type AND f.i = b.i - 1
+            WHERE f.i >= 0
+        )
+        SELECT s.event_type, s.d,
+               (round(b.x + 1e-9, 6) + 0.0) AS trend,
+               (round(s.v - b.x + 1e-9, 6) + 0.0) AS cycle
+        FROM seqh s JOIN bwdh b
+          ON b.event_type = s.event_type AND b.i = s.i
+        ORDER BY 1, 2
     """
 
     # Peak detection: strict both-side maxima on 6-dp daily means;

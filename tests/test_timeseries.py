@@ -498,6 +498,55 @@ def test_garch_filter_tracks_volatility_clusters(spark):
     assert TS.garch_filter(short, "event_type", "d", "v").count() == 0
 
 
+def test_hp_filter_properties(spark):
+    """HP-filter invariants from the first-order conditions
+    (I+λDᵀD)τ = y: (a) a perfectly linear series is a FIXED POINT
+    (D″ of a line is 0 ⇒ τ = y); (b) cycles sum to zero (rows of DᵀD
+    sum to 0); (c) the trend's roughness Σ(Δ²τ)² is far below the
+    input's on a noisy series; (d) short series are excluded."""
+    import datetime as dt
+    import math
+
+    from timeseries_data_analysis_spark.operators import timeseries as TS
+
+    def mk(name, vals):
+        return [(name, dt.datetime(2024, 1, 1) + dt.timedelta(days=i),
+                 float(v)) for i, v in enumerate(vals)]
+
+    lin = [3.0 + 0.7 * i for i in range(40)]
+    noisy = [10.0 + 0.2 * i
+             + 5.0 * math.sin(i * 12.9898) for i in range(40)]
+    df = spark.createDataFrame(
+        mk("lin", lin) + mk("noisy", noisy),
+        "event_type string, d timestamp, v double")
+    out = TS.hp_filter(df, "event_type", "d", "v", lam=1600.0)
+    rows = sorted(out.collect(), key=lambda r: (r["event_type"], r["d"]))
+    by = {}
+    for r in rows:
+        by.setdefault(r["event_type"], []).append((r["y"], r["trend"]))
+    # (a) linear fixed point
+    for y, t in by["lin"]:
+        assert abs(y - t) < 1e-6, (y, t)
+    # (b) cycles sum to ~0 on both series
+    for k in ("lin", "noisy"):
+        assert abs(sum(y - t for y, t in by[k])) < 1e-6, k
+    # (c) smoothness: trend roughness << input roughness
+
+    def rough(xs):
+        return sum((xs[i + 1] - 2 * xs[i] + xs[i - 1]) ** 2
+                   for i in range(1, len(xs) - 1))
+
+    ys = [y for y, _ in by["noisy"]]
+    ts_ = [t for _, t in by["noisy"]]
+    assert rough(ts_) < 0.01 * rough(ys)
+    # (d) < 5 points → excluded, not crashed
+    short = spark.createDataFrame(mk("s", [1, 2, 3, 4]),
+                                  "event_type string, d timestamp, v double")
+    assert TS.hp_filter(short, "event_type", "d", "v").count() == 0
+    with pytest.raises(ValueError):
+        TS.hp_filter(df, "event_type", "d", "v", lam=0.0)
+
+
 def test_garch_sweep_recovers_generating_regime(spark):
     """`garch_sweep` model selection: on a series SIMULATED from a
     GARCH(1,1) with (α=0.3, β=0.65), that candidate must beat the

@@ -715,6 +715,90 @@ def garch_filter(df: DataFrame, key: str, ts_col: str, value_col: str,
     return df.groupBy(key).applyInPandas(fit, out_schema)
 
 
+def hp_filter(df: DataFrame, key: str, ts_col: str, value_col: str,
+              lam: float = 1600.0) -> DataFrame:
+    """Hodrick-Prescott trend/cycle decomposition per series: minimize
+    Σ(y_t−τ_t)² + λ·Σ((τ_{t+1}−τ_t)−(τ_t−τ_{t−1}))² — the classic
+    econometric detrending filter (Hodrick & Prescott 1997). The normal
+    equations (I + λDᵀD)τ = y are a symmetric PENTADIAGONAL system,
+    solved O(n) by banded LU (the 5-diagonal sibling of
+    ``_natural_spline_eval``'s Thomas solve): a forward sweep carrying
+    two-step-lookback multipliers (α, β, z), then a two-step-lookahead
+    back substitution.
+
+    Execution contract (the ``cubic_interpolate``/``garch_filter``
+    lane): inherently sequential per series ⇒ one Arrow stage; series
+    length is calendar-bounded while series count distributes. BOTH
+    recursions zero-extend their state (α₋₁ = β₋₁ = z₋₁ = 0, x_n =
+    x_{n+1} = 0) and pin operand order, so a recursive-CTE oracle
+    replays every multiplier and every τ_t bit-identically — no
+    rounding anywhere inside the recursion. Series with < 5 points are
+    excluded (the boundary coefficient cases assume them distinct).
+
+    Returns one row per input point: ``(key, ts, y, trend)``.
+    """
+    import pandas as pd
+
+    lam_ = float(lam)
+    if lam_ <= 0:
+        raise ValueError("hp_filter needs lam > 0")
+
+    def coefs(i: int, n: int):
+        # zero-extended pentadiagonal rows of I + lam * D'D
+        if i == 0 or i == n - 2:
+            a = -2.0 * lam_
+        elif i <= n - 3:
+            a = -4.0 * lam_
+        else:
+            a = 0.0
+        b = lam_ if i <= n - 3 else 0.0
+        if i == 0 or i == n - 1:
+            d = 1.0 + lam_
+        elif i == 1 or i == n - 2:
+            d = 1.0 + 5.0 * lam_
+        else:
+            d = 1.0 + 6.0 * lam_
+        return a, b, d
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col)
+        ys = [float(v) for v in pdf[value_col]]
+        n = len(ys)
+        if n < 5:
+            return pd.DataFrame(columns=[key, ts_col, "y", "trend"])
+        al = [0.0] * n
+        be = [0.0] * n
+        z = [0.0] * n
+        al_p = al_pp = be_p = be_pp = z_p = z_pp = 0.0
+        for i in range(n):
+            a_i, b_i, d_i = coefs(i, n)
+            c_i = coefs(i - 1, n)[0] if i >= 1 else 0.0
+            e_i = lam_ if i >= 2 else 0.0
+            ga = c_i - al_pp * e_i
+            mu = d_i - be_pp * e_i - al_p * ga
+            al[i] = (a_i - be_p * ga) / mu
+            be[i] = b_i / mu
+            z[i] = (ys[i] - z_pp * e_i - z_p * ga) / mu
+            al_pp, al_p = al_p, al[i]
+            be_pp, be_p = be_p, be[i]
+            z_pp, z_p = z_p, z[i]
+        xs = [0.0] * n
+        xs[n - 1] = z[n - 1]
+        x_next, x_nn = z[n - 1], 0.0
+        for i in range(n - 2, -1, -1):
+            xi = z[i] - al[i] * x_next - be[i] * x_nn
+            xs[i] = xi
+            x_nn, x_next = x_next, xi
+        return pd.DataFrame({
+            key: pdf[key].iloc[0], ts_col: pdf[ts_col].to_list(),
+            "y": ys, "trend": xs})
+
+    ts_t = df.schema[ts_col].dataType.simpleString()
+    out_schema = (f"{_key_ddl(df, key)}, {ts_col} {ts_t}, "
+                  "y double, trend double")
+    return df.groupBy(key).applyInPandas(fit, out_schema)
+
+
 def garch_sweep(df: DataFrame, key: str, ts_col: str, value_col: str,
                 candidates: list[tuple[float, float]]) -> DataFrame:
     """GARCH(1,1) candidate-parameter sweep — the model SELECTION step
