@@ -845,6 +845,39 @@ def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
                       _r(F.col("sim"), 6).alias("sim"))
 
 
+def q_centroid_balance(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF cell-occupancy balance audit at the SCALED C=64 quantizer
+    (same seed rule as `ivf_store_scaled`): per-cell population and
+    share plus the occupancy entropy in bits — the health check the
+    pruned-fraction law presupposes (probe-4-of-64 only scans 6.25% if
+    occupancy is near-uniform; a collapsed quantizer concentrates mass
+    and silently degrades ANN cost back toward a full scan;
+    `embedding_isotropy` diagnoses the GEOMETRY, this audits the
+    realized PARTITION). Scale shape: one broadcast N×C assignment +
+    one C-bounded agg. Cross-engine: counts exact; shares divide exact
+    integers; entropy sums C bounded terms, 6 dp."""
+    emb = load_table(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    cent = SIM.dense_seed_ids(
+        emb.filter(F.col("vec_id") % 7 == 0)
+        .select("vec_id", F.col("embedding").alias("centroid")),
+        "vec_id", 64, "centroid_id", "centroid")
+    asn = SIM._assign_cells(emb, cent, n_probe=1, id_col="vec_id",
+                            vec_col="embedding")
+    g = asn.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n_vecs"))
+    tot = g.agg(F.sum("n_vecs").alias("_t"))
+    share = F.col("n_vecs") / F.col("_t")
+    ent = (g.crossJoin(F.broadcast(tot))
+           .agg(_r(-F.sum((F.col("n_vecs") / F.col("_t"))
+                          * F.log2(F.col("n_vecs") / F.col("_t"))), 6)
+                .alias("_e")))
+    return (g.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(ent))
+            .select("centroid_id", "n_vecs",
+                    _r(share, 6).alias("share"),
+                    F.col("_e").alias("entropy_bits"))
+            .orderBy("centroid_id"))
+
+
 def q_ivf_store_search(spark: SparkSession, sf: str) -> DataFrame:
     """ANN scale path #2b, the PERSISTED-index shape: build the
     cell-partitioned IVF store on disk (the layout
@@ -9440,6 +9473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     lives in tests/test_registry.py."""
     return {
         # --- round-10 new additions (newest-first rule) ---
+        "centroid_balance": q_centroid_balance,
         "hp_filter": q_hp_filter,
         "peak_detect": q_peak_detect,
         "brier_decomposition": q_brier_decomposition,
@@ -10691,6 +10725,47 @@ def oracle_sql() -> dict[str, str]:
     # the in-memory IVF search, so the oracle IS ivf_topk's (same
     # deterministic centroids, same k/n_probe, same tiebreaks).
     sql["ivf_store_search"] = sql["ivf_topk"]
+
+    # Centroid balance: same deterministic C=64 assignment as
+    # ivf_store_scaled's oracle, collapsed to occupancy + entropy.
+    sql["centroid_balance"] = """
+        WITH cent AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1
+                       AS centroid_id,
+                   embedding::DOUBLE[] AS centroid
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id % 7 = 0 ORDER BY vec_id LIMIT 64)
+        ), assignb AS (
+            SELECT vec_id, centroid_id FROM (
+                SELECT e.vec_id, c.centroid_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY CASE WHEN list_dot_product(
+                                   e.embedding::DOUBLE[],
+                                   e.embedding::DOUBLE[]) = 0
+                                 OR list_dot_product(c.centroid,
+                                                     c.centroid) = 0
+                               THEN 0.0
+                               ELSE list_cosine_similarity(
+                                   e.embedding::DOUBLE[], c.centroid)
+                               END DESC,
+                                    c.centroid_id) AS crk
+                FROM embeddings e CROSS JOIN cent c)
+            WHERE crk = 1
+        ), gcb AS (
+            SELECT centroid_id, count(*)::BIGINT AS n_vecs
+            FROM assignb GROUP BY 1
+        ), tcb AS (SELECT sum(n_vecs)::BIGINT AS t FROM gcb),
+        ecb AS (
+            SELECT (round(-sum((n_vecs::DOUBLE / t)
+                               * log2(n_vecs::DOUBLE / t))
+                          + 1e-9, 6) + 0.0) AS e
+            FROM gcb, tcb
+        )
+        SELECT centroid_id, n_vecs,
+               (round(n_vecs::DOUBLE / t + 1e-9, 6) + 0.0) AS share,
+               e AS entropy_bits
+        FROM gcb, tcb, ecb ORDER BY 1
+    """
 
     # ivf_store_scaled: same physical-layout argument at the SCALED
     # coarse quantizer (C=64, seed rule vec_id % 7 == 0) — the oracle is
