@@ -7215,6 +7215,57 @@ def _daily_arm_means(spark: SparkSession, sf: str) -> DataFrame:
             .agg(_r(F.avg("value"), 6).alias("_v")))
 
 
+def q_acf_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """ACF at day-lags {1,2,3,6} over DAILY means — the bounded-grain
+    twin of `acf_lags`, shipped because the round-10 decade line
+    MEASURED the raw form series-cardinality-bound at the third decade
+    (SCALE §1r: 9.7 s → 135.7 s per decade, ~2-5 busy cores — the
+    §1n-b sort-task pathology), exactly the playbook's trigger. Same
+    one-window-pass/one-agg shape over ≤ |days| rows per series."""
+    daily = _daily_means(spark, sf)
+    w = Window.partitionBy("event_type").orderBy("_d")
+    lag_cols = [F.lag("_v", k).over(w).alias(f"_l{k}")
+                for k in (1, 2, 3, 6)]
+    d = daily.select("event_type", "_v", *lag_cols)
+    aggs = []
+    for k in (1, 2, 3, 6):
+        aggs += [F.count(f"_l{k}").alias(f"_n{k}"),
+                 _r(F.corr("_v", f"_l{k}"), 6).alias(f"_a{k}")]
+    g = d.groupBy("event_type").agg(*aggs)
+    stack = ", ".join(f"{k}, _n{k}, _a{k}" for k in (1, 2, 3, 6))
+    return (g.select("event_type",
+                     F.expr(f"stack(4, {stack}) AS (lag, n_pairs, acf)"))
+            .orderBy("event_type", "lag"))
+
+
+def q_pacf_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """Partial autocorrelation at day-lags 1-3 over DAILY means via the
+    same closed-form Durbin-Levinson recursion as `pacf_yw` — its
+    bounded-grain twin (same SCALE §1r trigger as `acf_daily`). ACF
+    values round at 6 dp BEFORE the recursion so both engines run
+    identical doubles (the raw twin's convention)."""
+    daily = _daily_means(spark, sf)
+    w = Window.partitionBy("event_type").orderBy("_d")
+    d = daily.select("event_type", "_v",
+                     *[F.lag("_v", k).over(w).alias(f"_l{k}")
+                       for k in (1, 2, 3)])
+    g = (d.groupBy("event_type")
+         .agg(*[_r(F.corr("_v", f"_l{k}"), 6).alias(f"_r{k}")
+                for k in (1, 2, 3)]))
+    r1, r2, r3 = F.col("_r1"), F.col("_r2"), F.col("_r3")
+    p22 = (r2 - r1 * r1) / (F.lit(1.0) - r1 * r1)
+    p21 = r1 * (F.lit(1.0) - p22)
+    p33 = ((r3 - p21 * r2 - p22 * r1)
+           / (F.lit(1.0) - p21 * r1 - p22 * r2))
+    g = g.select(
+        "event_type",
+        r1.alias("_p1"), _r(p22, 6).alias("_p2"), _r(p33, 6).alias("_p3"))
+    return (g.select("event_type",
+                     F.expr("stack(3, 1, _p1, 2, _p2, 3, _p3)"
+                            " AS (lag, pacf)"))
+            .orderBy("event_type", "lag"))
+
+
 def q_kpss_test(spark: SparkSession, sf: str) -> DataFrame:
     """KPSS level-stationarity test per series over daily means — the
     COMPLEMENT of `adf_test` (ADF's null is a unit root; KPSS's null is
@@ -9473,6 +9524,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     lives in tests/test_registry.py."""
     return {
         # --- round-10 new additions (newest-first rule) ---
+        "pacf_daily": q_pacf_daily,
+        "acf_daily": q_acf_daily,
         "centroid_balance": q_centroid_balance,
         "hp_filter": q_hp_filter,
         "peak_detect": q_peak_detect,
@@ -17727,6 +17780,64 @@ def oracle_sql() -> dict[str, str]:
                       + 1e-9, 6) + 0.0) AS hurst
         FROM ols
         ORDER BY event_type
+    """
+
+    # Daily ACF/PACF twins: the raw oracles over the daily CTE.
+    sql["acf_daily"] = f"""
+        WITH {_daily_cte}, dd AS (
+            SELECT event_type, v,
+                   lag(v, 1) OVER w AS l1, lag(v, 2) OVER w AS l2,
+                   lag(v, 3) OVER w AS l3, lag(v, 6) OVER w AS l6
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY d)
+        ), gd AS (
+            SELECT event_type,
+                   count(l1)::BIGINT AS n1, corr(v, l1) AS a1,
+                   count(l2)::BIGINT AS n2, corr(v, l2) AS a2,
+                   count(l3)::BIGINT AS n3, corr(v, l3) AS a3,
+                   count(l6)::BIGINT AS n6, corr(v, l6) AS a6
+            FROM dd GROUP BY 1
+        )
+        SELECT event_type, 1 AS lag, n1 AS n_pairs,
+               (round(a1 + 1e-9, 6) + 0.0) AS acf FROM gd
+        UNION ALL SELECT event_type, 2, n2,
+                         (round(a2 + 1e-9, 6) + 0.0) FROM gd
+        UNION ALL SELECT event_type, 3, n3,
+                         (round(a3 + 1e-9, 6) + 0.0) FROM gd
+        UNION ALL SELECT event_type, 6, n6,
+                         (round(a6 + 1e-9, 6) + 0.0) FROM gd
+    """
+
+    sql["pacf_daily"] = f"""
+        WITH {_daily_cte}, dp AS (
+            SELECT event_type, v,
+                   lag(v, 1) OVER w AS l1, lag(v, 2) OVER w AS l2,
+                   lag(v, 3) OVER w AS l3
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY d)
+        ), gp AS (
+            SELECT event_type,
+                   (round(corr(v, l1) + 1e-9, 6) + 0.0) AS r1,
+                   (round(corr(v, l2) + 1e-9, 6) + 0.0) AS r2,
+                   (round(corr(v, l3) + 1e-9, 6) + 0.0) AS r3
+            FROM dp GROUP BY 1
+        ), pp AS (
+            SELECT event_type, r1, r2, r3,
+                   (r2 - r1 * r1) / (1.0 - r1 * r1) AS p22
+            FROM gp
+        ), pp2 AS (
+            SELECT event_type, r1, r2, r3, p22,
+                   r1 * (1.0 - p22) AS p21
+            FROM pp
+        )
+        SELECT event_type, 1 AS lag, r1 AS pacf FROM pp2
+        UNION ALL
+        SELECT event_type, 2, (round(p22 + 1e-9, 6) + 0.0) FROM pp2
+        UNION ALL
+        SELECT event_type, 3,
+               (round((r3 - p21 * r2 - p22 * r1)
+                      / (1.0 - p21 * r1 - p22 * r2) + 1e-9, 6) + 0.0)
+        FROM pp2
     """
 
     # KPSS: running sum of deviations from the 6-dp series mean, both

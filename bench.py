@@ -249,6 +249,21 @@ def main() -> None:
                  "term_burstiness", "embedding_isotropy"):
         r9[name] = timed(name)
 
+    # round-10 additions: the GARCH sweep, the scaled-C ANN pair
+    # (store + balance audit), the wide-hash SimHash, the HP filter
+    # (pentadiagonal Arrow solve), the daily-grain TS batch, and the
+    # behavior/corpus audits — all bounded-grain or broadcast shapes
+    r10: dict[str, float] = {}
+    for name in ("garch_select", "ivf_store_scaled", "centroid_balance",
+                 "simhash_wide_pairs", "hp_filter", "kpss_test",
+                 "theil_sen_daily", "sample_entropy", "max_drawdown",
+                 "ar1_halflife", "spearman_daily", "peak_detect",
+                 "markov_transitions", "interarrival_burstiness",
+                 "gini_concentration", "benford_values", "msttr",
+                 "kl_source_unigram", "pmi_bigrams",
+                 "brier_decomposition"):
+        r10[name] = timed(name)
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     # KEY-ORDER CONTRACT: the driver archives only the TAIL of this one
     # JSON line (BENCH_r06.json shows the head truncated away at 250
@@ -271,6 +286,7 @@ def main() -> None:
         "r7_trials": {k: trial_log[k] for k in r7},
         "r8_trials": {k: trial_log[k] for k in r8},
         "r9_trials": {k: trial_log[k] for k in r9},
+        "r10_trials": {k: trial_log[k] for k in r10},
         "queries": timings,
         "corpus_queries": corpus,
         "analytics_queries": analytics,
@@ -280,6 +296,7 @@ def main() -> None:
         "r7_queries": r7,
         "r8_queries": r8,
         "r9_queries": r9,
+        "r10_queries": r10,
         # --- compact tail: everything a round-over-round comparison
         # needs, guaranteed inside the driver's preserved suffix ---
         "summary": {
@@ -294,6 +311,7 @@ def main() -> None:
             "r7_total": round(sum(r7.values()), 3),
             "r8_total": round(sum(r8.values()), 3),
             "r9_total": round(sum(r9.values()), 3),
+            "r10_total": round(sum(r10.values()), 3),
             "headline_queries": {k: timings[k] for k in timings},
         },
         "metric_echo": "headline_queries_total",

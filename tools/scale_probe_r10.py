@@ -179,7 +179,8 @@ def main() -> None:
             import __spark_entry__ as entry_mod
             qs = entry_mod.queries()
             trials = int(os.environ.get("SCALE_TRIALS", "2"))
-            for name in ("acf_lags", "pacf_yw", "spearman_lag1"):
+            for name in ("acf_lags", "pacf_yw", "spearman_lag1",
+                         "acf_daily", "pacf_daily", "spearman_daily"):
                 times, n = [], None
                 for _ in range(trials):
                     t0 = time.monotonic()
