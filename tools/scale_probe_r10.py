@@ -83,6 +83,22 @@ stats):
              100×, in which case the measurement DEMANDS a daily twin
              (ship `spearman_daily`), per the §1n-b playbook.
 
+  pillar     time the round-10 event/document pillar at <corpus>.
+             Pre-registered (the §1p bar): every daily-grain query
+             (garch_select, hp_filter, kpss_test, theil_sen_daily,
+             sample_entropy, max_drawdown, ar1_halflife, peak_detect)
+             is the reduce-then-bounded-solve class — any 100× cell
+             >3× its sf0.1 warm cell beyond the cold scan is a plan
+             bug; 1000× cells are scan-bound. The user-partitioned
+             windows (markov_transitions, interarrival_burstiness,
+             gini_concentration) distribute freely (NOT the 5-sort-
+             task shape — partition count is |users|·|types|); expect
+             scan-linear. benford_values/brier_decomposition are pure
+             combinable aggs. Document queries (msttr,
+             kl_source_unigram, pmi_bigrams, simhash_wide_pairs) are
+             token-explode linear; simhash_wide ≈ 2× the 48-bit
+             build's constant (two vote sets).
+
 Protocol: 1000× cells are one-shot or min-of-2 (cost), loadavg quoted
 per draw; host co-tenant load makes any draw at loadavg >8 suspect
 (§6 rule).
@@ -175,6 +191,27 @@ def main() -> None:
                 spark, "labelprop",
                 lambda e, a, b, m: G.connected_components(
                     e, a, b, max_iter=25, storage_level=SER))
+        elif s == "pillar":
+            import __spark_entry__ as entry_mod
+            qs = entry_mod.queries()
+            trials = int(os.environ.get("SCALE_TRIALS", "2"))
+            for name in ("garch_select", "hp_filter", "kpss_test",
+                         "theil_sen_daily", "sample_entropy",
+                         "max_drawdown", "ar1_halflife", "peak_detect",
+                         "markov_transitions",
+                         "interarrival_burstiness",
+                         "gini_concentration", "benford_values",
+                         "brier_decomposition", "msttr",
+                         "kl_source_unigram", "pmi_bigrams",
+                         "simhash_wide_pairs"):
+                times, n = [], None
+                for _ in range(trials):
+                    t0 = time.monotonic()
+                    n = qs[name](spark, corpus).count()
+                    times.append(time.monotonic() - t0)
+                print(f"{name:24s} {min(times):9.2f} s  rows={n}  "
+                      f"trials={[round(t, 2) for t in times]}  "
+                      f"loadavg={os.getloadavg()[0]:.2f}", flush=True)
         elif s == "stats":
             import __spark_entry__ as entry_mod
             qs = entry_mod.queries()
