@@ -7453,31 +7453,6 @@ def q_spearman_daily(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("event_type"))
 
 
-def q_markov_transitions(spark: SparkSession, sf: str) -> DataFrame:
-    """First-order Markov transition matrix over per-user event
-    sequences: P(next event type | current), from lead() within each
-    user's (ts, event_id)-ordered stream — the behavioral-structure
-    readout `session_paths` samples and `funnel` hard-codes one path
-    of. Scale shape: the window partitions by USER (millions of short
-    sequences distribute freely — not the |series|-sort-task shape);
-    the transition matrix is |types|²-bounded. Cross-engine: counts
-    are exact integers; row-normalized probabilities divide them,
-    6 dp."""
-    ev = load_table(spark, sf, "events").filter(
-        F.col("event_type").isNotNull() & F.col("user_id").isNotNull())
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    tr = (ev.select(F.col("event_type").alias("from_type"),
-                    F.lead("event_type").over(w).alias("to_type"))
-          .filter(F.col("to_type").isNotNull()))
-    g = tr.groupBy("from_type", "to_type").agg(
-        F.count(F.lit(1)).alias("n_trans"))
-    wrow = Window.partitionBy("from_type")
-    return (g.select("from_type", "to_type", "n_trans",
-                     _r(F.col("n_trans")
-                        / F.sum("n_trans").over(wrow), 6).alias("p"))
-            .orderBy("from_type", "to_type"))
-
-
 def q_interarrival_burstiness(spark: SparkSession, sf: str) -> DataFrame:
     """Interarrival burstiness per event type (Goh & Barabási 2008):
     B = (σ−μ)/(σ+μ) over the per-USER interarrival gaps in seconds —
@@ -9536,7 +9511,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_values": q_benford_values,
         "gini_concentration": q_gini_concentration,
         "interarrival_burstiness": q_interarrival_burstiness,
-        "markov_transitions": q_markov_transitions,
         "spearman_daily": q_spearman_daily,
         "ar1_halflife": q_ar1_halflife,
         "max_drawdown": q_max_drawdown,
@@ -17986,26 +17960,6 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, count(*)::BIGINT AS n_pairs,
                (round(corr(rx, ry) + 1e-9, 4) + 0.0) AS spearman
         FROM rks GROUP BY 1 ORDER BY event_type
-    """
-
-    # Markov transitions: lead() within each user's ordered stream;
-    # exact counts, row-normalized at 6 dp.
-    sql["markov_transitions"] = """
-        WITH trm AS (
-            SELECT event_type AS from_type,
-                   lead(event_type) OVER (PARTITION BY user_id
-                       ORDER BY ts, event_id) AS to_type
-            FROM events
-            WHERE event_type IS NOT NULL AND user_id IS NOT NULL
-        ), gm AS (
-            SELECT from_type, to_type, count(*)::BIGINT AS n_trans
-            FROM trm WHERE to_type IS NOT NULL GROUP BY 1, 2
-        )
-        SELECT from_type, to_type, n_trans,
-               (round(n_trans::DOUBLE
-                      / sum(n_trans) OVER (PARTITION BY from_type)
-                      + 1e-9, 6) + 0.0) AS p
-        FROM gm ORDER BY 1, 2
     """
 
     # Burstiness: exact integer microsecond gaps scaled by the same

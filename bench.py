@@ -258,7 +258,7 @@ def main() -> None:
                  "simhash_wide_pairs", "hp_filter", "kpss_test",
                  "theil_sen_daily", "sample_entropy", "max_drawdown",
                  "ar1_halflife", "spearman_daily", "peak_detect",
-                 "markov_transitions", "interarrival_burstiness",
+                 "interarrival_burstiness",
                  "gini_concentration", "benford_values", "msttr",
                  "kl_source_unigram", "pmi_bigrams",
                  "brier_decomposition"):

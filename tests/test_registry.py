@@ -39,7 +39,6 @@ ROUND10_NEW: list[str] = [
     "benford_values",
     "gini_concentration",
     "interarrival_burstiness",
-    "markov_transitions",
     "spearman_daily",
     "ar1_halflife",
     "max_drawdown",

@@ -1389,9 +1389,12 @@ def test_page_hinkley_stream_matches_batch_query(spark):
 
 def test_markov_stream_matches_batch_transitions(spark):
     """The streaming transition extractor must reproduce the
-    `markov_transitions` registry query's counts EXACTLY on a replayed
+    `transition_matrix` registry query's counts EXACTLY on a replayed
     stream, with per-user last-event state bridging micro-batch
-    boundaries (user sequences are deliberately split mid-stream)."""
+    boundaries (user sequences are deliberately split mid-stream).
+    (The fixture has no NULL event types, where the stream's
+    skip-without-touching-state contract and the batch query's
+    window-then-filter differ by design.)"""
     import __spark_entry__ as em
 
     schema = T.StructType([
@@ -1413,8 +1416,8 @@ def test_markov_stream_matches_batch_transitions(spark):
                                           "user_id", "event_id"])
         bdir = tempfile.mkdtemp(prefix="stream_mk_batch_")
         pdf.to_parquet(f"{bdir}/events.parquet")
-        batch = {(r["from_type"], r["to_type"]): r["n_trans"]
-                 for r in em.queries()["markov_transitions"](
+        batch = {(r["from_type"], r["to_type"]): r["n"]
+                 for r in em.queries()["transition_matrix"](
                      spark, bdir).collect()}
 
         # 3 micro-batches; every user's sequence spans all three

@@ -312,7 +312,7 @@ def markov_stream(events: DataFrame, key_col: str = "user_id",
                   id_col: str = "event_id") -> DataFrame:
     """Streaming first-order transition extractor via
     ``applyInPandasWithState`` — the online twin of the
-    ``markov_transitions`` registry query: per-user state is the LAST
+    ``transition_matrix`` registry query: per-user state is the LAST
     seen event type (ONE string per user — O(users) state regardless of
     stream length), and each arriving event emits its (from, to)
     transition row. Aggregating the emitted transitions over any

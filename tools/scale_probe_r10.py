@@ -90,7 +90,7 @@ stats):
              is the reduce-then-bounded-solve class — any 100× cell
              >3× its sf0.1 warm cell beyond the cold scan is a plan
              bug; 1000× cells are scan-bound. The user-partitioned
-             windows (markov_transitions, interarrival_burstiness,
+             windows (transition_matrix (pre-existing), interarrival_burstiness,
              gini_concentration) distribute freely (NOT the 5-sort-
              task shape — partition count is |users|·|types|); expect
              scan-linear. benford_values/brier_decomposition are pure
@@ -198,7 +198,6 @@ def main() -> None:
             for name in ("garch_select", "hp_filter", "kpss_test",
                          "theil_sen_daily", "sample_entropy",
                          "max_drawdown", "ar1_halflife", "peak_detect",
-                         "markov_transitions",
                          "interarrival_burstiness",
                          "gini_concentration", "benford_values",
                          "brier_decomposition", "msttr",
