@@ -68,6 +68,10 @@ TEXT_QUERIES = [
     "temperature_mix", "bigram_logppl",
     # round 5: Gopher rules, held-out novelty, calibration audit
     "gopher_rules", "ngram_novelty", "quality_calibration",
+    # round 10: segment TTR / smoothed KL / PMI are exact-integer
+    # token algebra; the wide SimHash is the same md5-vote class as
+    # simhash48_pairs with two disjoint segments
+    "msttr", "kl_source_unigram", "pmi_bigrams", "simhash_wide_pairs",
     # round 5: passage spans, DSIR, ppl terciles, Zipf fit, BPE loop
     "dup_passages", "dsir_weights", "ppl_buckets", "zipf_fit",
     "bpe_merges", "bpe_compression",

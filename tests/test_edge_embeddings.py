@@ -60,6 +60,9 @@ def _edge_embeddings():
 ANN_QUERIES = ["similarity_topk", "lsh_topk", "ivf_topk", "pq_topk",
                "emb_near_dup", "centroid_similarity", "array_profile",
                "ivf_pq_topk", "emb_neardup_clusters",
+               # round 10: occupancy audit — integer counts + entropy
+               # over shares (same degenerate-seed assignment CTE)
+               "centroid_balance",
                # round 5: SemDeDup (integer audit output — same
                # zero-vector / degenerate-seed assignment CTE the IVF
                # family stresses). kmeans_step / ivf_kmeans_topk are NOT

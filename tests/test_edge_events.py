@@ -160,6 +160,20 @@ EVENT_QUERIES = [
     # exactly.
     "ljung_box_daily", "runs_test_daily", "mann_whitney_daily",
     "cvm_drift_daily", "hurst_daily", "kendall_tau",
+    # round 10: exact-comparison / rank / count / pinned-recursion
+    # queries are in contract with the 1e9 row (slopes and drawdowns
+    # difference 6-dp daily means exactly; hp_filter's banded LU is a
+    # pinned SEQUENTIAL recursion — no unordered summation anywhere;
+    # Benford's digit comes from an exact integer string; burstiness/
+    # gini see timestamps/counts, not values; brier clamps to [0,1]).
+    # kpss_test / sample_entropy / garch_select / ar1_halflife /
+    # acf_daily / pacf_daily are NOT here for the levene_test reason
+    # (variance, covariance, or tolerance algebra over the 1e9 row
+    # carries summation-order ulps past the 6-dp contract); they get
+    # their exact-algebra comparison at the sf-corpus gate.
+    "theil_sen_daily", "max_drawdown", "peak_detect", "spearman_daily",
+    "hp_filter", "interarrival_burstiness", "gini_concentration",
+    "benford_values", "brier_decomposition",
     # round 9 econometrics batch: the RANK-based k-sample tests are
     # magnitude-normalized, so the 1e9 fixture row is in contract
     # (joint/within-day ranks compare identical 6-dp decimals).
