@@ -7266,6 +7266,81 @@ def q_pacf_daily(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("event_type", "lag"))
 
 
+def q_entropy_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Entropy rate of per-user event-type sequences — the
+    predictability number `transition_matrix` implies but doesn't
+    state: H(next | current) = −Σ p(from,to)·log₂ p(to|from) in bits,
+    with the marginal next-state entropy H(next) and their difference
+    (the information the current state carries). H_rate ≈ H_marginal
+    ⇒ memoryless stream (sessionization carries no signal); ≪ ⇒
+    strong behavioral structure. Scale shape: one user-partitioned
+    lead window (distributes) + a |types|²-bounded matrix. Cross-
+    engine: all probabilities divide exact counts; entropies sum ≤ 25
+    bounded terms, 6 dp."""
+    ev = load_table(spark, sf, "events").filter(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (ev.select(F.col("event_type").alias("_f"),
+                    F.lead("event_type").over(w).alias("_t"))
+          .filter(F.col("_t").isNotNull()))
+    g = tr.groupBy("_f", "_t").agg(F.count(F.lit(1)).alias("_n"))
+    tot = g.agg(F.sum("_n").alias("_tot"))
+    wrow = Window.partitionBy("_f")
+    j = (g.withColumn("_rowtot", F.sum("_n").over(wrow))
+         .crossJoin(F.broadcast(tot)))
+    p_joint = F.col("_n") / F.col("_tot")
+    p_cond = F.col("_n") / F.col("_rowtot")
+    rate = -F.sum(p_joint * F.log2(p_cond))
+    marg = (tr.groupBy("_t").agg(F.count(F.lit(1)).alias("_m"))
+            .crossJoin(F.broadcast(tot))
+            .agg(_r(-F.sum((F.col("_m") / F.col("_tot"))
+                           * F.log2(F.col("_m") / F.col("_tot"))), 6)
+                 .alias("_hm")))
+    a = j.agg(F.count(F.lit(1)).alias("n_cells"),
+              F.min("_tot").alias("n_transitions"),
+              _r(rate, 6).alias("h_rate_bits"))
+    return (a.crossJoin(F.broadcast(marg))
+            .select("n_cells", "n_transitions", "h_rate_bits",
+                    F.col("_hm").alias("h_marginal_bits"),
+                    _r(F.col("_hm") - F.col("h_rate_bits"), 6)
+                    .alias("info_gain_bits")))
+
+
+def q_mde_power(spark: SparkSession, sf: str) -> DataFrame:
+    """Minimal detectable effect for the standing A/B split — the
+    experiment-design readout that turns `ab_test`/`welch_ttest`
+    machinery into a planning number: per series, given each arm's
+    observed daily-mean σ and n (the pmod(user_id, 2) arms over the
+    `_daily_arm_means` grain), the two-sample MDE at α=0.05 / power
+    0.8 via the normal approximation MDE = (z₀.₉₇₅+z₀.₈)·√(s₀²/n₀ +
+    s₁²/n₁), absolute and as % of the pooled mean. Cross-engine: arm
+    moments round at 9 dp (the welch_ttest convention), z constants
+    are shared literals, 6-dp readout; degenerate arms (< 2 days or
+    zero variance) are excluded identically."""
+    arms = _daily_arm_means(spark, sf)
+    g = (arms.groupBy("event_type", "_arm")
+         .agg(F.count(F.lit(1)).alias("_n"),
+              F.round(F.avg("_v") + F.lit(1e-12), 9).alias("_m"),
+              F.round(F.var_samp("_v") + F.lit(1e-12), 9).alias("_s2"))
+         .filter((F.col("_n") >= 2) & (F.col("_s2") > 0)))
+    a0 = g.filter(F.col("_arm") == 0).select(
+        "event_type", F.col("_n").alias("n0"), F.col("_m").alias("_m0"),
+        F.col("_s2").alias("_s20"))
+    a1 = g.filter(F.col("_arm") == 1).select(
+        "event_type", F.col("_n").alias("n1"), F.col("_m").alias("_m1"),
+        F.col("_s2").alias("_s21"))
+    z = F.lit(2.801585)  # z_{0.975} + z_{0.80}, ONE shared literal
+    j = a0.join(a1, "event_type")
+    se = F.sqrt(F.col("_s20") / F.col("n0") + F.col("_s21") / F.col("n1"))
+    mde = z * se
+    pooled = (F.col("_m0") + F.col("_m1")) / F.lit(2.0)
+    return (j.select("event_type", "n0", "n1",
+                     _r(mde, 6).alias("mde_abs"),
+                     _r(mde / pooled * F.lit(100.0), 6)
+                     .alias("mde_pct_of_mean"))
+            .orderBy("event_type"))
+
+
 def q_kpss_test(spark: SparkSession, sf: str) -> DataFrame:
     """KPSS level-stationarity test per series over daily means — the
     COMPLEMENT of `adf_test` (ADF's null is a unit root; KPSS's null is
@@ -9499,6 +9574,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     lives in tests/test_registry.py."""
     return {
         # --- round-10 new additions (newest-first rule) ---
+        "mde_power": q_mde_power,
+        "entropy_rate": q_entropy_rate,
         "pacf_daily": q_pacf_daily,
         "acf_daily": q_acf_daily,
         "centroid_balance": q_centroid_balance,
@@ -17753,6 +17830,72 @@ def oracle_sql() -> dict[str, str]:
                       / (sxx - k * xb * xb)) / 2.0::DOUBLE
                       + 1e-9, 6) + 0.0) AS hurst
         FROM ols
+        ORDER BY event_type
+    """
+
+    # Entropy rate: exact transition counts; conditional/marginal
+    # entropies sum bounded terms; 6-dp rounding before the difference
+    # on BOTH engines.
+    sql["entropy_rate"] = """
+        WITH tre AS (
+            SELECT event_type AS f,
+                   lead(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS t
+            FROM events
+            WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        ), ge AS (
+            SELECT f, t, count(*)::BIGINT AS n
+            FROM tre WHERE t IS NOT NULL GROUP BY 1, 2
+        ), tote AS (SELECT sum(n)::BIGINT AS tot FROM ge),
+        je AS (
+            SELECT f, t, n, sum(n) OVER (PARTITION BY f) AS rowtot
+            FROM ge
+        ), ae AS (
+            SELECT count(*)::BIGINT AS n_cells,
+                   min(tot)::BIGINT AS n_transitions,
+                   (round(-sum((n::DOUBLE / tot)
+                               * log2(n::DOUBLE / rowtot))
+                          + 1e-9, 6) + 0.0) AS h_rate_bits
+            FROM je, tote
+        ), me AS (
+            SELECT (round(-sum((m::DOUBLE / tot)
+                               * log2(m::DOUBLE / tot))
+                          + 1e-9, 6) + 0.0) AS hm
+            FROM (SELECT t, count(*)::BIGINT AS m
+                  FROM tre WHERE t IS NOT NULL GROUP BY 1), tote
+        )
+        SELECT n_cells, n_transitions, h_rate_bits,
+               hm AS h_marginal_bits,
+               (round(hm - h_rate_bits + 1e-9, 6) + 0.0)
+                   AS info_gain_bits
+        FROM ae, me
+    """
+
+    # MDE: welch_ttest's 9-dp arm moments, one shared z literal.
+    sql["mde_power"] = f"""
+        WITH {_dailya_cte}, gm2 AS (
+            SELECT event_type, arm, count(*)::BIGINT AS n,
+                   (round(avg(v) + 1e-12, 9) + 0.0) AS m,
+                   (round(var_samp(v) + 1e-12, 9) + 0.0) AS s2
+            FROM dailya GROUP BY 1, 2
+            HAVING count(*) >= 2
+               AND (round(var_samp(v) + 1e-12, 9) + 0.0) > 0
+        ), am0 AS (
+            SELECT event_type, n AS n0, m AS m0, s2 AS s20
+            FROM gm2 WHERE arm = 0
+        ), am1 AS (
+            SELECT event_type, n AS n1, m AS m1, s2 AS s21
+            FROM gm2 WHERE arm = 1
+        )
+        SELECT event_type, n0, n1,
+               (round(CAST(2.801585 AS DOUBLE)
+                      * sqrt(s20 / n0 + s21 / n1) + 1e-9, 6) + 0.0)
+                   AS mde_abs,
+               (round(CAST(2.801585 AS DOUBLE)
+                      * sqrt(s20 / n0 + s21 / n1)
+                      / ((m0 + m1) / 2.0) * 100.0 + 1e-9, 6) + 0.0)
+                   AS mde_pct_of_mean
+        FROM am0 JOIN am1 USING (event_type)
         ORDER BY event_type
     """
 
