@@ -7266,6 +7266,32 @@ def q_pacf_daily(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("event_type", "lag"))
 
 
+def q_croston_demand(spark: SparkSession, sf: str) -> DataFrame:
+    """Croston intermittent-demand forecast per event type over the
+    HOURLY demand grain — the zero-inflated regime where the repo's
+    SES/Holt forecasters systematically lag (their level decays toward
+    zero between demands; Croston separates size from frequency).
+    Demands are hourly event counts keyed by the exact integer hour
+    index (`div`/`//` integer arithmetic on epoch microseconds — no
+    float division touches the index); zero hours never materialize
+    (gaps carry them — no dense spine). `TS.croston_forecast` runs
+    both pinned smoothers (α = 0.1) in one Arrow stage; the oracle
+    replays them in one recursive CTE. < 2 demand hours ⇒ excluded
+    identically."""
+    ev = load_table(spark, sf, "events").filter(
+        F.col("event_type").isNotNull())
+    hr = (ev.groupBy("event_type",
+                     F.expr("unix_micros(date_trunc('hour', ts)) "
+                            "div 3600000000").alias("_t"))
+          .agg(F.count(F.lit(1)).cast("double").alias("_z")))
+    out = TS.croston_forecast(hr, "event_type", "_t", "_z", alpha=0.1)
+    return (out.select("event_type", "n_demands", "span_periods",
+                       _r(F.col("z_hat"), 6).alias("z_hat"),
+                       _r(F.col("p_hat"), 6).alias("p_hat"),
+                       _r(F.col("forecast"), 6).alias("forecast"))
+            .orderBy("event_type"))
+
+
 def q_entropy_rate(spark: SparkSession, sf: str) -> DataFrame:
     """Entropy rate of per-user event-type sequences — the
     predictability number `transition_matrix` implies but doesn't
@@ -9574,6 +9600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     lives in tests/test_registry.py."""
     return {
         # --- round-10 new additions (newest-first rule) ---
+        "croston_demand": q_croston_demand,
         "mde_power": q_mde_power,
         "entropy_rate": q_entropy_rate,
         "pacf_daily": q_pacf_daily,
@@ -17831,6 +17858,52 @@ def oracle_sql() -> dict[str, str]:
                       + 1e-9, 6) + 0.0) AS hurst
         FROM ols
         ORDER BY event_type
+    """
+
+    # Croston: both smoothers in one recursive CTE; integer hour
+    # index via // on epoch micros; alpha = the shared 0.1 literal.
+    _ca = repr(0.1)
+    sql["croston_demand"] = f"""
+        WITH RECURSIVE hrc AS (
+            SELECT event_type,
+                   epoch_us(date_trunc('hour', ts)) // 3600000000 AS t,
+                   count(*)::DOUBLE AS z
+            FROM events WHERE event_type IS NOT NULL
+            GROUP BY 1, 2
+        ), seqc AS (
+            SELECT event_type, t, z,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY t) AS k,
+                   count(*) OVER (PARTITION BY event_type) AS m,
+                   lag(t) OVER (PARTITION BY event_type ORDER BY t)
+                       AS tp
+            FROM hrc
+            QUALIFY count(*) OVER (PARTITION BY event_type) >= 2
+        ), spanc AS (
+            SELECT event_type, (max(t) - min(t))::BIGINT AS span
+            FROM hrc GROUP BY 1
+        ), recc AS (
+            SELECT event_type, m, 1::BIGINT AS k, z AS zh,
+                   CAST(0.0 AS DOUBLE) AS ph
+            FROM seqc WHERE k = 1
+            UNION ALL
+            SELECT p.event_type, p.m, p.k,
+                   r.zh + {_ca} * (p.z - r.zh),
+                   CASE WHEN p.k = 2
+                        THEN CAST(p.t - p.tp AS DOUBLE)
+                        ELSE r.ph + {_ca}
+                             * (CAST(p.t - p.tp AS DOUBLE) - r.ph)
+                   END
+            FROM seqc p JOIN recc r
+              ON p.event_type = r.event_type AND p.k = r.k + 1
+        )
+        SELECT r.event_type, r.m AS n_demands, s.span AS span_periods,
+               (round(r.zh + 1e-9, 6) + 0.0) AS z_hat,
+               (round(r.ph + 1e-9, 6) + 0.0) AS p_hat,
+               (round(r.zh / r.ph + 1e-9, 6) + 0.0) AS forecast
+        FROM recc r JOIN spanc s USING (event_type)
+        WHERE r.k = r.m
+        ORDER BY r.event_type
     """
 
     # Entropy rate: exact transition counts; conditional/marginal

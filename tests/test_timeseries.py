@@ -498,6 +498,28 @@ def test_garch_filter_tracks_volatility_clusters(spark):
     assert TS.garch_filter(short, "event_type", "d", "v").count() == 0
 
 
+def test_croston_constant_intermittent_series(spark):
+    """On a perfectly regular intermittent series (size 10 every 5
+    periods) both smoothers are at their fixed points: ẑ = 10, p̂ = 5,
+    forecast = 2.0 exactly — and the per-period naive mean ẑ/p̂ matches
+    the true demand rate, which plain SES on the dense series (zeros
+    included) underestimates right after each demand."""
+    from timeseries_data_analysis_spark.operators import timeseries as TS
+
+    rows = [("a", 5 * k, 10.0) for k in range(12)]
+    rows += [("b", 7, 3.0)]  # single demand → excluded
+    df = spark.createDataFrame(rows, "k string, t long, z double")
+    out = {r["k"]: r for r in TS.croston_forecast(
+        df, "k", "t", "z", alpha=0.1).collect()}
+    assert set(out) == {"a"}
+    r = out["a"]
+    assert r["n_demands"] == 12 and r["span_periods"] == 55
+    assert r["z_hat"] == 10.0 and r["p_hat"] == 5.0
+    assert r["forecast"] == 2.0
+    with pytest.raises(ValueError):
+        TS.croston_forecast(df, "k", "t", "z", alpha=1.0)
+
+
 def test_hp_filter_properties(spark):
     """HP-filter invariants from the first-order conditions
     (I+λDᵀD)τ = y: (a) a perfectly linear series is a FIXED POINT

@@ -715,6 +715,66 @@ def garch_filter(df: DataFrame, key: str, ts_col: str, value_col: str,
     return df.groupBy(key).applyInPandas(fit, out_schema)
 
 
+def croston_forecast(df: DataFrame, key: str, t_col: str,
+                     demand_col: str, alpha: float = 0.1) -> DataFrame:
+    """Croston's method for INTERMITTENT demand (Croston 1972): two
+    exponential smoothers — one over nonzero demand SIZES z_k, one
+    over inter-demand INTERVALS q_k — forecasting ẑ/p̂ demand per
+    period. The zero-inflated regime where plain SES/Holt (which this
+    repo ships as ``ewma_recursive``/``holt_linear``) systematically
+    lag: their smoothed level decays toward zero between demands,
+    while Croston separates "how much when it happens" from "how
+    often it happens".
+
+    Input is the NONZERO demand subsequence only: one row per demand
+    with its integer period index ``t_col`` (zeros never materialize —
+    gaps carry them, so no dense spine is built; the 100 TB posture).
+    Pinned conventions (documented because Croston variants disagree):
+    z init = first size; p init = first gap (t₂−t₁); updates for
+    k = 2..m: z := z + α(z_k − z), and for k ≥ 3: p := p + α(q_k − p)
+    with q_k = t_k − t_{k−1}. Series with < 2 demands are excluded
+    (no interval exists). Same execution contract as ``garch_filter``:
+    sequential per series ⇒ one Arrow stage; operand order pinned so a
+    recursive-CTE oracle replays both smoothers bit-identically; α is
+    a shared literal; no rounding inside the recursion.
+
+    Returns ``(key, n_demands, span_periods, z_hat, p_hat, forecast)``
+    with forecast = ẑ/p̂ (expected demand per period).
+    """
+    import pandas as pd
+
+    a = float(alpha)
+    if not 0 < a < 1:
+        raise ValueError("croston_forecast needs 0 < alpha < 1")
+
+    cols = [key, "n_demands", "span_periods", "z_hat", "p_hat",
+            "forecast"]
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(t_col)
+        ts = [int(t) for t in pdf[t_col]]
+        zs = [float(v) for v in pdf[demand_col]]
+        m = len(zs)
+        if m < 2:
+            return pd.DataFrame(columns=cols)
+        z = zs[0]
+        p = float(ts[1] - ts[0])
+        for k in range(1, m):
+            z = z + a * (zs[k] - z)
+            if k >= 2:
+                q = float(ts[k] - ts[k - 1])
+                p = p + a * (q - p)
+        return pd.DataFrame({
+            key: [pdf[key].iloc[0]], "n_demands": [m],
+            "span_periods": [ts[-1] - ts[0]], "z_hat": [z],
+            "p_hat": [p], "forecast": [z / p]})
+
+    out_schema = (f"{_key_ddl(df, key)}, n_demands long, "
+                  "span_periods long, z_hat double, p_hat double, "
+                  "forecast double")
+    return df.groupBy(key).applyInPandas(fit, out_schema)
+
+
 def hp_filter(df: DataFrame, key: str, ts_col: str, value_col: str,
               lam: float = 1600.0) -> DataFrame:
     """Hodrick-Prescott trend/cycle decomposition per series: minimize
