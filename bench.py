@@ -254,7 +254,9 @@ def main() -> None:
     # (pentadiagonal Arrow solve), the daily-grain TS batch, and the
     # behavior/corpus audits — all bounded-grain or broadcast shapes
     r10: dict[str, float] = {}
-    for name in ("garch_select", "ivf_store_scaled", "centroid_balance",
+    for name in ("croston_demand", "entropy_rate", "mde_power",
+                 "acf_daily", "pacf_daily",
+                 "garch_select", "ivf_store_scaled", "centroid_balance",
                  "simhash_wide_pairs", "hp_filter", "kpss_test",
                  "theil_sen_daily", "sample_entropy", "max_drawdown",
                  "ar1_halflife", "spearman_daily", "peak_detect",
