@@ -174,6 +174,9 @@ EVENT_QUERIES = [
     "theil_sen_daily", "max_drawdown", "peak_detect", "spearman_daily",
     "hp_filter", "interarrival_burstiness", "gini_concentration",
     "benford_values", "brier_decomposition",
+    # round 10 wave 2: croston/entropy_rate see counts and integer hour
+    # indices only; mde_power is NOT here (levene_test reason).
+    "croston_demand", "entropy_rate",
     # round 9 econometrics batch: the RANK-based k-sample tests are
     # magnitude-normalized, so the 1e9 fixture row is in contract
     # (joint/within-day ranks compare identical 6-dp decimals).
