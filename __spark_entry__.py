@@ -7266,6 +7266,34 @@ def q_pacf_daily(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("event_type", "lag"))
 
 
+def q_verified_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """The PRODUCTION dedup chain SCALE §1q's boundary note names:
+    MinHash-LSH candidates → exact n-gram Jaccard VERIFY (≥ 0.5 on the
+    shared 4-dp decimal) → connected components → cluster-size
+    histogram. §1q measured why the verify stage matters: CC only
+    merges, so clustering the raw capped pair set fuses template
+    families into 100k-doc clusters (recall side); thresholding
+    genuine Jaccard first makes the components precision-bearing, and
+    the keep-policy ("retain min-id per cluster") then drops only
+    verified duplicates. Readout is the (cluster_size → n_clusters,
+    n_docs) histogram — the artifact a curation run reports. Scale
+    shape: ids+hashes shuffles (never text) through the capped
+    banding; the verify join touches only candidate pairs; CC runs on
+    the thresholded (sparser) graph — the exact §1q star-contraction
+    input, one Jaccard filter earlier."""
+    docs = load_table(spark, sf, "documents")
+    cands = DD.minhash_lsh_candidates(docs, num_hashes=16, bands=8)
+    pairs = cands.select("id_l", "id_r").distinct()
+    ver = (DD.ngram_jaccard(pairs, docs)
+           .select("id_l", "id_r", _r(F.col("jaccard"), 4).alias("_j"))
+           .filter(F.col("_j") >= 0.5))
+    cl = GR.dedup_clusters(ver)
+    return (cl.groupBy("cluster_size")
+            .agg(F.countDistinct("cluster_id").alias("n_clusters"),
+                 F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("cluster_size"))
+
+
 def q_croston_demand(spark: SparkSession, sf: str) -> DataFrame:
     """Croston intermittent-demand forecast per event type over the
     HOURLY demand grain — the zero-inflated regime where the repo's
@@ -9600,6 +9628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     lives in tests/test_registry.py."""
     return {
         # --- round-10 new additions (newest-first rule) ---
+        "verified_clusters": q_verified_clusters,
         "croston_demand": q_croston_demand,
         "mde_power": q_mde_power,
         "entropy_rate": q_entropy_rate,
@@ -12070,6 +12099,34 @@ def oracle_sql() -> dict[str, str]:
     sql["minhash_lsh"] = f"""
         WITH {minhash_ctes}
         SELECT id_l, id_r, jaccard FROM mj
+    """
+
+    # Verify-then-cluster: the §1q production chain — threshold the
+    # shared 4-dp Jaccard BEFORE connected components, then histogram
+    # cluster sizes.
+    sql["verified_clusters"] = f"""
+        WITH RECURSIVE {minhash_ctes},
+        vc AS (
+            SELECT id_l, id_r FROM mj WHERE jaccard >= 0.5
+        ), symv AS (
+            SELECT id_l AS a, id_r AS b FROM vc
+            UNION ALL
+            SELECT id_r AS a, id_l AS b FROM vc
+        ), vertsv AS (
+            SELECT DISTINCT a AS v FROM symv
+        ), rv AS (
+            SELECT v, v AS l FROM vertsv
+            UNION
+            SELECT s.b AS v, rv.l FROM rv JOIN symv s ON rv.v = s.a
+        ), compv AS (
+            SELECT v, min(l) AS component FROM rv GROUP BY v
+        ), sizv AS (
+            SELECT component, count(*)::BIGINT AS cluster_size
+            FROM compv GROUP BY 1
+        )
+        SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+               sum(cluster_size)::BIGINT AS n_docs
+        FROM sizv GROUP BY 1 ORDER BY 1
     """
 
     sql["dedup_method_agreement"] = f"""
