@@ -1439,6 +1439,63 @@ def test_markov_stream_matches_batch_transitions(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_croston_stream_matches_batch_forecaster(spark):
+    """The streaming Croston monitor must reproduce the batch
+    `TS.croston_forecast` readout BIT-FOR-BIT after replaying the same
+    demand sequence across 3 micro-batches (state bridges the splits),
+    and every intermediate row must equal the sequential recursion."""
+    from timeseries_data_analysis_spark.operators import timeseries as TS
+
+    schema = T.StructType([
+        T.StructField("event_type", T.StringType()),
+        T.StructField("t", T.LongType()),
+        T.StructField("z", T.DoubleType()),
+    ])
+    # irregular gaps + varying sizes, single key
+    demands = [(3 * k + (k % 3), 5.0 + (k % 4) * 2.5) for k in range(15)]
+    pdf = pd.DataFrame([("kiln", t, z) for t, z in demands],
+                       columns=["event_type", "t", "z"])
+    d = tempfile.mkdtemp(prefix="stream_cr_")
+    try:
+        for i, (lo, hi) in enumerate(((0, 5), (5, 10), (10, 15))):
+            spark.createDataFrame(pdf.iloc[lo:hi], schema=schema) \
+                .coalesce(1).write.mode("overwrite").parquet(f"{d}/f{i}")
+        src = SJ.stream_source(spark, f"{d}/*", schema,
+                               max_files_per_trigger=1)
+        cr = SJ.croston_stream(src)
+        q = (cr.writeStream.format("memory").queryName("cr_sink")
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM cr_sink ORDER BY t").collect()
+        assert len(got) == 15
+
+        batch = TS.croston_forecast(
+            spark.createDataFrame(pdf, schema=schema),
+            "event_type", "t", "z", alpha=0.1).collect()[0]
+        last = got[-1]
+        assert last["z_hat"] == batch["z_hat"]
+        assert last["p_hat"] == batch["p_hat"]
+        assert last["forecast"] == batch["forecast"]
+
+        # every prefix row equals the sequential recursion
+        a, n, zh, ph, last_t = 0.1, 0, 0.0, 0.0, 0
+        for i, (t, z) in enumerate(demands):
+            n += 1
+            if n == 1:
+                zh = z
+            else:
+                zh = zh + a * (z - zh)
+                if n == 2:
+                    ph = float(t - last_t)
+                else:
+                    ph = ph + a * (float(t - last_t) - ph)
+            last_t = t
+            assert got[i]["z_hat"] == zh, i
+            assert got[i]["p_hat"] == ph, i
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_page_hinkley_stream_unknown_key_is_flat(spark):
     """Keys absent from the frozen params emit ph = 0 / no alarm."""
     d = tempfile.mkdtemp(prefix="stream_ph_u_")

@@ -354,6 +354,66 @@ def markov_stream(events: DataFrame, key_col: str = "user_id",
                                     "update", GroupStateTimeout.NoTimeout))
 
 
+def croston_stream(demand_stream: DataFrame, key_col: str = "event_type",
+                   t_col: str = "t", demand_col: str = "z",
+                   alpha: float = 0.1) -> DataFrame:
+    """Streaming Croston intermittent-demand monitor via
+    ``applyInPandasWithState`` — the online twin of
+    ``operators.timeseries.croston_forecast``: per-key state is
+    (n_demands, last_t, ẑ, p̂) — four scalars per key, O(keys) total —
+    updated by the SAME pinned smoother conventions (z init = first
+    size; p init = first gap; z updates from the 2nd demand, p from
+    the 3rd), so a replayed demand stream reproduces the batch
+    operator's (ẑ, p̂, forecast) BIT-FOR-BIT at every prefix
+    (test-pinned across micro-batch splits). Emits one row per demand
+    with the post-update state. Rows within a micro-batch are
+    (t)-stable-sorted (the ``cusum_stream`` concat-then-mergesort
+    contract); out-of-order arrivals ACROSS batches are the caller's
+    watermarking problem, as with every sequential monitor here."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    a = float(alpha)
+    if not 0 < a < 1:
+        raise ValueError("croston_stream needs 0 < alpha < 1")
+
+    key_t = demand_stream.schema[key_col].dataType.simpleString()
+    out_schema = (f"{key_col} {key_t}, {t_col} long, n_demands long, "
+                  "z_hat double, p_hat double, forecast double")
+    state_schema = "n bigint, last_t bigint, zh double, ph double"
+
+    def fn(key, pdfs, state):
+        n, last_t, zh, ph = (state.get if state.exists
+                             else (0, 0, 0.0, 0.0))
+        chunks = list(pdfs)
+        pdf = (pd.concat(chunks, ignore_index=True) if len(chunks) > 1
+               else chunks[0]) if chunks else None
+        rows = []
+        if pdf is not None:
+            pdf = pdf.sort_values(t_col, kind="mergesort")
+            for t, z in zip(pdf[t_col], pdf[demand_col]):
+                t, z = int(t), float(z)
+                n += 1
+                if n == 1:
+                    zh = z
+                else:
+                    zh = zh + a * (z - zh)
+                    if n == 2:
+                        ph = float(t - last_t)
+                    else:
+                        ph = ph + a * (float(t - last_t) - ph)
+                last_t = t
+                fc = zh / ph if n >= 2 else 0.0
+                rows.append((key[0], t, n, zh, ph, fc))
+        state.update((n, last_t, zh, ph))
+        yield pd.DataFrame(rows, columns=[key_col, t_col, "n_demands",
+                                          "z_hat", "p_hat", "forecast"])
+
+    return (demand_stream.groupBy(key_col)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
 def session_window_rollup(events: DataFrame, gap: str = "30 minutes",
                           ts_col: str = "ts", key_col: str = "user_id",
                           value_col: str = "value",
