@@ -7266,6 +7266,53 @@ def q_pacf_daily(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("event_type", "lag"))
 
 
+def q_funnel_depth(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered multi-step funnel (view → click → purchase, each step
+    STRICTLY after the previous, all within 24 h of the user's first
+    view) — the ClickHouse-`windowFunnel` shape that `funnel` (one
+    2-step rule) doesn't cover. No self-joins: step k's earliest valid
+    timestamp is a conditional RUNNING MIN over the user window seeded
+    by step k−1's — two chained window columns carry the whole
+    sequence constraint, so the plan is one user-partitioned sort
+    (distributes over users) + one agg. Readout: users reaching each
+    depth (0-3) + conversion rate vs depth-1. Cross-engine: strict ts
+    inequalities on exact timestamps; counts exact; 6-dp rates."""
+    ev = load_table(spark, sf, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    d = ev.withColumn("_t1", t1)
+    horizon = F.col("_t1") + F.expr("interval 24 hours")
+    valid_click = F.when(
+        (F.col("event_type") == "click") & F.col("_t1").isNotNull()
+        & (F.col("ts") > F.col("_t1")) & (F.col("ts") <= horizon),
+        F.col("ts"))
+    d = d.withColumn("_t2", F.min(valid_click).over(w))
+    valid_purch = (
+        (F.col("event_type") == "purchase") & F.col("_t2").isNotNull()
+        & (F.col("ts") > F.col("_t2"))
+        & (F.col("ts") <= F.col("_t1") + F.expr("interval 24 hours")))
+    per_user = (d.groupBy("user_id")
+                .agg(F.max(F.when(F.col("_t1").isNotNull(), 1)
+                           .otherwise(0)).alias("_s1"),
+                     F.max(F.when(F.col("_t2").isNotNull(), 1)
+                           .otherwise(0)).alias("_s2"),
+                     F.max(valid_purch.cast("int")).alias("_s3")))
+    depth = (F.col("_s1") + F.col("_s2") + F.col("_s3")) \
+        .cast("long").alias("depth")
+    g = per_user.select(depth).groupBy("depth").agg(
+        F.count(F.lit(1)).alias("n_users"))
+    tot1 = g.agg(F.sum(F.when(F.col("depth") >= 1, F.col("n_users"))
+                       .otherwise(F.lit(0))).alias("_r1"))
+    return (g.crossJoin(F.broadcast(tot1))
+            .select("depth", "n_users",
+                    _r(F.when(F.col("_r1") > 0,
+                              F.col("n_users") / F.col("_r1"))
+                       .otherwise(F.lit(0.0)), 6).alias("share_of_entered"))
+            .orderBy("depth"))
+
+
 def q_verified_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """The PRODUCTION dedup chain SCALE §1q's boundary note names:
     MinHash-LSH candidates → exact n-gram Jaccard VERIFY (≥ 0.5 on the
@@ -9628,6 +9675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     lives in tests/test_registry.py."""
     return {
         # --- round-10 new additions (newest-first rule) ---
+        "funnel_depth": q_funnel_depth,
         "verified_clusters": q_verified_clusters,
         "croston_demand": q_croston_demand,
         "mde_power": q_mde_power,
@@ -17915,6 +17963,52 @@ def oracle_sql() -> dict[str, str]:
                       + 1e-9, 6) + 0.0) AS hurst
         FROM ols
         ORDER BY event_type
+    """
+
+    # Ordered funnel: two chained conditional running mins carry the
+    # strict sequence + 24h-horizon constraint; exact timestamps.
+    sql["funnel_depth"] = """
+        WITH fe AS (
+            SELECT user_id, ts, event_type, event_id,
+                   min(CASE WHEN event_type = 'view' THEN ts END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS t1
+            FROM events
+            WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        ), fe2 AS (
+            SELECT *,
+                   min(CASE WHEN event_type = 'click' AND t1 IS NOT NULL
+                             AND ts > t1
+                             AND ts <= t1 + INTERVAL 24 HOURS
+                            THEN ts END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS t2
+            FROM fe
+        ), pu AS (
+            SELECT user_id,
+                   max(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS s1,
+                   max(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS s2,
+                   max(CASE WHEN event_type = 'purchase'
+                             AND t2 IS NOT NULL AND ts > t2
+                             AND ts <= t1 + INTERVAL 24 HOURS
+                            THEN 1 ELSE 0 END) AS s3
+            FROM fe2 GROUP BY 1
+        ), gfd AS (
+            SELECT (s1 + s2 + s3)::BIGINT AS depth,
+                   count(*)::BIGINT AS n_users
+            FROM pu GROUP BY 1
+        ), r1fd AS (
+            SELECT sum(CASE WHEN depth >= 1 THEN n_users
+                            ELSE 0 END)::BIGINT AS r1
+            FROM gfd
+        )
+        SELECT depth, n_users,
+               (round(CASE WHEN r1 > 0 THEN n_users::DOUBLE / r1
+                           ELSE 0.0 END + 1e-9, 6) + 0.0)
+                   AS share_of_entered
+        FROM gfd, r1fd ORDER BY depth
     """
 
     # Croston: both smoothers in one recursive CTE; integer hour
