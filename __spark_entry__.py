@@ -7266,6 +7266,54 @@ def q_pacf_daily(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("event_type", "lag"))
 
 
+def q_seasonal_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Seasonal-ESD outliers (the S-H-ESD shape Twitter's anomaly
+    library popularized, deterministic core): deviations from each
+    series' PER-WEEKDAY median (robust seasonal adjustment — a Monday
+    spike is judged against Mondays), then THREE unrolled
+    generalized-ESD rounds — each recomputes mean/σ over the remaining
+    points, extracts the max-|deviation| day, and excludes it — so
+    masked outliers that a single `grubbs_outlier` pass misses surface
+    in rounds 2-3. Statistic-only readout (G per round); the
+    t-quantile decision threshold needs an inverse CDF neither engine
+    ships, so the ranking IS the contract (the repo's
+    no-unverifiable-constants rule). Scale shape: the daily collapse,
+    one bounded weekday-median agg, and 3 bounded agg+argmax rounds.
+    Cross-engine: devs are 6-dp (v and the interpolated median share
+    decimals), round moments at 9 dp, argmax tiebreak = earliest day;
+    series with ≤ 7 days or zero σ drop identically per round."""
+    daily = _daily_means(spark, sf)
+    med = (daily.groupBy("event_type", F.weekday("_d").alias("_wd"))
+           .agg(_r(F.percentile("_v", 0.5), 6).alias("_med")))
+    remaining = (daily.withColumn("_wd", F.weekday("_d"))
+                 .join(med, ["event_type", "_wd"])
+                 .select("event_type", "_d",
+                         _r(F.col("_v") - F.col("_med"), 6).alias("_dev")))
+    outs = []
+    for rnd in (1, 2, 3):
+        st = (remaining.groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("_n"),
+                   F.round(F.avg("_dev") + F.lit(1e-12), 9).alias("_mu"),
+                   F.round(F.stddev_pop("_dev") + F.lit(1e-12), 9)
+                   .alias("_sd"))
+              .filter((F.col("_n") > 7) & (F.col("_sd") > 0)))
+        j = remaining.join(F.broadcast(st), "event_type")
+        w = Window.partitionBy("event_type").orderBy(
+            F.abs(F.col("_dev") - F.col("_mu")).desc(), F.col("_d"))
+        top = (j.withColumn("_rk", F.row_number().over(w))
+               .filter(F.col("_rk") == 1)
+               .select("event_type", F.lit(rnd).alias("round"),
+                       F.col("_d").alias("d"), F.col("_dev").alias("dev"),
+                       _r(F.abs(F.col("_dev") - F.col("_mu"))
+                          / F.col("_sd"), 6).alias("g_stat")))
+        outs.append(top)
+        remaining = (remaining.join(
+            top.select("event_type", F.col("d").alias("_d")),
+            ["event_type", "_d"], "left_anti"))
+    out = outs[0].unionByName(outs[1]).unionByName(outs[2])
+    return out.orderBy("event_type", "round")
+
+
 def q_funnel_depth(spark: SparkSession, sf: str) -> DataFrame:
     """Ordered multi-step funnel (view → click → purchase, each step
     STRICTLY after the previous, all within 24 h of the user's first
@@ -9675,6 +9723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     lives in tests/test_registry.py."""
     return {
         # --- round-10 new additions (newest-first rule) ---
+        "seasonal_outliers": q_seasonal_outliers,
         "funnel_depth": q_funnel_depth,
         "verified_clusters": q_verified_clusters,
         "croston_demand": q_croston_demand,
@@ -17963,6 +18012,81 @@ def oracle_sql() -> dict[str, str]:
                       + 1e-9, 6) + 0.0) AS hurst
         FROM ols
         ORDER BY event_type
+    """
+
+    # Seasonal ESD: weekday-median deviations, 3 unrolled rounds of
+    # (9-dp moments → argmax → exclude), earliest-day tiebreak.
+    sql["seasonal_outliers"] = f"""
+        WITH {_daily_cte}, wmed AS (
+            SELECT event_type, isodow(d) - 1 AS wd,
+                   (round(quantile_cont(v, 0.5) + 1e-9, 6) + 0.0) AS med
+            FROM daily GROUP BY 1, 2
+        ), dv0 AS (
+            SELECT dd.event_type, dd.d,
+                   (round(dd.v - m.med + 1e-9, 6) + 0.0) AS dev
+            FROM daily dd JOIN wmed m
+              ON m.event_type = dd.event_type
+             AND m.wd = isodow(dd.d) - 1
+        ), st1 AS (
+            SELECT event_type, count(*)::BIGINT AS n,
+                   (round(avg(dev) + 1e-12, 9) + 0.0) AS mu,
+                   (round(stddev_pop(dev) + 1e-12, 9) + 0.0) AS sd
+            FROM dv0 GROUP BY 1
+            HAVING count(*) > 7
+               AND (round(stddev_pop(dev) + 1e-12, 9) + 0.0) > 0
+        ), o1 AS (
+            SELECT event_type, d, dev,
+                   (round(abs(dev - mu) / sd + 1e-9, 6) + 0.0) AS g_stat
+            FROM (SELECT v.*, s.mu, s.sd,
+                         row_number() OVER (PARTITION BY v.event_type
+                             ORDER BY abs(v.dev - s.mu) DESC, v.d) AS rk
+                  FROM dv0 v JOIN st1 s USING (event_type))
+            WHERE rk = 1
+        ), dv1 AS (
+            SELECT v.* FROM dv0 v LEFT JOIN o1
+              ON o1.event_type = v.event_type AND o1.d = v.d
+            WHERE o1.d IS NULL
+        ), st2 AS (
+            SELECT event_type, count(*)::BIGINT AS n,
+                   (round(avg(dev) + 1e-12, 9) + 0.0) AS mu,
+                   (round(stddev_pop(dev) + 1e-12, 9) + 0.0) AS sd
+            FROM dv1 GROUP BY 1
+            HAVING count(*) > 7
+               AND (round(stddev_pop(dev) + 1e-12, 9) + 0.0) > 0
+        ), o2 AS (
+            SELECT event_type, d, dev,
+                   (round(abs(dev - mu) / sd + 1e-9, 6) + 0.0) AS g_stat
+            FROM (SELECT v.*, s.mu, s.sd,
+                         row_number() OVER (PARTITION BY v.event_type
+                             ORDER BY abs(v.dev - s.mu) DESC, v.d) AS rk
+                  FROM dv1 v JOIN st2 s USING (event_type))
+            WHERE rk = 1
+        ), dv2 AS (
+            SELECT v.* FROM dv1 v LEFT JOIN o2
+              ON o2.event_type = v.event_type AND o2.d = v.d
+            WHERE o2.d IS NULL
+        ), st3 AS (
+            SELECT event_type, count(*)::BIGINT AS n,
+                   (round(avg(dev) + 1e-12, 9) + 0.0) AS mu,
+                   (round(stddev_pop(dev) + 1e-12, 9) + 0.0) AS sd
+            FROM dv2 GROUP BY 1
+            HAVING count(*) > 7
+               AND (round(stddev_pop(dev) + 1e-12, 9) + 0.0) > 0
+        ), o3 AS (
+            SELECT event_type, d, dev,
+                   (round(abs(dev - mu) / sd + 1e-9, 6) + 0.0) AS g_stat
+            FROM (SELECT v.*, s.mu, s.sd,
+                         row_number() OVER (PARTITION BY v.event_type
+                             ORDER BY abs(v.dev - s.mu) DESC, v.d) AS rk
+                  FROM dv2 v JOIN st3 s USING (event_type))
+            WHERE rk = 1
+        )
+        SELECT event_type, 1 AS round, d, dev, g_stat FROM o1
+        UNION ALL
+        SELECT event_type, 2, d, dev, g_stat FROM o2
+        UNION ALL
+        SELECT event_type, 3, d, dev, g_stat FROM o3
+        ORDER BY event_type, round
     """
 
     # Ordered funnel: two chained conditional running mins carry the
