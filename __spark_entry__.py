@@ -7266,6 +7266,35 @@ def q_pacf_daily(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("event_type", "lag"))
 
 
+def q_lorenz_deciles(spark: SparkSession, sf: str) -> DataFrame:
+    """Lorenz-curve decile table per event type — the distribution
+    behind `gini_concentration`'s single number: users ranked by event
+    count into ntile(10) buckets, each decile's share and cumulative
+    share of total events (decile 10's share is the "top-10% of users
+    drive X%" readout). Scale shape: user-grain count frame, one rank
+    window per type, bounded 10-row-per-type output. Cross-engine:
+    ntile over the total (count, user_id) order is identical; counts
+    exact; shares at 6 dp."""
+    ev = load_table(spark, sf, "events").filter(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull())
+    cnt = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("_x"))
+    w = Window.partitionBy("event_type").orderBy("_x", "user_id")
+    d = cnt.withColumn("decile", F.ntile(10).over(w))
+    g = (d.groupBy("event_type", "decile")
+         .agg(F.count(F.lit(1)).alias("n_users"),
+              F.sum("_x").alias("events")))
+    wt = Window.partitionBy("event_type")
+    wc = (Window.partitionBy("event_type").orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (g.select("event_type", "decile", "n_users", "events",
+                     _r(F.col("events") / F.sum("events").over(wt), 6)
+                     .alias("share"),
+                     _r(F.sum("events").over(wc)
+                        / F.sum("events").over(wt), 6).alias("cum_share"))
+            .orderBy("event_type", "decile"))
+
+
 def q_seasonal_outliers(spark: SparkSession, sf: str) -> DataFrame:
     """Seasonal-ESD outliers (the S-H-ESD shape Twitter's anomaly
     library popularized, deterministic core): deviations from each
@@ -9723,6 +9752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     lives in tests/test_registry.py."""
     return {
         # --- round-10 new additions (newest-first rule) ---
+        "lorenz_deciles": q_lorenz_deciles,
         "seasonal_outliers": q_seasonal_outliers,
         "funnel_depth": q_funnel_depth,
         "verified_clusters": q_verified_clusters,
@@ -18012,6 +18042,36 @@ def oracle_sql() -> dict[str, str]:
                       + 1e-9, 6) + 0.0) AS hurst
         FROM ols
         ORDER BY event_type
+    """
+
+    # Lorenz deciles: ntile over the total (count, user) order.
+    sql["lorenz_deciles"] = """
+        WITH cl AS (
+            SELECT event_type, user_id, count(*)::BIGINT AS x
+            FROM events
+            WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+            GROUP BY 1, 2
+        ), dl AS (
+            SELECT event_type, x,
+                   ntile(10) OVER (PARTITION BY event_type
+                                   ORDER BY x, user_id) AS decile
+            FROM cl
+        ), gl AS (
+            SELECT event_type, decile, count(*)::BIGINT AS n_users,
+                   sum(x)::BIGINT AS events
+            FROM dl GROUP BY 1, 2
+        )
+        SELECT event_type, decile, n_users, events,
+               (round(events::DOUBLE
+                      / sum(events) OVER (PARTITION BY event_type)
+                      + 1e-9, 6) + 0.0) AS share,
+               (round(sum(events) OVER (PARTITION BY event_type
+                          ORDER BY decile
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW)::DOUBLE
+                      / sum(events) OVER (PARTITION BY event_type)
+                      + 1e-9, 6) + 0.0) AS cum_share
+        FROM gl ORDER BY event_type, decile
     """
 
     # Seasonal ESD: weekday-median deviations, 3 unrolled rounds of
