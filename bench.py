@@ -254,7 +254,8 @@ def main() -> None:
     # (pentadiagonal Arrow solve), the daily-grain TS batch, and the
     # behavior/corpus audits — all bounded-grain or broadcast shapes
     r10: dict[str, float] = {}
-    for name in ("verified_clusters",
+    for name in ("lorenz_deciles", "seasonal_outliers", "funnel_depth",
+                 "verified_clusters",
                  "croston_demand", "entropy_rate", "mde_power",
                  "acf_daily", "pacf_daily",
                  "garch_select", "ivf_store_scaled", "centroid_balance",

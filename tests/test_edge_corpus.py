@@ -72,6 +72,7 @@ TEXT_QUERIES = [
     # token algebra; the wide SimHash is the same md5-vote class as
     # simhash48_pairs with two disjoint segments
     "msttr", "kl_source_unigram", "pmi_bigrams", "simhash_wide_pairs",
+    "verified_clusters",
     # round 5: passage spans, DSIR, ppl terciles, Zipf fit, BPE loop
     "dup_passages", "dsir_weights", "ppl_buckets", "zipf_fit",
     "bpe_merges", "bpe_compression",

@@ -177,6 +177,11 @@ EVENT_QUERIES = [
     # round 10 wave 2: croston/entropy_rate see counts and integer hour
     # indices only; mde_power is NOT here (levene_test reason).
     "croston_demand", "entropy_rate",
+    # round 10 wave 3: funnel_depth compares exact timestamps;
+    # lorenz_deciles sees counts only. seasonal_outliers is NOT here
+    # (its round moments over the 1e9-deviation row are the
+    # levene_test summation-ulp class).
+    "funnel_depth", "lorenz_deciles",
     # round 9 econometrics batch: the RANK-based k-sample tests are
     # magnitude-normalized, so the 1e9 fixture row is in contract
     # (joint/within-day ranks compare identical 6-dp decimals).
