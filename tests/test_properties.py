@@ -365,3 +365,53 @@ def test_triangle_degree_orientation_matches_id_orientation(spark, edges):
     by_deg = {r["vertex"]: (r["degree"], r["triangles"], r["coeff"])
               for r in GR.triangle_stats(df, orientation="degree").collect()}
     assert by_id == by_deg
+
+
+@given(texts=st.lists(
+    st.text(alphabet="ab ", min_size=1, max_size=40),
+    min_size=2, max_size=10))
+@settings(**SETTINGS)
+def test_simhash_wide_banding_is_exact_within_pigeonhole(spark, texts):
+    """Over RANDOM low-alphabet texts (maximal hash collisions and tied
+    fingerprints), the wide banded join must emit exactly the pairs
+    whose two-half Hamming distance is ≤ bands−1 — the pigeonhole
+    guarantee — and never a pair above the threshold."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {(r["id_l"], r["id_r"]): r["hamming"]
+           for r in DD.simhash_wide_pairs(df, bands=4,
+                                          max_hamming=3).collect()}
+    fps = {r["_id"]: (r["_fp_lo"], r["_fp_hi"])
+           for r in DD.simhash_wide_fingerprints(df).collect()}
+    expect = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            h = (bin(fps[i][0] ^ fps[j][0]).count("1")
+                 + bin(fps[i][1] ^ fps[j][1]).count("1"))
+            if h <= 3:
+                expect[(i, j)] = h
+    assert got == expect
+
+
+@given(demands=st.lists(
+    st.tuples(st.integers(0, 500), st.floats(min_value=0.1, max_value=50,
+                                             allow_nan=False)),
+    min_size=2, max_size=25, unique_by=lambda p: p[0]))
+@settings(**SETTINGS)
+def test_croston_forecast_bounded_by_observed_range(spark, demands):
+    """Croston invariants over random demand sequences: ẑ stays inside
+    the observed size range, p̂ inside the observed gap range, and the
+    per-period forecast inside [min_size/max_gap, max_size/min_gap] —
+    exponential smoothers are convex combinations of their inputs."""
+    demands = sorted(demands)
+    df = spark.createDataFrame([("k", t, z) for t, z in demands],
+                               "k string, t long, z double")
+    r = TS.croston_forecast(df, "k", "t", "z", alpha=0.1).collect()[0]
+    sizes = [z for _, z in demands]
+    gaps = [demands[i + 1][0] - demands[i][0]
+            for i in range(len(demands) - 1)]
+    eps = 1e-9
+    assert min(sizes) - eps <= r["z_hat"] <= max(sizes) + eps
+    assert min(gaps) - eps <= r["p_hat"] <= max(gaps) + eps
+    assert (min(sizes) / max(gaps) - eps <= r["forecast"]
+            <= max(sizes) / min(gaps) + eps)
