@@ -7266,6 +7266,74 @@ def q_pacf_daily(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("event_type", "lag"))
 
 
+def q_dau_wau_mau(spark: SparkSession, sf: str) -> DataFrame:
+    """DAU / trailing-7d WAU / trailing-30d MAU with the DAU/MAU
+    stickiness ratio per day — the canonical product-engagement panel
+    (`active_users` counts one grain; this is the multi-horizon
+    version every growth dashboard opens with). EXACT sliding distinct
+    counts: the (user, day) distinct frame joins to a day spine on a
+    range predicate, so each horizon is a count-distinct over its
+    window — the frame is |users|·|days| bounded (user-DAY grain, not
+    fact grain), and the range join fans out ≤ 37 rows per user-day.
+    Cross-engine: exact integer counts over exact dates; 6-dp
+    stickiness."""
+    ev = load_table(spark, sf, "events").filter(
+        F.col("user_id").isNotNull())
+    ud = ev.select("user_id", F.to_date("ts").alias("_d")).distinct()
+    days = ud.select("_d").distinct().select(F.col("_d").alias("day"))
+    j = days.join(ud, (F.col("_d") <= F.col("day"))
+                  & (F.col("_d") >= F.date_sub(F.col("day"), 29)))
+    g = (j.groupBy("day")
+         .agg(F.countDistinct(F.when(F.col("_d") == F.col("day"),
+                                     F.col("user_id"))).alias("dau"),
+              F.countDistinct(F.when(
+                  F.col("_d") >= F.date_sub(F.col("day"), 6),
+                  F.col("user_id"))).alias("wau"),
+              F.countDistinct("user_id").alias("mau")))
+    return (g.select("day", "dau", "wau", "mau",
+                     _r(F.col("dau") / F.col("mau"), 6)
+                     .alias("stickiness"))
+            .orderBy("day"))
+
+
+def q_time_to_convert(spark: SparkSession, sf: str) -> DataFrame:
+    """Signup→purchase conversion-latency distribution — the
+    time-dimension companion to `funnel`'s conversion COUNTS: per user,
+    the lag from FIRST signup to the FIRST purchase strictly after it;
+    one summary row with converter counts and exact p25/p50/p75/max
+    latencies in hours. The conditional-min window pattern
+    (`funnel_depth`'s chain, one link). Cross-engine: exact timestamp
+    microsecond differences scaled by one shared literal; interpolated
+    percentiles on identical doubles; 6 dp."""
+    ev = load_table(spark, sf, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    t1 = F.min(F.when(F.col("event_type") == "signup",
+                      F.col("ts"))).over(w)
+    d = ev.withColumn("_t1", t1)
+    conv = (d.filter((F.col("event_type") == "purchase")
+                     & F.col("_t1").isNotNull()
+                     & (F.col("ts") > F.col("_t1")))
+            .groupBy("user_id")
+            .agg(((F.min(F.unix_micros("ts"))
+                   - F.min(F.unix_micros("_t1")))
+                  / F.lit(3600000000.0)).alias("_lat_h")))
+    signups = (d.filter(F.col("_t1").isNotNull())
+               .select("user_id").distinct()
+               .agg(F.count(F.lit(1)).alias("n_signup_users")))
+    agg = conv.agg(F.count(F.lit(1)).alias("n_converted"),
+                   _r(F.percentile("_lat_h", 0.25), 6).alias("lat_p25_h"),
+                   _r(F.percentile("_lat_h", 0.50), 6).alias("lat_p50_h"),
+                   _r(F.percentile("_lat_h", 0.75), 6).alias("lat_p75_h"),
+                   _r(F.max("_lat_h"), 6).alias("lat_max_h"))
+    return (agg.crossJoin(F.broadcast(signups))
+            .select("n_signup_users", "n_converted",
+                    _r(F.col("n_converted") / F.col("n_signup_users"), 6)
+                    .alias("conv_rate"),
+                    "lat_p25_h", "lat_p50_h", "lat_p75_h", "lat_max_h"))
+
+
 def q_lorenz_deciles(spark: SparkSession, sf: str) -> DataFrame:
     """Lorenz-curve decile table per event type — the distribution
     behind `gini_concentration`'s single number: users ranked by event
@@ -9752,6 +9820,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     lives in tests/test_registry.py."""
     return {
         # --- round-10 new additions (newest-first rule) ---
+        "time_to_convert": q_time_to_convert,
+        "dau_wau_mau": q_dau_wau_mau,
         "lorenz_deciles": q_lorenz_deciles,
         "seasonal_outliers": q_seasonal_outliers,
         "funnel_depth": q_funnel_depth,
@@ -18042,6 +18112,68 @@ def oracle_sql() -> dict[str, str]:
                       + 1e-9, 6) + 0.0) AS hurst
         FROM ols
         ORDER BY event_type
+    """
+
+    # DAU/WAU/MAU: exact sliding distincts over the user-day frame.
+    sql["dau_wau_mau"] = """
+        WITH udw AS (
+            SELECT DISTINCT user_id, ts::DATE AS d
+            FROM events WHERE user_id IS NOT NULL
+        ), dys AS (SELECT DISTINCT d AS day FROM udw),
+        jw AS (
+            SELECT y.day, u.user_id, u.d FROM dys y JOIN udw u
+              ON u.d <= y.day AND u.d >= y.day - INTERVAL 29 DAY
+        ), gw AS (
+            SELECT day,
+                   count(DISTINCT CASE WHEN d = day
+                                       THEN user_id END)::BIGINT AS dau,
+                   count(DISTINCT CASE WHEN d >= day - INTERVAL 6 DAY
+                                       THEN user_id END)::BIGINT AS wau,
+                   count(DISTINCT user_id)::BIGINT AS mau
+            FROM jw GROUP BY 1
+        )
+        SELECT day, dau, wau, mau,
+               (round(dau::DOUBLE / mau + 1e-9, 6) + 0.0) AS stickiness
+        FROM gw ORDER BY day
+    """
+
+    # Time-to-convert: conditional running min + exact microsecond
+    # latencies scaled by one shared literal.
+    sql["time_to_convert"] = """
+        WITH tc AS (
+            SELECT user_id, ts, event_type, event_id,
+                   min(CASE WHEN event_type = 'signup' THEN ts END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS t1
+            FROM events
+            WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        ), cv AS (
+            SELECT user_id,
+                   (min(epoch_us(ts)) - min(epoch_us(t1)))
+                       / 3600000000.0 AS lat_h
+            FROM tc
+            WHERE event_type = 'purchase' AND t1 IS NOT NULL AND ts > t1
+            GROUP BY 1
+        ), su AS (
+            SELECT count(DISTINCT user_id)::BIGINT AS n_signup_users
+            FROM tc WHERE t1 IS NOT NULL
+        ), agcv AS (
+            SELECT count(*)::BIGINT AS n_converted,
+                   (round(quantile_cont(lat_h, 0.25) + 1e-9, 6) + 0.0)
+                       AS lat_p25_h,
+                   (round(quantile_cont(lat_h, 0.50) + 1e-9, 6) + 0.0)
+                       AS lat_p50_h,
+                   (round(quantile_cont(lat_h, 0.75) + 1e-9, 6) + 0.0)
+                       AS lat_p75_h,
+                   (round(max(lat_h) + 1e-9, 6) + 0.0) AS lat_max_h
+            FROM cv
+        )
+        SELECT n_signup_users, n_converted,
+               (round(n_converted::DOUBLE / n_signup_users
+                      + 1e-9, 6) + 0.0) AS conv_rate,
+               lat_p25_h, lat_p50_h, lat_p75_h, lat_max_h
+        FROM agcv, su
     """
 
     # Lorenz deciles: ntile over the total (count, user) order.
