@@ -7266,6 +7266,51 @@ def q_pacf_daily(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("event_type", "lag"))
 
 
+def q_prop_ztest(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-proportion z-test on USER conversion between the standing
+    A/B arms — the rates companion to `welch_ttest` (means) and
+    `mde_power` (design): per arm, the share of users with ≥ 1
+    HIGH-VALUE purchase (value > 90 — at this corpus's density plain
+    purchase incidence saturates at 100% and the test degenerates;
+    the threshold keeps the rate in the informative range at every
+    SF); pooled-SE z and the shared literal-Horner erfc p-value.
+    The proportion test is what conversion experiments actually read —
+    Welch on per-user means answers a different question. Scale shape:
+    one user-grain conversion flag agg (distributes), two 1-row arm
+    frames, a broadcast join. Cross-engine: counts exact; proportions
+    divide exact integers; z at 6 dp BEFORE the p polynomial (the
+    `dunn_posthoc` lane); degenerate pooled rates (0 or 1) excluded
+    identically."""
+    ev = load_table(spark, sf, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+    u = (ev.groupBy(F.pmod(F.col("user_id"), F.lit(2)).alias("_arm"),
+                    "user_id")
+         .agg(F.max(((F.col("event_type") == "purchase")
+                     & (F.col("value") > 90)).cast("int"))
+              .alias("_conv")))
+    g = (u.groupBy("_arm")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("_conv").cast("long").alias("c")))
+    a0 = g.filter(F.col("_arm") == 0).select(
+        F.col("n").alias("n0"), F.col("c").alias("c0"))
+    a1 = g.filter(F.col("_arm") == 1).select(
+        F.col("n").alias("n1"), F.col("c").alias("c1"))
+    j = a0.crossJoin(F.broadcast(a1))
+    p0 = F.col("c0") / F.col("n0")
+    p1 = F.col("c1") / F.col("n1")
+    pool = (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1"))
+    j = j.withColumn("_pool", pool).filter(
+        (F.col("_pool") > 0) & (F.col("_pool") < 1))
+    se = F.sqrt(F.col("_pool") * (F.lit(1.0) - F.col("_pool"))
+                * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1")))
+    z = _r((p0 - p1) / se, 6)
+    j = j.withColumn("z", z)
+    return j.select("n0", "c0", "n1", "c1",
+                    _r(p0, 6).alias("rate0"), _r(p1, 6).alias("rate1"),
+                    "z",
+                    _r(ST.two_sided_p(F.col("z")), 6).alias("p_value"))
+
+
 def q_dau_wau_mau(spark: SparkSession, sf: str) -> DataFrame:
     """DAU / trailing-7d WAU / trailing-30d MAU with the DAU/MAU
     stickiness ratio per day — the canonical product-engagement panel
@@ -9820,6 +9865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     lives in tests/test_registry.py."""
     return {
         # --- round-10 new additions (newest-first rule) ---
+        "prop_ztest": q_prop_ztest,
         "time_to_convert": q_time_to_convert,
         "dau_wau_mau": q_dau_wau_mau,
         "lorenz_deciles": q_lorenz_deciles,
@@ -18112,6 +18158,42 @@ def oracle_sql() -> dict[str, str]:
                       + 1e-9, 6) + 0.0) AS hurst
         FROM ols
         ORDER BY event_type
+    """
+
+    # Two-proportion z: exact conversion counts, 6-dp z before the
+    # shared erfc polynomial.
+    sql["prop_ztest"] = f"""
+        WITH uz AS (
+            SELECT user_id % 2 AS arm, user_id,
+                   max(CASE WHEN event_type = 'purchase'
+                            AND value > 90
+                            THEN 1 ELSE 0 END) AS conv
+            FROM events
+            WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+            GROUP BY 1, 2
+        ), gz AS (
+            SELECT arm, count(*)::BIGINT AS n, sum(conv)::BIGINT AS c
+            FROM uz GROUP BY 1
+        ), jz AS (
+            SELECT a0.n AS n0, a0.c AS c0, a1.n AS n1, a1.c AS c1,
+                   (a0.c + a1.c)::DOUBLE / (a0.n + a1.n) AS pool
+            FROM (SELECT n, c FROM gz WHERE arm = 0) a0,
+                 (SELECT n, c FROM gz WHERE arm = 1) a1
+        ), zz AS (
+            SELECT n0, c0, n1, c1,
+                   (round((c0::DOUBLE / n0 - c1::DOUBLE / n1)
+                          / sqrt(pool * (1.0 - pool)
+                                 * (1.0 / n0 + 1.0 / n1))
+                          + 1e-9, 6) + 0.0) AS z
+            FROM jz WHERE pool > 0 AND pool < 1
+        )
+        SELECT n0, c0, n1, c1,
+               (round(c0::DOUBLE / n0 + 1e-9, 6) + 0.0) AS rate0,
+               (round(c1::DOUBLE / n1 + 1e-9, 6) + 0.0) AS rate1,
+               z,
+               (round({ST.two_sided_p_sql("z")} + 1e-9, 6) + 0.0)
+                   AS p_value
+        FROM zz
     """
 
     # DAU/WAU/MAU: exact sliding distincts over the user-day frame.

@@ -498,6 +498,36 @@ def test_garch_filter_tracks_volatility_clusters(spark):
     assert TS.garch_filter(short, "event_type", "d", "v").count() == 0
 
 
+def test_hp_filter_matches_dense_solve(spark):
+    """The banded pentadiagonal LU must agree with a DENSE numpy solve
+    of (I+λDᵀD)τ = y to float tolerance — an independent check of the
+    boundary coefficient rows (the easiest place to get the banded
+    algebra silently wrong)."""
+    import datetime as dt
+    import math
+
+    import numpy as np
+
+    from timeseries_data_analysis_spark.operators import timeseries as TS
+
+    n, lam = 23, 1600.0
+    ys = [10.0 + 0.3 * i + 2.0 * math.sin(i * 1.7) for i in range(n)]
+    rows = [("s", dt.datetime(2024, 1, 1) + dt.timedelta(days=i), v)
+            for i, v in enumerate(ys)]
+    df = spark.createDataFrame(rows,
+                               "event_type string, d timestamp, v double")
+    got = {r["d"].day + 31 * (r["d"].month - 1): r["trend"]
+           for r in TS.hp_filter(df, "event_type", "d", "v",
+                                 lam=lam).collect()}
+    D = np.zeros((n - 2, n))
+    for i in range(n - 2):
+        D[i, i], D[i, i + 1], D[i, i + 2] = 1.0, -2.0, 1.0
+    A = np.eye(n) + lam * (D.T @ D)
+    tau = np.linalg.solve(A, np.array(ys))
+    got_sorted = [got[k] for k in sorted(got)]
+    assert np.allclose(got_sorted, tau, atol=1e-8, rtol=0)
+
+
 def test_croston_constant_intermittent_series(spark):
     """On a perfectly regular intermittent series (size 10 every 5
     periods) both smoothers are at their fixed points: ẑ = 10, p̂ = 5,
