@@ -7266,6 +7266,29 @@ def q_pacf_daily(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("event_type", "lag"))
 
 
+def q_holt_damped(spark: SparkSession, sf: str) -> DataFrame:
+    """DAMPED-trend Holt forecast (φ = 0.85; Gardner & McKenzie 1985 —
+    the M-competition default for long horizons, where `holt_forecast`'s
+    undamped linear trend extrapolates without bound): same pinned
+    recursion with pred = l + φ·b and φ-damped trend updates, 7-day
+    forecast via the geometric sum l + φ(1−φ⁷)/(1−φ)·b. Same 4-dp
+    daily grid, same Arrow/recursive-CTE lane; φ = 1 reproduces
+    `holt_forecast` bit-for-bit (tested), so the pair brackets the
+    trend-persistence assumption."""
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    daily = (ev.groupBy("event_type",
+                        F.date_trunc("day", F.col("ts")).alias("_d"))
+             .agg(_r(F.avg("value"), 4).alias("_m")))
+    out = TS.holt_linear(daily, "event_type", "_d", "_m",
+                         alpha=0.3, beta=0.1, horizon=7, phi=0.85)
+    return (out.select("event_type", "n_periods",
+                       _r(F.col("level"), 4).alias("level"),
+                       _r(F.col("trend"), 4).alias("trend"),
+                       _r(F.col("forecast_h"), 4).alias("forecast_7d"),
+                       _r(F.col("mae"), 4).alias("mae"))
+            .orderBy("event_type"))
+
+
 def q_prop_ztest(spark: SparkSession, sf: str) -> DataFrame:
     """Two-proportion z-test on USER conversion between the standing
     A/B arms — the rates companion to `welch_ttest` (means) and
@@ -9865,6 +9888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     lives in tests/test_registry.py."""
     return {
         # --- round-10 new additions (newest-first rule) ---
+        "holt_damped": q_holt_damped,
         "prop_ztest": q_prop_ztest,
         "time_to_convert": q_time_to_convert,
         "dau_wau_mau": q_dau_wau_mau,
@@ -14457,6 +14481,45 @@ def oracle_sql() -> dict[str, str]:
                (round(l + 7 * b + 1e-9, 4) + 0.0) AS forecast_7d,
                (round(esum / (n - 1) + 1e-9, 4) + 0.0) AS mae
         FROM hw WHERE t = n
+    """
+
+    # Damped Holt: the holt_forecast recursion with phi-damped trend;
+    # every literal ::DOUBLE (the decimal-vs-IEEE drift note above).
+    sql["holt_damped"] = """
+        WITH RECURSIVE dvh AS (
+            SELECT event_type, date_trunc('day', ts) AS d,
+                   (round(avg(value) + 1e-9, 4) + 0.0) AS m
+            FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        ), serh AS (
+            SELECT event_type, list(m ORDER BY d) AS ys,
+                   count(*)::BIGINT AS n
+            FROM dvh GROUP BY 1
+        ), hd AS (
+            SELECT event_type, ys, n, 1::BIGINT AS t,
+                   ys[1] AS l, ys[2] - ys[1] AS b,
+                   CAST(0.0 AS DOUBLE) AS esum
+            FROM serh
+            UNION ALL
+            SELECT event_type, ys, n, t + 1,
+                   0.3::DOUBLE * ys[t + 1]
+                       + (1::DOUBLE - 0.3::DOUBLE)
+                         * (l + 0.85::DOUBLE * b),
+                   0.1::DOUBLE * ((0.3::DOUBLE * ys[t + 1]
+                       + (1::DOUBLE - 0.3::DOUBLE)
+                         * (l + 0.85::DOUBLE * b)) - l)
+                       + (1::DOUBLE - 0.1::DOUBLE) * (0.85::DOUBLE * b),
+                   esum + abs(ys[t + 1] - (l + 0.85::DOUBLE * b))
+            FROM hd WHERE t < n
+        )
+        SELECT event_type, n AS n_periods,
+               (round(l + 1e-9, 4) + 0.0) AS level,
+               (round(b + 1e-9, 4) + 0.0) AS trend,
+               (round(l + 0.85::DOUBLE
+                      * (1::DOUBLE - power(0.85::DOUBLE, 7))
+                      / (1::DOUBLE - 0.85::DOUBLE) * b
+                      + 1e-9, 4) + 0.0) AS forecast_7d,
+               (round(esum / (n - 1) + 1e-9, 4) + 0.0) AS mae
+        FROM hd WHERE t = n
     """
 
     # referential integrity: NOT IN with a NOT NULL subquery == anti-join

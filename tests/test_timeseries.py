@@ -498,6 +498,33 @@ def test_garch_filter_tracks_volatility_clusters(spark):
     assert TS.garch_filter(short, "event_type", "d", "v").count() == 0
 
 
+def test_holt_damped_phi1_identity_and_damping(spark):
+    """φ = 1.0 must reproduce the classic Holt recursion BIT-FOR-BIT
+    (the backward-compatibility contract `holt_forecast`'s oracle
+    relies on); φ < 1 must pull a positive-trend long-horizon forecast
+    strictly below the undamped one and above the bare level."""
+    import datetime as dt
+
+    from timeseries_data_analysis_spark.operators import timeseries as TS
+
+    rows = [("s", dt.datetime(2024, 1, 1) + dt.timedelta(days=i),
+             10.0 + 0.9 * i + (0.4 if i % 2 == 0 else -0.4))
+            for i in range(30)]
+    df = spark.createDataFrame(rows,
+                               "event_type string, d timestamp, v double")
+    base = TS.holt_linear(df, "event_type", "d", "v").collect()[0]
+    phi1 = TS.holt_linear(df, "event_type", "d", "v",
+                          phi=1.0).collect()[0]
+    for c in ("level", "trend", "forecast_h", "mae"):
+        assert base[c] == phi1[c], c
+    damp = TS.holt_linear(df, "event_type", "d", "v",
+                          phi=0.85).collect()[0]
+    assert damp["trend"] > 0
+    assert damp["level"] < damp["forecast_h"] < base["forecast_h"]
+    with pytest.raises(ValueError):
+        TS.holt_linear(df, "event_type", "d", "v", phi=0.0)
+
+
 def test_hp_filter_matches_dense_solve(spark):
     """The banded pentadiagonal LU must agree with a DENSE numpy solve
     of (I+λDᵀD)τ = y to float tolerance — an independent check of the

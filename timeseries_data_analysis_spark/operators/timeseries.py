@@ -407,7 +407,7 @@ def align_to_spine(spine: DataFrame, src: DataFrame, on: list[str],
 
 def holt_linear(df: DataFrame, key: str, ts_col: str, value_col: str,
                 alpha: float = 0.3, beta: float = 0.1,
-                horizon: int = 7) -> DataFrame:
+                horizon: int = 7, phi: float = 1.0) -> DataFrame:
     """Holt's linear-trend double exponential smoothing per series
     (Holt 1957; the level+trend member of the ETS family) — the
     forecasting step past `seasonal_baseline`'s seasonal-naive: state
@@ -428,12 +428,23 @@ def holt_linear(df: DataFrame, key: str, ts_col: str, value_col: str,
     while the series COUNT distributes freely; the float operand order
     is pinned so the oracle's recursive CTE replays bit-identical state.
 
+    ``phi`` < 1 gives the DAMPED-trend variant (Gardner & McKenzie
+    1985 — the M-competition default for long horizons, where an
+    undamped linear trend extrapolates absurdly): pred = l + φ·b,
+    b' = β(l'−l) + (1−β)·φ·b, and the h-step forecast sums the
+    geometric trend l + (φ+φ²+…+φʰ)·b. φ = 1.0 (default) reproduces
+    the classic recursion BIT-FOR-BIT (multiplying by the exact 1.0
+    literal is an IEEE identity), so existing oracles are untouched.
+
     Returns one row per key: ``(key, n_periods, level, trend,
-    forecast_h, mae)`` with ``forecast_h = level + horizon * trend``.
+    forecast_h, mae)`` with ``forecast_h = level + horizon * trend``
+    (φ = 1) or the damped geometric sum (φ < 1).
     """
     import pandas as pd
 
-    a, b_ = float(alpha), float(beta)
+    a, b_, ph = float(alpha), float(beta), float(phi)
+    if not 0 < ph <= 1:
+        raise ValueError("holt_linear needs 0 < phi <= 1")
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ts_col)
@@ -445,15 +456,19 @@ def holt_linear(df: DataFrame, key: str, ts_col: str, value_col: str,
         l, b = ys[0], ys[1] - ys[0]
         esum = 0.0
         for y in ys[1:]:
-            pred = l + b
+            pred = l + ph * b
             lnew = a * y + (1 - a) * pred
-            bnew = b_ * (lnew - l) + (1 - b_) * b
+            bnew = b_ * (lnew - l) + (1 - b_) * (ph * b)
             esum = esum + abs(y - pred)
             l, b = lnew, bnew
+        if ph == 1.0:
+            fh = l + horizon * b
+        else:
+            fh = l + ph * (1.0 - ph ** horizon) / (1.0 - ph) * b
         return pd.DataFrame({
             key: [pdf[key].iloc[0]], "n_periods": [len(ys)],
             "level": [l], "trend": [b],
-            "forecast_h": [l + horizon * b],
+            "forecast_h": [fh],
             "mae": [esum / (len(ys) - 1)]})
 
     out_schema = (f"{_key_ddl(df, key)}, n_periods long, level double, "
