@@ -7266,6 +7266,53 @@ def q_pacf_daily(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("event_type", "lag"))
 
 
+def q_activity_powerlaw(spark: SparkSession, sf: str) -> DataFrame:
+    """Power-law tail fit of per-user activity — the third leg of the
+    concentration suite (`gini_concentration` summarizes inequality,
+    `lorenz_deciles` draws it, this estimates the TAIL LAW): log-log
+    OLS on the empirical CCDF P(activity ≥ x) over distinct activity
+    levels x ≥ 2 (the Zipf/Pareto diagnostic `zipf_fit` runs on
+    tokens, applied to behavior — heavy-tailed usage drives cache,
+    sampling, and skew-handling decisions). Scale shape: user-grain
+    count frame → distinct-level CCDF via one rank window over
+    ≤ |distinct levels| rows → OLS over those bounded points.
+    Cross-engine: CCDF counts are exact integers; log points are
+    identical doubles; slope/intercept at 6 dp; < 3 distinct levels
+    or zero x-variance excluded identically."""
+    ev = load_table(spark, sf, "events").filter(
+        F.col("user_id").isNotNull())
+    cnt = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("_c"))
+    n_tot = cnt.agg(F.count(F.lit(1)).alias("_n"))
+    lvl = cnt.groupBy("_c").agg(F.count(F.lit(1)).alias("_nu"))
+    # CCDF via a |levels|²-bounded self-join, not a partition-less
+    # window (the dense_seed_ids rule: don't pretend a bounded frame
+    # is distributed through one sort task)
+    b = lvl.select(F.col("_c").alias("_cb"), F.col("_nu").alias("_nb"))
+    ccdf = (lvl.join(b, F.col("_cb") >= F.col("_c"))
+            .groupBy("_c").agg(F.sum("_nb").alias("_ge"))
+            .filter(F.col("_c") >= 2)
+            .crossJoin(F.broadcast(n_tot)))
+    pts = ccdf.select(
+        F.log(F.col("_c").cast("double")).alias("_x"),
+        F.log(F.col("_ge") / F.col("_n")).alias("_y"))
+    g = (pts.agg(F.count(F.lit(1)).alias("n_levels"),
+                 F.avg("_x").alias("_xb"), F.avg("_y").alias("_yb"),
+                 F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+                 F.sum(F.col("_x") * F.col("_x")).alias("_sxx"))
+         .filter(F.col("n_levels") >= 3))
+    m = F.col("n_levels")
+    den = F.col("_sxx") - m * F.col("_xb") * F.col("_xb")
+    g = g.withColumn("_den", den).filter(F.abs(F.col("_den")) > 1e-12)
+    slope = (F.col("_sxy") - m * F.col("_xb") * F.col("_yb")) \
+        / F.col("_den")
+    g = g.withColumn("_sl", slope)
+    return g.select(
+        "n_levels", _r(F.col("_sl"), 6).alias("ccdf_slope"),
+        _r(-F.col("_sl"), 6).alias("tail_alpha"),
+        _r(F.col("_yb") - F.col("_sl") * F.col("_xb"), 6)
+        .alias("intercept"))
+
+
 def q_holt_damped(spark: SparkSession, sf: str) -> DataFrame:
     """DAMPED-trend Holt forecast (φ = 0.85; Gardner & McKenzie 1985 —
     the M-competition default for long horizons, where `holt_forecast`'s
@@ -9888,6 +9935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     lives in tests/test_registry.py."""
     return {
         # --- round-10 new additions (newest-first rule) ---
+        "activity_powerlaw": q_activity_powerlaw,
         "holt_damped": q_holt_damped,
         "prop_ztest": q_prop_ztest,
         "time_to_convert": q_time_to_convert,
@@ -14481,6 +14529,42 @@ def oracle_sql() -> dict[str, str]:
                (round(l + 7 * b + 1e-9, 4) + 0.0) AS forecast_7d,
                (round(esum / (n - 1) + 1e-9, 4) + 0.0) AS mae
         FROM hw WHERE t = n
+    """
+
+    # Activity power law: exact CCDF via the bounded level self-join,
+    # OLS in the heaps_law lane.
+    sql["activity_powerlaw"] = """
+        WITH cpl AS (
+            SELECT user_id, count(*)::BIGINT AS c
+            FROM events WHERE user_id IS NOT NULL GROUP BY 1
+        ), npl AS (SELECT count(*)::BIGINT AS n FROM cpl),
+        lpl AS (
+            SELECT c, count(*)::BIGINT AS nu FROM cpl GROUP BY 1
+        ), cc AS (
+            SELECT a.c, sum(b.nu)::BIGINT AS ge
+            FROM lpl a JOIN lpl b ON b.c >= a.c
+            GROUP BY 1 HAVING a.c >= 2
+        ), ppl AS (
+            SELECT ln(c::DOUBLE) AS x, ln(ge::DOUBLE / n) AS y
+            FROM cc, npl
+        ), gpl AS (
+            SELECT count(*)::BIGINT AS n_levels,
+                   avg(x) AS xb, avg(y) AS yb,
+                   sum(x * y) AS sxy, sum(x * x) AS sxx
+            FROM ppl HAVING count(*) >= 3
+        )
+        SELECT n_levels,
+               (round((sxy - n_levels * xb * yb)
+                      / (sxx - n_levels * xb * xb) + 1e-9, 6) + 0.0)
+                   AS ccdf_slope,
+               (round(-((sxy - n_levels * xb * yb)
+                        / (sxx - n_levels * xb * xb)) + 1e-9, 6) + 0.0)
+                   AS tail_alpha,
+               (round(yb - ((sxy - n_levels * xb * yb)
+                            / (sxx - n_levels * xb * xb)) * xb
+                      + 1e-9, 6) + 0.0) AS intercept
+        FROM gpl
+        WHERE abs(sxx - n_levels * xb * xb) > 1e-12
     """
 
     # Damped Holt: the holt_forecast recursion with phi-damped trend;

@@ -182,7 +182,7 @@ EVENT_QUERIES = [
     # (its round moments over the 1e9-deviation row are the
     # levene_test summation-ulp class).
     "funnel_depth", "lorenz_deciles",
-    "dau_wau_mau", "time_to_convert", "prop_ztest",
+    "dau_wau_mau", "time_to_convert", "prop_ztest", "activity_powerlaw",
     # round 9 econometrics batch: the RANK-based k-sample tests are
     # magnitude-normalized, so the 1e9 fixture row is in contract
     # (joint/within-day ranks compare identical 6-dp decimals).
