@@ -7266,6 +7266,44 @@ def q_pacf_daily(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("event_type", "lag"))
 
 
+def q_pq_distortion(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ quantization-distortion audit — the fidelity number the
+    `pq_topk`/`ivf_pq_topk` memory savings trade away, measured: per
+    subspace, the mean squared error between each vector's slice and
+    its nearest codebook entry (the k-means objective the codebooks
+    would minimize if refined — seed-selected books make this the
+    UPPER BOUND a Lloyd refinement improves on; `centroid_balance`
+    audits the coarse layer's occupancy, this audits the fine layer's
+    accuracy). Scale shape: the same broadcast encode join as pq_topk
+    (N×16 per subspace), one bounded agg; 8 rows. Cross-engine: the
+    error is the encode's own left-fold d² at rank 1 (bit-identical
+    pre-rounding), MSE at 6 dp."""
+    emb = load_table(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    cb = SIM.pq_codebooks(emb, m=8, n_codes=16)
+    dim_div = "size(_v) div 8"
+    subs = F.array(*[
+        F.struct(F.lit(sub).alias("sub"),
+                 F.expr(f"slice(_v, {sub} * ({dim_div}) + 1, {dim_div})")
+                 .alias("sv"))
+        for sub in range(8)])
+    sv = (emb.select("vec_id", F.col("embedding").alias("_v"))
+          .select("vec_id", F.explode(subs).alias("s"))
+          .select("vec_id", "s.sub", "s.sv"))
+    j = sv.join(F.broadcast(cb), "sub")
+    d2 = SIM._l2sq_fold(F.col("sv"), F.col("cvec"))
+    w = Window.partitionBy("vec_id", "sub").orderBy(
+        F.col("_d2"), F.col("code"))
+    enc = (j.withColumn("_d2", d2)
+           .withColumn("_rk", F.row_number().over(w))
+           .filter(F.col("_rk") == 1))
+    return (enc.groupBy("sub")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 _r(F.avg("_d2"), 6).alias("mse"),
+                 _r(F.max("_d2"), 6).alias("worst_case"))
+            .orderBy("sub"))
+
+
 def q_activity_powerlaw(spark: SparkSession, sf: str) -> DataFrame:
     """Power-law tail fit of per-user activity — the third leg of the
     concentration suite (`gini_concentration` summarizes inequality,
@@ -9935,6 +9973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     lives in tests/test_registry.py."""
     return {
         # --- round-10 new additions (newest-first rule) ---
+        "pq_distortion": q_pq_distortion,
         "activity_powerlaw": q_activity_powerlaw,
         "holt_damped": q_holt_damped,
         "prop_ztest": q_prop_ztest,
@@ -14529,6 +14568,43 @@ def oracle_sql() -> dict[str, str]:
                (round(l + 7 * b + 1e-9, 4) + 0.0) AS forecast_7d,
                (round(esum / (n - 1) + 1e-9, 4) + 0.0) AS mae
         FROM hw WHERE t = n
+    """
+
+    # PQ distortion: the pq_topk encode chain's rank-1 d2, aggregated.
+    sql["pq_distortion"] = """
+        WITH cb0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+                   embedding::DOUBLE[] AS v
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 16)
+        ), subsd AS (SELECT unnest(range(8)) AS sub
+        ), cbd AS (
+            SELECT s.sub, b.code, b.v[s.sub*8+1 : s.sub*8+8] AS cvec
+            FROM cb0 b CROSS JOIN subsd s
+        ), evd AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), cvsd AS (
+            SELECT e.vec_id, s.sub, e.v[s.sub*8+1 : s.sub*8+8] AS sv
+            FROM evd e CROSS JOIN subsd s
+        ), encd AS (
+            SELECT vec_id, sub, d2 FROM (
+                SELECT c.vec_id, c.sub,
+                       list_reduce(list_transform(range(8), i ->
+                           (c.sv[i+1] - b.cvec[i+1])
+                           * (c.sv[i+1] - b.cvec[i+1])),
+                           (x, y) -> x + y) AS d2,
+                       row_number() OVER (PARTITION BY c.vec_id, c.sub
+                           ORDER BY list_reduce(list_transform(range(8), i ->
+                               (c.sv[i+1] - b.cvec[i+1])
+                               * (c.sv[i+1] - b.cvec[i+1])),
+                               (x, y) -> x + y), b.code) AS rk
+                FROM cvsd c JOIN cbd b ON c.sub = b.sub)
+            WHERE rk = 1
+        )
+        SELECT sub, count(*)::BIGINT AS n_vecs,
+               (round(avg(d2) + 1e-9, 6) + 0.0) AS mse,
+               (round(max(d2) + 1e-9, 6) + 0.0) AS worst_case
+        FROM encd GROUP BY 1 ORDER BY 1
     """
 
     # Activity power law: exact CCDF via the bounded level self-join,

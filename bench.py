@@ -254,7 +254,7 @@ def main() -> None:
     # (pentadiagonal Arrow solve), the daily-grain TS batch, and the
     # behavior/corpus audits — all bounded-grain or broadcast shapes
     r10: dict[str, float] = {}
-    for name in ("activity_powerlaw", "holt_damped", "prop_ztest", "dau_wau_mau", "time_to_convert",
+    for name in ("pq_distortion", "activity_powerlaw", "holt_damped", "prop_ztest", "dau_wau_mau", "time_to_convert",
                  "lorenz_deciles", "seasonal_outliers", "funnel_depth",
                  "verified_clusters",
                  "croston_demand", "entropy_rate", "mde_power",

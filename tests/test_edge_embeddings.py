@@ -63,6 +63,7 @@ ANN_QUERIES = ["similarity_topk", "lsh_topk", "ivf_topk", "pq_topk",
                # round 10: occupancy audit — integer counts + entropy
                # over shares (same degenerate-seed assignment CTE)
                "centroid_balance",
+               "pq_distortion",
                # round 5: SemDeDup (integer audit output — same
                # zero-vector / degenerate-seed assignment CTE the IVF
                # family stresses). kmeans_step / ivf_kmeans_topk are NOT

@@ -27,6 +27,7 @@ import __spark_entry__ as entry_mod
 # Round-10 new queries (newest-first), occupying the head of the gate
 # window. PREPENDING here is part of adding a query (same commit).
 ROUND10_NEW: list[str] = [
+    "pq_distortion",
     "activity_powerlaw",
     "holt_damped",
     "prop_ztest",
