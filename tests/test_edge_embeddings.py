@@ -63,7 +63,11 @@ ANN_QUERIES = ["similarity_topk", "lsh_topk", "ivf_topk", "pq_topk",
                # round 10: occupancy audit — integer counts + entropy
                # over shares (same degenerate-seed assignment CTE)
                "centroid_balance",
-               "pq_distortion",
+               # pq_distortion is NOT here: its avg(d2) over the 1e18-
+               # magnitude fixture rows sums ~1e36 terms, the same
+               # summation-order-ulp class that excludes kmeans_step /
+               # ivf_kmeans_topk (below); the sf-corpus gate compares
+               # its encode+MSE algebra exactly at 2 SFs.
                # round 5: SemDeDup (integer audit output — same
                # zero-vector / degenerate-seed assignment CTE the IVF
                # family stresses). kmeans_step / ivf_kmeans_topk are NOT
