@@ -7645,16 +7645,20 @@ def q_croston_demand(spark: SparkSession, sf: str) -> DataFrame:
     SES/Holt forecasters systematically lag (their level decays toward
     zero between demands; Croston separates size from frequency).
     Demands are hourly event counts keyed by the exact integer hour
-    index (`div`/`//` integer arithmetic on epoch microseconds — no
-    float division touches the index); zero hours never materialize
+    index — FLOOR division on epoch microseconds via the pmod
+    identity `(x - pmod(x, d)) div d` (Spark `div` truncates toward
+    zero, DuckDB `//` floors; they diverge on pre-1970 negative
+    epochs, so both sides pin the floor semantics; no float division
+    touches the index); zero hours never materialize
     (gaps carry them — no dense spine). `TS.croston_forecast` runs
     both pinned smoothers (α = 0.1) in one Arrow stage; the oracle
     replays them in one recursive CTE. < 2 demand hours ⇒ excluded
     identically."""
     ev = load_table(spark, sf, "events").filter(
         F.col("event_type").isNotNull())
+    mu = "unix_micros(date_trunc('hour', ts))"
     hr = (ev.groupBy("event_type",
-                     F.expr("unix_micros(date_trunc('hour', ts)) "
+                     F.expr(f"({mu} - pmod({mu}, 3600000000)) "
                             "div 3600000000").alias("_t"))
           .agg(F.count(F.lit(1)).cast("double").alias("_z")))
     out = TS.croston_forecast(hr, "event_type", "_t", "_z", alpha=0.1)

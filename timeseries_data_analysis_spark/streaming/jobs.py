@@ -403,7 +403,12 @@ def croston_stream(demand_stream: DataFrame, key_col: str = "event_type",
                     else:
                         ph = ph + a * (float(t - last_t) - ph)
                 last_t = t
-                fc = zh / ph if n >= 2 else 0.0
+                # ph > 0 guard: a replayed/duplicate period index t
+                # (gap 0 at n == 2) would otherwise emit inf/NaN; the
+                # batch twin can never produce it (its input is
+                # groupBy'd on t), so the guard changes nothing on any
+                # stream the batch query could also see.
+                fc = zh / ph if (n >= 2 and ph > 0) else 0.0
                 rows.append((key[0], t, n, zh, ph, fc))
         state.update((n, last_t, zh, ph))
         yield pd.DataFrame(rows, columns=[key_col, t_col, "n_demands",

@@ -123,10 +123,6 @@ PAIRS_PATH = "/tmp/scale1000_pairs"
 SER = StorageLevel.MEMORY_AND_DISK  # serialized + spillable (§1n-b rule)
 
 
-def _load(path: str):
-    return os.getloadavg()[0]
-
-
 def stage_pairs(spark, corpus: str) -> None:
     docs = spark.read.parquet(f"{corpus}/documents.parquet")
     t0 = time.monotonic()
