@@ -1025,3 +1025,29 @@ def test_personalized_pagerank_locality_and_empty_seeds(spark):
 
     off_graph = spark.createDataFrame([(99,)], "doc_id bigint")
     assert GR.personalized_pagerank(edges, off_graph, iters=2).count() == 0
+
+
+def test_ngram_jaccard_verify_matches_plain_form(spark):
+    """The broadcast/hash-sketch verify (SCALE §1t form) must agree with
+    the string-set ngram_jaccard on every pair, both broadcast and
+    shuffle paths — hash-set Jaccard == string-set Jaccard unless a
+    32-bit collision lands inside one doc's ~10²-shingle set."""
+    texts = ["a b c d e f g", "a b c d e f x", "a b c d e f g",
+             "p q r s t u v", "p q r s t u x", "totally different words here"]
+    df = docs_df(spark, texts)
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (3, 4), (0, 3), (2, 5)],
+        "id_l long, id_r long")
+    want = {(r["id_l"], r["id_r"]): r["jaccard"]
+            for r in DD.ngram_jaccard(pairs, df).collect()}
+    for bc in (True, False):
+        got = {(r["id_l"], r["id_r"]): r["jaccard"]
+               for r in DD.ngram_jaccard_verify(
+                   pairs, df, threshold=None, broadcast_docs=bc).collect()}
+        assert got.keys() == want.keys()
+        for k in want:
+            assert got[k] == pytest.approx(want[k], abs=1e-12), k
+    # threshold filters server-side: only the >= 0.5 pairs survive
+    kept = {(r["id_l"], r["id_r"]) for r in
+            DD.ngram_jaccard_verify(pairs, df, threshold=0.5).collect()}
+    assert kept == {k for k, v in want.items() if v >= 0.5}

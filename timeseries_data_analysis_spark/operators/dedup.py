@@ -280,6 +280,64 @@ def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame,
         F.when(union > 0, inter.cast("double") / union).otherwise(0.0).alias("jaccard"))
 
 
+def ngram_jaccard_verify(df_pairs: DataFrame, docs: DataFrame,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         n: int = 3, threshold: float | None = 0.5,
+                         broadcast_docs: bool = True) -> DataFrame:
+    """Exact n-gram Jaccard VERIFY sized for 10⁸-10⁹-row candidate
+    tables — the scale form of :func:`ngram_jaccard` (same |A∩B|/|A∪B|
+    set semantics; cf. reference ``pre_processing.py:97-99`` dup
+    collapse, generalized to corpus near-dup verification).
+
+    Two changes make the E-row verify tractable where the plain form is
+    not (SCALE §1t: 426M candidate pairs × ~1 KB string-shingle arrays
+    ≈ 850 GB of join payload — over this host's disk, and pure shuffle
+    waste on any cluster):
+
+    - **Sketches, not strings.** Each doc's DISTINCT shingle set is
+      carried as ``array<bigint>`` of 32-bit portable base hashes
+      (``_shingle_hash`` — the exactness anchor
+      :func:`ngram_jaccard_all_pairs` already established; a collision
+      inside one ~10²-shingle doc set is ~10⁻⁶). Hashes are computed
+      explode-side as a top-level projection (whole-stage codegen md5,
+      never inside a ``transform`` lambda) and ``collect_set`` back:
+      ~200 B/doc vs ~1 KB of strings.
+    - **Map-side doc join.** With ``broadcast_docs`` the V-row sketch
+      table broadcasts (5M docs ≈ 1 GB — one copy per executor, two
+      build sides) so the E-row pair table streams through WITHOUT
+      ever shuffling array payloads; the only per-pair bytes in flight
+      are two ids. Boundary: the sketch table must fit executor memory
+      (≈ ≤50M short docs); beyond that set ``broadcast_docs=False``
+      for the plain shuffle join, or bucket both sides on doc id.
+
+    ``threshold`` filters server-side (verified edges are the sparse
+    output CC consumes); pass ``None`` to keep every candidate's score.
+    """
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sk = (docs.select(F.col(id_col).alias("_vid"), F.col(text_col))
+          .repartition(par)
+          .select("_vid", tokens(text_col).alias("_toks"))
+          .select("_vid", F.array_distinct(
+              shingles_from_tokens(F.col("_toks"), n)).alias("_sh"))
+          .select("_vid", F.explode("_sh").alias("_g"))
+          .select("_vid", _shingle_hash(F.col("_g")).alias("_h"))
+          .groupBy("_vid").agg(F.collect_set("_h").alias("_hs")))
+    d_l = sk.select(F.col("_vid").alias("id_l"), F.col("_hs").alias("_hs_l"))
+    d_r = sk.select(F.col("_vid").alias("id_r"), F.col("_hs").alias("_hs_r"))
+    if broadcast_docs:
+        d_l, d_r = F.broadcast(d_l), F.broadcast(d_r)
+    out = df_pairs.select("id_l", "id_r").join(d_l, "id_l").join(d_r, "id_r")
+    inter = F.size(F.array_intersect("_hs_l", "_hs_r"))
+    union = F.size("_hs_l") + F.size("_hs_r") - inter
+    res = out.select(
+        "id_l", "id_r",
+        F.when(union > 0, inter.cast("double") / union)
+        .otherwise(0.0).alias("jaccard"))
+    if threshold is not None:
+        res = res.filter(F.col("jaccard") >= threshold)
+    return res
+
+
 def ngram_jaccard_all_pairs(docs: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", n: int = 3,
                             threshold: float = 0.5) -> DataFrame:
