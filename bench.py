@@ -269,6 +269,15 @@ def main() -> None:
                  "brier_decomposition"):
         r10[name] = timed(name)
 
+    # round-11 pillar: the distributed-ordinal msttr, the HLL dashboard
+    # twin, the verify lenses, and the stats/ordinal batch
+    r11: dict[str, float] = {}
+    for name in ("msttr_bucketed", "dau_wau_mau_hll", "ks_2sample",
+                 "pettitt_test", "bartlett_test", "levenshtein_verify",
+                 "skyline_docs", "permutation_entropy", "haar_energy",
+                 "markov_stationary", "rsi_daily"):
+        r11[name] = timed(name)
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     # KEY-ORDER CONTRACT: the driver archives only the TAIL of this one
     # JSON line (BENCH_r06.json shows the head truncated away at 250
@@ -292,6 +301,7 @@ def main() -> None:
         "r8_trials": {k: trial_log[k] for k in r8},
         "r9_trials": {k: trial_log[k] for k in r9},
         "r10_trials": {k: trial_log[k] for k in r10},
+        "r11_trials": {k: trial_log[k] for k in r11},
         "queries": timings,
         "corpus_queries": corpus,
         "analytics_queries": analytics,
@@ -302,6 +312,7 @@ def main() -> None:
         "r8_queries": r8,
         "r9_queries": r9,
         "r10_queries": r10,
+        "r11_queries": r11,
         # --- compact tail: everything a round-over-round comparison
         # needs, guaranteed inside the driver's preserved suffix ---
         "summary": {
@@ -317,6 +328,7 @@ def main() -> None:
             "r8_total": round(sum(r8.values()), 3),
             "r9_total": round(sum(r9.values()), 3),
             "r10_total": round(sum(r10.values()), 3),
+            "r11_total": round(sum(r11.values()), 3),
             "headline_queries": {k: timings[k] for k in timings},
         },
         "metric_echo": "headline_queries_total",

@@ -100,6 +100,14 @@ TEXT_QUERIES = [
     # in contract (empty-after-trim docs contribute the same ''
     # token on both engines, the zipf_fit precedent)
     "heaps_law", "term_burstiness",
+    # round 11: bucketed-ordinal msttr is the same exact-integer token
+    # algebra as msttr; skyline's TTR/dominance compares exact ints +
+    # 6-dp decimals. levenshtein_verify is NOT here: DuckDB's
+    # levenshtein counts BYTES on multi-byte UTF-8 (measured: 36 vs
+    # Spark's 14 codepoint edits on the CJK doc), so the cross-engine
+    # contract holds on single-byte text only — the ASCII sf corpora —
+    # and the divergence is documented in the query docstring.
+    "msttr_bucketed", "skyline_docs",
 ]
 
 

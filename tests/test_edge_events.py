@@ -205,6 +205,19 @@ EVENT_QUERIES = [
     # grubbs_outlier are NOT here (squared raw diffs / stddev over
     # the 1e9 row — the levene_test summation-ulp reason).
     "dunn_posthoc", "seasonal_mann_kendall", "cochran_q",
+    # round 11: the HLL panel is md5/count algebra; KS and Pettitt are
+    # rank/count-based (magnitude-normalized); permutation_entropy is
+    # ordinal compares on 6-dp decimals; markov_stationary is pure
+    # transition counts + a pinned bounded iteration. bartlett_test is
+    # NOT here (variances over the 1e9 row — the levene_test
+    # summation-ulp class); haar_energy is NOT here (squared block
+    # differences of the 1e9 row, same class); rsi_daily is NOT here
+    # (its NaN daily mean hits divergent NaN-comparison semantics:
+    # the Python fold's `d > 0` is False for NaN while DuckDB orders
+    # NaN greater — the sf-corpus gate compares the exact fold
+    # instead).
+    "dau_wau_mau_hll", "ks_2sample", "pettitt_test",
+    "permutation_entropy", "markov_stationary",
 ]
 
 

@@ -1,15 +1,14 @@
 """Pins the `queries()` registry rotation: the driver's correctness gate
 checks the FIRST 50 entries per round, so registry order is the de-facto
 evidence scheduler. A silent reorder could starve a row of its gate
-slot; this test makes the round-10 window an explicit, reviewed contract.
+slot; this test makes the round-11 window an explicit, reviewed contract.
 
-Round-10 rotation policy (VERDICT r9 "Next round" #2, continuing the
-freshness ladder): new round-10 queries first (never checked = oldest
-debt), then the 27-row STALE FRONT — the rows the round-9 additions
-pushed past slot 50, whose latest driver-green is round 3 — then the
-round-4-evidence ladder (CORRECTNESS_r04 order) filling any remaining
-slots. Rows the round-10 additions push past slot 50 lead the round-11
-rotation.
+Round-11 rotation policy (VERDICT r10 "Next round" #2, continuing the
+freshness ladder): new round-11 queries first (never checked = oldest
+debt), then the 11-row STALE FRONT — the rows still carrying round-3
+evidence after the round-10 gate ran — then the round-4-evidence
+ladder (CORRECTNESS_r04 order) filling any remaining slots. Rows the
+round-11 additions push past slot 50 lead the round-12 rotation.
 """
 
 from __future__ import annotations
@@ -24,53 +23,26 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entry_mod
 
-# Round-10 new queries (newest-first), occupying the head of the gate
+# Round-11 new queries (newest-first), occupying the head of the gate
 # window. PREPENDING here is part of adding a query (same commit).
-ROUND10_NEW: list[str] = [
-    "pq_distortion",
-    "activity_powerlaw",
-    "holt_damped",
-    "prop_ztest",
-    "time_to_convert",
-    "dau_wau_mau",
-    "lorenz_deciles",
-    "seasonal_outliers",
-    "funnel_depth",
-    "verified_clusters",
-    "croston_demand",
-    "mde_power",
-    "entropy_rate",
-    "pacf_daily",
-    "acf_daily",
-    "centroid_balance",
-    "hp_filter",
-    "peak_detect",
-    "brier_decomposition",
-    "pmi_bigrams",
-    "kl_source_unigram",
-    "msttr",
-    "benford_values",
-    "gini_concentration",
-    "interarrival_burstiness",
-    "spearman_daily",
-    "ar1_halflife",
-    "max_drawdown",
-    "sample_entropy",
-    "theil_sen_daily",
-    "kpss_test",
-    "simhash_wide_pairs",
-    "ivf_store_scaled",
-    "garch_select",
+ROUND11_NEW: list[str] = [
+    "msttr_bucketed",
+    "dau_wau_mau_hll",
+    "ks_2sample",
+    "pettitt_test",
+    "bartlett_test",
+    "levenshtein_verify",
+    "skyline_docs",
+    "permutation_entropy",
+    "haar_energy",
+    "markov_stationary",
+    "rsi_daily",
 ]
-# The 27-row stale front: every row whose latest driver-green is round 3
-# after the round-9 gate ran — i.e. rows 24-50 of round 9's stale
-# ledger, the documented successor tranche (verified against the r1-r9
-# CORRECTNESS union).
-STALE_FRONT_27 = [
-    "calibration_bins", "pq_topk", "ivf_pq_topk", "simhash48_pairs",
-    "seasonal_baseline", "spine_ffill", "interpolate", "fill_chain",
-    "hourly_spine", "savgol_smooth", "lag_features", "rolling_stats",
-    "rolling_min_periods", "zscore", "diff_pct_change", "cooling_runs",
+# The 11-row stale front: every row whose latest driver-green is round
+# 3 after the round-10 gate ran — the remainder of round 10's 27-row
+# front that its 34 additions displaced past slot 50 (verified against
+# the r1-r10 CORRECTNESS union).
+STALE_FRONT_11 = [
     "anomaly_detect", "baseline_ratio", "sequence_windows",
     "interval_join", "asof_join", "label_events_full", "latest_per_user",
     "pivot_event_types", "melt_metrics", "dup_collapse",
@@ -100,7 +72,7 @@ R4_LADDER = [
 
 def test_gate_window_matches_documented_rotation():
     keys = list(entry_mod.queries())
-    expected_head = (ROUND10_NEW + STALE_FRONT_27 + R4_LADDER)[:50]
+    expected_head = (ROUND11_NEW + STALE_FRONT_11 + R4_LADDER)[:50]
     assert keys[:len(expected_head)] == expected_head
 
 
@@ -134,10 +106,12 @@ def test_driver_gate_report_has_no_red_rows():
     driver has written this round's gate report, a red row in it must
     fail the SUITE, not just sit in a JSON file nobody reruns. Skips
     gracefully before the driver's first gate run of the round."""
-    path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "CORRECTNESS_r10.json")
-    if not os.path.exists(path):
-        pytest.skip("driver has not written CORRECTNESS_r10.json yet")
+    import glob
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    reports = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    if not reports:
+        pytest.skip("driver has not written a CORRECTNESS report yet")
+    path = reports[-1]
     with open(path) as f:
         report = json.load(f)
     red = {k: v for k, v in report.items()

@@ -790,6 +790,67 @@ def croston_forecast(df: DataFrame, key: str, t_col: str,
     return df.groupBy(key).applyInPandas(fit, out_schema)
 
 
+def wilder_rsi(df: DataFrame, key: str, t_col: str, value_col: str,
+               period: int = 14) -> DataFrame:
+    """Wilder's Relative Strength Index (Wilder 1978) per series — the
+    bounded-momentum readout technical monitoring dashboards pair with
+    `max_drawdown`: RSI = 100 − 100/(1 + AG/AL) where AG/AL are
+    Wilder-smoothed average gains/losses of the first differences.
+
+    Pinned conventions (RSI variants disagree on seeding): diffs
+    d_k = x_k − x_{k−1} in ``t_col`` order; g = max(d, 0),
+    l = max(−d, 0); the seed accumulates the first ``period`` gains/
+    losses by LEFT-FOLD addition in k order then divides by ``period``
+    ONCE (never a set-aggregate mean, whose summation order is engine-
+    dependent); thereafter AG := (AG·(period−1) + g)/period, AL
+    likewise — operand order pinned so a recursive-CTE oracle replays
+    the fold bit-identically. AL == 0.0 ⇒ RSI = 100.0 exactly. Series
+    with < period+1 observations are excluded. Same execution contract
+    as :func:`croston_forecast`: inherently sequential per series ⇒
+    one Arrow stage over the (tiny) bounded-grain frame; α is implied
+    by ``period``; no rounding inside the recursion.
+
+    Returns ``(key, n_obs, avg_gain, avg_loss, rsi)``.
+    """
+    import pandas as pd
+
+    per = int(period)
+    if per < 1:
+        raise ValueError("wilder_rsi needs period >= 1")
+
+    cols = [key, "n_obs", "avg_gain", "avg_loss", "rsi"]
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(t_col)
+        xs = [float(v) for v in pdf[value_col]]
+        m = len(xs)
+        if m < per + 1:
+            return pd.DataFrame(columns=cols)
+        ag = 0.0
+        al = 0.0
+        for k in range(1, m):
+            d = xs[k] - xs[k - 1]
+            g = d if d > 0 else 0.0
+            lo = -d if d < 0 else 0.0
+            if k <= per:
+                ag = ag + g
+                al = al + lo
+                if k == per:
+                    ag = ag / per
+                    al = al / per
+            else:
+                ag = (ag * (per - 1) + g) / per
+                al = (al * (per - 1) + lo) / per
+        rsi = 100.0 if al == 0.0 else 100.0 - 100.0 / (1.0 + ag / al)
+        return pd.DataFrame({
+            key: [pdf[key].iloc[0]], "n_obs": [m],
+            "avg_gain": [ag], "avg_loss": [al], "rsi": [rsi]})
+
+    out_schema = (f"{_key_ddl(df, key)}, n_obs long, avg_gain double, "
+                  "avg_loss double, rsi double")
+    return df.groupBy(key).applyInPandas(fit, out_schema)
+
+
 def hp_filter(df: DataFrame, key: str, ts_col: str, value_col: str,
               lam: float = 1600.0) -> DataFrame:
     """Hodrick-Prescott trend/cycle decomposition per series: minimize
