@@ -1515,3 +1515,64 @@ def test_page_hinkley_stream_unknown_key_is_flat(spark):
         assert (got["ph"] == 0.0).all() and (got["alarm"] == 0).all()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_holt_stream_matches_batch_forecaster(spark):
+    """The streaming damped-Holt monitor must reproduce the batch
+    `TS.holt_linear(phi=0.85)` readout BIT-FOR-BIT after replaying the
+    same series across 3 micro-batches (state bridges the splits), and
+    every intermediate row must equal the sequential recursion."""
+    from timeseries_data_analysis_spark.operators import timeseries as TS
+
+    schema = T.StructType([
+        T.StructField("event_type", T.StringType()),
+        T.StructField("t", T.LongType()),
+        T.StructField("y", T.DoubleType()),
+    ])
+    ys = [50.0 + 3.0 * k + ((-1) ** k) * (k % 5) for k in range(15)]
+    pdf = pd.DataFrame([("kiln", k, y) for k, y in enumerate(ys)],
+                       columns=["event_type", "t", "y"])
+    d = tempfile.mkdtemp(prefix="stream_holt_")
+    try:
+        for i, (lo, hi) in enumerate(((0, 5), (5, 10), (10, 15))):
+            spark.createDataFrame(pdf.iloc[lo:hi], schema=schema) \
+                .coalesce(1).write.mode("overwrite").parquet(f"{d}/f{i}")
+        src = SJ.stream_source(spark, f"{d}/*", schema,
+                               max_files_per_trigger=1)
+        hs = SJ.holt_stream(src, value_col="y", alpha=0.3, beta=0.1,
+                            horizon=7, phi=0.85)
+        q = (hs.writeStream.format("memory").queryName("holt_sink")
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM holt_sink ORDER BY t").collect()
+        assert len(got) == 15
+
+        # n = 1 sentinel row
+        assert got[0]["level"] == ys[0]
+        assert got[0]["trend"] == 0.0 and got[0]["forecast_h"] == 0.0
+
+        batch = TS.holt_linear(
+            spark.createDataFrame(pdf, schema=schema),
+            "event_type", "t", "y", alpha=0.3, beta=0.1,
+            horizon=7, phi=0.85).collect()[0]
+        last = got[-1]
+        assert last["level"] == batch["level"]
+        assert last["trend"] == batch["trend"]
+        assert last["forecast_h"] == batch["forecast_h"]
+        assert last["mae"] == batch["mae"]
+
+        # every prefix row equals the sequential recursion
+        a, b_, ph = 0.3, 0.1, 0.85
+        l, b = ys[0], ys[1] - ys[0]
+        esum = 0.0
+        for k, y in enumerate(ys[1:], start=1):
+            pred = l + ph * b
+            lnew = a * y + (1 - a) * pred
+            bnew = b_ * (lnew - l) + (1 - b_) * (ph * b)
+            esum = esum + abs(y - pred)
+            l, b = lnew, bnew
+            assert got[k]["level"] == l, k
+            assert got[k]["trend"] == b, k
+            assert got[k]["mae"] == esum / k, k
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

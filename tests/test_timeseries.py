@@ -678,3 +678,47 @@ def test_garch_sweep_recovers_generating_regime(spark):
         TS.garch_sweep(df, "event_type", "d", "v", [(0.5, 0.5)])
     with pytest.raises(ValueError):
         TS.garch_sweep(df, "event_type", "d", "v", [])
+
+
+def test_wilder_rsi_closed_forms(spark):
+    """Fixed-point checks for the pinned Wilder fold: a strictly
+    increasing series has avg_loss == 0.0 exactly → RSI = 100.0; a
+    strictly decreasing one has avg_gain == 0.0 → RSI = 0.0; an
+    alternating ±1 sawtooth has avg_gain == avg_loss at every step of
+    the Python reference fold → replay equality. Series shorter than
+    period+1 are excluded."""
+    from timeseries_data_analysis_spark.operators import timeseries as TS
+
+    rows = [("up", t, 10.0 + 2.0 * t) for t in range(20)]
+    rows += [("down", t, 100.0 - 3.0 * t) for t in range(20)]
+    rows += [("saw", t, 5.0 + (1.0 if t % 2 else 0.0)) for t in range(20)]
+    rows += [("short", t, float(t)) for t in range(14)]  # 14 < 15
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    out = {r["k"]: r for r in TS.wilder_rsi(
+        df, "k", "t", "v", period=14).collect()}
+    assert set(out) == {"up", "down", "saw"}
+    assert out["up"]["avg_loss"] == 0.0 and out["up"]["rsi"] == 100.0
+    assert out["up"]["avg_gain"] == 2.0  # constant gains: fold exact
+    assert out["down"]["avg_gain"] == 0.0 and out["down"]["rsi"] == 0.0
+    assert out["down"]["avg_loss"] == 3.0
+
+    # replay the pinned fold for the sawtooth
+    xs = [5.0 + (1.0 if t % 2 else 0.0) for t in range(20)]
+    ag = al = 0.0
+    for k in range(1, 20):
+        d = xs[k] - xs[k - 1]
+        g = d if d > 0 else 0.0
+        lo = -d if d < 0 else 0.0
+        if k <= 14:
+            ag, al = ag + g, al + lo
+            if k == 14:
+                ag, al = ag / 14, al / 14
+        else:
+            ag = (ag * 13 + g) / 14
+            al = (al * 13 + lo) / 14
+    assert out["saw"]["avg_gain"] == ag
+    assert out["saw"]["avg_loss"] == al
+    assert out["saw"]["rsi"] == 100.0 - 100.0 / (1.0 + ag / al)
+
+    with pytest.raises(ValueError):
+        TS.wilder_rsi(df, "k", "t", "v", period=0)

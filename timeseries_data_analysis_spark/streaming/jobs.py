@@ -419,6 +419,81 @@ def croston_stream(demand_stream: DataFrame, key_col: str = "event_type",
                                     "update", GroupStateTimeout.NoTimeout))
 
 
+def holt_stream(series_stream: DataFrame, key_col: str = "event_type",
+                t_col: str = "t", value_col: str = "y",
+                alpha: float = 0.3, beta: float = 0.1,
+                horizon: int = 7, phi: float = 1.0) -> DataFrame:
+    """Streaming (damped-trend) Holt monitor via
+    ``applyInPandasWithState`` — the online twin of
+    ``operators.timeseries.holt_linear``: per-key state is
+    (n, level, trend, |error| sum) — four scalars per key, O(keys)
+    total — updated by the SAME pinned recursion (l = y₀; b
+    initializes to y₁ − l when the SECOND point arrives, exactly the
+    batch init b = y₁ − y₀; then pred = l + φ·b, l' = αy + (1−α)pred,
+    b' = β(l'−l) + (1−β)·φ·b, esum += |y − pred|), so a replayed
+    series reproduces the batch operator's (level, trend, forecast_h,
+    mae) BIT-FOR-BIT at every prefix across micro-batch splits
+    (test-pinned — the ``croston_stream`` contract). Emits one row per
+    period with the post-update state; n = 1 rows emit
+    trend/forecast/mae = 0.0 sentinels (the batch operator refuses
+    < 2 periods). Rows within a micro-batch are t-stable-sorted;
+    out-of-order arrivals ACROSS batches and grid regularity are the
+    caller's watermark/downsample problem, as with every sequential
+    monitor here."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    a, b_, ph = float(alpha), float(beta), float(phi)
+    if not 0 < ph <= 1:
+        raise ValueError("holt_stream needs 0 < phi <= 1")
+    h = int(horizon)
+
+    key_t = series_stream.schema[key_col].dataType.simpleString()
+    out_schema = (f"{key_col} {key_t}, {t_col} long, n_periods long, "
+                  "level double, trend double, forecast_h double, "
+                  "mae double")
+    state_schema = "n bigint, l double, b double, esum double"
+
+    def fn(key, pdfs, state):
+        n, l, b, esum = (state.get if state.exists
+                         else (0, 0.0, 0.0, 0.0))
+        chunks = list(pdfs)
+        pdf = (pd.concat(chunks, ignore_index=True) if len(chunks) > 1
+               else chunks[0]) if chunks else None
+        rows = []
+        if pdf is not None:
+            pdf = pdf.sort_values(t_col, kind="mergesort")
+            for t, y in zip(pdf[t_col], pdf[value_col]):
+                t, y = int(t), float(y)
+                n += 1
+                if n == 1:
+                    l = y
+                else:
+                    if n == 2:
+                        b = y - l
+                    pred = l + ph * b
+                    lnew = a * y + (1 - a) * pred
+                    bnew = b_ * (lnew - l) + (1 - b_) * (ph * b)
+                    esum = esum + abs(y - pred)
+                    l, b = lnew, bnew
+                if n >= 2:
+                    if ph == 1.0:
+                        fh = l + h * b
+                    else:
+                        fh = l + ph * (1.0 - ph ** h) / (1.0 - ph) * b
+                    rows.append((key[0], t, n, l, b, fh, esum / (n - 1)))
+                else:
+                    rows.append((key[0], t, n, l, 0.0, 0.0, 0.0))
+        state.update((n, l, b, esum))
+        yield pd.DataFrame(rows, columns=[key_col, t_col, "n_periods",
+                                          "level", "trend", "forecast_h",
+                                          "mae"])
+
+    return (series_stream.groupBy(key_col)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
 def session_window_rollup(events: DataFrame, gap: str = "30 minutes",
                           ts_col: str = "ts", key_col: str = "user_id",
                           value_col: str = "value",

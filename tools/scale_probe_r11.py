@@ -168,10 +168,51 @@ def stage_vcc1000(spark) -> None:
     _histogram(spark, edges)
 
 
+# Round-11 pillar decade expectations (pre-registered): msttr_bucketed
+# must come OFF msttr's 20-sort-task ceiling (§1s: 46.8 s at 1000×) —
+# predict ≤0.5× msttr's wall at 1000× with the same token-explode
+# scan floor. dau_wau_mau_hll replaces the |users|·|days| distinct +
+# per-user-day fan-out with ≤2⁹ registers/day — predict at-or-below
+# the exact form's 5.76 s at 1000× and decade-flat above the scan.
+# ks/pettitt/bartlett/permutation/rsi are the reduce-then-bounded
+# class (daily grain) — decade-FLAT above the scan (§1p bar: >3× the
+# sf0.1 warm cell beyond the cold scan = plan bug). haar_energy is
+# one hourly collapse + 3× bounded fan-out — scan-linear.
+# markov_stationary is one lead window + |types|² agg — scan-linear,
+# the entropy_rate twin. skyline is a grid agg + broadcast filter —
+# scan-linear. levenshtein_verify is candidate-bounded: its wall
+# follows the banding candidate mass, not the corpus.
+PILLAR11 = ("msttr", "msttr_bucketed", "dau_wau_mau", "dau_wau_mau_hll",
+            "ks_2sample", "pettitt_test", "bartlett_test",
+            "skyline_docs", "permutation_entropy", "haar_energy",
+            "markov_stationary", "rsi_daily", "levenshtein_verify")
+
+
+def stage_pillar11(spark, corpus: str) -> None:
+    import __spark_entry__ as entry_mod
+    qs = entry_mod.queries()
+    trials = int(os.environ.get("SCALE_TRIALS", "2"))
+    for name in PILLAR11:
+        times, n = [], None
+        for _ in range(trials):
+            t0 = time.monotonic()
+            n = qs[name](spark, corpus).count()
+            times.append(time.monotonic() - t0)
+        print(f"{name:24s} {min(times):9.2f} s  rows={n}  "
+              f"trials={[round(t, 2) for t in times]}  {_la()}",
+              flush=True)
+
+
 def main() -> None:
     corpus = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale1000"
     stages = sys.argv[2:] or ["calib100", "verify1000", "vcc1000"]
-    spark = get_spark("scale-probe-r11")
+    # the broadcast of the 5M-doc sketch table COLLECTS to the driver
+    # first, and that collect counts against spark.driver.maxResultSize
+    # (measured: 1029.4 MiB vs the 1024 MiB default — the first 1000×
+    # draw died on exactly this). On a real cluster the same knob
+    # gates any ≳1 GB broadcast dim; raise it alongside driver memory.
+    spark = get_spark("scale-probe-r11",
+                      extra_conf={"spark.driver.maxResultSize": "8g"})
     spark.sparkContext.setLogLevel("ERROR")
     print(f"corpus={corpus} stages={stages} {_la()}", flush=True)
     for s in stages:
@@ -181,6 +222,8 @@ def main() -> None:
             stage_verify1000(spark, corpus)
         elif s == "vcc1000":
             stage_vcc1000(spark)
+        elif s == "pillar11":
+            stage_pillar11(spark, corpus)
         else:
             raise SystemExit(f"unknown stage {s}")
 
