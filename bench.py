@@ -275,7 +275,9 @@ def main() -> None:
     for name in ("msttr_bucketed", "dau_wau_mau_hll", "ks_2sample",
                  "pettitt_test", "bartlett_test", "levenshtein_verify",
                  "skyline_docs", "permutation_entropy", "haar_energy",
-                 "markov_stationary", "rsi_daily"):
+                 "markov_stationary", "rsi_daily", "theil_decomposition",
+                 "gumbel_maxima", "turning_points", "records_test",
+                 "langid_confusion", "hubness_audit"):
         r11[name] = timed(name)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

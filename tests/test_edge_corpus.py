@@ -108,6 +108,11 @@ TEXT_QUERIES = [
     # contract holds on single-byte text only — the ASCII sf corpora —
     # and the divergence is documented in the query docstring.
     "msttr_bucketed", "skyline_docs",
+    # round 11 batch 2: Theil partials are x·ln x over the tiny doc
+    # set (n_chars > 0 filter pins the empty docs out identically);
+    # langid confusion is the lang_id marker algebra with the label
+    # carried through
+    "theil_decomposition", "langid_confusion",
 ]
 
 

@@ -107,7 +107,11 @@ ANN_QUERIES = ["similarity_topk", "lsh_topk", "ivf_topk", "pq_topk",
                # both engines carry the zero-norm guard in BOTH passes)
                # and RBO over the exact+IVF rankers (nested-oracle
                # join); both magnitude-normalized, so 1e18 in contract
-               "matryoshka_audit", "rbo_rankings"]
+               "matryoshka_audit", "rbo_rankings",
+               # round 11: k-occurrence counts ride the same
+               # magnitude-normalized cosine ranks as similarity_topk;
+               # the moments are exact-integer arithmetic
+               "hubness_audit"]
 
 
 @pytest.fixture(scope="module")

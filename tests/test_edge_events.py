@@ -218,6 +218,12 @@ EVENT_QUERIES = [
     # instead).
     "dau_wau_mau_hll", "ks_2sample", "pettitt_test",
     "permutation_entropy", "markov_stationary",
+    # round 11 batch 2: turning/records compare 6-dp daily means under
+    # both engines' shared NaN-is-greatest total order — strict
+    # compares stay consistent. gumbel_maxima is NOT here (stddev of
+    # daily maxima squares the 1e9 row — the levene_test summation-ulp
+    # class).
+    "turning_points", "records_test",
 ]
 
 

@@ -26,6 +26,12 @@ import __spark_entry__ as entry_mod
 # Round-11 new queries (newest-first), occupying the head of the gate
 # window. PREPENDING here is part of adding a query (same commit).
 ROUND11_NEW: list[str] = [
+    "theil_decomposition",
+    "gumbel_maxima",
+    "turning_points",
+    "records_test",
+    "langid_confusion",
+    "hubness_audit",
     "msttr_bucketed",
     "dau_wau_mau_hll",
     "ks_2sample",
