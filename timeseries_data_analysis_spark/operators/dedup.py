@@ -183,11 +183,18 @@ def exploded_shingle_hashes(docs: DataFrame, text_col: str = "text",
     interpreted per element (measured ~10× slower for signature-sized
     shingle sets). Downstream signatures become plain groupBy aggregates,
     so map-side combine shrinks the shuffle back to one row per document.
+
+    The repartition sits AFTER the ``tokens`` projection (SCALE §1t):
+    ``InferFiltersFromGenerate`` + predicate pushdown otherwise
+    reconstruct the full tokens+shingles chain in an INTERPRETED filter
+    under the explode (~6 ms/doc of regex spin at corpus scale); with
+    the token array materialized through the exchange both the filter
+    and the Generate reference a column.
     """
     par = docs.sparkSession.sparkContext.defaultParallelism
-    sh = (docs.select(F.col(id_col).alias("_id"), F.col(text_col))
+    sh = (docs.select(F.col(id_col).alias("_id"),
+                      tokens(text_col).alias("_toks"))
           .repartition(par)
-          .select("_id", tokens(text_col).alias("_toks"))
           .select("_id", shingles_from_tokens(F.col("_toks"), n).alias("_sh")))
     if distinct:
         sh = sh.select("_id", F.array_distinct("_sh").alias("_sh"))
@@ -312,11 +319,22 @@ def ngram_jaccard_verify(df_pairs: DataFrame, docs: DataFrame,
 
     ``threshold`` filters server-side (verified edges are the sparse
     output CC consumes); pass ``None`` to keep every candidate's score.
+
+    Plan note (measured at the 5M-doc corpus, SCALE §1t): the
+    repartition sits AFTER the ``tokens`` projection, not before it.
+    ``InferFiltersFromGenerate`` plants a ``size(shingles) > 0``
+    filter under the explode, and predicate pushdown reconstructs the
+    FULL tokens+zip_with chain inside that filter; with raw text below
+    the exchange the chain evaluates INTERPRETED per doc (~6 ms — a
+    ~20× stage blowup, 950 s of regex spin at 5M docs). With the token
+    array materialized through the exchange the inferred filter and
+    the Generate both reference a column and the shingle zip_with runs
+    on in-memory arrays.
     """
     par = docs.sparkSession.sparkContext.defaultParallelism
-    sk = (docs.select(F.col(id_col).alias("_vid"), F.col(text_col))
+    sk = (docs.select(F.col(id_col).alias("_vid"),
+                      tokens(text_col).alias("_toks"))
           .repartition(par)
-          .select("_vid", tokens(text_col).alias("_toks"))
           .select("_vid", F.array_distinct(
               shingles_from_tokens(F.col("_toks"), n)).alias("_sh"))
           .select("_vid", F.explode("_sh").alias("_g"))
