@@ -184,12 +184,15 @@ def exploded_shingle_hashes(docs: DataFrame, text_col: str = "text",
     shingle sets). Downstream signatures become plain groupBy aggregates,
     so map-side combine shrinks the shuffle back to one row per document.
 
-    The repartition sits AFTER the ``tokens`` projection (SCALE §1t):
-    ``InferFiltersFromGenerate`` + predicate pushdown otherwise
-    reconstruct the full tokens+shingles chain in an INTERPRETED filter
-    under the explode (~6 ms/doc of regex spin at corpus scale); with
-    the token array materialized through the exchange both the filter
-    and the Generate reference a column.
+    The explode is ``explode_outer`` and the repartition sits AFTER
+    the ``tokens`` projection (SCALE §1t): ``InferFiltersFromGenerate``
+    + predicate pushdown otherwise reconstruct the full
+    tokens+shingles chain in an INTERPRETED filter under a non-outer
+    explode, pushed past every projection and the exchange (~6 ms/doc
+    of regex spin at corpus scale, thread-dump-confirmed). The shingle
+    array is never empty by construction, so the outer form is
+    semantically identical — callers see no null ``_h`` rows on
+    non-null text.
     """
     par = docs.sparkSession.sparkContext.defaultParallelism
     sh = (docs.select(F.col(id_col).alias("_id"),
@@ -198,7 +201,8 @@ def exploded_shingle_hashes(docs: DataFrame, text_col: str = "text",
           .select("_id", shingles_from_tokens(F.col("_toks"), n).alias("_sh")))
     if distinct:
         sh = sh.select("_id", F.array_distinct("_sh").alias("_sh"))
-    return (sh.select("_id", F.explode("_sh").alias("_g"))
+    return (sh.select("_id", F.explode_outer("_sh").alias("_g"))
+            .filter(F.col("_g").isNotNull())
             .select("_id",
                     _shingle_hash_w(F.col("_g"), hex_digits).alias("_h")))
 
@@ -320,16 +324,19 @@ def ngram_jaccard_verify(df_pairs: DataFrame, docs: DataFrame,
     ``threshold`` filters server-side (verified edges are the sparse
     output CC consumes); pass ``None`` to keep every candidate's score.
 
-    Plan note (measured at the 5M-doc corpus, SCALE §1t): the
-    repartition sits AFTER the ``tokens`` projection, not before it.
-    ``InferFiltersFromGenerate`` plants a ``size(shingles) > 0``
-    filter under the explode, and predicate pushdown reconstructs the
-    FULL tokens+zip_with chain inside that filter; with raw text below
-    the exchange the chain evaluates INTERPRETED per doc (~6 ms — a
-    ~20× stage blowup, 950 s of regex spin at 5M docs). With the token
-    array materialized through the exchange the inferred filter and
-    the Generate both reference a column and the shingle zip_with runs
-    on in-memory arrays.
+    Plan note (measured at the 5M-doc corpus, SCALE §1t): the explode
+    is ``explode_outer``, NOT ``explode``. ``InferFiltersFromGenerate``
+    plants a ``size(shingles) > 0`` filter under a non-outer Generate,
+    and predicate pushdown reconstructs the FULL tokens+zip_with chain
+    inside that filter all the way down past every projection AND the
+    exchange — evaluated INTERPRETED per doc (~6 ms of regex spin —
+    a ~20× stage blowup, 950 s at 5M docs, confirmed by thread dump).
+    The rule does not fire on outer generates, and the shingle array
+    is NEVER empty by construction (``shingles_from_tokens`` falls
+    back to the whole-text shingle), so ``explode_outer`` is
+    semantically identical here and removes the filter. The
+    repartition also sits AFTER the ``tokens`` projection so the
+    Generate's input references a materialized column.
     """
     par = docs.sparkSession.sparkContext.defaultParallelism
     sk = (docs.select(F.col(id_col).alias("_vid"),
@@ -337,7 +344,8 @@ def ngram_jaccard_verify(df_pairs: DataFrame, docs: DataFrame,
           .repartition(par)
           .select("_vid", F.array_distinct(
               shingles_from_tokens(F.col("_toks"), n)).alias("_sh"))
-          .select("_vid", F.explode("_sh").alias("_g"))
+          .select("_vid", F.explode_outer("_sh").alias("_g"))
+          .filter(F.col("_g").isNotNull())
           .select("_vid", _shingle_hash(F.col("_g")).alias("_h"))
           .groupBy("_vid").agg(F.collect_set("_h").alias("_hs")))
     d_l = sk.select(F.col("_vid").alias("id_l"), F.col("_hs").alias("_hs_l"))
