@@ -192,7 +192,11 @@ def stage_pillar11(spark, corpus: str) -> None:
     import __spark_entry__ as entry_mod
     qs = entry_mod.queries()
     trials = int(os.environ.get("SCALE_TRIALS", "2"))
+    skip = set(os.environ.get("PILLAR11_SKIP", "").split(","))
     for name in PILLAR11:
+        if name in skip:
+            print(f"{name:24s} SKIPPED (PILLAR11_SKIP)", flush=True)
+            continue
         times, n = [], None
         for _ in range(trials):
             t0 = time.monotonic()
