@@ -277,7 +277,8 @@ def main() -> None:
                  "skyline_docs", "permutation_entropy", "haar_energy",
                  "markov_stationary", "rsi_daily", "theil_decomposition",
                  "gumbel_maxima", "turning_points", "records_test",
-                 "langid_confusion", "hubness_audit"):
+                 "langid_confusion", "hubness_audit", "source_leakage",
+                 "cusum_squares", "mmd_drift"):
         r11[name] = timed(name)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

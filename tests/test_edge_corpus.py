@@ -113,6 +113,9 @@ TEXT_QUERIES = [
     # langid confusion is the lang_id marker algebra with the label
     # carried through
     "theil_decomposition", "langid_confusion",
+    # round 11 batch 3: same verified-pair algebra as
+    # verified_clusters, rolled up per source pair
+    "source_leakage",
 ]
 
 

@@ -224,6 +224,12 @@ EVENT_QUERIES = [
     # daily maxima squares the 1e9 row — the levene_test summation-ulp
     # class).
     "turning_points", "records_test",
+    # round 11 batch 3: mmd_drift's kernel cells are exp(−Δ²/2σ²) of
+    # identical 6-dp decimals — the 1e9 row enters σ and the cells as
+    # the same doubles on both engines; ≤4k-term sums at 6 dp.
+    # cusum_squares is NOT here (running sums of squares of the 1e9
+    # row — the levene_test summation-ulp class).
+    "mmd_drift",
 ]
 
 

@@ -26,6 +26,9 @@ import __spark_entry__ as entry_mod
 # Round-11 new queries (newest-first), occupying the head of the gate
 # window. PREPENDING here is part of adding a query (same commit).
 ROUND11_NEW: list[str] = [
+    "source_leakage",
+    "cusum_squares",
+    "mmd_drift",
     "theil_decomposition",
     "gumbel_maxima",
     "turning_points",
