@@ -1576,3 +1576,61 @@ def test_holt_stream_matches_batch_forecaster(spark):
             assert got[k]["mae"] == esum / k, k
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_rsi_stream_matches_batch_fold(spark):
+    """The streaming Wilder monitor must reproduce the batch
+    `TS.wilder_rsi` readout BIT-FOR-BIT after replaying the same
+    series across 3 micro-batches, and every post-seed row must equal
+    the sequential fold."""
+    from timeseries_data_analysis_spark.operators import timeseries as TS
+
+    schema = T.StructType([
+        T.StructField("event_type", T.StringType()),
+        T.StructField("t", T.LongType()),
+        T.StructField("y", T.DoubleType()),
+    ])
+    ys = [40.0 + ((7 * k) % 11) - 0.25 * k for k in range(21)]
+    pdf = pd.DataFrame([("kiln", k, y) for k, y in enumerate(ys)],
+                       columns=["event_type", "t", "y"])
+    d = tempfile.mkdtemp(prefix="stream_rsi_")
+    try:
+        for i, (lo, hi) in enumerate(((0, 7), (7, 14), (14, 21))):
+            spark.createDataFrame(pdf.iloc[lo:hi], schema=schema) \
+                .coalesce(1).write.mode("overwrite").parquet(f"{d}/f{i}")
+        src = SJ.stream_source(spark, f"{d}/*", schema,
+                               max_files_per_trigger=1)
+        rs = SJ.rsi_stream(src, value_col="y", period=14)
+        q = (rs.writeStream.format("memory").queryName("rsi_sink")
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM rsi_sink ORDER BY t").collect()
+        assert len(got) == 21
+        assert got[0]["rsi"] == 0.0 and got[13]["rsi"] == 0.0  # pre-seed
+
+        batch = TS.wilder_rsi(
+            spark.createDataFrame(pdf, schema=schema),
+            "event_type", "t", "y", period=14).collect()[0]
+        last = got[-1]
+        assert last["avg_gain"] == batch["avg_gain"]
+        assert last["avg_loss"] == batch["avg_loss"]
+        assert last["rsi"] == batch["rsi"]
+
+        # post-seed prefix rows equal the fold
+        ag = al = 0.0
+        for k in range(1, 21):
+            dlt = ys[k] - ys[k - 1]
+            g = dlt if dlt > 0 else 0.0
+            lo = -dlt if dlt < 0 else 0.0
+            if k <= 14:
+                ag, al = ag + g, al + lo
+                if k == 14:
+                    ag, al = ag / 14, al / 14
+            else:
+                ag = (ag * 13 + g) / 14
+                al = (al * 13 + lo) / 14
+            if k >= 14:
+                assert got[k]["avg_gain"] == ag, k
+                assert got[k]["avg_loss"] == al, k
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

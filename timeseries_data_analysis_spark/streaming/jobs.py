@@ -494,6 +494,73 @@ def holt_stream(series_stream: DataFrame, key_col: str = "event_type",
                                     "update", GroupStateTimeout.NoTimeout))
 
 
+def rsi_stream(series_stream: DataFrame, key_col: str = "event_type",
+               t_col: str = "t", value_col: str = "y",
+               period: int = 14) -> DataFrame:
+    """Streaming Wilder RSI monitor via ``applyInPandasWithState`` —
+    the online twin of ``operators.timeseries.wilder_rsi``: per-key
+    state is (n, prev, AG, AL) — four scalars per key — updated by the
+    SAME pinned left fold (seed accumulates the first ``period``
+    gains/losses in arrival order and divides ONCE at k = period;
+    thereafter AG := (AG·(period−1)+g)/period), so a replayed series
+    reproduces the batch (avg_gain, avg_loss, rsi) BIT-FOR-BIT at
+    every prefix with ≥ period+1 observations (test-pinned across
+    micro-batch splits — the ``croston_stream``/``holt_stream``
+    contract). Rows before the seed completes emit rsi = 0.0
+    sentinels with the raw accumulating state. Same ordering caveats
+    as every sequential monitor here."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    per = int(period)
+    if per < 1:
+        raise ValueError("rsi_stream needs period >= 1")
+
+    key_t = series_stream.schema[key_col].dataType.simpleString()
+    out_schema = (f"{key_col} {key_t}, {t_col} long, n_obs long, "
+                  "avg_gain double, avg_loss double, rsi double")
+    state_schema = "n bigint, prev double, ag double, al double"
+
+    def fn(key, pdfs, state):
+        n, prev, ag, al = (state.get if state.exists
+                           else (0, 0.0, 0.0, 0.0))
+        chunks = list(pdfs)
+        pdf = (pd.concat(chunks, ignore_index=True) if len(chunks) > 1
+               else chunks[0]) if chunks else None
+        rows = []
+        if pdf is not None:
+            pdf = pdf.sort_values(t_col, kind="mergesort")
+            for t, y in zip(pdf[t_col], pdf[value_col]):
+                t, y = int(t), float(y)
+                n += 1
+                if n > 1:
+                    k = n - 1
+                    d = y - prev
+                    g = d if d > 0 else 0.0
+                    lo = -d if d < 0 else 0.0
+                    if k <= per:
+                        ag, al = ag + g, al + lo
+                        if k == per:
+                            ag, al = ag / per, al / per
+                    else:
+                        ag = (ag * (per - 1) + g) / per
+                        al = (al * (per - 1) + lo) / per
+                prev = y
+                if n >= per + 1:
+                    rsi = (100.0 if al == 0.0
+                           else 100.0 - 100.0 / (1.0 + ag / al))
+                    rows.append((key[0], t, n, ag, al, rsi))
+                else:
+                    rows.append((key[0], t, n, ag, al, 0.0))
+        state.update((n, prev, ag, al))
+        yield pd.DataFrame(rows, columns=[key_col, t_col, "n_obs",
+                                          "avg_gain", "avg_loss", "rsi"])
+
+    return (series_stream.groupBy(key_col)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
 def session_window_rollup(events: DataFrame, gap: str = "30 minutes",
                           ts_col: str = "ts", key_col: str = "user_id",
                           value_col: str = "value",
