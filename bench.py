@@ -278,7 +278,7 @@ def main() -> None:
                  "markov_stationary", "rsi_daily", "theil_decomposition",
                  "gumbel_maxima", "turning_points", "records_test",
                  "langid_confusion", "hubness_audit", "source_leakage",
-                 "cusum_squares", "mmd_drift"):
+                 "cusum_squares", "mmd_drift", "hubness_ivf"):
         r11[name] = timed(name)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

@@ -110,8 +110,9 @@ ANN_QUERIES = ["similarity_topk", "lsh_topk", "ivf_topk", "pq_topk",
                "matryoshka_audit", "rbo_rankings",
                # round 11: k-occurrence counts ride the same
                # magnitude-normalized cosine ranks as similarity_topk;
-               # the moments are exact-integer arithmetic
-               "hubness_audit"]
+               # the moments are exact-integer arithmetic (both the
+               # brute route and the IVF probe route)
+               "hubness_audit", "hubness_ivf"]
 
 
 @pytest.fixture(scope="module")

@@ -26,6 +26,7 @@ import __spark_entry__ as entry_mod
 # Round-11 new queries (newest-first), occupying the head of the gate
 # window. PREPENDING here is part of adding a query (same commit).
 ROUND11_NEW: list[str] = [
+    "hubness_ivf",
     "source_leakage",
     "cusum_squares",
     "mmd_drift",
