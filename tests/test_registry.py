@@ -117,8 +117,13 @@ def test_driver_gate_report_has_no_red_rows():
     fail the SUITE, not just sit in a JSON file nobody reruns. Skips
     gracefully before the driver's first gate run of the round."""
     import glob
+    import re
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    reports = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    # sort by the PARSED round number: lexicographic order would rank
+    # r100 before r11 and silently validate a stale report (ADVICE r11)
+    reports = sorted(
+        glob.glob(os.path.join(root, "CORRECTNESS_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)))
     if not reports:
         pytest.skip("driver has not written a CORRECTNESS report yet")
     path = reports[-1]

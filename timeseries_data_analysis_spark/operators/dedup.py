@@ -323,6 +323,14 @@ def ngram_jaccard_verify(df_pairs: DataFrame, docs: DataFrame,
 
     ``threshold`` filters server-side (verified edges are the sparse
     output CC consumes); pass ``None`` to keep every candidate's score.
+    The filter compares the 4-dp-ROUNDED Jaccard (the
+    ``verified_clusters``/`_r` convention shared with the oracle SQL
+    and the scale probes' string-form spot checks), so a borderline
+    pair in [threshold − 5e-5, threshold) passes identically in every
+    form; the returned ``jaccard`` column stays raw. Docs with
+    NULL/absent text get an EMPTY sketch via a left join (never
+    silently dropped): their pairs emit jaccard 0.0, the same set
+    semantics as :func:`ngram_jaccard`.
 
     Plan note (measured at the 5M-doc corpus, SCALE §1t): the explode
     is ``explode_outer``, NOT ``explode``. ``InferFiltersFromGenerate``
@@ -352,7 +360,15 @@ def ngram_jaccard_verify(df_pairs: DataFrame, docs: DataFrame,
     d_r = sk.select(F.col("_vid").alias("id_r"), F.col("_hs").alias("_hs_r"))
     if broadcast_docs:
         d_l, d_r = F.broadcast(d_l), F.broadcast(d_r)
-    out = df_pairs.select("id_l", "id_r").join(d_l, "id_l").join(d_r, "id_r")
+    # LEFT joins + empty-set coalesce: a null-text doc has no sketch row
+    # (its explode_outer row is null-filtered), and an inner join would
+    # silently drop its pairs — the plain form emits them with 0.0.
+    empty = F.array().cast("array<bigint>")
+    out = (df_pairs.select("id_l", "id_r")
+           .join(d_l, "id_l", "left").join(d_r, "id_r", "left")
+           .select("id_l", "id_r",
+                   F.coalesce("_hs_l", empty).alias("_hs_l"),
+                   F.coalesce("_hs_r", empty).alias("_hs_r")))
     inter = F.size(F.array_intersect("_hs_l", "_hs_r"))
     union = F.size("_hs_l") + F.size("_hs_r") - inter
     res = out.select(
@@ -360,7 +376,8 @@ def ngram_jaccard_verify(df_pairs: DataFrame, docs: DataFrame,
         F.when(union > 0, inter.cast("double") / union)
         .otherwise(0.0).alias("jaccard"))
     if threshold is not None:
-        res = res.filter(F.col("jaccard") >= threshold)
+        res = res.filter(
+            F.round(F.col("jaccard") + F.lit(1e-9), 4) >= threshold)
     return res
 
 
