@@ -281,6 +281,12 @@ def main() -> None:
                  "cusum_squares", "mmd_drift", "hubness_ivf"):
         r11[name] = timed(name)
 
+    # round-12 pillar: the survivor-form edit-distance verify (SCALE
+    # §1v — the candidate-mass-wall fix) and the round's audit batch
+    r12: dict[str, float] = {}
+    for name in ("levenshtein_survivors",):
+        r12[name] = timed(name)
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     # KEY-ORDER CONTRACT: the driver archives only the TAIL of this one
     # JSON line (BENCH_r06.json shows the head truncated away at 250
@@ -305,6 +311,7 @@ def main() -> None:
         "r9_trials": {k: trial_log[k] for k in r9},
         "r10_trials": {k: trial_log[k] for k in r10},
         "r11_trials": {k: trial_log[k] for k in r11},
+        "r12_trials": {k: trial_log[k] for k in r12},
         "queries": timings,
         "corpus_queries": corpus,
         "analytics_queries": analytics,
@@ -316,6 +323,7 @@ def main() -> None:
         "r9_queries": r9,
         "r10_queries": r10,
         "r11_queries": r11,
+        "r12_queries": r12,
         # --- compact tail: everything a round-over-round comparison
         # needs, guaranteed inside the driver's preserved suffix ---
         "summary": {
@@ -332,6 +340,7 @@ def main() -> None:
             "r9_total": round(sum(r9.values()), 3),
             "r10_total": round(sum(r10.values()), 3),
             "r11_total": round(sum(r11.values()), 3),
+            "r12_total": round(sum(r12.values()), 3),
             "headline_queries": {k: timings[k] for k in timings},
         },
         "metric_echo": "headline_queries_total",

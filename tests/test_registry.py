@@ -1,14 +1,15 @@
 """Pins the `queries()` registry rotation: the driver's correctness gate
 checks the FIRST 50 entries per round, so registry order is the de-facto
 evidence scheduler. A silent reorder could starve a row of its gate
-slot; this test makes the round-11 window an explicit, reviewed contract.
+slot; this test makes the round-12 window an explicit, reviewed contract.
 
-Round-11 rotation policy (VERDICT r10 "Next round" #2, continuing the
-freshness ladder): new round-11 queries first (never checked = oldest
-debt), then the 11-row STALE FRONT — the rows still carrying round-3
-evidence after the round-10 gate ran — then the round-4-evidence
-ladder (CORRECTNESS_r04 order) filling any remaining slots. Rows the
-round-11 additions push past slot 50 lead the round-12 rotation.
+Round-12 rotation policy (VERDICT r11 "Next round" #2, continuing the
+freshness ladder): new round-12 queries first (never checked = oldest
+debt), then the 31-row round-4-evidence REMAINDER of the R4 ladder the
+round-11 window could not fit (CORRECTNESS_r04 order — after this round
+no registry row carries evidence older than ~round 5), then the
+round-5-evidence ladder (CORRECTNESS_r05 order) filling any remaining
+slots. Rows the round-12 additions push past slot 50 lead round 13.
 """
 
 from __future__ import annotations
@@ -23,50 +24,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entry_mod
 
-# Round-11 new queries (newest-first), occupying the head of the gate
+# Round-12 new queries (newest-first), occupying the head of the gate
 # window. PREPENDING here is part of adding a query (same commit).
-ROUND11_NEW: list[str] = [
-    "hubness_ivf",
-    "source_leakage",
-    "cusum_squares",
-    "mmd_drift",
-    "theil_decomposition",
-    "gumbel_maxima",
-    "turning_points",
-    "records_test",
-    "langid_confusion",
-    "hubness_audit",
-    "msttr_bucketed",
-    "dau_wau_mau_hll",
-    "ks_2sample",
-    "pettitt_test",
-    "bartlett_test",
-    "levenshtein_verify",
-    "skyline_docs",
-    "permutation_entropy",
-    "haar_energy",
-    "markov_stationary",
-    "rsi_daily",
+ROUND12_NEW: list[str] = [
+    "levenshtein_survivors",
 ]
-# The 11-row stale front: every row whose latest driver-green is round
-# 3 after the round-10 gate ran — the remainder of round 10's 27-row
-# front that its 34 additions displaced past slot 50 (verified against
-# the r1-r10 CORRECTNESS union).
-STALE_FRONT_11 = [
-    "anomaly_detect", "baseline_ratio", "sequence_windows",
-    "interval_join", "asof_join", "label_events_full", "latest_per_user",
-    "pivot_event_types", "melt_metrics", "dup_collapse",
-    "hourly_downsample",
-]
-# The next-stalest tier: every row whose latest driver-green is round 4,
-# in CORRECTNESS_r04 order. Fills the window when the round-10 additions
-# number fewer than 23; the unfilled remainder leads round 11.
-R4_LADDER = [
-    "cat_codes", "lsh_topk", "json_extract", "exact_dedup",
-    "doc_fingerprint", "token_stats", "quality_scores", "lang_id",
-    "similarity_topk", "minhash_lsh", "simhash", "rolling_hash",
-    "ngram_jaccard", "sessionize", "tfidf_top_terms",
-    "centroid_similarity", "array_profile", "salted_agg",
+# The round-4-evidence remainder: the 31 rows of the R4 ladder
+# (CORRECTNESS_r04 order) that round 11's 21 additions pushed past
+# slot 50 — the oldest evidence in the registry after the r11 gate ran
+# (verified against the r1-r11 CORRECTNESS union).
+R4_REMAINDER = [
     "simhash_pairs", "dedup_clusters", "time_rolling",
     "group_standardize", "share_of_total", "robust_scale_params",
     "funnel", "corpus_curation", "asof_tolerance", "dq_report",
@@ -78,11 +45,22 @@ R4_LADDER = [
     "temperature_mix", "bigram_logppl", "emb_near_dup",
     "multimodal_features",
 ]
+# The next-stalest tier: rows whose latest driver-green is round 5, in
+# CORRECTNESS_r05 order. Fills the window when the round-12 additions
+# number fewer than 19; the unfilled remainder leads round 13.
+R5_LADDER = [
+    "dup_passages", "bpe_compression", "ivf_kmeans_topk",
+    "dsir_weights", "kmeans_step", "ppl_buckets", "zipf_fit",
+    "bpe_merges", "gopher_rules", "semdedup", "ngram_novelty",
+    "quality_calibration", "ivf_store_search", "dedup_clusters_star",
+    "stride_sample", "time_split", "horizontal_agg", "moments",
+    "rank_distribution",
+]
 
 
 def test_gate_window_matches_documented_rotation():
     keys = list(entry_mod.queries())
-    expected_head = (ROUND11_NEW + STALE_FRONT_11 + R4_LADDER)[:50]
+    expected_head = (ROUND12_NEW + R4_REMAINDER + R5_LADDER)[:50]
     assert keys[:len(expected_head)] == expected_head
 
 
