@@ -284,7 +284,7 @@ def main() -> None:
     # round-12 pillar: the survivor-form edit-distance verify (SCALE
     # §1v — the candidate-mass-wall fix) and the round's audit batch
     r12: dict[str, float] = {}
-    for name in ("levenshtein_survivors",):
+    for name in ("levenshtein_survivors", "ivf_recall"):
         r12[name] = timed(name)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

@@ -27,6 +27,7 @@ import __spark_entry__ as entry_mod
 # Round-12 new queries (newest-first), occupying the head of the gate
 # window. PREPENDING here is part of adding a query (same commit).
 ROUND12_NEW: list[str] = [
+    "ivf_recall",
     "levenshtein_survivors",
 ]
 # The round-4-evidence remainder: the 31 rows of the R4 ladder
