@@ -381,6 +381,66 @@ def hll_estimates(regs: DataFrame, group_col: str,
         .otherwise(raw).alias("hll_estimate"))
 
 
+def hll_day_panel(regs: DataFrame, p: int = 9) -> DataFrame:
+    """(day, dau_hll, wau_hll, mau_hll): the 1/7/30-day distinct-user
+    panel from MERGEABLE per-day HLL registers ``(_d, _b, _m)`` — all
+    three horizons in ONE dense-spine aggregation. The 7/30-day
+    windows union day sketches by the register MAX law over a
+    |days|²-bounded range join (≤ 37 register rows fan out per DAY,
+    never per user-day), then each horizon's harmonic-mean /
+    linear-counting estimate (the :func:`hll_estimates` arithmetic,
+    inlined so the three horizons share one groupBy) reads sketch
+    state only. Shared VERBATIM by the batch row `dau_wau_mau_hll`
+    and the streaming maintained view
+    ``streaming.jobs.dau_panel_estimate``, so batch/stream equality
+    is structural, not coincidental. Estimates round at 4 dp (the
+    engine-portable readout contract). Ref anchor: the reference's
+    dashboard nunique serving reads (dashboard.py:723) on a 60 s
+    trigger, scaled to sketch state."""
+    m = 1 << p
+    wbits = 60 - p
+    spark = regs.sparkSession
+    days = regs.select(F.col("_d").alias("day")).distinct()
+    j = days.join(regs, (F.col("_d") <= F.col("day"))
+                  & (F.col("_d") >= F.date_sub(F.col("day"), 29)))
+    merged = (j.groupBy("day", "_b")
+              .agg(F.max(F.when(F.col("_d") == F.col("day"),
+                                F.col("_m"))).alias("_md"),
+                   F.max(F.when(
+                       F.col("_d") >= F.date_sub(F.col("day"), 6),
+                       F.col("_m"))).alias("_mw"),
+                   F.max("_m").alias("_mm")))
+    spine = (days.crossJoin(F.broadcast(
+        spark.range(m).select(F.col("id").alias("_b")))))
+    full = (spine.join(merged, ["day", "_b"], "left")
+            .select("day",
+                    F.coalesce("_md", F.lit(0)).alias("_md"),
+                    F.coalesce("_mw", F.lit(0)).alias("_mw"),
+                    F.coalesce("_mm", F.lit(0)).alias("_mm")))
+    aggs = []
+    for src in ("_md", "_mw", "_mm"):
+        aggs.append(F.sum(F.expr(
+            f"shiftleft(cast(1 as bigint), "
+            f"cast({wbits + 1} - {src} as int))")).alias(f"_s{src}"))
+        aggs.append(F.sum(F.when(F.col(src) == 0, 1).otherwise(0))
+                    .alias(f"_v{src}"))
+    est = full.groupBy("day").agg(*aggs)
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+
+    def _est(src: str):
+        raw = (alpha * F.lit(float(m)) * F.lit(float(m))
+               * F.lit(float(1 << (wbits + 1))) / F.col(f"_s{src}"))
+        lc = (F.lit(float(m))
+              * F.log(F.lit(float(m)) / F.col(f"_v{src}")))
+        return F.round(
+            F.when((raw <= F.lit(2.5 * m)) & (F.col(f"_v{src}") > 0), lc)
+            .otherwise(raw) + F.lit(1e-9), 4)
+
+    return est.select("day", _est("_md").alias("dau_hll"),
+                      _est("_mw").alias("wau_hll"),
+                      _est("_mm").alias("mau_hll"))
+
+
 def theta_intersect_est(a: DataFrame, b: DataFrame,
                         a_col: str, b_col: str, k: int = 128) -> DataFrame:
     """Theta-sketch set-INTERSECTION estimate (Dasgupta et al. 2016)

@@ -1373,6 +1373,64 @@ def hll_state_estimate(spark: SparkSession, state_path: str,
     return SK.hll_estimates(regs, group_col, p=p)
 
 
+def dau_panel_sink(event_stream: DataFrame, state_path: str,
+                   ts_col: str = "ts", user_col: str = "user_id",
+                   p: int = 9):
+    """Streaming DAU/WAU/MAU maintenance — the serving twin of the
+    batch `dau_wau_mau_hll` panel (ref anchor: reference
+    ``dashboard.py:723`` nunique serving reads on a 60 s trigger):
+    per-DAY HyperLogLog registers persist as sketch state (≤ 2^p rows
+    per day FOREVER), each micro-batch MAX-merges its day partials
+    into them (day keys are just the group column of
+    :func:`hll_sink`'s machinery — one commit path, no new merge
+    law), and the 1/7/30-day estimates read sketch state only via
+    :func:`dau_panel_estimate` — raw history is never rescanned.
+    Replay safety is single-phase like :func:`hll_sink`: MAX is
+    idempotent, so a crash-replay rewrites the identical registers.
+    Batch/stream equality is structural: the estimate calls the SAME
+    ``operators.sketch.hll_day_panel`` the batch row uses, over
+    registers that equal one batch sketch of the union by the merge
+    law (test-pinned bit-for-bit at every micro-batch prefix)."""
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        dau_panel_commit_batch(batch_df, batch_id, state_path,
+                               ts_col=ts_col, user_col=user_col, p=p)
+
+    return (event_stream.writeStream.foreachBatch(process)
+            .outputMode("update"))
+
+
+def dau_panel_commit_batch(batch_df: DataFrame, batch_id: int,
+                           state_path: str, ts_col: str = "ts",
+                           user_col: str = "user_id",
+                           p: int = 9) -> None:
+    """One micro-batch of :func:`dau_panel_sink`, module-level so
+    tests can replay it against the crash window: derive the day key,
+    then commit through the shared day-keyed HLL state machinery."""
+    ev = (batch_df.filter(F.col(user_col).isNotNull())
+          .select(F.to_date(ts_col).alias("_d"),
+                  F.col(user_col).alias("_u")))
+    hll_commit_batch(ev, batch_id, state_path,
+                     group_col="_d", item_col="_u", p=p)
+
+
+def dau_panel_estimate(spark: SparkSession, state_path: str,
+                       p: int = 9) -> DataFrame:
+    """Latest committed (day, dau_hll, wau_hll, mau_hll) panel from
+    :func:`dau_panel_sink` state — sketch reads only, via the SAME
+    ``operators.sketch.hll_day_panel`` arithmetic as the batch row,
+    so a batch job over the union of all ingested data and this read
+    see identical numbers at 4 dp (bit-equal registers in, shared
+    plan out)."""
+    from ..operators import sketch as SK
+
+    store = spark.read.parquet(state_path)
+    latest = (store.agg(F.max("state_batch").alias("b"))
+              .collect()[0]["b"])
+    regs = (store.where(F.col("state_batch") == latest)
+            .select("_d", "_b", "_m"))
+    return SK.hll_day_panel(regs, p=p)
+
+
 # ---------------------------------------------------------------------------
 # Streaming quality-classifier training (incremental logistic GD)
 # ---------------------------------------------------------------------------
