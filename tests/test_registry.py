@@ -27,6 +27,15 @@ import __spark_entry__ as entry_mod
 # Round-12 new queries (newest-first), occupying the head of the gate
 # window. PREPENDING here is part of adding a query (same commit).
 ROUND12_NEW: list[str] = [
+    "control_chart",
+    "mood_median",
+    "ts_complexity",
+    "cliffs_delta",
+    "anderson_darling",
+    "token_fertility",
+    "dedup_token_savings",
+    "dup_ngram_mass",
+    "lsh_recall",
     "ivf_recall",
     "levenshtein_survivors",
 ]
