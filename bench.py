@@ -287,7 +287,9 @@ def main() -> None:
     for name in ("levenshtein_survivors", "ivf_recall", "lsh_recall",
                  "dup_ngram_mass", "dedup_token_savings",
                  "token_fertility", "anderson_darling", "cliffs_delta",
-                 "ts_complexity", "mood_median", "control_chart"):
+                 "ts_complexity", "mood_median", "control_chart",
+                 "ewma_chart", "cohens_d", "langid_kappa",
+                 "dup_transitivity"):
         r12[name] = timed(name)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

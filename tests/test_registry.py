@@ -27,6 +27,10 @@ import __spark_entry__ as entry_mod
 # Round-12 new queries (newest-first), occupying the head of the gate
 # window. PREPENDING here is part of adding a query (same commit).
 ROUND12_NEW: list[str] = [
+    "dup_transitivity",
+    "langid_kappa",
+    "cohens_d",
+    "ewma_chart",
     "control_chart",
     "mood_median",
     "ts_complexity",
