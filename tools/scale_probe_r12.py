@@ -179,6 +179,74 @@ def stage_fitlaw(_spark) -> None:
           "family factor tested by grow2src vs share1000)", flush=True)
 
 
+def _timed_queries(spark, names: list[str], sf_dir: str,
+                   tag: str) -> None:
+    import __spark_entry__ as entry_mod
+    qs = entry_mod.queries()
+    trials = int(os.environ.get("SCALE_TRIALS", "1"))
+    for name in names:
+        times = []
+        for _ in range(trials):
+            t0 = time.monotonic()
+            n = qs[name](spark, sf_dir).count()
+            times.append(time.monotonic() - t0)
+        print(f"{tag}:{name:24} {min(times):9.2f} s  rows={n}  "
+              f"trials={[round(t, 2) for t in times]}  {_la()}",
+              flush=True)
+
+
+# Pre-registered predictions for the round-12 pillar decades (written
+# before the cells are drawn, §1e discipline):
+# - The daily-battery rows (ewma_chart, cohens_d, anderson_darling,
+#   cliffs_delta, ts_complexity, mood_median, control_chart) are
+#   reduce-then-bounded: predict decade-FLAT (≤ ~2 s at 1000×, the
+#   §1u ks/pettitt/bartlett shape).
+# - token_fertility / langid_kappa are one-scan codegen rollups:
+#   predict scan-LINEAR (~1 s at 100×, ~5-15 s at 1000×).
+# - dup_ngram_mass is the shingle-explode + df-groupBy: predict the
+#   §1t sketch-build shape, scan-linear (~10-20 s at 100×, ~100-200 s
+#   at 1000×; shuffles 8-byte hashes with combinable counts).
+# - lsh_recall's truth side is the exact inverted-index join: at the
+#   c=100 corpus the within-family pair mass is F·C(c,2) ≈ 2.5e7 —
+#   predict O(1-3 min) at 100×; the 1000× truth (F·C(1000,2) ≈ 2.5e9
+#   pairs) is OUT by design — the row's contract is truth-on-a-
+#   sampled-stratum at that scale (the minhash_accuracy posture).
+# - dedup_token_savings / dup_transitivity run the verified chain
+#   in-query: predict the verified_clusters 100× cost (~150 s, §1s)
+#   + a bounded rollup; at 1000× they inherit §1t's persisted-edges
+#   posture (the source_leakage precedent) — 100× only here.
+# - ivf_recall: brute truth is the one exact Q·N pass (2 062 queries
+#   × 200k vectors at 100×): predict 1-4 min; the IVF routes are the
+#   pruned fraction on top. Recall itself should stay in the same
+#   band as sf0.1 (the quantizer geometry, not the corpus size,
+#   drives it).
+def stage_pillar12(spark) -> None:
+    flat = ["ewma_chart", "cohens_d", "anderson_darling",
+            "cliffs_delta", "ts_complexity", "mood_median",
+            "control_chart"]
+    scan = ["token_fertility", "langid_kappa", "dup_ngram_mass"]
+    _timed_queries(spark, flat + scan, CORPUS_100, "p12@100x")
+    _timed_queries(spark, flat + scan, CORPUS_1000, "p12@1000x")
+
+
+def stage_chain100(spark) -> None:
+    _timed_queries(spark, ["lsh_recall", "dedup_token_savings",
+                           "dup_transitivity"], CORPUS_100,
+                   "chain@100x")
+
+
+def stage_ivf100(spark) -> None:
+    import __spark_entry__ as entry_mod
+    qs = entry_mod.queries()
+    t0 = time.monotonic()
+    rows = qs["ivf_recall"](spark, CORPUS_100).collect()
+    dt = time.monotonic() - t0
+    print(f"ivf100     {dt:9.2f} s  {_la()}", flush=True)
+    for r in rows:
+        print("    " + "  ".join(f"{k}={r[k]}" for k in r.asDict()),
+              flush=True)
+
+
 def main() -> None:
     stages = sys.argv[1:] or ["surv100", "grow2src", "share1000", "fitlaw"]
     spark = get_spark("scale-probe-r12",
@@ -186,7 +254,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     print(f"stages={stages} {_la()}", flush=True)
     fns = {"surv100": stage_surv100, "grow2src": stage_grow2src,
-           "share1000": stage_share1000, "fitlaw": stage_fitlaw}
+           "share1000": stage_share1000, "fitlaw": stage_fitlaw,
+           "pillar12": stage_pillar12, "chain100": stage_chain100,
+           "ivf100": stage_ivf100}
     for s in stages:
         if s not in fns:
             raise SystemExit(f"unknown stage {s}")
