@@ -289,7 +289,8 @@ def main() -> None:
                  "token_fertility", "anderson_darling", "cliffs_delta",
                  "ts_complexity", "mood_median", "control_chart",
                  "ewma_chart", "cohens_d", "langid_kappa",
-                 "dup_transitivity"):
+                 "dup_transitivity", "lsh_s_curve",
+                 "cluster_size_powerlaw", "intrinsic_dim"):
         r12[name] = timed(name)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
