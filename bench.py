@@ -284,7 +284,8 @@ def main() -> None:
     # round-12 pillar: the survivor-form edit-distance verify (SCALE
     # §1v — the candidate-mass-wall fix) and the round's audit batch
     r12: dict[str, float] = {}
-    for name in ("levenshtein_survivors", "ivf_recall", "lsh_recall",
+    for name in ("unseen_vocab",
+                 "levenshtein_survivors", "ivf_recall", "lsh_recall",
                  "dup_ngram_mass", "dedup_token_savings",
                  "token_fertility", "anderson_darling", "cliffs_delta",
                  "ts_complexity", "mood_median", "control_chart",

@@ -116,6 +116,10 @@ TEXT_QUERIES = [
     # round 11 batch 3: same verified-pair algebra as
     # verified_clusters, rolled up per source pair
     "source_leakage",
+    # round 12: Chao1/Good-Turing is exact-integer frequency-of-
+    # frequency algebra; the empty/whitespace-only docs exercise the
+    # zero-token-source vanishing contract, CJK/emoji the tokenizer
+    "unseen_vocab",
 ]
 
 

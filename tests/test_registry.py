@@ -27,6 +27,7 @@ import __spark_entry__ as entry_mod
 # Round-12 new queries (newest-first), occupying the head of the gate
 # window. PREPENDING here is part of adding a query (same commit).
 ROUND12_NEW: list[str] = [
+    "unseen_vocab",
     "intrinsic_dim",
     "cluster_size_powerlaw",
     "lsh_s_curve",
