@@ -220,11 +220,24 @@ def _timed_queries(spark, names: list[str], sf_dir: str,
 #   pruned fraction on top. Recall itself should stay in the same
 #   band as sf0.1 (the quantizer geometry, not the corpus size,
 #   drives it).
+# - unseen_vocab (added to the pillar BEFORE its cells were drawn):
+#   the (source, token) count is the one fact-sized combinable
+#   shuffle (the vocab_coverage stage); the freq-of-freq rollup is
+#   bounded. Predict scan-linear: ~2-8 s at 100×, ~20-80 s at 1000×.
+#   Estimator NOTE pre-registered too: the clone corpora keep the
+#   token MULTISET per replica, so singletons (f1) DON'T grow with c
+#   — every base-doc token appears ≥c times — and chao1 should
+#   COLLAPSE toward the observed vocab (unseen_frac → ~0): the
+#   correct reading, since a clone corpus genuinely has no unseen
+#   mass. A corpus where another decade buys nothing new is exactly
+#   what Chao1 must report; falsification is unseen_frac staying
+#   high at 100×/1000× (would mean the estimator reads noise).
 def stage_pillar12(spark) -> None:
     flat = ["ewma_chart", "cohens_d", "anderson_darling",
             "cliffs_delta", "ts_complexity", "mood_median",
             "control_chart"]
-    scan = ["token_fertility", "langid_kappa", "dup_ngram_mass"]
+    scan = ["token_fertility", "langid_kappa", "dup_ngram_mass",
+            "unseen_vocab"]
     _timed_queries(spark, flat + scan, CORPUS_100, "p12@100x")
     _timed_queries(spark, flat + scan, CORPUS_1000, "p12@1000x")
 
