@@ -1636,6 +1636,54 @@ def test_rsi_stream_matches_batch_fold(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_vocab_sink_matches_batch_panel(spark, tmp_path):
+    """The streaming Chao1/Good-Turing maintained view must equal the
+    batch `unseen_vocab_panel` over the union BIT-FOR-BIT at EVERY
+    micro-batch prefix (the dau_panel prefix contract, lifted from
+    sketch state to exact count state), and crash-replay of the last
+    batch must be idempotent."""
+    from timeseries_data_analysis_spark.operators import tokenizer as TOKZ
+
+    state = str(tmp_path / "vocab_state")
+    # token frequencies that move f1/f2 across batch boundaries: a
+    # batch-1 singleton recurs in batch 2 (f1 -> f2 transition), case
+    # folding collapses across batches, empty/whitespace docs vanish
+    batches = [
+        [(0, "alpha beta beta gamma", "src0"),
+         (1, "  ", "src0"),
+         (2, "delta epsilon", "src1")],
+        [(3, "ALPHA zeta gamma gamma", "src0"),
+         (4, "delta delta eta theta", "src1"),
+         (5, "", "src1")],
+        [(6, "iota beta zeta zeta", "src0"),
+         (7, "epsilon kappa", "src1"),
+         (8, "solo", "src2")],
+    ]
+    schema = "doc_id long, text string, source string"
+
+    def batch_panel(prefix):
+        union = spark.createDataFrame(
+            [r for b in prefix for r in b], schema)
+        return sorted(map(tuple, TOKZ.unseen_vocab_panel(
+            TOKZ.source_token_counts(union)).collect()))
+
+    for bid, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, schema)
+        SJ.vocab_commit_batch(df, bid, state)
+        got = sorted(map(tuple, SJ.vocab_state_estimate(
+            spark, state).collect()))
+        assert got == batch_panel(batches[:bid + 1]), f"prefix {bid}"
+
+    # crash-window replay: recommitting the last batch is a no-op
+    before = sorted(map(tuple, spark.read.parquet(state).where(
+        F.col("state_batch") == 2).collect()))
+    SJ.vocab_commit_batch(
+        spark.createDataFrame(batches[2], schema), 2, state)
+    after = sorted(map(tuple, spark.read.parquet(state).where(
+        F.col("state_batch") == 2).collect()))
+    assert after == before
+
+
 def test_dau_panel_sink_matches_batch_panel(spark, tmp_path):
     """The streaming DAU/WAU/MAU maintained view must equal the batch
     `hll_day_panel` over the union BIT-FOR-BIT at EVERY micro-batch

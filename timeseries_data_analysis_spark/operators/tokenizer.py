@@ -45,6 +45,52 @@ def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
                     F.split(F.col("word"), "").alias("syms")))
 
 
+def source_token_counts(docs: DataFrame, text_col: str = "text",
+                        group_col: str = "source") -> DataFrame:
+    """Per-(group, token) exact counts: lowercased whitespace tokens,
+    empties filtered (the ``vocab_coverage`` tokenization contract).
+    The one fact-sized stage of the unseen-vocabulary family — a
+    map-side-combinable groupBy whose output is vocabulary-bounded
+    (Heaps-sublinear in corpus size), shared verbatim by the batch
+    ``unseen_vocab`` query and the streaming ``vocab_sink`` state."""
+    return (docs.select(
+                F.col(group_col),
+                F.explode(F.filter(
+                    F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda x: F.length(x) > 0)).alias("w"))
+            .groupBy(group_col, "w")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def unseen_vocab_panel(cnt: DataFrame,
+                       group_col: str = "source") -> DataFrame:
+    """Chao1 + Good-Turing unseen-species panel from a (group, token,
+    n) count table — the estimator arithmetic shared bit-for-bit by
+    the batch ``unseen_vocab`` registry row and the streaming
+    ``vocab_sink`` estimate read (the ``hll_day_panel`` sharing
+    pattern): chao1 = V + f₁(f₁−1)/(2(f₂+1)) (bias-corrected, defined
+    at f₂ = 0), gt_coverage = 1 − f₁/N, unseen_frac = 1 − V/chao1.
+    Exact-integer frequency-of-frequencies; single divisions; 4/6-dp
+    readout with the shared +1e-9 nudge."""
+    g = (cnt.groupBy(group_col)
+         .agg(F.count(F.lit(1)).alias("vocab"),
+              F.sum("n").alias("n_tokens"),
+              F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("f1"),
+              F.sum(F.when(F.col("n") == 2, 1).otherwise(0)).alias("f2")))
+    chao1 = (F.col("vocab")
+             + (F.col("f1") * (F.col("f1") - 1)).cast("double")
+             / (2 * (F.col("f2") + 1)).cast("double"))
+    eps = F.lit(1e-9)
+    return (g.select(
+        group_col, "n_tokens", "vocab", "f1", "f2",
+        F.round(chao1 + eps, 4).alias("chao1"),
+        F.round(F.lit(1.0) - F.col("f1").cast("double")
+                / F.col("n_tokens") + eps, 6).alias("gt_coverage"),
+        F.round(F.lit(1.0) - F.col("vocab") / chao1 + eps, 6)
+        .alias("unseen_frac"))
+        .orderBy(group_col))
+
+
 def merge_fold(syms: Column, left: str, right: str) -> Column:
     """Left-to-right non-overlapping merge of adjacent (left, right)
     symbol pairs — the BPE rewrite step as a pure JVM fold. After a

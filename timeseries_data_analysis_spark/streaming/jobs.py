@@ -1431,6 +1431,76 @@ def dau_panel_estimate(spark: SparkSession, state_path: str,
     return SK.hll_day_panel(regs, p=p)
 
 
+def vocab_sink(doc_stream: DataFrame, state_path: str,
+               text_col: str = "text", group_col: str = "source"):
+    """Streaming unseen-vocabulary maintenance — the serving twin of
+    the batch ``unseen_vocab`` registry row: per-(source, token)
+    EXACT counts persist as state, each micro-batch SUM-merges its
+    own token counts into them, and the Chao1/Good-Turing panel reads
+    count state only via :func:`vocab_state_estimate` — raw document
+    history is never rescanned. Exactness matters here: Good-Turing
+    needs the singleton/doubleton counts f₁/f₂, which no mergeable
+    sketch can provide (a CMS over-counts exactly the low-frequency
+    cells f₁ lives in), so the state is the exact count table —
+    VOCABULARY-bounded (Heaps-sublinear in stream length), not
+    stream-bounded, which is the honest cost of an exact-f₁ monitor.
+
+    Replay safety is single-phase like :func:`hll_sink`: each batch
+    writes its complete post-merge counts to
+    ``state_path/state_batch=<batch_id>`` computed from the newest
+    committed state with id < batch_id, so a crash-replay recomputes
+    identical counts (the merge is a deterministic SUM of predecessor
+    state + this batch's data) and rewrites the same dir.
+
+    Batch/stream equality is structural: counts SUM-merge exactly, so
+    post-merge state equals one batch count of the union, and the
+    estimate calls the SAME ``operators.tokenizer.unseen_vocab_panel``
+    the batch row uses (test-pinned bit-for-bit at every micro-batch
+    prefix)."""
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        vocab_commit_batch(batch_df, batch_id, state_path,
+                           text_col=text_col, group_col=group_col)
+
+    return (doc_stream.writeStream.foreachBatch(process)
+            .outputMode("update"))
+
+
+def vocab_commit_batch(batch_df: DataFrame, batch_id: int,
+                       state_path: str, text_col: str = "text",
+                       group_col: str = "source") -> None:
+    """One micro-batch of :func:`vocab_sink`, module-level so tests
+    can replay it against the crash window."""
+    from ..operators import tokenizer as TOKZ
+
+    spark = batch_df.sparkSession
+    st = _latest_state_before(spark, state_path, batch_id)
+    cnt = TOKZ.source_token_counts(batch_df, text_col=text_col,
+                                   group_col=group_col)
+    merged = cnt if st is None else (
+        cnt.unionByName(st.select(group_col, "w", "n"))
+        .groupBy(group_col, "w").agg(F.sum("n").alias("n")))
+    (merged.write.mode("overwrite")
+     .parquet(f"{state_path}/state_batch={batch_id}"))
+
+
+def vocab_state_estimate(spark: SparkSession, state_path: str,
+                         group_col: str = "source") -> DataFrame:
+    """Latest committed Chao1/Good-Turing panel from
+    :func:`vocab_sink` state — count reads only, via the SAME
+    ``operators.tokenizer.unseen_vocab_panel`` arithmetic as the
+    batch row, so a batch job over the union of all ingested
+    documents and this read see identical numbers (exact counts in,
+    shared plan out)."""
+    from ..operators import tokenizer as TOKZ
+
+    store = spark.read.parquet(state_path)
+    latest = (store.agg(F.max("state_batch").alias("b"))
+              .collect()[0]["b"])
+    cnt = (store.where(F.col("state_batch") == latest)
+           .select(group_col, "w", "n"))
+    return TOKZ.unseen_vocab_panel(cnt, group_col=group_col)
+
+
 # ---------------------------------------------------------------------------
 # Streaming quality-classifier training (incremental logistic GD)
 # ---------------------------------------------------------------------------
