@@ -38,8 +38,11 @@ preserved rather than degenerate:
 An optional trailing ``table[,table...]`` arg rebuilds a subset (the
 transforms are deterministic, so partial rebuilds stay consistent).
 
-All transforms are hash-deterministic: two runs produce byte-identical
-tables. Everything runs as Spark jobs; nothing collects to the driver.
+All transforms are hash-deterministic per (row, replica): two runs of
+the same builder produce identical table CONTENTS (file layout follows
+the pinned repartitioning, which Spark's round-robin keeps
+deterministic via its pre-shuffle local sort). Everything runs as
+Spark jobs; nothing collects to the driver.
 """
 
 from __future__ import annotations
@@ -166,8 +169,14 @@ def main() -> None:
     tables = [t for t in builders if only is None or t in only]
     for t in tables:
         df = spark.read.parquet(f"{src}/{t}.parquet")
-        # small relational tables skip the 8-way repartition shuffle;
-        # fixed dims write 1 file (they ARE the broadcast side)
+        # spread the INPUT before the factor-x explode: a small source
+        # parquet arrives as 1 scan partition, which serializes the
+        # entire per-replica transform (documents: 5e8 md5+sort ops at
+        # factor 1000, measured single-threaded for ~20+ min) onto one
+        # task. Row content is hash-deterministic per (row, k), so the
+        # pre-spread changes only parallelism, never the output set.
+        if t not in ("nation", "region"):
+            df = df.repartition(32)
         built = builders[t](df, factor)
         # output partitions scale with the factor so per-writer row
         # counts stay bounded (8 was tuned at 10x; 100x lineitem needs
