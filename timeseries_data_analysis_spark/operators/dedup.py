@@ -274,6 +274,18 @@ def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame,
     Joins the (small) candidate pair list back to the docs and computes
     |A∩B|/|A∪B| with ``array_intersect``/``array_union`` — set semantics,
     JVM-side.
+
+    The pair list is hash-repartitioned on ``id_l`` before the doc joins
+    (explicit count + key): candidate pairs are ~16 bytes/row, so AQE's
+    byte-based coalescing (1 MB minPartitionSize floor) collapses the
+    upstream distinct's output to ONE task, and the CPU-bound per-pair
+    set arithmetic — which dominates this operator — serializes onto a
+    single core (measured round 12: the levenshtein DP downstream of an
+    identical shape ran 9 s on 1 task vs <1 s fanned out). Only the
+    EXPLICIT-count repartition (REPARTITION_BY_NUM) is exempt from AQE
+    coalescing — the count-less by-column form is a supported coalesce
+    origin and collapses right back. It carries ids only and scales
+    with ``defaultParallelism``.
     """
     par = docs.sparkSession.sparkContext.defaultParallelism
     d = (docs.select(F.col(id_col).alias("_jid"), F.col(text_col))
@@ -281,7 +293,7 @@ def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame,
          .select("_jid", tokens(text_col).alias("_toks"))
          .select("_jid", F.array_distinct(
              shingles_from_tokens(F.col("_toks"), n)).alias("_sh")))
-    out = (df_pairs
+    out = (df_pairs.repartition(par, F.col("id_l"))
            .join(d.select(F.col("_jid").alias("id_l"), F.col("_sh").alias("_sh_l")), "id_l")
            .join(d.select(F.col("_jid").alias("id_r"), F.col("_sh").alias("_sh_r")), "id_r"))
     inter = F.size(F.array_intersect("_sh_l", "_sh_r"))
@@ -364,7 +376,16 @@ def ngram_jaccard_verify(df_pairs: DataFrame, docs: DataFrame,
     # (its explode_outer row is null-filtered), and an inner join would
     # silently drop its pairs — the plain form emits them with 0.0.
     empty = F.array().cast("array<bigint>")
-    out = (df_pairs.select("id_l", "id_r")
+    # Pair-side fan-out (same rule as ngram_jaccard): the broadcast doc
+    # joins preserve the pair table's partitioning, and on small corpora
+    # AQE's byte-based coalescing leaves the ids-only pair stream — and
+    # with it the CPU-bound intersect stage — on one task. The explicit
+    # count makes the repartition REPARTITION_BY_NUM, the one origin
+    # AQE never coalesces. The ids-only shuffle is noise at
+    # candidate-mass scale (16 B/row vs the per-pair set arithmetic it
+    # parallelizes).
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    out = (df_pairs.select("id_l", "id_r").repartition(par, F.col("id_l"))
            .join(d_l, "id_l", "left").join(d_r, "id_r", "left")
            .select("id_l", "id_r",
                    F.coalesce("_hs_l", empty).alias("_hs_l"),

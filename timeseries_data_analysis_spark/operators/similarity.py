@@ -166,7 +166,13 @@ def lsh_neardup_pairs(vectors: DataFrame, dim: int, threshold: float = 0.35,
     # on a handful of tasks (measured 4 tasks / 4.2 s → 32 tasks / 2.2 s
     # at sf0.1). With a large vector side the join's own shuffle fans out
     # anyway and this exchange is reused by subset-key co-partitioning.
-    cand = cand.repartition(F.col("id_l"))
+    # EXPLICIT count (round-12 fix): the count-less by-column form is a
+    # supported AQE coalesce origin in Spark 4.1 and the 16 B/row stream
+    # still collapsed below the 1 MB minPartitionSize floor; only
+    # REPARTITION_BY_NUM is never coalesced.
+    cand = cand.repartition(
+        vectors.sparkSession.sparkContext.defaultParallelism,
+        F.col("id_l"))
     va = base.select(F.col("_id").alias("id_l"), F.col("_v").alias("_va"))
     vb = base.select(F.col("_id").alias("id_r"), F.col("_v").alias("_vb"))
     sim = cosine(F.col("_va"), F.col("_vb"))

@@ -1,0 +1,51 @@
+"""Time individual queries in isolation through the noop sink.
+
+Usage: python tools/time_queries.py [-n TRIALS] [sf_dir] q1 q2 ...
+       (sf_dir defaults to /root/testdata/sf0.1; trials default 3)
+
+Same methodology as bench.py (construction + noop write timed per
+trial, min reported) but one warm session, chosen queries only — the
+guide §1.4 isolation harness for before/after comparisons.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from timeseries_data_analysis_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    trials = 3
+    if args and args[0] == "-n":
+        trials = int(args[1])
+        args = args[2:]
+    if args and os.path.isdir(args[0]):
+        sf_dir, names = args[0], args[1:]
+    else:
+        sf_dir, names = "/root/testdata/sf0.1", args
+    spark = get_spark("time-queries")
+    qs = entry_mod.queries()
+    # warm the JVM + parquet footers (excluded)
+    qs["pricing_summary"](spark, sf_dir).write.format("noop").mode(
+        "overwrite").save()
+    for name in names:
+        ts = []
+        for _ in range(trials):
+            spark.sparkContext.setJobDescription(name)
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite").save()
+            ts.append(round(time.time() - t0, 3))
+        print(f"{name}: min={min(ts)} trials={ts} loadavg={os.getloadavg()[0]:.2f}",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
