@@ -252,12 +252,19 @@ def pagerank(edges: DataFrame, src: str = "id_l", dst: str = "id_r",
                           F.lit(0.0).alias("pr_rel"))
     ranks = deg.select("a", F.lit(1.0 / n).alias("pr"))
     base = (1.0 - damping) / n
-    for _ in range(iters):
+    # checkpoint every SECOND iteration (round-12 measurement): each
+    # eager localCheckpoint is a full job barrier, and the rank frame
+    # is referenced once per iteration so lineage grows LINEARLY — a
+    # two-iteration lazy chain stays small while halving the barrier
+    # count (measured 8.6 -> 7.2 s on the sf0.1 near-dup graph; same
+    # math, identical output).
+    for it in range(iters):
         ranks = (sym_w.join(ranks, on="a")
                  .groupBy(F.col("b").alias("a"))
                  .agg((F.lit(base) + F.lit(damping)
-                       * F.sum(F.col("pr") / F.col("deg"))).alias("pr"))
-                 .localCheckpoint())
+                       * F.sum(F.col("pr") / F.col("deg"))).alias("pr")))
+        if it % 2 == 1 or it == iters - 1:
+            ranks = ranks.localCheckpoint()
     return (ranks.join(deg, on="a")
             .select(F.col("a").alias("vertex"), F.col("deg").alias("degree"),
                     (F.col("pr") * F.lit(float(n))).alias("pr_rel")))
@@ -304,7 +311,11 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
     e = e.localCheckpoint()  # restart vector re-read every round
     p = e.select("a", F.col("_e").alias("pr"))
     base = 1.0 - damping
-    for _ in range(iters):
+    # every-2nd-iteration checkpoint cadence — the pagerank rationale:
+    # the mass frame is referenced once per round, so a two-round lazy
+    # chain is bounded and each skipped eager checkpoint is one fewer
+    # job barrier.
+    for it in range(iters):
         contrib = (sym_w.join(p, on="a")
                    .groupBy(F.col("b").alias("a"))
                    .agg(F.sum(F.col("pr") / F.col("deg")).alias("_m")))
@@ -312,8 +323,9 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
              .select("a",
                      (F.lit(base) * F.coalesce(F.col("_e"), F.lit(0.0))
                       + F.lit(damping)
-                      * F.coalesce(F.col("_m"), F.lit(0.0))).alias("pr"))
-             .localCheckpoint())
+                      * F.coalesce(F.col("_m"), F.lit(0.0))).alias("pr")))
+        if it % 2 == 1 or it == iters - 1:
+            p = p.localCheckpoint()
     return (p.join(deg, on="a")
             .join(e.select("a", F.lit(True).alias("is_seed")),
                   on="a", how="left")

@@ -481,46 +481,60 @@ def run_pipeline(spark: SparkSession, tables: dict[str, DataFrame],
     # ANALYSIS of a ~1000-column frame costs ~1 s per select() on the
     # driver (four chained selects were ~4 s of pure plan time), and one
     # projection needs no CollapseProject work at optimize time.
-    colmap: dict[str, "F.Column"] = {}
+    # The fused projection is built as SQL EXPRESSION STRINGS, not
+    # Column objects (optimization round 12, guide §5 "the driver
+    # should do almost no data work"): ~850 renames + the risk/diff
+    # arithmetic cost one py4j round trip PER F.col()/operator — a
+    # measured ~3 s of colmap construction plus ~1.7 s inside the
+    # 500-column select, all single-threaded driver time. String
+    # building is microseconds and the single selectExpr ships the
+    # whole projection in one py4j call; the parsed expressions are
+    # identical (numeric literals pinned: 0.0D keeps the aggregate
+    # accumulator DoubleType exactly like F.lit(0.0)).
+    colmap: dict[str, str] = {}
     for s in series_names:
         for kind, tag, _ in feat_cols:
             name = s + tag if kind == "suffix" else tag + s
-            colmap[name] = F.col(f"`{s}___{kind}__{tag}`")
+            colmap[name] = f"`{s}___{kind}__{tag}`"
 
     zone_ids = sorted(int(s.rsplit("_", 1)[1]) for s in series_names
                       if s.startswith("zone_ZONE_"))
     for i in zone_ids:
         if i + 1 in set(zone_ids):
             colmap[f"diff_zone_ZONE_{i}_{i + 1}"] = (
-                colmap[f"zone_ZONE_{i + 1}"] - colmap[f"zone_ZONE_{i}"])
+                f"({colmap[f'zone_ZONE_{i + 1}']}"
+                f" - {colmap[f'zone_ZONE_{i}']})")
 
     zone_bases = [s for s in series_names if s.startswith("zone_ZONE_")]
 
     def _arr(sfx):
-        return F.array(*[colmap[f"{s}{sfx}"] for s in zone_bases])
+        return ("array(" + ", ".join(colmap[f"{s}{sfx}"]
+                                     for s in zone_bases) + ")")
 
     def _nn(a):
-        return F.filter(a, lambda x: x.isNotNull())
+        return f"filter({a}, x -> x IS NOT NULL)"
 
     def _count_eq(a, v):
-        return F.aggregate(a, F.lit(0), lambda acc, x: acc + F.coalesce(
-            (x == v).cast("int"), F.lit(0)))
+        return (f"aggregate({a}, 0, (acc, x) -> acc"
+                f" + coalesce(cast((x = {v}) as int), 0))")
 
     dropm = _nn(_arr("_drop_magnitude"))
     vals = _nn(_arr(""))
-    _avg = (lambda a: F.when(F.size(a) > 0,
-                             F.aggregate(a, F.lit(0.0),
-                                         lambda acc, x: acc + x)
-                             / F.size(a)))
-    cooling_n = _count_eq(_arr("_cooling_flag"), F.lit(1))
-    colmap["zones_with_drops"] = _count_eq(_arr("_anomaly"), F.lit(-1))
+
+    def _avg(a):
+        return (f"CASE WHEN size({a}) > 0 THEN"
+                f" aggregate({a}, 0.0D, (acc, x) -> acc + x)"
+                f" / size({a}) END")
+
+    cooling_n = _count_eq(_arr("_cooling_flag"), 1)
+    colmap["zones_with_drops"] = _count_eq(_arr("_anomaly"), -1)
     colmap["accretion_risk_cooling_trends"] = cooling_n
     colmap["accretion_risk_drop_magnitude"] = _avg(dropm)
     colmap["accretion_risk_drop_magnitude_max"] = \
-        F.when(F.size(dropm) > 0, F.array_max(dropm))
+        f"CASE WHEN size({dropm}) > 0 THEN array_max({dropm}) END"
     colmap["accretion_risk_mean_zone_temp"] = _avg(vals)
-    colmap["accretion_risk_min_zone_temp"] = F.array_min(vals)
-    colmap["multi_zone_cooling_alert"] = (cooling_n >= 3).cast("int")
+    colmap["accretion_risk_min_zone_temp"] = f"array_min({vals})"
+    colmap["multi_zone_cooling_alert"] = f"cast(({cooling_n}) >= 3 as int)"
 
     # Label spine: the GLOBAL hourly sequence from the sensor bounds —
     # the same ts set as the pivot output (spine_for uses global min/max
@@ -543,10 +557,10 @@ def run_pipeline(spark: SparkSession, tables: dict[str, DataFrame],
               .join(F.broadcast(labels), "ts", "left"))
     for c in ratios.columns:
         if c != "day_ts":
-            colmap[c] = F.col(c)
+            colmap[c] = f"`{c}`"
     for c in labels.columns:
         if c != "ts":
-            colmap[c] = F.col(c)
+            colmap[c] = f"`{c}`"
 
     # P1/P2: the reference's tiered priority column cap
     # (pre_processing.py:1564-1739) — see reduce_dimension_priority.
@@ -554,7 +568,8 @@ def run_pipeline(spark: SparkSession, tables: dict[str, DataFrame],
     # building intermediate frames), so the cap composes into the same
     # single fused projection.
     keep = reduce_dimension_priority(list(colmap), max_features)
-    out = joined.select("ts", *[colmap[c].alias(c) for c in keep])
+    out = joined.selectExpr(
+        "ts", *[f"{colmap[c]} AS `{c}`" for c in keep])
     metrics["pivot_join"] = time.time() - t
     metrics["total_plan"] = time.time() - t0
     if tracker is not None:
