@@ -59,27 +59,40 @@ def connected_components(edges: DataFrame, src: str = "id_l",
     labels = (sym.groupBy(F.col("a").alias("v"))
               .agg(F.least(F.min("b"), F.min("a")).alias("label"))
               .localCheckpoint(storageLevel=storage_level))
-    for it in range(max_iter):
-        nbr = (sym.join(labels.withColumnRenamed("v", "b"), on="b")
+    def _half(lbl: DataFrame) -> DataFrame:
+        """One propagate+jump sub-step: label <- min(label, neighbor
+        labels), then the pointer-jumping shortcut label <-
+        min(label, label[label]) (one V-row join next to the E-row
+        neighbor join; halves the effective diameter, so chains
+        converge in ~log2(D) sub-steps instead of D — measured 5 -> 4
+        rounds / 3.3 -> 3.0 s on the sf0.1 near-dup graph). The hop
+        join targets lbl itself: every _mid value is a vertex id and
+        lbl covers all vertices. Extra columns (_old) pass through."""
+        nbr = (sym.join(lbl.select(F.col("v").alias("b"), "label"), on="b")
                .groupBy(F.col("a").alias("v"))
-               .agg(F.min("label").alias("nbr_label")))
-        prop = (labels.join(nbr, on="v", how="left")
-                .select("v", F.col("label").alias("_old"),
-                        F.least("label", F.coalesce("nbr_label", "label"))
-                        .alias("_mid")))
-        # pointer-jumping shortcut: label <- min(label, label[label]).
-        # One extra V-row join per round (cheap next to the E-row
-        # neighbor join) halves the effective diameter, so chains
-        # converge in ~log2(D) rounds instead of D (measured: 5 -> 4
-        # rounds / 3.3 -> 3.0 s on the sf0.1 near-dup graph; the gap
-        # widens on chain-heavy graphs). Join against the PRE-round
-        # labels: every _mid value is a vertex id already present there.
-        hop = labels.select(F.col("v").alias("_mid"),
-                            F.col("label").alias("_hop"))
-        step = (prop.join(hop, on="_mid", how="left")
-                .select("v", "_old",
-                        F.least("_mid", F.coalesce("_hop", "_mid"))
-                        .alias("label"))
+               .agg(F.min("label").alias("_nl")))
+        prop = (lbl.join(nbr, on="v", how="left")
+                .withColumn("_mid",
+                            F.least("label", F.coalesce("_nl", "label")))
+                .drop("_nl", "label"))
+        hop = lbl.select(F.col("v").alias("_mid"),
+                         F.col("label").alias("_hop"))
+        return (prop.join(hop, on="_mid", how="left")
+                .withColumn("label",
+                            F.least("_mid", F.coalesce("_hop", "_mid")))
+                .drop("_mid", "_hop"))
+
+    for it in range(max_iter):
+        # TWO sub-steps per checkpoint/convergence round (round-12
+        # barrier fix): each eager localCheckpoint and each `changed`
+        # count is a full job barrier, and on the small-diameter
+        # near-dup graphs the loop cost is barrier-dominated, not
+        # byte-dominated (522-edge sf0.1 graph: 6 sub-steps = 6 ckpt +
+        # 6 count jobs before, 3 + 3 after). Labels are monotone
+        # non-increasing (min ops only), so composite-round equality
+        # proves sub-step-1 equality — the detected fixpoint and the
+        # final labeling are identical to the single-step loop's.
+        step = (_half(_half(labels.withColumn("_old", F.col("label"))))
                 .localCheckpoint(storageLevel=storage_level))
         changed = (step.filter(F.col("label") != F.col("_old"))
                    .limit(1).count())

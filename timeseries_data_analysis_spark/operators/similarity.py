@@ -80,8 +80,39 @@ def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
-def lsh_bucket(vec: Column, dim: int, bits: int = 8, seed: int = 42) -> Column:
-    """Random-hyperplane LSH bucket id (0..2^bits-1) for a vector column."""
+def lsh_bucket_sql(vec_sql: str, dim: int, bits: int = 8,
+                   seed: int = 42) -> str:
+    """SQL text of :func:`lsh_bucket` for a column/expression given as SQL.
+
+    Why a string builder exists at all: the Column form costs one py4j
+    round trip per ``F.lit``/operator — bits·dim literals ≈ thousands of
+    driver RPCs rebuilt on EVERY query construction (measured 3.2-4.2 s
+    of pure Python time for the 6-band × 8-bit × 64-dim near-dup plan).
+    The parsed expression tree is identical — ``0.0D`` is DoubleType
+    exactly like ``F.lit(0.0)``, ``repr(float)`` round-trips the IEEE
+    bits, lambda variable names don't affect semantics — so results are
+    bit-equal; only the construction path changes (one ``expr()`` parse).
+    """
+    planes = _hyperplanes(dim, bits, seed)
+    terms = []
+    for b, plane in enumerate(planes):
+        arr = ", ".join(f"{p!r}D" for p in plane)
+        proj = (f"aggregate(zip_with({vec_sql}, array({arr}),"
+                f" (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)")
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << b} ELSE 0 END)")
+    return "0 + " + " + ".join(terms)
+
+
+def lsh_bucket(vec: Column | str, dim: int, bits: int = 8,
+               seed: int = 42) -> Column:
+    """Random-hyperplane LSH bucket id (0..2^bits-1) for a vector column.
+
+    ``vec`` as a str (column name / SQL expression) takes the single-parse
+    SQL fast path; a Column argument keeps the legacy builder (for callers
+    composing the signature vector from other Columns, e.g. KNN imputation).
+    """
+    if isinstance(vec, str):
+        return F.expr(lsh_bucket_sql(vec, dim, bits, seed))
     planes = _hyperplanes(dim, bits, seed)
     bucket = F.lit(0)
     for b, plane in enumerate(planes):
@@ -101,11 +132,11 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     the corpus scanned per query on uniform data).
     """
     from pyspark.sql import Window
-    cb = corpus.withColumn("_bucket", lsh_bucket(F.col(vec_col), dim, bits))
+    cb = corpus.withColumn("_bucket", lsh_bucket(f"`{vec_col}`", dim, bits))
     qb = F.broadcast(queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
-    ).withColumn("_bucket", lsh_bucket(F.col("_qvec"), dim, bits)))
+    ).withColumn("_bucket", lsh_bucket("_qvec", dim, bits)))
     joined = cb.join(qb, on="_bucket")
     scored = joined.select(
         "query_id", id_col,
@@ -140,8 +171,12 @@ def lsh_neardup_pairs(vectors: DataFrame, dim: int, threshold: float = 0.35,
     """
     base = vectors.select(F.col(id_col).alias("_id"),
                           F.col(vec_col).cast("array<double>").alias("_v"))
-    buckets = F.array(*[lsh_bucket(F.col("_v"), dim, bits, seed + b)
-                        for b in range(bands)])
+    # one SQL parse for all bands — the Column form costs bands·bits·dim
+    # py4j literal round trips per query construction (guide §4/§7.3:
+    # driver-side plan construction is single-threaded wall time)
+    buckets = F.expr(
+        "array(" + ", ".join(lsh_bucket_sql("_v", dim, bits, seed + b)
+                             for b in range(bands)) + ")")
     # band only (id, band, bucket) — the self-join shuffles 3 small ints
     # per banded row, never the vectors (carrying vectors through the
     # explode would shuffle ``bands`` copies of the whole corpus).

@@ -35,16 +35,28 @@ def main() -> None:
     # warm the JVM + parquet footers (excluded)
     qs["pricing_summary"](spark, sf_dir).write.format("noop").mode(
         "overwrite").save()
+    def cpu_snap() -> list[int]:
+        with open("/proc/stat") as f:
+            return [int(x) for x in f.readline().split()[1:]]
+
     for name in names:
         ts = []
+        steals = []
         for _ in range(trials):
             spark.sparkContext.setJobDescription(name)
+            c0 = cpu_snap()
             t0 = time.time()
             qs[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite").save()
             ts.append(round(time.time() - t0, 3))
-        print(f"{name}: min={min(ts)} trials={ts} loadavg={os.getloadavg()[0]:.2f}",
-              flush=True)
+            c1 = cpu_snap()
+            d = [y - x for x, y in zip(c0, c1)]
+            # steal% of total jiffies during the trial: the co-tenant
+            # contamination marker (SCALE §6 — a trial with steal >~2%
+            # is a load sample, not a plan property)
+            steals.append(round(100 * d[7] / max(sum(d), 1), 1))
+        print(f"{name}: min={min(ts)} trials={ts} steal%={steals} "
+              f"loadavg={os.getloadavg()[0]:.2f}", flush=True)
 
 
 if __name__ == "__main__":
