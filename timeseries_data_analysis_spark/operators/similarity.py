@@ -208,9 +208,18 @@ def lsh_neardup_pairs(vectors: DataFrame, dim: int, threshold: float = 0.35,
     cand = cand.repartition(
         vectors.sparkSession.sparkContext.defaultParallelism,
         F.col("id_l"))
-    va = base.select(F.col("_id").alias("id_l"), F.col("_v").alias("_va"))
-    vb = base.select(F.col("_id").alias("id_r"), F.col("_v").alias("_vb"))
-    sim = cosine(F.col("_va"), F.col("_vb"))
+    # norms hoisted to the per-VECTOR projections: cosine() inline would
+    # recompute each side's l2_norm once per PAIR (pairs >> vectors on a
+    # banded graph); den = norm_l * norm_r is the same arithmetic on the
+    # same values, so sims are bit-identical (guide §2.3: shrink per-row
+    # work before the verify join, the pair stream carries ids only)
+    va = base.select(F.col("_id").alias("id_l"), F.col("_v").alias("_va"),
+                     l2_norm(F.col("_v")).alias("_na"))
+    vb = base.select(F.col("_id").alias("id_r"), F.col("_v").alias("_vb"),
+                     l2_norm(F.col("_v")).alias("_nb"))
+    den = F.col("_na") * F.col("_nb")
+    sim = F.when(den > 0, dot(F.col("_va"), F.col("_vb")) / den) \
+        .otherwise(F.lit(0.0))
     return (cand.join(va, on="id_l").join(vb, on="id_r")
             .select("id_l", "id_r", sim.alias("_s"))
             .filter(F.col("_s") > threshold)

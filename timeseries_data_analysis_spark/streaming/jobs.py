@@ -742,6 +742,12 @@ def ivf_commit_batch(batch_df: DataFrame, batch_id: int,
     # (the cosine math downstream runs in double anyway)
     (assigned.select(id_col, F.col("_v").alias(vec_col),
                      F.col("centroid_id").alias("cell"))
+     # cell-keyed repartition before the dynamic-partition write: the
+     # assignment window collapses to one AQE partition and a single
+     # task would write every cell's file serially (guide §6); hashing
+     # on cell keeps exactly one file per cell per batch directory
+     .repartition(batch_df.sparkSession.sparkContext.defaultParallelism,
+                  "cell")
      .write.mode("overwrite").partitionBy("cell")
      .parquet(f"{out_path}/ingest_batch={batch_id}"))
 
