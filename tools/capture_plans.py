@@ -20,18 +20,19 @@ from timeseries_data_analysis_spark.session import get_spark  # noqa: E402
 
 def main() -> None:
     tag = sys.argv[1]
+    out_dir = os.environ.get("PLANS_DIR", "plans/r12")
     if len(sys.argv) > 2 and os.path.isdir(sys.argv[2]):
         sf_dir, names = sys.argv[2], sys.argv[3:]
     else:
         sf_dir, names = "/root/testdata/sf0.1", sys.argv[2:]
     spark = get_spark("capture-plans")
     qs = entry_mod.queries()
-    os.makedirs("plans/r12", exist_ok=True)
+    os.makedirs(out_dir, exist_ok=True)
     for name in names:
         df = qs[name](spark, sf_dir)
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted")
-        out = f"plans/r12/{name}_{tag}.txt"
+        out = f"{out_dir}/{name}_{tag}.txt"
         with open(out, "w") as f:
             f.write(plan)
         print(f"wrote {out} ({len(plan.splitlines())} lines)")
