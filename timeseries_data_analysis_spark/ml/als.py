@@ -108,7 +108,18 @@ def als_rank2_round(ratings: DataFrame, user_col: str = "c",
     here."""
     v0 = (init_item_factors(ratings, item_col) if init_v is None
           else init_v.select(item_col, "v1", "v2"))
-    rv = ratings.join(v0, item_col)
+    # Factor frames are DIM-sized (|users|/|items| rows × k+1 cols) —
+    # broadcast them (guide §3.1) so the fact-sized ratings side is
+    # never shuffled/sorted per half-step: a checkpointed factor frame
+    # reads as a stats-less LogicalRDD, so neither the static planner
+    # nor AQE (whose runtime rewrite needs a materialized SHUFFLE
+    # stage on the build side) ever picks the broadcast on its own.
+    # Measured round 13: rank-4 2-round fit 2.45 -> 2.0 s at sf0.1.
+    # Scale boundary: the hint holds while the factor frame fits the
+    # executors (~100M keys × (k+1)·8 B ≈ 4 GB at the broadcast cap);
+    # past that drop the hint (plain shuffle join) or bucket both
+    # sides on the key.
+    rv = ratings.join(F.broadcast(v0), item_col)
     # localCheckpoint after each half-step (the HITS/pagerank lineage
     # discipline): the factor frames are dim-sized (|users|/|items| ×
     # 4 columns), and WITHOUT the cut every consumer of v — the next
@@ -117,7 +128,8 @@ def als_rank2_round(ratings: DataFrame, user_col: str = "c",
     # the residual subtree re-ran the full chain)
     u = _solve_half_step(rv, user_col, rating_col, "v1", "v2", reg,
                          "u1", "u2").localCheckpoint()
-    ru = ratings.join(u.select(user_col, "u1", "u2"), user_col)
+    ru = ratings.join(F.broadcast(u.select(user_col, "u1", "u2")),
+                      user_col)
     v = _solve_half_step(ru, item_col, rating_col, "u1", "u2", reg,
                          "v1", "v2").localCheckpoint()
     return u, v
@@ -217,10 +229,12 @@ def als_rankk_round(ratings: DataFrame, k: int = 4,
     ucols = [f"u{j}" for j in range(1, k + 1)]
     v0 = (init_item_factors_k(ratings, k, item_col) if init_v is None
           else init_v.select(item_col, *vcols))
-    rv = ratings.join(v0, item_col)
+    # broadcast the dim-sized factor side — the als_rank2_round
+    # rationale and scale boundary
+    rv = ratings.join(F.broadcast(v0), item_col)
     u = _solve_half_step_k(rv, user_col, rating_col, vcols, reg,
                            "u").localCheckpoint()
-    ru = ratings.join(u.select(user_col, *ucols), user_col)
+    ru = ratings.join(F.broadcast(u.select(user_col, *ucols)), user_col)
     v = _solve_half_step_k(ru, item_col, rating_col, ucols, reg,
                            "v").localCheckpoint()
     return u, v
@@ -317,13 +331,17 @@ def als_rankk_exact_fit(ratings: DataFrame, k: int = 4,
     u = None
     stale: list[DataFrame] = []
     for _ in range(rounds):
-        rv = ratings.join(v.select(item_col, *vcols), item_col)
+        # broadcast the dim-sized factor side — the als_rank2_round
+        # rationale and scale boundary
+        rv = ratings.join(F.broadcast(v.select(item_col, *vcols)),
+                          item_col)
         u_next = als_exact_half_step(rv, user_col, rating_col, vcols,
                                      reg, "u").localCheckpoint()
         if u is not None:
             stale.append(u)
         u = u_next
-        ru = ratings.join(u.select(user_col, *ucols), user_col)
+        ru = ratings.join(F.broadcast(u.select(user_col, *ucols)),
+                          user_col)
         v_next = als_exact_half_step(ru, item_col, rating_col, ucols,
                                      reg, "v").localCheckpoint()
         stale.append(v)
