@@ -337,6 +337,39 @@ def test_simhash_wide_lo_half_equals_narrow_fingerprint(spark):
     assert any(v[0] != v[1] for v in wide.values())
 
 
+def test_simhash_swar_oversized_doc_matches_per_bit_reference(spark):
+    """Scale-safety of the SWAR vote packing (ADVICE r12 #1): a document
+    with more than 2²¹ shingles — past the r12 3×21-bit lane capacity,
+    whose guard raise_error()'d the whole job — must now produce a
+    fingerprint, and it must be bit-identical to the unpacked
+    one-SUM-per-bit reference form. 31-bit lanes cannot overflow for
+    any representable document (Spark strings cap at 2³¹-1 bytes and
+    the shingle count never exceeds the token count)."""
+    n_shingles = (1 << 21) + 7
+    big = " ".join(f"w{i % 97}" for i in range(n_shingles + 1))
+    df = spark.createDataFrame([(0, big), (1, "a small doc here")],
+                               "doc_id long, text string")
+    bits = 16
+    got = {r["_id"]: r["_fp"]
+           for r in DD.simhash_fingerprints(df, n=2, bits=bits).collect()}
+
+    # unpacked per-bit reference (the pre-r12 form, inlined)
+    ex = DD.exploded_shingle_hashes(df, "text", "doc_id", 2, hex_digits=8)
+    votes = [F.sum(F.when(F.col("_h").bitwiseAND(F.lit(1 << b)) != 0, 1)
+                   .otherwise(-1)).alias(f"_v{b}") for b in range(bits)]
+    fp_expr = None
+    for b in range(bits):
+        term = F.when(F.col(f"_v{b}") > 0,
+                      F.lit(1 << b).cast("bigint")) \
+            .otherwise(F.lit(0).cast("bigint"))
+        fp_expr = term if fp_expr is None else fp_expr + term
+    ref = {r["_id"]: r["_fp"] for r in
+           ex.groupBy("_id").agg(*votes)
+           .select("_id", fp_expr.alias("_fp")).collect()}
+    assert got == ref
+    assert got[0] is not None
+
+
 def test_simhash_wide_pairs_matches_brute_force(spark):
     """Pigeonhole exactness over the full 96 bits: the banded join must
     find exactly the pairs whose two-half Hamming distance is ≤ 3."""

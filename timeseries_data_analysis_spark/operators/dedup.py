@@ -554,13 +554,20 @@ def simhash_from_hashes(hashed: Column, bits: int = 16) -> Column:
         F.lit(0).cast("bigint"), lambda acc, x: acc + x)
 
 
-# SWAR vote-packing geometry: 3 bit-counters of 21 bits per packed
+# SWAR vote-packing geometry: 2 bit-counters of 31 bits per packed
 # bigint sum. Lane width bounds the per-document shingle count the
-# counters hold exactly (2^21-1 ≈ 2.1M shingles ≈ a 12 MB document);
-# the assembly guard raise_error()s past it instead of corrupting
-# fingerprints silently.
-_SWAR_LANES = 3
-_SWAR_LW = 21
+# counters hold exactly — and 31-bit lanes make overflow UNREACHABLE:
+# a Spark string caps at 2³¹-1 bytes, whitespace tokens are ≥2 bytes
+# each (char + separator), and the shingle count (duplicates kept)
+# never exceeds the token count, so n < 2³⁰ < 2³¹ for ANY document
+# the engine can hold, and the top lane's sum (< 2³⁰·2³¹ = 2⁶¹) stays
+# inside the signed bigint. Round 12 shipped 3×21-bit lanes with a
+# job-killing raise_error past 2²¹ shingles (~12 MB of text — rare
+# but real in a web corpus); round 13 measured the 2-lane form
+# performance-neutral (simhash_wide_pairs 3.39 vs 3.56 s, simhash
+# tie) and dropped the failure mode outright (ADVICE r12 #1).
+_SWAR_LANES = 2
+_SWAR_LW = 31
 
 
 def _swar_vote_aggs(hash_col: str, bits: int, prefix: str) -> list[Column]:
@@ -585,8 +592,8 @@ def _swar_fp_sql(n_col: str, bits: int, prefix: str) -> str:
     """SQL assembling the fingerprint from packed vote sums: per bit,
     ones = the bit's lane counter, vote = 2·ones − n, fingerprint bit
     set iff vote > 0 — integer-exact, identical to the per-bit ±1 sum
-    form. Guard: a group larger than one lane can hold would have
-    silently overflowed into the next lane, so it raises instead."""
+    form. No overflow guard needed: 31-bit lanes cannot overflow for
+    any representable document (see the _SWAR_LANES geometry note)."""
     mask = (1 << _SWAR_LW) - 1
     terms = []
     for b in range(bits):
@@ -595,11 +602,7 @@ def _swar_fp_sql(n_col: str, bits: int, prefix: str) -> str:
         terms.append(f"(CASE WHEN 2 * {ones} - {n_col} > 0 "
                      f"THEN CAST({1 << b} AS BIGINT) "
                      f"ELSE CAST(0 AS BIGINT) END)")
-    return (f"CASE WHEN {n_col} >= {1 << _SWAR_LW} THEN "
-            f"raise_error(concat('simhash SWAR lane overflow: ', "
-            f"CAST({n_col} AS STRING), ' shingles in one document "
-            f"(max {(1 << _SWAR_LW) - 1})')) "
-            f"ELSE " + " + ".join(terms) + " END")
+    return " + ".join(terms)
 
 
 def simhash_fingerprints(docs: DataFrame, text_col: str = "text",
@@ -610,8 +613,9 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text",
     (codegen'd, map-side combined — duplicates kept: SimHash weights by
     shingle frequency), then the fingerprint assembles from the vote
     signs. Bit-identical to the one-SUM-per-bit form (votes are exact
-    integers); ceil(bits/3) packed sums replace ``bits`` sums — measured
-    1.9× at sf0.1 / bits=48."""
+    integers); ceil(bits/_SWAR_LANES) packed sums replace ``bits``
+    sums — measured 1.2-1.4× across the simhash query family at
+    sf0.1 (r13 quiet-host A/B vs the per-bit form)."""
     ex = exploded_shingle_hashes(docs, text_col, id_col, n,
                                  hex_digits=hex_digits)
     return (ex.groupBy("_id")
@@ -729,8 +733,9 @@ def simhash_wide_fingerprints(docs: DataFrame, text_col: str = "text",
         F.conv(F.substring("_m", 17, hexd), 16, 10).cast("bigint")
         .alias("_hhi"))
 
-    # SWAR-packed votes per half (see _swar_vote_aggs): 2·ceil(48/3)
-    # packed sums replace 96 per-bit sums, sharing one count column
+    # SWAR-packed votes per half (see _swar_vote_aggs):
+    # 2·ceil(48/_SWAR_LANES) packed sums replace 96 per-bit sums,
+    # sharing one count column
     return (ex.groupBy("_id")
             .agg(F.count(F.lit(1)).alias("_n"),
                  *_swar_vote_aggs("_hlo", half_bits, "_plo"),
