@@ -3,13 +3,15 @@ checks the FIRST 50 entries per round, so registry order is the de-facto
 evidence scheduler. A silent reorder could starve a row of its gate
 slot; this test makes the round-12 window an explicit, reviewed contract.
 
-Round-12 rotation policy (VERDICT r11 "Next round" #2, continuing the
-freshness ladder): new round-12 queries first (never checked = oldest
-debt), then the 31-row round-4-evidence REMAINDER of the R4 ladder the
-round-11 window could not fit (CORRECTNESS_r04 order — after this round
-no registry row carries evidence older than ~round 5), then the
-round-5-evidence ladder (CORRECTNESS_r05 order) filling any remaining
-slots. Rows the round-12 additions push past slot 50 lead round 13.
+Round-13 rotation policy (VERDICT r12 "Next round" #9 + the
+optimization-round rule that evidence is stale by definition when the
+code underneath a query moved): the 28 queries whose code paths
+changed in rounds 12-13 after their last driver check lead — the four
+r12 rewrites the driver never sampled (mcnemar, levenshtein_verify,
+bfs_hops, simhash_wide_pairs) plus the r13-touched graph/dedup/ALS
+paths — then the r5-evidence fill ladder (CORRECTNESS_r05 order, the
+stalest remaining tier and the documented round-13 leaders), then the
+remaining r12-window rows in their r12 order.
 """
 
 from __future__ import annotations
@@ -24,14 +26,27 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entry_mod
 
-# Round-12 new queries (newest-first), occupying the head of the gate
-# window. PREPENDING here is part of adding a query (same commit).
+# Round-13 head: queries whose code paths changed in rounds 12-13
+# after their last driver check (gate evidence stale by definition)
+# plus the four r12 rewrites VERDICT r12 flagged builder-only-verified.
+# PREPENDING here is part of changing a query's code path (same commit).
+ROUND13_TOUCHED: list[str] = [
+    "mcnemar", "levenshtein_verify", "bfs_hops", "simhash_wide_pairs",
+    "dedup_clusters", "collapse_near_dups", "emb_neardup_clusters",
+    "verified_clusters", "cluster_size_powerlaw", "dedup_token_savings",
+    "dedup_method_agreement", "dup_transitivity", "lsh_recall",
+    "community_labelprop", "community_modularity", "degree_assortativity",
+    "link_prediction", "pagerank_neardup", "pagerank_capped", "ppr_trust",
+    "kcore", "degree_distribution", "simhash", "simhash_pairs",
+    "simhash48_pairs", "als_rank1", "als_rank2", "als_rankk_backtest",
+]
+# Round-12 new queries, now carrying r12 driver evidence; they follow
+# the r5 ladder in the post-window tail (minus the rows the r13 head
+# pulled forward).
 ROUND12_NEW: list[str] = [
     "unseen_vocab",
     "intrinsic_dim",
-    "cluster_size_powerlaw",
     "lsh_s_curve",
-    "dup_transitivity",
     "langid_kappa",
     "cohens_d",
     "ewma_chart",
@@ -41,9 +56,7 @@ ROUND12_NEW: list[str] = [
     "cliffs_delta",
     "anderson_darling",
     "token_fertility",
-    "dedup_token_savings",
     "dup_ngram_mass",
-    "lsh_recall",
     "ivf_recall",
     "levenshtein_survivors",
 ]
@@ -52,20 +65,20 @@ ROUND12_NEW: list[str] = [
 # slot 50 — the oldest evidence in the registry after the r11 gate ran
 # (verified against the r1-r11 CORRECTNESS union).
 R4_REMAINDER = [
-    "simhash_pairs", "dedup_clusters", "time_rolling",
+    "time_rolling",
     "group_standardize", "share_of_total", "robust_scale_params",
     "funnel", "corpus_curation", "asof_tolerance", "dq_report",
     "cooccurrence", "paa_sax", "series_similarity", "sax_bucket_search",
-    "ewma", "retention", "collapse_near_dups", "oov_rate",
-    "asof_nearest", "emb_neardup_clusters", "pii_scrub",
+    "ewma", "retention", "oov_rate",
+    "asof_nearest", "pii_scrub",
     "unigram_logppl", "bpe_pair_counts", "quality_weighted_sample",
-    "chunk_documents", "per_source_cap", "dedup_method_agreement",
+    "chunk_documents", "per_source_cap",
     "temperature_mix", "bigram_logppl", "emb_near_dup",
     "multimodal_features",
 ]
 # The next-stalest tier: rows whose latest driver-green is round 5, in
-# CORRECTNESS_r05 order. Fills the window when the round-12 additions
-# number fewer than 19; the unfilled remainder leads round 13.
+# CORRECTNESS_r05 order. Follows the round-13 touched head inside the
+# 50-slot window.
 R5_LADDER = [
     "dup_passages", "bpe_compression", "ivf_kmeans_topk",
     "dsir_weights", "kmeans_step", "ppl_buckets", "zipf_fit",
@@ -78,7 +91,8 @@ R5_LADDER = [
 
 def test_gate_window_matches_documented_rotation():
     keys = list(entry_mod.queries())
-    expected_head = (ROUND12_NEW + R4_REMAINDER + R5_LADDER)[:50]
+    expected_head = (ROUND13_TOUCHED + R5_LADDER + ROUND12_NEW
+                     + R4_REMAINDER)[:50]
     assert keys[:len(expected_head)] == expected_head
 
 
