@@ -110,6 +110,11 @@ def lsh_bucket(vec: Column | str, dim: int, bits: int = 8,
     ``vec`` as a str (column name / SQL expression) takes the single-parse
     SQL fast path; a Column argument keeps the legacy builder (for callers
     composing the signature vector from other Columns, e.g. KNN imputation).
+
+    The str form is TRUSTED-SQL-only (ADVICE r12): it is embedded
+    verbatim in generated SQL, so callers quoting a column NAME must
+    escape embedded backticks (``name.replace("`", "``")`` — see
+    ``lsh_topk``); never pass untrusted text.
     """
     if isinstance(vec, str):
         return F.expr(lsh_bucket_sql(vec, dim, bits, seed))
@@ -132,7 +137,11 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     the corpus scanned per query on uniform data).
     """
     from pyspark.sql import Window
-    cb = corpus.withColumn("_bucket", lsh_bucket(f"`{vec_col}`", dim, bits))
+    # backtick-escape the quoted column name: lsh_bucket's str form is
+    # trusted SQL, and an embedded backtick would otherwise break out
+    # of the quoting (ADVICE r12)
+    cb = corpus.withColumn("_bucket", lsh_bucket(
+        f"`{vec_col.replace('`', '``')}`", dim, bits))
     qb = F.broadcast(queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
