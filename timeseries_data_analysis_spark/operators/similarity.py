@@ -307,8 +307,20 @@ def _assign_cells(vectors: DataFrame, centroids: DataFrame, n_probe: int,
     Norms are materialized per vector and per centroid BEFORE the N×C
     scoring select — inlining cosine() would recompute both norms per
     pair, C× more sqrt/aggregate passes than needed.
+
+    The per-vector top-``n_probe`` is a groupBy with a map-side-combined
+    ``sort_array(collect_list(struct(csim, -centroid_id)))`` rather than
+    a row_number window (round 13, guide §2.3): the window form shuffled
+    N×C scored rows EACH carrying the full vector payload (~C× the
+    necessary bytes — 430 MB at sf0.1's N×16×64-double plan) and paid a
+    per-partition sort; the groupBy combines to one row per vector
+    map-side (the broadcast cross join scores all C centroids of a
+    vector in its source partition), so the exchange carries each vector
+    ONCE plus C small (csim, id) structs. Selection is identical:
+    descending struct order on (csim, -centroid_id) is exactly
+    row_number over (csim DESC, centroid_id ASC), and centroid ids are
+    unique so no tie reaches the payload fields.
     """
-    from pyspark.sql import Window
     v = vectors.select(id_col, F.col(vec_col).cast("array<double>").alias("_v")) \
         .withColumn("_vn", l2_norm(F.col("_v")))
     c = F.broadcast(centroids.withColumn("_cn", l2_norm(F.col("centroid"))))
@@ -317,10 +329,15 @@ def _assign_cells(vectors: DataFrame, centroids: DataFrame, n_probe: int,
         id_col, "_v", "centroid_id",
         F.when(den > 0, dot(F.col("_v"), F.col("centroid")) / den)
         .otherwise(F.lit(0.0)).alias("_csim"))
-    w = Window.partitionBy(id_col).orderBy(F.col("_csim").desc(), "centroid_id")
-    return (scored.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= n_probe)
-            .select(id_col, "_v", "centroid_id"))
+    s = F.struct(F.col("_csim").alias("c"),
+                 (-F.col("centroid_id")).alias("nid"))
+    top = (scored.groupBy(id_col)
+           .agg(F.first("_v").alias("_v"),
+                F.slice(F.sort_array(F.collect_list(s), False), 1, n_probe)
+                .alias("_top")))
+    return (top.select(id_col, "_v",
+                       F.explode("_top").alias("_t"))
+            .select(id_col, "_v", (-F.col("_t.nid")).alias("centroid_id")))
 
 
 def ivf_store_topk(spark, store_path: str, queries: DataFrame,
